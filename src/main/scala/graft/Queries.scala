@@ -1,0 +1,578 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{text, vectors}
+import graft.operators.{CdcMerge, Dedup, Gold, Multimodal, Quality, Scd2, Sessionize, Similarity}
+import graft.sources.Tables
+
+/** The engine's query catalog: one named query per operator from
+  * SURVEY.md §2 (plus the large-scale training-data extras), each over the
+  * driver's synthetic testdata tables, each with a DuckDB oracle where the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Determinism rules (driver hash-compares against DuckDB):
+  *  - money sums go through decimal(18,2) then cast to double (exact in
+  *    both engines, order-independent);
+  *  - timestamps are never emitted raw — always cast to date or epoch
+  *    seconds (the events table is nanos; Spark reads micros);
+  *  - every window has a total order (explicit tiebreak column);
+  *  - aggregate/computed columns are aliased identically in both dialects.
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      headline: Boolean = false)
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def sumMoney(c: Column): Column = sum(dec(c)).cast("double")
+
+  // ===========================================================
+  // Relational core (SURVEY.md §2.1–§2.8 over the TPC-H-ish tables)
+  // ===========================================================
+
+  /** A-agg flagship: grouped sums/avgs with filter pushdown (A5/A6-style). */
+  val q01PricingSummary: Q = Q(
+    "q01_pricing_summary",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem").where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             AVG(l_quantity) AS avg_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      GROUP BY l_returnflag, l_linestatus"""),
+    headline = true)
+
+  /** S2+P2: predicate/projection pushdown to the parquet scan. */
+  val q02FilterPushdown: Q = Q(
+    "q02_filter_pushdown",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") && col("l_discount") > 0.05)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("l_shipdate").cast("date").as("ship_date")),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(l_shipdate AS DATE) AS ship_date
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.05"""))
+
+  /** J1: broadcast LEFT equi-join + aggregation. */
+  val q03BroadcastJoinAgg: Q = Q(
+    "q03_broadcast_join_agg",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      Gold.enrichTimeline(
+        o.withColumnRenamed("o_custkey", "c_custkey"),
+        c.select("c_custkey", "c_mktsegment"),
+        Seq("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("num_orders"), sumMoney(col("o_totalprice")).as("revenue"))
+    },
+    Some("""
+      SELECT c_mktsegment,
+             COUNT(*) AS num_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment"""),
+    headline = true)
+
+  /** J2: FULL OUTER merge of two change streams with coalesced keys. */
+  val q04FullouterTimeline: Q = Q(
+    "q04_fullouter_timeline",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      def side(kind: String, vAlias: String, nAlias: String) =
+        e.where(col("event_type") === kind)
+          .groupBy(col("user_id"), col("ts").cast("date").as("d"))
+          .agg(sumMoney(col("value")).as(vAlias), count(lit(1)).as(nAlias))
+      Gold.mergeTimelines(
+        side("purchase", "purchase_value", "n_purchases"),
+        side("click", "click_value", "n_clicks"),
+        Seq("user_id", "d"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value,
+               COUNT(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      c AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value,
+               COUNT(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+             COALESCE(p.d, c.d) AS d,
+             p.purchase_value, p.n_purchases, c.click_value, c.n_clicks
+      FROM p FULL OUTER JOIN c ON p.user_id = c.user_id AND p.d = c.d"""))
+
+  private def scd2OrdersDim(s: SparkSession, dir: String): DataFrame = {
+    val timeline = t(s, dir, "orders").select(
+      col("o_custkey"),
+      col("o_orderdate").cast("date").as("change_date"),
+      col("o_orderstatus"),
+      col("o_orderkey"))
+    Scd2.build(
+      timeline,
+      Scd2.Config(
+        keyCols = Seq("o_custkey"),
+        orderCol = "change_date",
+        trackedCols = Seq("o_orderstatus"),
+        tieBreakCols = Seq("o_orderkey"),
+        nullSafe = true))
+  }
+
+  private val scd2OracleCte: String = """
+      WITH tl AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS change_date, o_orderstatus, o_orderkey
+        FROM orders),
+      ch AS (
+        SELECT *, lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY change_date, o_orderkey) AS prev
+        FROM tl),
+      st AS (
+        SELECT o_custkey, o_orderstatus, change_date AS effective_start_date, o_orderkey
+        FROM ch WHERE o_orderstatus IS DISTINCT FROM prev),
+      fin AS (
+        SELECT o_custkey, o_orderstatus, effective_start_date,
+               COALESCE(CAST(lead(effective_start_date) OVER (PARTITION BY o_custkey ORDER BY effective_start_date, o_orderkey) - INTERVAL 1 DAY AS DATE), DATE '9999-12-31') AS effective_end_date,
+               lead(effective_start_date) OVER (PARTITION BY o_custkey ORDER BY effective_start_date, o_orderkey) IS NULL AS is_current
+        FROM st)"""
+
+  /** W1+W2+P6: the SCD2 core (LAG change-detect, LEAD interval close). */
+  val q05Scd2Dim: Q = Q(
+    "q05_scd2_dim",
+    (s, dir) =>
+      scd2OrdersDim(s, dir).select(
+        "o_custkey", "o_orderstatus", "effective_start_date", "effective_end_date", "is_current"),
+    Some(scd2OracleCte + """
+      SELECT o_custkey, o_orderstatus, effective_start_date, effective_end_date, is_current
+      FROM fin"""),
+    headline = true)
+
+  /** J3: point-in-interval range join (snapshot fact ↔ SCD2 dim). */
+  val q06SnapshotFact: Q = Q(
+    "q06_snapshot_fact",
+    (s, dir) => {
+      val factBase = t(s, dir, "orders")
+        .select(col("o_orderdate").cast("date").as("snapshot_date"), col("o_custkey"))
+        .distinct()
+      val dim = scd2OrdersDim(s, dir).withColumn("version_start", col("effective_start_date"))
+      Gold.snapshotFact(factBase, dim, Seq("o_custkey"), "snapshot_date", "version_start")
+    },
+    Some(scd2OracleCte + """,
+      fb AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS snapshot_date, o_custkey FROM orders)
+      SELECT fb.snapshot_date, fb.o_custkey, fin.effective_start_date AS version_start
+      FROM fb LEFT JOIN fin
+        ON fb.o_custkey = fin.o_custkey
+       AND fb.snapshot_date BETWEEN fin.effective_start_date AND fin.effective_end_date"""),
+    headline = true)
+
+  /** U1+A1: union-all date columns from several tables, distinct. */
+  val q07DimDate: Q = Q(
+    "q07_dim_date",
+    (s, dir) =>
+      Gold.dimDate(Seq(
+        t(s, dir, "orders") -> "o_orderdate",
+        t(s, dir, "lineitem") -> "l_shipdate",
+        t(s, dir, "events") -> "ts")),
+    Some("""
+      SELECT DISTINCT dt FROM (
+        SELECT CAST(o_orderdate AS DATE) AS dt FROM orders
+        UNION ALL SELECT CAST(l_shipdate AS DATE) FROM lineitem
+        UNION ALL SELECT CAST(ts AS DATE) FROM events)
+      WHERE dt IS NOT NULL"""))
+
+  /** U2+A2: batch CDC merge — overlapping extracts union'd and dedup'd. */
+  val q08CdcMerge: Q = Q(
+    "q08_cdc_merge",
+    (s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("date").as("event_date"), col("value"))
+      val extract1 = e.where(col("event_id") % 3 =!= 0)
+      val extract2 = e.where(col("event_id") % 2 === 0)
+      CdcMerge.mergeFullHistory(Some(extract1), extract2, Seq("event_id"))
+    },
+    Some("""
+      SELECT DISTINCT event_id, user_id, event_type, CAST(ts AS DATE) AS event_date, value
+      FROM (
+        SELECT * FROM events WHERE event_id % 3 <> 0
+        UNION ALL SELECT * FROM events WHERE event_id % 2 = 0)"""))
+
+  /** A3: duplicate-key detector (quality harness). */
+  val q09DupKeyDetector: Q = Q(
+    "q09_dup_key_detector",
+    (s, dir) => Quality.duplicateKeys(t(s, dir, "lineitem"), Seq("l_orderkey")),
+    Some("""
+      SELECT l_orderkey, COUNT(*) AS dup_count
+      FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1"""))
+
+  /** A4+A5: one-pass table profile (counts, distinct keys, date range). */
+  val q10QualityProfile: Q = Q(
+    "q10_quality_profile",
+    (s, dir) => Quality.profile(t(s, dir, "orders"), Seq("o_orderkey"), "o_orderdate"),
+    Some("""
+      SELECT COUNT(*) AS row_count,
+             COUNT(DISTINCT o_orderkey) AS distinct_keys,
+             MIN(CAST(o_orderdate AS DATE)) AS min_date,
+             MAX(CAST(o_orderdate AS DATE)) AS max_date
+      FROM orders"""))
+
+  /** O1/O3: global top-k with total-order tiebreak. */
+  val q11TopK: Q = Q(
+    "q11_topk",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  /** F1+F2: multi-format date parsing (reference coalesce order) + yyyyMM. */
+  val q12MultiformatDates: Q = Q(
+    "q12_multiformat_dates",
+    (s, dir) => {
+      val d = col("ts").cast("date")
+      val raw = when(col("event_id") % 4 === 0, date_format(d, "dd-MMM-yy"))
+        .when(col("event_id") % 4 === 1, date_format(d, "yyyy-MM-dd"))
+        .when(col("event_id") % 4 === 2, date_format(d, "dd/MM/yyyy"))
+        .otherwise(date_format(d, "MM/dd/yyyy"))
+      t(s, dir, "events")
+        .select(col("event_id"), raw.as("raw"))
+        .withColumn("parsed", graft.functions.dates.parseDateMulti(col("raw")))
+        .withColumn("p_ym", graft.functions.dates.ym(col("parsed")))
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_id,
+               CASE CAST(event_id % 4 AS INTEGER)
+                 WHEN 0 THEN strftime(CAST(ts AS DATE), '%d-%b-%y')
+                 WHEN 1 THEN strftime(CAST(ts AS DATE), '%Y-%m-%d')
+                 WHEN 2 THEN strftime(CAST(ts AS DATE), '%d/%m/%Y')
+                 ELSE strftime(CAST(ts AS DATE), '%m/%d/%Y') END AS raw
+        FROM events)
+      SELECT event_id, raw,
+             CAST(COALESCE(try_strptime(raw, '%d-%b-%y'), try_strptime(raw, '%Y-%m-%d'),
+                           try_strptime(raw, '%d/%m/%Y'), try_strptime(raw, '%m/%d/%Y')) AS DATE) AS parsed,
+             strftime(CAST(COALESCE(try_strptime(raw, '%d-%b-%y'), try_strptime(raw, '%Y-%m-%d'),
+                           try_strptime(raw, '%d/%m/%Y'), try_strptime(raw, '%m/%d/%Y')) AS DATE), '%Y%m') AS p_ym
+      FROM r"""))
+
+  /** J4: left-semi join. */
+  val q13SemiJoin: Q = Q(
+    "q13_semi_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi").select("c_custkey", "c_name")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+
+  /** J4: left-anti join. */
+  val q14AntiJoin: Q = Q(
+    "q14_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti").select("c_custkey", "c_name")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+
+  /** W3: ranked window (top-3 orders per customer). */
+  val q15WindowRank: Q = Q(
+    "q15_window_rank",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3"""))
+
+  /** U3: EXCEPT. */
+  val q16Except: Q = Q(
+    "q16_except",
+    (s, dir) =>
+      t(s, dir, "customer").select("c_custkey")
+        .except(t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))),
+    Some("SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders"))
+
+  /** U3: INTERSECT. */
+  val q17Intersect: Q = Q(
+    "q17_intersect",
+    (s, dir) =>
+      t(s, dir, "customer").select("c_custkey")
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))),
+    Some("SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders"))
+
+  /** Stateful-shape batch op: gap-based sessionization + per-session rollup. */
+  val q18Sessionize: Q = Q(
+    "q18_sessionize",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("sec", expr("ts_ns div 1000000000"))
+      Sessionize.sessionStats(e, "user_id", "sec", "event_id", "value", gapSeconds = 1800L)
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec, value FROM events),
+      l AS (
+        SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM e),
+      f AS (
+        SELECT *, CASE WHEN sec - prev > 1800 THEN 1 ELSE 0 END AS ns FROM l),
+      sx AS (
+        SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM f)
+      SELECT user_id, session_idx, COUNT(*) AS n_events,
+             MIN(sec) AS session_start_sec, MAX(sec) AS session_end_sec,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM sx GROUP BY user_id, session_idx"""),
+    headline = true)
+
+  // ===========================================================
+  // Training-data pipeline: text analysis
+  // ===========================================================
+
+  /** Token statistics: whitespace + subword counts, mean token length. */
+  val q20TokenStats: Q = Q(
+    "q20_token_stats",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        text.subwordCount(col("text")).cast("long").as("n_subwords"),
+        text.meanTokenLen(col("text")).as("mean_token_len")),
+    Some("""
+      SELECT doc_id,
+             CAST(length(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_subwords,
+             CAST(list_sum(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0), x -> length(x))) AS DOUBLE)
+               / length(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS mean_token_len
+      FROM documents"""))
+
+  /** Quality scoring: length / punctuation / stopword ratios. */
+  val q21QualityScore: Q = Q(
+    "q21_quality_score",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        text.punctRatio(col("text")).as("punct_ratio"),
+        text.stopwordRatio(col("text")).as("stopword_ratio")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents)
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_actual,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+             CASE WHEN length(tk) = 0 THEN 0.0
+                  ELSE CAST(length(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE) / length(tk) END AS stopword_ratio
+      FROM toks"""))
+
+  /** Language ID: argmax stopword-hit heuristic. */
+  val q22LangId: Q = Q(
+    "q22_lang_id",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.langId(col("text")).as("detected_lang")),
+    Some {
+      val hitExpr = text.langStopwords.map { case (lang, stop) =>
+        val inList = stop.map(w => s"'$w'").mkString(",")
+        s"length(list_filter(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0), x -> x IN ($inList))) AS ${lang}_hits"
+      }.mkString(",\n               ")
+      s"""
+      WITH h AS (
+        SELECT doc_id,
+               $hitExpr
+        FROM documents),
+      m AS (SELECT *, greatest(en_hits, es_hits, fr_hits, de_hits) AS mx FROM h)
+      SELECT doc_id,
+             CASE WHEN mx = 0 THEN 'und'
+                  WHEN en_hits = mx THEN 'en'
+                  WHEN es_hits = mx THEN 'es'
+                  WHEN fr_hits = mx THEN 'fr'
+                  ELSE 'de' END AS detected_lang
+      FROM m"""
+    })
+
+  /** Canonical-text MD5 fingerprint. */
+  val q23Fingerprint: Q = Q(
+    "q23_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.fingerprintMd5(col("text")).as("fingerprint")),
+    Some("""
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents"""))
+
+  /** Exact dedup groups: canonical hash → keeper id + copy count. */
+  val q24ExactDedup: Q = Q(
+    "q24_exact_dedup",
+    (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id"),
+    Some("""
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+             MIN(doc_id) AS keeper_id, COUNT(*) AS copies
+      FROM documents GROUP BY 1"""))
+
+  /** Corpus with planted near-duplicates (first token dropped) — the shared
+    * input for the near-dup detection queries below. Mutated copies get
+    * doc_id + 1,000,000.
+    */
+  private def corpusWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val mutated = docs
+      .where(col("doc_id") % 10 === 0)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(text.tokens(col("text")), 2, Int.MaxValue)).as("text"))
+    docs.unionByName(mutated)
+  }
+
+  /** MinHash+LSH near-dup candidates, exact-Jaccard verified. */
+  val q25MinhashDedup: Q = Q(
+    "q25_minhash_dedup",
+    (s, dir) => {
+      val corpus = corpusWithPlantedDups(s, dir)
+      val candidates = Dedup.minHashCandidates(corpus, "text", "doc_id", numPerm = 64, bands = 16)
+      Dedup.jaccardVerify(candidates, corpus, "text", "doc_id", threshold = 0.5)
+    },
+    None, // banded-LSH candidate generation is not ANSI-SQL-expressible
+    headline = true)
+
+  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures). */
+  val q26SimhashPairs: Q = Q(
+    "q26_simhash_pairs",
+    (s, dir) => Dedup.simHashPairs(corpusWithPlantedDups(s, dir), "text", "doc_id"),
+    None)
+
+  /** Rolling-hash document fingerprint (min shingle hash, winnowing-style). */
+  val q27RollingFingerprint: Q = Q(
+    "q27_rolling_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.rollingFingerprint(col("text")).as("rolling_fp")),
+    None) // xxhash64 has no DuckDB equivalent
+
+  // ===========================================================
+  // Training-data pipeline: embeddings / similarity search
+  // ===========================================================
+
+  /** Brute-force exact cosine top-k against one query vector. */
+  val q30CosineTopK: Q = Q(
+    "q30_cosine_topk",
+    (s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 20),
+    None, // float summation order differs across engines; verified by spec instead
+    headline = true)
+
+  /** LSH-bucketed approximate nearest neighbors (the scale path). */
+  val q31AnnLsh: Q = Q(
+    "q31_ann_lsh",
+    (s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 20),
+    None)
+
+  /** Embedding-cosine near-dup pairs over a corpus with planted scaled copies. */
+  val q32EmbeddingNearDup: Q = Q(
+    "q32_embedding_near_dup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val perturbed = emb
+        .where(col("vec_id") % 10 === 0)
+        .select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding"))
+      Similarity.cosineNearDupPairs(
+        emb.unionByName(perturbed), "vec_id", "embedding", threshold = 0.99)
+    },
+    None)
+
+  // ===========================================================
+  // Multimodal: opaque binary columns + typed metadata
+  // ===========================================================
+
+  /** Binary payload metadata (byte length + checksum) — pure SQL side. */
+  val q40BinaryMeta: Q = Q(
+    "q40_binary_meta",
+    (s, dir) =>
+      Multimodal.byteMeta(
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "text"))
+        .withColumn("byte_len", col("byte_len").cast("long")),
+    Some("""
+      SELECT doc_id AS media_id, 'text' AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             md5(text) AS md5
+      FROM documents"""))
+
+  /** Stubbed media decode: partition-wise batched typed pipeline. */
+  val q41MediaDecode: Q = Q(
+    "q41_media_decode",
+    (s, dir) =>
+      Multimodal.decodeStub(
+        s,
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "image")).toDF(),
+    None)
+
+  // ===========================================================
+
+  val all: Seq[Q] = Seq(
+    q01PricingSummary, q02FilterPushdown, q03BroadcastJoinAgg, q04FullouterTimeline,
+    q05Scd2Dim, q06SnapshotFact, q07DimDate, q08CdcMerge, q09DupKeyDetector,
+    q10QualityProfile, q11TopK, q12MultiformatDates, q13SemiJoin, q14AntiJoin,
+    q15WindowRank, q16Except, q17Intersect, q18Sessionize,
+    q20TokenStats, q21QualityScore, q22LangId, q23Fingerprint, q24ExactDedup,
+    q25MinhashDedup, q26SimhashPairs, q27RollingFingerprint,
+    q30CosineTopK, q31AnnLsh, q32EmbeddingNearDup,
+    q40BinaryMeta, q41MediaDecode)
+
+  /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
+  private def normalizeSql(sql: String): String =
+    sql.linesIterator.map(_.trim).filter(_.nonEmpty).mkString(" ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> normalizeSql(o))).toMap
+
+  val headlines: Seq[Q] = all.filter(_.headline)
+}

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * Everything here is built from codegen'd built-in expressions and
+  * higher-order array functions — no UDFs — so the hot path stays inside
+  * whole-stage codegen and scales linearly with input splits (the operators
+  * are embarrassingly parallel: no shuffle at all until a caller aggregates).
+  */
+object text {
+
+  /** Whitespace tokenization. Empty input → empty array (not [""]). */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: word-chunks + digits + punctuation each count
+    * as one token — a cheap deterministic stand-in for a real tokenizer's
+    * token count (regex, no vocab lookup).
+    */
+  def subwordCount(c: Column): Column =
+    size(filter(
+      split(lower(c), "(?=[^a-z0-9])|(?<=[^a-z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Word k-shingles: ["a b c","b c d",...] from the token stream. */
+  def shingles(c: Column, k: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  // --- Quality scoring (length / punctuation / stopword ratios) ---
+
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  /** Fraction of characters that are ASCII punctuation. */
+  def punctRatio(c: Column): Column = {
+    val len = length(c)
+    when(len === 0, lit(0.0))
+      .otherwise(
+        length(regexp_replace(c, "[^\\p{Punct}]", "")).cast("double") / len.cast("double"))
+  }
+
+  /** Fraction of tokens that are common English stopwords. */
+  def stopwordRatio(c: Column, stop: Seq[String] = englishStopwords): Column = {
+    val toks = tokens(lower(c))
+    val hits = size(filter(toks, t => t.isin(stop: _*)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean token length — word-salad / boilerplate indicator. */
+  def meanTokenLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  // --- Language identification (stopword-hit heuristic) ---
+
+  /** Stopword lists per language; langId picks the argmax-hit language. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "dans", "que", "une", "pour", "qui"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"))
+
+  def langHits(c: Column, stop: Seq[String]): Column =
+    size(filter(tokens(lower(c)), t => t.isin(stop: _*)))
+
+  /** Argmax language by stopword hits; 'und' (undetermined) when all zero.
+    * Ties resolve in `langStopwords` declaration order — deterministic.
+    */
+  def langId(c: Column): Column = {
+    val hits = langStopwords.map { case (lang, stop) => lang -> langHits(c, stop) }
+    val maxHits = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.reverse.foldLeft(lit("und")) { case (acc, (lang, h)) =>
+      when(h === maxHits && maxHits > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  // --- Fingerprinting ---
+
+  /** Canonical-text MD5: lowercase, collapse whitespace. Oracle-friendly
+    * (MD5 is identical everywhere) and the basis of exact dedup.
+    */
+  def fingerprintMd5(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " ").cast("binary"))
+
+  /** Rolling-hash content fingerprint: min of 64-bit shingle hashes
+    * (winnowing-style). Robust to token reordering at the edges; one value
+    * per document, no shuffle.
+    */
+  def rollingFingerprint(c: Column, k: Int = 3): Column =
+    array_min(transform(shingles(c, k), s => xxhash64(s)))
+}

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality harness (reference: silver_check.py:20-53), as
+  * DataFrame-returning functions instead of print statements so results are
+  * assertable in tests and dumpable through the oracle gate.
+  */
+object Quality {
+
+  /** Rows whose composite key occurs more than once
+    * (reference: silver_check.py:32-37).
+    */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** One-row profile: row count, distinct keys, duplicate-key groups,
+    * min/max of the date column (reference: silver_check.py:24-49 folds five
+    * separate actions; here it is ONE aggregate job — one pass at scale).
+    */
+  def profile(df: DataFrame, keys: Seq[String], dateCol: String): DataFrame = {
+    val keyStruct = struct(keys.map(col): _*)
+    df.agg(
+      count(lit(1)).as("row_count"),
+      count_distinct(keyStruct).as("distinct_keys"),
+      min(col(dateCol).cast("date")).as("min_date"),
+      max(col(dateCol).cast("date")).as("max_date"))
+  }
+
+  /** Ordered sample (reference: silver_check.py:52-53). */
+  def sample(df: DataFrame, orderCols: Seq[String], n: Int = 5): DataFrame =
+    df.orderBy(orderCols.map(col): _*).limit(n)
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  *  - `bruteForceTopK`: exact cosine top-k. The query side is a 1-row
+  *    broadcast; the corpus streams map-side, then a single top-k sort
+  *    (TakeOrderedAndProject — no full global sort materialization).
+  *  - `lshTopK`: random-hyperplane LSH. Corpus is pre-bucketed by a
+  *    multi-band signature; search probes only colliding buckets, so at
+  *    1000 executors each query touches ~corpus/2^bits of the data instead
+  *    of all of it. Recall is tunable via bands (more bands = more probes).
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against the embedding of `queryId`. */
+  def bruteForceTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int): DataFrame = {
+    val q = emb
+      .where(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    emb
+      .join(broadcast(q))
+      .where(col(idCol) =!= queryId)
+      .select(
+        col(idCol),
+        vectors.cosine(col(vecCol), col("__qvec")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Multi-band random-hyperplane LSH: `bands` independent signatures of
+    * `bitsPerBand` hyperplanes each. Two vectors are candidates when ANY
+    * band signature matches exactly. Returns top-k candidates by exact
+    * cosine — recall < 1, cost ≈ corpus/2^bitsPerBand per band.
+    */
+  def lshTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      dim: Int = 64,
+      bands: Int = 4,
+      bitsPerBand: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val bandPlanes = (0 until bands).map { b =>
+      vectors.randomPlanes(bitsPerBand, dim, seed + b)
+    }
+    def signatures(df: DataFrame) = df.select(
+      col(idCol),
+      col(vecCol),
+      explode(array(bandPlanes.zipWithIndex.map { case (planes, b) =>
+        struct(lit(b).as("band"), vectors.lshSignature(col(vecCol), planes).as("sig"))
+      }: _*)).as("bs"))
+      .select(col(idCol), col(vecCol), col("bs.band"), col("bs.sig"))
+
+    val corpus = signatures(emb.where(col(idCol) =!= queryId))
+    val query = signatures(emb.where(col(idCol) === queryId))
+      .select(col("band"), col("sig"), col(vecCol).as("__qvec"))
+
+    corpus
+      .join(broadcast(query), Seq("band", "sig"))
+      .select(col(idCol), vectors.cosine(col(vecCol), col("__qvec")).as("cosine"))
+      .groupBy(idCol)
+      .agg(max("cosine").as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicate detection by embedding cosine ≥ threshold,
+    * LSH-blocked so the quadratic comparison only happens within buckets.
+    */
+  def cosineNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      dim: Int = 64,
+      bands: Int = 8,
+      bitsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val banded = emb.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          vectors.lshSignature(col(vecCol), vectors.randomPlanes(bitsPerBand, dim, seed + b)).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("id"), col("v"), col("bs.band"), col("bs.sig"))
+    val a = banded.select(col("band"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = banded.select(col("band"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), vectors.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .groupBy("id_a", "id_b")
+      .agg(max("cosine").as("cosine"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Output sinks.
+  *
+  * - Partitioned parquet with repartition-by-partition-column first
+  *   (reference: bronze_to_silver.py:70-78) so each hive partition gets one
+  *   writer task → one file, instead of numShufflePartitions small files.
+  *   At 100 TB, small-file explosion is the classic killer of partitioned
+  *   writes; repartitioning on the partition columns bounds file count at
+  *   (distinct partition values) while keeping the write fully parallel.
+  * - JDBC batch sink with TRUNCATE-preserving overwrite
+  *   (reference: gold_sql_to_postgres.py:31-44): `truncate=true` keeps the
+  *   target table's DDL/indexes, `batchsize` bounds round-trips,
+  *   `numPartitions` bounds concurrent connections to the DWH.
+  * - Single-file CSV/parquet export for BI handoff (reference: README.md:188-191).
+  */
+object Sinks {
+
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val out =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df
+    val writer = out.write.mode(SaveMode.Overwrite)
+    val part = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer
+    part.parquet(path)
+  }
+
+  final case class JdbcConfig(
+      url: String,
+      user: String,
+      password: String,
+      driver: String = "org.postgresql.Driver",
+      batchSize: Int = 20000)
+
+  def writeJdbc(df: DataFrame, cfg: JdbcConfig, table: String, numPartitions: Int): Unit =
+    df.repartition(numPartitions)
+      .write
+      .format("jdbc")
+      .option("url", cfg.url)
+      .option("dbtable", table)
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+      .option("driver", cfg.driver)
+      .option("truncate", "true")
+      .option("batchsize", cfg.batchSize)
+      .option("numPartitions", numPartitions)
+      .mode(SaveMode.Overwrite)
+      .save()
+
+  /** Single-file export; only for small (gold/BI) outputs — coalesce(1)
+    * funnels everything through one task by design.
+    */
+  def exportSingleCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def exportSingleParquet(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+}
