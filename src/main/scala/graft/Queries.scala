@@ -149,11 +149,11 @@ object Queries {
         SELECT o_custkey, CAST(o_orderdate AS DATE) AS change_date, o_orderstatus, o_orderkey
         FROM orders),
       ch AS (
-        SELECT *, lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY change_date, o_orderkey) AS prev
-        FROM tl),
+        SELECT *, lag(o_orderstatus) OVER w AS prev, lag(1) OVER w IS NULL AS is_first
+        FROM tl WINDOW w AS (PARTITION BY o_custkey ORDER BY change_date, o_orderkey)),
       st AS (
         SELECT o_custkey, o_orderstatus, change_date AS effective_start_date, o_orderkey
-        FROM ch WHERE o_orderstatus IS DISTINCT FROM prev),
+        FROM ch WHERE is_first OR o_orderstatus IS DISTINCT FROM prev),
       fin AS (
         SELECT o_custkey, o_orderstatus, effective_start_date,
                COALESCE(CAST(lead(effective_start_date) OVER (PARTITION BY o_custkey ORDER BY effective_start_date, o_orderkey) - INTERVAL 1 DAY AS DATE), DATE '9999-12-31') AS effective_end_date,
@@ -458,22 +458,25 @@ object Queries {
     */
   private def corpusWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
+    val toks = text.tokens(col("text"))
     val mutated = docs
       .where(col("doc_id") % 10 === 0)
       .select(
         (col("doc_id") + 1000000L).as("doc_id"),
-        concat_ws(" ", slice(text.tokens(col("text")), 2, Int.MaxValue)).as("text"))
+        // length = size(toks), NOT Int.MaxValue: slice clamps start+length
+        // with int arithmetic, and the overflow path differs between codegen
+        // and interpreted eval — fused plans silently produced "" here.
+        concat_ws(" ", slice(toks, lit(2), size(toks))).as("text"))
     docs.unionByName(mutated)
   }
 
   /** MinHash+LSH near-dup candidates, exact-Jaccard verified. */
   val q25MinhashDedup: Q = Q(
     "q25_minhash_dedup",
-    (s, dir) => {
-      val corpus = corpusWithPlantedDups(s, dir)
-      val candidates = Dedup.minHashCandidates(corpus, "text", "doc_id", numPerm = 64, bands = 16)
-      Dedup.jaccardVerify(candidates, corpus, "text", "doc_id", threshold = 0.5)
-    },
+    (s, dir) =>
+      Dedup.minHashDedupPairs(
+        corpusWithPlantedDups(s, dir), "text", "doc_id",
+        numPerm = 64, bands = 16, threshold = 0.5),
     None, // banded-LSH candidate generation is not ANSI-SQL-expressible
     headline = true)
 

@@ -15,13 +15,19 @@ import graft.sources.Sinks
   */
 object GoldPipeline {
 
-  /** Bronze → Silver for every entity (reference: bronze_to_silver.py:175-207). */
+  /** Bronze → Silver for every entity (reference: bronze_to_silver.py:175-207).
+    * The merge reads the existing silver path and rewrites the same path, so
+    * the write goes through the staging-and-swap sink — a plain overwrite
+    * would throw "Cannot overwrite a path that is also being read from" on
+    * every run after the initial load. (The reference's merge_full_history
+    * has that exact flaw; this one is idempotent for real.)
+    */
   def bronzeToSilver(spark: SparkSession, bronzeDir: String, silverDir: String): Unit =
     Ingest.entities.foreach { e =>
       val fresh = Ingest.readBronze(spark, bronzeDir, e)
       val existing = CdcMerge.readIfExists(spark, s"$silverDir/${e.name}")
       val merged = CdcMerge.mergeFullHistory(existing, fresh, e.mergeKeys)
-      Sinks.writePartitioned(merged, s"$silverDir/${e.name}", e.partitionCols)
+      Sinks.writePartitionedAtomic(merged, s"$silverDir/${e.name}", e.partitionCols)
     }
 
   final case class GoldTables(

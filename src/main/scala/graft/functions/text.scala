@@ -25,7 +25,10 @@ object text {
   def subwordCount(c: Column): Column =
     size(filter(
       split(lower(c), "(?=[^a-z0-9])|(?<=[^a-z0-9])"),
-      t => length(trim(t)) > 0))
+      // \S, not length(trim(t)) > 0: Spark's trim strips only U+0020, so a
+      // tab/newline piece would count as a subword while the oracle's
+      // \s-based filter drops it.
+      t => t.rlike("\\S")))
 
   /** Word k-shingles: ["a b c","b c d",...] from the token stream. */
   def shingles(c: Column, k: Int): Column = {

@@ -15,8 +15,21 @@ import graft.functions.text
   * Scale design: the quadratic all-pairs comparison never happens. LSH
   * banding turns it into an equi-join on (band, bandHash) — the classic
   * MMDS ch.3 scheme — so cost is O(n·bands) shuffle + within-bucket pairs.
-  * Sketches are computed with higher-order array expressions (codegen'd,
-  * no UDF), embarrassingly parallel over input splits.
+  *
+  * Evaluation-count discipline (the round-1 lesson): higher-order array
+  * functions are interpreted with NO common-subexpression elimination, and
+  * Catalyst's ProjectCollapse inlines a column's defining expression into
+  * every use site. So
+  *   (a) expensive per-row arrays (shingle hashes, sketches) are computed in
+  *       a SINGLE pass — the source array appears exactly once, as the input
+  *       of one `aggregate(...)`, never inside a per-element lambda of an
+  *       outer loop; and
+  *   (b) DataFrames whose columns are re-referenced by later operators
+  *       (banding reads the sketch `bands` times; verification reads the
+  *       shingle set twice) are `persist()`ed, because InMemoryRelation is a
+  *       collapse barrier that pins each expression to one evaluation.
+  * Without (a)+(b) the tokenize+shingle work runs numPerm× per row — 498 of
+  * a 506-second benchmark round.
   */
 object Dedup {
 
@@ -37,18 +50,90 @@ object Dedup {
 
   // --- MinHash ---
 
-  /** 64-bit minhash sketch: element j = min over shingles of
-    * xxhash64(shingle, seed_j). `numPerm` permutations approximate Jaccard
-    * with stderr ≈ 1/sqrt(numPerm).
+  /** Distinct 64-bit hashes of the word k-shingles — the document's shingle
+    * set, reduced to longs ONCE so every downstream permutation/Jaccard
+    * works on cheap integer arrays instead of re-tokenized strings.
+    */
+  def shingleHashes(textC: Column, shingleK: Int): Column =
+    array_distinct(transform(text.shingles(textC, shingleK), s => xxhash64(s)))
+
+  /** MinHash sketch from pre-hashed shingles, in ONE pass over the array:
+    * element j = min over shingle-hashes h of xxhash64(h, j) (hashing the
+    * (h, j) pair is a clean permutation family with no overflow — safe under
+    * ANSI arithmetic). The input array is the `aggregate` operand, so it is
+    * evaluated exactly once per row no matter how Catalyst inlines it.
+    */
+  def minHashFromHashes(hashesC: Column, numPerm: Int): Column = {
+    val permIdx = typedLit((0 until numPerm).toArray)
+    aggregate(
+      hashesC,
+      array_repeat(lit(Long.MaxValue), numPerm),
+      (acc, h) => zip_with(acc, permIdx, (m, j) => least(m, xxhash64(h, j))))
+  }
+
+  /** 64-bit minhash sketch straight from text. `numPerm` permutations
+    * approximate Jaccard with stderr ≈ 1/sqrt(numPerm).
     */
   def minHashSketch(textC: Column, numPerm: Int, shingleK: Int = 3): Column =
-    transform(
-      sequence(lit(0), lit(numPerm - 1)),
-      j => array_min(transform(text.shingles(textC, shingleK), s => xxhash64(s, j))))
+    minHashFromHashes(shingleHashes(textC, shingleK), numPerm)
 
-  /** Banded LSH candidate pairs: split the sketch into `bands` bands of
-    * rows = numPerm/bands, hash each band, and equi-join documents that
-    * collide in any band. Output: (id_a, id_b, est_jaccard) with id_a < id_b,
+  /** (id, sh, mh) prep table: shingle-hash set + minhash sketch, persisted
+    * because banding and verification each re-read these columns.
+    */
+  private def prep(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numPerm: Int,
+      shingleK: Int): DataFrame =
+    Partitioning.spread(df)
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("sh"))
+      .withColumn("mh", minHashFromHashes(col("sh"), numPerm))
+      .persist()
+
+  /** Banded LSH candidate pairs from a prep table: split the sketch into
+    * `bands` bands, hash each band slice, equi-join colliding documents.
+    * With `withEstimate` the sketches ride through the join and pairs carry
+    * the minhash agreement fraction; without it only (band, bucket, id)
+    * shuffles — use that when an exact verification step follows anyway.
+    */
+  private def candidatesFromSketch(
+      prepped: DataFrame,
+      numPerm: Int,
+      bands: Int,
+      withEstimate: Boolean): DataFrame = {
+    val rows = numPerm / bands
+    val carry = if (withEstimate) Seq(col("mh")) else Nil
+    val banded = prepped.select(
+      (Seq(
+        col("id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(
+              b.as("band"),
+              xxhash64(concat_ws(",", slice(col("mh"), b * rows + 1, lit(rows)))).as("bucket"))))
+          .as("bb")) ++ carry): _*)
+      .select((Seq(col("id"), col("bb.band"), col("bb.bucket")) ++ carry): _*)
+    def side(suffix: String) = {
+      val renamed = Seq(col("band"), col("bucket"), col("id").as(s"id_$suffix")) ++
+        (if (withEstimate) Seq(col("mh").as(s"mh_$suffix")) else Nil)
+      banded.select(renamed: _*)
+    }
+    val joined = side("a").join(side("b"), Seq("band", "bucket")).where(col("id_a") < col("id_b"))
+    if (withEstimate)
+      joined
+        .select(
+          col("id_a"),
+          col("id_b"),
+          (size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), m => m))
+            .cast("double") / numPerm).as("est_jaccard"))
+        .groupBy("id_a", "id_b")
+        .agg(max("est_jaccard").as("est_jaccard"))
+    else joined.select("id_a", "id_b").distinct()
+  }
+
+  /** Banded LSH candidate pairs: (id_a, id_b, est_jaccard) with id_a < id_b,
     * distinct. est_jaccard = fraction of matching minhash positions.
     */
   def minHashCandidates(
@@ -59,32 +144,37 @@ object Dedup {
       bands: Int = 16,
       shingleK: Int = 3): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands evenly")
-    val rows = numPerm / bands
-    val sketched = df
-      .select(col(idCol).as("id"), minHashSketch(col(textCol), numPerm, shingleK).as("mh"))
-    // One row per (doc, band): bucket key = hash of that band's slice.
-    val banded = sketched.select(
-      col("id"),
-      col("mh"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            xxhash64(concat_ws(",", slice(col("mh"), b * rows + 1, lit(rows)))).as("bucket"))))
-        .as("bb"))
-      .select(col("id"), col("mh"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("mh").as("mh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("mh").as("mh_b"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
+    candidatesFromSketch(prep(df, textCol, idCol, numPerm, shingleK), numPerm, bands,
+      withEstimate = true)
+  }
+
+  /** End-to-end MinHash+LSH near-dup detection: candidate generation and
+    * exact Jaccard verification share ONE persisted shingle/sketch pass.
+    * Jaccard is computed on the distinct shingle-HASH sets (identical to
+    * string-shingle Jaccard up to negligible 64-bit collisions), so
+    * verification is two hash-joins plus integer-array set ops.
+    * Output: (id_a, id_b, jaccard) for verified pairs ≥ threshold.
+    */
+  def minHashDedupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands evenly")
+    val prepped = prep(df, textCol, idCol, numPerm, shingleK)
+    val cand = candidatesFromSketch(prepped, numPerm, bands, withEstimate = false)
+    cand
+      .join(prepped.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(prepped.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
-        (size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), m => m))
-          .cast("double") / numPerm).as("est_jaccard"))
-      .groupBy("id_a", "id_b")
-      .agg(max("est_jaccard").as("est_jaccard"))
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** Exact word-shingle Jaccard verification over candidate pairs only.
@@ -98,9 +188,9 @@ object Dedup {
       idCol: String,
       shingleK: Int = 3,
       threshold: Double = 0.7): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("id"),
-      array_distinct(text.shingles(col(textCol), shingleK)).as("sh"))
+    val sh = Partitioning.spread(docs)
+      .select(col(idCol).as("id"), array_distinct(text.shingles(col(textCol), shingleK)).as("sh"))
+      .persist()
     val withA = pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
     val withB = withA.join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     withB
@@ -117,30 +207,40 @@ object Dedup {
   /** 64-bit SimHash over token hashes: bit i of the result is the majority
     * vote of bit i across all token xxhash64 values. Near-duplicate docs
     * land within a small hamming distance.
+    *
+    * Single pass over the token hashes: the vote accumulator is a 64-slot
+    * int array folded once per token (the round-1 version re-aggregated the
+    * token array once per BIT — 64× the work). The finish step ORs the
+    * winning bits together (disjoint bits, so no ANSI overflow risk).
     */
   def simHash(textC: Column): Column = {
-    // Dynamic shift amounts need the SQL shiftright/shiftleft (the Scala
-    // helpers only take Int literals) — call_function reaches them.
     def shr(v: Column, n: Column): Column = call_function("shiftright", v, n)
     def shl(v: Column, n: Column): Column = call_function("shiftleft", v, n)
+    val bitIdx = typedLit((0 until 64).toArray)
     val tokHashes = transform(text.tokens(textC), t => xxhash64(t))
     aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, i) => {
-        val votes = aggregate(
-          tokHashes,
-          lit(0),
-          (v, h) => v + when(shr(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1))
-        acc + when(votes > 0, shl(lit(1L), i)).otherwise(lit(0L))
-      })
+      tokHashes,
+      array_repeat(lit(0), 64),
+      (acc, h) =>
+        zip_with(acc, bitIdx, (v, i) =>
+          v + when(shr(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1)),
+      votes =>
+        aggregate(
+          zip_with(votes, bitIdx, (v, i) => when(v > 0, shl(lit(1L), i)).otherwise(lit(0L))),
+          lit(0L),
+          (a, b) => a.bitwiseOR(b)))
   }
 
   /** SimHash near-dup pairs by 16-bit band blocking (hamming ≤ 3 across 4
-    * bands guarantees at least one identical band — pigeonhole).
+    * bands guarantees at least one identical band — pigeonhole). The
+    * signature table is persisted: banding reads `sig` 4×, and the pair join
+    * reads it twice more — without the barrier the whole simHash fold would
+    * be inlined and re-evaluated at every use site.
     */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val sigs = Partitioning.spread(df)
+      .select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+      .persist()
     val banded = sigs.select(
       col("id"),
       col("sig"),

@@ -47,11 +47,17 @@ object Scd2 {
     val orderCols = (cfg.orderCol +: cfg.tieBreakCols).map(col)
     val w = Window.partitionBy(cfg.keyCols.map(col): _*).orderBy(orderCols: _*)
 
-    val withPrev = cfg.trackedCols.foldLeft(timeline) { (df, c) =>
+    val withPrev = cfg.trackedCols.foldLeft(
+      // Explicit first-row marker: lag of a constant is NULL only on the
+      // partition's first row. Testing `__prev_attr IS NULL` instead would
+      // silently drop a key whose first row has every tracked attribute
+      // NULL (NULL <=> NULL is true, so "changed" never fires and the key
+      // vanishes from the dimension).
+      timeline.withColumn("__first", lag(lit(1), 1).over(w).isNull)) { (df, c) =>
       df.withColumn(s"__prev_$c", lag(col(c), 1).over(w))
     }
 
-    val changed: Column = cfg.trackedCols
+    val attrChanged: Column = cfg.trackedCols
       .map { c =>
         if (cfg.nullSafe) !(col(c) <=> col(s"__prev_$c"))
         else col(s"__prev_$c").isNull || col(c) =!= col(s"__prev_$c")
@@ -59,7 +65,7 @@ object Scd2 {
       .reduce(_ || _)
 
     val stg = withPrev
-      .filter(changed)
+      .filter(col("__first") || attrChanged)
       .withColumn("effective_start_date", col(cfg.orderCol))
 
     val w2 = Window
@@ -70,6 +76,7 @@ object Scd2 {
     stg
       .withColumn("effective_end_date", coalesce(date_sub(nextStart, 1), dates.HighDate))
       .withColumn("is_current", nextStart.isNull)
+      .drop("__first")
       .drop(cfg.trackedCols.map(c => s"__prev_$c"): _*)
   }
 

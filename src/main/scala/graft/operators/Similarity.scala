@@ -28,7 +28,7 @@ object Similarity {
     val q = emb
       .where(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
-    emb
+    Partitioning.spread(emb)
       .join(broadcast(q))
       .where(col(idCol) =!= queryId)
       .select(
@@ -42,6 +42,17 @@ object Similarity {
     * `bitsPerBand` hyperplanes each. Two vectors are candidates when ANY
     * band signature matches exactly. Returns top-k candidates by exact
     * cosine — recall < 1, cost ≈ corpus/2^bitsPerBand per band.
+    *
+    * Defaults are sized so expected bucket occupancy > 1 at the test scale
+    * (2^8 = 256 buckets per band against a 10^3-row corpus): the round-1
+    * defaults (bands=4, bits=12 → 4096 buckets) made every bucket a
+    * singleton and the ANN query silently returned zero rows.
+    *
+    * `multiProbe` additionally probes every hamming-1 neighbor of each query
+    * band signature (flip one hyperplane's vote). That multiplies only the
+    * 1-row broadcast side by (1 + bitsPerBand) and recovers the neighbors
+    * that fell just across a single hyperplane — the standard multi-probe
+    * LSH recall boost for free at corpus scale.
     */
   def lshTopK(
       emb: DataFrame,
@@ -50,8 +61,9 @@ object Similarity {
       queryId: Long,
       k: Int,
       dim: Int = 64,
-      bands: Int = 4,
-      bitsPerBand: Int = 12,
+      bands: Int = 8,
+      bitsPerBand: Int = 8,
+      multiProbe: Boolean = true,
       seed: Long = 42L): DataFrame = {
     val bandPlanes = (0 until bands).map { b =>
       vectors.randomPlanes(bitsPerBand, dim, seed + b)
@@ -64,9 +76,17 @@ object Similarity {
       }: _*)).as("bs"))
       .select(col(idCol), col(vecCol), col("bs.band"), col("bs.sig"))
 
-    val corpus = signatures(emb.where(col(idCol) =!= queryId))
-    val query = signatures(emb.where(col(idCol) === queryId))
+    val corpus = signatures(Partitioning.spread(emb.where(col(idCol) =!= queryId)))
+    val exactQuery = signatures(emb.where(col(idCol) === queryId))
       .select(col("band"), col("sig"), col(vecCol).as("__qvec"))
+    val query =
+      if (!multiProbe) exactQuery
+      else exactQuery.select(
+        col("band"),
+        explode(array(
+          (col("sig") +: (0 until bitsPerBand).map(p => col("sig").bitwiseXOR(lit(1L << p)))): _*))
+          .as("sig"),
+        col("__qvec"))
 
     corpus
       .join(broadcast(query), Seq("band", "sig"))
@@ -89,7 +109,7 @@ object Similarity {
       bands: Int = 8,
       bitsPerBand: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val banded = emb.select(
+    val banded = Partitioning.spread(emb).select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
       explode(array((0 until bands).map { b =>

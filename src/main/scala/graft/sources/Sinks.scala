@@ -27,6 +27,32 @@ object Sinks {
     part.parquet(path)
   }
 
+  /** Overwrite `path` even when `df`'s lineage READS from `path` (the CDC
+    * merge shape: existing ∪ fresh → same target). A direct overwrite
+    * throws "Cannot overwrite a path that is also being read from", so the
+    * plan is executed against a staging directory first — while the source
+    * files are still intact — and the result is then swapped in with
+    * filesystem renames (atomic on HDFS/local; on S3-style stores swap this
+    * for a metastore location flip or table-format commit).
+    */
+  def writePartitionedAtomic(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val staging = new Path(path + ".__staging__")
+    val retired = new Path(path + ".__retired__")
+    fs.delete(staging, true)
+    fs.delete(retired, true)
+    writePartitioned(df, staging.toString, partitionCols)
+    if (fs.exists(target) && !fs.rename(target, retired))
+      throw new java.io.IOException(s"could not retire $target")
+    if (!fs.rename(staging, target)) {
+      fs.rename(retired, target) // roll back to the pre-write data
+      throw new java.io.IOException(s"could not promote $staging to $target")
+    }
+    fs.delete(retired, true)
+  }
+
   final case class JdbcConfig(
       url: String,
       user: String,

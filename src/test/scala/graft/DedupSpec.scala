@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (3L, "quick brown fox jumps over the lazy dog near the river bank today"), // near-dup of 1
+    (4L, "completely different content about distributed query engines and shuffles"),
+    (5L, "   "), // whitespace-only
+    (6L, "one")) // shorter than shingle k
+    .toDF("id", "text")
+
+  test("exactGroups: canonical hash groups with deterministic keeper") {
+    val g = Dedup.exactGroups(corpus, "text", "id").collect()
+    val dupGroup = g.find(_.getAs[Long]("copies") == 2)
+    assert(dupGroup.isDefined)
+    assert(dupGroup.get.getAs[Long]("keeper_id") == 1L)
+    assert(Dedup.exactDedup(corpus, "text", "id").count() == 5)
+  }
+
+  test("minHashDedupPairs finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup
+      .minHashDedupPairs(corpus, "text", "id", numPerm = 64, bands = 16, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(pairs.contains((1L, 2L)), "exact dup must surface")
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), "near dup must surface")
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "unrelated doc must not pair")
+  }
+
+  test("minHashSketch: J(identical)=1 estimate, stable across evaluations") {
+    val sk = corpus.select(col("id"), Dedup.minHashSketch(col("text"), 64).as("mh"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Long](1)).toMap
+    assert(sk(1L) == sk(2L), "identical docs → identical sketch")
+    assert(sk(1L) != sk(4L))
+    assert(sk(1L).length == 64)
+  }
+
+  test("simHashPairs: exact dup at hamming 0; unrelated docs beyond threshold") {
+    val pairs = Dedup.simHashPairs(corpus, "text", "id")
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming"))
+      .toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(!pairs.keySet.exists { case (a, b) => (a == 4L || b == 4L) && (a <= 3L || b <= 3L) })
+  }
+
+  test("jaccardVerify on explicit candidate pairs") {
+    val cand = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val verified = Dedup.jaccardVerify(cand, corpus, "text", "id", threshold = 0.5).collect()
+    assert(verified.length == 1)
+    assert(verified.head.getAs[Double]("jaccard") == 1.0)
+  }
+}

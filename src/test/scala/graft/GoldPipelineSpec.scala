@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.banking.GoldPipeline
+
+/** End-to-end medallion run over the reference's bronze fixtures
+  * (FIXTURES.md §1), including the second-run CDC merge that reads and
+  * rewrites the same silver path — the case a plain overwrite cannot do.
+  */
+class GoldPipelineSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private def writeFixtures(dir: java.nio.file.Path): Unit = {
+    def put(name: String, content: String): Unit =
+      Files.writeString(dir.resolve(name), content)
+    put("accounts.csv",
+      "Acc no,Date,Status\n123,01-jan-22,Active\n456,01-feb-22,Active\n123,01-mar-22,In Active\n")
+    put("account_details.csv",
+      "Acc no,Date,type\n123,01-jan-22,CC\n456,01-feb-22,Loan\n123,01-mar-22,CC\n")
+    put("person.csv",
+      "Acc no,Person\n123,X\n456,Y\n456,Z\n123,X\n")
+    put("person_profile.csv",
+      "Person,Name,Date\nX,Adam,01-jan-22\nY,Mona,01-feb-22\nZ,Rana,01-feb-22\nZ,Rana Ali,01-apr-22\n")
+    put("person_iden.csv",
+      "Person,Id,Date\nX,ID1,01-jan-22\nY,ID2,01-feb-22\nZ,ID3,01-feb-22\nZ,ID4,01-apr-22\n")
+  }
+
+  test("bronze→silver is idempotent: the second run merges over its own output") {
+    val bronze = Files.createTempDirectory("graft-bronze")
+    val silver = Files.createTempDirectory("graft-silver")
+    writeFixtures(bronze)
+
+    GoldPipeline.bronzeToSilver(spark, bronze.toString, silver.toString)
+    val firstCounts = graft.banking.Ingest.entities.map { e =>
+      e.name -> spark.read.parquet(s"$silver/${e.name}").count()
+    }.toMap
+    assert(firstCounts("accounts") == 3)
+    assert(firstCounts("person") == 3, "duplicate (123,X) must dedup")
+
+    // Second run: reads existing silver, unions fresh bronze, rewrites the
+    // SAME path. Without the staging-and-swap sink this throws
+    // AnalysisException("Cannot overwrite a path that is also being read from").
+    GoldPipeline.bronzeToSilver(spark, bronze.toString, silver.toString)
+    graft.banking.Ingest.entities.foreach { e =>
+      val again = spark.read.parquet(s"$silver/${e.name}").count()
+      assert(again == firstCounts(e.name), s"${e.name}: second merge changed row count")
+    }
+  }
+
+  test("silver→gold builds the star schema with reference semantics") {
+    val bronze = Files.createTempDirectory("graft-bronze2")
+    val silver = Files.createTempDirectory("graft-silver2")
+    writeFixtures(bronze)
+    GoldPipeline.bronzeToSilver(spark, bronze.toString, silver.toString)
+    val gold = GoldPipeline.silverToGold(spark, silver.toString)
+
+    // dim_account: 123 has Active → In Active (2 versions), 456 has 1.
+    val da = gold.dimAccount.orderBy("acc_no", "effective_start_date").collect()
+    assert(da.length == 3)
+    assert(da(0).getAs[String]("status") == "Active" && !da(0).getAs[Boolean]("is_current"))
+    assert(da(0).getAs[java.sql.Date]("effective_end_date").toString == "2022-02-28")
+    assert(da(1).getAs[String]("status") == "In Active" && da(1).getAs[Boolean]("is_current"))
+
+    // dim_person: X(1), Y(1), Z(2: Rana/ID3 → Rana Ali/ID4).
+    assert(gold.dimPerson.count() == 4)
+    val z = gold.dimPerson.where(col("person") === "Z")
+      .orderBy("effective_start_date").collect()
+    assert(z.map(_.getAs[String]("name")).toSeq == Seq("Rana", "Rana Ali"))
+
+    // bridge: (123,X), (456,Y), (456,Z); dim_date: 4 distinct dates.
+    assert(gold.bridgeAccountPerson.count() == 3)
+    assert(gold.dimDate.count() == 4)
+
+    // fact: one row per distinct (snapshot_date, acc_no), each with an SK.
+    val fact = gold.factAccountSnapshot.collect()
+    assert(fact.length == 3)
+    assert(fact.forall(r => !r.isNullAt(2)), "every snapshot resolves a dim version")
+  }
+}

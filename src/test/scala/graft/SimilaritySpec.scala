@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("bruteForceTopK: k rows, descending cosine, no self-match") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queryId = 0L, k = 10).collect()
+    assert(top.length == 10)
+    assert(!top.exists(_.getAs[Long]("vec_id") == 0L))
+    val cos = top.map(_.getAs[Double]("cosine")).toSeq
+    assert(cos == cos.sorted.reverse, "must be ranked by cosine desc")
+  }
+
+  test("lshTopK returns k rows with nonzero recall vs brute force (the round-1 regression)") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 20)
+      .select("vec_id").as[Long].collect().toSet
+    assert(lsh.size == 20, "LSH ANN must actually return k neighbors")
+    assert(brute.intersect(lsh).nonEmpty, "LSH must recall some true neighbors")
+  }
+
+  test("cosineNearDupPairs finds planted scaled copies (cosine = 1 up to fp error)") {
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val planted = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+    val pairs = Similarity
+      .cosineNearDupPairs(emb.unionByName(planted), "vec_id", "embedding", threshold = 0.999)
+      .collect()
+    val found = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    (0L until 5L).foreach { i =>
+      assert(found.contains((i, i + 1000L)), s"scaled copy of $i must be found")
+    }
+  }
+}
