@@ -362,6 +362,51 @@ object Queries {
       FROM sx GROUP BY user_id, session_idx"""),
     headline = true)
 
+  /** A6 generalized: ROLLUP grouping sets (per-group, per-flag, grand total). */
+  val q19Rollup: Q = Q(
+    "q19_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).cast("double").as("sum_qty"), count(lit(1)).as("n_rows")),
+    Some("""
+      SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""))
+
+  /** A6 generalized: CUBE grouping sets (all 4 grouping combinations). */
+  val q19Cube: Q = Q(
+    "q19_cube",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).cast("double").as("sum_qty"), count(lit(1)).as("n_rows")),
+    Some("""
+      SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""))
+
+  /** W3 generalized: explicit ROWS frames — running total + 3-row moving avg. */
+  val q19WindowFrames: Q = Q(
+    "q19_window_frames",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        sum(dec(col("o_totalprice"))).over(wRun).cast("double").as("running_spend"),
+        (sum(dec(col("o_totalprice"))).over(w3).cast("double") /
+          count(lit(1)).over(w3)).as("avg3"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w1 AS DOUBLE) AS running_spend,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE) / COUNT(*) OVER w3 AS avg3
+      FROM orders
+      WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING),
+             w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""))
+
   // ===========================================================
   // Training-data pipeline: text analysis
   // ===========================================================
@@ -452,6 +497,53 @@ object Queries {
              MIN(doc_id) AS keeper_id, COUNT(*) AS copies
       FROM documents GROUP BY 1"""))
 
+  /** Corpus-wide term frequency: tokenize, explode, count, top 20. */
+  val q28TermFreq: Q = Q(
+    "q28_term_freq",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(text.tokens(lower(col("text")))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(20),
+    Some("""
+      SELECT term, COUNT(*) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS term
+        FROM documents)
+      GROUP BY term ORDER BY n DESC, term LIMIT 20"""))
+
+  /** Exact token-set Jaccard between consecutive documents — the
+    * SQL-expressible corner of n-gram similarity, oracle-checked (the
+    * banded k-shingle pipeline in q25 has no ANSI equivalent).
+    */
+  val q29TokenJaccard: Q = Q(
+    "q29_token_jaccard",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(text.tokens(lower(col("text")))).as("tk"))
+      val a = d.select(col("doc_id").as("id_a"), col("tk").as("tk_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("tk").as("tk_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(
+          col("id_a"),
+          col("id_b"),
+          when(size(array_union(col("tk_a"), col("tk_b"))) === 0, lit(0.0))
+            .otherwise(
+              size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
+                size(array_union(col("tk_a"), col("tk_b"))).cast("double"))
+            .as("jaccard"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS tk
+        FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(list_distinct(a.tk || b.tk)) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / len(list_distinct(a.tk || b.tk)) END AS jaccard
+      FROM d a JOIN d b ON b.doc_id = a.doc_id + 1"""))
+
   /** Corpus with planted near-duplicates (first token dropped) — the shared
     * input for the near-dup detection queries below. Mutated copies get
     * doc_id + 1,000,000.
@@ -514,6 +606,13 @@ object Queries {
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 20),
     None)
 
+  /** IVF-style ANN: coarse-quantized inverted file, nprobe-cell search. */
+  val q33AnnIvf: Q = Q(
+    "q33_ann_ivf",
+    (s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 20),
+    None)
+
   /** Embedding-cosine near-dup pairs over a corpus with planted scaled copies. */
   val q32EmbeddingNearDup: Q = Q(
     "q32_embedding_near_dup",
@@ -556,15 +655,54 @@ object Queries {
     None)
 
   // ===========================================================
+  // Streaming-shaped (same transform serves readStream inputs)
+  // ===========================================================
+
+  /** Built-in session_window gap sessions — the batch face of the
+    * Streams.sessionWindowStats transform (two events share a session iff
+    * their gap < 30 min; session end = last event + gap).
+    */
+  val q37SessionWindow: Q = Q(
+    "q37_session_window",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("tsec", expr("timestamp_seconds(ts_ns div 1000000000)"))
+      graft.streaming.Streams
+        .sessionWindowStats(e, "tsec", "user_id", "value", gap = "30 minutes")
+        .select(
+          col("user_id"),
+          col("session_start").cast("long").as("session_start_sec"),
+          col("session_end").cast("long").as("session_end_sec"),
+          col("n_events"),
+          col("session_value"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, value FROM events),
+      l AS (
+        SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev FROM e),
+      f AS (
+        SELECT *, CASE WHEN prev IS NULL OR sec - prev >= 1800 THEN 1 ELSE 0 END AS ns FROM l),
+      sx AS (
+        SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+      SELECT user_id, MIN(sec) AS session_start_sec, MAX(sec) + 1800 AS session_end_sec,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM sx GROUP BY user_id, sid"""))
+
+  // ===========================================================
 
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterPushdown, q03BroadcastJoinAgg, q04FullouterTimeline,
     q05Scd2Dim, q06SnapshotFact, q07DimDate, q08CdcMerge, q09DupKeyDetector,
     q10QualityProfile, q11TopK, q12MultiformatDates, q13SemiJoin, q14AntiJoin,
     q15WindowRank, q16Except, q17Intersect, q18Sessionize,
+    q19Rollup, q19Cube, q19WindowFrames,
     q20TokenStats, q21QualityScore, q22LangId, q23Fingerprint, q24ExactDedup,
     q25MinhashDedup, q26SimhashPairs, q27RollingFingerprint,
-    q30CosineTopK, q31AnnLsh, q32EmbeddingNearDup,
+    q28TermFreq, q29TokenJaccard,
+    q30CosineTopK, q31AnnLsh, q32EmbeddingNearDup, q33AnnIvf,
+    q37SessionWindow,
     q40BinaryMeta, q41MediaDecode)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.vectors
@@ -93,6 +93,55 @@ object Similarity {
       .select(col(idCol), vectors.cosine(col(vecCol), col("__qvec")).as("cosine"))
       .groupBy(idCol)
       .agg(max("cosine").as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style ANN: corpus vectors are assigned to the nearest of `nlist`
+    * coarse centroids; a query probes only its `nprobe` nearest cells and
+    * brute-forces within them — the classic inverted-file scale path
+    * (search cost ≈ corpus × nprobe/nlist instead of the full corpus).
+    *
+    * "Training" here is a deterministic stub — the first `nlist` vectors
+    * serve as centroids, collected once to the driver and baked into the
+    * assignment expression as literals (at real scale you'd k-means a
+    * sample the same way; the collected centroid table is tiny either way,
+    * and shipping it as plan literals broadcasts it for free). Cell
+    * assignment, probe selection, and the in-cell scan are all plain
+    * expressions — no shuffle beyond the final top-k.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    require(nprobe <= nlist, "nprobe must be <= nlist")
+    val centroids: Array[Array[Double]] = emb
+      .where(col(idCol) < nlist)
+      .orderBy(idCol)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(centroids.nonEmpty, s"not enough vectors with $idCol < $nlist to seed centroids")
+
+    def cellDists(v: Column): Column = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(vectors.l2Sq(v, array(c.map(lit(_)): _*)).as("d"), lit(i).as("cell"))
+    }: _*)
+    def cellOf(v: Column): Column = array_min(cellDists(v)).getField("cell")
+    def probesOf(v: Column): Column =
+      transform(slice(array_sort(cellDists(v)), 1, nprobe), s => s.getField("cell"))
+
+    val corpus = Partitioning.spread(emb.where(col(idCol) =!= queryId))
+      .withColumn("__cell", cellOf(col(vecCol)))
+    val q = emb
+      .where(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"), probesOf(col(vecCol)).as("__probes"))
+    corpus
+      .join(broadcast(q), array_contains(col("__probes"), col("__cell")))
+      .select(col(idCol), vectors.cosine(col(vecCol), col("__qvec")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators.
+  *
+  * The reference is batch-only (SURVEY.md §2.9 — its "CDC" is re-merge on
+  * every run), so none of this is needed for parity; it is the engine's
+  * streaming upgrade path. Every transform here is written against a plain
+  * DataFrame/Dataset and works identically on a batch frame and a
+  * `readStream` frame — the streaming-vs-batch decision stays at the
+  * source/sink edge where it belongs.
+  *
+  * Scale notes: watermarks bound state (late rows beyond the watermark are
+  * dropped instead of keeping every window open forever); state lives in
+  * the per-partition state store keyed by the groupBy columns, so the
+  * shuffle that feeds an agg is the same hash exchange a batch agg uses.
+  */
+object Streams {
+
+  /** Tumbling-window counts + value sums per key. With `watermark` set and
+    * a streaming input, windows finalize (append mode) once event time
+    * passes window end + watermark.
+    */
+  def windowedStats(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), window(col(tsCol), windowDuration))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("window_value"))
+      .select(
+        col(keyCol),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"),
+        col("window_value"))
+
+  /** Gap-based sessions via the built-in `session_window`: two events share
+    * a session iff the gap between them is < `gap`. Works on batch frames
+    * too — the batch q37 query and this streaming transform are the same
+    * code path.
+    */
+  def sessionWindowStats(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      gap: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"),
+        col("session_value"))
+
+  // --- Custom state: flatMapGroupsWithState sessionization ---
+
+  final case class Evt(user_id: Long, ts: Timestamp, value: Double)
+
+  final case class OpenSession(startSec: Long, lastSec: Long, n: Long, sum: Double)
+
+  final case class ClosedSession(
+      user_id: Long,
+      session_start_sec: Long,
+      session_end_sec: Long,
+      n_events: Long,
+      session_value: Double)
+
+  /** Custom stateful sessionization: per-user open-session state, closed
+    * sessions emitted when the event-time watermark passes last-event + gap
+    * (EventTimeTimeout). This is the hand-rolled equivalent of
+    * `session_window` — kept as the template for stateful logic the
+    * built-ins can't express (e.g. emitting per-event deltas, capping
+    * session length, custom merge rules).
+    *
+    * Input must already have a watermark on `ts`. Emits in Append mode.
+    */
+  def closedSessions(events: Dataset[Evt], gapSeconds: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+
+    def update(
+        userId: Long,
+        rows: Iterator[Evt],
+        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(ClosedSession(userId, s.startSec, s.lastSec + gapSeconds, s.n, s.sum))
+      } else {
+        val secs = rows.map(e => (e.ts.getTime / 1000, e.value)).toSeq.sortBy(_._1)
+        var open = state.getOption
+        val closed = Seq.newBuilder[ClosedSession]
+        secs.foreach { case (sec, v) =>
+          open match {
+            case Some(s) if sec - s.lastSec < gapSeconds =>
+              open = Some(OpenSession(s.startSec, sec, s.n + 1, s.sum + v))
+            case Some(s) =>
+              closed += ClosedSession(userId, s.startSec, s.lastSec + gapSeconds, s.n, s.sum)
+              open = Some(OpenSession(sec, sec, 1, v))
+            case None =>
+              open = Some(OpenSession(sec, sec, 1, v))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          // Close once the watermark passes the session's gap horizon.
+          state.setTimeoutTimestamp((s.lastSec + gapSeconds) * 1000)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -30,6 +30,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.intersect(lsh).nonEmpty, "LSH must recall some true neighbors")
   }
 
+  test("ivfTopK returns k rows and recalls brute-force neighbors from probed cells") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 20, nlist = 16, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.size == 20)
+    assert(brute.intersect(ivf).nonEmpty, "IVF must recall some true neighbors")
+  }
+
   test("cosineNearDupPairs finds planted scaled copies (cosine = 1 up to fp error)") {
     val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val planted = emb.where(col("vec_id") < 5)

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{ClosedSession, Evt}
+
+/** Structured Streaming operators driven through MemoryStream micro-batches:
+  * watermark advancement, window finalization, and custom
+  * flatMapGroupsWithState session closure.
+  */
+class StreamsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000)
+
+  test("windowedStats finalizes tumbling windows as the watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val query = Streams
+      .windowedStats(input.toDF(), "ts", "user_id", "value", "10 minutes", watermark = "0 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("win_stats")
+      .outputMode("append")
+      .start()
+    try {
+      val t0 = 1700000400L // window-aligned (multiple of 600)
+      input.addData(Evt(1L, ts(t0 + 10), 1.0), Evt(1L, ts(t0 + 20), 2.0))
+      query.processAllAvailable()
+      // Watermark still inside window 1 → nothing finalized yet.
+      assert(spark.table("win_stats").count() == 0)
+      // An event two windows later pushes the watermark past window 1's end.
+      input.addData(Evt(1L, ts(t0 + 1300), 5.0))
+      query.processAllAvailable()
+      val out = spark.table("win_stats").collect()
+      assert(out.length == 1)
+      assert(out.head.getAs[Long]("n_events") == 2)
+      assert(out.head.getAs[Double]("window_value") == 3.0)
+    } finally query.stop()
+  }
+
+  test("sessionWindowStats merges gap-close events and emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val query = Streams
+      .sessionWindowStats(input.toDF(), "ts", "user_id", "value", gap = "30 minutes",
+        watermark = "0 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("sess_stats")
+      .outputMode("append")
+      .start()
+    try {
+      val t0 = 1700000000L
+      input.addData(Evt(7L, ts(t0), 1.0), Evt(7L, ts(t0 + 600), 2.0)) // one session
+      query.processAllAvailable()
+      input.addData(Evt(7L, ts(t0 + 10000), 4.0)) // new session, closes the first
+      query.processAllAvailable()
+      input.addData(Evt(7L, ts(t0 + 50000), 8.0)) // closes the second
+      query.processAllAvailable()
+      val out = spark.table("sess_stats").orderBy("session_start").collect()
+      assert(out.length == 2)
+      assert(out(0).getAs[Long]("n_events") == 2 && out(0).getAs[Double]("session_value") == 3.0)
+      assert(out(0).getAs[Timestamp]("session_end").getTime / 1000 == t0 + 600 + 1800)
+      assert(out(1).getAs[Long]("n_events") == 1 && out(1).getAs[Double]("session_value") == 4.0)
+    } finally query.stop()
+  }
+
+  test("closedSessions (flatMapGroupsWithState) emits on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val sessions = Streams.closedSessions(
+      input.toDF().withWatermark("ts", "0 seconds").as[Evt], gapSeconds = 1800L)
+    val query = sessions.writeStream
+      .format("memory")
+      .queryName("state_sessions")
+      .outputMode("append")
+      .start()
+    try {
+      val t0 = 1700000000L
+      input.addData(Evt(3L, ts(t0), 1.0), Evt(3L, ts(t0 + 60), 2.0), Evt(4L, ts(t0), 7.0))
+      query.processAllAvailable()
+      assert(spark.table("state_sessions").count() == 0, "no timeout fired yet")
+      input.addData(Evt(5L, ts(t0 + 10000), 1.0)) // watermark jump → both sessions time out
+      query.processAllAvailable()
+      val out = spark.table("state_sessions").orderBy("user_id").collect()
+      assert(out.length == 2)
+      val u3 = out(0)
+      assert(u3.getAs[Long]("user_id") == 3L)
+      assert(u3.getAs[Long]("n_events") == 2)
+      assert(u3.getAs[Double]("session_value") == 3.0)
+      assert(u3.getAs[Long]("session_end_sec") == t0 + 60 + 1800)
+      assert(out(1).getAs[Long]("user_id") == 4L && out(1).getAs[Long]("n_events") == 1)
+    } finally query.stop()
+  }
+
+  test("the same session transform runs in batch mode (q37 face)") {
+    val batch = Seq(
+      Evt(1L, ts(1700000000L), 1.0),
+      Evt(1L, ts(1700000300L), 2.0),
+      Evt(1L, ts(1700009999L), 4.0)).toDF()
+    val out = Streams.sessionWindowStats(batch, "ts", "user_id", "value", "30 minutes")
+      .orderBy("session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2)
+  }
+}
