@@ -1,0 +1,42 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registration of graft's native expressions.
+  *
+  * Two entry points:
+  *  - `GraftExtensions` for `spark.sql.extensions=graft.expressions.GraftExtensions`
+  *    or `SparkSession.builder.withExtensions(new GraftExtensions)` — the
+  *    SparkSessionExtensions injection path;
+  *  - `GraftFunctions.register(spark)` for an already-built session (test
+  *    harnesses, notebooks).
+  *
+  * Registered SQL surface: `graft_minhash(arrayOfHashes[, numPerm])`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.minHashDescriptor)
+}
+
+object GraftFunctions {
+
+  private def buildMinHash(children: Seq[Expression]): Expression = children match {
+    case Seq(arr) => MinHashSketchExpr(arr, 64)
+    case Seq(arr, Literal(n: Int, _)) => MinHashSketchExpr(arr, n)
+    case _ =>
+      throw new IllegalArgumentException(
+        "graft_minhash(arrayOfHashes[, numPerm: int literal])")
+  }
+
+  val minHashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHashSketchExpr].getName, "graft_minhash"),
+    buildMinHash)
+
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = minHashDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

@@ -57,18 +57,18 @@ object Dedup {
   def shingleHashes(textC: Column, shingleK: Int): Column =
     array_distinct(transform(text.shingles(textC, shingleK), s => xxhash64(s)))
 
-  /** MinHash sketch from pre-hashed shingles, in ONE pass over the array:
-    * element j = min over shingle-hashes h of xxhash64(h, j) (hashing the
-    * (h, j) pair is a clean permutation family with no overflow — safe under
-    * ANSI arithmetic). The input array is the `aggregate` operand, so it is
-    * evaluated exactly once per row no matter how Catalyst inlines it.
+  /** MinHash sketch from pre-hashed shingles: element j = min over
+    * shingle-hashes h of XXH64(h, seed = j). Runs as the native codegen'd
+    * [[graft.expressions.MinHashSketchExpr]] — the O(shingles × numPerm)
+    * inner product is the hot loop of dedup at scale and is exactly what
+    * interpreted higher-order functions do worst. The input array is the
+    * expression's single child, so it is evaluated exactly once per row no
+    * matter how Catalyst inlines it.
     */
   def minHashFromHashes(hashesC: Column, numPerm: Int): Column = {
-    val permIdx = typedLit((0 until numPerm).toArray)
-    aggregate(
-      hashesC,
-      array_repeat(lit(Long.MaxValue), numPerm),
-      (acc, h) => zip_with(acc, permIdx, (m, j) => least(m, xxhash64(h, j))))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.MinHashSketchExpr(ColumnBridge.expression(hashesC), numPerm))
   }
 
   /** 64-bit minhash sketch straight from text. `numPerm` permutations
