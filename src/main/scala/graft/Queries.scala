@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{text, vectors}
-import graft.operators.{CdcMerge, Dedup, Gold, Multimodal, Quality, Scd2, Sessionize, Similarity}
+import graft.operators.{AsofJoin, CdcMerge, Dedup, Gold, Multimodal, Quality, Scd2, Sessionize, Similarity}
 import graft.sources.Tables
 
 /** The engine's query catalog: one named query per operator from
@@ -654,6 +654,65 @@ object Queries {
         Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "image")).toDF(),
     None)
 
+  /** F8 generalized: JSON extraction from a string column. */
+  val q36JsonExtract: Q = Q(
+    "q36_json_extract",
+    (s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val")),
+    Some("""
+      SELECT event_id, CAST(props->>'k' AS INT) AS k_val FROM events"""))
+
+  /** A6 generalized: exact discrete quantiles + distinct count per group. */
+  val q38Quantiles: Q = Q(
+    "q38_quantiles",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"),
+          count_distinct(col("o_custkey")).as("n_cust"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price")),
+    Some("""
+      SELECT o_orderstatus,
+             quantile_disc(o_totalprice, 0.5) AS p50,
+             quantile_disc(o_totalprice, 0.9) AS p90,
+             COUNT(DISTINCT o_custkey) AS n_cust,
+             MIN(o_totalprice) AS min_price,
+             MAX(o_totalprice) AS max_price
+      FROM orders GROUP BY o_orderstatus"""))
+
+  /** As-of join: each click picks up the latest same-or-earlier purchase
+    * value of the same user (union + running window — no join node).
+    */
+  val q39AsofJoin: Q = Q(
+    "q39_asof_join",
+    (s, dir) => {
+      val e = t(s, dir, "events").withColumn("sec", expr("ts_ns div 1000000000"))
+      val purchases = e
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id", "sec")
+        .agg(max(col("value")).as("last_purchase_value"))
+      val clicks = e
+        .where(col("event_type") === "click")
+        .select("event_id", "user_id", "sec")
+      AsofJoin
+        .lastValueJoin(clicks, purchases, Seq("user_id"), "sec", Seq("last_purchase_value"))
+        .select("event_id", "user_id", "sec", "last_purchase_value")
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, MAX(value) AS last_purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      c AS (
+        SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS sec
+        FROM events WHERE event_type = 'click')
+      SELECT c.event_id, c.user_id, c.sec, p.last_purchase_value
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.sec >= p.sec"""))
+
   // ===========================================================
   // Streaming-shaped (same transform serves readStream inputs)
   // ===========================================================
@@ -702,7 +761,7 @@ object Queries {
     q25MinhashDedup, q26SimhashPairs, q27RollingFingerprint,
     q28TermFreq, q29TokenJaccard,
     q30CosineTopK, q31AnnLsh, q32EmbeddingNearDup, q33AnnIvf,
-    q37SessionWindow,
+    q36JsonExtract, q37SessionWindow, q38Quantiles, q39AsofJoin,
     q40BinaryMeta, q41MediaDecode)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
