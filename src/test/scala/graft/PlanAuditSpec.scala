@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that make these queries scale are
+  * asserted here so a regression (lost filter pushdown, a broadcast that
+  * degraded to sort-merge, a join sneaking into the as-of operator) fails
+  * the build — not just the benchmark.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.all.find(_.name == name).get.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters:"), "scan must carry pushed filters")
+    assert(
+      p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("GreaterThan(l_discount"),
+      s"shipdate/discount predicates must be pushed, got:\n$p")
+    assert(!p.contains("l_comment"), "unused wide column must be pruned from ReadSchema")
+  }
+
+  test("q03: dimension side is broadcast, not shuffled") {
+    val p = plan("q03_broadcast_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q06: snapshot fact resolves the SCD2 dim via broadcast range join") {
+    val p = plan("q06_snapshot_fact")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"), "range condition must ride the equi-join")
+  }
+
+  test("q39: as-of join compiles to window over union — zero join nodes") {
+    val p = plan("q39_asof_join")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct")
+      .foreach(j => assert(!p.contains(j), s"$j must not appear in as-of plan"))
+    assert(p.contains("Window"), "running-window form expected")
+  }
+
+  test("q01: aggregation runs partial (map-side) before the exchange") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    // partial_sum markers show map-side combine before the shuffle
+    assert(p.contains("partial_sum") || p.contains("partial_count"), s"expected partial aggregation:\n$p")
+  }
+
+  test("q05: SCD2's two window passes share one exchange on the business key") {
+    val p = plan("q05_scd2_dim")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$p")
+  }
+}
