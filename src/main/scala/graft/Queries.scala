@@ -654,6 +654,16 @@ object Queries {
         Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "image")).toDF(),
     None)
 
+  /** Frame sampling: one row per sampled video frame (map-side explode). */
+  val q42FrameSample: Q = Q(
+    "q42_frame_sample",
+    (s, dir) =>
+      Multimodal.frameSample(
+        s,
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "video"),
+        maxFrames = 4).toDF(),
+    None)
+
   /** F8 generalized: JSON extraction from a string column. */
   val q36JsonExtract: Q = Q(
     "q36_json_extract",
@@ -762,7 +772,7 @@ object Queries {
     q28TermFreq, q29TokenJaccard,
     q30CosineTopK, q31AnnLsh, q32EmbeddingNearDup, q33AnnIvf,
     q36JsonExtract, q37SessionWindow, q38Quantiles, q39AsofJoin,
-    q40BinaryMeta, q41MediaDecode)
+    q40BinaryMeta, q41MediaDecode, q42FrameSample)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -79,4 +79,61 @@ object Multimodal {
       col("kind"),
       length(col("bytes")).as("byte_len"),
       md5(col("bytes")).as("md5"))
+
+  // --- Frame sampling & resize (stubbed codec, real plumbing) ---
+
+  final case class FrameRow(
+      media_id: Long,
+      frame_idx: Int,
+      frame_ts_ms: Long,
+      frame_hash: Long)
+
+  /** Sample up to `maxFrames` evenly spaced frames per video: decode
+    * metadata (stubbed), then EXPLODE one row per sampled frame — the
+    * shape a frame-level training pipeline consumes. The explode happens
+    * map-side (no shuffle); downstream per-frame feature extraction
+    * parallelizes over the exploded rows.
+    */
+  def frameSample(spark: SparkSession, media: DataFrame, maxFrames: Int = 8): Dataset[FrameRow] = {
+    import spark.implicits._
+    decodeStub(spark, media).flatMap { d =>
+      val n = math.min(maxFrames, d.n_frames)
+      val fps = 30.0 // stub codec reports fixed fps; a real decoder returns it
+      (0 until n).map { i =>
+        val srcFrame = if (n <= 1) 0 else (i.toLong * (d.n_frames - 1) / (n - 1)).toInt
+        FrameRow(
+          media_id = d.media_id,
+          frame_idx = srcFrame,
+          frame_ts_ms = (srcFrame * 1000 / fps).toLong,
+          // deterministic per-frame stub "content": real impl hashes pixels
+          frame_hash = d.content_hash * 31 + srcFrame)
+      }
+    }
+  }
+
+  final case class ResizedRow(
+      media_id: Long,
+      src_width: Int,
+      src_height: Int,
+      out_width: Int,
+      out_height: Int,
+      scale: Double)
+
+  /** Aspect-preserving resize planning (the real resize kernel is the
+    * stubbed codec step): computes target geometry per asset so the
+    * pipeline's schema/batching is exercised end-to-end.
+    */
+  def resizePlan(spark: SparkSession, media: DataFrame, maxSide: Int = 256): Dataset[ResizedRow] = {
+    import spark.implicits._
+    decodeStub(spark, media).map { d =>
+      val s = math.min(1.0, maxSide.toDouble / math.max(d.width, d.height))
+      ResizedRow(
+        media_id = d.media_id,
+        src_width = d.width,
+        src_height = d.height,
+        out_width = math.max(1, math.round(d.width * s).toInt),
+        out_height = math.max(1, math.round(d.height * s).toInt),
+        scale = s)
+    }
+  }
 }
