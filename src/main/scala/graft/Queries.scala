@@ -323,6 +323,25 @@ object Queries {
         FROM orders)
       WHERE rn <= 3"""))
 
+  /** Custom physical operator: bounded-heap top-k per key (logical node +
+    * planner strategy + exec; partial map-side pruning before the
+    * exchange). Same semantics as q15's window form — same oracle.
+    */
+  val q15bTopkNative: Q = Q(
+    "q15b_topk_native",
+    (s, dir) =>
+      graft.plans.TopK.perKey(
+        t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3),
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3"""))
+
   /** U3: EXCEPT. */
   val q16Except: Q = Q(
     "q16_except",
@@ -765,7 +784,7 @@ object Queries {
     q01PricingSummary, q02FilterPushdown, q03BroadcastJoinAgg, q04FullouterTimeline,
     q05Scd2Dim, q06SnapshotFact, q07DimDate, q08CdcMerge, q09DupKeyDetector,
     q10QualityProfile, q11TopK, q12MultiformatDates, q13SemiJoin, q14AntiJoin,
-    q15WindowRank, q16Except, q17Intersect, q18Sessionize,
+    q15WindowRank, q15bTopkNative, q16Except, q17Intersect, q18Sessionize,
     q19Rollup, q19Cube, q19WindowFrames,
     q20TokenStats, q21QualityScore, q22LangId, q23Fingerprint, q24ExactDedup,
     q25MinhashDedup, q26SimhashPairs, q27RollingFingerprint,
