@@ -57,12 +57,19 @@ object Scd2 {
       df.withColumn(s"__prev_$c", lag(col(c), 1).over(w))
     }
 
-    val attrChanged: Column = cfg.trackedCols
-      .map { c =>
-        if (cfg.nullSafe) !(col(c) <=> col(s"__prev_$c"))
-        else col(s"__prev_$c").isNull || col(c) =!= col(s"__prev_$c")
-      }
-      .reduce(_ || _)
+    val attrChanged: Column =
+      if (cfg.nullSafe)
+        cfg.trackedCols.map(c => !(col(c) <=> col(s"__prev_$c"))).reduce(_ || _)
+      else
+        // Faithful to the reference predicate shape (reference:
+        // gold_sql_to_postgres.py:115,160): `prev_<first> IS NULL OR
+        // attr1 <> prev1 OR attr2 <> prev2` — the IS NULL guard exists on
+        // the FIRST tracked attribute only (a first-row test that also
+        // fires mid-timeline when the previous first-attr was NULL); the
+        // other attributes get plain null-unsafe `<>`, which is what drops
+        // e.g. person Z's id-only 04-01 change in the golden outputs.
+        col(s"__prev_${cfg.trackedCols.head}").isNull ||
+          cfg.trackedCols.map(c => col(c) =!= col(s"__prev_$c")).reduce(_ || _)
 
     val stg = withPrev
       .filter(col("__first") || attrChanged)
