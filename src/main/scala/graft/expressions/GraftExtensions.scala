@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.minHashDescriptor)
+    ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
@@ -37,8 +38,16 @@ object GraftFunctions {
     new ExpressionInfo(classOf[MinHashSketchExpr].getName, "graft_minhash"),
     buildMinHash)
 
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = minHashDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  val dotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+    {
+      case Seq(a, b) => DotProductExpr(a, b)
+      case _ => throw new IllegalArgumentException("graft_dot(arrayA, arrayB)")
+    })
+
+  def register(spark: SparkSession): Unit =
+    Seq(minHashDescriptor, dotDescriptor).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

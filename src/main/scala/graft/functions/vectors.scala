@@ -13,12 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object vectors {
 
-  /** Σ aᵢ·bᵢ in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in double precision — the native codegen'd
+    * [[graft.expressions.DotProductExpr]] (same left-to-right double
+    * accumulation as the higher-order fold it replaced, ~dim× fewer
+    * interpreted lambda frames per row).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.DotProductExpr(
+        ColumnBridge.eagerExpression(a),
+        ColumnBridge.eagerExpression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -110,9 +110,11 @@ object Dedup {
         explode(
           transform(
             sequence(lit(0), lit(bands - 1)),
+            // xxhash64 hashes array values directly (recursively over
+            // elements) — no string materialization per band.
             b => struct(
               b.as("band"),
-              xxhash64(concat_ws(",", slice(col("mh"), b * rows + 1, lit(rows)))).as("bucket"))))
+              xxhash64(slice(col("mh"), b * rows + 1, lit(rows))).as("bucket"))))
           .as("bb")) ++ carry): _*)
       .select((Seq(col("id"), col("bb.band"), col("bb.bucket")) ++ carry): _*)
     def side(suffix: String) = {

@@ -158,6 +158,8 @@ object Similarity {
       bands: Int = 8,
       bitsPerBand: Int = 8,
       seed: Long = 42L): DataFrame = {
+    // persist: both self-join sides read this — without the barrier the
+    // full signature computation runs once per side.
     val banded = Partitioning.spread(emb).select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
@@ -167,6 +169,7 @@ object Similarity {
           vectors.lshSignature(col(vecCol), vectors.randomPlanes(bitsPerBand, dim, seed + b)).as("sig"))
       }: _*)).as("bs"))
       .select(col("id"), col("v"), col("bs.band"), col("bs.sig"))
+      .persist()
     val a = banded.select(col("band"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val b = banded.select(col("band"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("band", "sig"))
