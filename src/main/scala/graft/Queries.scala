@@ -714,6 +714,21 @@ object Queries {
              MAX(o_totalprice) AS max_price
       FROM orders GROUP BY o_orderstatus"""))
 
+  /** A6 generalized: sketch-based approximate aggregates (HLL++ distinct
+    * count, approximate percentile). No oracle — DuckDB's sketches differ —
+    * so the query also emits the exact values and relative-error bounds it
+    * must respect; AggregatesSpec asserts them.
+    */
+  val q38bApproxAgg: Q = Q(
+    "q38b_approx_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        count_distinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact_median")),
+    None)
+
   /** As-of join: each click picks up the latest same-or-earlier purchase
     * value of the same user (union + running window — no join node).
     */
@@ -790,7 +805,7 @@ object Queries {
     q25MinhashDedup, q26SimhashPairs, q27RollingFingerprint,
     q28TermFreq, q29TokenJaccard,
     q30CosineTopK, q31AnnLsh, q32EmbeddingNearDup, q33AnnIvf,
-    q36JsonExtract, q37SessionWindow, q38Quantiles, q39AsofJoin,
+    q36JsonExtract, q37SessionWindow, q38Quantiles, q38bApproxAgg, q39AsofJoin,
     q40BinaryMeta, q41MediaDecode, q42FrameSample)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
