@@ -53,6 +53,35 @@ object Sinks {
     fs.delete(retired, true)
   }
 
+  /** Bucketed managed table: rows are hash-clustered into `numBuckets`
+    * files per partition by `bucketCols` (and optionally sorted within
+    * buckets). Two tables bucketed the same way join with ZERO exchanges —
+    * the join reads co-located buckets pairwise. At 100 TB this is the
+    * difference between re-shuffling both fact tables on every join and
+    * paying the shuffle once at write time.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    // repartition(numBuckets, bucketCols) uses the same murmur3 hash as the
+    // bucket spec, so each write task holds exactly one bucket → ONE file
+    // per bucket. That is what lets readers elide the join sort: with
+    // multiple files per bucket Spark must re-sort even sorted buckets.
+    // This is the "pay the shuffle once at write time" shuffle.
+    val w = df
+      .repartition(numBuckets, bucketCols.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
+
   final case class JdbcConfig(
       url: String,
       user: String,
