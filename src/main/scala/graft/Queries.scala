@@ -762,8 +762,12 @@ object Queries {
   // ===========================================================
 
   /** Built-in session_window gap sessions — the batch face of the
-    * Streams.sessionWindowStats transform (two events share a session iff
-    * their gap < 30 min; session end = last event + gap).
+    * Streams.sessionWindowStats transform. Same session iff gap <= 30 min:
+    * session_window merges at EXACTLY the gap (one sf0.1 pair sits
+    * precisely on the 1800s boundary), matching q18's lag/cumsum form, so
+    * the oracle's new-session predicate is strictly-greater. Session end =
+    * last event + gap. (SQL comments must NOT go inside oracle strings —
+    * normalizeSql flattens to one line and `--` swallows the rest.)
     */
   val q37SessionWindow: Q = Q(
     "q37_session_window",
@@ -785,7 +789,7 @@ object Queries {
       l AS (
         SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev FROM e),
       f AS (
-        SELECT *, CASE WHEN prev IS NULL OR sec - prev >= 1800 THEN 1 ELSE 0 END AS ns FROM l),
+        SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS ns FROM l),
       sx AS (
         SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid FROM f)
       SELECT user_id, MIN(sec) AS session_start_sec, MAX(sec) + 1800 AS session_end_sec,

@@ -47,9 +47,10 @@ object Streams {
         col("window_value"))
 
   /** Gap-based sessions via the built-in `session_window`: two events share
-    * a session iff the gap between them is < `gap`. Works on batch frames
-    * too — the batch q37 query and this streaming transform are the same
-    * code path.
+    * a session iff the gap between them is <= `gap` (Spark merges sessions
+    * whose ranges touch, so an exactly-gap-apart pair is ONE session).
+    * Works on batch frames too — the batch q37 query and this streaming
+    * transform are the same code path.
     */
   def sessionWindowStats(
       events: DataFrame,
@@ -110,7 +111,9 @@ object Streams {
         val closed = Seq.newBuilder[ClosedSession]
         secs.foreach { case (sec, v) =>
           open match {
-            case Some(s) if sec - s.lastSec < gapSeconds =>
+            // <= gap: keep the boundary semantics identical to
+            // session_window (exactly-gap-apart events share a session)
+            case Some(s) if sec - s.lastSec <= gapSeconds =>
               open = Some(OpenSession(s.startSec, sec, s.n + 1, s.sum + v))
             case Some(s) =>
               closed += ClosedSession(userId, s.startSec, s.lastSec + gapSeconds, s.n, s.sum)
