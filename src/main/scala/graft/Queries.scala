@@ -504,7 +504,7 @@ object Queries {
         col("doc_id"),
         text.fingerprintMd5(col("text")).as("fingerprint")),
     Some("""
-      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
       FROM documents"""))
 
   /** Exact dedup groups: canonical hash → keeper id + copy count. */
@@ -512,7 +512,7 @@ object Queries {
     "q24_exact_dedup",
     (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id"),
     Some("""
-      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
              MIN(doc_id) AS keeper_id, COUNT(*) AS copies
       FROM documents GROUP BY 1"""))
 

@@ -96,11 +96,15 @@ object text {
 
   // --- Fingerprinting ---
 
-  /** Canonical-text MD5: lowercase, collapse whitespace. Oracle-friendly
-    * (MD5 is identical everywhere) and the basis of exact dedup.
+  /** Canonical-text MD5: lowercase, collapse whitespace, trim. Collapse
+    * happens BEFORE the trim: trim strips only U+0020, so trimming first
+    * leaves a trailing tab/newline that the collapse then turns into a
+    * trailing space — "foo\t" and "foo" would fingerprint differently
+    * (caught by TextProperties). Oracle-friendly (MD5 is identical
+    * everywhere) and the basis of exact dedup.
     */
   def fingerprintMd5(c: Column): Column =
-    md5(regexp_replace(lower(trim(c)), "\\s+", " ").cast("binary"))
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")).cast("binary"))
 
   /** Rolling-hash content fingerprint: min of 64-bit shingle hashes
     * (winnowing-style). Robust to token reordering at the edges; one value

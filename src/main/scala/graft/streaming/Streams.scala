@@ -72,6 +72,17 @@ object Streams {
         col("n_events"),
         col("session_value"))
 
+  /** Streaming exact dedup: first arrival per key wins; the watermark
+    * bounds how long each key's "seen" state is retained (late re-deliveries
+    * beyond it are dropped by the watermark, not re-emitted). This is the
+    * streaming face of the batch CDC merge's dropDuplicates — state size is
+    * O(distinct keys inside the watermark window), not O(stream).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
   // --- Custom state: flatMapGroupsWithState sessionization ---
 
   final case class Evt(user_id: Long, ts: Timestamp, value: Double)

@@ -100,6 +100,27 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("dedupStream: first arrival wins, re-deliveries across batches drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val query = Streams.dedupStream(input.toDF(), Seq("user_id"), "ts", "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    try {
+      val t0 = 1700000000L
+      input.addData(Evt(1L, ts(t0), 1.0), Evt(1L, ts(t0), 9.0), Evt(2L, ts(t0 + 5), 2.0))
+      query.processAllAvailable()
+      input.addData(Evt(1L, ts(t0), 7.0)) // exact re-delivery in a later batch
+      query.processAllAvailable()
+      val out = spark.table("dedup_stream").collect()
+      assert(out.length == 2, s"one row per (user, ts): ${out.mkString(",")}")
+      assert(out.map(_.getAs[Long]("user_id")).toSet == Set(1L, 2L))
+    } finally query.stop()
+  }
+
   test("the same session transform runs in batch mode (q37 face)") {
     val batch = Seq(
       Evt(1L, ts(1700000000L), 1.0),

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.text
+
+/** Properties of the text-analysis column builders over random inputs. */
+object TextProperties extends Properties("graft.text") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val genWord = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString)
+  private val genDoc = Gen.listOf(genWord).map(_.take(30).mkString(" "))
+  private val genWs = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+
+  private def one(doc: String, c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    Seq(doc).toDF("text").select(c).head()
+
+  property("fingerprintMd5 is invariant under whitespace style and case") =
+    forAll(Gen.nonEmptyListOf(genWord).map(_.take(20)), genWs) { (words, ws) =>
+      val canonical = one(words.mkString(" "), text.fingerprintMd5(col("text"))).getString(0)
+      val messy = one(
+        "  " + words.map(w => if (w.length % 2 == 0) w.toUpperCase else w).mkString(ws) + "\t",
+        text.fingerprintMd5(col("text"))).getString(0)
+      canonical == messy
+    }
+
+  property("tokenCount counts exactly the whitespace-separated words") =
+    forAll(Gen.listOf(genWord).map(_.take(25)), genWs) { (words, ws) =>
+      one(words.mkString(ws), text.tokenCount(col("text"))).getInt(0) == words.count(_.nonEmpty)
+    }
+
+  property("ratios live in [0,1]; empty docs score 0") =
+    forAll(genDoc) { doc =>
+      val r = Seq(doc).toDF("text").select(
+        text.punctRatio(col("text")).as("p"),
+        text.stopwordRatio(col("text")).as("s")).head()
+      val p = r.getDouble(0)
+      val s = r.getDouble(1)
+      0.0 <= p && p <= 1.0 && 0.0 <= s && s <= 1.0
+    }
+
+  property("langId is 'und' exactly when no language scores a stopword hit") =
+    forAll(genDoc) { doc =>
+      val hits = text.langStopwords.map { case (_, stop) =>
+        doc.toLowerCase.split("\\s+").count(stop.contains)
+      }.sum
+      val lang = one(doc, text.langId(col("text"))).getString(0)
+      (hits == 0) == (lang == "und")
+    }
+
+  property("shingles: n tokens with n >= k yield n-k+1 shingles, each of k tokens") =
+    forAll(Gen.listOfN(8, genWord), Gen.choose(2, 4)) { (words, k) =>
+      val sh = one(words.mkString(" "), text.shingles(col("text"), k)).getSeq[String](0)
+      sh.length == words.length - k + 1 && sh.forall(_.split(" ").length == k)
+    }
+}
