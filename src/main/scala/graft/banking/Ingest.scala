@@ -48,11 +48,18 @@ object Ingest {
     "person", Schemas.person,
     df => clean(df, Seq("Acc no" -> "acc_no", "Person" -> "person"),
       None, Seq("acc_no", "person"), withYm = false)
-      .select("acc_no", "person"),
+      .select("acc_no", "person")
+      // The reference partitions this table BY acc_no "to prune joins"
+      // (reference: bronze_to_silver.py:148-149,194) — viable for its
+      // 2-account fixture, catastrophic at real cardinality: 20k accounts
+      // = 20k hive directories per write plus 20k-partition discovery on
+      // every read (measured: a 200k-row volume run never finished).
+      // Same pruning intent, bounded layout: a 64-way hash bucket
+      // directory prunes point lookups to 1/64 of the data with a fixed
+      // file count regardless of key cardinality.
+      .withColumn("p_bucket", pmod(xxhash64(col("acc_no")), lit(64))),
     mergeKeys = Seq("acc_no", "person"),
-    // Relationship table partitions by acc_no to prune joins
-    // (reference: bronze_to_silver.py:148-149,194).
-    partitionCols = Seq("acc_no"))
+    partitionCols = Seq("p_bucket"))
 
   val personProfile: Entity = Entity(
     "person_profile", Schemas.personProfile,
