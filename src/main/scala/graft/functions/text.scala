@@ -85,13 +85,24 @@ object text {
 
   /** Argmax language by stopword hits; 'und' (undetermined) when all zero.
     * Ties resolve in `langStopwords` declaration order — deterministic.
+    *
+    * One tokenization pass builds the whole per-language hit vector (the
+    * stopword lists ride along as a literal array-of-arrays); the previous
+    * per-language `langHits` form re-tokenized once per language per
+    * comparison under expression inlining. Adding a language is one more
+    * list entry, not another pass.
     */
   def langId(c: Column): Column = {
-    val hits = langStopwords.map { case (lang, stop) => lang -> langHits(c, stop) }
-    val maxHits = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    hits.reverse.foldLeft(lit("und")) { case (acc, (lang, h)) =>
-      when(h === maxHits && maxHits > 0, lit(lang)).otherwise(acc)
-    }
+    val langs = langStopwords.map(_._1)
+    val stopLists = typedLit(langStopwords.map(_._2))
+    val hits = aggregate(
+      tokens(lower(c)),
+      array_repeat(lit(0), langs.length),
+      (acc, t) => zip_with(acc, stopLists, (a, stop) =>
+        a + when(array_contains(stop, t), 1).otherwise(0)))
+    when(array_max(hits) > 0,
+      element_at(typedLit(langs), array_position(hits, array_max(hits)).cast("int")))
+      .otherwise(lit("und"))
   }
 
   // --- Fingerprinting ---
