@@ -426,6 +426,38 @@ object Queries {
       WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING),
              w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""))
 
+  /** Pivot: long→wide reshape (explicit value list keeps columns stable). */
+  val q19Pivot: Q = Q(
+    "q19_pivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O", "P"))
+        .agg(sum(col("l_quantity")).cast("double"))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o", "P" -> "qty_p")),
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE) AS qty_f,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE) AS qty_o,
+             CAST(SUM(CASE WHEN l_linestatus = 'P' THEN l_quantity END) AS DOUBLE) AS qty_p
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** W3 generalized: ntile quartiles per group. */
+  val q19Ntile: Q = Q(
+    "q19_ntile",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice"),
+        ntile(4).over(w).as("quartile"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders"""))
+
   // ===========================================================
   // Training-data pipeline: text analysis
   // ===========================================================
@@ -804,7 +836,7 @@ object Queries {
     q05Scd2Dim, q06SnapshotFact, q07DimDate, q08CdcMerge, q09DupKeyDetector,
     q10QualityProfile, q11TopK, q12MultiformatDates, q13SemiJoin, q14AntiJoin,
     q15WindowRank, q15bTopkNative, q16Except, q17Intersect, q18Sessionize,
-    q19Rollup, q19Cube, q19WindowFrames,
+    q19Rollup, q19Cube, q19WindowFrames, q19Pivot, q19Ntile,
     q20TokenStats, q21QualityScore, q22LangId, q23Fingerprint, q24ExactDedup,
     q25MinhashDedup, q26SimhashPairs, q27RollingFingerprint,
     q28TermFreq, q29TokenJaccard,
