@@ -240,6 +240,29 @@ object Queries {
              MAX(CAST(o_orderdate AS DATE)) AS max_date
       FROM orders"""))
 
+  /** A4/A5 generalized: one-pass column-level profile (null fraction,
+    * approx distinct, min/max per column). Approx sketch → no oracle;
+    * SaltQualitySpec asserts the stats.
+    */
+  val q10bColumnProfile: Q = Q(
+    "q10b_column_profile",
+    (s, dir) => Quality.columnProfile(t(s, dir, "orders")),
+    None)
+
+  /** Skew-mitigated join: explicit key salting. Result must be identical
+    * to the plain join — the oracle IS the unsalted join.
+    */
+  val q13bSaltedJoin: Q = Q(
+    "q13b_salted_join",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      graft.operators.Salt.saltedJoin(o, c, Seq("c_custkey"), saltFactor = 8, joinType = "left")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey"""))
+
   /** O1/O3: global top-k with total-order tiebreak. */
   val q11TopK: Q = Q(
     "q11_topk",
@@ -834,7 +857,8 @@ object Queries {
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterPushdown, q03BroadcastJoinAgg, q04FullouterTimeline,
     q05Scd2Dim, q06SnapshotFact, q07DimDate, q08CdcMerge, q09DupKeyDetector,
-    q10QualityProfile, q11TopK, q12MultiformatDates, q13SemiJoin, q14AntiJoin,
+    q10QualityProfile, q10bColumnProfile, q11TopK, q12MultiformatDates,
+    q13SemiJoin, q13bSaltedJoin, q14AntiJoin,
     q15WindowRank, q15bTopkNative, q16Except, q17Intersect, q18Sessionize,
     q19Rollup, q19Cube, q19WindowFrames, q19Pivot, q19Ntile,
     q20TokenStats, q21QualityScore, q22LangId, q23Fingerprint, q24ExactDedup,

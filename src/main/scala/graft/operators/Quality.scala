@@ -33,4 +33,25 @@ object Quality {
   /** Ordered sample (reference: silver_check.py:52-53). */
   def sample(df: DataFrame, orderCols: Seq[String], n: Int = 5): DataFrame =
     df.orderBy(orderCols.map(col): _*).limit(n)
+
+  /** Column-level profile in ONE aggregation pass: per column, the null
+    * fraction, approximate distinct count, and min/max (as strings, so the
+    * profile is schema-stable across column types). Output: one row per
+    * column. The generalization of silver_check's per-table checks to
+    * every column — at 100 TB a single pass instead of 4×columns jobs.
+    */
+  def columnProfile(df: DataFrame): DataFrame = {
+    val total = count(lit(1))
+    val perCol = df.columns.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        (sum(when(col(c).isNull, 1L).otherwise(0L)).cast("double") / total).as("null_fraction"),
+        approx_count_distinct(col(c)).as("approx_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+    }
+    df.agg(array(perCol.toIndexedSeq: _*).as("cols"))
+      .select(explode(col("cols")).as("p"))
+      .select("p.col_name", "p.null_fraction", "p.approx_distinct", "p.min_value", "p.max_value")
+  }
 }

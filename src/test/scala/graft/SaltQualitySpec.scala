@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Quality, Salt}
+import graft.sources.Tables
+
+class SaltQualitySpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("saltedJoin reproduces the plain join exactly, inner and left") {
+    val skewed = (1 to 2000).map(i => (if (i <= 1800) 1L else i.toLong, s"row$i"))
+      .toDF("k", "payload") // key 1 holds 90% of rows
+    val dim = Seq((1L, "hot"), (5L, "cold"), (9999L, "unmatched")).toDF("k", "label")
+    Seq("inner", "left").foreach { how =>
+      val plain = skewed.join(dim, Seq("k"), how)
+      val salted = Salt.saltedJoin(skewed, dim, Seq("k"), saltFactor = 8, joinType = how)
+      assert(salted.count() == plain.count(), s"$how counts")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty, s"$how rows")
+    }
+  }
+
+  test("saltedJoin splits a hot key across salt values") {
+    val skewed = (1 to 1000).map(i => (1L, s"row$i")).toDF("k", "payload")
+    val dim = Seq((1L, "hot")).toDF("k", "label")
+    // count distinct salts actually used on the big side
+    val salts = Salt.saltedJoin(skewed, dim, Seq("k"), saltFactor = 8)
+      .select(pmod(xxhash64(col("payload")), lit(8L)).as("s")) // same derivation as the operator
+      .distinct().count()
+    assert(salts > 4, s"hot key must spread over most of the 8 salts, got $salts")
+  }
+
+  test("columnProfile: one row per column with sane stats") {
+    val prof = Quality.columnProfile(Tables.load(spark, "/root/testdata/sf0.001", "orders"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet.contains("o_orderkey"))
+    val key = prof("o_orderkey")
+    assert(key.getAs[Double]("null_fraction") == 0.0)
+    assert(key.getAs[Long]("approx_distinct") > 1000)
+    assert(key.getAs[String]("min_value").toLong < key.getAs[String]("max_value").toLong)
+    val status = prof("o_orderstatus")
+    assert(status.getAs[Long]("approx_distinct") <= 4)
+  }
+
+  test("stream-static broadcast enrichment joins each micro-batch against the dim") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams.Evt
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Evt]
+    val query = input.toDF()
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData(Evt(1L, new java.sql.Timestamp(0), 1.0), Evt(3L, new java.sql.Timestamp(0), 2.0))
+      query.processAllAvailable()
+      val out = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("tier")).toMap
+      assert(out == Map(1L -> "gold", 3L -> null))
+    } finally query.stop()
+  }
+}
