@@ -83,6 +83,33 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Streaming CDC merge: the streaming upgrade of the reference's batch
+    * full-history merge (SURVEY.md §2.9 — the reference re-reads and
+    * re-merges everything per run). Each micro-batch is merged into the
+    * silver path through the same CdcMerge + atomic staging-swap sink the
+    * batch pipeline uses, so batch and streaming ingestion are ONE code
+    * path and the target is always a complete, deduplicated parquet table.
+    * Re-deliveries across micro-batches dedup against the existing table.
+    *
+    * The returned query must be awaited/stopped by the caller.
+    */
+  def cdcMergeStream(
+      stream: DataFrame,
+      silverPath: String,
+      mergeKeys: Seq[String],
+      partitionCols: Seq[String] = Nil,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val existing = graft.operators.CdcMerge.readIfExists(spark, silverPath)
+        val merged = graft.operators.CdcMerge.mergeFullHistory(existing, batch.toDF(), mergeKeys)
+        graft.sources.Sinks.writePartitionedAtomic(merged, silverPath, partitionCols)
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
   // --- Custom state: flatMapGroupsWithState sessionization ---
 
   final case class Evt(user_id: Long, ts: Timestamp, value: Double)

@@ -121,6 +121,25 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("cdcMergeStream: micro-batches merge into silver, re-deliveries dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val silver = java.nio.file.Files.createTempDirectory("stream-silver").toString + "/events"
+    val input = MemoryStream[Evt]
+    val query = Streams.cdcMergeStream(
+      input.toDF(), silver, mergeKeys = Seq("user_id", "ts"))
+    try {
+      val t0 = 1700000000L
+      input.addData(Evt(1L, ts(t0), 1.0), Evt(2L, ts(t0), 2.0))
+      query.processAllAvailable()
+      assert(spark.read.parquet(silver).count() == 2)
+      // batch 2: one new row + one re-delivery of (1, t0)
+      input.addData(Evt(1L, ts(t0), 9.0), Evt(3L, ts(t0 + 5), 3.0))
+      query.processAllAvailable()
+      val rows = spark.read.parquet(silver).count()
+      assert(rows == 3, s"re-delivered key must dedup, got $rows rows")
+    } finally query.stop()
+  }
+
   test("the same session transform runs in batch mode (q37 face)") {
     val batch = Seq(
       Evt(1L, ts(1700000000L), 1.0),
