@@ -135,6 +135,24 @@ object Dedup {
     else joined.select("id_a", "id_b").distinct()
   }
 
+  /** LSH S-curve threshold for a band geometry: the Jaccard similarity at
+    * which a pair has ~50% candidate probability is t ≈ (1/b)^(1/r) with
+    * b bands of r rows (MMDS ch.3). Use it to pick `bands` for a target
+    * threshold instead of guessing.
+    */
+  def lshThreshold(numPerm: Int, bands: Int): Double =
+    math.pow(1.0 / bands, bands.toDouble / numPerm)
+
+  /** Smallest band count (dividing numPerm) whose S-curve threshold is at
+    * or below the target — i.e. the cheapest geometry that still catches
+    * pairs at `threshold` with high probability.
+    */
+  def bandsForThreshold(numPerm: Int, threshold: Double): Int =
+    (1 to numPerm)
+      .filter(numPerm % _ == 0)
+      .find(b => lshThreshold(numPerm, b) <= threshold)
+      .getOrElse(numPerm)
+
   /** Banded LSH candidate pairs: (id_a, id_b, est_jaccard) with id_a < id_b,
     * distinct. est_jaccard = fraction of matching minhash positions.
     */

@@ -56,6 +56,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => (a == 4L || b == 4L) && (a <= 3L || b <= 3L) })
   }
 
+  test("band geometry: S-curve thresholds are monotone and bandsForThreshold lands at/below target") {
+    // more bands → lower threshold (more lenient candidate generation)
+    val ts = Seq(1, 2, 4, 8, 16, 32, 64).map(b => Dedup.lshThreshold(64, b))
+    assert(ts == ts.sorted.reverse)
+    Seq(0.9, 0.7, 0.5, 0.3).foreach { t =>
+      val b = Dedup.bandsForThreshold(64, t)
+      assert(64 % b == 0)
+      assert(Dedup.lshThreshold(64, b) <= t + 1e-9, s"threshold for b=$b must be <= $t")
+    }
+    // the q25 default (64 perms, 16 bands) targets ~0.5 jaccard
+    assert(Dedup.lshThreshold(64, 16) < 0.6)
+  }
+
   test("jaccardVerify on explicit candidate pairs") {
     val cand = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val verified = Dedup.jaccardVerify(cand, corpus, "text", "id", threshold = 0.5).collect()
