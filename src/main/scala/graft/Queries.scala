@@ -381,6 +381,22 @@ object Queries {
         .intersect(t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))),
     Some("SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders"))
 
+  /** U3 generalized: multiset EXCEPT ALL (duplicates preserved). */
+  val q16bExceptAll: Q = Q(
+    "q16b_except_all",
+    (s, dir) =>
+      t(s, dir, "lineitem").select(col("l_orderkey"))
+        .exceptAll(t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"))),
+    Some("SELECT l_orderkey FROM lineitem EXCEPT ALL SELECT o_orderkey FROM orders"))
+
+  /** U3 generalized: multiset INTERSECT ALL. */
+  val q17bIntersectAll: Q = Q(
+    "q17b_intersect_all",
+    (s, dir) =>
+      t(s, dir, "lineitem").select(col("l_orderkey"))
+        .intersectAll(t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"))),
+    Some("SELECT l_orderkey FROM lineitem INTERSECT ALL SELECT o_orderkey FROM orders"))
+
   /** Stateful-shape batch op: gap-based sessionization + per-session rollup. */
   val q18Sessionize: Q = Q(
     "q18_sessionize",
@@ -859,7 +875,8 @@ object Queries {
     q05Scd2Dim, q06SnapshotFact, q07DimDate, q08CdcMerge, q09DupKeyDetector,
     q10QualityProfile, q10bColumnProfile, q11TopK, q12MultiformatDates,
     q13SemiJoin, q13bSaltedJoin, q14AntiJoin,
-    q15WindowRank, q15bTopkNative, q16Except, q17Intersect, q18Sessionize,
+    q15WindowRank, q15bTopkNative, q16Except, q16bExceptAll,
+    q17Intersect, q17bIntersectAll, q18Sessionize,
     q19Rollup, q19Cube, q19WindowFrames, q19Pivot, q19Ntile,
     q20TokenStats, q21QualityScore, q22LangId, q23Fingerprint, q24ExactDedup,
     q25MinhashDedup, q26SimhashPairs, q27RollingFingerprint,

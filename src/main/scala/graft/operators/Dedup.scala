@@ -226,29 +226,15 @@ object Dedup {
 
   /** 64-bit SimHash over token hashes: bit i of the result is the majority
     * vote of bit i across all token xxhash64 values. Near-duplicate docs
-    * land within a small hamming distance.
-    *
-    * Single pass over the token hashes: the vote accumulator is a 64-slot
-    * int array folded once per token (the round-1 version re-aggregated the
-    * token array once per BIT — 64× the work). The finish step ORs the
-    * winning bits together (disjoint bits, so no ANSI overflow risk).
+    * land within a small hamming distance. The vote matrix runs as the
+    * native [[graft.expressions.SimHashExpr]]; only the tokenize+hash pass
+    * stays a higher-order transform (once per row).
     */
   def simHash(textC: Column): Column = {
-    def shr(v: Column, n: Column): Column = call_function("shiftright", v, n)
-    def shl(v: Column, n: Column): Column = call_function("shiftleft", v, n)
-    val bitIdx = typedLit((0 until 64).toArray)
+    import org.apache.spark.sql.graft.ColumnBridge
     val tokHashes = transform(text.tokens(textC), t => xxhash64(t))
-    aggregate(
-      tokHashes,
-      array_repeat(lit(0), 64),
-      (acc, h) =>
-        zip_with(acc, bitIdx, (v, i) =>
-          v + when(shr(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1)),
-      votes =>
-        aggregate(
-          zip_with(votes, bitIdx, (v, i) => when(v > 0, shl(lit(1L), i)).otherwise(lit(0L))),
-          lit(0L),
-          (a, b) => a.bitwiseOR(b)))
+    ColumnBridge.column(
+      graft.expressions.SimHashExpr(ColumnBridge.expression(tokHashes)))
   }
 
   /** SimHash near-dup pairs by 16-bit band blocking (hamming ≤ 3 across 4
