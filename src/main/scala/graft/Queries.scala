@@ -263,6 +263,23 @@ object Queries {
       SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment
       FROM orders LEFT JOIN customer ON o_custkey = c_custkey"""))
 
+  /** Bloom-prefiltered join: semi-join reduction ahead of the exchange.
+    * No false negatives → the oracle is the plain inner join.
+    */
+  val q13cBloomJoin: Q = Q(
+    "q13c_bloom_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      val bigOrders = t(s, dir, "orders")
+        .where(col("o_totalprice") > 400000.0)
+        .select("o_orderkey", "o_totalprice")
+      graft.operators.BloomJoin.prefilteredJoin(li, bigOrders, "o_orderkey")
+    },
+    Some("""
+      SELECT l_orderkey AS o_orderkey, l_quantity, o_totalprice
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 400000.0"""))
+
   /** O1/O3: global top-k with total-order tiebreak. */
   val q11TopK: Q = Q(
     "q11_topk",
@@ -874,7 +891,7 @@ object Queries {
     q01PricingSummary, q02FilterPushdown, q03BroadcastJoinAgg, q04FullouterTimeline,
     q05Scd2Dim, q06SnapshotFact, q07DimDate, q08CdcMerge, q09DupKeyDetector,
     q10QualityProfile, q10bColumnProfile, q11TopK, q12MultiformatDates,
-    q13SemiJoin, q13bSaltedJoin, q14AntiJoin,
+    q13SemiJoin, q13bSaltedJoin, q13cBloomJoin, q14AntiJoin,
     q15WindowRank, q15bTopkNative, q16Except, q16bExceptAll,
     q17Intersect, q17bIntersectAll, q18Sessionize,
     q19Rollup, q19Cube, q19WindowFrames, q19Pivot, q19Ntile,

@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.minHashDescriptor)
+    ext.injectFunction(GraftFunctions.simHashDescriptor)
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
@@ -38,6 +39,14 @@ object GraftFunctions {
     new ExpressionInfo(classOf[MinHashSketchExpr].getName, "graft_minhash"),
     buildMinHash)
 
+  val simHashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+    {
+      case Seq(arr) => SimHashExpr(arr)
+      case _ => throw new IllegalArgumentException("graft_simhash(arrayOfTokenHashes)")
+    })
+
   val dotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
@@ -47,7 +56,7 @@ object GraftFunctions {
     })
 
   def register(spark: SparkSession): Unit =
-    Seq(minHashDescriptor, dotDescriptor).foreach { case (id, info, builder) =>
+    Seq(minHashDescriptor, simHashDescriptor, dotDescriptor).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }
