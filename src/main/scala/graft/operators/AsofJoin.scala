@@ -28,6 +28,8 @@ object AsofJoin {
 
   private val SideCol = "__graft_asof_side"
 
+  private val PayloadCol = "__graft_asof_payload"
+
   def lastValueJoin(
       left: DataFrame,
       right: DataFrame,
@@ -36,11 +38,17 @@ object AsofJoin {
       valueCols: Seq[String],
       strict: Boolean = false): DataFrame = {
     val l = left.withColumn(SideCol, lit(1))
+    // The whole right payload rides as ONE struct: the struct itself is the
+    // "is a right row" marker (non-null even when every field is null), so
+    // last(ignoreNulls) picks the latest right ROW atomically. Filling the
+    // value columns independently would skip a matched row whose field is
+    // NULL (returning a stale older value) and could mix fields from
+    // different right rows.
     val r = right
-      .select((keys.map(col) :+ col(timeCol)) ++ valueCols.map(col): _*)
+      .select(
+        (keys.map(col) :+ col(timeCol)) :+
+          struct(valueCols.map(col): _*).as(PayloadCol): _*)
       .withColumn(SideCol, lit(0))
-    // Missing columns (left payload on right rows, right payload on left
-    // rows) become nulls; the running last() fills the right payload in.
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
     // Non-strict (>=): right rows sort BEFORE left rows at equal time, so a
@@ -51,9 +59,10 @@ object AsofJoin {
       .orderBy(col(timeCol), sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = unioned.withColumn(PayloadCol, last(col(PayloadCol), ignoreNulls = true).over(w))
+    val unpacked = valueCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col(s"$PayloadCol.$c"))
     }
-    filled.where(col(SideCol) === 1).drop(SideCol)
+    unpacked.where(col(SideCol) === 1).drop(SideCol, PayloadCol)
   }
 }

@@ -61,6 +61,15 @@ object BloomJoin {
       key: String,
       joinType: String = "inner",
       expectedItems: Long = 1000000L,
-      numBits: Long = 8388608L): DataFrame =
+      numBits: Long = 8388608L): DataFrame = {
+    // The prefilter drops unmatched big-side rows, so any join that must
+    // preserve them (left/full outer from the big side) would silently
+    // return inner-join results.
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(
+      Set("inner", "leftsemi", "semi", "cross").contains(normalized),
+      s"prefilteredJoin supports inner/semi joins only (got '$joinType'): " +
+        "the bloom prefilter removes unmatched big-side rows")
     prefilter(big, small, key, expectedItems, numBits).join(small, Seq(key), joinType)
+  }
 }

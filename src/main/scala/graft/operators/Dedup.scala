@@ -30,6 +30,12 @@ import graft.functions.text
   *       collapse barrier that pins each expression to one evaluation.
   * Without (a)+(b) the tokenize+shingle work runs numPerm× per row — 498 of
   * a 506-second benchmark round.
+  *
+  * Cache lifecycle: the persisted prep tables stay pinned for the session
+  * (the returned frames reference them lazily, so the operator cannot
+  * unpersist). A long-lived session running dedup per corpus batch should
+  * release them between batches — `spark.catalog.clearCache()` or a
+  * per-batch `SparkSession.newSession()` scope.
   */
 object Dedup {
 

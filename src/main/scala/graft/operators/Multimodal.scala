@@ -104,7 +104,7 @@ object Multimodal {
         FrameRow(
           media_id = d.media_id,
           frame_idx = srcFrame,
-          frame_ts_ms = (srcFrame * 1000 / fps).toLong,
+          frame_ts_ms = (srcFrame * 1000L / fps).toLong,
           // deterministic per-frame stub "content": real impl hashes pixels
           frame_hash = d.content_hash * 31 + srcFrame)
       }

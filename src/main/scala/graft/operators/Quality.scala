@@ -41,14 +41,21 @@ object Quality {
     * every column — at 100 TB a single pass instead of 4×columns jobs.
     */
   def columnProfile(df: DataFrame): DataFrame = {
+    // maps (and other unorderable types): min/max would fail analysis
+    def orderable(t: org.apache.spark.sql.types.DataType): Boolean =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(t)
     val total = count(lit(1))
-    val perCol = df.columns.map { c =>
+    val perCol = df.schema.fields.map { f =>
+      val c = f.name
+      val (mn, mx) =
+        if (orderable(f.dataType)) (min(col(c)).cast("string"), max(col(c)).cast("string"))
+        else (lit(null).cast("string"), lit(null).cast("string"))
       struct(
         lit(c).as("col_name"),
         (sum(when(col(c).isNull, 1L).otherwise(0L)).cast("double") / total).as("null_fraction"),
         approx_count_distinct(col(c)).as("approx_distinct"),
-        min(col(c)).cast("string").as("min_value"),
-        max(col(c)).cast("string").as("max_value"))
+        mn.as("min_value"),
+        mx.as("max_value"))
     }
     df.agg(array(perCol.toIndexedSeq: _*).as("cols"))
       .select(explode(col("cols")).as("p"))

@@ -22,6 +22,12 @@ object Salt {
 
   /** Deterministic per-row salt derived from the row's own payload (hash of
     * the non-key columns), so reruns salt identically — no rand().
+    *
+    * Limitation: rows of a hot key with IDENTICAL payloads get the same
+    * salt and stay on one reducer, and a low-cardinality payload caps the
+    * spread at its distinct count. When the hot key's rows are duplicates,
+    * pass a row-identity column (an event id, file offset…) through
+    * `saltedJoin`'s `saltExpr` instead.
     */
   private def saltOf(df: DataFrame, keys: Seq[String], saltFactor: Int): Column = {
     val payload = df.columns.filterNot(keys.contains).map(col)
@@ -34,9 +40,22 @@ object Salt {
       small: DataFrame,
       keys: Seq[String],
       saltFactor: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      saltExpr: Option[Column] = None): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
-    val bigSalted = big.withColumn(SaltCol, saltOf(big, keys, saltFactor))
+    // The small side is replicated saltFactor×, so any join preserving
+    // unmatched SMALL rows (right/full outer) would emit saltFactor
+    // null-extended copies of each.
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(
+      Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti", "cross")
+        .contains(normalized),
+      s"saltedJoin supports joins that keep only the big side's unmatched rows (got '$joinType'): " +
+        "the replicated small side would duplicate its unmatched rows")
+    val salt = saltExpr
+      .map(e => pmod(xxhash64(e), lit(saltFactor.toLong)).cast("int"))
+      .getOrElse(saltOf(big, keys, saltFactor))
+    val bigSalted = big.withColumn(SaltCol, salt)
     val smallExploded = small.withColumn(
       SaltCol,
       explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -39,16 +39,23 @@ object Sinks {
     import org.apache.hadoop.fs.Path
     val target = new Path(path)
     val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val staging = new Path(path + ".__staging__")
-    val retired = new Path(path + ".__retired__")
-    fs.delete(staging, true)
-    fs.delete(retired, true)
+    // Unique suffixes: two concurrent writers must not clobber each
+    // other's staging output (last promote still wins the target — serialize
+    // writers externally if that matters).
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(s"$path.__staging_$token")
+    val retired = new Path(s"$path.__retired_$token")
     writePartitioned(df, staging.toString, partitionCols)
     if (fs.exists(target) && !fs.rename(target, retired))
       throw new java.io.IOException(s"could not retire $target")
     if (!fs.rename(staging, target)) {
-      fs.rename(retired, target) // roll back to the pre-write data
-      throw new java.io.IOException(s"could not promote $staging to $target")
+      // Roll back to the pre-write data; a failed rollback must not be
+      // silent — the data would be stranded under the retired path.
+      if (fs.exists(retired) && !fs.rename(retired, target))
+        throw new java.io.IOException(
+          s"could not promote $staging to $target AND rollback failed — " +
+            s"previous data is stranded at $retired")
+      throw new java.io.IOException(s"could not promote $staging to $target (rolled back)")
     }
     fs.delete(retired, true)
   }

@@ -149,13 +149,24 @@ object Streams {
         val closed = Seq.newBuilder[ClosedSession]
         secs.foreach { case (sec, v) =>
           open match {
-            // <= gap: keep the boundary semantics identical to
-            // session_window (exactly-gap-apart events share a session)
-            case Some(s) if sec - s.lastSec <= gapSeconds =>
-              open = Some(OpenSession(s.startSec, sec, s.n + 1, s.sum + v))
-            case Some(s) =>
+            // Merge iff the event is within gap of the OPEN INTERVAL
+            // [start, last] on either side (<= gap: boundary semantics
+            // identical to session_window). min/max, not assignment: a
+            // late-but-above-watermark event from a later micro-batch can
+            // precede the session's bounds — assigning lastSec = sec would
+            // move the timeout horizon backwards and close end < start.
+            case Some(s) if sec >= s.startSec - gapSeconds && sec <= s.lastSec + gapSeconds =>
+              open = Some(OpenSession(
+                math.min(s.startSec, sec), math.max(s.lastSec, sec), s.n + 1, s.sum + v))
+            case Some(s) if sec > s.lastSec + gapSeconds =>
               closed += ClosedSession(userId, s.startSec, s.lastSec + gapSeconds, s.n, s.sum)
               open = Some(OpenSession(sec, sec, 1, v))
+            case Some(_) =>
+              // Older than start - gap: a predecessor session. Single-state
+              // approximation — emit it closed immediately (it is near the
+              // watermark by construction; session_window's multi-interval
+              // merge would be exact, at the cost of list-valued state).
+              closed += ClosedSession(userId, sec, sec + gapSeconds, 1, v)
             case None =>
               open = Some(OpenSession(sec, sec, 1, v))
           }

@@ -43,6 +43,35 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(m(5L).isEmpty, "B's only quote is at the same instant")
   }
 
+  test("a matched right row with NULL payload yields NULL, not a stale older value") {
+    val quotesWithNull = Seq(
+      ("A", 10L, Some(1.0)), ("A", 20L, None), // the t=20 quote has no px
+      ("A", 30L, Some(3.0)))
+      .map { case (s, t, v) => (s, t, v.map(Double.box).orNull) }
+      .toDF("sym", "t", "px")
+    val out = AsofJoin
+      .lastValueJoin(Seq((1L, "A", 25L)).toDF("trade_id", "sym", "t"),
+        quotesWithNull, Seq("sym"), "t", Seq("px"))
+      .head()
+    assert(out.isNullAt(out.fieldIndex("px")),
+      "the as-of match is the t=20 row whose px IS NULL — must not fall back to t=10")
+  }
+
+  test("multiple value columns come from ONE right row, never mixed") {
+    val quotes2 = Seq(
+      ("A", 10L, Some(1.0), Some(100.0)),
+      ("A", 20L, Some(2.0), None)) // t=20: px set, qty null
+      .map { case (s, t, a, b) => (s, t, a.map(Double.box).orNull, b.map(Double.box).orNull) }
+      .toDF("sym", "t", "px", "qty")
+    val out = AsofJoin
+      .lastValueJoin(Seq((1L, "A", 25L)).toDF("trade_id", "sym", "t"),
+        quotes2, Seq("sym"), "t", Seq("px", "qty"))
+      .head()
+    assert(out.getAs[Double]("px") == 2.0)
+    assert(out.isNullAt(out.fieldIndex("qty")),
+      "qty must come from the t=20 row (null), not the t=10 row (100.0)")
+  }
+
   test("left payload columns pass through untouched") {
     val out = AsofJoin.lastValueJoin(trades, quotes, Seq("sym"), "t", Seq("px"))
     assert(out.columns.toSet == Set("trade_id", "sym", "t", "px"))

@@ -140,6 +140,31 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("closedSessions: late-but-valid cross-batch event extends the session backwards safely") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val sessions = Streams.closedSessions(
+      input.toDF().withWatermark("ts", "2 hours").as[Evt], gapSeconds = 1800L)
+    val query = sessions.writeStream
+      .format("memory").queryName("late_sessions").outputMode("append").start()
+    try {
+      val t0 = 1700000000L
+      input.addData(Evt(9L, ts(t0 + 600), 1.0)) // open session [600, 600]
+      query.processAllAvailable()
+      input.addData(Evt(9L, ts(t0), 2.0)) // LATE but above watermark: merges backwards
+      query.processAllAvailable()
+      input.addData(Evt(9L, ts(t0 + 50000), 4.0)) // closes the merged session
+      query.processAllAvailable()
+      val out = spark.table("late_sessions").orderBy("session_start_sec").collect()
+      assert(out.nonEmpty)
+      val s = out.head
+      assert(s.getAs[Long]("session_start_sec") == t0, "start must extend backwards")
+      assert(s.getAs[Long]("session_end_sec") == t0 + 600 + 1800,
+        "end must stay anchored at the LATEST event + gap, not regress")
+      assert(s.getAs[Long]("n_events") == 2 && s.getAs[Double]("session_value") == 3.0)
+    } finally query.stop()
+  }
+
   test("the same session transform runs in batch mode (q37 face)") {
     val batch = Seq(
       Evt(1L, ts(1700000000L), 1.0),
