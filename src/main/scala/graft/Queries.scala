@@ -679,6 +679,17 @@ object Queries {
     None, // banded-LSH candidate generation is not ANSI-SQL-expressible
     headline = true)
 
+  /** Near-dup clustering: LSH pairs → connected components → one keeper
+    * per duplicate group (the transitive closure pairs alone can't give).
+    */
+  val q25bDupClusters: Q = Q(
+    "q25b_dup_clusters",
+    (s, dir) =>
+      Dedup.dedupByClusters(
+        corpusWithPlantedDups(s, dir), "text", "doc_id",
+        numPerm = 64, bands = 16, threshold = 0.5),
+    None)
+
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures). */
   val q26SimhashPairs: Q = Q(
     "q26_simhash_pairs",
@@ -896,7 +907,7 @@ object Queries {
     q17Intersect, q17bIntersectAll, q18Sessionize,
     q19Rollup, q19Cube, q19WindowFrames, q19Pivot, q19Ntile,
     q20TokenStats, q21QualityScore, q22LangId, q23Fingerprint, q24ExactDedup,
-    q25MinhashDedup, q26SimhashPairs, q27RollingFingerprint,
+    q25MinhashDedup, q25bDupClusters, q26SimhashPairs, q27RollingFingerprint,
     q28TermFreq, q29TokenJaccard,
     q30CosineTopK, q31AnnLsh, q32EmbeddingNearDup, q33AnnIvf,
     q36JsonExtract, q37SessionWindow, q38Quantiles, q38bApproxAgg, q39AsofJoin,

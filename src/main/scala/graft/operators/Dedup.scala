@@ -228,6 +228,44 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // --- Clustering: pairs → duplicate groups ---
+
+  /** Connected components over near-dup pairs: pairwise similarity is not
+    * transitive-closed (A≈B, B≈C found; A–C maybe not), so deduping from
+    * pairs alone either misses chains or keeps conflicting keepers.
+    * Clusters give one representative per GROUP: output (id, cluster)
+    * where cluster = the smallest id in the component. GraphX's
+    * ConnectedComponents is the scale path (Pregel small-star iterations,
+    * O(log n) supersteps).
+    */
+  def duplicateClusters(pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    import org.apache.spark.graphx.Graph
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col(idACol).cast("long"), col(idBCol).cast("long"))
+      .as[(Long, Long)]
+      .rdd
+    val cc = Graph.fromEdgeTuples(edges, defaultValue = 0).connectedComponents()
+    spark.createDataFrame(cc.vertices).toDF("id", "cluster")
+  }
+
+  /** End-to-end near-dup removal: MinHash pairs → components → keep the
+    * smallest id of every cluster plus all unpaired documents.
+    */
+  def dedupByClusters(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minHashDedupPairs(docs, textCol, idCol, numPerm, bands, threshold = threshold)
+    val clustered = duplicateClusters(pairs)
+    val dropped = clustered.where(col("id") =!= col("cluster")).select(col("id").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // --- SimHash ---
 
   /** 64-bit SimHash over token hashes: bit i of the result is the majority

@@ -69,6 +69,24 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.lshThreshold(64, 16) < 0.6)
   }
 
+  test("duplicateClusters: transitive chains collapse to one cluster, min-id representative") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b") // chain 1-2-3; pair 10-11
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L,
+      "the 1-2-3 chain must be ONE cluster even though (1,3) was never a pair")
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+  }
+
+  test("dedupByClusters keeps one doc per duplicate group plus all unpaired docs") {
+    val out = Dedup.dedupByClusters(corpus, "text", "id", threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(out.contains(1L), "cluster representative (min id) survives")
+    assert(!out.contains(2L), "exact dup drops")
+    assert(!out.contains(3L), "near dup in the same cluster drops")
+    assert(out.contains(4L) && out.contains(5L) && out.contains(6L), "unpaired docs all survive")
+  }
+
   test("jaccardVerify on explicit candidate pairs") {
     val cand = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val verified = Dedup.jaccardVerify(cand, corpus, "text", "id", threshold = 0.5).collect()
