@@ -91,18 +91,25 @@ object text {
     * per-language `langHits` form re-tokenized once per language per
     * comparison under expression inlining. Adding a language is one more
     * list entry, not another pass.
+    *
+    * The argmax lives in `aggregate`'s finish lambda: there the hit vector
+    * is a bound lambda variable — computed once, each of its three reads a
+    * slot lookup. As a plain column it would be a subexpression that
+    * ProjectCollapse inlines (and interpreted HOFs re-evaluate) at every
+    * use site, re-running the whole tokenize+vote fold up to 3x per row.
     */
   def langId(c: Column): Column = {
     val langs = langStopwords.map(_._1)
     val stopLists = typedLit(langStopwords.map(_._2))
-    val hits = aggregate(
+    aggregate(
       tokens(lower(c)),
       array_repeat(lit(0), langs.length),
       (acc, t) => zip_with(acc, stopLists, (a, stop) =>
-        a + when(array_contains(stop, t), 1).otherwise(0)))
-    when(array_max(hits) > 0,
-      element_at(typedLit(langs), array_position(hits, array_max(hits)).cast("int")))
-      .otherwise(lit("und"))
+        a + when(array_contains(stop, t), 1).otherwise(0)),
+      hits =>
+        when(array_max(hits) > 0,
+          element_at(typedLit(langs), array_position(hits, array_max(hits)).cast("int")))
+          .otherwise(lit("und")))
   }
 
   // --- Fingerprinting ---

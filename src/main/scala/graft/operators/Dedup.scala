@@ -33,11 +33,21 @@ import graft.functions.text
   *
   * Cache lifecycle: the persisted prep tables stay pinned for the session
   * (the returned frames reference them lazily, so the operator cannot
-  * unpersist). A long-lived session running dedup per corpus batch should
-  * release them between batches — `spark.catalog.clearCache()` or a
-  * per-batch `SparkSession.newSession()` scope.
+  * unpersist eagerly). Every pin is tracked; a long-lived session running
+  * dedup per corpus batch should call [[Dedup.release]] between batches
+  * (after fully consuming the returned frames), or scope each batch with
+  * `SparkSession.newSession()` / `spark.catalog.clearCache()`.
   */
 object Dedup {
+
+  private def pin(df: DataFrame): DataFrame = Caches.pin(df)
+
+  /** Unpersist every prep table pinned by graft operators in this JVM.
+    * Call only after the frames returned by those operators are fully
+    * consumed — they reference the caches lazily. Alias of
+    * [[Caches.release]].
+    */
+  def release(): Unit = Caches.release()
 
   /** Exact dedup on a canonical text hash. Deterministic keeper: min(id).
     * Output: one row per distinct content with its keeper id and copy count.
@@ -95,7 +105,7 @@ object Dedup {
     Partitioning.spread(df)
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("sh"))
       .withColumn("mh", minHashFromHashes(col("sh"), numPerm))
-      .persist()
+      .transform(pin)
 
   /** Banded LSH candidate pairs from a prep table: split the sketch into
     * `bands` bands, hash each band slice, equi-join colliding documents.
@@ -216,7 +226,7 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val sh = Partitioning.spread(docs)
       .select(col(idCol).as("id"), array_distinct(text.shingles(col(textCol), shingleK)).as("sh"))
-      .persist()
+      .transform(pin)
     val withA = pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
     val withB = withA.join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     withB
@@ -290,7 +300,7 @@ object Dedup {
   def simHashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
     val sigs = Partitioning.spread(df)
       .select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
-      .persist()
+      .transform(pin)
     val banded = sigs.select(
       col("id"),
       col("sig"),

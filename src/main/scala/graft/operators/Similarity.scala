@@ -169,7 +169,7 @@ object Similarity {
           vectors.lshSignature(col(vecCol), vectors.randomPlanes(bitsPerBand, dim, seed + b)).as("sig"))
       }: _*)).as("bs"))
       .select(col("id"), col("v"), col("bs.band"), col("bs.sig"))
-      .persist()
+      .transform(Caches.pin)
     val a = banded.select(col("band"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val b = banded.select(col("band"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("band", "sig"))
