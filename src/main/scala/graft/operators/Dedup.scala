@@ -107,8 +107,45 @@ object Dedup {
       .withColumn("mh", minHashFromHashes(col("sh"), numPerm))
       .transform(pin)
 
-  /** Banded LSH candidate pairs from a prep table: split the sketch into
-    * `bands` bands, hash each band slice, equi-join colliding documents.
+  /** (id, band, bucket[, mh]) exploded band table from a prep table:
+    * split the sketch into `bands` bands, hash each band slice. xxhash64
+    * hashes array values directly (recursively over elements) — no string
+    * materialization per band.
+    */
+  private def bandedBuckets(prepped: DataFrame, numPerm: Int, bands: Int, carryMh: Boolean): DataFrame = {
+    val rows = numPerm / bands
+    val carry = if (carryMh) Seq(col("mh")) else Nil
+    prepped.select(
+      (Seq(
+        col("id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(
+              b.as("band"),
+              xxhash64(slice(col("mh"), b * rows + 1, lit(rows))).as("bucket"))))
+          .as("bb")) ++ carry): _*)
+      .select((Seq(col("id"), col("bb.band"), col("bb.bucket")) ++ carry): _*)
+  }
+
+  /** Band table + per-bucket occupancy. A window count over (band, bucket)
+    * costs one shuffle on exactly the key the candidate self-join needs
+    * anyway — cheaper than a separate count + join back.
+    */
+  private def withOccupancy(banded: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    banded.withColumn("__occ", count(lit(1)).over(w))
+  }
+
+  /** Banded LSH candidate pairs from a prep table, bounded: buckets with
+    * more than `maxBucket` members are excluded from the (quadratic-within-
+    * bucket) self-join — boilerplate corpora (all-identical docs, empty
+    * strings, templated pages) otherwise put millions of rows in ONE bucket
+    * and a single reducer pays (n choose 2). Callers route the over-cap
+    * members through the linear identical-content path instead
+    * ([[hotExactPairs]]); AQE skew-split cannot help here because it splits
+    * input, not the joined output.
+    *
     * With `withEstimate` the sketches ride through the join and pairs carry
     * the minhash agreement fraction; without it only (band, bucket, id)
     * shuffles — use that when an exact verification step follows anyway.
@@ -117,22 +154,10 @@ object Dedup {
       prepped: DataFrame,
       numPerm: Int,
       bands: Int,
-      withEstimate: Boolean): DataFrame = {
-    val rows = numPerm / bands
-    val carry = if (withEstimate) Seq(col("mh")) else Nil
-    val banded = prepped.select(
-      (Seq(
-        col("id"),
-        explode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            // xxhash64 hashes array values directly (recursively over
-            // elements) — no string materialization per band.
-            b => struct(
-              b.as("band"),
-              xxhash64(slice(col("mh"), b * rows + 1, lit(rows))).as("bucket"))))
-          .as("bb")) ++ carry): _*)
-      .select((Seq(col("id"), col("bb.band"), col("bb.bucket")) ++ carry): _*)
+      withEstimate: Boolean,
+      maxBucket: Int): DataFrame = {
+    val banded = withOccupancy(bandedBuckets(prepped, numPerm, bands, carryMh = withEstimate))
+      .where(col("__occ") <= maxBucket)
     def side(suffix: String) = {
       val renamed = Seq(col("band"), col("bucket"), col("id").as(s"id_$suffix")) ++
         (if (withEstimate) Seq(col("mh").as(s"mh_$suffix")) else Nil)
@@ -149,6 +174,36 @@ object Dedup {
         .groupBy("id_a", "id_b")
         .agg(max("est_jaccard").as("est_jaccard"))
     else joined.select("id_a", "id_b").distinct()
+  }
+
+  /** ids that appear in any over-cap bucket. */
+  private def hotMembers(prepped: DataFrame, numPerm: Int, bands: Int, maxBucket: Int): DataFrame =
+    withOccupancy(bandedBuckets(prepped, numPerm, bands, carryMh = false))
+      .where(col("__occ") > maxBucket)
+      .select("id")
+      .distinct()
+
+  /** Linear short-circuit for over-cap buckets: a mega-bucket is in
+    * practice a cluster of identical content, so pair each member to the
+    * keeper (min id) of its IDENTICAL shingle set — O(members) star pairs
+    * with jaccard = 1.0 by construction, instead of (n choose 2) verified
+    * joins. Members of a hot bucket whose content is NOT identical to
+    * anything are dropped (logged recall loss, standard in production
+    * dedup). Grouping joins on a 64-bit hash of the set and then verifies
+    * set equality against the keeper's, so a hash collision cannot emit a
+    * false pair.
+    */
+  private def hotExactPairs(prepped: DataFrame, hotIds: DataFrame): DataFrame = {
+    val hotPrep = prepped
+      .join(hotIds, Seq("id"), "left_semi")
+      .select(col("id"), col("sh"), xxhash64(col("sh")).as("__shkey"))
+    val keepers = hotPrep
+      .groupBy("__shkey")
+      .agg(min("id").as("id_a"), min_by(col("sh"), col("id")).as("__sh_keeper"))
+    hotPrep
+      .join(keepers, Seq("__shkey"))
+      .where(col("id") =!= col("id_a") && col("sh") === col("__sh_keeper"))
+      .select(col("id_a"), col("id").as("id_b"), lit(1.0).as("jaccard"))
   }
 
   /** LSH S-curve threshold for a band geometry: the Jaccard similarity at
@@ -171,6 +226,9 @@ object Dedup {
 
   /** Banded LSH candidate pairs: (id_a, id_b, est_jaccard) with id_a < id_b,
     * distinct. est_jaccard = fraction of matching minhash positions.
+    * Buckets over `maxBucket` members are excluded (see
+    * [[candidatesFromSketch]]) — use [[minHashDedupPairs]] when those
+    * boilerplate clusters must still be reported.
     */
   def minHashCandidates(
       df: DataFrame,
@@ -178,10 +236,11 @@ object Dedup {
       idCol: String,
       numPerm: Int = 64,
       bands: Int = 16,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3,
+      maxBucket: Int = 256): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands evenly")
     candidatesFromSketch(prep(df, textCol, idCol, numPerm, shingleK), numPerm, bands,
-      withEstimate = true)
+      withEstimate = true, maxBucket = maxBucket)
   }
 
   /** End-to-end MinHash+LSH near-dup detection: candidate generation and
@@ -198,11 +257,13 @@ object Dedup {
       numPerm: Int = 64,
       bands: Int = 16,
       shingleK: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucket: Int = 256): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands evenly")
     val prepped = prep(df, textCol, idCol, numPerm, shingleK)
-    val cand = candidatesFromSketch(prepped, numPerm, bands, withEstimate = false)
-    cand
+    val cand = candidatesFromSketch(prepped, numPerm, bands, withEstimate = false,
+      maxBucket = maxBucket)
+    val verified = cand
       .join(prepped.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(prepped.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(
@@ -211,6 +272,14 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    // Over-cap buckets (boilerplate clusters) re-enter through the linear
+    // identical-content path; a doc can surface in both (hot in one band,
+    // cold in another), so collapse to one row per pair.
+    val hot = hotExactPairs(prepped, hotMembers(prepped, numPerm, bands, maxBucket))
+    verified
+      .unionByName(hot)
+      .groupBy("id_a", "id_b")
+      .agg(max("jaccard").as("jaccard"))
   }
 
   /** Exact word-shingle Jaccard verification over candidate pairs only.
@@ -296,8 +365,19 @@ object Dedup {
     * signature table is persisted: banding reads `sig` 4×, and the pair join
     * reads it twice more — without the barrier the whole simHash fold would
     * be inlined and re-evaluated at every use site.
+    *
+    * Buckets with more than `maxBucket` members skip the quadratic
+    * within-bucket join; their members pair to the keeper (min id) of
+    * their IDENTICAL signature instead (hamming = 0 by construction,
+    * linear cost). Hot-bucket members whose signature matches nothing
+    * exactly are dropped — bounded output on boilerplate corpora.
     */
-  def simHashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 256): DataFrame = {
     val sigs = Partitioning.spread(df)
       .select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
       .transform(pin)
@@ -312,12 +392,21 @@ object Dedup {
             call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xffffL).as("bucket"))))
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+      .transform(withOccupancy)
+    val cold = banded.where(col("__occ") <= maxBucket)
+    val a = cold.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = cold.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val coldPairs = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
+    val hotIds = banded.where(col("__occ") > maxBucket).select("id").distinct()
+    val hotPairs = sigs
+      .join(hotIds, Seq("id"), "left_semi")
+      .withColumn("id_a", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sig")))
+      .where(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"), lit(0).cast("int").as("hamming"))
+    coldPairs.unionByName(hotPairs).distinct()
   }
 }

@@ -97,18 +97,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** Lloyd's k-means over an in-driver sample — IVF coarse-quantizer
+    * training. A few iterations over O(k·32) points is microseconds on the
+    * driver; the win over seeding alone is representative cells on
+    * clustered corpora. Empty clusters keep their previous centroid.
+    */
+  private[operators] def kmeans(
+      points: Array[Array[Double]],
+      k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means needs at least one training point")
+    val dim = points.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var centroids = points.distinct.take(k)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centroids.length) {
+          val d = d2(p, centroids(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
   /** IVF-style ANN: corpus vectors are assigned to the nearest of `nlist`
     * coarse centroids; a query probes only its `nprobe` nearest cells and
     * brute-forces within them — the classic inverted-file scale path
     * (search cost ≈ corpus × nprobe/nlist instead of the full corpus).
     *
-    * "Training" here is a deterministic stub — the first `nlist` vectors
-    * serve as centroids, collected once to the driver and baked into the
-    * assignment expression as literals (at real scale you'd k-means a
-    * sample the same way; the collected centroid table is tiny either way,
-    * and shipping it as plan literals broadcasts it for free). Cell
-    * assignment, probe selection, and the in-cell scan are all plain
-    * expressions — no shuffle beyond the final top-k.
+    * Training: k-means over a `sampleRows`-point sample taken in xxhash64
+    * order of the id — a deterministic pseudo-random draw that needs no
+    * prior count() of the corpus, and `orderBy().limit()` plans as
+    * TakeOrderedAndProject (per-partition bounded heaps, no global sort
+    * materialization), so the training pass is scan-bound at any scale.
+    * The trained centroids are baked into the assignment expression as
+    * literals (the table is tiny; shipping it as plan literals broadcasts
+    * it for free). Cell assignment, probe selection, and the in-cell scan
+    * are all plain expressions — no shuffle beyond the final top-k.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -117,15 +155,18 @@ object Similarity {
       queryId: Long,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      sampleRows: Int = 512,
+      kmeansIters: Int = 5): DataFrame = {
     require(nprobe <= nlist, "nprobe must be <= nlist")
-    val centroids: Array[Array[Double]] = emb
-      .where(col(idCol) < nlist)
-      .orderBy(idCol)
+    val trainSample: Array[Array[Double]] = emb
+      .orderBy(xxhash64(col(idCol)))
       .select(col(vecCol))
+      .limit(math.max(sampleRows, nlist))
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(centroids.nonEmpty, s"not enough vectors with $idCol < $nlist to seed centroids")
+    require(trainSample.nonEmpty, "cannot train IVF centroids on an empty corpus")
+    val centroids = kmeans(trainSample, nlist, kmeansIters)
 
     def cellDists(v: Column): Column = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(vectors.l2Sq(v, array(c.map(lit(_)): _*)).as("d"), lit(i).as("cell"))
@@ -148,6 +189,14 @@ object Similarity {
 
   /** All-pairs near-duplicate detection by embedding cosine ≥ threshold,
     * LSH-blocked so the quadratic comparison only happens within buckets.
+    *
+    * Buckets with more than `maxBucket` members (degenerate corpora: the
+    * same embedding repeated millions of times) skip the quadratic
+    * within-bucket join; their members pair to the keeper (min id) of their
+    * BIT-IDENTICAL vector instead, reported as cosine 1.0 — the dedup
+    * answer for exact copies, linear cost, and well-defined even for the
+    * zero vector where cosine itself is not. Hot-bucket members with no
+    * identical twin are dropped (bounded recall loss on boilerplate).
     */
   def cosineNearDupPairs(
       emb: DataFrame,
@@ -157,7 +206,8 @@ object Similarity {
       dim: Int = 64,
       bands: Int = 8,
       bitsPerBand: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = 256): DataFrame = {
     // persist: both self-join sides read this — without the barrier the
     // full signature computation runs once per side.
     val banded = Partitioning.spread(emb).select(
@@ -170,12 +220,32 @@ object Similarity {
       }: _*)).as("bs"))
       .select(col("id"), col("v"), col("bs.band"), col("bs.sig"))
       .transform(Caches.pin)
-    val a = banded.select(col("band"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = banded.select(col("band"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("band", "sig"))
+    val withOcc = banded.withColumn("__occ",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")))
+    val cold = withOcc.where(col("__occ") <= maxBucket)
+    val a = cold.select(col("band"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = cold.select(col("band"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    val coldPairs = a.join(b, Seq("band", "sig"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), vectors.cosine(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
+    // Identical-vector star pairs for over-cap buckets: group on a 64-bit
+    // hash of the vector, then verify bit-equality against the keeper's so
+    // a hash collision cannot emit a false pair.
+    val hotIds = withOcc.where(col("__occ") > maxBucket).select("id").distinct()
+    // band 0 carries every id exactly once — one row per doc without a
+    // distinct shuffle over the vector column.
+    val hotVecs = banded.where(col("band") === 0).select("id", "v")
+      .join(hotIds, Seq("id"), "left_semi")
+      .withColumn("__vkey", xxhash64(col("v")))
+    val keepers = hotVecs
+      .groupBy("__vkey")
+      .agg(min("id").as("id_a"), min_by(col("v"), col("id")).as("__v_keeper"))
+    val hotPairs = hotVecs
+      .join(keepers, Seq("__vkey"))
+      .where(col("id") =!= col("id_a") && col("v") === col("__v_keeper"))
+      .select(col("id_a"), col("id").as("id_b"), lit(1.0).as("cosine"))
+    coldPairs.unionByName(hotPairs)
       .groupBy("id_a", "id_b")
       .agg(max("cosine").as("cosine"))
   }

@@ -24,8 +24,15 @@ import org.apache.spark.sql.graft.ColumnBridge
   *
   * Map-side partial pruning means the exchange carries at most
   * k × keys-per-partition rows — the same partial/final shape as a hash
-  * aggregate, with O(n log k) heap work and O(keys × k) memory instead of
-  * a full sort.
+  * aggregate, with O(n log k) heap work instead of a full sort. Neither
+  * stage holds unbounded state: the partial heap map FLUSHES (emits its
+  * heaps and resets) when it exceeds `spark.graft.topk.maxPartialRows`
+  * retained rows — the final stage re-merges, so a flush costs only
+  * exchange volume, exactly like hash aggregate's sort-fallback — and the
+  * final stage is a streaming take-k over input that EnsureRequirements
+  * sorts on (keys, order) via SortExec, which spills. High key cardinality
+  * per partition (the 100 TB worst case) therefore degrades to extra
+  * shuffle rows + a spilling sort, never an OOM.
   *
   * The full extension ladder (SURVEY.md §7.3 / builder brief (c)):
   * logical `TopKPerKeyNode` → `TopKStrategy` (planner) → physical
@@ -48,8 +55,10 @@ case class TopKPerKeyNode(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
-      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
-      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+      val budget = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.maxPartialRows", "1000000").toInt
+      val partial = TopKPerKeyExec(keys, order, k, partial = true, budget, planLater(child))
+      TopKPerKeyExec(keys, order, k, partial = false, budget, partial) :: Nil
     case _ => Nil
   }
 }
@@ -59,6 +68,7 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    maxPartialRows: Int,
     child: SparkPlan)
     extends UnaryExecNode {
 
@@ -69,35 +79,83 @@ case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  // Final stage streams over key-clustered, order-sorted input: the sort is
+  // a real SortExec (inserted by EnsureRequirements) and therefore spills;
+  // the stage itself holds one key and a counter.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val limit = k
-    child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val rowOrd = RowOrdering.create(sortOrder, childOutput)
-      // Max-heap by sort order: head = worst row currently kept for the key.
-      implicit val heapOrd: Ordering[UnsafeRow] =
-        (a: UnsafeRow, b: UnsafeRow) => rowOrd.compare(a, b)
-      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]()
-      iter.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[UnsafeRow]
-          heaps.put(key.copy(), heap)
+    val budget = math.max(maxPartialRows, limit)
+    if (partial) {
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val rowOrd = RowOrdering.create(sortOrder, childOutput)
+        // Max-heap by sort order: head = worst row currently kept for the key.
+        implicit val heapOrd: Ordering[UnsafeRow] =
+          (a: UnsafeRow, b: UnsafeRow) => rowOrd.compare(a, b)
+        val heaps =
+          new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]()
+        var retained = 0
+
+        import scala.jdk.CollectionConverters._
+        def drain(): Iterator[InternalRow] = {
+          val out = heaps.values().asScala.toArray.iterator.flatMap(_.iterator)
+          heaps.clear()
+          retained = 0
+          out
         }
-        if (heap.size < limit) {
-          heap += row.asInstanceOf[UnsafeRow].copy()
-        } else if (rowOrd.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap += row.asInstanceOf[UnsafeRow].copy()
+
+        // Interleave input consumption with budget-triggered flushes: the
+        // final stage re-merges per key, so emitting a key's heap more than
+        // once is correct — it only costs exchange rows.
+        new Iterator[InternalRow] {
+          private var pending: Iterator[InternalRow] = Iterator.empty
+          override def hasNext: Boolean = {
+            while (!pending.hasNext && iter.hasNext) {
+              val row = iter.next()
+              val key = keyProj(row)
+              var heap = heaps.get(key)
+              if (heap == null) {
+                heap = scala.collection.mutable.PriorityQueue.empty[UnsafeRow]
+                heaps.put(key.copy(), heap)
+              }
+              if (heap.size < limit) {
+                heap += row.asInstanceOf[UnsafeRow].copy()
+                retained += 1
+                if (retained > budget) pending = drain()
+              } else if (rowOrd.compare(row, heap.head) < 0) {
+                heap.dequeue()
+                heap += row.asInstanceOf[UnsafeRow].copy()
+              }
+            }
+            if (!pending.hasNext && !heaps.isEmpty) pending = drain()
+            pending.hasNext
+          }
+          override def next(): InternalRow = pending.next()
         }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator)
-    }, preservesPartitioning = true)
+      }, preservesPartitioning = true)
+    } else {
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        var currentKey: UnsafeRow = null
+        var emitted = 0
+        iter.filter { row =>
+          val key = keyProj(row)
+          if (currentKey == null || key != currentKey) {
+            currentKey = key.copy()
+            emitted = 0
+          }
+          emitted += 1
+          emitted <= limit
+        }
+      }, preservesPartitioning = true)
+    }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
@@ -110,19 +168,16 @@ object TopK {
   /** Top `k` rows per `keys` group by `order` (first k in that sort order).
     * Output row order within a group is unspecified — sort afterwards if
     * presentation order matters.
+    *
+    * The converter-attached TreeNode tags (PLAN_ID_TAG, cast markers) ride
+    * along untouched: they are serializable primitives, and in Spark 4.1
+    * both makeCopy and transformUp copy tags onto new nodes anyway, so a
+    * "tag-stripping" deep copy would be a no-op.
     */
-  /** Deep-copy an expression without TreeNode tags: the Column→Expression
-    * converter tags every node with its source ColumnNode, which is not
-    * serializable — left in place it rides the exec's captured expressions
-    * into the task closure and fails serialization.
-    */
-  private def stripTags(e: Expression): Expression =
-    e.transformUp { case n => n.makeCopy(n.productIterator.map(_.asInstanceOf[AnyRef]).toArray) }
-
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
     ensureStrategy(df.sparkSession)
     val orderExprs = order.map(c =>
-      stripTags(ColumnBridge.eagerExpression(c)) match {
+      ColumnBridge.eagerExpression(c) match {
         case so: SortOrder => so
         case e => SortOrder(e, Ascending)
       })

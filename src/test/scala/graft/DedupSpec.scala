@@ -87,6 +87,43 @@ class DedupSpec extends AnyFunSuite {
     assert(out.contains(4L) && out.contains(5L) && out.contains(6L), "unpaired docs all survive")
   }
 
+  test("hot-bucket cap: 10k identical docs produce linear star pairs, not (n choose 2)") {
+    val n = 10000
+    val boiler = spark.range(n)
+      .select(col("id"), lit("exact same boilerplate text repeated across the whole corpus").as("text"))
+    val pairs = Dedup
+      .minHashDedupPairs(boiler, "text", "id", numPerm = 64, bands = 16, threshold = 0.5,
+        maxBucket = 50)
+      .collect()
+    assert(pairs.length == n - 1, "star pairs: every doc pairs once to the keeper")
+    assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
+    assert(pairs.forall(_.getAs[Long]("id_a") == 0L), "keeper is the min id")
+  }
+
+  test("hot-bucket cap: cold near-dups still surface alongside a hot cluster") {
+    val boiler = spark.range(100)
+      .select((col("id") + 100L).as("id"),
+        lit("boilerplate body that floods one bucket with identical content").as("text"))
+    val mixed = corpus.unionByName(boiler)
+    val pairs = Dedup
+      .minHashDedupPairs(mixed, "text", "id", numPerm = 64, bands = 16, threshold = 0.5,
+        maxBucket = 20)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(pairs.contains((1L, 2L)), "cold exact dup still found")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), "cold near dup still found")
+    assert(pairs.count { case (a, _) => a == 100L } == 99, "hot cluster is keeper-starred")
+  }
+
+  test("hot-bucket cap: simHashPairs stays linear on an identical-doc flood") {
+    val boiler = spark.range(2000)
+      .select(col("id"), lit("identical simhash flood document body").as("text"))
+    val pairs = Dedup.simHashPairs(boiler, "text", "id", maxBucket = 50).collect()
+    assert(pairs.length == 1999)
+    assert(pairs.forall(r => r.getAs[Int]("hamming") == 0 && r.getAs[Long]("id_a") == 0L))
+  }
+
   test("jaccardVerify on explicit candidate pairs") {
     val cand = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val verified = Dedup.jaccardVerify(cand, corpus, "text", "id", threshold = 0.5).collect()

@@ -40,6 +40,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.intersect(ivf).nonEmpty, "IVF must recall some true neighbors")
   }
 
+  test("ivfTopK: k-means-trained cells give high recall on a clustered corpus") {
+    // 4 well-separated clusters (block pattern + deterministic jitter); ids
+    // interleave clusters so naive first-N seeding cannot accidentally win.
+    val clustered = spark.range(1000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        (when(i >= (col("id") % 4) * 16 && i < ((col("id") % 4) + 1) * 16, lit(10.0f))
+          .otherwise(lit(0.0f)) +
+          pmod(xxhash64(col("id"), i), lit(100)).cast("float") / 1000f).cast("float"))
+        .as("embedding"))
+    val brute = Similarity.bruteForceTopK(clustered, "vec_id", "embedding", 0L, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(clustered, "vec_id", "embedding", 0L, 20, nlist = 8, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.size == 20)
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"clustered-corpus recall was $recall")
+  }
+
+  test("cosineNearDupPairs: identical-vector flood is keeper-starred, not quadratic") {
+    val flood = spark.range(2000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)), i => (i.cast("float") / 64f)).as("embedding"))
+    val pairs = Similarity
+      .cosineNearDupPairs(flood, "vec_id", "embedding", threshold = 0.9, maxBucket = 50)
+      .collect()
+    assert(pairs.length == 1999, "star pairs: one per non-keeper member")
+    assert(pairs.forall(r => r.getAs[Long]("id_a") == 0L && r.getAs[Double]("cosine") == 1.0))
+  }
+
   test("cosineNearDupPairs finds planted scaled copies (cosine = 1 up to fp error)") {
     val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val planted = emb.where(col("vec_id") < 5)

@@ -39,13 +39,42 @@ class TopKPerKeySpec extends AnyFunSuite {
       "native operator must reproduce the window form exactly")
   }
 
-  test("plan shape: partial + final exec around one exchange, no sort") {
+  test("plan shape: partial + final exec around one exchange; sort only after pruning") {
     val plan = TopK.perKey(df, Seq("k"), Seq(col("v").desc), 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), plan)
     val execs = plan.linesIterator.count(_.contains("TopKPerKey "))
     assert(execs == 2, s"expected partial+final, got $execs:\n$plan")
-    assert(!plan.contains("Sort "), s"bounded heap must not sort:\n$plan")
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+    // The final stage streams over SortExec-ordered input (spillable); the
+    // sort must sit between exchange and final — i.e. it sorts only the
+    // ≤ k×keys pruned rows, never the full input below the partial stage.
+    val lines = plan.linesIterator.toSeq
+    val sortIdx = lines.indexWhere(_.contains("Sort "))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(sortIdx >= 0 && sortIdx < exchangeIdx,
+      s"sort must be above the exchange (on pruned rows):\n$plan")
+  }
+
+  test("partial-stage flush under a tiny row budget: keys ~ rows, result unchanged") {
+    val prev = spark.conf.getOption("spark.graft.topk.maxPartialRows")
+    spark.conf.set("spark.graft.topk.maxPartialRows", "97")
+    try {
+      // every row its own key (worst case for the heap map) plus a handful
+      // of real groups; budget forces hundreds of flushes per partition
+      val wide = spark.range(10000).select(
+        (col("id") % 4000).as("k"), col("id"), (col("id") % 7).cast("double").as("v"))
+      val native = TopK.perKey(wide, Seq("k"), Seq(col("v").desc, col("id").asc), 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("v").desc, col("id"))
+      val windowed = wide.withColumn("rn", row_number().over(w)).where(col("rn") <= 2).drop("rn")
+      assert(native.exceptAll(windowed).isEmpty && windowed.exceptAll(native).isEmpty,
+        "flushed partials must re-merge to the exact window-form result")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.topk.maxPartialRows", v)
+        case None => spark.conf.unset("spark.graft.topk.maxPartialRows")
+      }
+    }
   }
 }
