@@ -249,6 +249,24 @@ object Queries {
     (s, dir) => Quality.columnProfile(t(s, dir, "orders")),
     None)
 
+  /** The exact half of q10b, oracle-gated: per-column null fraction and
+    * min/max (as strings) without the HLL sketch — only the sketch column
+    * is legitimately oracle-less.
+    */
+  val q10cColumnProfileExact: Q = Q(
+    "q10c_column_profile_exact",
+    (s, dir) => Quality.columnProfile(t(s, dir, "orders"), withApproxDistinct = false),
+    Some {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+            CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS null_fraction,
+            CAST(MIN($c) AS VARCHAR) AS min_value, CAST(MAX($c) AS VARCHAR) AS max_value
+            FROM orders"""
+      }.mkString("\nUNION ALL\n")
+    })
+
   /** Skew-mitigated join: explicit key salting. Result must be identical
     * to the plain join — the oracle IS the unsalted join.
     */
@@ -690,6 +708,47 @@ object Queries {
         numPerm = 64, bands = 16, threshold = 0.5),
     None)
 
+  /** EXACT near-dup ground truth: inverted-index all-pairs k-shingle
+    * Jaccard at the same threshold as q25 — recall = 1 by construction
+    * (any pair with Jaccard > 0 shares a shingle), no hashing anywhere, so
+    * DuckDB reproduces it bit-for-bit. This oracle-gates the near-dup
+    * family: DedupSpec asserts q25's LSH pipeline emits a SUBSET of these
+    * pairs (precision 1.0) with bounded recall loss.
+    */
+  val q25cJaccardPairsExact: Q = Q(
+    "q25c_jaccard_pairs_exact",
+    (s, dir) =>
+      Dedup.exactJaccardPairs(
+        corpusWithPlantedDups(s, dir), "text", "doc_id",
+        shingleK = 3, threshold = 0.5),
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)[2:], ' ') AS text
+        FROM documents WHERE doc_id % 10 = 0),
+      d AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+        FROM d),
+      inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+      shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, len(sh) AS n FROM sh)
+      SELECT s.id_a, s.id_b,
+             CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) AS jaccard
+      FROM shared s
+      JOIN sz sa ON sa.doc_id = s.id_a
+      JOIN sz sb ON sb.doc_id = s.id_b
+      WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5"""))
+
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures). */
   val q26SimhashPairs: Q = Q(
     "q26_simhash_pairs",
@@ -828,6 +887,20 @@ object Queries {
         expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact_median")),
     None)
 
+  /** The exact half of q38b, oracle-gated: only the sketch columns
+    * (HLL, t-digest) legitimately differ from DuckDB.
+    */
+  val q38cExactAgg: Q = Q(
+    "q38c_exact_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count_distinct(col("l_orderkey")).as("exact_orders"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact_median")),
+    Some("""
+      SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+             quantile_disc(l_extendedprice, 0.5) AS exact_median
+      FROM lineitem"""))
+
   /** As-of join: each click picks up the latest same-or-earlier purchase
     * value of the same user (union + running window — no join node).
     */
@@ -901,16 +974,19 @@ object Queries {
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterPushdown, q03BroadcastJoinAgg, q04FullouterTimeline,
     q05Scd2Dim, q06SnapshotFact, q07DimDate, q08CdcMerge, q09DupKeyDetector,
-    q10QualityProfile, q10bColumnProfile, q11TopK, q12MultiformatDates,
+    q10QualityProfile, q10bColumnProfile, q10cColumnProfileExact, q11TopK,
+    q12MultiformatDates,
     q13SemiJoin, q13bSaltedJoin, q13cBloomJoin, q14AntiJoin,
     q15WindowRank, q15bTopkNative, q16Except, q16bExceptAll,
     q17Intersect, q17bIntersectAll, q18Sessionize,
     q19Rollup, q19Cube, q19WindowFrames, q19Pivot, q19Ntile,
     q20TokenStats, q21QualityScore, q22LangId, q23Fingerprint, q24ExactDedup,
-    q25MinhashDedup, q25bDupClusters, q26SimhashPairs, q27RollingFingerprint,
+    q25MinhashDedup, q25bDupClusters, q25cJaccardPairsExact, q26SimhashPairs,
+    q27RollingFingerprint,
     q28TermFreq, q29TokenJaccard,
     q30CosineTopK, q31AnnLsh, q32EmbeddingNearDup, q33AnnIvf,
-    q36JsonExtract, q37SessionWindow, q38Quantiles, q38bApproxAgg, q39AsofJoin,
+    q36JsonExtract, q37SessionWindow, q38Quantiles, q38bApproxAgg, q38cExactAgg,
+    q39AsofJoin,
     q40BinaryMeta, q41MediaDecode, q42FrameSample)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */

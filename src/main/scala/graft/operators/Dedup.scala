@@ -282,6 +282,57 @@ object Dedup {
       .agg(max("jaccard").as("jaccard"))
   }
 
+  /** EXACT all-pairs k-shingle Jaccard ≥ threshold, via a shingle inverted
+    * index: any pair with Jaccard > 0 shares at least one shingle, so the
+    * equi-join on `shingle` is a complete candidate generator (recall = 1,
+    * unlike LSH banding) and the per-pair shared-shingle count plus the two
+    * set sizes give Jaccard without ever materializing the pair's sets:
+    * |A∩B| / (|A|+|B| − |A∩B|). No hashing anywhere — values are exact and
+    * ANSI-SQL-reproducible, which makes this the oracle-gated ground truth
+    * the LSH pipeline is measured against (DedupSpec asserts
+    * minHashDedupPairs ⊆ this set).
+    *
+    * Scale: cost is Σ_shingle df(shingle)², so frequency skew is the risk —
+    * `maxShingleDf` drops shingles seen in more than that many documents
+    * from the INDEX only (the standard prefix-filtering relaxation; sizes
+    * stay exact). Leave it None for exact semantics; set it at corpus scale
+    * where a stopword trigram would otherwise dominate the join.
+    */
+  def exactJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.7,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = Partitioning.spread(df)
+      .select(col(idCol).as("id"),
+        array_distinct(text.shingles(col(textCol), shingleK)).as("sh"))
+      .transform(pin) // read by the index AND the two size joins
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val inv0 = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    val inv = maxShingleDf match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+        inv0.withColumn("__df", count(lit(1)).over(w)).where(col("__df") <= cap).drop("__df")
+      case None => inv0
+    }
+    val shared = inv.select(col("id").as("id_a"), col("shingle"))
+      .join(inv.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Exact word-shingle Jaccard verification over candidate pairs only.
     * `pairs` must have (id_a, id_b); texts are joined back in, so this is
     * two broadcast-able equi-joins + a per-row set computation.

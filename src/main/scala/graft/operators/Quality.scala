@@ -40,7 +40,7 @@ object Quality {
     * column. The generalization of silver_check's per-table checks to
     * every column — at 100 TB a single pass instead of 4×columns jobs.
     */
-  def columnProfile(df: DataFrame): DataFrame = {
+  def columnProfile(df: DataFrame, withApproxDistinct: Boolean = true): DataFrame = {
     // maps (and other unorderable types): min/max would fail analysis
     def orderable(t: org.apache.spark.sql.types.DataType): Boolean =
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(t)
@@ -50,15 +50,18 @@ object Quality {
       val (mn, mx) =
         if (orderable(f.dataType)) (min(col(c)).cast("string"), max(col(c)).cast("string"))
         else (lit(null).cast("string"), lit(null).cast("string"))
-      struct(
+      val base = Seq(
         lit(c).as("col_name"),
-        (sum(when(col(c).isNull, 1L).otherwise(0L)).cast("double") / total).as("null_fraction"),
-        approx_count_distinct(col(c)).as("approx_distinct"),
-        mn.as("min_value"),
-        mx.as("max_value"))
+        (sum(when(col(c).isNull, 1L).otherwise(0L)).cast("double") / total).as("null_fraction"))
+      val sketch =
+        if (withApproxDistinct) Seq(approx_count_distinct(col(c)).as("approx_distinct")) else Nil
+      struct(base ++ sketch ++ Seq(mn.as("min_value"), mx.as("max_value")): _*)
     }
+    val outCols = Seq("p.col_name", "p.null_fraction") ++
+      (if (withApproxDistinct) Seq("p.approx_distinct") else Nil) ++
+      Seq("p.min_value", "p.max_value")
     df.agg(array(perCol.toIndexedSeq: _*).as("cols"))
       .select(explode(col("cols")).as("p"))
-      .select("p.col_name", "p.null_fraction", "p.approx_distinct", "p.min_value", "p.max_value")
+      .select(outCols.head, outCols.tail: _*)
   }
 }

@@ -39,6 +39,30 @@ object Sinks {
     import org.apache.hadoop.fs.Path
     val target = new Path(path)
     val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    // Crash-window detection. The swap below has a window between
+    // target→retired and staging→target where the target path is absent; a
+    // driver crash there leaves the merged history stranded under
+    // __retired_* while the NEXT merge's exists-probe read silently
+    // rebuilds from fresh data only — permanent silent loss. So: if the
+    // target is missing but a retired sibling exists, restore the newest
+    // retired copy and fail this call loudly — the caller's plan was built
+    // against the (empty) pre-recovery target and must be re-planned.
+    val parent = target.getParent
+    val name = target.getName
+    if (!fs.exists(target) && parent != null && fs.exists(parent)) {
+      val stranded = fs.listStatus(parent)
+        .map(_.getPath)
+        .filter(_.getName.startsWith(s"$name.__retired_"))
+        .sortBy(p => fs.getFileStatus(p).getModificationTime)
+      stranded.lastOption.foreach { newest =>
+        if (!fs.rename(newest, target))
+          throw new java.io.IOException(
+            s"found stranded pre-swap data at $newest but could not restore it to $target")
+        throw new java.io.IOException(
+          s"restored $target from stranded $newest (a previous swap crashed mid-rename); " +
+            "re-run this write so its plan reads the recovered data")
+      }
+    }
     // Unique suffixes: two concurrent writers must not clobber each
     // other's staging output (last promote still wins the target — serialize
     // writers externally if that matters).

@@ -124,6 +124,33 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getAs[Int]("hamming") == 0 && r.getAs[Long]("id_a") == 0L))
   }
 
+  test("exactJaccardPairs is exact: inverted index reproduces brute-force all-pairs Jaccard") {
+    val exact = Dedup.exactJaccardPairs(corpus, "text", "id", shingleK = 3, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    // brute force over the tiny corpus via jaccardVerify on ALL pairs
+    val ids = corpus.select("id").as[Long].collect().sorted
+    val allPairs = (for { a <- ids; b <- ids if a < b } yield (a, b)).toSeq.toDF("id_a", "id_b")
+    val brute = Dedup.jaccardVerify(allPairs, corpus, "text", "id", threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(exact == brute, s"inverted-index result must equal brute force:\n$exact\nvs $brute")
+  }
+
+  test("LSH pipeline precision vs exact ground truth on real documents") {
+    val sfDir = "/root/testdata/sf0.001"
+    val lsh = Queries.queries("q25_minhash_dedup")(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Queries.queries("q25c_jaccard_pairs_exact")(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact),
+      s"every LSH-emitted pair must be a true >=threshold pair; extras: ${lsh.diff(exact)}")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall vs exact ground truth was $recall")
+  }
+
   test("jaccardVerify on explicit candidate pairs") {
     val cand = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val verified = Dedup.jaccardVerify(cand, corpus, "text", "id", threshold = 0.5).collect()

@@ -28,6 +28,72 @@ class SinksSpec extends AnyFunSuite {
     assert(back.columns.toSet == df.columns.toSet)
   }
 
+  test("writePartitionedAtomic: stranded __retired_ sibling is restored, not silently lost") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("sink-atomic")
+    val t = dir.toString + "/t"
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "region")
+    Sinks.writePartitionedAtomic(df, t, Nil)
+    // Simulate a driver crash between the two swap renames: target was
+    // retired, the staging promote never happened.
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(t), new Path(t + ".__retired_deadbeef")))
+    val e = intercept[java.io.IOException] { Sinks.writePartitionedAtomic(df, t, Nil) }
+    assert(e.getMessage.contains("restored"), e.getMessage)
+    assert(spark.read.parquet(t).count() == df.count(), "pre-crash data must be recovered")
+    // With the target recovered, a re-run completes normally.
+    Sinks.writePartitionedAtomic(df, t, Nil)
+    assert(spark.read.parquet(t).count() == df.count())
+  }
+
+  test("writeJdbc against embedded Derby: batched write, truncate-overwrite preserves DDL") {
+    // Derby ships with Spark (metastore dependency) — a real JDBC target in
+    // the same JVM, exercising the exact write path the reference points at
+    // Postgres: truncate=true overwrite, batchsize, numPartitions.
+    val dbDir = Files.createTempDirectory("sink-jdbc").toString + "/db"
+    val cfg = Sinks.JdbcConfig(
+      url = s"jdbc:derby:$dbDir;create=true",
+      user = "app",
+      password = "",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver",
+      batchSize = 100)
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"))
+
+    Sinks.writeJdbc(df, cfg, "NATION_GOLD", numPartitions = 4)
+
+    // Index the table out-of-band; a drop/recreate overwrite would lose it,
+    // a TRUNCATE-preserving overwrite must keep it.
+    Class.forName(cfg.driver)
+    val conn = java.sql.DriverManager.getConnection(cfg.url)
+    try {
+      // Spark's JDBC writer quotes column identifiers, so Derby stores them
+      // case-sensitively lowercase.
+      conn.createStatement().execute(
+        "CREATE INDEX NATION_GOLD_IDX ON NATION_GOLD (\"n_nationkey\")")
+    } finally conn.close()
+
+    Sinks.writeJdbc(df, cfg, "NATION_GOLD", numPartitions = 4)
+
+    val check = java.sql.DriverManager.getConnection(cfg.url)
+    try {
+      val rs = check.createStatement().executeQuery("SELECT COUNT(*) FROM NATION_GOLD")
+      rs.next()
+      assert(rs.getInt(1) == df.count(), "second overwrite must replace, not append")
+      val idx = check.getMetaData.getIndexInfo(null, null, "NATION_GOLD", false, false)
+      var names = Set.empty[String]
+      while (idx.next()) names += Option(idx.getString("INDEX_NAME")).getOrElse("")
+      assert(names.contains("NATION_GOLD_IDX"),
+        s"truncate-overwrite must preserve the index; found only $names")
+    } finally check.close()
+
+    val back = spark.read.format("jdbc")
+      .option("url", cfg.url).option("dbtable", "NATION_GOLD")
+      .option("driver", cfg.driver).load()
+    assert(back.select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq ==
+      df.select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq)
+  }
+
   test("single-file exports: exactly one data file, header round-trip") {
     val dir = Files.createTempDirectory("sink-export")
     val df = Tables.load(spark, "/root/testdata/sf0.001", "region")
