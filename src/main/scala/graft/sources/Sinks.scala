@@ -84,6 +84,78 @@ object Sinks {
     fs.delete(retired, true)
   }
 
+  /** PARTITION-scoped atomic overwrite: `df` must contain only the
+    * partitions being replaced; each hive partition directory it produces
+    * is swapped into the target individually, so untouched partitions are
+    * never rewritten — or even listed. This is what makes a streaming CDC
+    * merge O(touched partitions) per micro-batch instead of
+    * O(table history): at 100 TB the table has thousands of partitions and
+    * a micro-batch touches a handful.
+    */
+  def writePartitionsAtomic(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(partitionCols.nonEmpty, "partition-scoped write needs partition columns")
+    val target = new Path(path)
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = fs.makeQualified(new Path(s"$path.__staging_$token"))
+    writePartitioned(df, staging.toString, partitionCols)
+
+    def leaves(dir: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(dir)
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => leaves(st.getPath, depth - 1))
+
+    val stagingRoot = staging.toUri.getPath
+    leaves(staging, partitionCols.length).foreach { leaf =>
+      val rel = leaf.toUri.getPath.stripPrefix(stagingRoot).stripPrefix("/")
+      val dst = new Path(target, rel)
+      val retired = new Path(dst.getParent, s"${dst.getName}.__retired_$token")
+      if (fs.exists(dst) && !fs.rename(dst, retired))
+        throw new java.io.IOException(s"could not retire partition $dst")
+      if (dst.getParent != null) fs.mkdirs(dst.getParent)
+      if (!fs.rename(leaf, dst)) {
+        if (fs.exists(retired) && !fs.rename(retired, dst))
+          throw new java.io.IOException(
+            s"could not promote $leaf to $dst AND rollback failed — " +
+              s"previous partition data is stranded at $retired")
+        throw new java.io.IOException(s"could not promote $leaf to $dst (rolled back)")
+      }
+      fs.delete(retired, true)
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Auto-restore partitions stranded by a crashed [[writePartitionsAtomic]]
+    * swap (retired sibling present, base directory missing). Unlike the
+    * whole-table variant — which must FAIL because its caller already built
+    * a plan over the broken target — this runs BEFORE the caller reads, so
+    * restoring silently is safe. Superseded `__retired_*` leftovers whose
+    * base exists are deleted.
+    */
+  def recoverStrandedPartitions(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(dir: Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory) {
+          val n = st.getPath.getName
+          val idx = n.indexOf(".__retired_")
+          if (idx > 0) {
+            val base = new Path(dir, n.substring(0, idx))
+            if (!fs.exists(base)) {
+              if (!fs.rename(st.getPath, base))
+                throw new java.io.IOException(
+                  s"found stranded partition ${st.getPath} but could not restore to $base")
+            } else fs.delete(st.getPath, true)
+          } else if (n.contains("=")) walk(st.getPath)
+        }
+      }
+    if (fs.exists(root)) walk(root)
+  }
+
   /** Bucketed managed table: rows are hash-clustered into `numBuckets`
     * files per partition by `bucketCols` (and optionally sorted within
     * buckets). Two tables bucketed the same way join with ZERO exchanges —

@@ -86,10 +86,21 @@ object Streams {
   /** Streaming CDC merge: the streaming upgrade of the reference's batch
     * full-history merge (SURVEY.md §2.9 — the reference re-reads and
     * re-merges everything per run). Each micro-batch is merged into the
-    * silver path through the same CdcMerge + atomic staging-swap sink the
-    * batch pipeline uses, so batch and streaming ingestion are ONE code
-    * path and the target is always a complete, deduplicated parquet table.
+    * silver path through the same CdcMerge + atomic swap sinks the batch
+    * pipeline uses, so batch and streaming ingestion are ONE code path and
+    * the target is always a complete, deduplicated parquet table.
     * Re-deliveries across micro-batches dedup against the existing table.
+    *
+    * With `partitionCols` set, the merge is PARTITION-SCOPED: only the
+    * partitions present in the micro-batch are read (partition-pruned
+    * scan), merged, and swapped — untouched partition directories are not
+    * rewritten, so per-batch I/O is O(touched partitions), not
+    * O(table history). The keys-must-colocate-with-partitions caveat
+    * applies: a merge key must not move between partition values across
+    * deliveries, or the old copy in the untouched partition survives
+    * (the same contract hive-partitioned upserts have everywhere).
+    * Without `partitionCols` the whole table is re-merged (the reference's
+    * exact semantics).
     *
     * The returned query must be awaited/stopped by the caller.
     */
@@ -103,9 +114,52 @@ object Streams {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val existing = graft.operators.CdcMerge.readIfExists(spark, silverPath)
-        val merged = graft.operators.CdcMerge.mergeFullHistory(existing, batch.toDF(), mergeKeys)
-        graft.sources.Sinks.writePartitionedAtomic(merged, silverPath, partitionCols)
+        if (partitionCols.isEmpty) {
+          val existing = graft.operators.CdcMerge.readIfExists(spark, silverPath)
+          val merged = graft.operators.CdcMerge.mergeFullHistory(existing, batch.toDF(), mergeKeys)
+          graft.sources.Sinks.writePartitionedAtomic(merged, silverPath, partitionCols)
+        } else {
+          // persist: the batch feeds both the touched-partition probe and
+          // the merge union.
+          val b = batch.toDF().persist()
+          try {
+            // A previous swap may have crashed mid-rename; restore BEFORE
+            // building the read plan so the merge never sees a half-table.
+            graft.sources.Sinks.recoverStrandedPartitions(spark, silverPath)
+            // Touched partitions as strings — the same representation hive
+            // dir names use, and (with type inference off below) the same
+            // type the partition columns read back as, so the pruning
+            // predicate is a string equality that reaches PartitionFilters.
+            val touched = b
+              .select(partitionCols.map(c => col(c).cast("string")): _*)
+              .distinct()
+              .collect()
+            if (touched.nonEmpty) {
+              val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+              val prevInfer = spark.conf.get(inferKey, "true")
+              // Partition discovery is eager at read time, so the conf can
+              // be restored right after readIfExists returns.
+              val existingScoped =
+                try {
+                  spark.conf.set(inferKey, "false")
+                  graft.operators.CdcMerge.readIfExists(spark, silverPath).map { e =>
+                    val pred = touched.map { r =>
+                      partitionCols.zipWithIndex
+                        .map { case (c, i) => col(c) <=> lit(r.getString(i)) }
+                        .reduce(_ && _)
+                    }.reduce(_ || _)
+                    // align the inferred-as-string partition cols back to
+                    // the batch's types for the merge union
+                    partitionCols.foldLeft(e.where(pred)) { (d, c) =>
+                      d.withColumn(c, col(c).cast(b.schema(c).dataType))
+                    }
+                  }
+                } finally spark.conf.set(inferKey, prevInfer)
+              val merged = graft.operators.CdcMerge.mergeFullHistory(existingScoped, b, mergeKeys)
+              graft.sources.Sinks.writePartitionsAtomic(merged, silverPath, partitionCols)
+            }
+          } finally b.unpersist()
+        }
       }
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }

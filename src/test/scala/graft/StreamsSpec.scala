@@ -140,6 +140,45 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("cdcMergeStream partition-scoped: untouched partitions are not rewritten") {
+    implicit val sqlCtx = spark.sqlContext
+    val silver = java.nio.file.Files.createTempDirectory("stream-silver-part").toString + "/events"
+    val input = MemoryStream[Evt]
+    val withDay = input.toDF().withColumn("p_day", date_format(col("ts"), "yyyyMMdd"))
+    val query = Streams.cdcMergeStream(
+      withDay, silver, mergeKeys = Seq("user_id", "ts"), partitionCols = Seq("p_day"))
+    try {
+      val day1 = 1700000000L // 2023-11-14 UTC
+      val day2 = 1700100000L // 2023-11-16 UTC
+      input.addData(Evt(1L, ts(day1), 1.0), Evt(2L, ts(day2), 2.0))
+      query.processAllAvailable()
+      assert(spark.read.parquet(silver).count() == 2)
+
+      def day1Files(): Map[String, (Long, Array[Byte])] = {
+        val dir = new java.io.File(silver).listFiles()
+          .find(_.getName.startsWith("p_day=20231114")).get
+        dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          f.getName -> (f.lastModified() -> java.nio.file.Files.readAllBytes(f.toPath))
+        }.toMap
+      }
+      val before = day1Files()
+
+      // batch 2 touches ONLY day2: one new key + one re-delivery
+      input.addData(Evt(2L, ts(day2), 9.0), Evt(3L, ts(day2 + 5), 3.0))
+      query.processAllAvailable()
+
+      val after = day1Files()
+      assert(after.keySet == before.keySet, "untouched partition must keep its files")
+      after.foreach { case (name, (mtime, bytes)) =>
+        assert(mtime == before(name)._1, s"$name was rewritten (mtime changed)")
+        assert(bytes.sameElements(before(name)._2), s"$name content changed")
+      }
+      val rows = spark.read.parquet(silver).collect()
+      assert(rows.length == 3, s"re-delivery must dedup: ${rows.mkString(",")}")
+      assert(spark.read.parquet(silver).where(col("user_id") === 2L).count() == 1)
+    } finally query.stop()
+  }
+
   test("closedSessions: late-but-valid cross-batch event extends the session backwards safely") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Evt]
