@@ -30,9 +30,10 @@ object Bench {
     // Drop operator-pinned prep tables and everything else in the cache
     // manager: leftover storage memory from a previous query (the dedup
     // sketch tables especially) pressures execution memory and skews later
-    // timings.
+    // timings. blocking = true — async eviction would overlap the next
+    // timed pass, which is the exact interference being eliminated.
     def clear(): Unit = {
-      graft.operators.Caches.release()
+      graft.operators.Caches.release(blocking = true)
       spark.catalog.clearCache()
     }
 

@@ -21,9 +21,13 @@ object Caches {
     df.persist()
   }
 
-  /** Unpersist every operator-pinned frame in this JVM. */
-  def release(): Unit = pinned.synchronized {
-    pinned.foreach(_.unpersist(blocking = false))
+  /** Unpersist every operator-pinned frame in this JVM. Pass
+    * `blocking = true` when the caller needs storage memory actually
+    * drained before proceeding (e.g. a benchmark timing the next query) —
+    * async eviction otherwise overlaps whatever runs next.
+    */
+  def release(blocking: Boolean = false): Unit = pinned.synchronized {
+    pinned.foreach(_.unpersist(blocking))
     pinned.clear()
   }
 }

@@ -56,9 +56,14 @@ object CdcMerge {
       .select((keys.map(col) ++ others.map(c => col(s"__w.$c").as(c))): _*)
   }
 
-  /** Probe-or-none scan for the merge target (reference: bronze_to_silver.py:66-68). */
-  def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      Some(spark.read.parquet(path))
-    else None
+  /** Probe-or-none scan for the merge target (reference: bronze_to_silver.py:66-68).
+    * The probe goes through the Hadoop FileSystem resolved from the path —
+    * a java.nio probe is local-FS only and would return false for every
+    * hdfs:// or s3a:// table, silently rebuilding silver from fresh data.
+    */
+  def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
 }

@@ -128,36 +128,26 @@ object Dedup {
       .select((Seq(col("id"), col("bb.band"), col("bb.bucket")) ++ carry): _*)
   }
 
-  /** Band table + per-bucket occupancy. A window count over (band, bucket)
-    * costs one shuffle on exactly the key the candidate self-join needs
-    * anyway — cheaper than a separate count + join back.
-    */
-  private def withOccupancy(banded: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    banded.withColumn("__occ", count(lit(1)).over(w))
-  }
-
-  /** Banded LSH candidate pairs from a prep table, bounded: buckets with
-    * more than `maxBucket` members are excluded from the (quadratic-within-
-    * bucket) self-join — boilerplate corpora (all-identical docs, empty
-    * strings, templated pages) otherwise put millions of rows in ONE bucket
-    * and a single reducer pays (n choose 2). Callers route the over-cap
-    * members through the linear identical-content path instead
-    * ([[hotExactPairs]]); AQE skew-split cannot help here because it splits
-    * input, not the joined output.
+  /** Banded candidate self-join over the under-cap ("cold") buckets of an
+    * occupancy-annotated band table. Buckets with more than `maxBucket`
+    * members are excluded from the (quadratic-within-bucket) join —
+    * boilerplate corpora (all-identical docs, empty strings, templated
+    * pages) otherwise put millions of rows in ONE bucket and a single
+    * reducer pays (n choose 2). Callers route the over-cap members through
+    * the linear identical-content path instead
+    * ([[Blocking.keeperStarPairs]]); AQE skew-split cannot help here
+    * because it splits input, not the joined output.
     *
     * With `withEstimate` the sketches ride through the join and pairs carry
     * the minhash agreement fraction; without it only (band, bucket, id)
     * shuffles — use that when an exact verification step follows anyway.
     */
-  private def candidatesFromSketch(
-      prepped: DataFrame,
+  private def coldCandidatePairs(
+      bandedOcc: DataFrame,
       numPerm: Int,
-      bands: Int,
       withEstimate: Boolean,
       maxBucket: Int): DataFrame = {
-    val banded = withOccupancy(bandedBuckets(prepped, numPerm, bands, carryMh = withEstimate))
-      .where(col("__occ") <= maxBucket)
+    val banded = bandedOcc.where(col("__occ") <= maxBucket)
     def side(suffix: String) = {
       val renamed = Seq(col("band"), col("bucket"), col("id").as(s"id_$suffix")) ++
         (if (withEstimate) Seq(col("mh").as(s"mh_$suffix")) else Nil)
@@ -176,35 +166,16 @@ object Dedup {
     else joined.select("id_a", "id_b").distinct()
   }
 
-  /** ids that appear in any over-cap bucket. */
-  private def hotMembers(prepped: DataFrame, numPerm: Int, bands: Int, maxBucket: Int): DataFrame =
-    withOccupancy(bandedBuckets(prepped, numPerm, bands, carryMh = false))
-      .where(col("__occ") > maxBucket)
-      .select("id")
-      .distinct()
-
-  /** Linear short-circuit for over-cap buckets: a mega-bucket is in
-    * practice a cluster of identical content, so pair each member to the
-    * keeper (min id) of its IDENTICAL shingle set — O(members) star pairs
-    * with jaccard = 1.0 by construction, instead of (n choose 2) verified
-    * joins. Members of a hot bucket whose content is NOT identical to
-    * anything are dropped (logged recall loss, standard in production
-    * dedup). Grouping joins on a 64-bit hash of the set and then verifies
-    * set equality against the keeper's, so a hash collision cannot emit a
-    * false pair.
-    */
-  private def hotExactPairs(prepped: DataFrame, hotIds: DataFrame): DataFrame = {
-    val hotPrep = prepped
-      .join(hotIds, Seq("id"), "left_semi")
-      .select(col("id"), col("sh"), xxhash64(col("sh")).as("__shkey"))
-    val keepers = hotPrep
-      .groupBy("__shkey")
-      .agg(min("id").as("id_a"), min_by(col("sh"), col("id")).as("__sh_keeper"))
-    hotPrep
-      .join(keepers, Seq("__shkey"))
-      .where(col("id") =!= col("id_a") && col("sh") === col("__sh_keeper"))
-      .select(col("id_a"), col("id").as("id_b"), lit(1.0).as("jaccard"))
-  }
+  private def candidatesFromSketch(
+      prepped: DataFrame,
+      numPerm: Int,
+      bands: Int,
+      withEstimate: Boolean,
+      maxBucket: Int): DataFrame =
+    coldCandidatePairs(
+      Blocking.withOccupancy(
+        bandedBuckets(prepped, numPerm, bands, carryMh = withEstimate), Seq("band", "bucket")),
+      numPerm, withEstimate, maxBucket)
 
   /** LSH S-curve threshold for a band geometry: the Jaccard similarity at
     * which a pair has ~50% candidate probability is t ≈ (1/b)^(1/r) with
@@ -261,8 +232,11 @@ object Dedup {
       maxBucket: Int = 256): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands evenly")
     val prepped = prep(df, textCol, idCol, numPerm, shingleK)
-    val cand = candidatesFromSketch(prepped, numPerm, bands, withEstimate = false,
-      maxBucket = maxBucket)
+    // ONE banded/occupancy tree feeds both the cold self-join and the hot
+    // member probe.
+    val bandedOcc = Blocking.withOccupancy(
+      bandedBuckets(prepped, numPerm, bands, carryMh = false), Seq("band", "bucket"))
+    val cand = coldCandidatePairs(bandedOcc, numPerm, withEstimate = false, maxBucket = maxBucket)
     val verified = cand
       .join(prepped.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(prepped.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -273,9 +247,17 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
     // Over-cap buckets (boilerplate clusters) re-enter through the linear
-    // identical-content path; a doc can surface in both (hot in one band,
-    // cold in another), so collapse to one row per pair.
-    val hot = hotExactPairs(prepped, hotMembers(prepped, numPerm, bands, maxBucket))
+    // identical-content path. The shingle set is SORTED first — `sh` stores
+    // first-occurrence order, and set-identical docs in different order
+    // have identical minhash sketches (minhash is order-insensitive, which
+    // is what put them in the same hot bucket) and a true jaccard of 1.0.
+    // A doc can surface in both paths (hot in one band, cold in another),
+    // so collapse to one row per pair.
+    val hotIds = bandedOcc.where(col("__occ") > maxBucket).select("id").distinct()
+    val hotMembers = prepped
+      .join(hotIds, Seq("id"), "left_semi")
+      .select(col("id"), array_sort(col("sh")).as("shs"))
+    val hot = Blocking.keeperStarPairs(hotMembers, "shs", "jaccard", lit(1.0))
     verified
       .unionByName(hot)
       .groupBy("id_a", "id_b")
@@ -443,7 +425,7 @@ object Dedup {
             call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xffffL).as("bucket"))))
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-      .transform(withOccupancy)
+      .transform(Blocking.withOccupancy(_, Seq("band", "bucket")))
     val cold = banded.where(col("__occ") <= maxBucket)
     val a = cold.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = cold.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -452,12 +434,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"), bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
     val hotIds = banded.where(col("__occ") > maxBucket).select("id").distinct()
-    val hotPairs = sigs
-      .join(hotIds, Seq("id"), "left_semi")
-      .withColumn("id_a", min(col("id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sig")))
-      .where(col("id") =!= col("id_a"))
-      .select(col("id_a"), col("id").as("id_b"), lit(0).cast("int").as("hamming"))
+    val hotPairs = Blocking.keeperStarPairs(
+      sigs.join(hotIds, Seq("id"), "left_semi"), "sig", "hamming", lit(0).cast("int"))
     coldPairs.unionByName(hotPairs).distinct()
   }
 }

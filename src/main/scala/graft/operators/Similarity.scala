@@ -113,7 +113,10 @@ object Similarity {
       while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    var centroids = points.distinct.take(k)
+    // distinctBy content: Array equality is reference identity, so a plain
+    // .distinct would keep duplicate vectors and seed duplicate centroids
+    // that ties then starve forever (effective k collapses).
+    var centroids = points.distinctBy(_.toSeq).take(k)
     for (_ <- 0 until iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Long](centroids.length)
@@ -220,8 +223,7 @@ object Similarity {
       }: _*)).as("bs"))
       .select(col("id"), col("v"), col("bs.band"), col("bs.sig"))
       .transform(Caches.pin)
-    val withOcc = banded.withColumn("__occ",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")))
+    val withOcc = Blocking.withOccupancy(banded, Seq("band", "sig"))
     val cold = withOcc.where(col("__occ") <= maxBucket)
     val a = cold.select(col("band"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val b = cold.select(col("band"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
@@ -229,22 +231,14 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), vectors.cosine(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
-    // Identical-vector star pairs for over-cap buckets: group on a 64-bit
-    // hash of the vector, then verify bit-equality against the keeper's so
-    // a hash collision cannot emit a false pair.
-    val hotIds = withOcc.where(col("__occ") > maxBucket).select("id").distinct()
+    // Identical-vector star pairs for over-cap buckets; vectors are their
+    // own canonical form (element order IS meaning, no sort needed).
     // band 0 carries every id exactly once — one row per doc without a
     // distinct shuffle over the vector column.
-    val hotVecs = banded.where(col("band") === 0).select("id", "v")
-      .join(hotIds, Seq("id"), "left_semi")
-      .withColumn("__vkey", xxhash64(col("v")))
-    val keepers = hotVecs
-      .groupBy("__vkey")
-      .agg(min("id").as("id_a"), min_by(col("v"), col("id")).as("__v_keeper"))
-    val hotPairs = hotVecs
-      .join(keepers, Seq("__vkey"))
-      .where(col("id") =!= col("id_a") && col("v") === col("__v_keeper"))
-      .select(col("id_a"), col("id").as("id_b"), lit(1.0).as("cosine"))
+    val hotIds = withOcc.where(col("__occ") > maxBucket).select("id").distinct()
+    val hotPairs = Blocking.keeperStarPairs(
+      banded.where(col("band") === 0).select("id", "v").join(hotIds, Seq("id"), "left_semi"),
+      "v", "cosine", lit(1.0))
     coldPairs.unionByName(hotPairs)
       .groupBy("id_a", "id_b")
       .agg(max("cosine").as("cosine"))

@@ -70,18 +70,25 @@ object Sinks {
     val staging = new Path(s"$path.__staging_$token")
     val retired = new Path(s"$path.__retired_$token")
     writePartitioned(df, staging.toString, partitionCols)
-    if (fs.exists(target) && !fs.rename(target, retired))
-      throw new java.io.IOException(s"could not retire $target")
-    if (!fs.rename(staging, target)) {
-      // Roll back to the pre-write data; a failed rollback must not be
-      // silent — the data would be stranded under the retired path.
-      if (fs.exists(retired) && !fs.rename(retired, target))
-        throw new java.io.IOException(
-          s"could not promote $staging to $target AND rollback failed — " +
-            s"previous data is stranded at $retired")
-      throw new java.io.IOException(s"could not promote $staging to $target (rolled back)")
+    try {
+      if (fs.exists(target) && !fs.rename(target, retired))
+        throw new java.io.IOException(s"could not retire $target")
+      if (!fs.rename(staging, target)) {
+        // Roll back to the pre-write data; a failed rollback must not be
+        // silent — the data would be stranded under the retired path.
+        if (fs.exists(retired) && !fs.rename(retired, target))
+          throw new java.io.IOException(
+            s"could not promote $staging to $target AND rollback failed — " +
+              s"previous data is stranded at $retired")
+        throw new java.io.IOException(s"could not promote $staging to $target (rolled back)")
+      }
+      fs.delete(retired, true)
+    } finally {
+      // A successful promote renamed staging away; on any failure path the
+      // recomputable staging copy must not accrete on disk (streaming
+      // retries would otherwise leave one full copy per attempt).
+      if (fs.exists(staging)) fs.delete(staging, true)
     }
-    fs.delete(retired, true)
   }
 
   /** PARTITION-scoped atomic overwrite: `df` must contain only the
@@ -108,23 +115,29 @@ object Sinks {
         .flatMap(st => leaves(st.getPath, depth - 1))
 
     val stagingRoot = staging.toUri.getPath
-    leaves(staging, partitionCols.length).foreach { leaf =>
-      val rel = leaf.toUri.getPath.stripPrefix(stagingRoot).stripPrefix("/")
-      val dst = new Path(target, rel)
-      val retired = new Path(dst.getParent, s"${dst.getName}.__retired_$token")
-      if (fs.exists(dst) && !fs.rename(dst, retired))
-        throw new java.io.IOException(s"could not retire partition $dst")
-      if (dst.getParent != null) fs.mkdirs(dst.getParent)
-      if (!fs.rename(leaf, dst)) {
-        if (fs.exists(retired) && !fs.rename(retired, dst))
-          throw new java.io.IOException(
-            s"could not promote $leaf to $dst AND rollback failed — " +
-              s"previous partition data is stranded at $retired")
-        throw new java.io.IOException(s"could not promote $leaf to $dst (rolled back)")
+    try {
+      leaves(staging, partitionCols.length).foreach { leaf =>
+        val rel = leaf.toUri.getPath.stripPrefix(stagingRoot).stripPrefix("/")
+        val dst = new Path(target, rel)
+        val retired = new Path(dst.getParent, s"${dst.getName}.__retired_$token")
+        if (fs.exists(dst) && !fs.rename(dst, retired))
+          throw new java.io.IOException(s"could not retire partition $dst")
+        if (dst.getParent != null) fs.mkdirs(dst.getParent)
+        if (!fs.rename(leaf, dst)) {
+          if (fs.exists(retired) && !fs.rename(retired, dst))
+            throw new java.io.IOException(
+              s"could not promote $leaf to $dst AND rollback failed — " +
+                s"previous partition data is stranded at $retired")
+          throw new java.io.IOException(s"could not promote $leaf to $dst (rolled back)")
+        }
+        fs.delete(retired, true)
       }
-      fs.delete(retired, true)
+    } finally {
+      // Promoted leaves were renamed out; whatever remains is recomputable
+      // staging residue — delete it even on failure so streaming retries
+      // don't accrete one staged copy per attempt.
+      fs.delete(staging, true)
     }
-    fs.delete(staging, true)
   }
 
   /** Auto-restore partitions stranded by a crashed [[writePartitionsAtomic]]

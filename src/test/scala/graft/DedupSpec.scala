@@ -116,6 +116,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.count { case (a, _) => a == 100L } == 99, "hot cluster is keeper-starred")
   }
 
+  test("hot-bucket star pairs key on the shingle SET, not its first-occurrence order") {
+    // Same distinct shingle set, different order of first occurrence →
+    // identical minhash sketch (hence same hot bucket) and true jaccard 1.0;
+    // the star-pair grouping must not split them.
+    val a = "x y z a b c x y z"
+    val b = "a b c x y z a b c"
+    val docs = spark.range(1000)
+      .select(col("id"), when(col("id") % 2 === 0, lit(a)).otherwise(lit(b)).as("text"))
+    val pairs = Dedup
+      .minHashDedupPairs(docs, "text", "id", numPerm = 64, bands = 16, threshold = 0.5,
+        maxBucket = 50)
+      .collect()
+    assert(pairs.length == 999, s"one star pair per non-keeper, got ${pairs.length}")
+    assert(pairs.forall(r => r.getAs[Double]("jaccard") == 1.0 && r.getAs[Long]("id_a") == 0L))
+  }
+
   test("hot-bucket cap: simHashPairs stays linear on an identical-doc flood") {
     val boiler = spark.range(2000)
       .select(col("id"), lit("identical simhash flood document body").as("text"))
