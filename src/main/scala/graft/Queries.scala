@@ -764,6 +764,56 @@ object Queries {
         text.rollingFingerprint(col("text")).as("rolling_fp")),
     None) // xxhash64 has no DuckDB equivalent
 
+  /** Gopher-style within-document repetition ratio: fraction of word
+    * 2-shingles that are repeats — the standard boilerplate/keyword-stuffing
+    * quality signal.
+    */
+  val q34Repetition: Q = Q(
+    "q34_repetition_ratio",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.repetitionRatio(col("text"), k = 2).as("rep_ratio")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                    ELSE list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) END AS sh
+        FROM d)
+      SELECT doc_id,
+             CASE WHEN len(sh) <= 1 THEN 0.0
+                  ELSE CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) END AS rep_ratio
+      FROM sh"""))
+
+  /** PII redaction: email + phone scrubbing with typed placeholders. The
+    * corpus is salted with synthetic deterministic PII in-query (the raw
+    * documents have none), so the oracle exercises real replacements, not
+    * the identity path.
+    */
+  val q35PiiRedact: Q = Q(
+    "q35_pii_redact",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.redactPii(
+          concat(
+            col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com or +1 (555) 010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .as("redacted")),
+    Some(s"""
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 text || ' contact user' || doc_id || '@example.com or +1 (555) 010-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                 '${text.emailPattern}', '<EMAIL>', 'g'),
+               '${text.phonePattern}', '<PHONE>', 'g') AS redacted
+      FROM documents"""))
+
   // ===========================================================
   // Training-data pipeline: embeddings / similarity search
   // ===========================================================
@@ -985,6 +1035,7 @@ object Queries {
     q27RollingFingerprint,
     q28TermFreq, q29TokenJaccard,
     q30CosineTopK, q31AnnLsh, q32EmbeddingNearDup, q33AnnIvf,
+    q34Repetition, q35PiiRedact,
     q36JsonExtract, q37SessionWindow, q38Quantiles, q38bApproxAgg, q38cExactAgg,
     q39AsofJoin,
     q40BinaryMeta, q41MediaDecode, q42FrameSample)

@@ -112,6 +112,30 @@ object text {
           .otherwise(lit("und")))
   }
 
+  /** Fraction of word k-shingles that are repeats (Gopher-style repetition
+    * signal: boilerplate and keyword-stuffed pages score high). 0.0 for
+    * docs too short to have more than one shingle.
+    */
+  def repetitionRatio(c: Column, k: Int = 2): Column = {
+    val sh = shingles(c, k)
+    when(size(sh) <= 1, lit(0.0))
+      .otherwise(
+        (size(sh) - size(array_distinct(sh))).cast("double") / size(sh).cast("double"))
+  }
+
+  /** Scrub emails and (NANP-style) phone numbers with typed placeholders —
+    * the minimal PII pass every training corpus gets. Patterns restricted
+    * to syntax Java and RE2 regex engines agree on, so the DuckDB oracle
+    * replays them verbatim.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9]{1,2} ?\\([0-9]{3}\\) ?[0-9]{3}-[0-9]{4}"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   // --- Fingerprinting ---
 
   /** Canonical-text MD5: lowercase, collapse whitespace, trim. Collapse

@@ -60,4 +60,22 @@ object TextProperties extends Properties("graft.text") {
       val sh = one(words.mkString(" "), text.shingles(col("text"), k)).getSeq[String](0)
       sh.length == words.length - k + 1 && sh.forall(_.split(" ").length == k)
     }
+
+  property("repetitionRatio: 0 on all-distinct shingles, (n-1)/n on one repeated word") =
+    forAll(Gen.listOfN(10, genWord).suchThat(ws => ws.distinct.length == ws.length), genWord) {
+      (words, w) =>
+        val distinctDoc = words.mkString(" ")
+        val repeatedDoc = Seq.fill(10)(w).mkString(" ") // 9 bigrams, all identical
+        one(distinctDoc, text.repetitionRatio(col("text"))).getDouble(0) == 0.0 &&
+        one(repeatedDoc, text.repetitionRatio(col("text"))).getDouble(0) == 8.0 / 9.0
+    }
+
+  property("redactPii scrubs planted email+phone and leaves clean text alone") =
+    forAll(genDoc) { doc =>
+      val salted = s"$doc reach me: jane.doe+spam@mail.example.org or +1 (555) 010-1234 bye"
+      val red = one(salted, text.redactPii(col("text"))).getString(0)
+      val clean = one(doc, text.redactPii(col("text"))).getString(0)
+      red.contains("<EMAIL>") && red.contains("<PHONE>") &&
+      !red.contains("@") && !red.contains("(555)") && clean == doc
+    }
 }
