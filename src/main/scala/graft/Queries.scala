@@ -673,7 +673,7 @@ object Queries {
     * input for the near-dup detection queries below. Mutated copies get
     * doc_id + 1,000,000.
     */
-  private def corpusWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpusWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val toks = text.tokens(col("text"))
     val mutated = docs

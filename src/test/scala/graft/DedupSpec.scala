@@ -167,6 +167,48 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall vs exact ground truth was $recall")
   }
 
+  test("simHash band blocking is EXACT for hamming <= 3 (pigeonhole over 4x16-bit bands)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = Queries.corpusWithPlantedDups(spark, sfDir)
+    val sigs = corpus.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val exact = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val blocked = Queries.queries("q26_simhash_pairs")(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked == exact,
+      s"hamming<=3 guarantees a shared band — blocking must lose nothing; " +
+        s"missing=${exact.diff(blocked).take(5)} extra=${blocked.diff(exact).take(5)}")
+  }
+
+  test("embedding near-dup precision vs brute-force cosine ground truth") {
+    val sfDir = "/root/testdata/sf0.001"
+    val lsh = Queries.queries("q32_embedding_near_dup")(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth in the driver over the same planted corpus
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val planted = emb.filter(_._1 % 10 == 0)
+      .map { case (id, v) => (id + 1000000L) -> v.map(x => x * 1.001f) }
+    val all = emb ++ planted
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cos(va, vb) >= 0.989 // epsilon under the query's 0.99: float-sum order differs
+    } yield (ia, ib)).toSet
+    assert(lsh.subsetOf(exact), s"LSH-emitted pairs must be true near-dups; extras=${lsh.diff(exact).take(5)}")
+    val plantedPairs = planted.map { case (id, _) => (id - 1000000L, id) }.toSet
+    val recall = lsh.intersect(plantedPairs).size.toDouble / plantedPairs.size
+    assert(recall >= 0.9, s"planted 1.001x-scaled copies must be recalled, got $recall")
+  }
+
   test("jaccardVerify on explicit candidate pairs") {
     val cand = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val verified = Dedup.jaccardVerify(cand, corpus, "text", "id", threshold = 0.5).collect()

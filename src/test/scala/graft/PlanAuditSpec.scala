@@ -54,4 +54,36 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$p")
   }
+
+  test("q25c: exact near-dup is equi-joins only — no cartesian, no all-pairs") {
+    val p = plan("q25c_jaccard_pairs_exact")
+    assert(!p.contains("CartesianProduct"), s"inverted index must equi-join on shingle:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested-loop fallback:\n$p")
+  }
+
+  test("q25: LSH candidate join is equi on (band, bucket), never nested-loop") {
+    val p = plan("q25_minhash_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded candidate generation must stay an equi-join:\n$p")
+  }
+
+  test("partition-scoped CDC read: pruning predicate reaches PartitionFilters") {
+    // the same read shape cdcMergeStream builds per micro-batch: partition
+    // type inference off, string-equality predicate on the partition col
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("plan-part").toString + "/t"
+    val df = graft.sources.Tables.load(spark, sfDir, "orders")
+      .withColumn("p_ym", date_format(col("o_orderdate"), "yyyyMM"))
+    graft.sources.Sinks.writePartitioned(df, dir, Seq("p_ym"))
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(inferKey, "true")
+    try {
+      spark.conf.set(inferKey, "false")
+      val p = spark.read.parquet(dir)
+        .where(col("p_ym") <=> lit("199406"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters") && p.contains("199406"),
+        s"partition predicate must prune, not filter post-scan:\n$p")
+    } finally spark.conf.set(inferKey, prev)
+  }
 }
