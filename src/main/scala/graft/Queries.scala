@@ -764,6 +764,31 @@ object Queries {
         text.rollingFingerprint(col("text")).as("rolling_fp")),
     None) // xxhash64 has no DuckDB equivalent
 
+  /** Sequence-packing primitive for training shards: global running token
+    * total in doc_id order and the ~10k-token shard each document lands in.
+    * The running sum is the two-phase distributed prefix sum
+    * ([[graft.operators.Partitioning.runningSum]]) — never the
+    * single-partition `Window.orderBy` that the naive form uses.
+    */
+  val q43TokenShards: Q = Q(
+    "q43_token_shards",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Partitioning.runningSum(d, "doc_id", "n_tokens", "cum_tokens")
+        .withColumn("shard", expr("(cum_tokens - 1) div 10000"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        FROM d)
+      SELECT doc_id, n_tokens, cum_tokens, (cum_tokens - 1) // 10000 AS shard FROM c"""))
+
   /** Gopher-style within-document repetition ratio: fraction of word
     * 2-shingles that are repeats — the standard boilerplate/keyword-stuffing
     * quality signal.
@@ -1038,7 +1063,7 @@ object Queries {
     q34Repetition, q35PiiRedact,
     q36JsonExtract, q37SessionWindow, q38Quantiles, q38bApproxAgg, q38cExactAgg,
     q39AsofJoin,
-    q40BinaryMeta, q41MediaDecode, q42FrameSample)
+    q40BinaryMeta, q41MediaDecode, q42FrameSample, q43TokenShards)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

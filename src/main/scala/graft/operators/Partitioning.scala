@@ -29,4 +29,72 @@ object Partitioning {
     }
     if (scanFiles.nonEmpty && scanFiles.sum < target) df.repartition(target) else df
   }
+
+  /** Global running total WITHOUT a single-partition window.
+    *
+    * The textbook `sum().over(Window.orderBy(o))` puts the ENTIRE dataset
+    * in one partition — the canonical window-function scale killer. This
+    * is the classic two-phase prefix-sum instead:
+    *
+    *   1. range-partition by `orderCol` (global order across partitions,
+    *      local order within);
+    *   2. per-partition totals — numPartitions rows — collected to the
+    *      driver and turned into per-partition prefix OFFSETS, shipped
+    *      back as a literal map (broadcast for free in the plan);
+    *   3. a window partitioned BY PARTITION ID (parallel, not global)
+    *      computes the local running sum; offset + local = global.
+    *
+    * Cost: one range shuffle + one tiny job for the totals. The collect is
+    * O(numPartitions), never O(rows). NOTE: calling this triggers that
+    * small job eagerly (like ANN centroid training).
+    *
+    * `valueCol` must be integral (LongType result — integer prefix sums
+    * are exact and order-independent; float running sums are neither: cast
+    * upstream and accept approximation explicitly if needed). `orderCol`
+    * values should be unique — ties that straddle a range boundary would
+    * not see their cross-partition peers (single-window RANGE semantics
+    * includes all peers).
+    */
+  def runningSum(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outCol: String = "running_total",
+      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions._
+    {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.schema(valueCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"runningSum needs an integral value column, got $dt")
+    }
+    val n =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // PINNED: repartitionByRange samples with a seed derived from the RDD
+    // id, so a re-materialization can pick DIFFERENT range boundaries —
+    // offsets computed against one partitioning would be applied to
+    // another. The persist barrier fixes the boundaries (and partition
+    // ids) once for both the totals job and the final pass; release via
+    // Caches.release() like every operator pin.
+    val ranged = Caches.pin(
+      df.repartitionByRange(n, col(orderCol))
+        .withColumn("__pid", spark_partition_id()))
+    val partials = ranged
+      .groupBy("__pid")
+      .agg(sum(col(valueCol)).as("__psum"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = partials.map { case (p, s) =>
+      val o = acc; acc += s; p -> o
+    }.toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__pid").orderBy(orderCol)
+    ranged
+      .withColumn(outCol,
+        sum(col(valueCol)).over(w) +
+          coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)))
+      .drop("__pid")
+  }
 }
