@@ -94,6 +94,34 @@ class SinksSpec extends AnyFunSuite {
       df.select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq)
   }
 
+  test("JsonlSource: explicit schema, corrupt lines quarantined not dropped, gz transparent") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonl").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world"}""",
+      """{"doc_id": 2, "text": "second doc"}""",
+      """{"doc_id": broken not json""",
+      """{"doc_id": 3, "text": "third"}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard-00000.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    // a gz shard too: compression must be transparent
+    val gzOut = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/shard-00001.jsonl.gz"))
+    gzOut.write("""{"doc_id": 4, "text": "gz doc"}""".getBytes("UTF-8"))
+    gzOut.close()
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val clean = graft.sources.JsonlSource.readClean(spark, dir, schema)
+    assert(clean.count() == 4)
+    assert(clean.columns.toSeq == Seq("doc_id", "text"))
+    assert(clean.where(col("doc_id") === 4L).select("text").head().getString(0) == "gz doc")
+    val quarantine = graft.sources.JsonlSource.readQuarantine(spark, dir, schema).collect()
+    assert(quarantine.length == 1, "the mangled line must be quarantined, not silently dropped")
+    assert(quarantine.head.getAs[String](graft.sources.JsonlSource.corruptCol).contains("broken"))
+  }
+
   test("single-file exports: exactly one data file, header round-trip") {
     val dir = Files.createTempDirectory("sink-export")
     val df = Tables.load(spark, "/root/testdata/sf0.001", "region")
