@@ -749,6 +749,52 @@ object Queries {
       JOIN sz sb ON sb.doc_id = s.id_b
       WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5"""))
 
+  /** Duplicate-group clustering over the EXACT pair set (q25c): GraphX
+    * connected components, oracle-gated — DuckDB rebuilds the components
+    * with a recursive transitive-closure CTE and labels each vertex with
+    * the component minimum, which is exactly GraphX's labeling.
+    */
+  val q25dClustersExact: Q = Q(
+    "q25d_clusters_exact",
+    (s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.exactJaccardPairs(
+          corpusWithPlantedDups(s, dir), "text", "doc_id",
+          shingleK = 3, threshold = 0.5)),
+    Some("""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)[2:], ' ') AS text
+        FROM documents WHERE doc_id % 10 = 0),
+      d AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+        FROM d),
+      inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+      shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+      pairs AS (
+        SELECT s.id_a, s.id_b
+        FROM shared s
+        JOIN sz sa ON sa.doc_id = s.id_a
+        JOIN sz sb ON sb.doc_id = s.id_b
+        WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5),
+      und AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT s, t FROM und
+        UNION
+        SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s WHERE u.t <> r.s)
+      SELECT s AS id, LEAST(s, MIN(t)) AS cluster FROM reach GROUP BY s"""))
+
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures). */
   val q26SimhashPairs: Q = Q(
     "q26_simhash_pairs",
@@ -1056,8 +1102,8 @@ object Queries {
     q17Intersect, q17bIntersectAll, q18Sessionize,
     q19Rollup, q19Cube, q19WindowFrames, q19Pivot, q19Ntile,
     q20TokenStats, q21QualityScore, q22LangId, q23Fingerprint, q24ExactDedup,
-    q25MinhashDedup, q25bDupClusters, q25cJaccardPairsExact, q26SimhashPairs,
-    q27RollingFingerprint,
+    q25MinhashDedup, q25bDupClusters, q25cJaccardPairsExact, q25dClustersExact,
+    q26SimhashPairs, q27RollingFingerprint,
     q28TermFreq, q29TokenJaccard,
     q30CosineTopK, q31AnnLsh, q32EmbeddingNearDup, q33AnnIvf,
     q34Repetition, q35PiiRedact,

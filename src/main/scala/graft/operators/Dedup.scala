@@ -264,6 +264,27 @@ object Dedup {
       .agg(max("jaccard").as("jaccard"))
   }
 
+  /** Audit view of the buckets the cap short-circuits: (band, bucket,
+    * occupancy) for every bucket over `maxBucket` under the same geometry
+    * as [[minHashDedupPairs]]. The cap must be observable, not silent —
+    * run this alongside a dedup pass to quantify (and alert on) the
+    * boilerplate clusters taking the linear path, and to tune the cap.
+    */
+  def hotBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucket: Int = 256): DataFrame =
+    Blocking.withOccupancy(
+      bandedBuckets(prep(df, textCol, idCol, numPerm, shingleK), numPerm, bands, carryMh = false),
+      Seq("band", "bucket"))
+      .where(col("__occ") > maxBucket)
+      .select(col("band"), col("bucket"), col("__occ").as("occupancy"))
+      .distinct()
+
   /** EXACT all-pairs k-shingle Jaccard ≥ threshold, via a shingle inverted
     * index: any pair with Jaccard > 0 shares at least one shingle, so the
     * equi-join on `shingle` is a complete candidate generator (recall = 1,

@@ -47,6 +47,18 @@ object JsonlSource {
       .schema(schema)
       .json(path)
 
+  /** Streaming face: watch a directory of JSONL shards as they land (the
+    * ingest edge of a continuously-fed corpus). Same explicit-schema,
+    * malformed-dropping contract as [[readClean]]; downstream transforms
+    * are the ordinary batch operators — streaming-vs-batch stays at the
+    * source/sink edge.
+    */
+  def readCleanStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream
+      .option("mode", "DROPMALFORMED")
+      .schema(schema)
+      .json(path)
+
   /** Corrupt rows (schema columns null, raw line in `_corrupt_record`) for
     * a quarantine sink. The full row rides along by design: Spark rejects
     * scans whose only referenced column is the internal corrupt-record

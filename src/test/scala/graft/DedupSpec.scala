@@ -98,6 +98,10 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.length == n - 1, "star pairs: every doc pairs once to the keeper")
     assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
     assert(pairs.forall(_.getAs[Long]("id_a") == 0L), "keeper is the min id")
+    // the cap is observable, not silent: every band reports the flood
+    val hot = Dedup.hotBuckets(boiler, "text", "id", maxBucket = 50).collect()
+    assert(hot.length == 16, s"one flooded bucket per band, got ${hot.length}")
+    assert(hot.forall(_.getAs[Long]("occupancy") == n))
   }
 
   test("hot-bucket cap: cold near-dups still surface alongside a hot cluster") {

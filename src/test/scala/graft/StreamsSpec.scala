@@ -204,6 +204,31 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("JSONL shard directory streams into a running corpus pipeline") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl-stream").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def shard(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name), lines.mkString("\n").getBytes("UTF-8"))
+    shard("s0.jsonl", Seq("""{"doc_id": 1, "text": "a b c"}""", """{"doc_id": 2, "text": "d"}"""))
+    // a batch text transform applied unchanged to the stream
+    val counted = graft.sources.JsonlSource.readCleanStream(spark, dir, schema)
+      .select(col("doc_id"), graft.functions.text.tokenCount(col("text")).as("n_tokens"))
+    val query = counted.writeStream
+      .format("memory").queryName("jsonl_stream").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      shard("s1.jsonl", Seq("""{"doc_id": 3, "text": "e f"}""", """not json at all"""))
+      query.processAllAvailable()
+      val out = spark.table("jsonl_stream").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2),
+        s"late shard ingested, malformed line dropped: $out")
+    } finally query.stop()
+  }
+
   test("the same session transform runs in batch mode (q37 face)") {
     val batch = Seq(
       Evt(1L, ts(1700000000L), 1.0),
