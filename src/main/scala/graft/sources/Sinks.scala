@@ -198,6 +198,53 @@ object Sinks {
     sorted.saveAsTable(table)
   }
 
+  /** Z-order clustered parquet: rows are sorted by the interleaved bits of
+    * the (range-normalized) zCols, so each output file covers a small
+    * rectangle of the multi-column space instead of a full-range slice.
+    * Parquet min/max footer stats then let a reader skip most files for
+    * predicates on ANY prefix-free combination of the z columns — the
+    * standard data-skipping layout where single-column sorting only helps
+    * its leading column. One tiny min/max agg (driver) + one range
+    * shuffle; the z value is a plain shift/or expression chain, fully
+    * codegen'd, dropped before the write.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      bitsPerCol: Int = 16,
+      numFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions._
+    require(zCols.nonEmpty, "z-ordering needs at least one column")
+    require(zCols.size * bitsPerCol <= 63, "z value must fit a signed long")
+    val spark = df.sparkSession
+    val n = if (numFiles > 0) numFiles else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val statCols = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
+    val stats = df.agg(statCols.head, statCols.tail: _*).head()
+    val maxBucket = (1L << bitsPerCol) - 1
+    def bucket(c: String): org.apache.spark.sql.Column = {
+      val mn = stats.getAs[Double](s"__mn_$c")
+      val mx = stats.getAs[Double](s"__mx_$c")
+      if (mx <= mn) lit(0L)
+      else least(
+        lit(maxBucket),
+        greatest(lit(0L),
+          ((coalesce(col(c).cast("double"), lit(mn)) - mn) / (mx - mn) * maxBucket).cast("long")))
+    }
+    // interleave: output bit (i * ncols + j) = bit i of column j's bucket
+    val z = (0 until bitsPerCol).flatMap { i =>
+      zCols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(bucket(c), i).bitwiseAND(1L), i * zCols.size + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn("__z", z)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   final case class JdbcConfig(
       url: String,
       user: String,

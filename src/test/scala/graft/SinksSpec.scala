@@ -94,6 +94,38 @@ class SinksSpec extends AnyFunSuite {
       df.select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq)
   }
 
+  test("writeZOrdered: each file covers a small rectangle of BOTH z columns") {
+    val dir = Files.createTempDirectory("zorder").toString
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Sinks.writeZOrdered(li, s"$dir/z", Seq("l_orderkey", "l_partkey"), numFiles = 16)
+
+    def spans(path: String, c: String): Seq[(Double, Double)] =
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+        val r = spark.read.parquet(f.toString)
+          .agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
+        (r.getDouble(0), r.getDouble(1))
+      }
+    val global = li.agg(
+      min("l_orderkey").cast("double"), max("l_orderkey").cast("double"),
+      min("l_partkey").cast("double"), max("l_partkey").cast("double")).head()
+    val okRange = global.getDouble(1) - global.getDouble(0)
+    val pkRange = global.getDouble(3) - global.getDouble(2)
+
+    def meanSpanFraction(c: String, whole: Double): Double = {
+      val s = spans(s"$dir/z", c)
+      s.map { case (mn, mx) => (mx - mn) / whole }.sum / s.length
+    }
+    val okFrac = meanSpanFraction("l_orderkey", okRange)
+    val pkFrac = meanSpanFraction("l_partkey", pkRange)
+    // 16 files over a 2-d z-curve → each covers ~1/4 of each dimension;
+    // a plain write gives ~1.0 on both. Allow slack for boundary files.
+    assert(okFrac < 0.6 && pkFrac < 0.6,
+      s"z-ordering must narrow per-file ranges on BOTH columns: ok=$okFrac pk=$pkFrac")
+    // round-trip intact
+    assert(spark.read.parquet(s"$dir/z").count() == li.count())
+  }
+
   test("JsonlSource: explicit schema, corrupt lines quarantined not dropped, gz transparent") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("jsonl").toString
