@@ -267,6 +267,34 @@ object Sinks {
       .mode(SaveMode.Overwrite)
       .save()
 
+  /** Small-file compaction: rewrite a parquet table into
+    * ceil(bytes / targetFileBytes) files via the atomic staging swap.
+    * Partitioned writes here bound file count at write time, but tables
+    * fed by many increments (streaming merges, frequent small batches)
+    * still accrete files and their per-file open/footer cost dominates
+    * scans at 100 TB — periodic compaction is the standard maintenance
+    * pass. File count comes from a METADATA-only listing (no data read);
+    * readers see either the old layout or the new one, never a mix.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = {
+      val it = fs.listFiles(root, true)
+      var sum = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) sum += st.getLen
+      }
+      sum
+    }
+    val numFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(path).repartition(numFiles)
+    writePartitionedAtomic(df, path, Nil)
+  }
+
   /** Single-file export; only for small (gold/BI) outputs — coalesce(1)
     * funnels everything through one task by design.
     */

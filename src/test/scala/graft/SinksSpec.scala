@@ -94,6 +94,19 @@ class SinksSpec extends AnyFunSuite {
       df.select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq)
   }
 
+  test("compact: many small files collapse to the byte-target count, data intact") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    df.repartition(40).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files() == 40, "fixture: start fragmented")
+    val before = spark.read.parquet(dir).collect().toSet
+    // generous byte target → everything fits one file
+    Sinks.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(files() == 1, s"expected 1 compacted file, got ${files()}")
+    assert(spark.read.parquet(dir).collect().toSet == before, "compaction must not change rows")
+  }
+
   test("writeZOrdered: each file covers a small rectangle of BOTH z columns") {
     val dir = Files.createTempDirectory("zorder").toString
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
