@@ -56,6 +56,66 @@ object CdcMerge {
       .select((keys.map(col) ++ others.map(c => col(s"__w.$c").as(c))): _*)
   }
 
+  /** PARTITION-SCOPED full-history merge into a hive-partitioned silver
+    * table: only the partitions present in `fresh` are read
+    * (partition-pruned scan), merged, and atomically swapped — untouched
+    * partition directories are never listed or rewritten, so cost is
+    * O(touched partitions), not O(table history). Shared by the batch API
+    * and every `cdcMergeStream` micro-batch — ONE merge code path.
+    *
+    * Contract: a merge key must not move between partition values across
+    * deliveries, or the old copy in the untouched partition survives (the
+    * same contract hive-partitioned upserts have everywhere).
+    */
+  def mergeIntoPartitioned(
+      silverPath: String,
+      fresh: DataFrame,
+      keys: Seq[String],
+      partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(partitionCols.nonEmpty, "partition-scoped merge needs partition columns")
+    val spark = fresh.sparkSession
+    // persist: fresh feeds both the touched-partition probe and the union.
+    val b = fresh.persist()
+    try {
+      // A previous swap may have crashed mid-rename; restore BEFORE
+      // building the read plan so the merge never sees a half-table.
+      graft.sources.Sinks.recoverStrandedPartitions(spark, silverPath)
+      // Touched partitions as strings — the representation hive dir names
+      // use, and (with type inference off below) the type the partition
+      // columns read back as, so the pruning predicate is a string
+      // equality that reaches PartitionFilters.
+      val touched = b
+        .select(partitionCols.map(c => col(c).cast("string")): _*)
+        .distinct()
+        .collect()
+      if (touched.nonEmpty) {
+        val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val prevInfer = spark.conf.get(inferKey, "true")
+        // Partition discovery is eager at read time, so the conf can be
+        // restored right after readIfExists returns.
+        val existingScoped =
+          try {
+            spark.conf.set(inferKey, "false")
+            readIfExists(spark, silverPath).map { e =>
+              val pred = touched.map { r =>
+                partitionCols.zipWithIndex
+                  .map { case (c, i) => col(c) <=> lit(r.getString(i)) }
+                  .reduce(_ && _)
+              }.reduce(_ || _)
+              // align the inferred-as-string partition cols back to the
+              // fresh frame's types for the merge union
+              partitionCols.foldLeft(e.where(pred)) { (d, c) =>
+                d.withColumn(c, col(c).cast(b.schema(c).dataType))
+              }
+            }
+          } finally spark.conf.set(inferKey, prevInfer)
+        val merged = mergeFullHistory(existingScoped, b, keys)
+        graft.sources.Sinks.writePartitionsAtomic(merged, silverPath, partitionCols)
+      }
+    } finally b.unpersist()
+  }
+
   /** Probe-or-none scan for the merge target (reference: bronze_to_silver.py:66-68).
     * The probe goes through the Hadoop FileSystem resolved from the path —
     * a java.nio probe is local-FS only and would return false for every

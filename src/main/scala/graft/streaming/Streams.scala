@@ -119,46 +119,8 @@ object Streams {
           val merged = graft.operators.CdcMerge.mergeFullHistory(existing, batch.toDF(), mergeKeys)
           graft.sources.Sinks.writePartitionedAtomic(merged, silverPath, partitionCols)
         } else {
-          // persist: the batch feeds both the touched-partition probe and
-          // the merge union.
-          val b = batch.toDF().persist()
-          try {
-            // A previous swap may have crashed mid-rename; restore BEFORE
-            // building the read plan so the merge never sees a half-table.
-            graft.sources.Sinks.recoverStrandedPartitions(spark, silverPath)
-            // Touched partitions as strings — the same representation hive
-            // dir names use, and (with type inference off below) the same
-            // type the partition columns read back as, so the pruning
-            // predicate is a string equality that reaches PartitionFilters.
-            val touched = b
-              .select(partitionCols.map(c => col(c).cast("string")): _*)
-              .distinct()
-              .collect()
-            if (touched.nonEmpty) {
-              val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-              val prevInfer = spark.conf.get(inferKey, "true")
-              // Partition discovery is eager at read time, so the conf can
-              // be restored right after readIfExists returns.
-              val existingScoped =
-                try {
-                  spark.conf.set(inferKey, "false")
-                  graft.operators.CdcMerge.readIfExists(spark, silverPath).map { e =>
-                    val pred = touched.map { r =>
-                      partitionCols.zipWithIndex
-                        .map { case (c, i) => col(c) <=> lit(r.getString(i)) }
-                        .reduce(_ && _)
-                    }.reduce(_ || _)
-                    // align the inferred-as-string partition cols back to
-                    // the batch's types for the merge union
-                    partitionCols.foldLeft(e.where(pred)) { (d, c) =>
-                      d.withColumn(c, col(c).cast(b.schema(c).dataType))
-                    }
-                  }
-                } finally spark.conf.set(inferKey, prevInfer)
-              val merged = graft.operators.CdcMerge.mergeFullHistory(existingScoped, b, mergeKeys)
-              graft.sources.Sinks.writePartitionsAtomic(merged, silverPath, partitionCols)
-            }
-          } finally b.unpersist()
+          graft.operators.CdcMerge.mergeIntoPartitioned(
+            silverPath, batch.toDF(), mergeKeys, partitionCols)
         }
       }
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()

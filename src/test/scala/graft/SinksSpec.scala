@@ -9,6 +9,7 @@ import graft.sources.{Sinks, Tables}
 
 class SinksSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
+  import spark.implicits._
 
   test("writePartitioned: one file per partition value, hive layout, roundtrip") {
     val dir = Files.createTempDirectory("sink-part")
@@ -92,6 +93,19 @@ class SinksSpec extends AnyFunSuite {
       .option("driver", cfg.driver).load()
     assert(back.select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq ==
       df.select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq)
+  }
+
+  test("mergeIntoPartitioned (batch API): dedups against existing, touches only its partitions") {
+    val silver = Files.createTempDirectory("batch-scoped").toString + "/t"
+    val d1 = Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p")
+    graft.operators.CdcMerge.mergeIntoPartitioned(silver, d1, Seq("k"), Seq("p"))
+    // second increment: re-delivery of k=2 plus a new key, both in p2
+    val d2 = Seq((2L, "b", "p2"), (3L, "c", "p2")).toDF("k", "v", "p")
+    graft.operators.CdcMerge.mergeIntoPartitioned(silver, d2, Seq("k"), Seq("p"))
+    val out = spark.read.parquet(silver)
+    assert(out.count() == 3, "re-delivered key must dedup")
+    assert(out.where(col("p") === "p1").count() == 1, "untouched partition preserved")
+    assert(out.where(col("k") === 2L).count() == 1)
   }
 
   test("compact: many small files collapse to the byte-target count, data intact") {
