@@ -715,14 +715,13 @@ object Queries {
     * family: DedupSpec asserts q25's LSH pipeline emits a SUBSET of these
     * pairs (precision 1.0) with bounded recall loss.
     */
-  val q25cJaccardPairsExact: Q = Q(
-    "q25c_jaccard_pairs_exact",
-    (s, dir) =>
-      Dedup.exactJaccardPairs(
-        corpusWithPlantedDups(s, dir), "text", "doc_id",
-        shingleK = 3, threshold = 0.5),
-    Some("""
-      WITH corpus AS (
+  /** Shared DuckDB CTE prefix for the exact-Jaccard oracles (q25c, q25d):
+    * planted corpus → shingle sets → inverted index → shared counts →
+    * set sizes. One definition so the pair ground truth and the clustering
+    * oracle can never drift apart.
+    */
+  private val exactJaccardCtes = """
+      corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id,
@@ -741,7 +740,16 @@ object Queries {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
         FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2),
-      sz AS (SELECT doc_id, len(sh) AS n FROM sh)
+      sz AS (SELECT doc_id, len(sh) AS n FROM sh)"""
+
+  val q25cJaccardPairsExact: Q = Q(
+    "q25c_jaccard_pairs_exact",
+    (s, dir) =>
+      Dedup.exactJaccardPairs(
+        corpusWithPlantedDups(s, dir), "text", "doc_id",
+        shingleK = 3, threshold = 0.5),
+    Some(s"""
+      WITH $exactJaccardCtes
       SELECT s.id_a, s.id_b,
              CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) AS jaccard
       FROM shared s
@@ -761,27 +769,8 @@ object Queries {
         Dedup.exactJaccardPairs(
           corpusWithPlantedDups(s, dir), "text", "doc_id",
           shingleK = 3, threshold = 0.5)),
-    Some("""
-      WITH RECURSIVE corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 1000000 AS doc_id,
-               array_to_string(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)[2:], ' ') AS text
-        FROM documents WHERE doc_id % 10 = 0),
-      d AS (
-        SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
-        FROM corpus),
-      sh AS (
-        SELECT doc_id,
-               list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-                    ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
-        FROM d),
-      inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
-      shared AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+    Some(s"""
+      WITH RECURSIVE $exactJaccardCtes,
       pairs AS (
         SELECT s.id_a, s.id_b
         FROM shared s
@@ -822,7 +811,10 @@ object Queries {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), text.tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.operators.Partitioning.runningSum(d, "doc_id", "n_tokens", "cum_tokens")
-        .withColumn("shard", expr("(cum_tokens - 1) div 10000"))
+        // greatest(...,1): a zero-token prefix gives cum_tokens = 0, where
+        // Spark's `div` truncates toward zero but DuckDB's `//` floors
+        // (0 vs -1) — clamp so both engines agree and shard stays >= 0
+        .withColumn("shard", expr("(greatest(cum_tokens, 1L) - 1) div 10000"))
     },
     Some("""
       WITH d AS (
@@ -833,7 +825,7 @@ object Queries {
         SELECT doc_id, n_tokens,
                CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
         FROM d)
-      SELECT doc_id, n_tokens, cum_tokens, (cum_tokens - 1) // 10000 AS shard FROM c"""))
+      SELECT doc_id, n_tokens, cum_tokens, (greatest(cum_tokens, CAST(1 AS BIGINT)) - 1) // 10000 AS shard FROM c"""))
 
   /** Gopher-style within-document repetition ratio: fraction of word
     * 2-shingles that are repeats — the standard boilerplate/keyword-stuffing

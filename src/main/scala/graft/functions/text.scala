@@ -116,12 +116,18 @@ object text {
     * signal: boilerplate and keyword-stuffed pages score high). 0.0 for
     * docs too short to have more than one shingle.
     */
-  def repetitionRatio(c: Column, k: Int = 2): Column = {
-    val sh = shingles(c, k)
-    when(size(sh) <= 1, lit(0.0))
-      .otherwise(
-        (size(sh) - size(array_distinct(sh))).cast("double") / size(sh).cast("double"))
-  }
+  def repetitionRatio(c: Column, k: Int = 2): Column =
+    // Single-eval discipline: the shingle array is wrapped in a 1-element
+    // array and referenced only through transform's lambda variable — a
+    // slot read — so the tokenize+shingle pass runs once per row. As a
+    // plain subexpression its four use sites would each re-run it
+    // (ProjectCollapse inlines; interpreted HOFs have no CSE).
+    element_at(
+      transform(array(shingles(c, k)), sh =>
+        when(size(sh) <= 1, lit(0.0))
+          .otherwise(
+            (size(sh) - size(array_distinct(sh))).cast("double") / size(sh).cast("double"))),
+      1)
 
   /** Scrub emails and (NANP-style) phone numbers with typed placeholders —
     * the minimal PII pass every training corpus gets. Patterns restricted
@@ -129,7 +135,11 @@ object text {
     * replays them verbatim.
     */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val phonePattern = "\\+?[0-9]{1,2} ?\\([0-9]{3}\\) ?[0-9]{3}-[0-9]{4}"
+  // country code optional, area code with or without parens — "(555)
+  // 123-4567" and "555-123-4567" are the common NANP shapes and must not
+  // leak just because no +1 precedes them
+  val phonePattern =
+    "(\\+?[0-9]{1,2} ?)?(\\([0-9]{3}\\) ?|[0-9]{3}[-. ])[0-9]{3}-[0-9]{4}"
 
   def redactPii(c: Column): Column =
     regexp_replace(

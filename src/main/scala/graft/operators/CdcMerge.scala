@@ -81,35 +81,26 @@ object CdcMerge {
       // A previous swap may have crashed mid-rename; restore BEFORE
       // building the read plan so the merge never sees a half-table.
       graft.sources.Sinks.recoverStrandedPartitions(spark, silverPath)
-      // Touched partitions as strings — the representation hive dir names
-      // use, and (with type inference off below) the type the partition
-      // columns read back as, so the pruning predicate is a string
-      // equality that reaches PartitionFilters.
-      val touched = b
-        .select(partitionCols.map(c => col(c).cast("string")): _*)
-        .distinct()
-        .collect()
+      val touched = b.select(partitionCols.map(col): _*).distinct().collect()
       if (touched.nonEmpty) {
-        val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        val prevInfer = spark.conf.get(inferKey, "true")
-        // Partition discovery is eager at read time, so the conf can be
-        // restored right after readIfExists returns.
+        // Read the existing table with the FRESH frame's schema supplied:
+        // a user schema disables partition-column type inference (the dir
+        // values are cast to the supplied types), so the typed pruning
+        // predicate below reaches PartitionFilters — without flipping any
+        // session-global conf, which would race concurrent queries in the
+        // same session.
+        val p = new org.apache.hadoop.fs.Path(silverPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val existingScoped =
-          try {
-            spark.conf.set(inferKey, "false")
-            readIfExists(spark, silverPath).map { e =>
-              val pred = touched.map { r =>
-                partitionCols.zipWithIndex
-                  .map { case (c, i) => col(c) <=> lit(r.getString(i)) }
-                  .reduce(_ && _)
-              }.reduce(_ || _)
-              // align the inferred-as-string partition cols back to the
-              // fresh frame's types for the merge union
-              partitionCols.foldLeft(e.where(pred)) { (d, c) =>
-                d.withColumn(c, col(c).cast(b.schema(c).dataType))
-              }
-            }
-          } finally spark.conf.set(inferKey, prevInfer)
+          if (!fs.exists(p)) None
+          else Some {
+            val pred = touched.map { r =>
+              partitionCols.zipWithIndex
+                .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+                .reduce(_ && _)
+            }.reduce(_ || _)
+            spark.read.schema(b.schema).parquet(silverPath).where(pred)
+          }
         val merged = mergeFullHistory(existingScoped, b, keys)
         graft.sources.Sinks.writePartitionsAtomic(merged, silverPath, partitionCols)
       }

@@ -82,7 +82,9 @@ object Partitioning {
         .withColumn("__pid", spark_partition_id()))
     val partials = ranged
       .groupBy("__pid")
-      .agg(sum(col(valueCol)).as("__psum"))
+      // coalesce: an all-null partition sums to NULL, which would NPE the
+      // driver-side unboxing below
+      .agg(coalesce(sum(col(valueCol)), lit(0L)).as("__psum"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .sortBy(_._1)

@@ -222,6 +222,12 @@ object Sinks {
     val statCols = zCols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
     val stats = df.agg(statCols.head, statCols.tail: _*).head()
+    zCols.foreach { c =>
+      require(!stats.isNullAt(stats.fieldIndex(s"__mn_$c")),
+        s"z column '$c' has no numeric values to range-normalize " +
+          "(empty input, or all values null/non-castable); rows whose value " +
+          "casts to null land in bucket 0")
+    }
     val maxBucket = (1L << bitsPerCol) - 1
     def bucket(c: String): org.apache.spark.sql.Column = {
       val mn = stats.getAs[Double](s"__mn_$c")
@@ -267,32 +273,55 @@ object Sinks {
       .mode(SaveMode.Overwrite)
       .save()
 
-  /** Small-file compaction: rewrite a parquet table into
-    * ceil(bytes / targetFileBytes) files via the atomic staging swap.
-    * Partitioned writes here bound file count at write time, but tables
-    * fed by many increments (streaming merges, frequent small batches)
-    * still accrete files and their per-file open/footer cost dominates
-    * scans at 100 TB — periodic compaction is the standard maintenance
-    * pass. File count comes from a METADATA-only listing (no data read);
-    * readers see either the old layout or the new one, never a mix.
+  /** Small-file compaction via the atomic staging swap. Tables fed by many
+    * increments (streaming merges, frequent small batches) accrete files
+    * whose per-file open/footer cost dominates scans at 100 TB — periodic
+    * compaction is the standard maintenance pass. Readers see either the
+    * old layout or the new one, never a mix.
+    *
+    * Hive-partitioned tables KEEP their layout: the partition columns are
+    * detected from the directory chain and the rewrite collapses each
+    * partition to one file (the same bound the partitioned writers
+    * enforce at write time; partition values round-trip through Spark's
+    * inferred representation). Flat tables rewrite into
+    * ceil(bytes / targetFileBytes) files from a METADATA-only size
+    * listing. Crash-stranded `__retired_*` partition dirs are restored
+    * FIRST so their stale rows cannot be baked into the compacted output.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = {
-      val it = fs.listFiles(root, true)
-      var sum = 0L
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) sum += st.getLen
+    recoverStrandedPartitions(spark, path)
+
+    @scala.annotation.tailrec
+    def partitionChain(p: Path, acc: Seq[String]): Seq[String] = {
+      val sub = fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      if (sub.isEmpty) acc
+      else {
+        val name = sub.head.getPath.getName.takeWhile(_ != '=')
+        partitionChain(sub.head.getPath, acc :+ name)
       }
-      sum
     }
-    val numFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = spark.read.parquet(path).repartition(numFiles)
-    writePartitionedAtomic(df, path, Nil)
+    val partitionCols = partitionChain(root, Nil)
+
+    if (partitionCols.nonEmpty) {
+      writePartitionedAtomic(spark.read.parquet(path), path, partitionCols)
+    } else {
+      val totalBytes = {
+        val it = fs.listFiles(root, true)
+        var sum = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) sum += st.getLen
+        }
+        sum
+      }
+      val numFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      writePartitionedAtomic(spark.read.parquet(path).repartition(numFiles), path, Nil)
+    }
   }
 
   /** Single-file export; only for small (gold/BI) outputs — coalesce(1)

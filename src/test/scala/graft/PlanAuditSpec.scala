@@ -68,22 +68,18 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("partition-scoped CDC read: pruning predicate reaches PartitionFilters") {
-    // the same read shape cdcMergeStream builds per micro-batch: partition
-    // type inference off, string-equality predicate on the partition col
+    // the same read shape mergeIntoPartitioned builds per increment: the
+    // fresh frame's schema supplied (disables partition type inference
+    // without touching session conf), typed equality on the partition col
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("plan-part").toString + "/t"
     val df = graft.sources.Tables.load(spark, sfDir, "orders")
       .withColumn("p_ym", date_format(col("o_orderdate"), "yyyyMM"))
     graft.sources.Sinks.writePartitioned(df, dir, Seq("p_ym"))
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.get(inferKey, "true")
-    try {
-      spark.conf.set(inferKey, "false")
-      val p = spark.read.parquet(dir)
-        .where(col("p_ym") <=> lit("199406"))
-        .queryExecution.executedPlan.toString
-      assert(p.contains("PartitionFilters") && p.contains("199406"),
-        s"partition predicate must prune, not filter post-scan:\n$p")
-    } finally spark.conf.set(inferKey, prev)
+    val p = spark.read.schema(df.schema).parquet(dir)
+      .where(col("p_ym") <=> lit("199406"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("199406"),
+      s"partition predicate must prune, not filter post-scan:\n$p")
   }
 }

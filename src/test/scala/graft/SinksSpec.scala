@@ -121,6 +121,33 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).collect().toSet == before, "compaction must not change rows")
   }
 
+  test("compact preserves hive partition layout and purges stranded retired dirs first") {
+    val dir = Files.createTempDirectory("compact-part").toString + "/t"
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyyMM").as("p_ym"))
+    df.repartition(6).write.partitionBy("p_ym").parquet(dir) // fragmented: ~6 files/partition
+    val before = spark.read.parquet(dir).collect().toSet
+    val aPartition = new java.io.File(dir).listFiles().filter(_.getName.startsWith("p_ym=")).head
+    assert(aPartition.listFiles().count(_.getName.endsWith(".parquet")) > 1, "fixture: fragmented")
+    // plant a stranded retired dir whose base exists: must be purged, not compacted in
+    val stranded = new java.io.File(dir, aPartition.getName + ".__retired_dead")
+    assert(aPartition.listFiles().head != null)
+    org.apache.commons.io.FileUtils.copyDirectory(aPartition, stranded)
+
+    Sinks.compact(spark, dir)
+
+    val partDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("p_ym="))
+    assert(partDirs.nonEmpty, "partition layout must survive compaction")
+    assert(!partDirs.exists(_.getName.contains("__retired")), "stranded dir purged")
+    partDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName}: compaction must collapse to one file per partition")
+    }
+    assert(spark.read.parquet(dir).collect().toSet == before,
+      "rows intact, stale retired copy NOT baked in")
+  }
+
   test("writeZOrdered: each file covers a small rectangle of BOTH z columns") {
     val dir = Files.createTempDirectory("zorder").toString
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")

@@ -78,4 +78,10 @@ object TextProperties extends Properties("graft.text") {
       red.contains("<EMAIL>") && red.contains("<PHONE>") &&
       !red.contains("@") && !red.contains("(555)") && clean == doc
     }
+
+  property("redactPii catches NANP numbers with or without country code or parens") =
+    forAll(Gen.oneOf("(555) 123-4567", "555-123-4567", "+44 (020) 555-1234", "1 (555) 123-4567")) {
+      phone =>
+        one(s"call $phone now", text.redactPii(col("text"))).getString(0).contains("<PHONE>")
+    }
 }
