@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions.col
   */
 object CdcMerge {
 
+  /** Align `old` to `fresh`'s column layout. Additive schema evolution:
+    * a column new in `fresh` backfills as typed NULL in the history
+    * (standard for long-lived silver tables — without it the first batch
+    * carrying a new field breaks every subsequent merge). Columns dropped
+    * from `fresh` drop from the history, matching the reference's
+    * align-to-new-layout behavior (bronze_to_silver.py:104).
+    */
+  private def alignTo(old: DataFrame, fresh: DataFrame): DataFrame =
+    old.select(fresh.schema.fields.toIndexedSeq.map { f =>
+      if (old.columns.contains(f.name)) col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
   def mergeFullHistory(
       existing: Option[DataFrame],
       fresh: DataFrame,
@@ -28,9 +41,7 @@ object CdcMerge {
     existing match {
       case None => fresh.dropDuplicates(keys)
       case Some(old) =>
-        // Align existing to the new layout (reference: bronze_to_silver.py:104)
-        old
-          .select(fresh.columns.map(col).toIndexedSeq: _*)
+        alignTo(old, fresh)
           .unionByName(fresh)
           .dropDuplicates(keys)
     }
@@ -46,7 +57,7 @@ object CdcMerge {
     import org.apache.spark.sql.functions._
     val unioned = existing match {
       case None      => fresh
-      case Some(old) => old.select(fresh.columns.map(col).toIndexedSeq: _*).unionByName(fresh)
+      case Some(old) => alignTo(old, fresh).unionByName(fresh)
     }
     val others = fresh.columns.filterNot(keys.contains)
     val packed = struct((tieBreak ++ others.filterNot(tieBreak.contains)).map(col): _*)

@@ -95,6 +95,17 @@ class SinksSpec extends AnyFunSuite {
       df.select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq)
   }
 
+  test("CDC merge additive schema evolution: new column backfills history as typed null") {
+    val old = Seq((1L, "a")).toDF("k", "v")
+    val fresh = Seq((2L, "b", 7)).toDF("k", "v", "extra") // new int column
+    val merged = graft.operators.CdcMerge.mergeFullHistory(Some(old), fresh, Seq("k"))
+      .orderBy("k").collect()
+    assert(merged.length == 2)
+    assert(merged.head.isNullAt(2), "history rows get typed null for the new column")
+    assert(merged(1).getInt(2) == 7)
+    assert(merged.head.schema("extra").dataType.typeName == "integer")
+  }
+
   test("mergeIntoPartitioned (batch API): dedups against existing, touches only its partitions") {
     val silver = Files.createTempDirectory("batch-scoped").toString + "/t"
     val d1 = Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p")
