@@ -93,6 +93,14 @@ class SinksSpec extends AnyFunSuite {
       .option("driver", cfg.driver).load()
     assert(back.select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq ==
       df.select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq)
+
+    // source direction: predicates must push into the remote query, not
+    // filter rows after shipping them
+    val filtered = back.where(col("n_nationkey") < 5)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"),
+      s"JDBC scan must carry the pushed predicate:\n$plan")
+    assert(filtered.count() == 5)
   }
 
   test("CDC merge additive schema evolution: new column backfills history as typed null") {
