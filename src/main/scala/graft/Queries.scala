@@ -1014,6 +1014,39 @@ object Queries {
              quantile_disc(l_extendedprice, 0.5) AS exact_median
       FROM lineitem"""))
 
+  /** Interval join (batch face of the stream-stream operator): every
+    * click paired with the same user's purchases in the preceding
+    * 30 minutes. The range rides the equi-join on user_id as a filter.
+    */
+  val q44IntervalJoin: Q = Q(
+    "q44_interval_join",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("sec", expr("ts_ns div 1000000000"))
+        .withColumn("ets", expr("timestamp_seconds(sec)"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ets").as("click_ts"))
+      val buys = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ets").as("buy_ts"), col("value").as("amount"))
+      graft.streaming.Streams
+        .intervalJoin(clicks, buys, "user_id", "click_ts", "buy_ts", "30 minutes", "0 seconds")
+        .select(
+          col("click_id"), col("user_id"),
+          expr("unix_timestamp(click_ts)").as("click_sec"),
+          expr("unix_timestamp(buy_ts)").as("buy_sec"),
+          col("amount"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000000000 AS click_sec
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, epoch_ns(ts) // 1000000000 AS buy_sec, value AS amount
+        FROM events WHERE event_type = 'purchase')
+      SELECT c.click_id, c.user_id, c.click_sec, p.buy_sec, p.amount
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.buy_sec >= c.click_sec - 1800 AND p.buy_sec <= c.click_sec"""))
+
   /** As-of join: each click picks up the latest same-or-earlier purchase
     * value of the same user (union + running window — no join node).
     */
@@ -1101,7 +1134,7 @@ object Queries {
     q34Repetition, q35PiiRedact,
     q36JsonExtract, q37SessionWindow, q38Quantiles, q38bApproxAgg, q38cExactAgg,
     q39AsofJoin,
-    q40BinaryMeta, q41MediaDecode, q42FrameSample, q43TokenShards)
+    q40BinaryMeta, q41MediaDecode, q42FrameSample, q43TokenShards, q44IntervalJoin)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

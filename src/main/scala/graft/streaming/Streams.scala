@@ -72,6 +72,37 @@ object Streams {
         col("n_events"),
         col("session_value"))
 
+  /** Interval join: each left row pairs with same-key right rows whose
+    * event time falls in [leftTs - lower, leftTs + upper]. Works on batch
+    * frames (the oracle-gated q44 face) and on two streams: with
+    * watermarks on both sides the time-range condition is what lets Spark
+    * bound join state — each side retains only rows inside
+    * watermark + interval, instead of the unbounded buffering an
+    * unconstrained stream-stream equi-join would need.
+    *
+    * The right side's key column is renamed internally so the same column
+    * name on both sides (the normal case) does not collide; all other
+    * right columns must already be distinct from the left's.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      lower: String,
+      upper: String): DataFrame = {
+    val rk = s"__r_$keyCol"
+    left
+      .join(
+        right.withColumnRenamed(keyCol, rk),
+        expr(
+          s"$keyCol = $rk AND " +
+            s"$rightTsCol >= $leftTsCol - INTERVAL $lower AND " +
+            s"$rightTsCol <= $leftTsCol + INTERVAL $upper"))
+      .drop(rk)
+  }
+
   /** Streaming exact dedup: first arrival per key wins; the watermark
     * bounds how long each key's "seen" state is retained (late re-deliveries
     * beyond it are dropped by the watermark, not re-emitted). This is the

@@ -204,6 +204,35 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("intervalJoin: stream-stream with watermarks, cross-batch pairing, window respected") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Evt]
+    val buys = MemoryStream[Evt]
+    val c = clicks.toDF().withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_v"))
+    val b = buys.toDF().withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("buy_ts"), col("value").as("amount"))
+    val joined = graft.streaming.Streams.intervalJoin(
+      c, b, "user_id", "click_ts", "buy_ts", "30 minutes", "0 seconds")
+    val query = joined.writeStream
+      .format("memory").queryName("interval_join").outputMode("append").start()
+    try {
+      val t0 = 1700000000L
+      // buy arrives FIRST, in an earlier batch than its matching click
+      buys.addData(Evt(1L, ts(t0), 10.0))
+      query.processAllAvailable()
+      clicks.addData(Evt(1L, ts(t0 + 600), 1.0)) // 10 min after the buy → pairs
+      clicks.addData(Evt(1L, ts(t0 + 7200), 2.0)) // 2 h after → outside window
+      clicks.addData(Evt(2L, ts(t0 + 300), 3.0)) // other user → no pair
+      query.processAllAvailable()
+      val out = spark.table("interval_join").collect()
+      assert(out.length == 1, s"exactly the in-window same-user pair: ${out.mkString(",")}")
+      assert(out.head.getAs[Long]("user_id") == 1L)
+      assert(out.head.getAs[Double]("amount") == 10.0)
+      assert(out.head.getAs[Double]("click_v") == 1.0)
+    } finally query.stop()
+  }
+
   test("JSONL shard directory streams into a running corpus pipeline") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("jsonl-stream").toString
