@@ -28,11 +28,21 @@ object CdcMerge {
     * from `fresh` drop from the history, matching the reference's
     * align-to-new-layout behavior (bronze_to_silver.py:104).
     */
-  private def alignTo(old: DataFrame, fresh: DataFrame): DataFrame =
+  private def alignTo(old: DataFrame, fresh: DataFrame): DataFrame = {
+    // Presence check must follow the session's resolution rules: with
+    // spark.sql.caseSensitive=false (the default) a case-only rename in
+    // the source is the SAME column — treating it as missing would
+    // silently null the whole history.
+    val caseSensitive =
+      old.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def has(name: String): Boolean =
+      if (caseSensitive) old.columns.contains(name)
+      else old.columns.exists(_.equalsIgnoreCase(name))
     old.select(fresh.schema.fields.toIndexedSeq.map { f =>
-      if (old.columns.contains(f.name)) col(f.name)
+      if (has(f.name)) col(f.name).as(f.name)
       else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
     }: _*)
+  }
 
   def mergeFullHistory(
       existing: Option[DataFrame],
@@ -94,26 +104,43 @@ object CdcMerge {
       graft.sources.Sinks.recoverStrandedPartitions(spark, silverPath)
       val touched = b.select(partitionCols.map(col): _*).distinct().collect()
       if (touched.nonEmpty) {
-        // Read the existing table with the FRESH frame's schema supplied:
-        // a user schema disables partition-column type inference (the dir
-        // values are cast to the supplied types), so the typed pruning
-        // predicate below reaches PartitionFilters — without flipping any
-        // session-global conf, which would race concurrent queries in the
-        // same session.
         val p = new org.apache.hadoop.fs.Path(silverPath)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val existingScoped =
-          if (!fs.exists(p)) None
-          else Some {
+        if (!fs.exists(p)) {
+          graft.sources.Sinks.writePartitionsAtomic(
+            mergeFullHistory(None, b, keys), silverPath, partitionCols)
+        } else {
+          // Schema evolution must not go through the scoped path: rewriting
+          // only touched partitions would leave partition files with
+          // HETEROGENEOUS schemas, and a later plain read (mergeSchema off,
+          // the default) can silently drop the new column for the whole
+          // table. A batch carrying a new column triggers one full-table
+          // merge+rewrite so every file stays homogeneous.
+          val existCols = spark.read.parquet(silverPath)
+            .schema.fieldNames.map(_.toLowerCase).toSet
+          val freshCols = b.schema.fieldNames.map(_.toLowerCase).toSet
+          if (!freshCols.subsetOf(existCols)) {
+            val existing = Some(spark.read.option("mergeSchema", "true").parquet(silverPath))
+            val merged = mergeFullHistory(existing, b, keys)
+            graft.sources.Sinks.writePartitionedAtomic(merged, silverPath, partitionCols)
+          } else {
+            // Read the existing table with the FRESH frame's schema
+            // supplied: a user schema disables partition-column type
+            // inference (dir values cast to the supplied types), so the
+            // typed pruning predicate reaches PartitionFilters — without
+            // flipping session-global conf, which would race concurrent
+            // queries.
             val pred = touched.map { r =>
               partitionCols.zipWithIndex
                 .map { case (c, i) => col(c) <=> lit(r.get(i)) }
                 .reduce(_ && _)
             }.reduce(_ || _)
-            spark.read.schema(b.schema).parquet(silverPath).where(pred)
+            val existingScoped =
+              Some(spark.read.schema(b.schema).parquet(silverPath).where(pred))
+            val merged = mergeFullHistory(existingScoped, b, keys)
+            graft.sources.Sinks.writePartitionsAtomic(merged, silverPath, partitionCols)
           }
-        val merged = mergeFullHistory(existingScoped, b, keys)
-        graft.sources.Sinks.writePartitionsAtomic(merged, silverPath, partitionCols)
+        }
       }
     } finally b.unpersist()
   }

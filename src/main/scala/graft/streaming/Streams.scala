@@ -93,13 +93,15 @@ object Streams {
       lower: String,
       upper: String): DataFrame = {
     val rk = s"__r_$keyCol"
+    // Column API, not an interpolated SQL string: column names needing
+    // backticks (dots, spaces) must neither fail to parse nor mis-resolve
+    // as struct-field access. Only the interval literals go through expr.
     left
       .join(
         right.withColumnRenamed(keyCol, rk),
-        expr(
-          s"$keyCol = $rk AND " +
-            s"$rightTsCol >= $leftTsCol - INTERVAL $lower AND " +
-            s"$rightTsCol <= $leftTsCol + INTERVAL $upper"))
+        col(keyCol) === col(rk) &&
+          col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $lower") &&
+          col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $upper"))
       .drop(rk)
   }
 
