@@ -90,6 +90,35 @@ object OperatorProperties extends Properties("graft.operators") {
       out == expected
     }
 
+  property("exact inverted-index Jaccard equals driver-side set arithmetic on random corpora") =
+    forAll(
+      Gen.listOfN(8, Gen.listOf(Gen.oneOf("w1", "w2", "w3", "w4", "w5")).map(_.take(12)))) {
+      docs =>
+        docs.isEmpty || {
+          val df = docs.zipWithIndex
+            .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+            .toDF("id", "text")
+          val out = graft.operators.Dedup
+            .exactJaccardPairs(df, "text", "id", shingleK = 2, threshold = 0.3)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+            .toMap
+          // driver-side reference: same shingle definition, plain Scala sets
+          def sh(ws: List[String]): Set[String] =
+            if (ws.length < 2) Set(ws.mkString(" "))
+            else ws.sliding(2).map(_.mkString(" ")).toSet
+          val ref = (for {
+            (a, ia) <- docs.zipWithIndex; (b, ib) <- docs.zipWithIndex
+            if ia < ib
+            inter = sh(a).intersect(sh(b)).size
+            union = sh(a).union(sh(b)).size
+            j = inter.toDouble / union
+            if j >= 0.3
+          } yield (ia.toLong, ib.toLong) -> j).toMap
+          out == ref
+        }
+    }
+
   property("native top-k per key equals driver-side sort-take") =
     forAll(
       Gen.listOfN(20, Gen.zip(Gen.oneOf("p", "q"), Gen.choose(0, 100))),
