@@ -95,6 +95,24 @@ object Dedup {
 
   /** (id, sh, mh) prep table: shingle-hash set + minhash sketch, persisted
     * because banding and verification each re-read these columns.
+    *
+    * Degenerate-document semantics (pinned by DedupSpec):
+    *  - empty / whitespace-only / shorter-than-k docs are NOT special:
+    *    [[text.shingles]] maps them all to the single shingle "", so they
+    *    carry sh = [xxhash64("")], band normally, and pair with each other
+    *    at jaccard 1.0 through the SAME cold/hot machinery as real docs —
+    *    the answer does not change with corpus size or the bucket cap.
+    *  - NULL text → NULL sh → NULL sketch: similarity with an absent
+    *    document is undefined (SQL null semantics), so null rows are
+    *    excluded from banding entirely ([[bandable]]). Without the filter
+    *    every null doc lands in the one xxhash64(NULL-slice) bucket per
+    *    band, floods it, and then emits nothing anyway (NULL jaccard /
+    *    NULL content-equality both drop) — pure wasted shuffle.
+    *  - a size-0 hash array is unreachable from the text APIs but possible
+    *    via [[minHashFromHashes]] on a caller-built column; its all-MaxValue
+    *    sketch would collide in every band, so those rows are likewise kept
+    *    out of banding and [[minHashDedupPairs]] routes them through the
+    *    identical-content keeper-star path (empty set ≡ empty set, 1.0).
     */
   private def prep(
       df: DataFrame,
@@ -106,6 +124,10 @@ object Dedup {
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("sh"))
       .withColumn("mh", minHashFromHashes(col("sh"), numPerm))
       .transform(pin)
+
+  /** Rows that carry shingle information and may enter LSH banding. */
+  private def bandable(prepped: DataFrame): DataFrame =
+    prepped.where(col("sh").isNotNull && size(col("sh")) > 0)
 
   /** (id, band, bucket[, mh]) exploded band table from a prep table:
     * split the sketch into `bands` bands, hash each band slice. xxhash64
@@ -174,7 +196,8 @@ object Dedup {
       maxBucket: Int): DataFrame =
     coldCandidatePairs(
       Blocking.withOccupancy(
-        bandedBuckets(prepped, numPerm, bands, carryMh = withEstimate), Seq("band", "bucket")),
+        bandedBuckets(bandable(prepped), numPerm, bands, carryMh = withEstimate),
+        Seq("band", "bucket")),
       numPerm, withEstimate, maxBucket)
 
   /** LSH S-curve threshold for a band geometry: the Jaccard similarity at
@@ -233,9 +256,10 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must divide into bands evenly")
     val prepped = prep(df, textCol, idCol, numPerm, shingleK)
     // ONE banded/occupancy tree feeds both the cold self-join and the hot
-    // member probe.
+    // member probe. NULL-sh rows never band (see prep's degenerate-doc
+    // contract); size-0 rows take the keeper-star path below instead.
     val bandedOcc = Blocking.withOccupancy(
-      bandedBuckets(prepped, numPerm, bands, carryMh = false), Seq("band", "bucket"))
+      bandedBuckets(bandable(prepped), numPerm, bands, carryMh = false), Seq("band", "bucket"))
     val cand = coldCandidatePairs(bandedOcc, numPerm, withEstimate = false, maxBucket = maxBucket)
     val verified = cand
       .join(prepped.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -254,8 +278,12 @@ object Dedup {
     // A doc can surface in both paths (hot in one band, cold in another),
     // so collapse to one row per pair.
     val hotIds = bandedOcc.where(col("__occ") > maxBucket).select("id").distinct()
+    // Size-0 shingle sets (direct-hash-API rows that cannot band) are exact
+    // duplicates of each other at the set level: route them through the same
+    // identical-content star path the hot buckets use, at any corpus size.
     val hotMembers = prepped
       .join(hotIds, Seq("id"), "left_semi")
+      .unionByName(prepped.where(col("sh").isNotNull && size(col("sh")) === 0))
       .select(col("id"), array_sort(col("sh")).as("shs"))
     val hot = Blocking.keeperStarPairs(hotMembers, "shs", "jaccard", lit(1.0))
     verified
@@ -279,7 +307,8 @@ object Dedup {
       shingleK: Int = 3,
       maxBucket: Int = 256): DataFrame =
     Blocking.withOccupancy(
-      bandedBuckets(prep(df, textCol, idCol, numPerm, shingleK), numPerm, bands, carryMh = false),
+      bandedBuckets(bandable(prep(df, textCol, idCol, numPerm, shingleK)), numPerm, bands,
+        carryMh = false),
       Seq("band", "bucket"))
       .where(col("__occ") > maxBucket)
       .select(col("band"), col("bucket"), col("__occ").as("occupancy"))
@@ -435,7 +464,13 @@ object Dedup {
     val sigs = Partitioning.spread(df)
       .select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
       .transform(pin)
-    val banded = sigs.select(
+    // NULL text → NULL signature: similarity with an absent doc is
+    // undefined, and unfiltered null rows would all land in the one
+    // xxhash64-of-NULL bucket per band (flood, zero output — NULL hamming
+    // and NULL content-equality both drop). Empty docs are NOT null: their
+    // empty token stream votes no bits, sig = 0, and they pair with each
+    // other at hamming 0 through the normal machinery.
+    val banded = sigs.where(col("sig").isNotNull).select(
       col("id"),
       col("sig"),
       explode(
