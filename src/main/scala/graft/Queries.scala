@@ -784,10 +784,14 @@ object Queries {
         SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s WHERE u.t <> r.s)
       SELECT s AS id, LEAST(s, MIN(t)) AS cluster FROM reach GROUP BY s"""))
 
-  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures). */
+  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures). The
+    * explicit cap exercises the production hot-bucket path; at this corpus
+    * no bucket exceeds it, so the result equals the exact default.
+    */
   val q26SimhashPairs: Q = Q(
     "q26_simhash_pairs",
-    (s, dir) => Dedup.simHashPairs(corpusWithPlantedDups(s, dir), "text", "doc_id"),
+    (s, dir) => Dedup.simHashPairs(corpusWithPlantedDups(s, dir), "text", "doc_id",
+      maxBucket = 256),
     None)
 
   /** Rolling-hash document fingerprint (min shingle hash, winnowing-style). */
@@ -913,8 +917,11 @@ object Queries {
         .select(
           (col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding"))
+      // explicit cap = the production hot-bucket path; no bucket exceeds
+      // it at this corpus, so the result equals the exact default
       Similarity.cosineNearDupPairs(
-        emb.unionByName(perturbed), "vec_id", "embedding", threshold = 0.99)
+        emb.unionByName(perturbed), "vec_id", "embedding", threshold = 0.99,
+        maxBucket = 256)
     },
     None)
 

@@ -28,11 +28,17 @@ object vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0.0 when either side has zero norm. */
+  /** Cosine similarity; 0.0 when either side has zero norm. Clamped to the
+    * mathematical range [-1, 1]: d/(|a||b|) can land 1 ulp outside it for
+    * (near-)identical vectors, and downstream max-aggregation over pair
+    * paths must not prefer a 1.0000000000000002 rounding artifact over the
+    * exact 1.0 the identical-content path reports.
+    */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = norm(a) * norm(b)
-    when(n === 0.0, lit(0.0)).otherwise(d / n)
+    when(n === 0.0, lit(0.0))
+      .otherwise(least(lit(1.0), greatest(lit(-1.0), d / n)))
   }
 
   /** Squared L2 distance (cheaper than sqrt for nearest-neighbor ranking). */

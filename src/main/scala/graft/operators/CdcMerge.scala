@@ -113,13 +113,16 @@ object CdcMerge {
           // Schema evolution must not go through the scoped path: rewriting
           // only touched partitions would leave partition files with
           // HETEROGENEOUS schemas, and a later plain read (mergeSchema off,
-          // the default) can silently drop the new column for the whole
-          // table. A batch carrying a new column triggers one full-table
-          // merge+rewrite so every file stays homogeneous.
+          // the default) picks ONE file's footer schema — an added column
+          // can silently vanish table-wide, a dropped column
+          // nondeterministically survives-with-nulls or disappears
+          // depending on which file gets sampled. So ANY column-set
+          // difference — addition OR removal — routes through one
+          // full-table merge+rewrite that keeps every file homogeneous.
           val existCols = spark.read.parquet(silverPath)
             .schema.fieldNames.map(_.toLowerCase).toSet
           val freshCols = b.schema.fieldNames.map(_.toLowerCase).toSet
-          if (!freshCols.subsetOf(existCols)) {
+          if (freshCols != existCols) {
             val existing = Some(spark.read.option("mergeSchema", "true").parquet(silverPath))
             val merged = mergeFullHistory(existing, b, keys)
             graft.sources.Sinks.writePartitionedAtomic(merged, silverPath, partitionCols)

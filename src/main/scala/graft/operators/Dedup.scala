@@ -220,9 +220,13 @@ object Dedup {
 
   /** Banded LSH candidate pairs: (id_a, id_b, est_jaccard) with id_a < id_b,
     * distinct. est_jaccard = fraction of matching minhash positions.
-    * Buckets over `maxBucket` members are excluded (see
-    * [[candidatesFromSketch]]) — use [[minHashDedupPairs]] when those
-    * boilerplate clusters must still be reported.
+    *
+    * The default `maxBucket = Int.MaxValue` keeps the original full-recall
+    * candidate contract. A finite cap is the opt-in scale knob: buckets
+    * over the cap are EXCLUDED from candidate generation entirely (see
+    * [[candidatesFromSketch]]) — at that point use [[minHashDedupPairs]],
+    * which still reports boilerplate clusters through its linear keeper
+    * path, and [[hotBuckets]] to observe what the cap short-circuits.
     */
   def minHashCandidates(
       df: DataFrame,
@@ -231,7 +235,7 @@ object Dedup {
       numPerm: Int = 64,
       bands: Int = 16,
       shingleK: Int = 3,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands evenly")
     candidatesFromSketch(prep(df, textCol, idCol, numPerm, shingleK), numPerm, bands,
       withEstimate = true, maxBucket = maxBucket)
@@ -449,18 +453,23 @@ object Dedup {
     * reads it twice more — without the barrier the whole simHash fold would
     * be inlined and re-evaluated at every use site.
     *
-    * Buckets with more than `maxBucket` members skip the quadratic
-    * within-bucket join; their members pair to the keeper (min id) of
-    * their IDENTICAL signature instead (hamming = 0 by construction,
-    * linear cost). Hot-bucket members whose signature matches nothing
-    * exactly are dropped — bounded output on boilerplate corpora.
+    * The default `maxBucket = Int.MaxValue` preserves this API's original
+    * contract: EXACT recall for hamming ≤ maxHamming (DedupSpec asserts it
+    * against driver-side all-pairs). Setting a finite cap is the opt-in
+    * scale path for boilerplate corpora: buckets over the cap skip the
+    * quadratic within-bucket join and their members are instead verified
+    * LINEARLY against the bucket keeper (min id) by true hamming distance,
+    * plus star-paired to the keeper of their identical signature. Under a
+    * finite cap, recall loss is confined to hot-bucket pairs where neither
+    * member is the bucket keeper and the signatures differ — bounded and
+    * observable, never silent exactness.
     */
   def simHashPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val sigs = Partitioning.spread(df)
       .select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
       .transform(pin)
@@ -489,9 +498,23 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-    val hotIds = banded.where(col("__occ") > maxBucket).select("id").distinct()
-    val hotPairs = Blocking.keeperStarPairs(
+    // Over-cap buckets: (a) every member verified against the bucket keeper
+    // by TRUE hamming — near-but-not-identical neighbors of the keeper
+    // survive the cap; (b) identical-signature star pairs — groups whose
+    // shared signature differs from the keeper's survive too. Both linear.
+    val hotRows = banded.where(col("__occ") > maxBucket)
+    val bucketKeepers = hotRows.groupBy("band", "bucket")
+      .agg(min(col("id")).as("kid"), min_by(col("sig"), col("id")).as("ksig"))
+    val hotNearKeeper = hotRows.join(bucketKeepers, Seq("band", "bucket"))
+      .where(col("id") =!= col("kid")) // kid = bucket min, so kid < id
+      .select(col("kid").as("id_a"), col("id").as("id_b"),
+        bit_count(col("sig").bitwiseXOR(col("ksig"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+    val hotIds = hotRows.select("id").distinct()
+    val hotIdentical = Blocking.keeperStarPairs(
       sigs.join(hotIds, Seq("id"), "left_semi"), "sig", "hamming", lit(0).cast("int"))
-    coldPairs.unionByName(hotPairs).distinct()
+    // every path emits the true hamming of (sig_a, sig_b) — a pair reached
+    // by several paths contributes identical rows, so distinct() collapses
+    coldPairs.unionByName(hotNearKeeper).unionByName(hotIdentical).distinct()
   }
 }

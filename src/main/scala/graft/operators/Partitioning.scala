@@ -50,10 +50,17 @@ object Partitioning {
     *
     * `valueCol` must be integral (LongType result — integer prefix sums
     * are exact and order-independent; float running sums are neither: cast
-    * upstream and accept approximation explicitly if needed). `orderCol`
-    * values should be unique — ties that straddle a range boundary would
-    * not see their cross-partition peers (single-window RANGE semantics
-    * includes all peers).
+    * upstream and accept approximation explicitly if needed).
+    *
+    * Duplicate `orderCol` values get ROWS-frame semantics: ties are broken
+    * deterministically within one materialization by a row-identity tie
+    * column that both the range partitioner and the window order on, so
+    * ties straddling a partition boundary still accumulate one row at a
+    * time in a single consistent global order. This differs from the
+    * single-window RANGE default (which gives every peer the same
+    * all-peers-inclusive total) — for a running total used to PACK (shard
+    * budgeting), ROWS is the semantics you want; take max(running) per key
+    * if peers-inclusive totals are needed.
     */
   def runningSum(
       df: DataFrame,
@@ -76,9 +83,12 @@ object Partitioning {
     // offsets computed against one partitioning would be applied to
     // another. The persist barrier fixes the boundaries (and partition
     // ids) once for both the totals job and the final pass; release via
-    // Caches.release() like every operator pin.
+    // Caches.release() like every operator pin. The __tie column gives
+    // ties a total order the partitioner and the window agree on (stable
+    // within the pinned materialization, which is the only one used).
     val ranged = Caches.pin(
-      df.repartitionByRange(n, col(orderCol))
+      df.withColumn("__tie", monotonically_increasing_id())
+        .repartitionByRange(n, col(orderCol), col("__tie"))
         .withColumn("__pid", spark_partition_id()))
     val partials = ranged
       .groupBy("__pid")
@@ -92,11 +102,12 @@ object Partitioning {
     val offsets: Map[Int, Long] = partials.map { case (p, s) =>
       val o = acc; acc += s; p -> o
     }.toMap
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__pid").orderBy(orderCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col(orderCol), col("__tie"))
     ranged
       .withColumn(outCol,
         sum(col(valueCol)).over(w) +
           coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)))
-      .drop("__pid")
+      .drop("__pid", "__tie")
   }
 }

@@ -193,13 +193,17 @@ object Similarity {
   /** All-pairs near-duplicate detection by embedding cosine ≥ threshold,
     * LSH-blocked so the quadratic comparison only happens within buckets.
     *
-    * Buckets with more than `maxBucket` members (degenerate corpora: the
-    * same embedding repeated millions of times) skip the quadratic
-    * within-bucket join; their members pair to the keeper (min id) of their
-    * BIT-IDENTICAL vector instead, reported as cosine 1.0 — the dedup
-    * answer for exact copies, linear cost, and well-defined even for the
-    * zero vector where cosine itself is not. Hot-bucket members with no
-    * identical twin are dropped (bounded recall loss on boilerplate).
+    * The default `maxBucket = Int.MaxValue` keeps the original contract
+    * (every colliding bucket fully joined). A finite cap is the opt-in
+    * scale path for degenerate corpora (the same embedding repeated
+    * millions of times): over-cap buckets skip the quadratic within-bucket
+    * join and their members are instead (a) verified LINEARLY against the
+    * bucket keeper (min id) by true cosine, and (b) star-paired to the
+    * keeper of their BIT-IDENTICAL vector at cosine 1.0 — the dedup answer
+    * for exact copies, well-defined even for the zero vector where cosine
+    * itself is not. Under a cap, recall loss is confined to hot-bucket
+    * pairs where neither member is the bucket keeper and the vectors
+    * differ — bounded, not silent.
     */
   def cosineNearDupPairs(
       emb: DataFrame,
@@ -210,7 +214,7 @@ object Similarity {
       bands: Int = 8,
       bitsPerBand: Int = 8,
       seed: Long = 42L,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     // persist: both self-join sides read this — without the barrier the
     // full signature computation runs once per side.
     val banded = Partitioning.spread(emb).select(
@@ -231,15 +235,27 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), vectors.cosine(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
-    // Identical-vector star pairs for over-cap buckets; vectors are their
-    // own canonical form (element order IS meaning, no sort needed).
-    // band 0 carries every id exactly once — one row per doc without a
-    // distinct shuffle over the vector column.
-    val hotIds = withOcc.where(col("__occ") > maxBucket).select("id").distinct()
-    val hotPairs = Blocking.keeperStarPairs(
+    // Over-cap buckets: true-cosine verification against the bucket keeper
+    // (near-but-not-identical neighbors survive) + identical-vector star
+    // pairs (exact copies whose vector differs from the keeper's, and zero
+    // vectors whose cosine is undefined). Both linear in bucket size.
+    val hotRows = withOcc.where(col("__occ") > maxBucket)
+    val bucketKeepers = hotRows.groupBy("band", "sig")
+      .agg(min(col("id")).as("kid"), min_by(col("v"), col("id")).as("kv"))
+    val hotNearKeeper = hotRows.join(bucketKeepers, Seq("band", "sig"))
+      .where(col("id") =!= col("kid")) // kid = bucket min, so kid < id
+      .select(col("kid").as("id_a"), col("id").as("id_b"),
+        vectors.cosine(col("v"), col("kv")).as("cosine"))
+      .where(col("cosine") >= threshold)
+    // Identical-vector star pairs; vectors are their own canonical form
+    // (element order IS meaning, no sort needed). band 0 carries every id
+    // exactly once — one row per doc without a distinct shuffle over the
+    // vector column.
+    val hotIds = hotRows.select("id").distinct()
+    val hotIdentical = Blocking.keeperStarPairs(
       banded.where(col("band") === 0).select("id", "v").join(hotIds, Seq("id"), "left_semi"),
       "v", "cosine", lit(1.0))
-    coldPairs.unionByName(hotPairs)
+    coldPairs.unionByName(hotNearKeeper).unionByName(hotIdentical)
       .groupBy("id_a", "id_b")
       .agg(max("cosine").as("cosine"))
   }

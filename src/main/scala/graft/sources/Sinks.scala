@@ -58,6 +58,10 @@ object Sinks {
         if (!fs.rename(newest, target))
           throw new java.io.IOException(
             s"found stranded pre-swap data at $newest but could not restore it to $target")
+        // Older retired siblings are superseded by definition (each swap
+        // retires the then-current table); left behind, repeated
+        // crash/retry cycles would accrete one full-table copy per attempt.
+        stranded.init.foreach(old => fs.delete(old, true))
         throw new java.io.IOException(
           s"restored $target from stranded $newest (a previous swap crashed mid-rename); " +
             "re-run this write so its plan reads the recovered data")

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Caches
+
+class CachesSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  test("scoped release drops only the releasing pipeline's pins") {
+    val a = Caches.newScope()
+    val b = Caches.newScope()
+    val dfA = Caches.inScope(a) { Caches.pin(spark.range(10).select(col("id"))) }
+    val dfB = Caches.inScope(b) { Caches.pin(spark.range(20).select(col("id"))) }
+    dfA.count(); dfB.count()
+    assert(dfA.storageLevel.useMemory && dfB.storageLevel.useMemory)
+    a.release(blocking = true)
+    assert(!dfA.storageLevel.useMemory, "scope A's frame must be unpersisted")
+    assert(dfB.storageLevel.useMemory,
+      "scope B's persist barrier must survive A's release — the whole point of scoping")
+    b.release(blocking = true)
+    assert(!dfB.storageLevel.useMemory)
+  }
+
+  test("global release drains every scope (escape hatch) and unscoped pins") {
+    val s = Caches.newScope()
+    val scoped = Caches.inScope(s) { Caches.pin(spark.range(5).toDF("id")) }
+    val unscoped = Caches.pin(spark.range(6).toDF("id"))
+    scoped.count(); unscoped.count()
+    Caches.release(blocking = true)
+    assert(!scoped.storageLevel.useMemory && !unscoped.storageLevel.useMemory)
+  }
+
+  test("operator pins land in the active scope (end-to-end through an operator)") {
+    import spark.implicits._
+    val s = Caches.newScope()
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("id", "text")
+    val pairs = Caches.inScope(s) {
+      graft.operators.Dedup.minHashDedupPairs(docs, "text", "id", threshold = 0.5)
+    }
+    assert(pairs.count() == 1)
+    s.release(blocking = true)
+    // releasing twice is safe, and the scope is forgotten by the registry
+    s.release(blocking = true)
+  }
+}

@@ -144,6 +144,48 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getAs[Int]("hamming") == 0 && r.getAs[Long]("id_a") == 0L))
   }
 
+  test("capped simHashPairs: near-but-not-identical member of a hot bucket survives via keeper verification") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima " +
+      "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu"
+    val variant = base.replace("alpha", "replacement0") // measured simhash hamming = 2
+    val flood = spark.range(2000).select(col("id"), lit(base).as("text"))
+    val docs = flood.unionByName(Seq((5000L, variant)).toDF("id", "text"))
+    val pairs = Dedup.simHashPairs(docs, "text", "id", maxBucket = 50).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming"))
+      .toMap
+    // hamming <= 3 ⇒ pigeonhole puts the variant in at least one flooded
+    // band bucket; the OLD hot path (identical-signature star only) dropped
+    // it, the keeper-verified path must keep it with its true distance
+    assert(pairs.get((0L, 5000L)).contains(2),
+      s"near-variant must pair to the hot-bucket keeper at true hamming; got ${pairs.get((0L, 5000L))}")
+    assert(pairs.count { case ((a, _), h) => a == 0L && h == 0 } == 1999,
+      "identical flood still keeper-stars linearly")
+    // and with the (default) uncapped contract the answer is identical here
+    val uncapped = Dedup.simHashPairs(docs, "text", "id").collect()
+    assert(uncapped.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      .contains((0L, 5000L)))
+  }
+
+  test("capped cosineNearDupPairs: near-but-not-identical member of a hot bucket survives via keeper verification") {
+    // one dense direction: 2000 bit-identical vectors + one 1.0005x-scaled
+    // near copy (cosine 1.0 up to float rounding, not bit-identical)
+    val dim = 64
+    val baseVec = Array.tabulate(dim)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val nearVec = baseVec.map(x => (x * 1.0005f))
+    val flood = spark.range(2000).select(col("id").as("vec_id"), typedlit(baseVec.toSeq).as("embedding"))
+    val docs = flood.unionByName(Seq((5000L, nearVec.toSeq)).toDF("vec_id", "embedding"))
+    val pairs = graft.operators.Similarity
+      .cosineNearDupPairs(docs, "vec_id", "embedding", threshold = 0.99, maxBucket = 50)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cosine"))
+      .toMap
+    assert(pairs.keySet.contains((0L, 5000L)),
+      "scaled near-copy in the flooded bucket must pair to the keeper by true cosine")
+    assert(pairs((0L, 5000L)) >= 0.99)
+    assert(pairs.count { case ((a, _), c) => a == 0L && c == 1.0 } >= 1999,
+      "bit-identical flood still keeper-stars linearly")
+  }
+
   test("degenerate docs: empty-content groups behave identically below and above the bucket cap") {
     // Empty / whitespace / shorter-than-k docs all carry the single shingle
     // "" — they must pair with each other at jaccard 1.0 whether they ride

@@ -38,10 +38,16 @@ class SinksSpec extends AnyFunSuite {
     // Simulate a driver crash between the two swap renames: target was
     // retired, the staging promote never happened.
     val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an OLDER stranded copy from a previous crash/retry cycle: superseded,
+    // must be purged on recovery instead of accreting forever
+    val older = new Path(t + ".__retired_00oldcrash")
+    fs.mkdirs(older)
+    fs.setTimes(older, 1000L, -1)
     assert(fs.rename(new Path(t), new Path(t + ".__retired_deadbeef")))
     val e = intercept[java.io.IOException] { Sinks.writePartitionedAtomic(df, t, Nil) }
     assert(e.getMessage.contains("restored"), e.getMessage)
     assert(spark.read.parquet(t).count() == df.count(), "pre-crash data must be recovered")
+    assert(!fs.exists(older), "superseded retired sibling must be deleted on recovery")
     // With the target recovered, a re-run completes normally.
     Sinks.writePartitionedAtomic(df, t, Nil)
     assert(spark.read.parquet(t).count() == df.count())
@@ -132,6 +138,24 @@ class SinksSpec extends AnyFunSuite {
     assert(out.count() == 3)
     assert(out.where(col("k") === 3L).select("extra").head().getInt(0) == 7)
     assert(out.where(col("extra").isNull).count() == 2, "history rows carry typed null")
+  }
+
+  test("mergeIntoPartitioned: a DROPPED column also triggers one homogeneous full rewrite") {
+    val silver = Files.createTempDirectory("evolve-drop").toString + "/t"
+    val d1 = Seq((1L, "a", 5, "p1"), (2L, "b", 6, "p2")).toDF("k", "v", "extra", "p")
+    graft.operators.CdcMerge.mergeIntoPartitioned(silver, d1, Seq("k"), Seq("p"))
+    // narrowing batch touches ONLY p2 and no longer carries `extra`
+    val d2 = Seq((3L, "c", "p2")).toDF("k", "v", "p")
+    graft.operators.CdcMerge.mergeIntoPartitioned(silver, d2, Seq("k"), Seq("p"))
+    // every file must agree on the narrow layout: a plain read must neither
+    // nondeterministically resurrect `extra` nor depend on footer sampling
+    val out = spark.read.parquet(silver)
+    assert(!out.columns.contains("extra"),
+      "align-to-new-layout drops the column everywhere, not just touched partitions")
+    assert(out.count() == 3)
+    val merged = spark.read.option("mergeSchema", "true").parquet(silver)
+    assert(!merged.columns.contains("extra"),
+      "even a mergeSchema read must not find stale wide files")
   }
 
   test("mergeIntoPartitioned (batch API): dedups against existing, touches only its partitions") {
