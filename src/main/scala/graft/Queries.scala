@@ -794,6 +794,17 @@ object Queries {
       maxBucket = 256),
     None)
 
+  /** EXACT all-pairs hamming ground truth for q26: brute-force nested-loop
+    * over the same signatures, no banding — recall = 1 by construction.
+    * No DuckDB oracle (the signature is xxhash64-based, not ANSI-SQL-
+    * reproducible); instead DedupSpec asserts q26 == q26c at the default
+    * geometry and q26 ⊆ q26c under a finite bucket cap.
+    */
+  val q26cSimhashPairsExact: Q = Q(
+    "q26c_simhash_pairs_exact",
+    (s, dir) => Dedup.simHashPairsExact(corpusWithPlantedDups(s, dir), "text", "doc_id"),
+    None)
+
   /** Rolling-hash document fingerprint (min shingle hash, winnowing-style). */
   val q27RollingFingerprint: Q = Q(
     "q27_rolling_fingerprint",
@@ -924,6 +935,38 @@ object Queries {
         maxBucket = 256)
     },
     None)
+
+  /** EXACT all-pairs cosine ground truth for q32, ORACLE-GATED: emits pair
+    * ids only, so the DuckDB comparison is a threshold-set decision, not a
+    * bitwise double match — safe because the corpus has a ~0.01 cosine
+    * margin around the 0.99 threshold (no pair lands between 0.98 and the
+    * planted ~1.0 copies). The float corpus construction (x * 1.001f cast
+    * to float) is IEEE-754 float32 in both engines, hence bit-identical
+    * inputs. SimilaritySpec asserts q32 ⊆ q32c.
+    */
+  val q32cEmbeddingNearDupExact: Q = Q(
+    "q32c_embedding_near_dup_exact",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val perturbed = emb
+        .where(col("vec_id") % 10 === 0)
+        .select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding"))
+      Similarity.cosineNearDupPairsExact(
+        emb.unionByName(perturbed), "vec_id", "embedding", threshold = 0.99)
+    },
+    Some("""
+      WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      pert AS (SELECT vec_id + 1000000 AS vec_id,
+                      list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
+               FROM base WHERE vec_id % 10 = 0),
+      allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+            (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+             sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.99"""))
 
   // ===========================================================
   // Multimodal: opaque binary columns + typed metadata
@@ -1135,9 +1178,9 @@ object Queries {
     q19Rollup, q19Cube, q19WindowFrames, q19Pivot, q19Ntile,
     q20TokenStats, q21QualityScore, q22LangId, q23Fingerprint, q24ExactDedup,
     q25MinhashDedup, q25bDupClusters, q25cJaccardPairsExact, q25dClustersExact,
-    q26SimhashPairs, q27RollingFingerprint,
+    q26SimhashPairs, q26cSimhashPairsExact, q27RollingFingerprint,
     q28TermFreq, q29TokenJaccard,
-    q30CosineTopK, q31AnnLsh, q32EmbeddingNearDup, q33AnnIvf,
+    q30CosineTopK, q31AnnLsh, q32EmbeddingNearDup, q32cEmbeddingNearDupExact, q33AnnIvf,
     q34Repetition, q35PiiRedact,
     q36JsonExtract, q37SessionWindow, q38Quantiles, q38bApproxAgg, q38cExactAgg,
     q39AsofJoin,

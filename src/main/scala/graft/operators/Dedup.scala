@@ -517,4 +517,31 @@ object Dedup {
     // by several paths contributes identical rows, so distinct() collapses
     coldPairs.unionByName(hotNearKeeper).unionByName(hotIdentical).distinct()
   }
+
+  /** EXACT all-pairs SimHash hamming ≤ maxHamming — the brute-force ground
+    * truth [[simHashPairs]] is measured against (DedupSpec asserts equality
+    * under the default uncapped geometry, subset under a finite cap).
+    * Deliberately quadratic: the signature table broadcasts into a
+    * nested-loop self-join, recall = 1 by construction, INDEPENDENT of the
+    * banding argument (pigeonhole) the fast path relies on. Validation
+    * tool — run it on sampled corpora, never the 100 TB table; the linear
+    * fast path IS [[simHashPairs]].
+    */
+  def simHashPairsExact(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = Partitioning.spread(df)
+      .select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+      .where(col("sig").isNotNull)
+      .transform(pin)
+    sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(
+        sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -259,4 +259,27 @@ object Similarity {
       .groupBy("id_a", "id_b")
       .agg(max("cosine").as("cosine"))
   }
+
+  /** EXACT all-pairs cosine ≥ threshold — the brute-force ground truth
+    * [[cosineNearDupPairs]] is measured against (its LSH-emitted pairs
+    * must be a subset of this set). Emits (id_a, id_b) ONLY: pair
+    * membership is a threshold decision with a wide margin on any
+    * non-adversarial corpus, so an external oracle can reproduce the set
+    * without bit-matching double arithmetic. Deliberately quadratic
+    * (nested-loop self-join over the broadcast vector table) — validation
+    * tool for sampled corpora; the scale path is [[cosineNearDupPairs]].
+    */
+  def cosineNearDupPairsExact(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95): DataFrame = {
+    val v = Partitioning.spread(emb)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .transform(Caches.pin)
+    v.select(col("id").as("id_a"), col("v").as("v_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b")), col("id_a") < col("id_b"))
+      .where(vectors.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select("id_a", "id_b")
+  }
 }

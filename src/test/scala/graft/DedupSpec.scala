@@ -286,6 +286,11 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked == exact,
       s"hamming<=3 guarantees a shared band — blocking must lose nothing; " +
         s"missing=${exact.diff(blocked).take(5)} extra=${blocked.diff(exact).take(5)}")
+    // the catalog's brute-force twin reproduces the same ground truth
+    // through an INDEPENDENT algorithm (nested loop, no pigeonhole)
+    val catalogExact = Queries.queries("q26c_simhash_pairs_exact")(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(catalogExact == exact, "q26c must equal driver-side all-pairs hamming")
   }
 
   test("embedding near-dup precision vs brute-force cosine ground truth") {
@@ -312,6 +317,12 @@ class DedupSpec extends AnyFunSuite {
     val plantedPairs = planted.map { case (id, _) => (id - 1000000L, id) }.toSet
     val recall = lsh.intersect(plantedPairs).size.toDouble / plantedPairs.size
     assert(recall >= 0.9, s"planted 1.001x-scaled copies must be recalled, got $recall")
+    // the LSH pipeline is also a subset of the catalog's oracle-gated
+    // brute-force twin (which DuckDB reproduces as a threshold set)
+    val catalogExact = Queries.queries("q32c_embedding_near_dup_exact")(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(catalogExact),
+      s"q32 must be a subset of q32c; extras=${lsh.diff(catalogExact).take(5)}")
   }
 
   test("jaccardVerify on explicit candidate pairs") {
