@@ -46,20 +46,27 @@ object Bench {
 
     // Two timed passes per query, cold cache each, min of the two: a single
     // pass conflates the query with GC/scheduling noise (the round-2 q01
-    // 4.6x phantom regression).
-    val results = Queries.headlines.map { q =>
-      val times = (1 to 2).map { _ =>
-        clear()
-        val t0 = System.nanoTime()
-        try once(q.fn)
-        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
-      }
-      q.name -> times.min
+    // 4.6x phantom regression). A third WARM pass (no cache clear, repeated
+    // immediately) separates steady-state query cost from first-touch
+    // overhead (scan/codegen/JIT): a cold-warm gap with a small warm number
+    // means fixed overhead, not a plan problem — the round-3 q30 question.
+    def timed(q: Queries.Q): Double = {
+      val t0 = System.nanoTime()
+      try once(q.fn)
+      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val results = Queries.headlines.map { q =>
+      val cold = (1 to 2).map { _ => clear(); timed(q) }.min
+      val warm = timed(q)
+      (q.name, cold, warm)
+    }
+    def json(f: ((String, Double, Double)) => Double) =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalWarm = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._2)},""" +
+      s""""total_warm":$totalWarm,"queries_warm":${json(_._3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
