@@ -93,22 +93,29 @@ object CdcMerge {
       fresh: DataFrame,
       keys: Seq[String],
       partitionCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, count, lit}
     require(partitionCols.nonEmpty, "partition-scoped merge needs partition columns")
     val spark = fresh.sparkSession
+    Metrics.register(spark)
     // persist: fresh feeds both the touched-partition probe and the union.
-    val b = fresh.persist()
+    val b0 = fresh.persist()
+    // rows_in/rows_out ride the merge action itself as observe() aggregates
+    // (no extra pass); the monitorable numbers silver_check re-scans for.
+    val b = b0.observe("graft.cdc.fresh", count(lit(1)).as("rows_in"))
+    def observed(df: DataFrame): DataFrame =
+      df.observe("graft.cdc.merge", count(lit(1)).as("rows_out"))
     try {
       // A previous swap may have crashed mid-rename; restore BEFORE
       // building the read plan so the merge never sees a half-table.
       graft.sources.Sinks.recoverStrandedPartitions(spark, silverPath)
-      val touched = b.select(partitionCols.map(col): _*).distinct().collect()
+      val touched = b0.select(partitionCols.map(col): _*).distinct().collect()
+      Metrics.put("graft.cdc.partitions", "touched" -> touched.length.toLong)
       if (touched.nonEmpty) {
         val p = new org.apache.hadoop.fs.Path(silverPath)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(p)) {
           graft.sources.Sinks.writePartitionsAtomic(
-            mergeFullHistory(None, b, keys), silverPath, partitionCols)
+            observed(mergeFullHistory(None, b, keys)), silverPath, partitionCols)
         } else {
           // Schema evolution must not go through the scoped path: rewriting
           // only touched partitions would leave partition files with
@@ -124,7 +131,7 @@ object CdcMerge {
           val freshCols = b.schema.fieldNames.map(_.toLowerCase).toSet
           if (freshCols != existCols) {
             val existing = Some(spark.read.option("mergeSchema", "true").parquet(silverPath))
-            val merged = mergeFullHistory(existing, b, keys)
+            val merged = observed(mergeFullHistory(existing, b, keys))
             graft.sources.Sinks.writePartitionedAtomic(merged, silverPath, partitionCols)
           } else {
             // Read the existing table with the FRESH frame's schema
@@ -140,12 +147,12 @@ object CdcMerge {
             }.reduce(_ || _)
             val existingScoped =
               Some(spark.read.schema(b.schema).parquet(silverPath).where(pred))
-            val merged = mergeFullHistory(existingScoped, b, keys)
+            val merged = observed(mergeFullHistory(existingScoped, b, keys))
             graft.sources.Sinks.writePartitionsAtomic(merged, silverPath, partitionCols)
           }
         }
       }
-    } finally b.unpersist()
+    } finally b0.unpersist()
   }
 
   /** Probe-or-none scan for the merge target (reference: bronze_to_silver.py:66-68).

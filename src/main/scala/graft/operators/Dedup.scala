@@ -281,7 +281,11 @@ object Dedup {
     // is what put them in the same hot bucket) and a true jaccard of 1.0.
     // A doc can surface in both paths (hot in one band, cold in another),
     // so collapse to one row per pair.
+    Metrics.register(df.sparkSession)
     val hotIds = bandedOcc.where(col("__occ") > maxBucket).select("id").distinct()
+      // rides the pair action as a free aggregate: how many documents the
+      // cap routed to the linear path this run (see Metrics / hotBuckets)
+      .observe("graft.dedup.hot_member_ids", count(lit(1)).as("ids"))
     // Size-0 shingle sets (direct-hash-API rows that cannot band) are exact
     // duplicates of each other at the set level: route them through the same
     // identical-content star path the hot buckets use, at any corpus size.
@@ -309,7 +313,8 @@ object Dedup {
       numPerm: Int = 64,
       bands: Int = 16,
       shingleK: Int = 3,
-      maxBucket: Int = 256): DataFrame =
+      maxBucket: Int = 256): DataFrame = {
+    Metrics.register(df.sparkSession)
     Blocking.withOccupancy(
       bandedBuckets(bandable(prep(df, textCol, idCol, numPerm, shingleK)), numPerm, bands,
         carryMh = false),
@@ -317,6 +322,13 @@ object Dedup {
       .where(col("__occ") > maxBucket)
       .select(col("band"), col("bucket"), col("__occ").as("occupancy"))
       .distinct()
+      // executing the audit also publishes its headline numbers to the
+      // metrics registry — monitors alert on these without re-reading rows
+      .observe("graft.dedup.hot_buckets",
+        count(lit(1)).as("buckets"),
+        coalesce(sum("occupancy"), lit(0L)).as("member_rows"),
+        coalesce(max("occupancy"), lit(0L)).as("max_occupancy"))
+  }
 
   /** EXACT all-pairs k-shingle Jaccard ≥ threshold, via a shingle inverted
     * index: any pair with Jaccard > 0 shares at least one shingle, so the

@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** In-flight pipeline observability (the 100 TB replacement for re-running
+  * checks): graft operators attach `observe()` metric nodes to the frames
+  * they execute — evaluated DURING the action as ordinary aggregates, zero
+  * extra passes — and this registry harvests them through a
+  * [[QueryExecutionListener]] so drivers/monitors can read "rows merged,
+  * partitions touched, hot buckets short-circuited" right after (or while)
+  * the pipeline runs, instead of re-scanning the table to find out.
+  *
+  * The reference ships an after-the-fact checker (silver_check.py) that
+  * re-reads silver and recounts; `observe` metrics are the same numbers
+  * collected for free on the write path itself.
+  *
+  * Metric names are namespaced `graft.*`; each name maps to the most
+  * recent Row of named aggregate values. Driver-side scalars the operator
+  * already knows (e.g. touched-partition count — an O(partitions) collect
+  * that already happened) are recorded via [[put]] under the same
+  * namespace. Registration is per-session and idempotent; listener
+  * callbacks arrive on Spark's listener thread, hence the concurrent map.
+  *
+  * ABSENCE MEANS ZERO: a metric attached to a subtree the optimizer proves
+  * empty (e.g. the hot-bucket branch of a corpus with no hot buckets) is
+  * pruned with the subtree by empty-relation propagation and never
+  * reports. Readers treat a missing metric like a missing monitoring
+  * series — zero activity — rather than forcing every plan to keep dead
+  * branches alive just to say "0".
+  */
+object Metrics {
+
+  private val latest = new ConcurrentHashMap[String, Row]()
+  private val listeners = new ConcurrentHashMap[SparkSession, QueryExecutionListener]()
+
+  /** Attach the harvesting listener to `spark` (idempotent per session). */
+  def register(spark: SparkSession): Unit =
+    listeners.computeIfAbsent(
+      spark,
+      s => {
+        val l = new QueryExecutionListener {
+          override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) => latest.put(name, row) }
+          override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+        }
+        s.listenerManager.register(l)
+        l
+      })
+
+  /** Record a driver-side scalar metric (single unnamed-struct Row). */
+  def put(name: String, values: (String, Any)*): Unit =
+    latest.put(name, Row.fromSeq(values.map(_._2)))
+
+  /** Most recent Row observed under `name`, if any execution reported it.
+    * Listener delivery is asynchronous — [[await]] for read-after-action.
+    */
+  def get(name: String): Option[Row] = Option(latest.get(name))
+
+  /** Await a metric's arrival (listener callbacks are async w.r.t. the
+    * action that produced them). Returns None on timeout.
+    */
+  def await(name: String, timeoutMs: Long = 10000L): Option[Row] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var r = get(name)
+    while (r.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(25L)
+      r = get(name)
+    }
+    r
+  }
+
+  /** Snapshot of every metric harvested so far in this JVM. */
+  def snapshot(): Map[String, Row] = {
+    val b = Map.newBuilder[String, Row]
+    latest.forEach((k, v) => b += k -> v)
+    b.result()
+  }
+
+  /** Drop recorded values (test isolation / batch boundaries). */
+  def reset(): Unit = latest.clear()
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Metrics}
+
+class MetricsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("CDC merge publishes rows_in/rows_out/partitions_touched on the write action") {
+    Metrics.reset()
+    val silver = Files.createTempDirectory("metrics-cdc").toString + "/t"
+    val d1 = Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p2")).toDF("k", "v", "p")
+    graft.operators.CdcMerge.mergeIntoPartitioned(silver, d1, Seq("k"), Seq("p"))
+    assert(Metrics.await("graft.cdc.merge").map(_.getAs[Long]("rows_out")).contains(3L))
+    assert(Metrics.await("graft.cdc.fresh").map(_.getAs[Long]("rows_in")).contains(3L))
+    assert(Metrics.get("graft.cdc.partitions").map(_.getAs[Long](0)).contains(2L))
+
+    // second increment: one re-delivery + one new key, single partition
+    Metrics.reset()
+    val d2 = Seq((3L, "c", "p2"), (4L, "d", "p2")).toDF("k", "v", "p")
+    graft.operators.CdcMerge.mergeIntoPartitioned(silver, d2, Seq("k"), Seq("p"))
+    assert(Metrics.await("graft.cdc.fresh").map(_.getAs[Long]("rows_in")).contains(2L))
+    assert(Metrics.await("graft.cdc.merge").map(_.getAs[Long]("rows_out")).contains(3L),
+      "scoped merge output = existing p2 keys (2,3) + new key 4, deduped")
+    assert(Metrics.get("graft.cdc.partitions").map(_.getAs[Long](0)).contains(1L),
+      "only p2 touched")
+  }
+
+  test("dedup run publishes hot-bucket audit numbers and hot member count") {
+    Metrics.reset()
+    val boiler = spark.range(500)
+      .select(col("id"), lit("same boilerplate body flooding every band bucket").as("text"))
+    // the pair run itself reports how many ids took the linear path
+    val pairs = Dedup.minHashDedupPairs(boiler, "text", "id", threshold = 0.5, maxBucket = 50)
+    assert(pairs.count() == 499)
+    assert(Metrics.await("graft.dedup.hot_member_ids").map(_.getAs[Long]("ids")).contains(500L))
+    // the audit frame publishes its headline numbers when executed
+    val audit = Dedup.hotBuckets(boiler, "text", "id", maxBucket = 50)
+    assert(audit.count() == 16)
+    val row = Metrics.await("graft.dedup.hot_buckets")
+    assert(row.map(_.getAs[Long]("buckets")).contains(16L))
+    assert(row.map(_.getAs[Long]("max_occupancy")).contains(500L))
+    assert(row.map(_.getAs[Long]("member_rows")).contains(16L * 500L))
+  }
+
+  test("a quiet corpus: hot-member metric is absent (= zero) — empty branch pruned, result correct") {
+    Metrics.reset()
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "totally different words here now"))
+      .toDF("id", "text")
+    assert(Dedup.minHashDedupPairs(docs, "text", "id", threshold = 0.5, maxBucket = 50).count() == 0)
+    // the optimizer proves the hot branch empty and prunes it, observe node
+    // included — the documented absence-means-zero contract
+    assert(Metrics.await("graft.dedup.hot_member_ids", timeoutMs = 2000)
+      .map(_.getAs[Long]("ids")).getOrElse(0L) == 0L)
+  }
+}
