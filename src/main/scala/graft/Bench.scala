@@ -56,17 +56,27 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = Queries.headlines.map { q =>
-      val cold = (1 to 2).map { _ => clear(); timed(q) }.min
-      val warm = timed(q)
-      (q.name, cold, warm)
+    case class R(name: String, passes: Seq[Double], warm: Double) {
+      def cold: Double = passes.min
     }
-    def json(f: ((String, Double, Double)) => Double) =
-      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalWarm = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._2)},""" +
-      s""""total_warm":$totalWarm,"queries_warm":${json(_._3)},"sf":"$sfDir"}""")
+    val results = Queries.headlines.map { q =>
+      val passes = (1 to 2).map { _ => clear(); timed(q) }
+      val warm = timed(q)
+      R(q.name, passes, warm)
+    }
+    def json(f: R => Double) =
+      results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    // Both raw cold passes per query: one field distinguishes run-to-run
+    // noise from a real regression (the r4 q03/q05 +0.2s question needed
+    // exactly this and didn't have it).
+    val passesJson = results
+      .map(r => "\"" + r.name + "\":[" + r.passes.mkString(",") + "]")
+      .mkString("{", ",", "}")
+    val total = results.map(_.cold).sum
+    val totalWarm = results.map(_.warm).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_.cold)},""" +
+      s""""total_warm":$totalWarm,"queries_warm":${json(_.warm)},""" +
+      s""""queries_cold_passes":$passesJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
