@@ -105,4 +105,33 @@ object GoldPipeline {
 
     GoldTables(dimAccount, dimPerson, dimDate, bridgeDf, fact)
   }
+
+  /** Names the DWH tables in reference order (gold_sql_to_postgres.py:199-203). */
+  def dwhTables(gold: GoldTables): Seq[(String, DataFrame)] = Seq(
+    "dim_account" -> gold.dimAccount,
+    "dim_person" -> gold.dimPerson,
+    "dim_date" -> gold.dimDate,
+    "bridge_account_person" -> gold.bridgeAccountPerson,
+    "fact_account_snapshot" -> gold.factAccountSnapshot)
+
+  /** Gold → DWH: the reference's production act is five sequential JDBC
+    * bulk loads (gold_sql_to_postgres.py:199-203, Postgres). Same act here
+    * against any JDBC target (embedded Derby in tests). Each load is a
+    * truncate-preserving overwrite (see [[Sinks.writeJdbc]]), so DDL the
+    * DBA added out-of-band (indexes, grants) survives the nightly reload.
+    *
+    * The SCD2 dims are window-heavy plans that would otherwise recompute
+    * once per JDBC partition writer; persist each table for the duration
+    * of its load and release before the next so peak storage is one table.
+    */
+  def loadToDwh(
+      gold: GoldTables,
+      cfg: Sinks.JdbcConfig,
+      numPartitions: Int = 8): Unit =
+    dwhTables(gold).foreach { case (name, df) =>
+      val scope = graft.operators.Caches.newScope()
+      graft.operators.Caches.inScope(scope) { graft.operators.Caches.pin(df) }
+      try Sinks.writeJdbc(df, cfg, name, numPartitions)
+      finally scope.release()
+    }
 }

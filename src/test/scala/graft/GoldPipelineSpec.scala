@@ -80,4 +80,55 @@ class GoldPipelineSpec extends AnyFunSuite {
     assert(fact.length == 3)
     assert(fact.forall(r => !r.isNullAt(2)), "every snapshot resolves a dim version")
   }
+
+  test("gold→DWH loads all five tables end-to-end (embedded Derby)") {
+    // The reference's actual production act: five sequential JDBC bulk
+    // loads (gold_sql_to_postgres.py:199-203). Full chain here: bronze
+    // fixtures → silver CDC merge → star schema → Derby → read back.
+    val bronze = Files.createTempDirectory("graft-bronze3")
+    val silver = Files.createTempDirectory("graft-silver3")
+    writeFixtures(bronze)
+    GoldPipeline.bronzeToSilver(spark, bronze.toString, silver.toString)
+    val gold = GoldPipeline.silverToGold(spark, silver.toString)
+
+    val dbDir = Files.createTempDirectory("graft-dwh").toString + "/db"
+    val cfg = graft.sources.Sinks.JdbcConfig(
+      url = s"jdbc:derby:$dbDir;create=true",
+      user = "app",
+      password = "",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver",
+      batchSize = 100)
+
+    GoldPipeline.loadToDwh(gold, cfg, numPartitions = 2)
+
+    def readBack(table: String) = spark.read.format("jdbc")
+      .option("url", cfg.url).option("dbtable", table)
+      .option("driver", cfg.driver).load()
+
+    // Every table arrived with the exact row count the gold frames hold.
+    GoldPipeline.dwhTables(gold).foreach { case (name, df) =>
+      assert(readBack(name).count() == df.count(), s"$name: DWH row count mismatch")
+    }
+
+    // Keys survive the trip: the fact's surrogate keys must all resolve
+    // against the loaded dim_account (referential integrity in the DWH,
+    // not just in Spark).
+    val dimSks = readBack("dim_account").select("account_sk")
+      .collect().map(_.getLong(0)).toSet
+    val factSks = readBack("fact_account_snapshot").select("account_sk")
+      .collect().map(_.getLong(0)).toSet
+    assert(factSks.nonEmpty && factSks.subsetOf(dimSks),
+      "every loaded fact SK must exist in the loaded dim")
+
+    // SCD2 shape survives: exactly one current version per account.
+    val current = readBack("dim_account").where(col("is_current"))
+      .groupBy("acc_no").count().collect()
+    assert(current.forall(_.getLong(1) == 1L), "one is_current row per acc_no")
+
+    // Reload is idempotent (nightly full reload): same counts second time.
+    GoldPipeline.loadToDwh(gold, cfg, numPartitions = 2)
+    GoldPipeline.dwhTables(gold).foreach { case (name, df) =>
+      assert(readBack(name).count() == df.count(), s"$name: reload must replace, not append")
+    }
+  }
 }
