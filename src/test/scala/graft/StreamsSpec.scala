@@ -140,6 +140,60 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("cdcMergeStream kill-restart: checkpoint recovery absorbs a re-executed batch") {
+    // The foreachBatch re-execution hazard: a crash after the sink write
+    // but before the checkpoint commit makes the restarted query run the
+    // SAME micro-batch again. The merge + atomic-swap sink must absorb
+    // that (idempotent), and the restart must pick up exactly where the
+    // checkpoint says — no lost keys, no duplicated keys.
+    val base = java.nio.file.Files.createTempDirectory("stream-ckpt")
+    val inDir = s"$base/in"
+    val silver = s"$base/silver/events"
+    val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+
+    val t0 = 1700000000L
+    def addFile(rows: Seq[Evt]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(inDir)
+    // A fresh source per query instance, as a real restart would build it.
+    def fileStream() = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .parquet(inDir)
+
+    addFile(Seq(Evt(1L, ts(t0), 1.0), Evt(2L, ts(t0), 2.0), Evt(3L, ts(t0), 3.0),
+      Evt(4L, ts(t0), 4.0), Evt(5L, ts(t0), 5.0)))
+    val q1 = Streams.cdcMergeStream(
+      fileStream(), silver, mergeKeys = Seq("user_id", "ts"), checkpoint = Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(silver).count() == 5)
+
+    // Simulate the crash window: the batch reached the sink but its
+    // checkpoint commit record was lost — delete the newest commit file so
+    // the restarted query re-executes that batch with the same offsets.
+    val commitFiles = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    assert(commitFiles.nonEmpty, "sanity: the first run must have committed")
+    val lostCommit = commitFiles.maxBy(_.getName.toLong)
+    // Also drop the local-FS checksum sibling: a stale .N.crc fails the
+    // re-written commit's rename, which Spark misreads as a concurrent
+    // query on the same checkpoint.
+    val crc = new java.io.File(lostCommit.getParentFile, s".${lostCommit.getName}.crc")
+    assert(lostCommit.delete())
+    if (crc.exists()) assert(crc.delete())
+
+    // Restart from the checkpoint; feed overlapping data (re-deliveries of
+    // keys 4,5 plus new keys 6,7) while the re-executed batch is pending.
+    addFile(Seq(Evt(4L, ts(t0), 40.0), Evt(5L, ts(t0), 50.0),
+      Evt(6L, ts(t0 + 5), 6.0), Evt(7L, ts(t0 + 5), 7.0)))
+    val q2 = Streams.cdcMergeStream(
+      fileStream(), silver, mergeKeys = Seq("user_id", "ts"), checkpoint = Some(ckpt))
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(silver).select("user_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == (1L to 7L),
+      s"exactly keys 1..7 once each after kill-restart, got ${out.mkString(",")}")
+  }
+
   test("cdcMergeStream partition-scoped: untouched partitions are not rewritten") {
     implicit val sqlCtx = spark.sqlContext
     val silver = java.nio.file.Files.createTempDirectory("stream-silver-part").toString + "/events"
