@@ -171,12 +171,19 @@ object Similarity {
     require(trainSample.nonEmpty, "cannot train IVF centroids on an empty corpus")
     val centroids = kmeans(trainSample, nlist, kmeansIters)
 
-    def cellDists(v: Column): Column = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(vectors.l2Sq(v, array(c.map(lit(_)): _*)).as("d"), lit(i).as("cell"))
-    }: _*)
-    def cellOf(v: Column): Column = array_min(cellDists(v)).getField("cell")
-    def probesOf(v: Column): Column =
-      transform(slice(array_sort(cellDists(v)), 1, nprobe), s => s.getField("cell"))
+    // Native codegen'd argmin over the trained centroids — the composed
+    // form (array of (dist, cell) structs + array_sort per row) pays
+    // O(nlist) interpreted allocations per row, which dominates the scan
+    // at production nlist (4k–64k). See NearestCentroidsExpr.
+    val dim = centroids.head.length
+    val flat = centroids.flatten.toIndexedSeq
+    def nearestCells(v: Column, n: Int): Column = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.expressions.NearestCentroidsExpr(
+        ColumnBridge.eagerExpression(v), flat, dim, n))
+    }
+    def cellOf(v: Column): Column = nearestCells(v, 1).getItem(0)
+    def probesOf(v: Column): Column = nearestCells(v, nprobe)
 
     val corpus = Partitioning.spread(emb.where(col(idCol) =!= queryId))
       .withColumn("__cell", cellOf(col(vecCol)))

@@ -59,6 +59,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"clustered-corpus recall was $recall")
   }
 
+  test("NearestCentroidsExpr matches a driver-side argmin/sort (incl. ties)") {
+    // Direct parity check of the native expression against the semantics
+    // the composed (struct-array + array_sort) form had: ascending L2²,
+    // ties keep the lower cell index.
+    import org.apache.spark.sql.graft.ColumnBridge
+    val dim = 8
+    val nlist = 16
+    val centroids = Array.tabulate(nlist, dim)((c, i) => ((c * 31 + i * 7) % 13).toDouble)
+    // cells 3 and 3+13=... make a tie: duplicate one centroid exactly.
+    centroids(9) = centroids(3).clone()
+    val flat = centroids.flatten.toIndexedSeq
+
+    val rows = spark.range(200).select(
+      col("id"),
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        (pmod(xxhash64(col("id"), i), lit(13))).cast("float")).as("v"))
+    def cells(n: Int) = ColumnBridge.column(graft.expressions.NearestCentroidsExpr(
+      ColumnBridge.eagerExpression(col("v")), flat, dim, n))
+    val got = rows.select(col("id"), cells(3).as("cells"), col("v")).collect()
+    got.foreach { r =>
+      val v = r.getSeq[Float](2).map(_.toDouble).toArray
+      val dists = centroids.map(c => c.zip(v).map { case (a, b) => (b - a) * (b - a) }.sum)
+      val expect = dists.zipWithIndex.sortBy { case (d, i) => (d, i) }.take(3).map(_._2).toSeq
+      assert(r.getSeq[Int](1) == expect, s"id=${r.getLong(0)}")
+    }
+    // The duplicated centroid pair must order 3 before 9 on exact ties.
+    val tieProbe = rows.select(cells(nlist).as("all")).head.getSeq[Int](0)
+    assert(tieProbe.indexOf(3) < tieProbe.indexOf(9), "tie must keep the lower cell first")
+  }
+
+  test("ivfTopK at nlist=256 with full probing is exactly brute force") {
+    // nprobe = nlist scans every cell, so the native-expression IVF path
+    // must reproduce brute-force top-k bit-for-bit — an exactness gate on
+    // the assignment expression at a production-shaped cell count.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 20,
+      nlist = 256, nprobe = 256)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == brute, "full-probe IVF must equal brute force exactly")
+  }
+
   test("cosineNearDupPairs: identical-vector flood is keeper-starred, not quadratic") {
     val flood = spark.range(2000).select(
       col("id").as("vec_id"),
