@@ -18,11 +18,32 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Sinks {
 
+  /** Rows-written metric name (rides every parquet sink action via
+    * `observe` — zero extra passes); `graft.sink.write` /
+    * `graft.sink.compact` carry the per-target file counts, recorded
+    * driver-side from the same metadata listings the sinks already do.
+    * "Most recent write wins" semantics, like any last-value gauge.
+    */
+  val RowsWrittenMetric = "graft.sink.rows_written"
+
+  private def parquetFileCount(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path): Long = {
+    if (!fs.exists(root)) 0L
+    else {
+      val it = fs.listFiles(root, true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+  }
+
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, lit}
+    graft.operators.Metrics.register(df.sparkSession)
     val out =
       if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df
-    val writer = out.write.mode(SaveMode.Overwrite)
+    val observed = out.observe(RowsWrittenMetric, count(lit(1)).as("rows"))
+    val writer = observed.write.mode(SaveMode.Overwrite)
     val part = if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer
     part.parquet(path)
   }
@@ -87,6 +108,8 @@ object Sinks {
         throw new java.io.IOException(s"could not promote $staging to $target (rolled back)")
       }
       fs.delete(retired, true)
+      graft.operators.Metrics.put("graft.sink.write",
+        "path" -> path, "files" -> parquetFileCount(fs, target))
     } finally {
       // A successful promote renamed staging away; on any failure path the
       // recomputable staging copy must not accrete on disk (streaming
@@ -136,6 +159,8 @@ object Sinks {
         }
         fs.delete(retired, true)
       }
+      graft.operators.Metrics.put("graft.sink.write",
+        "path" -> path, "files" -> parquetFileCount(fs, target))
     } finally {
       // Promoted leaves were renamed out; whatever remains is recomputable
       // staging residue — delete it even on failure so streaming retries
@@ -262,8 +287,11 @@ object Sinks {
       driver: String = "org.postgresql.Driver",
       batchSize: Int = 20000)
 
-  def writeJdbc(df: DataFrame, cfg: JdbcConfig, table: String, numPartitions: Int): Unit =
-    df.repartition(numPartitions)
+  def writeJdbc(df: DataFrame, cfg: JdbcConfig, table: String, numPartitions: Int): Unit = {
+    import org.apache.spark.sql.functions.{count, lit}
+    graft.operators.Metrics.register(df.sparkSession)
+    df.observe(RowsWrittenMetric, count(lit(1)).as("rows"))
+      .repartition(numPartitions)
       .write
       .format("jdbc")
       .option("url", cfg.url)
@@ -276,6 +304,7 @@ object Sinks {
       .option("numPartitions", numPartitions)
       .mode(SaveMode.Overwrite)
       .save()
+  }
 
   /** Small-file compaction via the atomic staging swap. Tables fed by many
     * increments (streaming merges, frequent small batches) accrete files
@@ -298,6 +327,7 @@ object Sinks {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverStrandedPartitions(spark, path)
+    val filesBefore = parquetFileCount(fs, root)
 
     @scala.annotation.tailrec
     def partitionChain(p: Path, acc: Seq[String]): Seq[String] = {
@@ -326,6 +356,11 @@ object Sinks {
       val numFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
       writePartitionedAtomic(spark.read.parquet(path).repartition(numFiles), path, Nil)
     }
+    // The maintenance pass's whole point is the file-count delta — record
+    // it so an operator can alert on "compaction stopped helping".
+    graft.operators.Metrics.put("graft.sink.compact",
+      "path" -> path, "files_before" -> filesBefore,
+      "files_after" -> parquetFileCount(fs, root))
   }
 
   /** Single-file export; only for small (gold/BI) outputs — coalesce(1)

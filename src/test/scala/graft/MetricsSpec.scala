@@ -31,6 +31,39 @@ class MetricsSpec extends AnyFunSuite {
       "only p2 touched")
   }
 
+  test("partitioned write publishes rows written and final file count") {
+    Metrics.reset()
+    val path = Files.createTempDirectory("metrics-sink").toString + "/t"
+    val df = Seq((1L, "p1"), (2L, "p1"), (3L, "p2"), (4L, "p3")).toDF("k", "p")
+    graft.sources.Sinks.writePartitionedAtomic(df, path, Seq("p"))
+    // rows ride the write action as an observe aggregate (no extra pass)
+    assert(Metrics.await(graft.sources.Sinks.RowsWrittenMetric)
+      .map(_.getAs[Long]("rows")).contains(4L))
+    // file count comes from the sink's own post-swap metadata listing:
+    // one writer task per partition value → one file per partition
+    val w = Metrics.get("graft.sink.write")
+    assert(w.map(_.getAs[String](0)).contains(path))
+    assert(w.map(_.getAs[Long](1)).contains(3L))
+  }
+
+  test("compact publishes the files_before/files_after delta") {
+    Metrics.reset()
+    val path = Files.createTempDirectory("metrics-compact").toString + "/t"
+    // accrete 6 small files the way streaming increments do
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, "x"), (i + 100L, "y")).toDF("k", "v")
+        .repartition(2).write.mode("append").parquet(path)
+    }
+    graft.sources.Sinks.compact(spark, path)
+    val c = Metrics.get("graft.sink.compact")
+    assert(c.map(_.getAs[String](0)).contains(path))
+    val before = c.get.getAs[Long](1)
+    val after = c.get.getAs[Long](2)
+    assert(before == 6L, s"expected 6 accreted files, saw $before")
+    assert(after == 1L, s"flat tiny table must compact to one file, saw $after")
+    assert(spark.read.parquet(path).count() == 6L, "compaction must not change rows")
+  }
+
   test("dedup run publishes hot-bucket audit numbers and hot member count") {
     Metrics.reset()
     val boiler = spark.range(500)
