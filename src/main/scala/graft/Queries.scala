@@ -1166,6 +1166,77 @@ object Queries {
       FROM sx GROUP BY user_id, sid"""))
 
   // ===========================================================
+  // Interchange formats: ORC / Avro round-trips, oracle-gated. The oracle
+  // runs over the ORIGINAL parquet table — "the round trip is
+  // value-identical" is exactly the claim under test.
+  // ===========================================================
+
+  /** Orders → explicit-schema ORC → grouped agg over the ORC scan. */
+  val q45OrcRoundtrip: Q = Q(
+    "q45_orc_roundtrip",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/orders"
+      t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").orc(tmp)
+      graft.sources.OrcSource
+        .read(s, tmp, org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sumMoney(col("o_totalprice")).as("total"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders GROUP BY o_orderstatus"""))
+
+  /** Nation → Avro container file (driver-side write: nation is the
+    * fixed 25-row TPC-H table) → distributed AvroSource scan → broadcast
+    * join with parquet region → grouped agg.
+    */
+  val q46AvroRoundtrip: Q = Q(
+    "q46_avro_roundtrip",
+    (s, dir) => {
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+        .collect()
+      val avroSchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"nation","fields":[
+          |  {"name":"n_nationkey","type":"long"},
+          |  {"name":"n_name","type":"string"},
+          |  {"name":"n_regionkey","type":"long"}
+          |]}""".stripMargin)
+      val out = java.nio.file.Files.createTempDirectory("graft-avro")
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](avroSchema))
+      w.create(avroSchema, out.resolve("nation.avro").toFile)
+      try rows.foreach { r =>
+        val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+        rec.put("n_nationkey", r.getLong(0))
+        rec.put("n_name", r.getString(1))
+        rec.put("n_regionkey", r.getLong(2))
+        w.append(rec)
+      } finally w.close()
+      graft.sources.AvroSource
+        .read(s, out.toString, org.apache.spark.sql.types.StructType.fromDDL(
+          "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"))
+        .join(
+          broadcast(t(s, dir, "region")
+            .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"), min("n_name").as("first_nation"))
+    },
+    Some("""
+      SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name"""))
+
+  // ===========================================================
 
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterPushdown, q03BroadcastJoinAgg, q04FullouterTimeline,
@@ -1184,7 +1255,8 @@ object Queries {
     q34Repetition, q35PiiRedact,
     q36JsonExtract, q37SessionWindow, q38Quantiles, q38bApproxAgg, q38cExactAgg,
     q39AsofJoin,
-    q40BinaryMeta, q41MediaDecode, q42FrameSample, q43TokenShards, q44IntervalJoin)
+    q40BinaryMeta, q41MediaDecode, q42FrameSample, q43TokenShards, q44IntervalJoin,
+    q45OrcRoundtrip, q46AvroRoundtrip)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
