@@ -1236,6 +1236,23 @@ object Queries {
       FROM nation JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name"""))
 
+  /** Exact corpus heavy hitters WITHOUT shuffling the distinct-term long
+    * tail: Misra–Gries candidate summary (bounded mergeable aggregate,
+    * no key shuffle) + exact count of candidates only. The oracle is the
+    * naive full groupBy — equality IS the exactness claim.
+    */
+  val q47HeavyHitters: Q = Q(
+    "q47_heavy_hitters",
+    (s, dir) =>
+      graft.operators.Frequency.heavyHitters(
+        t(s, dir, "documents").select(explode(text.tokens(lower(col("text")))).as("term")),
+        "term", minCount = 500L),
+    Some("""
+      SELECT term AS item, COUNT(*) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS term
+        FROM documents)
+      GROUP BY term HAVING COUNT(*) >= 500"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -1256,7 +1273,7 @@ object Queries {
     q36JsonExtract, q37SessionWindow, q38Quantiles, q38bApproxAgg, q38cExactAgg,
     q39AsofJoin,
     q40BinaryMeta, q41MediaDecode, q42FrameSample, q43TokenShards, q44IntervalJoin,
-    q45OrcRoundtrip, q46AvroRoundtrip)
+    q45OrcRoundtrip, q46AvroRoundtrip, q47HeavyHitters)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Frequency
+
+/** Misra–Gries sketch + two-pass exact heavy hitters, stressed with a
+  * high-cardinality skewed corpus (the testdata documents table has a
+  * ~31-term vocabulary, which any sketch handles trivially).
+  */
+class FrequencySpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  // ~100k items: 5 planted hot terms (10k each) over a 50k-term uniform
+  // tail (~1 occurrence each) — the shape where the naive groupBy
+  // shuffles 50k keys to answer a 5-row question.
+  private def corpus = spark.range(100000).select(
+    when(col("id") < 50000, concat(lit("hot_"), (col("id") % 5).cast("string")))
+      .otherwise(concat(lit("tail_"), col("id").cast("string")))
+      .as("term"))
+
+  test("heavyHitters equals the naive exact groupBy, at any partitioning") {
+    val expected = corpus.groupBy(col("term").as("item"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 5000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(expected.size == 5, "sanity: exactly the 5 planted hot terms")
+    Seq(1, 7, 32).foreach { parts =>
+      val got = Frequency.heavyHitters(corpus.repartition(parts), "term",
+          minCount = 5000L, sketchK = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == expected, s"at $parts partitions")
+    }
+  }
+
+  test("mgSummary: bounded size, survival guarantee, total count") {
+    val k = 64
+    val (n, items) = Frequency.mgSummary(corpus, col("term"), k)
+    assert(n == 100000L)
+    assert(items.size <= k, "summary must never exceed k counters")
+    // every item with true count > n/(k+1) (= ~1538) must survive
+    val survivors = items.map(_._1).toSet
+    (0 until 5).foreach(i => assert(survivors.contains(s"hot_$i")))
+    // surviving counts are undercounts within the documented bound
+    val bound = n / (k + 1)
+    items.filter(_._1.startsWith("hot_")).foreach { case (_, low) =>
+      assert(low <= 10000L && low >= 10000L - bound, s"count_low $low outside bound")
+    }
+  }
+
+  test("exactness guard trips when the sketch is too small for the threshold") {
+    val e = intercept[IllegalArgumentException] {
+      Frequency.heavyHitters(corpus, "term", minCount = 100L, sketchK = 64)
+    }
+    assert(e.getMessage.contains("raise sketchK"))
+  }
+
+  test("candidate pruning happens before the exchange (plan shape)") {
+    val (_, cand) = Frequency.mgSummary(corpus, col("term"), 64)
+    val plan = corpus.where(col("term").isin(cand.map(_._1): _*))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    // the IN filter must sit under the first (partial) aggregate, not
+    // after the shuffle — that is the long-tail pruning claim
+    val filterIdx = plan.indexOf(" IN (hot_0")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(term")
+    assert(filterIdx >= 0 && exchangeIdx >= 0 && filterIdx > exchangeIdx,
+      s"filter must be below (printed after) the exchange:\n$plan")
+  }
+}
