@@ -13,13 +13,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `GraftFunctions.register(spark)` for an already-built session (test
   *    harnesses, notebooks).
   *
-  * Registered SQL surface: `graft_minhash(arrayOfHashes[, numPerm])`.
+  * Registered SQL surface: `graft_minhash(arrayOfHashes[, numPerm])`,
+  * `graft_simhash(arrayOfTokenHashes)`, `graft_dot(arrayA, arrayB)`, and
+  * the aggregate `graft_mg_sketch(item[, k])`. `NearestCentroidsExpr` is
+  * deliberately NOT SQL-registered: its centroids are runtime-trained
+  * constants, which SQL text cannot carry usefully — use
+  * `Similarity.ivfTopK`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.minHashDescriptor)
     ext.injectFunction(GraftFunctions.simHashDescriptor)
     ext.injectFunction(GraftFunctions.dotDescriptor)
+    ext.injectFunction(GraftFunctions.mgSketchDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
@@ -55,8 +61,22 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException("graft_dot(arrayA, arrayB)")
     })
 
+  /** Aggregate builders return the bare AggregateFunction — the analyzer
+    * wraps it in an AggregateExpression like any declared aggregate.
+    */
+  val mgSketchDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_mg_sketch"),
+    new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_mg_sketch"),
+    {
+      case Seq(item) => MisraGriesAgg(item, 4096)
+      case Seq(item, Literal(k: Int, _)) => MisraGriesAgg(item, k)
+      case _ =>
+        throw new IllegalArgumentException("graft_mg_sketch(item[, k: int literal])")
+    })
+
   def register(spark: SparkSession): Unit =
-    Seq(minHashDescriptor, simHashDescriptor, dotDescriptor).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    }
+    Seq(minHashDescriptor, simHashDescriptor, dotDescriptor, mgSketchDescriptor)
+      .foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
 }

@@ -55,6 +55,16 @@ class FrequencySpec extends AnyFunSuite {
     assert(e.getMessage.contains("raise sketchK"))
   }
 
+  test("graft_mg_sketch is callable from SQL as an aggregate") {
+    graft.expressions.GraftFunctions.register(spark)
+    corpus.createOrReplaceTempView("freq_corpus")
+    val row = spark.sql(
+      "SELECT graft_mg_sketch(term, 8) AS mg FROM freq_corpus").head.getStruct(0)
+    assert(row.getLong(0) == 100000L)
+    val items = row.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet
+    (0 until 5).foreach(i => assert(items.contains(s"hot_$i")))
+  }
+
   test("candidate pruning happens before the exchange (plan shape)") {
     val (_, cand) = Frequency.mgSummary(corpus, col("term"), 64)
     val plan = corpus.where(col("term").isin(cand.map(_._1): _*))
