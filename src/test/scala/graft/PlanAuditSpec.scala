@@ -67,6 +67,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"banded candidate generation must stay an equi-join:\n$p")
   }
 
+  test("dynamic partition pruning: a dim filter prunes the partitioned fact scan") {
+    // The star-join scan pattern at 100 TB: the fact side is hive-
+    // partitioned, the dim filter is only known at runtime — DPP must
+    // inject a subquery-duplicated filter into the fact's PartitionFilters
+    // so untouched partition directories are never read.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    // non-numeric partition values: hive partition-value inference would
+    // otherwise type the fact's p_bucket int vs the dim's string, and the
+    // inserted join-key casts disqualify DPP
+    // non-numeric partition values: hive partition-value inference would
+    // otherwise type the fact's p_bucket int vs the dim's string, and the
+    // inserted join-key casts disqualify DPP. The dim predicate must be a
+    // COMPARISON (EqualTo here): Spark's isLikelySelective() does not
+    // count a bare boolean attribute filter, and without a "selective"
+    // filter on the other side the PartitionPruning rule bails.
+    val fact = spark.range(1000).select(
+      col("id"), concat(lit("b"), (col("id") % 10)).as("p_bucket"))
+    graft.sources.Sinks.writePartitioned(fact, s"$dir/fact", Seq("p_bucket"))
+    val dim = spark.range(10).select(
+      concat(lit("b"), col("id")).as("p_bucket"),
+      when(col("id") < 2, "hot").otherwise("cold").as("tier"))
+    graft.sources.Sinks.writePartitioned(dim, s"$dir/dim", Nil)
+
+    val q = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim").where(col("tier") === "hot"), Seq("p_bucket"))
+      .groupBy("p_bucket").count()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic pruning partition filter:\n$p")
+  }
+
   test("partition-scoped CDC read: pruning predicate reaches PartitionFilters") {
     // the same read shape mergeIntoPartitioned builds per increment: the
     // fresh frame's schema supplied (disables partition type inference
