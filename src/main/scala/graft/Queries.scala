@@ -1253,6 +1253,20 @@ object Queries {
         FROM documents)
       GROUP BY term HAVING COUNT(*) >= 500"""))
 
+  /** Deterministic group-coherent train/val/test split (no ANSI oracle:
+    * the assignment hash is xxhash64, which DuckDB lacks — determinism,
+    * coherence, and proportions are pinned by PartitioningSpec instead).
+    */
+  val q48HashSplit: Q = Q(
+    "q48_hash_split",
+    (s, dir) =>
+      graft.operators.Partitioning
+        .hashSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(text.tokenCount(col("text")).cast("long")).as("n_tokens")),
+    None)
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -1273,7 +1287,7 @@ object Queries {
     q36JsonExtract, q37SessionWindow, q38Quantiles, q38bApproxAgg, q38cExactAgg,
     q39AsofJoin,
     q40BinaryMeta, q41MediaDecode, q42FrameSample, q43TokenShards, q44IntervalJoin,
-    q45OrcRoundtrip, q46AvroRoundtrip, q47HeavyHitters)
+    q45OrcRoundtrip, q46AvroRoundtrip, q47HeavyHitters, q48HashSplit)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

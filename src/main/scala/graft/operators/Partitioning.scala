@@ -110,4 +110,42 @@ object Partitioning {
           coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)))
       .drop("__pid", "__tie")
   }
+
+  /** Deterministic train/val/test (or any weighted) splitting by key hash.
+    *
+    * `randomSplit` is the textbook answer and the wrong one for training
+    * data: it is nondeterministic across re-runs/retries (a recomputed
+    * partition can re-roll its randoms), and it splits ROWS — two near-
+    * duplicate documents, or two rows of the same source domain, can land
+    * in train and test and leak. Hashing a stable KEY fixes both: the
+    * assignment is a pure function of the key (reproducible on any
+    * cluster, any partitioning, any day), and every row sharing the key
+    * (all chunks of a document, all docs of a domain) lands in the same
+    * split — group-coherent by construction.
+    *
+    * `weights` are normalized; `seed` selects an independent assignment
+    * (resplitting with a new seed is a fresh deterministic shuffle).
+    * Adds `outCol` with the split name; pure projection — no shuffle, no
+    * sampling pass, fully codegen'd (xxhash64 + a nested CASE).
+    */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      weights: Seq[(String, Double)],
+      seed: Int = 42,
+      outCol: String = "split"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    require(weights.map(_._1).distinct.size == weights.size, "split names must be unique")
+    val total = weights.map(_._2).sum
+    // xxhash64 → uniform in [0, 1): shift to non-negative 63-bit first.
+    val u = shiftrightunsigned(xxhash64(col(keyCol), lit(seed)), 1)
+      .cast("double") / Long.MaxValue.toDouble
+    val cuts = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val assign = weights.map(_._1).zip(cuts).init
+      .foldRight(lit(weights.last._1): org.apache.spark.sql.Column) {
+        case ((name, cut), rest) => when(u < cut, name).otherwise(rest)
+      }
+    df.withColumn(outCol, assign)
+  }
 }

@@ -51,4 +51,46 @@ class PartitioningSpec extends AnyFunSuite {
       Partitioning.runningSum(df, "id", "v")
     }
   }
+
+  test("hashSplit: deterministic, complete, group-coherent, proportional") {
+    val w = Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0)
+    // rows carry a GROUP key (domain): every row of a domain must co-assign
+    val rows = spark.range(20000).select(
+      col("id"), (col("id") % 3000).cast("string").as("domain"))
+    val split = Partitioning.hashSplit(rows, "domain", w)
+
+    // deterministic: same assignment on a different partitioning / rerun
+    val a = split.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Partitioning.hashSplit(rows.repartition(13), "domain", w)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "assignment must be a pure function of the key")
+
+    // complete: every row assigned one of the declared names
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")) && a.size == 20000)
+
+    // group-coherent: one split per domain (the leakage guarantee)
+    val perDomain = split.groupBy("domain").agg(countDistinct("split").as("k"))
+      .where(col("k") =!= 1).count()
+    assert(perDomain == 0, "all rows of a key must land in one split")
+
+    // proportional within sampling tolerance (3000 domains, 80/10/10)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 16000.0) / 20000.0 < 0.05, counts.toString)
+    assert(counts("val") > 1000 && counts("test") > 1000, counts.toString)
+
+    // a different seed is an independent deterministic reshuffle
+    val c = Partitioning.hashSplit(rows, "domain", w, seed = 7)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(c != a, "new seed must produce a different assignment")
+    assert(c == Partitioning.hashSplit(rows, "domain", w, seed = 7)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+  }
+
+  test("hashSplit stays a pure projection — no exchange in the plan") {
+    val rows = spark.range(100).select(col("id").cast("string").as("k"))
+    val p = Partitioning.hashSplit(rows, "k", Seq("a" -> 1.0, "b" -> 1.0))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"splitting must not shuffle:\n$p")
+  }
 }
