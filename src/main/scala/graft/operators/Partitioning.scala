@@ -138,14 +138,40 @@ object Partitioning {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
     require(weights.map(_._1).distinct.size == weights.size, "split names must be unique")
     val total = weights.map(_._2).sum
-    // xxhash64 → uniform in [0, 1): shift to non-negative 63-bit first.
-    val u = shiftrightunsigned(xxhash64(col(keyCol), lit(seed)), 1)
-      .cast("double") / Long.MaxValue.toDouble
+    val u = hashUniform(keyCol, seed)
     val cuts = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
     val assign = weights.map(_._1).zip(cuts).init
       .foldRight(lit(weights.last._1): org.apache.spark.sql.Column) {
         case ((name, cut), rest) => when(u < cut, name).otherwise(rest)
       }
     df.withColumn(outCol, assign)
+  }
+
+  /** Deterministic key-hash sampling: keep every row whose key hashes
+    * under `fraction`. Same contracts as [[hashSplit]] (it is the same
+    * uniform): reproducible across runs/retries/partitionings, group-
+    * coherent (all rows of a key kept or dropped together), zero shuffle,
+    * and the filter evaluates at the scan. Down-weighting one source in a
+    * training mixture is `hashSample(docs, "domain", 0.3)` — and because
+    * a key's draw is fixed per seed, `fraction = 0.3` keeps a SUBSET of
+    * the keys `fraction = 0.5` keeps: nested mixtures stay consistent
+    * as weights are tuned.
+    */
+  def hashSample(
+      df: DataFrame,
+      keyCol: String,
+      fraction: Double,
+      seed: Int = 42): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    df.where(hashUniform(keyCol, seed) < fraction)
+  }
+
+  /** xxhash64(key, seed) → uniform double in [0, 1): shift to the
+    * non-negative 63-bit range first.
+    */
+  private def hashUniform(keyCol: String, seed: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    shiftrightunsigned(xxhash64(col(keyCol), lit(seed)), 1)
+      .cast("double") / Long.MaxValue.toDouble
   }
 }

@@ -87,6 +87,22 @@ class PartitioningSpec extends AnyFunSuite {
       .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
   }
 
+  test("hashSample: deterministic, nested fractions, filter reaches the scan stage") {
+    val rows = spark.range(10000).select(col("id").cast("string").as("k"))
+    val half = Partitioning.hashSample(rows, "k", 0.5)
+      .collect().map(_.getString(0)).toSet
+    val third = Partitioning.hashSample(rows, "k", 0.3)
+      .collect().map(_.getString(0)).toSet
+    assert(math.abs(half.size - 5000.0) / 10000.0 < 0.03)
+    assert(third.subsetOf(half), "smaller fraction must keep a subset (nested sampling)")
+    // reproducible
+    assert(Partitioning.hashSample(rows.repartition(9), "k", 0.5)
+      .collect().map(_.getString(0)).toSet == half)
+    // no shuffle introduced
+    val p = Partitioning.hashSample(rows, "k", 0.5).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+  }
+
   test("hashSplit stays a pure projection — no exchange in the plan") {
     val rows = spark.range(100).select(col("id").cast("string").as("k"))
     val p = Partitioning.hashSplit(rows, "k", Seq("a" -> 1.0, "b" -> 1.0))
