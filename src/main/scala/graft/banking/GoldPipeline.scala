@@ -131,7 +131,10 @@ object GoldPipeline {
     dwhTables(gold).foreach { case (name, df) =>
       val scope = graft.operators.Caches.newScope()
       graft.operators.Caches.inScope(scope) { graft.operators.Caches.pin(df) }
+      // blocking: the next table's pin must not start materializing while
+      // this one's blocks are still draining, or two tables are
+      // transiently resident — exactly the peak the per-table scope caps.
       try Sinks.writeJdbc(df, cfg, name, numPartitions)
-      finally scope.release()
+      finally scope.release(blocking = true)
     }
 }

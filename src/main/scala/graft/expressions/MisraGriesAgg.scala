@@ -117,7 +117,15 @@ case class MisraGriesAgg(
     val out = new DataOutputStream(bos)
     out.writeLong(buf.n)
     out.writeInt(buf.counts.size)
-    buf.counts.foreach { case (i, c) => out.writeUTF(i); out.writeLong(c) }
+    // length-prefixed raw UTF-8, NOT writeUTF: modified-UTF-8 caps a
+    // string at 65535 encoded bytes and a single >64KB whitespace-free
+    // item (minified JS, base64 blob) would crash the aggregation.
+    buf.counts.foreach { case (i, c) =>
+      val b = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -128,7 +136,12 @@ case class MisraGriesAgg(
     val size = in.readInt()
     val m = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < size) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < size) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      m.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     new MGSummary(n, m)
   }
 

@@ -21,11 +21,13 @@ import org.apache.spark.sql.types._
   * the running nearest — with no allocation beyond the output array, in
   * both interpreted eval and generated Java.
   *
-  * Ties on distance keep the LOWER cell index (same order the composed
-  * `array_sort` on (d, cell) structs produced, so the swap is
-  * plan-for-plan result-identical). Vector elements must be non-null
-  * (embeddings carry no nulls); a shorter vector scores over its prefix,
-  * matching the `zip_with` fold it replaces. A NULL vector yields NULL.
+  * Ties on distance keep the LOWER cell index, and NaN distances rank as
+  * +infinity (selection is lexicographic on (distance, cell)) — so even a
+  * corrupt all-NaN vector yields nprobe DISTINCT cells, the same order
+  * the composed `array_sort` on (d, cell) structs produced. Vector
+  * elements must be non-null (embeddings carry no nulls); a shorter
+  * vector scores over its prefix, matching the `zip_with` fold it
+  * replaces. A NULL vector yields NULL.
   *
   * `centroidsFlat` is row-major (`nlist × dim`) and an IndexedSeq, not an
   * Array, so two expressions over the same trained centroids are
@@ -63,8 +65,13 @@ case class NearestCentroidsExpr(
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val m = math.min(arr.numElements(), dim)
-    val bestD = Array.fill(nprobe)(Double.MaxValue)
-    val bestC = new Array[Int](nprobe)
+    // Selection is lexicographic on (distance, cell) with NaN ranked as
+    // +infinity: a corrupt (NaN/Inf) vector still yields nprobe DISTINCT
+    // cells (0..nprobe-1), matching the composed array_sort form — a
+    // plain `d < best` comparison would never admit NaN and return
+    // nprobe copies of cell 0, silently probing one cell.
+    val bestD = Array.fill(nprobe)(Double.PositiveInfinity)
+    val bestC = Array.fill(nprobe)(Int.MaxValue)
     var c = 0
     while (c < nlist) {
       val base = c * dim
@@ -75,9 +82,11 @@ case class NearestCentroidsExpr(
         d += x * x
         i += 1
       }
-      if (d < bestD(nprobe - 1)) {
-        var p = nprobe - 1
-        while (p > 0 && bestD(p - 1) > d) {
+      if (d != d) d = Double.PositiveInfinity
+      val last = nprobe - 1
+      if (d < bestD(last) || (d == bestD(last) && c < bestC(last))) {
+        var p = last
+        while (p > 0 && (bestD(p - 1) > d || (bestD(p - 1) == d && bestC(p - 1) > c))) {
           bestD(p) = bestD(p - 1); bestC(p) = bestC(p - 1); p -= 1
         }
         bestD(p) = d; bestC(p) = c
@@ -104,7 +113,8 @@ case class NearestCentroidsExpr(
          |int $m = Math.min($arr.numElements(), $dim);
          |double[] $bestD = new double[$nprobe];
          |int[] $bestC = new int[$nprobe];
-         |java.util.Arrays.fill($bestD, Double.MAX_VALUE);
+         |java.util.Arrays.fill($bestD, Double.POSITIVE_INFINITY);
+         |java.util.Arrays.fill($bestC, Integer.MAX_VALUE);
          |for (int $c = 0; $c < $nlist; $c++) {
          |  int $base = $c * $dim;
          |  double $d = 0.0;
@@ -112,9 +122,12 @@ case class NearestCentroidsExpr(
          |    double $x = $getter($i) - $flatRef[$base + $i];
          |    $d += $x * $x;
          |  }
-         |  if ($d < $bestD[$nprobe - 1]) {
+         |  if (Double.isNaN($d)) $d = Double.POSITIVE_INFINITY;
+         |  if ($d < $bestD[$nprobe - 1]
+         |      || ($d == $bestD[$nprobe - 1] && $c < $bestC[$nprobe - 1])) {
          |    int $p = $nprobe - 1;
-         |    while ($p > 0 && $bestD[$p - 1] > $d) {
+         |    while ($p > 0 && ($bestD[$p - 1] > $d
+         |        || ($bestD[$p - 1] == $d && $bestC[$p - 1] > $c))) {
          |      $bestD[$p] = $bestD[$p - 1]; $bestC[$p] = $bestC[$p - 1]; $p--;
          |    }
          |    $bestD[$p] = $d; $bestC[$p] = $c;

@@ -143,6 +143,11 @@ object Sinks {
 
     val stagingRoot = staging.toUri.getPath
     try {
+      // The metric counts files under the PROMOTED leaves only — a full
+      // recursive listing of the target would silently break the
+      // O(touched partitions) contract this sink exists for (a streaming
+      // micro-batch touching 3 of 5000 partitions must not list 5000).
+      var promotedFiles = 0L
       leaves(staging, partitionCols.length).foreach { leaf =>
         val rel = leaf.toUri.getPath.stripPrefix(stagingRoot).stripPrefix("/")
         val dst = new Path(target, rel)
@@ -158,9 +163,10 @@ object Sinks {
           throw new java.io.IOException(s"could not promote $leaf to $dst (rolled back)")
         }
         fs.delete(retired, true)
+        promotedFiles += parquetFileCount(fs, dst)
       }
       graft.operators.Metrics.put("graft.sink.write",
-        "path" -> path, "files" -> parquetFileCount(fs, target))
+        "path" -> path, "files" -> promotedFiles)
     } finally {
       // Promoted leaves were renamed out; whatever remains is recomputable
       // staging residue — delete it even on failure so streaming retries
@@ -327,7 +333,19 @@ object Sinks {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverStrandedPartitions(spark, path)
-    val filesBefore = parquetFileCount(fs, root)
+    // ONE pre-walk serves both the before-count metric and the flat-table
+    // byte total (compact targets many-small-file tables — the listings
+    // are exactly what must not be repeated).
+    val (filesBefore, bytesBefore) = {
+      val it = fs.listFiles(root, true)
+      var n = 0L
+      var sum = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) { n += 1; sum += st.getLen }
+      }
+      (n, sum)
+    }
 
     @scala.annotation.tailrec
     def partitionChain(p: Path, acc: Seq[String]): Seq[String] = {
@@ -344,23 +362,17 @@ object Sinks {
     if (partitionCols.nonEmpty) {
       writePartitionedAtomic(spark.read.parquet(path), path, partitionCols)
     } else {
-      val totalBytes = {
-        val it = fs.listFiles(root, true)
-        var sum = 0L
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.getPath.getName.endsWith(".parquet")) sum += st.getLen
-        }
-        sum
-      }
-      val numFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val numFiles = math.max(1L, (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
       writePartitionedAtomic(spark.read.parquet(path).repartition(numFiles), path, Nil)
     }
     // The maintenance pass's whole point is the file-count delta — record
-    // it so an operator can alert on "compaction stopped helping".
+    // it so an operator can alert on "compaction stopped helping". The
+    // after-count reuses the listing the atomic writer just did (its
+    // graft.sink.write metric) instead of a third full walk.
+    val filesAfter = graft.operators.Metrics.get("graft.sink.write")
+      .map(_.getAs[Long](1)).getOrElse(parquetFileCount(fs, root))
     graft.operators.Metrics.put("graft.sink.compact",
-      "path" -> path, "files_before" -> filesBefore,
-      "files_after" -> parquetFileCount(fs, root))
+      "path" -> path, "files_before" -> filesBefore, "files_after" -> filesAfter)
   }
 
   /** Single-file export; only for small (gold/BI) outputs — coalesce(1)

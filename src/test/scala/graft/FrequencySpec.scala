@@ -55,6 +55,17 @@ class FrequencySpec extends AnyFunSuite {
     assert(e.getMessage.contains("raise sketchK"))
   }
 
+  test("items over 64KB survive partial-buffer serialization (writeUTF trap)") {
+    // modified-UTF-8 caps a string at 65535 encoded bytes; a single
+    // whitespace-free blob (minified JS, base64) must not crash the job
+    val blob = "x" * 70000
+    val items = spark.range(1000).select(
+      when(col("id") % 2 === 0, blob).otherwise(concat(lit("t"), col("id"))).as("term"))
+    val (n, summary) = Frequency.mgSummary(items.repartition(5), col("term"), 16)
+    assert(n == 1000L)
+    assert(summary.head._1 == blob && summary.head._2 >= 500L - 1000L / 17)
+  }
+
   test("graft_mg_sketch is callable from SQL as an aggregate") {
     graft.expressions.GraftFunctions.register(spark)
     corpus.createOrReplaceTempView("freq_corpus")

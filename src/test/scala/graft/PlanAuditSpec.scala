@@ -76,9 +76,6 @@ class PlanAuditSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("dpp").toString
     // non-numeric partition values: hive partition-value inference would
     // otherwise type the fact's p_bucket int vs the dim's string, and the
-    // inserted join-key casts disqualify DPP
-    // non-numeric partition values: hive partition-value inference would
-    // otherwise type the fact's p_bucket int vs the dim's string, and the
     // inserted join-key casts disqualify DPP. The dim predicate must be a
     // COMPARISON (EqualTo here): Spark's isLikelySelective() does not
     // count a bare boolean attribute filter, and without a "selective"

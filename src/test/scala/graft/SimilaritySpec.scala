@@ -87,6 +87,14 @@ class SimilaritySpec extends AnyFunSuite {
     // The duplicated centroid pair must order 3 before 9 on exact ties.
     val tieProbe = rows.select(cells(nlist).as("all")).head.getSeq[Int](0)
     assert(tieProbe.indexOf(3) < tieProbe.indexOf(9), "tie must keep the lower cell first")
+
+    // Corrupt vectors: NaN distances rank as +infinity, so the result is
+    // still nprobe DISTINCT cells (0,1,2 — ascending on the tie), never
+    // nprobe copies of a default slot.
+    val bad = spark.sql("SELECT array(cast('NaN' as float), 1.0f) AS v")
+    val badCells = bad.select(ColumnBridge.column(graft.expressions.NearestCentroidsExpr(
+      ColumnBridge.eagerExpression(col("v")), flat, dim, 3)).as("c")).head.getSeq[Int](0)
+    assert(badCells == Seq(0, 1, 2), s"NaN vector must yield distinct cells, got $badCells")
   }
 
   test("ivfTopK at nlist=256 with full probing is exactly brute force") {
