@@ -20,8 +20,9 @@ import org.apache.spark.sql.types._
   * null, writer-schema extras are ignored. Conversion is per-partition in
   * the same narrow stage as the scan — no shuffle, no driver involvement.
   *
-  * Scope: Avro primitives (boolean/int/long/float/double/string/bytes and
-  * their nullable unions) — the shapes a lakehouse interchange layer
+  * Scope: Avro primitives (boolean/int/long/float/double/string/bytes),
+  * their nullable unions, and arrays of those primitives (the embedding-
+  * vector interchange shape) — what a lakehouse interchange layer
   * actually uses. On a cluster with the spark-avro connector installed,
   * swap to `spark.read.format("avro").schema(s)` — the contract here is
   * deliberately identical so the swap is one line.
@@ -60,8 +61,14 @@ object AvroSource {
     case (x: java.lang.Boolean, BooleanType) => x
     case (b: ByteBuffer, BinaryType) =>
       val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case (xs: java.util.Collection[_], ArrayType(elem, _)) =>
+      val it = xs.iterator()
+      val out = Seq.newBuilder[Any]
+      while (it.hasNext) out += convert(it.next(), elem)
+      out.result()
     case (x, other) =>
       throw new IllegalArgumentException(
-        s"AvroSource supports primitive types only; cannot read $x as ${other.catalogString}")
+        s"AvroSource supports primitives and arrays of primitives; " +
+          s"cannot read $x as ${other.catalogString}")
   }
 }

@@ -78,4 +78,37 @@ class FormatSourcesSpec extends AnyFunSuite {
       .groupBy("flag").agg(sum("score").as("s")).orderBy("flag").collect()
     assert(agg.map(_.getDouble(1)).toSeq == Seq(4.5, 3.0))
   }
+
+  test("AvroSource: embedding vectors (array<float>) round-trip into engine operators") {
+    val avroSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"emb","fields":[
+        |  {"name":"vec_id","type":"long"},
+        |  {"name":"embedding","type":{"type":"array","items":"float"}}
+        |]}""".stripMargin)
+    val dir = Files.createTempDirectory("avro-emb")
+    val writer = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](avroSchema))
+    writer.create(avroSchema, dir.resolve("part-0.avro").toFile)
+    (0L until 20L).foreach { i =>
+      val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+      rec.put("vec_id", i)
+      val arr = new java.util.ArrayList[java.lang.Float]()
+      (0 until 8).foreach(d => arr.add((if (d == (i % 8)) 1.0f else 0.0f)))
+      rec.put("embedding", arr)
+      writer.append(rec)
+    }
+    writer.close()
+
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val emb = AvroSource.read(spark, dir.toString, schema)
+    assert(emb.count() == 20)
+    // straight into the similarity operator: identical one-hot directions
+    // of vec 0 (ids 0, 8, 16) must top its neighbor list at cosine 1.0
+    val top = graft.operators.Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", queryId = 0L, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.map(_._1).toSet == Set(8L, 16L) && top.forall(_._2 == 1.0), top.mkString(","))
+  }
 }
