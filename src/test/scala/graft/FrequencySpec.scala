@@ -76,6 +76,32 @@ class FrequencySpec extends AnyFunSuite {
     (0 until 5).foreach(i => assert(items.contains(s"hot_$i")))
   }
 
+  test("the MG aggregate composes with Structured Streaming (bounded-state stream summary)") {
+    // A streaming heavy-hitter candidate feed: state is the O(k) summary,
+    // not the distinct-item tail — the property that makes frequency
+    // monitoring over an unbounded stream feasible at all.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val input = MemoryStream[String]
+    val query = input.toDF().toDF("term")
+      .selectExpr("graft_mg_sketch(term, 8) AS mg")
+      .writeStream.format("memory").queryName("mg_stream").outputMode("complete").start()
+    try {
+      input.addData(Seq.fill(50)("hot") ++ (1 to 20).map(i => s"tail_$i"): _*)
+      query.processAllAvailable()
+      input.addData(Seq.fill(30)("hot2") ++ (21 to 40).map(i => s"tail_$i"): _*)
+      query.processAllAvailable()
+      val row = spark.table("mg_stream").head.getStruct(0)
+      assert(row.getLong(0) == 120L, "total spans every micro-batch")
+      val items = row.getSeq[org.apache.spark.sql.Row](1)
+      assert(items.size <= 8)
+      val names = items.map(_.getString(0)).toSet
+      assert(names.contains("hot") && names.contains("hot2"))
+    } finally query.stop()
+  }
+
   test("candidate pruning happens before the exchange (plan shape)") {
     val (_, cand) = Frequency.mgSummary(corpus, col("term"), 64)
     val plan = corpus.where(col("term").isin(cand.map(_._1): _*))
