@@ -56,10 +56,21 @@ object Sinks {
     * filesystem renames (atomic on HDFS/local; on S3-style stores swap this
     * for a metastore location flip or table-format commit).
     */
-  def writePartitionedAtomic(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+  def writePartitionedAtomic(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    atomicSwap(df.sparkSession, path)(staging => writePartitioned(df, staging, partitionCols))
+
+  /** The whole-table staging-and-swap protocol, factored so any writer
+    * (plain partitioned, z-ordered, a future format) can be made atomic:
+    * `writeTo(stagingPath)` runs while the target is untouched, then the
+    * result swaps in via renames. Includes the crash-window recovery
+    * preamble (see the scaladoc above).
+    */
+  private def atomicSwap(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String)(writeTo: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val target = new Path(path)
-    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Crash-window detection. The swap below has a window between
     // target→retired and staging→target where the target path is absent; a
     // driver crash there leaves the merged history stranded under
@@ -94,7 +105,7 @@ object Sinks {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(s"$path.__staging_$token")
     val retired = new Path(s"$path.__retired_$token")
-    writePartitioned(df, staging.toString, partitionCols)
+    writeTo(staging.toString)
     try {
       if (fs.exists(target) && !fs.rename(target, retired))
         throw new java.io.IOException(s"could not retire $target")
@@ -328,7 +339,8 @@ object Sinks {
     * FIRST so their stale rows cannot be baked into the compacted output.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zOrderBy: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -359,11 +371,20 @@ object Sinks {
     }
     val partitionCols = partitionChain(root, Nil)
 
+    require(zOrderBy.isEmpty || partitionCols.isEmpty,
+      "zOrderBy compaction supports flat tables (z-ordering spans files, not hive dirs)")
     if (partitionCols.nonEmpty) {
       writePartitionedAtomic(spark.read.parquet(path), path, partitionCols)
     } else {
       val numFiles = math.max(1L, (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
-      writePartitionedAtomic(spark.read.parquet(path).repartition(numFiles), path, Nil)
+      if (zOrderBy.nonEmpty)
+        // the OPTIMIZE-and-recluster maintenance combo: the rewrite the
+        // compaction pays for anyway also restores the data-skipping
+        // layout, atomically
+        atomicSwap(spark, path)(staging =>
+          writeZOrdered(spark.read.parquet(path), staging, zOrderBy, numFiles = numFiles))
+      else
+        writePartitionedAtomic(spark.read.parquet(path).repartition(numFiles), path, Nil)
     }
     // The maintenance pass's whole point is the file-count delta — record
     // it so an operator can alert on "compaction stopped helping". The

@@ -243,6 +243,46 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/z").count() == li.count())
   }
 
+  test("compact with zOrderBy: one rewrite both collapses files and restores clustering") {
+    val dir = Files.createTempDirectory("compact-z").toString + "/t"
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    // accrete unclustered small files the way increments do
+    (0 until 4).foreach { i =>
+      li.where(pmod(col("l_orderkey"), lit(4)) === i)
+        .repartition(5).write.mode("append").parquet(dir)
+    }
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) == 20)
+
+    Sinks.compact(spark, dir, targetFileBytes = 64 * 1024,
+      zOrderBy = Seq("l_orderkey", "l_partkey"))
+
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length < 20 && files.length > 1,
+      s"files must collapse toward the byte target, got ${files.length}")
+    assert(spark.read.parquet(dir).count() == li.count(), "rows intact")
+    // clustering restored: per-file spans shrink on BOTH z columns
+    def meanFrac(c: String): Double = {
+      val g = li.agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
+      val whole = g.getDouble(1) - g.getDouble(0)
+      val fr = files.toSeq.map { f =>
+        val r = spark.read.parquet(f.toString)
+          .agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
+        (r.getDouble(1) - r.getDouble(0)) / whole
+      }
+      fr.sum / fr.length
+    }
+    assert(meanFrac("l_orderkey") < 0.7 && meanFrac("l_partkey") < 0.7,
+      "z-order compaction must narrow per-file ranges on both columns")
+    // partitioned tables refuse the combo (z spans files, not hive dirs)
+    intercept[IllegalArgumentException] {
+      val pdir = Files.createTempDirectory("compact-zp").toString + "/t"
+      Sinks.writePartitioned(
+        li.withColumn("p", pmod(col("l_orderkey"), lit(2))), pdir, Seq("p"))
+      Sinks.compact(spark, pdir, zOrderBy = Seq("l_partkey"))
+    }
+  }
+
   test("JsonlSource: explicit schema, corrupt lines quarantined not dropped, gz transparent") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("jsonl").toString
