@@ -81,6 +81,53 @@ class GoldPipelineSpec extends AnyFunSuite {
     assert(fact.forall(r => !r.isNullAt(2)), "every snapshot resolves a dim version")
   }
 
+  test("streamed silver feeds the same gold build: batch and streaming are one path") {
+    // Build silver twice — accounts ingested as a STREAM (micro-batched
+    // through cdcMergeStream, out of order and with a re-delivery) vs the
+    // plain batch path — and assert silverToGold produces the identical
+    // dim_account from both. This is the architecture claim: one merge +
+    // one gold build, whatever the ingestion mode.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+
+    val bronzeB = Files.createTempDirectory("one-path-bronze")
+    val silverBatch = Files.createTempDirectory("one-path-silver-b")
+    val silverStream = Files.createTempDirectory("one-path-silver-s")
+    writeFixtures(bronzeB)
+    GoldPipeline.bronzeToSilver(spark, bronzeB.toString, silverBatch.toString)
+
+    // stream the accounts entity into the OTHER silver; copy the rest
+    graft.banking.Ingest.entities.filterNot(_.name == "accounts").foreach { e =>
+      spark.read.parquet(s"$silverBatch/${e.name}")
+        .write.parquet(s"$silverStream/${e.name}")
+    }
+    val input = MemoryStream[(String, String, String)]
+    val accounts = input.toDF().toDF("acc_no", "raw_date", "status")
+      .select(col("acc_no"), to_date(col("raw_date")).as("date"), col("status"))
+      .withColumn("p_ym", date_format(col("date"), "yyyyMM"))
+    val q = graft.streaming.Streams.cdcMergeStream(
+      accounts, s"$silverStream/accounts",
+      mergeKeys = Seq("acc_no", "date", "status"), partitionCols = Seq("p_ym"))
+    try {
+      input.addData(("123", "2022-03-01", "In Active")) // out of order first
+      q.processAllAvailable()
+      input.addData(("123", "2022-01-01", "Active"), ("456", "2022-02-01", "Active"))
+      q.processAllAvailable()
+      input.addData(("456", "2022-02-01", "Active")) // cross-batch re-delivery
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def dimOf(silver: java.nio.file.Path) =
+      GoldPipeline.silverToGold(spark, silver.toString).dimAccount
+        .select("acc_no", "status", "type", "effective_start_date",
+          "effective_end_date", "is_current")
+        .orderBy("acc_no", "effective_start_date")
+        .collect().map(_.toSeq).toSeq
+    assert(dimOf(silverStream) == dimOf(silverBatch),
+      "gold from streamed silver must equal gold from batch silver")
+  }
+
   test("gold→DWH loads all five tables end-to-end (embedded Derby)") {
     // The reference's actual production act: five sequential JDBC bulk
     // loads (gold_sql_to_postgres.py:199-203). Full chain here: bronze
