@@ -151,6 +151,106 @@ object Similarity {
     * it for free). Cell assignment, probe selection, and the in-cell scan
     * are all plain expressions — no shuffle beyond the final top-k.
     */
+  /** A trained IVF coarse quantizer: the tiny driver-side artifact the
+    * index workflow revolves around — train ONCE over the corpus, then
+    * serve any number of queries (and re-serve after a restart via
+    * [[IvfIndex.save]]/[[IvfIndex.load]]). Per-query retraining is both
+    * wasted work (an eager sample collect + k-means per call) and a
+    * subtle correctness smell: two queries against the same corpus
+    * should probe the same cells.
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]]) {
+    require(centroids.nonEmpty, "an IVF index needs at least one centroid")
+    val nlist: Int = centroids.length
+    val dim: Int = centroids.head.length
+    private[operators] lazy val flat: IndexedSeq[Double] = centroids.flatten.toIndexedSeq
+
+    /** Persist as a tiny parquet table (cell, centroid) — readable
+      * anywhere, diffable, and versionable next to the corpus it indexes.
+      */
+    def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      import spark.implicits._
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+  }
+
+  object IvfIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+      IvfIndex(
+        spark.read.parquet(path)
+          .orderBy("cell")
+          .collect()
+          .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+  }
+
+  /** Train an IVF coarse quantizer: k-means over a `sampleRows`-point
+    * sample taken in xxhash64 order of the id — a deterministic
+    * pseudo-random draw that needs no prior count() of the corpus, and
+    * `orderBy().limit()` plans as TakeOrderedAndProject (per-partition
+    * bounded heaps, no global sort materialization), so the training pass
+    * is scan-bound at any scale.
+    */
+  def trainIvf(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      sampleRows: Int = 512,
+      kmeansIters: Int = 5): IvfIndex = {
+    val trainSample: Array[Array[Double]] = emb
+      .orderBy(xxhash64(col(idCol)))
+      .select(col(vecCol))
+      .limit(math.max(sampleRows, nlist))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(trainSample.nonEmpty, "cannot train IVF centroids on an empty corpus")
+    IvfIndex(kmeans(trainSample, nlist, kmeansIters))
+  }
+
+  /** IVF search against a trained index: the query probes only its
+    * `nprobe` nearest cells and brute-forces within them — the classic
+    * inverted-file scale path (search cost ≈ corpus × nprobe/nlist).
+    * The centroids are baked into the assignment expression as a
+    * reference object (the table is tiny; it ships with the task binary).
+    * Cell assignment, probe selection, and the in-cell scan are all plain
+    * expressions — no shuffle beyond the final top-k.
+    */
+  def ivfSearch(
+      index: IvfIndex,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    require(nprobe <= index.nlist, "nprobe must be <= nlist")
+    // Native codegen'd argmin over the trained centroids — the composed
+    // form (array of (dist, cell) structs + array_sort per row) pays
+    // O(nlist) interpreted allocations per row, which dominates the scan
+    // at production nlist (4k–64k). See NearestCentroidsExpr.
+    def nearestCells(v: Column, n: Int): Column = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.expressions.NearestCentroidsExpr(
+        ColumnBridge.eagerExpression(v), index.flat, index.dim, n))
+    }
+    val corpus = Partitioning.spread(emb.where(col(idCol) =!= queryId))
+      .withColumn("__cell", nearestCells(col(vecCol), 1).getItem(0))
+    val q = emb
+      .where(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"), nearestCells(col(vecCol), nprobe).as("__probes"))
+    corpus
+      .join(broadcast(q), array_contains(col("__probes"), col("__cell")))
+      .select(col(idCol), vectors.cosine(col(vecCol), col("__qvec")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** One-shot convenience: train + search. Index-lifecycle workflows
+    * (train once, many queries, survive restarts) should use
+    * [[trainIvf]]/[[ivfSearch]] with a saved [[IvfIndex]] instead.
+    */
   def ivfTopK(
       emb: DataFrame,
       idCol: String,
@@ -160,42 +260,10 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       sampleRows: Int = 512,
-      kmeansIters: Int = 5): DataFrame = {
-    require(nprobe <= nlist, "nprobe must be <= nlist")
-    val trainSample: Array[Array[Double]] = emb
-      .orderBy(xxhash64(col(idCol)))
-      .select(col(vecCol))
-      .limit(math.max(sampleRows, nlist))
-      .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(trainSample.nonEmpty, "cannot train IVF centroids on an empty corpus")
-    val centroids = kmeans(trainSample, nlist, kmeansIters)
-
-    // Native codegen'd argmin over the trained centroids — the composed
-    // form (array of (dist, cell) structs + array_sort per row) pays
-    // O(nlist) interpreted allocations per row, which dominates the scan
-    // at production nlist (4k–64k). See NearestCentroidsExpr.
-    val dim = centroids.head.length
-    val flat = centroids.flatten.toIndexedSeq
-    def nearestCells(v: Column, n: Int): Column = {
-      import org.apache.spark.sql.graft.ColumnBridge
-      ColumnBridge.column(graft.expressions.NearestCentroidsExpr(
-        ColumnBridge.eagerExpression(v), flat, dim, n))
-    }
-    def cellOf(v: Column): Column = nearestCells(v, 1).getItem(0)
-    def probesOf(v: Column): Column = nearestCells(v, nprobe)
-
-    val corpus = Partitioning.spread(emb.where(col(idCol) =!= queryId))
-      .withColumn("__cell", cellOf(col(vecCol)))
-    val q = emb
-      .where(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec"), probesOf(col(vecCol)).as("__probes"))
-    corpus
-      .join(broadcast(q), array_contains(col("__probes"), col("__cell")))
-      .select(col(idCol), vectors.cosine(col(vecCol), col("__qvec")).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
-  }
+      kmeansIters: Int = 5): DataFrame =
+    ivfSearch(
+      trainIvf(emb, idCol, vecCol, nlist, sampleRows, kmeansIters),
+      emb, idCol, vecCol, queryId, k, nprobe)
 
   /** All-pairs near-duplicate detection by embedding cosine ≥ threshold,
     * LSH-blocked so the quadratic comparison only happens within buckets.

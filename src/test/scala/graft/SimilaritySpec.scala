@@ -110,6 +110,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf == brute, "full-probe IVF must equal brute force exactly")
   }
 
+  test("IvfIndex: train once, save/load round-trip, identical search results") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val index = Similarity.trainIvf(emb, "vec_id", "embedding", nlist = 16)
+    val first = Similarity.ivfSearch(index, emb, "vec_id", "embedding", 0L, 20, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // a second query against the SAME index probes the same cells —
+    // deterministic, no retraining collect
+    val again = Similarity.ivfSearch(index, emb, "vec_id", "embedding", 0L, 20, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(again == first)
+
+    // persistence: the index survives a restart as a tiny parquet table
+    val path = java.nio.file.Files.createTempDirectory("ivf-idx").toString + "/idx"
+    index.save(spark, path)
+    val loaded = Similarity.IvfIndex.load(spark, path)
+    assert(loaded.nlist == index.nlist && loaded.dim == index.dim)
+    assert(loaded.centroids.map(_.toSeq).toSeq == index.centroids.map(_.toSeq).toSeq)
+    val fromLoaded = Similarity.ivfSearch(loaded, emb, "vec_id", "embedding", 0L, 20, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromLoaded == first, "a reloaded index must serve identical results")
+  }
+
   test("cosineNearDupPairs: identical-vector flood is keeper-starred, not quadratic") {
     val flood = spark.range(2000).select(
       col("id").as("vec_id"),
