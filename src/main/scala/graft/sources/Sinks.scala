@@ -59,15 +59,88 @@ object Sinks {
   def writePartitionedAtomic(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     atomicSwap(df.sparkSession, path)(staging => writePartitioned(df, staging, partitionCols))
 
+  /** Atomic overwrite that RETAINS the last `keepVersions` pre-overwrite
+    * snapshots as `path.__v_<millis>` siblings — the rename-based cousin of
+    * a table format's version log. A bad batch is then one [[rollback]]
+    * away instead of a restore-from-backup. Retained versions are whole
+    * table copies: keep the count small (1–2) and let [[rollback]]/pruning
+    * manage them. Versioned siblings are deliberately NOT `__retired_*`
+    * (that namespace means "crashed mid-swap" to the recovery preamble,
+    * which deletes superseded ones).
+    */
+  def writePartitionedAtomicVersioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      keepVersions: Int = 1): Unit =
+    atomicSwap(df.sparkSession, path, keepVersions)(staging =>
+      writePartitioned(df, staging, partitionCols))
+
+  /** Retained version paths of a versioned table, newest first. */
+  def versions(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = target.getParent
+    if (parent == null || !fs.exists(parent)) Nil
+    else fs.listStatus(parent)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(s"${target.getName}.__v_"))
+      .sortBy(p => versionStamp(p.getName))(Ordering[(Long, Long)].reverse)
+      .map(_.toString)
+      .toSeq
+  }
+
+  // Version dirs are `<table>.__v_<millis>_<seq>`: wall-clock first (orders
+  // across JVM restarts), a JVM-monotonic sequence second (orders same-
+  // millisecond writes — e.g. rollback immediately after rollback).
+  private val versionSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  private def versionStamp(name: String): (Long, Long) = {
+    val s = name.substring(name.lastIndexOf("__v_") + 4)
+    val parts = s.split("_")
+    (parts(0).toLong, if (parts.length > 1) parts(1).toLong else 0L)
+  }
+
+  private def versionPath(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"$path.__v_${System.currentTimeMillis()}_${versionSeq.incrementAndGet()}")
+
+  /** Swap the newest retained version back in. The displaced current table
+    * becomes a retained version itself, so a rollback is reversible (a
+    * second rollback returns to the batch that was just rolled back —
+    * LIFO). Fails loudly if no retained version exists.
+    */
+  def rollback(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = versions(spark, path).headOption.map(new Path(_)).getOrElse(
+      throw new java.io.IOException(s"no retained __v_* version to roll back to for $path"))
+    val displaced = versionPath(path)
+    if (fs.exists(target) && !fs.rename(target, displaced))
+      throw new java.io.IOException(s"could not displace current $target")
+    if (!fs.rename(prev, target)) {
+      // restore what we displaced; a half-done rollback must not be silent
+      if (fs.exists(displaced) && !fs.rename(displaced, target))
+        throw new java.io.IOException(
+          s"rollback failed AND could not restore $displaced to $target")
+      throw new java.io.IOException(s"could not promote $prev to $target (current restored)")
+    }
+  }
+
   /** The whole-table staging-and-swap protocol, factored so any writer
     * (plain partitioned, z-ordered, a future format) can be made atomic:
     * `writeTo(stagingPath)` runs while the target is untouched, then the
     * result swaps in via renames. Includes the crash-window recovery
-    * preamble (see the scaladoc above).
+    * preamble (see the scaladoc above). With `keepVersions > 0` the
+    * displaced table is retained as a `__v_<millis>` sibling (pruned to
+    * the newest `keepVersions`) instead of deleted.
     */
   private def atomicSwap(
       spark: org.apache.spark.sql.SparkSession,
-      path: String)(writeTo: String => Unit): Unit = {
+      path: String,
+      keepVersions: Int = 0)(writeTo: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -118,7 +191,12 @@ object Sinks {
               s"previous data is stranded at $retired")
         throw new java.io.IOException(s"could not promote $staging to $target (rolled back)")
       }
-      fs.delete(retired, true)
+      if (keepVersions > 0 && fs.exists(retired)) {
+        if (!fs.rename(retired, versionPath(path)))
+          throw new java.io.IOException(s"could not retain displaced version of $path")
+        versions(spark, path).drop(keepVersions)
+          .foreach(old => fs.delete(new Path(old), true))
+      } else fs.delete(retired, true)
       graft.operators.Metrics.put("graft.sink.write",
         "path" -> path, "files" -> parquetFileCount(fs, target))
     } finally {

@@ -243,6 +243,36 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/z").count() == li.count())
   }
 
+  test("versioned overwrite retains N snapshots; rollback undoes a bad batch, reversibly") {
+    val dir = Files.createTempDirectory("versioned").toString + "/t"
+    def write(v: Int): Unit = Sinks.writePartitionedAtomicVersioned(
+      spark.range(v * 10).toDF("id"), dir, Nil, keepVersions = 2)
+    def rows(): Long = spark.read.parquet(dir).count()
+
+    write(1); write(2); write(3); write(4)
+    assert(rows() == 40)
+    // retention pruned to the newest 2 (v3, v2); v1 is gone
+    val vs = Sinks.versions(spark, dir)
+    assert(vs.size == 2, s"expected 2 retained versions, got $vs")
+
+    Sinks.rollback(spark, dir)
+    assert(rows() == 30, "rollback must restore the previous batch")
+    // reversible: the displaced current became a version — LIFO undo
+    Sinks.rollback(spark, dir)
+    assert(rows() == 40, "a second rollback undoes the first")
+
+    // crash recovery is untouched by retained versions: __v_* siblings are
+    // not __retired_* and must not confuse the preamble
+    Sinks.writePartitionedAtomic(spark.range(7).toDF("id"), dir, Nil)
+    assert(rows() == 7)
+
+    intercept[java.io.IOException] {
+      val empty = Files.createTempDirectory("versioned-none").toString + "/t"
+      Sinks.writePartitioned(spark.range(3).toDF("id"), empty, Nil)
+      Sinks.rollback(spark, empty)
+    }
+  }
+
   test("compact with zOrderBy: one rewrite both collapses files and restores clustering") {
     val dir = Files.createTempDirectory("compact-z").toString + "/t"
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
