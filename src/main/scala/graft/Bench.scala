@@ -18,6 +18,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Stable codegen class names: without this, AQE's run-order-dependent
+      // codegenStageId lands identical generated code under fresh class
+      // names on re-runs — codegen-cache miss, full re-JIT, and the
+      // intermittent 2x warm-pass anomaly on the dedup query (see Sessions).
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

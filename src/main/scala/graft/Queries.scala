@@ -1253,6 +1253,27 @@ object Queries {
         FROM documents)
       GROUP BY term HAVING COUNT(*) >= 500"""))
 
+  /** Single-pass APPROXIMATE heavy hitters: Misra–Gries candidates and
+    * Count-Min estimates computed in ONE aggregation job — the variant for
+    * when the corpus cannot be scanned twice (q47 is the two-pass exact
+    * form). The oracle is the exact count: Count-Min only overestimates on
+    * hash collisions, and the testdata vocabulary under the 2048×5
+    * geometry is collision-free (checked at sf0.001/0.01/0.1; the
+    * FrequencyProperties suite covers colliding corpora), so here the
+    * estimates equal exact counts deterministically.
+    */
+  val q49ApproxHeavyHitters: Q = Q(
+    "q49_approx_heavy_hitters",
+    (s, dir) =>
+      graft.operators.Frequency.approxHeavyHitters(
+        t(s, dir, "documents").select(explode(text.tokens(lower(col("text")))).as("term")),
+        "term", minCount = 500L),
+    Some("""
+      SELECT term AS item, COUNT(*) AS est FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS term
+        FROM documents)
+      GROUP BY term HAVING COUNT(*) >= 500"""))
+
   /** Deterministic group-coherent train/val/test split (no ANSI oracle:
     * the assignment hash is xxhash64, which DuckDB lacks — determinism,
     * coherence, and proportions are pinned by PartitioningSpec instead).
@@ -1287,7 +1308,8 @@ object Queries {
     q36JsonExtract, q37SessionWindow, q38Quantiles, q38bApproxAgg, q38cExactAgg,
     q39AsofJoin,
     q40BinaryMeta, q41MediaDecode, q42FrameSample, q43TokenShards, q44IntervalJoin,
-    q45OrcRoundtrip, q46AvroRoundtrip, q47HeavyHitters, q48HashSplit)
+    q45OrcRoundtrip, q46AvroRoundtrip, q47HeavyHitters, q48HashSplit,
+    q49ApproxHeavyHitters)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

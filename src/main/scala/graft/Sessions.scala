@@ -25,6 +25,17 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "134217728")
+      // Do NOT embed the per-query codegenStageId in generated class names
+      // (SPARK-23032's debugging aid, on by default). Under AQE the stage
+      // numbering depends on runtime stage-completion ORDER, so re-running
+      // the same query produces byte-identical generated code under a NEW
+      // class name → codegen-cache miss → janino recompile + a fresh
+      // interpreter→C2 warmup for every large generated class, every run.
+      // For graft's biggest plans (the dedup sketch pipeline) that was
+      // 2-13s of JIT per invocation and the intermittent 2x "warm slower
+      // than cold" bench anomaly (rounds 4-6). With stable names the cache
+      // hits and a long-lived session compiles each stage once, ever.
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // The driver's `events` table carries TIMESTAMP(NANOS) parquet values,
       // which Spark 4 rejects outright; read them as raw nanos longs instead

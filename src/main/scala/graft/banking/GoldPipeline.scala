@@ -106,12 +106,14 @@ object GoldPipeline {
     GoldTables(dimAccount, dimPerson, dimDate, bridgeDf, fact)
   }
 
-  /** Names the DWH tables in reference order (gold_sql_to_postgres.py:199-203). */
+  /** Names the DWH tables in reference order (gold_sql_to_postgres.py:
+    * 199-203): dims first, bridge BEFORE dim_date, fact last.
+    */
   def dwhTables(gold: GoldTables): Seq[(String, DataFrame)] = Seq(
     "dim_account" -> gold.dimAccount,
     "dim_person" -> gold.dimPerson,
-    "dim_date" -> gold.dimDate,
     "bridge_account_person" -> gold.bridgeAccountPerson,
+    "dim_date" -> gold.dimDate,
     "fact_account_snapshot" -> gold.factAccountSnapshot)
 
   /** Gold → DWH: the reference's production act is five sequential JDBC

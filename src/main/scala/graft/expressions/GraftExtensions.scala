@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.simHashDescriptor)
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.mgSketchDescriptor)
+    ext.injectFunction(GraftFunctions.cmSketchDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
@@ -74,8 +75,20 @@ object GraftFunctions {
         throw new IllegalArgumentException("graft_mg_sketch(item[, k: int literal])")
     })
 
+  val cmSketchDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_cm_sketch"),
+    new ExpressionInfo(classOf[CountMinAgg].getName, "graft_cm_sketch"),
+    {
+      case Seq(item) => CountMinAgg(item, 2048, 5)
+      case Seq(item, Literal(w: Int, _), Literal(d: Int, _)) => CountMinAgg(item, w, d)
+      case _ =>
+        throw new IllegalArgumentException(
+          "graft_cm_sketch(item[, width: int literal, depth: int literal])")
+    })
+
   def register(spark: SparkSession): Unit =
-    Seq(minHashDescriptor, simHashDescriptor, dotDescriptor, mgSketchDescriptor)
+    Seq(minHashDescriptor, simHashDescriptor, dotDescriptor, mgSketchDescriptor,
+        cmSketchDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

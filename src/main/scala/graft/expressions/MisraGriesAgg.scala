@@ -15,6 +15,43 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Misra–Gries frequency summary: bounded-state single-pass candidate set. */
 final class MGSummary(var n: Long, val counts: mutable.HashMap[String, Long])
 
+/** The MG update/merge core, factored out of the aggregate so OTHER state
+  * holders (the streaming heavy-hitters operator's per-shard
+  * mapGroupsWithState state) run the IDENTICAL algorithm — the survival
+  * guarantee proofs hold for one implementation, not two drifting copies.
+  */
+object MisraGries {
+
+  /** One arrival, in place: increment a tracked counter, claim a free one,
+    * or run the decrement-all step (every tracked count pays for the
+    * untracked arrival; zeros vacate their counter). O(k) worst case,
+    * amortized O(1)/row.
+    */
+  def updateOne(counts: mutable.HashMap[String, Long], k: Int, item: String): Unit = {
+    val cur = counts.getOrElse(item, 0L)
+    if (cur > 0L || counts.size < k) counts.update(item, cur + 1L)
+    else {
+      val dead = mutable.ArrayBuffer.empty[String]
+      counts.mapValuesInPlace((_, c) => c - 1L)
+      counts.foreach { case (i, c) => if (c == 0L) dead += i }
+      dead.foreach(counts.remove)
+    }
+  }
+
+  /** Bound-preserving reduction after a merge: subtract the (k+1)-th
+    * largest combined count from everything and drop the non-positive
+    * (Agarwal et al., PODS'12). No-op at <= k counters.
+    */
+  def reduceToK(counts: mutable.HashMap[String, Long], k: Int): Unit =
+    if (counts.size > k) {
+      val d = counts.values.toArray.sortWith(_ > _).apply(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      counts.mapValuesInPlace((_, c) => c - d)
+      counts.foreach { case (i, c) => if (c <= 0L) dead += i }
+      dead.foreach(counts.remove)
+    }
+}
+
 /** Misra–Gries heavy-hitter sketch as a native mergeable aggregate.
   *
   * Keeps at most `k` counters per partial; any item whose true frequency
@@ -71,17 +108,7 @@ case class MisraGriesAgg(
     val v = child.eval(input)
     if (v != null) {
       buf.n += 1
-      val item = v.asInstanceOf[UTF8String].toString
-      val cur = buf.counts.getOrElse(item, 0L)
-      if (cur > 0L || buf.counts.size < k) buf.counts.update(item, cur + 1L)
-      else {
-        // decrement-all step: every tracked count pays for the untracked
-        // arrival; zeros vacate their counter. O(k), amortized O(1)/row.
-        val dead = mutable.ArrayBuffer.empty[String]
-        buf.counts.mapValuesInPlace((_, c) => c - 1L)
-        buf.counts.foreach { case (i, c) => if (c == 0L) dead += i }
-        dead.foreach(buf.counts.remove)
-      }
+      MisraGries.updateOne(buf.counts, k, v.asInstanceOf[UTF8String].toString)
     }
     buf
   }
@@ -91,15 +118,7 @@ case class MisraGriesAgg(
     other.counts.foreach { case (i, c) =>
       buf.counts.update(i, buf.counts.getOrElse(i, 0L) + c)
     }
-    if (buf.counts.size > k) {
-      // subtract the (k+1)-th largest combined count from everything and
-      // drop the non-positive — the bound-preserving merge reduction.
-      val d = buf.counts.values.toArray.sortWith(_ > _).apply(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.counts.mapValuesInPlace((_, c) => c - d)
-      buf.counts.foreach { case (i, c) => if (c <= 0L) dead += i }
-      dead.foreach(buf.counts.remove)
-    }
+    MisraGries.reduceToK(buf.counts, k)
     buf
   }
 

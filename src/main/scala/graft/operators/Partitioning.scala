@@ -166,12 +166,28 @@ object Partitioning {
     df.where(hashUniform(keyCol, seed) < fraction)
   }
 
-  /** xxhash64(key, seed) → uniform double in [0, 1): shift to the
-    * non-negative 63-bit range first.
-    */
+  /** xxhash64(key, seed) → uniform double STRICTLY in [0, 1). */
   private def hashUniform(keyCol: String, seed: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    shiftrightunsigned(xxhash64(col(keyCol), lit(seed)), 1)
-      .cast("double") / Long.MaxValue.toDouble
+    uniformFromHash(xxhash64(col(keyCol), lit(seed)))
+  }
+
+  /** Top 53 bits of a 64-bit hash, over 2^53 — the mantissa-width trick.
+    *
+    * Using 63 bits (`shiftrightunsigned(h, 1).cast("double") /
+    * Long.MaxValue`) is subtly broken at BOTH ends of the division:
+    * doubles near 2^63 are 1024 apart, so the numerator cast rounds any
+    * shifted hash in [2^63 − 512, 2^63 − 1] (raw hashes −1024..−1) UP to
+    * exactly 2^63, and `Long.MaxValue.toDouble` is itself exactly 2^63 —
+    * those keys get u = 1.0, `hashSample(df, k, 1.0)` silently drops them,
+    * and the documented [0, 1) contract is false. Every 53-bit value is
+    * exactly representable, so here the max is (2^53 − 1)/2^53 < 1 with no
+    * rounding anywhere. Exposed package-private so the spec can drive the
+    * boundary hashes directly (finding a key whose xxhash64 is −1 is not
+    * feasible).
+    */
+  private[graft] def uniformFromHash(hashCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    shiftrightunsigned(hashCol, 11).cast("double") / (1L << 53).toDouble
   }
 }

@@ -167,22 +167,56 @@ object Similarity {
 
     /** Persist as a tiny parquet table (cell, centroid) — readable
       * anywhere, diffable, and versionable next to the corpus it indexes.
+      *
+      * The write rides [[graft.sources.Sinks.writePartitionedAtomic]]'s
+      * staging-and-rename swap: a served index is re-saved WHILE other
+      * sessions [[IvfIndex.load]] it, and a plain `mode("overwrite")`
+      * (delete-then-write) has a window where a concurrent load sees a
+      * missing or partially-written table and serves a corrupt quantizer.
+      * With the swap, a reader sees the old index or the new one, never a
+      * mix — same discipline as every other served artifact in the repo.
       */
     def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
       import spark.implicits._
-      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-        .toSeq.toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(path)
+      graft.sources.Sinks.writePartitionedAtomic(
+        centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+          .toSeq.toDF("cell", "centroid")
+          .coalesce(1),
+        path, Nil)
     }
   }
 
   object IvfIndex {
-    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
-      IvfIndex(
-        spark.read.parquet(path)
-          .orderBy("cell")
-          .collect()
-          .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+    /** Load a saved index. Partial data is impossible ([[IvfIndex.save]]
+      * promotes via whole-directory renames and parquet files are
+      * immutable), but the swap itself has a sub-millisecond window where
+      * the path is ABSENT (old dir renamed out, new dir not yet renamed
+      * in) and a reader that listed the old files can find them renamed
+      * away before its scan task opens them. Both surface as a
+      * file/path-not-found — transient by construction — so the loader
+      * absorbs them with a bounded retry; any other failure (or exhausted
+      * retries) propagates.
+      */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String, retries: Int = 8): IvfIndex = {
+      def isTransientSwapMiss(e: Throwable): Boolean =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
+          case _: java.io.FileNotFoundException => true
+          case t => Option(t.getMessage).exists(m =>
+            m.contains("PATH_NOT_FOUND") || m.contains("does not exist"))
+        }
+      def attempt(left: Int): IvfIndex =
+        try IvfIndex(
+          spark.read.parquet(path)
+            .orderBy("cell")
+            .collect()
+            .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+        catch {
+          case e: Throwable if left > 0 && isTransientSwapMiss(e) =>
+            Thread.sleep(25L)
+            attempt(left - 1)
+        }
+      attempt(retries)
+    }
   }
 
   /** Train an IVF coarse quantizer: k-means over a `sampleRows`-point

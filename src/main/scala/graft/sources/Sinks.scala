@@ -467,12 +467,23 @@ object Sinks {
     // The maintenance pass's whole point is the file-count delta — record
     // it so an operator can alert on "compaction stopped helping". The
     // after-count reuses the listing the atomic writer just did (its
-    // graft.sink.write metric) instead of a third full walk.
-    val filesAfter = graft.operators.Metrics.get("graft.sink.write")
-      .map(_.getAs[Long](1)).getOrElse(parquetFileCount(fs, root))
+    // graft.sink.write metric) instead of a third full walk — but ONLY if
+    // that last-value metric is really ours: the registry is JVM-global,
+    // so a concurrent sink to another path may have overwritten it between
+    // our swap and this read. Path mismatch → fall back to a fresh count.
+    val filesAfter = writeMetricFilesFor(path).getOrElse(parquetFileCount(fs, root))
     graft.operators.Metrics.put("graft.sink.compact",
       "path" -> path, "files_before" -> filesBefore, "files_after" -> filesAfter)
   }
+
+  /** The last `graft.sink.write` file count IF it belongs to `path` —
+    * package-private so the spec can pin the other-path fallback without a
+    * real thread race.
+    */
+  private[graft] def writeMetricFilesFor(path: String): Option[Long] =
+    graft.operators.Metrics.get("graft.sink.write")
+      .filter(_.getAs[String](0) == path)
+      .map(_.getAs[Long](1))
 
   /** Single-file export; only for small (gold/BI) outputs — coalesce(1)
     * funnels everything through one task by design.

@@ -331,4 +331,29 @@ class DedupSpec extends AnyFunSuite {
     assert(verified.length == 1)
     assert(verified.head.getAs[Double]("jaccard") == 1.0)
   }
+
+  test("re-invoking the dedup pipeline compiles ZERO new codegen classes (the rounds-4-6 warm anomaly)") {
+    // The 2x warm-pass bench anomaly was codegen-cache misses: AQE's
+    // run-order-dependent codegenStageId was embedded in generated CLASS
+    // NAMES, so a re-run landed byte-identical code under a fresh name and
+    // re-paid janino + interpreter→C2 warmup per invocation — seconds, on
+    // the dedup query's huge generated classes. With
+    // spark.sql.codegen.useIdInClassName=false (SparkTestSession/Sessions/
+    // Bench/Verify) the cache must HIT: a per-batch dedup service compiles
+    // each stage once per JVM, ever.
+    val docs = spark.range(300).select(
+      col("id"),
+      concat(lit("text body number "), (col("id") % 37).cast("string"),
+        lit(" with shared tail words")).as("text"))
+    def run(): Long =
+      Dedup.minHashDedupPairs(docs, "text", "id", threshold = 0.5).count()
+    run() // first invocation: compiles + JITs everything once
+    val before = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    val n2 = run()
+    val after = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    assert(n2 == run(), "sanity: stable result across invocations")
+    assert(after == before,
+      s"a same-session re-invocation must reuse every generated class, " +
+        s"but ${after - before} fresh codegen compilations happened")
+  }
 }

@@ -60,4 +60,49 @@ object FrequencyProperties extends Properties("graft.frequency") {
         .filter(_._2 >= minCount)
       got == expect
     }
+
+  // --- Count-Min laws ---
+
+  private val genGeometry: Gen[(Int, Int)] =
+    for { w <- Gen.choose(16, 256); d <- Gen.choose(2, 6) } yield (w, d)
+
+  property("count-min never underestimates, for every item in the stream") =
+    forAll(genStream, genGeometry) { case (items, (w, d)) =>
+      val cm = Frequency.cmSummary(items.toDF("term").repartition(5), col("term"), w, d)
+      val exact = items.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+      cm.n == items.size.toLong &&
+        exact.forall { case (item, c) => cm.estimate(item) >= c }
+    }
+
+  property("count-min merge is LOSSLESS: sketch(A ++ B) == merge(sketch(A), sketch(B))") =
+    forAll(genStream, genStream, genGeometry) { case (a, b, (w, d)) =>
+      val whole = Frequency.cmSummary((a ++ b).toDF("term").repartition(3), col("term"), w, d)
+      val merged = Frequency.cmSummary(a.toDF("term"), col("term"), w, d)
+        .merge(Frequency.cmSummary(b.toDF("term").repartition(4), col("term"), w, d))
+      whole.n == merged.n && whole.counters.sameElements(merged.counters)
+    }
+
+  property("count-min error stays within the e·n/width bound for most items (CM guarantee)") =
+    forAll(genStream, genGeometry) { case (items, (w, d)) =>
+      val cm = Frequency.cmSummary(items.toDF("term"), col("term"), w, d)
+      val exact = items.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+      val bound = (math.E * cm.n / w).ceil.toLong
+      // per-item failure probability is e^-d; with d as low as 2 allow a
+      // ~2x e^-d fraction of violations rather than flaking
+      val violations = exact.count { case (item, c) => cm.estimate(item) - c > bound }
+      violations.toDouble <= math.max(1.0, 2.0 * exact.size * math.exp(-d))
+    }
+
+  property("approxHeavyHitters recall: every true heavy hitter is emitted, est >= exact") =
+    forAll(genStream, genK) { (items, k) =>
+      val df = items.toDF("term").repartition(3)
+      val n = items.size.toLong
+      val minCount = n / (k + 1) + 1
+      val got = Frequency.approxHeavyHitters(df, "term", minCount, sketchK = k,
+          cmWidth = 512, cmDepth = 5)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = items.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+      val truth = exact.filter(_._2 >= minCount)
+      truth.forall { case (item, c) => got.get(item).exists(_ >= c) }
+    }
 }

@@ -33,6 +33,28 @@ class FrequencySpec extends AnyFunSuite {
     }
   }
 
+  test("nondeterministic input: pinned per the stability contract, both passes agree") {
+    // rand()-derived items re-roll on every job — the exact shape the
+    // scaladoc's two-pass stability contract warns about. Pinning fixes
+    // one materialization for BOTH passes; the result then matches the
+    // naive groupBy on the same pinned frame exactly.
+    val wild = spark.range(20000).select(
+      concat(lit("t_"), floor(rand(seed = 0) * 1000).cast("string")).as("term"))
+    // (rand with a fixed seed is still per-JOB deterministic, so ALSO drop
+    // the seed's crutch: shuffle-inject nondeterminism via a fresh uuid tag
+    // would be untestable — instead pin, which is the documented remedy
+    // for either case.)
+    val pinned = graft.operators.Caches.pin(wild)
+    try {
+      val expected = pinned.groupBy(col("term").as("item"))
+        .agg(count(lit(1)).as("n")).where(col("n") >= 15L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      val got = Frequency.heavyHitters(pinned, "term", minCount = 15L, sketchK = 2048)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == expected, "pinned nondeterministic frame: passes must agree exactly")
+    } finally pinned.unpersist()
+  }
+
   test("mgSummary: bounded size, survival guarantee, total count") {
     val k = 64
     val (n, items) = Frequency.mgSummary(corpus, col("term"), k)
@@ -100,6 +122,41 @@ class FrequencySpec extends AnyFunSuite {
       val names = items.map(_.getString(0)).toSet
       assert(names.contains("hot") && names.contains("hot2"))
     } finally query.stop()
+  }
+
+  test("approxHeavyHitters: single-pass MG+CM finds the planted terms; estimates bound the truth") {
+    // colliding-tail shape: 50k distinct tail terms in a 2048-wide sketch
+    // guarantee collisions, so this also exercises the overestimate side
+    val expected = corpus.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 5000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = Frequency.approxHeavyHitters(corpus, "term", minCount = 5000L, sketchK = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.keySet == expected.keySet,
+      s"hot terms are far above the threshold margin — sets must match: $got")
+    // CM law: estimate >= exact, and within the e*n/width budget here
+    got.foreach { case (item, est) =>
+      val exact = expected(item)
+      assert(est >= exact, s"$item: CM must never underestimate ($est < $exact)")
+      assert(est <= exact + (math.E * 100000 / 2048).ceil.toLong + 1,
+        s"$item: estimate $est blew the error budget vs $exact")
+    }
+  }
+
+  test("graft_cm_sketch is callable from SQL and decodes to the same estimates") {
+    graft.expressions.GraftFunctions.register(spark)
+    corpus.createOrReplaceTempView("cm_corpus")
+    val row = spark.sql(
+      "SELECT graft_cm_sketch(term, 1024, 4) AS cm FROM cm_corpus").head.getStruct(0)
+    val cm = Frequency.CmSummary(row.getLong(0), row.getInt(1), row.getInt(2),
+      row.getSeq[Long](3).toArray)
+    assert(cm.n == 100000L)
+    val direct = Frequency.cmSummary(corpus, col("term"), 1024, 4)
+    (0 until 5).foreach { i =>
+      assert(cm.estimate(s"hot_$i") == direct.estimate(s"hot_$i"),
+        "SQL-built and Column-built sketches must agree")
+      assert(cm.estimate(s"hot_$i") >= 10000L)
+    }
   }
 
   test("candidate pruning happens before the exchange (plan shape)") {

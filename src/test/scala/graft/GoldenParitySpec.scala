@@ -81,6 +81,65 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(asSet(gold.bridgeAccountPerson) == asSet(golden("bridge_account_person")))
   }
 
+  test("DWH round-trip: gold loaded to Derby and re-read still matches the golden exports") {
+    assume(available)
+    // The last inch of end-to-end parity: the reference's production act
+    // is five JDBC loads (reference: gold_sql_to_postgres.py:199-203) and
+    // its golden CSVs were exported from the LOADED warehouse — so parity
+    // should hold against what comes back OUT of the DWH, not only the
+    // in-Spark frames (types squeeze through JDBC DDL on the way).
+    val dbDir = Files.createTempDirectory("golden-dwh").toString + "/db"
+    val cfg = graft.sources.Sinks.JdbcConfig(
+      url = s"jdbc:derby:$dbDir;create=true",
+      user = "app",
+      password = "",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver",
+      batchSize = 100)
+    GoldPipeline.loadToDwh(gold, cfg, numPartitions = 2)
+    def readBack(table: String): DataFrame = spark.read.format("jdbc")
+      .option("url", cfg.url).option("dbtable", table)
+      .option("driver", cfg.driver).load()
+
+    // dims + bridge on business keys/intervals (SK excluded as above)
+    val dimAcc = asSet(readBack("dim_account").select(
+      col("acc_no"), col("status"), col("type"),
+      col("effective_start_date").cast("string"),
+      col("effective_end_date").cast("string"),
+      col("is_current").cast("string")))
+    val refAcc = asSet(golden("dim_account").select(
+      col("acc_no"), col("status"), col("type"),
+      col("effective_start_date"), col("effective_end_date"),
+      when(col("is_current") === "t", "true").otherwise("false")))
+    assert(dimAcc == refAcc, "dim_account must survive the DWH round-trip")
+
+    val dimPer = asSet(readBack("dim_person").select(
+      col("person"), col("name"), col("id"),
+      col("effective_start_date").cast("string"),
+      col("effective_end_date").cast("string"),
+      col("is_current").cast("string")))
+    val refPer = asSet(golden("dim_person").select(
+      col("person"), col("name"), col("id"),
+      col("effective_start_date"), col("effective_end_date"),
+      when(col("is_current") === "t", "true").otherwise("false")))
+    assert(dimPer == refPer, "dim_person must survive the DWH round-trip")
+
+    assert(asSet(readBack("dim_date").select(col("dt").cast("string")))
+      == asSet(golden("dim_date")))
+    assert(asSet(readBack("bridge_account_person")) == asSet(golden("bridge_account_person")))
+
+    // fact structurally, with the join resolved INSIDE the warehouse copy
+    val mine = asSet(readBack("fact_account_snapshot").alias("f")
+      .join(readBack("dim_account").alias("d"), col("f.account_sk") === col("d.account_sk"))
+      .select(
+        col("f.snapshot_date").cast("string"),
+        col("f.acc_no"),
+        col("d.effective_start_date").cast("string")))
+    val ref = asSet(golden("fact_account_snapshot").alias("f")
+      .join(golden("dim_account").alias("d"), col("f.account_sk") === col("d.account_sk"))
+      .select(col("f.snapshot_date"), col("f.acc_no"), col("d.effective_start_date")))
+    assert(mine == ref, "fact↔dim linkage must survive the DWH round-trip")
+  }
+
   test("fact matches structurally: same (snapshot, account) → same dim version") {
     assume(available)
     val mine = asSet(gold.factAccountSnapshot.alias("f")

@@ -64,6 +64,35 @@ class MetricsSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 6L, "compaction must not change rows")
   }
 
+  test("compact files_after ignores a concurrent sink's write metric (path-scoped)") {
+    Metrics.reset()
+    val a = Files.createTempDirectory("metrics-compact-a").toString + "/t"
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, "x")).toDF("k", "v").write.mode("append").parquet(a)
+    }
+    // the unit guard: a last-value entry for ANOTHER path must not be read
+    Metrics.put("graft.sink.write", "path" -> "/some/other/table", "files" -> 999L)
+    assert(graft.sources.Sinks.writeMetricFilesFor(a).isEmpty,
+      "another path's write metric must not satisfy the compact read")
+    // e2e with a REAL interleaved sink: hammer path B while compacting A;
+    // whichever write wins the registry race, A's files_after must reflect
+    // A's actual on-disk layout, never B's file count.
+    val b = Files.createTempDirectory("metrics-compact-b").toString + "/t"
+    val bDf = (1 to 40).map(i => (i.toLong, s"p${i % 7}")).toDF("k", "p")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racer = new Thread(() => {
+      while (!stop.get()) graft.sources.Sinks.writePartitionedAtomic(bDf, b, Seq("p"))
+    })
+    racer.start()
+    try graft.sources.Sinks.compact(spark, a)
+    finally { stop.set(true); racer.join() }
+    val c = Metrics.get("graft.sink.compact").get
+    assert(c.getAs[String](0) == a)
+    assert(c.getAs[Long](1) == 3L, s"files_before must be A's accreted count, saw ${c.getAs[Long](1)}")
+    assert(c.getAs[Long](2) == 1L,
+      s"files_after must be A's compacted count (1), not B's interleaved 7, saw ${c.getAs[Long](2)}")
+  }
+
   test("dedup run publishes hot-bucket audit numbers and hot member count") {
     Metrics.reset()
     val boiler = spark.range(500)

@@ -103,6 +103,33 @@ class PartitioningSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
   }
 
+  test("hashUniform is strictly [0, 1) at the hash boundaries — fraction 1.0 keeps every key") {
+    // The 63-bit form ((h >>> 1).toDouble / Long.MaxValue) maps raw hashes
+    // −1024..−1 to exactly 1.0 (numerator rounds up to 2^63; the divisor IS
+    // 2^63 as a double), so hashSample(_, _, 1.0) silently dropped those
+    // keys. xxhash64 preimages for specific outputs aren't findable, so
+    // drive the boundary hashes straight through uniformFromHash.
+    val edges = Seq(-1L, -2L, -512L, -1024L, -1025L, Long.MinValue, Long.MaxValue, 0L, 1L)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(edges.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.LongType))))
+    val us = df.select(Partitioning.uniformFromHash(col("h")).as("u"))
+      .collect().map(_.getDouble(0))
+    us.foreach(u => assert(u >= 0.0 && u < 1.0, s"uniform out of [0,1): $u"))
+    // the worst case really is the max representable below 1.0
+    assert(us.max == (math.pow(2, 53) - 1) / math.pow(2, 53))
+
+    // end-to-end: fraction = 1.0 keeps EVERY row, including negative-hash keys
+    val rows = spark.range(20000).select(col("id").cast("string").as("k"))
+    val negHash = rows.where(xxhash64(col("k"), lit(42)) < 0)
+    assert(negHash.count() > 0, "sanity: some keys hash negative")
+    assert(Partitioning.hashSample(rows, "k", 1.0).count() == 20000,
+      "fraction = 1.0 must be the identity")
+    // and fraction 0.0 keeps nothing
+    assert(Partitioning.hashSample(rows, "k", 0.0).count() == 0)
+  }
+
   test("hashSplit stays a pure projection — no exchange in the plan") {
     val rows = spark.range(100).select(col("id").cast("string").as("k"))
     val p = Partitioning.hashSplit(rows, "k", Seq("a" -> 1.0, "b" -> 1.0))

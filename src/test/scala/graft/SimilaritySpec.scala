@@ -133,6 +133,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fromLoaded == first, "a reloaded index must serve identical results")
   }
 
+  test("IvfIndex.save is atomic: a load racing a re-save always sees a complete index") {
+    // Two valid generations of the index; a loader hammering the path while
+    // the saver alternates between them must ALWAYS get one of the two,
+    // complete — never a missing/partial table (the old delete-then-write
+    // overwrite had exactly that window).
+    val a = Similarity.IvfIndex(Array(Array(0.0, 0.0), Array(1.0, 1.0)))
+    val b = Similarity.IvfIndex(Array(Array(2.0, 2.0), Array(3.0, 3.0)))
+    val path = java.nio.file.Files.createTempDirectory("ivf-swap").toString + "/idx"
+    a.save(spark, path)
+    val valid = Set(a.centroids.map(_.toSeq).toSeq, b.centroids.map(_.toSeq).toSeq)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val loader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val got = Similarity.IvfIndex.load(spark, path)
+          if (!valid.contains(got.centroids.map(_.toSeq).toSeq))
+            failures.add(s"partial index: ${got.centroids.map(_.mkString(",")).mkString(";")}")
+        } catch {
+          case e: Throwable => failures.add(s"load failed mid-save: ${e.getMessage}")
+        }
+      }
+    })
+    loader.start()
+    try (1 to 4).foreach { i => (if (i % 2 == 0) a else b).save(spark, path) }
+    finally { stop.set(true); loader.join() }
+    assert(failures.isEmpty, s"concurrent loads must never observe a partial index: ${failures.peek()}")
+  }
+
   test("cosineNearDupPairs: identical-vector flood is keeper-starred, not quadratic") {
     val flood = spark.range(2000).select(
       col("id").as("vec_id"),

@@ -312,6 +312,66 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("heavyHitterCandidates: cross-batch stateful MG matches batch heavyHitters exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    // 5 planted hot terms (600 each) over a 1000-term tail, DELIVERED IN
+    // THREE MICRO-BATCHES — cross-batch state is the thing under test: no
+    // single batch is enough to make a term heavy.
+    val all: Seq[String] =
+      (0 until 3000).map(i => s"hot_${i % 5}") ++ (0 until 1000).map(i => s"tail_$i")
+    val batches = scala.util.Random.shuffle(all).grouped((all.size + 2) / 3).toSeq
+    assert(batches.size == 3)
+
+    val input = MemoryStream[String]
+    val query = Streams
+      .heavyHitterCandidates(input.toDF().toDF("term"), "term", k = 64, numShards = 8)
+      .writeStream
+      .format("memory")
+      .queryName("hh_stream")
+      .outputMode("update")
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+
+      val emitted = spark.table("hh_stream").as[Streams.HeavyHitterCandidate].collect()
+      // bounded state, observable: no emission ever carries more than k
+      // candidates per shard
+      emitted.groupBy(r => (r.shard, r.shard_n)).foreach { case (sn, rows) =>
+        assert(rows.length <= 64, s"shard state exceeded k: $sn -> ${rows.length}")
+      }
+      // the FINAL state of each shard = its rows at max shard_n
+      val finalCands = emitted.groupBy(_.shard).values.flatMap { rows =>
+        val last = rows.map(_.shard_n).max
+        rows.filter(_.shard_n == last)
+      }.map(_.item).toSet
+
+      // batch truth over the same data
+      val df = all.toDF("term")
+      val expected = graft.operators.Frequency.heavyHitters(df, "term", minCount = 500L, sketchK = 2048)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(expected.map(_._1).toSet == Set("hot_0", "hot_1", "hot_2", "hot_3", "hot_4"))
+
+      // survival guarantee transfers across batches: every true heavy
+      // hitter is in its shard's final candidate set
+      assert(expected.map(_._1).toSet.subsetOf(finalCands),
+        s"lost a heavy hitter across micro-batches: $finalCands")
+
+      // two-phase exactness, streaming face: exact-count the streaming
+      // candidates (pass 2) → identical to the batch operator end-to-end
+      val verified = df.where(col("term").isin(finalCands.toSeq: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("n")).where(col("n") >= 500L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(verified == expected, "streaming candidates + exact verify must equal batch heavyHitters")
+    } finally query.stop()
+  }
+
+  test("heavyHitterCandidates runs in batch mode too (single-batch state)") {
+    val df = ((0 until 300).map(_ => "hot") ++ (0 until 100).map(i => s"t_$i")).toDF("term")
+    val out = Streams.heavyHitterCandidates(df, "term", k = 16, numShards = 4).collect()
+    assert(out.exists(_.item == "hot"), "the dominant term must survive in its shard")
+    assert(out.groupBy(_.shard).values.forall(_.length <= 16))
+  }
+
   test("the same session transform runs in batch mode (q37 face)") {
     val batch = Seq(
       Evt(1L, ts(1700000000L), 1.0),
