@@ -69,8 +69,23 @@ object Dedup {
   /** Distinct 64-bit hashes of the word k-shingles — the document's shingle
     * set, reduced to longs ONCE so every downstream permutation/Jaccard
     * works on cheap integer arrays instead of re-tokenized strings.
+    *
+    * Runs as the native [[graft.expressions.ShingleHashesExpr]]; the
+    * composed `array_distinct(transform(text.shingles(c, k), xxhash64))`
+    * is value-identical (property-pinned) but pays interpreted
+    * higher-order-function evaluation per shingle — it was the dominant
+    * CPU of the dedup prep pass.
     */
-  def shingleHashes(textC: Column, shingleK: Int): Column =
+  def shingleHashes(textC: Column, shingleK: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.ShingleHashesExpr(ColumnBridge.expression(textC), shingleK))
+  }
+
+  /** The pre-native composed form of [[shingleHashes]], kept as the parity
+    * oracle the spec/property suite checks the native expression against.
+    */
+  private[graft] def shingleHashesComposed(textC: Column, shingleK: Int): Column =
     array_distinct(transform(text.shingles(textC, shingleK), s => xxhash64(s)))
 
   /** MinHash sketch from pre-hashed shingles: element j = min over

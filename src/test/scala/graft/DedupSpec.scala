@@ -325,6 +325,38 @@ class DedupSpec extends AnyFunSuite {
       s"q32 must be a subset of q32c; extras=${lsh.diff(catalogExact).take(5)}")
   }
 
+  test("native shingle hashing: value parity with the composed form on the edge cases") {
+    val edgeDocs = Seq(
+      null,
+      "",
+      "   ",
+      "\t\n\r ",
+      "one",
+      "one two",
+      "one two three",
+      "one two three four",
+      "  leading and trailing  ",
+      "tabs\tbetween\twords",
+      "mixed \t\n whitespace  runs",
+      "unicode café naïve 你好 tokens here",
+      "nbsp is-not-ascii-whitespace so stays one token",
+      "dup dup dup dup dup",
+      "a b a b a b")
+    Seq(1, 3, 7).foreach { k =>
+      val df = edgeDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val native = df.select(col("id"), Dedup.shingleHashes(col("text"), k).as("sh"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_ => r.getSeq[Long](1))).toMap
+      val composed = df.select(col("id"),
+          Dedup.shingleHashesComposed(col("text"), k).as("sh"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_ => r.getSeq[Long](1))).toMap
+      assert(native == composed, s"k=$k: native and composed shingle hashes must agree")
+    }
+    // NULL text stays NULL (prep's bandable() depends on it)
+    val nullRow = Seq((1L, null: String)).toDF("id", "text")
+      .select(Dedup.shingleHashes(col("text"), 3)).head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("jaccardVerify on explicit candidate pairs") {
     val cand = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val verified = Dedup.jaccardVerify(cand, corpus, "text", "id", threshold = 0.5).collect()
@@ -347,13 +379,15 @@ class DedupSpec extends AnyFunSuite {
         lit(" with shared tail words")).as("text"))
     def run(): Long =
       Dedup.minHashDedupPairs(docs, "text", "id", threshold = 0.5).count()
-    run() // first invocation: compiles + JITs everything once
+    val n1 = run() // compiles + JITs the compute-the-cache plan shape
+    val n2 = run() // compiles the read-the-cache plan shape (prep resident now)
+    // steady state — the per-batch service loop — starts here
     val before = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
-    val n2 = run()
+    val n3 = run()
     val after = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
-    assert(n2 == run(), "sanity: stable result across invocations")
+    assert(n1 == n2 && n2 == n3, "sanity: stable result across invocations")
     assert(after == before,
-      s"a same-session re-invocation must reuse every generated class, " +
+      s"a steady-state re-invocation must reuse every generated class, " +
         s"but ${after - before} fresh codegen compilations happened")
   }
 }

@@ -61,6 +61,21 @@ object TextProperties extends Properties("graft.text") {
       sh.length == words.length - k + 1 && sh.forall(_.split(" ").length == k)
     }
 
+  property("native shingleHashes is value-identical to the composed HOF form") =
+    forAll(
+      Gen.listOf(genWord).map(_.take(25)),
+      genWs,
+      Gen.choose(1, 5)) { (words, ws, k) =>
+      // messy spacing + duplicated words so distinct-order and the
+      // short-doc CASE branch both get exercised
+      val doc = (words ++ words.take(3)).mkString(ws)
+      val native = one(doc, graft.operators.Dedup.shingleHashes(col("text"), k))
+        .getSeq[Long](0)
+      val composed = one(doc, graft.operators.Dedup.shingleHashesComposed(col("text"), k))
+        .getSeq[Long](0)
+      native == composed
+    }
+
   property("repetitionRatio: 0 on all-distinct shingles, (n-1)/n on one repeated word") =
     forAll(Gen.listOfN(10, genWord).suchThat(ws => ws.distinct.length == ws.length), genWord) {
       (words, w) =>
