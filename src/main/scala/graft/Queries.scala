@@ -1288,6 +1288,56 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"), sum(text.tokenCount(col("text")).cast("long")).as("n_tokens")),
     None)
 
+  /** Incremental sketch profile: shard lineitem 8 ways, build one
+    * mergeable profile row per shard (exact count/nulls/min/max + HLL
+    * distinct sketch + GK quantile sketch), then merge the shard rows and
+    * decode — the "profile each day once, answer over any range without
+    * rescanning" shape at 100 TB. No ANSI oracle (HLL estimate and
+    * epsilon-rank quantiles are sketch outputs; DuckDB lacks both
+    * sketches) — q50c is the exact twin, and ProfileSpec pins merge ≡
+    * direct plus the error bounds.
+    */
+  val q50ProfileSketch: Q = Q(
+    "q50_profile_sketch",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val shards = graft.operators.Profile.shardProfiles(
+        li,
+        pmod(xxhash64(col("l_orderkey")), lit(8)),
+        col("l_extendedprice"),
+        col("l_orderkey"))
+      graft.operators.Profile.profileReport(
+        graft.operators.Profile.mergeProfiles(shards), Seq(0.5, 0.9, 0.99))
+    },
+    None)
+
+  /** Exact twin of q50's decoded report, oracle-gated: count, nulls,
+    * min/max, exact distinct, and exact discrete percentiles — what the
+    * sketch row approximates, computed the expensive way.
+    */
+  val q50cProfileExact: Q = Q(
+    "q50c_profile_exact",
+    (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("row_count"),
+        sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("null_count"),
+        min(col("l_extendedprice")).as("min_value"),
+        max(col("l_extendedprice")).as("max_value"),
+        count_distinct(col("l_orderkey")).as("distinct_orders"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99")),
+    Some("""
+      SELECT COUNT(*) AS row_count,
+             CAST(COALESCE(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_count,
+             MIN(l_extendedprice) AS min_value,
+             MAX(l_extendedprice) AS max_value,
+             COUNT(DISTINCT l_orderkey) AS distinct_orders,
+             quantile_disc(l_extendedprice, 0.5) AS p50,
+             quantile_disc(l_extendedprice, 0.9) AS p90,
+             quantile_disc(l_extendedprice, 0.99) AS p99
+      FROM lineitem"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -1309,7 +1359,7 @@ object Queries {
     q39AsofJoin,
     q40BinaryMeta, q41MediaDecode, q42FrameSample, q43TokenShards, q44IntervalJoin,
     q45OrcRoundtrip, q46AvroRoundtrip, q47HeavyHitters, q48HashSplit,
-    q49ApproxHeavyHitters)
+    q49ApproxHeavyHitters, q50ProfileSketch, q50cProfileExact)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -14,8 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *    harnesses, notebooks).
   *
   * Registered SQL surface: `graft_minhash(arrayOfHashes[, numPerm])`,
-  * `graft_simhash(arrayOfTokenHashes)`, `graft_dot(arrayA, arrayB)`, and
-  * the aggregate `graft_mg_sketch(item[, k])`. `NearestCentroidsExpr` is
+  * `graft_simhash(arrayOfTokenHashes)`, `graft_dot(arrayA, arrayB)`, the
+  * aggregates `graft_mg_sketch(item[, k])`, `graft_cm_sketch(item[, w, d])`,
+  * `graft_gk_sketch(value[, eps])`, `graft_gk_merge(sketch)`, and the
+  * scalar `graft_gk_quantiles(sketch, probs)`. `NearestCentroidsExpr` is
   * deliberately NOT SQL-registered: its centroids are runtime-trained
   * constants, which SQL text cannot carry usefully — use
   * `Similarity.ivfTopK`.
@@ -27,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.mgSketchDescriptor)
     ext.injectFunction(GraftFunctions.cmSketchDescriptor)
+    ext.injectFunction(GraftFunctions.gkSketchDescriptor)
+    ext.injectFunction(GraftFunctions.gkMergeDescriptor)
+    ext.injectFunction(GraftFunctions.gkQuantilesDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
@@ -86,9 +91,37 @@ object GraftFunctions {
           "graft_cm_sketch(item[, width: int literal, depth: int literal])")
     })
 
+  val gkSketchDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_gk_sketch"),
+    new ExpressionInfo(classOf[GkQuantileAgg].getName, "graft_gk_sketch"),
+    {
+      case Seq(value) => GkQuantileAgg(value, 0.01)
+      case Seq(value, Literal(e: Double, _)) => GkQuantileAgg(value, e)
+      case _ =>
+        throw new IllegalArgumentException(
+          "graft_gk_sketch(value[, relative_error: double literal])")
+    })
+
+  val gkMergeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_gk_merge"),
+    new ExpressionInfo(classOf[GkMergeAgg].getName, "graft_gk_merge"),
+    {
+      case Seq(sketch) => GkMergeAgg(sketch)
+      case _ => throw new IllegalArgumentException("graft_gk_merge(sketch)")
+    })
+
+  val gkQuantilesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_gk_quantiles"),
+    new ExpressionInfo(classOf[GkQuantilesExpr].getName, "graft_gk_quantiles"),
+    {
+      case Seq(sketch, probs) => GkQuantilesExpr(sketch, probs)
+      case _ =>
+        throw new IllegalArgumentException("graft_gk_quantiles(sketch, array<double>)")
+    })
+
   def register(spark: SparkSession): Unit =
     Seq(minHashDescriptor, simHashDescriptor, dotDescriptor, mgSketchDescriptor,
-        cmSketchDescriptor)
+        cmSketchDescriptor, gkSketchDescriptor, gkMergeDescriptor, gkQuantilesDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }
