@@ -1338,6 +1338,60 @@ object Queries {
              quantile_disc(l_extendedprice, 0.99) AS p99
       FROM lineitem"""))
 
+  /** TF-IDF top terms per doc with the standard ln idf. No ANSI oracle —
+    * `ln` is implementation-defined in the last ulp, so cross-engine hash
+    * equality of scores (or of a selection ordered by them) is not sound;
+    * q51c is the hash-gated twin on exact arithmetic, and RankingSpec pins
+    * this query against an independent driver-side recomputation.
+    */
+  val q51TfidfTopTerms: Q = Q(
+    "q51_tfidf_topterms",
+    (s, dir) =>
+      graft.operators.Ranking.tfidfTopTerms(
+        t(s, dir, "documents"), "doc_id", "text", k = 3),
+    None)
+
+  /** Oracle twin of q51: identical dataflow (tokenize → tf → df → join →
+    * bounded-heap top-k per doc) but scored with (tf·N)/df — IEEE
+    * +,*,/ only, bit-identical across engines including its ties, so the
+    * whole pipeline IS hash-compared against DuckDB; only the `ln` curve
+    * is left to q51/RankingSpec.
+    */
+  val q51cTfidfRatioExact: Q = Q(
+    "q51c_tfidf_ratio_exact",
+    (s, dir) =>
+      graft.operators.Ranking.tfidfTopTerms(
+        t(s, dir, "documents"), "doc_id", "text", k = 3,
+        score = graft.operators.Ranking.ratioIdfScore)
+        .withColumnRenamed("score", "score_ratio"),
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM (
+          SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS term
+          FROM documents)
+        GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS n FROM documents)
+      SELECT doc_id, term, tf, df, score_ratio FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score_ratio,
+               row_number() OVER (PARTITION BY tf.doc_id ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, tf.term) AS rn
+        FROM tf JOIN df USING (term) CROSS JOIN n)
+      WHERE rn <= 3"""))
+
+  /** BM25 scoring of the corpus against a fixed bag-of-terms query. No
+    * oracle (ln idf + avgdl normalization); RankingSpec pins the formula
+    * on a hand corpus and the broadcast shape of the plan.
+    */
+  val q52Bm25: Q = Q(
+    "q52_bm25",
+    (s, dir) =>
+      graft.operators.Ranking.bm25(
+        t(s, dir, "documents"), "doc_id", "text",
+        query = Seq("spark", "merge", "window"))
+        .limit(20),
+    None)
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -1359,7 +1413,8 @@ object Queries {
     q39AsofJoin,
     q40BinaryMeta, q41MediaDecode, q42FrameSample, q43TokenShards, q44IntervalJoin,
     q45OrcRoundtrip, q46AvroRoundtrip, q47HeavyHitters, q48HashSplit,
-    q49ApproxHeavyHitters, q50ProfileSketch, q50cProfileExact)
+    q49ApproxHeavyHitters, q50ProfileSketch, q50cProfileExact,
+    q51TfidfTopTerms, q51cTfidfRatioExact, q52Bm25)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ranking
+
+/** TF-IDF / BM25 semantics on hand corpora plus the plan shapes the scale
+  * story depends on. The `ln`-scored paths are validated here against
+  * independent driver-side recomputations (same JVM ⇒ same `Math.log`
+  * bits); the arithmetic-only twin (q51c) is hash-gated by the DuckDB
+  * oracle instead.
+  */
+class RankingSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark merge spark window join"),
+    (2L, "merge merge merge table scan"),
+    (3L, "window join scan scan scan scan"),
+    (4L, "the the the the spark")).toDF("doc_id", "text")
+
+  test("termFrequencies matches a naive driver-side tokenization") {
+    val got = Ranking.termFrequencies(corpus, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    val expected = corpus.as[(Long, String)].collect().flatMap { case (id, t) =>
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (term, xs) => (id, term, xs.length.toLong) }
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("tfidfTopTerms (ln idf) equals an independent recomputation, including ties") {
+    val k = 2
+    val got = Ranking.tfidfTopTerms(corpus, "doc_id", "text", k)
+      .select("doc_id", "term", "tf", "df", "score")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+
+    val rows = corpus.as[(Long, String)].collect()
+    val n = rows.length.toDouble
+    val tf = rows.flatMap { case (id, t) =>
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (term, xs) => (id, term, xs.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (term, xs) => term -> xs.length.toLong }
+    val expected = tf.map { case (id, term, f) =>
+      (id, term, f, df(term), f.toDouble * math.log(n / df(term).toDouble))
+    }.groupBy(_._1).values.flatMap(terms =>
+      terms.sortBy(t => (-t._5, t._2)).take(k)).toSet
+    assert(got === expected)
+  }
+
+  test("bm25 reproduces the formula on a hand corpus; absent-term docs are absent") {
+    val k1 = 1.2; val b = 0.75
+    val got = Ranking.bm25(corpus, "doc_id", "text", Seq("spark", "merge"), k1, b)
+      .as[(Long, Double)].collect()
+
+    val rows = corpus.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val n = rows.length.toDouble
+    val avgdl = rows.map(_._2.length).sum.toDouble / n
+    def dfOf(term: String) = rows.count(_._2.contains(term)).toDouble
+    val expected = rows.flatMap { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val ws = Seq("spark", "merge").flatMap { term =>
+        val f = toks.count(_ == term).toDouble
+        if (f == 0) None
+        else {
+          val df = dfOf(term)
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          Some(idf * (f * (k1 + 1.0)) / (f + k1 * (1.0 - b + b * dl / avgdl)))
+        }
+      }
+      if (ws.isEmpty) None else Some(id -> ws.sum)
+    }.toMap
+
+    assert(got.map(_._1).toSet === expected.keySet, "doc 3 shares no term — must be absent")
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expected(id)) < 1e-12, s"doc $id: $s vs ${expected(id)}")
+    }
+    // descending with doc_id tiebreak
+    assert(got.sortBy(r => (-r._2, r._1)).toSeq === got.toSeq)
+  }
+
+  test("bm25 plan broadcasts the query-term df side and IN-filters before the tf exchange") {
+    val plan = Ranking.bm25(corpus, "doc_id", "text", Seq("spark", "merge"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"df join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-wide term join:\n$plan")
+  }
+
+  test("tfidfTopTerms runs on the bounded-heap native plan, not a window sort") {
+    val plan = Ranking.tfidfTopTerms(corpus, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected the native top-k exec:\n$plan")
+    assert(!plan.contains("Window"), s"must not fall back to row_number:\n$plan")
+  }
+
+  test("q51/q51c/q52 return sane results on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val lnTop = Queries.q51TfidfTopTerms.fn(spark, dir)
+    assert(lnTop.groupBy("doc_id").count().agg(max("count")).head().getLong(0) <= 3)
+    assert(lnTop.count() > 0)
+    val ratioTop = Queries.q51cTfidfRatioExact.fn(spark, dir)
+    assert(ratioTop.columns.toSeq ===
+      Seq("doc_id", "term", "tf", "df", "score_ratio"))
+    val bm = Queries.q52Bm25.fn(spark, dir).as[(Long, Double)].collect()
+    assert(bm.length === 20)
+    assert(bm.sortBy(r => (-r._2, r._1)).toSeq === bm.toSeq)
+  }
+}
