@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{text, vectors}
-import graft.operators.{AsofJoin, CdcMerge, Dedup, Gold, Multimodal, Quality, Scd2, Sessionize, Similarity}
+import graft.operators.{AsofJoin, CdcMerge, Dedup, DedupIndex, Gold, Multimodal, Quality, Scd2, Sessionize, Similarity}
 import graft.sources.Tables
 
 /** The engine's query catalog: one named query per operator from
@@ -1392,6 +1392,116 @@ object Queries {
         .limit(20),
     None)
 
+  /** Persisted-index cross dedup — the per-batch production shape: the
+    * original corpus is sketched into an on-disk MinHash/LSH index ONCE,
+    * then the planted near-dup batch probes it (broadcast bucket
+    * semi-join + exact-Jaccard verify on stored shingle sets) without the
+    * corpus ever being re-read. Not ANSI-expressible (LSH banding);
+    * DedupIndexSpec asserts this result ⊆ q53c with full recall on the
+    * planted pairs, and the catalog twin q53c oracle-gates the values.
+    */
+  val q53IndexDedup: Q = Q(
+    "q53_index_dedup",
+    (s, dir) => {
+      val corpus = t(s, dir, "documents").select("doc_id", "text")
+      val batch = corpusWithPlantedDups(s, dir).where(col("doc_id") >= 1000000L)
+      val path = java.nio.file.Files.createTempDirectory("graft_dedup_index").toString
+      DedupIndex.build(corpus, "text", "doc_id", path, numPerm = 64, bands = 16)
+      DedupIndex.crossPairs(batch, "text", "doc_id", path, threshold = 0.5)
+        .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"), col("jaccard"))
+    },
+    None)
+
+  /** EXACT ground truth for q53: inverted-index all-pairs Jaccard over
+    * corpus ∪ batch, restricted to CROSS pairs (corpus id < 1,000,000 ≤
+    * batch id) — recall = 1 by construction, no hashing, DuckDB
+    * reproduces it bit-for-bit with the shared shingle CTEs.
+    */
+  val q53cCrossJaccardExact: Q = Q(
+    "q53c_cross_jaccard_exact",
+    (s, dir) =>
+      Dedup.exactJaccardPairs(
+        corpusWithPlantedDups(s, dir), "text", "doc_id",
+        shingleK = 3, threshold = 0.5)
+        .where(col("id_a") < 1000000L && col("id_b") >= 1000000L),
+    Some(s"""
+      WITH $exactJaccardCtes
+      SELECT s.id_a, s.id_b,
+             CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) AS jaccard
+      FROM shared s
+      JOIN sz sa ON sa.doc_id = s.id_a
+      JOIN sz sb ON sb.doc_id = s.id_b
+      WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5
+        AND s.id_a < 1000000 AND s.id_b >= 1000000"""))
+
+  /** Benchmark decontamination profile: per-document n-gram overlap of
+    * the training split against the held-out split's n-gram set (docs
+    * with doc_id % 17 == 0 play the benchmark). Counts run over 64-bit
+    * n-gram hashes in Spark (the scale path — one corpus scan, broadcast
+    * semi-join, no corpus-side shuffle) and over the string n-grams in
+    * DuckDB; values are identical modulo negligible hash collisions, so
+    * the oracle hash-gates them directly.
+    */
+  val q54Decontaminate: Q = Q(
+    "q54_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontaminate.overlap(
+        docs.where(col("doc_id") % 17 =!= 0), "text", "doc_id",
+        docs.where(col("doc_id") % 17 === 0), "text", n = 3)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+        FROM d),
+      bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 17 = 0),
+      docs AS (SELECT doc_id, sh FROM sh WHERE doc_id % 17 <> 0),
+      hits AS (
+        SELECT i.doc_id, COUNT(*) AS hit
+        FROM (SELECT doc_id, unnest(sh) AS g FROM docs) i
+        JOIN bench b ON b.g = i.g
+        GROUP BY 1),
+      prof AS (
+        SELECT d.doc_id AS id,
+               CAST(len(d.sh) AS BIGINT) AS doc_ngrams,
+               CASE WHEN d.sh IS NULL THEN NULL ELSE COALESCE(h.hit, 0) END AS hit_ngrams
+        FROM docs d LEFT JOIN hits h ON h.doc_id = d.doc_id)
+      SELECT id, doc_ngrams, hit_ngrams,
+             CAST(hit_ngrams AS DOUBLE) / doc_ngrams AS contamination
+      FROM prof"""))
+
+  /** Token-budget chunking with overlap (maxTokens 40, overlap 5): the
+    * pre-training segmentation step, oracle-gated end-to-end — window
+    * arithmetic, overlap tiling, short final chunks, and the one-empty-
+    * chunk contract for zero-token docs all hash-match DuckDB's
+    * independent list-slicing reconstruction.
+    */
+  val q55ChunkDocs: Q = Q(
+    "q55_chunk_docs",
+    (s, dir) =>
+      graft.operators.Chunker.chunk(
+        t(s, dir, "documents"), "text", "doc_id", maxTokens = 40, overlap = 5)
+        .withColumnRenamed("id", "doc_id"),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents),
+      c AS (
+        SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+               CASE WHEN len(tk) <= 40 THEN 1
+                    ELSE CAST(ceil((len(tk) - 40) / 35.0) AS BIGINT) + 1 END AS n_chunks
+        FROM d WHERE tk IS NOT NULL),
+      x AS (SELECT doc_id, tk, n, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+      SELECT doc_id, chunk_id,
+             array_to_string(tk[chunk_id*35+1 : chunk_id*35+40], ' ') AS chunk_text,
+             LEAST(40, n - chunk_id*35) AS n_tokens
+      FROM x"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -1414,7 +1524,8 @@ object Queries {
     q40BinaryMeta, q41MediaDecode, q42FrameSample, q43TokenShards, q44IntervalJoin,
     q45OrcRoundtrip, q46AvroRoundtrip, q47HeavyHitters, q48HashSplit,
     q49ApproxHeavyHitters, q50ProfileSketch, q50cProfileExact,
-    q51TfidfTopTerms, q51cTfidfRatioExact, q52Bm25)
+    q51TfidfTopTerms, q51cTfidfRatioExact, q52Bm25,
+    q53IndexDedup, q53cCrossJaccardExact, q54Decontaminate, q55ChunkDocs)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -36,6 +36,12 @@ object Sessions {
       // than cold" bench anomaly (rounds 4-6). With stable names the cache
       // hits and a long-lived session compiles each stage once, ever.
       .config("spark.sql.codegen.useIdInClassName", "false")
+      // Static conf, set before the first session: the default 100-entry
+      // codegen class cache thrashes for a long-lived session serving this
+      // catalog (Guava's segmented LRU evicts recently-used entries once
+      // near capacity), re-paying janino+JIT on queries that ran minutes
+      // ago. ~1000 entries covers the whole catalog's generated classes.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.sql.session.timeZone", "UTC")
       // The driver's `events` table carries TIMESTAMP(NANOS) parquet values,
       // which Spark 4 rejects outright; read them as raw nanos longs instead

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: measure and remove n-gram overlap between a
+  * training corpus and an evaluation set. Standard practice for training
+  *-data pipelines — a training document that contains an eval benchmark's
+  * n-grams leaks the test set into the model — and a first-class sibling
+  * of dedup: same shingle machinery, but the comparison is corpus × a
+  * SMALL fixed set, so the scale shape is a broadcast semi-join instead
+  * of an LSH self-join.
+  *
+  * Mechanics: the benchmark's distinct word n-grams (hashed to 64-bit by
+  * the same native [[graft.expressions.ShingleHashesExpr]] the dedup
+  * pipeline uses) form one small broadcast set; each corpus document
+  * counts how many of its OWN distinct n-grams appear in that set. Cost
+  * at 100 TB: one corpus scan, zero shuffles on the corpus side (the
+  * per-doc counts aggregate inside the scan stage; the only exchange
+  * carries one row per document). Hashing note: counts are over 64-bit
+  * n-gram hashes, identical to string-n-gram counts up to negligible
+  * collisions — the same exactness argument as [[Dedup.minHashDedupPairs]]
+  * verification.
+  */
+object Decontaminate {
+
+  /** Per-document overlap profile against `bench`:
+    * (id, doc_ngrams, hit_ngrams, contamination) where `doc_ngrams` is
+    * the document's distinct n-gram count, `hit_ngrams` how many of those
+    * appear anywhere in the benchmark, and `contamination` their ratio.
+    * NULL text yields NULL counts/ratio (overlap with an absent document
+    * is undefined), mirroring the dedup pipeline's null contract.
+    *
+    * `n` defaults to 13 — the overlap window common in published training
+    *-data decontamination setups; short-document semantics follow
+    * [[graft.functions.text.shingles]] (a document shorter than `n`
+    * tokens contributes its whole token sequence as one n-gram, so tiny
+    * docs still participate instead of silently never matching).
+    */
+  def overlap(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 13): DataFrame = {
+    // Distinct benchmark n-gram hashes: tiny (an eval set is KBs–MBs of
+    // text), deduplicated before the broadcast so the build side is
+    // minimal. array_except against it runs per-row inside the scan —
+    // the corpus side needs no join at all, hence no shuffle.
+    val benchSh = bench
+      .select(explode(Dedup.shingleHashes(col(benchTextCol), n)).as("h"))
+      .distinct()
+    // The per-doc shingle set is computed ONCE (single native-expression
+    // column); hits derive from it via a broadcast LEFT SEMI join of the
+    // exploded set — the aggregate collapses back to one row per doc
+    // before the only exchange.
+    val sh = Caches.pin(
+      Partitioning.spread(docs)
+        .select(col(idCol).as("id"), Dedup.shingleHashes(col(textCol), n).as("sh")))
+    val perDoc = sh.select(col("id"), size(col("sh")).cast("long").as("doc_ngrams"))
+    val hits = sh
+      .select(col("id"), explode(col("sh")).as("h"))
+      .join(broadcast(benchSh), Seq("h"), "left_semi")
+      .groupBy("id")
+      .agg(count(lit(1)).as("hit_ngrams"))
+    perDoc
+      .join(hits, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("doc_ngrams"),
+        when(col("doc_ngrams").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("hit_ngrams"), lit(0L))).as("hit_ngrams"),
+        (coalesce(col("hit_ngrams"), lit(0L)).cast("double") / col("doc_ngrams"))
+          .as("contamination"))
+  }
+
+  /** Corpus rows whose contamination stays at or below `maxRatio` — the
+    * frame a pipeline ships to training. NULL-text rows (undefined
+    * contamination) are dropped: an unmeasurable document must not slip
+    * through a filter whose whole point is a guarantee.
+    */
+  def clean(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 13,
+      maxRatio: Double = 0.05): DataFrame = {
+    val keep = overlap(docs, textCol, idCol, bench, benchTextCol, n)
+      .where(col("contamination") <= maxRatio)
+      .select(col("id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+}

@@ -129,7 +129,7 @@ object Dedup {
     *    out of banding and [[minHashDedupPairs]] routes them through the
     *    identical-content keeper-star path (empty set ≡ empty set, 1.0).
     */
-  private def prep(
+  private[operators] def prep(
       df: DataFrame,
       textCol: String,
       idCol: String,
@@ -141,7 +141,7 @@ object Dedup {
       .transform(pin)
 
   /** Rows that carry shingle information and may enter LSH banding. */
-  private def bandable(prepped: DataFrame): DataFrame =
+  private[operators] def bandable(prepped: DataFrame): DataFrame =
     prepped.where(col("sh").isNotNull && size(col("sh")) > 0)
 
   /** (id, band, bucket[, mh]) exploded band table from a prep table:
@@ -149,7 +149,7 @@ object Dedup {
     * hashes array values directly (recursively over elements) — no string
     * materialization per band.
     */
-  private def bandedBuckets(prepped: DataFrame, numPerm: Int, bands: Int, carryMh: Boolean): DataFrame = {
+  private[operators] def bandedBuckets(prepped: DataFrame, numPerm: Int, bands: Int, carryMh: Boolean): DataFrame = {
     val rows = numPerm / bands
     val carry = if (carryMh) Seq(col("mh")) else Nil
     prepped.select(

@@ -1,0 +1,359 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistable MinHash+LSH dedup index — the production shape of corpus
+  * dedup. [[Dedup.minHashDedupPairs]] answers "which pairs inside THIS
+  * frame are near-dups" and re-sketches everything it touches; a training
+  *-data pipeline instead receives batches forever and must answer "is
+  * this NEW document a near-dup of anything already accepted" without
+  * rescanning the accepted corpus. This module persists the two artifacts
+  * the LSH pipeline already computes — the per-document shingle-hash set
+  * (verification) and the banded bucket postings (candidate lookup) — so
+  * each incoming batch pays O(batch + matched postings), never O(corpus):
+  *
+  *   1. [[init]]/[[append]] — sketch a batch once, land it as a new
+  *      immutable `batch=<label>` partition of the index (atomic rename;
+  *      readers see the whole batch or none of it).
+  *   2. [[crossPairs]] — LSH-probe a new batch against the index: the
+  *      batch's (band, bucket) set broadcast-semi-joins the postings scan
+  *      (map-side pruning, the corpus side never shuffles), survivors are
+  *      exact-Jaccard verified on the stored shingle sets.
+  *   3. [[dedupBatch]] — end-to-end acceptance: drop batch docs already
+  *      in the corpus, then near-dedup the remainder among themselves.
+  *
+  * The reference's pipeline has the batch-merge shape (full-history CDC,
+  * `/root/reference/bronze_to_silver.py:94-108`) but dedups by exact key
+  * only; this is the near-dup generalization of that loop at corpus scale.
+  *
+  * On-disk layout under `path` (all plain parquet, engine-agnostic):
+  * {{{
+  *   params/               one row: num_perm, bands, shingle_k
+  *   sketches/batch=<b>/   (id, sh)           — shingle-hash sets
+  *   bands/batch=<b>/      (band, bucket, id) — LSH postings
+  * }}}
+  * `params/` is written by [[init]] through the atomic staging swap and
+  * doubles as the index's existence marker. Batch partitions are staged
+  * under a dot-prefixed directory (invisible to Spark's file listing) and
+  * renamed into place, so concurrent readers never observe a partial
+  * batch; a crashed append leaves only invisible staging residue, removed
+  * by [[vacuum]].
+  *
+  * Scale notes (100 TB corpus, ~10⁹ postings rows of three longs):
+  *  - postings are written `repartitionByRange(band, bucket)` and sorted
+  *    within partitions, so files and row groups carry disjoint bucket
+  *    ranges; the probe's scan is a 3-column columnar read and its
+  *    semi-join prunes map-side before any exchange.
+  *  - sketches are range-clustered by id the same way; verification reads
+  *    them through a broadcast semi-join on the (small) candidate id set.
+  *  - hot buckets (boilerplate corpora) are capped exactly like the
+  *    in-frame pipeline: over-cap buckets skip the posting join and each
+  *    batch member is verified against the bucket's keeper only — linear,
+  *    and the same bounded-recall contract as [[Dedup.minHashDedupPairs]].
+  *
+  * Cache lifecycle: [[crossPairs]]/[[dedupBatch]] pin the batch prep
+  * tables like every graft operator; a per-batch caller should scope each
+  * batch with [[Caches.inScope]] and release after consuming the result.
+  */
+object DedupIndex {
+
+  /** Sketch geometry of an index, fixed at [[init]]: batches appended
+    * later MUST be sketched identically or probes would compare
+    * incompatible sketches ([[append]] re-reads and enforces this).
+    */
+  final case class Params(numPerm: Int, bands: Int, shingleK: Int) {
+    require(numPerm > 0 && bands > 0 && numPerm % bands == 0,
+      "numPerm must divide into bands evenly")
+  }
+
+  private def paramsDir(path: String) = s"$path/params"
+  private def sketchesDir(path: String) = s"$path/sketches"
+  private def bandsDir(path: String) = s"$path/bands"
+
+  /** Create an empty index (params only) at `path`. Idempotent in the
+    * atomic-swap sense: re-init replaces params via staging rename. An
+    * index with zero batches is valid — probes against it match nothing.
+    */
+  def init(spark: SparkSession, path: String, params: Params): Unit = {
+    import spark.implicits._
+    graft.sources.Sinks.writePartitionedAtomic(
+      Seq((params.numPerm, params.bands, params.shingleK))
+        .toDF("num_perm", "bands", "shingle_k")
+        .coalesce(1),
+      paramsDir(path), Nil)
+  }
+
+  /** Read the index geometry. Fails loudly if `path` holds no index. */
+  def params(spark: SparkSession, path: String): Params = {
+    val r = spark.read.parquet(paramsDir(path)).head()
+    Params(
+      r.getAs[Int]("num_perm"),
+      r.getAs[Int]("bands"),
+      r.getAs[Int]("shingle_k"))
+  }
+
+  /** Labels of the batches currently in the index, sorted. Listing is a
+    * directory read of `bands/` — O(batches), never touches data files.
+    */
+  def batches(spark: SparkSession, path: String): Seq[String] = {
+    val dir = new Path(bandsDir(path))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch="))
+      .sorted
+  }
+
+  /** Next zero-padded numeric batch label (`00000001`, …) — convenience
+    * for callers without their own batch identifiers.
+    */
+  def nextBatchLabel(spark: SparkSession, path: String): String = {
+    val used = batches(spark, path).flatMap(_.toLongOption)
+    f"${used.foldLeft(0L)(math.max) + 1}%08d"
+  }
+
+  /** Sketch `docs` with the index's geometry and land the result as batch
+    * partition `batch` of both index tables. The batch becomes visible to
+    * probes atomically per table (staging + rename) and is immutable
+    * afterwards. Callers are responsible for deduping `docs` BEFORE
+    * appending ([[dedupBatch]] does exactly that) — the index stores what
+    * the pipeline accepted, it does not re-judge it.
+    */
+  def append(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      batch: String): Unit = {
+    require(batch.nonEmpty && !batch.contains('/') && !batch.startsWith("."),
+      s"invalid batch label '$batch'")
+    val spark = docs.sparkSession
+    val p = params(spark, path)
+    val scope = Caches.newScope()
+    try {
+      val prepped = Caches.inScope(scope) {
+        Dedup.prep(docs, textCol, idCol, p.numPerm, p.shingleK)
+      }
+      // Range-cluster each table so files/row groups carry disjoint key
+      // ranges (columnar skip on the probe side). The sketch pass runs
+      // once (prep is pinned) and feeds both writes.
+      appendDir(
+        prepped.select(col("id"), col("sh"))
+          .repartitionByRange(col("id"))
+          .sortWithinPartitions("id"),
+        sketchesDir(path), batch)
+      appendDir(
+        Dedup.bandedBuckets(Dedup.bandable(prepped), p.numPerm, p.bands, carryMh = false)
+          .repartitionByRange(col("band"), col("bucket"))
+          .sortWithinPartitions("band", "bucket"),
+        bandsDir(path), batch)
+    } finally scope.release()
+  }
+
+  /** [[init]] + [[append]] of the first batch in one call. */
+  def build(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      batch: String = "00000001"): Unit = {
+    init(docs.sparkSession, path, Params(numPerm, bands, shingleK))
+    append(docs, textCol, idCol, path, batch)
+  }
+
+  /** Write `df` as `<dir>/batch=<batch>/` via an invisible staging
+    * directory + atomic rename: Spark's file listing skips dot-prefixed
+    * directories, so concurrent readers of `<dir>` see the batch only
+    * once the rename lands — whole or not at all. Appending an existing
+    * batch label fails (batches are immutable; use a new label).
+    */
+  private[graft] def appendDir(df: DataFrame, dir: String, batch: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(root, s".staging_${batch}_$token")
+    val dst = new Path(root, s"batch=$batch")
+    if (fs.exists(dst))
+      throw new java.io.IOException(s"index batch already exists: $dst")
+    df.write.mode("overwrite").parquet(staging.toString)
+    try {
+      if (fs.exists(dst) || !fs.rename(staging, dst))
+        throw new java.io.IOException(s"could not promote index batch $dst")
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+  }
+
+  /** Retry-safe [[append]] for exactly-once ingestion loops (streaming
+    * foreachBatch re-executes a micro-batch after a crash, with the SAME
+    * batch id and — from a replayable source — the same rows). The bands
+    * table is appended LAST in [[append]], so its `batch=` directory is
+    * the append's commit marker:
+    *  - bands present  → the previous attempt completed; no-op.
+    *  - only sketches present → the previous attempt died between the two
+    *    renames; the stale sketches partition is dropped and the append
+    *    re-runs (batch content is deterministic, so the redo is identical).
+    */
+  private[graft] def appendIdempotent(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      batch: String): Unit = {
+    val spark = docs.sparkSession
+    if (batches(spark, path).contains(batch)) return
+    val stale = new Path(s"${sketchesDir(path)}/batch=$batch")
+    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stale)) fs.delete(stale, true)
+    append(docs, textCol, idCol, path, batch)
+  }
+
+  /** Delete invisible staging residue left by crashed appends. Safe while
+    * readers are active (they never list dot-prefixed directories); do NOT
+    * run concurrently with an in-flight [[append]] to the same index.
+    */
+  def vacuum(spark: SparkSession, path: String): Unit =
+    Seq(sketchesDir(path), bandsDir(path)).foreach { d =>
+      val root = new Path(d)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(".staging_"))
+          .foreach(st => fs.delete(st.getPath, true))
+    }
+
+  private def hasBatches(spark: SparkSession, path: String): Boolean =
+    batches(spark, path).nonEmpty
+
+  /** Near-dup pairs between a new batch and the indexed corpus:
+    * (batch_id, corpus_id, jaccard) with jaccard ≥ threshold, one row per
+    * pair (max over probe paths). The batch is sketched once with the
+    * index's geometry; candidates come from the banded posting join over
+    * under-cap buckets, plus the linear keeper probe of over-cap ones;
+    * every candidate is verified by exact Jaccard on the stored
+    * shingle-hash sets. Cost: one batch sketch pass + a 3-column postings
+    * scan pruned map-side by the batch's bucket set + verification joins
+    * proportional to candidates — the corpus text is never re-read.
+    */
+  def crossPairs(
+      batchDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      threshold: Double = 0.7,
+      maxBucket: Int = 256): DataFrame = {
+    val spark = batchDf.sparkSession
+    val p = params(spark, path)
+    val prepped = Dedup.prep(batchDf, textCol, idCol, p.numPerm, p.shingleK)
+    val empty = prepped
+      .select(col("id").as("batch_id"), col("id").as("corpus_id"),
+        lit(0.0).as("jaccard"))
+      .where(lit(false))
+    if (!hasBatches(spark, path)) return empty
+
+    // Batch postings: read twice (bucket set + candidate join) → pinned.
+    val batchBands = Caches.pin(
+      Dedup.bandedBuckets(Dedup.bandable(prepped), p.numPerm, p.bands, carryMh = false))
+
+    // Index postings restricted to the batch's buckets. The distinct
+    // bucket set of a batch is small (≤ batch_rows × bands keys), so it
+    // broadcasts; the semi-join prunes the postings scan map-side and the
+    // corpus side never enters an exchange. Re-read by the occupancy
+    // split below → pinned (it is candidate-sized, not corpus-sized).
+    val matched = Caches.pin(
+      spark.read.parquet(bandsDir(path))
+        .join(broadcast(batchBands.select("band", "bucket").distinct()),
+          Seq("band", "bucket"), "left_semi")
+        .select(col("band"), col("bucket"), col("id").as("corpus_id")))
+
+    // Hot-bucket cap on the INDEX side: a bucket with more than
+    // `maxBucket` corpus members (boilerplate cluster) would multiply
+    // every batch member landing in it by its full membership. Under-cap
+    // buckets join normally; over-cap buckets contribute only their
+    // keeper (min corpus id) — the batch member is still verified against
+    // real corpus content, so no false pairs, and recall loss is confined
+    // to non-keeper members of boilerplate clusters (the same contract as
+    // Dedup.minHashDedupPairs, observable via [[hotIndexBuckets]]).
+    val occ = Blocking.withOccupancy(matched, Seq("band", "bucket"))
+    val coldPostings = occ.where(col("__occ") <= maxBucket)
+      .select(col("band"), col("bucket"), col("corpus_id"))
+    val hotKeepers = occ.where(col("__occ") > maxBucket)
+      .groupBy("band", "bucket")
+      .agg(min(col("corpus_id")).as("corpus_id"))
+    val candidates = batchBands.select(col("band"), col("bucket"), col("id").as("batch_id"))
+      .join(coldPostings.unionByName(hotKeepers), Seq("band", "bucket"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+
+    // Exact-Jaccard verification on stored shingle sets. The candidate id
+    // set is small → broadcast semi prunes the sketches scan map-side.
+    val corpusSh = spark.read.parquet(sketchesDir(path))
+      .join(broadcast(candidates.select(col("corpus_id").as("id")).distinct()),
+        Seq("id"), "left_semi")
+      .select(col("id").as("corpus_id"), col("sh").as("sh_c"))
+    candidates
+      .join(prepped.select(col("id").as("batch_id"), col("sh").as("sh_b")), Seq("batch_id"))
+      .join(corpusSh, Seq("corpus_id"))
+      .select(
+        col("batch_id"),
+        col("corpus_id"),
+        (size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_c"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .groupBy("batch_id", "corpus_id")
+      .agg(max("jaccard").as("jaccard"))
+  }
+
+  /** Audit view of the index buckets the probe cap short-circuits for
+    * this batch: (band, bucket, occupancy) over matched buckets whose
+    * corpus membership exceeds `maxBucket`. Run alongside [[crossPairs]]
+    * to observe (and tune) what the cap routes to the keeper path.
+    */
+  def hotIndexBuckets(
+      batchDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      maxBucket: Int = 256): DataFrame = {
+    val spark = batchDf.sparkSession
+    val p = params(spark, path)
+    val prepped = Dedup.prep(batchDf, textCol, idCol, p.numPerm, p.shingleK)
+    val batchBands = Dedup.bandedBuckets(Dedup.bandable(prepped), p.numPerm, p.bands, carryMh = false)
+    if (!hasBatches(spark, path))
+      return batchBands.select(col("band"), col("bucket"),
+        lit(0L).as("occupancy")).where(lit(false))
+    spark.read.parquet(bandsDir(path))
+      .join(broadcast(batchBands.select("band", "bucket").distinct()),
+        Seq("band", "bucket"), "left_semi")
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("occupancy"))
+      .where(col("occupancy") > maxBucket)
+  }
+
+  /** End-to-end batch acceptance: drop batch docs that near-duplicate the
+    * indexed corpus ([[crossPairs]]), then near-dedup the survivors among
+    * themselves (cluster keepers via [[Dedup.dedupByClusters]]). Returns
+    * the accepted rows of `batchDf` — the frame a pipeline would then
+    * [[append]] under a fresh batch label and write downstream.
+    */
+  def dedupBatch(
+      batchDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      threshold: Double = 0.7,
+      maxBucket: Int = 256): DataFrame = {
+    val inCorpus = crossPairs(batchDf, textCol, idCol, path, threshold, maxBucket)
+      .select(col("batch_id").as(idCol))
+      .distinct()
+    val fresh = batchDf.join(inCorpus, Seq(idCol), "left_anti")
+    val p = params(batchDf.sparkSession, path)
+    Dedup.dedupByClusters(fresh, textCol, idCol, p.numPerm, p.bands, threshold)
+  }
+}

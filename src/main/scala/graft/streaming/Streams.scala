@@ -309,4 +309,55 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Continuous near-dup ingestion: the streaming face of
+    * [[graft.operators.DedupIndex]]. Each micro-batch is deduplicated
+    * against the persisted corpus index (and internally), the accepted
+    * rows land as an immutable `batch=` partition of `outputPath`, and
+    * the index absorbs them — so every later batch dedups against
+    * everything accepted so far, across restarts, without ever rescanning
+    * the corpus. The index must be [[graft.operators.DedupIndex.init]]'d
+    * (or built) before the stream starts.
+    *
+    * Exactly-once: the batch label is the streaming batch id, every land
+    * is an atomic staging rename, and a crash-re-executed micro-batch
+    * (same id, same rows from a replayable source) skips what already
+    * committed and heals a half-landed index append
+    * ([[graft.operators.DedupIndex.appendIdempotent]]). Output readers
+    * see whole batches or nothing.
+    *
+    * State lives entirely in the on-disk index — the streaming query
+    * itself is stateless (no state store), so checkpoint size is O(source
+    * offsets) no matter how long the stream runs.
+    */
+  def nearDupIngest(
+      stream: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      outputPath: String,
+      threshold: Double = 0.7,
+      maxBucket: Int = 256,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Caches, DedupIndex}
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val label = f"$batchId%08d"
+        val scope = Caches.newScope()
+        try Caches.inScope(scope) {
+          // consumed twice (output land + index append) → pinned so the
+          // probe/cluster dataflow runs once
+          val accepted = Caches.pin(
+            DedupIndex.dedupBatch(batch.toDF(), textCol, idCol, indexPath, threshold, maxBucket))
+          val outRoot = new org.apache.hadoop.fs.Path(outputPath)
+          val fs = outRoot.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          // batch already landed by a pre-crash attempt → skip (idempotent)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(outRoot, s"batch=$label")))
+            DedupIndex.appendDir(accepted, outputPath, label)
+          DedupIndex.appendIdempotent(accepted, textCol, idCol, indexPath, label)
+        } finally scope.release()
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
 }

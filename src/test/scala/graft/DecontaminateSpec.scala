@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Caches, Decontaminate}
+
+class DecontaminateSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // n=3 word-grams. bench doc grams: {a b c, b c d}, {x y z}
+  private val bench = Seq(
+    (100L, "a b c d"),
+    (101L, "x y z"))
+    .toDF("id", "text")
+
+  private val docs = Seq(
+    (1L, "a b c d"), // fully contained: grams {a b c, b c d} both hit → 1.0
+    (2L, "a b c q r s"), // grams {a b c, b c q, c q r, q r s}: 1 of 4 hit → 0.25
+    (3L, "p q r s t"), // grams {p q r, q r s, r s t}: no overlap → 0.0
+    (4L, "xy"), // shorter than n: whole doc is one gram, no hit → 0.0
+    (5L, null.asInstanceOf[String])) // null text → null profile
+    .toDF("id", "text")
+
+  test("overlap: per-doc gram counts, hits, and ratio") {
+    val out = Decontaminate.overlap(docs, "text", "id", bench, "text", n = 3)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[java.lang.Long]("doc_ngrams")),
+          Option(r.getAs[java.lang.Long]("hit_ngrams")),
+          Option(r.getAs[java.lang.Double]("contamination"))))
+      .toMap
+    assert(out(1L) == ((Some(2L), Some(2L), Some(1.0))))
+    assert(out(2L) == ((Some(4L), Some(1L), Some(0.25))))
+    assert(out(3L) == ((Some(3L), Some(0L), Some(0.0))))
+    assert(out(4L) == ((Some(1L), Some(0L), Some(0.0))))
+    assert(out(5L) == ((None, None, None)), "null text → undefined profile")
+    Caches.release()
+  }
+
+  test("clean keeps only docs at or below the ratio, drops unmeasurable ones") {
+    val kept = Decontaminate.clean(docs, "text", "id", bench, "text", n = 3, maxRatio = 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L), "doc 1 too contaminated; null doc 5 dropped")
+    Caches.release()
+  }
+
+  test("a doc that IS a benchmark doc is fully contaminated") {
+    val out = Decontaminate.overlap(
+      Seq((1L, "x y z")).toDF("id", "text"), "text", "id", bench, "text", n = 3)
+      .collect()
+    assert(out.head.getAs[Double]("contamination") == 1.0)
+    Caches.release()
+  }
+
+  test("corpus-side plan has no shuffle before the per-doc aggregate") {
+    // the only exchange in the hits branch must carry one row per doc (the
+    // groupBy), not the exploded grams: assert the semi-join is broadcast
+    val plan = Decontaminate.overlap(docs, "text", "id", bench, "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"bench gram set must broadcast:\n$plan")
+    Caches.release()
+  }
+}

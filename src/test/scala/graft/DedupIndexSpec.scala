@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Caches, Dedup, DedupIndex}
+
+class DedupIndexSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_dedup_index_spec").toString
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "completely different content about distributed query engines and shuffles"),
+    (3L, "partitioned parquet tables answer analytical scans with columnar pruning"),
+    (4L, "watermarks bound streaming state while session windows group events"))
+    .toDF("id", "text")
+
+  // near-dup of 1 (one token dropped), exact dup of 2, fresh doc, and an
+  // internal near-dup pair (11 ≈ 13) inside the batch itself
+  private val batch = Seq(
+    (11L, "quick brown fox jumps over the lazy dog near the river bank"),
+    (12L, "completely different content about distributed query engines and shuffles"),
+    (13L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (14L, "broadcast joins avoid exchanges when one side fits in memory"))
+    .toDF("id", "text")
+
+  test("build + crossPairs: batch docs pair with their corpus sources, fresh docs do not") {
+    val path = tmp()
+    DedupIndex.build(corpus, "text", "id", path, numPerm = 64, bands = 16)
+    val pairs = DedupIndex.crossPairs(batch, "text", "id", path, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(pairs.contains((11L, 1L)), "near-dup of corpus doc must surface")
+    assert(pairs.contains((12L, 2L)) && pairs((12L, 2L)) == 1.0, "exact dup must surface at 1.0")
+    assert(pairs.contains((13L, 1L)), "near-dup via shared shingles must surface")
+    assert(!pairs.keys.exists(_._1 == 14L), "fresh doc must not pair with the corpus")
+    Caches.release()
+  }
+
+  test("crossPairs jaccard values match the in-frame exact ground truth") {
+    val path = tmp()
+    DedupIndex.build(corpus, "text", "id", path)
+    val crossed = DedupIndex.crossPairs(batch, "text", "id", path, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("batch_id")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    // ids were chosen so corpus < batch; the exact pipeline orders id_a < id_b
+    val exact = Dedup.exactJaccardPairs(corpus.unionByName(batch), "text", "id", threshold = 0.5)
+      .where(col("id_a") <= 4L && col("id_b") >= 11L)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(crossed == exact,
+      s"index probe must equal exact cross pairs at this corpus size: $crossed vs $exact")
+    Caches.release()
+  }
+
+  test("dedupBatch drops corpus dups, keeps one of each internal near-dup group") {
+    val path = tmp()
+    DedupIndex.build(corpus, "text", "id", path)
+    val accepted = DedupIndex.dedupBatch(batch, "text", "id", path, threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    // 11/12/13 duplicate the corpus; 14 is fresh
+    assert(accepted == Set(14L), s"accepted = $accepted")
+    Caches.release()
+  }
+
+  test("append folds a batch in; immutable labels; atomic visibility via rename") {
+    val path = tmp()
+    DedupIndex.build(corpus, "text", "id", path, batch = "00000001")
+    assert(DedupIndex.batches(spark, path) == Seq("00000001"))
+    assert(DedupIndex.nextBatchLabel(spark, path) == "00000002")
+    val fresh = Seq((14L, "broadcast joins avoid exchanges when one side fits in memory"))
+      .toDF("id", "text")
+    DedupIndex.append(fresh, "text", "id", path, "00000002")
+    assert(DedupIndex.batches(spark, path) == Seq("00000001", "00000002"))
+    // the appended doc is now part of the corpus: re-probing the same text pairs at 1.0
+    val again = DedupIndex.crossPairs(
+      Seq((21L, "broadcast joins avoid exchanges when one side fits in memory")).toDF("id", "text"),
+      "text", "id", path, threshold = 0.5)
+      .collect()
+    assert(again.exists(r => r.getAs[Long]("corpus_id") == 14L && r.getAs[Double]("jaccard") == 1.0))
+    // batches are immutable: re-appending an existing label must fail
+    intercept[java.io.IOException] {
+      DedupIndex.append(fresh, "text", "id", path, "00000002")
+    }
+    Caches.release()
+  }
+
+  test("append enforces the index geometry recorded at init") {
+    val path = tmp()
+    DedupIndex.init(spark, path, DedupIndex.Params(numPerm = 32, bands = 8, shingleK = 3))
+    // geometry comes from params, not the call site: sketches appended now
+    // must probe identically later
+    DedupIndex.append(corpus, "text", "id", path, "00000001")
+    val p = DedupIndex.params(spark, path)
+    assert(p == DedupIndex.Params(32, 8, 3))
+    val pairs = DedupIndex.crossPairs(
+      Seq((31L, "the quick brown fox jumps over the lazy dog near the river bank")).toDF("id", "text"),
+      "text", "id", path, threshold = 0.5)
+      .collect()
+    assert(pairs.exists(r => r.getAs[Long]("corpus_id") == 1L && r.getAs[Double]("jaccard") == 1.0))
+    Caches.release()
+  }
+
+  test("empty index (init only) probes to zero pairs with the right schema") {
+    val path = tmp()
+    DedupIndex.init(spark, path, DedupIndex.Params(64, 16, 3))
+    val out = DedupIndex.crossPairs(batch, "text", "id", path)
+    assert(out.columns.toSeq == Seq("batch_id", "corpus_id", "jaccard"))
+    assert(out.count() == 0)
+    Caches.release()
+  }
+
+  test("hot-bucket cap: over-cap index buckets still pair via the keeper, observably") {
+    val path = tmp()
+    // 12 identical corpus docs → every band bucket holds all 12
+    val boiler = (1L to 12L).map(i => (i, "copy pasted boilerplate page with identical body text"))
+      .toDF("id", "text")
+    DedupIndex.build(boiler, "text", "id", path)
+    val probe = Seq((100L, "copy pasted boilerplate page with identical body text")).toDF("id", "text")
+    val capped = DedupIndex.crossPairs(probe, "text", "id", path, threshold = 0.5, maxBucket = 4)
+      .collect()
+    assert(capped.length == 1, "keeper path yields exactly the bucket keeper pair")
+    assert(capped.head.getAs[Long]("corpus_id") == 1L, "keeper is the min corpus id")
+    assert(capped.head.getAs[Double]("jaccard") == 1.0)
+    val hot = DedupIndex.hotIndexBuckets(probe, "text", "id", path, maxBucket = 4)
+    assert(hot.count() > 0, "the cap must be observable, never silent")
+    assert(hot.agg(max("occupancy")).head.getLong(0) == 12L)
+    Caches.release()
+  }
+
+  test("vacuum removes crashed-append staging residue without touching live batches") {
+    val path = tmp()
+    DedupIndex.build(corpus, "text", "id", path)
+    // simulate a crashed append: staging directory left behind
+    val stray = new org.apache.hadoop.fs.Path(s"$path/bands/.staging_99999999_deadbeef")
+    val fs = stray.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(stray)
+    // invisible to readers even before vacuum (dot-prefixed)
+    assert(DedupIndex.batches(spark, path) == Seq("00000001"))
+    DedupIndex.vacuum(spark, path)
+    assert(!fs.exists(stray))
+    assert(DedupIndex.batches(spark, path) == Seq("00000001"))
+    Caches.release()
+  }
+}

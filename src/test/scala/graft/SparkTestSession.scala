@@ -12,6 +12,12 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       // stable codegen class names across re-runs (see Sessions.local)
       .config("spark.sql.codegen.useIdInClassName", "false")
+      // Static conf, set before the first session: the default 100-entry
+      // codegen class cache thrashes for a long-lived session serving this
+      // catalog (Guava's segmented LRU evicts recently-used entries once
+      // near capacity), re-paying janino+JIT on queries that ran minutes
+      // ago. ~1000 entries covers the whole catalog's generated classes.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

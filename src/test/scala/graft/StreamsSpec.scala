@@ -382,4 +382,71 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out(0).getAs[Long]("n_events") == 2)
   }
+
+  test("nearDupIngest: batches dedup against everything accepted so far, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-neardup").toString
+    val indexPath = s"$root/index"
+    val outputPath = s"$root/accepted"
+    graft.operators.DedupIndex.init(
+      spark, indexPath, graft.operators.DedupIndex.Params(64, 16, 3))
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.nearDupIngest(
+      input.toDF().toDF("id", "text"), "text", "id", indexPath, outputPath,
+      threshold = 0.5)
+    try {
+      // batch 0: two distinct docs + an in-batch near-dup of the first
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2L, "completely different content about distributed query engines and shuffles"),
+        (3L, "quick brown fox jumps over the lazy dog near the river bank"))
+      query.processAllAvailable()
+      val b0 = spark.read.parquet(outputPath).select("id").as[Long].collect().toSet
+      assert(b0 == Set(1L, 2L), s"in-batch near-dup must collapse to the keeper: $b0")
+      // batch 1: a re-delivery-shaped near-dup of doc 1, an exact dup of
+      // doc 2, and one genuinely new doc — only the new doc survives
+      input.addData(
+        (11L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (12L, "completely different content about distributed query engines and shuffles"),
+        (13L, "watermarks bound streaming state while session windows group events"))
+      query.processAllAvailable()
+      val all = spark.read.parquet(outputPath).select("id").as[Long].collect().toSet
+      assert(all == Set(1L, 2L, 13L), s"cross-batch dups must drop via the index: $all")
+      assert(graft.operators.DedupIndex.batches(spark, indexPath) == Seq("00000000", "00000001"))
+    } finally query.stop()
+    graft.operators.Caches.release()
+  }
+
+  test("nearDupIngest re-executed batch is absorbed idempotently (crash-retry shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-neardup-retry").toString
+    val indexPath = s"$root/index"
+    val outputPath = s"$root/accepted"
+    val checkpoint = s"$root/ckpt"
+    graft.operators.DedupIndex.init(
+      spark, indexPath, graft.operators.DedupIndex.Params(64, 16, 3))
+    val mk = () => MemoryStream[(Long, String)]
+    // first query: process one batch, then stop WITHOUT letting a second run
+    val in1 = mk()
+    in1.addData((1L, "the quick brown fox jumps over the lazy dog near the river bank"))
+    val q1 = Streams.nearDupIngest(
+      in1.toDF().toDF("id", "text"), "text", "id", indexPath, outputPath,
+      threshold = 0.5, checkpoint = Some(checkpoint))
+    try q1.processAllAvailable() finally q1.stop()
+    // simulate the crash-before-commit: delete the checkpoint commit marker
+    // so a restarted query re-executes batch 0 with the same id + rows
+    val fs = new org.apache.hadoop.fs.Path(checkpoint)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$checkpoint/commits/0"), false)
+    val in2 = mk()
+    in2.addData((1L, "the quick brown fox jumps over the lazy dog near the river bank"))
+    val q2 = Streams.nearDupIngest(
+      in2.toDF().toDF("id", "text"), "text", "id", indexPath, outputPath,
+      threshold = 0.5, checkpoint = Some(checkpoint))
+    try q2.processAllAvailable() finally q2.stop()
+    // the re-executed batch must not duplicate output rows or index batches
+    assert(spark.read.parquet(outputPath).count() == 1)
+    assert(graft.operators.DedupIndex.batches(spark, indexPath) == Seq("00000000"))
+    graft.operators.Caches.release()
+  }
 }
