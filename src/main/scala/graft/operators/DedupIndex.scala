@@ -214,6 +214,69 @@ object DedupIndex {
     append(docs, textCol, idCol, path, batch)
   }
 
+  /** Per-batch row counts — the maintenance signal for [[compact]]:
+    * (batch, postings, docs). Reading only footers-level metadata would
+    * be ideal; this is one narrow count per table, grouped by the batch
+    * partition column, cheap enough for a scheduled health check.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    val bands = spark.read.parquet(bandsDir(path))
+      .groupBy("batch").agg(count(lit(1)).as("postings"))
+    val sk = spark.read.parquet(sketchesDir(path))
+      .groupBy("batch").agg(count(lit(1)).as("docs"))
+    bands.join(sk, Seq("batch"), "full_outer")
+      .select(col("batch"),
+        coalesce(col("postings"), lit(0L)).as("postings"),
+        coalesce(col("docs"), lit(0L)).as("docs"))
+  }
+
+  /** Coalesce every current batch into ONE new batch partition and drop
+    * the sources. A per-micro-batch ingestion loop accretes thousands of
+    * small `batch=` directories; file listing and row-group overhead
+    * eventually dominate the probe's 3-column postings scan, and
+    * compaction restores the range clustering ([[append]]'s
+    * repartitionByRange is per batch, so bucket ranges overlap ACROSS
+    * batches until re-clustered). Returns the merged batch label.
+    *
+    * Concurrency contract: safe against concurrent PROBES in the window
+    * between promoting the merged batch and deleting its sources —
+    * duplicated postings/sketches cannot change any probe's answer
+    * (candidates are `distinct()`, verified pairs collapse via
+    * groupBy-max; same idempotence that makes crash re-execution safe).
+    * A probe that already LISTED a source batch's files when the delete
+    * lands fails with a transient file-not-found — retry it (the same
+    * contract as any parquet compaction without a transaction log, and
+    * [[graft.sources.Sinks.compact]]'s documented behavior). Do NOT run
+    * concurrently with [[append]]/another compact: the merged label is
+    * claimed by rename (collisions fail cleanly, nothing corrupts, but
+    * one caller aborts).
+    *
+    * Crash windows: before promote — invisible staging residue
+    * ([[vacuum]]); after promote, before/among deletes — leftover source
+    * batches coexist with the merge, results unchanged (idempotence
+    * again), and the next compact folds them in.
+    */
+  def compact(spark: SparkSession, path: String): String = {
+    val old = batches(spark, path)
+    require(old.nonEmpty, s"nothing to compact at $path")
+    if (old.size == 1) return old.head
+    val label = nextBatchLabel(spark, path)
+    def oldDirs(dir: String): Seq[String] = old.map(b => s"$dir/batch=$b")
+    appendDir(
+      spark.read.parquet(oldDirs(sketchesDir(path)): _*)
+        .repartitionByRange(col("id")).sortWithinPartitions("id"),
+      sketchesDir(path), label)
+    appendDir(
+      spark.read.parquet(oldDirs(bandsDir(path)): _*)
+        .repartitionByRange(col("band"), col("bucket"))
+        .sortWithinPartitions("band", "bucket"),
+      bandsDir(path), label)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (oldDirs(sketchesDir(path)) ++ oldDirs(bandsDir(path)))
+      .foreach(d => fs.delete(new Path(d), true))
+    label
+  }
+
   /** Delete invisible staging residue left by crashed appends. Safe while
     * readers are active (they never list dot-prefixed directories); do NOT
     * run concurrently with an in-flight [[append]] to the same index.

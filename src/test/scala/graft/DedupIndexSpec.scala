@@ -137,6 +137,41 @@ class DedupIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("crossPairs plan: batch side broadcasts, corpus side never sort-merge joins") {
+    val path = tmp()
+    DedupIndex.build(corpus, "text", "id", path)
+    val df = DedupIndex.crossPairs(batch, "text", "id", path, threshold = 0.5)
+    df.collect() // finalize AQE so the asserted plan is the executed one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket probe and verification must broadcast the batch-derived sides:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join may appear in the probe:\n$plan")
+    Caches.release()
+  }
+
+  test("compact coalesces all batches into one; probes answer identically") {
+    val path = tmp()
+    DedupIndex.build(corpus.limit(2), "text", "id", path, batch = "00000001")
+    DedupIndex.append(corpus.where(col("id") > 2L), "text", "id", path, "00000002")
+    val before = DedupIndex.crossPairs(batch, "text", "id", path, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val merged = DedupIndex.compact(spark, path)
+    assert(DedupIndex.batches(spark, path) == Seq(merged), "sources dropped, one batch left")
+    val st = DedupIndex.stats(spark, path).collect()
+    assert(st.length == 1 && st.head.getAs[Long]("docs") == 4L)
+    val after = DedupIndex.crossPairs(batch, "text", "id", path, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before, s"compaction must not change probe answers: $after vs $before")
+    // idempotent duplicate window: a leftover source batch alongside the
+    // merge (crash-between-promote-and-delete shape) changes nothing
+    DedupIndex.append(corpus.limit(2), "text", "id", path, "zz_leftover_twin")
+    val withDup = DedupIndex.crossPairs(batch, "text", "id", path, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(withDup == before, "duplicated index rows must not change any probe answer")
+    Caches.release()
+  }
+
   test("vacuum removes crashed-append staging residue without touching live batches") {
     val path = tmp()
     DedupIndex.build(corpus, "text", "id", path)
