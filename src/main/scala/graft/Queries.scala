@@ -1502,6 +1502,110 @@ object Queries {
              LEAST(40, n - chunk_id*35) AS n_tokens
       FROM x"""))
 
+  /** Snapshot diff: derive the CDC event feed between two full `orders`
+    * snapshots (old = keys not ≡0 mod 10; new = keys not ≡0 mod 11, with
+    * status rewritten to 'X' on keys ≡0 mod 7) — inserts, deletes, and
+    * updates with both images and the changed-column count. One
+    * full-outer shuffle join; every comparison null-safe. The
+    * deterministic snapshot derivation makes the whole feed
+    * hash-comparable against the DuckDB twin.
+    */
+  val q56SnapshotDiff: Q = Q(
+    "q56_snapshot_diff",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val oldSnap = o.where(col("o_orderkey") % 10 =!= 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val newSnap = o.where(col("o_orderkey") % 11 =!= 0)
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          col("o_totalprice"))
+      graft.operators.SnapshotDiff
+        .diff(oldSnap, newSnap, Seq("o_orderkey"))
+        .select(
+          col("o_orderkey"), col("change_type"),
+          size(col("changed_cols")).as("n_changed"),
+          col("old_o_orderstatus"), col("new_o_orderstatus"),
+          col("old_o_totalprice"), col("new_o_totalprice"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0),
+      n AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0)
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  ELSE 'update' END AS change_type,
+             CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN 0
+                  ELSE CAST(o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS INT)
+                     + CAST(o.o_totalprice  IS DISTINCT FROM n.o_totalprice  AS INT) END AS n_changed,
+             o.o_orderstatus AS old_o_orderstatus, n.o_orderstatus AS new_o_orderstatus,
+             o.o_totalprice  AS old_o_totalprice,  n.o_totalprice  AS new_o_totalprice
+      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+      WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+         OR o.o_totalprice  IS DISTINCT FROM n.o_totalprice"""))
+
+  /** Blocked fuzzy entity match: customer-name pairs within a nation
+    * block at edit distance ≤ 2, scored 1 − edit/maxlen. Equi-join on the
+    * block key (never all-pairs), length prefilter before the DP, banded
+    * threshold Levenshtein. Hash-comparable end-to-end: edit distance is
+    * an integer in both engines and sim is one IEEE division.
+    */
+  val q57EntityMatch: Q = Q(
+    "q57_entity_match",
+    (s, dir) =>
+      graft.operators.EntityResolution.blockedFuzzyPairs(
+        t(s, dir, "customer"), "c_custkey", "c_name",
+        Seq("c_nationkey"), maxEdit = 2)
+        .withColumnRenamed("id_a", "custkey_a")
+        .withColumnRenamed("id_b", "custkey_b"),
+    Some("""
+      SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist,
+             1 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+                   / GREATEST(length(a.c_name), length(b.c_name)) AS sim
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
+        AND abs(length(a.c_name) - length(b.c_name)) <= 2"""))
+
+  /** Exact k·sigma outliers: events whose value (in exact cents) lies
+    * more than 3 population standard deviations from its event-type
+    * mean, flagged by pure integer algebra (n·x − s)² > k²(n·ss − s²) —
+    * order-free and bit-identical in DuckDB, unlike any float-sum
+    * z-score. One window shuffle on the group key.
+    */
+  val q58Outliers: Q = Q(
+    "q58_outliers",
+    (s, dir) =>
+      graft.operators.Anomaly.zscoreOutliers(
+        t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value"),
+        Seq("event_type"),
+        floor(col("value") * 100),
+        k = 3)
+        .select("event_id", "user_id", "event_type", "value", "grp_n"),
+    Some("""
+      WITH c AS (
+        SELECT event_id, user_id, event_type, value,
+               CAST(FLOOR(value * 100) AS HUGEINT) AS cents
+        FROM events),
+      g AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(cents) AS s, SUM(cents * cents) AS ss
+        FROM c GROUP BY event_type)
+      SELECT c.event_id, c.user_id, c.event_type, c.value,
+             CAST(g.n AS BIGINT) AS grp_n
+      FROM c JOIN g USING (event_type)
+      WHERE (g.n * c.cents - g.s) * (g.n * c.cents - g.s) > 9 * (g.n * g.ss - g.s * g.s)"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -1525,7 +1629,8 @@ object Queries {
     q45OrcRoundtrip, q46AvroRoundtrip, q47HeavyHitters, q48HashSplit,
     q49ApproxHeavyHitters, q50ProfileSketch, q50cProfileExact,
     q51TfidfTopTerms, q51cTfidfRatioExact, q52Bm25,
-    q53IndexDedup, q53cCrossJaccardExact, q54Decontaminate, q55ChunkDocs)
+    q53IndexDedup, q53cCrossJaccardExact, q54Decontaminate, q55ChunkDocs,
+    q56SnapshotDiff, q57EntityMatch, q58Outliers)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

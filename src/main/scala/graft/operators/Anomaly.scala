@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical outlier flagging at warehouse scale, with EXACT group
+  * moments. The naive z-score (`abs(x − avg) > k·stddev` over a window)
+  * is wrong twice in a distributed engine: float summation is
+  * order-dependent, so the flag set can differ run to run with the same
+  * data (partial-agg order is not deterministic), and `sqrt` drags the
+  * comparison through a rounding step. Both disappear by clearing
+  * denominators — the k·sigma test
+  *
+  *   (x − mean)² > k² · variance_pop
+  *
+  * is, over an INTEGER-valued column with n = count, s = Σx, ss = Σx²,
+  *
+  *   (n·x − s)² > k² · (n·ss − s²)
+  *
+  * pure integer algebra: exact, associative, order-free, engine-agnostic
+  * (the oracle twin reproduces it bit-for-bit in ANSI SQL). Fixed-point
+  * data (prices, latencies in µs) enters via its integer representation
+  * — e.g. `floor(value * 100)` for 2-decimal currency: any such mapping
+  * works as long as it is applied identically everywhere, monotone, and
+  * integral.
+  *
+  * Overflow envelope: moments accumulate in decimal(38,0), so terms stay
+  * exact while n·|x|_max < 10¹⁹ — e.g. 10¹⁰ rows per group of 10⁹-unit
+  * values; int64 would already wrap at n·|x|_max ≈ 3·10⁹ (the whole
+  * reason for decimal here). Beyond that, rescale units — the test is
+  * invariant under x → x/c up to the quantization it introduces.
+  *
+  * Shape: ONE shuffle — a window over `groupCols` computes (n, s, ss)
+  * with partial aggregation before the exchange; the flag rides the same
+  * projection. No second pass, no join-back, no collect.
+  */
+object Anomaly {
+
+  private val Exact = "decimal(38,0)"
+
+  /** Rows of `df` whose `intVal` lies more than `k` population standard
+    * deviations from its group mean — exactly. `intVal` MUST be
+    * integral-valued (cast/floor fixed-point data first; see object doc).
+    * Output: all `df` columns plus `grp_n` (group size) and `z` (the
+    * conventional signed z-score, double, for human triage — the FLAG
+    * never depends on it). Groups with zero variance flag nothing
+    * (including n = 1, where the test is vacuous).
+    */
+  def zscoreOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      intVal: Column,
+      k: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val x = intVal.cast(Exact)
+    val n = count(lit(1)).over(w).cast(Exact)
+    val s = sum(x).over(w)
+    val ss = sum(x * x).over(w)
+    val dev = n * x - s            // n·(x − mean), scaled to integers
+    val varTerm = n * ss - s * s   // n²·variance_pop, same scale²
+    df.withColumn("grp_n", count(lit(1)).over(w))
+      .withColumn("__dev", dev)
+      .withColumn("__var", varTerm)
+      .where(col("__dev") * col("__dev") > lit(k * k).cast(Exact) * col("__var"))
+      // z = (x − mean)/sd_pop = dev/√varTerm — derived AFTER the exact
+      // flag, doubles only here
+      .withColumn("z",
+        col("__dev").cast("double") / sqrt(col("__var").cast("double")))
+      .drop("__dev", "__var")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Anomaly
+
+class AnomalySpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // Group "a": nine 10s and one 100 — the 100 is far outside 3σ.
+  // Group "b": uniform-ish 1..10 — nothing beyond 3σ.
+  private val df = (
+    (1 to 9).map(i => (i.toLong, "a", 10L)) ++
+    Seq((10L, "a", 100L)) ++
+    (11 to 20).map(i => (i.toLong, "b", (i - 10).toLong))
+  ).toDF("id", "grp", "v")
+
+  private def flagged(k: Int) =
+    Anomaly.zscoreOutliers(df, Seq("grp"), col("v"), k)
+      .select("id").as[Long].collect().toSet
+
+  test("flags the planted spike and nothing in the tame group") {
+    assert(flagged(2) === Set(10L))
+  }
+
+  test("a point at exactly k sigma is NOT an outlier (strict inequality, exactly decided)") {
+    // group a: mean 19, sd_pop 27, spike deviation 81 = 3σ on the nose —
+    // a float z-score would flip on rounding; the integer form decides
+    // 656100 > 656100 exactly false
+    val vs = Seq.fill(9)(10.0) :+ 100.0
+    val mean = vs.sum / vs.size
+    val z = (100.0 - mean) / math.sqrt(vs.map(x => (x - mean) * (x - mean)).sum / vs.size)
+    assert(z === 3.0)
+    assert(flagged(3) === Set.empty)
+  }
+
+  test("zero-variance groups flag nothing (strict inequality)") {
+    val const = Seq((1L, "c", 5L), (2L, "c", 5L), (3L, "c", 5L)).toDF("id", "grp", "v")
+    assert(Anomaly.zscoreOutliers(const, Seq("grp"), col("v"), 1).isEmpty)
+  }
+
+  test("singleton groups flag nothing") {
+    val one = Seq((1L, "s", 42L)).toDF("id", "grp", "v")
+    assert(Anomaly.zscoreOutliers(one, Seq("grp"), col("v"), 1).isEmpty)
+  }
+
+  test("z column reports the conventional signed score") {
+    val r = Anomaly.zscoreOutliers(df, Seq("grp"), col("v"), 2).head()
+    val vs = Seq.fill(9)(10.0) :+ 100.0
+    val mean = vs.sum / vs.size
+    val sd = math.sqrt(vs.map(x => (x - mean) * (x - mean)).sum / vs.size)
+    assert(math.abs(r.getAs[Double]("z") - (100.0 - mean) / sd) < 1e-9)
+    assert(r.getAs[Long]("grp_n") === 10L)
+  }
+
+  test("result is independent of partitioning (exact integer moments)") {
+    val a = Anomaly.zscoreOutliers(df.repartition(1), Seq("grp"), col("v"), 2)
+      .select("id").as[Long].collect().toSet
+    val b = Anomaly.zscoreOutliers(df.repartition(7, col("id")), Seq("grp"), col("v"), 2)
+      .select("id").as[Long].collect().toSet
+    assert(a === b && a === Set(10L))
+  }
+
+  test("one exchange: the window is the only shuffle") {
+    val plan = Anomaly.zscoreOutliers(df, Seq("grp"), col("v"), 3)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly one shuffle:\n$plan")
+  }
+}
