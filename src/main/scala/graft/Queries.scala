@@ -1606,6 +1606,99 @@ object Queries {
       FROM c JOIN g USING (event_type)
       WHERE (g.n * c.cents - g.s) * (g.n * c.cents - g.s) > 9 * (g.n * g.ss - g.s * g.s)"""))
 
+  /** Incremental aggregate maintenance, proven on real data: build
+    * mergeable rollup states for two disjoint shipdate eras of lineitem
+    * SEPARATELY, fold them with the state merge, and decode — the oracle
+    * computes the direct one-shot aggregate over everything. Hash
+    * equality IS the merge law `merge(state(a), state(b)) ≡ state(a∪b)`:
+    * at 100 TB this is "refresh the rollup from the new partition alone,
+    * never rescan history". Sums accumulate in decimal (exact,
+    * order-free); avg is decoded as one double division.
+    */
+  val q59IncrementalAgg: Q = Q(
+    "q59_incremental_agg",
+    (s, dir) => {
+      val ia = graft.operators.IncrementalAgg
+      val li = t(s, dir, "lineitem")
+      val cutoff = lit("1995-01-01").cast("timestamp")
+      val grp = Seq("l_returnflag")
+      val vals = Seq("l_quantity", "l_extendedprice")
+      val eraA = ia.state(li.where(col("l_shipdate") < cutoff), grp, vals)
+      val eraB = ia.state(li.where(col("l_shipdate") >= cutoff), grp, vals)
+      ia.report(ia.merge(eraA, eraB, grp), grp)
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_l_quantity,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_l_quantity,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_l_extendedprice,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_l_extendedprice,
+             MIN(l_quantity) AS min_l_quantity, MAX(l_quantity) AS max_l_quantity,
+             MIN(l_extendedprice) AS min_l_extendedprice, MAX(l_extendedprice) AS max_l_extendedprice
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** Mixture rebalancing: deterministic per-stratum down-sampling of the
+    * corpus by source (down-weight src0 hard, src1 lightly, leave the
+    * rest), reported as per-(source, lang) doc/token counts. No ANSI
+    * oracle (assignment is an xxhash64 draw); PartitioningSpec pins
+    * determinism, the nested-subset tuning property, proportions, and
+    * the zero-shuffle plan.
+    */
+  val q60StratifiedSample: Q = Q(
+    "q60_stratified_sample",
+    (s, dir) =>
+      graft.operators.Partitioning.stratifiedSample(
+        t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 0.25, "src1" -> 0.75))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(text.tokenCount(col("text")).cast("long")).as("n_tokens")),
+    None)
+
+  /** Declarative expectations scorecard over lineitem: four row-predicate
+    * rules folded into ONE scan (two pass, two with planted violations:
+    * quantity ≤ 25 and discount ≤ 0.05 are deliberately tighter than the
+    * data), plus the key-uniqueness aggregate (the synthetic lineitem key
+    * is NOT unique — real violations) and orphan detection against
+    * orders. Every count hash-gated.
+    */
+  val q61Expectations: Q = Q(
+    "q61_expectations",
+    (s, dir) => {
+      val ex = graft.operators.Expectations
+      val li = t(s, dir, "lineitem")
+      ex.check(li, Seq(
+        ex.notNull("l_orderkey"),
+        ex.inRange("l_quantity", 1, 25),
+        ex.inRange("l_discount", 0.0, 0.05),
+        ex.notNull("l_shipdate")))
+        .unionByName(ex.uniqueKey(li, Seq("l_orderkey", "l_linenumber")))
+        .unionByName(ex.refIntegrity(
+          li, Seq("l_orderkey"), t(s, dir, "orders"), Seq("o_orderkey")))
+    },
+    Some("""
+      WITH counted AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+               CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+               CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+               CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+               CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v5
+        FROM lineitem),
+      orphans AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey)
+      SELECT 'not_null_l_orderkey' AS rule, total, v1 AS violations, v1 = 0 AS pass FROM counted
+      UNION ALL SELECT 'range_l_quantity', total, v2, v2 = 0 FROM counted
+      UNION ALL SELECT 'range_l_discount', total, v3, v3 = 0 FROM counted
+      UNION ALL SELECT 'not_null_l_shipdate', total, v4, v4 = 0 FROM counted
+      UNION ALL SELECT 'unique_key_l_orderkey_l_linenumber', total, v5, v5 = 0 FROM counted
+      UNION ALL SELECT 'ref_l_orderkey', total, v, v = 0 FROM orphans"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -1630,7 +1723,8 @@ object Queries {
     q49ApproxHeavyHitters, q50ProfileSketch, q50cProfileExact,
     q51TfidfTopTerms, q51cTfidfRatioExact, q52Bm25,
     q53IndexDedup, q53cCrossJaccardExact, q54Decontaminate, q55ChunkDocs,
-    q56SnapshotDiff, q57EntityMatch, q58Outliers)
+    q56SnapshotDiff, q57EntityMatch, q58Outliers, q59IncrementalAgg,
+    q60StratifiedSample, q61Expectations)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

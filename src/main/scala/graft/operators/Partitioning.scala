@@ -166,6 +166,57 @@ object Partitioning {
     df.where(hashUniform(keyCol, seed) < fraction)
   }
 
+  /** Deterministic per-stratum sampling: keep each row with the fraction
+    * configured for its stratum (e.g. down-weight overrepresented
+    * domains/languages in a training mixture), with the same guarantees
+    * as [[hashSample]] — reproducible, group-coherent on `keyCol`, zero
+    * shuffle, nested subsets as any stratum's fraction is tuned (a key's
+    * uniform draw is fixed per seed, so lowering 0.5 → 0.3 keeps a
+    * subset, never a reshuffle). Strata not named in `fractions` fall to
+    * `defaultFraction` (1.0 = pass through). Unlike
+    * `DataFrameStatFunctions.sampleBy`, the decision is a pure function
+    * of (key, seed) — retries and re-runs cannot change the sample.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0,
+      seed: Int = 42): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (rest, (stratum, f)) => when(col(strataCol) === stratum, f).otherwise(rest)
+    }
+    df.where(hashUniform(keyCol, seed) < frac)
+  }
+
+  /** Deterministic per-key "reservoir": at most `n` rows per `keyCol`
+    * group, chosen by ranking each group's rows on a key-hash uniform of
+    * `idCol` (ties broken by `idCol` — a total order, so the sample is
+    * EXACTLY reproducible, unlike a true reservoir whose content depends
+    * on encounter order). Rides the bounded-heap top-k physical plan:
+    * O(rows·log n) map work, one exchange of ≤ n·keys survivors, never a
+    * full per-group sort. Growing `n` extends the sample (top-3 ⊆ top-5
+    * under the same order) — per-key mixtures stay nested as caps are
+    * tuned, matching [[hashSample]]'s subset discipline.
+    */
+  def sampleNPerKey(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      n: Int,
+      seed: Int = 42): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(n > 0, "sample size must be positive")
+    graft.plans.TopK.perKey(
+      df, Seq(keyCol),
+      Seq(uniformFromHash(xxhash64(col(idCol), lit(seed))).asc, col(idCol).asc),
+      n)
+  }
+
   /** xxhash64(key, seed) → uniform double STRICTLY in [0, 1). */
   private def hashUniform(keyCol: String, seed: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._

@@ -130,6 +130,58 @@ class PartitioningSpec extends AnyFunSuite {
     assert(Partitioning.hashSample(rows, "k", 0.0).count() == 0)
   }
 
+  test("stratifiedSample: per-stratum fractions, deterministic, nested, zero shuffle") {
+    val rows = spark.range(30000).select(
+      col("id").cast("string").as("k"),
+      when(col("id") % 3 === 0, "web").when(col("id") % 3 === 1, "books")
+        .otherwise("code").as("domain"))
+    val sampled = Partitioning.stratifiedSample(
+      rows, "domain", "k", Map("web" -> 0.2, "books" -> 0.8))
+    val counts = sampled.groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~10k per stratum in: web ≈ 2k out, books ≈ 8k out, code untouched
+    assert(math.abs(counts("web") - 2000.0) / 10000.0 < 0.03)
+    assert(math.abs(counts("books") - 8000.0) / 10000.0 < 0.03)
+    assert(counts("code") === 10000L, "default fraction 1.0 passes a stratum through")
+    // deterministic under repartitioning
+    val again = Partitioning.stratifiedSample(
+      rows.repartition(11), "domain", "k", Map("web" -> 0.2, "books" -> 0.8))
+    assert(again.collect().map(_.getString(0)).toSet ===
+      sampled.collect().map(_.getString(0)).toSet)
+    // tuning one stratum down keeps a subset of its keys (nested property)
+    val webTuned = Partitioning.stratifiedSample(
+      rows, "domain", "k", Map("web" -> 0.1, "books" -> 0.8))
+      .where(col("domain") === "web").collect().map(_.getString(0)).toSet
+    val webBefore = sampled.where(col("domain") === "web")
+      .collect().map(_.getString(0)).toSet
+    assert(webTuned.subsetOf(webBefore))
+    // still a pure filter — no exchange
+    val p = sampled.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"stratified sampling must not shuffle:\n$p")
+  }
+
+  test("sampleNPerKey: caps each group, reproducible, nested as n grows") {
+    val rows = spark.range(10000).select(
+      (col("id") % 10).cast("string").as("grp"),
+      col("id").cast("string").as("doc"))
+    val s3 = Partitioning.sampleNPerKey(rows, "grp", "doc", 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(s3.size === 30)
+    assert(s3.groupBy(_._1).forall(_._2.size == 3))
+    // deterministic under a different physical layout
+    val again = Partitioning.sampleNPerKey(rows.repartition(13), "grp", "doc", 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(again === s3)
+    // nested: the 3-sample is a prefix of the 5-sample per key
+    val s5 = Partitioning.sampleNPerKey(rows, "grp", "doc", 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(s3.subsetOf(s5))
+    // a fresh seed is an independent draw
+    val reseeded = Partitioning.sampleNPerKey(rows, "grp", "doc", 3, seed = 7)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(reseeded !== s3)
+  }
+
   test("hashSplit stays a pure projection — no exchange in the plan") {
     val rows = spark.range(100).select(col("id").cast("string").as("k"))
     val p = Partitioning.hashSplit(rows, "k", Seq("a" -> 1.0, "b" -> 1.0))

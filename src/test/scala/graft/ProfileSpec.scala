@@ -164,6 +164,33 @@ class ProfileSpec extends AnyFunSuite {
     assert(math.abs(q(1) - 9900.0) <= 2 * 0.01 * 10001 + 1, s"SQL p99 = ${q(1)}")
   }
 
+  test("the GK aggregate composes with Structured Streaming (cross-batch quantiles, bounded state)") {
+    // Streaming percentile monitoring: per-batch partials merge through
+    // the same TypedImperativeAggregate buffer the batch path uses, so
+    // state stays O(1/eps · log(eps·n)) — never the values themselves —
+    // and the answer after two micro-batches must honor the GK rank
+    // bound over the UNION of everything seen.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.expressions.GraftFunctions.register(spark)
+    val input = MemoryStream[Double]
+    val query = input.toDF().toDF("v")
+      .selectExpr("graft_gk_quantiles(graft_gk_sketch(v, 0.01D), array(0.5D, 0.9D)) AS q")
+      .writeStream.format("memory").queryName("gk_stream").outputMode("complete").start()
+    try {
+      val batch1 = (0 until 5000).map(_.toDouble)
+      val batch2 = (5000 until 20000).map(_.toDouble)
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      val q = spark.table("gk_stream").head().getSeq[Double](0)
+      val sorted = (batch1 ++ batch2).sorted.toArray
+      assertRankWithin(sorted, q.head, 0.5, 2 * relErr, "streaming p50")
+      assertRankWithin(sorted, q(1), 0.9, 2 * relErr, "streaming p90")
+    } finally query.stop()
+  }
+
   test("q50's decoded sketch report brackets q50c's exact answers at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val sketch = Queries.q50ProfileSketch.fn(spark, dir).head()
