@@ -1699,6 +1699,23 @@ object Queries {
       UNION ALL SELECT 'unique_key_l_orderkey_l_linenumber', total, v5, v5 = 0 FROM counted
       UNION ALL SELECT 'ref_l_orderkey', total, v, v = 0 FROM orphans"""))
 
+  /** Robust (median/IQR) outlier companion to q58: Tukey fences at
+    * k = 1.5 from the mergeable GK sketch, per event type — the variant
+    * for real-valued/heavy-tailed data where contamination drags the
+    * mean-based test. No ANSI oracle (sketch quantiles); AnomalySpec
+    * pins fence behavior, contamination resistance (a point the z-test
+    * provably misses), and the reported median/IQR.
+    */
+  val q62RobustOutliers: Q = Q(
+    "q62_robust_outliers",
+    (s, dir) =>
+      graft.operators.Anomaly.robustOutliers(
+        t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value"),
+        Seq("event_type"), "value", k = 1.5)
+        .select("event_id", "event_type", "value", "grp_median", "grp_iqr"),
+    None)
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -1724,7 +1741,7 @@ object Queries {
     q51TfidfTopTerms, q51cTfidfRatioExact, q52Bm25,
     q53IndexDedup, q53cCrossJaccardExact, q54Decontaminate, q55ChunkDocs,
     q56SnapshotDiff, q57EntityMatch, q58Outliers, q59IncrementalAgg,
-    q60StratifiedSample, q61Expectations)
+    q60StratifiedSample, q61Expectations, q62RobustOutliers)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
   * Shape: ONE shuffle — a window over `groupCols` computes (n, s, ss)
   * with partial aggregation before the exchange; the flag rides the same
   * projection. No second pass, no join-back, no collect.
+  *
+  * For genuinely real-valued data (no meaningful fixed-point mapping) or
+  * heavy-tailed groups where mean/σ themselves are dragged by the
+  * outliers, [[robustOutliers]] is the companion: median/IQR fences from
+  * the mergeable GK sketch — approximate (ε rank error) but
+  * outlier-resistant, and the sketch aggregation keeps the same
+  * one-scan-plus-tiny-join scale shape.
   */
 object Anomaly {
 
@@ -69,5 +76,48 @@ object Anomaly {
       .withColumn("z",
         col("__dev").cast("double") / sqrt(col("__var").cast("double")))
       .drop("__dev", "__var")
+  }
+
+  /** Tukey-fence outliers on ROBUST statistics: rows outside
+    * `[q1 − k·IQR, q3 + k·IQR]` of their group, with the quartiles from
+    * the mergeable GK sketch (rank error ≤ relErr). Use over
+    * [[zscoreOutliers]] when the column has no exact fixed-point
+    * representation, or when the contamination itself would drag
+    * mean/σ (a 1%-outlier heavy tail moves the mean; it cannot move the
+    * quartiles). k = 1.5 is the conventional fence.
+    *
+    * Shape: one sketch aggregation over the data (map-side partial GK
+    * buffers, the exchange carries O(groups × sketch)), the decoded
+    * fences joined back broadcast (group-cardinality rows), and the flag
+    * evaluated in the scan stage of a second pass. Two scans total —
+    * the price of any rank-based fence; the sketch keeps pass one's
+    * shuffle tiny where an exact percentile would shuffle the data.
+    * Approximation contract: a value within relErr rank mass of the
+    * fence can flip sides run-invariantly (the sketch is deterministic
+    * for a given input order: same input, same flags).
+    */
+  def robustOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Double = 1.5,
+      relErr: Double = 0.01): DataFrame = {
+    require(k > 0, "k must be positive")
+    val fences = Profile.gkQuantiles(
+      col("__gk"), Seq(0.25, 0.5, 0.75)) // q1, median, q3
+    val grouped = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.operators.Profile.gkSketchCol(col(valueCol), relErr).as("__gk"))
+      .select(
+        groupCols.map(col) :+
+          fences.getItem(0).as("__q1") :+
+          fences.getItem(1).as("grp_median") :+
+          fences.getItem(2).as("__q3"): _*)
+    val lo = col("__q1") - lit(k) * (col("__q3") - col("__q1"))
+    val hi = col("__q3") + lit(k) * (col("__q3") - col("__q1"))
+    df.join(broadcast(grouped), groupCols)
+      .where(col(valueCol) < lo || col(valueCol) > hi)
+      .withColumn("grp_iqr", col("__q3") - col("__q1"))
+      .drop("__q1", "__q3")
   }
 }

@@ -33,7 +33,11 @@ import graft.expressions.{GkMergeAgg, GkQuantileAgg, GkQuantilesExpr}
   */
 object Profile {
 
-  private def gkSketch(value: Column, relErr: Double): Column =
+  /** `graft_gk_sketch` as a Column — public so other operators
+    * ([[Anomaly.robustOutliers]]) can aggregate the same mergeable
+    * sketch.
+    */
+  def gkSketchCol(value: Column, relErr: Double): Column =
     ColumnBridge.column(
       GkQuantileAgg(ColumnBridge.eagerExpression(value), relErr).toAggregateExpression())
 
@@ -85,7 +89,7 @@ object Profile {
         min(valueCol).as("min_value"),
         max(valueCol).as("max_value"),
         hll_sketch_agg(distinctable, lgK).as("distinct_sketch"),
-        gkSketch(valueCol, relErr).as("quantile_sketch"))
+        gkSketchCol(valueCol, relErr).as("quantile_sketch"))
   }
 
   /** Collapses any subset of profile rows to ONE mergeable row of the same

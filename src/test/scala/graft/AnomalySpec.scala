@@ -63,6 +63,45 @@ class AnomalySpec extends AnyFunSuite {
     assert(a === b && a === Set(10L))
   }
 
+  test("robustOutliers: Tukey fences flag a heavy tail the bulk never triggers") {
+    // 200 bulk values 0..199 and five 10^6 spikes in group "a"
+    val data = ((1 to 200).map(i => (i.toLong, "a", (i - 1).toDouble)) ++
+      (201 to 205).map(i => (i.toLong, "a", 1e6))).toDF("id", "grp", "v")
+    val got = graft.operators.Anomaly.robustOutliers(data, Seq("grp"), "v")
+      .select("id").as[Long].collect().toSet
+    assert(got === (201L to 205L).toSet)
+  }
+
+  test("robustOutliers resists contamination that drags the mean-based test") {
+    // 10% contamination at 10^6: the spikes inflate sd so much that a
+    // moderate 4-sigma-looking point (5e4) hides from the z-test, but it
+    // is far outside the quartile fence, which contamination cannot move
+    val data = ((1 to 100).map(i => (i.toLong, "a", (i % 50).toDouble)) ++
+      (101 to 110).map(i => (i.toLong, "a", 1e6)) :+
+      ((111L, "a", 5e4))).toDF("id", "grp", "v")
+    val robust = graft.operators.Anomaly.robustOutliers(data, Seq("grp"), "v")
+      .select("id").as[Long].collect().toSet
+    assert(robust.contains(111L), "the moderate outlier must be outside the fence")
+    assert((101L to 110L).forall(robust.contains))
+    assert(robust.forall(_ >= 101L), "bulk rows stay unflagged")
+    // the z-test at the same data: sd ≈ 2.9e5 puts 5e4 well inside 3σ
+    val z = graft.operators.Anomaly.zscoreOutliers(
+      data, Seq("grp"), col("v").cast("long"), 3)
+      .select("id").as[Long].collect().toSet
+    assert(!z.contains(111L), "sanity: contamination hides 5e4 from the mean-based test")
+  }
+
+  test("robustOutliers reports group median and IQR alongside the row") {
+    val data = (1 to 101).map(i => (i.toLong, "a", (i - 1).toDouble))
+      .toDF("id", "grp", "v")
+      .unionByName(Seq((200L, "a", 1e5)).toDF("id", "grp", "v"))
+    val r = graft.operators.Anomaly.robustOutliers(data, Seq("grp"), "v").head()
+    assert(r.getAs[Long]("id") === 200L)
+    // 102 values: median ≈ 50, IQR ≈ 50 (± sketch rank error of ~1 rank)
+    assert(math.abs(r.getAs[Double]("grp_median") - 50.0) <= 2.0)
+    assert(math.abs(r.getAs[Double]("grp_iqr") - 50.0) <= 4.0)
+  }
+
   test("one exchange: the window is the only shuffle") {
     val plan = Anomaly.zscoreOutliers(df, Seq("grp"), col("v"), 3)
       .queryExecution.executedPlan.toString
