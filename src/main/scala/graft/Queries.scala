@@ -1716,6 +1716,36 @@ object Queries {
         .select("event_id", "event_type", "value", "grp_median", "grp_iqr"),
     None)
 
+  /** Funnel analysis: greedy earliest-chain view→click→purchase per
+    * user, exact and oracle-gated — the one-shuffle HOF fold must
+    * reproduce DuckDB's chained min-over-filtered-join formulation
+    * bit-for-bit (greedy is optimal for depth by the exchange argument,
+    * and both engines implement the same strict-after semantics on the
+    * nanosecond longs).
+    */
+  val q63Funnel: Q = Q(
+    "q63_funnel",
+    (s, dir) =>
+      graft.operators.Funnel.earliestChain(
+        // µs, not ns: DuckDB's TIMESTAMP truncates the parquet nanos to
+        // microseconds, so the comparable clock is epoch_us on both sides
+        t(s, dir, "events").withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase")),
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+      s1 AS (SELECT user_id, MIN(ts) AS t_1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t_2 FROM e JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t_1 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.ts) AS t_3 FROM e JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY e.user_id)
+      SELECT s1.user_id,
+             CAST(1 + CAST(s2.user_id IS NOT NULL AS INT) + CAST(s3.user_id IS NOT NULL AS INT) AS INT) AS depth,
+             s1.t_1, s2.t_2, s3.t_3
+      FROM s1
+      LEFT JOIN s2 ON s1.user_id = s2.user_id
+      LEFT JOIN s3 ON s2.user_id = s3.user_id"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -1741,7 +1771,7 @@ object Queries {
     q51TfidfTopTerms, q51cTfidfRatioExact, q52Bm25,
     q53IndexDedup, q53cCrossJaccardExact, q54Decontaminate, q55ChunkDocs,
     q56SnapshotDiff, q57EntityMatch, q58Outliers, q59IncrementalAgg,
-    q60StratifiedSample, q61Expectations, q62RobustOutliers)
+    q60StratifiedSample, q61Expectations, q62RobustOutliers, q63Funnel)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

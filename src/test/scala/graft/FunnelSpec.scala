@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Funnel
+
+class FunnelSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "purchase")
+
+  private def run(evs: Seq[(Long, Long, String)]) =
+    Funnel.earliestChain(
+      evs.toDF("user_id", "ts", "event_type"), "user_id", "ts", "event_type", steps)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Int]("depth"),
+          Option(r.getAs[java.lang.Long]("t_1")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t_2")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t_3")).map(_.toLong))))
+      .toMap
+
+  test("full chain, partial chain, and wrong-order events") {
+    val m = run(Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"), // full
+      (2L, 1L, "click"), (2L, 2L, "view"), (2L, 3L, "purchase"), // click precedes its view
+      (5L, 9L, "purchase")                                        // never entered
+    ))
+    assert(m(1L) === ((3, Some(1L), Some(2L), Some(3L))))
+    assert(m(2L) === ((1, Some(2L), None, None))) // purchase can't follow a missing click
+    assert(!m.contains(5L), "depth-0 users are absent")
+  }
+
+  test("steps must be STRICTLY later — a same-instant next step does not count") {
+    val m = run(Seq((3L, 5L, "view"), (3L, 5L, "click")))
+    assert(m(3L) === ((1, Some(5L), None, None)))
+  }
+
+  test("greedy earliest chain maximizes depth (exchange argument witness)") {
+    // taking the LATER view (ts 10) would miss the click at 5; earliest
+    // chain finds view@1 -> click@5
+    val m = run(Seq((6L, 10L, "view"), (6L, 1L, "view"), (6L, 5L, "click")))
+    assert(m(6L) === ((2, Some(1L), Some(5L), None)))
+  }
+
+  test("non-funnel event types are ignored before the shuffle") {
+    val m = run(Seq((7L, 1L, "view"), (7L, 2L, "error"), (7L, 3L, "click")))
+    assert(m(7L) === ((2, Some(1L), Some(3L), None)))
+  }
+
+  test("conversion counts users at each exact depth") {
+    val evs = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 1L, "view"), (2L, 2L, "click"),
+      (3L, 1L, "view"),
+      (4L, 1L, "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.conversion(evs, "user_id", "ts", "event_type", steps)
+      .collect().map(r => r.getAs[Int]("depth") -> r.getAs[Long]("n_users")).toMap
+    assert(got === Map(3 -> 1L, 2 -> 1L, 1 -> 2L))
+  }
+
+  test("one exchange: filter to funnel types rides the scan, fold is per-group") {
+    val evs = Seq((1L, 1L, "view")).toDF("user_id", "ts", "event_type")
+    val plan = Funnel.earliestChain(evs, "user_id", "ts", "event_type", steps)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"funnel must be a single user-key shuffle:\n$plan")
+  }
+}
