@@ -1746,6 +1746,27 @@ object Queries {
       LEFT JOIN s2 ON s1.user_id = s2.user_id
       LEFT JOIN s3 ON s2.user_id = s3.user_id"""))
 
+  /** Weekly cohort retention over events: users bucketed by
+    * first-activity week, counted per (cohort, age) — exact long
+    * arithmetic end to end (epoch seconds, floor division), hash-gated.
+    * Raw events are scanned once; the wire carries distinct user-weeks.
+    */
+  val q64CohortRetention: Q = Q(
+    "q64_cohort_retention",
+    (s, dir) =>
+      graft.operators.Cohorts.retention(
+        t(s, dir, "events"), "user_id",
+        expr("ts_ns div 1000000000"), periodSeconds = 604800L),
+    Some("""
+      WITH up AS (
+        SELECT DISTINCT user_id, (epoch_us(ts) // 1000000) // 604800 AS period FROM events),
+      c AS (
+        SELECT user_id, MIN(period) AS cohort FROM up GROUP BY user_id)
+      SELECT c.cohort, up.period - c.cohort AS age,
+             COUNT(DISTINCT up.user_id) AS n_users
+      FROM up JOIN c ON up.user_id = c.user_id
+      GROUP BY c.cohort, up.period - c.cohort"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -1771,7 +1792,8 @@ object Queries {
     q51TfidfTopTerms, q51cTfidfRatioExact, q52Bm25,
     q53IndexDedup, q53cCrossJaccardExact, q54Decontaminate, q55ChunkDocs,
     q56SnapshotDiff, q57EntityMatch, q58Outliers, q59IncrementalAgg,
-    q60StratifiedSample, q61Expectations, q62RobustOutliers, q63Funnel)
+    q60StratifiedSample, q61Expectations, q62RobustOutliers, q63Funnel,
+    q64CohortRetention)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
