@@ -1563,7 +1563,10 @@ object Queries {
     (s, dir) =>
       graft.operators.EntityResolution.blockedFuzzyPairs(
         t(s, dir, "customer"), "c_custkey", "c_name",
-        Seq("c_nationkey"), maxEdit = 2)
+        // uncapped to match the oracle EXACTLY at any scale factor — the
+        // SQL twin has no occupancy cap, and a silently-capped side
+        // would diverge the moment a nation block outgrew the default
+        Seq("c_nationkey"), maxEdit = 2, maxBlock = Int.MaxValue)
         .withColumnRenamed("id_a", "custkey_a")
         .withColumnRenamed("id_b", "custkey_b"),
     Some("""

@@ -25,10 +25,15 @@ import org.apache.spark.sql.functions._
   * works as long as it is applied identically everywhere, monotone, and
   * integral.
   *
-  * Overflow envelope: moments accumulate in decimal(38,0), so terms stay
-  * exact while n·|x|_max < 10¹⁹ — e.g. 10¹⁰ rows per group of 10⁹-unit
-  * values; int64 would already wrap at n·|x|_max ≈ 3·10⁹ (the whole
-  * reason for decimal here). Beyond that, rescale units — the test is
+  * Overflow envelope: the arithmetic runs in decimal(38,0), and the
+  * BINDING terms are the squares — dev² ≤ (2n·|x|max)² and
+  * k²·(n·ss − s²) ≤ (k·n·|x|max)² must stay under 10³⁸ — so the safe
+  * region is 2·k·n·|x|max < 10¹⁹ per group (e.g. k = 3, 10⁸ rows of
+  * 10⁹-unit values; int64 would wrap ~10⁹× earlier, the reason for
+  * decimal). Leaving it is LOUD under Spark's default ANSI mode
+  * (decimal overflow raises ARITHMETIC_OVERFLOW; with ANSI disabled it
+  * would null out and silently unflag — do not run this non-ANSI
+  * beyond the envelope). Rescale units to re-enter — the test is
   * invariant under x → x/c up to the quantization it introduces.
   *
   * Shape: ONE shuffle — a window over `groupCols` computes (n, s, ss)

@@ -40,16 +40,17 @@ object Cohorts {
       epochSecCol: Column,
       periodSeconds: Long): DataFrame = {
     require(periodSeconds > 0, "periodSeconds must be positive")
-    // exact floor division: subtract the positive remainder first, so
-    // the double division is mathematically exact (numerator a multiple
-    // of the divisor, both far under 2^53) — a bare `/`-then-cast could
-    // round at bucket boundaries
+    // exact floor division on longs: subtract the positive remainder,
+    // then INTEGRAL `div` — exact for the full long range. (A double `/`
+    // here would silently round for |epochSec| ≥ 2^53 — e.g. a caller
+    // passing nanoseconds instead of seconds — putting boundary rows in
+    // the wrong bucket with no error.)
     val a = epochSecCol.cast("long")
     val p = lit(periodSeconds)
     val userPeriods = events
       .select(
         col(userCol).as("user"),
-        ((a - pmod(a, p)) / p).cast("long").as("period"))
+        call_function("div", a - pmod(a, p), p).as("period"))
       .distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("user")
     userPeriods

@@ -48,8 +48,13 @@ object EntityResolution {
   def normalized(c: Column): Column =
     lower(regexp_replace(trim(c), "\\s+", " "))
 
-  private def simCol(dist: Column, a: Column, b: Column): Column =
-    lit(1.0) - dist.cast("double") / greatest(length(a), length(b)).cast("double")
+  private def simCol(dist: Column, a: Column, b: Column): Column = {
+    val maxLen = greatest(length(a), length(b))
+    // two empty strings match at distance 0 — sim is 1 by convention,
+    // and the division must not run (ANSI divide-by-zero is a job error)
+    when(maxLen === 0, lit(1.0))
+      .otherwise(lit(1.0) - dist.cast("double") / maxLen.cast("double"))
+  }
 
   /** Within-frame near-identity pairs: (id_a, id_b, edit_dist, sim) with
     * id_a < id_b, over rows sharing `blockCols`, edit distance ≤ maxEdit.

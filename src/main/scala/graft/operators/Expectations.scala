@@ -36,6 +36,8 @@ object Expectations {
     */
   final case class Rule(name: String, violation: Column) {
     require(name.matches("[A-Za-z0-9_]+"), s"rule name not identifier-safe: $name")
+    require(!name.startsWith("__") && !Set("rule", "total", "violations", "pass")(name),
+      s"rule name collides with a scorecard column: $name")
   }
 
   def notNull(c: String): Rule = Rule(s"not_null_$c", col(c).isNull)

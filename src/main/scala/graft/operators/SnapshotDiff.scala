@@ -55,13 +55,26 @@ object SnapshotDiff {
     require(tracked.nonEmpty, "no tracked columns to compare")
 
     // One struct per side keeps the join projection narrow and the
-    // old/new unpacking unambiguous regardless of name collisions.
+    // old/new unpacking unambiguous regardless of name collisions. The
+    // key join is <=> (null-safe): a USING-style equality join would
+    // never match a null-keyed row against itself, mis-classifying it
+    // as a delete + insert pair. (At most one null-key row per side —
+    // the same one-row-per-key snapshot contract as any other key.)
+    val idx = keys.indices
     val oldSide = oldDf.select(
-      keys.map(col) :+ struct(tracked.map(col): _*).as("__old"): _*)
+      idx.map(i => col(keys(i)).as(s"__ko_$i")) :+
+        struct(tracked.map(col): _*).as("__old"): _*)
     val newSide = newDf.select(
-      keys.map(col) :+ struct(tracked.map(col): _*).as("__new"): _*)
+      idx.map(i => col(keys(i)).as(s"__kn_$i")) :+
+        struct(tracked.map(col): _*).as("__new"): _*)
 
-    val joined = oldSide.join(newSide, keys, "full_outer")
+    val joined = oldSide
+      .join(newSide,
+        idx.map(i => col(s"__ko_$i") <=> col(s"__kn_$i")).reduce(_ && _),
+        "full_outer")
+      .select(
+        idx.map(i => coalesce(col(s"__ko_$i"), col(s"__kn_$i")).as(keys(i))) ++
+          Seq(col("__old"), col("__new")): _*)
 
     val anyChange: Column = tracked
       .map(c => !(col(s"__old.$c") <=> col(s"__new.$c")))
@@ -98,16 +111,28 @@ object SnapshotDiff {
     * was taken).
     */
   def apply_(oldDf: DataFrame, diffDf: DataFrame, keys: Seq[String]): DataFrame = {
-    val tracked = diffDf.columns.collect { case c if c.startsWith("new_") => c.stripPrefix("new_") }
+    // A tracked column is one the diff carries BOTH images of — the
+    // paired check keeps a key (or business column) whose own name
+    // happens to start with "new_" from being scraped as tracked.
+    val tracked = diffDf.columns.collect {
+      case c if c.startsWith("new_") && !keys.contains(c) &&
+        diffDf.columns.contains("old_" + c.stripPrefix("new_")) =>
+        c.stripPrefix("new_")
+    }
     val untracked = oldDf.columns.filterNot(keys.contains).toSeq.diff(tracked.toSeq)
     require(untracked.isEmpty,
       s"oldDf carries columns the diff does not track: ${untracked.mkString(", ")}")
-    val touched = diffDf.select(keys.map(col): _*)
+    val idx = keys.indices
+    val touched = diffDf.select(idx.map(i => col(keys(i)).as(s"__tk_$i")): _*)
     val incoming = diffDf
       .where(col("change_type").isin("insert", "update"))
       .select(keys.map(col) ++ tracked.map(c => col(s"new_$c").as(c)): _*)
     oldDf
-      .join(touched, keys, "left_anti")
+      // <=> anti-join: a null-keyed touched row must still suppress the
+      // old image (plain equality would keep it and then duplicate it)
+      .join(touched,
+        idx.map(i => col(keys(i)) <=> col(s"__tk_$i")).reduce(_ && _),
+        "left_anti")
       .unionByName(incoming.select(oldDf.columns.map(col): _*))
   }
 }

@@ -44,6 +44,20 @@ class CohortsSpec extends AnyFunSuite {
     assert(m === Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (1L, 0L) -> 1L, (1L, 1L) -> 1L))
   }
 
+  test("bucketing is exact beyond 2^53 (nanosecond clocks bucket correctly)") {
+    // double division would misplace boundary values at this magnitude
+    val week = 604800L * 1000000000L
+    // bucket-aligned base ≈ 1.7e18 ≫ 2^53
+    val base = (1700000000L * 1000000000L / week) * week
+    val ns = Seq(
+      (1L, base), (1L, base + week - 1L), // same bucket
+      (1L, base + week)                   // next bucket — off-by-one under rounding
+    ).toDF("user_id", "ns")
+    val m = Cohorts.retention(ns, "user_id", col("ns"), week)
+      .collect().map(r => r.getAs[Long]("age") -> r.getAs[Long]("n_users")).toMap
+    assert(m === Map(0L -> 1L, 1L -> 1L))
+  }
+
   test("raw events are scanned once (single source scan in the plan)") {
     val plan = Cohorts.retention(evs, "user_id", col("sec"), 10L)
       .queryExecution.optimizedPlan.toString

@@ -61,6 +61,16 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(got === Set((1L, 2L)))
   }
 
+  test("two empty strings match at sim 1.0 — no ANSI divide-by-zero") {
+    // normalized() turns whitespace-only names into "", so this shape
+    // occurs in real master data
+    val blanks = Seq((1L, "b", ""), (2L, "b", "")).toDF("id", "blk", "name")
+    val got = EntityResolution
+      .blockedFuzzyPairs(blanks, "id", "name", Seq("blk"), maxEdit = 1)
+      .select("edit_dist", "sim").as[(Int, Double)].collect().toSeq
+    assert(got === Seq((0, 1.0)))
+  }
+
   test("fuzzyJoin matches across frames within blocks") {
     val crm = Seq((10L, "x", "jane doe"), (11L, "y", "mike roe")).toDF("cid", "blk", "cname")
     val got = EntityResolution

@@ -88,4 +88,10 @@ class ExpectationsSpec extends AnyFunSuite {
       Rule("bad name'; --", lit(true))
     }
   }
+
+  test("rule names must not shadow scorecard or internal columns") {
+    Seq("__total", "rule", "violations", "total", "pass").foreach { bad =>
+      intercept[IllegalArgumentException] { Rule(bad, lit(true)) }
+    }
+  }
 }

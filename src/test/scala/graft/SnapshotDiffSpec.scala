@@ -65,6 +65,21 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(SnapshotDiff.diff(oldSnap, oldSnap, Seq("k")).isEmpty)
   }
 
+  test("null keys are keys: an unchanged null-keyed row is no change, a changed one is an update") {
+    val o = Seq((Some(1L), "a"), (Option.empty[Long], "x")).toDF("k", "status")
+    val nSame = Seq((Some(1L), "a"), (Option.empty[Long], "x")).toDF("k", "status")
+    assert(SnapshotDiff.diff(o, nSame, Seq("k")).isEmpty,
+      "identical snapshots with a null key must diff to nothing")
+    val nChanged = Seq((Some(1L), "a"), (Option.empty[Long], "y")).toDF("k", "status")
+    val d2 = SnapshotDiff.diff(o, nChanged, Seq("k"))
+    val r = d2.collect()
+    assert(r.length === 1 && r.head.getAs[String]("change_type") === "update" &&
+      r.head.isNullAt(r.head.fieldIndex("k")))
+    // and the replay invariant holds through the null key
+    val replayed = SnapshotDiff.apply_(o, d2, Seq("k"))
+    assert(replayed.exceptAll(nChanged).isEmpty && nChanged.exceptAll(replayed).isEmpty)
+  }
+
   test("the diff plan is one join and no more") {
     val joins = d.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
