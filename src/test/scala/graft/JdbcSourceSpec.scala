@@ -60,6 +60,18 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(JdbcSource.nextWatermark(none, "WM", 50L) === 50L)
   }
 
+  test("crash re-pull composes with CdcMerge into exactly-once (the documented loop)") {
+    // Simulate the documented failure: a pull lands but its watermark
+    // checkpoint is lost, so the SAME rows are pulled again. The keyed
+    // merge must absorb the replay — snapshot identical to one delivery.
+    val first = JdbcSource.readIncremental(spark, cfg, "ORDERS_SRC", "WM", lastSeen = 40L)
+    val snapshot = graft.operators.CdcMerge.mergeFullHistory(None, first, Seq("WM"))
+    val replay = JdbcSource.readIncremental(spark, cfg, "ORDERS_SRC", "WM", lastSeen = 40L)
+    val after = graft.operators.CdcMerge.mergeFullHistory(Some(snapshot), replay, Seq("WM"))
+    assert(after.count() === 10L, "replayed rows must not duplicate")
+    assert(after.select("WM").as[Long].collect().sorted.toSeq === (41L to 50L))
+  }
+
   test("the incremental loop converges: successive pulls partition the table") {
     var seen = Vector.empty[Long]
     var wm = Long.MinValue
