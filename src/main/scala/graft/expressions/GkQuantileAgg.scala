@@ -49,6 +49,25 @@ object GkSketch {
     StructField("g", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("delta", ArrayType(LongType, containsNull = false), nullable = false)))
 
+  /** Structural check for an incoming sketch: field NAMES AND TYPES
+    * (nullability-insensitive — parquet round-trips relax it). A
+    * name-only check would pass e.g. `count: int` or `value:
+    * array<float>` to [[fromRow]]'s positional getters, which read raw
+    * UnsafeRow bytes at the wrong widths — garbage quantiles, not an
+    * analysis error.
+    */
+  def isSketchStruct(dt: DataType): Boolean = {
+    def sameShape(a: DataType, b: DataType): Boolean = (a, b) match {
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall {
+          case (f, g) => f.name == g.name && sameShape(f.dataType, g.dataType)
+        }
+      case (x: ArrayType, y: ArrayType) => sameShape(x.elementType, y.elementType)
+      case _ => a == b
+    }
+    sameShape(dt, sketchType)
+  }
+
   def empty(relativeError: Double): QuantileSummaries =
     new QuantileSummaries(
       QuantileSummaries.defaultCompressThreshold, relativeError,
@@ -234,8 +253,7 @@ case class GkMergeAgg(
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case s: StructType if s.length == GkSketch.sketchType.length &&
-        s.fieldNames.sameElements(GkSketch.sketchType.fieldNames) =>
+    case s: StructType if GkSketch.isSketchStruct(s) =>
       TypeCheckResult.TypeCheckSuccess
     case other =>
       TypeCheckResult.TypeCheckFailure(
@@ -290,9 +308,7 @@ case class GkMergeAgg(
 case class GkQuantilesExpr(left: Expression, right: Expression) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (s: StructType, ArrayType(DoubleType, _))
-        if s.length == GkSketch.sketchType.length &&
-          s.fieldNames.sameElements(GkSketch.sketchType.fieldNames) =>
+    case (s: StructType, ArrayType(DoubleType, _)) if GkSketch.isSketchStruct(s) =>
       TypeCheckResult.TypeCheckSuccess
     case (l, r) =>
       TypeCheckResult.TypeCheckFailure(

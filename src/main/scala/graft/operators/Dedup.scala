@@ -452,8 +452,11 @@ object Dedup {
       idCol: String,
       numPerm: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
-    val pairs = minHashDedupPairs(docs, textCol, idCol, numPerm, bands, threshold = threshold)
+      threshold: Double = 0.7,
+      shingleK: Int = 3,
+      maxBucket: Int = 256): DataFrame = {
+    val pairs = minHashDedupPairs(
+      docs, textCol, idCol, numPerm, bands, shingleK, threshold, maxBucket)
     val clustered = duplicateClusters(pairs)
     val dropped = clustered.where(col("id") =!= col("cluster")).select(col("id").as(idCol))
     docs.join(dropped, Seq(idCol), "left_anti")

@@ -329,11 +329,18 @@ object DedupIndex {
     // broadcasts; the semi-join prunes the postings scan map-side and the
     // corpus side never enters an exchange. Re-read by the occupancy
     // split below → pinned (it is candidate-sized, not corpus-sized).
+    // distinct(): during compact's promote-then-delete window (or after
+    // a crash between them) every posting exists twice — raw-row
+    // occupancy would double __occ and flip under-cap buckets onto the
+    // keeper-only path, dropping real pairs. Deduplicating here is what
+    // makes compact's "duplicated rows cannot change any probe's answer"
+    // contract actually hold for the CAP, not just the candidate set.
     val matched = Caches.pin(
       spark.read.parquet(bandsDir(path))
         .join(broadcast(batchBands.select("band", "bucket").distinct()),
           Seq("band", "bucket"), "left_semi")
-        .select(col("band"), col("bucket"), col("id").as("corpus_id")))
+        .select(col("band"), col("bucket"), col("id").as("corpus_id"))
+        .distinct())
 
     // Hot-bucket cap on the INDEX side: a bucket with more than
     // `maxBucket` corpus members (boilerplate cluster) would multiply
@@ -395,7 +402,8 @@ object DedupIndex {
       .join(broadcast(batchBands.select("band", "bucket").distinct()),
         Seq("band", "bucket"), "left_semi")
       .groupBy("band", "bucket")
-      .agg(count(lit(1)).as("occupancy"))
+      // distinct members, matching the probe's deduplicated occupancy
+      .agg(count_distinct(col("id")).as("occupancy"))
       .where(col("occupancy") > maxBucket)
   }
 
@@ -417,6 +425,11 @@ object DedupIndex {
       .distinct()
     val fresh = batchDf.join(inCorpus, Seq(idCol), "left_anti")
     val p = params(batchDf.sparkSession, path)
-    Dedup.dedupByClusters(fresh, textCol, idCol, p.numPerm, p.bands, threshold)
+    // the intra-batch pass judges similarity with the INDEX's geometry
+    // (shingleK especially — 3-shingle Jaccard runs systematically higher
+    // than 5-shingle on near-identical text) and the caller's cap, so
+    // cross-corpus and within-batch dedup apply one definition
+    Dedup.dedupByClusters(
+      fresh, textCol, idCol, p.numPerm, p.bands, threshold, p.shingleK, maxBucket)
   }
 }

@@ -343,7 +343,17 @@ object Streams {
     val writer = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val label = f"$batchId%08d"
+        // "s"-prefixed label namespace: purely-numeric labels belong to
+        // manual build()/append() calls and to compact()'s merged output
+        // (nextBatchLabel numbers over numeric labels only), so a
+        // streaming label can never collide with either — an unprefixed
+        // f"$batchId%08d" collides with build's default "00000001" on
+        // micro-batch 1 and with every post-compact label, and
+        // appendIdempotent would silently skip the index append,
+        // permanently excluding that batch's docs from future dedup.
+        // CONTRACT: one checkpoint per index — restarting with a FRESH
+        // checkpoint resets batchId to 0 and replays into used labels.
+        val label = f"s$batchId%08d"
         val scope = Caches.newScope()
         try Caches.inScope(scope) {
           // consumed twice (output land + index append) → pinned so the

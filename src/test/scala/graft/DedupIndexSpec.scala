@@ -172,6 +172,28 @@ class DedupIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("duplicated postings cannot flip an under-cap bucket onto the keeper path") {
+    // compact's promote-then-delete window doubles every posting row; the
+    // occupancy cap must count DISTINCT members, or a bucket of 8 real
+    // members under maxBucket=10 reads as 16, goes "hot", and only the
+    // keeper gets verified — silently dropping 7 real pairs.
+    val path = tmp()
+    val eight = (1L to 8L).map(i => (i, "copy pasted boilerplate page with identical body text"))
+      .toDF("id", "text")
+    DedupIndex.build(eight, "text", "id", path, batch = "00000001")
+    val probe = Seq((100L, "copy pasted boilerplate page with identical body text")).toDF("id", "text")
+    def pairs() = DedupIndex
+      .crossPairs(probe, "text", "id", path, threshold = 0.5, maxBucket = 10)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(pairs() === (1L to 8L).toSet, "under-cap bucket verifies every member")
+    Caches.release()
+    // duplicate-window shape: the same content lands under a second label
+    DedupIndex.append(eight, "text", "id", path, "00000002_twin")
+    assert(pairs() === (1L to 8L).toSet,
+      "doubled posting rows must not change the cap decision or the pairs")
+    Caches.release()
+  }
+
   test("vacuum removes crashed-append staging residue without touching live batches") {
     val path = tmp()
     DedupIndex.build(corpus, "text", "id", path)

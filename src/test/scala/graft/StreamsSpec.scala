@@ -412,7 +412,43 @@ class StreamsSpec extends AnyFunSuite {
       query.processAllAvailable()
       val all = spark.read.parquet(outputPath).select("id").as[Long].collect().toSet
       assert(all == Set(1L, 2L, 13L), s"cross-batch dups must drop via the index: $all")
-      assert(graft.operators.DedupIndex.batches(spark, indexPath) == Seq("00000000", "00000001"))
+      assert(graft.operators.DedupIndex.batches(spark, indexPath) == Seq("s00000000", "s00000001"))
+    } finally query.stop()
+    graft.operators.Caches.release()
+  }
+
+  test("nearDupIngest onto a built index: stream labels cannot collide with build/compact labels") {
+    // build() claims the numeric label "00000001"; micro-batch 1's label
+    // must live in a different namespace — an unprefixed f"$batchId%08d"
+    // collided here and appendIdempotent silently SKIPPED the index
+    // append, so batch 1's docs never entered the index and their future
+    // near-dups sailed through.
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-neardup-built").toString
+    val indexPath = s"$root/index"
+    graft.operators.DedupIndex.build(
+      spark.createDataset(Seq(
+        (100L, "seed corpus document about atomic parquet batch appends"))).toDF("id", "text"),
+      "text", "id", indexPath)
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.nearDupIngest(
+      input.toDF().toDF("id", "text"), "text", "id", indexPath, s"$root/accepted",
+      threshold = 0.5)
+    try {
+      input.addData((1L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      query.processAllAvailable()
+      input.addData((2L, "watermarks bound streaming state while session windows group events"))
+      query.processAllAvailable()
+      assert(graft.operators.DedupIndex.batches(spark, indexPath).sorted ==
+        Seq("00000001", "s00000000", "s00000001"))
+      // the collision victim was batch 1 (label "00000001"): doc 2 must
+      // actually BE in the index — its near-dup probes as a duplicate
+      val probe = graft.operators.DedupIndex.crossPairs(
+        spark.createDataset(Seq(
+          (22L, "watermarks bound streaming state while session windows group the events"))).toDF("id", "text"),
+        "text", "id", indexPath, threshold = 0.5)
+      assert(probe.where(col("corpus_id") === 2L).count() === 1L,
+        "batch 1's docs must be probe-visible in the index")
     } finally query.stop()
     graft.operators.Caches.release()
   }
@@ -446,7 +482,7 @@ class StreamsSpec extends AnyFunSuite {
     try q2.processAllAvailable() finally q2.stop()
     // the re-executed batch must not duplicate output rows or index batches
     assert(spark.read.parquet(outputPath).count() == 1)
-    assert(graft.operators.DedupIndex.batches(spark, indexPath) == Seq("00000000"))
+    assert(graft.operators.DedupIndex.batches(spark, indexPath) == Seq("s00000000"))
     graft.operators.Caches.release()
   }
 }
