@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{text, vectors}
-import graft.operators.{AsofJoin, CdcMerge, Dedup, DedupIndex, Gold, Multimodal, Quality, Scd2, Sessionize, Similarity}
+import graft.operators.{AnnIndex, AsofJoin, CdcMerge, Dedup, DedupIndex, Gold, Multimodal, Quality, Scd2, Sessionize, Similarity}
 import graft.sources.Tables
 
 /** The engine's query catalog: one named query per operator from
@@ -1770,6 +1770,66 @@ object Queries {
       FROM up JOIN c ON up.user_id = c.user_id
       GROUP BY c.cohort, up.period - c.cohort"""))
 
+  /** Scaled near-copies of every 10th embedding — the planted batch the
+    * persisted ANN index queries probe for (same construction as q32:
+    * IEEE-754 float32 `x * 1.001f` is bit-identical across engines).
+    */
+  private def perturbedEmbeddings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select("vec_id", "embedding")
+      .where(col("vec_id") % 10 === 0)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding"))
+
+  /** Persisted-index embedding dedup — the per-batch production shape of
+    * similarity search: the corpus is cell-assigned into an on-disk IVF
+    * index ONCE, then the planted near-copy batch probes it (broadcast
+    * probed-cell semi-join + exact cosine verify on stored vectors)
+    * without corpus vectors ever being re-landed. Not ANSI-expressible
+    * (IVF cell routing); AnnIndexSpec asserts this result ⊆ q65c with
+    * full recall on the planted pairs, and the catalog twin q65c
+    * oracle-gates the values.
+    */
+  val q65AnnIndexDedup: Q = Q(
+    "q65_ann_index_dedup",
+    (s, dir) => {
+      val corpus = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val path = java.nio.file.Files.createTempDirectory("graft_ann_index").toString
+      AnnIndex.build(corpus, "vec_id", "embedding", path, nlist = 16)
+      AnnIndex.crossNeighbors(
+        perturbedEmbeddings(s, dir), "vec_id", "embedding", path,
+        threshold = 0.99, nprobe = 8)
+        .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
+    },
+    None)
+
+  /** EXACT ground truth for q65: brute-force cross cosine over corpus ∪
+    * batch restricted to CROSS pairs (corpus id < 1,000,000 ≤ batch id).
+    * Pair ids only — a threshold-set decision with a wide margin (the
+    * q32c argument), so DuckDB reproduces the set without bit-matching
+    * float summation order.
+    */
+  val q65cAnnCrossExact: Q = Q(
+    "q65c_ann_cross_exact",
+    (s, dir) =>
+      Similarity.cosineNearDupPairsExact(
+        t(s, dir, "embeddings").select("vec_id", "embedding")
+          .unionByName(perturbedEmbeddings(s, dir)),
+        "vec_id", "embedding", threshold = 0.99)
+        .where(col("id_a") < 1000000L && col("id_b") >= 1000000L),
+    Some("""
+      WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      pert AS (SELECT vec_id + 1000000 AS vec_id,
+                      list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
+               FROM base WHERE vec_id % 10 = 0),
+      allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 1000000 AND b.vec_id >= 1000000
+        AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+            (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+             sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.99"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -1796,7 +1856,7 @@ object Queries {
     q53IndexDedup, q53cCrossJaccardExact, q54Decontaminate, q55ChunkDocs,
     q56SnapshotDiff, q57EntityMatch, q58Outliers, q59IncrementalAgg,
     q60StratifiedSample, q61Expectations, q62RobustOutliers, q63Funnel,
-    q64CohortRetention)
+    q64CohortRetention, q65AnnIndexDedup, q65cAnnCrossExact)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -123,11 +123,11 @@ case class NearestCentroidsExpr(
          |    $d += $x * $x;
          |  }
          |  if (Double.isNaN($d)) $d = Double.POSITIVE_INFINITY;
-         |  if ($d < $bestD[$nprobe - 1]
-         |      || ($d == $bestD[$nprobe - 1] && $c < $bestC[$nprobe - 1])) {
+         |  if ($d < $bestD[$nprobe - 1] ||
+         |      ($d == $bestD[$nprobe - 1] && $c < $bestC[$nprobe - 1])) {
          |    int $p = $nprobe - 1;
-         |    while ($p > 0 && ($bestD[$p - 1] > $d
-         |        || ($bestD[$p - 1] == $d && $bestC[$p - 1] > $c))) {
+         |    while ($p > 0 && ($bestD[$p - 1] > $d ||
+         |        ($bestD[$p - 1] == $d && $bestC[$p - 1] > $c))) {
          |      $bestD[$p] = $bestD[$p - 1]; $bestC[$p] = $bestC[$p - 1]; $p--;
          |    }
          |    $bestD[$p] = $d; $bestC[$p] = $c;

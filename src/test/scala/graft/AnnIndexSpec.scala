@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnIndex, Caches, Similarity}
+
+class AnnIndexSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_ann_index_spec").toString
+
+  // two well-separated directions (cos 0.7 across groups stays far below
+  // the 0.95 test threshold)
+  private val corpus = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.7f, 0.7f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Seq(0.0f, 0.7f, 0.7f, 0.0f)))
+    .toDF("id", "vec")
+
+  // scaled copy of 1, a fresh direction, exact copy of 3, and an internal
+  // near-dup pair (12 ≈ 14) inside the batch itself
+  private val batch = Seq(
+    (11L, Seq(1.001f, 0.0f, 0.0f, 0.0f)),
+    (12L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),
+    (13L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (14L, Seq(0.0f, 0.0f, 0.01f, 0.9995f)))
+    .toDF("id", "vec")
+
+  private def buildSmall(path: String): Unit =
+    AnnIndex.build(corpus, "id", "vec", path, nlist = 2, sampleRows = 8, kmeansIters = 5)
+
+  test("build + crossNeighbors: batch vectors pair with their corpus sources, fresh do not") {
+    val path = tmp()
+    buildSmall(path)
+    val pairs = AnnIndex.crossNeighbors(batch, "id", "vec", path, threshold = 0.95, nprobe = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    assert(pairs.keySet == Set((11L, 1L), (13L, 3L)), s"pairs = $pairs")
+    assert(pairs((11L, 1L)) > 0.999, "scaled copy must verify at ~1")
+    assert(pairs((13L, 3L)) > 0.999, "exact copy must verify at ~1")
+    Caches.release()
+  }
+
+  test("crossNeighbors at nprobe = nlist equals the brute-force exact cross pairs") {
+    val path = tmp()
+    buildSmall(path)
+    val probed = AnnIndex.crossNeighbors(batch, "id", "vec", path, threshold = 0.95, nprobe = 2)
+      .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineNearDupPairsExact(
+      corpus.unionByName(batch), "id", "vec", threshold = 0.95)
+      .where(col("id_a") <= 4L && col("id_b") >= 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed == exact, s"full-probe index must equal brute force: $probed vs $exact")
+    Caches.release()
+  }
+
+  test("append: immutable labels, idempotent retry, atomic visibility") {
+    val path = tmp()
+    buildSmall(path)
+    assert(AnnIndex.batches(spark, path) == Seq("00000001"))
+    assert(AnnIndex.nextBatchLabel(spark, path) == "00000002")
+    val fresh = Seq((21L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("id", "vec")
+    AnnIndex.append(fresh, "id", "vec", path, "00000002")
+    assert(AnnIndex.batches(spark, path) == Seq("00000001", "00000002"))
+    // immutable: re-appending a landed label fails
+    intercept[java.io.IOException] {
+      AnnIndex.append(fresh, "id", "vec", path, "00000002")
+    }
+    // idempotent retry: same label is a no-op, row counts unchanged
+    AnnIndex.appendIdempotent(fresh, "id", "vec", path, "00000002")
+    val counts = AnnIndex.stats(spark, path)
+      .collect().map(r => r.getAs[String]("batch") -> r.getAs[Long]("vectors")).toMap
+    assert(counts == Map("00000001" -> 4L, "00000002" -> 1L))
+    // the appended vector is immediately probe-visible
+    val hit = AnnIndex.crossNeighbors(
+      Seq((31L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("id", "vec"),
+      "id", "vec", path, threshold = 0.95, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id")))
+    assert(hit.toSet == Set((31L, 21L)))
+    Caches.release()
+  }
+
+  test("compact folds batches into one without changing probe answers") {
+    val path = tmp()
+    buildSmall(path)
+    AnnIndex.append(
+      Seq((21L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("id", "vec"),
+      "id", "vec", path, "00000002")
+    def probe(): Set[(Long, Long)] =
+      AnnIndex.crossNeighbors(batch, "id", "vec", path, threshold = 0.95, nprobe = 2)
+        .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+    val before = probe()
+    val merged = AnnIndex.compact(spark, path)
+    assert(AnnIndex.batches(spark, path) == Seq(merged))
+    assert(probe() == before, "compaction must not change probe answers")
+    assert(AnnIndex.stats(spark, path).agg(sum("vectors")).head.getLong(0) == 5L)
+    // compacting a single batch is a no-op returning the same label
+    assert(AnnIndex.compact(spark, path) == merged)
+    Caches.release()
+  }
+
+  test("maxCell caps over-occupied cells onto the keeper-only path, observably") {
+    val path = tmp()
+    // three near-identical corpus vectors land in the same cell
+    val boiler = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.001f, 0.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.001f, 0.0f, 0.0f)),
+      (9L, Seq(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("id", "vec")
+    AnnIndex.build(boiler, "id", "vec", path, nlist = 2, sampleRows = 8)
+    val q = Seq((11L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val uncapped = AnnIndex.crossNeighbors(q, "id", "vec", path, threshold = 0.95, nprobe = 2)
+      .collect().map(_.getAs[Long]("corpus_id")).toSet
+    assert(uncapped == Set(1L, 2L, 3L))
+    val capped = AnnIndex.crossNeighbors(
+      q, "id", "vec", path, threshold = 0.95, nprobe = 2, maxCell = 2)
+      .collect().map(_.getAs[Long]("corpus_id")).toSet
+    assert(capped == Set(1L), s"over-cap cell must contribute only its keeper: $capped")
+    val hot = AnnIndex.hotCells(q, "id", "vec", path, nprobe = 2, maxCell = 2)
+      .collect().map(_.getAs[Long]("occupancy"))
+    assert(hot.toSeq == Seq(3L), "the capped cell must surface in the audit view")
+    Caches.release()
+  }
+
+  test("topNeighbors ranks probed candidates by cosine, k-bounded") {
+    val path = tmp()
+    buildSmall(path)
+    val top = AnnIndex.topNeighbors(
+      Seq((11L, Seq(1.0f, 0.1f, 0.0f, 0.0f))).toDF("id", "vec"),
+      "id", "vec", path, k = 2, nprobe = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("corpus_id"), r.getAs[Int]("rank")))
+    // nearest is 1 ([1,0,0,0]), then 2 ([0.7,0.7,0,0] at cos ~0.79)
+    assert(top.toSeq == Seq((1L, 1), (2L, 2)), s"top = ${top.toSeq}")
+    Caches.release()
+  }
+
+  test("dedupBatch drops corpus dups, keeps one of each internal near-dup group") {
+    val path = tmp()
+    buildSmall(path)
+    val accepted = AnnIndex.dedupBatch(
+      batch, "id", "vec", path, threshold = 0.95, nprobe = 2, dim = 4)
+      .select("id").as[Long].collect().toSet
+    // 11 and 13 duplicate the corpus; 12 ≈ 14 keep the min id 12
+    assert(accepted == Set(12L), s"accepted = $accepted")
+    Caches.release()
+  }
+
+  test("probing an empty index matches nothing; init refuses retrain over batches") {
+    val path = tmp()
+    AnnIndex.init(spark, path, Similarity.trainIvf(corpus, "id", "vec", nlist = 2, sampleRows = 8))
+    assert(AnnIndex.crossNeighbors(batch, "id", "vec", path, nprobe = 2).count() == 0L)
+    AnnIndex.append(corpus, "id", "vec", path, "00000001")
+    intercept[IllegalArgumentException] {
+      AnnIndex.init(spark, path,
+        Similarity.trainIvf(batch, "id", "vec", nlist = 2, sampleRows = 8))
+    }
+    Caches.release()
+  }
+
+  test("catalog q65 ⊆ q65c with full recall on the planted scaled copies") {
+    val sfDir = "/root/testdata/sf0.001"
+    val probed = Queries.q65AnnIndexDedup.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Queries.q65cAnnCrossExact.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed.subsetOf(exact), s"index pairs must be a subset of brute force")
+    val planted = exact.filter { case (a, b) => b == a + 1000000L }
+    assert(planted.subsetOf(probed),
+      s"every planted copy must be recalled: missing ${planted.diff(probed).take(5)}")
+    Caches.release()
+  }
+
+  test("vacuum removes crashed-append staging residue, not landed batches") {
+    val path = tmp()
+    buildSmall(path)
+    val staging = new java.io.File(s"$path/vectors/.staging_99_dead")
+    assert(staging.mkdirs())
+    AnnIndex.vacuum(spark, path)
+    assert(!staging.exists(), "staging residue must be removed")
+    assert(AnnIndex.batches(spark, path) == Seq("00000001"))
+    Caches.release()
+  }
+}
