@@ -985,14 +985,30 @@ object Queries {
              md5(text) AS md5
       FROM documents"""))
 
-  /** Stubbed media decode: partition-wise batched typed pipeline. */
+  /** REAL image decode, oracle-gated: each document id becomes a synthetic
+    * PNG whose geometry is a pure function of the id, Spark runs the real
+    * encode → javax.imageio decode path, and DuckDB predicts the expected
+    * dimensions arithmetically — the hashes agree only if both codec
+    * passes are faithful.
+    */
   val q41MediaDecode: Q = Q(
     "q41_media_decode",
-    (s, dir) =>
-      Multimodal.decodeStub(
-        s,
-        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "image")).toDF(),
-    None)
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, "image", Multimodal.syntheticPng(id))))
+        .toDF("media_id", "kind", "bytes")
+      Multimodal.decodeImages(s, media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"))
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(8 + doc_id % 32 AS INT) AS width,
+             CAST(8 + (doc_id // 32) % 32 AS INT) AS height,
+             3 AS channels
+      FROM documents"""))
 
   /** Frame sampling: one row per sampled video frame (map-side explode). */
   val q42FrameSample: Q = Q(
@@ -1391,6 +1407,46 @@ object Queries {
         query = Seq("spark", "merge", "window"))
         .limit(20),
     None)
+
+  /** EXACT-RATIONAL BM25 twin of q52, ORACLE-GATED: rational idf and a
+    * cleared-denominator tf-normalization make every per-term weight one
+    * correctly-rounded integer-ratio division, and the per-doc sum runs in
+    * fixed query order — bit-identical across engines (the q51c trick).
+    */
+  val q52cBm25Exact: Q = Q(
+    "q52c_bm25_exact",
+    (s, dir) =>
+      graft.operators.Ranking.bm25ExactRational(
+        t(s, dir, "documents"), "doc_id", "text",
+        query = Seq("spark", "merge", "window"))
+        .limit(20),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS toks
+        FROM documents),
+      stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) AS d FROM tok),
+      tf AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+          SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok) u
+        WHERE term IN ('spark', 'merge', 'window')
+        GROUP BY doc_id, dl, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      w AS (
+        SELECT tf.doc_id, tf.term,
+               CAST((2*s.n - 2*df.df + 1) * 22 * tf.tf * s.d AS DOUBLE) /
+               CAST((2*df.df + 1) * (10*tf.tf*s.d + 3*s.d + 9*tf.dl*s.n) AS DOUBLE) AS w
+        FROM tf JOIN df USING (term) CROSS JOIN stats s),
+      piv AS (
+        SELECT doc_id,
+               MAX(CASE WHEN term = 'spark' THEN w END) AS w0,
+               MAX(CASE WHEN term = 'merge' THEN w END) AS w1,
+               MAX(CASE WHEN term = 'window' THEN w END) AS w2
+        FROM w GROUP BY doc_id)
+      SELECT doc_id,
+             COALESCE(w0, CAST(0 AS DOUBLE)) + COALESCE(w1, CAST(0 AS DOUBLE)) + COALESCE(w2, CAST(0 AS DOUBLE)) AS score
+      FROM piv
+      ORDER BY score DESC, doc_id
+      LIMIT 20"""))
 
   /** Persisted-index cross dedup — the per-batch production shape: the
     * original corpus is sketched into an on-disk MinHash/LSH index ONCE,
@@ -1852,7 +1908,7 @@ object Queries {
     q40BinaryMeta, q41MediaDecode, q42FrameSample, q43TokenShards, q44IntervalJoin,
     q45OrcRoundtrip, q46AvroRoundtrip, q47HeavyHitters, q48HashSplit,
     q49ApproxHeavyHitters, q50ProfileSketch, q50cProfileExact,
-    q51TfidfTopTerms, q51cTfidfRatioExact, q52Bm25,
+    q51TfidfTopTerms, q51cTfidfRatioExact, q52Bm25, q52cBm25Exact,
     q53IndexDedup, q53cCrossJaccardExact, q54Decontaminate, q55ChunkDocs,
     q56SnapshotDiff, q57EntityMatch, q58Outliers, q59IncrementalAgg,
     q60StratifiedSample, q61Expectations, q62RobustOutliers, q63Funnel,

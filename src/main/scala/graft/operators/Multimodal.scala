@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   * inline for small assets; at 100 TB the bytes column would point into an
   * object store and only metadata travels through shuffles).
   *
-  * The actual codec work (JPEG decode, audio resample, video frame-sample)
-  * requires native libraries not present in this container, so `decodeStub`
-  * is a clearly-marked DETERMINISTIC FAKE: it derives plausible metadata
-  * from the bytes alone. The Spark-side plumbing — schema, batching,
-  * partition-wise execution, typed Dataset round-trip — is real and is what
-  * the tests cover. Swap `fakeDecode` for a JNI/FFM codec call and nothing
-  * else changes.
+  * IMAGE decode is REAL: [[decodeImages]] runs `javax.imageio` (JDK-public
+  * PNG/JPEG/GIF/BMP decoders, no native deps) partition-wise and batched.
+  * Audio resample and video frame-sample codecs are NOT on this classpath,
+  * so `decodeStub` remains a clearly-marked DETERMINISTIC FAKE for those
+  * kinds: it derives plausible metadata from the bytes alone. The
+  * Spark-side plumbing — schema, batching, partition-wise execution, typed
+  * Dataset round-trip — is identical in both; swap `fakeDecode` for an
+  * FFM codec call and nothing else changes.
   */
 object Multimodal {
 
@@ -68,6 +69,74 @@ object Multimodal {
           batch.map(fakeDecode)
         }
       }
+  }
+
+  // --- Real image decode (javax.imageio — JDK-public, no native deps) ---
+
+  final case class ImageRow(
+      media_id: Long,
+      kind: String,
+      byte_len: Int,
+      width: Option[Int],
+      height: Option[Int],
+      channels: Option[Int])
+
+  /** REAL image decode over the binary payload via `javax.imageio` (PNG /
+    * JPEG / GIF / BMP — the formats the JDK ships decoders for). Same
+    * partition-wise batched shape as [[decodeStub]]; undecodable payloads
+    * yield NULL dimensions instead of failing the task (corrupt assets are
+    * routine at corpus scale — filter `width IS NULL` into quarantine).
+    * ImageIO's disk-backed cache is disabled: decode stays in-memory and
+    * per-task, nothing shared mutable across the 32 executor threads.
+    */
+  def decodeImages(spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[ImageRow] = {
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("kind"), col("bytes"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val img =
+              try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes)))
+              catch { case scala.util.control.NonFatal(_) => None } // malformed headers throw more than IOException
+            ImageRow(
+              media_id = r.media_id,
+              kind = r.kind,
+              byte_len = r.bytes.length,
+              width = img.map(_.getWidth),
+              height = img.map(_.getHeight),
+              channels = img.map(_.getRaster.getNumBands))
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic PNG: a real, decodable image whose geometry
+    * is a pure function of `id` — width 8 + id % 32, height 8 + (id / 32)
+    * % 32, 3 channels — so an external oracle can predict what
+    * [[decodeImages]] must report without running a codec (the q41 gate:
+    * Spark runs id → real PNG encode → real decode → dims; DuckDB runs
+    * the arithmetic; they agree only if both codec passes are faithful).
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 8 + math.floorMod(id, 32).toInt
+    val h = 8 + math.floorMod(id / 32, 32).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (id + x * 31 + y * 131).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Pure-SQL metadata extraction (byte length + checksums) — the part of

@@ -128,4 +128,64 @@ object Ranking {
       .agg(sum(col("w")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
   }
+
+  /** ORACLE-EXACT BM25 twin at fixed k1 = 6/5, b = 3/4 (the [[bm25]]
+    * defaults): the same plan shape and the same monotone ranking intent,
+    * but every per-term weight is a ratio of two EXACT integers, so both
+    * engines compute bit-identical doubles with ONE correctly-rounded
+    * division each (the q51c trick, applied to BM25's harder shape):
+    *
+    *  - `ln(1 + (N−df+0.5)/(df+0.5))` → the rational `(2N−2df+1)/(2df+1)`
+    *    (monotone image of the same idf argument, so ranking intent holds);
+    *  - `avgdl = D/N` never materializes as a float: multiplying the
+    *    tf-normalization through by `10·D` clears k1, b AND avgdl at once:
+    *      w(d,t) = (2N−2df+1)·22·tf·D /
+    *               ((2df+1)·(10·tf·D + 3·D + 9·dl·N))
+    *    with D = Σ dl. All products stay far under 2^53 (D ≈ 10⁶ tokens ×
+    *    tf ≤ 10³ × N ≤ 10⁶ would still fit);
+    *  - per-doc summation never runs float addition in shuffle order: the
+    *    ≤|query| weights pivot into fixed columns (exactly one (doc,term)
+    *    row each, so `max` is selection, not arithmetic) and add in QUERY
+    *    ORDER — the one float expression both engines evaluate identically.
+    *
+    * Output: (doc_id, score), descending (doc_id tiebreak).
+    */
+  def bm25ExactRational(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: Seq[String]): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val terms = query.map(_.toLowerCase).distinct
+    val tokenized = docs.select(
+      col(idCol).as("doc_id"),
+      text.tokens(lower(col(textCol))).as("toks"))
+    val stats = tokenized.agg(
+      count(lit(1)).as("n"), sum(size(col("toks")).cast("long")).as("d")).head()
+    val n = stats.getLong(0)
+    val dTot = stats.getLong(1)
+
+    val tf = tokenized
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = documentFrequencies(tf.select("doc_id", "term", "tf"))
+
+    val num = (lit(2L * n) - lit(2L) * col("df") + lit(1L)) * lit(22L) * col("tf") * lit(dTot)
+    val den = (lit(2L) * col("df") + lit(1L)) *
+      (lit(10L) * col("tf") * lit(dTot) + lit(3L * dTot) + lit(9L) * col("dl") * lit(n))
+    val perTerm = tf.join(broadcast(df), "term")
+      .select(col("doc_id"), col("term"), (num.cast("double") / den.cast("double")).as("w"))
+    val pivoted = perTerm.groupBy("doc_id").agg(
+      max(when(col("term") === terms.head, col("w"))).as(s"__w0"),
+      terms.tail.zipWithIndex.map { case (t, i) =>
+        max(when(col("term") === t, col("w"))).as(s"__w${i + 1}")
+      }: _*)
+    pivoted
+      .select(
+        col("doc_id"),
+        terms.indices.map(i => coalesce(col(s"__w$i"), lit(0.0))).reduce(_ + _).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
 }

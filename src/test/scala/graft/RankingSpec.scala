@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Ranking
+import graft.sources.Tables
 
 /** TF-IDF / BM25 semantics on hand corpora plus the plan shapes the scale
   * story depends on. The `ln`-scored paths are validated here against
@@ -95,6 +96,58 @@ class RankingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), s"expected the native top-k exec:\n$plan")
     assert(!plan.contains("Window"), s"must not fall back to row_number:\n$plan")
+  }
+
+  test("nondeterministic input: pinned per the stability contract, both actions agree") {
+    // rand()-derived docs re-roll per job — the exact shape the scaladoc's
+    // two-action contract (corpus-size scalar + scoring job) warns about.
+    // Pinning fixes ONE materialization for both actions; tfidfTopTerms on
+    // the pinned frame must then equal an independent recomputation on it.
+    val wild = spark.range(500).select(
+      col("id").as("doc_id"),
+      concat(
+        lit("alpha beta"),
+        when(floor(rand(seed = 7) * 2) === 0, lit(" gamma")).otherwise(lit(" delta")))
+        .as("text"))
+    val pinned = graft.operators.Caches.pin(wild)
+    try {
+      val n = pinned.count()
+      val tf = graft.operators.Ranking.termFrequencies(pinned, "doc_id", "text")
+      val df = graft.operators.Ranking.documentFrequencies(tf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = graft.operators.Ranking.tfidfTopTerms(
+        pinned, "doc_id", "text", k = 1,
+        score = graft.operators.Ranking.ratioIdfScore)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"))).toMap
+      // per-doc winner: the rarer of (gamma|delta) beats the universal terms
+      // (tf all 1, score = n/df); consistency across the two actions means
+      // the df map from action 1 predicts action 2's winners exactly
+      val rarer = Seq("gamma", "delta").minBy(df.getOrElse(_, Long.MaxValue))
+      val universal = df("alpha")
+      assert(universal == n, "pinned frame: every doc carries alpha")
+      got.foreach { case (_, term) =>
+        assert(Seq("gamma", "delta").contains(term),
+          s"winner must be a split term (df < $universal), got $term")
+      }
+      assert(got.values.count(_ == rarer) > 0, "the rarer split term wins somewhere")
+    } finally pinned.unpersist()
+  }
+
+  test("bm25ExactRational: single-term ranking identical to float bm25 (monotone image)") {
+    // with ONE query term the per-doc score is a single monotone image of
+    // (tf, dl) in both variants — idf is a doc-independent positive factor
+    // — so the full orderings must agree exactly (doc_id tiebreak shared);
+    // multi-term orderings can legitimately differ (ln compresses relative
+    // term weights), which is why q52c is its own catalog entry rather
+    // than a bit-twin of q52
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val floatRank = graft.operators.Ranking.bm25(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val exactRank = graft.operators.Ranking.bm25ExactRational(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(floatRank == exactRank, "single-term orderings must match exactly")
+    assert(floatRank.nonEmpty)
   }
 
   test("q51/q51c/q52 return sane results on sf0.001") {
