@@ -1805,6 +1805,34 @@ object Queries {
       LEFT JOIN s2 ON s1.user_id = s2.user_id
       LEFT JOIN s3 ON s2.user_id = s3.user_id"""))
 
+  /** Windowed funnel: same greedy earliest chain, but each step must land
+    * within 2 hours of the previous accepted step — the per-step
+    * conversion window every real funnel query phrases. The chained
+    * min-join oracle carries the same window predicate, reproducing the
+    * greedy semantics bit-for-bit.
+    */
+  val q63bFunnelWindowed: Q = Q(
+    "q63b_funnel_windowed",
+    (s, dir) =>
+      graft.operators.Funnel.earliestChain(
+        t(s, dir, "events").withColumn("ts_us", expr("ts_ns div 1000")),
+        "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"),
+        maxStepGap = Some(7200000000L)),
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+      s1 AS (SELECT user_id, MIN(ts) AS t_1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t_2 FROM e JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t_1 AND e.ts - s1.t_1 <= 7200000000 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.ts) AS t_3 FROM e JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 AND e.ts - s2.t_2 <= 7200000000 GROUP BY e.user_id)
+      SELECT s1.user_id,
+             CAST(1 + CAST(s2.user_id IS NOT NULL AS INT) + CAST(s3.user_id IS NOT NULL AS INT) AS INT) AS depth,
+             s1.t_1, s2.t_2, s3.t_3
+      FROM s1
+      LEFT JOIN s2 ON s1.user_id = s2.user_id
+      LEFT JOIN s3 ON s2.user_id = s3.user_id"""))
+
   /** Weekly cohort retention over events: users bucketed by
     * first-activity week, counted per (cohort, age) — exact long
     * arithmetic end to end (epoch seconds, floor division), hash-gated.
@@ -1825,6 +1853,52 @@ object Queries {
              COUNT(DISTINCT up.user_id) AS n_users
       FROM up JOIN c ON up.user_id = c.user_id
       GROUP BY c.cohort, up.period - c.cohort"""))
+
+  /** Retention rates: the q64 matrix plus per-cohort base size and
+    * n_users/cohort_size — one correctly-rounded division, hash-gated.
+    */
+  val q64bCohortRates: Q = Q(
+    "q64b_cohort_rates",
+    (s, dir) =>
+      graft.operators.Cohorts.retentionRates(
+        t(s, dir, "events"), "user_id",
+        expr("ts_ns div 1000000000"), periodSeconds = 604800L),
+    Some("""
+      WITH up AS (
+        SELECT DISTINCT user_id, (epoch_us(ts) // 1000000) // 604800 AS period FROM events),
+      c AS (
+        SELECT user_id, MIN(period) AS cohort FROM up GROUP BY user_id),
+      m AS (
+        SELECT c.cohort, up.period - c.cohort AS age,
+               COUNT(DISTINCT up.user_id) AS n_users
+        FROM up JOIN c ON up.user_id = c.user_id
+        GROUP BY c.cohort, up.period - c.cohort)
+      SELECT cohort, age, n_users,
+             MAX(CASE WHEN age = 0 THEN n_users END) OVER (PARTITION BY cohort) AS cohort_size,
+             CAST(n_users AS DOUBLE) /
+               CAST(MAX(CASE WHEN age = 0 THEN n_users END) OVER (PARTITION BY cohort) AS DOUBLE) AS rate
+      FROM m"""))
+
+  /** Calendar-week cohorts: ISO Monday-truncated periods, age in whole
+    * weeks — the date_trunc semantics fixed-seconds buckets deliberately
+    * avoid, now first-class and hash-gated (both engines truncate weeks
+    * to Monday).
+    */
+  val q64cCohortCalendar: Q = Q(
+    "q64c_cohort_calendar",
+    (s, dir) =>
+      graft.operators.Cohorts.retentionCalendar(
+        t(s, dir, "events"), "user_id",
+        timestamp_seconds(expr("ts_ns div 1000000000")), unit = "week"),
+    Some("""
+      WITH up AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS period FROM events),
+      c AS (
+        SELECT user_id, MIN(period) AS cohort FROM up GROUP BY user_id)
+      SELECT c.cohort, CAST((up.period - c.cohort) // 7 AS INT) AS age,
+             COUNT(DISTINCT up.user_id) AS n_users
+      FROM up JOIN c ON up.user_id = c.user_id
+      GROUP BY c.cohort, CAST((up.period - c.cohort) // 7 AS INT)"""))
 
   /** Scaled near-copies of every 10th embedding — the planted batch the
     * persisted ANN index queries probe for (same construction as q32:
@@ -1912,7 +1986,8 @@ object Queries {
     q53IndexDedup, q53cCrossJaccardExact, q54Decontaminate, q55ChunkDocs,
     q56SnapshotDiff, q57EntityMatch, q58Outliers, q59IncrementalAgg,
     q60StratifiedSample, q61Expectations, q62RobustOutliers, q63Funnel,
-    q64CohortRetention, q65AnnIndexDedup, q65cAnnCrossExact)
+    q63bFunnelWindowed, q64CohortRetention, q64bCohortRates, q64cCohortCalendar,
+    q65AnnIndexDedup, q65cAnnCrossExact)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -28,9 +28,24 @@ import org.apache.spark.sql.functions._
   *
   * Scale: the exchange carries (user, ts, step_idx) for matching events
   * only; per-user arrays are bounded by that user's funnel activity.
-  * Power users inflate one group's array, not the shuffle — and a
-  * per-user activity cap belongs upstream (drop users beyond N events
-  * via [[Frequency]] candidates) if a corpus has adversarial actors.
+  * Power users inflate one group's array, not the shuffle — and
+  * `maxEventsPerUser` bounds even that: users with more funnel events
+  * than the cap are EXCLUDED from the result (their groups never
+  * materialize an array) and surface in the [[oversizeUsers]] audit view
+  * instead — the same bounded, observable contract as `maxBucket`/
+  * `maxBlock` elsewhere in the repo. The occupancy count is a window
+  * over the same user key the fold groups on, so the cap adds no
+  * exchange.
+  *
+  * `maxStepGap` adds the per-step conversion window every real funnel
+  * query phrases ("step i within T of step i−1"): step i is accepted
+  * only when `tᵢ₋₁ < ts ≤ tᵢ₋₁ + T`. The semantics stays the GREEDY
+  * earliest chain — the product-analytics convention, and exactly what
+  * the chained min-join SQL with the same window reproduces — NOT a
+  * max-depth search over alternative chains (with a window, a later
+  * step-1 event can occasionally reach deeper; greedy answers "the
+  * first chain", which is the convention and the oracle-expressible
+  * definition).
   *
   * Output: one row per user who completed ≥ 1 step — `(user, depth,
   * t_1 … t_k)` with tᵢ null past the reached depth. Funnel conversion
@@ -38,11 +53,7 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  /** Greedy earliest-chain funnel over `steps` event types. `tsCol` must
-    * be an integral (or otherwise strictly ordered, non-null) column —
-    * the events table's `ts_ns` long, not a float.
-    */
-  def earliestChain(
+  private def slimEvents(
       events: DataFrame,
       userCol: String,
       tsCol: String,
@@ -51,35 +62,63 @@ object Funnel {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       "repeated step types would need per-occurrence semantics — disambiguate upstream")
-    val k = steps.size
     // step name → 0-based index, resolved in the scan stage
     val stepIdx = steps.zipWithIndex
       .foldLeft(lit(null).cast("int")) { case (rest, (s, i)) =>
         when(col(typeCol) === s, lit(i)).otherwise(rest)
       }
-    val slim = events
+    events
       .select(col(userCol).as("user"), col(tsCol).as("ts"), stepIdx.as("step"))
       .where(col("step").isNotNull)
-    val folded = slim
+  }
+
+  /** Greedy earliest-chain funnel over `steps` event types. `tsCol` must
+    * be an integral (or otherwise strictly ordered, non-null) column —
+    * the events table's `ts_ns` long, not a float. `maxStepGap` (same
+    * unit as `tsCol`) bounds each step's distance from the previous
+    * accepted one; `maxEventsPerUser` routes pathological actors to
+    * [[oversizeUsers]] instead of one OOM'd task.
+    */
+  def earliestChain(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      maxStepGap: Option[Long] = None,
+      maxEventsPerUser: Long = Long.MaxValue): DataFrame = {
+    val k = steps.size
+    val slim = slimEvents(events, userCol, tsCol, typeCol, steps)
+    val capped =
+      if (maxEventsPerUser == Long.MaxValue) slim
+      else Blocking.withOccupancy(slim, Seq("user"))
+        .where(col("__occ") <= maxEventsPerUser)
+        .drop("__occ")
+    val folded = capped
       .groupBy("user")
       .agg(array_sort(collect_list(struct(col("ts"), col("step")))).as("evs"))
       .withColumn("times",
         aggregate(
           col("evs"),
           expr("CAST(array() AS ARRAY<BIGINT>)"),
-          (acc, ev) =>
+          (acc, ev) => {
             // sequential CaseWhen: the element_at(acc, -1) arm is only
             // EVALUATED once size(acc) > 0 — under default ANSI mode,
             // element_at on an empty array is an error, so the guard
             // must be a lazy branch, not a conjunct
+            val afterLast = ev.getField("ts") > element_at(acc, -1)
+            val inWindow = maxStepGap match {
+              case Some(g) => afterLast &&
+                ev.getField("ts") - element_at(acc, -1) <= lit(g)
+              case None => afterLast
+            }
             when(size(acc) === 0,
               when(ev.getField("step") === 0, array(ev.getField("ts"))).otherwise(acc))
               .when(
-                size(acc) < k &&
-                  ev.getField("step") === size(acc) &&
-                  ev.getField("ts") > element_at(acc, -1),
+                size(acc) < k && ev.getField("step") === size(acc) && inWindow,
                 concat(acc, array(ev.getField("ts"))))
-              .otherwise(acc)))
+              .otherwise(acc)
+          }))
       .where(size(col("times")) > 0)
     folded.select(
       col("user").as(userCol) +:
@@ -87,6 +126,22 @@ object Funnel {
         // try_: indices past the reached depth are null, not an ANSI error
         (1 to k).map(i => try_element_at(col("times"), lit(i)).as(s"t_$i")): _*)
   }
+
+  /** Audit view of the users [[earliestChain]]'s cap excluded: (user,
+    * n_events) over users whose FUNNEL-event count (post step filter)
+    * exceeds `maxEventsPerUser`. Same single-shuffle shape as the fold.
+    */
+  def oversizeUsers(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      maxEventsPerUser: Long): DataFrame =
+    slimEvents(events, userCol, tsCol, typeCol, steps)
+      .groupBy(col("user").as(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .where(col("n_events") > maxEventsPerUser)
 
   /** Conversion summary: users reaching each depth (depth d counts users
     * whose chain stopped at EXACTLY d steps). Derived from

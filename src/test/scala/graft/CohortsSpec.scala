@@ -58,6 +58,61 @@ class CohortsSpec extends AnyFunSuite {
     assert(m === Map(0L -> 1L, 1L -> 1L))
   }
 
+  test("null user ids are excluded, matching COUNT(DISTINCT user) oracle semantics") {
+    val dirty = Seq(
+      (java.lang.Long.valueOf(1L), 0L), (java.lang.Long.valueOf(1L), 12L),
+      (null.asInstanceOf[java.lang.Long], 0L),
+      (null.asInstanceOf[java.lang.Long], 12L))
+      .toDF("user_id", "sec")
+    val m = Cohorts.retention(dirty, "user_id", col("sec"), 10L)
+      .collect().map(r => r.getAs[Long]("age") -> r.getAs[Long]("n_users")).toMap
+    assert(m === Map(0L -> 1L, 1L -> 1L), "the null phantom user must not count")
+    val cal = Cohorts.retentionCalendar(
+      dirty, "user_id", timestamp_seconds(col("sec")), "week")
+      .agg(sum("n_users")).head().getLong(0)
+    assert(cal === 1L, "calendar face excludes nulls the same way")
+  }
+
+  test("retentionRates: base size from age 0, one exactly-rounded division") {
+    val r = Cohorts.retentionRates(evs, "user_id", col("sec"), 10L)
+      .collect()
+      .map(row => (row.getAs[Long]("cohort"), row.getAs[Long]("age")) ->
+        ((row.getAs[Long]("n_users"), row.getAs[Long]("cohort_size"), row.getAs[Double]("rate"))))
+      .toMap
+    assert(r((1L, 0L)) === ((2L, 2L, 1.0)))
+    assert(r((1L, 1L)) === ((1L, 2L, 0.5)))
+    assert(r((0L, 3L)) === ((1L, 1L, 1.0)))
+    assert(r.values.forall { case (_, _, rate) => rate > 0.0 && rate <= 1.0 })
+  }
+
+  test("retentionCalendar: Monday-truncated weeks, whole-week ages; month mode") {
+    // 2024-01-01 is a Monday. Events on Mon 1st, Sun 7th (same ISO week),
+    // Mon 8th (next week), and Thu 2024-02-01 (month boundary).
+    def ts(s: String) = to_timestamp(lit(s))
+    val evs2 = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-07 23:00:00"),
+      (1L, "2024-01-08 00:00:00"), (2L, "2024-01-03 12:00:00"),
+      (1L, "2024-02-01 09:00:00"))
+      .toDF("user_id", "t")
+    val wk = Cohorts.retentionCalendar(evs2, "user_id", to_timestamp(col("t")), "week")
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort").toString, r.getAs[Int]("age")) -> r.getAs[Long]("n_users"))
+      .toMap
+    // u1 cohort 2024-01-01: ages 0 (Jan 1+7), 1 (Jan 8), 4 (Feb 1 week = Jan 29)
+    // u2 cohort 2024-01-01: age 0
+    assert(wk === Map(
+      ("2024-01-01", 0) -> 2L,
+      ("2024-01-01", 1) -> 1L,
+      ("2024-01-01", 4) -> 1L))
+    val mo = Cohorts.retentionCalendar(evs2, "user_id", to_timestamp(col("t")), "month")
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort").toString, r.getAs[Int]("age")) -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(mo === Map(
+      ("2024-01-01", 0) -> 2L,
+      ("2024-01-01", 1) -> 1L))
+  }
+
   test("raw events are scanned once (single source scan in the plan)") {
     val plan = Cohorts.retention(evs, "user_id", col("sec"), 10L)
       .queryExecution.optimizedPlan.toString

@@ -61,6 +61,57 @@ class FunnelSpec extends AnyFunSuite {
     assert(got === Map(3 -> 1L, 2 -> 1L, 1 -> 2L))
   }
 
+  test("maxStepGap: a step beyond the window is rejected; greedy stays greedy") {
+    def runGap(evs: Seq[(Long, Long, String)], gap: Long) =
+      Funnel.earliestChain(
+        evs.toDF("user_id", "ts", "event_type"), "user_id", "ts", "event_type", steps,
+        maxStepGap = Some(gap))
+        .collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("depth")).toMap
+    val m = runGap(Seq(
+      (1L, 10L, "view"), (1L, 15L, "click"), (1L, 100L, "purchase"), // purchase 85 past click
+      (2L, 10L, "view"), (2L, 15L, "click"), (2L, 20L, "purchase"),  // all within 10
+      // greedy anchors on view@10; click@100 is out of window even though
+      // anchoring on the later view@90 would admit it — the documented
+      // first-chain convention, matching the chained-min SQL
+      (3L, 10L, "view"), (3L, 90L, "view"), (3L, 100L, "click")), gap = 10L)
+    assert(m(1L) === 2, "out-of-window purchase must not convert")
+    assert(m(2L) === 3, "within-window chain completes")
+    assert(m(3L) === 1, "greedy anchors the earliest step 1 (chained-min semantics)")
+    // boundary: gap is inclusive (ts - last <= gap)
+    val b = runGap(Seq((4L, 0L, "view"), (4L, 10L, "click")), gap = 10L)
+    assert(b(4L) === 2, "exactly-at-window step converts")
+  }
+
+  test("maxEventsPerUser: over-cap users route to the audit view, not the fold") {
+    val evs = (1 to 20).map(i => (9L, i.toLong, "view")) ++
+      Seq((1L, 1L, "view"), (1L, 2L, "click"))
+    val df = evs.toDF("user_id", "ts", "event_type")
+    val m = Funnel.earliestChain(df, "user_id", "ts", "event_type", steps,
+      maxEventsPerUser = 10L)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("depth")).toMap
+    assert(m === Map(1L -> 2), s"capped user must be excluded: $m")
+    val audit = Funnel.oversizeUsers(df, "user_id", "ts", "event_type", steps, 10L)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+    assert(audit.toSeq === Seq((9L, 20L)), "excluded user surfaces with its count")
+    // cap counts FUNNEL events only: non-step noise does not trip it
+    val noisy = ((1 to 20).map(i => (5L, i.toLong, "error")) ++
+      Seq((5L, 1L, "view"))).toDF("user_id", "ts", "event_type")
+    val mn = Funnel.earliestChain(noisy, "user_id", "ts", "event_type", steps,
+      maxEventsPerUser = 10L)
+      .collect().map(r => r.getAs[Long]("user_id")).toSeq
+    assert(mn === Seq(5L))
+  }
+
+  test("capped funnel still runs on one user-key exchange") {
+    val evs = Seq((1L, 1L, "view")).toDF("user_id", "ts", "event_type")
+    val plan = Funnel.earliestChain(evs, "user_id", "ts", "event_type", steps,
+      maxEventsPerUser = 10L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"occupancy window must reuse the fold's exchange:\n$plan")
+  }
+
   test("one exchange: filter to funnel types rides the scan, fold is per-group") {
     val evs = Seq((1L, 1L, "view")).toDF("user_id", "ts", "event_type")
     val plan = Funnel.earliestChain(evs, "user_id", "ts", "event_type", steps)
