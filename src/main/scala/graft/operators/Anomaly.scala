@@ -120,9 +120,18 @@ object Anomaly {
           fences.getItem(2).as("__q3"): _*)
     val lo = col("__q1") - lit(k) * (col("__q3") - col("__q1"))
     val hi = col("__q3") + lit(k) * (col("__q3") - col("__q1"))
-    df.join(broadcast(grouped), groupCols)
+    // null-SAFE join back: the sketch pass's groupBy keeps a null-key
+    // group (like the window partitioning in zscoreOutliers), so the
+    // join-back must too — a plain equi-join would silently drop every
+    // null-keyed row, making the two outlier faces disagree on dirty data
+    val fenced = grouped.select(
+      groupCols.map(c => col(c).as(s"__g_$c")) :+
+        col("__q1") :+ col("grp_median") :+ col("__q3"): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(fenced), cond)
       .where(col(valueCol) < lo || col(valueCol) > hi)
       .withColumn("grp_iqr", col("__q3") - col("__q1"))
+      .drop(groupCols.map(c => s"__g_$c"): _*)
       .drop("__q1", "__q3")
   }
 }

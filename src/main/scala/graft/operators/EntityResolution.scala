@@ -81,7 +81,11 @@ object EntityResolution {
     val b = slim.select(
       idx.map(i => col(blockCols(i)).as(s"__kb_$i")) :+
         col(idCol).as("id_b") :+ col(strCol).as("__s_b"): _*)
-    val joinCond = idx.map(i => col(s"__ka_$i") <=> col(s"__kb_$i")).reduce(_ && _) &&
+    // PLAIN equality, not <=>: a NULL blocking key is the canonical
+    // "uninformative key" the object doc warns about — null-keyed rows
+    // do not participate in matching (and this keeps the operator
+    // oracle-comparable with the q57 SQL's `=` join on dirty data).
+    val joinCond = idx.map(i => col(s"__ka_$i") === col(s"__kb_$i")).reduce(_ && _) &&
       col("id_a") < col("id_b") &&
       abs(length(col("__s_a")) - length(col("__s_b"))) <= maxEdit
     a.join(b, joinCond)
@@ -119,7 +123,8 @@ object EntityResolution {
       blockCols, maxBlock)
       .select(idx.map(i => col(blockCols(i)).as(s"__kb_$i")) :+
         col("right_id") :+ col("__s_b"): _*)
-    val joinCond = idx.map(i => col(s"__ka_$i") <=> col(s"__kb_$i")).reduce(_ && _) &&
+    // plain equality: null-keyed rows don't match (see blockedFuzzyPairs)
+    val joinCond = idx.map(i => col(s"__ka_$i") === col(s"__kb_$i")).reduce(_ && _) &&
       abs(length(col("__s_a")) - length(col("__s_b"))) <= maxEdit
     a.join(b, joinCond)
       .withColumn("edit_dist", levenshtein(col("__s_a"), col("__s_b"), maxEdit))

@@ -35,6 +35,22 @@ import graft.sources.Sinks.JdbcConfig
   */
 object JdbcSource {
 
+  /** SQL identifiers spliced into pushed-down statements (`table`,
+    * `partitionCol`, `watermarkCol`) must look like identifiers — plain
+    * or schema-qualified names, optionally "quoted". They come from code,
+    * not users, but the injection contract above should be SELF-enforcing
+    * rather than documentation-enforced: a value carrying spaces,
+    * semicolons, or parens fails loudly here instead of reaching the
+    * database as spliced SQL.
+    */
+  private[graft] def requireIdentifier(name: String, what: String): Unit = {
+    val plain = """[A-Za-z_][A-Za-z0-9_$]*"""
+    val quoted = """"[^"\\;]+""""
+    val part = s"($plain|$quoted)"
+    require(name.matches(s"$part(\\.$part)*"),
+      s"$what must be a (possibly schema-qualified) SQL identifier, got: '$name'")
+  }
+
   private def base(spark: SparkSession, cfg: JdbcConfig) =
     spark.read.format("jdbc")
       .option("url", cfg.url)
@@ -60,6 +76,8 @@ object JdbcSource {
       table: String,
       partitionCol: String,
       numPartitions: Int): DataFrame = {
+    requireIdentifier(table, "table")
+    requireIdentifier(partitionCol, "partitionCol")
     val b = oneRow(spark, cfg,
       s"SELECT MIN($partitionCol) lo, MAX($partitionCol) hi FROM $table").head()
     if (b.isNullAt(0)) return base(spark, cfg).option("dbtable", table).load()
@@ -75,7 +93,9 @@ object JdbcSource {
       partitionCol: String,
       numPartitions: Int,
       lower: Long,
-      upper: Long): DataFrame =
+      upper: Long): DataFrame = {
+    requireIdentifier(table, "table")
+    requireIdentifier(partitionCol, "partitionCol")
     base(spark, cfg)
       .option("dbtable", table)
       .option("partitionColumn", partitionCol)
@@ -83,6 +103,7 @@ object JdbcSource {
       .option("lowerBound", lower)
       .option("upperBound", upper)
       .load()
+  }
 
   /** Rows with `watermarkCol > lastSeen`, filtered IN the database and
     * range-partitioned between the watermarks. `lastSeen = Long.MinValue`
@@ -95,6 +116,8 @@ object JdbcSource {
       watermarkCol: String,
       lastSeen: Long,
       numPartitions: Int = 4): DataFrame = {
+    requireIdentifier(table, "table")
+    requireIdentifier(watermarkCol, "watermarkCol")
     val inc = s"(SELECT * FROM $table WHERE $watermarkCol > $lastSeen) inc"
     val b = oneRow(spark, cfg,
       s"SELECT MIN($watermarkCol) lo, MAX($watermarkCol) hi FROM $table " +

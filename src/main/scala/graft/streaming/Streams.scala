@@ -353,6 +353,13 @@ object Streams {
         // permanently excluding that batch's docs from future dedup.
         // CONTRACT: one checkpoint per index — restarting with a FRESH
         // checkpoint resets batchId to 0 and replays into used labels.
+        // MIGRATION (pre-"s"-prefix indexes): an index built by the old
+        // numeric-label code will, on restart from the same checkpoint,
+        // re-append its replayed micro-batch under the new "s" label
+        // instead of being skipped by appendIdempotent — probe answers
+        // are unaffected (postings dedup + distinct occupancy), but run
+        // compact() once after upgrading a live streaming index to fold
+        // the duplicated postings away.
         val label = f"s$batchId%08d"
         val scope = Caches.newScope()
         try Caches.inScope(scope) {

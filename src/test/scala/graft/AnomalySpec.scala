@@ -102,6 +102,26 @@ class AnomalySpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("grp_iqr") - 50.0) <= 4.0)
   }
 
+  test("null-keyed groups: both outlier faces keep them (consistent contract)") {
+    // zscore keeps a null partition via the window; robustOutliers must
+    // not silently drop it at the join-back
+    val dirty = (
+      (1 to 9).map(i => (i.toLong, Option.empty[String], 10L)) ++
+      Seq((10L, Option.empty[String], 100L)) ++
+      (11 to 20).map(i => (i.toLong, Some("b"), (i - 10).toLong))
+    ).toDF("id", "grp", "v")
+    val z = Anomaly.zscoreOutliers(dirty, Seq("grp"), col("v"), 2)
+      .select("id").as[Long].collect().toSet
+    assert(z === Set(10L), "zscore flags inside the null group")
+    val robustDirty = (
+      (1 to 101).map(i => (i.toLong, Option.empty[String], (i - 1).toDouble)) ++
+      Seq((200L, Option.empty[String], 1e5))
+    ).toDF("id", "grp", "v")
+    val r = graft.operators.Anomaly.robustOutliers(robustDirty, Seq("grp"), "v")
+      .select("id").as[Long].collect().toSet
+    assert(r === Set(200L), "robust fences must keep the null group too")
+  }
+
   test("one exchange: the window is the only shuffle") {
     val plan = Anomaly.zscoreOutliers(df, Seq("grp"), col("v"), 3)
       .queryExecution.executedPlan.toString

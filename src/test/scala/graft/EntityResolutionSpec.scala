@@ -49,16 +49,25 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(audit === Map("x" -> 4L))
   }
 
-  test("null block keys group together (and fall under the cap like any block)") {
+  test("null block keys do NOT match — the uninformative-key case, oracle-consistent") {
+    // a null blocking key carries no grouping information, and the q57
+    // oracle's plain `=` join skips nulls: matching them here would make
+    // the operator and its oracle diverge on dirty data
     val withNulls = Seq(
       (1L, Option.empty[String], "abc"),
       (2L, Option.empty[String], "abd"),
-      (3L, Some("z"), "abc")
+      (3L, Some("z"), "abc"), (4L, Some("z"), "abd")
     ).toDF("id", "blk", "name")
     val got = EntityResolution
       .blockedFuzzyPairs(withNulls, "id", "name", Seq("blk"), maxEdit = 1)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(got === Set((1L, 2L)))
+    assert(got === Set((3L, 4L)), "only the real block matches; null-keyed rows sit out")
+    // fuzzyJoin applies the same contract across frames
+    val l = Seq((1L, Option.empty[String], "abc"), (2L, Some("z"), "abc")).toDF("lid", "blk", "lname")
+    val r = Seq((8L, Option.empty[String], "abc"), (9L, Some("z"), "abc")).toDF("rid", "blk", "rname")
+    val xj = EntityResolution.fuzzyJoin(l, r, "lid", "rid", "lname", "rname", Seq("blk"), maxEdit = 1)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(xj === Set((2L, 9L)))
   }
 
   test("two empty strings match at sim 1.0 — no ANSI divide-by-zero") {

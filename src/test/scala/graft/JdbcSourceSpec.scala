@@ -72,6 +72,27 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(after.select("WM").as[Long].collect().sorted.toSeq === (41L to 50L))
   }
 
+  test("spliced identifiers are validated — injection shapes fail before any SQL") {
+    Seq(
+      "ORDERS_SRC; DROP TABLE ORDERS_SRC",
+      "WM > 0 OR 1=1",
+      "T (SELECT 1)",
+      "") foreach { bad =>
+      intercept[IllegalArgumentException] {
+        JdbcSource.readIncremental(spark, cfg, bad, "WM", 0L)
+      }
+      intercept[IllegalArgumentException] {
+        JdbcSource.readIncremental(spark, cfg, "ORDERS_SRC", bad, 0L)
+      }
+      intercept[IllegalArgumentException] {
+        JdbcSource.read(spark, cfg, bad, "WM", 2)
+      }
+    }
+    // legitimate shapes still pass: schema-qualified and quoted names
+    JdbcSource.requireIdentifier("APP.ORDERS_SRC", "table")
+    JdbcSource.requireIdentifier("\"Mixed Case\".\"col name\"", "col")
+  }
+
   test("the incremental loop converges: successive pulls partition the table") {
     var seen = Vector.empty[Long]
     var wm = Long.MinValue
