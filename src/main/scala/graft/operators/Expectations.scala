@@ -68,6 +68,74 @@ object Expectations {
         (col("violations") === 0L).as("pass"))
   }
 
+  /** Per-row annotation: the array of rule names each row violates, in
+    * ruleset order (empty ⇔ the row passes every rule). The scorecard
+    * ([[check]]) answers "is the table healthy"; this answers "which
+    * rows, and why" — the shape quarantine routing needs. Same one-scan
+    * discipline: the whole ruleset is one projected expression, no joins,
+    * no second evaluation of any predicate.
+    */
+  def annotate(df: DataFrame, rules: Seq[Rule], violatedCol: String = "violated"): DataFrame = {
+    require(rules.nonEmpty, "empty ruleset")
+    require(rules.map(_.name).distinct.size == rules.size, "duplicate rule names")
+    require(!df.columns.contains(violatedCol),
+      s"annotation column `$violatedCol` already exists on the input")
+    val tagged = array(rules.map(r => when(r.violation, lit(r.name))): _*)
+    df.withColumn(violatedCol, filter(tagged, _.isNotNull))
+  }
+
+  /** Gate + route in ONE scan and ONE write: rows are annotated
+    * ([[annotate]]) and written partitioned by a quarantine flag, so the
+    * clean rows land under `__quarantined=false/` and the violating rows
+    * — still carrying their `violated` reasons — under
+    * `__quarantined=true/`. Routing is not a second pass or a pair of
+    * filtered writes; it is the partitioned sink itself, which means a
+    * 100 TB gate costs exactly one read and one shuffle-free write, and
+    * every downstream reader of [[routedPassed]] partition-prunes the
+    * quarantine away at the scan.
+    */
+  def route(
+      df: DataFrame,
+      rules: Seq[Rule],
+      path: String,
+      violatedCol: String = "violated"): Unit = {
+    val ann = annotate(df, rules, violatedCol)
+      .withColumn("__quarantined", size(col(violatedCol)) > 0)
+    // deliberately NOT Sinks.writePartitioned: that helper repartitions by
+    // the partition columns to control file counts, and a boolean flag as
+    // the exchange key would collapse the whole table into two tasks.
+    // Here every task splits its own rows into ≤2 files — shuffle-free,
+    // at most 2× the task count in files (compact later if that matters).
+    ann.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__quarantined")
+      .parquet(path)
+  }
+
+  /** The clean side of a [[route]] output — partition-pruned to
+    * `__quarantined=false`, annotation columns dropped: the original
+    * schema, gate invisible to consumers.
+    */
+  def routedPassed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      violatedCol: String = "violated"): DataFrame =
+    // partition values round-trip as strings (Spark's partition-column
+    // inference has no boolean arm), so the prune predicate is textual
+    spark.read.parquet(path)
+      .where(col("__quarantined") === "false")
+      .drop("__quarantined", violatedCol)
+
+  /** The quarantine side of a [[route]] output — each row with the rule
+    * names it broke, for triage/replay after upstream fixes.
+    */
+  def routedQuarantined(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .where(col("__quarantined") === "true")
+      .drop("__quarantined")
+
   /** Key-uniqueness expectation: violations = rows beyond the first of
     * each key group (0 ⇔ the key is unique).
     */

@@ -83,6 +83,58 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(board.columns.toSeq === Seq("rule", "total", "violations", "pass"))
   }
 
+  test("annotate lists violated rule names in ruleset order; clean rows get an empty array") {
+    val rules = Seq(
+      Expectations.notNull("id"),
+      Expectations.inRange("amt", 0, 100),
+      Expectations.matchesRegex("email", "^[^@]+@[^@]+$", "email_shape"))
+    val got = Expectations.annotate(df, rules)
+      .select("email", "violated").as[(String, Seq[String])].collect().toMap
+    assert(got("a@x.io") === Seq.empty)
+    assert(got("nope") === Seq("range_amt", "email_shape"))
+    assert(got("b@y.io") === Seq("not_null_id"))
+    assert(got("c@z.io") === Seq("range_amt")) // null amt fails the range
+  }
+
+  test("annotate folds the ruleset into one projection — no exchange, no union") {
+    val plan = Expectations.annotate(df, Seq(
+      Expectations.notNull("id"), Expectations.inRange("amt", 0, 100)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"annotation must be a map-side projection:\n$plan")
+    assert(!plan.toLowerCase.contains("union"))
+  }
+
+  test("annotate refuses to shadow an existing column") {
+    intercept[IllegalArgumentException] {
+      Expectations.annotate(df, Seq(Expectations.notNull("id")), violatedCol = "email")
+    }
+  }
+
+  test("route splits pass/quarantine via one partitioned write; readers partition-prune") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_route").toString
+    val rules = Seq(
+      Expectations.notNull("id"),
+      Expectations.inRange("amt", 0, 100))
+    Expectations.route(df, rules, dir)
+
+    val passed = Expectations.routedPassed(spark, dir)
+    assert(passed.columns.toSeq.sorted === Seq("amt", "email", "id"))
+    assert(passed.select("email").as[String].collect().toSet === Set("a@x.io"))
+    // the clean-side reader partition-prunes the quarantine away at the scan
+    val plan = passed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*__quarantined".r.findFirstIn(plan).isDefined,
+      s"quarantine flag must be a partition filter, not a data filter:\n$plan")
+
+    val quarantined = Expectations.routedQuarantined(spark, dir)
+    val reasons = quarantined.select("email", "violated")
+      .as[(String, Seq[String])].collect().toMap
+    assert(reasons.keySet === Set("nope", "b@y.io", "c@z.io"))
+    assert(reasons("nope") === Seq("range_amt"))
+
+    // nothing lost: pass ∪ quarantine = input
+    assert(passed.count() + quarantined.count() === df.count())
+  }
+
   test("rule names must be identifier-safe (they transit generated SQL)") {
     intercept[IllegalArgumentException] {
       Rule("bad name'; --", lit(true))
