@@ -16,8 +16,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * Registered SQL surface: `graft_minhash(arrayOfHashes[, numPerm])`,
   * `graft_simhash(arrayOfTokenHashes)`, `graft_dot(arrayA, arrayB)`, the
   * aggregates `graft_mg_sketch(item[, k])`, `graft_cm_sketch(item[, w, d])`,
-  * `graft_gk_sketch(value[, eps])`, `graft_gk_merge(sketch)`, and the
-  * scalar `graft_gk_quantiles(sketch, probs)`. `NearestCentroidsExpr` is
+  * `graft_gk_sketch(value[, eps])`, `graft_gk_merge(sketch)`, the
+  * scalar `graft_gk_quantiles(sketch, probs)`, and the funnel aggregate
+  * `graft_funnel(ts, event_type, steps[, max_gap])`. `NearestCentroidsExpr` is
   * deliberately NOT SQL-registered: its centroids are runtime-trained
   * constants, which SQL text cannot carry usefully — use
   * `Similarity.ivfTopK`.
@@ -32,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.gkSketchDescriptor)
     ext.injectFunction(GraftFunctions.gkMergeDescriptor)
     ext.injectFunction(GraftFunctions.gkQuantilesDescriptor)
+    ext.injectFunction(GraftFunctions.funnelDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
@@ -119,9 +121,48 @@ object GraftFunctions {
         throw new IllegalArgumentException("graft_gk_quantiles(sketch, array<double>)")
     })
 
+  /** `graft_funnel(ts, event_type, steps_literal[, max_gap_literal])`:
+    * the steps array must be a foldable array<string> (SQL text cannot
+    * carry a runtime list any other way); max_gap an int/long literal.
+    */
+  private def evalStringArrayLiteral(e: Expression, what: String): Seq[String] = {
+    require(e.foldable, s"$what must be a literal array of strings")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map { i =>
+          val v = a.get(i, org.apache.spark.sql.types.StringType)
+          require(v != null, s"$what must not contain nulls")
+          v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+        }
+      case other =>
+        throw new IllegalArgumentException(s"$what must be an array literal, got $other")
+    }
+  }
+
+  private def evalLongLiteral(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case _ => throw new IllegalArgumentException(s"$what must be an int/long literal")
+  }
+
+  val funnelDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_funnel"),
+    new ExpressionInfo(classOf[FunnelAgg].getName, "graft_funnel"),
+    {
+      case Seq(ts, tpe, stepsE) =>
+        FunnelAgg(ts, tpe, evalStringArrayLiteral(stepsE, "graft_funnel steps"), None)
+      case Seq(ts, tpe, stepsE, gapE) =>
+        FunnelAgg(ts, tpe, evalStringArrayLiteral(stepsE, "graft_funnel steps"),
+          Some(evalLongLiteral(gapE, "graft_funnel max_gap")))
+      case _ =>
+        throw new IllegalArgumentException(
+          "graft_funnel(ts, event_type, array('s1','s2',…)[, max_gap: long literal])")
+    })
+
   def register(spark: SparkSession): Unit =
     Seq(minHashDescriptor, simHashDescriptor, dotDescriptor, mgSketchDescriptor,
-        cmSketchDescriptor, gkSketchDescriptor, gkMergeDescriptor, gkQuantilesDescriptor)
+        cmSketchDescriptor, gkSketchDescriptor, gkMergeDescriptor, gkQuantilesDescriptor,
+        funnelDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Funnel
@@ -110,6 +111,51 @@ class FunnelSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
       s"occupancy window must reuse the fold's exchange:\n$plan")
+  }
+
+  test("graft_funnel SQL aggregate reproduces the DataFrame fold exactly") {
+    graft.expressions.GraftFunctions.register(spark)
+    // deterministic pseudo-random event soup: ties, wrong orders, noise
+    val rnd = new scala.util.Random(42)
+    val types = Seq("view", "click", "purchase", "error", "refund")
+    val evs = (1 to 2000).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(50).toLong, types(rnd.nextInt(types.size)))
+    }
+    val df = evs.toDF("user_id", "ts", "event_type")
+    df.createOrReplaceTempView("funnel_evs")
+
+    def viaSql(gapClause: String) = spark.sql(
+      s"""SELECT user_id, times FROM (
+            SELECT user_id,
+                   graft_funnel(ts, event_type, array('view','click','purchase')$gapClause) AS times
+            FROM funnel_evs GROUP BY user_id)
+          WHERE size(times) > 0""")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Seq[Long]]("times")).toMap
+
+    def viaFold(gap: Option[Long]) =
+      Funnel.earliestChain(df, "user_id", "ts", "event_type", steps, maxStepGap = gap)
+        .collect().map { r =>
+          r.getAs[Long]("user_id") ->
+            (1 to 3).flatMap(i => Option(r.getAs[java.lang.Long](s"t_$i")).map(_.toLong))
+        }.toMap
+
+    assert(viaSql("") === viaFold(None))
+    assert(viaSql(", 10") === viaFold(Some(10L)), "windowed variants must agree too")
+  }
+
+  test("graft_funnel cap: an over-cap group evaluates to a loud NULL, others unaffected") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val evs = ((1 to 20).map(i => (9L, i.toLong, "click")) ++
+      Seq((1L, 1L, "view"), (1L, 2L, "click"))).toDF("user_id", "ts", "event_type")
+    val agg = graft.expressions.FunnelAgg(
+      ColumnBridge.eagerExpression(col("ts")),
+      ColumnBridge.eagerExpression(col("event_type")),
+      steps, None, maxEvents = 10L)
+    val got = evs.groupBy("user_id")
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("times"))
+      .collect().map(r => r.getAs[Long]("user_id") -> Option(r.getAs[Seq[Long]]("times"))).toMap
+    assert(got(9L).isEmpty, "over-cap group must be NULL, not a truncated answer")
+    assert(got(1L) === Some(Seq(1L, 2L)))
   }
 
   test("one exchange: filter to funnel types rides the scan, fold is per-group") {
