@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: turning a corpus of variable-length documents into
+  * fixed-token-budget training sequences. Two shapes, matching the two
+  * conventions LLM pipelines actually use:
+  *
+  *  - [[concatSplit]] — documents laid head-to-tail per shard and cut
+  *    every `budget` tokens (GPT-style "concat then chunk"; documents MAY
+  *    straddle sequence boundaries). Emits the exact placement manifest —
+  *    which sequences each document lands in, at what offset — as pure
+  *    window arithmetic: deterministic, one shuffle, ANSI-expressible
+  *    (oracle-gated in the catalog).
+  *  - [[greedyBins]] — document-PRESERVING packing (no splitting; short
+  *    remainders are padding): first-fit-decreasing inside each shard via
+  *    `mapPartitions`. Bin packing is NP-hard and inherently sequential,
+  *    so this is one of the repo's few legitimate imperative-per-partition
+  *    operators; FFD's classical guarantees stand in for an oracle (at
+  *    most ONE bin per shard can be ≤ half full — if two were, first-fit
+  *    would have merged them), pinned by PackingSpec alongside exact
+  *    parity with a single-threaded reference fold.
+  *
+  * Scale shape: both are embarrassingly parallel across shards. The shard
+  * column is the ONLY exchange key; within a shard, concatSplit is a
+  * sorted window and greedyBins is an in-memory pack of that shard's
+  * (id, tokens) pairs — KB per million docs, not the documents themselves.
+  * Shard count is the parallelism dial: at 100 TB, shard by (source,
+  * date-bucket) so each pack task sees millions of docs, not billions.
+  * Oversize documents (tokens > budget) cannot pack; both operators
+  * EXCLUDE them loudly ([[oversizeDocs]] audits, the chunker splits) —
+  * the same cap-and-audit contract as `maxBucket`/`maxEventsPerUser`.
+  */
+object Packing {
+
+  /** Placement manifest for concat-then-split packing: within each shard,
+    * documents are concatenated in ascending `idCol` order and cut into
+    * `budget`-token sequences. Output adds:
+    *
+    *   shard      — the packing shard (from `shardExpr`)
+    *   start_off  — the document's first token's global offset in its shard
+    *   first_seq / last_seq — the sequence range the document spans
+    *   n_seqs     — how many sequences it touches (straddlers > 1)
+    *   off_in_first — the document's offset inside its first sequence
+    *
+    * Zero-token documents occupy no space: they sit AT their offset
+    * (first_seq = last_seq = start_off div budget). All arithmetic is
+    * non-negative longs, so truncating and flooring division agree.
+    */
+  def concatSplit(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      shardExpr: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0L, "budget must be positive")
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(tokensCol).cast("long").as(tokensCol), shardExpr.as("shard"))
+      .withColumn("start_off", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("first_seq", expr(s"start_off div ${budget}L"))
+      .withColumn("last_seq",
+        expr(s"greatest(start_off + `$tokensCol` - 1, start_off) div ${budget}L"))
+      .withColumn("n_seqs", (col("last_seq") - col("first_seq") + 1L).cast("long"))
+      .withColumn("off_in_first", col("start_off") % budget)
+  }
+
+  /** Document-preserving first-fit-decreasing packing. Each shard (hash of
+    * `idCol` into `numShards` partitions) packs its documents into bins of
+    * capacity `budget`: documents sorted by (tokens desc, id asc), each
+    * placed into the FIRST bin it fits. Emits one row per packed document:
+    * `(idCol, tokensCol, shard, bin)` with `bin` unique across shards
+    * (shard ⨯ 2³² + local index, both non-negative ints).
+    *
+    * Documents with tokens > budget are EXCLUDED (pack them after
+    * [[graft.operators.Chunker]] splits them, or inspect [[oversizeDocs]]);
+    * null/negative token counts are a contract violation and excluded the
+    * same way. A shard's (id, tokens) pairs must fit in task memory —
+    * 16 bytes per doc, so hundreds of millions per task before that binds;
+    * raise `numShards` long before then.
+    */
+  def greedyBins(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      numShards: Int = 0): DataFrame = {
+    require(budget > 0L, "budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n =
+      if (numShards > 0) numShards
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val slim = docs
+      .select(col(idCol).cast("long"), col(tokensCol).cast("long"))
+      .where(col(tokensCol).isNotNull && col(tokensCol) >= 0L && col(tokensCol) <= budget)
+      .as[(Long, Long)]
+    val packed = slim
+      .repartition(n, col(idCol))
+      .mapPartitions { it =>
+        val shard = org.apache.spark.TaskContext.getPartitionId()
+        val ds = it.toArray.sortBy { case (id, tk) => (-tk, id) } // FFD order
+        val remaining = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ds.iterator.map { case (id, tk) =>
+          var b = 0
+          while (b < remaining.size && remaining(b) < tk) b += 1
+          if (b == remaining.size) remaining += budget
+          remaining(b) -= tk
+          (id, tk, shard, (shard.toLong << 32) | b.toLong)
+        }
+      }
+    packed.toDF(idCol, tokensCol, "shard", "bin")
+  }
+
+  /** The documents [[greedyBins]]/[[concatSplit]] callers should chunk
+    * first: token count above the budget (or null/negative — upstream
+    * contract violations surface here too, not silently).
+    */
+  def oversizeDocs(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame =
+    docs.select(col(idCol), col(tokensCol).cast("long").as(tokensCol))
+      .where(col(tokensCol).isNull || col(tokensCol) < 0L || col(tokensCol) > budget)
+
+  /** Per-bin utilization of a [[greedyBins]] result: `(shard, bin, n_docs,
+    * fill, waste)` — the padding-overhead report training-throughput
+    * dashboards want. One aggregation on the already-shuffled keys.
+    */
+  def binStats(packed: DataFrame, tokensCol: String, budget: Long): DataFrame =
+    packed.groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("fill"))
+      .withColumn("waste", lit(budget) - col("fill"))
+}

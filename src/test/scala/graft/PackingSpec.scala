@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Packing
+
+class PackingSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("concatSplit places documents head-to-tail and tracks sequence spans") {
+    // one shard, budget 10: docs 4+4 fill to 8, the 5-token doc straddles
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 5L), (4L, 0L), (5L, 11L))
+      .toDF("doc_id", "n_tokens")
+    val got = Packing.concatSplit(docs, "doc_id", "n_tokens", lit(0), budget = 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("start_off"), r.getAs[Long]("first_seq"),
+          r.getAs[Long]("last_seq"), r.getAs[Long]("n_seqs"),
+          r.getAs[Long]("off_in_first")))).toMap
+    assert(got(1L) === ((0L, 0L, 0L, 1L, 0L)))
+    assert(got(2L) === ((4L, 0L, 0L, 1L, 4L)))
+    assert(got(3L) === ((8L, 0L, 1L, 2L, 8L)), "straddler spans two sequences")
+    assert(got(4L) === ((13L, 1L, 1L, 1L, 3L)), "zero-token doc sits AT its offset")
+    assert(got(5L) === ((13L, 1L, 2L, 2L, 3L)), "a doc longer than a sequence spans several")
+  }
+
+  test("concatSplit shards are independent and the plan is one exchange") {
+    val docs = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L)).toDF("doc_id", "n_tokens")
+    val out = Packing.concatSplit(docs, "doc_id", "n_tokens", col("doc_id") % 2, budget = 10L)
+    // plan BEFORE execution: post-run AQE prints initial+final copies of
+    // the same exchange and double-counts it
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"concatSplit must be a single shard-key shuffle:\n$plan")
+    val offs = out.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("start_off")).toMap
+    assert(offs === Map(1L -> 0L, 3L -> 7L, 2L -> 0L, 4L -> 7L),
+      "each shard starts its own offset line")
+  }
+
+  test("greedyBins: capacity respected, docs packed exactly once, FFD half-full law") {
+    val rnd = new scala.util.Random(7)
+    val budget = 100L
+    val docs = (1 to 400).map(i => (i.toLong, rnd.nextInt(100).toLong + 1L))
+      .toDF("doc_id", "n_tokens")
+    val packed = Packing.greedyBins(docs, "doc_id", "n_tokens", budget, numShards = 4)
+    val rows = packed.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Int]("shard"), r.getAs[Long]("bin")))
+    assert(rows.map(_._1).distinct.length === 400, "every doc packed exactly once")
+    val fills = rows.groupBy(_._4).map { case (_, ds) => (ds.head._3, ds.map(_._2).sum) }
+    assert(fills.values.forall(_ <= budget), "no bin over capacity")
+    // first-fit law: two bins ≤ half capacity cannot coexist in a shard
+    fills.groupBy(_._1).foreach { case (shard, byBin) =>
+      val halfEmpty = byBin.values.count(_ <= budget / 2)
+      assert(halfEmpty <= 1, s"shard $shard has $halfEmpty half-empty bins")
+    }
+  }
+
+  test("greedyBins matches a single-threaded reference FFD pack at one shard") {
+    val rnd = new scala.util.Random(11)
+    val budget = 50L
+    val sizes = (1 to 120).map(i => i.toLong -> (rnd.nextInt(50).toLong + 1L))
+    val got = Packing.greedyBins(
+      sizes.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", budget, numShards = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+    // reference: same FFD order, first fit, sequential
+    val remaining = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val want = sizes.sortBy { case (id, tk) => (-tk, id) }.map { case (id, tk) =>
+      var b = 0
+      while (b < remaining.size && remaining(b) < tk) b += 1
+      if (b == remaining.size) remaining += budget
+      remaining(b) -= tk
+      id -> b.toLong
+    }.toMap
+    assert(got === want)
+  }
+
+  test("oversize and invalid docs are excluded from packing and audited") {
+    val docs = Seq((1L, 10L), (2L, 101L), (3L, -1L)).toDF("doc_id", "n_tokens")
+    val packed = Packing.greedyBins(docs, "doc_id", "n_tokens", budget = 100L, numShards = 2)
+    assert(packed.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    val audited = Packing.oversizeDocs(docs, "doc_id", "n_tokens", budget = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(audited === Set(2L, 3L))
+  }
+
+  test("binStats reports fill and waste per bin") {
+    val docs = Seq((1L, 60L), (2L, 30L), (3L, 60L)).toDF("doc_id", "n_tokens")
+    val stats = Packing.binStats(
+      Packing.greedyBins(docs, "doc_id", "n_tokens", budget = 100L, numShards = 1),
+      "n_tokens", budget = 100L)
+      .collect().map(r => (r.getAs[Long]("fill"), r.getAs[Long]("waste"), r.getAs[Long]("n_docs")))
+      .sortBy(_._1)
+    assert(stats.toSeq === Seq((60L, 40L, 1L), (90L, 10L, 2L)))
+  }
+}
