@@ -1960,6 +1960,178 @@ object Queries {
             (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
              sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.99"""))
 
+  /** Row-level expectation routing: q61's scorecard says how many rows
+    * break each rule; this emits WHICH rows and WHY — the quarantine
+    * feed (`Expectations.annotate`, the scan side of `route`). The
+    * violated-rule list is emitted comma-joined: `concat_ws`/`array_join`
+    * both skip the non-violated (null) arms, and ruleset order fixes the
+    * string, so the hash comparison is exact.
+    */
+  val q66ExpectationsRoute: Q = Q(
+    "q66_expectations_route",
+    (s, dir) => {
+      val ex = graft.operators.Expectations
+      ex.annotate(t(s, dir, "lineitem"), Seq(
+        ex.notNull("l_orderkey"),
+        ex.inRange("l_quantity", 1, 25),
+        ex.inRange("l_discount", 0.0, 0.05),
+        ex.notNull("l_shipdate")))
+        .where(size(col("violated")) > 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          array_join(col("violated"), ",").as("violated"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             concat_ws(',',
+               CASE WHEN l_orderkey IS NULL THEN 'not_null_l_orderkey' END,
+               CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 25 THEN 'range_l_quantity' END,
+               CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.05 THEN 'range_l_discount' END,
+               CASE WHEN l_shipdate IS NULL THEN 'not_null_l_shipdate' END) AS violated
+      FROM lineitem
+      WHERE l_orderkey IS NULL
+         OR l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 25
+         OR l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.05
+         OR l_shipdate IS NULL"""))
+
+  /** The q63 funnel through the PURE SQL surface: `graft_funnel` (the
+    * mergeable TypedImperativeAggregate, [[graft.expressions.FunnelAgg]])
+    * registered on the session and invoked from SQL text — no DataFrame
+    * code in the query path. Same oracle as q63: the aggregate must
+    * reproduce the chained min-join formulation bit-for-bit, which also
+    * pins agg-path ≡ fold-path equivalence through the driver's hash.
+    */
+  val q67FunnelSqlAgg: Q = Q(
+    "q67_funnel_sql_agg",
+    (s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""
+        SELECT user_id,
+               CAST(size(times) AS INT) AS depth,
+               try_element_at(times, 1) AS t_1,
+               try_element_at(times, 2) AS t_2,
+               try_element_at(times, 3) AS t_3
+        FROM (SELECT user_id,
+                     graft_funnel(ts_ns div 1000, event_type,
+                                  array('view', 'click', 'purchase')) AS times
+              FROM events
+              GROUP BY user_id)
+        WHERE size(times) > 0""")
+    },
+    q63Funnel.oracle)
+
+  /** Sequence-packing manifest, concat-then-split convention: documents
+    * laid head-to-tail per shard (doc_id % 8 — modulo, not hash, so the
+    * oracle can shard identically) and cut every 512 tokens. Pure window
+    * arithmetic over non-negative longs — truncating (Spark div) and
+    * flooring (DuckDB //) division agree — so the whole placement
+    * manifest is hash-gated.
+    */
+  val q68PackConcat: Q = Q(
+    "q68_pack_concat",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing.concatSplit(
+        d, "doc_id", "n_tokens", col("doc_id") % 8, budget = 512L)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+               doc_id % 8 AS shard
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens, shard,
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        FROM d)
+      SELECT doc_id, n_tokens, shard, start_off,
+             start_off // 512 AS first_seq,
+             greatest(start_off + n_tokens - 1, start_off) // 512 AS last_seq,
+             greatest(start_off + n_tokens - 1, start_off) // 512 - start_off // 512 + 1 AS n_seqs,
+             start_off % 512 AS off_in_first
+      FROM c"""))
+
+  /** Document-preserving packing twin: first-fit-decreasing bins inside
+    * hash shards ([[graft.operators.Packing.greedyBins]]). Inherently
+    * sequential per shard (bin packing), so no ANSI oracle — PackingSpec
+    * pins capacity, the FFD half-full law, exactly-once packing, and
+    * exact parity with a single-threaded reference pack.
+    */
+  val q68bPackBins: Q = Q(
+    "q68b_pack_bins",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing.greedyBins(
+        d, "doc_id", "n_tokens", budget = 512L, numShards = 8)
+    },
+    None)
+
+  /** Gap-filled per-user daily series: events resampled to (user, day,
+    * day-sum), then every missing day forward-filled and flagged — the
+    * lead+sequence+explode single-exchange shape (no spine join). The
+    * oracle mirrors it with LEAD + generate_series/unnest; day buckets
+    * and money sums are exact integers/decimals, so the fill is
+    * hash-gated end to end.
+    */
+  val q69GapFill: Q = Q(
+    "q69_gap_fill",
+    (s, dir) => {
+      val ops = graft.operators.Timeseries
+      val daily = ops.resample(
+        t(s, dir, "events"), Seq("user_id"),
+        expr("ts_ns div 86400000000000"),
+        Seq(sumMoney(col("value")).as("day_value")))
+      ops.gapFill(daily, Seq("user_id"), "period", step = 1L)
+    },
+    Some("""
+      WITH d AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS period,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        FROM events GROUP BY 1, 2),
+      nx AS (
+        SELECT user_id, period, day_value,
+               LEAD(period) OVER (PARTITION BY user_id ORDER BY period) AS nxt
+        FROM d),
+      f AS (
+        SELECT user_id, day_value, period AS orig_period,
+               unnest(generate_series(period, COALESCE(nxt - 1, period), 1)) AS period
+        FROM nx)
+      SELECT user_id, period, day_value, period > orig_period AS is_gap FROM f"""))
+
+  /** Corpus bigram novelty per document ([[graft.operators.Ranking
+    * .ngramNovelty]]): distinct-bigram counts, corpus-df sums, and the
+    * novel fraction — integers plus ONE correctly-rounded division, so
+    * the whole scorecard hash-gates. The oracle reuses q34's shingle SQL
+    * (the same boundary convention for short docs).
+    */
+  val q70NgramNovelty: Q = Q(
+    "q70_ngram_novelty",
+    (s, dir) =>
+      graft.operators.Ranking.ngramNovelty(
+        t(s, dir, "documents"), "doc_id", "text", n = 2),
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                    ELSE list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) END AS shl
+        FROM d),
+      g AS (SELECT DISTINCT doc_id, unnest(shl) AS gram FROM sh),
+      f AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS gram_df FROM g GROUP BY gram)
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN f.gram_df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             CAST(SUM(f.gram_df) AS BIGINT) AS sum_df,
+             CAST(SUM(CASE WHEN f.gram_df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+      FROM g JOIN f USING (gram)
+      GROUP BY g.doc_id"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -1987,7 +2159,8 @@ object Queries {
     q56SnapshotDiff, q57EntityMatch, q58Outliers, q59IncrementalAgg,
     q60StratifiedSample, q61Expectations, q62RobustOutliers, q63Funnel,
     q63bFunnelWindowed, q64CohortRetention, q64bCohortRates, q64cCohortCalendar,
-    q65AnnIndexDedup, q65cAnnCrossExact)
+    q65AnnIndexDedup, q65cAnnCrossExact, q66ExpectationsRoute, q67FunnelSqlAgg,
+    q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -129,6 +129,46 @@ object Ranking {
       .orderBy(col("score").desc, col("doc_id").asc)
   }
 
+  /** Corpus n-gram novelty: how much of each document's n-gram set is
+    * unique to it — the self-similarity signal pretraining pipelines use
+    * to find boilerplate/template farms that per-document quality scores
+    * (q21) and pairwise dedup (q25) both miss. Per document, over its
+    * DISTINCT word n-grams ([[text.shingles]], the q34 shingle
+    * definition):
+    *
+    *   n_grams  — distinct n-grams in the doc
+    *   n_novel  — those occurring in NO other doc (corpus df = 1)
+    *   sum_df   — Σ corpus df (the "how templated" integral signal)
+    *   novelty  — n_novel / n_grams (one correctly-rounded division of
+    *              exact longs — hash-comparable across engines)
+    *
+    * Scale shape: the TF-IDF pipeline's (explode + groupBy + enrich-join
+    * + doc rollup). The gram→df join is 1:1 enrichment whose LEFT side is
+    * skewed by construction (every doc has "of the"); that is exactly the
+    * shape AQE's skew-join split handles (the df side is replicable), and
+    * the gram frame is derived once — same pin-first stability contract
+    * as the rest of this object.
+    */
+  def ngramNovelty(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n > 0, "n-gram size must be positive")
+    val grams = docs.select(
+      col(idCol).as("doc_id"),
+      explode(array_distinct(text.shingles(lower(col(textCol)), n))).as("gram"))
+    val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    grams.join(gramDf, "gram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("gram_df") === 1L, 1L).otherwise(0L)).as("n_novel"),
+        sum(col("gram_df")).as("sum_df"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** ORACLE-EXACT BM25 twin at fixed k1 = 6/5, b = 3/4 (the [[bm25]]
     * defaults): the same plan shape and the same monotone ranking intent,
     * but every per-term weight is a ratio of two EXACT integers, so both

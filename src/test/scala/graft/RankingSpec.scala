@@ -22,6 +22,32 @@ class RankingSpec extends AnyFunSuite {
     (3L, "window join scan scan scan scan"),
     (4L, "the the the the spark")).toDF("doc_id", "text")
 
+  test("ngramNovelty: unique bigrams count as novel, shared ones don't") {
+    val docs = Seq(
+      (1L, "a b c"),        // bigrams: "a b", "b c"
+      (2L, "a b x"),        // bigrams: "a b", "b x"
+      (3L, "q")             // short doc: single shingle "q"
+    ).toDF("doc_id", "text")
+    val got = Ranking.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("sum_df"), r.getAs[Double]("novelty")))).toMap
+    assert(got(1L) === ((2L, 1L, 3L, 0.5)))  // "a b" df=2, "b c" df=1
+    assert(got(2L) === ((2L, 1L, 3L, 0.5)))
+    assert(got(3L) === ((1L, 1L, 1L, 1.0)), "short docs shingle to their whole text")
+  }
+
+  test("ngramNovelty dedups within-doc repeats before counting df") {
+    val docs = Seq(
+      (1L, "a b a b a b"),  // bigrams repeat; distinct set: "a b","b a"
+      (2L, "z z")
+    ).toDF("doc_id", "text")
+    val got = Ranking.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel")))).toMap
+    assert(got(1L) === ((2L, 2L)), "within-doc repetition must not inflate df")
+  }
+
   test("termFrequencies matches a naive driver-side tokenization") {
     val got = Ranking.termFrequencies(corpus, "doc_id", "text")
       .as[(Long, String, Long)].collect().toSet
