@@ -2132,6 +2132,37 @@ object Queries {
       FROM g JOIN f USING (gram)
       GROUP BY g.doc_id"""))
 
+  /** Zone-map file skipping, end to end: lineitem is range-clustered by
+    * ship date into multiple files (the z-order writing shape), a
+    * per-file min/max manifest is persisted, and a date-range query is
+    * answered through [[graft.sources.ZoneMaps.prunedRead]] — which
+    * consults the manifest, skips non-intersecting files, and re-applies
+    * the predicate. The oracle is the plain full-scan filter: file
+    * skipping must be invisible in the result, visible only in the scan.
+    */
+  val q71ZoneMapSkip: Q = Q(
+    "q71_zone_map_skip",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_zonemap").toString
+      val data = base + "/lineitem"
+      val mf = base + "/manifest"
+      t(s, dir, "lineitem")
+        .repartitionByRange(8, col("l_shipdate"))
+        .write.mode("overwrite").parquet(data)
+      graft.sources.ZoneMaps.save(s, data, mf, Seq("l_shipdate"))
+      graft.sources.ZoneMaps.prunedRead(
+        s, data, mf, "l_shipdate",
+        java.time.Instant.parse("1999-06-01T00:00:00Z"),
+        java.time.Instant.parse("1999-08-31T00:00:00Z"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("l_shipdate").cast("date").as("ship_date"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(l_shipdate AS DATE) AS ship_date
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-06-01' AND l_shipdate <= TIMESTAMP '1999-08-31'"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -2160,7 +2191,7 @@ object Queries {
     q60StratifiedSample, q61Expectations, q62RobustOutliers, q63Funnel,
     q63bFunnelWindowed, q64CohortRetention, q64bCohortRates, q64cCohortCalendar,
     q65AnnIndexDedup, q65cAnnCrossExact, q66ExpectationsRoute, q67FunnelSqlAgg,
-    q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty)
+    q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps: a persisted per-file (min, max, rows) manifest
+  * over chosen columns, and a scan that consults it to skip whole files.
+  *
+  * Why this exists at 100 TB: parquet already carries row-group stats,
+  * but the engine only sees them AFTER opening each footer — a scan over
+  * 100k files pays 100k opens even when 99% of files cannot match.
+  * A zone-map manifest is KB-sized, read once, and turns a range query
+  * into a scan of just the intersecting files. It is the natural
+  * companion of [[Sinks.writeZOrdered]]: z-order clusters ranges into
+  * few files; the manifest is what lets the reader exploit that without
+  * touching the rest.
+  *
+  * Safety contract (what makes skipping correct, not just fast):
+  *  - a file whose stats say `max < lo` or `min > hi` cannot contain a
+  *    match; all-null or empty files have null stats and are skipped —
+  *    range predicates never match NULL;
+  *  - STALENESS: files present in the directory but absent from the
+  *    manifest (landed after [[save]]) are ALWAYS read — a stale
+  *    manifest degrades to a slower scan, never to missing rows;
+  *  - manifest entries for deleted files are ignored (the directory
+  *    listing is the source of truth for existence, the manifest only
+  *    for statistics).
+  *
+  * [[prunedRead]] re-applies the predicate after the file-level skip, so
+  * its result is EXACTLY the full scan's filter — file granularity is an
+  * optimization, never a semantic.
+  */
+object ZoneMaps {
+
+  /** One manifest row per data file of `path`: `(file, rows,
+    * min_<c>/max_<c> per requested column)` — ONE scan with map-side
+    * partial aggregation; the exchange carries one row per file.
+    */
+  def build(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    val aggs = count(lit(1)).as("rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Build and persist the manifest next to (or wherever) the data. */
+  def save(spark: SparkSession, dataPath: String, manifestPath: String, cols: Seq[String]): Unit =
+    build(spark, dataPath, cols).coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(manifestPath)
+
+  /** Incremental manifest maintenance: stat ONLY the files the manifest
+    * does not know yet and fold them in, dropping entries for files that
+    * no longer exist. This is what keeps the zone map viable at scale —
+    * a day's landing re-scans the day, not the corpus. No-op (and no
+    * rewrite) when the directory is unchanged.
+    */
+  def update(spark: SparkSession, dataPath: String, manifestPath: String, cols: Seq[String]): Unit = {
+    def key(uri: String): String = new org.apache.hadoop.fs.Path(uri).toUri.getPath
+    import org.apache.spark.sql.Encoders
+    val current = spark.read.parquet(dataPath).inputFiles.toSeq
+    val currentKeys = current.map(key).toSet
+    val existing = spark.read.parquet(manifestPath)
+    val knownRows = existing.collect()
+    val known = knownRows.map(r => key(r.getAs[String]("file"))).toSet
+    val fresh = current.filterNot(f => known.contains(key(f)))
+    val dropped = known.diff(currentKeys)
+    if (fresh.isEmpty && dropped.isEmpty) return
+    // the manifest is already collected (it is driver-sized by contract);
+    // the surviving entries become a local relation — no re-read of the
+    // manifest being overwritten, no per-row UDF
+    val keepDf = spark.createDataFrame(
+      java.util.Arrays.asList(
+        knownRows.filter(r => currentKeys.contains(key(r.getAs[String]("file")))): _*),
+      existing.schema)
+    val freshDf =
+      if (fresh.isEmpty) keepDf.where(lit(false))
+      else {
+        val aggs = count(lit(1)).as("rows") +:
+          cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        spark.read
+          .schema(spark.read.parquet(dataPath).schema)
+          .parquet(fresh: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+      }
+    // rewrite via staging: the union READS the manifest it overwrites
+    val staging = manifestPath + ".__staging"
+    keepDf.unionByName(freshDf).coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(manifestPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(manifestPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(manifestPath))
+  }
+
+  /** The file paths a range predicate `colName BETWEEN lo AND hi` cannot
+    * skip, unioned with every file the manifest does not know about.
+    * Driver-sized result by construction (one string per surviving file
+    * — the same cardinality Spark's own FileIndex materializes).
+    */
+  private def candidateFiles(
+      spark: SparkSession,
+      dataPath: String,
+      manifestPath: String,
+      colName: String,
+      lo: Any,
+      hi: Any): Seq[String] = {
+    def key(uri: String): String = new org.apache.hadoop.fs.Path(uri).toUri.getPath
+    import org.apache.spark.sql.Encoders
+    val current = spark.read.parquet(dataPath).inputFiles.toSeq
+    val manifest = spark.read.parquet(manifestPath)
+    val known = manifest.select(col("file")).as(Encoders.STRING)
+      .collect().map(key).toSet
+    // interval intersection evaluated by Catalyst over the manifest rows,
+    // so numeric/date/timestamp orderings are the engine's; null stats
+    // (all-null or empty file) make the predicate null → skipped, which
+    // is correct because a range predicate never matches NULL
+    val surviving = manifest
+      .where(col(s"max_$colName") >= lit(lo) && col(s"min_$colName") <= lit(hi))
+      .select(col("file")).as(Encoders.STRING)
+      .collect().map(key).toSet
+    current.filter { f =>
+      val k = key(f)
+      !known.contains(k) || surviving.contains(k)
+    }
+  }
+
+  /** Read `dataPath` restricted to files that can contain `colName ∈
+    * [lo, hi]`, with the predicate re-applied — result ≡ the full scan's
+    * `WHERE colName BETWEEN lo AND hi`, minus the footer-opens for files
+    * the manifest rules out.
+    */
+  def prunedRead(
+      spark: SparkSession,
+      dataPath: String,
+      manifestPath: String,
+      colName: String,
+      lo: Any,
+      hi: Any): DataFrame = {
+    val files = candidateFiles(spark, dataPath, manifestPath, colName, lo, hi)
+    val base =
+      if (files.isEmpty)
+        // schema-preserving empty result (no file matched anywhere)
+        spark.read.parquet(dataPath).where(lit(false))
+      else
+        spark.read
+          .schema(spark.read.parquet(dataPath).schema) // stable schema even for a file subset
+          .parquet(files: _*)
+    base.where(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+  }
+}

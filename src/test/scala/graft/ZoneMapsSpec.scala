@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ZoneMaps
+
+class ZoneMapsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_zonemap").toString
+
+  /** 100 rows of k ∈ [0, 100), range-clustered into 10 files so each file
+    * covers a narrow k band — the written shape z-order produces.
+    */
+  private def writeClustered(dir: String): Unit =
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(10, col("k"))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  test("prunedRead equals the full-scan filter while reading fewer files") {
+    val data = tmp() + "/data"; val mf = tmp() + "/manifest"
+    writeClustered(data)
+    ZoneMaps.save(spark, data, mf, Seq("k"))
+    val pruned = ZoneMaps.prunedRead(spark, data, mf, "k", 42L, 47L)
+    val full = spark.read.parquet(data).where(col("k") >= 42L && col("k") <= 47L)
+    assert(pruned.collect().map(_.getAs[Long]("k")).sorted.toSeq ===
+      full.collect().map(_.getAs[Long]("k")).sorted.toSeq)
+    assert(pruned.inputFiles.length < spark.read.parquet(data).inputFiles.length,
+      "the manifest must actually skip files")
+    assert(pruned.inputFiles.nonEmpty)
+  }
+
+  test("a range matching nothing reads no files but keeps the schema") {
+    val data = tmp() + "/data"; val mf = tmp() + "/manifest"
+    writeClustered(data)
+    ZoneMaps.save(spark, data, mf, Seq("k"))
+    val out = ZoneMaps.prunedRead(spark, data, mf, "k", 1000L, 2000L)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("k", "v"))
+  }
+
+  test("staleness: files landed after the manifest are still read") {
+    val data = tmp() + "/data"; val mf = tmp() + "/manifest"
+    writeClustered(data)
+    ZoneMaps.save(spark, data, mf, Seq("k"))
+    // land a late file whose range the manifest has never seen
+    Seq((45L, "late")).toDF("k", "v")
+      .write.mode(SaveMode.Append).parquet(data)
+    val got = ZoneMaps.prunedRead(spark, data, mf, "k", 45L, 45L)
+      .select("v").as[String].collect().toSet
+    assert(got === Set("v45", "late"),
+      "a stale manifest must degrade to reading more, never to missing rows")
+  }
+
+  test("all-null stats files are skipped — range predicates never match NULL") {
+    val data = tmp() + "/data"; val mf = tmp() + "/manifest"
+    Seq(Some(1L), Some(2L)).toDF("k").write.mode(SaveMode.Overwrite).parquet(data)
+    Seq(Option.empty[Long]).toDF("k").write.mode(SaveMode.Append).parquet(data)
+    ZoneMaps.save(spark, data, mf, Seq("k"))
+    val out = ZoneMaps.prunedRead(spark, data, mf, "k", 0L, 10L)
+    assert(out.select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("update stats only unknown files and drops entries for deleted ones") {
+    val data = tmp() + "/data"; val mf = tmp() + "/manifest"
+    writeClustered(data)
+    ZoneMaps.save(spark, data, mf, Seq("k"))
+    val before = spark.read.parquet(mf).count()
+    // pick the victim BEFORE appending: the append writes its own
+    // part-00000-<uuid> and the victim must be an original file
+    val victim = spark.read.parquet(data).inputFiles.min
+    Seq((500L, "new")).toDF("k", "v").write.mode(SaveMode.Append).parquet(data)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(victim)), false)
+
+    ZoneMaps.update(spark, data, mf, Seq("k"))
+    val m = spark.read.parquet(mf)
+    assert(m.count() === before, "one added, one dropped")
+    assert(m.where(col("max_k") === 500L).count() === 1L, "new file statted")
+    // pruning through the updated manifest finds the new file's rows
+    val got = ZoneMaps.prunedRead(spark, data, mf, "k", 500L, 500L)
+      .select("v").as[String].collect().toSeq
+    assert(got === Seq("new"))
+    // idempotence: an unchanged directory rewrites nothing
+    val modAt = fs.getFileStatus(new org.apache.hadoop.fs.Path(mf)).getModificationTime
+    ZoneMaps.update(spark, data, mf, Seq("k"))
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(mf)).getModificationTime === modAt)
+  }
+
+  test("manifest is one scan with one file-keyed exchange") {
+    val data = tmp() + "/data"
+    writeClustered(data)
+    val plan = ZoneMaps.build(spark, data, Seq("k")).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"manifest build must be a single aggregation pass:\n$plan")
+  }
+}
