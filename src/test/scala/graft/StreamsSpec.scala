@@ -312,6 +312,38 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("graft_funnel is streaming-mergeable: cross-batch state equals the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.expressions.GraftFunctions.register(spark)
+    // deterministic soup across THREE micro-batches: merge() runs against
+    // state-store partials, which is the mergeable contract under test
+    val rnd = new scala.util.Random(1234)
+    val types = Seq("view", "click", "purchase", "noise")
+    val evs = (1 to 900).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(40).toLong, types(rnd.nextInt(types.size)))
+    }
+    val input = MemoryStream[(Long, Long, String)]
+    val query = input.toDF().toDF("user_id", "ts", "event_type")
+      .groupBy("user_id")
+      .agg(expr("graft_funnel(ts, event_type, array('view','click','purchase'))").as("times"))
+      .writeStream.format("memory").queryName("funnel_stream").outputMode("complete")
+      .start()
+    try {
+      evs.grouped(300).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      val got = spark.table("funnel_stream")
+        .where("size(times) > 0")
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Seq[Long]]("times")).toMap
+      val want = graft.operators.Funnel.earliestChain(
+        evs.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .collect().map { r =>
+          r.getAs[Long]("user_id") ->
+            (1 to 3).flatMap(i => Option(r.getAs[java.lang.Long](s"t_$i")).map(_.toLong))
+        }.toMap
+      assert(got === want)
+    } finally query.stop()
+  }
+
   test("heavyHitterCandidates: cross-batch stateful MG matches batch heavyHitters exactly") {
     implicit val sqlCtx = spark.sqlContext
     // 5 planted hot terms (600 each) over a 1000-term tail, DELIVERED IN
