@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.gkMergeDescriptor)
     ext.injectFunction(GraftFunctions.gkQuantilesDescriptor)
     ext.injectFunction(GraftFunctions.funnelDescriptor)
+    ext.injectFunction(GraftFunctions.vecSumDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
@@ -159,10 +160,18 @@ object GraftFunctions {
           "graft_funnel(ts, event_type, array('s1','s2',…)[, max_gap: long literal])")
     })
 
+  val vecSumDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_vec_sum"),
+    new ExpressionInfo(classOf[VectorSumAgg].getName, "graft_vec_sum"),
+    {
+      case Seq(vec) => VectorSumAgg(vec)
+      case _ => throw new IllegalArgumentException("graft_vec_sum(vec: array<float|double>)")
+    })
+
   def register(spark: SparkSession): Unit =
     Seq(minHashDescriptor, simHashDescriptor, dotDescriptor, mgSketchDescriptor,
         cmSketchDescriptor, gkSketchDescriptor, gkMergeDescriptor, gkQuantilesDescriptor,
-        funnelDescriptor)
+        funnelDescriptor, vecSumDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

@@ -164,6 +164,24 @@ object AnnIndex {
     append(emb, idCol, vecCol, path, batch)
   }
 
+  /** [[build]] with the quantizer trained over the FULL corpus
+    * (distributed Lloyd, [[Similarity.trainIvfFull]]) instead of a
+    * driver-side sample — the variant for corpora whose distribution a
+    * 512-point sample misrepresents. Same lifecycle afterwards.
+    */
+  def buildFullTrain(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nlist: Int = 16,
+      kmeansIters: Int = 5,
+      batch: String = "00000001"): Unit = {
+    init(emb.sparkSession, path,
+      Similarity.trainIvfFull(emb, idCol, vecCol, nlist, kmeansIters))
+    append(emb, idCol, vecCol, path, batch)
+  }
+
   /** Per-batch postings counts — the maintenance signal for [[compact]]:
     * (batch, vectors). One narrow count per batch; the label comes from
     * the file path (`_metadata.file_path`), not the inferred partition

@@ -243,6 +243,67 @@ object Similarity {
     IvfIndex(kmeans(trainSample, nlist, kmeansIters))
   }
 
+  /** Full-corpus Lloyd training: the distributed complement of
+    * [[trainIvf]] for corpora where a driver-side sample under-represents
+    * the distribution (multi-modal embedding spaces at production scale).
+    * Each iteration is one corpus scan — cell assignment through the
+    * codegen'd [[graft.expressions.NearestCentroidsExpr]] — plus one
+    * nlist-keyed exchange whose payload is ONE (dim)-sized
+    * [[graft.expressions.VectorSumAgg]] state per cell per task (the
+    * partial/final tree does the reduction; nothing dimensional ever
+    * explodes). Driver traffic is nlist × dim doubles per iteration —
+    * the centroid table itself, which is the minimum any k-means must
+    * move.
+    *
+    * Seeding is the same deterministic xxhash64 draw as [[trainIvf]]
+    * (first `4·nlist` rows in hash order, content-distinct, take nlist).
+    * Iterations are deterministic bit-for-bit on integer-valued vectors
+    * (exact FP addition — pinned by KmeansSpec against a single-threaded
+    * reference); real-valued corpora converge within standard FP
+    * reduction tolerance, and the ARTIFACT is exact either way: probes
+    * replay the saved centroids, not the training run.
+    */
+  def trainIvfFull(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      iters: Int = 5): IvfIndex = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val seedRows = emb
+      .orderBy(xxhash64(col(idCol)))
+      .select(col(vecCol))
+      .limit(4 * nlist)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seedRows.nonEmpty, "cannot train IVF centroids on an empty corpus")
+    var centroids = seedRows.distinctBy(_.toSeq).take(nlist)
+    val vecs = emb.select(col(vecCol).as("__vec"))
+    for (_ <- 0 until iters) {
+      val idx = IvfIndex(centroids)
+      val cell = ColumnBridge.column(graft.expressions.NearestCentroidsExpr(
+        ColumnBridge.eagerExpression(col("__vec")), idx.flat, idx.dim, 1)).getItem(0)
+      val sumCol = ColumnBridge.column(
+        graft.expressions.VectorSumAgg(ColumnBridge.eagerExpression(col("__vec")))
+          .toAggregateExpression())
+      val stats = vecs
+        .groupBy(cell.as("__cell"))
+        .agg(sumCol.as("__s"))
+        .select(col("__cell"), col("__s.cnt").as("__n"), col("__s.sums").as("__sums"))
+        .collect()
+        .map(r => r.getAs[Int]("__cell") ->
+          ((r.getAs[Long]("__n"), r.getSeq[Double](r.fieldIndex("__sums")).toArray)))
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        stats.get(c) match {
+          case Some((n, sums)) if n > 0L => sums.map(_ / n)
+          case _ => old // empty cells keep their previous centroid
+        }
+      }
+    }
+    IvfIndex(centroids)
+  }
+
   /** IVF search against a trained index: the query probes only its
     * `nprobe` nearest cells and brute-forces within them — the classic
     * inverted-file scale path (search cost ≈ corpus × nprobe/nlist).

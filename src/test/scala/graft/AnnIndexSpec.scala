@@ -62,6 +62,17 @@ class AnnIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("buildFullTrain: distributed-Lloyd quantizer serves the same probe answers") {
+    val path = tmp()
+    AnnIndex.buildFullTrain(corpus, "id", "vec", path, nlist = 2, kmeansIters = 5)
+    val pairs = AnnIndex.crossNeighbors(batch, "id", "vec", path, threshold = 0.95, nprobe = 2)
+      .select(col("corpus_id"), col("batch_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 11L), (3L, 13L)),
+      s"full-train index must find the planted copies: $pairs")
+    Caches.release()
+  }
+
   test("append: immutable labels, idempotent retry, atomic visibility") {
     val path = tmp()
     buildSmall(path)
