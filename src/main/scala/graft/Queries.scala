@@ -2163,6 +2163,41 @@ object Queries {
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1999-06-01' AND l_shipdate <= TIMESTAMP '1999-08-31'"""))
 
+  /** Token-budget mixture plan over the documents corpus: per-source
+    * token mass vs targets and the keep fraction `min(1, target/actual)`
+    * ([[graft.operators.Packing.mixturePlan]]) — integers plus one
+    * correctly-rounded division, hash-gated. src0 is under-targeted
+    * (fractional keep), src1 barely targeted, src2 over-targeted (cap at
+    * 1.0), everything else untargeted (fraction 0 — a mixture is a
+    * whitelist).
+    */
+  val q72MixturePlan: Q = Q(
+    "q72_mixture_plan",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing.mixturePlan(
+        d, "source", "n_tokens",
+        Map("src0" -> 1000L, "src1" -> 100L, "src2" -> 1000000000L))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      a AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS actual_tokens
+        FROM d GROUP BY source)
+      SELECT source, n_docs, actual_tokens,
+             CAST(CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 100 WHEN 'src2' THEN 1000000000 ELSE 0 END AS BIGINT) AS target_tokens,
+             CASE WHEN actual_tokens > 0
+                  THEN least(CAST(1.0 AS DOUBLE),
+                             CAST(CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 100 WHEN 'src2' THEN 1000000000 ELSE 0 END AS DOUBLE) /
+                             CAST(actual_tokens AS DOUBLE))
+                  ELSE CAST(0.0 AS DOUBLE) END AS fraction
+      FROM a"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -2191,7 +2226,8 @@ object Queries {
     q60StratifiedSample, q61Expectations, q62RobustOutliers, q63Funnel,
     q63bFunnelWindowed, q64CohortRetention, q64bCohortRates, q64cCohortCalendar,
     q65AnnIndexDedup, q65cAnnCrossExact, q66ExpectationsRoute, q67FunnelSqlAgg,
-    q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip)
+    q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
+    q72MixturePlan)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -127,6 +127,62 @@ object Packing {
     docs.select(col(idCol), col(tokensCol).cast("long").as(tokensCol))
       .where(col(tokensCol).isNull || col(tokensCol) < 0L || col(tokensCol) > budget)
 
+  /** Token-budget mixture plan: per source, its actual token mass, the
+    * caller's target, and the deterministic keep fraction
+    * `min(1, target/actual)` — how training mixes are rebalanced
+    * ("cap web at 40B tokens, keep all of books"). Sources absent from
+    * `targets` plan to fraction 0 (excluded — a mixture is a whitelist);
+    * a source with no tokens plans to 0 rather than NaN. One aggregation
+    * over one scan; output is source-cardinality rows, integers plus one
+    * correctly-rounded division (oracle-comparable).
+    */
+  def mixturePlan(
+      docs: DataFrame,
+      sourceCol: String,
+      tokensCol: String,
+      targets: Map[String, Long]): DataFrame = {
+    require(targets.nonEmpty, "mixturePlan needs at least one target")
+    require(targets.values.forall(_ >= 0L), "targets must be non-negative")
+    val targetExpr = targets.foldLeft(lit(0L)) { case (rest, (s, t)) =>
+      when(col("source") === s, lit(t)).otherwise(rest)
+    }
+    docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("actual_tokens"))
+      .withColumn("target_tokens", targetExpr)
+      .withColumn("fraction",
+        when(col("actual_tokens") > 0L,
+          least(lit(1.0),
+            col("target_tokens").cast("double") / col("actual_tokens").cast("double")))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Execute a [[mixturePlan]]: deterministic per-source document
+    * sampling at the planned fractions, via the key-hash uniform
+    * ([[Partitioning.stratifiedSample]] — zero shuffle, retry-proof,
+    * nested under target changes). Two actions over `docs` (the plan
+    * aggregate + the sampling scan): pin nondeterministic frames first —
+    * the repo's standard two-action contract. Null-source rows are
+    * excluded (they cannot carry a target).
+    */
+  def mixtureSample(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokensCol: String,
+      targets: Map[String, Long],
+      seed: Int = 42): DataFrame = {
+    val fractions = mixturePlan(docs, sourceCol, tokensCol, targets)
+      .select("source", "fraction")
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getDouble(1)))
+      .toMap
+    Partitioning.stratifiedSample(
+      docs, sourceCol, idCol, fractions, defaultFraction = 0.0, seed = seed)
+  }
+
   /** Per-bin utilization of a [[greedyBins]] result: `(shard, bin, n_docs,
     * fill, waste)` — the padding-overhead report training-throughput
     * dashboards want. One aggregation on the already-shuffled keys.

@@ -104,9 +104,7 @@ object ZoneMaps {
       spark: SparkSession,
       dataPath: String,
       manifestPath: String,
-      colName: String,
-      lo: Any,
-      hi: Any): Seq[String] = {
+      ranges: Seq[(String, Any, Any)]): Seq[String] = {
     def key(uri: String): String = new org.apache.hadoop.fs.Path(uri).toUri.getPath
     import org.apache.spark.sql.Encoders
     val current = spark.read.parquet(dataPath).inputFiles.toSeq
@@ -116,9 +114,13 @@ object ZoneMaps {
     // interval intersection evaluated by Catalyst over the manifest rows,
     // so numeric/date/timestamp orderings are the engine's; null stats
     // (all-null or empty file) make the predicate null → skipped, which
-    // is correct because a range predicate never matches NULL
+    // is correct because a range predicate never matches NULL. Conjuncts
+    // AND together: a file survives only if EVERY range can intersect —
+    // the z-order case, where two narrow dimensions multiply the skip.
     val surviving = manifest
-      .where(col(s"max_$colName") >= lit(lo) && col(s"min_$colName") <= lit(hi))
+      .where(ranges.map { case (c, lo, hi) =>
+        col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+      }.reduce(_ && _))
       .select(col("file")).as(Encoders.STRING)
       .collect().map(key).toSet
     current.filter { f =>
@@ -138,8 +140,21 @@ object ZoneMaps {
       manifestPath: String,
       colName: String,
       lo: Any,
-      hi: Any): DataFrame = {
-    val files = candidateFiles(spark, dataPath, manifestPath, colName, lo, hi)
+      hi: Any): DataFrame =
+    prunedReadRanges(spark, dataPath, manifestPath, Seq((colName, lo, hi)))
+
+  /** Conjunctive multi-column variant: result ≡ the full scan's
+    * `WHERE AND_i (cᵢ BETWEEN loᵢ AND hiᵢ)`. With z-ordered data, the
+    * per-dimension skips multiply — this is the reader that completes
+    * [[Sinks.writeZOrdered]].
+    */
+  def prunedReadRanges(
+      spark: SparkSession,
+      dataPath: String,
+      manifestPath: String,
+      ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "prunedRead needs at least one range predicate")
+    val files = candidateFiles(spark, dataPath, manifestPath, ranges)
     val base =
       if (files.isEmpty)
         // schema-preserving empty result (no file matched anywhere)
@@ -147,7 +162,12 @@ object ZoneMaps {
       else
         spark.read
           .schema(spark.read.parquet(dataPath).schema) // stable schema even for a file subset
+          // basePath: a file-subset read of a PARTITIONED table must still
+          // resolve dir-encoded partition columns, or they'd surface null
+          .option("basePath", dataPath)
           .parquet(files: _*)
-    base.where(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+    base.where(ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _))
   }
 }

@@ -86,6 +86,38 @@ class PackingSpec extends AnyFunSuite {
     assert(audited === Set(2L, 3L))
   }
 
+  test("mixturePlan: caps at 1, absent sources plan to 0, empty sources avoid NaN") {
+    val docs = Seq(
+      (1L, "web", 100L), (2L, "web", 100L),     // 200 actual vs target 50
+      (3L, "books", 40L),                        // 40 actual vs huge target → cap 1.0
+      (4L, "junk", 10L),                         // no target → 0
+      (5L, "empty", 0L)                          // zero tokens, targeted → 0, not NaN
+    ).toDF("doc_id", "source", "n_tokens")
+    val got = graft.operators.Packing.mixturePlan(
+      docs, "source", "n_tokens", Map("web" -> 50L, "books" -> 1000000L, "empty" -> 10L))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("actual_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Double]("fraction")))).toMap
+    assert(got("web") === ((200L, 50L, 0.25)))
+    assert(got("books") === ((40L, 1000000L, 1.0)))
+    assert(got("junk") === ((10L, 0L, 0.0)))
+    assert(got("empty") === ((0L, 10L, 0.0)))
+  }
+
+  test("mixtureSample is deterministic, keeps full-fraction strata, drops untargeted ones") {
+    val docs = (1 to 200).map(i =>
+      (i.toLong, if (i % 2 == 0) "keep" else "drop", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val targets = Map("keep" -> 1000000L) // >> actual → fraction 1.0
+    def run() = graft.operators.Packing.mixtureSample(
+      docs, "doc_id", "source", "n_tokens", targets)
+      .select("doc_id").as[Long].collect().toSet
+    val a = run(); val b = run()
+    assert(a === b, "hash sampling must be reproducible")
+    assert(a === (2 to 200 by 2).map(_.toLong).toSet,
+      "full-fraction stratum keeps everything; untargeted stratum drops everything")
+  }
+
   test("binStats reports fill and waste per bin") {
     val docs = Seq((1L, 60L), (2L, 30L), (3L, 60L)).toDF("doc_id", "n_tokens")
     val stats = Packing.binStats(

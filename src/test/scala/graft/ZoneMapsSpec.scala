@@ -91,6 +91,35 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(mf)).getModificationTime === modAt)
   }
 
+  test("partitioned tables keep their dir-encoded columns through a pruned read") {
+    val data = tmp() + "/data"; val mf = tmp() + "/manifest"
+    (0 until 100).map(i => (i.toLong, i % 4, s"v$i")).toDF("k", "p", "v")
+      .repartitionByRange(5, col("k"))
+      .write.partitionBy("p").mode(SaveMode.Overwrite).parquet(data)
+    ZoneMaps.save(spark, data, mf, Seq("k"))
+    val got = ZoneMaps.prunedRead(spark, data, mf, "k", 10L, 12L)
+      .select("k", "p").as[(Long, Int)].collect().toSet
+    assert(got === Set((10L, 2), (11L, 3), (12L, 0)),
+      "partition column values must survive the file-subset read")
+  }
+
+  test("prunedReadRanges over z-ordered data: conjunctive skips, exact result") {
+    val data = tmp() + "/data"; val mf = tmp() + "/manifest"
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 2000).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .toDF("x", "y")
+    graft.sources.Sinks.writeZOrdered(df, data, Seq("x", "y"), numFiles = 16)
+    ZoneMaps.save(spark, data, mf, Seq("x", "y"))
+    val ranges = Seq(("x", 100L: Any, 199L: Any), ("y", 100L: Any, 199L: Any))
+    val pruned = ZoneMaps.prunedReadRanges(spark, data, mf, ranges)
+    val full = spark.read.parquet(data)
+      .where(col("x").between(100L, 199L) && col("y").between(100L, 199L))
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      full.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    assert(pruned.inputFiles.length < 16,
+      s"z-order + zone map must skip files: read ${pruned.inputFiles.length} of 16")
+  }
+
   test("manifest is one scan with one file-keyed exchange") {
     val data = tmp() + "/data"
     writeClustered(data)
