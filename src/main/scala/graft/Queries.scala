@@ -2198,6 +2198,136 @@ object Queries {
                   ELSE CAST(0.0 AS DOUBLE) END AS fraction
       FROM a"""))
 
+  /** Gopher-style quality rule report ([[graft.operators.Filtering]]):
+    * per-doc signals, per-rule verdicts, and the conjunction — one scan,
+    * no shuffle. Thresholds tuned so the corpus splits both ways on the
+    * token-count and stopword rules (line-based rules are exercised by
+    * FilteringSpec's multi-line fixtures; on this single-line corpus they
+    * verify the 0.0 denominatorless path).
+    */
+  val q73GopherRules: Q = Q(
+    "q73_gopher_rules",
+    (s, dir) =>
+      graft.operators.Filtering.gopherReport(
+        t(s, dir, "documents"), "doc_id", "text",
+        graft.operators.Filtering.GopherThresholds(
+          minTokens = 30L, maxTokens = 80L, minStopwordHits = 1L)),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS tkl,
+               list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lns
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          CAST(len(tk) AS BIGINT) AS n_tokens,
+          CASE WHEN len(tk) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) END AS mean_token_len,
+          CASE WHEN len(tk) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk) END AS alpha_word_ratio,
+          CASE WHEN len(tk) = 0 THEN 0.0
+               ELSE (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                     + (length(text) - length(replace(text, '...', ''))) / 3) / len(tk) END AS symbol_ratio,
+          CASE WHEN len(lns) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lns) END AS bullet_line_ratio,
+          CASE WHEN len(lns) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE) / len(lns) END AS ellipsis_line_ratio,
+          CAST(len(list_distinct(list_filter(tkl, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this')))) AS BIGINT) AS stopword_hits
+        FROM toks)
+      SELECT *,
+        (n_tokens >= 30 AND n_tokens <= 80) AS ok_tokens,
+        (mean_token_len >= 3.0 AND mean_token_len <= 10.0) AS ok_mean_len,
+        (symbol_ratio <= 0.1) AS ok_symbols,
+        (bullet_line_ratio <= 0.9) AS ok_bullets,
+        (ellipsis_line_ratio <= 0.3) AS ok_ellipsis,
+        (alpha_word_ratio >= 0.8) AS ok_alpha,
+        (stopword_hits >= 1) AS ok_stopwords,
+        (n_tokens >= 30 AND n_tokens <= 80
+         AND mean_token_len >= 3.0 AND mean_token_len <= 10.0
+         AND symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+         AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+         AND stopword_hits >= 1) AS passes
+      FROM s"""))
+
+  /** CCNet-style boilerplate strip ([[graft.operators.Boilerplate]]): drop
+    * lines whose corpus-wide frequency ≥ 1.8×n_docs — a RATE threshold,
+    * so the vocabulary splits the same way at every scale factor (17/14
+    * at sf0.01, where 1.8×500 = 900). The corpus is single-line, so
+    * spaces become newlines first — every token is a "line", and the
+    * high-frequency vocabulary plays the boilerplate role. A fully
+    * stripped doc is `''` on both engines (the oracle coalesces
+    * `array_to_string`, whose string_agg core is NULL over zero
+    * elements). Multi-line semantics (blank lines, padded repeats,
+    * order) are pinned by BoilerplateSpec.
+    */
+  val q74BoilerplateStrip: Q = Q(
+    "q74_boilerplate_strip",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), translate(col("text"), " ", "\n").as("text"))
+      val minDf = math.ceil(1.8 * d.count()).toLong
+      graft.operators.Boilerplate.stripCommonLines(d, "text", minDf = minDf)
+        .select("doc_id", "text_clean", "n_lines_dropped")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents),
+      lns AS (
+        SELECT trim(ln) AS key
+        FROM (SELECT unnest(string_split(text, chr(10))) AS ln FROM d)
+        WHERE length(trim(ln)) > 0),
+      df AS (SELECT key, COUNT(*) AS df FROM lns GROUP BY key),
+      commons AS (
+        SELECT coalesce(list(key), CAST([] AS VARCHAR[])) AS ks
+        FROM df WHERE df >= CAST(ceil(1.8 * (SELECT COUNT(*) FROM d)) AS BIGINT))
+      SELECT doc_id,
+             coalesce(array_to_string(list_filter(string_split(text, chr(10)),
+               x -> NOT (length(trim(x)) > 0 AND list_contains(ks, trim(x)))), chr(10)), '') AS text_clean,
+             CAST(len(list_filter(string_split(text, chr(10)),
+               x -> length(trim(x)) > 0 AND list_contains(ks, trim(x)))) AS BIGINT) AS n_lines_dropped
+      FROM d, commons"""))
+
+  /** Epoch-style mixture oversampling
+    * ([[graft.operators.Packing.mixtureSampleRepeats]]): sources whose
+    * target exceeds their token mass are REPEATED — floor(f) full epochs
+    * plus a fractional residue pass. The residue draw here is the
+    * injectable systematic form `(doc_id % 1000)/1000` so the whole
+    * output is oracle-comparable; the production default (key-hash
+    * uniform) is pinned by PackingSpec instead.
+    */
+  val q75MixtureEpochs: Q = Q(
+    "q75_mixture_epochs",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing.mixtureSampleRepeats(
+        d, "doc_id", "source", "n_tokens",
+        Map("src3" -> 3500L, "src4" -> 600L, "src5" -> 4000L),
+        uniform = Some(pmod(col("doc_id"), lit(1000L)).cast("double") / lit(1000.0)))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      a AS (SELECT source, SUM(n_tokens) AS actual FROM d GROUP BY source),
+      f AS (
+        SELECT source,
+               CASE WHEN actual > 0
+                    THEN CAST(CASE source WHEN 'src3' THEN 3500 WHEN 'src4' THEN 600 WHEN 'src5' THEN 4000 ELSE 0 END AS DOUBLE) / actual
+                    ELSE 0.0 END AS f
+        FROM a),
+      c AS (
+        SELECT d.doc_id, d.source, d.n_tokens,
+               CAST(floor(f.f) AS BIGINT)
+                 + CASE WHEN (d.doc_id % 1000) / 1000.0 < f.f - floor(f.f) THEN 1 ELSE 0 END AS n_copies
+        FROM d JOIN f USING (source))
+      SELECT doc_id, source, n_tokens,
+             unnest(generate_series(CAST(0 AS BIGINT), n_copies - 1)) AS epoch
+      FROM c WHERE n_copies > 0"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -2227,7 +2357,7 @@ object Queries {
     q63bFunnelWindowed, q64CohortRetention, q64bCohortRates, q64cCohortCalendar,
     q65AnnIndexDedup, q65cAnnCrossExact, q66ExpectationsRoute, q67FunnelSqlAgg,
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
-    q72MixturePlan)
+    q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -146,6 +146,66 @@ object text {
       regexp_replace(c, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
+  // --- Gopher-style rule signals (Rae et al. 2021, "Scaling Language
+  // Models: ... Gopher", §A1.1 — public heuristics; formulas restated
+  // here, thresholds live in the caller) ---
+
+  /** Fraction of tokens containing at least one ASCII letter — word-salad
+    * and markup pages score low. 0.0 for empty docs.
+    */
+  def alphaWordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  /** Count of DISTINCT stopwords present — Gopher's "contains at least 2
+    * stopwords" naturalness check (a real sentence hits several; keyword
+    * lists hit none).
+    */
+  def distinctStopwordHits(c: Column, stop: Seq[String] = englishStopwords): Column =
+    size(array_distinct(filter(tokens(lower(c)), t => t.isin(stop: _*))))
+
+  /** Hash-sign + ellipsis occurrences per token (Gopher's symbol-to-word
+    * ratio). Occurrence counts by length-delta of `replace` — pure string
+    * arithmetic, identical in any engine; the `...` count divides by 3
+    * AFTER the delta so the division is exact. 0.0 for empty docs.
+    */
+  def symbolRatio(c: Column): Column = {
+    val toks = tokens(c)
+    val hashes = (length(c) - length(regexp_replace(c, "#", ""))).cast("double")
+    val dots = ((length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / lit(3)).cast("double")
+    when(size(toks) === 0, lit(0.0))
+      .otherwise((hashes + dots) / size(toks).cast("double"))
+  }
+
+  private def nonEmptyLines(c: Column): Column =
+    filter(split(c, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of non-empty lines that start with a bullet ('-', '*', '•')
+    * — link farms and nav menus are bullet walls. 0.0 when no lines.
+    */
+  def bulletLineRatio(c: Column): Column = {
+    val lns = nonEmptyLines(c)
+    when(size(lns) === 0, lit(0.0))
+      .otherwise(
+        size(filter(lns, l => trim(l).rlike("^[-*•]"))).cast("double") /
+          size(lns).cast("double"))
+  }
+
+  /** Fraction of non-empty lines ending in an ellipsis — truncated
+    * search-result snippets. 0.0 when no lines.
+    */
+  def ellipsisLineRatio(c: Column): Column = {
+    val lns = nonEmptyLines(c)
+    when(size(lns) === 0, lit(0.0))
+      .otherwise(
+        size(filter(lns, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") /
+          size(lns).cast("double"))
+  }
+
   // --- Fingerprinting ---
 
   /** Canonical-text MD5: lowercase, collapse whitespace, trim. Collapse

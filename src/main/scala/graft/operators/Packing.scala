@@ -140,12 +140,14 @@ object Packing {
       docs: DataFrame,
       sourceCol: String,
       tokensCol: String,
-      targets: Map[String, Long]): DataFrame = {
+      targets: Map[String, Long],
+      allowOversample: Boolean = false): DataFrame = {
     require(targets.nonEmpty, "mixturePlan needs at least one target")
     require(targets.values.forall(_ >= 0L), "targets must be non-negative")
     val targetExpr = targets.foldLeft(lit(0L)) { case (rest, (s, t)) =>
       when(col("source") === s, lit(t)).otherwise(rest)
     }
+    val raw = col("target_tokens").cast("double") / col("actual_tokens").cast("double")
     docs
       .groupBy(col(sourceCol).as("source"))
       .agg(
@@ -154,8 +156,7 @@ object Packing {
       .withColumn("target_tokens", targetExpr)
       .withColumn("fraction",
         when(col("actual_tokens") > 0L,
-          least(lit(1.0),
-            col("target_tokens").cast("double") / col("actual_tokens").cast("double")))
+          if (allowOversample) raw else least(lit(1.0), raw))
           .otherwise(lit(0.0)))
   }
 
@@ -181,6 +182,54 @@ object Packing {
       .toMap
     Partitioning.stratifiedSample(
       docs, sourceCol, idCol, fractions, defaultFraction = 0.0, seed = seed)
+  }
+
+  /** Execute an OVERSAMPLING mixture plan ("books for 3 epochs"): each
+    * document is emitted `floor(f)` times plus one more with probability
+    * `frac(f)`, so a source's expected token mass lands on its target
+    * even when `target > actual`. Copies carry a 0-based `epoch` column —
+    * shuffle on it downstream to keep repeats out of the same shard.
+    *
+    * The fractional-residue decision draws from `uniform` — by default
+    * the key-hash uniform (deterministic, retry-proof, [[Partitioning]]'s
+    * 53-bit construction); injectable so callers can choose systematic
+    * sampling (e.g. `pmod(id, 1000)/1000.0` — the oracle-comparable
+    * form q75 uses) without a second code path. `maxEpochs` bounds the
+    * per-row explode (a target 100× beyond the corpus is a config error,
+    * not a sampling request). Two actions over `docs` — pin
+    * nondeterministic frames first, the standard two-action contract.
+    */
+  def mixtureSampleRepeats(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokensCol: String,
+      targets: Map[String, Long],
+      maxEpochs: Int = 100,
+      seed: Int = 42,
+      uniform: Option[Column] = None): DataFrame = {
+    val fractions = mixturePlan(docs, sourceCol, tokensCol, targets, allowOversample = true)
+      .select("source", "fraction")
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getDouble(1)))
+      .toMap
+    require(fractions.values.forall(_ <= maxEpochs),
+      s"a planned fraction exceeds maxEpochs=$maxEpochs: " +
+        fractions.filter(_._2 > maxEpochs).mkString(", "))
+    val fracExpr = fractions.foldLeft(lit(0.0)) { case (rest, (s, f)) =>
+      when(col(sourceCol) === s, lit(f)).otherwise(rest)
+    }
+    val u = uniform.getOrElse(
+      Partitioning.uniformFromHash(xxhash64(col(idCol), lit(seed))))
+    val copies = floor(fracExpr).cast("long") +
+      when(u < fracExpr - floor(fracExpr), 1L).otherwise(0L)
+    docs
+      .withColumn("__n_copies", copies)
+      .where(col("__n_copies") > 0L)
+      // sequence() is safe here: the where guarantees stop >= start (an
+      // unguarded sequence(0, -1) would yield [0, -1], not empty)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n_copies") - 1L)))
+      .drop("__n_copies")
   }
 
   /** Per-bin utilization of a [[greedyBins]] result: `(shard, bin, n_docs,

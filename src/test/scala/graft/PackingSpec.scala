@@ -118,6 +118,48 @@ class PackingSpec extends AnyFunSuite {
       "full-fraction stratum keeps everything; untargeted stratum drops everything")
   }
 
+  test("mixtureSampleRepeats: integral oversample repeats every doc exactly f times") {
+    // 4 docs × 25 tokens = 100 actual; target 300 → f = 3.0, no residue
+    val docs = (1 to 4).map(i => (i.toLong, "web", 25L)).toDF("doc_id", "source", "n_tokens")
+    val got = graft.operators.Packing.mixtureSampleRepeats(
+      docs, "doc_id", "source", "n_tokens", Map("web" -> 300L))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("epoch").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 4)
+    assert(got.forall { case (_, n, mx) => n === 3L && mx === 2L },
+      "3 dense epochs per doc, no hash residue at an integral fraction")
+  }
+
+  test("mixtureSampleRepeats: fractional residue via injected uniform is exact") {
+    // 10 docs × 10 tokens = 100 actual; target 250 → f = 2.5; u = 0.3 for
+    // even ids (take the residue copy), 0.9 for odd (do not)
+    val docs = (1 to 10).map(i => (i.toLong, "web", 10L)).toDF("doc_id", "source", "n_tokens")
+    val u = when(col("doc_id") % 2 === 0, 0.3).otherwise(0.9)
+    val counts = graft.operators.Packing.mixtureSampleRepeats(
+      docs, "doc_id", "source", "n_tokens", Map("web" -> 250L), uniform = Some(u))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 10).foreach { i =>
+      assert(counts(i.toLong) === (if (i % 2 == 0) 3L else 2L))
+    }
+  }
+
+  test("mixtureSampleRepeats: untargeted sources vanish; determinism; epoch cap") {
+    val docs = (1 to 50).map(i =>
+      (i.toLong, if (i <= 25) "keep" else "junk", 10L)).toDF("doc_id", "source", "n_tokens")
+    def run() = graft.operators.Packing.mixtureSampleRepeats(
+      docs, "doc_id", "source", "n_tokens", Map("keep" -> 400L))
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    val a = run()
+    assert(a === run(), "hash-uniform residue must be reproducible")
+    assert(a.forall(_._1 <= 25L), "junk source is excluded entirely")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Packing.mixtureSampleRepeats(
+        docs, "doc_id", "source", "n_tokens", Map("keep" -> 1000000L), maxEpochs = 100)
+    }
+    assert(e.getMessage.contains("maxEpochs"))
+  }
+
   test("binStats reports fill and waste per bin") {
     val docs = Seq((1L, 60L), (2L, 30L), (3L, 60L)).toDF("doc_id", "n_tokens")
     val stats = Packing.binStats(
