@@ -2328,6 +2328,92 @@ object Queries {
              unnest(generate_series(CAST(0 AS BIGINT), n_copies - 1)) AS epoch
       FROM c WHERE n_copies > 0"""))
 
+  /** α-temperature mixture plan
+    * ([[graft.operators.Packing.temperatureMixturePlan]]) at α = 0.5 with
+    * the budget set to the corpus's own token mass: sqrt-compressed
+    * weights re-split the SAME total, so heavy sources plan fractional
+    * keeps and light sources cap at 1.0 — live witnesses on both sides at
+    * every scale. Exactness rides the integerized basis: floor of an
+    * IEEE-exact sqrt, integer sums, exact decimal floor-division — every
+    * output column is hash-comparable.
+    */
+  val q76TemperaturePlan: Q = Q(
+    "q76_temperature_plan",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("source"), text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val budget = d.agg(sum(col("n_tokens"))).first().getLong(0)
+      graft.operators.Packing.temperatureMixturePlan(
+        d, "source", "n_tokens", budget, alpha = 0.5)
+    },
+    Some("""
+      WITH d AS (
+        SELECT source,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      a AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS actual_tokens
+        FROM d GROUP BY source),
+      b AS (
+        SELECT *, CAST(CASE WHEN actual_tokens > 0
+                            THEN floor(sqrt(CAST(actual_tokens AS DOUBLE)))
+                            ELSE 0 END AS HUGEINT) AS basis
+        FROM a),
+      tt AS (
+        SELECT *, SUM(basis) OVER () AS total,
+               (SELECT CAST(SUM(n_tokens) AS HUGEINT) FROM d) AS budget
+        FROM b)
+      SELECT source, n_docs, actual_tokens,
+             CAST((basis * budget) // total AS BIGINT) AS target_tokens,
+             CAST(basis AS DOUBLE) / CAST(total AS DOUBLE) AS weight,
+             CASE WHEN actual_tokens > 0
+                  THEN least(CAST(1.0 AS DOUBLE),
+                             CAST((basis * budget) // total AS DOUBLE) /
+                             CAST(actual_tokens AS DOUBLE))
+                  ELSE CAST(0.0 AS DOUBLE) END AS fraction
+      FROM tt"""))
+
+  /** EXACT per-source top cut
+    * ([[graft.operators.Filtering.topFractionBySource]]): keep each
+    * source's floor(0.3·n) highest-token documents, score ties broken by
+    * doc_id — the per-domain classifier-score cut, here scored by token
+    * count so the oracle is integer-exact.
+    */
+  val q77TopFraction: Q = Q(
+    "q77_top_fraction",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Filtering.topFractionBySource(
+        d, "source", "doc_id", "n_tokens", 0.3)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT doc_id, source, n_tokens FROM d
+      QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id ASC)
+              <= CAST(floor(0.3 * CAST(COUNT(*) OVER (PARTITION BY source) AS DOUBLE)) AS BIGINT)"""))
+
+  /** SCALE form of q77 ([[graft.operators.Filtering.aboveQuantileBySource]]):
+    * GK-sketch per-source threshold, no per-source sort. No oracle (the
+    * sketch's rank-error tolerance is not SQL-expressible); gated against
+    * the exact q77 cut by FilteringSpec's count-tolerance and
+    * threshold-consistency cases.
+    */
+  val q77bTopQuantileSketch: Q = Q(
+    "q77b_top_quantile_sketch",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Filtering.aboveQuantileBySource(d, "source", "n_tokens", 0.3)
+    },
+    None)
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -2357,7 +2443,8 @@ object Queries {
     q63bFunnelWindowed, q64CohortRetention, q64bCohortRates, q64cCohortCalendar,
     q65AnnIndexDedup, q65cAnnCrossExact, q66ExpectationsRoute, q67FunnelSqlAgg,
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
-    q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs)
+    q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs,
+    q76TemperaturePlan, q77TopFraction, q77bTopQuantileSketch)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

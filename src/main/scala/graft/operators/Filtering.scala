@@ -89,4 +89,74 @@ object Filtering {
     val sigMap = signals(col(textCol)).toMap
     docs.where(rules(th, sigMap).map(_._2).reduce(_ && _))
   }
+
+  // --- Per-source quantile cuts ("keep the best X% of each domain") ---
+
+  /** EXACT per-source top cut: keep each source's `floor(fraction · n)`
+    * highest-scoring rows (score descending, ties broken by `idCol`
+    * ascending — fully deterministic). This is the per-domain
+    * classifier-score cut pretraining pipelines apply after scoring
+    * (keep the top 10% of web, top 50% of forums, …). A source smaller
+    * than `1/fraction` rows keeps NOTHING (floor semantics — the quota
+    * is a fraction, not "at least one"); null sources form one real
+    * group and are cut like any other.
+    *
+    * Scale contract: one exchange on source; count and row_number share
+    * the single window sort. The per-source SORT is the scale limit — a
+    * dominant source serializes through one task — so at 100 TB prefer
+    * [[aboveQuantileBySource]] (sketch threshold, no global sort) and
+    * reserve this form for oracle checks and modest strata.
+    */
+  def topFractionBySource(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      scoreCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction outside [0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol))
+    val byScore = w.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val quota = floor(lit(fraction) * count(lit(1)).over(w).cast("double")).cast("long")
+    docs
+      .withColumn("__rn", row_number().over(byScore).cast("long"))
+      .withColumn("__quota", quota)
+      .where(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
+  /** SCALE form of the per-source cut: keep rows whose score is at or
+    * above the source's (1 − fraction) quantile, estimated by the
+    * mergeable GK sketch ([[Profile.gkSketchCol]], relErr rank error).
+    * The sketch pass is one map-side-combined aggregation at source
+    * cardinality; thresholds broadcast back (null-safe, like
+    * [[Anomaly.robustOutliers]]) and the cut is a plain `where` — no
+    * per-source sort anywhere, so a single dominant source costs what
+    * any scan costs.
+    *
+    * Contract vs the exact form: this is a SCORE cut, not a quota cut —
+    * the threshold row itself and every tie at the threshold are kept,
+    * and the sketch's rank tolerance adds ±relErr·n; per source the kept
+    * count lands in `quota − relErr·n … quota + 1 + ties + relErr·n`.
+    * Pinned against [[topFractionBySource]] by FilteringSpec.
+    */
+  def aboveQuantileBySource(
+      docs: DataFrame,
+      sourceCol: String,
+      scoreCol: String,
+      fraction: Double,
+      relErr: Double = 0.01): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction outside [0,1]")
+    if (fraction == 0.0) return docs.where(lit(false))
+    val thresholds = docs
+      .groupBy(col(sourceCol).as("__src"))
+      .agg(Profile.gkSketchCol(col(scoreCol).cast("double"), relErr).as("__gk"))
+      .select(
+        col("__src"),
+        Profile.gkQuantiles(col("__gk"), Seq(1.0 - fraction)).getItem(0).as("__thr"))
+    docs
+      .join(broadcast(thresholds), col(sourceCol) <=> col("__src"))
+      .where(col(scoreCol).cast("double") >= col("__thr"))
+      .drop("__src", "__thr")
+  }
 }

@@ -232,6 +232,81 @@ object Packing {
       .drop("__n_copies")
   }
 
+  /** α-temperature mixture plan (the multi-source sampling scheme of
+    * Lample & Conneau 2019 §3.1, used by XLM-R / mT5): source i receives
+    * the share `aᵢ^α / Σⱼ aⱼ^α` of `budgetTokens`, where aᵢ is its token
+    * mass — α = 1 is proportional (no rebalance), α → 0 uniform, and
+    * α ∈ (0,1) up-weights tail sources without drowning the head. Unlike
+    * [[mixturePlan]], the caller names ONE budget, not per-source
+    * targets; every source participates (temperature is a rebalance, not
+    * a whitelist).
+    *
+    * Determinism/portability contract: the mass basis is INTEGERIZED —
+    * bᵢ = floor(aᵢ^α) — so the cross-source normalizer Σbⱼ is an exact
+    * integer sum (no float summation-order dependence anywhere) and each
+    * target is the exact decimal floor-division bᵢ·B div Σbⱼ (the
+    * remainder-subtraction trick — no rounding-mode ambiguity). At the
+    * default α = 0.5 the basis rides IEEE-correctly-rounded `sqrt`, so
+    * the whole plan is bit-identical across engines (q76's oracle); other
+    * α go through `pow` (≤ 1 ulp, floor boundaries spec-gated only).
+    * Integerizing costs < 0.1% weight precision once a source's basis
+    * exceeds ~10³ — always true at corpus scale; a source whose mass is
+    * so small that floor(aᵢ^α) = 0 gets target 0 (it was noise).
+    *
+    * Output: (source, n_docs, actual_tokens, target_tokens, weight,
+    * fraction) — same shape as [[mixturePlan]] plus `weight`, so
+    * [[targetsOf]] feeds [[mixtureSample]] (downsample-only) or
+    * [[mixtureSampleRepeats]] (epoch oversampling) unchanged. One
+    * aggregation over one scan; the all-sources window runs at
+    * source cardinality, not corpus cardinality.
+    */
+  def temperatureMixturePlan(
+      docs: DataFrame,
+      sourceCol: String,
+      tokensCol: String,
+      budgetTokens: Long,
+      alpha: Double = 0.5): DataFrame = {
+    require(budgetTokens >= 0L, "budget must be non-negative")
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha=$alpha is not a smoothing exponent (expected [0, 1])")
+    val a = col("actual_tokens").cast("double")
+    // sqrt is IEEE-correctly-rounded; pow is not — keep the oracle-exact
+    // path on sqrt for the default alpha
+    val basisD = floor(if (alpha == 0.5) sqrt(a) else pow(a, lit(alpha)))
+    val w = Window.partitionBy() // source-cardinality rows only
+    val total = sum(col("__basis")).over(w)
+    val num = col("__basis") * lit(budgetTokens)
+    docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("actual_tokens"))
+      .withColumn("__basis",
+        when(col("actual_tokens") > 0L, basisD)
+          .otherwise(lit(0.0)).cast("decimal(38,0)"))
+      .withColumn("target_tokens",
+        when(total > 0L, ((num - (num % total)) / total).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("weight",
+        when(total > 0L, col("__basis").cast("double") / total.cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("fraction",
+        when(col("actual_tokens") > 0L,
+          least(lit(1.0),
+            col("target_tokens").cast("double") / col("actual_tokens").cast("double")))
+          .otherwise(lit(0.0)))
+      .drop("__basis")
+  }
+
+  /** Collect a plan's `(source → target_tokens)` map — the bridge from
+    * [[temperatureMixturePlan]] (or [[mixturePlan]]) to the samplers.
+    * Bounded by source cardinality (a mixture with a million sources is
+    * not a mixture).
+    */
+  def targetsOf(plan: DataFrame): Map[String, Long] =
+    plan.select("source", "target_tokens").collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
+
   /** Per-bin utilization of a [[greedyBins]] result: `(shard, bin, n_docs,
     * fill, waste)` — the padding-overhead report training-throughput
     * dashboards want. One aggregation on the already-shuffled keys.

@@ -377,4 +377,57 @@ object Streams {
       }
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
+
+  /** Continuous EMBEDDING ingestion: the streaming face of
+    * [[graft.operators.AnnIndex]], completing the dedup/ANN symmetry —
+    * [[nearDupIngest]] is this for text. Each micro-batch of (id, vector)
+    * rows is screened against the persisted IVF index
+    * ([[graft.operators.AnnIndex.dedupBatch]]: corpus probe, then
+    * batch-internal near-dedup), the accepted rows land as an immutable
+    * `batch=` partition of `outputPath`, and their cell-assigned postings
+    * join the index — every later batch screens against everything
+    * accepted so far, across restarts, without re-landing corpus vectors.
+    * The index must be [[graft.operators.AnnIndex.init]]'d or built
+    * before the stream starts (the quantizer is frozen; a stream never
+    * retrains it).
+    *
+    * Exactly-once, label, and state contracts are [[nearDupIngest]]'s,
+    * verbatim: "s"-prefixed labels (AnnIndex.nextBatchLabel numbers over
+    * numeric labels only, so streaming labels collide with neither manual
+    * appends nor compact output), `batch=` rename as the commit marker on
+    * both tables, idempotent re-execution after crash, one checkpoint per
+    * index, and ZERO state-store state — the index on disk is the state.
+    */
+  def annIngest(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      outputPath: String,
+      threshold: Double = 0.95,
+      nprobe: Int = 4,
+      maxCell: Int = Int.MaxValue,
+      dim: Int = 64,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{AnnIndex, Caches, DedupIndex}
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val label = f"s$batchId%08d"
+        val scope = Caches.newScope()
+        try Caches.inScope(scope) {
+          // consumed twice (output land + index append) → pinned so the
+          // probe/cluster dataflow runs once
+          val accepted = Caches.pin(
+            AnnIndex.dedupBatch(
+              batch.toDF(), idCol, vecCol, indexPath, threshold, nprobe, maxCell, dim))
+          val outRoot = new org.apache.hadoop.fs.Path(outputPath)
+          val fs = outRoot.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(outRoot, s"batch=$label")))
+            DedupIndex.appendDir(accepted, outputPath, label)
+          AnnIndex.appendIdempotent(accepted, idCol, vecCol, indexPath, label)
+        } finally scope.release()
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
 }

@@ -89,4 +89,61 @@ class FilteringSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  // --- Per-source quantile cuts ---
+
+  private def scored = (1 to 100).map(i =>
+    (i.toLong, if (i <= 80) "big" else if (i <= 96) "small" else "tiny",
+      // score = position within the source, descending with id
+      (if (i <= 80) 80 - i else if (i <= 96) 96 - i else 100 - i).toLong))
+    .toDF("doc_id", "source", "score")
+
+  test("topFractionBySource keeps exactly floor(fraction*n) per source, best first") {
+    val kept = Filtering.topFractionBySource(scored, "source", "doc_id", "score", 0.25)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    // big: n=80 → 20 kept (highest scores = lowest ids 1..20)
+    // small: n=16 → 4 kept (ids 81..84); tiny: n=4 → 1 kept (id 97)
+    val want = (1L to 20L).map(_ -> "big").toSet ++
+      (81L to 84L).map(_ -> "small").toSet + (97L -> "tiny")
+    assert(kept === want)
+  }
+
+  test("topFractionBySource: ties break by id; sub-quota sources keep nothing") {
+    val tied = Seq(
+      (5L, "x", 10L), (3L, "x", 10L), (9L, "x", 10L), (1L, "x", 10L),
+      (7L, "solo", 99L)
+    ).toDF("doc_id", "source", "score")
+    val kept = Filtering.topFractionBySource(tied, "source", "doc_id", "score", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // x: 4 rows, all tied → quota 2, deterministic winners = lowest ids
+    // solo: floor(0.5 * 1) = 0 → the quota is a fraction, not "at least 1"
+    assert(kept === Set(1L, 3L))
+  }
+
+  test("aboveQuantileBySource tracks the exact cut within sketch tolerance") {
+    val fraction = 0.25
+    val exactKept = Filtering.topFractionBySource(scored, "source", "doc_id", "score", fraction)
+      .select("doc_id").as[Long].collect().toSet
+    val sketch = Filtering.aboveQuantileBySource(scored, "source", "score", fraction, relErr = 0.01)
+    assert(sketch.columns.toSeq === scored.columns.toSeq, "cut must not add columns")
+    val sketchKept = sketch.select("doc_id").as[Long].collect().toSet
+    // inclusive-threshold contract: the quota cut's rows all score at or
+    // above the (1-fraction) quantile, so the score cut is a superset …
+    assert(exactKept.subsetOf(sketchKept),
+      s"exact quota cut must survive the score cut: ${exactKept -- sketchKept} missing")
+    // … exceeding each quota by at most the threshold row itself plus the
+    // sketch's rank tolerance (scores are distinct per source — no tie mass)
+    val quota = Filtering.topFractionBySource(scored, "source", "doc_id", "score", fraction)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val got = sketch.groupBy("source").count().as[(String, Long)].collect().toMap
+    got.foreach { case (src, n) =>
+      val q = quota.getOrElse(src, 0L)
+      val n0 = scored.where(col("source") === src).count()
+      assert(n >= q && n <= q + 1 + math.ceil(0.01 * n0).toLong,
+        s"$src: sketch kept $n vs quota $q (n=$n0)")
+    }
+    // edge fractions
+    assert(Filtering.aboveQuantileBySource(scored, "source", "score", 0.0).count() === 0L)
+    assert(Filtering.aboveQuantileBySource(scored, "source", "score", 1.0).count() === 100L)
+  }
 }

@@ -160,6 +160,55 @@ class PackingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxEpochs"))
   }
 
+  test("temperatureMixturePlan: alpha 0.5 on perfect squares is exactly rational") {
+    // masses 100/400/900 → basis 10/20/30, total 60; budget 600 →
+    // targets 100/200/300 and weights 1/6, 1/3, 1/2, all exact
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "b", 400L), (3L, "c", 900L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val got = graft.operators.Packing.temperatureMixturePlan(
+      docs, "source", "n_tokens", budgetTokens = 600L)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("target_tokens"), r.getAs[Double]("weight"),
+          r.getAs[Double]("fraction")))).toMap
+    assert(got("a") === ((100L, 10.0 / 60.0, 1.0)))
+    assert(got("b") === ((200L, 20.0 / 60.0, 0.5)))
+    assert(got("c") === ((300L, 30.0 / 60.0, 300.0 / 900.0)))
+  }
+
+  test("temperatureMixturePlan: alpha 1 is proportional, alpha 0 is uniform") {
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "b", 200L), (3L, "c", 600L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val prop = graft.operators.Packing.temperatureMixturePlan(
+      docs, "source", "n_tokens", budgetTokens = 900L, alpha = 1.0)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("target_tokens")).toMap
+    assert(prop === Map("a" -> 100L, "b" -> 200L, "c" -> 600L),
+      "alpha = 1 with budget = total mass must reproduce the masses")
+    val unif = graft.operators.Packing.temperatureMixturePlan(
+      docs, "source", "n_tokens", budgetTokens = 900L, alpha = 0.0)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("target_tokens")).toMap
+    assert(unif === Map("a" -> 300L, "b" -> 300L, "c" -> 300L),
+      "alpha = 0 must split the budget evenly")
+  }
+
+  test("temperatureMixturePlan: empty sources get zero, targets never exceed budget") {
+    val docs = Seq(
+      (1L, "a", 170L), (2L, "b", 333L), (3L, "dead", 0L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val plan = graft.operators.Packing.temperatureMixturePlan(
+      docs, "source", "n_tokens", budgetTokens = 1000L)
+    val rows = plan.collect().map(r => r.getAs[String]("source") ->
+      ((r.getAs[Long]("target_tokens"), r.getAs[Double]("weight")))).toMap
+    assert(rows("dead") === ((0L, 0.0)))
+    val sumTargets = rows.values.map(_._1).sum
+    assert(sumTargets <= 1000L, s"floor-division shares must not exceed the budget: $sumTargets")
+    assert(sumTargets >= 990L, "shares should nearly exhaust the budget")
+    // targetsOf bridges into the samplers
+    val m = graft.operators.Packing.targetsOf(plan)
+    assert(m === rows.map { case (s, (t, _)) => s -> t })
+  }
+
   test("binStats reports fill and waste per bin") {
     val docs = Seq((1L, 60L), (2L, 30L), (3L, 60L)).toDF("doc_id", "n_tokens")
     val stats = Packing.binStats(

@@ -517,4 +517,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(graft.operators.DedupIndex.batches(spark, indexPath) == Seq("s00000000"))
     graft.operators.Caches.release()
   }
+
+  test("annIngest: embedding batches screen against everything accepted so far") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-ann").toString
+    val indexPath = s"$root/index"
+    val outputPath = s"$root/accepted"
+    // seed corpus claims the numeric label "00000001" — stream labels must
+    // live in the "s" namespace beside it, like nearDupIngest's
+    graft.operators.AnnIndex.build(
+      Seq((100L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "vec"),
+      "id", "vec", indexPath, nlist = 2, sampleRows = 8)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = Streams.annIngest(
+      input.toDF().toDF("id", "vec"), "id", "vec", indexPath, outputPath,
+      threshold = 0.95, nprobe = 2, dim = 4)
+    try {
+      // batch 0: a scaled copy of the seed (dropped via the index), a fresh
+      // direction (accepted), and an in-batch near-dup of it (dropped)
+      input.addData(
+        (1L, Seq(1.001f, 0.0f, 0.0f, 0.0f)),
+        (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+        (3L, Seq(0.0f, 0.9995f, 0.0f, 0.01f)))
+      query.processAllAvailable()
+      val b0 = spark.read.parquet(outputPath).select("id").as[Long].collect().toSet
+      assert(b0 == Set(2L), s"batch 0 must keep only the fresh keeper: $b0")
+      // batch 1: an exact copy of batch 0's acceptee — a CROSS-BATCH dup
+      // only the index can see — plus one genuinely new direction
+      input.addData(
+        (11L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+        (12L, Seq(0.0f, 0.0f, 1.0f, 0.0f)))
+      query.processAllAvailable()
+      val all = spark.read.parquet(outputPath).select("id").as[Long].collect().toSet
+      assert(all == Set(2L, 12L), s"cross-batch embedding dups must drop: $all")
+      assert(graft.operators.AnnIndex.batches(spark, indexPath).sorted ==
+        Seq("00000001", "s00000000", "s00000001"))
+    } finally query.stop()
+    graft.operators.Caches.release()
+  }
 }
