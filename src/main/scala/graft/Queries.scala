@@ -2414,6 +2414,73 @@ object Queries {
     },
     None)
 
+  /** Per-source vocabulary statistics
+    * ([[graft.operators.Ranking.vocabStats]]): types, tokens, hapaxes,
+    * type/token and hapax ratios — all counts integer-exact, each ratio
+    * one IEEE division. The oracle mirrors the null-group contract with
+    * IS NOT DISTINCT FROM.
+    */
+  val q78VocabStats: Q = Q(
+    "q78_vocab_stats",
+    (s, dir) =>
+      graft.operators.Ranking.vocabStats(t(s, dir, "documents"), "source", "text"),
+    Some("""
+      WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS term
+        FROM documents),
+      ts AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2),
+      v AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM ts GROUP BY 1),
+      d AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
+      SELECT d.source, d.n_docs,
+             COALESCE(v.n_tokens, 0) AS n_tokens,
+             COALESCE(v.n_types, 0) AS n_types,
+             COALESCE(v.n_hapax, 0) AS n_hapax,
+             CASE WHEN COALESCE(v.n_tokens, 0) > 0
+                  THEN CAST(v.n_types AS DOUBLE) / CAST(v.n_tokens AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS type_token_ratio,
+             CASE WHEN COALESCE(v.n_types, 0) > 0
+                  THEN CAST(v.n_hapax AS DOUBLE) / CAST(v.n_types AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS hapax_ratio
+      FROM d LEFT JOIN v ON d.source IS NOT DISTINCT FROM v.source"""))
+
+  /** Skew report ([[graft.operators.Salt.skewReport]]) over a
+    * deliberately skewed derived key (half the rows collapse onto
+    * 'heavy', the rest spread over per-quantity keys): only the hot key
+    * crosses minShare = 0.1, its salt factor exact integer
+    * ceil-division. The quantity values are integral, so the int cast
+    * agrees between engines.
+    */
+  val q79SkewReport: Q = Q(
+    "q79_skew_report",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem").withColumn(
+        "qty_key",
+        when(col("l_quantity") <= 25, lit("heavy"))
+          .otherwise(col("l_quantity").cast("int").cast("string")))
+      graft.operators.Salt.skewReport(l, Seq("qty_key"), minShare = 0.1, numPartitions = 32)
+    },
+    Some("""
+      WITH k AS (
+        SELECT CASE WHEN l_quantity <= 25 THEN 'heavy'
+                    ELSE CAST(CAST(l_quantity AS INT) AS VARCHAR) END AS qty_key
+        FROM lineitem),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM k),
+      g AS (SELECT qty_key, CAST(COUNT(*) AS BIGINT) AS n_rows FROM k GROUP BY 1)
+      SELECT qty_key, n_rows,
+             CAST(n_rows AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+             CAST((n_rows * 32 + n - 1) // n AS BIGINT) AS salt_factor
+      FROM g, tot
+      WHERE n_rows >= CAST(ceil(0.1 * n) AS BIGINT)"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -2444,7 +2511,8 @@ object Queries {
     q65AnnIndexDedup, q65cAnnCrossExact, q66ExpectationsRoute, q67FunnelSqlAgg,
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
     q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs,
-    q76TemperaturePlan, q77TopFraction, q77bTopQuantileSketch)
+    q76TemperaturePlan, q77TopFraction, q77bTopQuantileSketch, q78VocabStats,
+    q79SkewReport)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -228,4 +228,55 @@ object Ranking {
         terms.indices.map(i => coalesce(col(s"__w$i"), lit(0.0))).reduce(_ + _).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
   }
+
+  /** Per-source vocabulary statistics — the corpus-health dashboard row
+    * curation pipelines watch: type count (distinct terms), token mass,
+    * hapax count (terms seen exactly once — crawl noise and OCR garbage
+    * inflate it), type/token ratio (lexical diversity; template farms
+    * score low), hapax/type ratio. Output: (source, n_docs, n_tokens,
+    * n_types, n_hapax, type_token_ratio, hapax_ratio); a source whose
+    * documents are all empty reports zeros, null sources form one real
+    * group (mirrored in the oracle with IS NOT DISTINCT FROM).
+    *
+    * Scale contract: the term-stats branch is the [[termFrequencies]]
+    * shape keyed by (source, term) — map-side combine collapses token
+    * instances to distinct pairs before the only data-sized exchange —
+    * and the rollup to source cardinality rides a second, tiny exchange.
+    * The doc-count branch is a separate scan of `docs` (token explosion
+    * loses empty documents, and a union-sentinel to avoid the rescan
+    * would widen every token row for a count's sake); both branches feed
+    * ONE action, but a nondeterministic `docs` should be pinned first —
+    * the standard multi-pass contract ([[Frequency]]).
+    */
+  def vocabStats(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val perSource = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val termStats = docs
+      .select(col(sourceCol).as("source"), explode(text.tokens(col(textCol))).as("term"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("tf"))
+    val vocab = termStats
+      .groupBy(col("source").as("__vsrc"))
+      .agg(
+        count(lit(1)).as("__n_types"),
+        sum("tf").as("__n_tokens"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("__n_hapax"))
+    perSource
+      .join(broadcast(vocab), col("source") <=> col("__vsrc"), "left")
+      .select(
+        col("source"),
+        col("n_docs"),
+        coalesce(col("__n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("__n_types"), lit(0L)).as("n_types"),
+        coalesce(col("__n_hapax"), lit(0L)).as("n_hapax"))
+      .withColumn("type_token_ratio",
+        when(col("n_tokens") > 0L,
+          col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("hapax_ratio",
+        when(col("n_types") > 0L,
+          col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

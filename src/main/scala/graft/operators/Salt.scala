@@ -61,4 +61,61 @@ object Salt {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     bigSalted.join(smallExploded, keys :+ SaltCol, joinType).drop(SaltCol)
   }
+
+  /** Which keys need salting, and at what factor: every key holding at
+    * least `minShare` of the rows, with its exact count, share, and the
+    * suggested `saltFactor` = ceil(share × numPartitions) — the number of
+    * reducers that key needs so its salted splits are ordinary
+    * partition-sized. Feed the result straight back into [[saltedJoin]]
+    * (or set AQE's skew thresholds with open eyes).
+    *
+    * Output: (keys..., n_rows, share, salt_factor), exact counts.
+    *
+    * Scale contract: the naive `groupBy(keys).count()` is itself the
+    * skewed shuffle this report exists to prevent — so the hot-key scan
+    * rides [[Frequency]]'s two-pass shape instead: a Misra–Gries summary
+    * sized `ceil(2/minShare)` (any key at `minShare` is guaranteed a
+    * counter — the MG law needs only `k+1 > 1/minShare`), then exact
+    * counts of the ≤ k candidates with the IN-filter pruning the scan
+    * BEFORE the tiny exchange. No key-cardinality shuffle ever exists.
+    * `salt_factor` is exact integer arithmetic (decimal ceil-division —
+    * no float boundary ambiguity); `share` is a single IEEE division.
+    * Two passes over `df` — pin nondeterministic frames first, the
+    * standard two-action contract ([[Frequency]]).
+    *
+    * Multi-key note: candidates are tracked on a `\u0001`-joined string
+    * key with a `\u0000` null sentinel; keys whose values contain those
+    * control characters could alias ACROSS columns — irrelevant for the
+    * id/category/date keys skew reports run on, but don't feed it binary
+    * payloads. Null key values form one real group, counted like any
+    * other (the all-null key is the classic skew culprit).
+    */
+  def skewReport(
+      df: DataFrame,
+      keys: Seq[String],
+      minShare: Double,
+      numPartitions: Int = 32): DataFrame = {
+    require(keys.nonEmpty, "skewReport needs at least one key column")
+    require(minShare > 0.0 && minShare <= 1.0, s"minShare=$minShare outside (0,1]")
+    require(numPartitions > 0, "numPartitions must be positive")
+    val keyParts = keys.map(k => coalesce(col(k).cast("string"), lit("\u0000")))
+    val keyExpr =
+      if (keys.size == 1) keyParts.head
+      else concat_ws("\u0001", keyParts: _*)
+    val sketchK = math.max(64, math.ceil(2.0 / minShare).toInt)
+    val (n, cand) = Frequency.mgSummary(df, keyExpr, sketchK)
+    val minCount = math.max(1L, math.ceil(minShare * n).toLong)
+    val hot =
+      if (n == 0L || cand.isEmpty) df.where(lit(false))
+      else df.where(keyExpr.isin(cand.map(_._1): _*))
+    val nDec = lit(math.max(n, 1L)).cast("decimal(38,0)")
+    val m = (col("n_rows").cast("decimal(38,0)") * lit(numPartitions.toLong) +
+      nDec - lit(1L).cast("decimal(38,0)"))
+    hot
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") >= minCount)
+      .withColumn("share", col("n_rows").cast("double") / lit(n.toDouble))
+      .withColumn("salt_factor", ((m - (m % nDec)) / nDec).cast("long"))
+  }
 }

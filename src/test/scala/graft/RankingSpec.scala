@@ -188,4 +188,23 @@ class RankingSpec extends AnyFunSuite {
     assert(bm.length === 20)
     assert(bm.sortBy(r => (-r._2, r._1)).toSeq === bm.toSeq)
   }
+
+  test("vocabStats: exact types/tokens/hapaxes per source, empty and null sources") {
+    val docs = Seq(
+      (Option("x"), "a b a"),   // x: tokens a:2 b:1 (+ c below)
+      (Option("x"), "c"),
+      (Option("empty"), "   "), // whitespace-only → zero tokens
+      (Option.empty[String], "z z")
+    ).toDF("source", "text")
+    val got = Ranking.vocabStats(docs, "source", "text")
+      .collect().map(r => Option(r.getAs[String]("source")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("n_hapax"), r.getAs[Double]("type_token_ratio"),
+          r.getAs[Double]("hapax_ratio")))).toMap
+    assert(got(Some("x")) === ((2L, 4L, 3L, 2L, 3.0 / 4.0, 2.0 / 3.0)))
+    assert(got(Some("empty")) === ((1L, 0L, 0L, 0L, 0.0, 0.0)),
+      "an all-empty source must report zeros, not vanish")
+    assert(got(None) === ((1L, 2L, 1L, 0L, 1.0 / 2.0, 0.0)),
+      "null sources are one real group")
+  }
 }

@@ -32,6 +32,41 @@ class SaltQualitySpec extends AnyFunSuite {
     assert(salts > 4, s"hot key must spread over most of the 8 salts, got $salts")
   }
 
+  test("skewReport finds hot keys with exact counts and ceil salt factors") {
+    // 90 rows on the hot key, 10 singletons: at minShare 0.5 only "hot"
+    // qualifies; salt = ceil(0.9 * 10) = 9
+    val df = ((1 to 90).map(i => ("hot", i.toLong)) ++
+      (1 to 10).map(i => (s"cold$i", i.toLong))).toDF("k", "v")
+    val got = Salt.skewReport(df, Seq("k"), minShare = 0.5, numPartitions = 10)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("n_rows"),
+        r.getAs[Double]("share"), r.getAs[Long]("salt_factor")))
+    assert(got.toSeq == Seq(("hot", 90L, 0.9, 9L)))
+  }
+
+  test("skewReport: multi-key and null keys form real countable groups") {
+    val df = (
+      (1 to 40).map(_ => (Option("a"), Option("x"))) ++
+      (1 to 40).map(_ => (Option.empty[String], Option.empty[String])) ++
+      (1 to 20).map(i => (Option(s"t$i"), Option("x")))
+    ).toDF("k1", "k2")
+    val got = Salt.skewReport(df, Seq("k1", "k2"), minShare = 0.3, numPartitions = 4)
+      .collect().map(r => ((Option(r.getAs[String]("k1")), Option(r.getAs[String]("k2"))),
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("salt_factor")))).toMap
+    assert(got == Map(
+      (Some("a"), Some("x")) -> ((40L, 2L)),
+      (None, None) -> ((40L, 2L))), s"got $got")
+  }
+
+  test("skewReport: exact-boundary share qualifies; sub-threshold keys never appear") {
+    // 25 of 100 rows at minShare 0.25 — the >= boundary must include it
+    val df = ((1 to 25).map(_ => "edge") ++ (1 to 75).map(i => s"u$i")).toDF("k")
+    val keys = Salt.skewReport(df, Seq("k"), minShare = 0.25, numPartitions = 8)
+      .select("k").as[String].collect().toSet
+    assert(keys == Set("edge"))
+    // empty input → empty report, not a crash
+    assert(Salt.skewReport(df.where(lit(false)), Seq("k"), 0.5).count() == 0L)
+  }
+
   test("columnProfile: one row per column with sane stats") {
     val prof = Quality.columnProfile(Tables.load(spark, "/root/testdata/sf0.001", "orders"))
       .collect().map(r => r.getString(0) -> r).toMap
