@@ -2481,6 +2481,86 @@ object Queries {
       FROM g, tot
       WHERE n_rows >= CAST(ceil(0.1 * n) AS BIGINT)"""))
 
+  /** Quality-classifier training
+    * ([[graft.operators.Classifier.trainTermStats]]): per-term class
+    * counts with `lang = 'en'` as the reference label and minCount = 2
+    * pruning — the trained model table itself, integer-exact.
+    */
+  val q80NbModel: Q = Q(
+    "q80_nb_model",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("is_ref", col("lang") === "en")
+      graft.operators.Classifier.trainTermStats(d, "is_ref", "text", minCount = 2L)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT (lang = 'en') AS pos,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS term
+        FROM documents WHERE lang IS NOT NULL)
+      SELECT term,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_tf,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_tf
+      FROM toks GROUP BY 1
+      HAVING COUNT(*) >= 2"""))
+
+  /** NB log-odds scoring ([[graft.operators.Classifier.scoreNB]]). No
+    * oracle (`ln` weights); determinism is structural — ×10¹²-quantized
+    * integer sums — and the semantics are gated by ClassifierSpec
+    * (driver-side recompute, partitioning invariance) plus the exact
+    * q80c twin sharing the whole dataflow shape.
+    */
+  val q80bNbScore: Q = Q(
+    "q80b_nb_score",
+    (s, dir) => {
+      val d = t(s, dir, "documents").withColumn("is_ref", col("lang") === "en")
+      val model = graft.operators.Classifier.trainTermStats(d, "is_ref", "text", minCount = 2L)
+      graft.operators.Classifier.scoreNB(d, model, "doc_id", "text")
+    },
+    None)
+
+  /** Log-free classifier twin ([[graft.operators.Classifier.oddsMass]]):
+    * exact integer likelihood masses and the cross-multiplied decision,
+    * end-to-end hash-gated — train AND score in one oracle.
+    */
+  val q80cOddsMass: Q = Q(
+    "q80c_odds_mass",
+    (s, dir) => {
+      val d = t(s, dir, "documents").withColumn("is_ref", col("lang") === "en")
+      val model = graft.operators.Classifier.trainTermStats(d, "is_ref", "text", minCount = 2L)
+      graft.operators.Classifier.oddsMass(d, model, "doc_id", "text")
+    },
+    Some("""
+      WITH toks0 AS (
+        SELECT (lang = 'en') AS pos,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS term
+        FROM documents WHERE lang IS NOT NULL),
+      m AS (
+        SELECT term,
+               CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_tf,
+               CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_tf
+        FROM toks0 GROUP BY 1
+        HAVING COUNT(*) >= 2),
+      tot AS (
+        SELECT CAST(COALESCE(SUM(pos_tf), 0) AS HUGEINT) AS np,
+               CAST(COALESCE(SUM(neg_tf), 0) AS HUGEINT) AS nn,
+               CAST(COUNT(*) AS HUGEINT) AS v
+        FROM m),
+      toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2)
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf * COALESCE(m.pos_tf + 1, 1)) AS BIGINT) AS pos_mass,
+             CAST(SUM(tf.tf * COALESCE(m.neg_tf + 1, 1)) AS BIGINT) AS neg_mass,
+             (CAST(SUM(tf.tf * COALESCE(m.pos_tf + 1, 1)) AS HUGEINT) * (tot.nn + tot.v)) >
+             (CAST(SUM(tf.tf * COALESCE(m.neg_tf + 1, 1)) AS HUGEINT) * (tot.np + tot.v)) AS reference_like
+      FROM tf LEFT JOIN m ON tf.term = m.term CROSS JOIN tot
+      GROUP BY tf.doc_id, tot.np, tot.nn, tot.v"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -2512,7 +2592,7 @@ object Queries {
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
     q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs,
     q76TemperaturePlan, q77TopFraction, q77bTopQuantileSketch, q78VocabStats,
-    q79SkewReport)
+    q79SkewReport, q80NbModel, q80bNbScore, q80cOddsMass)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
