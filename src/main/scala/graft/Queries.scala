@@ -2561,6 +2561,90 @@ object Queries {
       FROM tf LEFT JOIN m ON tf.term = m.term CROSS JOIN tot
       GROUP BY tf.doc_id, tot.np, tot.nn, tot.v"""))
 
+  /** End-to-end curation pipeline ([[graft.operators.Curation.run]]):
+    * Gopher quality filter (q73 thresholds) → exact dedup →
+    * decontamination vs the doc_id%17 eval split (q54 shape, n = 3,
+    * max ratio 0.05 ≈ the sf0.01 median — live witnesses both sides) →
+    * per-source top-half token cut. The entire four-stage chain is one
+    * oracle: DuckDB rebuilds every stage and the survivor sets must
+    * hash-match, text included.
+    */
+  val q81CurationPipeline: Q = Q(
+    "q81_curation_pipeline",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Curation.run(
+        docs.where(col("doc_id") % 17 =!= 0),
+        graft.operators.CurationConfig(
+          gopher = Some(graft.operators.Filtering.GopherThresholds(
+            minTokens = 30L, maxTokens = 80L, minStopwordHits = 1L)),
+          benchmark = Some(docs.where(col("doc_id") % 17 === 0).select(col("text"))),
+          contaminationN = 3,
+          maxContamination = 0.05,
+          keepTopFraction = Some(0.5)))
+    },
+    Some("""
+      WITH base AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+      tkx AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS tkl,
+               list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lns,
+               text
+        FROM base),
+      g AS (
+        SELECT doc_id FROM tkx
+        WHERE CAST(len(tk) AS BIGINT) BETWEEN 30 AND 80
+          AND (CASE WHEN len(tk) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) END)
+              BETWEEN 3.0 AND 10.0
+          AND (CASE WHEN len(tk) = 0 THEN 0.0
+                    ELSE (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                          + (length(text) - length(replace(text, '...', ''))) / 3) / len(tk) END) <= 0.1
+          AND (CASE WHEN len(lns) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lns) END) <= 0.9
+          AND (CASE WHEN len(lns) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE) / len(lns) END) <= 0.3
+          AND (CASE WHEN len(tk) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk) END) >= 0.8
+          AND CAST(len(list_distinct(list_filter(tkl, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this')))) AS BIGINT) >= 1),
+      gf AS (SELECT b.* FROM base b JOIN g USING (doc_id)),
+      dd AS (
+        SELECT * FROM gf
+        QUALIFY row_number() OVER (
+          PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+          ORDER BY doc_id) = 1),
+      bsh AS (
+        SELECT DISTINCT unnest(list_distinct(
+          CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+               ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END)) AS gr
+        FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+              FROM documents WHERE doc_id % 17 = 0)),
+      dsh AS (
+        SELECT doc_id, list_distinct(
+          CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+               ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+        FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+              FROM dd)),
+      hits AS (
+        SELECT i.doc_id, COUNT(*) AS hit
+        FROM (SELECT doc_id, unnest(sh) AS gr FROM dsh) i
+        JOIN bsh b ON b.gr = i.gr
+        GROUP BY 1),
+      keep AS (
+        SELECT d.doc_id
+        FROM dsh d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.sh IS NOT NULL
+          AND CAST(COALESCE(h.hit, 0) AS DOUBLE) / len(d.sh) <= 0.05),
+      dc AS (SELECT dd.* FROM dd JOIN keep USING (doc_id)),
+      sc AS (
+        SELECT dc.*,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS BIGINT) AS nt
+        FROM dc)
+      SELECT doc_id, text, lang, source, n_chars FROM sc
+      QUALIFY row_number() OVER (PARTITION BY source ORDER BY nt DESC, doc_id ASC)
+              <= CAST(floor(0.5 * CAST(COUNT(*) OVER (PARTITION BY source) AS DOUBLE)) AS BIGINT)"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -2592,7 +2676,7 @@ object Queries {
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
     q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs,
     q76TemperaturePlan, q77TopFraction, q77bTopQuantileSketch, q78VocabStats,
-    q79SkewReport, q80NbModel, q80bNbScore, q80cOddsMass)
+    q79SkewReport, q80NbModel, q80bNbScore, q80cOddsMass, q81CurationPipeline)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
