@@ -2645,6 +2645,88 @@ object Queries {
       QUALIFY row_number() OVER (PARTITION BY source ORDER BY nt DESC, doc_id ASC)
               <= CAST(floor(0.5 * CAST(COUNT(*) OVER (PARTITION BY source) AS DOUBLE)) AS BIGINT)"""))
 
+  /** Bigram LM training ([[graft.operators.NgramLm.trainBigramStats]]):
+    * the CCNet-style perplexity-filter model, trained on the English
+    * slice as the reference corpus — pair counts hash-gated end to end.
+    */
+  val q82LmBigrams: Q = Q(
+    "q82_lm_bigrams",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.NgramLm.trainBigramStats(
+        d.where(col("lang") === "en"), "text", minCount = 2L)
+    },
+    Some("""
+      WITH tkx AS (
+        SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents WHERE lang = 'en'),
+      prs AS (
+        SELECT unnest(list_transform(range(1, len(tk)), i -> [tk[i], tk[i+1]])) AS pr
+        FROM tkx WHERE len(tk) >= 2)
+      SELECT pr[1] AS w1, pr[2] AS w2, CAST(COUNT(*) AS BIGINT) AS bigram_tf
+      FROM prs GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
+
+  /** LM mean-surprisal scoring ([[graft.operators.NgramLm.surprisal]]).
+    * No oracle (`ln` weights); determinism is structural — ×10¹²-quantized
+    * integer sums — and the semantics are gated by NgramLmSpec
+    * (driver-side recompute, partitioning invariance, exact OOV law)
+    * plus the exact q82c twin sharing the whole dataflow shape.
+    */
+  val q82bLmSurprisal: Q = Q(
+    "q82b_lm_surprisal",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = graft.operators.NgramLm.trainBigramStats(
+        d.where(col("lang") === "en"), "text", minCount = 2L)
+      graft.operators.NgramLm.surprisal(d, model, "doc_id", "text")
+    },
+    None)
+
+  /** Log-free LM twin ([[graft.operators.NgramLm.pooledLikelihood]]):
+    * exact integer likelihood masses and the cross-multiplied fluency
+    * decision at threshold 1/29 (≈ the sf0.01 median pooled ratio — live
+    * witnesses both sides), train AND score in one hash-gated oracle.
+    */
+  val q82cLmPooled: Q = Q(
+    "q82c_lm_pooled",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = graft.operators.NgramLm.trainBigramStats(
+        d.where(col("lang") === "en"), "text", minCount = 2L)
+      graft.operators.NgramLm.pooledLikelihood(d, model, "doc_id", "text", 1L, 29L)
+    },
+    Some("""
+      WITH ref AS (
+        SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents WHERE lang = 'en'),
+      rp AS (
+        SELECT unnest(list_transform(range(1, len(tk)), i -> [tk[i], tk[i+1]])) AS pr
+        FROM ref WHERE len(tk) >= 2),
+      m AS (
+        SELECT pr[1] AS w1, pr[2] AS w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM rp GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      ctx AS (SELECT w1, SUM(c) AS ctf FROM m GROUP BY 1),
+      vv AS (SELECT CAST(COUNT(DISTINCT w2) + 1 AS BIGINT) AS v FROM m),
+      d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents),
+      dp AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> [tk[i], tk[i+1]])) AS pr
+        FROM d WHERE len(tk) >= 2),
+      tf AS (
+        SELECT doc_id, pr[1] AS w1, pr[2] AS w2, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM dp GROUP BY 1, 2, 3)
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf * COALESCE(m.c + 1, 1)) AS BIGINT) AS num_mass,
+             CAST(SUM(tf.tf * (COALESCE(ctx.ctf, 0) + vv.v)) AS BIGINT) AS den_mass,
+             (CAST(SUM(tf.tf * COALESCE(m.c + 1, 1)) AS HUGEINT) * 29) >=
+             (CAST(SUM(tf.tf * (COALESCE(ctx.ctf, 0) + vv.v)) AS HUGEINT) * 1) AS fluent
+      FROM tf LEFT JOIN m ON tf.w1 = m.w1 AND tf.w2 = m.w2
+              LEFT JOIN ctx ON tf.w1 = ctx.w1
+              CROSS JOIN vv
+      GROUP BY tf.doc_id, vv.v"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -2676,7 +2758,8 @@ object Queries {
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
     q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs,
     q76TemperaturePlan, q77TopFraction, q77bTopQuantileSketch, q78VocabStats,
-    q79SkewReport, q80NbModel, q80bNbScore, q80cOddsMass, q81CurationPipeline)
+    q79SkewReport, q80NbModel, q80bNbScore, q80cOddsMass, q81CurationPipeline,
+    q82LmBigrams, q82bLmSurprisal, q82cLmPooled)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
