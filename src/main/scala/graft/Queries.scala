@@ -2727,6 +2727,62 @@ object Queries {
               CROSS JOIN vv
       GROUP BY tf.doc_id, vv.v"""))
 
+  /** BPE round-0 statistics ([[graft.operators.Bpe.pairCounts]] over
+    * [[graft.operators.Bpe.wordFrequencies]]): weighted adjacent
+    * character-pair counts — the aggregation every training round
+    * re-runs, hash-gated end to end.
+    */
+  val q83BpePairs: Q = Q(
+    "q83_bpe_pairs",
+    (s, dir) => {
+      val wf = graft.operators.Bpe.wordFrequencies(t(s, dir, "documents"), "text")
+      graft.operators.Bpe.pairCounts(graft.operators.Bpe.initialSymbolTable(wf))
+    },
+    Some("""
+      WITH wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wf
+        FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS word
+              FROM documents)
+        GROUP BY 1),
+      sy AS (SELECT regexp_extract_all(word, '.') AS syms, wf FROM wf),
+      pr AS (
+        SELECT unnest(list_transform(range(1, len(syms)), i -> [syms[i], syms[i+1]])) AS pr, wf
+        FROM sy WHERE len(syms) >= 2)
+      SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(wf) AS BIGINT) AS pair_wf
+      FROM pr GROUP BY 1, 2"""))
+
+  /** BPE merge training ([[graft.operators.Bpe.trainMerges]]): the fitted
+    * merge list as (rank, a, b). No oracle (inherently iterative — one
+    * argmax per round); gated by BpeSpec's merge-for-merge equality with
+    * an independent in-memory reference plus the oracle-gated q83 round
+    * statistics it iterates.
+    */
+  val q83bBpeMerges: Q = Q(
+    "q83b_bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Bpe
+        .trainMerges(t(s, dir, "documents"), "text", numMerges = 12, minPairCount = 2L)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "a", "b")
+    },
+    None)
+
+  /** BPE encoding ([[graft.operators.Bpe.encode]]) with the q83b merges:
+    * per-document subword counts. No oracle (merge list is data-trained);
+    * gated by BpeSpec's round-trip and training-consistency laws.
+    */
+  val q83cBpeEncode: Q = Q(
+    "q83c_bpe_encode",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainMerges(d, "text", numMerges = 12, minPairCount = 2L)
+      graft.operators.Bpe.encode(d, "text", merges)
+        .select(col("doc_id"), size(col("subwords")).cast("long").as("n_subwords"))
+    },
+    None)
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -2759,7 +2815,8 @@ object Queries {
     q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs,
     q76TemperaturePlan, q77TopFraction, q77bTopQuantileSketch, q78VocabStats,
     q79SkewReport, q80NbModel, q80bNbScore, q80cOddsMass, q81CurationPipeline,
-    q82LmBigrams, q82bLmSurprisal, q82cLmPooled)
+    q82LmBigrams, q82bLmSurprisal, q82cLmPooled,
+    q83BpePairs, q83bBpeMerges, q83cBpeEncode)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+/** Distributed BPE training vs an independent in-memory reference
+  * implementation (merge-list equality), the greedy within-word merge
+  * law, encode/train consistency, and partitioning invariance.
+  */
+class BpeSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- independent single-threaded reference BPE ----
+
+  private def refMergeWord(syms: Vector[String], p: (String, String)): Vector[String] = {
+    var acc = Vector.empty[String]
+    for (x <- syms)
+      if (acc.nonEmpty && acc.last == p._1 && x == p._2) acc = acc.init :+ (p._1 + p._2)
+      else acc = acc :+ x
+    acc
+  }
+
+  private def refTrain(corpus: Seq[String], n: Int, minCount: Long): Seq[(String, String)] = {
+    val words = corpus
+      .flatMap(_.trim.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    var tbl: Map[Vector[String], Long] =
+      words.toSeq.groupMapReduce(kv => kv._1.map(_.toString).toVector)(_._2)(_ + _)
+    val out = Seq.newBuilder[(String, String)]
+    var rounds = 0
+    var done = false
+    while (rounds < n && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((syms, wf) <- tbl; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) += wf
+      val cand = counts.toSeq.filter(_._2 >= minCount)
+      if (cand.isEmpty) done = true
+      else {
+        val pair = cand.sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        out += pair
+        tbl = tbl.toSeq.groupMapReduce(kv => refMergeWord(kv._1, pair))(_._2)(_ + _)
+        rounds += 1
+      }
+    }
+    out.result()
+  }
+
+  private val corpus = Seq(
+    "low lower lowest low low",
+    "new newer newest new news",
+    "the then there the these",
+    "low new then lowest newest")
+
+  private def docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("trainMerges equals the in-memory reference, merge for merge") {
+    val got = Bpe.trainMerges(docs, "text", numMerges = 12, minPairCount = 1L)
+    val want = refTrain(corpus, 12, 1L)
+    assert(got === want)
+  }
+
+  test("minPairCount stops training early, same as the reference") {
+    val got = Bpe.trainMerges(docs, "text", numMerges = 50, minPairCount = 3L)
+    val want = refTrain(corpus, 50, 3L)
+    assert(got === want)
+    assert(got.size < 50, "expected early exhaustion below the cap")
+  }
+
+  test("greedy within-word merging is non-overlapping left-to-right") {
+    val d = Seq((1L, "aaa aab")).toDF("doc_id", "text")
+    val sub = Bpe.encode(d, "text", Seq(("a", "a")))
+      .select("subwords").as[Seq[String]].head()
+    // "aaa" → [aa, a]; "aab" → [aa, b]
+    assert(sub === Seq("aa", "a", "aa", "b"))
+  }
+
+  test("encode replays training order and round-trips the characters") {
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 8)
+    val enc = Bpe.encode(docs, "text", merges)
+      .select(col("doc_id"), concat_ws("", col("subwords")).as("glued"),
+        concat_ws("", transform(split(trim(col("text")), "\\s+"), w => w)).as("orig"))
+      .as[(Long, String, String)].collect()
+    enc.foreach { case (id, glued, orig) =>
+      assert(glued === orig, s"doc $id: subwords must concatenate back to the words")
+    }
+    // and the vocabulary actually compresses: fewer symbols than characters
+    val stats = Bpe.encode(docs, "text", merges)
+      .select(sum(size(col("subwords"))).as("n"), sum(length(regexp_replace(col("text"), "\\s+", ""))).as("c"))
+      .as[(Long, Long)].head()
+    assert(stats._1 < stats._2, s"merges must shorten the symbol stream: $stats")
+  }
+
+  test("training is partitioning-invariant") {
+    val got = Bpe.trainMerges(docs.repartition(7), "text", numMerges = 6)
+    assert(got === refTrain(corpus, 6, 1L))
+  }
+
+  test("pairCounts weights pairs by word frequency, multiplicity included") {
+    val wf = Seq(("aba", 3L), ("ab", 2L)).toDF("word", "wf")
+    val pc = Bpe.pairCounts(Bpe.initialSymbolTable(wf))
+      .as[(String, String, Long)].collect().toSet
+    assert(pc === Set(("a", "b", 5L), ("b", "a", 3L)))
+  }
+}
