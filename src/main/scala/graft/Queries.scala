@@ -2783,6 +2783,78 @@ object Queries {
     },
     None)
 
+  /** The q52c exact-rational BM25 oracle for query (spark, merge, window),
+    * top 20 — shared by the index-serving faces q84/q84b, whose results
+    * must equal recomputing from the raw corpus.
+    */
+  private val bm25RationalOracle: String = """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS toks
+        FROM documents),
+      stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) AS d FROM tok),
+      tf AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+          SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok) u
+        WHERE term IN ('spark', 'merge', 'window')
+        GROUP BY doc_id, dl, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      w AS (
+        SELECT tf.doc_id, tf.term,
+               CAST((2*s.n - 2*df.df + 1) * 22 * tf.tf * s.d AS DOUBLE) /
+               CAST((2*df.df + 1) * (10*tf.tf*s.d + 3*s.d + 9*tf.dl*s.n) AS DOUBLE) AS w
+        FROM tf JOIN df USING (term) CROSS JOIN stats s),
+      piv AS (
+        SELECT doc_id,
+               MAX(CASE WHEN term = 'spark' THEN w END) AS w0,
+               MAX(CASE WHEN term = 'merge' THEN w END) AS w1,
+               MAX(CASE WHEN term = 'window' THEN w END) AS w2
+        FROM w GROUP BY doc_id)
+      SELECT doc_id,
+             COALESCE(w0, CAST(0 AS DOUBLE)) + COALESCE(w1, CAST(0 AS DOUBLE)) + COALESCE(w2, CAST(0 AS DOUBLE)) AS score
+      FROM piv
+      ORDER BY score DESC, doc_id
+      LIMIT 20"""
+
+  /** Persisted inverted-index BM25 search ([[graft.operators.TextIndex]]):
+    * the corpus lands as TWO index batches (odd/even doc ids — N, Σdl and
+    * per-term df must aggregate across batch partitions), then the query
+    * runs purely against the on-disk postings. The oracle recomputes BM25
+    * from the raw corpus with the q52c exact-rational formulation — the
+    * index path and the from-scratch path must hash-match.
+    */
+  val q84TextIndexSearch: Q = Q(
+    "q84_text_index_search",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val path = java.nio.file.Files.createTempDirectory("graft_text_index").toString
+      graft.operators.TextIndex.build(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", path)
+      graft.operators.TextIndex.append(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", path, "00000002")
+      graft.operators.TextIndex.searchTopK(
+        s, path, Seq("spark", "merge", "window"), 20)
+    },
+    Some(bm25RationalOracle))
+
+  /** q84 after [[graft.operators.TextIndex.compact]]: the two batches fold
+    * into one re-clustered partition and the SAME query must return the
+    * SAME hash-gated answer — compaction is invisible to search.
+    */
+  val q84bTextIndexCompacted: Q = Q(
+    "q84b_text_index_compacted",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val path = java.nio.file.Files.createTempDirectory("graft_text_index").toString
+      graft.operators.TextIndex.build(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", path)
+      graft.operators.TextIndex.append(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", path, "00000002")
+      graft.operators.TextIndex.compact(s, path)
+      graft.operators.TextIndex.searchTopK(
+        s, path, Seq("spark", "merge", "window"), 20)
+    },
+    Some(bm25RationalOracle))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -2816,7 +2888,8 @@ object Queries {
     q76TemperaturePlan, q77TopFraction, q77bTopQuantileSketch, q78VocabStats,
     q79SkewReport, q80NbModel, q80bNbScore, q80cOddsMass, q81CurationPipeline,
     q82LmBigrams, q82bLmSurprisal, q82cLmPooled,
-    q83BpePairs, q83bBpeMerges, q83cBpeEncode)
+    q83BpePairs, q83bBpeMerges, q83cBpeEncode,
+    q84TextIndexSearch, q84bTextIndexCompacted)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

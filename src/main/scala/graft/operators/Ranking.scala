@@ -210,8 +210,25 @@ object Ranking {
       .where(col("term").isin(terms: _*))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
-    val df = documentFrequencies(tf.select("doc_id", "term", "tf"))
+    bm25RationalScores(tf, terms, n, dTot)
+  }
 
+  /** The exact-rational BM25 core shared by [[bm25ExactRational]] and
+    * [[TextIndex.searchTopK]]: scores a (doc_id, dl, term, tf) frame for
+    * the DISTINCT lower-cased `terms` given corpus row count `n` and
+    * total token mass `dTot`. Per-term document frequencies are derived
+    * from the frame itself (one row per (doc, term), so a plain count),
+    * weights are single correctly-rounded divisions of exact integers,
+    * and the per-doc sum adds ≤|terms| pivoted columns in QUERY order —
+    * every float op identical across engines. Output: (doc_id, score)
+    * descending (doc_id tiebreak).
+    */
+  private[graft] def bm25RationalScores(
+      tf: DataFrame,
+      terms: Seq[String],
+      n: Long,
+      dTot: Long): DataFrame = {
+    val df = documentFrequencies(tf.select("doc_id", "term", "tf"))
     val num = (lit(2L * n) - lit(2L) * col("df") + lit(1L)) * lit(22L) * col("tf") * lit(dTot)
     val den = (lit(2L) * col("df") + lit(1L)) *
       (lit(10L) * col("tf") * lit(dTot) + lit(3L * dTot) + lit(9L) * col("dl") * lit(n))

@@ -1,0 +1,293 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+
+/** Persisted inverted keyword index — the serving shape of corpus text
+  * search, completing the index triad: [[DedupIndex]] (near-dup probes),
+  * [[AnnIndex]] (embedding neighbors), and this (BM25 keyword top-k).
+  * [[Ranking.bm25]] answers "score THIS frame against a query" and
+  * re-tokenizes the corpus per query; a 100 TB corpus instead tokenizes
+  * each batch ONCE into on-disk postings and serves every later query
+  * from them:
+  *
+  *   1. [[init]]/[[append]] — tokenize a batch once, land its postings
+  *      as a new immutable `batch=<label>` partition (atomic rename;
+  *      readers see the whole batch or none of it).
+  *   2. [[searchTopK]] — BM25 top-k over the index: the query's term
+  *      IN-filter is pushed into the postings parquet scan (the files
+  *      are range-clustered by term, so row groups that contain no query
+  *      term never decompress), document frequencies fall out of the
+  *      matched postings with a tiny aggregate, and scoring touches only
+  *      O(postings of the query terms) rows — the corpus text is never
+  *      re-read, and nothing corpus-sized ever shuffles.
+  *
+  * Scoring is [[Ranking.bm25RationalScores]] — BM25 at the fixed
+  * defaults k1 = 6/5, b = 3/4 with every weight a single division of
+  * exact integers, so search results hash-match an ANSI oracle
+  * recomputing BM25 from the raw corpus (q84).
+  *
+  * On-disk layout under `path` (plain parquet, engine-agnostic):
+  * {{{
+  *   params/              one row: tokenizer   — existence marker
+  *   stats/batch=<b>/     one row: n_docs, sum_dl
+  *   postings/batch=<b>/  (term, doc_id, tf, dl)
+  * }}}
+  * Corpus-level N and Σdl are the SUM of the per-batch stats rows
+  * (append-only, O(batches) to read); `postings/` is written LAST by
+  * [[append]] and is the commit marker [[appendIdempotent]] checks.
+  * Caller contract, as with [[DedupIndex]]: doc ids are unique ACROSS
+  * batches (each document is indexed once — dedup runs upstream).
+  *
+  * Scale notes (100 TB corpus ≈ 10¹¹ postings rows of term + 3 longs):
+  *  - postings are `repartitionByRange(term)` + sorted within
+  *    partitions, so a query term's rows live in a handful of row
+  *    groups; the IN-filter prunes via parquet min/max before any read.
+  *  - hot terms ("the") make hot postings ranges — but a query only
+  *    pays for terms it asks about, df arrives from the same matched
+  *    rows (no separate dictionary), and the final per-doc pivot-sum
+  *    aggregates candidate-sized data.
+  *  - [[compact]] folds accreted micro-batches into one re-clustered
+  *    batch (per-batch range clustering overlaps ACROSS batches until
+  *    then), same promote-then-delete contract as [[DedupIndex.compact]]:
+  *    concurrent probes are safe (duplicated postings collapse via
+  *    `distinct()` before df/tf use), concurrent appends are not.
+  */
+object TextIndex {
+
+  private def paramsDir(path: String) = s"$path/params"
+  private def statsDir(path: String) = s"$path/stats"
+  private def postingsDir(path: String) = s"$path/postings"
+
+  /** Create an empty index at `path`. Idempotent via the atomic staging
+    * swap; an index with zero batches is valid (probes match nothing).
+    */
+  def init(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    graft.sources.Sinks.writePartitionedAtomic(
+      Seq("ws_lower_v1").toDF("tokenizer").coalesce(1),
+      paramsDir(path), Nil)
+  }
+
+  /** Tokenizer id the index was built with. Fails loudly if `path` holds
+    * no index; appends and probes must tokenize identically, so a future
+    * second tokenizer would fork on this value.
+    */
+  def tokenizer(spark: SparkSession, path: String): String =
+    spark.read.parquet(paramsDir(path)).head().getAs[String]("tokenizer")
+
+  /** Labels of committed batches, sorted — a directory listing of
+    * `postings/` (the commit marker), never a data read.
+    */
+  def batches(spark: SparkSession, path: String): Seq[String] = {
+    val dir = new Path(postingsDir(path))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch="))
+      .sorted
+  }
+
+  /** Next zero-padded numeric batch label (`00000001`, …). */
+  def nextBatchLabel(spark: SparkSession, path: String): String = {
+    val used = batches(spark, path).flatMap(_.toLongOption)
+    f"${used.foldLeft(0L)(math.max) + 1}%08d"
+  }
+
+  /** Tokenize `docs` and land its postings + stats as batch `batch`.
+    * One corpus-scale pass: the tokenized frame is pinned, feeds the
+    * (doc, term) aggregation (map-side combine collapses token instances
+    * before the exchange) and the one-row stats aggregate, and is
+    * released. Stats land first, postings last — postings presence IS
+    * the batch's commit marker.
+    */
+  def append(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      batch: String): Unit = {
+    require(batch.nonEmpty && !batch.contains('/') && !batch.startsWith("."),
+      s"invalid batch label '$batch'")
+    val spark = docs.sparkSession
+    tokenizer(spark, path) // existence check, fails loudly
+    val scope = Caches.newScope()
+    try {
+      val tokenized = Caches.inScope(scope) {
+        docs.select(
+          col(idCol).as("doc_id"),
+          text.tokens(lower(col(textCol))).as("toks"))
+      }
+      import spark.implicits._
+      val st = tokenized.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
+        .as[(Long, Long)].head()
+      DedupIndex.appendDir(
+        Seq(st).toDF("n_docs", "sum_dl").coalesce(1), statsDir(path), batch)
+      DedupIndex.appendDir(
+        tokenized
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            explode(col("toks")).as("term"))
+          .groupBy("term", "doc_id", "dl")
+          .agg(count(lit(1)).as("tf"))
+          .repartitionByRange(col("term"))
+          .sortWithinPartitions("term", "doc_id"),
+        postingsDir(path), batch)
+    } finally scope.release()
+  }
+
+  /** [[init]] + [[append]] of the first batch in one call. */
+  def build(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      batch: String = "00000001"): Unit = {
+    init(docs.sparkSession, path)
+    append(docs, idCol, textCol, path, batch)
+  }
+
+  /** Retry-safe [[append]] for exactly-once ingestion loops: postings
+    * present → the previous attempt committed, no-op; only stats present
+    * → the attempt died between renames, the stale stats partition is
+    * dropped and the append re-runs (deterministic content → identical
+    * redo). Same protocol as [[DedupIndex.appendIdempotent]].
+    */
+  def appendIdempotent(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      batch: String): Unit = {
+    val spark = docs.sparkSession
+    if (batches(spark, path).contains(batch)) return
+    val stale = new Path(s"${statsDir(path)}/batch=$batch")
+    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stale)) fs.delete(stale, true)
+    append(docs, idCol, textCol, path, batch)
+  }
+
+  /** Corpus totals over committed batches: (n_docs, sum_dl). O(batches)
+    * rows read; only COMMITTED batches count (a crashed append's stats
+    * partition without postings must not inflate N — scores would shift
+    * for every query until vacuum).
+    */
+  def corpusStats(spark: SparkSession, path: String): (Long, Long) = {
+    val committed = batches(spark, path)
+    if (committed.isEmpty) return (0L, 0L)
+    import spark.implicits._
+    val r = spark.read.parquet(statsDir(path))
+      .where(col("batch").isin(committed: _*))
+      .agg(
+        coalesce(sum("n_docs"), lit(0L)).as("n"),
+        coalesce(sum("sum_dl"), lit(0L)).as("d"))
+      .as[(Long, Long)].head()
+    r
+  }
+
+  /** Per-batch health: (batch, docs, tokens, postings). */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    val st = spark.read.parquet(statsDir(path))
+      .select(col("batch"), col("n_docs").as("docs"), col("sum_dl").as("tokens"))
+    val po = spark.read.parquet(postingsDir(path))
+      .groupBy("batch").agg(count(lit(1)).as("postings"))
+    st.join(po, Seq("batch"), "full_outer")
+      .select(col("batch"),
+        coalesce(col("docs"), lit(0L)).as("docs"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        coalesce(col("postings"), lit(0L)).as("postings"))
+  }
+
+  /** BM25 top-k document search over the index: (doc_id, score), score
+    * descending (doc_id tiebreak), k rows max. Zero corpus re-read: one
+    * IN-filtered postings scan + a per-term df aggregate + the pivot-sum,
+    * then TakeOrderedAndProject for the global top-k (never a full sort).
+    * `distinct()` on the matched postings makes the probe idempotent
+    * under [[compact]]'s promote-then-delete window. Exact-rational
+    * scoring — results hash-match an ANSI oracle (q84).
+    */
+  def searchTopK(
+      spark: SparkSession,
+      path: String,
+      query: Seq[String],
+      k: Int): DataFrame = {
+    require(query.nonEmpty, "search needs at least one query term")
+    require(k > 0, "k must be positive")
+    val terms = query.map(_.toLowerCase).distinct
+    val (n, dTot) = corpusStats(spark, path)
+    val empty = spark.range(0)
+      .select(col("id").as("doc_id"), lit(0.0).as("score"))
+      .where(lit(false))
+    if (n == 0L) return empty
+    val tf = spark.read.parquet(postingsDir(path))
+      .where(col("term").isin(terms: _*))
+      .select("term", "doc_id", "tf", "dl")
+      .distinct()
+    Ranking.bm25RationalScores(tf, terms, n, dTot)
+      .limit(k)
+  }
+
+  /** Fold every committed batch into ONE re-clustered batch and drop the
+    * sources. Same contracts as [[DedupIndex.compact]]: probe-safe in
+    * the overlap window (hence searchTopK's `distinct()`), not
+    * append-safe; crash residue is either invisible staging ([[vacuum]])
+    * or coexisting sources the next compact folds in. Returns the merged
+    * label.
+    */
+  def compact(spark: SparkSession, path: String): String = {
+    val old = batches(spark, path)
+    require(old.nonEmpty, s"nothing to compact at $path")
+    if (old.size == 1) return old.head
+    val label = nextBatchLabel(spark, path)
+    import spark.implicits._
+    val merged = spark.read.parquet(statsDir(path))
+      .where(col("batch").isin(old: _*))
+      .agg(
+        coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
+      .as[(Long, Long)].head()
+    DedupIndex.appendDir(
+      Seq(merged).toDF("n_docs", "sum_dl").coalesce(1), statsDir(path), label)
+    DedupIndex.appendDir(
+      spark.read.parquet(old.map(b => s"${postingsDir(path)}/batch=$b"): _*)
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions("term", "doc_id"),
+      postingsDir(path), label)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    old.foreach { b =>
+      fs.delete(new Path(s"${statsDir(path)}/batch=$b"), true)
+      fs.delete(new Path(s"${postingsDir(path)}/batch=$b"), true)
+    }
+    label
+  }
+
+  /** Delete invisible staging residue AND uncommitted stats partitions
+    * (stats without matching postings — a crashed append's half). Safe
+    * while probes are active; not concurrently with an in-flight append.
+    */
+  def vacuum(spark: SparkSession, path: String): Unit = {
+    Seq(statsDir(path), postingsDir(path)).foreach { d =>
+      val root = new Path(d)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(".staging_"))
+          .foreach(st => fs.delete(st.getPath, true))
+    }
+    val committed = batches(spark, path).toSet
+    val stRoot = new Path(statsDir(path))
+    val fs = stRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stRoot))
+      fs.listStatus(stRoot).toSeq
+        .filter { st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch=") &&
+            !committed.contains(st.getPath.getName.stripPrefix("batch="))
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ranking, TextIndex}
+
+/** Persisted inverted-index lifecycle (atomic append, idempotent retry,
+  * compaction, vacuum) and BM25 search parity with the from-scratch
+  * exact-rational scorer.
+  */
+class TextIndexSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_text_index_spec").toString
+
+  private val docs = Seq(
+    (1L, "spark shuffles data between stages and spark broadcasts small tables"),
+    (2L, "a merge statement upserts rows while a window function ranks them"),
+    (3L, "window frames slide over ordered partitions in spark"),
+    (4L, "completely unrelated prose about rivers and mountains"),
+    (5L, "merge merge merge conflict resolution in distributed logs"),
+    (6L, ""))
+    .toDF("doc_id", "text")
+
+  private val query = Seq("spark", "merge", "window")
+
+  private def search(path: String, k: Int = 10) =
+    TextIndex.searchTopK(spark, path, query, k)
+      .as[(Long, Double)].collect().toSeq
+
+  private def direct(k: Int = 10) =
+    Ranking.bm25ExactRational(docs, "doc_id", "text", query)
+      .limit(k).as[(Long, Double)].collect().toSeq
+
+  test("single-batch index search equals the from-scratch exact scorer, bit for bit") {
+    val path = tmp()
+    TextIndex.build(docs, "doc_id", "text", path)
+    assert(search(path) === direct())
+  }
+
+  test("multi-batch index aggregates N, sum_dl and df across batches") {
+    val path = tmp()
+    TextIndex.build(docs.where(col("doc_id") % 2 === 0), "doc_id", "text", path)
+    TextIndex.append(docs.where(col("doc_id") % 2 === 1), "doc_id", "text", path, "00000002")
+    assert(TextIndex.batches(spark, path) === Seq("00000001", "00000002"))
+    assert(search(path) === direct())
+    val (n, d) = TextIndex.corpusStats(spark, path)
+    assert(n === 6L)
+    assert(d > 0L)
+  }
+
+  test("compact folds batches into one and search is unchanged") {
+    val path = tmp()
+    TextIndex.build(docs.where(col("doc_id") <= 2), "doc_id", "text", path)
+    TextIndex.append(docs.where(col("doc_id") > 2 && col("doc_id") <= 4), "doc_id", "text", path, "00000002")
+    TextIndex.append(docs.where(col("doc_id") > 4), "doc_id", "text", path, "00000003")
+    val before = search(path)
+    val label = TextIndex.compact(spark, path)
+    assert(TextIndex.batches(spark, path) === Seq(label))
+    assert(search(path) === before)
+    assert(search(path) === direct())
+  }
+
+  test("appending an existing batch label fails; the index is unchanged") {
+    val path = tmp()
+    TextIndex.build(docs, "doc_id", "text", path)
+    val before = search(path)
+    intercept[java.io.IOException] {
+      TextIndex.append(docs, "doc_id", "text", path, "00000001")
+    }
+    assert(search(path) === before)
+  }
+
+  test("appendIdempotent: committed batch is a no-op, half-appended batch is redone") {
+    val path = tmp()
+    TextIndex.build(docs.where(col("doc_id") <= 3), "doc_id", "text", path)
+    val rest = docs.where(col("doc_id") > 3)
+    // committed → no-op (a second call must not throw or duplicate)
+    TextIndex.appendIdempotent(docs.where(col("doc_id") <= 3), "doc_id", "text", path, "00000001")
+    // simulate a crash between the two renames: stats landed, postings did not
+    graft.operators.DedupIndex.appendDir(
+      Seq((99L, 999L)).toDF("n_docs", "sum_dl").coalesce(1), s"$path/stats", "00000002")
+    assert(TextIndex.batches(spark, path) === Seq("00000001"),
+      "postings are the commit marker; stats alone must not count")
+    TextIndex.appendIdempotent(rest, "doc_id", "text", path, "00000002")
+    assert(TextIndex.batches(spark, path) === Seq("00000001", "00000002"))
+    assert(search(path) === direct(), "redone append must not inherit the stale stats")
+  }
+
+  test("uncommitted stats never inflate corpus totals; vacuum removes them") {
+    val path = tmp()
+    TextIndex.build(docs, "doc_id", "text", path)
+    val (n0, d0) = TextIndex.corpusStats(spark, path)
+    graft.operators.DedupIndex.appendDir(
+      Seq((1000L, 100000L)).toDF("n_docs", "sum_dl").coalesce(1), s"$path/stats", "00000099")
+    assert(TextIndex.corpusStats(spark, path) === ((n0, d0)))
+    TextIndex.vacuum(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$path/stats/batch=00000099")))
+    assert(search(path) === direct())
+  }
+
+  test("empty index and empty query-term match behave") {
+    val path = tmp()
+    TextIndex.init(spark, path)
+    assert(TextIndex.searchTopK(spark, path, query, 5).count() === 0L)
+    TextIndex.append(docs, "doc_id", "text", path, "00000001")
+    assert(TextIndex.searchTopK(spark, path, Seq("zzzzunseen"), 5).count() === 0L)
+  }
+
+  test("invalid batch labels and a missing index fail loudly") {
+    val path = tmp()
+    TextIndex.init(spark, path)
+    intercept[IllegalArgumentException] {
+      TextIndex.append(docs, "doc_id", "text", path, "a/b")
+    }
+    intercept[Exception] {
+      TextIndex.append(docs, "doc_id", "text", tmp() + "/nope", "00000001")
+    }
+  }
+
+  test("plan: the query's IN-filter is pushed into the postings scan") {
+    val path = tmp()
+    TextIndex.build(docs, "doc_id", "text", path)
+    val plan = TextIndex.searchTopK(spark, path, query, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"expected the term IN-filter pushed to parquet, got:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-k must ride TakeOrderedAndProject, not a full sort")
+  }
+}
