@@ -2783,6 +2783,21 @@ object Queries {
     },
     None)
 
+  /** Production BPE encoding face ([[graft.operators.Bpe.encodeFast]]):
+    * the mapPartitions merge-replay encoder over the q83b merges — same
+    * per-document subword counts as q83c (BpeSpec pins row-for-row
+    * equality of the full subword arrays), flat plan at any merge count.
+    */
+  val q83dBpeEncodeFast: Q = Q(
+    "q83d_bpe_encode_fast",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainMerges(d, "text", numMerges = 12, minPairCount = 2L)
+      graft.operators.Bpe.encodeFast(d, "text", merges)
+        .select(col("doc_id"), size(col("subwords")).cast("long").as("n_subwords"))
+    },
+    None)
+
   /** The q52c exact-rational BM25 oracle for query (spark, merge, window),
     * top 20 — shared by the index-serving faces q84/q84b, whose results
     * must equal recomputing from the raw corpus.
@@ -2888,7 +2903,7 @@ object Queries {
     q76TemperaturePlan, q77TopFraction, q77bTopQuantileSketch, q78VocabStats,
     q79SkewReport, q80NbModel, q80bNbScore, q80cOddsMass, q81CurationPipeline,
     q82LmBigrams, q82bLmSurprisal, q82cLmPooled,
-    q83BpePairs, q83bBpeMerges, q83cBpeEncode,
+    q83BpePairs, q83bBpeMerges, q83cBpeEncode, q83dBpeEncodeFast,
     q84TextIndexSearch, q84bTextIndexCompacted)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */

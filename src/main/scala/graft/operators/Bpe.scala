@@ -32,9 +32,9 @@ import graft.functions.text
   * sequential nature, not an implementation artifact; each job is a
   * vocabulary-scale (not corpus-scale) shuffle. [[encode]] is a pure
   * per-row projection (zero shuffle), one nested fold per merge — fine
-  * for the catalog-scale merge counts used here; a production tokenizer
-  * with 10⁴⁺ merges would encode via a dedicated rank-priority
-  * `mapPartitions` encoder instead (the documented last resort).
+  * for catalog-scale merge counts; [[encodeFast]] is the production
+  * twin (identical output, spec-pinned) whose cost does not grow a
+  * Catalyst expression tree with the merge count.
   */
 object Bpe {
 
@@ -136,4 +136,64 @@ object Bpe {
       "subwords",
       flatten(transform(text.tokens(col(textCol)),
         w => merges.foldLeft(charSyms(w))((c, m) => mergeOnce(c, m._1, m._2)))))
+
+  // --- production-scale encoder -------------------------------------
+
+  /** JVM twin of the [[encode]] per-word pipeline, bit-compatible with
+    * the Catalyst expressions it mirrors: tokens = `text.tokens`
+    * (trim + split `\s+` + drop empties), symbols = the `.` regex of
+    * [[charSyms]], merge = the greedy left-to-right pass of [[mergeOnce]]
+    * applied in TRAINING ORDER (sequential replay, not rank-priority
+    * re-selection — re-selection would re-fire an early merge whose pair
+    * string coincidentally reappears after a later one, diverging from
+    * what training computed).
+    */
+  private def encodeWordJvm(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    var syms = ".".r.findAllIn(word).toVector
+    for ((a, b) <- merges if syms.length >= 2) {
+      // presence skip: most of a real 10⁴-merge list touches nothing in a
+      // given word — only pay the merge pass when both halves occur
+      if (syms.contains(a) && syms.contains(b)) {
+        val out = Vector.newBuilder[String]
+        var last: String = null
+        for (x <- syms) {
+          if (last == a && x == b) last = a + b
+          else { if (last != null) out += last; last = x }
+        }
+        if (last != null) out += last
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  /** [[encode]] at production merge counts: identical output (BpeSpec
+    * pins equality), but the merge replay runs as plain JVM code inside
+    * ONE `mapPartitions` instead of a Catalyst expression tree of depth
+    * O(numMerges) — a 10⁴-merge vocabulary would not even compile as the
+    * HOF fold, and here costs O(len · merges-present) per DISTINCT word:
+    * a per-partition memo encodes each word once (natural-language
+    * partitions repeat most of their tokens), the documented last-resort
+    * `mapPartitions` shape ([[graft.operators.Packing.greedyBins]]
+    * precedent). Zero shuffle; scales with input splits.
+    */
+  def encodeFast(docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val outSchema = docs.schema.add("subwords", ArrayType(StringType, containsNull = true))
+    val textIdx = docs.schema.fieldIndex(textCol)
+    val mergeList = merges.toVector
+    docs.mapPartitions { it =>
+      val memo = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+      it.map { row =>
+        val t = row.getString(textIdx)
+        val sub: Seq[String] =
+          if (t == null) null
+          else t.trim.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+            memo.getOrElseUpdate(w, encodeWordJvm(w, mergeList))
+          }.toVector
+        Row.fromSeq(row.toSeq :+ sub)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -98,6 +98,47 @@ class BpeSpec extends AnyFunSuite {
     assert(got === refTrain(corpus, 6, 1L))
   }
 
+  test("encodeFast equals encode row for row (schema, order-insensitive)") {
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 10)
+    val slow = Bpe.encode(docs, "text", merges)
+      .select("doc_id", "subwords").as[(Long, Seq[String])].collect().toMap
+    val fast = Bpe.encodeFast(docs, "text", merges)
+      .select("doc_id", "subwords").as[(Long, Seq[String])].collect().toMap
+    assert(fast === slow)
+    assert(Bpe.encodeFast(docs, "text", merges).schema ===
+      Bpe.encode(docs, "text", merges).schema.fields.map(f =>
+        if (f.name == "subwords") f.copy(nullable = true) else f)
+        .foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
+  }
+
+  test("encodeFast: sequential replay, null text, empty text, and no shuffle") {
+    // training-order replay must NOT re-fire an earlier merge whose pair
+    // string reappears later: merges [(b,c),(a,bc)] applied to "abc" give
+    // [a, bc] then [abc]; applied in the OTHER order the (a,bc) pass sees
+    // nothing. encode and encodeFast must agree on both orders.
+    val d = Seq((1L, "abc"), (2L, null.asInstanceOf[String]), (3L, "   ")).toDF("doc_id", "text")
+    for (ms <- Seq(Seq(("b", "c"), ("a", "bc")), Seq(("a", "bc"), ("b", "c")))) {
+      val slow = Bpe.encode(d, "text", ms)
+        .select("doc_id", "subwords").as[(Long, Option[Seq[String]])].collect().toMap
+      val fast = Bpe.encodeFast(d, "text", ms)
+        .select("doc_id", "subwords").as[(Long, Option[Seq[String]])].collect().toMap
+      assert(fast === slow, s"merge list $ms")
+    }
+    val plan = Bpe.encodeFast(d, "text", Seq(("a", "b"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encodeFast must not shuffle:\n$plan")
+  }
+
+  test("encodeFast handles a merge count far beyond expression-tree reach") {
+    // 600 merges as the HOF fold would build a ~600-deep Catalyst tree;
+    // encodeFast must stay flat. Equality is checked against the spec's
+    // in-memory reference applied sequentially.
+    val merges = (1 to 600).map(i => (s"x$i", s"y$i")) ++ Seq(("l", "o"), ("lo", "w"))
+    val d = Seq((1L, "low lower")).toDF("doc_id", "text")
+    val fast = Bpe.encodeFast(d, "text", merges)
+      .select("subwords").as[Seq[String]].head()
+    assert(fast === Seq("low", "low", "e", "r"))
+  }
+
   test("pairCounts weights pairs by word frequency, multiplicity included") {
     val wf = Seq(("aba", 3L), ("ab", 2L)).toDF("word", "wf")
     val pc = Bpe.pairCounts(Bpe.initialSymbolTable(wf))
