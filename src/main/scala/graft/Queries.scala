@@ -2798,6 +2798,55 @@ object Queries {
     },
     None)
 
+  /** Deterministic JL random projection, oracle face
+    * ([[graft.operators.Projection.project]] with the linear-form sign
+    * family): every projected component is an exact integer sum over
+    * ×10⁶ floor-quantized inputs, so the whole 64→8 projection of the
+    * embeddings table hash-matches DuckDB rebuilding the same modular
+    * sign matrix. Output: (vec_id, out_dim, component).
+    */
+  val q85RandomProjection: Q = Q(
+    "q85_random_projection",
+    (s, dir) => {
+      val proj = graft.operators.Projection.project(
+        t(s, dir, "embeddings").select("vec_id", "embedding"),
+        "embedding", k = 8,
+        graft.operators.Projection.linearSign(seed = 7L))
+      proj.select(col("vec_id"), posexplode(col("proj")).as(Seq("out_dim", "component")))
+        .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"), col("component"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id, u.j AS j, u.qv AS qv FROM (
+          SELECT vec_id,
+                 unnest(list_transform(range(1, len(embedding) + 1),
+                   j -> {'j': j - 1,
+                         'qv': CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)})) AS u
+          FROM embeddings))
+      SELECT q.vec_id, d.i AS out_dim,
+             CAST(SUM(CASE WHEN ((1103515245 * d.i + 12345 * q.j + 7) % 2147483647) * 2 < 2147483647
+                      THEN q.qv ELSE -q.qv END) AS BIGINT) AS component
+      FROM q CROSS JOIN range(0, 8) AS d(i)
+      GROUP BY q.vec_id, d.i"""))
+
+  /** Production face of q85: the xxhash64-parity sign family (better
+    * mixing; not ANSI-reproducible). Spec-gated — ProjectionSpec pins
+    * determinism, partitioning-invariance, and the JL distance-
+    * preservation property; the linear twin q85 hash-gates the shared
+    * quantize/sum machinery.
+    */
+  val q85bProjectionXxhash: Q = Q(
+    "q85b_projection_xxhash",
+    (s, dir) => {
+      val proj = graft.operators.Projection.project(
+        t(s, dir, "embeddings").select("vec_id", "embedding"),
+        "embedding", k = 8,
+        graft.operators.Projection.xxhashSign(seed = 7L))
+      proj.select(col("vec_id"), posexplode(col("proj")).as(Seq("out_dim", "component")))
+        .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"), col("component"))
+    },
+    None)
+
   /** The q52c exact-rational BM25 oracle for query (spark, merge, window),
     * top 20 — shared by the index-serving faces q84/q84b, whose results
     * must equal recomputing from the raw corpus.
@@ -2904,7 +2953,8 @@ object Queries {
     q79SkewReport, q80NbModel, q80bNbScore, q80cOddsMass, q81CurationPipeline,
     q82LmBigrams, q82bLmSurprisal, q82cLmPooled,
     q83BpePairs, q83bBpeMerges, q83cBpeEncode, q83dBpeEncodeFast,
-    q84TextIndexSearch, q84bTextIndexCompacted)
+    q84TextIndexSearch, q84bTextIndexCompacted,
+    q85RandomProjection, q85bProjectionXxhash)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
