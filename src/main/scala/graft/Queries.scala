@@ -2847,6 +2847,96 @@ object Queries {
     },
     None)
 
+  /** CCNet head/middle/tail perplexity bucketing, end to end: the q82c
+    * bigram model scores every document (pooled likelihood num/den — ONE
+    * correctly-rounded division per doc), then
+    * [[graft.operators.Filtering.scoreBucketsBySource]] cuts each source
+    * at exact ⌊h·n⌋/⌊m·n⌋ quotas. The oracle rebuilds model, scores AND
+    * buckets — the whole curation stage hash-gated. Docs with < 2 tokens
+    * have no transitions and are absent (not scorable), as in CCNet.
+    */
+  val q86PerplexityBuckets: Q = Q(
+    "q86_perplexity_buckets",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = graft.operators.NgramLm.trainBigramStats(
+        d.where(col("lang") === "en"), "text", minCount = 2L)
+      val scored = graft.operators.NgramLm
+        .pooledLikelihood(d, model, "doc_id", "text", 1L, 29L)
+        .select(col("doc_id"),
+          (col("num_mass").cast("double") / col("den_mass").cast("double")).as("score"))
+        .join(d.select("doc_id", "source"), "doc_id")
+      graft.operators.Filtering.scoreBucketsBySource(
+        scored, "source", "doc_id", "score", headFraction = 0.3, middleFraction = 0.4)
+        .select("doc_id", "source", "score", "bucket")
+    },
+    Some("""
+      WITH ref AS (
+        SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents WHERE lang = 'en'),
+      rp AS (
+        SELECT unnest(list_transform(range(1, len(tk)), i -> [tk[i], tk[i+1]])) AS pr
+        FROM ref WHERE len(tk) >= 2),
+      m AS (
+        SELECT pr[1] AS w1, pr[2] AS w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM rp GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      ctx AS (SELECT w1, SUM(c) AS ctf FROM m GROUP BY 1),
+      vv AS (SELECT CAST(COUNT(DISTINCT w2) + 1 AS BIGINT) AS v FROM m),
+      d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents),
+      dp AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> [tk[i], tk[i+1]])) AS pr
+        FROM d WHERE len(tk) >= 2),
+      tf AS (
+        SELECT doc_id, pr[1] AS w1, pr[2] AS w2, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM dp GROUP BY 1, 2, 3),
+      pooled AS (
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf * COALESCE(m.c + 1, 1)) AS BIGINT) AS num_mass,
+               CAST(SUM(tf.tf * (COALESCE(ctx.ctf, 0) + vv.v)) AS BIGINT) AS den_mass
+        FROM tf LEFT JOIN m ON tf.w1 = m.w1 AND tf.w2 = m.w2
+                LEFT JOIN ctx ON tf.w1 = ctx.w1
+                CROSS JOIN vv
+        GROUP BY tf.doc_id, vv.v),
+      scored AS (
+        SELECT p.doc_id, doc.source,
+               CAST(p.num_mass AS DOUBLE) / CAST(p.den_mass AS DOUBLE) AS score
+        FROM pooled p JOIN documents doc ON doc.doc_id = p.doc_id),
+      ranked AS (
+        SELECT doc_id, source, score,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM scored)
+      SELECT doc_id, source, score,
+             CASE WHEN rn <= FLOOR(0.3 * n) THEN 'head'
+                  WHEN rn <= FLOOR(0.3 * n) + FLOOR(0.4 * n) THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ranked"""))
+
+  /** SCALE face of q86 ([[graft.operators.Filtering
+    * .scoreBucketsBySourceSketch]]): GK-sketch thresholds instead of the
+    * per-source sort. No oracle (sketch rank tolerance); FilteringSpec
+    * pins agreement with the exact form away from quota boundaries.
+    */
+  val q86bPerplexityBucketsSketch: Q = Q(
+    "q86b_perplexity_buckets_sketch",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = graft.operators.NgramLm.trainBigramStats(
+        d.where(col("lang") === "en"), "text", minCount = 2L)
+      val scored = graft.operators.NgramLm
+        .pooledLikelihood(d, model, "doc_id", "text", 1L, 29L)
+        .select(col("doc_id"),
+          (col("num_mass").cast("double") / col("den_mass").cast("double")).as("score"))
+        .join(d.select("doc_id", "source"), "doc_id")
+      graft.operators.Filtering.scoreBucketsBySourceSketch(
+        scored, "source", "score", headFraction = 0.3, middleFraction = 0.4)
+        .select("doc_id", "source", "score", "bucket")
+    },
+    None)
+
   /** The q52c exact-rational BM25 oracle for query (spark, merge, window),
     * top 20 — shared by the index-serving faces q84/q84b, whose results
     * must equal recomputing from the raw corpus.
@@ -2954,7 +3044,8 @@ object Queries {
     q82LmBigrams, q82bLmSurprisal, q82cLmPooled,
     q83BpePairs, q83bBpeMerges, q83cBpeEncode, q83dBpeEncodeFast,
     q84TextIndexSearch, q84bTextIndexCompacted,
-    q85RandomProjection, q85bProjectionXxhash)
+    q85RandomProjection, q85bProjectionXxhash,
+    q86PerplexityBuckets, q86bPerplexityBucketsSketch)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -140,6 +140,82 @@ object Filtering {
     * count lands in `quota − relErr·n … quota + 1 + ties + relErr·n`.
     * Pinned against [[topFractionBySource]] by FilteringSpec.
     */
+  /** CCNet-style head/middle/tail bucketing per source: rank rows by
+    * `scoreCol` (desc, `idCol` tiebreak) within each source and label the
+    * top ⌊h·n⌋ rows `head`, the next ⌊m·n⌋ `middle`, the rest `tail` —
+    * the partition a perplexity-filtered pretraining mix trains on
+    * (head/middle kept or upsampled, tail dropped). Exact quota
+    * semantics: each quota is its own floor (never a floor of a summed
+    * float — ⌊0.3n⌋+⌊0.4n⌋, not ⌊0.7n⌋, so the boundary is reproducible
+    * across engines), null sources form one real group.
+    *
+    * Scale contract: one exchange on source; the count and the
+    * row_number share the single window sort. Like
+    * [[topFractionBySource]], the per-source SORT is the scale limit —
+    * at 100 TB use [[scoreBucketsBySourceSketch]] (sketch thresholds, no
+    * sort) and keep this form for oracle checks and modest strata.
+    */
+  def scoreBucketsBySource(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      scoreCol: String,
+      headFraction: Double,
+      middleFraction: Double): DataFrame = {
+    require(headFraction >= 0.0 && middleFraction >= 0.0 &&
+      headFraction + middleFraction <= 1.0 + 1e-9,
+      s"fractions ($headFraction, $middleFraction) must be nonnegative and sum ≤ 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol))
+    val byScore = w.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val n = count(lit(1)).over(w).cast("double")
+    val hq = floor(lit(headFraction) * n).cast("long")
+    val mq = floor(lit(middleFraction) * n).cast("long")
+    docs
+      .withColumn("__rn", row_number().over(byScore).cast("long"))
+      .withColumn("bucket",
+        when(col("__rn") <= hq, lit("head"))
+          .when(col("__rn") <= hq + mq, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__rn")
+  }
+
+  /** SCALE form of [[scoreBucketsBySource]]: per-source GK-sketch score
+    * thresholds at the (1−h) and (1−h−m) quantiles broadcast back; the
+    * labeling is a pure map — no per-source sort, a dominant source
+    * costs what any scan costs. Score-cut semantics (threshold ties all
+    * land in the higher bucket) with the sketch's ±relErr·n rank
+    * tolerance; pinned against the exact form by FilteringSpec.
+    */
+  def scoreBucketsBySourceSketch(
+      docs: DataFrame,
+      sourceCol: String,
+      scoreCol: String,
+      headFraction: Double,
+      middleFraction: Double,
+      relErr: Double = 0.01): DataFrame = {
+    require(headFraction > 0.0 && middleFraction > 0.0 &&
+      headFraction + middleFraction < 1.0,
+      s"sketch form needs interior quantiles: fractions ($headFraction, $middleFraction)")
+    val qh = 1.0 - headFraction
+    val qm = 1.0 - headFraction - middleFraction
+    val thresholds = docs
+      .groupBy(col(sourceCol).as("__src"))
+      .agg(Profile.gkSketchCol(col(scoreCol).cast("double"), relErr).as("__gk"))
+      .select(col("__src"), Profile.gkQuantiles(col("__gk"), Seq(qh, qm)).as("__thrs"))
+      .select(
+        col("__src"),
+        col("__thrs").getItem(0).as("__thr_h"),
+        col("__thrs").getItem(1).as("__thr_m"))
+    docs
+      .join(broadcast(thresholds), col(sourceCol) <=> col("__src"))
+      .withColumn("bucket",
+        when(col(scoreCol).cast("double") >= col("__thr_h"), lit("head"))
+          .when(col(scoreCol).cast("double") >= col("__thr_m"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__src", "__thr_h", "__thr_m")
+  }
+
   def aboveQuantileBySource(
       docs: DataFrame,
       sourceCol: String,

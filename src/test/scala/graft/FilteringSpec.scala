@@ -146,4 +146,65 @@ class FilteringSpec extends AnyFunSuite {
     assert(Filtering.aboveQuantileBySource(scored, "source", "score", 0.0).count() === 0L)
     assert(Filtering.aboveQuantileBySource(scored, "source", "score", 1.0).count() === 100L)
   }
+
+  // --- Head/middle/tail buckets ---
+
+  test("scoreBucketsBySource: exact floor quotas per source, best-first, all rows labeled") {
+    val out = Filtering.scoreBucketsBySource(scored, "source", "doc_id", "score", 0.3, 0.4)
+      .select("doc_id", "source", "bucket").as[(Long, String, String)].collect()
+    assert(out.length === 100, "bucketing relabels, never drops")
+    val byBucket = out.groupBy(r => (r._2, r._3)).view.mapValues(_.map(_._1).toSet).toMap
+    // big: n=80 → head 24, middle 32, tail 24; scores descend with id
+    assert(byBucket(("big", "head")) === (1L to 24L).toSet)
+    assert(byBucket(("big", "middle")) === (25L to 56L).toSet)
+    assert(byBucket(("big", "tail")) === (57L to 80L).toSet)
+    // small: n=16 → head floor(4.8)=4, middle floor(6.4)=6, tail 6
+    assert(byBucket(("small", "head")) === (81L to 84L).toSet)
+    assert(byBucket(("small", "middle")) === (85L to 90L).toSet)
+    assert(byBucket(("small", "tail")) === (91L to 96L).toSet)
+    // tiny: n=4 → head 1, middle 1, tail 2
+    assert(byBucket(("tiny", "head")) === Set(97L))
+    assert(byBucket(("tiny", "middle")) === Set(98L))
+    assert(byBucket(("tiny", "tail")) === Set(99L, 100L))
+  }
+
+  test("scoreBucketsBySource: quotas are separate floors, ties break by id, null source is a group") {
+    // n=10 with h=0.3, m=0.4: ⌊3⌋ + ⌊4⌋ — never ⌊0.7·10⌋ of the summed float
+    val tied = ((1 to 10).map(i => (i.toLong, null.asInstanceOf[String], 5L))).toDF("doc_id", "source", "score")
+    val out = Filtering.scoreBucketsBySource(tied, "source", "doc_id", "score", 0.3, 0.4)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert((1L to 3L).forall(out(_) == "head"))
+    assert((4L to 7L).forall(out(_) == "middle"))
+    assert((8L to 10L).forall(out(_) == "tail"))
+  }
+
+  test("scoreBucketsBySourceSketch tracks the exact buckets within rank tolerance") {
+    val exact = Filtering.scoreBucketsBySource(scored, "source", "doc_id", "score", 0.3, 0.4)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val sketch = Filtering.scoreBucketsBySourceSketch(scored, "source", "score", 0.3, 0.4, relErr = 0.01)
+    assert(sketch.columns.toSeq === scored.columns.toSeq :+ "bucket")
+    val got = sketch.select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(got.size === 100)
+    // scores are distinct per source; the sketch may shift each boundary
+    // by at most ceil(relErr·n) + 1 ranks, so disagreements are confined
+    // to that many rows per boundary per source
+    val disagrees = exact.keys.count(k => exact(k) != got(k))
+    val bound = Seq("big", "small", "tiny").map { src =>
+      val n = scored.where(col("source") === src).count()
+      2 * (math.ceil(0.01 * n).toLong + 1)
+    }.sum
+    assert(disagrees <= bound, s"$disagrees bucket disagreements vs allowance $bound")
+    // order semantics hold regardless of tolerance: within a source no
+    // tail row may outscore a head row
+    val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    val scoreOf = scored.select("doc_id", "score").as[(Long, Long)].collect().toMap
+    for (src <- Seq("big", "small", "tiny")) {
+      val rows = scored.where(col("source") === src)
+        .select("doc_id").as[Long].collect()
+        .map(id => (got(id), scoreOf(id))).sortBy(-_._2)
+      for (i <- 1 until rows.length if rows(i - 1)._2 != rows(i)._2)
+        assert(rank(rows(i - 1)._1) <= rank(rows(i)._1),
+          s"$src: lower-scored row in higher bucket (${rows(i - 1)} then ${rows(i)})")
+    }
+  }
 }
