@@ -2937,6 +2937,48 @@ object Queries {
     },
     None)
 
+  /** Span-level exact substring dedup
+    * ([[graft.operators.SpanDedup.stripRepeatedSpans]], the Lee et al.
+    * 2022 stage): every 3-token window occurring in ≥ 2 distinct docs is
+    * stripped wherever it appears; the oracle reconstructs cleaned text,
+    * token counts AND flagged-window counts — the whole strip hash-gated.
+    */
+  val q87SpanDedup: Q = Q(
+    "q87_span_dedup",
+    (s, dir) =>
+      graft.operators.SpanDedup.stripRepeatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", l = 3, minDf = 2L),
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id, u - 1 AS i, array_to_string(tk[u:u+2], ' ') AS gram
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS u FROM d WHERE len(tk) >= 3) w),
+      rep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+      fp AS (SELECT g.doc_id, g.i FROM g JOIN rep USING (gram)),
+      cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 3)) AS j FROM fp),
+      tp AS (
+        SELECT doc_id, u - 1 AS j, tk[u] AS tok
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS u FROM d) w),
+      kept AS (
+        SELECT t.doc_id, t.j, t.tok FROM tp t
+        LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.j = t.j
+        WHERE c.doc_id IS NULL),
+      agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id),
+      wins AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM fp GROUP BY doc_id)
+      SELECT d.doc_id,
+             CASE WHEN d.tk IS NULL THEN NULL ELSE COALESCE(a.clean_text, '') END AS clean_text,
+             CAST(COALESCE(len(d.tk), 0) AS BIGINT) AS n_tokens,
+             COALESCE(a.n_kept, 0) AS n_kept,
+             CAST(COALESCE(len(d.tk), 0) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+             COALESCE(w.n_windows, 0) AS n_windows
+      FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN wins w USING (doc_id)"""))
+
   /** The q52c exact-rational BM25 oracle for query (spark, merge, window),
     * top 20 — shared by the index-serving faces q84/q84b, whose results
     * must equal recomputing from the raw corpus.
@@ -3045,7 +3087,7 @@ object Queries {
     q83BpePairs, q83bBpeMerges, q83cBpeEncode, q83dBpeEncodeFast,
     q84TextIndexSearch, q84bTextIndexCompacted,
     q85RandomProjection, q85bProjectionXxhash,
-    q86PerplexityBuckets, q86bPerplexityBucketsSketch)
+    q86PerplexityBuckets, q86bPerplexityBucketsSketch, q87SpanDedup)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
