@@ -430,4 +430,44 @@ object Streams {
       }
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
+
+  /** Continuous keyword-index ingestion: each micro-batch of documents
+    * lands under `outputPath/batch=s<id>/` (atomic rename, skipped on
+    * crash-replay) and its postings append to the [[graft.operators
+    * .TextIndex]] at `indexPath` via `appendIdempotent` — the same
+    * stateless exactly-once composition as [[nearDupIngest]]/
+    * [[annIngest]] (the landed output is commit-marked by the postings
+    * rename; a replayed micro-batch from a replayable source re-lands
+    * nothing and re-appends nothing). Search sees each batch atomically:
+    * [[graft.operators.TextIndex.searchTopK]] aggregates N, Σdl and df
+    * across the accrued `s`-labeled batches; run
+    * [[graft.operators.TextIndex.compact]] on a schedule to fold them.
+    * Dedup is NOT applied here — the index stores what the pipeline
+    * accepted; compose with [[nearDupIngest]] upstream when acceptance
+    * requires it.
+    */
+  def textIngest(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      outputPath: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Caches, DedupIndex, TextIndex}
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val label = f"s$batchId%08d"
+        val scope = Caches.newScope()
+        try Caches.inScope(scope) {
+          val pinned = Caches.pin(batch.toDF())
+          val outRoot = new org.apache.hadoop.fs.Path(outputPath)
+          val fs = outRoot.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(outRoot, s"batch=$label")))
+            DedupIndex.appendDir(pinned, outputPath, label)
+          TextIndex.appendIdempotent(pinned, idCol, textCol, indexPath, label)
+        } finally scope.release()
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
 }

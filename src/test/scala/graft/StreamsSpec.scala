@@ -555,4 +555,45 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
     graft.operators.Caches.release()
   }
+
+  test("textIngest: keyword search spans all landed micro-batches; replay appends nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-text").toString
+    val indexPath = s"$root/index"
+    val outputPath = s"$root/landed"
+    graft.operators.TextIndex.init(spark, indexPath)
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.textIngest(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", indexPath, outputPath)
+    val allDocs = Seq(
+      (1L, "spark shuffles data between stages and spark broadcasts small tables"),
+      (2L, "a merge statement upserts rows while a window function ranks them"),
+      (3L, "window frames slide over ordered partitions in spark"),
+      (4L, "merge conflicts resolve deterministically in distributed logs"))
+    try {
+      input.addData(allDocs(0), allDocs(1))
+      query.processAllAvailable()
+      input.addData(allDocs(2), allDocs(3))
+      query.processAllAvailable()
+      assert(graft.operators.TextIndex.batches(spark, indexPath) ===
+        Seq("s00000000", "s00000001"))
+      val landed = spark.read.parquet(outputPath).select("doc_id").as[Long].collect().toSet
+      assert(landed === Set(1L, 2L, 3L, 4L))
+      // cross-batch search equals scoring the union corpus from scratch
+      val got = graft.operators.TextIndex
+        .searchTopK(spark, indexPath, Seq("spark", "merge", "window"), 10)
+        .as[(Long, Double)].collect().toSeq
+      val want = graft.operators.Ranking.bm25ExactRational(
+        allDocs.toDF("doc_id", "text"), "doc_id", "text", Seq("spark", "merge", "window"))
+        .limit(10).as[(Long, Double)].collect().toSeq
+      assert(got === want)
+      // crash-replay absorption: re-appending a committed label is a no-op
+      graft.operators.TextIndex.appendIdempotent(
+        allDocs.take(2).toDF("doc_id", "text"), "doc_id", "text", indexPath, "s00000000")
+      assert(graft.operators.TextIndex
+        .searchTopK(spark, indexPath, Seq("spark", "merge", "window"), 10)
+        .as[(Long, Double)].collect().toSeq === want)
+    } finally query.stop()
+    graft.operators.Caches.release()
+  }
 }
