@@ -7,8 +7,8 @@ import graft.functions.text
 
 /** One-call corpus curation: the standard pretraining cleanup chain —
   *
-  *   boilerplate strip → quality filter → exact dedup →
-  *   decontamination → per-source keep cut
+  *   boilerplate strip → span strip → quality filter → exact dedup →
+  *   decontamination → fluency (LM) cut → per-source keep cut
   *
   * — composed from the individually-gated stage operators, in the order
   * the stages depend on each other (stripping changes the text every
@@ -35,11 +35,16 @@ final case class CurationConfig(
     sourceCol: String = "source",
     gopher: Option[Filtering.GopherThresholds] = Some(Filtering.GopherThresholds()),
     boilerplateMinDf: Option[Long] = None,
+    spanStripWindow: Option[Int] = None,
+    spanStripMinDf: Long = 2L,
     exactDedup: Boolean = true,
     benchmark: Option[DataFrame] = None,
     benchTextCol: String = "text",
     contaminationN: Int = 13,
     maxContamination: Double = 0.05,
+    fluencyModel: Option[DataFrame] = None,
+    fluencyHeadFraction: Double = 0.3,
+    fluencyMiddleFraction: Double = 0.4,
     keepTopFraction: Option[Double] = None)
 
 object Curation {
@@ -58,6 +63,22 @@ object Curation {
         .withColumn(cfg.textCol, col("text_clean"))
         .drop("text_clean")
     }
+    cfg.spanStripWindow.foreach { l =>
+      // span strip rewrites the text (like the boilerplate stage) and
+      // appends an `n_span_tokens_dropped` audit column; it runs BEFORE
+      // quality signals so they judge the de-boilerplated text
+      val stripped = SpanDedup
+        .stripRepeatedSpans(cur, cfg.idCol, cfg.textCol, l, cfg.spanStripMinDf)
+        .select(
+          col("doc_id").as("__sd_id"),
+          col("clean_text"),
+          col("n_dropped").as("n_span_tokens_dropped"))
+      cur = cur
+        .join(stripped, cur(cfg.idCol) === col("__sd_id"))
+        .drop("__sd_id")
+        .withColumn(cfg.textCol, col("clean_text"))
+        .drop("clean_text")
+    }
     cfg.gopher.foreach { th =>
       cur = Filtering.gopherFilter(cur, cfg.textCol, th)
     }
@@ -67,6 +88,24 @@ object Curation {
       cur = Decontaminate.clean(
         cur, cfg.textCol, cfg.idCol, bench, cfg.benchTextCol,
         cfg.contaminationN, cfg.maxContamination)
+    }
+    cfg.fluencyModel.foreach { model =>
+      // CCNet LM stage: pooled-likelihood score, per-source head/middle/
+      // tail cut, tail dropped. Docs without a single token transition
+      // (< 2 tokens) are unscorable and are dropped with the tail — the
+      // quality filter ahead of this stage normally removes them anyway.
+      val scored = NgramLm
+        .pooledLikelihood(cur, model, cfg.idCol, cfg.textCol, 1L, 1L)
+        .select(
+          col("doc_id").as("__fl_id"),
+          (col("num_mass").cast("double") / col("den_mass").cast("double")).as("__fl_score"))
+      cur = Filtering
+        .scoreBucketsBySource(
+          cur.join(scored, cur(cfg.idCol) === col("__fl_id")).drop("__fl_id"),
+          cfg.sourceCol, cfg.idCol, "__fl_score",
+          cfg.fluencyHeadFraction, cfg.fluencyMiddleFraction)
+        .where(col("bucket") =!= "tail")
+        .drop("bucket", "__fl_score")
     }
     cfg.keepTopFraction.foreach { f =>
       cur = Filtering

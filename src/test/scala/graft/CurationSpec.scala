@@ -81,4 +81,40 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("span-strip stage rewrites text, audits drops, and later stages see the cleaned text") {
+    // the footer is a repeated 5-token window across docs; with ONLY the
+    // span stage on, docs 1 and 2 reduce to the same residual text
+    val out = Curation.run(corpus, CurationConfig(
+      gopher = None, exactDedup = false, spanStripWindow = Some(5)))
+    assert(out.columns.contains("n_span_tokens_dropped"))
+    assert(out.count() === corpus.count(), "span strip rewrites, never drops rows")
+    val texts = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(!texts.values.exists(_.contains("subscribe")),
+      "cross-doc footer must be stripped from every doc")
+    assert(texts(1L) === texts(2L), "footer variants must converge")
+    // and with dedup also on, the converged pair collapses to the keeper
+    val deduped = Curation.run(corpus, CurationConfig(
+      gopher = None, exactDedup = true, spanStripWindow = Some(5)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(deduped.contains(1L) && !deduped.contains(2L))
+    graft.operators.Caches.release()
+  }
+
+  test("fluency stage drops the per-source tail bucket on the pooled LM score") {
+    // model trained on the corpus itself; h=0.4, m=0.4 → per source the
+    // bottom ~20% (tail) drops. Unscorable (<2-token) docs drop too.
+    val model = graft.operators.NgramLm.trainBigramStats(corpus, "text", minCount = 1L)
+    val out = Curation.run(corpus, CurationConfig(
+      gopher = None, exactDedup = false,
+      fluencyModel = Some(model), fluencyHeadFraction = 0.4, fluencyMiddleFraction = 0.4))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(out.columns.toSeq === corpus.columns.toSeq, "stage must not leak helper columns")
+    // source A: 5 scorable docs → head 2 + middle 2, one tail drop;
+    // source B: 2 docs → head 0 (floor .8) ... middle 0? floor(0.4·2)=0 twice → both tail
+    val bySource = corpus.select("doc_id", "source").as[(Long, String)].collect().toMap
+    assert(kept.forall(bySource(_) == "A"))
+    assert(kept.size === 2 + 2, s"A keeps head+middle quotas: $kept")
+    graft.operators.Caches.release()
+  }
 }
