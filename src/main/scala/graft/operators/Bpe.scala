@@ -184,13 +184,21 @@ object Bpe {
     val textIdx = docs.schema.fieldIndex(textCol)
     val mergeList = merges.toVector
     docs.mapPartitions { it =>
+      // bounded memo: natural-language vocabulary fits easily, and an
+      // adversarial all-unique-words partition degrades to re-encoding
+      // instead of growing task memory without limit
       val memo = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+      val memoCap = 1 << 20
       it.map { row =>
         val t = row.getString(textIdx)
         val sub: Seq[String] =
           if (t == null) null
           else t.trim.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
-            memo.getOrElseUpdate(w, encodeWordJvm(w, mergeList))
+            memo.getOrElse(w, {
+              val enc = encodeWordJvm(w, mergeList)
+              if (memo.size < memoCap) memo.update(w, enc)
+              enc
+            })
           }.toVector
         Row.fromSeq(row.toSeq :+ sub)
       }

@@ -91,6 +91,21 @@ class ProjectionSpec extends AnyFunSuite {
       s"planted near-dup drifted apart: ${cos(projected(0L), projected(99L))}")
   }
 
+  test("composition: ANN over projected vectors finds the planted near-dup") {
+    val planted = vecs :+ (99L, vecs.head._2.map(v => v + rng.nextGaussian().toFloat * 0.01f))
+    val df = planted.toDF("vec_id", "embedding")
+    val k = 16
+    val projected = Projection.descale(
+      Projection.project(df, "embedding", k, Projection.xxhashSign(seed)), k)
+      .select(col("vec_id"),
+        transform(col("proj"), y => y.cast("float")).as("pvec"))
+    val top = graft.operators.Similarity
+      .bruteForceTopK(projected, "vec_id", "pvec", queryId = 99L, k = 1)
+      .select("vec_id").as[Long].head()
+    assert(top === 0L, "nearest neighbor in projected space must be the source vector")
+    graft.operators.Caches.release()
+  }
+
   test("descale applies the 1/(10^6 · sqrt(k)) JL normalizer") {
     val d = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val raw = Projection.project(d, "embedding", 4, Projection.linearSign(seed))
