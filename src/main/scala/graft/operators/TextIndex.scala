@@ -128,7 +128,8 @@ object TextIndex {
         coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
         .as[(Long, Long)].head()
       DedupIndex.appendDir(
-        Seq(st).toDF("n_docs", "sum_dl").coalesce(1), statsDir(path), batch)
+        Seq((st._1, st._2, Seq.empty[String])).toDF("n_docs", "sum_dl", "folds").coalesce(1),
+        statsDir(path), batch)
       DedupIndex.appendDir(
         tokenized
           .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
@@ -175,19 +176,28 @@ object TextIndex {
   /** Corpus totals over committed batches: (n_docs, sum_dl). O(batches)
     * rows read; only COMMITTED batches count (a crashed append's stats
     * partition without postings must not inflate N — scores would shift
-    * for every query until vacuum).
+    * for every query until vacuum), and batches folded into a committed
+    * [[compact]] merge are excluded via the merge's `folds` list — in
+    * the promote-then-delete window both the merge and its sources are
+    * visible, and without the exclusion N and Σdl would double (the
+    * stats-side analog of the postings `distinct()`).
     */
   def corpusStats(spark: SparkSession, path: String): (Long, Long) = {
     val committed = batches(spark, path)
     if (committed.isEmpty) return (0L, 0L)
-    import spark.implicits._
-    val r = spark.read.parquet(statsDir(path))
-      .where(col("batch").isin(committed: _*))
-      .agg(
-        coalesce(sum("n_docs"), lit(0L)).as("n"),
-        coalesce(sum("sum_dl"), lit(0L)).as("d"))
-      .as[(Long, Long)].head()
-    r
+    // numeric labels survive partition-type inference as integers
+    // ("batch=00000001" reads back as 1) — canonicalize both sides
+    def canon(l: String): String = l.toLongOption.map(_.toString).getOrElse(l)
+    val committedSet = committed.map(canon).toSet
+    val rows = spark.read.parquet(statsDir(path))
+      .select(col("batch").cast("string"), col("n_docs"), col("sum_dl"), col("folds"))
+      .collect()
+      .map(r => (canon(r.getString(0)), r.getLong(1), r.getLong(2),
+        Option(r.getSeq[String](3)).map(_.map(canon)).getOrElse(Seq.empty)))
+      .filter(r => committedSet.contains(r._1))
+    val folded = rows.iterator.flatMap(_._4).toSet
+    val live = rows.filterNot(r => folded.contains(r._1))
+    (live.map(_._2).sum, live.map(_._3).sum)
   }
 
   /** Per-batch health: (batch, docs, tokens, postings). */
@@ -245,16 +255,19 @@ object TextIndex {
     if (old.size == 1) return old.head
     val label = nextBatchLabel(spark, path)
     import spark.implicits._
-    val merged = spark.read.parquet(statsDir(path))
-      .where(col("batch").isin(old: _*))
-      .agg(
-        coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
-        coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
-      .as[(Long, Long)].head()
+    // fold-aware totals (corpusStats logic restricted to `old`): if a
+    // previous compact crashed between promote and delete, a source and
+    // the merge that folded it coexist — summing both would double the
+    // merged stats forever
+    val (n, d) = corpusStats(spark, path)
     DedupIndex.appendDir(
-      Seq(merged).toDF("n_docs", "sum_dl").coalesce(1), statsDir(path), label)
+      Seq((n, d, old)).toDF("n_docs", "sum_dl", "folds").coalesce(1),
+      statsDir(path), label)
     DedupIndex.appendDir(
       spark.read.parquet(old.map(b => s"${postingsDir(path)}/batch=$b"): _*)
+        // same crash window: a folded-but-undeleted source duplicates its
+        // postings rows against its merge — collapse before re-clustering
+        .select("term", "doc_id", "tf", "dl").distinct()
         .repartitionByRange(col("term"))
         .sortWithinPartitions("term", "doc_id"),
       postingsDir(path), label)

@@ -67,6 +67,33 @@ class TextIndexSpec extends AnyFunSuite {
     assert(search(path) === direct())
   }
 
+  test("compact promote-then-delete window: stats never double, search stays exact") {
+    val path = tmp()
+    TextIndex.build(docs.where(col("doc_id") % 2 === 0), "doc_id", "text", path)
+    TextIndex.append(docs.where(col("doc_id") % 2 === 1), "doc_id", "text", path, "00000002")
+    val (n0, d0) = TextIndex.corpusStats(spark, path)
+    val want = direct()
+    // simulate a compact that promoted its merge but crashed before
+    // deleting the sources: a third committed batch holding the SAME
+    // corpus again, with `folds` naming the sources
+    val dup = spark.read.parquet(
+      s"$path/postings/batch=00000001", s"$path/postings/batch=00000002")
+      .select("term", "doc_id", "tf", "dl")
+    graft.operators.DedupIndex.appendDir(
+      Seq((n0, d0, Seq("00000001", "00000002"))).toDF("n_docs", "sum_dl", "folds").coalesce(1),
+      s"$path/stats", "00000003")
+    graft.operators.DedupIndex.appendDir(dup, s"$path/postings", "00000003")
+    assert(TextIndex.batches(spark, path).size === 3)
+    assert(TextIndex.corpusStats(spark, path) === ((n0, d0)),
+      "folded sources must not double corpus totals")
+    assert(search(path) === want, "search must be exact in the overlap window")
+    // the NEXT compact folds the crashed state cleanly
+    val label = TextIndex.compact(spark, path)
+    assert(TextIndex.batches(spark, path) === Seq(label))
+    assert(TextIndex.corpusStats(spark, path) === ((n0, d0)))
+    assert(search(path) === want)
+  }
+
   test("appending an existing batch label fails; the index is unchanged") {
     val path = tmp()
     TextIndex.build(docs, "doc_id", "text", path)
@@ -85,7 +112,8 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndex.appendIdempotent(docs.where(col("doc_id") <= 3), "doc_id", "text", path, "00000001")
     // simulate a crash between the two renames: stats landed, postings did not
     graft.operators.DedupIndex.appendDir(
-      Seq((99L, 999L)).toDF("n_docs", "sum_dl").coalesce(1), s"$path/stats", "00000002")
+      Seq((99L, 999L, Seq.empty[String])).toDF("n_docs", "sum_dl", "folds").coalesce(1),
+      s"$path/stats", "00000002")
     assert(TextIndex.batches(spark, path) === Seq("00000001"),
       "postings are the commit marker; stats alone must not count")
     TextIndex.appendIdempotent(rest, "doc_id", "text", path, "00000002")
@@ -98,7 +126,8 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndex.build(docs, "doc_id", "text", path)
     val (n0, d0) = TextIndex.corpusStats(spark, path)
     graft.operators.DedupIndex.appendDir(
-      Seq((1000L, 100000L)).toDF("n_docs", "sum_dl").coalesce(1), s"$path/stats", "00000099")
+      Seq((1000L, 100000L, Seq.empty[String])).toDF("n_docs", "sum_dl", "folds").coalesce(1),
+      s"$path/stats", "00000099")
     assert(TextIndex.corpusStats(spark, path) === ((n0, d0)))
     TextIndex.vacuum(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
