@@ -2979,6 +2979,63 @@ object Queries {
              COALESCE(w.n_windows, 0) AS n_windows
       FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN wins w USING (doc_id)"""))
 
+  /** Tokenizer vocabulary face ([[graft.operators.Bpe.vocabulary]]): the
+    * (subword, corpus weight) table under the q83b merges — computed
+    * from the word-frequency table, never the corpus. No oracle (merges
+    * are data-trained); BpeSpec pins equality with the in-memory
+    * reference.
+    */
+  val q83eBpeVocabulary: Q = Q(
+    "q83e_bpe_vocabulary",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainMerges(d, "text", numMerges = 12, minPairCount = 2L)
+      graft.operators.Bpe.vocabulary(d, "text", merges)
+    },
+    None)
+
+  /** Conjunctive (AND) index search ([[graft.operators.TextIndex
+    * .searchTopK]] with `requireAll`): only documents containing EVERY
+    * query term score; the filter runs on the candidate-sized pivot.
+    * Oracle = the q84 SQL with the all-terms-present condition.
+    */
+  val q84cTextIndexSearchAll: Q = Q(
+    "q84c_text_index_search_all",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val path = java.nio.file.Files.createTempDirectory("graft_text_index").toString
+      graft.operators.TextIndex.build(docs, "doc_id", "text", path)
+      graft.operators.TextIndex.searchTopK(
+        s, path, Seq("spark", "merge", "window"), 20, requireAll = true)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS toks
+        FROM documents),
+      stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) AS d FROM tok),
+      tf AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+          SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok) u
+        WHERE term IN ('spark', 'merge', 'window')
+        GROUP BY doc_id, dl, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      w AS (
+        SELECT tf.doc_id, tf.term,
+               CAST((2*s.n - 2*df.df + 1) * 22 * tf.tf * s.d AS DOUBLE) /
+               CAST((2*df.df + 1) * (10*tf.tf*s.d + 3*s.d + 9*tf.dl*s.n) AS DOUBLE) AS w
+        FROM tf JOIN df USING (term) CROSS JOIN stats s),
+      piv AS (
+        SELECT doc_id,
+               MAX(CASE WHEN term = 'spark' THEN w END) AS w0,
+               MAX(CASE WHEN term = 'merge' THEN w END) AS w1,
+               MAX(CASE WHEN term = 'window' THEN w END) AS w2
+        FROM w GROUP BY doc_id)
+      SELECT doc_id, w0 + w1 + w2 AS score
+      FROM piv
+      WHERE w0 IS NOT NULL AND w1 IS NOT NULL AND w2 IS NOT NULL
+      ORDER BY score DESC, doc_id
+      LIMIT 20"""))
+
   /** The q52c exact-rational BM25 oracle for query (spark, merge, window),
     * top 20 — shared by the index-serving faces q84/q84b, whose results
     * must equal recomputing from the raw corpus.
@@ -3084,8 +3141,8 @@ object Queries {
     q76TemperaturePlan, q77TopFraction, q77bTopQuantileSketch, q78VocabStats,
     q79SkewReport, q80NbModel, q80bNbScore, q80cOddsMass, q81CurationPipeline,
     q82LmBigrams, q82bLmSurprisal, q82cLmPooled,
-    q83BpePairs, q83bBpeMerges, q83cBpeEncode, q83dBpeEncodeFast,
-    q84TextIndexSearch, q84bTextIndexCompacted,
+    q83BpePairs, q83bBpeMerges, q83cBpeEncode, q83dBpeEncodeFast, q83eBpeVocabulary,
+    q84TextIndexSearch, q84bTextIndexCompacted, q84cTextIndexSearchAll,
     q85RandomProjection, q85bProjectionXxhash,
     q86PerplexityBuckets, q86bPerplexityBucketsSketch, q87SpanDedup)
 

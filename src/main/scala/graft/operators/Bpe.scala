@@ -167,6 +167,22 @@ object Bpe {
     syms
   }
 
+  /** The trained tokenizer's vocabulary: (subword, weight) — each
+    * subword's corpus occurrence count under the merge list (weight =
+    * Σ word_frequency over its appearances). Computed from the WORD
+    * FREQUENCY table, not the corpus (the [[trainMerges]] economy:
+    * vocabulary-scale input, one aggregation), encoding each distinct
+    * word once via the JVM replay. This is the artifact shipped with
+    * the merges — its size is what "vocab_size" means downstream.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val wf = wordFrequencies(docs, textCol)
+    encodeFast(wf, "word", merges)
+      .select(explode(col("subwords")).as("subword"), col("wf"))
+      .groupBy("subword")
+      .agg(sum("wf").as("weight"))
+  }
+
   /** [[encode]] at production merge counts: identical output (BpeSpec
     * pins equality), but the merge replay runs as plain JVM code inside
     * ONE `mapPartitions` instead of a Catalyst expression tree of depth

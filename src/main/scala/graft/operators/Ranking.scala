@@ -227,7 +227,8 @@ object Ranking {
       tf: DataFrame,
       terms: Seq[String],
       n: Long,
-      dTot: Long): DataFrame = {
+      dTot: Long,
+      requireAll: Boolean = false): DataFrame = {
     val df = documentFrequencies(tf.select("doc_id", "term", "tf"))
     val num = (lit(2L * n) - lit(2L) * col("df") + lit(1L)) * lit(22L) * col("tf") * lit(dTot)
     val den = (lit(2L) * col("df") + lit(1L)) *
@@ -239,7 +240,13 @@ object Ranking {
       terms.tail.zipWithIndex.map { case (t, i) =>
         max(when(col("term") === t, col("w"))).as(s"__w${i + 1}")
       }: _*)
-    pivoted
+    val gated =
+      if (requireAll)
+        // conjunctive (AND) search: every pivoted weight present — the
+        // filter runs on the candidate-sized pivot, never the corpus
+        pivoted.where(terms.indices.map(i => col(s"__w$i").isNotNull).reduce(_ && _))
+      else pivoted
+    gated
       .select(
         col("doc_id"),
         terms.indices.map(i => coalesce(col(s"__w$i"), lit(0.0))).reduce(_ + _).as("score"))

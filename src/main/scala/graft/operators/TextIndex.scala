@@ -225,7 +225,8 @@ object TextIndex {
       spark: SparkSession,
       path: String,
       query: Seq[String],
-      k: Int): DataFrame = {
+      k: Int,
+      requireAll: Boolean = false): DataFrame = {
     require(query.nonEmpty, "search needs at least one query term")
     require(k > 0, "k must be positive")
     val terms = query.map(_.toLowerCase).distinct
@@ -238,7 +239,7 @@ object TextIndex {
       .where(col("term").isin(terms: _*))
       .select("term", "doc_id", "tf", "dl")
       .distinct()
-    Ranking.bm25RationalScores(tf, terms, n, dTot)
+    Ranking.bm25RationalScores(tf, terms, n, dTot, requireAll)
       .limit(k)
   }
 

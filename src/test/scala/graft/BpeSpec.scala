@@ -139,6 +139,23 @@ class BpeSpec extends AnyFunSuite {
     assert(fast === Seq("low", "low", "e", "r"))
   }
 
+  test("vocabulary equals the reference: encode every word, weight by frequency") {
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 8)
+    val got = Bpe.vocabulary(docs, "text", merges)
+      .as[(String, Long)].collect().toMap
+    val wordFreq = corpus
+      .flatMap(_.trim.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val want = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, f) <- wordFreq; sub <- merges.foldLeft(w.map(_.toString).toVector)(refMergeWord))
+      want(sub) += f
+    assert(got === want.toMap)
+    // total mass conservation: Σ weights = Σ per-word subword counts × wf
+    assert(got.values.sum ===
+      Bpe.encode(docs, "text", merges)
+        .select(sum(size(col("subwords")))).as[Long].head())
+  }
+
   test("pairCounts weights pairs by word frequency, multiplicity included") {
     val wf = Seq(("aba", 3L), ("ab", 2L)).toDF("word", "wf")
     val pc = Bpe.pairCounts(Bpe.initialSymbolTable(wf))

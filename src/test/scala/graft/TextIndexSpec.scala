@@ -135,6 +135,23 @@ class TextIndexSpec extends AnyFunSuite {
     assert(search(path) === direct())
   }
 
+  test("requireAll keeps only docs containing every query term, scores unchanged") {
+    val path = tmp()
+    TextIndex.build(docs, "doc_id", "text", path)
+    val any = search(path).toMap
+    val all = TextIndex.searchTopK(spark, path, query, 10, requireAll = true)
+      .as[(Long, Double)].collect().toSeq
+    // only doc 1 has none of… check membership directly: a doc qualifies
+    // iff its text contains all three terms
+    val texts = docs.as[(Long, String)].collect().toMap
+    val expectIds = texts.filter { case (_, t) =>
+      val toks = t.toLowerCase.split("\\s+").toSet
+      query.forall(toks.contains)
+    }.keySet
+    assert(all.map(_._1).toSet === expectIds)
+    all.foreach { case (id, s) => assert(s === any(id), s"doc $id score must not change") }
+  }
+
   test("empty index and empty query-term match behave") {
     val path = tmp()
     TextIndex.init(spark, path)
