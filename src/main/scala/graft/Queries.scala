@@ -2744,7 +2744,7 @@ object Queries {
         FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS word
               FROM documents)
         GROUP BY 1),
-      sy AS (SELECT regexp_extract_all(word, '.') AS syms, wf FROM wf),
+      sy AS (SELECT regexp_extract_all(word, '(?s).') AS syms, wf FROM wf),
       pr AS (
         SELECT unnest(list_transform(range(1, len(syms)), i -> [syms[i], syms[i+1]])) AS pr, wf
         FROM sy WHERE len(syms) >= 2)

@@ -45,11 +45,14 @@ object Bpe {
       .groupBy("word")
       .agg(count(lit(1)).as("wf"))
 
-  /** Character symbols of a word (code-point granularity, mirroring the
-    * oracle's regex semantics for BMP text).
+  /** Character symbols of a word (code-point granularity). DOTALL `.`:
+    * plain `.` excludes line terminators, and a token can legally carry
+    * U+2028/U+2029/U+0085 (not `\s` whitespace) — without `(?s)` those
+    * characters would silently vanish from the symbol array, breaking
+    * the round-trip invariant and diverging from the oracle's RE2 `.`.
     */
   private def charSyms(word: Column): Column =
-    regexp_extract_all(word, lit("."), lit(0))
+    regexp_extract_all(word, lit("(?s)."), lit(0))
 
   /** Round-0 symbol table for a (word, wf) frame: (syms, wf). */
   def initialSymbolTable(wordFreq: DataFrame): DataFrame =
@@ -89,6 +92,13 @@ object Bpe {
     * in training order — the model IS this O(numMerges) list, so it lives
     * on the driver by design (the [[Similarity]] centroid precedent).
     * Rounds stop early when no pair reaches `minPairCount`.
+    *
+    * Memory note: `unpersist` releases the persist()-ed rounds eagerly,
+    * but a localCheckpoint's backing blocks are only reclaimed when the
+    * ContextCleaner GCs the orphaned RDD — on very long runs raise
+    * `checkpointEvery` (fewer snapshots) or rely on the MEMORY_AND_DISK
+    * eviction the checkpoint level already uses; the live working set is
+    * always the one vocabulary-sized table.
     */
   def trainMerges(
       docs: DataFrame,
@@ -149,7 +159,7 @@ object Bpe {
     * what training computed).
     */
   private def encodeWordJvm(word: String, merges: Seq[(String, String)]): Vector[String] = {
-    var syms = ".".r.findAllIn(word).toVector
+    var syms = "(?s).".r.findAllIn(word).toVector
     for ((a, b) <- merges if syms.length >= 2) {
       // presence skip: most of a real 10⁴-merge list touches nothing in a
       // given word — only pay the merge pass when both halves occur

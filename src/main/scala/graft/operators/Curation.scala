@@ -73,8 +73,10 @@ object Curation {
           col("doc_id").as("__sd_id"),
           col("clean_text"),
           col("n_dropped").as("n_span_tokens_dropped"))
+      // null-safe key: a null-id doc must be rewritten, not silently
+      // dropped by the join (the stage's rewrite-never-drop contract)
       cur = cur
-        .join(stripped, cur(cfg.idCol) === col("__sd_id"))
+        .join(stripped, cur(cfg.idCol) <=> col("__sd_id"))
         .drop("__sd_id")
         .withColumn(cfg.textCol, col("clean_text"))
         .drop("clean_text")
@@ -101,7 +103,7 @@ object Curation {
           (col("num_mass").cast("double") / col("den_mass").cast("double")).as("__fl_score"))
       cur = Filtering
         .scoreBucketsBySource(
-          cur.join(scored, cur(cfg.idCol) === col("__fl_id")).drop("__fl_id"),
+          cur.join(scored, cur(cfg.idCol) <=> col("__fl_id")).drop("__fl_id"),
           cfg.sourceCol, cfg.idCol, "__fl_score",
           cfg.fluencyHeadFraction, cfg.fluencyMiddleFraction)
         .where(col("bucket") =!= "tail")

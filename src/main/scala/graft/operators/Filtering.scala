@@ -125,21 +125,6 @@ object Filtering {
       .drop("__rn", "__quota")
   }
 
-  /** SCALE form of the per-source cut: keep rows whose score is at or
-    * above the source's (1 − fraction) quantile, estimated by the
-    * mergeable GK sketch ([[Profile.gkSketchCol]], relErr rank error).
-    * The sketch pass is one map-side-combined aggregation at source
-    * cardinality; thresholds broadcast back (null-safe, like
-    * [[Anomaly.robustOutliers]]) and the cut is a plain `where` — no
-    * per-source sort anywhere, so a single dominant source costs what
-    * any scan costs.
-    *
-    * Contract vs the exact form: this is a SCORE cut, not a quota cut —
-    * the threshold row itself and every tie at the threshold are kept,
-    * and the sketch's rank tolerance adds ±relErr·n; per source the kept
-    * count lands in `quota − relErr·n … quota + 1 + ties + relErr·n`.
-    * Pinned against [[topFractionBySource]] by FilteringSpec.
-    */
   /** CCNet-style head/middle/tail bucketing per source: rank rows by
     * `scoreCol` (desc, `idCol` tiebreak) within each source and label the
     * top ⌊h·n⌋ rows `head`, the next ⌊m·n⌋ `middle`, the rest `tail` —
@@ -215,6 +200,22 @@ object Filtering {
           .otherwise(lit("tail")))
       .drop("__src", "__thr_h", "__thr_m")
   }
+
+  /** SCALE form of the per-source cut: keep rows whose score is at or
+    * above the source's (1 − fraction) quantile, estimated by the
+    * mergeable GK sketch ([[Profile.gkSketchCol]], relErr rank error).
+    * The sketch pass is one map-side-combined aggregation at source
+    * cardinality; thresholds broadcast back (null-safe, like
+    * [[Anomaly.robustOutliers]]) and the cut is a plain `where` — no
+    * per-source sort anywhere, so a single dominant source costs what
+    * any scan costs.
+    *
+    * Contract vs the exact form: this is a SCORE cut, not a quota cut —
+    * the threshold row itself and every tie at the threshold are kept,
+    * and the sketch's rank tolerance adds ±relErr·n; per source the kept
+    * count lands in `quota − relErr·n … quota + 1 + ties + relErr·n`.
+    * Pinned against [[topFractionBySource]] by FilteringSpec.
+    */
 
   def aboveQuantileBySource(
       docs: DataFrame,

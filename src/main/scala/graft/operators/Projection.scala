@@ -65,6 +65,10 @@ object Projection {
     vecs.withColumn(
       "proj",
       when(col(vecCol).isNull, lit(null).cast("array<bigint>"))
+        // empty vector: the sum over no inputs is 0 per output dim (and
+        // sequence(0, -1) would otherwise step backwards into element 0)
+        .when(size(col(vecCol)) === 0,
+          transform(sequence(lit(0L), lit(k - 1L)), _ => lit(0L)))
         .otherwise(transform(
           sequence(lit(0L), lit(k - 1L)),
           i => aggregate(

@@ -256,6 +256,14 @@ object TextIndex {
     if (old.size == 1) return old.head
     val label = nextBatchLabel(spark, path)
     import spark.implicits._
+    // a compact that crashed between its own stats and postings renames
+    // left an uncommitted stats/batch=<label> — nextBatchLabel derives
+    // from postings (the commit marker), so the retry re-picks the SAME
+    // label and appendDir would refuse it forever; drop the stale half
+    // first (the appendIdempotent self-heal, applied to compaction)
+    val staleStats = new Path(s"${statsDir(path)}/batch=$label")
+    val staleFs = staleStats.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (staleFs.exists(staleStats)) staleFs.delete(staleStats, true)
     // fold-aware totals (corpusStats logic restricted to `old`): if a
     // previous compact crashed between promote and delete, a source and
     // the merge that folded it coexist — summing both would double the

@@ -59,6 +59,11 @@ class ProjectionSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
     assert(out(1L).isDefined && out(1L).get.size === 4)
     assert(out(2L).isEmpty)
+    // empty (non-null) vector: all-zero projection, not a crash
+    val e = Seq((3L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    val ep = Projection.project(e, "embedding", 4, Projection.xxhashSign(seed))
+      .select("proj").as[Seq[Long]].head()
+    assert(ep === Seq(0L, 0L, 0L, 0L))
     val plan = Projection.project(vecDf, "embedding", 8, Projection.xxhashSign(seed))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")

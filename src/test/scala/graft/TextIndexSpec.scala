@@ -94,6 +94,23 @@ class TextIndexSpec extends AnyFunSuite {
     assert(search(path) === want)
   }
 
+  test("compact retries through its own stats-then-postings crash window") {
+    val path = tmp()
+    TextIndex.build(docs.where(col("doc_id") <= 3), "doc_id", "text", path)
+    TextIndex.append(docs.where(col("doc_id") > 3), "doc_id", "text", path, "00000002")
+    // simulate a compact that wrote merged STATS under the next label and
+    // crashed before the postings rename: label 00000003 is uncommitted
+    graft.operators.DedupIndex.appendDir(
+      Seq((99L, 9999L, Seq("00000001", "00000002")))
+        .toDF("n_docs", "sum_dl", "folds").coalesce(1),
+      s"$path/stats", "00000003")
+    // the retry must not collide with the stale stats partition
+    val label = TextIndex.compact(spark, path)
+    assert(label === "00000003")
+    assert(TextIndex.batches(spark, path) === Seq(label))
+    assert(search(path) === direct(), "retried compact must serve exact results")
+  }
+
   test("appending an existing batch label fails; the index is unchanged") {
     val path = tmp()
     TextIndex.build(docs, "doc_id", "text", path)
