@@ -3036,6 +3036,24 @@ object Queries {
       ORDER BY score DESC, doc_id
       LIMIT 20"""))
 
+  /** Deterministic weighted sampling face ([[graft.operators.Partitioning
+    * .weightedSample]], Efraimidis–Spirakis A-ES on the key-hash
+    * uniform): per-source quality-weighted draws with token count as the
+    * weight. No oracle (xxhash64 ranks); PartitioningSpec pins
+    * determinism, weight-monotone inclusion, and the invalid-weight
+    * exclusion contract.
+    */
+  val q88WeightedSample: Q = Q(
+    "q88_weighted_sample",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("__w", graft.functions.text.tokenCount(col("text")).cast("double"))
+      graft.operators.Partitioning
+        .weightedSample(d, "doc_id", "__w", n = 10, seed = 7, perKey = Seq("source"))
+        .select("source", "doc_id")
+    },
+    None)
+
   /** The q52c exact-rational BM25 oracle for query (spark, merge, window),
     * top 20 — shared by the index-serving faces q84/q84b, whose results
     * must equal recomputing from the raw corpus.
@@ -3144,7 +3162,8 @@ object Queries {
     q83BpePairs, q83bBpeMerges, q83cBpeEncode, q83dBpeEncodeFast, q83eBpeVocabulary,
     q84TextIndexSearch, q84bTextIndexCompacted, q84cTextIndexSearchAll,
     q85RandomProjection, q85bProjectionXxhash,
-    q86PerplexityBuckets, q86bPerplexityBucketsSketch, q87SpanDedup)
+    q86PerplexityBuckets, q86bPerplexityBucketsSketch, q87SpanDedup,
+    q88WeightedSample)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -217,6 +217,52 @@ object Partitioning {
       n)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, A-ES): keep the `n` rows with the largest
+    * u^(1/w), u = the key-hash uniform — each row's inclusion odds are
+    * proportional to `weightCol` in the exponential-rank sense, and the
+    * draw is a pure function of (id, seed): reproducible across runs,
+    * retries and engines, like every sampler here. The quality-weighted
+    * mixture draw: feed classifier scores ([[Classifier.scoreNB]]) or
+    * fluency scores as weights and high-quality rows win the quota
+    * stochastically instead of by hard cutoff.
+    *
+    * Rows with NULL or non-positive weight are EXCLUDED (a zero weight
+    * cannot win any rank; a negative one is a caller bug surfaced by the
+    * documented filter, not a crash). Ties (identical rank doubles)
+    * break by `idCol`. Scale: rank is a per-row projection; the top-n
+    * global draw rides TakeOrderedAndProject (never a full sort) via the
+    * same bounded-heap plan as [[sampleNPerKey]] when `perKey` strata
+    * are given.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Int,
+      seed: Int = 42,
+      perKey: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(n > 0, "sample size must be positive")
+    val rank = pow(
+      uniformFromHash(xxhash64(col(idCol), lit(seed))),
+      lit(1.0) / col(weightCol).cast("double"))
+    val eligible = df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+    if (perKey.isEmpty)
+      eligible
+        .withColumn("__wr", rank)
+        .orderBy(col("__wr").desc, col(idCol).asc)
+        .limit(n)
+        .drop("__wr")
+    else
+      graft.plans.TopK.perKey(
+        eligible.withColumn("__wr", rank),
+        perKey,
+        Seq(col("__wr").desc, col(idCol).asc),
+        n)
+        .drop("__wr")
+  }
+
   /** xxhash64(key, seed) → uniform double STRICTLY in [0, 1). */
   private def hashUniform(keyCol: String, seed: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._

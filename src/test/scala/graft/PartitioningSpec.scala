@@ -7,6 +7,7 @@ import graft.operators.Partitioning
 
 class PartitioningSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
+  import spark.implicits._
 
   test("runningSum equals the single-window form without its SinglePartition exchange") {
     val df = spark.range(100000).select(col("id"), (col("id") % 7 + 1).as("v"))
@@ -187,5 +188,45 @@ class PartitioningSpec extends AnyFunSuite {
     val p = Partitioning.hashSplit(rows, "k", Seq("a" -> 1.0, "b" -> 1.0))
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"splitting must not shuffle:\n$p")
+  }
+
+  test("weightedSample: deterministic, weight-monotone inclusion, invalid weights excluded") {
+    val base = (1L to 20L).map(i => (i, if (i == 7L) 50.0 else 1.0))
+    val df = base.toDF("id", "w")
+    val a = Partitioning.weightedSample(df, "id", "w", n = 5, seed = 1)
+      .select("id").as[Long].collect().toSet
+    val b = Partitioning.weightedSample(df.repartition(7), "id", "w", n = 5, seed = 1)
+      .select("id").as[Long].collect().toSet
+    assert(a === b, "the draw must be a pure function of (id, seed)")
+    // inclusion frequency across seeds: the w=50 item nearly always wins a
+    // slot; any fixed w=1 item competes uniformly for the rest
+    val seeds = 0 until 100
+    val hits = seeds.map { s =>
+      Partitioning.weightedSample(df, "id", "w", n = 5, seed = s)
+        .select("id").as[Long].collect().toSet
+    }
+    val heavyRate = hits.count(_.contains(7L)) / 100.0
+    val lightRate = hits.count(_.contains(3L)) / 100.0
+    assert(heavyRate >= 0.95, s"w=50 item included only ${heavyRate * 100}% of draws")
+    assert(lightRate <= 0.6, s"w=1 item included ${lightRate * 100}% of draws")
+    // null / zero / negative weights are excluded, never crash or win
+    val dirty = Seq((100L, null.asInstanceOf[java.lang.Double]), (101L, java.lang.Double.valueOf(0.0)),
+      (102L, java.lang.Double.valueOf(-3.0)), (103L, java.lang.Double.valueOf(1.0)))
+      .toDF("id", "w")
+    val kept = Partitioning.weightedSample(dirty, "id", "w", n = 10, seed = 1)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(103L))
+  }
+
+  test("weightedSample perKey: per-stratum quotas through the bounded-heap plan") {
+    val df = (1L to 60L).map(i => (i, if (i <= 30L) "a" else "b", 1.0 + (i % 3)))
+      .toDF("id", "src", "w")
+    val out = Partitioning.weightedSample(df, "id", "w", n = 4, seed = 2, perKey = Seq("src"))
+      .select("src", "id").as[(String, Long)].collect()
+    assert(out.count(_._1 == "a") === 4 && out.count(_._1 == "b") === 4)
+    // global form rides TakeOrderedAndProject, not a full sort
+    val plan = Partitioning.weightedSample(df, "id", "w", n = 4, seed = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
 }
