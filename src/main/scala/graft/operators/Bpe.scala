@@ -137,6 +137,122 @@ object Bpe {
     merges.result()
   }
 
+  // --- checkpointed (resumable) training -----------------------------
+
+  /** [[trainMerges]] with durable state at `path` — the production shape
+    * for vocabularies whose training outlives a session (10⁴ merges = 10⁴
+    * sequential Spark jobs; a crash at round 9,000 must not restart at
+    * round 0). State on disk, both via atomic staged swap:
+    * {{{
+    *   path/merges/   (rank, a, b)        — the model so far, AUTHORITATIVE
+    *   path/table/    (syms, wf, rounds)  — symbol-table snapshot CACHE
+    * }}}
+    * Merges are always written BEFORE the table, so a crash leaves the
+    * table at T ≤ M rounds; resume replays merges T+1..M onto the stale
+    * snapshot with the JVM merge core (deterministic — the redo is
+    * byte-identical) and continues training. A missing table rebuilds
+    * from the corpus the same way. Checkpoint cost: one table write per
+    * `checkpointEvery` rounds, vocabulary-scale. If the stored model
+    * already has ≥ `numMerges` merges, its prefix is returned without
+    * touching the corpus.
+    */
+  def trainMergesCheckpointed(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      path: String,
+      minPairCount: Long = 1L,
+      checkpointEvery: Int = 10): Seq[(String, String)] = {
+    require(numMerges >= 1, "numMerges must be at least 1")
+    require(minPairCount >= 1L, "minPairCount must be at least 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergesDir = s"$path/merges"
+    val tableDir = s"$path/table"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val stored: Vector[(String, String)] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(mergesDir)))
+        spark.read.parquet(mergesDir).orderBy("rank")
+          .select("a", "b").as[(String, String)].collect().toVector
+      else Vector.empty
+    if (stored.size >= numMerges) return stored.take(numMerges)
+
+    // exhaustion marker: a completed-but-short run means no pair reaches
+    // minPairCount anymore — rebuilding the table to re-discover that
+    // would waste a corpus pass, so completion is recorded in the table
+    // snapshot's `rounds` (== -(M+1) when exhausted at M merges)
+    def writeMerges(ms: Vector[(String, String)]): Unit =
+      graft.sources.Sinks.writePartitionedAtomic(
+        ms.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+          .toDF("rank", "a", "b").coalesce(1),
+        mergesDir, Nil)
+    def writeTable(t: DataFrame, rounds: Long): Unit =
+      graft.sources.Sinks.writePartitionedAtomic(
+        t.select(col("syms"), col("wf"), lit(rounds).as("rounds")), tableDir, Nil)
+    def replay(t: DataFrame, ms: Seq[(String, String)]): DataFrame =
+      if (ms.isEmpty) t.select("syms", "wf")
+      else {
+        val list = ms.toVector
+        t.select(col("syms"), col("wf")).as[(Seq[String], Long)]
+          .mapPartitions(_.map { case (syms, wf) => (mergeSymsJvm(syms.toVector, list), wf) })
+          .toDF("syms", "wf")
+      }
+
+    // resume: stale snapshot + known merges → deterministic repair
+    val (startTable, exhausted0) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tableDir))) {
+        val snap = spark.read.parquet(tableDir)
+        val rounds = snap.select("rounds").as[Long].head()
+        if (rounds == -(stored.size + 1L)) (null: DataFrame, true)
+        else {
+          require(rounds >= 0L && rounds <= stored.size,
+            s"table snapshot at $rounds rounds is ahead of the $mergesDir model — corrupt state")
+          (replay(snap, stored.drop(rounds.toInt)), false)
+        }
+      } else
+        (replay(initialSymbolTable(wordFrequencies(docs, textCol)), stored), false)
+    if (exhausted0) return stored
+
+    var table = startTable.persist()
+    table.count()
+    val merges = Vector.newBuilder[(String, String)]
+    merges ++= stored
+    var done = merges.result()
+    var round = done.size
+    var exhausted = false
+    def checkpoint(): Unit = {
+      writeMerges(done)
+      writeTable(table, if (exhausted) -(done.size + 1L) else done.size.toLong)
+    }
+    while (round < numMerges && !exhausted) {
+      val top = pairCounts(table)
+        .where(col("pair_wf") >= minPairCount)
+        .orderBy(col("pair_wf").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
+        merges += ((a, b))
+        done = merges.result()
+        val prev = table
+        val next = prev.select(mergeOnce(col("syms"), a, b).as("syms"), col("wf"))
+        table =
+          if ((round + 1) % checkpointEvery == 0) next.localCheckpoint(true)
+          else { val t = next.persist(); t.count(); t }
+        prev.unpersist()
+        round += 1
+        if (round % checkpointEvery == 0) checkpoint()
+      }
+    }
+    checkpoint()
+    table.unpersist()
+    done
+  }
+
   /** Tokenize `textCol` with a trained merge list: one subword-array
     * column `subwords` per document (word boundaries never merged). Pure
     * projection — zero shuffle, no model join.
@@ -158,8 +274,12 @@ object Bpe {
     * string coincidentally reappears after a later one, diverging from
     * what training computed).
     */
-  private def encodeWordJvm(word: String, merges: Seq[(String, String)]): Vector[String] = {
-    var syms = "(?s).".r.findAllIn(word).toVector
+  /** Sequential (training-order) JVM replay of a merge list over a
+    * symbol array — the shared core of [[encodeFast]] and the
+    * checkpoint-resume repair in [[trainMergesCheckpointed]].
+    */
+  private def mergeSymsJvm(initial: Vector[String], merges: Seq[(String, String)]): Vector[String] = {
+    var syms = initial
     for ((a, b) <- merges if syms.length >= 2) {
       // presence skip: most of a real 10⁴-merge list touches nothing in a
       // given word — only pay the merge pass when both halves occur
@@ -176,6 +296,9 @@ object Bpe {
     }
     syms
   }
+
+  private def encodeWordJvm(word: String, merges: Seq[(String, String)]): Vector[String] =
+    mergeSymsJvm("(?s).".r.findAllIn(word).toVector, merges)
 
   /** The trained tokenizer's vocabulary: (subword, weight) — each
     * subword's corpus occurrence count under the merge list (weight =

@@ -156,6 +156,40 @@ class BpeSpec extends AnyFunSuite {
         .select(sum(size(col("subwords")))).as[Long].head())
   }
 
+  test("checkpointed training: fresh run, resume, crash repair, and exhaustion marker") {
+    val plain12 = refTrain(corpus, 12, 1L)
+    // fresh: equals plain training
+    val p1 = java.nio.file.Files.createTempDirectory("bpe_ckpt").toString
+    assert(Bpe.trainMergesCheckpointed(docs, "text", 12, p1, checkpointEvery = 4) === plain12)
+    // a stored model covering the ask returns its prefix without retraining
+    assert(Bpe.trainMergesCheckpointed(docs, "text", 7, p1) === plain12.take(7))
+    // resume: 5 rounds now, 12 later — same model as one uninterrupted run
+    val p2 = java.nio.file.Files.createTempDirectory("bpe_ckpt").toString
+    assert(Bpe.trainMergesCheckpointed(docs, "text", 5, p2, checkpointEvery = 2) === plain12.take(5))
+    assert(Bpe.trainMergesCheckpointed(docs, "text", 12, p2, checkpointEvery = 3) === plain12)
+    // crash repair: merges ahead of the table snapshot (the documented
+    // crash window) — overwrite merges with the 8-round model while the
+    // table stays at 5 rounds, then resume to 12
+    val p3 = java.nio.file.Files.createTempDirectory("bpe_ckpt").toString
+    Bpe.trainMergesCheckpointed(docs, "text", 5, p3, checkpointEvery = 5)
+    graft.sources.Sinks.writePartitionedAtomic(
+      plain12.take(8).zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "a", "b").coalesce(1),
+      s"$p3/merges", Nil)
+    assert(Bpe.trainMergesCheckpointed(docs, "text", 12, p3, checkpointEvery = 4) === plain12)
+    // missing table: rebuilt from the corpus by replaying the model
+    val fs = new org.apache.hadoop.fs.Path(p3).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p3/table"), true)
+    assert(Bpe.trainMergesCheckpointed(docs, "text", 12, p3) === plain12)
+    // exhaustion is durable: a minPairCount that dries up early returns
+    // the same short model on re-ask without touching the corpus again
+    val p4 = java.nio.file.Files.createTempDirectory("bpe_ckpt").toString
+    val short1 = Bpe.trainMergesCheckpointed(docs, "text", 50, p4, minPairCount = 3L)
+    assert(short1 === refTrain(corpus, 50, 3L) && short1.size < 50)
+    assert(Bpe.trainMergesCheckpointed(docs, "text", 50, p4, minPairCount = 3L) === short1)
+  }
+
   test("pairCounts weights pairs by word frequency, multiplicity included") {
     val wf = Seq(("aba", 3L), ("ab", 2L)).toDF("word", "wf")
     val pc = Bpe.pairCounts(Bpe.initialSymbolTable(wf))
