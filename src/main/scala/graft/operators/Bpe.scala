@@ -218,9 +218,7 @@ object Bpe {
 
     var table = startTable.persist()
     table.count()
-    val merges = Vector.newBuilder[(String, String)]
-    merges ++= stored
-    var done = merges.result()
+    var done: Vector[(String, String)] = stored
     var round = done.size
     var exhausted = false
     def checkpoint(): Unit = {
@@ -236,8 +234,7 @@ object Bpe {
       if (top.isEmpty) exhausted = true
       else {
         val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
-        merges += ((a, b))
-        done = merges.result()
+        done = done :+ ((a, b))
         val prev = table
         val next = prev.select(mergeOnce(col("syms"), a, b).as("syms"), col("wf"))
         table =
