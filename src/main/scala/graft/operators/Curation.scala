@@ -118,4 +118,99 @@ object Curation {
     }
     cur
   }
+
+  /** [[run]] with a drop ledger: returns (kept, ledger) where `ledger`
+    * is one row per DROPPED document — (idCol, stage, reason) — naming
+    * the stage that killed it (`gopher` rows carry the failing rule
+    * names; the rest carry the stage name). Rewrite stages (boilerplate,
+    * span strip) drop nothing and appear only through their audit
+    * columns on `kept`. The operations answer to "where did my corpus
+    * go": Σ ledger per stage + kept = input, provable per run.
+    *
+    * Cost contract: each filtering stage pays ONE extra id-keyed
+    * anti/semi join over [[run]] (the audit is a real dataflow, not a
+    * log); the gopher stage reuses its report scan for both verdicts and
+    * reasons. Null ids are not supported here — the id is the ledger
+    * key ([[run]] itself has no such restriction).
+    */
+  def runAudited(docs: DataFrame, cfg: CurationConfig = CurationConfig()): (DataFrame, DataFrame) = {
+    var cur = docs
+    var ledgers = List.empty[DataFrame]
+    def drops(before: DataFrame, after: DataFrame, stage: String): DataFrame =
+      before.select(col(cfg.idCol))
+        .join(after.select(col(cfg.idCol)), Seq(cfg.idCol), "left_anti")
+        .select(col(cfg.idCol), lit(stage).as("stage"), lit(stage).as("reason"))
+
+    cfg.boilerplateMinDf.foreach { minDf =>
+      cur = Boilerplate
+        .stripCommonLines(cur, cfg.textCol, minDf)
+        .withColumn(cfg.textCol, col("text_clean"))
+        .drop("text_clean")
+    }
+    cfg.spanStripWindow.foreach { l =>
+      val stripped = SpanDedup
+        .stripRepeatedSpans(cur, cfg.idCol, cfg.textCol, l, cfg.spanStripMinDf)
+        .select(
+          col("doc_id").as("__sd_id"),
+          col("clean_text"),
+          col("n_dropped").as("n_span_tokens_dropped"))
+      cur = cur
+        .join(stripped, cur(cfg.idCol) <=> col("__sd_id"))
+        .drop("__sd_id")
+        .withColumn(cfg.textCol, col("clean_text"))
+        .drop("clean_text")
+    }
+    cfg.gopher.foreach { th =>
+      // ONE report scan yields both the verdict and the failing-rule list
+      val rep = Filtering.gopherReport(cur, cfg.idCol, cfg.textCol, th)
+      val ruleNames = Filtering.rules(th, col).map(_._1)
+      val failed = concat_ws(",",
+        ruleNames.map(n => when(!col(n), lit(n))): _*)
+      ledgers ::= rep.where(!col("passes"))
+        .select(col(cfg.idCol), lit("gopher").as("stage"), failed.as("reason"))
+      cur = cur.join(
+        rep.where(col("passes")).select(col(cfg.idCol)), Seq(cfg.idCol), "left_semi")
+    }
+    if (cfg.exactDedup) {
+      val before = cur
+      cur = Dedup.exactDedup(cur, cfg.textCol, cfg.idCol)
+      ledgers ::= drops(before, cur, "exact_dup")
+    }
+    cfg.benchmark.foreach { bench =>
+      val before = cur
+      cur = Decontaminate.clean(
+        cur, cfg.textCol, cfg.idCol, bench, cfg.benchTextCol,
+        cfg.contaminationN, cfg.maxContamination)
+      ledgers ::= drops(before, cur, "contaminated")
+    }
+    cfg.fluencyModel.foreach { model =>
+      val before = cur
+      val scored = NgramLm
+        .pooledLikelihood(cur, model, cfg.idCol, cfg.textCol, 1L, 1L)
+        .select(
+          col("doc_id").as("__fl_id"),
+          (col("num_mass").cast("double") / col("den_mass").cast("double")).as("__fl_score"))
+      cur = Filtering
+        .scoreBucketsBySource(
+          cur.join(scored, cur(cfg.idCol) <=> col("__fl_id")).drop("__fl_id"),
+          cfg.sourceCol, cfg.idCol, "__fl_score",
+          cfg.fluencyHeadFraction, cfg.fluencyMiddleFraction)
+        .where(col("bucket") =!= "tail")
+        .drop("bucket", "__fl_score")
+      ledgers ::= drops(before, cur, "fluency_tail")
+    }
+    cfg.keepTopFraction.foreach { f =>
+      val before = cur
+      cur = Filtering
+        .topFractionBySource(
+          cur.withColumn("__score", text.tokenCount(col(cfg.textCol)).cast("long")),
+          cfg.sourceCol, cfg.idCol, "__score", f)
+        .drop("__score")
+      ledgers ::= drops(before, cur, "quota_cut")
+    }
+    val emptyLedger = docs
+      .select(col(cfg.idCol), lit("").as("stage"), lit("").as("reason"))
+      .where(lit(false))
+    (cur, ledgers.foldLeft(emptyLedger)(_ unionByName _))
+  }
 }

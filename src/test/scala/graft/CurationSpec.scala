@@ -82,6 +82,40 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("runAudited: ledger names the killing stage, kept + dropped partition the input") {
+    val (kept, ledger) = Curation.runAudited(corpus, cfg)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    val dropped = ledger.select("doc_id", "stage", "reason")
+      .as[(Long, String, String)].collect()
+    // same survivors as the unaudited chain
+    assert(keptIds === Curation.run(corpus, cfg).select("doc_id").as[Long].collect().toSet)
+    // partition: every input doc is kept or has exactly one ledger row
+    assert(dropped.map(_._1).distinct.length === dropped.length, "one ledger row per doc")
+    assert(keptIds ++ dropped.map(_._1).toSet ===
+      corpus.select("doc_id").as[Long].collect().toSet)
+    assert(keptIds.intersect(dropped.map(_._1).toSet).isEmpty)
+    val stageOf = dropped.map(d => d._1 -> d._2).toMap
+    assert(stageOf(3L) === "gopher", s"doc 3 is too short: $stageOf")
+    assert(stageOf(2L) === "exact_dup")
+    assert(stageOf(5L) === "contaminated")
+    assert(stageOf(6L) === "quota_cut")
+    // gopher reasons carry the failing rule names
+    val reason3 = dropped.find(_._1 == 3L).get._3
+    assert(reason3.contains("ok_tokens"), s"expected failing rules in reason: $reason3")
+    graft.operators.Caches.release()
+  }
+
+  test("runAudited: fluency stage drops land in the ledger as fluency_tail") {
+    val model = graft.operators.NgramLm.trainBigramStats(corpus, "text", minCount = 1L)
+    val (kept, ledger) = Curation.runAudited(corpus, CurationConfig(
+      gopher = None, exactDedup = false,
+      fluencyModel = Some(model), fluencyHeadFraction = 0.4, fluencyMiddleFraction = 0.4))
+    val stages = ledger.select("stage").distinct().as[String].collect().toSet
+    assert(stages === Set("fluency_tail"))
+    assert(kept.count() + ledger.count() === corpus.count())
+    graft.operators.Caches.release()
+  }
+
   test("span-strip stage rewrites text, audits drops, and later stages see the cleaned text") {
     // the footer is a repeated 5-token window across docs; with ONLY the
     // span stage on, docs 1 and 2 reduce to the same residual text
