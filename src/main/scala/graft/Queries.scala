@@ -3054,6 +3054,72 @@ object Queries {
     },
     None)
 
+  // ===========================================================
+  // SemDeDup: semantic dedup over the embedding column
+  // ===========================================================
+
+  /** Embedding corpus with planted near-copies — the q32/q32c corpus,
+    * shared so the semantic-dedup faces and the near-dup-pair faces can
+    * never drift: each vec_id % 10 == 0 row gets a scaled (× 1.001f)
+    * copy at vec_id + 1000000, cosine ≈ 1.0 to its source.
+    */
+  private def embWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val perturbed = emb
+      .where(col("vec_id") % 10 === 0)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding"))
+    emb.unionByName(perturbed)
+  }
+
+  /** SemDeDup (cluster-blocked semantic dedup): train the coarse
+    * quantizer over the full corpus, pair within cells, keep one
+    * representative per near-dup component. No oracle (k-means cell
+    * boundaries are float- and engine-specific); SemDedupSpec gates it
+    * against the exact twin — dropped ⊆ q89c's dropped (precision 1) and
+    * every planted copy is dropped (recall 1 on the planted set).
+    */
+  val q89SemanticDedup: Q = Q(
+    "q89_semantic_dedup",
+    (s, dir) =>
+      graft.operators.SemDedup.semanticDedupTrained(
+        embWithPlantedDups(s, dir), "vec_id", "embedding",
+        nlist = 8, iters = 3, threshold = 0.99)
+        .select("vec_id"),
+    None)
+
+  /** EXACT semantic-dedup ground truth, ORACLE-GATED end to end:
+    * all-pairs cosine ≥ 0.99 (the q32c threshold-margin argument) →
+    * recursive transitive closure (the q25d argument) → keep component
+    * minima plus all unpaired vectors.
+    */
+  val q89cSemanticDedupExact: Q = Q(
+    "q89c_semantic_dedup_exact",
+    (s, dir) =>
+      graft.operators.SemDedup.exactKeptIds(
+        embWithPlantedDups(s, dir), "vec_id", "embedding", threshold = 0.99),
+    Some("""
+      WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings),
+      pert AS (SELECT vec_id + 1000000 AS vec_id,
+                      list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
+               FROM base WHERE vec_id % 10 = 0),
+      allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+              (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+               sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.99),
+      und AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT s, t FROM und
+        UNION
+        SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s WHERE u.t <> r.s),
+      dropped AS (SELECT s AS vec_id FROM reach GROUP BY s HAVING LEAST(s, MIN(t)) <> s)
+      SELECT v.vec_id FROM allv v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+      WHERE d.vec_id IS NULL"""))
+
   /** The q52c exact-rational BM25 oracle for query (spark, merge, window),
     * top 20 — shared by the index-serving faces q84/q84b, whose results
     * must equal recomputing from the raw corpus.
@@ -3163,7 +3229,8 @@ object Queries {
     q84TextIndexSearch, q84bTextIndexCompacted, q84cTextIndexSearchAll,
     q85RandomProjection, q85bProjectionXxhash,
     q86PerplexityBuckets, q86bPerplexityBucketsSketch, q87SpanDedup,
-    q88WeightedSample)
+    q88WeightedSample,
+    q89SemanticDedup, q89cSemanticDedupExact)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
