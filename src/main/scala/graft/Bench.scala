@@ -55,25 +55,31 @@ object Bench {
     }
     clear()
 
-    // Two timed passes per query, cold cache each, min of the two: a single
-    // pass conflates the query with GC/scheduling noise (the round-2 q01
-    // 4.6x phantom regression). A third WARM pass (no cache clear, repeated
-    // immediately) separates steady-state query cost from first-touch
-    // overhead (scan/codegen/JIT): a cold-warm gap with a small warm number
-    // means fixed overhead, not a plan problem — the round-3 q30 question.
+    // Three timed passes per query, cold cache each, MEDIAN of the three: a
+    // single pass conflates the query with GC/scheduling noise (the round-2
+    // q01 4.6x phantom regression), and min-of-2 still let one background
+    // stall leak through when both passes landed during sibling load (the
+    // round-8 uniform +26% ambiguity — identical binaries, every query
+    // slower). The median of three is robust to one outlier in either
+    // direction. Three WARM passes (no cache clear, repeated immediately,
+    // median) separate steady-state query cost from first-touch overhead
+    // (scan/codegen/JIT): a cold-warm gap with a small warm number means
+    // fixed overhead, not a plan problem — the round-3 q30 question.
     def timed(q: Queries.Q): Double = {
       val t0 = System.nanoTime()
       try once(q.fn)
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
-    case class R(name: String, passes: Seq[Double], warm: Double) {
-      def cold: Double = passes.min
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    case class R(name: String, passes: Seq[Double], warmPasses: Seq[Double]) {
+      def cold: Double = median(passes)
+      def warm: Double = median(warmPasses)
     }
     val results = Queries.headlines.map { q =>
-      val passes = (1 to 2).map { _ => clear(); timed(q) }
-      val warm = timed(q)
-      R(q.name, passes, warm)
+      val passes = (1 to 3).map { _ => clear(); timed(q) }
+      val warmPasses = (1 to 3).map(_ => timed(q))
+      R(q.name, passes, warmPasses)
     }
     def json(f: R => Double) =
       results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
