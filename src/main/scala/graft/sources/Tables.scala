@@ -14,15 +14,28 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    // `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 can only read
-    // as a nanos long (spark.sql.legacy.parquet.nanosAsLong). Re-derive a
-    // proper micros timestamp so downstream operators see a timestamp column
-    // (`ts`), keeping the exact nanos value alongside as `ts_ns`.
+    // `events` carries both clocks for downstream operators: a proper
+    // timestamp (`ts`) and the exact integer nanos (`ts_ns`). Which one the
+    // file provides depends on the testdata generation: TIMESTAMP(NANOS)
+    // parquet surfaces as a nanos long under
+    // spark.sql.legacy.parquet.nanosAsLong (derive `ts` from it), while
+    // TIMESTAMP(MICROS) surfaces as a timestamp (derive `ts_ns` from it —
+    // micros→nanos is exact ×1000). Either way the loaded schema is
+    // identical, so every consumer of `ts`/`ts_ns` is generation-agnostic.
     if (name == "events" && raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
       import org.apache.spark.sql.functions._
       raw
         .withColumn("ts_ns", col("ts"))
         .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    } else if (name == "events") {
+      import org.apache.spark.sql.functions._
+      // TIMESTAMP_NTZ (timezone-naive parquet) under the UTC session
+      // (Sessions.scala): the cast is wall-clock-preserving and
+      // unix_micros then matches DuckDB's epoch_us on the same file
+      val asTs = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      raw
+        .withColumn("ts", asTs)
+        .withColumn("ts_ns", unix_micros(asTs) * lit(1000L))
     } else raw
   }
 
