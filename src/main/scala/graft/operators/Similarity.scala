@@ -198,12 +198,7 @@ object Similarity {
       * retries) propagates.
       */
     def load(spark: org.apache.spark.sql.SparkSession, path: String, retries: Int = 8): IvfIndex = {
-      def isTransientSwapMiss(e: Throwable): Boolean =
-        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
-          case _: java.io.FileNotFoundException => true
-          case t => Option(t.getMessage).exists(m =>
-            m.contains("PATH_NOT_FOUND") || m.contains("does not exist"))
-        }
+      import graft.sources.Sinks.isTransientSwapMiss
       def attempt(left: Int): IvfIndex =
         try IvfIndex(
           spark.read.parquet(path)

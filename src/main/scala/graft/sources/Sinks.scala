@@ -137,6 +137,22 @@ object Sinks {
     * displaced table is retained as a `__v_<millis>` sibling (pruned to
     * the newest `keepVersions`) instead of deleted.
     */
+  /** Does this failure look like a reader racing [[atomicSwap]]'s
+    * sub-millisecond absent-path window (old dir renamed out, new dir not
+    * yet renamed in), or a scan task opening files the swap renamed away
+    * after the listing? Both are transient by construction — the swap
+    * completes or the crash-recovery preamble restores the retired copy —
+    * so readers of swap-managed artifacts absorb them with a bounded
+    * retry (see [[graft.operators.Similarity.IvfIndex.load]] and
+    * [[ZoneMaps]]). Anything else propagates.
+    */
+  private[graft] def isTransientSwapMiss(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
+      case _: java.io.FileNotFoundException => true
+      case t => Option(t.getMessage).exists(m =>
+        m.contains("PATH_NOT_FOUND") || m.contains("does not exist"))
+    }
+
   private def atomicSwap(
       spark: org.apache.spark.sql.SparkSession,
       path: String,

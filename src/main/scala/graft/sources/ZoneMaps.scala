@@ -24,7 +24,15 @@ import org.apache.spark.sql.functions._
   *    manifest degrades to a slower scan, never to missing rows;
   *  - manifest entries for deleted files are ignored (the directory
   *    listing is the source of truth for existence, the manifest only
-  *    for statistics).
+  *    for statistics);
+  *  - CONCURRENCY: [[save]] and [[update]] promote the manifest through
+  *    [[Sinks.writePartitionedAtomic]]'s staged-swap (never
+  *    delete-then-write), and every manifest read absorbs the swap's
+  *    sub-millisecond absent-path window with a bounded retry
+  *    ([[Sinks.isTransientSwapMiss]]) — a reader concurrent with a
+  *    manifest rewrite sees the old manifest or the new one, never a
+  *    missing/partial one. This is what makes the staleness guarantee
+  *    above real under maintenance, not just between maintenance runs.
   *
   * [[prunedRead]] re-applies the predicate after the file-level skip, so
   * its result is EXACTLY the full scan's filter — file granularity is an
@@ -45,10 +53,35 @@ object ZoneMaps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Build and persist the manifest next to (or wherever) the data. */
+  /** Build and persist the manifest next to (or wherever) the data.
+    * Staged-swap promotion: a rebuild over a manifest being served never
+    * exposes a missing or partial manifest to concurrent [[prunedRead]]s.
+    */
   def save(spark: SparkSession, dataPath: String, manifestPath: String, cols: Seq[String]): Unit =
-    build(spark, dataPath, cols).coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(manifestPath)
+    Sinks.writePartitionedAtomic(build(spark, dataPath, cols).coalesce(1), manifestPath, Nil)
+
+  /** Collect the manifest once (driver-sized by contract: one row per data
+    * file, the same cardinality Spark's own FileIndex materializes),
+    * absorbing a concurrent [[save]]/[[update]] swap with a bounded retry.
+    * Returns the rows plus the schema so callers can re-plan Catalyst
+    * predicates over a LOCAL relation — one atomic read instead of several
+    * lazy scans that could each straddle a different swap.
+    */
+  private def manifestRows(
+      spark: SparkSession,
+      manifestPath: String,
+      retries: Int = 8): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+    def attempt(left: Int): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) =
+      try {
+        val df = spark.read.parquet(manifestPath)
+        (df.collect(), df.schema)
+      } catch {
+        case e: Throwable if left > 0 && Sinks.isTransientSwapMiss(e) =>
+          Thread.sleep(25L)
+          attempt(left - 1)
+      }
+    attempt(retries)
+  }
 
   /** Incremental manifest maintenance: stat ONLY the files the manifest
     * does not know yet and fold them in, dropping entries for files that
@@ -58,11 +91,9 @@ object ZoneMaps {
     */
   def update(spark: SparkSession, dataPath: String, manifestPath: String, cols: Seq[String]): Unit = {
     def key(uri: String): String = new org.apache.hadoop.fs.Path(uri).toUri.getPath
-    import org.apache.spark.sql.Encoders
     val current = spark.read.parquet(dataPath).inputFiles.toSeq
     val currentKeys = current.map(key).toSet
-    val existing = spark.read.parquet(manifestPath)
-    val knownRows = existing.collect()
+    val (knownRows, manifestSchema) = manifestRows(spark, manifestPath)
     val known = knownRows.map(r => key(r.getAs[String]("file"))).toSet
     val fresh = current.filterNot(f => known.contains(key(f)))
     val dropped = known.diff(currentKeys)
@@ -73,7 +104,7 @@ object ZoneMaps {
     val keepDf = spark.createDataFrame(
       java.util.Arrays.asList(
         knownRows.filter(r => currentKeys.contains(key(r.getAs[String]("file")))): _*),
-      existing.schema)
+      manifestSchema)
     val freshDf =
       if (fresh.isEmpty) keepDf.where(lit(false))
       else {
@@ -85,14 +116,12 @@ object ZoneMaps {
           .groupBy(input_file_name().as("file"))
           .agg(aggs.head, aggs.tail: _*)
       }
-    // rewrite via staging: the union READS the manifest it overwrites
-    val staging = manifestPath + ".__staging"
-    keepDf.unionByName(freshDf).coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
-    val fs = new org.apache.hadoop.fs.Path(manifestPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(manifestPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(manifestPath))
+    // Staged-swap promotion (never delete-then-rename: that has a window
+    // where a concurrent prunedRead sees NO manifest and throws, violating
+    // the degrade-never-break contract above). The union's inputs are a
+    // local relation (keepDf — already collected) and the fresh data files,
+    // so nothing in the plan reads the manifest being overwritten.
+    Sinks.writePartitionedAtomic(keepDf.unionByName(freshDf).coalesce(1), manifestPath, Nil)
   }
 
   /** The file paths a range predicate `colName BETWEEN lo AND hi` cannot
@@ -108,9 +137,12 @@ object ZoneMaps {
     def key(uri: String): String = new org.apache.hadoop.fs.Path(uri).toUri.getPath
     import org.apache.spark.sql.Encoders
     val current = spark.read.parquet(dataPath).inputFiles.toSeq
-    val manifest = spark.read.parquet(manifestPath)
-    val known = manifest.select(col("file")).as(Encoders.STRING)
-      .collect().map(key).toSet
+    // ONE retry-guarded collect, then a local relation: two lazy scans of
+    // the manifest could each straddle a DIFFERENT concurrent swap and
+    // disagree about which files are known vs surviving.
+    val (rows, schema) = manifestRows(spark, manifestPath)
+    val manifest = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val known = rows.map(r => key(r.getAs[String]("file"))).toSet
     // interval intersection evaluated by Catalyst over the manifest rows,
     // so numeric/date/timestamp orderings are the engine's; null stats
     // (all-null or empty file) make the predicate null → skipped, which

@@ -120,6 +120,43 @@ class ZoneMapsSpec extends AnyFunSuite {
       s"z-order + zone map must skip files: read ${pruned.inputFiles.length} of 16")
   }
 
+  test("readers concurrent with manifest rewrites never throw (atomic swap + retry)") {
+    val data = tmp() + "/data"; val mf = tmp() + "/manifest"
+    writeClustered(data)
+    ZoneMaps.save(spark, data, mf, Seq("k"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val ks = ZoneMaps.prunedRead(spark, data, mf, "k", 42L, 47L)
+            .select("k").as[Long].collect().sorted.toSeq
+          assert(ks === (42L to 47L).toSeq,
+            "a read overlapping a swap must see the old or new manifest, never partial data")
+          reads.incrementAndGet()
+        }
+      } catch { case t: Throwable => failure.set(t) }
+    })
+    reader.start()
+    try {
+      // full rebuild swaps…
+      (1 to 8).foreach(_ => ZoneMaps.save(spark, data, mf, Seq("k")))
+      // …and incremental-update swaps (an append forces a real rewrite;
+      // appended keys sit outside the probed range so reads stay stable)
+      (1 to 3).foreach { i =>
+        Seq((1000L + i, s"late$i")).toDF("k", "v")
+          .write.mode(SaveMode.Append).parquet(data)
+        ZoneMaps.update(spark, data, mf, Seq("k"))
+      }
+    } finally {
+      stop.set(true)
+      reader.join(120000L)
+    }
+    assert(failure.get() === null, s"concurrent reader threw: ${failure.get()}")
+    assert(reads.get() > 0, "the reader must have actually raced the swaps")
+  }
+
   test("manifest is one scan with one file-keyed exchange") {
     val data = tmp() + "/data"
     writeClustered(data)
