@@ -77,10 +77,16 @@ object SemDedup {
       .select(col("kid").as("id_a"), col("id").as("id_b"),
         vectors.cosine(col("v"), col("kv")).as("cosine"))
       .where(col("cosine") >= threshold)
-    // Exact copies whose vector differs from the keeper's (and zero
-    // vectors, whose cosine is undefined) still pair at 1.0.
+    // Exact copies whose vector differs from the keeper's still pair at
+    // 1.0. Zero-norm vectors are EXCLUDED: cosine is undefined there, and
+    // [[vectors.cosine]] (used by the cold path AND the exact twin)
+    // defines it as 0.0 — pairing duplicated zero vectors here would drop
+    // rows the exact form keeps and break the precision-1 subset law
+    // (SemDedupSpec). Deduping degenerate all-zero embeddings is content
+    // dedup's job ([[Dedup.exactDedup]] on a vector hash), not cosine's.
     val hotIdentical = Blocking.keeperStarPairs(
-      hotRows.select("id", "v"), "v", "cosine", lit(1.0))
+      hotRows.where(vectors.dot(col("v"), col("v")) > 0).select("id", "v"),
+      "v", "cosine", lit(1.0))
     coldPairs.unionByName(hotNearKeeper).unionByName(hotIdentical)
       .groupBy("id_a", "id_b")
       .agg(max("cosine").as("cosine"))
