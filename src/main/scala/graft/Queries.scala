@@ -921,19 +921,12 @@ object Queries {
   /** Embedding-cosine near-dup pairs over a corpus with planted scaled copies. */
   val q32EmbeddingNearDup: Q = Q(
     "q32_embedding_near_dup",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val perturbed = emb
-        .where(col("vec_id") % 10 === 0)
-        .select(
-          (col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding"))
+    (s, dir) =>
       // explicit cap = the production hot-bucket path; no bucket exceeds
       // it at this corpus, so the result equals the exact default
       Similarity.cosineNearDupPairs(
-        emb.unionByName(perturbed), "vec_id", "embedding", threshold = 0.99,
-        maxBucket = 256)
-    },
+        embWithPlantedDups(s, dir), "vec_id", "embedding", threshold = 0.99,
+        maxBucket = 256),
     None)
 
   /** EXACT all-pairs cosine ground truth for q32, ORACLE-GATED: emits pair
@@ -946,16 +939,9 @@ object Queries {
     */
   val q32cEmbeddingNearDupExact: Q = Q(
     "q32c_embedding_near_dup_exact",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val perturbed = emb
-        .where(col("vec_id") % 10 === 0)
-        .select(
-          (col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding"))
+    (s, dir) =>
       Similarity.cosineNearDupPairsExact(
-        emb.unionByName(perturbed), "vec_id", "embedding", threshold = 0.99)
-    },
+        embWithPlantedDups(s, dir), "vec_id", "embedding", threshold = 0.99),
     Some("""
       WITH base AS (SELECT vec_id, embedding FROM embeddings),
       pert AS (SELECT vec_id + 1000000 AS vec_id,
@@ -2994,6 +2980,84 @@ object Queries {
     },
     None)
 
+  /** Byte-level BPE round-0 pair counts, ORACLE-GATED as integers:
+    * adjacent UTF-8 byte pairs weighted by word frequency. Bytes are
+    * ints on both sides (Spark: `ascii` of the Latin-1 byte char;
+    * DuckDB: hex-pair extraction of `encode(word)`), so the byte
+    * alphabet itself — not just the downstream merge mechanics — is
+    * engine-reproducible.
+    */
+  val q83fBpeBytePairs: Q = Q(
+    "q83f_bpe_byte_pairs",
+    (s, dir) => {
+      val wf = graft.operators.Bpe.wordFrequenciesBytes(t(s, dir, "documents"), "text")
+      graft.operators.Bpe.pairCounts(graft.operators.Bpe.initialSymbolTable(wf))
+        .select(
+          ascii(col("a")).as("a_byte"),
+          ascii(col("b")).as("b_byte"),
+          col("pair_wf"))
+    },
+    Some("""
+      WITH wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wf
+        FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS word
+              FROM documents)
+        GROUP BY 1),
+      by AS (
+        SELECT wf, list_transform(range(1, octet_length(encode(word)) + 1),
+                 i -> CAST('0x' || substr(hex(encode(word)), 2*i-1, 2) AS INT)) AS bs
+        FROM wf),
+      pr AS (
+        SELECT unnest(list_transform(range(1, len(bs)), i -> [bs[i], bs[i+1]])) AS pr, wf
+        FROM by WHERE len(bs) >= 2)
+      SELECT pr[1] AS a_byte, pr[2] AS b_byte, CAST(SUM(wf) AS BIGINT) AS pair_wf
+      FROM pr GROUP BY 1, 2"""))
+
+  /** Byte-level merge training: (rank, a, b) with a/b emitted as byte-int
+    * arrays (the Latin-1 symbol strings are not ANSI-portable; their byte
+    * decomposition is). No oracle (iterative argmax per round, the q83b
+    * argument); gated by BpeSpec byte-face laws: round-trip through
+    * [[graft.operators.Bpe.fromByteAlphabet]], encode/encodeFast
+    * equality, and no-OOV on unseen Unicode.
+    */
+  val q83gBpeByteMerges: Q = Q(
+    "q83g_bpe_byte_merges",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Bpe
+        .trainMergesBytes(t(s, dir, "documents"), "text", numMerges = 12, minPairCount = 2L)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a.map(_.toInt), b.map(_.toInt)) }
+        .toDF("rank", "a_bytes", "b_bytes")
+    },
+    None)
+
+  /** Byte-level production encoding, ORACLE-GATED on the byte-mass
+    * invariant: merges only regroup bytes, never create or drop them, so
+    * the per-document sum of subword lengths under ANY merge list equals
+    * the document's total token byte mass (octet_length per word). A
+    * wrong remap, a lost merge symbol, or a dropped word all break it —
+    * the whole byte-alphabet encode pipeline is checked end to end
+    * without putting the model-dependent segmentation itself (not
+    * ANSI-expressible) in the oracle.
+    */
+  val q83hBpeByteEncode: Q = Q(
+    "q83h_bpe_byte_encode",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainMergesBytes(d, "text", numMerges = 12, minPairCount = 2L)
+      graft.operators.Bpe.encodeFastBytes(d.select("doc_id", "text"), "text", merges)
+        .select(
+          col("doc_id"),
+          aggregate(col("subwords"), lit(0L), (acc, sw) => acc + length(sw)).as("n_bytes"))
+    },
+    Some("""
+      SELECT doc_id,
+             COALESCE(CAST(list_sum(list_transform(
+               list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0),
+               w -> octet_length(encode(w)))) AS BIGINT), 0) AS n_bytes
+      FROM documents"""))
+
   /** Conjunctive (AND) index search ([[graft.operators.TextIndex
     * .searchTopK]] with `requireAll`): only documents containing EVERY
     * query term score; the filter runs on the candidate-sized pivot.
@@ -3053,6 +3117,37 @@ object Queries {
         .select("source", "doc_id")
     },
     None)
+
+  /** ORACLE-GATED q88 twin via the injectable uniform: the same
+    * exponential-rank selection (rank = u^(1/w), top-10 per source,
+    * id tie-break) driven by the systematic `pmod(doc_id,1000)/1000`
+    * uniform — the q75 trick — so the draw is ANSI-reproducible. Both
+    * engines compute `pow` on bit-identical (u, w) doubles; selection
+    * could only drift if two ranks collided within pow's cross-engine
+    * ulp error, and distinct doc_ids give distinct u's with ~1e-3 gaps.
+    */
+  val q88cWeightedSampleSystematic: Q = Q(
+    "q88c_weighted_sample_systematic",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("__w", graft.functions.text.tokenCount(col("text")).cast("double"))
+      graft.operators.Partitioning
+        .weightedSample(d, "doc_id", "__w", n = 10, seed = 7, perKey = Seq("source"),
+          uniform = Some(pmod(col("doc_id"), lit(1000L)).cast("double") / lit(1000.0)))
+        .select("source", "doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT source, doc_id,
+               CAST(length(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS DOUBLE) AS w
+        FROM documents),
+      r AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY pow(CAST(doc_id % 1000 AS DOUBLE) / 1000.0, 1.0 / w) DESC, doc_id ASC) AS rn
+        FROM d WHERE w IS NOT NULL AND w > 0)
+      SELECT source, doc_id FROM r WHERE rn <= 10"""))
 
   // ===========================================================
   // SemDeDup: semantic dedup over the embedding column
@@ -3226,10 +3321,12 @@ object Queries {
     q79SkewReport, q80NbModel, q80bNbScore, q80cOddsMass, q81CurationPipeline,
     q82LmBigrams, q82bLmSurprisal, q82cLmPooled,
     q83BpePairs, q83bBpeMerges, q83cBpeEncode, q83dBpeEncodeFast, q83eBpeVocabulary,
+    q83fBpeBytePairs, q83gBpeByteMerges, q83hBpeByteEncode,
     q84TextIndexSearch, q84bTextIndexCompacted, q84cTextIndexSearchAll,
     q85RandomProjection, q85bProjectionXxhash,
     q86PerplexityBuckets, q86bPerplexityBucketsSketch, q87SpanDedup,
     q88WeightedSample,
+    q88cWeightedSampleSystematic,
     q89SemanticDedup, q89cSemanticDedupExact)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */

@@ -10,14 +10,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale contract: [[lineDf]] is one explode + one hash aggregation — the
   * only shuffle, on the line key, map-side combined. [[stripCommonLines]]
-  * then broadcasts the SET of common lines as a plan literal (capped by
+  * then ships the SET of common lines as a hashed plan reference
+  * ([[graft.expressions.StringSetContainsExpr]], capped by
   * `maxCommonLines`, loud failure beyond it) so the strip pass is a pure
   * map over the corpus: zero corpus-side shuffle, no join-back, no
-  * regroup-by-document. Boilerplate is by nature low-cardinality (a line
-  * must repeat ≥ minDf times to qualify — at minDf 1000 a 100 TB corpus
-  * admits at most corpus_lines/1000 keys, and in practice far fewer); if
-  * a corpus genuinely exceeds the cap, raise minDf rather than the cap —
-  * per-line membership cost is linear in the literal's size.
+  * regroup-by-document, and each line's membership probe is O(1) — NOT
+  * the O(|common|) literal-array scan of `array_contains`, which at the
+  * cap cost ~10⁵ comparisons per line. Boilerplate is by nature
+  * low-cardinality (a line must repeat ≥ minDf times to qualify — at
+  * minDf 1000 a 100 TB corpus admits at most corpus_lines/1000 keys, and
+  * in practice far fewer); if a corpus genuinely exceeds the cap, raise
+  * minDf rather than the cap — the set is driver- and task-resident.
   */
 object Boilerplate {
 
@@ -57,13 +60,19 @@ object Boilerplate {
     require(common.length <= maxCommonLines,
       s"${common.length} common lines exceed maxCommonLines=$maxCommonLines; " +
         "raise minDf (boilerplate should be rare) or the cap")
-    val keySet = typedLit(common.toSeq)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val keySet = common.map(org.apache.spark.unsafe.types.UTF8String.fromString).toSeq
     val lines = split(col(textCol), "\n")
+    // O(1) hashed membership; blank lines can never be in the set (lineDf
+    // filters them), so the length guard is subsumed by the probe itself
     val isCommon = (l: org.apache.spark.sql.Column) =>
-      length(trim(l)) > 0 && array_contains(keySet, trim(l))
+      ColumnBridge.column(graft.expressions.StringSetContainsExpr(
+        ColumnBridge.eagerExpression(trim(l)), keySet))
+    // only common lines are removed, so the dropped count is the length
+    // delta — no second membership pass over the array
+    val kept = filter(lines, l => !isCommon(l))
     docs
-      .withColumn(outCol, array_join(filter(lines, l => !isCommon(l)), "\n"))
-      .withColumn("n_lines_dropped",
-        size(filter(lines, l => isCommon(l))).cast("long"))
+      .withColumn(outCol, array_join(kept, "\n"))
+      .withColumn("n_lines_dropped", (size(lines) - size(kept)).cast("long"))
   }
 }

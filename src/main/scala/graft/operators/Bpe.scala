@@ -45,6 +45,45 @@ object Bpe {
       .groupBy("word")
       .agg(count(lit(1)).as("wf"))
 
+  // --- byte-level alphabet (GPT-2-style, no OOV) ----------------------
+
+  /** Bijection from a string's UTF-8 BYTES to a one-char-per-byte string
+    * (byte b → the Latin-1 char U+00b): `decode(encode(s, UTF-8),
+    * ISO-8859-1)`, two builtin codegen'd expressions. Same idea as
+    * GPT-2's byte-to-unicode table (Radford et al. 2019 — theirs remaps
+    * control bytes to printable chars purely for display; the identity
+    * Latin-1 embedding is the same bijection without the cosmetic shift).
+    * Under this alphabet the char-level merge core IS a byte-level
+    * tokenizer: round-0 symbols are single bytes, so NO input is ever
+    * out-of-vocabulary — unseen Unicode just decomposes into bytes.
+    */
+  def toByteAlphabet(c: Column): Column = {
+    import org.apache.spark.sql.{functions => F} // Bpe.encode shadows functions.encode
+    F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
+  }
+
+  /** Inverse of [[toByteAlphabet]]: reassemble byte-alphabet symbols into
+    * the original text (concat subwords first — a single subword can end
+    * mid-UTF-8-sequence and alone would not decode).
+    */
+  def fromByteAlphabet(c: Column): Column = {
+    import org.apache.spark.sql.{functions => F}
+    F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")
+  }
+
+  /** JVM twin of [[toByteAlphabet]] for the mapPartitions encoder. */
+  private def toByteAlphabetJvm(s: String): String =
+    new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** [[wordFrequencies]] over the byte alphabet: the byte-level round-0
+    * input. Same single corpus pass; the remap rides the aggregation's
+    * project.
+    */
+  def wordFrequenciesBytes(docs: DataFrame, textCol: String): DataFrame =
+    wordFrequencies(docs, textCol)
+      .select(toByteAlphabet(col("word")).as("word"), col("wf"))
+
   /** Character symbols of a word (code-point granularity). DOTALL `.`:
     * plain `.` excludes line terminators, and a token can legally carry
     * U+2028/U+2029/U+0085 (not `\s` whitespace) — without `(?s)` those
@@ -95,21 +134,48 @@ object Bpe {
     *
     * Memory note: `unpersist` releases the persist()-ed rounds eagerly,
     * but a localCheckpoint's backing blocks are only reclaimed when the
-    * ContextCleaner GCs the orphaned RDD — on very long runs raise
-    * `checkpointEvery` (fewer snapshots) or rely on the MEMORY_AND_DISK
-    * eviction the checkpoint level already uses; the live working set is
-    * always the one vocabulary-sized table.
+    * ContextCleaner GCs the orphaned RDD, so a long driver session holds
+    * ~numMerges/checkpointEvery superseded snapshots. The arithmetic at a
+    * production 10⁴-merge run: a 10⁶-word vocabulary table is tens of MB;
+    * at the old default of 10 that was ~10³ orphans (tens of GB of
+    * MEMORY_AND_DISK blocks racing the ContextCleaner), at 100 it is
+    * ~10² (single-digit GB, eviction-safe) while lineage depth between
+    * cuts stays a cheap 100 narrow projections. Raise further for tighter
+    * drivers; the live working set is always the ONE current table.
     */
   def trainMerges(
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
       minPairCount: Long = 1L,
-      checkpointEvery: Int = 10): Seq[(String, String)] = {
+      checkpointEvery: Int = 100): Seq[(String, String)] =
+    trainMergesCore(
+      initialSymbolTable(wordFrequencies(docs, textCol)),
+      numMerges, minPairCount, checkpointEvery)
+
+  /** [[trainMerges]] over the byte alphabet: merges are strings of
+    * Latin-1 byte chars. Pair with [[encodeFastBytes]]/[[encodeBytes]];
+    * the trained model can never hit OOV input.
+    */
+  def trainMergesBytes(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 1L,
+      checkpointEvery: Int = 100): Seq[(String, String)] =
+    trainMergesCore(
+      initialSymbolTable(wordFrequenciesBytes(docs, textCol)),
+      numMerges, minPairCount, checkpointEvery)
+
+  private def trainMergesCore(
+      initial: DataFrame,
+      numMerges: Int,
+      minPairCount: Long,
+      checkpointEvery: Int): Seq[(String, String)] = {
     require(numMerges >= 1, "numMerges must be at least 1")
     require(minPairCount >= 1L, "minPairCount must be at least 1")
     require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
-    var table = initialSymbolTable(wordFrequencies(docs, textCol)).persist()
+    var table = initial.persist()
     table.count()
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
@@ -152,9 +218,12 @@ object Bpe {
     * snapshot with the JVM merge core (deterministic — the redo is
     * byte-identical) and continues training. A missing table rebuilds
     * from the corpus the same way. Checkpoint cost: one table write per
-    * `checkpointEvery` rounds, vocabulary-scale. If the stored model
-    * already has ≥ `numMerges` merges, its prefix is returned without
-    * touching the corpus.
+    * `checkpointEvery` rounds, vocabulary-scale; crash redo is at most
+    * `checkpointEvery` rounds of the JVM replay (not Spark jobs). If the
+    * stored model already has ≥ `numMerges` merges, its prefix is
+    * returned without touching the corpus. Default 100 for the same
+    * driver-memory arithmetic as [[trainMerges]] — 10 at 10⁴ merges
+    * meant ~10³ orphaned localCheckpoint snapshots in one session.
     */
   def trainMergesCheckpointed(
       docs: DataFrame,
@@ -162,7 +231,7 @@ object Bpe {
       numMerges: Int,
       path: String,
       minPairCount: Long = 1L,
-      checkpointEvery: Int = 10): Seq[(String, String)] = {
+      checkpointEvery: Int = 100): Seq[(String, String)] = {
     require(numMerges >= 1, "numMerges must be at least 1")
     require(minPairCount >= 1L, "minPairCount must be at least 1")
     require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
@@ -260,6 +329,17 @@ object Bpe {
       flatten(transform(text.tokens(col(textCol)),
         w => merges.foldLeft(charSyms(w))((c, m) => mergeOnce(c, m._1, m._2)))))
 
+  /** Byte-level [[encode]]: each word passes through [[toByteAlphabet]]
+    * before the same round-0 split and merge replay, so subwords are
+    * byte-alphabet strings ([[fromByteAlphabet]] on their per-word concat
+    * recovers the text — BpeSpec pins the round trip, OOV input included).
+    */
+  def encodeBytes(docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame =
+    docs.withColumn(
+      "subwords",
+      flatten(transform(text.tokens(col(textCol)),
+        w => merges.foldLeft(charSyms(toByteAlphabet(w)))((c, m) => mergeOnce(c, m._1, m._2)))))
+
   // --- production-scale encoder -------------------------------------
 
   /** JVM twin of the [[encode]] per-word pipeline, bit-compatible with
@@ -324,11 +404,27 @@ object Bpe {
     * precedent). Zero shuffle; scales with input splits.
     */
   def encodeFast(docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val mergeList = merges.toVector
+    encodeFastWith(docs, textCol, w => encodeWordJvm(w, mergeList))
+  }
+
+  /** Byte-level [[encodeFast]]: identical output to [[encodeBytes]]
+    * (BpeSpec pins equality), production cost shape.
+    */
+  def encodeFastBytes(docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val mergeList = merges.toVector
+    encodeFastWith(docs, textCol,
+      w => mergeSymsJvm(toByteAlphabetJvm(w).map(_.toString).toVector, mergeList))
+  }
+
+  private def encodeFastWith(
+      docs: DataFrame,
+      textCol: String,
+      encodeWord: String => Vector[String]): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{ArrayType, StringType}
     val outSchema = docs.schema.add("subwords", ArrayType(StringType, containsNull = true))
     val textIdx = docs.schema.fieldIndex(textCol)
-    val mergeList = merges.toVector
     docs.mapPartitions { it =>
       // bounded memo: natural-language vocabulary fits easily, and an
       // adversarial all-unique-words partition degrades to re-encoding
@@ -341,7 +437,7 @@ object Bpe {
           if (t == null) null
           else t.trim.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
             memo.getOrElse(w, {
-              val enc = encodeWordJvm(w, mergeList)
+              val enc = encodeWord(w)
               if (memo.size < memoCap) memo.update(w, enc)
               enc
             })

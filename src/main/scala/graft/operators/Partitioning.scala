@@ -234,6 +234,12 @@ object Partitioning {
     * global draw rides TakeOrderedAndProject (never a full sort) via the
     * same bounded-heap plan as [[sampleNPerKey]] when `perKey` strata
     * are given.
+    *
+    * `uniform` defaults to the key-hash draw (a pure function of
+    * (id, seed)); injectable so callers can choose a systematic draw —
+    * e.g. `pmod(id, 1000)/1000.0`, the oracle-comparable form
+    * [[Packing.mixtureSampleRepeats]] established for q75 and q88c uses
+    * here — without a second code path. Values must lie in [0, 1).
     */
   def weightedSample(
       df: DataFrame,
@@ -241,11 +247,13 @@ object Partitioning {
       weightCol: String,
       n: Int,
       seed: Int = 42,
-      perKey: Seq[String] = Nil): DataFrame = {
+      perKey: Seq[String] = Nil,
+      uniform: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val uniformDraw = uniform // capture before the wildcard import (functions.uniform shadows)
     import org.apache.spark.sql.functions._
     require(n > 0, "sample size must be positive")
     val rank = pow(
-      uniformFromHash(xxhash64(col(idCol), lit(seed))),
+      uniformDraw.getOrElse(uniformFromHash(xxhash64(col(idCol), lit(seed)))),
       lit(1.0) / col(weightCol).cast("double"))
     val eligible = df.where(col(weightCol).isNotNull && col(weightCol) > 0)
     if (perKey.isEmpty)

@@ -196,4 +196,62 @@ class BpeSpec extends AnyFunSuite {
       .as[(String, String, Long)].collect().toSet
     assert(pc === Set(("a", "b", 5L), ("b", "a", 3L)))
   }
+
+  // ---- byte-level alphabet ----
+
+  private def refTrainBytes(corpus: Seq[String], n: Int, minCount: Long): Seq[(String, String)] = {
+    val mapped = corpus.map(t =>
+      t.trim.split("\\s+").filter(_.nonEmpty)
+        .map(w => new String(
+          w.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+        .mkString(" "))
+    refTrain(mapped, n, minCount)
+  }
+
+  test("trainMergesBytes equals the reference over the byte alphabet") {
+    // non-ASCII words force multi-byte UTF-8: ü is 2 bytes, ✓ is 3
+    val c = Seq("über über üben", "check ✓ check ✓✓", "über check")
+    val d = c.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.trainMergesBytes(d, "text", numMerges = 10, minPairCount = 1L)
+    assert(got === refTrainBytes(c, 10, 1L))
+  }
+
+  test("byte-level encode round-trips ANY input through fromByteAlphabet — no OOV") {
+    val merges = Bpe.trainMergesBytes(docs, "text", numMerges = 8, minPairCount = 2L)
+    // input with words and code points training never saw (CJK, emoji,
+    // multi-byte punctuation) — a char-level model would be stuck; the
+    // byte model decomposes them into byte symbols
+    val oov = Seq((0L, "数据 processing ✓ naïve café 🚀 low"))
+      .toDF("doc_id", "text")
+    val enc = Bpe.encodeBytes(oov, "text", merges)
+      .select(Bpe.fromByteAlphabet(concat_ws("", col("subwords"))).as("rt"))
+      .as[String].head()
+    assert(enc === "数据processing✓naïvecafé🚀low",
+      "concatenated subwords must decode to the original words (boundaries unmerged)")
+  }
+
+  test("encodeFastBytes equals encodeBytes row for row") {
+    val merges = Bpe.trainMergesBytes(docs, "text", numMerges = 10, minPairCount = 1L)
+    val d = docs.unionByName(Seq((99L, "naïve ✓ über low")).toDF("doc_id", "text"))
+    val slow = Bpe.encodeBytes(d, "text", merges)
+      .select("doc_id", "subwords").as[(Long, Seq[String])].collect().toMap
+    val fast = Bpe.encodeFastBytes(d, "text", merges)
+      .select("doc_id", "subwords").as[(Long, Seq[String])].collect().toMap
+    assert(fast === slow)
+  }
+
+  test("byte mass is merge-invariant: subword lengths sum to token octet length") {
+    val merges = Bpe.trainMergesBytes(docs, "text", numMerges = 12, minPairCount = 1L)
+    val d = docs.unionByName(Seq((99L, "✓ über 数据")).toDF("doc_id", "text"))
+    val got = Bpe.encodeFastBytes(d, "text", merges)
+      .select(col("doc_id"),
+        aggregate(col("subwords"), lit(0L), (acc, sw) => acc + length(sw)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val want = d.as[(Long, String)].collect().map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty)
+        .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong).sum
+    }.toMap
+    assert(got === want)
+  }
 }
