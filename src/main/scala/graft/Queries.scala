@@ -996,15 +996,44 @@ object Queries {
              3 AS channels
       FROM documents"""))
 
-  /** Frame sampling: one row per sampled video frame (map-side explode). */
+  /** REAL frame sampling, oracle-gated: each document id becomes a
+    * synthetic animated GIF whose frame count (1 + id % 7) and geometry
+    * are pure functions of the id; Spark runs the real GIF encode →
+    * `ImageReader.getNumImages`/`read(i)` multi-frame decode → evenly
+    * sampled frame rows, and DuckDB predicts (frame_idx, n_frames,
+    * width, height) arithmetically — both codec passes must be faithful
+    * for the hashes to agree (the q41 gate, extended to multi-frame).
+    * The pixel hash is real decoded content, used by frame-level dedup;
+    * it is projected out here because no external oracle can predict a
+    * palette-quantized GIF decode.
+    */
   val q42FrameSample: Q = Q(
     "q42_frame_sample",
-    (s, dir) =>
-      Multimodal.frameSample(
-        s,
-        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "video"),
-        maxFrames = 4).toDF(),
-    None)
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, "video", Multimodal.syntheticGif(id))))
+        .toDF("media_id", "kind", "bytes")
+      Multimodal.frameSample(s, media, maxFrames = 4).toDF()
+        .select(col("media_id"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 7 AS INT) AS nf,
+               CAST(8 + doc_id % 32 AS INT) AS w,
+               CAST(8 + (doc_id // 32) % 32 AS INT) AS h
+        FROM documents),
+      f AS (
+        SELECT doc_id, nf, w, h, unnest(range(0, LEAST(4, nf))) AS i FROM d)
+      SELECT doc_id AS media_id,
+             CAST(CASE WHEN LEAST(4, nf) <= 1 THEN 0
+                       ELSE i * (nf - 1) // (LEAST(4, nf) - 1) END AS INT) AS frame_idx,
+             nf AS n_frames, w AS width, h AS height
+      FROM f"""))
 
   /** F8 generalized: JSON extraction from a string column. */
   val q36JsonExtract: Q = Q(
@@ -1915,6 +1944,30 @@ object Queries {
       AnnIndex.crossNeighbors(
         perturbedEmbeddings(s, dir), "vec_id", "embedding", path,
         threshold = 0.99, nprobe = 8)
+        .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
+    },
+    None)
+
+  /** q65 through the IVF-PQ screening path ([[AnnIndex.crossNeighborsPq]]):
+    * candidates screen on 32-byte PQ codes + stored norms (the raw vector
+    * column never enters the coarse pass), survivors re-rank by exact
+    * cosine on vectors fetched by id. Settings are sized to the corpus'
+    * measured quantization floor: synthetic uniform embeddings are PQ's
+    * WORST case (no cluster structure — self-ADC ≥ 0.95 at m=32/ksub=256,
+    * vs ≥ 0.99 typical for real embedding corpora), and margin 0.15
+    * leaves ~0.1 headroom under it. Same gating as q65: AnnIndexSpec
+    * pins result ⊆ q65c with full planted recall AND equality with the
+    * flat-probe q65 at these settings.
+    */
+  val q65bAnnIndexDedupPq: Q = Q(
+    "q65b_ann_index_dedup_pq",
+    (s, dir) => {
+      val corpus = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val path = java.nio.file.Files.createTempDirectory("graft_ann_pq_index").toString
+      AnnIndex.buildPq(corpus, "vec_id", "embedding", path, nlist = 16, m = 32, ksub = 256)
+      AnnIndex.crossNeighborsPq(
+        perturbedEmbeddings(s, dir), "vec_id", "embedding", path,
+        threshold = 0.99, nprobe = 8, margin = 0.15)
         .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
     },
     None)
@@ -3314,7 +3367,7 @@ object Queries {
     q56SnapshotDiff, q57EntityMatch, q58Outliers, q59IncrementalAgg,
     q60StratifiedSample, q61Expectations, q62RobustOutliers, q63Funnel,
     q63bFunnelWindowed, q64CohortRetention, q64bCohortRates, q64cCohortCalendar,
-    q65AnnIndexDedup, q65cAnnCrossExact, q66ExpectationsRoute, q67FunnelSqlAgg,
+    q65AnnIndexDedup, q65bAnnIndexDedupPq, q65cAnnCrossExact, q66ExpectationsRoute, q67FunnelSqlAgg,
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
     q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs,
     q76TemperaturePlan, q77TopFraction, q77bTopQuantileSketch, q78VocabStats,

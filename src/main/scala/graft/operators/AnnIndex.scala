@@ -34,8 +34,11 @@ import graft.operators.Similarity.IvfIndex
   * {{{
   *   centroids/            (cell, centroid: array<double>) — quantizer +
   *                         existence marker, written via atomic swap
-  *   vectors/batch=<b>/    (cell, id, vec: array<float>) — postings,
-  *                         range-clustered by cell
+  *   pq/                   (sub, code, centroid) — OPTIONAL [[Pq]]
+  *                         codebook ([[initPq]]); atomic swap
+  *   vectors/batch=<b>/    (cell, id, vec: array<float>[, code: binary,
+  *                         norm: double]) — postings, range-clustered by
+  *                         cell; code+norm present iff the index has PQ
   * }}}
   * Batch partitions are staged under a dot-prefixed directory (invisible
   * to Spark's file listing) and renamed into place — [[DedupIndex]]'s
@@ -65,11 +68,25 @@ object AnnIndex {
 
   private def centroidsDir(path: String) = s"$path/centroids"
   private def vectorsDir(path: String) = s"$path/vectors"
+  private def pqDir(path: String) = s"$path/pq"
 
   private def nearestCells(index: IvfIndex, v: Column, n: Int): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(graft.expressions.NearestCentroidsExpr(
       ColumnBridge.eagerExpression(v), index.flat, index.dim, n))
+  }
+
+  private def pqEncode(cb: Pq.Codebook, v: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.PqEncodeExpr(
+      ColumnBridge.eagerExpression(v), cb.flat, cb.m, cb.ksub, cb.dsub))
+  }
+
+  private def pqAdcDot(cb: Pq.Codebook, code: Column, q: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.PqAdcDotExpr(
+      ColumnBridge.eagerExpression(code), ColumnBridge.eagerExpression(q),
+      cb.flat, cb.m, cb.ksub, cb.dsub))
   }
 
   /** Persist a trained quantizer as the index at `path`. Refuses to
@@ -83,6 +100,31 @@ object AnnIndex {
       s"index at $path already has batches; re-training requires a rebuild")
     index.save(spark, centroidsDir(path))
   }
+
+  /** [[init]] + a PQ codebook: every subsequent [[append]] also lands an
+    * `m`-byte [[Pq]] code and the exact vector norm per posting, and
+    * probes can run the [[crossNeighborsPq]]/[[topNeighborsPq]] path —
+    * candidate screening over code bytes, raw vectors read only for the
+    * screened survivors' exact re-rank. Same refuse-to-retrain contract
+    * as the coarse quantizer, for the same reason: landed codes were
+    * assigned by THIS codebook.
+    */
+  def initPq(spark: SparkSession, path: String, index: IvfIndex, codebook: Pq.Codebook): Unit = {
+    require(codebook.dim == index.dim,
+      s"PQ codebook dim ${codebook.dim} != coarse quantizer dim ${index.dim}")
+    init(spark, path, index)
+    codebook.save(spark, pqDir(path))
+  }
+
+  /** Does the index at `path` carry a PQ codebook? */
+  def hasPq(spark: SparkSession, path: String): Boolean = {
+    val dir = new Path(pqDir(path))
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dir)
+  }
+
+  /** Load the index's PQ codebook. Fails loudly if there is none. */
+  def pqCodebook(spark: SparkSession, path: String): Pq.Codebook =
+    Pq.Codebook.load(spark, pqDir(path))
 
   /** Load the index's quantizer. Fails loudly if `path` holds no index. */
   def quantizer(spark: SparkSession, path: String): IvfIndex =
@@ -124,12 +166,23 @@ object AnnIndex {
       batch: String): Unit = {
     require(batch.nonEmpty && !batch.contains('/') && !batch.startsWith("."),
       s"invalid batch label '$batch'")
-    val index = quantizer(emb.sparkSession, path)
+    val spark = emb.sparkSession
+    val index = quantizer(spark, path)
+    val base = emb.select(
+      nearestCells(index, col(vecCol), 1).getItem(0).as("cell"),
+      col(idCol).as("id"),
+      col(vecCol).as("vec"))
+    // PQ indexes also land the m-byte code and the exact norm: the probe's
+    // screening columns. Encoding is O(dim·ksub) per row, paid once here.
+    val rows =
+      if (hasPq(spark, path)) {
+        val cb = pqCodebook(spark, path)
+        base.select(col("cell"), col("id"), col("vec"),
+          pqEncode(cb, col("vec")).as("code"),
+          vectors.norm(col("vec")).as("norm"))
+      } else base
     DedupIndex.appendDir(
-      emb.select(
-        nearestCells(index, col(vecCol), 1).getItem(0).as("cell"),
-        col(idCol).as("id"),
-        col(vecCol).as("vec"))
+      rows
         .repartitionByRange(col("cell"))
         .sortWithinPartitions("cell", "id"),
       vectorsDir(path), batch)
@@ -179,6 +232,26 @@ object AnnIndex {
       batch: String = "00000001"): Unit = {
     init(emb.sparkSession, path,
       Similarity.trainIvfFull(emb, idCol, vecCol, nlist, kmeansIters))
+    append(emb, idCol, vecCol, path, batch)
+  }
+
+  /** Train coarse quantizer + PQ codebook over the corpus, [[initPq]],
+    * and land the first batch — the one-call IVF-PQ [[build]].
+    */
+  def buildPq(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      sampleRows: Int = 512,
+      kmeansIters: Int = 5,
+      batch: String = "00000001"): Unit = {
+    initPq(emb.sparkSession, path,
+      Similarity.trainIvf(emb, idCol, vecCol, nlist, sampleRows, kmeansIters),
+      Pq.train(emb, idCol, vecCol, m, ksub, math.max(sampleRows, 4 * ksub), kmeansIters))
     append(emb, idCol, vecCol, path, batch)
   }
 
@@ -300,6 +373,167 @@ object AnnIndex {
       .where(col("cosine") >= threshold)
       .groupBy("batch_id", "corpus_id")
       .agg(max("cosine").as("cosine"))
+  }
+
+  /** [[crossNeighbors]] through the PQ screening path — the 100 TB probe
+    * shape. Three passes, each reading only what it needs (parquet column
+    * pruning keeps them on the SAME postings table):
+    *
+    *   1. candidate screen: postings restricted to probed cells, reading
+    *      (cell, id, code, norm) — m+8 bytes per vector, never `vec`.
+    *      Approximate cosine = ADC dot over code bytes / (|q| · stored
+    *      exact norm); candidates below `threshold − margin` drop here.
+    *   2. survivor fetch: (cell, id, vec) for screened survivors only —
+    *      an id-keyed join of the survivor set against the probed-cell
+    *      postings subset. Survivors ≈ true pairs + margin noise, so at
+    *      scale this reads a vanishing fraction of raw vectors.
+    *   3. exact verify: true cosine on fetched vectors, `threshold`
+    *      applied — the emitted pairs are EXACT, identical in kind to
+    *      [[crossNeighbors]]'s (PQ affects which candidates are looked
+    *      at, never what a match means).
+    *
+    * Recall contract = [[crossNeighbors]]'s cell contract AND the screen:
+    * a true pair is missed only if its home cell is outside the probed
+    * set, OR the ADC approximation underestimates its cosine by more than
+    * `margin` (quantization error — widen `margin` or the codebook to
+    * tighten; AnnIndexSpec pins planted-dup equality with the exact
+    * twin). Over-cap cells route to keepers with TRUE-cosine
+    * verification, bypassing the screen — the cap never compounds with
+    * quantization error.
+    */
+  def crossNeighborsPq(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      threshold: Double = 0.95,
+      nprobe: Int = 4,
+      maxCell: Int = Int.MaxValue,
+      margin: Double = 0.1): DataFrame = {
+    val spark = batchDf.sparkSession
+    val index = quantizer(spark, path)
+    val cb = pqCodebook(spark, path)
+    val probes = Caches.pin(
+      batchDf.select(
+        col(idCol).as("batch_id"),
+        col(vecCol).as("__qvec"),
+        vectors.norm(col(vecCol)).as("__qnorm"),
+        explode(nearestCells(index, col(vecCol), math.min(nprobe, index.nlist)))
+          .as("cell")))
+    if (batches(spark, path).isEmpty)
+      return probes
+        .select(col("batch_id"), col("batch_id").as("corpus_id"), lit(0.0).as("cosine"))
+        .where(lit(false))
+
+    val probedCells = probes.select("cell").distinct()
+    // pass 1: screening columns only — `vec` stays on disk
+    val codes = Caches.pin(
+      spark.read.parquet(vectorsDir(path))
+        .select(col("cell"), col("id").as("corpus_id"), col("code"), col("norm"))
+        .join(broadcast(probedCells), Seq("cell"), "left_semi")
+        .distinct())
+    val occ = Blocking.withOccupancy(codes, Seq("cell"))
+    val screened = occ.where(col("__occ") <= maxCell)
+      .join(broadcast(probes), Seq("cell"))
+      .where(
+        pqAdcDot(cb, col("code"), col("__qvec")) >=
+          (lit(threshold - margin) * col("__qnorm") * col("norm")))
+      .select(col("cell"), col("batch_id"), col("corpus_id"))
+    // over-cap cells: keeper only, NO screen — true cosine decides below
+    val hotKeepers = occ.where(col("__occ") > maxCell)
+      .groupBy("cell")
+      .agg(min(col("corpus_id")).as("corpus_id"))
+      .join(broadcast(probes.select("cell", "batch_id")), Seq("cell"))
+      .select(col("cell"), col("batch_id"), col("corpus_id"))
+    val survivors = screened.unionByName(hotKeepers)
+    // pass 2: raw vectors for survivors only (cell prune map-side, then
+    // id-keyed join — survivor-sized, not corpus-sized)
+    val fetched = spark.read.parquet(vectorsDir(path))
+      .select(col("cell"), col("id").as("corpus_id"), col("vec"))
+      .join(broadcast(probedCells), Seq("cell"), "left_semi")
+      .join(survivors, Seq("cell", "corpus_id"))
+    // pass 3: exact verify
+    fetched
+      .join(broadcast(probes.select("batch_id", "__qvec").distinct()), Seq("batch_id"))
+      .select(
+        col("batch_id"), col("corpus_id"),
+        vectors.cosine(col("vec"), col("__qvec")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .groupBy("batch_id", "corpus_id")
+      .agg(max("cosine").as("cosine"))
+  }
+
+  /** Top-k corpus neighbors per batch vector through the PQ screen:
+    * coarse top-(k·rerank) per batch vector by approximate (ADC) cosine,
+    * exact re-rank of those survivors on fetched raw vectors, emit the
+    * true top k — (batch_id, corpus_id, cosine, rank). The standard
+    * IVF-PQ serving shape: `rerank` is the accuracy/IO dial (screened
+    * candidates whose true rank belongs in the top k but whose ADC rank
+    * fell outside k·rerank are the loss mode).
+    */
+  def topNeighborsPq(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int,
+      nprobe: Int = 4,
+      maxCell: Int = Int.MaxValue,
+      rerank: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && rerank > 0, "k and rerank must be positive")
+    val spark = batchDf.sparkSession
+    val index = quantizer(spark, path)
+    val cb = pqCodebook(spark, path)
+    val probes = Caches.pin(
+      batchDf.select(
+        col(idCol).as("batch_id"),
+        col(vecCol).as("__qvec"),
+        vectors.norm(col(vecCol)).as("__qnorm"),
+        explode(nearestCells(index, col(vecCol), math.min(nprobe, index.nlist)))
+          .as("cell")))
+    if (batches(spark, path).isEmpty)
+      return probes
+        .select(col("batch_id"), col("batch_id").as("corpus_id"),
+          lit(0.0).as("cosine"), lit(1).as("rank"))
+        .where(lit(false))
+    val probedCells = probes.select("cell").distinct()
+    val codes = Caches.pin(
+      spark.read.parquet(vectorsDir(path))
+        .select(col("cell"), col("id").as("corpus_id"), col("code"), col("norm"))
+        .join(broadcast(probedCells), Seq("cell"), "left_semi")
+        .distinct())
+    val occ = Blocking.withOccupancy(codes, Seq("cell"))
+    val coarse = occ.where(col("__occ") <= maxCell)
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("cell"), col("batch_id"), col("corpus_id"),
+        (pqAdcDot(cb, col("code"), col("__qvec")) /
+          (col("__qnorm") * col("norm"))).as("__approx"))
+    val hotKeepers = occ.where(col("__occ") > maxCell)
+      .groupBy("cell")
+      .agg(min(col("corpus_id")).as("corpus_id"))
+      .join(broadcast(probes.select("cell", "batch_id")), Seq("cell"))
+      // keepers bypass the coarse cut: +infinity approx pins them in
+      .select(col("cell"), col("batch_id"), col("corpus_id"),
+        lit(Double.MaxValue).as("__approx"))
+    val survivors = graft.plans.TopK.perKey(
+      coarse.unionByName(hotKeepers), Seq("batch_id"),
+      Seq(col("__approx").desc, col("corpus_id").asc), k * rerank)
+      .select("cell", "batch_id", "corpus_id")
+    val fetched = spark.read.parquet(vectorsDir(path))
+      .select(col("cell"), col("id").as("corpus_id"), col("vec"))
+      .join(broadcast(probedCells), Seq("cell"), "left_semi")
+      .join(survivors, Seq("cell", "corpus_id"))
+    fetched
+      .join(broadcast(probes.select("batch_id", "__qvec").distinct()), Seq("batch_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        vectors.cosine(col("vec"), col("__qvec")).as("cosine"))
+      .groupBy("batch_id", "corpus_id")
+      .agg(max("cosine").as("cosine"))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("batch_id").orderBy(col("cosine").desc, col("corpus_id"))))
+      .where(col("rank") <= k)
   }
 
   /** Top-k corpus neighbors per batch vector: (batch_id, corpus_id,

@@ -191,6 +191,86 @@ class AnnIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  // ---- IVF-PQ ----
+
+  private def buildSmallPq(path: String): Unit =
+    AnnIndex.buildPq(corpus, "id", "vec", path,
+      nlist = 2, m = 2, ksub = 4, sampleRows = 8, kmeansIters = 5)
+
+  test("buildPq lands code+norm postings; the PQ probe equals the flat probe") {
+    val path = tmp()
+    buildSmallPq(path)
+    val postings = spark.read.parquet(s"$path/vectors")
+    assert(postings.columns.toSet == Set("cell", "id", "vec", "code", "norm", "batch"),
+      s"PQ postings must carry code and norm: ${postings.columns.toSeq}")
+    assert(postings.select("code").as[Array[Byte]].head().length == 2,
+      "code must be m bytes")
+    // ≤ 4 distinct 2-dim subvectors and ksub=4: quantization is EXACT on
+    // this corpus, so even a tight margin keeps the probes identical
+    val pq = AnnIndex.crossNeighborsPq(
+      batch, "id", "vec", path, threshold = 0.95, nprobe = 2, margin = 0.02)
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val flat = AnnIndex.crossNeighbors(batch, "id", "vec", path, threshold = 0.95, nprobe = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    assert(pq == flat, s"pq = $pq, flat = $flat")
+    assert(pq.keySet == Set((11L, 1L), (13L, 3L)))
+    assert(pq((11L, 1L)) > 0.999, "emitted cosine must be the EXACT one, not the ADC estimate")
+    Caches.release()
+  }
+
+  test("topNeighborsPq re-ranks by exact cosine, k-bounded") {
+    val path = tmp()
+    buildSmallPq(path)
+    val top = AnnIndex.topNeighborsPq(
+      Seq((11L, Seq(1.0f, 0.1f, 0.0f, 0.0f))).toDF("id", "vec"),
+      "id", "vec", path, k = 2, nprobe = 2, rerank = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("corpus_id"), r.getAs[Int]("rank")))
+    assert(top.toSeq == Seq((1L, 1), (2L, 2)), s"top = ${top.toSeq}")
+    Caches.release()
+  }
+
+  test("PQ probe: maxCell keepers bypass the screen and verify by true cosine") {
+    val path = tmp()
+    buildSmallPq(path)
+    // maxCell=1 forces every probed cell hot → keeper-only candidates on
+    // both probes. Keepers bypass the ADC screen entirely (margin 0 would
+    // screen out even exact pairs if it applied to them), so the capped
+    // PQ probe must EQUAL the capped flat probe — the cap never compounds
+    // with quantization error.
+    val pq = AnnIndex.crossNeighborsPq(
+      batch, "id", "vec", path, threshold = 0.95, nprobe = 2, maxCell = 1, margin = 0.0)
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+    val flat = AnnIndex.crossNeighbors(
+      batch, "id", "vec", path, threshold = 0.95, nprobe = 2, maxCell = 1)
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(pq == flat, s"pq = $pq, flat = $flat")
+    assert(pq.nonEmpty, "at least one planted copy must pair with a keeper")
+    Caches.release()
+  }
+
+  test("catalog q65b (PQ probe) equals q65 with full planted recall") {
+    val sfDir = "/root/testdata/sf0.001"
+    val pq = Queries.q65bAnnIndexDedupPq.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = Queries.q65AnnIndexDedup.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Queries.q65cAnnCrossExact.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.subsetOf(exact), "PQ pairs must be a subset of brute force (exact verify)")
+    val planted = exact.filter { case (a, b) => b == a + 1000000L }
+    assert(planted.subsetOf(pq),
+      s"PQ screen must not lose planted copies: missing ${planted.diff(pq).take(5)}")
+    assert(pq == flat,
+      s"at these settings the PQ screen must equal the flat probe: " +
+        s"pq-only=${pq.diff(flat).take(5)} flat-only=${flat.diff(pq).take(5)}")
+    Caches.release()
+  }
+
   test("vacuum removes crashed-append staging residue, not landed batches") {
     val path = tmp()
     buildSmall(path)
