@@ -1035,6 +1035,73 @@ object Queries {
              nf AS n_frames, w AS width, h AS height
       FROM f"""))
 
+  /** REAL audio decode, oracle-gated: each document id becomes a
+    * synthetic PCM WAV whose format (sample rate, channels, sample
+    * count) is a pure function of the id; Spark runs the real WAV
+    * encode → `javax.sound.sampled` parse, and DuckDB predicts the
+    * fields arithmetically — the q41/q42 gate extended to audio. With
+    * this, every modality's metadata decode (image, frames, audio) is a
+    * real JDK codec pass, not a stub.
+    */
+  val q91AudioDecode: Q = Q(
+    "q91_audio_decode",
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, "audio", Multimodal.syntheticWav(id))))
+        .toDF("media_id", "kind", "bytes")
+      Multimodal.decodeAudio(s, media).toDF()
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("duration_ms"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                    WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+               CAST(1 + doc_id % 2 AS INT) AS channels,
+               CAST(100 + doc_id % 400 AS BIGINT) AS n_samples
+        FROM documents)
+      SELECT doc_id AS media_id, sample_rate, channels, n_samples,
+             n_samples * 1000 // sample_rate AS duration_ms
+      FROM d"""))
+
+  /** REAL image resize, oracle-gated on the output geometry: synthetic
+    * PNGs decode, bilinear-rescale to fit maxSide=16 (some downscale,
+    * small ones pass through — live witnesses on both arms), and PNG
+    * re-encode, all through real JDK codecs. DuckDB predicts the out
+    * dims with the same IEEE double arithmetic (`floor(x·s + 0.5)` is
+    * Java's round, bit-for-bit on both engines); the re-encoded bytes
+    * are real but codec-specific, so they stay out of the projection.
+    */
+  val q92ImageResize: Q = Q(
+    "q92_image_resize",
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, "image", Multimodal.syntheticPng(id))))
+        .toDF("media_id", "kind", "bytes")
+      Multimodal.resizeImages(s, media, maxSide = 16).toDF()
+        .select(col("media_id"), col("src_width"), col("src_height"),
+          col("out_width"), col("out_height"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 32 AS INT) AS w,
+               CAST(8 + (doc_id // 32) % 32 AS INT) AS h
+        FROM documents),
+      sc AS (
+        SELECT doc_id, w, h, LEAST(1.0, 16.0 / GREATEST(w, h)) AS s FROM d)
+      SELECT doc_id AS media_id, w AS src_width, h AS src_height,
+             CAST(GREATEST(1, floor(w * s + 0.5)) AS INT) AS out_width,
+             CAST(GREATEST(1, floor(h * s + 0.5)) AS INT) AS out_height
+      FROM sc"""))
+
   /** F8 generalized: JSON extraction from a string column. */
   val q36JsonExtract: Q = Q(
     "q36_json_extract",
@@ -3268,6 +3335,146 @@ object Queries {
       SELECT v.vec_id FROM allv v LEFT JOIN dropped d ON v.vec_id = d.vec_id
       WHERE d.vec_id IS NULL"""))
 
+  // ===========================================================
+  // End-to-end pretraining composition
+  // ===========================================================
+
+  /** THE composed artifact a training job consumes, ORACLE-GATED end to
+    * end: curation (Gopher rules + exact dedup) → α=0.5 temperature
+    * mixture plan over the curated mass → epoch repeats via the
+    * systematic uniform → 512-token concat-split packing keyed by
+    * (doc, epoch) → byte-level BPE encode. One manifest row per packed
+    * document-epoch: its shard, token offsets, sequence span, and
+    * encoded byte mass.
+    *
+    * Every stage is individually gated today (q73/q81 curation, q76
+    * plan, q75 repeats, q68 packing, q83h byte mass); this entry gates
+    * the COMPOSITION — stage wiring, column handoffs, and the repeat
+    * keying through the pack window — on a single hash. The only
+    * non-ANSI-expressible piece, BPE segmentation, contributes through
+    * its merge-INVARIANT byte mass (the q83h argument), so the trained
+    * tokenizer rides the composed pipeline without weakening the gate.
+    */
+  val q90PretrainingManifest: Q = Q(
+    "q90_pretraining_manifest",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val curated = graft.operators.Caches.pin(
+        graft.operators.Curation.run(docs, graft.operators.CurationConfig(
+          gopher = Some(graft.operators.Filtering.GopherThresholds(
+            minTokens = 30L, maxTokens = 80L, minStopwordHits = 1L)),
+          exactDedup = true)))
+      val weighted = curated.select(
+        col("doc_id"), col("source"),
+        text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val budget = weighted.agg(sum("n_tokens")).first().getLong(0)
+      val targets = graft.operators.Packing
+        .temperatureMixturePlan(weighted, "source", "n_tokens", budget, alpha = 0.5)
+        .select("source", "target_tokens").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // (doc, epoch) → a single orderable pack key; epoch < maxEpochs=100 < 128
+      val repeated = graft.operators.Packing.mixtureSampleRepeats(
+        weighted, "doc_id", "source", "n_tokens", targets,
+        uniform = Some(pmod(col("doc_id"), lit(1000L)).cast("double") / lit(1000.0)))
+        .select((col("doc_id") * 128L + col("epoch")).as("pack_key"), col("n_tokens"))
+      val packed = graft.operators.Packing.concatSplit(
+        repeated, "pack_key", "n_tokens", pmod(col("pack_key"), lit(8L)), budget = 512L)
+      val merges = graft.operators.Bpe.trainMergesBytes(
+        curated, "text", numMerges = 12, minPairCount = 2L)
+      val nBytes = graft.operators.Bpe
+        .encodeFastBytes(curated.select("doc_id", "text"), "text", merges)
+        .select(col("doc_id"),
+          aggregate(col("subwords"), lit(0L), (acc, sw) => acc + length(sw)).as("n_bytes"))
+      packed
+        .select(
+          expr("pack_key div 128").as("doc_id"),
+          (col("pack_key") % 128L).as("epoch"),
+          col("shard"), col("n_tokens"), col("start_off"),
+          col("first_seq"), col("last_seq"), col("n_seqs"))
+        .join(nBytes, Seq("doc_id"))
+    },
+    Some("""
+      WITH tkx AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS tkl,
+               list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lns,
+               text
+        FROM documents),
+      g AS (
+        SELECT doc_id FROM tkx
+        WHERE CAST(len(tk) AS BIGINT) BETWEEN 30 AND 80
+          AND (CASE WHEN len(tk) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) END)
+              BETWEEN 3.0 AND 10.0
+          AND (CASE WHEN len(tk) = 0 THEN 0.0
+                    ELSE (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                          + (length(text) - length(replace(text, '...', ''))) / 3) / len(tk) END) <= 0.1
+          AND (CASE WHEN len(lns) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lns) END) <= 0.9
+          AND (CASE WHEN len(lns) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE) / len(lns) END) <= 0.3
+          AND (CASE WHEN len(tk) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk) END) >= 0.8
+          AND CAST(len(list_distinct(list_filter(tkl, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this')))) AS BIGINT) >= 1),
+      gf AS (SELECT b.* FROM documents b JOIN g USING (doc_id)),
+      dd AS (
+        SELECT * FROM gf
+        QUALIFY row_number() OVER (
+          PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+          ORDER BY doc_id) = 1),
+      d AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+               text
+        FROM dd),
+      a AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS actual FROM d GROUP BY source),
+      b2 AS (
+        SELECT source, actual,
+               CAST(CASE WHEN actual > 0 THEN floor(sqrt(CAST(actual AS DOUBLE))) ELSE 0 END AS HUGEINT) AS basis
+        FROM a),
+      tt AS (
+        SELECT source, actual, basis, SUM(basis) OVER () AS total,
+               (SELECT CAST(SUM(n_tokens) AS HUGEINT) FROM d) AS budget
+        FROM b2),
+      f AS (
+        SELECT source,
+               CASE WHEN actual > 0
+                    THEN CAST(CAST((basis * budget) // total AS BIGINT) AS DOUBLE) / actual
+                    ELSE 0.0 END AS f
+        FROM tt),
+      c AS (
+        SELECT d.doc_id, d.n_tokens,
+               CAST(floor(f.f) AS BIGINT)
+                 + CASE WHEN (d.doc_id % 1000) / 1000.0 < f.f - floor(f.f) THEN 1 ELSE 0 END AS n_copies
+        FROM d JOIN f USING (source)),
+      rep0 AS (
+        SELECT doc_id, n_tokens,
+               unnest(generate_series(CAST(0 AS BIGINT), n_copies - 1)) AS epoch
+        FROM c WHERE n_copies > 0),
+      rep AS (
+        SELECT doc_id, epoch, doc_id * 128 + epoch AS pack_key, n_tokens,
+               (doc_id * 128 + epoch) % 8 AS shard
+        FROM rep0),
+      co AS (
+        SELECT *,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY pack_key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        FROM rep),
+      nb AS (
+        SELECT doc_id,
+               COALESCE(CAST(list_sum(list_transform(
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0),
+                 w -> octet_length(encode(w)))) AS BIGINT), 0) AS n_bytes
+        FROM dd)
+      SELECT co.doc_id, co.epoch, co.shard, co.n_tokens, co.start_off,
+             start_off // 512 AS first_seq,
+             greatest(start_off + co.n_tokens - 1, start_off) // 512 AS last_seq,
+             greatest(start_off + co.n_tokens - 1, start_off) // 512 - start_off // 512 + 1 AS n_seqs,
+             nb.n_bytes
+      FROM co JOIN nb USING (doc_id)"""))
+
   /** The q52c exact-rational BM25 oracle for query (spark, merge, window),
     * top 20 — shared by the index-serving faces q84/q84b, whose results
     * must equal recomputing from the raw corpus.
@@ -3380,7 +3587,8 @@ object Queries {
     q86PerplexityBuckets, q86bPerplexityBucketsSketch, q87SpanDedup,
     q88WeightedSample,
     q88cWeightedSampleSystematic,
-    q89SemanticDedup, q89cSemanticDedupExact)
+    q89SemanticDedup, q89cSemanticDedupExact,
+    q90PretrainingManifest, q91AudioDecode, q92ImageResize)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

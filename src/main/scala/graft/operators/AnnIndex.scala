@@ -614,4 +614,33 @@ object AnnIndex {
       .select(col("id").as(idCol))
     fresh.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** [[dedupBatch]] with the corpus probe on the PQ screening path
+    * ([[crossNeighborsPq]]) — the batch-acceptance shape for PQ-enabled
+    * indexes at corpus scale: the against-corpus pass reads code bytes,
+    * not raw postings vectors. The within-batch near-dedup is unchanged
+    * (the batch side is batch-sized; screening it buys nothing).
+    */
+  def dedupBatchPq(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      threshold: Double = 0.95,
+      nprobe: Int = 4,
+      maxCell: Int = Int.MaxValue,
+      margin: Double = 0.1,
+      dim: Int = 64): DataFrame = {
+    val inCorpus = crossNeighborsPq(batchDf, idCol, vecCol, path, threshold, nprobe, maxCell, margin)
+      .select(col("batch_id").as(idCol))
+      .distinct()
+    val fresh = batchDf.join(inCorpus, Seq(idCol), "left_anti")
+    val pairs = Similarity.cosineNearDupPairs(
+      fresh, idCol, vecCol, threshold, dim = dim,
+      maxBucket = if (maxCell == Int.MaxValue) Int.MaxValue else maxCell)
+    val dropped = Dedup.duplicateClusters(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    fresh.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -81,6 +81,15 @@ object Pq {
     * `sampleRows`-point deterministic sample (xxhash64 order of the id —
     * the [[Similarity.trainIvf]] draw: no prior count, plans as
     * TakeOrderedAndProject). `dim` must split evenly into `m` subspaces.
+    *
+    * The sample must be REPRESENTATIVE of what the index will hold: the
+    * ADC screen's `margin` bounds quantization error only over regions
+    * the codebook trained on — a direction the sample never contained
+    * has no nearby sub-centroid, its vectors quantize arbitrarily far
+    * away, and the screen can drop true matches no margin rescues
+    * (StreamsSpec's PQ-ingest seed documents the live case). Train over
+    * the corpus the index ingests, not a stub batch; raise `sampleRows`
+    * before raising `margin`.
     */
   def train(
       emb: DataFrame,

@@ -150,7 +150,14 @@ object Sinks {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
       case _: java.io.FileNotFoundException => true
       case t => Option(t.getMessage).exists(m =>
-        m.contains("PATH_NOT_FOUND") || m.contains("does not exist"))
+        m.contains("PATH_NOT_FOUND") || m.contains("does not exist") ||
+          // a listed file deleted between listing and open surfaces as a
+          // read failure, not always an FNF (observed: FAILED_READ_FILE
+          // over a just-retired part file). For a SWAP-MANAGED artifact
+          // any read error in the window is transient by construction;
+          // genuine corruption still propagates once retries exhaust.
+          m.contains("FAILED_READ_FILE") ||
+          m.contains("Encountered error while reading file"))
     }
 
   private def atomicSwap(

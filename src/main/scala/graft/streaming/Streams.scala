@@ -408,7 +408,8 @@ object Streams {
       nprobe: Int = 4,
       maxCell: Int = Int.MaxValue,
       dim: Int = 64,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: Option[String] = None,
+      pqMargin: Double = 0.1): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{AnnIndex, Caches, DedupIndex}
     val writer = stream.writeStream
       .outputMode("append")
@@ -417,10 +418,17 @@ object Streams {
         val scope = Caches.newScope()
         try Caches.inScope(scope) {
           // consumed twice (output land + index append) → pinned so the
-          // probe/cluster dataflow runs once
+          // probe/cluster dataflow runs once. The INDEX decides the probe
+          // path: a PQ-enabled index screens against code bytes
+          // (dedupBatchPq, `pqMargin` the recall/IO dial); a flat index
+          // probes raw postings vectors.
           val accepted = Caches.pin(
-            AnnIndex.dedupBatch(
-              batch.toDF(), idCol, vecCol, indexPath, threshold, nprobe, maxCell, dim))
+            if (AnnIndex.hasPq(batch.sparkSession, indexPath))
+              AnnIndex.dedupBatchPq(
+                batch.toDF(), idCol, vecCol, indexPath, threshold, nprobe, maxCell, pqMargin, dim)
+            else
+              AnnIndex.dedupBatch(
+                batch.toDF(), idCol, vecCol, indexPath, threshold, nprobe, maxCell, dim))
           val outRoot = new org.apache.hadoop.fs.Path(outputPath)
           val fs = outRoot.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
           if (!fs.exists(new org.apache.hadoop.fs.Path(outRoot, s"batch=$label")))

@@ -253,6 +253,19 @@ class AnnIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("dedupBatchPq accepts the same rows as dedupBatch") {
+    val path = tmp()
+    buildSmallPq(path)
+    val pq = AnnIndex.dedupBatchPq(
+      batch, "id", "vec", path, threshold = 0.95, nprobe = 2, margin = 0.02, dim = 4)
+      .select("id").as[Long].collect().toSet
+    val flat = AnnIndex.dedupBatch(
+      batch, "id", "vec", path, threshold = 0.95, nprobe = 2, dim = 4)
+      .select("id").as[Long].collect().toSet
+    assert(pq == flat && pq == Set(12L), s"pq = $pq, flat = $flat")
+    Caches.release()
+  }
+
   test("catalog q65b (PQ probe) equals q65 with full planted recall") {
     val sfDir = "/root/testdata/sf0.001"
     val pq = Queries.q65bAnnIndexDedupPq.fn(spark, sfDir)

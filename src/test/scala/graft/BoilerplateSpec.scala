@@ -53,4 +53,19 @@ class BoilerplateSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("membership is the hashed-set probe, one filter pass over the lines") {
+    // analyzed plan: the local test relation constant-folds away in the
+    // optimized plan, taking the expressions under inspection with it
+    val plan = Boilerplate.stripCommonLines(docs, "text", minDf = 3L)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("graft_set_contains"), s"expected the hashed probe:\n$plan")
+    assert(!plan.contains("array_contains"),
+      s"the O(|common|) literal-array scan must be gone:\n$plan")
+    // one kept-lines filter computes both outputs (clean text via
+    // array_join, dropped count via the size delta) — a second
+    // membership pass over the array would show as a third filter()
+    assert("filter\\(".r.findAllIn(plan).size <= 2,
+      s"strip stage must not re-scan the lines per output column:\n$plan")
+  }
 }

@@ -65,18 +65,88 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ok.count() == 0)
   }
 
-  test("frameSample: ≤ maxFrames per asset, ordered indices, deterministic hashes") {
-    val frames = Multimodal.frameSample(spark, media("video"), maxFrames = 4).collect()
+  test("frameSample: real GIF decode — true frame counts, dims, sampled indices") {
+    // ids chosen to cover n_frames = 1 (id 7 → 1 + 7%7) through 7 (id 6)
+    val gifs = Seq(0L, 3L, 6L, 7L, 40L)
+      .map(id => (id, "video", Multimodal.syntheticGif(id)))
+      .toDF("media_id", "kind", "bytes")
+    val frames = Multimodal.frameSample(spark, gifs, maxFrames = 4).collect()
     val byAsset = frames.groupBy(_.media_id)
-    assert(byAsset.values.forall(_.length <= 4))
-    byAsset.values.foreach { fs =>
-      val idx = fs.sortBy(_.frame_idx).map(_.frame_idx)
+    assert(byAsset.keySet == Set(0L, 3L, 6L, 7L, 40L), "every decodable asset yields rows")
+    byAsset.foreach { case (id, fs) =>
+      val nf = 1 + (id % 7).toInt
+      assert(fs.forall(_.n_frames == nf), s"id=$id must report its true frame count $nf")
+      assert(fs.length == math.min(4, nf), "k = min(maxFrames, n_frames) rows")
+      val idx = fs.map(_.frame_idx).sorted
       assert(idx.distinct.length == idx.length, "sampled frames must be distinct")
-      assert(fs.forall(f => f.frame_ts_ms == f.frame_idx * 1000 / 30))
+      assert(idx.head == 0, "the first frame is always sampled")
+      if (nf > 1) assert(idx.last == nf - 1, "the last frame is always sampled when n > 1")
+      assert(fs.forall(f => f.width == 8 + (id % 32).toInt && f.height == 8 + ((id / 32) % 32).toInt),
+        "decoded dims must be the encoded geometry")
     }
-    // images decode with n_frames=1 → exactly one frame row each
-    val imgFrames = Multimodal.frameSample(spark, media("image"), maxFrames = 4)
-    assert(imgFrames.count() == media("image").count())
+    // frames differ in content → distinct pixel hashes within an asset
+    val multi = byAsset(6L)
+    assert(multi.map(_.frame_hash).distinct.length == multi.length,
+      "per-frame pixel hashes must reflect distinct decoded content")
+    // determinism across runs
+    val again = Multimodal.frameSample(spark, gifs, maxFrames = 4).collect()
+    assert(frames.sortBy(f => (f.media_id, f.frame_idx)).toSeq ==
+      again.sortBy(f => (f.media_id, f.frame_idx)).toSeq)
+  }
+
+  test("frameSample: undecodable payloads yield zero rows, single-frame PNGs one") {
+    val junk = media("video") // text bytes are not a decodable container
+    assert(Multimodal.frameSample(spark, junk, maxFrames = 4).count() == 0L)
+    val png = Seq((1L, "image", Multimodal.syntheticPng(1L)))
+      .toDF("media_id", "kind", "bytes")
+    val rows = Multimodal.frameSample(spark, png, maxFrames = 4).collect()
+    assert(rows.length == 1 && rows.head.frame_idx == 0 && rows.head.n_frames == 1)
+  }
+
+  test("decodeAudio: real WAV parse reports true format; junk quarantines as NULL") {
+    val wavs = Seq(0L, 1L, 2L, 3L, 401L)
+      .map(id => (id, "audio", Multimodal.syntheticWav(id)))
+      .toDF("media_id", "kind", "bytes")
+    val rows = Multimodal.decodeAudio(spark, wavs).collect().map(r => r.media_id -> r).toMap
+    assert(rows.size == 5)
+    val rates = Array(8000, 16000, 22050, 44100)
+    rows.foreach { case (id, r) =>
+      assert(r.sample_rate.contains(rates((id % 4).toInt)), s"id=$id rate=${r.sample_rate}")
+      assert(r.channels.contains(1 + (id % 2).toInt))
+      assert(r.n_samples.contains(100L + id % 400))
+      val exp = (100L + id % 400) * 1000L / rates((id % 4).toInt)
+      assert(r.duration_ms.contains(exp))
+    }
+    val junk = media("audio") // text bytes are not a PCM container
+    val decoded = Multimodal.decodeAudio(spark, junk).collect()
+    assert(decoded.length == junk.count(), "undecodable rows survive with NULL fields")
+    assert(decoded.forall(r => r.sample_rate.isEmpty && r.n_samples.isEmpty))
+  }
+
+  test("resizeImages: real decode → rescale → re-encode; geometry exact, output decodable") {
+    val png = Seq(0L, 31L, 40L, 1023L)
+      .map(id => (id, "image", Multimodal.syntheticPng(id)))
+      .toDF("media_id", "kind", "bytes")
+    val rows = Multimodal.resizeImages(spark, png, maxSide = 16)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(rows.keySet == Set(0L, 31L, 40L, 1023L))
+    rows.foreach { case (id, r) =>
+      val w = 8 + (id % 32).toInt
+      val h = 8 + ((id / 32) % 32).toInt
+      assert(r.src_width == w && r.src_height == h, s"id=$id true source dims")
+      val s = math.min(1.0, 16.0 / math.max(w, h))
+      assert(r.out_width == math.max(1, math.round(w * s).toInt))
+      assert(r.out_height == math.max(1, math.round(h * s).toInt))
+      // the emitted bytes are a REAL image: decode them back
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.out_bytes))
+      assert(back.getWidth == r.out_width && back.getHeight == r.out_height,
+        "re-encoded thumbnail must decode to the reported geometry")
+    }
+    // small sources (≤ maxSide) pass through unscaled
+    val small = rows(0L) // 8×8
+    assert(small.out_width == 8 && small.out_height == 8, "never upscale")
+    // undecodable payloads are omitted, not nulled (exploding-op convention)
+    assert(Multimodal.resizeImages(spark, media("image"), maxSide = 16).count() == 0L)
   }
 
   test("resizePlan: aspect preserved, bounded by maxSide, no upscaling") {

@@ -556,6 +556,44 @@ class StreamsSpec extends AnyFunSuite {
     graft.operators.Caches.release()
   }
 
+  test("annIngest onto a PQ index: code+norm postings land, screening still exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-ann-pq").toString
+    val indexPath = s"$root/index"
+    val outputPath = s"$root/accepted"
+    // the seed corpus doubles as the PQ training sample: it must SPAN the
+    // directions later batches arrive from — a codebook that never saw a
+    // direction cannot represent it and the ADC screen's error there is
+    // unbounded, not margin-bounded (the Pq.train contract)
+    graft.operators.AnnIndex.buildPq(
+      Seq(
+        (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+        (101L, Seq(0.45f, 0.89f, 0.0f, 0.0f))) // y-ish, cos 0.89 to (0,1,0,0): trains the direction without duplicating it
+        .toDF("id", "vec"),
+      "id", "vec", indexPath, nlist = 2, m = 2, ksub = 4, sampleRows = 8)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = Streams.annIngest(
+      input.toDF().toDF("id", "vec"), "id", "vec", indexPath, outputPath,
+      threshold = 0.95, nprobe = 2, dim = 4, pqMargin = 0.25)
+    try {
+      input.addData(
+        (1L, Seq(1.001f, 0.0f, 0.0f, 0.0f)), // scaled copy of the seed → dropped via codes
+        (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f))) // fresh → accepted
+      query.processAllAvailable()
+      input.addData(
+        (11L, Seq(0.0f, 1.0f, 0.0f, 0.0f)), // cross-batch dup of 2 → dropped
+        (12L, Seq(0.0f, 0.0f, 1.0f, 0.0f))) // fresh → accepted
+      query.processAllAvailable()
+      val all = spark.read.parquet(outputPath).select("id").as[Long].collect().toSet
+      assert(all == Set(2L, 12L), s"PQ-screened ingest must accept exactly the fresh rows: $all")
+      // streamed batches carry the PQ columns like the seed batch
+      val postings = spark.read.parquet(s"$indexPath/vectors")
+      assert(postings.columns.contains("code") && postings.columns.contains("norm"))
+      assert(postings.where(col("code").isNull || col("norm").isNull).count() == 0L)
+    } finally query.stop()
+    graft.operators.Caches.release()
+  }
+
   test("textIngest: keyword search spans all landed micro-batches; replay appends nothing") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("stream-text").toString
