@@ -89,6 +89,19 @@ object AnnIndex {
       cb.flat, cb.m, cb.ksub, cb.dsub))
   }
 
+  private def pqLut(cb: Pq.Codebook, q: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.PqLutExpr(
+      ColumnBridge.eagerExpression(q), cb.flat, cb.m, cb.ksub, cb.dsub))
+  }
+
+  private def pqLutDot(cb: Pq.Codebook, code: Column, lut: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.PqLutDotExpr(
+      ColumnBridge.eagerExpression(code), ColumnBridge.eagerExpression(lut),
+      cb.m, cb.ksub))
+  }
+
   /** Persist a trained quantizer as the index at `path`. Refuses to
     * replace the centroids of an index that already holds postings: cell
     * ids in landed batches were assigned by the OLD centroids, and a
@@ -400,6 +413,14 @@ object AnnIndex {
     * twin). Over-cap cells route to keepers with TRUE-cosine
     * verification, bypassing the screen — the cap never compounds with
     * quantization error.
+    *
+    * `scoreWithLut` switches the screen to the per-query ADC lookup
+    * table ([[graft.expressions.PqLutExpr]]): O(m) gathers per candidate
+    * instead of O(dim) multiplies, BIT-IDENTICAL scores (both sum
+    * per-subspace partials). The trade: the table is m·ksub doubles PER
+    * PROBE ROW riding the batch broadcast — right for serving-style
+    * probes (few query vectors, many candidates each), wrong for bulk
+    * batches at large ksub, hence opt-in.
     */
   def crossNeighborsPq(
       batchDf: DataFrame,
@@ -409,17 +430,19 @@ object AnnIndex {
       threshold: Double = 0.95,
       nprobe: Int = 4,
       maxCell: Int = Int.MaxValue,
-      margin: Double = 0.1): DataFrame = {
+      margin: Double = 0.1,
+      scoreWithLut: Boolean = false): DataFrame = {
     val spark = batchDf.sparkSession
     val index = quantizer(spark, path)
     val cb = pqCodebook(spark, path)
-    val probes = Caches.pin(
-      batchDf.select(
-        col(idCol).as("batch_id"),
-        col(vecCol).as("__qvec"),
-        vectors.norm(col(vecCol)).as("__qnorm"),
-        explode(nearestCells(index, col(vecCol), math.min(nprobe, index.nlist)))
-          .as("cell")))
+    val probeCols = Seq(
+      col(idCol).as("batch_id"),
+      col(vecCol).as("__qvec"),
+      vectors.norm(col(vecCol)).as("__qnorm"),
+      explode(nearestCells(index, col(vecCol), math.min(nprobe, index.nlist)))
+        .as("cell")) ++
+      (if (scoreWithLut) Seq(pqLut(cb, col(vecCol)).as("__lut")) else Nil)
+    val probes = Caches.pin(batchDf.select(probeCols: _*))
     if (batches(spark, path).isEmpty)
       return probes
         .select(col("batch_id"), col("batch_id").as("corpus_id"), lit(0.0).as("cosine"))
@@ -432,12 +455,13 @@ object AnnIndex {
         .select(col("cell"), col("id").as("corpus_id"), col("code"), col("norm"))
         .join(broadcast(probedCells), Seq("cell"), "left_semi")
         .distinct())
+    val approxDot =
+      if (scoreWithLut) pqLutDot(cb, col("code"), col("__lut"))
+      else pqAdcDot(cb, col("code"), col("__qvec"))
     val occ = Blocking.withOccupancy(codes, Seq("cell"))
     val screened = occ.where(col("__occ") <= maxCell)
       .join(broadcast(probes), Seq("cell"))
-      .where(
-        pqAdcDot(cb, col("code"), col("__qvec")) >=
-          (lit(threshold - margin) * col("__qnorm") * col("norm")))
+      .where(approxDot >= (lit(threshold - margin) * col("__qnorm") * col("norm")))
       .select(col("cell"), col("batch_id"), col("corpus_id"))
     // over-cap cells: keeper only, NO screen — true cosine decides below
     val hotKeepers = occ.where(col("__occ") > maxCell)

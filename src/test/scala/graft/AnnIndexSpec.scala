@@ -253,6 +253,20 @@ class AnnIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("scoreWithLut screens bit-identically to the plain ADC path") {
+    val path = tmp()
+    buildSmallPq(path)
+    def run(useLut: Boolean) = AnnIndex.crossNeighborsPq(
+      batch, "id", "vec", path, threshold = 0.95, nprobe = 2,
+      margin = 0.02, scoreWithLut = useLut)
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"), r.getAs[Double]("cosine")))
+      .toSet
+    assert(run(true) == run(false),
+      "the LUT screen must be bit-identical to the ADC screen, cosines included")
+    Caches.release()
+  }
+
   test("dedupBatchPq accepts the same rows as dedupBatch") {
     val path = tmp()
     buildSmallPq(path)
