@@ -393,6 +393,20 @@ object Bpe {
       .agg(sum("wf").as("weight"))
   }
 
+  /** [[vocabulary]] for a byte-level model: subwords are byte-alphabet
+    * strings. The word-frequency table is already byte-mapped, so the
+    * replay is the PLAIN char-level encode over it — running
+    * [[encodeFastBytes]] here would remap Latin-1 chars to their own
+    * UTF-8 bytes and corrupt every symbol ≥ U+0080.
+    */
+  def vocabularyBytes(docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val wf = wordFrequenciesBytes(docs, textCol)
+    encodeFast(wf, "word", merges)
+      .select(explode(col("subwords")).as("subword"), col("wf"))
+      .groupBy("subword")
+      .agg(sum("wf").as("weight"))
+  }
+
   /** [[encode]] at production merge counts: identical output (BpeSpec
     * pins equality), but the merge replay runs as plain JVM code inside
     * ONE `mapPartitions` instead of a Catalyst expression tree of depth

@@ -253,6 +253,28 @@ class AnnIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("PQ screen reads code+norm only — the raw vector column stays on disk") {
+    val path = tmp()
+    buildSmallPq(path)
+    val plan = AnnIndex.crossNeighborsPq(
+      batch, "id", "vec", path, threshold = 0.95, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // postings are scanned twice by design: the screening pass and the
+    // survivor fetch. The IO claim is that the SCREENING scan's schema
+    // carries the code bytes and NOT the raw vectors — at 10^9 vectors
+    // that is the ~30x read-volume difference.
+    val postingsSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+      .filter(s => s.contains("code") || s.contains("vec"))
+    val screenScans = postingsSchemas.filter(s => s.contains("code:binary"))
+    val fetchScans = postingsSchemas.filter(s => s.contains("vec:array"))
+    assert(screenScans.nonEmpty, s"expected a code-column screening scan:\n$plan")
+    assert(screenScans.forall(!_.contains("vec:array")),
+      s"the screening scan must NOT read raw vectors:\n${screenScans.mkString("\n")}")
+    assert(fetchScans.exists(!_.contains("code:binary")),
+      s"the survivor fetch reads vectors without dragging codes along:\n${fetchScans.mkString("\n")}")
+    Caches.release()
+  }
+
   test("scoreWithLut screens bit-identically to the plain ADC path") {
     val path = tmp()
     buildSmallPq(path)

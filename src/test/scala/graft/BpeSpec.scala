@@ -241,6 +241,20 @@ class BpeSpec extends AnyFunSuite {
     assert(fast === slow)
   }
 
+  test("vocabularyBytes: weights times lengths sum to the corpus byte mass") {
+    val merges = Bpe.trainMergesBytes(docs, "text", numMerges = 10, minPairCount = 1L)
+    val d = docs.unionByName(Seq((99L, "naïve ✓ über")).toDF("doc_id", "text"))
+    val vocabMass = Bpe.vocabularyBytes(d, "text", merges)
+      .select((col("weight") * length(col("subword"))).as("m"))
+      .agg(sum("m")).as[Long].head()
+    val corpusMass = d.as[(Long, String)].collect().map { case (_, t) =>
+      t.trim.split("\\s+").filter(_.nonEmpty)
+        .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong).sum
+    }.sum
+    assert(vocabMass === corpusMass,
+      "every corpus byte must be accounted to exactly one weighted subword")
+  }
+
   test("byte mass is merge-invariant: subword lengths sum to token octet length") {
     val merges = Bpe.trainMergesBytes(docs, "text", numMerges = 12, minPairCount = 1L)
     val d = docs.unionByName(Seq((99L, "✓ über 数据")).toDF("doc_id", "text"))
