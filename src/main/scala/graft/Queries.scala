@@ -1798,6 +1798,32 @@ object Queries {
           sum(text.tokenCount(col("text")).cast("long")).as("n_tokens")),
     None)
 
+  /** ORACLE-GATED q60 twin via the injectable uniform (the q88c move):
+    * the same per-stratum threshold decision driven by the systematic
+    * `pmod(doc_id, 1000)/1000` draw, so membership — not just counts —
+    * is ANSI-reproducible (the rollup keys it by stratum, and every
+    * retained doc contributes to hash-compared token sums).
+    */
+  val q60cStratifiedSampleSystematic: Q = Q(
+    "q60c_stratified_sample_systematic",
+    (s, dir) =>
+      graft.operators.Partitioning.stratifiedSample(
+        t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 0.25, "src1" -> 0.75),
+        uniform = Some(pmod(col("doc_id"), lit(1000L)).cast("double") / lit(1000.0)))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(text.tokenCount(col("text")).cast("long")).as("n_tokens")),
+    Some("""
+      WITH kept AS (
+        SELECT * FROM documents
+        WHERE (doc_id % 1000) / 1000.0 <
+              CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.75 ELSE 1.0 END)
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0))) AS BIGINT) AS n_tokens
+      FROM kept GROUP BY source, lang"""))
+
   /** Declarative expectations scorecard over lineitem: four row-predicate
     * rules folded into ONE scan (two pass, two with planted violations:
     * quantity ≤ 25 and discount ≤ 0.05 are deliberately tighter than the
@@ -2911,6 +2937,36 @@ object Queries {
     * embeddings table hash-matches DuckDB rebuilding the same modular
     * sign matrix. Output: (vec_id, out_dim, component).
     */
+  /** Exact phrase search through the POSITIONAL postings
+    * ([[graft.operators.TextIndex.phraseTopK]]), ORACLE-GATED: the index
+    * is built in two batches (phrase evidence spans the batch boundary),
+    * and DuckDB recomputes consecutive-occurrence counts from the raw
+    * corpus — they agree only if tokenization, the stored offsets, and
+    * the positional intersection are all faithful. Occurrence counts are
+    * integers; the (matches desc, doc_id) order is unique, so the top-k
+    * set is engine-stable.
+    */
+  val q93PhraseSearch: Q = Q(
+    "q93_phrase_search",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val path = java.nio.file.Files.createTempDirectory("graft_phrase_index").toString
+      graft.operators.TextIndex.build(docs.where(col("doc_id") % 2 === 0), "doc_id", "text", path)
+      graft.operators.TextIndex.append(
+        docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text", path, "00000002")
+      graft.operators.TextIndex.phraseTopK(s, path, Seq("query", "value"), 20)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(range(1, len(toks)), i -> toks[i] = 'query' AND toks[i+1] = 'value')) AS BIGINT) AS matches
+        FROM tok WHERE len(toks) >= 2)
+      SELECT doc_id, matches FROM m WHERE matches > 0
+      ORDER BY matches DESC, doc_id LIMIT 20"""))
+
   val q85RandomProjection: Q = Q(
     "q85_random_projection",
     (s, dir) => {
@@ -3572,7 +3628,7 @@ object Queries {
     q51TfidfTopTerms, q51cTfidfRatioExact, q52Bm25, q52cBm25Exact,
     q53IndexDedup, q53cCrossJaccardExact, q54Decontaminate, q55ChunkDocs,
     q56SnapshotDiff, q57EntityMatch, q58Outliers, q59IncrementalAgg,
-    q60StratifiedSample, q61Expectations, q62RobustOutliers, q63Funnel,
+    q60StratifiedSample, q60cStratifiedSampleSystematic, q61Expectations, q62RobustOutliers, q63Funnel,
     q63bFunnelWindowed, q64CohortRetention, q64bCohortRates, q64cCohortCalendar,
     q65AnnIndexDedup, q65bAnnIndexDedupPq, q65cAnnCrossExact, q66ExpectationsRoute, q67FunnelSqlAgg,
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
@@ -3588,7 +3644,7 @@ object Queries {
     q88WeightedSample,
     q88cWeightedSampleSystematic,
     q89SemanticDedup, q89cSemanticDedupExact,
-    q90PretrainingManifest, q91AudioDecode, q92ImageResize)
+    q90PretrainingManifest, q91AudioDecode, q92ImageResize, q93PhraseSearch)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -21,7 +21,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * `graft_funnel(ts, event_type, steps[, max_gap])`. `NearestCentroidsExpr` is
   * deliberately NOT SQL-registered: its centroids are runtime-trained
   * constants, which SQL text cannot carry usefully — use
-  * `Similarity.ivfTopK`.
+  * `Similarity.ivfTopK`. The same policy covers the PQ kernels
+  * (`PqEncodeExpr`/`PqAdcDotExpr`/`PqLutExpr`/`PqLutDotExpr` — trained
+  * codebooks; use [[graft.operators.AnnIndex]]) and
+  * `StringSetContainsExpr` (a runtime-collected set; use
+  * [[graft.operators.Boilerplate]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -176,6 +176,11 @@ object Partitioning {
     * `defaultFraction` (1.0 = pass through). Unlike
     * `DataFrameStatFunctions.sampleBy`, the decision is a pure function
     * of (key, seed) — retries and re-runs cannot change the sample.
+    *
+    * `uniform` defaults to the key-hash draw; injectable so callers can
+    * choose a systematic draw (the [[weightedSample]]/q75 pattern —
+    * q60c drives it with `pmod(key, 1000)/1000` for an ANSI-reproducible
+    * sample). Values must lie in [0, 1).
     */
   def stratifiedSample(
       df: DataFrame,
@@ -183,14 +188,16 @@ object Partitioning {
       keyCol: String,
       fractions: Map[String, Double],
       defaultFraction: Double = 1.0,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42,
+      uniform: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val uniformDraw = uniform // capture before the wildcard import (functions.uniform shadows)
     import org.apache.spark.sql.functions._
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be in [0, 1]")
     val frac = fractions.foldLeft(lit(defaultFraction)) {
       case (rest, (stratum, f)) => when(col(strataCol) === stratum, f).otherwise(rest)
     }
-    df.where(hashUniform(keyCol, seed) < frac)
+    df.where(uniformDraw.getOrElse(hashUniform(keyCol, seed)) < frac)
   }
 
   /** Deterministic per-key "reservoir": at most `n` rows per `keyCol`

@@ -34,8 +34,13 @@ import graft.functions.text
   * {{{
   *   params/              one row: tokenizer   — existence marker
   *   stats/batch=<b>/     one row: n_docs, sum_dl
-  *   postings/batch=<b>/  (term, doc_id, tf, dl)
+  *   postings/batch=<b>/  (term, doc_id, tf, dl, positions: array<int>)
   * }}}
+  * Postings are POSITIONAL (token offsets of every occurrence —
+  * Manning et al., IIR §2.4's positional index): BM25 search reads only
+  * (term, doc_id, tf, dl) and parquet column pruning leaves the
+  * positions bytes on disk; [[phraseTopK]] reads them to verify
+  * adjacency without ever touching the corpus text.
   * Corpus-level N and Σdl are the SUM of the per-batch stats rows
   * (append-only, O(batches) to read); `postings/` is written LAST by
   * [[append]] and is the commit marker [[appendIdempotent]] checks.
@@ -133,9 +138,11 @@ object TextIndex {
       DedupIndex.appendDir(
         tokenized
           .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-            explode(col("toks")).as("term"))
+            posexplode(col("toks")).as(Seq("pos", "term")))
           .groupBy("term", "doc_id", "dl")
-          .agg(count(lit(1)).as("tf"))
+          // sort_array: collect_list order is partition-nondeterministic;
+          // sorted offsets make the posting row a pure function of the doc
+          .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
           .repartitionByRange(col("term"))
           .sortWithinPartitions("term", "doc_id"),
         postingsDir(path), batch)
@@ -243,6 +250,61 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Exact phrase search over the positional postings: documents where
+    * the phrase's tokens occur CONSECUTIVELY, ranked by occurrence count
+    * (doc_id tiebreak), k rows max — (doc_id, matches). Occurrences may
+    * overlap ("table table table" contains "table table" twice), the
+    * standard positional-intersection semantics.
+    *
+    * Dataflow, all candidate-sized after the scan: ONE postings scan
+    * IN-filtered to the phrase's distinct terms (row groups without them
+    * never decompress — and only the matched rows' `positions` bytes are
+    * read), a per-candidate-doc term→positions map (≤ |phrase| small
+    * arrays per doc), then a single expression counts offsets p of the
+    * first term with every later term at p+i. A missing term makes the
+    * map lookup NULL → zero matches → filtered: conjunctive containment
+    * falls out of the adjacency check. Global top-k rides
+    * TakeOrderedAndProject. The corpus text is never re-read; nothing
+    * corpus-sized shuffles.
+    *
+    * Requires positional postings (any index appended since positions
+    * landed); fails loudly on a pre-positional index — [[compact]] of
+    * such an index cannot invent offsets, rebuild it.
+    */
+  def phraseTopK(
+      spark: SparkSession,
+      path: String,
+      phrase: Seq[String],
+      k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase search needs at least one token")
+    require(k > 0, "k must be positive")
+    val terms = phrase.map(_.toLowerCase)
+    val empty = spark.range(0)
+      .select(col("id").as("doc_id"), lit(0L).as("matches"))
+      .where(lit(false))
+    if (batches(spark, path).isEmpty) return empty
+    val postings = spark.read.parquet(postingsDir(path))
+    require(postings.columns.contains("positions"),
+      s"index at $path predates positional postings — rebuild to enable phrase search")
+    val matched = postings
+      .where(col("term").isin(terms.distinct: _*))
+      .select("term", "doc_id", "positions")
+      .distinct() // compact's promote-then-delete window, as in searchTopK
+    val perDoc = matched.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions")))).as("__m"))
+    def positionsOf(t: String): org.apache.spark.sql.Column =
+      coalesce(element_at(col("__m"), lit(t)), array().cast("array<int>"))
+    val matches = size(filter(positionsOf(terms.head), p =>
+      terms.zipWithIndex.tail.foldLeft(lit(true)) { case (acc, (t, i)) =>
+        acc && array_contains(positionsOf(t), p + i)
+      }))
+    perDoc
+      .select(col("doc_id"), matches.cast("long").as("matches"))
+      .where(col("matches") > 0L)
+      .orderBy(col("matches").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Fold every committed batch into ONE re-clustered batch and drop the
     * sources. Same contracts as [[DedupIndex.compact]]: probe-safe in
     * the overlap window (hence searchTopK's `distinct()`), not
@@ -276,7 +338,7 @@ object TextIndex {
       spark.read.parquet(old.map(b => s"${postingsDir(path)}/batch=$b"): _*)
         // same crash window: a folded-but-undeleted source duplicates its
         // postings rows against its merge — collapse before re-clustering
-        .select("term", "doc_id", "tf", "dl").distinct()
+        .select("term", "doc_id", "tf", "dl", "positions").distinct()
         .repartitionByRange(col("term"))
         .sortWithinPartitions("term", "doc_id"),
       postingsDir(path), label)

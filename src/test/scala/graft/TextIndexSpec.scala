@@ -198,4 +198,59 @@ class TextIndexSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       "global top-k must ride TakeOrderedAndProject, not a full sort")
   }
+
+  // ---- positional phrase search ----
+
+  private def phrase(path: String, words: String*) =
+    TextIndex.phraseTopK(spark, path, words, 10)
+      .as[(Long, Long)].collect().toMap
+
+  test("phraseTopK: adjacency, not mere co-occurrence") {
+    val path = tmp()
+    TextIndex.build(docs, "doc_id", "text", path)
+    // "window function" is consecutive only in doc 2; doc 3 has "window
+    // frames" (both words of SOME query elsewhere, adjacency must decide)
+    assert(phrase(path, "window", "function") === Map(2L -> 1L))
+    // "spark" alone: a 1-token phrase degenerates to tf
+    assert(phrase(path, "spark") === Map(1L -> 2L, 3L -> 1L))
+    // co-occurring but never adjacent
+    assert(phrase(path, "spark", "merge") === Map.empty[Long, Long])
+    // absent term
+    assert(phrase(path, "glacier", "spark") === Map.empty[Long, Long])
+  }
+
+  test("phraseTopK: repeated-term phrases count overlapping occurrences") {
+    val path = tmp()
+    TextIndex.build(docs, "doc_id", "text", path)
+    // doc 5 = "merge merge merge ..." → "merge merge" occurs at offsets
+    // 0 and 1 (overlap), "merge merge merge" once
+    assert(phrase(path, "merge", "merge") === Map(5L -> 2L))
+    assert(phrase(path, "merge", "merge", "merge") === Map(5L -> 1L))
+    assert(phrase(path, "merge", "merge", "merge", "merge") === Map.empty[Long, Long])
+  }
+
+  test("phraseTopK spans batches and survives compaction unchanged") {
+    val path = tmp()
+    TextIndex.build(docs.where(col("doc_id") <= 3), "doc_id", "text", path)
+    TextIndex.append(docs.where(col("doc_id") > 3), "doc_id", "text", path, "00000002")
+    val before = phrase(path, "merge", "merge")
+    assert(before === Map(5L -> 2L), "evidence in the second batch must be searchable")
+    TextIndex.compact(spark, path)
+    assert(phrase(path, "merge", "merge") === before, "compaction must be invisible")
+    assert(phrase(path, "window", "function") === Map(2L -> 1L))
+  }
+
+  test("phraseTopK on an empty index matches nothing; BM25 search ignores positions") {
+    val path = tmp()
+    TextIndex.init(spark, path)
+    assert(phrase(path, "spark") === Map.empty[Long, Long])
+    // BM25's scan must not read the positions column (column pruning)
+    TextIndex.build(docs, "doc_id", "text", path)
+    val plan = TextIndex.searchTopK(spark, path, query, 10)
+      .queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+      .filter(_.contains("term"))
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("positions")),
+      s"BM25 search must leave positions bytes on disk:\n${schemas.mkString("\n")}")
+  }
 }
