@@ -1386,6 +1386,33 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"), sum(text.tokenCount(col("text")).cast("long")).as("n_tokens")),
     None)
 
+  /** ORACLE-GATED q48 twin via the injectable uniform: the same
+    * cumulative-cut CASE assignment on the systematic `pmod` draw. The
+    * oracle mirrors the cut arithmetic EXPRESSION-for-expression
+    * (8/10, then 8/10 + 1/10) — the running float sum is not the
+    * decimal it prints as, and a literal 0.9 boundary would misassign
+    * keys landing exactly on it (hashSplit's scaladoc contract).
+    */
+  val q48cHashSplitSystematic: Q = Q(
+    "q48c_hash_split_systematic",
+    (s, dir) =>
+      graft.operators.Partitioning
+        .hashSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0),
+          uniform = Some(pmod(col("doc_id"), lit(1000L)).cast("double") / lit(1000.0)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(text.tokenCount(col("text")).cast("long")).as("n_tokens")),
+    Some("""
+      WITH d AS (
+        SELECT *,
+               CASE WHEN (doc_id % 1000) / 1000.0 < (8.0 / 10.0) THEN 'train'
+                    WHEN (doc_id % 1000) / 1000.0 < ((8.0 / 10.0) + (1.0 / 10.0)) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0))) AS BIGINT) AS n_tokens
+      FROM d GROUP BY split"""))
+
   /** Incremental sketch profile: shard lineitem 8 ways, build one
     * mergeable profile row per shard (exact count/nulls/min/max + HLL
     * distinct sketch + GK quantile sketch), then merge the shard rows and
@@ -1882,6 +1909,32 @@ object Queries {
         Seq("event_type"), "value", k = 1.5)
         .select("event_id", "event_type", "value", "grp_median", "grp_iqr"),
     None)
+
+  /** ORACLE-GATED exact twin of q62: Tukey fences from exact
+    * interpolated quartiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` — same `lower + frac·(upper−lower)` on the same
+    * IEEE doubles), fence arithmetic mirrored expression-for-expression.
+    * The flag SET is emitted (ids + the raw parquet value), not the
+    * fence floats themselves — the decision is what the sketch face is
+    * spec-gated against, so the decision is what the oracle pins.
+    */
+  val q62cRobustOutliersExact: Q = Q(
+    "q62c_robust_outliers_exact",
+    (s, dir) =>
+      graft.operators.Anomaly.robustOutliersExact(
+        t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value"),
+        Seq("event_type"), "value", k = 1.5)
+        .select("event_id", "event_type", "value"),
+    Some("""
+      WITH f AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type)
+      SELECT e.event_id, e.event_type, e.value
+      FROM events e JOIN f USING (event_type)
+      WHERE e.value < q1 - 1.5 * (q3 - q1) OR e.value > q3 + 1.5 * (q3 - q1)"""))
 
   /** Funnel analysis: greedy earliest-chain view→click→purchase per
     * user, exact and oracle-gated — the one-shuffle HOF fold must
@@ -3623,12 +3676,13 @@ object Queries {
     q36JsonExtract, q37SessionWindow, q38Quantiles, q38bApproxAgg, q38cExactAgg,
     q39AsofJoin,
     q40BinaryMeta, q41MediaDecode, q42FrameSample, q43TokenShards, q44IntervalJoin,
-    q45OrcRoundtrip, q46AvroRoundtrip, q47HeavyHitters, q48HashSplit,
+    q45OrcRoundtrip, q46AvroRoundtrip, q47HeavyHitters, q48HashSplit, q48cHashSplitSystematic,
     q49ApproxHeavyHitters, q50ProfileSketch, q50cProfileExact,
     q51TfidfTopTerms, q51cTfidfRatioExact, q52Bm25, q52cBm25Exact,
     q53IndexDedup, q53cCrossJaccardExact, q54Decontaminate, q55ChunkDocs,
     q56SnapshotDiff, q57EntityMatch, q58Outliers, q59IncrementalAgg,
-    q60StratifiedSample, q60cStratifiedSampleSystematic, q61Expectations, q62RobustOutliers, q63Funnel,
+    q60StratifiedSample, q60cStratifiedSampleSystematic, q61Expectations,
+    q62RobustOutliers, q62cRobustOutliersExact, q63Funnel,
     q63bFunnelWindowed, q64CohortRetention, q64bCohortRates, q64cCohortCalendar,
     q65AnnIndexDedup, q65bAnnIndexDedupPq, q65cAnnCrossExact, q66ExpectationsRoute, q67FunnelSqlAgg,
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,

@@ -118,9 +118,44 @@ object Anomaly {
           fences.getItem(0).as("__q1") :+
           fences.getItem(1).as("grp_median") :+
           fences.getItem(2).as("__q3"): _*)
+    tukeyFlag(df, groupCols, valueCol, k, grouped)
+  }
+
+  /** EXACT twin of [[robustOutliers]]: Tukey fences from Spark's exact
+    * interpolated `percentile` aggregate instead of the GK sketch —
+    * deliberately a full per-group sort inside the aggregate, the
+    * measuring stick, not the scale path (q62c gates it against DuckDB's
+    * `quantile_cont`, whose interpolation is the same `lower +
+    * frac·(upper−lower)` on the same IEEE doubles; the fence arithmetic
+    * is mirrored expression-for-expression for the boundary decisions).
+    */
+  def robustOutliersExact(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val grouped = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        percentile(col(valueCol), lit(0.25)).as("__q1"),
+        percentile(col(valueCol), lit(0.5)).as("grp_median"),
+        percentile(col(valueCol), lit(0.75)).as("__q3"))
+    tukeyFlag(df, groupCols, valueCol, k, grouped)
+  }
+
+  /** Shared fence-and-flag tail of the two robust faces: `grouped` must
+    * carry the group columns plus (__q1, grp_median, __q3).
+    */
+  private def tukeyFlag(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Double,
+      grouped: DataFrame): DataFrame = {
     val lo = col("__q1") - lit(k) * (col("__q3") - col("__q1"))
     val hi = col("__q3") + lit(k) * (col("__q3") - col("__q1"))
-    // null-SAFE join back: the sketch pass's groupBy keeps a null-key
+    // null-SAFE join back: the fences pass's groupBy keeps a null-key
     // group (like the window partitioning in zscoreOutliers), so the
     // join-back must too — a plain equi-join would silently drop every
     // null-keyed row, making the two outlier faces disagree on dirty data

@@ -127,18 +127,27 @@ object Partitioning {
     * (resplitting with a new seed is a fresh deterministic shuffle).
     * Adds `outCol` with the split name; pure projection — no shuffle, no
     * sampling pass, fully codegen'd (xxhash64 + a nested CASE).
+    *
+    * `uniform` defaults to the key-hash draw; injectable for the
+    * systematic ANSI-reproducible form (the q88c/q60c pattern — q48c).
+    * An oracle must mirror the cut arithmetic EXPRESSION-for-expression
+    * (`w₁/Σw`, then `w₁/Σw + w₂/Σw`, …): the running float sum is not
+    * the decimal it prints as, and a hand-written literal boundary will
+    * disagree for keys landing exactly on it.
     */
   def hashSplit(
       df: DataFrame,
       keyCol: String,
       weights: Seq[(String, Double)],
       seed: Int = 42,
-      outCol: String = "split"): DataFrame = {
+      outCol: String = "split",
+      uniform: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val uniformDraw = uniform // capture before the wildcard import (functions.uniform shadows)
     import org.apache.spark.sql.functions._
     require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
     require(weights.map(_._1).distinct.size == weights.size, "split names must be unique")
     val total = weights.map(_._2).sum
-    val u = hashUniform(keyCol, seed)
+    val u = uniformDraw.getOrElse(hashUniform(keyCol, seed))
     val cuts = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
     val assign = weights.map(_._1).zip(cuts).init
       .foldRight(lit(weights.last._1): org.apache.spark.sql.Column) {

@@ -72,6 +72,25 @@ class AnomalySpec extends AnyFunSuite {
     assert(got === (201L to 205L).toSet)
   }
 
+  test("robustOutliersExact flags the same heavy tail; sketch face agrees at easy margins") {
+    val data = ((1 to 200).map(i => (i.toLong, "a", (i - 1).toDouble)) ++
+      (201 to 205).map(i => (i.toLong, "a", 1e6))).toDF("id", "grp", "v")
+    val exact = graft.operators.Anomaly.robustOutliersExact(data, Seq("grp"), "v")
+      .select("id").as[Long].collect().toSet
+    assert(exact === (201L to 205L).toSet)
+    // on fences this far from the data, the sketch's rank error cannot
+    // flip any decision — the two faces agree outright
+    val sketch = graft.operators.Anomaly.robustOutliers(data, Seq("grp"), "v")
+      .select("id").as[Long].collect().toSet
+    assert(sketch === exact)
+    // exact percentile lands on the true order statistic: position
+    // 0.5·(205−1) = 102 → sorted value 102.0 (the interpolation contract
+    // the q62c oracle mirrors with quantile_cont)
+    val med = graft.operators.Anomaly.robustOutliersExact(data, Seq("grp"), "v")
+      .select("grp_median").as[Double].head()
+    assert(med === 102.0)
+  }
+
   test("robustOutliers resists contamination that drags the mean-based test") {
     // 10% contamination at 10^6: the spikes inflate sd so much that a
     // moderate 4-sigma-looking point (5e4) hides from the z-test, but it
