@@ -40,7 +40,11 @@ import graft.functions.text
   * Manning et al., IIR §2.4's positional index): BM25 search reads only
   * (term, doc_id, tf, dl) and parquet column pruning leaves the
   * positions bytes on disk; [[phraseTopK]] reads them to verify
-  * adjacency without ever touching the corpus text.
+  * adjacency without ever touching the corpus text. Storage cost is the
+  * standard positional trade: one int per token OCCURRENCE (≈ corpus
+  * token count in extra ints, typically 2–4× postings bytes), paid only
+  * on disk — delta-friendly sorted ints that parquet encodes compactly,
+  * and no non-phrase read path ever loads them.
   * Corpus-level N and Σdl are the SUM of the per-batch stats rows
   * (append-only, O(batches) to read); `postings/` is written LAST by
   * [[append]] and is the commit marker [[appendIdempotent]] checks.
