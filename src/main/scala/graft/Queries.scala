@@ -1102,6 +1102,35 @@ object Queries {
              CAST(GREATEST(1, floor(h * s + 0.5)) AS INT) AS out_height
       FROM sc"""))
 
+  /** Consecutive-duplicate-token collapse ([[text.collapseRuns]]) — the
+    * stutter-cleaning stage for OCR/crawl corpora, ORACLE-GATED on both
+    * the cleaned text and the drop count. Non-adjacent repeats survive
+    * (language, not stutter); the synthetic corpus is dense with
+    * adjacent repeats ("table table"), so witnesses are live at every
+    * scale.
+    */
+  val q94CollapseRuns: Q = Q(
+    "q94_collapse_runs",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.collapseRunsText(col("text")).as("text_clean"),
+        (text.tokenCount(col("text")) - size(text.collapseRuns(col("text"))))
+          .cast("long").as("n_tokens_dropped")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents),
+      k AS (
+        SELECT doc_id, tk,
+               list_filter(range(1, len(tk) + 1), i -> i = 1 OR tk[i] <> tk[i-1]) AS ki
+        FROM d)
+      SELECT doc_id,
+             array_to_string(list_transform(ki, i -> tk[i]), ' ') AS text_clean,
+             CAST(len(tk) - len(ki) AS BIGINT) AS n_tokens_dropped
+      FROM k"""))
+
   /** F8 generalized: JSON extraction from a string column. */
   val q36JsonExtract: Q = Q(
     "q36_json_extract",
@@ -3698,7 +3727,8 @@ object Queries {
     q88WeightedSample,
     q88cWeightedSampleSystematic,
     q89SemanticDedup, q89cSemanticDedupExact,
-    q90PretrainingManifest, q91AudioDecode, q92ImageResize, q93PhraseSearch)
+    q90PretrainingManifest, q91AudioDecode, q92ImageResize, q93PhraseSearch,
+    q94CollapseRuns)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

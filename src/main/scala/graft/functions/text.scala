@@ -18,6 +18,25 @@ object text {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Tokens with consecutive exact repeats collapsed to one — the
+    * stutter-cleaning step for OCR/crawl text ("the the the" → "the").
+    * Keep token i iff it differs from its predecessor; non-adjacent
+    * repeats survive (they are language, not stutter). Pure array
+    * filter, zero shuffle.
+    */
+  def collapseRuns(c: Column): Column = {
+    val toks = tokens(c)
+    // element_at is 1-based: the predecessor of 0-based index i is
+    // element_at(toks, i)
+    filter(toks, (t, i) => (i === 0) || (t =!= element_at(toks, i)))
+  }
+
+  /** [[collapseRuns]] rendered back to text (single-space joined — run
+    * collapsing is a token-level decision, so the rebuilt string is
+    * whitespace-normalized by construction).
+    */
+  def collapseRunsText(c: Column): Column = array_join(collapseRuns(c), " ")
+
   /** BPE-ish subword count: word-chunks + digits + punctuation each count
     * as one token — a cheap deterministic stand-in for a real tokenizer's
     * token count (regex, no vocab lookup).

@@ -7,8 +7,9 @@ import graft.functions.text
 
 /** One-call corpus curation: the standard pretraining cleanup chain —
   *
-  *   boilerplate strip → span strip → quality filter → exact dedup →
-  *   decontamination → fluency (LM) cut → per-source keep cut
+  *   boilerplate strip → stutter collapse → span strip → quality filter
+  *   → exact dedup → decontamination → fluency (LM) cut → per-source
+  *   keep cut
   *
   * — composed from the individually-gated stage operators, in the order
   * the stages depend on each other (stripping changes the text every
@@ -35,6 +36,7 @@ final case class CurationConfig(
     sourceCol: String = "source",
     gopher: Option[Filtering.GopherThresholds] = Some(Filtering.GopherThresholds()),
     boilerplateMinDf: Option[Long] = None,
+    collapseTokenRuns: Boolean = false,
     spanStripWindow: Option[Int] = None,
     spanStripMinDf: Long = 2L,
     exactDedup: Boolean = true,
@@ -63,6 +65,11 @@ object Curation {
         .withColumn(cfg.textCol, col("text_clean"))
         .drop("text_clean")
     }
+    if (cfg.collapseTokenRuns)
+      // stutter collapse rewrites the text like the strip stages (and
+      // runs before quality signals judge it); zero shuffle — it fuses
+      // into whatever scan follows
+      cur = cur.withColumn(cfg.textCol, text.collapseRunsText(col(cfg.textCol)))
     cfg.spanStripWindow.foreach { l =>
       // span strip rewrites the text (like the boilerplate stage) and
       // appends an `n_span_tokens_dropped` audit column; it runs BEFORE
@@ -147,6 +154,8 @@ object Curation {
         .withColumn(cfg.textCol, col("text_clean"))
         .drop("text_clean")
     }
+    if (cfg.collapseTokenRuns)
+      cur = cur.withColumn(cfg.textCol, text.collapseRunsText(col(cfg.textCol)))
     cfg.spanStripWindow.foreach { l =>
       val stripped = SpanDedup
         .stripRepeatedSpans(cur, cfg.idCol, cfg.textCol, l, cfg.spanStripMinDf)

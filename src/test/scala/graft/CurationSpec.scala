@@ -67,6 +67,28 @@ class CurationSpec extends AnyFunSuite {
       s"cleaned duplicates must collapse to the min-id keeper: $ids2")
   }
 
+  test("stutter collapse rewrites before quality signals judge the text") {
+    // "data data data …" stutters: collapsed it has 7 tokens (< the
+    // gopher minimum below), so with the stage ON gopher sees the
+    // cleaned text and kills the doc; OFF, the stutter inflates the
+    // count past the threshold and it survives
+    val stuttered = Seq(
+      (1L, "A", "the data data data data data data data data table holds rows"))
+      .toDF("doc_id", "source", "text")
+    val th = Filtering.GopherThresholds(minTokens = 8L, minStopwordHits = 1L)
+    val off = Curation.run(stuttered,
+      CurationConfig(gopher = Some(th), exactDedup = false))
+    assert(off.count() === 1L, "without collapse the stutter inflates past minTokens")
+    val on = Curation.run(stuttered,
+      CurationConfig(gopher = Some(th), exactDedup = false, collapseTokenRuns = true))
+    assert(on.count() === 0L, "collapsed text has 7 tokens and fails minTokens=8")
+    // and the rewrite itself: runs collapse, non-adjacent repeats survive
+    val cleaned = Curation.run(stuttered,
+      CurationConfig(gopher = None, exactDedup = false, collapseTokenRuns = true))
+      .select("text").as[String].head()
+    assert(cleaned === "the data table holds rows")
+  }
+
   test("an all-default-off config is the identity") {
     val out = Curation.run(corpus,
       CurationConfig(gopher = None, exactDedup = false))

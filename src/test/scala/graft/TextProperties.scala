@@ -36,6 +36,19 @@ object TextProperties extends Properties("graft.text") {
       one(words.mkString(ws), text.tokenCount(col("text"))).getInt(0) == words.count(_.nonEmpty)
     }
 
+  property("collapseRuns: no adjacent repeats out, reference equality, idempotent") =
+    forAll(Gen.listOf(Gen.oneOf("a", "b", "table", "x")).map(_.take(25)), genWs) { (words, ws) =>
+      val doc = words.mkString(ws)
+      val got = one(doc, text.collapseRunsText(col("text"))).getString(0)
+      // independent in-memory reference: keep where token != predecessor
+      val ref = words.foldLeft(Vector.empty[String]) { (acc, w) =>
+        if (acc.nonEmpty && acc.last == w) acc else acc :+ w
+      }.mkString(" ")
+      val idem = one(got, text.collapseRunsText(col("text"))).getString(0)
+      got == ref && idem == got &&
+        got.split(" ").filter(_.nonEmpty).sliding(2).forall(p => p.length < 2 || p(0) != p(1))
+    }
+
   property("ratios live in [0,1]; empty docs score 0") =
     forAll(genDoc) { doc =>
       val r = Seq(doc).toDF("text").select(
