@@ -3271,11 +3271,13 @@ object Queries {
       SELECT pr[1] AS a_byte, pr[2] AS b_byte, CAST(SUM(wf) AS BIGINT) AS pair_wf
       FROM pr GROUP BY 1, 2"""))
 
-  /** Byte-level merge training: (rank, a, b) with a/b emitted as byte-int
-    * arrays (the Latin-1 symbol strings are not ANSI-portable; their byte
-    * decomposition is). No oracle (iterative argmax per round, the q83b
-    * argument); gated by BpeSpec byte-face laws: round-trip through
-    * [[graft.operators.Bpe.fromByteAlphabet]], encode/encodeFast
+  /** Byte-level merge training: (rank, a, b) with a/b emitted as
+    * comma-joined byte-int strings (the Latin-1 symbol strings are not
+    * ANSI-portable; their byte decomposition is — rendered as scalar
+    * strings so the verify harness can canonical-sort the dump, which it
+    * cannot do for array columns). No oracle (iterative argmax per round,
+    * the q83b argument); gated by BpeSpec byte-face laws: round-trip
+    * through [[graft.operators.Bpe.fromByteAlphabet]], encode/encodeFast
     * equality, and no-OOV on unseen Unicode.
     */
   val q83gBpeByteMerges: Q = Q(
@@ -3285,7 +3287,9 @@ object Queries {
       graft.operators.Bpe
         .trainMergesBytes(t(s, dir, "documents"), "text", numMerges = 12, minPairCount = 2L)
         .zipWithIndex
-        .map { case ((a, b), i) => (i.toLong, a.map(_.toInt), b.map(_.toInt)) }
+        .map { case ((a, b), i) =>
+          (i.toLong, a.map(_.toInt).mkString(","), b.map(_.toInt).mkString(","))
+        }
         .toDF("rank", "a_bytes", "b_bytes")
     },
     None)

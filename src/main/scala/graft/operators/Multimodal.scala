@@ -267,7 +267,12 @@ object Multimodal {
                   new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(r.bytes)))
                 try {
                   val fmt = in.getFormat
-                  Some((fmt.getSampleRate.toInt, fmt.getChannels, in.getFrameLength))
+                  // AudioSystem.NOT_SPECIFIED (-1) frame length means the
+                  // container does not declare its sample count — treat as
+                  // undecodable so it lands in the NULL-field quarantine
+                  // rather than reporting n_samples=-1 / negative duration
+                  if (in.getFrameLength < 0) None
+                  else Some((fmt.getSampleRate.toInt, fmt.getChannels, in.getFrameLength))
                 } finally in.close()
               } catch { case scala.util.control.NonFatal(_) => None }
             AudioRow(

@@ -100,12 +100,14 @@ object Pq {
       sampleRows: Int = 2048,
       iters: Int = 10): Codebook = {
     require(m > 0, "m must be positive")
+    // cast in-plan so array<float> and array<double> corpora both train
+    // (the PQ expressions accept either; the sampler must too)
     val sample: Array[Array[Double]] = emb
       .orderBy(xxhash64(col(idCol)))
-      .select(col(vecCol))
+      .select(col(vecCol).cast("array<double>"))
       .limit(math.max(sampleRows, ksub))
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot train a PQ codebook on an empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"dim=$dim does not split into m=$m subspaces")

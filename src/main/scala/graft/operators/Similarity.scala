@@ -230,10 +230,10 @@ object Similarity {
       kmeansIters: Int = 5): IvfIndex = {
     val trainSample: Array[Array[Double]] = emb
       .orderBy(xxhash64(col(idCol)))
-      .select(col(vecCol))
+      .select(col(vecCol).cast("array<double>"))
       .limit(math.max(sampleRows, nlist))
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Double](0).toArray)
     require(trainSample.nonEmpty, "cannot train IVF centroids on an empty corpus")
     IvfIndex(kmeans(trainSample, nlist, kmeansIters))
   }
@@ -267,10 +267,10 @@ object Similarity {
     import org.apache.spark.sql.graft.ColumnBridge
     val seedRows = emb
       .orderBy(xxhash64(col(idCol)))
-      .select(col(vecCol))
+      .select(col(vecCol).cast("array<double>"))
       .limit(4 * nlist)
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Double](0).toArray)
     require(seedRows.nonEmpty, "cannot train IVF centroids on an empty corpus")
     var centroids = seedRows.distinctBy(_.toSeq).take(nlist)
     val vecs = emb.select(col(vecCol).as("__vec"))

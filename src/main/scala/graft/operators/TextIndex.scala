@@ -290,10 +290,17 @@ object TextIndex {
     val postings = spark.read.parquet(postingsDir(path))
     require(postings.columns.contains("positions"),
       s"index at $path predates positional postings — rebuild to enable phrase search")
+    // one positions array per (term, doc_id): collapses compact's
+    // promote-then-delete window (identical duplicates, as in searchTopK)
+    // AND a doc_id re-appended with different text across batches — where
+    // a bare distinct() would keep both rows and map_from_entries would
+    // throw DUPLICATED_MAP_KEY. max() on array<int> is a deterministic
+    // lexicographic pick, so the conflicting-append case degrades to one
+    // consistent posting rather than a query-time crash.
     val matched = postings
       .where(col("term").isin(terms.distinct: _*))
-      .select("term", "doc_id", "positions")
-      .distinct() // compact's promote-then-delete window, as in searchTopK
+      .groupBy(col("term"), col("doc_id"))
+      .agg(max(col("positions")).as("positions"))
     val perDoc = matched.groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("term"), col("positions")))).as("__m"))
     def positionsOf(t: String): org.apache.spark.sql.Column =

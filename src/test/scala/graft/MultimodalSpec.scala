@@ -123,6 +123,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.forall(r => r.sample_rate.isEmpty && r.n_samples.isEmpty))
   }
 
+  test("decodeAudio: unspecified frame length (AU unknown data size) quarantines, not -1") {
+    // A valid AU container whose header declares data size 0xFFFFFFFF
+    // ("unknown") — the JDK parses it but reports frameLength
+    // NOT_SPECIFIED (-1); that must quarantine like malformed audio,
+    // never surface as n_samples=-1 / negative duration_ms.
+    val b = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(b)
+    d.writeInt(0x2e736e64) // ".snd" magic
+    d.writeInt(24)         // data offset
+    d.writeInt(0xFFFFFFFF) // data size: unknown
+    d.writeInt(3)          // encoding: 16-bit linear PCM
+    d.writeInt(8000)       // sample rate
+    d.writeInt(1)          // channels
+    d.write(new Array[Byte](200))
+    val au = Seq((7L, "audio", b.toByteArray)).toDF("media_id", "kind", "bytes")
+    val rows = Multimodal.decodeAudio(spark, au).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.byte_len == 224)
+    assert(r.sample_rate.isEmpty && r.channels.isEmpty &&
+      r.n_samples.isEmpty && r.duration_ms.isEmpty,
+      s"unspecified-length audio must NULL-quarantine, got $r")
+  }
+
   test("resizeImages: real decode → rescale → re-encode; geometry exact, output decodable") {
     val png = Seq(0L, 31L, 40L, 1023L)
       .map(id => (id, "image", Multimodal.syntheticPng(id)))

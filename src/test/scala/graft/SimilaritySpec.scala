@@ -20,6 +20,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cos == cos.sorted.reverse, "must be ranked by cosine desc")
   }
 
+  test("trainIvf and Pq.train accept array<double> vector columns (the ADVICE r9 latent cast)") {
+    // The probe expressions always accepted array<float|double>; the
+    // driver-side samplers hard-cast to Seq[Float] until round 10. A
+    // double-typed corpus must train without ClassCastException and
+    // produce the same shapes as a float one.
+    val dbl = Seq.tabulate(64)(i => (i.toLong, Array.tabulate(8)(j => (i * 8 + j).toDouble)))
+      .toDF("id", "vec")
+    assert(dbl.schema("vec").dataType.simpleString == "array<double>")
+    val ivf = Similarity.trainIvf(dbl, "id", "vec", nlist = 4, sampleRows = 64)
+    assert(ivf.centroids.length == 4 && ivf.dim == 8)
+    val full = Similarity.trainIvfFull(dbl, "id", "vec", nlist = 4, iters = 2)
+    assert(full.centroids.length == 4 && full.dim == 8)
+    val cb = graft.operators.Pq.train(dbl, "id", "vec", m = 2, ksub = 4, sampleRows = 64)
+    assert(cb.m == 2 && cb.ksub == 4 && cb.dim == 8)
+  }
+
   test("lshTopK returns k rows with nonzero recall vs brute force (the round-1 regression)") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)

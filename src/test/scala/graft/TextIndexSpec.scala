@@ -240,6 +240,23 @@ class TextIndexSpec extends AnyFunSuite {
     assert(phrase(path, "window", "function") === Map(2L -> 1L))
   }
 
+  test("phraseTopK: a doc_id re-appended with DIFFERENT text degrades, never crashes") {
+    // Two batches carry the same doc_id with conflicting text. distinct()
+    // can't collapse differing positions arrays, and map_from_entries
+    // would throw DUPLICATED_MAP_KEY (the ADVICE r9 finding) — the
+    // query must instead keep one deterministic posting per (term,
+    // doc_id) and answer, like searchTopK degrades on the same input.
+    val path = tmp()
+    TextIndex.build(Seq((9L, "alpha beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    TextIndex.append(Seq((9L, "beta alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text", path, "00000002")
+    val out = phrase(path, "alpha", "beta") // must not throw
+    assert(out.keySet.subsetOf(Set(9L)))
+    // single-term phrase on a term present in both versions also answers
+    assert(phrase(path, "beta").keySet == Set(9L))
+  }
+
   test("phraseTopK on an empty index matches nothing; BM25 search ignores positions") {
     val path = tmp()
     TextIndex.init(spark, path)
