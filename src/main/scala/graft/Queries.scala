@@ -794,16 +794,65 @@ object Queries {
       maxBucket = 256),
     None)
 
-  /** EXACT all-pairs hamming ground truth for q26: brute-force nested-loop
-    * over the same signatures, no banding — recall = 1 by construction.
-    * No DuckDB oracle (the signature is xxhash64-based, not ANSI-SQL-
-    * reproducible); instead DedupSpec asserts q26 == q26c at the default
-    * geometry and q26 ⊆ q26c under a finite bucket cap.
+  /** EXACT all-pairs hamming ground truth for the SimHash family, ORACLE-
+    * GATED via the injectable token hash ([[graft.operators.Dedup.linearTokenHash]]
+    * — the q85/q48c move applied per token): DuckDB rebuilds the byte-
+    * polynomial base hash, the 63-bit linear spread, the per-bit majority
+    * vote, the packed signature, and the all-pairs hamming ≤ 3 join from
+    * the raw planted corpus. Agreement means tokenization, UTF-8 byte
+    * extraction, the [[graft.expressions.SimHashExpr]] vote matrix
+    * (ties → 0, empty docs → sig 0), and the hamming comparison are ALL
+    * faithful. The production xxhash face keeps its own exactness law in
+    * DedupSpec (banded q26 == driver-side all-pairs), and the banded
+    * fast path under THIS hash is spec-asserted equal to this query
+    * (pigeonhole is hash-agnostic).
     */
   val q26cSimhashPairsExact: Q = Q(
     "q26c_simhash_pairs_exact",
-    (s, dir) => Dedup.simHashPairsExact(corpusWithPlantedDups(s, dir), "text", "doc_id"),
-    None)
+    (s, dir) => Dedup.simHashPairsExact(corpusWithPlantedDups(s, dir), "text", "doc_id",
+      tokenHash = Dedup.linearTokenHash(_, seed = 11L)),
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)[2:], ' ') AS text
+        FROM documents WHERE doc_id % 10 = 0),
+      tok AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS w
+        FROM corpus WHERE text IS NOT NULL),
+      hb AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, octet_length(encode(w)) + 1),
+                   i -> CAST(CAST('0x' || substr(hex(encode(w)), 2*i-1, 2) AS INT) AS BIGINT))),
+                 (acc, b) -> (acc * 31 + b) % 2147483647) AS p1,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, octet_length(encode(w)) + 1),
+                   i -> CAST(CAST('0x' || substr(hex(encode(w)), 2*i-1, 2) AS INT) AS BIGINT))),
+                 (acc, b) -> (acc * 131 + b) % 2147483647) AS p2
+        FROM tok),
+      h AS (
+        SELECT doc_id,
+               (1103515245 * p1 + 12345) % 2147483647 AS base1,
+               (1103515245 * p2 + 54321) % 2147483647 AS base2
+        FROM hb),
+      votes AS (
+        SELECT doc_id, j.j AS bit,
+               SUM(CASE WHEN ((base1 + j.j * base2 + 11) % 2147483647) * 2 < 2147483647 THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN range(0, 63) AS j(j)
+        GROUP BY doc_id, j.j),
+      sig AS (
+        SELECT c.doc_id,
+               COALESCE(SUM(CASE WHEN v.bit < 32 AND v.v > 0 THEN (CAST(1 AS BIGINT) << CAST(v.bit AS INT)) ELSE 0 END), 0) AS lo,
+               COALESCE(SUM(CASE WHEN v.bit >= 32 AND v.v > 0 THEN (CAST(1 AS BIGINT) << CAST(v.bit - 32 AS INT)) ELSE 0 END), 0) AS hi
+        FROM corpus c LEFT JOIN votes v ON v.doc_id = c.doc_id
+        WHERE c.text IS NOT NULL
+        GROUP BY c.doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""))
 
   /** Rolling-hash document fingerprint (min shingle hash, winnowing-style). */
   val q27RollingFingerprint: Q = Q(
@@ -812,7 +861,57 @@ object Queries {
       t(s, dir, "documents").select(
         col("doc_id"),
         text.rollingFingerprint(col("text")).as("rolling_fp")),
-    None) // xxhash64 has no DuckDB equivalent
+    None) // xxhash64 has no DuckDB equivalent; q27c is the oracle face
+
+  /** ORACLE-GATED q27 twin via the injectable shingle hash
+    * ([[graft.operators.Dedup.linearTokenHash]] over the shingle STRING):
+    * DuckDB rebuilds word 3-shingles, the double byte-polynomial 63-bit
+    * spread, the packed hash, and the per-document min. Agreement gates
+    * the SHARED machinery — tokenize, shingle window (incl. the <k
+    * whole-doc-shingle branch), and min-winnowing — end to end; only the
+    * hash family differs from the production q27 face.
+    */
+  val q27cRollingFingerprintLinear: Q = Q(
+    "q27c_rolling_fingerprint_linear",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.rollingFingerprint(col("text"),
+          hash = Dedup.linearTokenHash(_, seed = 11L)).as("rolling_fp")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS sh
+        FROM tok),
+      s AS (SELECT doc_id, unnest(sh) AS w FROM sh),
+      hb AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, octet_length(encode(w)) + 1),
+                   i -> CAST(CAST('0x' || substr(hex(encode(w)), 2*i-1, 2) AS INT) AS BIGINT))),
+                 (acc, b) -> (acc * 31 + b) % 2147483647) AS p1,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, octet_length(encode(w)) + 1),
+                   i -> CAST(CAST('0x' || substr(hex(encode(w)), 2*i-1, 2) AS INT) AS BIGINT))),
+                 (acc, b) -> (acc * 131 + b) % 2147483647) AS p2
+        FROM s),
+      hx AS (
+        SELECT doc_id,
+               (1103515245 * p1 + 12345) % 2147483647 AS base1,
+               (1103515245 * p2 + 54321) % 2147483647 AS base2
+        FROM hb),
+      packed AS (
+        SELECT doc_id,
+               list_reduce(list_transform(range(0, 63),
+                 j -> CASE WHEN (base1 + j * base2 + 11) % 2147483647 * 2 < 2147483647
+                           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END),
+                 (a, b) -> a + b) AS h
+        FROM hx)
+      SELECT doc_id, MIN(h) AS rolling_fp FROM packed GROUP BY doc_id"""))
 
   /** Sequence-packing primitive for training shards: global running token
     * total in doc_id order and the ~10k-token shard each document lands in.
@@ -3702,7 +3801,7 @@ object Queries {
     q19Rollup, q19Cube, q19WindowFrames, q19Pivot, q19Ntile,
     q20TokenStats, q21QualityScore, q22LangId, q23Fingerprint, q24ExactDedup,
     q25MinhashDedup, q25bDupClusters, q25cJaccardPairsExact, q25dClustersExact,
-    q26SimhashPairs, q26cSimhashPairsExact, q27RollingFingerprint,
+    q26SimhashPairs, q26cSimhashPairsExact, q27RollingFingerprint, q27cRollingFingerprintLinear,
     q28TermFreq, q29TokenJaccard,
     q30CosineTopK, q31AnnLsh, q32EmbeddingNearDup, q32cEmbeddingNearDupExact, q33AnnIvf,
     q34Repetition, q35PiiRedact,

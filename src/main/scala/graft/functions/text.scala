@@ -239,8 +239,12 @@ object text {
 
   /** Rolling-hash content fingerprint: min of 64-bit shingle hashes
     * (winnowing-style). Robust to token reordering at the edges; one value
-    * per document, no shuffle.
+    * per document, no shuffle. `hash` is injectable (the q48c/q26c move):
+    * the default xxhash64 is the production face; passing
+    * [[graft.operators.Dedup.linearTokenHash]] gives the ANSI-reproducible
+    * oracle face (q27c) — the min-of-shingle-hashes machinery is shared.
     */
-  def rollingFingerprint(c: Column, k: Int = 3): Column =
-    array_min(transform(shingles(c, k), s => xxhash64(s)))
+  def rollingFingerprint(
+      c: Column, k: Int = 3, hash: Column => Column = xxhash64(_)): Column =
+    array_min(transform(shingles(c, k), s => hash(s)))
 }

@@ -470,11 +470,64 @@ object Dedup {
     * native [[graft.expressions.SimHashExpr]]; only the tokenize+hash pass
     * stays a higher-order transform (once per row).
     */
-  def simHash(textC: Column): Column = {
+  def simHash(textC: Column, tokenHash: Column => Column = xxhash64(_)): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val tokHashes = transform(text.tokens(textC), t => xxhash64(t))
+    val tokHashes = transform(text.tokens(textC), t => tokenHash(t))
     ColumnBridge.column(
       graft.expressions.SimHashExpr(ColumnBridge.expression(tokHashes)))
+  }
+
+  /** ANSI-portable token hash for the SimHash ORACLE face (the q85 /
+    * q48c injectable-hash move, applied to the per-token hash): two
+    * polynomial rolling hashes over the token's UTF-8 BYTES (multipliers
+    * 31 and 131) mod the [[Projection.LinearP]] prime, each post-mixed by
+    * a [[Projection.LinearA]] multiply so SHORT tokens spread across the
+    * whole field (a bare byte-polynomial of a ≤3-byte token never wraps P,
+    * so every bit test would vote identically — the degenerate-signature
+    * trap), then spread to 63 bits by Kirsch–Mitzenmacher double hashing:
+    * bit j tests `(base1 + j·base2 + seed) mod P` in the lower half. The
+    * per-token step `base2` decorrelates bit lanes — a single linear form
+    * in j steps all tokens' thresholds in lockstep and bits j, j+2 almost
+    * always agree. Every step is integer arithmetic any SQL engine
+    * reproduces — DuckDB rebuilds the identical signature from
+    * `encode(token)`'s bytes (q26c).
+    *
+    * 63 bits, not 64, on purpose: bit 63 stays 0 so neither engine ever
+    * packs `1<<63` (signed-overflow territory under ANSI arithmetic on
+    * both sides); the majority-vote loop in
+    * [[graft.expressions.SimHashExpr]] still runs all 64 lanes — lane 63
+    * just votes unanimously negative. Production face stays [[simHash]]'s
+    * default xxhash64 (better mixing, spec-pinned); this face exists so
+    * the SHARED machinery — tokenize, SimHashExpr vote, banding, hamming
+    * join — is hash-gated end to end against an external engine.
+    */
+  def linearTokenHash(t: Column, seed: Long = 11L): Column = {
+    import Projection.{LinearA, LinearP}
+    require(seed >= 0L, "linearTokenHash needs a non-negative seed")
+    val bin = encode(t, "UTF-8")
+    // byte i of the UTF-8 encoding, as 0..255 (hex→int avoids the
+    // sign/codepoint ambiguity of ascii()/substring on multibyte chars)
+    def byteAt(i: Column): Column =
+      conv(hex(bin.substr(i, lit(1))), 16, 10).cast("long")
+    def poly(mult: Long): Column = aggregate(
+      sequence(lit(1), octet_length(bin)),
+      lit(0L),
+      (acc, i) => (acc * mult + byteAt(i)) % LinearP)
+    val base1 = (lit(LinearA) * poly(31L) + lit(12345L)) % lit(LinearP)
+    val base2 = (lit(LinearA) * poly(131L) + lit(54321L)) % lit(LinearP)
+    // Horner from bit 62 down: acc*2 + bit never exceeds 2^63-1. The
+    // bases ride the aggregate's zero (evaluated ONCE per token) — in the
+    // lambda body they'd be re-derived from the bytes on every one of the
+    // 63 iterations (HOFs have no CSE; the file-header discipline).
+    aggregate(
+      sequence(lit(62), lit(0), lit(-1)),
+      struct(lit(0L).as("acc"), base1.as("b1"), base2.as("b2")),
+      (st, j) => struct(
+        (st.getField("acc") * 2L + when(
+          (st.getField("b1") + j * st.getField("b2") + lit(seed)) % lit(LinearP) * 2L < lit(LinearP),
+          lit(1L)).otherwise(lit(0L))).as("acc"),
+        st.getField("b1").as("b1"),
+        st.getField("b2").as("b2"))).getField("acc")
   }
 
   /** SimHash near-dup pairs by 16-bit band blocking (hamming ≤ 3 across 4
@@ -499,9 +552,10 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val sigs = Partitioning.spread(df)
-      .select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+      .select(col(idCol).as("id"), simHash(col(textCol), tokenHash).as("sig"))
       .transform(pin)
     // NULL text → NULL signature: similarity with an absent doc is
     // undefined, and unfiltered null rows would all land in the one
@@ -561,9 +615,10 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val sigs = Partitioning.spread(df)
-      .select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+      .select(col(idCol).as("id"), simHash(col(textCol), tokenHash).as("sig"))
       .where(col("sig").isNotNull)
       .transform(pin)
     sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))

@@ -286,11 +286,38 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked == exact,
       s"hamming<=3 guarantees a shared band — blocking must lose nothing; " +
         s"missing=${exact.diff(blocked).take(5)} extra=${blocked.diff(exact).take(5)}")
-    // the catalog's brute-force twin reproduces the same ground truth
-    // through an INDEPENDENT algorithm (nested loop, no pigeonhole)
+    // the brute-force twin reproduces the same ground truth through an
+    // INDEPENDENT algorithm (nested loop, no pigeonhole) — same hash face
+    val bruteExact = Dedup.simHashPairsExact(corpus, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bruteExact == exact, "exact all-pairs must equal driver-side all-pairs hamming")
+  }
+
+  test("simHash linear oracle face: banding equals catalog q26c; planted dups found") {
+    // q26c runs the SAME tokenize → SimHashExpr vote → all-pairs hamming
+    // machinery under the ANSI-reproducible token hash (its DuckDB oracle
+    // rebuilds the signature from raw bytes). Pigeonhole is hash-agnostic,
+    // so the banded fast path under the linear hash must emit the
+    // identical pair set — tying the production banding machinery to the
+    // externally-gated signature.
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = Queries.corpusWithPlantedDups(spark, sfDir)
+    val linearHash = (t: org.apache.spark.sql.Column) => Dedup.linearTokenHash(t, seed = 11L)
     val catalogExact = Queries.queries("q26c_simhash_pairs_exact")(spark, sfDir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(catalogExact == exact, "q26c must equal driver-side all-pairs hamming")
+    val banded = Dedup.simHashPairs(corpus, "text", "doc_id", tokenHash = linearHash)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == catalogExact,
+      s"banding under the linear hash must lose nothing; " +
+        s"missing=${catalogExact.diff(banded).take(5)} extra=${banded.diff(catalogExact).take(5)}")
+    // the linear face is a working near-dup signature, not a degenerate
+    // one: it recovers planted (orig, orig+1e6) mutated-copy pairs
+    assert(catalogExact.exists { case (a, b) => b == a + 1000000L },
+      "linear-hash SimHash must recover planted near-duplicates")
+    // bit 63 is structurally zero under the 63-bit spread
+    val sigs = corpus.select(Dedup.simHash(col("text"), linearHash).as("sig"))
+      .where(col("sig").isNotNull).as[Long].collect()
+    assert(sigs.forall(_ >= 0L), "linear-face signatures must never set bit 63")
   }
 
   test("embedding near-dup precision vs brute-force cosine ground truth") {
