@@ -2244,7 +2244,8 @@ object Queries {
         threshold = 0.99, nprobe = 8, margin = 0.15)
         .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
     },
-    None)
+    None,
+    headline = true) // serving path: PQ index build + ADC probe timed per round
 
   /** EXACT ground truth for q65: brute-force cross cosine over corpus ∪
     * batch restricted to CROSS pairs (corpus id < 1,000,000 ≤ batch id).
@@ -2956,7 +2957,8 @@ object Queries {
         FROM dc)
       SELECT doc_id, text, lang, source, n_chars FROM sc
       QUALIFY row_number() OVER (PARTITION BY source ORDER BY nt DESC, doc_id ASC)
-              <= CAST(floor(0.5 * CAST(COUNT(*) OVER (PARTITION BY source) AS DOUBLE)) AS BIGINT)"""))
+              <= CAST(floor(0.5 * CAST(COUNT(*) OVER (PARTITION BY source) AS DOUBLE)) AS BIGINT)"""),
+    headline = true) // serving path: the 4-stage curation chain timed per round
 
   /** Bigram LM training ([[graft.operators.NgramLm.trainBigramStats]]):
     * the CCNet-style perplexity-filter model, trained on the English
@@ -3767,7 +3769,8 @@ object Queries {
       graft.operators.TextIndex.searchTopK(
         s, path, Seq("spark", "merge", "window"), 20)
     },
-    Some(bm25RationalOracle))
+    Some(bm25RationalOracle),
+    headline = true) // serving path: index build + BM25 probe timed per round
 
   /** q84 after [[graft.operators.TextIndex.compact]]: the two batches fold
     * into one re-clustered partition and the SAME query must return the

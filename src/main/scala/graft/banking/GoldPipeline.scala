@@ -116,6 +116,31 @@ object GoldPipeline {
     "dim_date" -> gold.dimDate,
     "fact_account_snapshot" -> gold.factAccountSnapshot)
 
+  /** Per-table JDBC writer parallelism from the reference's load calls
+    * (gold_sql_to_postgres.py:199-203): the big SCD2 dims and the fact
+    * load on 16 connections, the small bridge/date tables on 8.
+    */
+  val DwhPartitions: Map[String, Int] = Map(
+    "dim_account" -> 16,
+    "dim_person" -> 16,
+    "bridge_account_person" -> 8,
+    "dim_date" -> 8,
+    "fact_account_snapshot" -> 16)
+
+  /** The Postgres-dialect CREATE TABLE statements for the five gold
+    * tables under the reference's `gold` schema — what the reference's
+    * overwrite-with-truncate load relies on existing server-side. Spec-
+    * pinned (no live Postgres in tests; [[Sinks.jdbcDdl]] runs Spark's
+    * own PostgresDialect type mapping).
+    */
+  def postgresGoldDdl(
+      gold: GoldTables,
+      url: String = "jdbc:postgresql://postgres:5432/dwh",
+      schema: String = "gold"): Seq[(String, String)] =
+    dwhTables(gold).map { case (name, df) =>
+      name -> Sinks.jdbcDdl(url, s"$schema.$name", df)
+    }
+
   /** Gold → DWH: the reference's production act is five sequential JDBC
     * bulk loads (gold_sql_to_postgres.py:199-203, Postgres). Same act here
     * against any JDBC target (embedded Derby in tests). Each load is a
@@ -129,14 +154,18 @@ object GoldPipeline {
   def loadToDwh(
       gold: GoldTables,
       cfg: Sinks.JdbcConfig,
-      numPartitions: Int = 8): Unit =
+      numPartitions: Int = 0): Unit =
     dwhTables(gold).foreach { case (name, df) =>
       val scope = graft.operators.Caches.newScope()
       graft.operators.Caches.inScope(scope) { graft.operators.Caches.pin(df) }
+      // numPartitions <= 0 → the reference's per-table parallelism
+      // ([[DwhPartitions]]); a positive override applies to every table
+      // (tests size it to the local session).
+      val parts = if (numPartitions > 0) numPartitions else DwhPartitions(name)
       // blocking: the next table's pin must not start materializing while
       // this one's blocks are still draining, or two tables are
       // transiently resident — exactly the peak the per-table scope caps.
-      try Sinks.writeJdbc(df, cfg, name, numPartitions)
+      try Sinks.writeJdbc(df, cfg, name, parts)
       finally scope.release(blocking = true)
     }
 }

@@ -405,6 +405,44 @@ object Sinks {
       driver: String = "org.postgresql.Driver",
       batchSize: Int = 20000)
 
+  /** The exact option map [[writeJdbc]] hands Spark's JDBC writer — a
+    * PURE function so the reference dialect contract is spec-assertable
+    * without a live warehouse (gold_sql_to_postgres.py:31-44):
+    * `truncate=true` (overwrite preserves target DDL), `batchsize`
+    * (default 20000), `numPartitions` mirroring the repartition, and —
+    * for the Postgres driver only — `stringtype=unspecified`, the
+    * pgjdbc property that lets VARCHAR params bind to enum/json/uuid
+    * columns. Non-Postgres targets (embedded Derby in tests) do not get
+    * Postgres-specific properties.
+    */
+  def jdbcOptions(cfg: JdbcConfig, table: String, numPartitions: Int): Map[String, String] = {
+    val base = Map(
+      "url" -> cfg.url,
+      "dbtable" -> table,
+      "user" -> cfg.user,
+      "password" -> cfg.password,
+      "driver" -> cfg.driver,
+      "truncate" -> "true",
+      "batchsize" -> cfg.batchSize.toString,
+      "numPartitions" -> numPartitions.toString)
+    if (cfg.driver == "org.postgresql.Driver") base + ("stringtype" -> "unspecified")
+    else base
+  }
+
+  /** The CREATE TABLE statement Spark would issue for `df`'s schema at
+    * `url`, through Spark's own [[org.apache.spark.sql.jdbc.JdbcDialect]]
+    * registry — for a Postgres url this is the Postgres-dialect DDL
+    * (TEXT/BIGINT/DOUBLE PRECISION/DATE/BOOLEAN), assertable in specs
+    * with no live server.
+    */
+  def jdbcDdl(url: String, table: String, df: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    val cols = JdbcUtils.schemaString(
+      JdbcDialects.get(url), df.schema, caseSensitive = false, None)
+    s"CREATE TABLE $table ($cols)"
+  }
+
   def writeJdbc(df: DataFrame, cfg: JdbcConfig, table: String, numPartitions: Int): Unit = {
     import org.apache.spark.sql.functions.{count, lit}
     graft.operators.Metrics.register(df.sparkSession)
@@ -412,14 +450,7 @@ object Sinks {
       .repartition(numPartitions)
       .write
       .format("jdbc")
-      .option("url", cfg.url)
-      .option("dbtable", table)
-      .option("user", cfg.user)
-      .option("password", cfg.password)
-      .option("driver", cfg.driver)
-      .option("truncate", "true")
-      .option("batchsize", cfg.batchSize)
-      .option("numPartitions", numPartitions)
+      .options(jdbcOptions(cfg, table, numPartitions))
       .mode(SaveMode.Overwrite)
       .save()
   }

@@ -178,4 +178,52 @@ class GoldPipelineSpec extends AnyFunSuite {
       assert(readBack(name).count() == df.count(), s"$name: reload must replace, not append")
     }
   }
+
+  test("Postgres dialect contract: option map and gold DDL pinned to the reference") {
+    // No live Postgres exists in this sandbox; the reference's JDBC
+    // contract (gold_sql_to_postgres.py:31-44,199-203) is pinned at the
+    // two seams that fully determine the server-side behavior: the exact
+    // option map handed to Spark's JDBC writer, and the PostgresDialect
+    // DDL Spark would issue for each gold table.
+    val cfg = graft.sources.Sinks.JdbcConfig(
+      url = "jdbc:postgresql://postgres:5432/dwh",
+      user = "pguser",
+      password = "pgpass")
+    assert(graft.sources.Sinks.jdbcOptions(cfg, "gold.dim_account", 16) == Map(
+      "url" -> "jdbc:postgresql://postgres:5432/dwh",
+      "dbtable" -> "gold.dim_account",
+      "user" -> "pguser",
+      "password" -> "pgpass",
+      "driver" -> "org.postgresql.Driver",
+      "truncate" -> "true",
+      "batchsize" -> "20000",
+      "stringtype" -> "unspecified",
+      "numPartitions" -> "16"))
+    // Postgres-only properties must NOT leak to other drivers (Derby tests)
+    val derby = cfg.copy(url = "jdbc:derby:/tmp/x", driver = "org.apache.derby.jdbc.EmbeddedDriver")
+    assert(!graft.sources.Sinks.jdbcOptions(derby, "T", 2).contains("stringtype"))
+    // per-table writer parallelism matches the reference's five load calls
+    assert(GoldPipeline.DwhPartitions == Map(
+      "dim_account" -> 16, "dim_person" -> 16, "bridge_account_person" -> 8,
+      "dim_date" -> 8, "fact_account_snapshot" -> 16))
+
+    val bronze = Files.createTempDirectory("graft-bronze4")
+    val silver = Files.createTempDirectory("graft-silver4")
+    writeFixtures(bronze)
+    GoldPipeline.bronzeToSilver(spark, bronze.toString, silver.toString)
+    val gold = GoldPipeline.silverToGold(spark, silver.toString)
+    val ddl = GoldPipeline.postgresGoldDdl(gold).toMap
+    assert(ddl.keySet == GoldPipeline.DwhPartitions.keySet)
+    ddl.values.foreach(s => assert(s.startsWith("CREATE TABLE gold."), s))
+    // the SCD2 dim's shape through Spark's own PostgresDialect mapping:
+    // surrogate key BIGINT, attributes TEXT, validity window DATE, flag BOOLEAN
+    val dim = ddl("dim_account")
+    Seq("\"account_sk\" BIGINT", "\"acc_no\" TEXT", "\"status\" TEXT",
+      "\"type\" TEXT", "\"effective_start_date\" DATE",
+      "\"effective_end_date\" DATE", "\"is_current\" BOOLEAN")
+      .foreach(f => assert(dim.contains(f), s"dim_account DDL missing `$f`:\n$dim"))
+    val fact = ddl("fact_account_snapshot")
+    Seq("\"snapshot_date\" DATE", "\"acc_no\" TEXT", "\"account_sk\" BIGINT")
+      .foreach(f => assert(fact.contains(f), s"fact DDL missing `$f`:\n$fact"))
+  }
 }
