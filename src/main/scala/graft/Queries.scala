@@ -1003,18 +1003,63 @@ object Queries {
     None, // float summation order differs across engines; verified by spec instead
     headline = true)
 
-  /** LSH-bucketed approximate nearest neighbors (the scale path). */
+  /** Five positive-scaled near-copies of the query vector (ids
+    * 2000000+i): cosine to the query is 1.0 up to float32 rounding, so
+    * they are the unambiguous true top neighbors ANY correct ANN must
+    * recall — the q65 planted-copy contract, made local to the one-query
+    * probes q31/q33.
+    */
+  private def embWithPlantedQueryCopies(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val copies = (1 to 5).map { i =>
+      emb.where(col("vec_id") === 0L).select(
+        lit(2000000L + i).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.0f + i * 0.0001f)).cast("float"))
+          .as("embedding"))
+    }.reduce(_.unionByName(_))
+    emb.unionByName(copies)
+  }
+
+  /** Recall floor INSIDE the catalog entry (loud failure, the q65
+    * pattern at catalog level): at least `floor` of the 5 planted
+    * query-copies must appear in the top-k, else the query itself
+    * throws — a silent-recall regression cannot produce a green row.
+    * The collect is k rows, driver-bounded.
+    */
+  private def requirePlantedRecall(res: DataFrame, name: String, floor: Int): DataFrame = {
+    val got = res.select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val hits = (1 to 5).count(i => got.contains(2000000L + i))
+    require(hits >= floor,
+      s"$name planted-recall floor violated: $hits/5 planted query-copies in top-k (need >= $floor)")
+    res
+  }
+
+  /** LSH-bucketed approximate nearest neighbors (the scale path).
+    * Self-checking: positive scaling preserves every random-hyperplane
+    * sign, so the planted colinear copies land in the query's own
+    * bucket — the probe must recall them (floor 4 of 5 tolerates one
+    * float32-rounding sign flip).
+    */
   val q31AnnLsh: Q = Q(
     "q31_ann_lsh",
     (s, dir) =>
-      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 20),
+      requirePlantedRecall(
+        Similarity.lshTopK(embWithPlantedQueryCopies(s, dir), "vec_id", "embedding",
+          queryId = 0L, k = 20),
+        "q31_ann_lsh", floor = 4),
     None)
 
-  /** IVF-style ANN: coarse-quantized inverted file, nprobe-cell search. */
+  /** IVF-style ANN: coarse-quantized inverted file, nprobe-cell search.
+    * Self-checking: colinear planted copies quantize to the query's own
+    * coarse cell, which nprobe always includes — same floor as q31.
+    */
   val q33AnnIvf: Q = Q(
     "q33_ann_ivf",
     (s, dir) =>
-      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 20),
+      requirePlantedRecall(
+        Similarity.ivfTopK(embWithPlantedQueryCopies(s, dir), "vec_id", "embedding",
+          queryId = 0L, k = 20),
+        "q33_ann_ivf", floor = 4),
     None)
 
   /** Embedding-cosine near-dup pairs over a corpus with planted scaled copies. */
