@@ -1246,6 +1246,34 @@ object Queries {
              CAST(GREATEST(1, floor(h * s + 0.5)) AS INT) AS out_height
       FROM sc"""))
 
+  /** REAL JPEG decode, oracle-gated (the q41 gate on the JDK's lossy
+    * codec): each document id becomes a synthetic baseline JPEG via
+    * [[graft.operators.Multimodal.syntheticJpeg]]; Spark runs real JPEG
+    * encode → real `javax.imageio` decode; DuckDB predicts (width,
+    * height, channels) arithmetically. JPEG pixel values are lossy but
+    * geometry and band count are exact — which is why the oracle pins
+    * dims, not content. Closes the round-9 `decodeStub` scope question:
+    * the stub now stands in ONLY for MP3/video bitstreams.
+    */
+  val q95JpegDecode: Q = Q(
+    "q95_jpeg_decode",
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, "image", Multimodal.syntheticJpeg(id))))
+        .toDF("media_id", "kind", "bytes")
+      Multimodal.decodeImages(s, media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"))
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(8 + doc_id % 48 AS INT) AS width,
+             CAST(8 + (doc_id // 48) % 48 AS INT) AS height,
+             3 AS channels
+      FROM documents"""))
+
   /** Consecutive-duplicate-token collapse ([[text.collapseRuns]]) — the
     * stutter-cleaning stage for OCR/crawl corpora, ORACLE-GATED on both
     * the cleaned text and the drop count. Non-adjacent repeats survive
@@ -3879,7 +3907,7 @@ object Queries {
     q88cWeightedSampleSystematic,
     q89SemanticDedup, q89cSemanticDedupExact,
     q90PretrainingManifest, q91AudioDecode, q92ImageResize, q93PhraseSearch,
-    q94CollapseRuns)
+    q94CollapseRuns, q95JpegDecode)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   * sampling up to `maxFrames` actually-decoded frames. AUDIO metadata
   * decode is REAL as well: [[decodeAudio]] parses PCM containers
   * (WAV/AIFF/AU) through `javax.sound.sampled` — headless-safe, JDK-only.
-  * What remains stubbed: compressed-codec work the JDK has no decoder
-  * for (JPEG re-encode kernels, MP3/video bitstreams) — `decodeStub` is
+  * JPEG is fully inside the real path too — `javax.imageio` ships both
+  * the baseline decoder and an encoder, so [[decodeImages]] /
+  * [[frameSample]] / [[resizeImages]] handle JPEG payloads exactly like
+  * PNG (oracle-gated by q95 via [[syntheticJpeg]]). What remains
+  * stubbed: ONLY the compressed bitstreams the JDK truly has no decoder
+  * for — MP3/AAC audio and video codecs (H.264 etc.) — `decodeStub` is
   * the clearly-marked DETERMINISTIC FAKE standing in for those (and for
   * [[resizePlan]]'s geometry planning); it derives plausible metadata
   * from the bytes alone. The Spark-side plumbing — schema, batching,
@@ -143,6 +147,31 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.setUseCache(false)
     javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic baseline JPEG — the [[syntheticPng]] gate
+    * extended to the JDK's lossy codec: width 8 + id % 48, height
+    * 8 + (id / 48) % 48, 3 channels (ImageIO ships a real JPEG
+    * encoder/decoder; only pixel VALUES are lossy — geometry and band
+    * count survive exactly, which is what the q95 oracle predicts).
+    */
+  def syntheticJpeg(id: Long): Array[Byte] = {
+    val w = 8 + math.floorMod(id, 48).toInt
+    val h = 8 + math.floorMod(id / 48, 48).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (id + x * 31 + y * 131).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "jpg", out)
     out.toByteArray
   }
 

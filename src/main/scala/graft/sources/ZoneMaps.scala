@@ -161,6 +161,63 @@ object ZoneMaps {
     }
   }
 
+  /** DISTRIBUTED prune: the same surviving-file decision as
+    * [[prunedReadRanges]]'s internal path, but the manifest predicate is
+    * evaluated as a DataFrame filter and the driver collects ONLY the
+    * surviving paths plus manifest-unknown paths — never the manifest's
+    * stat rows. At ~1M data files the stat manifest is hundreds of MB
+    * (one row × ncols min/max each); the universe the driver must hold
+    * here is the path LIST Spark's own FileIndex already materializes,
+    * and after pruning typically a small fraction of it. Use this
+    * entrypoint when the manifest itself is too wide to collect; the
+    * default path keeps the local-relation form (one collect, simplest
+    * swap-consistency story) for human-scale manifests.
+    *
+    * Same safety contract as [[prunedReadRanges]]: unknown files are
+    * always read (staleness degrades, never breaks), null-stat files are
+    * skipped (range predicates never match NULL), and the single
+    * collect-action is retry-guarded against the manifest's staged swap
+    * — one job plans the manifest scan once, so the known/surviving
+    * decisions come from ONE manifest version.
+    */
+  def prunedFilesDistributed(
+      spark: SparkSession,
+      dataPath: String,
+      manifestPath: String,
+      ranges: Seq[(String, Any, Any)],
+      retries: Int = 8): Seq[String] = {
+    require(ranges.nonEmpty, "prunedFilesDistributed needs at least one range predicate")
+    import org.apache.spark.sql.Encoders
+    // scheme-and-slash normalization as a pure Column (no driver loop, no
+    // UDF): input_file_name() yields file:///p where inputFiles yields
+    // file:/p — both normalize to /p; non-local schemes keep their
+    // authority identically on both sides, so keys agree per file.
+    def pathKey(c: Column): Column = regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+    val current = spark.read.parquet(dataPath).inputFiles.toSeq
+    val currentDf = spark.createDataset(current)(Encoders.STRING).toDF("path")
+      .select(col("path"), pathKey(col("path")).as("__k"))
+    // coalesce(pred, false): a known file with NULL stats must be
+    // SKIPPED (pred null), while a file absent from the manifest (left
+    // join miss → __survive null) must be READ — the two nulls mean
+    // opposite things, so the manifest side resolves its own.
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    val m = spark.read.parquet(manifestPath)
+      .select(pathKey(col("file")).as("__k"), coalesce(pred, lit(false)).as("__survive"))
+    val decided = currentDf.join(m, Seq("__k"), "left")
+      .where(col("__survive").isNull || col("__survive"))
+      .select(col("path")).as(Encoders.STRING)
+    def attempt(left: Int): Seq[String] =
+      try decided.collect().toSeq
+      catch {
+        case e: Throwable if left > 0 && Sinks.isTransientSwapMiss(e) =>
+          Thread.sleep(25L)
+          attempt(left - 1)
+      }
+    attempt(retries)
+  }
+
   /** Read `dataPath` restricted to files that can contain `colName ∈
     * [lo, hi]`, with the predicate re-applied — result ≡ the full scan's
     * `WHERE colName BETWEEN lo AND hi`, minus the footer-opens for files

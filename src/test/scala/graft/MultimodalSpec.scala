@@ -123,6 +123,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.forall(r => r.sample_rate.isEmpty && r.n_samples.isEmpty))
   }
 
+  test("JPEG rides the REAL image path: decode dims exact, resize output decodable") {
+    val jpg = Seq(0L, 47L, 48L, 2303L)
+      .map(id => (id, "image", Multimodal.syntheticJpeg(id)))
+      .toDF("media_id", "kind", "bytes")
+    val dec = Multimodal.decodeImages(spark, jpg).collect().map(r => r.media_id -> r).toMap
+    assert(dec.keySet == Set(0L, 47L, 48L, 2303L))
+    dec.foreach { case (id, r) =>
+      assert(r.width.contains(8 + (id % 48).toInt), s"id=$id width=${r.width}")
+      assert(r.height.contains(8 + ((id / 48) % 48).toInt))
+      assert(r.channels.contains(3), "baseline JPEG decodes to 3 bands")
+    }
+    // resize accepts JPEG input like PNG: geometry law holds, output decodes
+    val rs = Multimodal.resizeImages(spark, jpg, maxSide = 16).collect()
+    assert(rs.length == 4)
+    rs.foreach { r =>
+      val w = r.src_width; val h = r.src_height
+      val s = math.min(1.0, 16.0 / math.max(w, h))
+      assert(r.out_width == math.max(1, math.round(w * s).toInt))
+      assert(r.out_height == math.max(1, math.round(h * s).toInt))
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.out_bytes))
+      assert(back != null && back.getWidth == r.out_width && back.getHeight == r.out_height)
+    }
+  }
+
   test("decodeAudio: unspecified frame length (AU unknown data size) quarantines, not -1") {
     // A valid AU container whose header declares data size 0xFFFFFFFF
     // ("unknown") — the JDK parses it but reports frameLength

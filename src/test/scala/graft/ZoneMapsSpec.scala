@@ -65,6 +65,37 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(out.select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("prunedFilesDistributed matches the local prune across stale/null-stat cases") {
+    val data = tmp() + "/data"; val mf = tmp() + "/manifest"
+    writeClustered(data)
+    // a known file with all-null stats (must be SKIPPED: pred null)
+    Seq(Option.empty[Long]).toDF("k").withColumn("v", lit("nullfile"))
+      .write.mode(SaveMode.Append).parquet(data)
+    ZoneMaps.save(spark, data, mf, Seq("k"))
+    // a manifest-unknown late file (must be READ: staleness degrades)
+    Seq((45L, "late")).toDF("k", "v")
+      .write.mode(SaveMode.Append).parquet(data)
+    def key(uri: String) = new org.apache.hadoop.fs.Path(uri).toUri.getPath
+    val ranges = Seq(("k", 42L: Any, 47L: Any))
+    val dist = ZoneMaps.prunedFilesDistributed(spark, data, mf, ranges)
+      .map(key).toSet
+    val local = ZoneMaps.prunedReadRanges(spark, data, mf, ranges)
+      .inputFiles.map(key).toSet
+    assert(dist === local,
+      "the distributed prune must make the identical surviving-file decision")
+    // and strictly fewer than the universe (it actually pruned)
+    val all = spark.read.parquet(data).inputFiles.map(key).toSet
+    assert(dist.subsetOf(all) && dist.size < all.size)
+    // reading the surviving list reproduces the exact filtered result
+    val viaDist = spark.read
+      .schema(spark.read.parquet(data).schema)
+      .option("basePath", data)
+      .parquet(ZoneMaps.prunedFilesDistributed(spark, data, mf, ranges): _*)
+      .where(col("k") >= 42L && col("k") <= 47L)
+      .select("v").as[String].collect().toSet
+    assert(viaDist === Set("v42", "v43", "v44", "v45", "v46", "v47", "late"))
+  }
+
   test("update stats only unknown files and drops entries for deleted ones") {
     val data = tmp() + "/data"; val mf = tmp() + "/manifest"
     writeClustered(data)
