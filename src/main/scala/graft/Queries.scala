@@ -1246,6 +1246,44 @@ object Queries {
              CAST(GREATEST(1, floor(h * s + 0.5)) AS INT) AS out_height
       FROM sc"""))
 
+  /** Domain balancing — the curation stage that caps overrepresented
+    * sources: at most 10 docs per source, chosen by the deterministic
+    * per-key reservoir ([[graft.operators.Partitioning.sampleNPerKey]],
+    * riding the bounded-heap [[graft.plans.TopK]] physical plan — never
+    * a full per-group sort). Production xxhash face (reproducible across
+    * runs/retries/partitionings; no ANSI oracle for xxhash64); q96b is
+    * the oracle face sharing every line of machinery but the draw.
+    */
+  val q96CapPerSource: Q = Q(
+    "q96_cap_per_source",
+    (s, dir) =>
+      graft.operators.Partitioning
+        .sampleNPerKey(t(s, dir, "documents"), "source", "doc_id", n = 10)
+        .select("doc_id", "source"),
+    None)
+
+  /** ORACLE-GATED q96 twin via the injectable uniform (the q48c/q60c/
+    * q88c move): the systematic `(doc_id·37 mod 1000)/1000` draw makes
+    * the selected set a pure function DuckDB reproduces with a
+    * row_number window — which gates the custom bounded-heap TopK
+    * SparkPlan itself against an external engine (selection AND
+    * tie-break order must both be faithful).
+    */
+  val q96bCapPerSourceSystematic: Q = Q(
+    "q96b_cap_per_source_systematic",
+    (s, dir) =>
+      graft.operators.Partitioning
+        .sampleNPerKey(t(s, dir, "documents"), "source", "doc_id", n = 10,
+          uniform = Some(pmod(col("doc_id") * 37L, lit(1000L)).cast("double") / lit(1000.0)))
+        .select("doc_id", "source"),
+    Some("""
+      WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY (doc_id * 37 % 1000) / 1000.0, doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, source FROM r WHERE rn <= 10"""))
+
   /** REAL JPEG decode, oracle-gated (the q41 gate on the JDK's lossy
     * codec): each document id becomes a synthetic baseline JPEG via
     * [[graft.operators.Multimodal.syntheticJpeg]]; Spark runs real JPEG
@@ -3907,7 +3945,7 @@ object Queries {
     q88cWeightedSampleSystematic,
     q89SemanticDedup, q89cSemanticDedupExact,
     q90PretrainingManifest, q91AudioDecode, q92ImageResize, q93PhraseSearch,
-    q94CollapseRuns, q95JpegDecode)
+    q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -219,17 +219,26 @@ object Partitioning {
     * under the same order) — per-key mixtures stay nested as caps are
     * tuned, matching [[hashSample]]'s subset discipline.
     */
+  /** `uniform` defaults to the key-hash draw; injectable for the
+    * systematic ANSI-reproducible form (the q48c/q60c/q88c pattern) —
+    * which also puts the bounded-heap [[graft.plans.TopK]] physical
+    * operator itself under an external oracle (q96b): the selected SET
+    * is a pure function of the draw and the idCol tiebreak.
+    */
   def sampleNPerKey(
       df: DataFrame,
       keyCol: String,
       idCol: String,
       n: Int,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42,
+      uniform: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val uniformDraw = uniform // capture before the wildcard import (functions.uniform shadows)
     import org.apache.spark.sql.functions._
     require(n > 0, "sample size must be positive")
     graft.plans.TopK.perKey(
       df, Seq(keyCol),
-      Seq(uniformFromHash(xxhash64(col(idCol), lit(seed))).asc, col(idCol).asc),
+      Seq(uniformDraw.getOrElse(uniformFromHash(xxhash64(col(idCol), lit(seed)))).asc,
+        col(idCol).asc),
       n)
   }
 
