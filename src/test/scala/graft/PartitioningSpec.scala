@@ -181,6 +181,12 @@ class PartitioningSpec extends AnyFunSuite {
     val reseeded = Partitioning.sampleNPerKey(rows, "grp", "doc", 3, seed = 7)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(reseeded !== s3)
+    // the cap rides the bounded-heap native plan, never a ranking window
+    // or a full per-group sort (q96's 100 TB shape)
+    val p = Partitioning.sampleNPerKey(rows, "grp", "doc", 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"expected the native bounded-heap exec:\n$p")
+    assert(!p.contains("Window"), s"a ranking window would sort every group:\n$p")
   }
 
   test("hashSplit stays a pure projection — no exchange in the plan") {
