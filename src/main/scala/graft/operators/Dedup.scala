@@ -509,25 +509,34 @@ object Dedup {
     // sign/codepoint ambiguity of ascii()/substring on multibyte chars)
     def byteAt(i: Column): Column =
       conv(hex(bin.substr(i, lit(1))), 16, 10).cast("long")
-    def poly(mult: Long): Column = aggregate(
-      sequence(lit(1), octet_length(bin)),
-      lit(0L),
-      (acc, i) => (acc * mult + byteAt(i)) % LinearP)
-    val base1 = (lit(LinearA) * poly(31L) + lit(12345L)) % lit(LinearP)
-    val base2 = (lit(LinearA) * poly(131L) + lit(54321L)) % lit(LinearP)
+    // BOTH polynomials over ONE byte extraction: hex/conv per byte is
+    // the dominant cost and HOFs have no CSE (the file-header
+    // discipline), so materialize the byte array once with transform —
+    // the fold's lambda variable is a BOUND value, so referencing `b`
+    // in both polynomial updates recomputes nothing.
+    val bytesA = transform(sequence(lit(1), octet_length(bin)), i => byteAt(i))
+    val polys = aggregate(
+      bytesA,
+      struct(lit(0L).as("p1"), lit(0L).as("p2")),
+      (st, b) => struct(
+        ((st.getField("p1") * 31L + b) % LinearP).as("p1"),
+        ((st.getField("p2") * 131L + b) % LinearP).as("p2")))
     // Horner from bit 62 down: acc*2 + bit never exceeds 2^63-1. The
-    // bases ride the aggregate's zero (evaluated ONCE per token) — in the
-    // lambda body they'd be re-derived from the bytes on every one of the
-    // 63 iterations (HOFs have no CSE; the file-header discipline).
+    // byte fold rides the aggregate's zero (evaluated ONCE per token);
+    // the LinearA post-mix is O(1) arithmetic re-done per iteration —
+    // 63 multiplies, nothing re-reads the bytes.
     aggregate(
       sequence(lit(62), lit(0), lit(-1)),
-      struct(lit(0L).as("acc"), base1.as("b1"), base2.as("b2")),
-      (st, j) => struct(
-        (st.getField("acc") * 2L + when(
-          (st.getField("b1") + j * st.getField("b2") + lit(seed)) % lit(LinearP) * 2L < lit(LinearP),
-          lit(1L)).otherwise(lit(0L))).as("acc"),
-        st.getField("b1").as("b1"),
-        st.getField("b2").as("b2"))).getField("acc")
+      struct(lit(0L).as("acc"), polys.as("ps")),
+      (st, j) => {
+        val b1 = (lit(LinearA) * st.getField("ps").getField("p1") + lit(12345L)) % lit(LinearP)
+        val b2 = (lit(LinearA) * st.getField("ps").getField("p2") + lit(54321L)) % lit(LinearP)
+        struct(
+          (st.getField("acc") * 2L + when(
+            (b1 + j * b2 + lit(seed)) % lit(LinearP) * 2L < lit(LinearP),
+            lit(1L)).otherwise(lit(0L))).as("acc"),
+          st.getField("ps").as("ps"))
+      }).getField("acc")
   }
 
   /** SimHash near-dup pairs by 16-bit band blocking (hamming ≤ 3 across 4
