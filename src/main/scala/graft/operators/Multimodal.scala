@@ -21,26 +21,22 @@ import org.apache.spark.sql.functions._
   * JPEG is fully inside the real path too — `javax.imageio` ships both
   * the baseline decoder and an encoder, so [[decodeImages]] /
   * [[frameSample]] / [[resizeImages]] handle JPEG payloads exactly like
-  * PNG (oracle-gated by q95 via [[syntheticJpeg]]). What remains
-  * stubbed: ONLY the compressed bitstreams the JDK truly has no decoder
-  * for — MP3/AAC audio and video codecs (H.264 etc.) — `decodeStub` is
-  * the clearly-marked DETERMINISTIC FAKE standing in for those (and for
-  * [[resizePlan]]'s geometry planning); it derives plausible metadata
-  * from the bytes alone. The Spark-side plumbing — schema, batching,
-  * partition-wise execution, typed Dataset round-trip — is identical in
-  * both; swap the stub for an FFM codec call and nothing else changes.
+  * PNG (oracle-gated by q95 via [[syntheticJpeg]]).
+  *
+  * UNSUPPORTED-FORMAT CONTRACT (no fake entry point): bitstreams the JDK
+  * has no decoder for — MP3/AAC audio, video codecs (H.264 etc.) — ride
+  * the SAME real decoders and quarantine by each operator's existing
+  * convention: [[decodeImages]] emits the row with NULL dimensions,
+  * [[frameSample]] and [[resizeImages]] omit the asset (exploding-op
+  * convention), [[decodeAudio]] emits NULL format fields. Nothing throws,
+  * nothing fabricates metadata; `WHERE width IS NULL` (or an anti-join
+  * against the decoded ids) is the quarantine feed, and [[byteMeta]]
+  * still profiles the undecoded payload. Adding a real codec via FFM
+  * later changes which payloads decode, not any schema or plan shape.
   */
 object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
-  final case class DecodedRow(
-      media_id: Long,
-      kind: String,
-      byte_len: Int,
-      width: Int,
-      height: Int,
-      n_frames: Int,
-      content_hash: Long)
 
   /** Wrap any table into the media layout (id, kind, binary payload). */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String, kind: String): DataFrame =
@@ -48,39 +44,6 @@ object Multimodal {
       col(idCol).cast("long").as("media_id"),
       lit(kind).as("kind"),
       col(payloadCol).cast("binary").as("bytes"))
-
-  /** DETERMINISTIC FAKE of a codec: metadata derived purely from bytes.
-    * Replace with a real decoder (libjpeg/ffmpeg via FFM) in production.
-    */
-  private[operators] def fakeDecode(r: MediaRow): DecodedRow = {
-    val h = r.bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b) // FNV-ish rolling hash
-    val w = 64 + math.floorMod(h, 1024).toInt
-    DecodedRow(
-      media_id = r.media_id,
-      kind = r.kind,
-      byte_len = r.bytes.length,
-      width = w,
-      height = 64 + math.floorMod(h >> 10, 1024).toInt,
-      n_frames = if (r.kind == "video") 1 + math.floorMod(h >> 20, 300).toInt else 1,
-      content_hash = h)
-  }
-
-  /** Partition-wise batch decode: the per-partition iterator is consumed in
-    * `batchSize` chunks (mirrors vectorized decode batches — a real codec
-    * amortizes init per batch, not per row). No shuffle; scales with splits.
-    */
-  def decodeStub(spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[DecodedRow] = {
-    import spark.implicits._
-    media
-      .select(col("media_id"), col("kind"), col("bytes"))
-      .as[MediaRow]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          // real impl: decoder.init(); batch.map(decoder.decode); decoder.close()
-          batch.map(fakeDecode)
-        }
-      }
-  }
 
   // --- Real image decode (javax.imageio — JDK-public, no native deps) ---
 
@@ -94,7 +57,7 @@ object Multimodal {
 
   /** REAL image decode over the binary payload via `javax.imageio` (PNG /
     * JPEG / GIF / BMP — the formats the JDK ships decoders for). Same
-    * partition-wise batched shape as [[decodeStub]]; undecodable payloads
+    * partition-wise batched shape a vectorized codec wants; undecodable payloads
     * yield NULL dimensions instead of failing the task (corrupt assets are
     * routine at corpus scale — filter `width IS NULL` into quarantine).
     * ImageIO's disk-backed cache is disabled: decode stays in-memory and
@@ -386,33 +349,6 @@ object Multimodal {
       ios.close()
     }
     out.toByteArray
-  }
-
-  final case class ResizedRow(
-      media_id: Long,
-      src_width: Int,
-      src_height: Int,
-      out_width: Int,
-      out_height: Int,
-      scale: Double)
-
-  /** Aspect-preserving resize planning (geometry arithmetic only, source
-    * dims from the stubbed codec): computes target geometry per asset so
-    * the pipeline's schema/batching is exercised end-to-end without a
-    * decode. [[resizeImages]] is the REAL variant over decodable images.
-    */
-  def resizePlan(spark: SparkSession, media: DataFrame, maxSide: Int = 256): Dataset[ResizedRow] = {
-    import spark.implicits._
-    decodeStub(spark, media).map { d =>
-      val s = math.min(1.0, maxSide.toDouble / math.max(d.width, d.height))
-      ResizedRow(
-        media_id = d.media_id,
-        src_width = d.width,
-        src_height = d.height,
-        out_width = math.max(1, math.round(d.width * s).toInt),
-        out_height = math.max(1, math.round(d.height * s).toInt),
-        scale = s)
-    }
   }
 
   final case class ResizedImageRow(

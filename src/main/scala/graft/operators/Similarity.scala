@@ -38,6 +38,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** ORACLE-EXPRESSIBLE exact cosine top-k: quantize each component to an
+    * integer (`floor(x·scale + 0.5)` — floor, not round: one unambiguous
+    * IEEE form both engines share, no half-even/half-up divergence), then
+    * dot products and squared norms are EXACT integers (≤ scale²·dim ≪
+    * 2⁵³ — summation order cannot matter) and the ranking cosine
+    * `dot / √(norm²·qnorm²)` is the same correctly-rounded double on any
+    * engine. The emitted columns are the integers themselves, so the
+    * driver's hash compares exact values while the top-k SET is decided
+    * by a bit-deterministic ordering — the q65c wide-margin argument,
+    * upgraded from "margin absorbs float noise" to "no float noise
+    * exists". Same plan shape as [[bruteForceTopK]]: 1-row broadcast,
+    * map-side scoring, TakeOrderedAndProject — no global sort.
+    */
+  def bruteForceTopKExactInt(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      scale: Int = 1000): DataFrame = {
+    def quant(c: Column): Column =
+      transform(c, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val q = emb
+      .where(col(idCol) === queryId)
+      .select(quant(col(vecCol)).as("__qiv"))
+    Partitioning.spread(emb)
+      .join(broadcast(q))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol), quant(col(vecCol)).as("__iv"), col("__qiv"))
+      .select(
+        col(idCol),
+        idot(col("__iv"), col("__qiv")).as("dot"),
+        idot(col("__iv"), col("__iv")).as("norm2"),
+        idot(col("__qiv"), col("__qiv")).as("qnorm2"))
+      .orderBy(
+        when(col("norm2") === 0L || col("qnorm2") === 0L, lit(0.0))
+          .otherwise(col("dot").cast("double") /
+            sqrt((col("norm2") * col("qnorm2")).cast("double"))).desc,
+        col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dot"), col("norm2"))
+  }
+
   /** Multi-band random-hyperplane LSH: `bands` independent signatures of
     * `bitsPerBand` hyperplanes each. Two vectors are candidates when ANY
     * band signature matches exactly. Returns top-k candidates by exact

@@ -203,13 +203,60 @@ object ZoneMaps {
     val pred = ranges.map { case (c, lo, hi) =>
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
-    val m = spark.read.parquet(manifestPath)
-      .select(pathKey(col("file")).as("__k"), coalesce(pred, lit(false)).as("__survive"))
-    val decided = currentDf.join(m, Seq("__k"), "left")
-      .where(col("__survive").isNull || col("__survive"))
-      .select(col("path")).as(Encoders.STRING)
+    // The manifest scan is planned INSIDE each attempt: a staged swap
+    // replaces the manifest's part files under new names, so a plan (and
+    // its captured FileIndex) built before the swap would re-fail on the
+    // same missing files forever — each retry must re-list the manifest
+    // directory, exactly as the local manifestRows path does.
     def attempt(left: Int): Seq[String] =
-      try decided.collect().toSeq
+      try {
+        val m = spark.read.parquet(manifestPath)
+          .select(pathKey(col("file")).as("__k"), coalesce(pred, lit(false)).as("__survive"))
+        currentDf.join(m, Seq("__k"), "left")
+          .where(col("__survive").isNull || col("__survive"))
+          .select(col("path")).as(Encoders.STRING)
+          .collect().toSeq
+      } catch {
+        case e: Throwable if left > 0 && Sinks.isTransientSwapMiss(e) =>
+          Thread.sleep(25L)
+          attempt(left - 1)
+      }
+    attempt(retries)
+  }
+
+  /** LISTING-FREE distributed prune: the manifest IS the file catalog —
+    * no `inputFiles` materialization of the data directory at all, so the
+    * driver holds ONLY the surviving path list end-to-end. At ~1M files
+    * this removes both the stat universe (already absent from
+    * [[prunedFilesDistributed]]) and the full path universe from driver
+    * memory; the listing RPC storm against the object store disappears
+    * with it.
+    *
+    * CONTRACT (stricter than [[prunedFilesDistributed]], by design): the
+    * manifest must be CURRENT — run [[update]] after every landing, the
+    * same discipline a table format's commit log imposes. Files the
+    * manifest does not know CANNOT be discovered here (there is no
+    * listing to discover them from), so freshness moves from a runtime
+    * degradation to a maintenance invariant. Null-stat files are still
+    * skipped (range predicates never match NULL), and the single
+    * collect-action re-plans the manifest scan inside each retry so a
+    * concurrent staged swap is absorbed, never fatal.
+    */
+  def prunedFilesManifestOnly(
+      spark: SparkSession,
+      manifestPath: String,
+      ranges: Seq[(String, Any, Any)],
+      retries: Int = 8): Seq[String] = {
+    require(ranges.nonEmpty, "prunedFilesManifestOnly needs at least one range predicate")
+    import org.apache.spark.sql.Encoders
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    def attempt(left: Int): Seq[String] =
+      try spark.read.parquet(manifestPath)
+        .where(coalesce(pred, lit(false)))
+        .select(col("file")).as(Encoders.STRING)
+        .collect().toSeq
       catch {
         case e: Throwable if left > 0 && Sinks.isTransientSwapMiss(e) =>
           Thread.sleep(25L)

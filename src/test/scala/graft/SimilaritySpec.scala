@@ -20,6 +20,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cos == cos.sorted.reverse, "must be ranked by cosine desc")
   }
 
+  test("bruteForceTopKExactInt: integer values match a driver-side recompute; id set tracks the float face") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val got = Similarity.bruteForceTopKExactInt(emb, "vec_id", "embedding", queryId = 0L, k = 20)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dot"), r.getAs[Long]("norm2")))
+    assert(got.length == 20)
+    // driver-side ground truth: quantize with the same floor(x*1000+0.5),
+    // exact long arithmetic, rank by cosine desc / id asc
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray)
+      .toMap
+    val qv = vecs(0L)
+    val qn = qv.map(x => x * x).sum
+    val scored = vecs.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val dot = v.zip(qv).map { case (a, b) => a * b }.sum
+      val n2 = v.map(x => x * x).sum
+      val cos = if (n2 == 0L || qn == 0L) 0.0 else dot.toDouble / math.sqrt((n2 * qn).toDouble)
+      (id, dot, n2, cos)
+    }.sortBy { case (id, _, _, cos) => (-cos, id) }.take(20)
+    assert(got.toSeq === scored.map { case (id, dot, n2, _) => (id, dot, n2) },
+      "the distributed exact-int top-k must equal the driver recompute, values and order")
+    // quantization at scale 1000 must not reorder this corpus' top-k vs
+    // the float face — the twin stands in for q30, so the sets must agree
+    val floatIds = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val overlap = got.map(_._1).count(floatIds.contains)
+    assert(overlap >= 18, s"exact-int twin diverged from the float face: $overlap/20 shared")
+  }
+
   test("trainIvf and Pq.train accept array<double> vector columns (the ADVICE r9 latent cast)") {
     // The probe expressions always accepted array<float|double>; the
     // driver-side samplers hard-cast to Seq[Float] until round 10. A

@@ -96,6 +96,58 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(viaDist === Set("v42", "v43", "v44", "v45", "v46", "v47", "late"))
   }
 
+  test("prunedFilesManifestOnly: manifest-as-catalog, driver holds only survivors") {
+    val data = tmp() + "/data"; val mf = tmp() + "/manifest"
+    writeClustered(data)
+    // a known file with all-null stats (must be SKIPPED: pred null)
+    Seq(Option.empty[Long]).toDF("k").withColumn("v", lit("nullfile"))
+      .write.mode(SaveMode.Append).parquet(data)
+    ZoneMaps.save(spark, data, mf, Seq("k"))
+    def key(uri: String) = new org.apache.hadoop.fs.Path(uri).toUri.getPath
+    val ranges = Seq(("k", 42L: Any, 47L: Any))
+    val only = ZoneMaps.prunedFilesManifestOnly(spark, mf, ranges).map(key).toSet
+    // with a CURRENT manifest the decision is identical to the listing path
+    val dist = ZoneMaps.prunedFilesDistributed(spark, data, mf, ranges).map(key).toSet
+    assert(only === dist,
+      "with a current manifest, the listing-free prune must equal the listing one")
+    // and reading the survivors reproduces the exact filtered result
+    val viaOnly = spark.read
+      .schema(spark.read.parquet(data).schema)
+      .option("basePath", data)
+      .parquet(ZoneMaps.prunedFilesManifestOnly(spark, mf, ranges): _*)
+      .where(col("k") >= 42L && col("k") <= 47L)
+      .select("v").as[String].collect().toSet
+    assert(viaOnly === Set("v42", "v43", "v44", "v45", "v46", "v47"))
+    // contract boundary, asserted not just documented: a file landed AFTER
+    // the manifest is invisible here (no listing to discover it from) and
+    // becomes visible exactly when `update` runs — freshness is a
+    // maintenance invariant, not a runtime degradation.
+    Seq((45L, "late")).toDF("k", "v").write.mode(SaveMode.Append).parquet(data)
+    assert(ZoneMaps.prunedFilesManifestOnly(spark, mf, ranges).map(key).toSet === only)
+    ZoneMaps.update(spark, data, mf, Seq("k"))
+    val afterUpdate = spark.read
+      .schema(spark.read.parquet(data).schema)
+      .option("basePath", data)
+      .parquet(ZoneMaps.prunedFilesManifestOnly(spark, mf, ranges): _*)
+      .where(col("k") >= 42L && col("k") <= 47L)
+      .select("v").as[String].collect().toSet
+    assert(afterUpdate === Set("v42", "v43", "v44", "v45", "v46", "v47", "late"))
+  }
+
+  test("prunedFilesDistributed retries re-plan the manifest scan across a staged swap") {
+    val data = tmp() + "/data"; val mf = tmp() + "/manifest"
+    writeClustered(data)
+    ZoneMaps.save(spark, data, mf, Seq("k"))
+    val ranges = Seq(("k", 42L: Any, 47L: Any))
+    val before = ZoneMaps.prunedFilesDistributed(spark, data, mf, ranges).toSet
+    // rewrite the manifest THROUGH the staged swap: part files get new
+    // names, so any plan captured before this point holds a dead FileIndex
+    ZoneMaps.save(spark, data, mf, Seq("k"))
+    val after = ZoneMaps.prunedFilesDistributed(spark, data, mf, ranges).toSet
+    assert(after === before,
+      "a post-swap prune must re-list the manifest and succeed, not replay a stale plan")
+  }
+
   test("update stats only unknown files and drops entries for deleted ones") {
     val data = tmp() + "/data"; val mf = tmp() + "/manifest"
     writeClustered(data)
