@@ -275,6 +275,40 @@ class AnnIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("measured probe IO: the screen serves probed cells only, never the corpus") {
+    // 4 planted clusters of 16 around orthogonal axes — big enough that
+    // "probed cells only" is a strict subset, deterministic enough that
+    // k-means recovers the clusters
+    val clustered = (0 until 64).map { i =>
+      val axis = i % 4
+      val base = Array.fill(4)(0.02f * ((i * 7 % 5) - 2))
+      base(axis) = 1.0f
+      (i.toLong, base.toSeq)
+    }.toDF("id", "vec")
+    val path = tmp()
+    AnnIndex.buildPq(clustered, "id", "vec", path,
+      nlist = 4, m = 2, ksub = 4, sampleRows = 64, kmeansIters = 10)
+    // two probes near ONE axis with nprobe=1: at most 2 of 4 cells probed
+    val probesDf = Seq(
+      (100L, Seq(0.99f, 0.01f, 0.0f, 0.0f)),
+      (101L, Seq(1.01f, 0.0f, 0.01f, 0.0f)))
+      .toDF("id", "vec")
+    val res = AnnIndex.crossNeighborsPq(
+      probesDf, "id", "vec", path, threshold = 0.95, nprobe = 1)
+    res.collect()
+    // the pinned screening table (cell, corpus_id, code, norm) was
+    // materialized through the probed-cell semi-join: the rows it SERVES
+    // are the probe's coarse working set. Measured, not just plan-shaped:
+    // numOutputRows of the cache scan ≤ probed-cells' occupancy ≪ corpus.
+    val screens = PlanMetrics.cacheScansWith(res, Seq("corpus_id", "code", "norm"))
+    assert(screens.nonEmpty, "expected the pinned screening table in the executed plan")
+    val served = screens.map(PlanMetrics.rows)
+    assert(served.forall(_ > 0L), s"screen must serve the probed cell's rows, got $served")
+    assert(served.forall(_ <= 32L),
+      s"2 probed cells of 4 → at most 32 of 64 corpus rows may enter the screen, got $served")
+    Caches.release()
+  }
+
   test("scoreWithLut screens bit-identically to the plain ADC path") {
     val path = tmp()
     buildSmallPq(path)

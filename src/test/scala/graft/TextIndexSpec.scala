@@ -199,6 +199,34 @@ class TextIndexSpec extends AnyFunSuite {
       "global top-k must ride TakeOrderedAndProject, not a full sort")
   }
 
+  test("measured probe IO: postings rows surviving the term filter = candidates, not the index") {
+    val path = tmp()
+    TextIndex.build(docs, "doc_id", "text", path)
+    // ground truth from the corpus itself: one posting per (term, doc)
+    // pair; candidates = pairs whose term is in the query
+    val pairs = docs.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(length(col("term")) > 0).distinct()
+    val totalPostings = pairs.count()
+    val candidates = pairs.where(col("term").isin(query: _*)).count()
+    assert(candidates < totalPostings, "fixture must make the bound non-trivial")
+
+    val probe = TextIndex.searchTopK(spark, path, query, 10)
+    probe.collect()
+    // the innermost filter over the postings scan is the term IN-filter;
+    // its EXECUTED output is what every downstream stage touches. The
+    // scan node itself reports row-group granularity (the whole fixture
+    // file), which is exactly why the claim must be measured here, above
+    // it — "candidate-sized after the scan" as a counter, not a shape.
+    val filters = PlanMetrics.innermostFiltersOver(probe, "postings")
+    assert(filters.nonEmpty, "expected a filter over the postings scan")
+    filters.foreach { f =>
+      val n = PlanMetrics.rows(f)
+      assert(n == candidates,
+        s"postings rows entering the probe: $n, expected candidate count $candidates " +
+          s"(index holds $totalPostings)")
+    }
+  }
+
   // ---- positional phrase search ----
 
   private def phrase(path: String, words: String*) =
