@@ -3981,6 +3981,65 @@ object Queries {
     },
     Some(bm25RationalOracle))
 
+  /** Hybrid retrieval: keyword (BM25 over the persisted inverted index)
+    * and vector (exact-int cosine top-k) runs fused by reciprocal-rank
+    * fusion ([[graft.operators.Ranking.rrfFuse]]) — the production shape
+    * of "semantic + lexical" serving, where only RANKS cross the fusion
+    * boundary so the two scoring scales never need calibration. ORACLE-
+    * GATED end to end: DuckDB rebuilds BM25 from the raw corpus (the q84
+    * exact-rational formulation), the quantized cosine run (the q30c
+    * integer twin), both rank assignments, and the fixed-order RRF sum —
+    * agreement pins index search, vector search, ranking, the full-outer
+    * fusion join, and the fused ordering in ONE hash.
+    */
+  val q97HybridRrf: Q = Q(
+    "q97_hybrid_rrf",
+    (s, dir) => {
+      val textRun = textIndexProbe(s, buildTextIndexBatches(s, dir))
+      val vecRun = Similarity.bruteForceTopKExactInt(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 20,
+        keepScore = true)
+        .select(col("vec_id").as("doc_id"), col("score"))
+      graft.operators.Ranking.rrfFuse(
+        Seq("text" -> textRun, "vec" -> vecRun), "doc_id", "score", k = 10)
+    },
+    Some(s"""
+      WITH bm_run AS ($bm25RationalOracle),
+      bm AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_text
+        FROM bm_run),
+      iv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS iv
+        FROM embeddings),
+      qv AS (SELECT iv AS qv FROM iv WHERE vec_id = 0),
+      dd AS (
+        SELECT i.vec_id,
+               CAST(list_dot_product(CAST(i.iv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS BIGINT) AS dot,
+               CAST(list_dot_product(CAST(i.iv AS DOUBLE[]), CAST(i.iv AS DOUBLE[])) AS BIGINT) AS norm2,
+               CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS BIGINT) AS qnorm2
+        FROM iv i CROSS JOIN qv q
+        WHERE i.vec_id <> 0),
+      vec_run AS (
+        SELECT vec_id AS doc_id,
+               CASE WHEN norm2 = 0 OR qnorm2 = 0 THEN 0.0
+                    ELSE CAST(dot AS DOUBLE) / sqrt(CAST(norm2 * qnorm2 AS DOUBLE)) END AS score
+        FROM dd
+        ORDER BY score DESC, doc_id
+        LIMIT 20),
+      vec AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_vec
+        FROM vec_run)
+      SELECT COALESCE(bm.doc_id, vec.doc_id) AS doc_id,
+             bm.rank_text, vec.rank_vec,
+             COALESCE(CAST(1 AS DOUBLE) / (60 + bm.rank_text), CAST(0 AS DOUBLE)) +
+             COALESCE(CAST(1 AS DOUBLE) / (60 + vec.rank_vec), CAST(0 AS DOUBLE)) AS rrf
+      FROM bm FULL JOIN vec ON bm.doc_id = vec.doc_id
+      ORDER BY rrf DESC, COALESCE(bm.doc_id, vec.doc_id)
+      LIMIT 10"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4025,7 +4084,8 @@ object Queries {
     q88cWeightedSampleSystematic,
     q89SemanticDedup, q89cSemanticDedupExact,
     q90PretrainingManifest, q91AudioDecode, q92ImageResize, q93PhraseSearch,
-    q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic)
+    q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic,
+    q97HybridRrf)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

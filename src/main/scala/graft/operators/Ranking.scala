@@ -303,4 +303,65 @@ object Ranking {
           col("n_hapax").cast("double") / col("n_types").cast("double"))
           .otherwise(lit(0.0)))
   }
+
+  /** 1-based dense rank of each row in a BOUNDED top-k run (score desc,
+    * id asc tie-break), computed by a self-join count instead of a
+    * window: a global `Window.orderBy` funnels everything through ONE
+    * partition, and while that is harmless at k rows it would rot into a
+    * scale bug the first time someone feeds a corpus-sized frame. The
+    * O(k²) join is the honest contract — it is only correct-size for
+    * runs that are already top-k lists, which is the only input
+    * [[rrfFuse]] accepts.
+    */
+  private def rankRun(run: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    val a = run.select(col(idCol).as("__id"), col(scoreCol).as("__s"))
+    val b = run.select(col(idCol).as("__bid"), col(scoreCol).as("__bs"))
+    a.join(b,
+        col("__bs") > col("__s") ||
+          (col("__bs") === col("__s") && col("__bid") < col("__id")),
+        "left")
+      .groupBy(col("__id"))
+      .agg((count(col("__bid")) + 1L).cast("int").as("__rank"))
+  }
+
+  /** Reciprocal-rank fusion of N ranked retrieval runs (Cormack et al.:
+    * score(d) = Σ_runs 1/(k₀ + rank_run(d))) — the standard way to serve
+    * hybrid keyword+vector search without score calibration, since only
+    * RANKS cross the fusion boundary and BM25/cosine magnitudes never
+    * mix. Each input is a (id, score) TOP-K run (driver-bounded by its
+    * own limit — [[graft.operators.TextIndex.searchTopK]],
+    * [[Similarity.bruteForceTopKExactInt]], an ANN probe); documents
+    * missing from a run contribute nothing for it. Emits one row per
+    * distinct id: per-run ranks (`rank_<name>`, NULL when absent) and
+    * the fused `rrf` score, top `k` by rrf desc (id asc tie-break).
+    *
+    * Determinism, the oracle-facing contract: ranks are exact integers,
+    * and the fused sum is a FIXED left-to-right chain of
+    * `coalesce(1/(k₀+rank), 0)` terms in run order — never a SUM
+    * aggregate whose accumulation order floats — so the emitted double
+    * is the same correctly-rounded value on any engine. All joins are
+    * k-sized; nothing corpus-sized enters the fusion.
+    */
+  def rrfFuse(
+      runs: Seq[(String, DataFrame)],
+      idCol: String,
+      scoreCol: String,
+      k: Int,
+      k0: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    require(runs.map(_._1).distinct.size == runs.size, "run names must be distinct")
+    require(k > 0 && k0 > 0, "k and k0 must be positive")
+    val ranked = runs.map { case (name, run) =>
+      rankRun(run, idCol, scoreCol)
+        .select(col("__id").as(idCol), col("__rank").as(s"rank_$name"))
+    }
+    val joined = ranked.reduce((l, r) => l.join(r, Seq(idCol), "full_outer"))
+    val rrf = runs.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(k0).cast("double") + col(s"rank_$name").cast("double")), lit(0.0))
+    }.reduce(_ + _)
+    joined
+      .withColumn("rrf", rrf)
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
 }

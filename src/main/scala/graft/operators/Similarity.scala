@@ -57,7 +57,8 @@ object Similarity {
       vecCol: String,
       queryId: Long,
       k: Int,
-      scale: Int = 1000): DataFrame = {
+      scale: Int = 1000,
+      keepScore: Boolean = false): DataFrame = {
     def quant(c: Column): Column =
       transform(c, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
     def idot(a: Column, b: Column): Column =
@@ -74,13 +75,17 @@ object Similarity {
         idot(col("__iv"), col("__qiv")).as("dot"),
         idot(col("__iv"), col("__iv")).as("norm2"),
         idot(col("__qiv"), col("__qiv")).as("qnorm2"))
-      .orderBy(
+      .withColumn("score",
         when(col("norm2") === 0L || col("qnorm2") === 0L, lit(0.0))
           .otherwise(col("dot").cast("double") /
-            sqrt((col("norm2") * col("qnorm2")).cast("double"))).desc,
-        col(idCol))
+            sqrt((col("norm2") * col("qnorm2")).cast("double"))))
+      .orderBy(col("score").desc, col(idCol))
       .limit(k)
-      .select(col(idCol), col("dot"), col("norm2"))
+      // `score` stays IEEE-deterministic (exact-integer operands, one
+      // correctly-rounded sqrt/division) so keeping it is hash-safe; the
+      // default face emits integers only, the q65c house style.
+      .select(col(idCol) +: col("dot") +: col("norm2") +:
+        (if (keepScore) Seq(col("score")) else Nil): _*)
   }
 
   /** Multi-band random-hyperplane LSH: `bands` independent signatures of

@@ -207,4 +207,28 @@ class RankingSpec extends AnyFunSuite {
     assert(got(None) === ((1L, 2L, 1L, 0L, 1.0 / 2.0, 0.0)),
       "null sources are one real group")
   }
+
+  test("rrfFuse: ranks, tie-break, missing-run nulls, fixed-order fused sum") {
+    val runA = Seq((1L, 0.9), (2L, 0.8), (3L, 0.8)).toDF("doc_id", "score")
+    val runB = Seq((3L, 0.5), (4L, 0.4)).toDF("doc_id", "score")
+    val fused = Ranking.rrfFuse(Seq("a" -> runA, "b" -> runB), "doc_id", "score", k = 10)
+    val rows = fused.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[Integer]("rank_a")).map(_.toInt),
+          Option(r.getAs[Integer]("rank_b")).map(_.toInt),
+          r.getAs[Double]("rrf"))))
+      .toMap
+    // score ties rank by id asc: doc 2 before doc 3 in run a
+    assert(rows(2L)._1 === Some(2) && rows(3L)._1 === Some(3))
+    // a doc absent from a run carries NULL for that run and no contribution
+    assert(rows(1L) === ((Some(1), None, 1.0 / 61)))
+    assert(rows(4L) === ((None, Some(2), 1.0 / 62)))
+    // both-runs doc sums exactly, in run order
+    assert(rows(3L) === ((Some(3), Some(1), 1.0 / 63 + 1.0 / 61)))
+    // fused ordering: doc 3 (two runs) first
+    assert(fused.collect().head.getAs[Long]("doc_id") === 3L)
+    // the ranking must NOT ride a global window (the single-partition trap)
+    assert(!fused.queryExecution.executedPlan.toString.contains("Window"),
+      "rrfFuse must rank bounded runs without a Window operator")
+  }
 }
