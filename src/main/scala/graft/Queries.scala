@@ -4040,6 +4040,53 @@ object Queries {
       ORDER BY rrf DESC, COALESCE(bm.doc_id, vec.doc_id)
       LIMIT 10"""))
 
+  /** Cluster-balanced subsampling under EXPLICIT centroids (the first
+    * four corpus embeddings, collected bounded and baked as plan
+    * literals): nearest-centroid assignment through the custom codegen'd
+    * argmin expression, then a 25-per-cluster systematic cap riding the
+    * bounded-heap TopKPerKey plan — and because the centroids are
+    * explicit, DuckDB reproduces BOTH stages (sequential-order squared-L2
+    * distances, argmin with cell tie-break, row_number cap under the
+    * linear draw), putting [[graft.expressions.NearestCentroidsExpr]]
+    * itself under an external oracle for the first time. The learned-
+    * centroid production face is the same operator fed by
+    * [[Similarity.trainIvf]].
+    */
+  val q98ClusterBalanced: Q = Q(
+    "q98_cluster_balanced",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 4).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      graft.operators.Partitioning.clusterBalancedSample(
+        emb, "vec_id", "embedding", cents, n = 25,
+        uniform = Some(pmod(col("vec_id") * 37L, lit(1000L)).cast("double") / lit(1000.0)))
+        .select("vec_id", "cluster")
+    },
+    Some("""
+      WITH c AS (
+        SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings WHERE vec_id < 4),
+      d AS (
+        SELECT e.vec_id, c.cid,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, len(e.embedding) + 1),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))),
+                 (a, b) -> a + b) AS dist
+        FROM embeddings e CROSS JOIN c),
+      a AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d),
+      asg AS (SELECT vec_id, CAST(cid AS INT) AS cluster FROM a WHERE rn = 1),
+      r AS (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY (vec_id * 37 % 1000) / 1000.0, vec_id) AS rn
+        FROM asg)
+      SELECT vec_id, cluster FROM r WHERE rn <= 25"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4085,7 +4132,7 @@ object Queries {
     q89SemanticDedup, q89cSemanticDedupExact,
     q90PretrainingManifest, q91AudioDecode, q92ImageResize, q93PhraseSearch,
     q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic,
-    q97HybridRrf)
+    q97HybridRrf, q98ClusterBalanced)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

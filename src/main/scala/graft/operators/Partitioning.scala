@@ -242,6 +242,47 @@ object Partitioning {
       n)
   }
 
+  /** Cluster-balanced subsample — the embedding-space counterpart of the
+    * per-source domain cap: assign every row to its nearest explicit
+    * centroid (squared-L2 argmin via the codegen'd
+    * [[graft.expressions.NearestCentroidsExpr]], ties to the lower cell)
+    * and keep at most `n` rows per cluster through [[sampleNPerKey]]'s
+    * bounded-heap plan. Caps redundancy in over-dense regions of the
+    * embedding space instead of over-represented source domains — the
+    * diversity-sampling move cluster-based curation pipelines use after
+    * SemDeDup-style pruning.
+    *
+    * Scale shape: centroids are plan literals (they ship with the task
+    * binary — no join, no broadcast exchange), assignment is a zero-
+    * shuffle per-row projection inside whole-stage codegen, and the cap
+    * is the [[graft.plans.TopK]] exchange of ≤ n·clusters survivors.
+    * With EXPLICIT centroids the whole operator is ANSI-expressible —
+    * q98 puts assignment AND cap under one external oracle; pair with
+    * [[Similarity.trainIvf]] when the centroids should be learned.
+    */
+  def clusterBalancedSample(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      n: Int,
+      seed: Int = 42,
+      uniform: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val uniformDraw = uniform // capture before the wildcard import (functions.uniform shadows)
+    import org.apache.spark.sql.functions._
+    require(centroids.nonEmpty, "clusterBalancedSample needs at least one centroid")
+    val dim = centroids.head.length
+    require(dim > 0 && centroids.forall(_.length == dim),
+      "centroids must share one positive dimensionality")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val cells = ColumnBridge.column(graft.expressions.NearestCentroidsExpr(
+      ColumnBridge.eagerExpression(col(vecCol)),
+      centroids.flatten.toIndexedSeq, dim, nprobe = 1))
+    sampleNPerKey(
+      df.withColumn("cluster", element_at(cells, 1)),
+      "cluster", idCol, n, seed, uniformDraw)
+  }
+
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
     * Spirakis 2006, A-ES): keep the `n` rows with the largest
     * u^(1/w), u = the key-hash uniform — each row's inclusion odds are

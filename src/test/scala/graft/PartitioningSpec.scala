@@ -189,6 +189,36 @@ class PartitioningSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"a ranking window would sort every group:\n$p")
   }
 
+  test("clusterBalancedSample: argmin assignment, per-cluster cap, bounded-heap plan") {
+    // 3 explicit centroids on orthogonal axes; 300 points jittered around them
+    val cents = Array(
+      Array(1.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0))
+    val pts = spark.range(300).select(
+      col("id"),
+      array(
+        when(col("id") % 3 === 0, lit(1.0f)).otherwise(lit(0.01f) * (col("id") % 7).cast("float")),
+        when(col("id") % 3 === 1, lit(1.0f)).otherwise(lit(0.02f) * (col("id") % 5).cast("float")),
+        when(col("id") % 3 === 2, lit(1.0f)).otherwise(lit(0.03f) * (col("id") % 4).cast("float")))
+        .as("vec"))
+    val out = Partitioning.clusterBalancedSample(pts, "id", "vec", cents, n = 10)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("cluster")))
+    // every row assigned to its planted axis; exactly 10 kept per cluster
+    assert(out.forall { case (id, c) => c == (id % 3).toInt },
+      "nearest-centroid assignment must recover the planted clusters")
+    assert(out.groupBy(_._2).forall(_._2.length == 10) && out.length == 30)
+    // deterministic under a different physical layout
+    val again = Partitioning.clusterBalancedSample(pts.repartition(7), "id", "vec", cents, n = 10)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("cluster")))
+    assert(again.toSet === out.toSet)
+    // assignment is a pure projection; the cap rides the bounded-heap plan
+    val p = Partitioning.clusterBalancedSample(pts, "id", "vec", cents, n = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"expected the native bounded-heap exec:\n$p")
+    assert(!p.contains("Window"), s"a ranking window would sort every cluster:\n$p")
+  }
+
   test("hashSplit stays a pure projection — no exchange in the plan") {
     val rows = spark.range(100).select(col("id").cast("string").as("k"))
     val p = Partitioning.hashSplit(rows, "k", Seq("a" -> 1.0, "b" -> 1.0))
