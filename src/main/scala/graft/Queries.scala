@@ -4087,6 +4087,69 @@ object Queries {
         FROM asg)
       SELECT vec_id, cluster FROM r WHERE rn <= 25"""))
 
+  /** Deterministic MESSY URL per doc_id (uppercase scheme/host, default
+    * and non-default ports, empty paths, a tracking param, params out of
+    * order, fragments) — the q95 synthetic-fixture move for the URL
+    * canonicalizer: the Spark face runs the REAL
+    * [[graft.operators.Urls.canonicalize]] over these, while the oracle
+    * PREDICTS the canonical string arithmetically from doc_id, so the two
+    * agree only if every normalization rule (case, port-per-scheme,
+    * path default, tracking strip, bytewise param sort, fragment drop)
+    * fires faithfully.
+    */
+  private def syntheticUrls(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, lit("Example.COM:80"))
+          .when(col("doc_id") % 3 === 1, lit("Sub.Example.ORG:443"))
+          .otherwise(lit("example.net:8080")),
+        when(col("doc_id") % 5 === 0, lit(""))
+          .otherwise(concat(lit("/p/"), (col("doc_id") % 7).cast("string"))),
+        lit("?utm_source=x&zz="), (col("doc_id") % 4).cast("string"),
+        lit("&a="), (col("doc_id") % 3).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("#frag")).otherwise(lit("")))
+        .as("url"))
+
+  /** Shared DuckDB prediction of the canonical URL for [[syntheticUrls]]
+    * (used by q99 and q99b): mirrors the rules, not the parser.
+    */
+  private val canonicalUrlSql: String = """
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+               (CASE
+                  WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 'example.com'
+                  WHEN doc_id % 3 = 0 THEN 'example.com:80'
+                  WHEN doc_id % 3 = 1 AND doc_id % 2 = 0 THEN 'sub.example.org:443'
+                  WHEN doc_id % 3 = 1 THEN 'sub.example.org'
+                  ELSE 'example.net:8080' END) ||
+               (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR) END) ||
+               '?a=' || CAST(doc_id % 3 AS VARCHAR) || '&zz=' || CAST(doc_id % 4 AS VARCHAR)
+               AS canonical_url
+        FROM documents"""
+
+  /** REAL URL canonicalization, oracle-gated by arithmetic prediction. */
+  val q99UrlCanonical: Q = Q(
+    "q99_url_canonical",
+    (s, dir) => syntheticUrls(s, dir).select(
+      col("doc_id"),
+      graft.operators.Urls.canonicalize(col("url")).as("canonical_url")),
+    Some(canonicalUrlSql))
+
+  /** Canonical-URL dedup over the same synthetic corpus: permuted params,
+    * case, ports and fragments merge into one canonical identity; keeper
+    * = min doc_id, exactly one hash exchange (the A2 exact-dedup shape).
+    */
+  val q99bUrlDedup: Q = Q(
+    "q99b_url_dedup",
+    (s, dir) => graft.operators.Urls.dedupByCanonical(syntheticUrls(s, dir), "url", "doc_id"),
+    Some(s"""
+      WITH c AS ($canonicalUrlSql)
+      SELECT canonical_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+      FROM c GROUP BY canonical_url"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4132,7 +4195,7 @@ object Queries {
     q89SemanticDedup, q89cSemanticDedupExact,
     q90PretrainingManifest, q91AudioDecode, q92ImageResize, q93PhraseSearch,
     q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic,
-    q97HybridRrf, q98ClusterBalanced)
+    q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and canonical-URL dedup — the first dedup pass of
+  * every web-crawl curation pipeline (the same page is fetched under
+  * `HTTP://Example.COM:80/a?utm_source=x&b=1#top` and
+  * `http://example.com/a?b=1`; byte-level text dedup only catches it
+  * after the far more expensive fetch+extract).
+  *
+  * Canonical form, applied in order:
+  *   1. fragment dropped (`#…` never reaches the server);
+  *   2. scheme and host lowercased (case-insensitive per RFC 3986);
+  *   3. default port stripped (`:80` for http, `:443` for https);
+  *   4. empty path → `/`;
+  *   5. tracking parameters removed (`utm_*`, `fbclid`, `gclid`, `ref`);
+  *   6. remaining query parameters sorted bytewise (param order is
+  *      almost never semantic; sorting merges permuted duplicates).
+  *
+  * Everything is built from codegen'd string/array builtins — no UDF, no
+  * shuffle: canonicalization is a pure per-row projection that runs
+  * inside whole-stage codegen at scan speed. [[dedupByCanonical]] adds
+  * the single hash exchange any exact dedup needs, keyed on the
+  * canonical string.
+  */
+object Urls {
+
+  private val trackingParam = "^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
+
+  /** Canonical form of `url` (see object doc). Rows that do not look like
+    * an absolute `scheme://…` URL canonicalize to NULL — the quarantine
+    * convention: filter `canonical IS NULL` to audit them, never a throw
+    * mid-corpus.
+    */
+  def canonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val afterHost = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val rawPath = regexp_extract(afterHost, "^([^?]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = regexp_extract(afterHost, "^[^?]*\\?(.*)$", 1)
+    val kept = array_sort(filter(
+      split(query, "&"),
+      p => !(p.rlike(trackingParam)) && p =!= ""))
+    val queryPart = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    when(scheme === "" || hostPort === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path, queryPart))
+  }
+
+  /** One row per canonical URL: the keeper (minimum `idCol` — the usual
+    * earliest-crawl winner), the duplicate count, and the canonical
+    * string. Unparseable rows (canonical NULL) are EXCLUDED — they have
+    * no identity to merge on; recover them via [[canonicalize]]'s NULL
+    * quarantine. Exactly one hash exchange on the canonical key, partial
+    * aggregation map-side — the A2 exact-dedup shape.
+    */
+  def dedupByCanonical(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.select(canonicalize(col(urlCol)).as("canonical_url"), col(idCol))
+      .where(col("canonical_url").isNotNull)
+      .groupBy("canonical_url")
+      .agg(
+        min(col(idCol)).as("keeper_id"),
+        count(lit(1)).as("n_dups"))
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Urls
+
+class UrlsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[Option[String]] =
+    urls.toDF("url")
+      .select(Urls.canonicalize(col("url")).as("c"))
+      .collect().map(r => Option(r.getAs[String]("c"))).toSeq
+
+  test("canonicalize: case, default ports, fragments, tracking params, param order") {
+    assert(canon("HTTP://Example.COM:80/a?utm_source=x&b=1#top") ===
+      Seq(Some("http://example.com/a?b=1")))
+    assert(canon("https://Host.Org:443/x/y") === Seq(Some("https://host.org/x/y")))
+    // non-default ports survive; :443 is only default for httpS
+    assert(canon("http://h.io:443/a", "http://h.io:8080/a") ===
+      Seq(Some("http://h.io:443/a"), Some("http://h.io:8080/a")))
+    // empty path becomes /
+    assert(canon("https://h.io", "https://h.io?b=2") ===
+      Seq(Some("https://h.io/"), Some("https://h.io/?b=2")))
+    // params sort bytewise; tracking family stripped wherever it appears
+    assert(canon("http://h.io/p?zz=1&utm_campaign=c&a=2&gclid=g&fbclid=f&ref=r") ===
+      Seq(Some("http://h.io/p?a=2&zz=1")))
+    // an all-tracking query drops the ? entirely
+    assert(canon("http://h.io/p?utm_source=s") === Seq(Some("http://h.io/p")))
+    // a param merely PREFIXED by a tracking name is not tracking
+    assert(canon("http://h.io/p?refresh=1") === Seq(Some("http://h.io/p?refresh=1")))
+  }
+
+  test("canonicalize: permuted/bloated variants of one page collapse to one identity") {
+    val variants = Seq(
+      "HTTP://Example.COM:80/a?b=1&a=2#frag",
+      "http://example.com/a?a=2&b=1",
+      "http://EXAMPLE.com/a?utm_medium=m&b=1&a=2")
+    assert(canon(variants: _*).flatten.distinct.size === 1)
+  }
+
+  test("canonicalize: non-absolute rows quarantine as NULL, never throw") {
+    assert(canon("not a url", "/relative/path", "", "mailto:x@y.z") ===
+      Seq(None, None, None, None))
+  }
+
+  test("dedupByCanonical: keeper is min id, counts exact, NULLs excluded, one exchange") {
+    val df = Seq(
+      (1L, "http://h.io/a?b=1"),
+      (2L, "HTTP://H.IO:80/a?utm_source=s&b=1"),
+      (3L, "http://h.io/other"),
+      (4L, "garbage"))
+      .toDF("doc_id", "url")
+    val out = Urls.dedupByCanonical(df, "url", "doc_id")
+      .collect()
+      .map(r => (r.getAs[String]("canonical_url"), r.getAs[Long]("keeper_id"), r.getAs[Long]("n_dups")))
+      .toSet
+    assert(out === Set(
+      ("http://h.io/a?b=1", 1L, 2L),
+      ("http://h.io/other", 3L, 1L)))
+    val plan = Urls.dedupByCanonical(df, "url", "doc_id").queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"exact dedup needs exactly one hash exchange:\n$plan")
+  }
+}
