@@ -1350,8 +1350,9 @@ object Queries {
     * encode → real `javax.imageio` decode; DuckDB predicts (width,
     * height, channels) arithmetically. JPEG pixel values are lossy but
     * geometry and band count are exact — which is why the oracle pins
-    * dims, not content. Closes the round-9 `decodeStub` scope question:
-    * the stub now stands in ONLY for MP3/video bitstreams.
+    * dims, not content. Closes the round-9 stub-scope question: JPEG is
+    * fully real, and round 11 retired the stub entry point entirely —
+    * formats the JDK cannot decode quarantine through the real decoders.
     */
   val q95JpegDecode: Q = Q(
     "q95_jpeg_decode",
