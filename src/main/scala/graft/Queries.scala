@@ -4151,6 +4151,52 @@ object Queries {
       SELECT canonical_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
       FROM c GROUP BY canonical_url"""))
 
+  /** LEAKAGE-SAFE train/test split: near-duplicate documents must never
+    * straddle the boundary (a test doc with a train near-copy inflates
+    * eval — the contamination [[graft.operators.Decontaminate]] hunts,
+    * manufactured at split time). Composition: exact-Jaccard pairs →
+    * connected components → each doc keyed by its duplicate-cluster
+    * label (its own id when unique) → [[graft.operators.Partitioning
+    * .hashSplit]] on the CLUSTER key, so the whole component moves as
+    * one. Fully oracle-gated: DuckDB rebuilds pairs, components
+    * (recursive CTE), the coalesce, and the split-cut arithmetic under
+    * the systematic draw.
+    */
+  val q100LeakageSafeSplit: Q = Q(
+    "q100_leakage_safe_split",
+    (s, dir) => {
+      val corpus = corpusWithPlantedDups(s, dir)
+      val clusters = Dedup.duplicateClusters(
+        Dedup.exactJaccardPairs(corpus, "text", "doc_id", shingleK = 3, threshold = 0.5))
+      val keyed = corpus
+        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("grp"))
+      graft.operators.Partitioning.hashSplit(
+        keyed, "grp", Seq("train" -> 0.8, "test" -> 0.2),
+        uniform = Some(pmod(col("grp") * 37L, lit(1000L)).cast("double") / lit(1000.0)))
+        .select(col("doc_id"), col("grp"), col("split"))
+    },
+    Some(s"""
+      WITH RECURSIVE $exactJaccardCtes,
+      pairs AS (
+        SELECT s.id_a, s.id_b
+        FROM shared s
+        JOIN sz sa ON sa.doc_id = s.id_a
+        JOIN sz sb ON sb.doc_id = s.id_b
+        WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5),
+      und AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT s, t FROM und
+        UNION
+        SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s WHERE u.t <> r.s),
+      cl AS (SELECT s AS id, LEAST(s, MIN(t)) AS cluster FROM reach GROUP BY s),
+      keyed AS (
+        SELECT c.doc_id, COALESCE(cl.cluster, c.doc_id) AS grp
+        FROM corpus c LEFT JOIN cl ON cl.id = c.doc_id)
+      SELECT doc_id, grp,
+             CASE WHEN (grp * 37 % 1000) / 1000.0 < 0.8 THEN 'train' ELSE 'test' END AS split
+      FROM keyed"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4196,7 +4242,8 @@ object Queries {
     q89SemanticDedup, q89cSemanticDedupExact,
     q90PretrainingManifest, q91AudioDecode, q92ImageResize, q93PhraseSearch,
     q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic,
-    q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup)
+    q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
+    q100LeakageSafeSplit)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

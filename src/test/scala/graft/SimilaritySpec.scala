@@ -49,6 +49,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap >= 18, s"exact-int twin diverged from the float face: $overlap/20 shared")
   }
 
+  test("approximate faces are ⊆ exact brute force: every LSH/IVF hit carries the true cosine") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // the whole corpus ranked exactly — any correct approximate result is
+    // a subset of these (id, cosine) pairs with BIT-IDENTICAL cosines,
+    // since both paths score with the same deterministic fold
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 1000000)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 20).collect()
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 20).collect()
+    assert(lsh.nonEmpty && ivf.nonEmpty)
+    (lsh ++ ivf).foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(exact.contains(id), s"approximate hit $id is not in the corpus ranking")
+      assert(exact(id) == r.getAs[Double]("cosine"),
+        s"approximate cosine for $id must equal the exact score bit-for-bit")
+    }
+  }
+
   test("trainIvf and Pq.train accept array<double> vector columns (the ADVICE r9 latent cast)") {
     // The probe expressions always accepted array<float|double>; the
     // driver-side samplers hard-cast to Seq[Float] until round 10. A
