@@ -4197,6 +4197,54 @@ object Queries {
              CASE WHEN (grp * 37 % 1000) / 1000.0 < 0.8 THEN 'train' ELSE 'test' END AS split
       FROM keyed"""))
 
+  /** HARD-NEGATIVE MINING for retriever training: documents that score
+    * high lexically (BM25 over the persisted index) but are semantically
+    * FAR from the anchor (exact-int cosine below a cut) — the classic
+    * "BM25 negatives" recipe for contrastive training, where lexically-
+    * confusable-but-unrelated docs make the most informative negatives.
+    * The anchor doc for the cosine leg is vec_id 0 (the standing probe
+    * of the ANN family). Fully oracle-gated: DuckDB rebuilds the BM25
+    * run, the quantized cosine, and the cut — the anti-semantic filter
+    * is a left join against the integer-exact cosine so "no embedding"
+    * (outside the cosine run's corpus) counts as far, mirroring both
+    * engines' NULL semantics explicitly with a coalesce.
+    */
+  val q101HardNegatives: Q = Q(
+    "q101_hard_negatives",
+    (s, dir) => {
+      val bm = textIndexProbe(s, buildTextIndexBatches(s, dir))
+      // exact-int cosine PROJECTION (no global sort — the 20-row BM25 run
+      // broadcast-joins against the streamed corpus scores)
+      val cos = Similarity.cosineToQueryExactInt(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L)
+        .select(col("vec_id").as("doc_id"), col("score").as("anchor_cos"))
+      cos.join(broadcast(bm), Seq("doc_id"), "right")
+        .where(coalesce(col("anchor_cos"), lit(-1.0)) < 0.05)
+        .select(col("doc_id"), col("score"), col("anchor_cos"))
+    },
+    Some(s"""
+      WITH bm_run AS ($bm25RationalOracle),
+      iv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS iv
+        FROM embeddings),
+      qv AS (SELECT iv AS qv FROM iv WHERE vec_id = 0),
+      dd AS (
+        SELECT i.vec_id,
+               CAST(list_dot_product(CAST(i.iv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS BIGINT) AS dot,
+               CAST(list_dot_product(CAST(i.iv AS DOUBLE[]), CAST(i.iv AS DOUBLE[])) AS BIGINT) AS norm2,
+               CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS BIGINT) AS qnorm2
+        FROM iv i CROSS JOIN qv q
+        WHERE i.vec_id <> 0),
+      cosr AS (
+        SELECT vec_id AS doc_id,
+               CASE WHEN norm2 = 0 OR qnorm2 = 0 THEN 0.0
+                    ELSE CAST(dot AS DOUBLE) / sqrt(CAST(norm2 * qnorm2 AS DOUBLE)) END AS anchor_cos
+        FROM dd)
+      SELECT b.doc_id, b.score, c.anchor_cos
+      FROM bm_run b LEFT JOIN cosr c ON c.doc_id = b.doc_id
+      WHERE COALESCE(c.anchor_cos, -1.0) < 0.05"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4243,7 +4291,7 @@ object Queries {
     q90PretrainingManifest, q91AudioDecode, q92ImageResize, q93PhraseSearch,
     q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic,
     q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
-    q100LeakageSafeSplit)
+    q100LeakageSafeSplit, q101HardNegatives)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

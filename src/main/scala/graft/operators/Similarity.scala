@@ -51,14 +51,20 @@ object Similarity {
     * exists". Same plan shape as [[bruteForceTopK]]: 1-row broadcast,
     * map-side scoring, TakeOrderedAndProject — no global sort.
     */
-  def bruteForceTopKExactInt(
+  /** The scoring projection under [[bruteForceTopKExactInt]], exposed on
+    * its own for candidate-join consumers (hard-negative mining, re-rank
+    * feeds) that must NOT pay the global top-k sort: every corpus row's
+    * exact-int cosine to the query — a zero-shuffle map over the corpus
+    * against a 1-row broadcast. `score` is IEEE-deterministic (exact
+    * integer operands, one correctly-rounded sqrt/division), so it is
+    * hash-safe to emit and to filter on.
+    */
+  def cosineToQueryExactInt(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       queryId: Long,
-      k: Int,
-      scale: Int = 1000,
-      keepScore: Boolean = false): DataFrame = {
+      scale: Int = 1000): DataFrame = {
     def quant(c: Column): Column =
       transform(c, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
     def idot(a: Column, b: Column): Column =
@@ -79,14 +85,22 @@ object Similarity {
         when(col("norm2") === 0L || col("qnorm2") === 0L, lit(0.0))
           .otherwise(col("dot").cast("double") /
             sqrt((col("norm2") * col("qnorm2")).cast("double"))))
+  }
+
+  def bruteForceTopKExactInt(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      scale: Int = 1000,
+      keepScore: Boolean = false): DataFrame =
+    cosineToQueryExactInt(emb, idCol, vecCol, queryId, scale)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
-      // `score` stays IEEE-deterministic (exact-integer operands, one
-      // correctly-rounded sqrt/division) so keeping it is hash-safe; the
-      // default face emits integers only, the q65c house style.
+      // the default face emits integers only, the q65c house style
       .select(col(idCol) +: col("dot") +: col("norm2") +:
         (if (keepScore) Seq(col("score")) else Nil): _*)
-  }
 
   /** Multi-band random-hyperplane LSH: `bands` independent signatures of
     * `bitsPerBand` hyperplanes each. Two vectors are candidates when ANY
