@@ -4245,6 +4245,58 @@ object Queries {
       FROM bm_run b LEFT JOIN cosr c ON c.doc_id = b.doc_id
       WHERE COALESCE(c.anchor_cos, -1.0) < 0.05"""))
 
+  /** Unrolled-iteration DuckDB twin of [[graft.operators.Graphs
+    * .pageRankInt]] over the synthesized 2-out-regular link graph: each
+    * round is one join + one aggregate CTE, generated by the same loop
+    * count the Spark face runs — fixed-point integer arithmetic means
+    * the two engines agree bit-for-bit after ANY number of rounds.
+    */
+  private def pagerankOracleSql(iters: Int): String = {
+    val base = """
+      WITH e AS (
+        SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT COUNT(*) FROM documents) AS dst FROM documents
+        UNION ALL
+        SELECT doc_id, doc_id % 50 FROM documents),
+      it0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank FROM documents)"""
+    val rounds = (1 to iters).map { i =>
+      s""",
+      agg$i AS (
+        SELECT e.dst, CAST(SUM(r.rank // 2) AS BIGINT) AS agg
+        FROM e JOIN it${i - 1} r ON r.id = e.src
+        GROUP BY e.dst),
+      it$i AS (
+        SELECT d.doc_id AS id,
+               CAST(150000 + (85 * COALESCE(a.agg, 0)) // 100 AS BIGINT) AS rank
+        FROM documents d LEFT JOIN agg$i a ON a.dst = d.doc_id)"""
+    }.mkString
+    s"$base$rounds SELECT id AS doc_id, rank FROM it$iters"
+  }
+
+  /** Link-graph authority scoring (the web-curation domain-rank quality
+    * signal) through [[graft.operators.Graphs.pageRankInt]]: 5 damped
+    * rounds of FIXED-POINT INTEGER PageRank over a deterministic
+    * 2-out-regular graph on the documents. Integer sums make every round
+    * order-independent, so this is the rare iterative-graph operator an
+    * external engine can reproduce exactly — the oracle unrolls the same
+    * 5 rounds as chained CTEs.
+    */
+  val q102PagerankAuthority: Q = Q(
+    "q102_pagerank_authority",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(
+        col("doc_id").as("src"),
+        // one bijective edge (uniform background) + one hub edge (ids
+        // 0..49 collect ~n/50 in-links) — hubs make rank variance real,
+        // so the oracle is a discriminating witness, not a fixed point
+        explode(array(
+          pmod(col("doc_id") * 7L + 1L, lit(n)),
+          col("doc_id") % 50L)).as("dst"))
+      graft.operators.Graphs.pageRankInt(edges, "src", "dst", docs, "doc_id", iters = 5)
+    },
+    Some(pagerankOracleSql(5)))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4291,7 +4343,7 @@ object Queries {
     q90PretrainingManifest, q91AudioDecode, q92ImageResize, q93PhraseSearch,
     q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic,
     q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
-    q100LeakageSafeSplit, q101HardNegatives)
+    q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
