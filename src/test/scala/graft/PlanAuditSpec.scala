@@ -96,6 +96,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"fact scan must carry a dynamic pruning partition filter:\n$p")
   }
 
+  test("q97/q101: retrieval compositions never go cartesian; the candidate side broadcasts") {
+    // rrfFuse's rank self-join is a non-equi comparison over k-row runs —
+    // legal as BroadcastNestedLoop on bounded inputs, NEVER CartesianProduct
+    val p97 = plan("q97_hybrid_rrf")
+    assert(!p97.contains("CartesianProduct"), s"fusion must stay bounded:\n$p97")
+    val p101 = plan("q101_hard_negatives")
+    assert(!p101.contains("CartesianProduct"))
+    assert(p101.contains("BroadcastHashJoin"),
+      s"the 20-row BM25 run must broadcast against the streamed cosine projection:\n$p101")
+  }
+
+  test("q102: per-round shape is equi-join + partial aggregate, nothing cartesian") {
+    val p = plan("q102_pagerank_authority")
+    assert(!p.contains("CartesianProduct"), s"message rounds must be equi-joins:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"inbox sums must combine map-side:\n$p")
+  }
+
   test("partition-scoped CDC read: pruning predicate reaches PartitionFilters") {
     // the same read shape mergeIntoPartitioned builds per increment: the
     // fresh frame's schema supplied (disables partition type inference
