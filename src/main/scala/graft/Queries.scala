@@ -1054,7 +1054,7 @@ object Queries {
       SELECT vec_id, dot, norm2
       FROM d
       ORDER BY CASE WHEN norm2 = 0 OR qnorm2 = 0 THEN 0.0
-                    ELSE CAST(dot AS DOUBLE) / sqrt(CAST(norm2 * qnorm2 AS DOUBLE)) END DESC,
+                    ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))) END DESC,
                vec_id
       LIMIT 20"""))
 
@@ -4025,7 +4025,7 @@ object Queries {
       vec_run AS (
         SELECT vec_id AS doc_id,
                CASE WHEN norm2 = 0 OR qnorm2 = 0 THEN 0.0
-                    ELSE CAST(dot AS DOUBLE) / sqrt(CAST(norm2 * qnorm2 AS DOUBLE)) END AS score
+                    ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))) END AS score
         FROM dd
         ORDER BY score DESC, doc_id
         LIMIT 20),
@@ -4213,12 +4213,17 @@ object Queries {
     "q101_hard_negatives",
     (s, dir) => {
       val bm = textIndexProbe(s, buildTextIndexBatches(s, dir))
-      // exact-int cosine PROJECTION (no global sort — the 20-row BM25 run
-      // broadcast-joins against the streamed corpus scores)
+      // exact-int cosine PROJECTION (no global sort), reduced to the
+      // run's ids by a broadcast SEMI join FIRST: a right-outer join
+      // cannot broadcast its preserved side (Spark's canBuildBroadcastRight
+      // excludes RightOuter — the hint silently drops and the corpus-sized
+      // projection would sort-merge; caught by review in round 11), so the
+      // bounded step must come before the outer join, not be hinted onto it
       val cos = Similarity.cosineToQueryExactInt(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L)
         .select(col("vec_id").as("doc_id"), col("score").as("anchor_cos"))
-      cos.join(broadcast(bm), Seq("doc_id"), "right")
+        .join(broadcast(bm.select("doc_id")), Seq("doc_id"), "left_semi")
+      bm.join(broadcast(cos), Seq("doc_id"), "left")
         .where(coalesce(col("anchor_cos"), lit(-1.0)) < 0.05)
         .select(col("doc_id"), col("score"), col("anchor_cos"))
     },
@@ -4239,7 +4244,7 @@ object Queries {
       cosr AS (
         SELECT vec_id AS doc_id,
                CASE WHEN norm2 = 0 OR qnorm2 = 0 THEN 0.0
-                    ELSE CAST(dot AS DOUBLE) / sqrt(CAST(norm2 * qnorm2 AS DOUBLE)) END AS anchor_cos
+                    ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))) END AS anchor_cos
         FROM dd)
       SELECT b.doc_id, b.score, c.anchor_cos
       FROM bm_run b LEFT JOIN cosr c ON c.doc_id = b.doc_id

@@ -267,10 +267,16 @@ object Partitioning {
       centroids: Array[Array[Double]],
       n: Int,
       seed: Int = 42,
-      uniform: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      uniform: Option[org.apache.spark.sql.Column] = None,
+      cellCol: String = "cluster"): DataFrame = {
     val uniformDraw = uniform // capture before the wildcard import (functions.uniform shadows)
     import org.apache.spark.sql.functions._
     require(centroids.nonEmpty, "clusterBalancedSample needs at least one centroid")
+    // loud on collision, the documented post-SemDeDup position makes a
+    // pre-existing cluster label LIKELY — silently clobbering it would
+    // destroy the caller's labels with no error (review, round 11)
+    require(!df.columns.contains(cellCol),
+      s"input already has a '$cellCol' column — pass cellCol to keep both")
     val dim = centroids.head.length
     require(dim > 0 && centroids.forall(_.length == dim),
       "centroids must share one positive dimensionality")
@@ -279,8 +285,8 @@ object Partitioning {
       ColumnBridge.eagerExpression(col(vecCol)),
       centroids.flatten.toIndexedSeq, dim, nprobe = 1))
     sampleNPerKey(
-      df.withColumn("cluster", element_at(cells, 1)),
-      "cluster", idCol, n, seed, uniformDraw)
+      df.withColumn(cellCol, element_at(cells, 1)),
+      cellCol, idCol, n, seed, uniformDraw)
   }
 
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis &

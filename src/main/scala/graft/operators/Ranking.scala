@@ -314,8 +314,14 @@ object Ranking {
     * [[rrfFuse]] accepts.
     */
   private def rankRun(run: DataFrame, idCol: String, scoreCol: String): DataFrame = {
-    val a = run.select(col(idCol).as("__id"), col(scoreCol).as("__s"))
-    val b = run.select(col(idCol).as("__bid"), col(scoreCol).as("__bs"))
+    // NULL scores are ABSENT from the run, not rank-1: every comparison
+    // against NULL evaluates NULL, so the self-join would count zero
+    // better rows and hand a scoreless doc the top rank (and rrfFuse the
+    // maximal contribution) — caught by review in round 11. A doc with
+    // no score made no retrieval claim; it contributes nothing.
+    val scored = run.where(col(scoreCol).isNotNull)
+    val a = scored.select(col(idCol).as("__id"), col(scoreCol).as("__s"))
+    val b = scored.select(col(idCol).as("__bid"), col(scoreCol).as("__bs"))
     a.join(b,
         col("__bs") > col("__s") ||
           (col("__bs") === col("__s") && col("__bid") < col("__id")),

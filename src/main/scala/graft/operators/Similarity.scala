@@ -38,26 +38,22 @@ object Similarity {
       .limit(k)
   }
 
-  /** ORACLE-EXPRESSIBLE exact cosine top-k: quantize each component to an
-    * integer (`floor(x·scale + 0.5)` — floor, not round: one unambiguous
-    * IEEE form both engines share, no half-even/half-up divergence), then
-    * dot products and squared norms are EXACT integers (≤ scale²·dim ≪
-    * 2⁵³ — summation order cannot matter) and the ranking cosine
-    * `dot / √(norm²·qnorm²)` is the same correctly-rounded double on any
-    * engine. The emitted columns are the integers themselves, so the
-    * driver's hash compares exact values while the top-k SET is decided
-    * by a bit-deterministic ordering — the q65c wide-margin argument,
-    * upgraded from "margin absorbs float noise" to "no float noise
-    * exists". Same plan shape as [[bruteForceTopK]]: 1-row broadcast,
-    * map-side scoring, TakeOrderedAndProject — no global sort.
-    */
   /** The scoring projection under [[bruteForceTopKExactInt]], exposed on
     * its own for candidate-join consumers (hard-negative mining, re-rank
     * feeds) that must NOT pay the global top-k sort: every corpus row's
     * exact-int cosine to the query — a zero-shuffle map over the corpus
     * against a 1-row broadcast. `score` is IEEE-deterministic (exact
-    * integer operands, one correctly-rounded sqrt/division), so it is
-    * hash-safe to emit and to filter on.
+    * integer operands, correctly-rounded sqrt/multiply/divide in a fixed
+    * shape), so it is hash-safe to emit and to filter on; the constant
+    * qnorm² is folded ONCE on the broadcast side, not re-folded per
+    * corpus row.
+    *
+    * Overflow contract: each integer fold needs
+    * `dim · (scale·max|x| + 1)² < 2⁶³` — at the default scale 1000 that
+    * holds to |x| ≈ 3·10⁵ per component. The RANKING term multiplies
+    * √norm² · √qnorm² in DOUBLE (never norm²·qnorm² in long, whose
+    * product overflows at a merely large scale — caught by review in
+    * round 11 as an ANSI-mode crash / silent NaN-first ordering).
     */
   def cosineToQueryExactInt(
       emb: DataFrame,
@@ -72,21 +68,35 @@ object Similarity {
     val q = emb
       .where(col(idCol) === queryId)
       .select(quant(col(vecCol)).as("__qiv"))
+      .select(col("__qiv"), idot(col("__qiv"), col("__qiv")).as("qnorm2"))
     Partitioning.spread(emb)
       .join(broadcast(q))
       .where(col(idCol) =!= queryId)
-      .select(col(idCol), quant(col(vecCol)).as("__iv"), col("__qiv"))
+      .select(col(idCol), quant(col(vecCol)).as("__iv"), col("__qiv"), col("qnorm2"))
       .select(
         col(idCol),
         idot(col("__iv"), col("__qiv")).as("dot"),
         idot(col("__iv"), col("__iv")).as("norm2"),
-        idot(col("__qiv"), col("__qiv")).as("qnorm2"))
+        col("qnorm2"))
       .withColumn("score",
         when(col("norm2") === 0L || col("qnorm2") === 0L, lit(0.0))
           .otherwise(col("dot").cast("double") /
-            sqrt((col("norm2") * col("qnorm2")).cast("double"))))
+            (sqrt(col("norm2").cast("double")) * sqrt(col("qnorm2").cast("double")))))
   }
 
+  /** ORACLE-EXPRESSIBLE exact cosine top-k: quantize each component to an
+    * integer (`floor(x·scale + 0.5)` — floor, not round: one unambiguous
+    * IEEE form both engines share, no half-even/half-up divergence), then
+    * dot products and squared norms are EXACT integers (summation order
+    * cannot matter) and the ranking cosine `dot / (√norm²·√qnorm²)` is
+    * the same correctly-rounded double on any engine. The emitted columns
+    * are the integers themselves, so the driver's hash compares exact
+    * values while the top-k SET is decided by a bit-deterministic
+    * ordering — the q65c wide-margin argument, upgraded from "margin
+    * absorbs float noise" to "no float noise exists". Same plan shape as
+    * [[bruteForceTopK]]: 1-row broadcast, map-side scoring,
+    * TakeOrderedAndProject — no global sort.
+    */
   def bruteForceTopKExactInt(
       emb: DataFrame,
       idCol: String,

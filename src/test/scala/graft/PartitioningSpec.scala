@@ -217,6 +217,16 @@ class PartitioningSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("TopKPerKey"), s"expected the native bounded-heap exec:\n$p")
     assert(!p.contains("Window"), s"a ranking window would sort every cluster:\n$p")
+    // a pre-existing label column fails LOUDLY instead of being clobbered;
+    // cellCol keeps both
+    val labeled = pts.withColumn("cluster", lit(99))
+    intercept[IllegalArgumentException] {
+      Partitioning.clusterBalancedSample(labeled, "id", "vec", cents, n = 10)
+    }
+    val kept = Partitioning.clusterBalancedSample(labeled, "id", "vec", cents, n = 10,
+      cellCol = "cell")
+      .collect()
+    assert(kept.forall(r => r.getAs[Int]("cluster") == 99 && r.getAs[Int]("cell") >= 0))
   }
 
   test("hashSplit stays a pure projection — no exchange in the plan") {

@@ -103,8 +103,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p97.contains("CartesianProduct"), s"fusion must stay bounded:\n$p97")
     val p101 = plan("q101_hard_negatives")
     assert(!p101.contains("CartesianProduct"))
-    assert(p101.contains("BroadcastHashJoin"),
-      s"the 20-row BM25 run must broadcast against the streamed cosine projection:\n$p101")
+    // the load-bearing claim is the ABSENCE of a corpus-sized shuffle
+    // join: the first q101 shape hinted broadcast onto a RIGHT outer join
+    // (whose preserved side cannot broadcast — the hint silently dropped
+    // to SortMergeJoin) and a generic contains(BroadcastHashJoin) passed
+    // via an unrelated join inside BM25. Assert no sort-merge anywhere.
+    assert(!p101.contains("SortMergeJoin"),
+      s"the cosine projection must reach the run via broadcast semi+outer, never a shuffle join:\n$p101")
   }
 
   test("q102: per-round shape is equi-join + partial aggregate, nothing cartesian") {

@@ -230,5 +230,13 @@ class RankingSpec extends AnyFunSuite {
     // the ranking must NOT ride a global window (the single-partition trap)
     assert(!fused.queryExecution.executedPlan.toString.contains("Window"),
       "rrfFuse must rank bounded runs without a Window operator")
+    // a NULL-score row is ABSENT from its run, never rank 1: every
+    // comparison against NULL is NULL, so without the filter the
+    // scoreless doc would count zero better rows and steal the top rank
+    val withNull = Seq((1L, Some(0.9)), (9L, Option.empty[Double])).toDF("doc_id", "score")
+    val nf = Ranking.rrfFuse(Seq("a" -> withNull), "doc_id", "score", k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[Integer]("rank_a"))).toMap
+    assert(nf(1L) === Some(1) && nf.get(9L).forall(_.isEmpty),
+      s"scoreless docs must contribute nothing, got $nf")
   }
 }

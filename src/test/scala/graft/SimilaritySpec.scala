@@ -36,7 +36,7 @@ class SimilaritySpec extends AnyFunSuite {
     val scored = vecs.toSeq.filter(_._1 != 0L).map { case (id, v) =>
       val dot = v.zip(qv).map { case (a, b) => a * b }.sum
       val n2 = v.map(x => x * x).sum
-      val cos = if (n2 == 0L || qn == 0L) 0.0 else dot.toDouble / math.sqrt((n2 * qn).toDouble)
+      val cos = if (n2 == 0L || qn == 0L) 0.0 else dot.toDouble / (math.sqrt(n2.toDouble) * math.sqrt(qn.toDouble))
       (id, dot, n2, cos)
     }.sortBy { case (id, _, _, cos) => (-cos, id) }.take(20)
     assert(got.toSeq === scored.map { case (id, dot, n2, _) => (id, dot, n2) },
