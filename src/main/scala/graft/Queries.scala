@@ -4302,6 +4302,38 @@ object Queries {
     },
     Some(pagerankOracleSql(5)))
 
+  /** Unicode NFC normalization through the native codegen'd
+    * [[graft.expressions.NormalizeUnicodeExpr]], oracle-gated against
+    * DuckDB's `nfc_normalize` over byte-identical denormalized inputs
+    * (combining-mark compose, singleton replacement ANGSTROM→Å,
+    * canonical reordering under stacked marks, ASCII identity). Both
+    * engines implement the same public Unicode tables, so agreement is
+    * byte-exact — the q95 external-standard gate, for text instead of
+    * codecs.
+    */
+  val q103NfcNormalize: Q = Q(
+    "q103_nfc_normalize",
+    (s, dir) => {
+      // escaped DENORMALIZED literals (never paste composed glyphs here —
+      // the witness must require real normalization work): e+COMBINING
+      // ACUTE, ANGSTROM SIGN, stacked DIAERESIS+ACUTE needing reorder
+      val raw = when(col("doc_id") % 4 === 0, lit("cafe\u0301"))
+        .when(col("doc_id") % 4 === 1, lit("\u212B-unit"))
+        .when(col("doc_id") % 4 === 2, lit("o\u0308\u0301mega"))
+        .otherwise(concat(lit("plain ascii "), col("doc_id").cast("string")))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.normalizeUnicode(raw, "NFC").as("normalized"))
+    },
+    Some("""
+      SELECT doc_id,
+             nfc_normalize(CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'caf' || 'e' || chr(769)
+               WHEN 1 THEN chr(8491) || '-unit'
+               WHEN 2 THEN 'o' || chr(776) || chr(769) || 'mega'
+               ELSE 'plain ascii ' || CAST(doc_id AS VARCHAR) END) AS normalized
+      FROM documents"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4348,7 +4380,7 @@ object Queries {
     q90PretrainingManifest, q91AudioDecode, q92ImageResize, q93PhraseSearch,
     q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic,
     q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
-    q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority)
+    q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

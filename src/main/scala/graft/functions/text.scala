@@ -16,6 +16,19 @@ object text {
   def tokens(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => length(t) > 0)
 
+  /** Unicode normalization via the native codegen'd
+    * [[graft.expressions.NormalizeUnicodeExpr]]. `form`: NFC (canonical
+    * compose — the storage/dedup default), NFD, NFKC (compatibility —
+    * folds ligatures/fullwidth, the aggressive pre-tokenization form),
+    * NFKD. Apply BEFORE hashing/shingling: byte-level identities
+    * fragment across composed/decomposed variants of the same text.
+    */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.NormalizeUnicodeExpr(
+      ColumnBridge.eagerExpression(c), form))
+  }
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** Tokens with consecutive exact repeats collapsed to one — the
