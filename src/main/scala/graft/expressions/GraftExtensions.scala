@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.gkQuantilesDescriptor)
     ext.injectFunction(GraftFunctions.funnelDescriptor)
     ext.injectFunction(GraftFunctions.vecSumDescriptor)
+    ext.injectFunction(GraftFunctions.normalizeDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
@@ -172,10 +173,26 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException("graft_vec_sum(vec: array<float|double>)")
     })
 
+  /** `graft_normalize(str[, 'NFC'|'NFD'|'NFKC'|'NFKD'])` — the form is a
+    * string literal (a plan-time constant, like every trained/configured
+    * argument on this surface); defaults to NFC.
+    */
+  val normalizeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_normalize"),
+    new ExpressionInfo(classOf[NormalizeUnicodeExpr].getName, "graft_normalize"),
+    {
+      case Seq(s) => NormalizeUnicodeExpr(s, "NFC")
+      case Seq(s, Literal(f: org.apache.spark.unsafe.types.UTF8String, _)) =>
+        NormalizeUnicodeExpr(s, f.toString)
+      case _ =>
+        throw new IllegalArgumentException(
+          "graft_normalize(str[, form: string literal NFC|NFD|NFKC|NFKD])")
+    })
+
   def register(spark: SparkSession): Unit =
     Seq(minHashDescriptor, simHashDescriptor, dotDescriptor, mgSketchDescriptor,
         cmSketchDescriptor, gkSketchDescriptor, gkMergeDescriptor, gkQuantilesDescriptor,
-        funnelDescriptor, vecSumDescriptor)
+        funnelDescriptor, vecSumDescriptor, normalizeDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

@@ -54,6 +54,14 @@ class NormalizeUnicodeSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_normalize is SQL-callable (default NFC; literal form argument)") {
+    graft.expressions.GraftFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT graft_normalize('cafe\u0301') AS a, graft_normalize('\uFB01n', 'NFKC') AS b").head()
+    assert(out.getString(0) === "caf\u00e9")
+    assert(out.getString(1) === "fin")
+  }
+
   test("normalization repairs fragmented dedup identities (the reason it exists)") {
     // same user-visible text, two byte sequences → two md5s raw, one normalized
     val df = Seq((1L, "café"), (2L, "café")).toDF("id", "t")
