@@ -4302,6 +4302,37 @@ object Queries {
     },
     Some(pagerankOracleSql(5)))
 
+  /** Per-DOMAIN document cap over the synthetic URL corpus: host
+    * extraction ([[graft.operators.Urls.host]] — ports stripped, case
+    * folded) keys the bounded-heap systematic cap, composing the web
+    * identity stack with the q96 domain-balancing machinery. Oracle
+    * predicts the host arithmetically (the q99 move) and reproduces the
+    * cap with row_number under the linear draw.
+    */
+  val q99cHostCap: Q = Q(
+    "q99c_host_cap",
+    (s, dir) =>
+      graft.operators.Partitioning.sampleNPerKey(
+        syntheticUrls(s, dir).select(
+          col("doc_id"), graft.operators.Urls.host(col("url")).as("host")),
+        "host", "doc_id", n = 40,
+        uniform = Some(pmod(col("doc_id") * 37L, lit(1000L)).cast("double") / lit(1000.0)))
+        .select("doc_id", "host"),
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+               CASE
+                 WHEN doc_id % 3 = 0 THEN 'example.com'
+                 WHEN doc_id % 3 = 1 THEN 'sub.example.org'
+                 ELSE 'example.net' END AS host
+        FROM documents),
+      r AS (
+        SELECT doc_id, host,
+               row_number() OVER (PARTITION BY host
+                 ORDER BY (doc_id * 37 % 1000) / 1000.0, doc_id) AS rn
+        FROM h)
+      SELECT doc_id, host FROM r WHERE rn <= 40"""))
+
   /** Unicode NFC normalization through the native codegen'd
     * [[graft.expressions.NormalizeUnicodeExpr]], oracle-gated against
     * DuckDB's `nfc_normalize` over byte-identical denormalized inputs
@@ -4380,7 +4411,8 @@ object Queries {
     q90PretrainingManifest, q91AudioDecode, q92ImageResize, q93PhraseSearch,
     q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic,
     q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
-    q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize)
+    q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
+    q99cHostCap)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -53,6 +53,18 @@ object Urls {
       .otherwise(concat(scheme, lit("://"), host, path, queryPart))
   }
 
+  /** Lowercased host of an absolute URL, ports stripped — the DOMAIN
+    * identity for per-source quotas: feed this to
+    * [[Partitioning.sampleNPerKey]] to cap docs per site, or to
+    * [[Frequency]]/[[Ranking.vocabStats]] for per-domain statistics.
+    * Non-absolute rows are NULL (same quarantine as [[canonicalize]]).
+    */
+  def host(url: Column): Column = {
+    val h = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noPort = regexp_replace(h, ":[0-9]+$", "")
+    when(noPort === "", lit(null).cast("string")).otherwise(noPort)
+  }
+
   /** One row per canonical URL: the keeper (minimum `idCol` — the usual
     * earliest-crawl winner), the duplicate count, and the canonical
     * string. Unparseable rows (canonical NULL) are EXCLUDED — they have

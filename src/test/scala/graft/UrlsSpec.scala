@@ -46,6 +46,14 @@ class UrlsSpec extends AnyFunSuite {
       Seq(None, None, None, None))
   }
 
+  test("host: case folded, port stripped, NULL quarantine for non-absolute rows") {
+    val hosts = Seq("HTTP://Example.COM:8080/a", "https://h.io", "garbage", "ftp://X.Y:21/f")
+      .toDF("url")
+      .select(graft.operators.Urls.host(col("url")).as("h"))
+      .collect().map(r => Option(r.getAs[String]("h"))).toSeq
+    assert(hosts === Seq(Some("example.com"), Some("h.io"), None, Some("x.y")))
+  }
+
   test("dedupByCanonical: keeper is min id, counts exact, NULLs excluded, one exchange") {
     val df = Seq(
       (1L, "http://h.io/a?b=1"),
