@@ -478,4 +478,71 @@ object Streams {
       }
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
+
+  /** Continuous canonical-URL dedup — the crawl-frontier face of the
+    * ingestion family: each micro-batch canonicalizes its URLs
+    * ([[graft.operators.Urls.canonicalize]]; unparseable rows drop via
+    * the NULL quarantine), keeps one row per canonical identity inside
+    * the batch (minimum `idCol`), anti-joins against the persisted
+    * seen-set at `indexPath`, lands ONLY first-sightings under
+    * `outputPath/batch=s<id>/`, and appends their canonicals to the
+    * seen-set — same exactly-once composition as [[nearDupIngest]]
+    * (exists-guarded atomic renames; a crash-replayed micro-batch from a
+    * replayable source re-lands nothing and re-appends nothing, and the
+    * seen-set append is the commit marker, so the half-landed window
+    * re-runs identically).
+    *
+    * Scale shape: the anti-join is the one honest cost of EXACT identity
+    * dedup — a hash join keyed on the canonical string against a
+    * seen-set that accrues forever. The seen-set is 2 narrow columns
+    * (canonical, keeper), read pruned to just those; when it outgrows
+    * comfortable shuffle size, front it with [[graft.operators
+    * .BloomJoin]] (most URLs in a steady crawl are NEW, and a bloom
+    * pre-filter turns the common miss case into a scan-local decision)
+    * and compact the `s`-labels on a schedule like the other indexes.
+    */
+  def urlDedupIngest(
+      stream: DataFrame,
+      urlCol: String,
+      idCol: String,
+      indexPath: String,
+      outputPath: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Caches, DedupIndex, Urls}
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val label = f"s$batchId%08d"
+        val spark = batch.sparkSession
+        val scope = Caches.newScope()
+        try Caches.inScope(scope) {
+          val canon = batch.toDF()
+            .withColumn("canonical_url", Urls.canonicalize(col(urlCol)))
+            .where(col("canonical_url").isNotNull)
+          // one row per in-batch canonical identity: the min-id keeper
+          val keepers = canon.join(
+            canon.groupBy("canonical_url").agg(min(col(idCol)).as("__keep")),
+            Seq("canonical_url"))
+            .where(col(idCol) === col("__keep"))
+            .drop("__keep")
+          val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
+          val fs = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val accepted = Caches.pin(
+            if (!fs.exists(idxRoot)) keepers
+            else keepers.join(
+              spark.read.parquet(indexPath).select("canonical_url"),
+              Seq("canonical_url"), "left_anti"))
+          val outRoot = new org.apache.hadoop.fs.Path(outputPath)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(outRoot, s"batch=$label")))
+            DedupIndex.appendDir(accepted, outputPath, label)
+          // seen-set append LAST = the commit marker (nearDupIngest order)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(idxRoot, s"batch=$label")))
+            DedupIndex.appendDir(
+              accepted.select(col("canonical_url"), col(idCol).as("keeper_id")),
+              indexPath, label)
+        } finally scope.release()
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
 }

@@ -634,4 +634,48 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
     graft.operators.Caches.release()
   }
+
+  test("urlDedupIngest: first sighting per canonical identity wins, across batches and variants") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-url").toString
+    val indexPath = s"$root/seen"
+    val outputPath = s"$root/landed"
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.urlDedupIngest(
+      input.toDF().toDF("doc_id", "url"), "url", "doc_id", indexPath, outputPath)
+    try {
+      // batch 0: one page under two messy spellings + one unique + junk
+      input.addData(
+        (1L, "HTTP://Example.COM:80/a?utm_source=x&b=1#top"),
+        (2L, "http://example.com/a?b=1"),
+        (3L, "https://other.org/p"),
+        (4L, "not a url"))
+      query.processAllAvailable()
+      // batch 1: the SAME page again (third spelling) + one genuinely new
+      input.addData(
+        (5L, "http://EXAMPLE.com/a?b=1&utm_medium=m"),
+        (6L, "https://fresh.net/q?z=9"))
+      query.processAllAvailable()
+      val landed = spark.read.parquet(outputPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(landed === Set(1L, 3L, 6L),
+        "only the min-id first sighting of each canonical identity may land")
+      val seen = spark.read.parquet(indexPath)
+        .select("canonical_url", "keeper_id")
+        .as[(String, Long)].collect().toMap
+      assert(seen === Map(
+        "http://example.com/a?b=1" -> 1L,
+        "https://other.org/p" -> 3L,
+        "https://fresh.net/q?z=9" -> 6L))
+      // crash-replay shape: a second query over a fresh checkpoint-less
+      // runner re-offering batch content under the same labels re-lands
+      // nothing (exists-guarded renames)
+      val before = spark.read.parquet(outputPath).count()
+      input.addData((7L, "http://example.com/a?b=1"))
+      query.processAllAvailable()
+      assert(spark.read.parquet(outputPath).count() === before,
+        "an already-seen canonical may never land again")
+    } finally query.stop()
+    graft.operators.Caches.release()
+  }
 }
