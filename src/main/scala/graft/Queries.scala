@@ -4300,7 +4300,8 @@ object Queries {
           col("doc_id") % 50L)).as("dst"))
       graft.operators.Graphs.pageRankInt(edges, "src", "dst", docs, "doc_id", iters = 5)
     },
-    Some(pagerankOracleSql(5)))
+    Some(pagerankOracleSql(5)),
+    headline = true) // iterative-graph layer: 5 join+agg rounds timed per round
 
   /** Per-DOMAIN document cap over the synthetic URL corpus: host
     * extraction ([[graft.operators.Urls.host]] — ports stripped, case
