@@ -4334,6 +4334,25 @@ object Queries {
         FROM h)
       SELECT doc_id, host FROM r WHERE rn <= 40"""))
 
+  /** Deterministic epoch-2 shuffle + 100-doc shards over the corpus:
+    * the injective prime-modulus permutation makes the global order
+    * ANSI-reproducible (row_number over the same draw — no ties can
+    * exist), which puts [[graft.operators.Partitioning.runningSum]]'s
+    * two-phase prefix sum under a permuted-order oracle (q43 gates it
+    * in natural id order).
+    */
+  val q104EpochShuffle: Q = Q(
+    "q104_epoch_shuffle",
+    (s, dir) =>
+      graft.operators.Packing.epochShuffleShards(
+        t(s, dir, "documents").select("doc_id"), "doc_id", epoch = 2, shardSize = 100L),
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY (doc_id * (654321979 + 2 * 2718281)) % 1000000007) AS BIGINT) AS pos
+        FROM documents)
+      SELECT doc_id, pos, (pos - 1) // 100 AS shard FROM d"""))
+
   /** Unicode NFC normalization through the native codegen'd
     * [[graft.expressions.NormalizeUnicodeExpr]], oracle-gated against
     * DuckDB's `nfc_normalize` over byte-identical denormalized inputs
@@ -4413,7 +4432,7 @@ object Queries {
     q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic,
     q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
-    q99cHostCap)
+    q99cHostCap, q104EpochShuffle)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

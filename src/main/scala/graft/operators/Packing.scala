@@ -317,4 +317,46 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(col(tokensCol)).as("fill"))
       .withColumn("waste", lit(budget) - col("fill"))
+
+  /** Deterministic EPOCH SHUFFLE with shard assignment — the "write
+    * shuffled shards" step every training run needs: a fresh global
+    * permutation of the corpus per epoch, identical on every re-run and
+    * engine (so a resumed job reads the same byte order), with documents
+    * numbered 1..n in permuted order and cut into fixed-size shards.
+    *
+    * The permutation is `id · m(epoch) mod p` with p = 1000000007 and an
+    * epoch-dependent multiplier m(epoch) = 654321979 + epoch·2718281:
+    * any nonzero unit mod a prime is a bijection, so the draw is
+    * INJECTIVE over ids — no ties exist, the global order is a pure
+    * function of (id, epoch), and an ANSI `row_number` reproduces it
+    * exactly. The multiplier must be LARGE so the product wraps the
+    * modulus (a small multiplier like 37 never wraps small ids and the
+    * "shuffle" degenerates to identity order — caught by this spec in
+    * round 11); it must also change per epoch MULTIPLICATIVELY (an
+    * additive epoch offset only rotates one fixed circular order).
+    * Position numbering is the two-phase distributed prefix sum
+    * ([[Partitioning.runningSum]]) — never a single-partition window;
+    * shard = (pos−1) div shardSize.
+    *
+    * `idCol` must be a non-negative integral id below p (10⁹) — the
+    * injectivity domain of a mod-p permutation; pre-hash or re-number
+    * wider id spaces first. Epochs are cheap: each is one range exchange
+    * over (id, draw), nothing is materialized per epoch.
+    */
+  def epochShuffleShards(
+      df: DataFrame,
+      idCol: String,
+      epoch: Int,
+      shardSize: Long): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    require(epoch >= 0, "epoch must be non-negative")
+    val p = 1000000007L
+    val m = (654321979L + epoch.toLong * 2718281L) % p
+    val drawn = df.select(
+      col(idCol),
+      pmod(col(idCol) * lit(m), lit(p)).as("__draw"))
+      .withColumn("__one", lit(1L))
+    Partitioning.runningSum(drawn, "__draw", "__one", "pos")
+      .select(col(idCol), col("pos"), expr(s"(pos - 1) div $shardSize").as("shard"))
+  }
 }

@@ -218,4 +218,26 @@ class PackingSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(stats.toSeq === Seq((60L, 40L, 1L), (90L, 10L, 2L)))
   }
+
+  test("epochShuffleShards: exact permutation, full shards, epoch-dependent, layout-invariant") {
+    val ids = spark.range(0, 750).toDF("id")
+    val e2 = Packing.epochShuffleShards(ids, "id", epoch = 2, shardSize = 100L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("pos"), r.getAs[Long]("shard")))
+    // positions are exactly 1..n; shard = (pos-1)/100 with a 50-doc tail
+    assert(e2.map(_._2).sorted.toSeq === (1L to 750L))
+    assert(e2.forall { case (_, p, sh) => sh == (p - 1) / 100 })
+    assert(e2.map(_._3).count(_ == 7L) === 50)
+    // the order is the prime-modulus permutation, mirrored driver-side
+    val expected = (0L until 750L).sortBy(id => id * (654321979L + 2 * 2718281L) % 1000000007L)
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(e2.forall { case (id, p, _) => expected(id) == p })
+    // a different epoch is a different permutation; layout cannot matter
+    val e3 = Packing.epochShuffleShards(ids, "id", epoch = 3, shardSize = 100L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("pos")))
+    assert(e3.toMap !== e2.map(t => (t._1, t._2)).toMap)
+    val relaid = Packing.epochShuffleShards(ids.repartition(7), "id", epoch = 2, shardSize = 100L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("pos"))).toMap
+    assert(relaid === e2.map(t => (t._1, t._2)).toMap)
+    graft.operators.Caches.release()
+  }
 }
