@@ -46,6 +46,28 @@ class UrlsSpec extends AnyFunSuite {
       Seq(None, None, None, None))
   }
 
+  test("canonicalize is idempotent over a generated messy-URL space") {
+    // structured generator: every combination of scheme case/port/path/
+    // tracking-position/fragment — 432 urls; canon(canon(x)) must equal
+    // canon(x) (a canonicalizer that isn't idempotent has no fixed point
+    // to dedup on)
+    val urls = for {
+      scheme <- Seq("http", "HTTP", "https", "HTTPS")
+      hostPort <- Seq("Ex.COM", "ex.com:80", "EX.com:443", "ex.com:8080")
+      path <- Seq("", "/", "/a/b")
+      query <- Seq("", "?utm_source=s", "?b=2&a=1", "?a=1&utm_medium=m&zz=3",
+        "?utm_campaign=c&gclid=g", "?refresh=ok&ref=r")
+      frag <- Seq("", "#x")
+      if !(query == "" && frag == "#x" && path == "") // '#x' directly after host is still legal; keep anyway
+    } yield s"$scheme://$hostPort$path$query$frag"
+    val once = urls.toDF("url").select(Urls.canonicalize(col("url")).as("c"))
+    val first = once.collect().map(_.getString(0)).toSeq
+    val twice = first.toDF("url").select(Urls.canonicalize(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(first.forall(_ != null), "every generated url is absolute — none may quarantine")
+    assert(twice === first, "canonicalize must be a projection onto its own image")
+  }
+
   test("host: case folded, port stripped, NULL quarantine for non-absolute rows") {
     val hosts = Seq("HTTP://Example.COM:8080/a", "https://h.io", "garbage", "ftp://X.Y:21/f")
       .toDF("url")
