@@ -124,33 +124,52 @@ object TextIndex {
       s"invalid batch label '$batch'")
     val spark = docs.sparkSession
     tokenizer(spark, path) // existence check, fails loudly
-    val scope = Caches.newScope()
-    try {
-      val tokenized = Caches.inScope(scope) {
-        docs.select(
-          col(idCol).as("doc_id"),
-          text.tokens(lower(col(textCol))).as("toks"))
-      }
-      import spark.implicits._
-      val st = tokenized.agg(
+    import spark.implicits._
+    // ONE corpus scan: the doc-level stats (n_docs, Σdl) ride the SAME
+    // job that shuffles and stages the postings, observed at the
+    // per-doc point of the plan (CollectMetrics — Spark's
+    // retry/AQE-safe query-metrics channel). A separate stats action
+    // would re-scan and re-tokenize the whole corpus; pinning the
+    // tokenized frame instead would cache a corpus-sized intermediate.
+    // The stats-THEN-postings commit protocol is preserved by staging
+    // the postings first (which populates the observation), committing
+    // the tiny stats batch, and only then promoting the staged
+    // postings — the postings rename stays the append's commit marker,
+    // and every crash window matches [[appendIdempotent]]'s contract.
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft_text_stats_${batch}_${java.util.UUID.randomUUID().toString.take(8)}")
+    val postings = docs
+      .select(col(idCol).as("doc_id"), text.tokens(lower(col(textCol))).as("toks"))
+      .observe(obs,
         count(lit(1)).as("n_docs"),
         coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
-        .as[(Long, Long)].head()
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id", "dl")
+      // sort_array: collect_list order is partition-nondeterministic;
+      // sorted offsets make the posting row a pure function of the doc
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+    val root = new Path(postingsDir(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(root, s"batch=$batch")
+    if (fs.exists(dst))
+      throw new java.io.IOException(s"index batch already exists: $dst")
+    val staging = new Path(root,
+      s".staging_${batch}_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      postings.write.mode("overwrite").parquet(staging.toString)
+      val m = obs.get
       DedupIndex.appendDir(
-        Seq((st._1, st._2, Seq.empty[String])).toDF("n_docs", "sum_dl", "folds").coalesce(1),
+        Seq((m("n_docs").asInstanceOf[Long], m("sum_dl").asInstanceOf[Long],
+          Seq.empty[String])).toDF("n_docs", "sum_dl", "folds").coalesce(1),
         statsDir(path), batch)
-      DedupIndex.appendDir(
-        tokenized
-          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-            posexplode(col("toks")).as(Seq("pos", "term")))
-          .groupBy("term", "doc_id", "dl")
-          // sort_array: collect_list order is partition-nondeterministic;
-          // sorted offsets make the posting row a pure function of the doc
-          .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
-          .repartitionByRange(col("term"))
-          .sortWithinPartitions("term", "doc_id"),
-        postingsDir(path), batch)
-    } finally scope.release()
+      if (fs.exists(dst) || !fs.rename(staging, dst))
+        throw new java.io.IOException(s"could not promote index batch $dst")
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
   }
 
   /** [[init]] + [[append]] of the first batch in one call. */
