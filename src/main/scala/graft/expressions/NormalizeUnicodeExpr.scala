@@ -40,12 +40,18 @@ case class NormalizeUnicodeExpr(child: Expression, form: String)
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_normalize"
 
+  // resolved ONCE per expression instance — a per-row Map lookup of a
+  // plan-time constant has no place on the corpus-scale hot path
+  @transient private lazy val resolvedForm: Normalizer.Form =
+    NormalizeUnicodeExpr.forms(form)
+
   override def nullSafeEval(v: Any): Any =
-    NormalizeUnicodeExpr.normalize(v.asInstanceOf[UTF8String], form)
+    NormalizeUnicodeExpr.normalize(v.asInstanceOf[UTF8String], resolvedForm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = NormalizeUnicodeExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, v => s"""${ev.value} = $cls.normalize($v, "$form");""")
+    val formRef = ctx.addReferenceObj("graftNormForm", resolvedForm, classOf[Normalizer.Form].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $cls.normalize($v, $formRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeUnicodeExpr =
@@ -60,8 +66,7 @@ object NormalizeUnicodeExpr {
     "NFKD" -> Normalizer.Form.NFKD)
 
   /** Static worker shared by interpreted eval and generated code. */
-  def normalize(v: UTF8String, form: String): UTF8String = {
-    val f = forms(form)
+  def normalize(v: UTF8String, f: Normalizer.Form): UTF8String = {
     val s = v.toString
     if (Normalizer.isNormalized(s, f)) v
     else UTF8String.fromString(Normalizer.normalize(s, f))

@@ -352,6 +352,11 @@ object Packing {
     require(epoch >= 0, "epoch must be non-negative")
     val p = 1000000007L
     val m = (654321979L + epoch.toLong * 2718281L) % p
+    // m ≡ 0 mod p is not a unit: every draw would collapse to 0 and the
+    // ordering would fall back to runningSum's internal (layout-
+    // dependent) tie column — the exact nondeterminism this operator
+    // exists to prevent. First such epoch is ~1.3·10⁸; fail loudly.
+    require(m != 0L, s"epoch $epoch degenerates the permutation (multiplier ≡ 0 mod $p)")
     val drawn = df.select(
       col(idCol),
       pmod(col(idCol) * lit(m), lit(p)).as("__draw"))

@@ -156,6 +156,14 @@ object TextIndex {
     val dst = new Path(root, s"batch=$batch")
     if (fs.exists(dst))
       throw new java.io.IOException(s"index batch already exists: $dst")
+    // fail BEFORE the corpus-scale staging write, not after: a stale
+    // stats partition (the stats-committed/postings-unpromoted crash
+    // window) would otherwise be discovered only when the tiny stats
+    // append throws — wasting the whole staged postings job. Retry that
+    // window through [[appendIdempotent]], which clears the stale stats.
+    if (fs.exists(new Path(statsDir(path) + s"/batch=$batch")))
+      throw new java.io.IOException(
+        s"stale stats batch=$batch exists (crashed append?) — use appendIdempotent")
     val staging = new Path(root,
       s".staging_${batch}_${java.util.UUID.randomUUID().toString.take(8)}")
     try {

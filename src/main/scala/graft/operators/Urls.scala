@@ -28,6 +28,19 @@ object Urls {
 
   private val trackingParam = "^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
 
+  /** The lowercased `host[:port]` of the authority, userinfo stripped —
+    * ONE definition shared by [[canonicalize]] and [[host]], so the
+    * dedup identity and the per-domain cap can never disagree about what
+    * the host of a URL is. Userinfo (`user:pass@`) is dropped: the same
+    * page crawled with and without credentials is the same page, and
+    * leaving it in would both split the domain key and leak credentials
+    * into canonical identities.
+    */
+  private def authorityHostPort(url: Column): Column =
+    lower(regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+      "^[^@]*@", ""))
+
   /** Canonical form of `url` (see object doc). Rows that do not look like
     * an absolute `scheme://…` URL canonicalize to NULL — the quarantine
     * convention: filter `canonical IS NULL` to audit them, never a throw
@@ -36,7 +49,7 @@ object Urls {
   def canonicalize(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val hostPort = authorityHostPort(noFrag)
     val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
@@ -53,15 +66,14 @@ object Urls {
       .otherwise(concat(scheme, lit("://"), host, path, queryPart))
   }
 
-  /** Lowercased host of an absolute URL, ports stripped — the DOMAIN
-    * identity for per-source quotas: feed this to
+  /** Lowercased host of an absolute URL, userinfo and ports stripped —
+    * the DOMAIN identity for per-source quotas: feed this to
     * [[Partitioning.sampleNPerKey]] to cap docs per site, or to
     * [[Frequency]]/[[Ranking.vocabStats]] for per-domain statistics.
     * Non-absolute rows are NULL (same quarantine as [[canonicalize]]).
     */
   def host(url: Column): Column = {
-    val h = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val noPort = regexp_replace(h, ":[0-9]+$", "")
+    val noPort = regexp_replace(authorityHostPort(url), ":[0-9]+$", "")
     when(noPort === "", lit(null).cast("string")).otherwise(noPort)
   }
 

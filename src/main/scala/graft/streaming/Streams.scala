@@ -517,15 +517,23 @@ object Streams {
         val spark = batch.sparkSession
         val scope = Caches.newScope()
         try Caches.inScope(scope) {
+          // loud on collision (the clusterBalancedSample convention): a
+          // stream already carrying one of these columns would silently
+          // lose it to the recomputed value
+          require(!batch.columns.contains("canonical_url"),
+            "input stream already has a 'canonical_url' column")
           val canon = batch.toDF()
             .withColumn("canonical_url", Urls.canonicalize(col(urlCol)))
             .where(col("canonical_url").isNotNull)
-          // one row per in-batch canonical identity: the min-id keeper
-          val keepers = canon.join(
-            canon.groupBy("canonical_url").agg(min(col(idCol)).as("__keep")),
-            Seq("canonical_url"))
-            .where(col(idCol) === col("__keep"))
-            .drop("__keep")
+          // one row per in-batch canonical identity — the min-id keeper
+          // (idCol unique by contract), in ONE exchange: min_by carries
+          // the whole keeper row through the same aggregate that picks
+          // it, where a groupBy + join-back would shuffle twice
+          val payload = canon.columns.filter(_ != "canonical_url")
+          val keepers = canon
+            .groupBy("canonical_url")
+            .agg(min_by(struct(payload.map(col): _*), col(idCol)).as("__r"))
+            .select(col("canonical_url") +: payload.map(c => col(s"__r.$c").as(c)): _*)
           val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
           val fs = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val accepted = Caches.pin(
