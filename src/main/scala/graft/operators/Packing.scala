@@ -343,6 +343,29 @@ object Packing {
     * wider id spaces first. Epochs are cheap: each is one range exchange
     * over (id, draw), nothing is materialized per epoch.
     */
+  /** Materialize an epoch's shuffled shards: joins the
+    * [[epochShuffleShards]] assignment back to the full rows and writes
+    * `<path>/shard=<k>/` with ONE file per shard whose ROW ORDER is the
+    * epoch's global order — the artifact a training reader streams
+    * sequentially. One exchange on the shard key (each shard collapses
+    * into one task → one file), rows sorted by (shard, pos) within it;
+    * the join back to `df` is id-keyed on whatever partitioning `df`
+    * already has. Written through the atomic staged swap, so a re-run
+    * over a half-written epoch never serves a mix of two attempts.
+    */
+  def writeEpochShards(
+      df: DataFrame,
+      idCol: String,
+      epoch: Int,
+      shardSize: Long,
+      path: String): Unit = {
+    val assignment = epochShuffleShards(df.select(col(idCol)), idCol, epoch, shardSize)
+    val rows = df.join(assignment, Seq(idCol))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "pos")
+    graft.sources.Sinks.writePartitionedAtomic(rows, path, Seq("shard"))
+  }
+
   def epochShuffleShards(
       df: DataFrame,
       idCol: String,

@@ -238,6 +238,31 @@ class PackingSpec extends AnyFunSuite {
     val relaid = Packing.epochShuffleShards(ids.repartition(7), "id", epoch = 2, shardSize = 100L)
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("pos"))).toMap
     assert(relaid === e2.map(t => (t._1, t._2)).toMap)
+    // the degenerate epoch (multiplier ≡ 0 mod p) fails loudly
+    intercept[IllegalArgumentException] {
+      Packing.epochShuffleShards(ids, "id", epoch = 133231755, shardSize = 100L)
+    }
+    graft.operators.Caches.release()
+  }
+
+  test("writeEpochShards: one file per shard, in-file rows follow the epoch order") {
+    val docs = spark.range(0, 300).select(col("id"), (col("id") * 2).as("payload"))
+    val path = java.nio.file.Files.createTempDirectory("graft_epoch_shards").toString + "/e2"
+    Packing.writeEpochShards(docs, "id", epoch = 2, shardSize = 100L, path)
+    val files = new java.io.File(path).listFiles().filter(_.getName.startsWith("shard="))
+    assert(files.map(_.getName).sorted.toSeq === Seq("shard=0", "shard=1", "shard=2"))
+    files.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+        s"${d.getName} must be exactly one file — a reader streams it sequentially")
+    }
+    // in-file order: reading one shard's single file yields ascending pos
+    val one = spark.read.parquet(s"$path/shard=0")
+      .select("pos").collect().map(_.getAs[Long]("pos")).toSeq
+    assert(one === one.sorted && one.size === 100, s"shard 0 must hold pos 1..100 in order")
+    assert(one.head === 1L && one.last === 100L)
+    // payload survives the join back
+    val full = spark.read.parquet(path)
+    assert(full.where(col("payload") =!= col("id") * 2).count() === 0L)
     graft.operators.Caches.release()
   }
 }
