@@ -27,8 +27,8 @@ object Bench {
       // codegen class cache thrashes for a long-lived session serving this
       // catalog (Guava's segmented LRU evicts recently-used entries once
       // near capacity), re-paying janino+JIT on queries that ran minutes
-      // ago. ~1000 entries covers the whole catalog's generated classes.
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // ago. ~2000 entries covers the whole catalog's generated classes (raised from 1000 in round 11 when the grown catalog churned the smaller cache).
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
