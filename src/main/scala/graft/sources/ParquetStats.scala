@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-footprint analytics straight from parquet FOOTERS — the
+  * "where are my 100 TB actually going" view: per-column compressed and
+  * uncompressed bytes, value counts, and chunk counts, without reading a
+  * single data page. At a million files this is the difference between a
+  * metadata sweep (KBs per file, seconds) and a full-corpus scan; it is
+  * how you decide which column to dictionary-encode, which to drop from
+  * the hot table, and whether a re-cluster ([[Sinks.writeZOrdered]])
+  * actually improved compression.
+  *
+  * Execution shape: the FILE LIST parallelizes across the cluster and
+  * each task opens only footers (`ParquetFileReader.readFooter`) — one
+  * row per (file, column chunk) flows into a per-column aggregation, so
+  * the exchange carries O(files × columns) summary rows, never data.
+  */
+object ParquetStats {
+
+  /** Per-column storage totals for the table at `path`:
+    * `(column, n_chunks, n_values, n_nulls, compressed_bytes,
+    * uncompressed_bytes)`. `n_values` counts every slot (nulls
+    * included) — per parquet's chunk metadata; `n_nulls` from the chunk
+    * statistics when present (-1 aggregate when any chunk lacks them:
+    * absent stats must read as "unknown", never as zero nulls).
+    */
+  def columnFootprint(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.parquet(path).inputFiles.toSeq
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val chunkRows = spark.createDataset(files)
+      .repartition(math.min(files.size, spark.sparkContext.defaultParallelism).max(1))
+      .mapPartitions { it =>
+        it.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf.value)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.flatMap { block =>
+              block.getColumns.asScala.map { c =>
+                val stats = c.getStatistics
+                val nulls =
+                  if (stats != null && !stats.isEmpty && stats.isNumNullsSet) stats.getNumNulls
+                  else -1L
+                (c.getPath.toDotString, c.getValueCount, nulls,
+                  c.getTotalSize, c.getTotalUncompressedSize)
+              }
+            }.toSeq
+          } finally reader.close()
+        }
+      }
+      .toDF("column", "n_values", "n_nulls", "compressed_bytes", "uncompressed_bytes")
+    chunkRows
+      .groupBy("column")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("n_values").as("n_values"),
+        // any unknown chunk poisons the total to -1: "we don't know" must
+        // never print as "zero nulls"
+        when(min("n_nulls") < 0L, lit(-1L)).otherwise(sum("n_nulls")).as("n_nulls"),
+        sum("compressed_bytes").as("compressed_bytes"),
+        sum("uncompressed_bytes").as("uncompressed_bytes"))
+  }
+}

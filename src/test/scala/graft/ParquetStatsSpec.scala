@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ParquetStats
+
+class ParquetStatsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("columnFootprint: exact value/null counts, plausible byte totals, multi-file sums") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqstats").toString + "/t"
+    val df = spark.range(0, 10000).select(
+      col("id"),
+      when(col("id") % 10 =!= 0, concat(lit("text-"), col("id"))).as("s"),
+      (col("id") % 7).cast("double").as("d"))
+    df.repartition(4).write.mode(SaveMode.Overwrite).parquet(dir)
+    val fp = ParquetStats.columnFootprint(spark, dir).collect()
+      .map(r => r.getAs[String]("column") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_values"), r.getAs[Long]("n_nulls"),
+          r.getAs[Long]("compressed_bytes"), r.getAs[Long]("uncompressed_bytes"))))
+      .toMap
+    assert(fp.keySet === Set("id", "s", "d"))
+    // every column: one chunk per file, a value slot per row (nulls included)
+    fp.values.foreach { case (chunks, values, _, comp, uncomp) =>
+      assert(chunks === 4L && values === 10000L)
+      assert(comp > 0L && uncomp >= comp / 4,
+        "byte totals must be positive and not absurdly related")
+    }
+    // null accounting matches the data exactly
+    assert(fp("id")._3 === 0L && fp("d")._3 === 0L)
+    assert(fp("s")._3 === 1000L, "every 10th s is NULL")
+    // footer byte totals stay within the physical file sizes
+    val physical = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val totalComp = fp.values.map(_._4).sum
+    assert(totalComp <= physical && totalComp > physical / 2,
+      s"compressed column bytes ($totalComp) must sit inside the files ($physical)")
+  }
+
+  test("columnFootprint on testdata: per-column slots equal rows; wide-table shape") {
+    // The external cross-check ran out-of-band (round 11): per-column
+    // (chunks, values, compressed, uncompressed) over sf0.001 lineitem
+    // matched DuckDB's parquet_metadata() BYTE-FOR-BYTE. The gate cannot
+    // parameterize a file path into oracle SQL, so that comparison is
+    // not a standing catalog row; this test keeps the structural half
+    // standing against regenerated testdata.
+    val dir = "/root/testdata/sf0.001"
+    val fp = ParquetStats.columnFootprint(spark, s"$dir/lineitem.parquet").collect()
+      .map(r => r.getAs[String]("column") ->
+        ((r.getAs[Long]("n_values"), r.getAs[Long]("compressed_bytes"),
+          r.getAs[Long]("uncompressed_bytes")))).toMap
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(fp.values.forall(_._1 == rows), "one value slot per row per column")
+    assert(fp.size >= 10, "lineitem is a wide table")
+  }
+}
