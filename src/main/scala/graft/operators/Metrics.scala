@@ -82,4 +82,55 @@ object Metrics {
 
   /** Drop recorded values (test isolation / batch boundaries). */
   def reset(): Unit = latest.clear()
+
+  /** One row per file scan of an EXECUTED DataFrame: what the scan
+    * actually read (files opened, bytes, rows emitted) next to what the
+    * plan promised (pushed filters, partition filters, read schema).
+    * The programmatic answer to "did my filter prune?" — the counters
+    * the measured-IO specs assert on, exposed for drivers and monitors.
+    * Execute the frame first; an unexecuted plan reports zero counters.
+    * Descends AQE final plans, query stages, reused exchanges,
+    * subqueries, and cached-relation plans.
+    */
+  final case class ScanStat(
+      rootPaths: Seq[String],
+      format: String,
+      filesRead: Long,
+      bytesRead: Long,
+      rowsOutput: Long,
+      readSchema: String,
+      pushedFilters: String,
+      partitionFilters: String)
+
+  def scanReport(df: org.apache.spark.sql.DataFrame): Seq[ScanStat] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val out = scala.collection.mutable.ListBuffer[ScanStat]()
+    def metric(p: SparkPlan, n: String): Long =
+      p.metrics.get(n).map(_.value).getOrElse(0L)
+    def go(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case q: QueryStageExec => go(q.plan)
+        case r: ReusedExchangeExec => go(r.child)
+        case im: InMemoryTableScanExec => go(im.relation.cachedPlan)
+        case s: FileSourceScanExec =>
+          out += ScanStat(
+            rootPaths = s.relation.location.rootPaths.map(_.toString),
+            format = s.relation.fileFormat.toString,
+            filesRead = metric(s, "numFiles"),
+            bytesRead = metric(s, "filesSize"),
+            rowsOutput = metric(s, "numOutputRows"),
+            readSchema = s.requiredSchema.catalogString,
+            pushedFilters = s.metadata.getOrElse("PushedFilters", ""),
+            partitionFilters = s.partitionFilters.mkString(", "))
+        case _ => ()
+      }
+      (p.children ++ p.subqueries).foreach(go)
+    }
+    go(df.queryExecution.executedPlan)
+    out.toList
+  }
 }

@@ -120,4 +120,26 @@ class MetricsSpec extends AnyFunSuite {
     assert(Metrics.await("graft.dedup.hot_member_ids", timeoutMs = 2000)
       .map(_.getAs[Long]("ids")).getOrElse(0L) == 0L)
   }
+
+  test("scanReport: executed counters and promised pruning, per scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scanreport").toString + "/t"
+    spark.range(0, 1000)
+      .select(col("id"), (col("id") % 4).cast("string").as("p"))
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .where(col("p") === "2" && col("id") > 10)
+      .select("id")
+    q.collect()
+    val scans = Metrics.scanReport(q)
+    assert(scans.size === 1)
+    val s = scans.head
+    assert(s.rowsOutput >= 248L && s.rowsOutput <= 250L,
+      s"partition 2 holds 250 rows; scan emitted ${s.rowsOutput}")
+    assert(s.partitionFilters.contains("p"), "the partition predicate must prune, visibly")
+    assert(s.pushedFilters.contains("GreaterThan"), "the id filter must push to parquet")
+    assert(s.filesRead > 0L && s.bytesRead > 0L)
+    assert(!s.readSchema.contains("p,") || s.readSchema.startsWith("struct<id"),
+      s"only id should be read from data files, got ${s.readSchema}")
+  }
 }
