@@ -12,23 +12,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = Sessions.withCodegenDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // Stable codegen class names: without this, AQE's run-order-dependent
-      // codegenStageId lands identical generated code under fresh class
-      // names on re-runs — codegen-cache miss, full re-JIT, and the
-      // intermittent 2x warm-pass anomaly on the dedup query (see Sessions).
-      .config("spark.sql.codegen.useIdInClassName", "false")
-      // Static conf, set before the first session: the default 100-entry
-      // codegen class cache thrashes for a long-lived session serving this
-      // catalog (Guava's segmented LRU evicts recently-used entries once
-      // near capacity), re-paying janino+JIT on queries that ran minutes
-      // ago. ~2000 entries covers the whole catalog's generated classes (raised from 1000 in round 11 when the grown catalog churned the smaller cache).
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

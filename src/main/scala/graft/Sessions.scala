@@ -14,8 +14,36 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** The codegen stability configs EVERY graft entry point (CLI session,
+    * bench, verify dump, test harness) must share — one definition, so a
+    * tuning change cannot leave one entry point silently running a
+    * different cache geometry than the one the bench notes record
+    * (round 11 had to edit four copy-pasted blocks in lockstep; never
+    * again).
+    *
+    * - `useIdInClassName=false`: do NOT embed the per-query
+    *   codegenStageId in generated class names (SPARK-23032's debugging
+    *   aid, on by default). Under AQE the stage numbering depends on
+    *   runtime stage-completion ORDER, so re-running the same query
+    *   produces byte-identical generated code under a NEW class name →
+    *   codegen-cache miss → janino recompile + a fresh interpreter→C2
+    *   warmup for every large generated class, every run. For graft's
+    *   biggest plans (the dedup sketch pipeline) that was 2-13 s of JIT
+    *   per invocation and the intermittent 2x "warm slower than cold"
+    *   bench anomaly (rounds 4-6).
+    * - `codegen.cache.maxEntries=2000` (static conf — set before the
+    *   first session): the default 100-entry cache thrashes for a
+    *   long-lived session serving this catalog (Guava's segmented LRU
+    *   evicts recently-used entries once near capacity), re-paying
+    *   janino+JIT on queries that ran minutes ago. Raised 1000→2000 in
+    *   round 11 when the grown catalog churned the smaller cache.
+    */
+  def withCodegenDefaults(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.codegen.useIdInClassName", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+
   def local(appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+    val spark = withCodegenDefaults(SparkSession
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
@@ -24,24 +52,7 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", "134217728")
-      // Do NOT embed the per-query codegenStageId in generated class names
-      // (SPARK-23032's debugging aid, on by default). Under AQE the stage
-      // numbering depends on runtime stage-completion ORDER, so re-running
-      // the same query produces byte-identical generated code under a NEW
-      // class name → codegen-cache miss → janino recompile + a fresh
-      // interpreter→C2 warmup for every large generated class, every run.
-      // For graft's biggest plans (the dedup sketch pipeline) that was
-      // 2-13s of JIT per invocation and the intermittent 2x "warm slower
-      // than cold" bench anomaly (rounds 4-6). With stable names the cache
-      // hits and a long-lived session compiles each stage once, ever.
-      .config("spark.sql.codegen.useIdInClassName", "false")
-      // Static conf, set before the first session: the default 100-entry
-      // codegen class cache thrashes for a long-lived session serving this
-      // catalog (Guava's segmented LRU evicts recently-used entries once
-      // near capacity), re-paying janino+JIT on queries that ran minutes
-      // ago. ~2000 entries covers the whole catalog's generated classes (raised from 1000 in round 11 when the grown catalog churned the smaller cache).
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.files.maxPartitionBytes", "134217728"))
       .config("spark.sql.session.timeZone", "UTC")
       // The driver's `events` table carries TIMESTAMP(NANOS) parquet values,
       // which Spark 4 rejects outright; read them as raw nanos longs instead

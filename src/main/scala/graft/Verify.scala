@@ -7,17 +7,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = Sessions.withCodegenDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // stable codegen class names across re-runs (see Sessions.local)
-      .config("spark.sql.codegen.useIdInClassName", "false")
-      // Static conf, set before the first session: the default 100-entry
-      // codegen class cache thrashes for a long-lived session serving this
-      // catalog (Guava's segmented LRU evicts recently-used entries once
-      // near capacity), re-paying janino+JIT on queries that ran minutes
-      // ago. ~2000 entries covers the whole catalog's generated classes (raised from 1000 in round 11 when the grown catalog churned the smaller cache).
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -106,11 +106,19 @@ object Metrics {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     val out = scala.collection.mutable.ListBuffer[ScanStat]()
+    // one row per PHYSICAL scan node: exchange reuse and shared cached
+    // relations route the tree back through the SAME node instance, and
+    // emitting it twice would double-count IO that happened once for
+    // anyone summing the report
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     def metric(p: SparkPlan, n: String): Long =
       p.metrics.get(n).map(_.value).getOrElse(0L)
     def go(p: SparkPlan): Unit = {
+      if (!seen.add(p)) return
       p match {
         case a: AdaptiveSparkPlanExec => go(a.executedPlan)
         case q: QueryStageExec => go(q.plan)
@@ -126,6 +134,21 @@ object Metrics {
             readSchema = s.requiredSchema.catalogString,
             pushedFilters = s.metadata.getOrElse("PushedFilters", ""),
             partitionFilters = s.partitionFilters.mkString(", "))
+        case s: BatchScanExec =>
+          // DataSource V2 (Iceberg/Delta/v2 parquet): surface what the
+          // generic node carries rather than silently reporting "no
+          // scans ran" — an empty report must mean no scans, not an
+          // unsupported node
+          out += ScanStat(
+            rootPaths = Nil,
+            format = s.scan.getClass.getSimpleName,
+            filesRead = metric(s, "numFiles"),
+            bytesRead = metric(s, "bytesRead"),
+            rowsOutput = metric(s, "numOutputRows"),
+            readSchema = s.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+              .mkString("struct<", ",", ">"),
+            pushedFilters = s.scan.description(),
+            partitionFilters = "")
         case _ => ()
       }
       (p.children ++ p.subqueries).foreach(go)

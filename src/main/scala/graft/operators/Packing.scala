@@ -343,15 +343,16 @@ object Packing {
     * wider id spaces first. Epochs are cheap: each is one range exchange
     * over (id, draw), nothing is materialized per epoch.
     */
-  /** Materialize an epoch's shuffled shards: joins the
-    * [[epochShuffleShards]] assignment back to the full rows and writes
-    * `<path>/shard=<k>/` with ONE file per shard whose ROW ORDER is the
-    * epoch's global order — the artifact a training reader streams
-    * sequentially. One exchange on the shard key (each shard collapses
-    * into one task → one file), rows sorted by (shard, pos) within it;
-    * the join back to `df` is id-keyed on whatever partitioning `df`
-    * already has. Written through the atomic staged swap, so a re-run
-    * over a half-written epoch never serves a mix of two attempts.
+  /** Materialize an epoch's shuffled shards: [[epochShuffleShards]]
+    * carries the full rows through the permutation (no join back — see
+    * its duplicate-id note) and the result lands as `<path>/shard=<k>/`
+    * with ONE file per shard whose ROW ORDER is the epoch's global
+    * order — the artifact a training reader streams sequentially. One
+    * exchange on the shard key (each shard collapses into one task →
+    * one file), rows sorted by (shard, pos) within it. Written through
+    * the atomic staged swap, so a re-run over a half-written epoch never
+    * serves a mix of two attempts; the prefix-sum's internal pin is
+    * scoped to this call and released before returning.
     */
   def writeEpochShards(
       df: DataFrame,
@@ -359,11 +360,18 @@ object Packing {
       epoch: Int,
       shardSize: Long,
       path: String): Unit = {
-    val assignment = epochShuffleShards(df.select(col(idCol)), idCol, epoch, shardSize)
-    val rows = df.join(assignment, Seq(idCol))
-      .repartition(col("shard"))
-      .sortWithinPartitions("shard", "pos")
-    graft.sources.Sinks.writePartitionedAtomic(rows, path, Seq("shard"))
+    // the assignment CARRIES the payload (no id-keyed join back: a
+    // duplicate id would match k×k and silently corrupt the artifact —
+    // review, round 11), and the operator fully consumes its own frames,
+    // so the runningSum pin is scoped and released HERE rather than
+    // leaking one persisted frame per epoch into a caller's loop
+    val scope = Caches.newScope()
+    try Caches.inScope(scope) {
+      val rows = epochShuffleShards(df, idCol, epoch, shardSize)
+        .repartition(col("shard"))
+        .sortWithinPartitions("shard", "pos")
+      graft.sources.Sinks.writePartitionedAtomic(rows, path, Seq("shard"))
+    } finally scope.release()
   }
 
   def epochShuffleShards(
@@ -373,6 +381,14 @@ object Packing {
       shardSize: Long): DataFrame = {
     require(shardSize > 0, "shardSize must be positive")
     require(epoch >= 0, "epoch must be non-negative")
+    // `pos` and `shard` are RESERVED output names; every other input
+    // column passes through, so consumers never join back on the id
+    // (the k×k duplicate-id hazard). Positions are a pure function of
+    // (id, epoch) for DISTINCT ids; rows SHARING an id share a draw and
+    // tie-break on runningSum's internal row identity — dedup first if
+    // byte-exact replay across duplicate ids matters.
+    require(!df.columns.contains("pos") && !df.columns.contains("shard"),
+      "input already has a 'pos'/'shard' column — rename it before sharding")
     val p = 1000000007L
     val m = (654321979L + epoch.toLong * 2718281L) % p
     // m ≡ 0 mod p is not a unit: every draw would collapse to 0 and the
@@ -380,11 +396,11 @@ object Packing {
     // dependent) tie column — the exact nondeterminism this operator
     // exists to prevent. First such epoch is ~1.3·10⁸; fail loudly.
     require(m != 0L, s"epoch $epoch degenerates the permutation (multiplier ≡ 0 mod $p)")
-    val drawn = df.select(
-      col(idCol),
-      pmod(col(idCol) * lit(m), lit(p)).as("__draw"))
+    val drawn = df
+      .withColumn("__draw", pmod(col(idCol) * lit(m), lit(p)))
       .withColumn("__one", lit(1L))
     Partitioning.runningSum(drawn, "__draw", "__one", "pos")
-      .select(col(idCol), col("pos"), expr(s"(pos - 1) div $shardSize").as("shard"))
+      .withColumn("shard", expr(s"(pos - 1) div $shardSize"))
+      .drop("__draw", "__one")
   }
 }
