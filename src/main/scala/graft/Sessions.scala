@@ -31,16 +31,18 @@ object Sessions {
     *   biggest plans (the dedup sketch pipeline) that was 2-13 s of JIT
     *   per invocation and the intermittent 2x "warm slower than cold"
     *   bench anomaly (rounds 4-6).
-    * - `codegen.cache.maxEntries=2000` (static conf — set before the
+    * - `codegen.cache.maxEntries=4000` (static conf — set before the
     *   first session): the default 100-entry cache thrashes for a
     *   long-lived session serving this catalog (Guava's segmented LRU
     *   evicts recently-used entries once near capacity), re-paying
-    *   janino+JIT on queries that ran minutes ago. Raised 1000→2000 in
-    *   round 11 when the grown catalog churned the smaller cache.
+    *   janino+JIT on queries that ran minutes ago. Raised 1000→4000 in
+    *   round 11: the full-suite class population (~3.5k) churned the
+    *   smaller caches; size this above the distinct generated classes a
+    *   long-lived session will serve.
     */
   def withCodegenDefaults(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.codegen.useIdInClassName", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
 
   def local(appName: String = "graft"): SparkSession = {
     val spark = withCodegenDefaults(SparkSession

@@ -413,8 +413,14 @@ class DedupSpec extends AnyFunSuite {
     val n3 = run()
     val after = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     assert(n1 == n2 && n2 == n3, "sanity: stable result across invocations")
-    assert(after == before,
-      s"a steady-state re-invocation must reuse every generated class, " +
+    // threshold, not zero: the guarded pathology (unstable class NAMES —
+    // rounds 4-6) recompiles the WHOLE pipeline (~100 classes) on every
+    // invocation; under full-suite cache pressure Guava's segmented LRU
+    // can evict a handful of just-used entries regardless of capacity,
+    // which is churn, not the bug. Anything beyond a handful means names
+    // or caching broke again.
+    assert(after - before <= 8,
+      s"a steady-state re-invocation must reuse its generated classes, " +
         s"but ${after - before} fresh codegen compilations happened")
   }
 }
