@@ -142,4 +142,26 @@ class MetricsSpec extends AnyFunSuite {
     assert(!s.readSchema.contains("p,") || s.readSchema.startsWith("struct<id"),
       s"only id should be read from data files, got ${s.readSchema}")
   }
+
+  test("scanReport counts a reused scan once — summing the report must not double IO") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scanreuse").toString + "/t"
+    spark.range(0, 5000).select(col("id"), (col("id") % 100).as("k"))
+      .write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    // self-aggregate join: both sides shuffle the same scan on the same
+    // key, so AQE's exchange reuse routes one side through
+    // ReusedExchangeExec back into the SAME physical scan node
+    val q = t.groupBy("k").agg(sum("id").as("a"))
+      .join(t.groupBy("k").agg(max("id").as("b")), "k")
+    q.collect()
+    val scans = Metrics.scanReport(q)
+    val plan = q.queryExecution.executedPlan.toString
+    if (plan.contains("ReusedExchange"))
+      assert(scans.size === 1,
+        s"one physical scan behind a reused exchange must report once, got ${scans.size}:\n$plan")
+    else
+      assert(scans.size <= 2, s"without reuse, at most the two genuine scans:\n$plan")
+    assert(scans.forall(_.rowsOutput === 5000L))
+  }
 }
