@@ -102,12 +102,33 @@ object Metrics {
       pushedFilters: String,
       partitionFilters: String)
 
-  def scanReport(df: org.apache.spark.sql.DataFrame): Seq[ScanStat] = {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  /** The effective children of a physical node for executed-plan walks:
+    * the hidden subtrees wrapper nodes hold (AQE final plan, query-stage
+    * plan, reused-exchange child, cached-relation plan) plus the regular
+    * children and subqueries. EVERY plan walker in graft (this file's
+    * [[scanReport]], the test tree's PlanMetrics) derives its traversal
+    * from here — the unwrap knowledge lives once, so a new wrapper node
+    * (a future AQE stage kind, a reused subquery) is added in one place,
+    * not in three silently-diverging copies.
+    */
+  def planChildren(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val hidden = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case im: InMemoryTableScanExec => Seq(im.relation.cachedPlan)
+      case _ => Nil
+    }
+    hidden ++ p.children ++ p.subqueries
+  }
+
+  def scanReport(df: org.apache.spark.sql.DataFrame): Seq[ScanStat] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val out = scala.collection.mutable.ListBuffer[ScanStat]()
     // one row per PHYSICAL scan node: exchange reuse and shared cached
     // relations route the tree back through the SAME node instance, and
@@ -120,10 +141,6 @@ object Metrics {
     def go(p: SparkPlan): Unit = {
       if (!seen.add(p)) return
       p match {
-        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
-        case q: QueryStageExec => go(q.plan)
-        case r: ReusedExchangeExec => go(r.child)
-        case im: InMemoryTableScanExec => go(im.relation.cachedPlan)
         case s: FileSourceScanExec =>
           out += ScanStat(
             rootPaths = s.relation.location.rootPaths.map(_.toString),
@@ -151,7 +168,7 @@ object Metrics {
             partitionFilters = "")
         case _ => ()
       }
-      (p.children ++ p.subqueries).foreach(go)
+      planChildren(p).foreach(go)
     }
     go(df.queryExecution.executedPlan)
     out.toList

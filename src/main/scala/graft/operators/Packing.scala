@@ -396,8 +396,19 @@ object Packing {
     // dependent) tie column — the exact nondeterminism this operator
     // exists to prevent. First such epoch is ~1.3·10⁸; fail loudly.
     require(m != 0L, s"epoch $epoch degenerates the permutation (multiplier ≡ 0 mod $p)")
+    // the id domain is ENFORCED per row, not just documented: an id
+    // outside [0, p) (xxhash64/snowflake ids are routine) would collide
+    // mod p and silently hand the collided rows a layout-dependent order
+    // — the exact nondeterminism this operator promises away. raise_error
+    // folds into the draw projection; in-domain corpora pay one branch.
+    val draw = when(
+      col(idCol) < 0L || col(idCol) >= lit(p),
+      raise_error(concat(
+        lit(s"epochShuffleShards id out of [0, $p) — pre-hash or renumber: "),
+        col(idCol).cast("string"))).cast("long"))
+      .otherwise(pmod(col(idCol) * lit(m), lit(p)))
     val drawn = df
-      .withColumn("__draw", pmod(col(idCol) * lit(m), lit(p)))
+      .withColumn("__draw", draw)
       .withColumn("__one", lit(1L))
     Partitioning.runningSum(drawn, "__draw", "__one", "pos")
       .withColumn("shard", expr(s"(pos - 1) div $shardSize"))

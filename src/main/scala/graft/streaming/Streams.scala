@@ -535,17 +535,27 @@ object Streams {
             .agg(min_by(struct(payload.map(col): _*), col(idCol)).as("__r"))
             .select(col("canonical_url") +: payload.map(c => col(s"__r.$c").as(c)): _*)
           val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
-          val fs = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val idxFs = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // "seen-set exists" means a COMMITTED batch= child, not a bare
+          // directory: a crashed first append leaves staging debris (or
+          // nothing visible) behind, and reading that as a parquet table
+          // throws on every replay — wedging the stream permanently on
+          // its own crash window (review, round 11)
+          val hasSeen = idxFs.exists(idxRoot) &&
+            idxFs.listStatus(idxRoot).exists(_.getPath.getName.startsWith("batch="))
           val accepted = Caches.pin(
-            if (!fs.exists(idxRoot)) keepers
+            if (!hasSeen) keepers
             else keepers.join(
               spark.read.parquet(indexPath).select("canonical_url"),
               Seq("canonical_url"), "left_anti"))
+          // each guard resolves ITS OWN FileSystem — index and output may
+          // live on different schemes (the sibling ingests' convention)
           val outRoot = new org.apache.hadoop.fs.Path(outputPath)
-          if (!fs.exists(new org.apache.hadoop.fs.Path(outRoot, s"batch=$label")))
+          val outFs = outRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!outFs.exists(new org.apache.hadoop.fs.Path(outRoot, s"batch=$label")))
             DedupIndex.appendDir(accepted, outputPath, label)
           // seen-set append LAST = the commit marker (nearDupIngest order)
-          if (!fs.exists(new org.apache.hadoop.fs.Path(idxRoot, s"batch=$label")))
+          if (!idxFs.exists(new org.apache.hadoop.fs.Path(idxRoot, s"batch=$label")))
             DedupIndex.appendDir(
               accepted.select(col("canonical_url"), col(idCol).as("keeper_id")),
               indexPath, label)

@@ -242,6 +242,13 @@ class PackingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Packing.epochShuffleShards(ids, "id", epoch = 133231755, shardSize = 100L)
     }
+    // ids outside [0, p) fail loudly AT ROW LEVEL — a mod-p collision
+    // would silently trade the determinism contract for tie-order
+    val wide = Seq(0L, 1000000007L).toDF("id")
+    val ex = intercept[Exception] {
+      Packing.epochShuffleShards(wide, "id", epoch = 2, shardSize = 10L).collect()
+    }
+    assert(ex.getMessage != null)
     graft.operators.Caches.release()
   }
 
