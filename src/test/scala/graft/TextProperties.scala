@@ -22,6 +22,24 @@ object TextProperties extends Properties("graft.text") {
   private def one(doc: String, c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
     Seq(doc).toDF("text").select(c).head()
 
+  private val genUnicode: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar.map(_.toString),
+    Gen.oneOf("\u0301", "\u0308", "\u0327"),        // combining marks
+    Gen.oneOf("\u00e9", "\u00c5", "\u212b"),         // precomposed + singleton
+    Gen.oneOf("\ufb01", "\uff11", "\u2460"),         // compat: ligature/fullwidth/circled
+    Gen.oneOf("\ud83d\ude00", "\u4e2d", " ")))       // astral pair, CJK, space
+    .map(_.take(24).mkString)
+
+  property("normalizeUnicode matches java.text.Normalizer and is idempotent, all forms") =
+    forAll(genUnicode) { s =>
+      Seq("NFC", "NFD", "NFKC", "NFKD").forall { form =>
+        val got = one(s, text.normalizeUnicode(col("text"), form)).getString(0)
+        val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.valueOf(form))
+        val again = one(got, text.normalizeUnicode(col("text"), form)).getString(0)
+        got == want && again == got
+      }
+    }
+
   property("fingerprintMd5 is invariant under whitespace style and case") =
     forAll(Gen.nonEmptyListOf(genWord).map(_.take(20)), genWs) { (words, ws) =>
       val canonical = one(words.mkString(" "), text.fingerprintMd5(col("text"))).getString(0)
