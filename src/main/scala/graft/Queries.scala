@@ -4385,6 +4385,33 @@ object Queries {
                ELSE 'plain ascii ' || CAST(doc_id AS VARCHAR) END) AS normalized
       FROM documents"""))
 
+  /** ORC interchange ROUND-TRIP under the external oracle: documents
+    * land as ORC (a real write), read back through the explicit-schema
+    * [[graft.sources.OrcSource]], and the oracle recomputes a CONTENT-
+    * SENSITIVE profile (per-source counts, char totals, min/max md5 of
+    * the text bytes) from the parquet originals — agreement means the
+    * format hop was byte-faithful, not just row-count-preserving. This
+    * upgrades the §2 interchange row from spec-gated to oracle-gated.
+    */
+  val q105OrcRoundtrip: Q = Q(
+    "q105_orc_roundtrip",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source", "n_chars")
+      val path = java.nio.file.Files.createTempDirectory("graft_orc_rt").toString + "/docs"
+      docs.write.mode("overwrite").orc(path)
+      graft.sources.OrcSource.read(s, path, docs.schema)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          min(md5(col("text"))).as("md5_lo"),
+          max(md5(col("text"))).as("md5_hi"))
+    },
+    Some("""
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+             MIN(md5(text)) AS md5_lo, MAX(md5(text)) AS md5_hi
+      FROM documents GROUP BY source"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4432,7 +4459,7 @@ object Queries {
     q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic,
     q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
-    q99cHostCap, q104EpochShuffle)
+    q99cHostCap, q104EpochShuffle, q105OrcRoundtrip)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
