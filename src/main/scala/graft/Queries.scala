@@ -4390,8 +4390,10 @@ object Queries {
     * [[graft.sources.OrcSource]], and the oracle recomputes a CONTENT-
     * SENSITIVE profile (per-source counts, char totals, min/max md5 of
     * the text bytes) from the parquet originals — agreement means the
-    * format hop was byte-faithful, not just row-count-preserving. This
-    * upgrades the §2 interchange row from spec-gated to oracle-gated.
+    * format hop was byte-faithful, not just row-count-preserving.
+    * Complements q45 (numeric/aggregate ORC round-trip): this face
+    * witnesses STRING byte fidelity and NULL-text survival through the
+    * format hop via per-group content hashes.
     */
   val q105OrcRoundtrip: Q = Q(
     "q105_orc_roundtrip",
