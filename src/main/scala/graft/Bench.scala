@@ -33,7 +33,8 @@ object Bench {
     // the metric a standing index actually serves — regresses observably.
     // Probes run against ONE standing index built (untimed) per scale
     // factor; builds land in a fresh temp dir per pass, like the catalog.
-    case class E(name: String, run: (SparkSession, String) => Unit)
+    case class E(name: String, run: (SparkSession, String) => Unit,
+        afterPass: () => Unit = () => ())
     val servingSplit = Set("q84_text_index_search", "q65b_ann_index_dedup_pq")
     val standingTextIdx = scala.collection.mutable.Map.empty[String, String]
     val standingAnnIdx = scala.collection.mutable.Map.empty[String, String]
@@ -41,12 +42,28 @@ object Bench {
       standingTextIdx.getOrElseUpdate(dir, Queries.buildTextIndexBatches(spark, dir))
     def annIdxFor(dir: String): String =
       standingAnnIdx.getOrElseUpdate(dir, Queries.buildAnnPqIndex(spark, dir))
+    // Build-entry scratch indexes are deleted AFTER each timing sample
+    // (cleanup excluded from build time): 3 cold + 3 warm passes per SF
+    // previously left 8+ full index copies in java.io.tmpdir, enough to
+    // exhaust tmp space at larger SFs. The STANDING probe indexes above
+    // are never registered here and survive the whole run by design.
+    val scratch = scala.collection.mutable.ListBuffer.empty[String]
+    def rmrf(root: String): Unit = {
+      import java.nio.file.{Files, Paths}
+      val p = Paths.get(root)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }
+    def dropScratch(): Unit = { scratch.foreach(rmrf); scratch.clear() }
     val entries: Seq[E] =
       Queries.headlines.filterNot(q => servingSplit(q.name))
         .map(q => E(q.name, (s, d) => noopWrite(q.fn(s, d)))) ++ Seq(
-        E("q84_build", (s, d) => { Queries.buildTextIndexBatches(s, d); () }),
+        E("q84_build", (s, d) => { scratch += Queries.buildTextIndexBatches(s, d); () },
+          dropScratch _),
         E("q84_probe", (s, d) => noopWrite(Queries.textIndexProbe(s, textIdxFor(d)))),
-        E("q65b_build", (s, d) => { Queries.buildAnnPqIndex(s, d); () }),
+        E("q65b_build", (s, d) => { scratch += Queries.buildAnnPqIndex(s, d); () },
+          dropScratch _),
         E("q65b_probe", (s, d) => noopWrite(Queries.annPqProbe(s, d, annIdxFor(d)))))
 
     // Drop operator-pinned prep tables and everything else in the cache
@@ -65,6 +82,7 @@ object Bench {
     entries.foreach { e =>
       try e.run(spark, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
+      e.afterPass()
     }
     // standing indexes for the probe entries, built once at the bench SF
     // OUTSIDE any timed pass
@@ -93,8 +111,8 @@ object Bench {
       def warm: Double = median(warmPasses)
     }
     val results = entries.map { e =>
-      val passes = (1 to 3).map { _ => clear(); timed(e) }
-      val warmPasses = (1 to 3).map(_ => timed(e))
+      val passes = (1 to 3).map { _ => clear(); val t = timed(e); e.afterPass(); t }
+      val warmPasses = (1 to 3).map { _ => val t = timed(e); e.afterPass(); t }
       R(e.name, passes, warmPasses)
     }
     def json(f: R => Double) =

@@ -24,6 +24,12 @@ object Caches {
 
     private[Caches] def add(df: DataFrame): Unit = synchronized { frames += df }
 
+    /** Persist `df` and track it in THIS scope, regardless of the calling
+      * thread's active scope — the explicit-attribution face for operators
+      * that accept a scope parameter (e.g. [[Graphs.pageRankInt]]).
+      */
+    def pin(df: DataFrame): DataFrame = { add(df); df.persist() }
+
     /** Unpersist only this scope's frames. Safe to call more than once. */
     def release(blocking: Boolean = false): Unit = {
       val toDrop = synchronized { val fs = frames.toList; frames.clear(); fs }
@@ -60,10 +66,7 @@ object Caches {
   }
 
   /** Persist `df` and track it in the calling thread's active scope. */
-  def pin(df: DataFrame): DataFrame = {
-    current.get().add(df)
-    df.persist()
-  }
+  def pin(df: DataFrame): DataFrame = current.get().pin(df)
 
   /** Unpersist every operator-pinned frame in this JVM, across all scopes.
     * Pass `blocking = true` when the caller needs storage memory actually

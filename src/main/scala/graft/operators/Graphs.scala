@@ -32,14 +32,25 @@ object Graphs {
     * 0.85). Dangling nodes (outdeg 0) leak their mass — the standard
     * simplification; nodes with no in-links settle at (15·scale)/100.
     *
-    * Scale shape: `edges`+outdeg are computed once and pinned
-    * ([[Caches.pin]] — release via [[Caches.release]]) so each round
-    * pays ONE join (rank → src) and ONE aggregate (sum by dst), the
-    * minimal two exchanges a message round needs; ranks are a 2-column
-    * frame, the narrowest possible shuffle payload. Iterations are a
+    * Scale shape: `edges`+outdeg are computed once and pinned so each
+    * round pays ONE join (rank → src) and ONE aggregate (sum by dst),
+    * the minimal two exchanges a message round needs; ranks are a
+    * 2-column frame, the narrowest possible shuffle payload. (The pin is
+    * load-bearing: the rounds reference the prep frame `iters` times and
+    * exchange reuse does NOT collapse them — measured round 12, 0
+    * ReusedExchange nodes in the unpinned 5-round plan, i.e. the
+    * edges+outdeg join would recompute per round.) Iterations are a
     * driver-side loop over lazy plans — nothing materializes until the
     * caller acts, and `iters` is small by contract (PageRank converges
     * in tens of rounds; the plan stays linear in `iters`).
+    *
+    * Pin lifetime: the returned frame references the pinned prep table
+    * LAZILY, so this operator cannot release it before returning
+    * (unlike [[Packing.writeEpochShards]], which consumes its own
+    * frames). Pass `scope` and call `scope.release()` after fully
+    * consuming the result — the pattern for long-lived sessions that
+    * rank repeatedly; without it the pin lands in the calling thread's
+    * active scope and lives until [[Caches.release]] drains it.
     */
   def pageRankInt(
       edges: DataFrame,
@@ -48,15 +59,16 @@ object Graphs {
       nodes: DataFrame,
       idCol: String,
       iters: Int,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      scope: Option[Caches.Scope] = None): DataFrame = {
     require(iters >= 1, "pageRankInt needs at least one iteration")
     require(scale >= 1000L, "scale under 1000 makes integer damping too lossy")
-    val e = Caches.pin(
-      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-        .join(
-          edges.groupBy(col(srcCol).as("__osrc")).agg(count(lit(1)).as("__outdeg")),
-          col("__src") === col("__osrc"))
-        .select("__src", "__dst", "__outdeg"))
+    val prep = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .join(
+        edges.groupBy(col(srcCol).as("__osrc")).agg(count(lit(1)).as("__outdeg")),
+        col("__src") === col("__osrc"))
+      .select("__src", "__dst", "__outdeg")
+    val e = scope.fold(Caches.pin(prep))(_.pin(prep))
     val ids = nodes.select(col(idCol).as("__id"))
     var rank = ids.select(col("__id"), lit(scale).as("__rank"))
     for (_ <- 1 to iters) {

@@ -91,6 +91,12 @@ object Metrics {
     * Execute the frame first; an unexecuted plan reports zero counters.
     * Descends AQE final plans, query stages, reused exchanges,
     * subqueries, and cached-relation plans.
+    *
+    * A counter the scan node does not DEFINE reports −1, never 0 (the
+    * ParquetStats "unknown must never read as zero" convention): most V2
+    * scans (including built-in parquet V2) carry no `numFiles`/
+    * `bytesRead` metric at all, and a consumer summing the report must
+    * be able to tell "read nothing" from "this node cannot say".
     */
   final case class ScanStat(
       rootPaths: Seq[String],
@@ -136,8 +142,10 @@ object Metrics {
     // anyone summing the report
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    // absent metric key → -1 sentinel, NOT 0: "this node cannot say"
+    // must never read as "read nothing" (see the method doc)
     def metric(p: SparkPlan, n: String): Long =
-      p.metrics.get(n).map(_.value).getOrElse(0L)
+      p.metrics.get(n).map(_.value).getOrElse(-1L)
     def go(p: SparkPlan): Unit = {
       if (!seen.add(p)) return
       p match {

@@ -304,14 +304,16 @@ object Ranking {
           .otherwise(lit(0.0)))
   }
 
-  /** 1-based dense rank of each row in a BOUNDED top-k run (score desc,
-    * id asc tie-break), computed by a self-join count instead of a
-    * window: a global `Window.orderBy` funnels everything through ONE
-    * partition, and while that is harmless at k rows it would rot into a
-    * scale bug the first time someone feeds a corpus-sized frame. The
-    * O(k²) join is the honest contract — it is only correct-size for
-    * runs that are already top-k lists, which is the only input
-    * [[rrfFuse]] accepts.
+  /** 1-based COMPETITION rank (standard "1224" ranking: 1 + the number
+    * of strictly-better rows under score desc, id asc tie-break — the id
+    * tie-break makes ranks distinct, so here it coincides with a row
+    * number) of each row in a BOUNDED top-k run, computed by a self-join
+    * count instead of a window: a global `Window.orderBy` funnels
+    * everything through ONE partition, and while that is harmless at k
+    * rows it would rot into a scale bug the first time someone feeds a
+    * corpus-sized frame. The O(k²) join is the honest contract — it is
+    * only correct-size for runs that are already top-k lists, which is
+    * the only input [[rrfFuse]] accepts.
     */
   private def rankRun(run: DataFrame, idCol: String, scoreCol: String): DataFrame = {
     // NULL scores are ABSENT from the run, not rank-1: every comparison
@@ -319,9 +321,17 @@ object Ranking {
     // better rows and hand a scoreless doc the top rank (and rrfFuse the
     // maximal contribution) — caught by review in round 11. A doc with
     // no score made no retrieval claim; it contributes nothing.
+    //
+    // A duplicate id keeps only its BEST score (max_by semantics via
+    // groupBy/max): a run that repeats an id would otherwise both skew
+    // every worse row's count and MULTIPLY rows through rrfFuse's
+    // full-outer join with no loud failure (round-12 advice). The guard
+    // is one k-sized aggregate — free at top-k scale.
     val scored = run.where(col(scoreCol).isNotNull)
-    val a = scored.select(col(idCol).as("__id"), col(scoreCol).as("__s"))
-    val b = scored.select(col(idCol).as("__bid"), col(scoreCol).as("__bs"))
+      .groupBy(col(idCol).as("__gid"))
+      .agg(max(col(scoreCol)).as("__gs"))
+    val a = scored.select(col("__gid").as("__id"), col("__gs").as("__s"))
+    val b = scored.select(col("__gid").as("__bid"), col("__gs").as("__bs"))
     a.join(b,
         col("__bs") > col("__s") ||
           (col("__bs") === col("__s") && col("__bid") < col("__id")),

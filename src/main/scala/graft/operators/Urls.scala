@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   *   2. scheme and host lowercased (case-insensitive per RFC 3986);
   *   3. default port stripped (`:80` for http, `:443` for https);
   *   4. empty path → `/`;
-  *   5. tracking parameters removed (`utm_*`, `fbclid`, `gclid`, `ref`);
+  *   5. tracking parameters removed ([[defaultTrackingParams]], or the
+  *      caller's list);
   *   6. remaining query parameters sorted bytewise (param order is
   *      almost never semantic; sorting merges permuted duplicates).
   *
@@ -26,7 +27,28 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  private val trackingParam = "^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
+  /** Parameters stripped as tracking noise by default: the `utm_`
+    * campaign namespace plus the Facebook/Google click ids — params that
+    * NEVER select content. An entry ending in `*` matches by prefix;
+    * anything else matches the whole name. Bare `ref` is deliberately
+    * NOT here (dropped round 12): many real sites use it semantically
+    * (GitHub's `?ref=<branch>` selects a different page), and stripping
+    * it would merge genuinely distinct documents into one canonical
+    * identity — silent content loss in [[dedupByCanonical]]. Corpora
+    * where `ref` is referral-only opt in per call:
+    * `canonicalize(u, defaultTrackingParams :+ "ref")`.
+    */
+  val defaultTrackingParams: Seq[String] = Seq("utm_*", "fbclid", "gclid")
+
+  /** `^(alt|alt|…)(=|$)` over quoted names; `*` suffix → prefix match. */
+  private def trackingRegex(params: Seq[String]): String = {
+    val alts = params.map { p =>
+      if (p.endsWith("*")) java.util.regex.Pattern.quote(p.dropRight(1)) + "[^=]*"
+      else java.util.regex.Pattern.quote(p)
+    }
+    if (alts.isEmpty) "^(?!)" // match nothing: strip no parameters
+    else s"^(${alts.mkString("|")})(=|$$)"
+  }
 
   /** The lowercased `host[:port]` of the authority, userinfo stripped —
     * ONE definition shared by [[canonicalize]] and [[host]], so the
@@ -46,7 +68,15 @@ object Urls {
     * convention: filter `canonical IS NULL` to audit them, never a throw
     * mid-corpus.
     */
-  def canonicalize(url: Column): Column = {
+  def canonicalize(url: Column): Column =
+    canonicalize(url, defaultTrackingParams)
+
+  /** [[canonicalize]] with a caller-chosen tracking-parameter list (same
+    * `*`-suffix prefix convention as [[defaultTrackingParams]]; pass
+    * `Nil` to strip nothing and only normalize case/port/path/order).
+    */
+  def canonicalize(url: Column, trackingParams: Seq[String]): Column = {
+    val trackingParam = trackingRegex(trackingParams)
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = authorityHostPort(noFrag)
@@ -83,9 +113,18 @@ object Urls {
     * no identity to merge on; recover them via [[canonicalize]]'s NULL
     * quarantine. Exactly one hash exchange on the canonical key, partial
     * aggregation map-side — the A2 exact-dedup shape.
+    *
+    * `trackingParams` is the merge aggressiveness knob: every stripped
+    * parameter widens the set of URLs that collapse to one keeper, and a
+    * semantic parameter in the list (the bare-`ref` hazard —
+    * [[defaultTrackingParams]]) DROPS distinct pages, not just noise.
     */
-  def dedupByCanonical(df: DataFrame, urlCol: String, idCol: String): DataFrame =
-    df.select(canonicalize(col(urlCol)).as("canonical_url"), col(idCol))
+  def dedupByCanonical(
+      df: DataFrame,
+      urlCol: String,
+      idCol: String,
+      trackingParams: Seq[String] = defaultTrackingParams): DataFrame =
+    df.select(canonicalize(col(urlCol), trackingParams).as("canonical_url"), col(idCol))
       .where(col("canonical_url").isNotNull)
       .groupBy("canonical_url")
       .agg(

@@ -56,4 +56,18 @@ class GraphsSpec extends AnyFunSuite {
     assert(a === b, "integer rounds cannot depend on partitioning or aggregation order")
     assert(a === reference(edgeList, 0L until 200L, iters = 5))
   }
+
+  test("pageRankInt's prep pin is released by the caller's scope, not leaked") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L).toDF("id")
+    val scope = Caches.newScope()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Graphs.pageRankInt(edges, "src", "dst", nodes, "id", iters = 2, scope = Some(scope))
+    out.collect()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "the prep table must actually be pinned while the result is consumed")
+    scope.release(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "scope.release must drop exactly the frames this call pinned")
+  }
 }

@@ -239,4 +239,18 @@ class RankingSpec extends AnyFunSuite {
     assert(nf(1L) === Some(1) && nf.get(9L).forall(_.isEmpty),
       s"scoreless docs must contribute nothing, got $nf")
   }
+
+  test("rrfFuse: a duplicate id inside one run keeps its best score and never multiplies rows") {
+    // doc 1 appears twice in run a (0.9 and 0.3): it ranks by 0.9 and
+    // emits ONE fused row; doc 2's rank counts doc 1 once, not twice
+    val runA = Seq((1L, 0.9), (1L, 0.3), (2L, 0.5)).toDF("doc_id", "score")
+    val runB = Seq((1L, 0.7)).toDF("doc_id", "score")
+    val fused = Ranking.rrfFuse(Seq("a" -> runA, "b" -> runB), "doc_id", "score", k = 10)
+    val rows = fused.collect()
+    assert(rows.length === 2, s"duplicate ids must not multiply through the full-outer join")
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Integer]("rank_a").toInt, r.getAs[Double]("rrf")))).toMap
+    assert(byId(1L)._1 === 1 && byId(2L)._1 === 2)
+    assert(byId(1L)._2 === 1.0 / 61 + 1.0 / 61)
+  }
 }
