@@ -1122,6 +1122,101 @@ object Queries {
         "q33_ann_ivf", floor = 4),
     None)
 
+  /** ORACLE-GATED LSH probe twin (closes the r11 "only no-twin rows"
+    * item): [[Similarity.lshTopKExactInt]] — the q31 plan shape (banded
+    * signatures, broadcast query, any-band candidate union, cosine
+    * top-k) with the injectable INTEGER hyperplane family, so DuckDB
+    * rebuilds BUCKET MEMBERSHIP exactly (every sign test is an exact
+    * long), then ranks candidates by the same exact-int cosine as q30c.
+    * The approximate q31 face keeps its planted-recall floor; this row
+    * gates the probe mechanics end to end.
+    */
+  val q31cAnnLshExact: Q = Q(
+    "q31c_ann_lsh_exact",
+    (s, dir) =>
+      Similarity.lshTopKExactInt(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 20),
+    Some("""
+      WITH iv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS iv
+        FROM embeddings),
+      planes AS (
+        SELECT b, j,
+               list_transform(range(0, 64), i -> (1103515245 * ((b*8 + j)*64 + i) + 12345) % 2048 - 1024) AS p
+        FROM range(0, 8) tb(b), range(0, 8) tj(j)),
+      sigs AS (
+        SELECT iv.vec_id, p.b AS band,
+               SUM(CASE WHEN list_dot_product(CAST(iv.iv AS DOUBLE[]), CAST(p.p AS DOUBLE[])) >= 0
+                        THEN 1 << p.j ELSE 0 END) AS sig
+        FROM iv CROSS JOIN planes p
+        GROUP BY iv.vec_id, p.b),
+      qs AS (SELECT band, sig FROM sigs WHERE vec_id = 0),
+      cand AS (
+        SELECT DISTINCT s.vec_id
+        FROM sigs s JOIN qs ON s.band = qs.band AND s.sig = qs.sig
+        WHERE s.vec_id <> 0),
+      qv AS (SELECT iv FROM iv WHERE vec_id = 0),
+      d AS (
+        SELECT i.vec_id,
+               CAST(list_dot_product(CAST(i.iv AS DOUBLE[]), CAST(qv.iv AS DOUBLE[])) AS BIGINT) AS dot,
+               CAST(list_dot_product(CAST(i.iv AS DOUBLE[]), CAST(i.iv AS DOUBLE[])) AS BIGINT) AS norm2,
+               CAST(list_dot_product(CAST(qv.iv AS DOUBLE[]), CAST(qv.iv AS DOUBLE[])) AS BIGINT) AS qnorm2
+        FROM iv i JOIN cand USING (vec_id) CROSS JOIN qv)
+      SELECT vec_id, dot, norm2
+      FROM d
+      ORDER BY CASE WHEN norm2 = 0 OR qnorm2 = 0 THEN 0.0
+                    ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))) END DESC,
+               vec_id
+      LIMIT 20"""))
+
+  /** ORACLE-GATED IVF probe twin: [[Similarity.ivfTopKExactInt]] — the
+    * q33 plan shape (cell assignment, nprobe nearest cells, in-cell
+    * brute force) with the injectable INTEGER centroid family, so DuckDB
+    * rebuilds the ASSIGNMENT and the PROBED-CELL SET exactly (distances
+    * are exact longs, ties break on the lower cell), then ranks by the
+    * q30c exact-int cosine.
+    */
+  val q33cAnnIvfExact: Q = Q(
+    "q33c_ann_ivf_exact",
+    (s, dir) =>
+      Similarity.ivfTopKExactInt(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 20),
+    Some("""
+      WITH iv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS iv
+        FROM embeddings),
+      cents AS (
+        SELECT c, list_transform(range(0, 64), i -> (48271 * (c*64 + i) + 11) % 1024 - 512) AS cent
+        FROM range(0, 16) tc(c)),
+      dist AS (
+        SELECT iv.vec_id, c.c,
+               CAST(list_dot_product(CAST(iv.iv AS DOUBLE[]), CAST(iv.iv AS DOUBLE[]))
+                  - 2 * list_dot_product(CAST(iv.iv AS DOUBLE[]), CAST(c.cent AS DOUBLE[]))
+                  + list_dot_product(CAST(c.cent AS DOUBLE[]), CAST(c.cent AS DOUBLE[])) AS BIGINT) AS d2
+        FROM iv CROSS JOIN cents c),
+      asg AS (
+        SELECT vec_id, c AS cell
+        FROM (SELECT vec_id, c, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn FROM dist)
+        WHERE rn = 1),
+      probes AS (SELECT c AS cell FROM dist WHERE vec_id = 0 ORDER BY d2, c LIMIT 4),
+      cand AS (
+        SELECT a.vec_id FROM asg a JOIN probes p ON a.cell = p.cell WHERE a.vec_id <> 0),
+      qv AS (SELECT iv FROM iv WHERE vec_id = 0),
+      d AS (
+        SELECT i.vec_id,
+               CAST(list_dot_product(CAST(i.iv AS DOUBLE[]), CAST(qv.iv AS DOUBLE[])) AS BIGINT) AS dot,
+               CAST(list_dot_product(CAST(i.iv AS DOUBLE[]), CAST(i.iv AS DOUBLE[])) AS BIGINT) AS norm2,
+               CAST(list_dot_product(CAST(qv.iv AS DOUBLE[]), CAST(qv.iv AS DOUBLE[])) AS BIGINT) AS qnorm2
+        FROM iv i JOIN cand USING (vec_id) CROSS JOIN qv)
+      SELECT vec_id, dot, norm2
+      FROM d
+      ORDER BY CASE WHEN norm2 = 0 OR qnorm2 = 0 THEN 0.0
+                    ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))) END DESC,
+               vec_id
+      LIMIT 20"""))
+
   /** Embedding-cosine near-dup pairs over a corpus with planted scaled copies. */
   val q32EmbeddingNearDup: Q = Q(
     "q32_embedding_near_dup",
@@ -4429,8 +4524,8 @@ object Queries {
     q25MinhashDedup, q25bDupClusters, q25cJaccardPairsExact, q25dClustersExact,
     q26SimhashPairs, q26cSimhashPairsExact, q27RollingFingerprint, q27cRollingFingerprintLinear,
     q28TermFreq, q29TokenJaccard,
-    q30CosineTopK, q30cCosineTopkExact, q31AnnLsh, q32EmbeddingNearDup,
-    q32cEmbeddingNearDupExact, q33AnnIvf,
+    q30CosineTopK, q30cCosineTopkExact, q31AnnLsh, q31cAnnLshExact, q32EmbeddingNearDup,
+    q32cEmbeddingNearDupExact, q33AnnIvf, q33cAnnIvfExact,
     q34Repetition, q35PiiRedact,
     q36JsonExtract, q37SessionWindow, q38Quantiles, q38bApproxAgg, q38cExactAgg,
     q39AsofJoin,

@@ -171,6 +171,158 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------
+  // Injectable INTEGER hash families — the q26c linear-hash move applied
+  // to the ANN probe paths. The LSH hyperplanes / IVF centroids below are
+  // pure arithmetic in (band, bit, component) / (cell, component), so an
+  // external engine rebuilds bucket membership and cell assignment
+  // EXACTLY: combined with integer-quantized vectors (sign tests and
+  // distances become exact longs — no float boundary to disagree on),
+  // the whole probe path — banding, candidate set, in-candidate ranking —
+  // is oracle-checkable bit-for-bit. These faces gate the MECHANICS the
+  // production paths ([[lshTopK]], [[ivfSearch]]) share: banded bucket
+  // join against a broadcast query, nprobe cell selection, bounded
+  // top-k with id tie-break. Training quality (real random planes,
+  // k-means centroids) stays the production paths' job and stays under
+  // the planted-recall floors.
+  // ------------------------------------------------------------------
+
+  /** Integer hyperplane `(band, bit)`: component i is
+    * `((1103515245·idx + 12345) mod 2048) − 1024` with
+    * `idx = (band·bitsPerBand + bit)·dim + i` — one LCG step per
+    * component, values in [−1024, 1023]. Arithmetic is shared verbatim
+    * with the DuckDB oracle of q31c.
+    */
+  private[graft] def linearPlane(band: Int, bit: Int, bitsPerBand: Int, dim: Int): Array[Long] =
+    Array.tabulate(dim) { i =>
+      val idx = (band.toLong * bitsPerBand + bit) * dim + i
+      ((1103515245L * idx + 12345L) % 2048L) - 1024L
+    }
+
+  /** Integer centroid `cell`: component i is
+    * `((48271·(cell·dim + i) + 11) mod 1024) − 512` — decorrelated from
+    * [[linearPlane]] by different LCG constants, values in [−512, 511].
+    * Shared verbatim with the DuckDB oracle of q33c.
+    */
+  private[graft] def linearCentroid(cell: Int, dim: Int): Array[Long] =
+    Array.tabulate(dim) { i =>
+      val idx = cell.toLong * dim + i
+      ((48271L * idx + 11L) % 1024L) - 512L
+    }
+
+  private def quantInt(c: Column, scale: Int): Column =
+    transform(c, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
+  private def idotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  private def exactScore(dot: Column, norm2: Column, qnorm2: Column): Column =
+    when(norm2 === 0L || qnorm2 === 0L, lit(0.0))
+      .otherwise(dot.cast("double") /
+        (sqrt(norm2.cast("double")) * sqrt(qnorm2.cast("double"))))
+
+  /** ORACLE-EXPRESSIBLE LSH top-k: [[lshTopK]]'s exact plan shape (banded
+    * signatures, broadcast query, any-band candidate union, cosine
+    * ranking) over integer-quantized vectors and the [[linearPlane]]
+    * family. Every sign test `Σ iv·plane ≥ 0` is an exact long, so the
+    * bucket membership — not just the final ranking — is reproducible on
+    * any engine; recall relative to brute force is whatever the family
+    * yields (the twin gates mechanics, not recall — q31 keeps the
+    * planted floor for that). Emits the q30c integer face
+    * (id, dot, norm2), top-k by exact-int cosine, id tie-break.
+    */
+  def lshTopKExactInt(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      bands: Int = 8,
+      bitsPerBand: Int = 8,
+      scale: Int = 1000): DataFrame = {
+    require(bitsPerBand < 63, "bitsPerBand must fit a long signature")
+    def bandSigs(iv: Column, dim: Int): Column = array((0 until bands).map { b =>
+      val sig = (0 until bitsPerBand).map { j =>
+        val p = linearPlane(b, j, bitsPerBand, dim).toSeq
+        when(idotL(iv, typedLit(p)) >= 0L, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }: _*)
+    val dim = emb.where(col(idCol) === queryId)
+      .select(size(col(vecCol))).head().getInt(0)
+    val q = emb.where(col(idCol) === queryId)
+      .select(quantInt(col(vecCol), scale).as("__qiv"))
+      .select(col("__qiv"), idotL(col("__qiv"), col("__qiv")).as("qnorm2"),
+        explode(bandSigs(col("__qiv"), dim)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("__qiv"), col("qnorm2"))
+    Partitioning.spread(emb.where(col(idCol) =!= queryId))
+      .select(col(idCol), quantInt(col(vecCol), scale).as("__iv"))
+      .select(col(idCol), col("__iv"), explode(bandSigs(col("__iv"), dim)).as("bs"))
+      .select(col(idCol), col("__iv"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .join(broadcast(q), Seq("band", "sig"))
+      .select(col(idCol),
+        idotL(col("__iv"), col("__qiv")).as("dot"),
+        idotL(col("__iv"), col("__iv")).as("norm2"),
+        col("qnorm2"))
+      // a doc colliding in several bands is ONE candidate; dot/norm² are
+      // per-id constants, so max() is just "pick the value"
+      .groupBy(idCol)
+      .agg(max("dot").as("dot"), max("norm2").as("norm2"), max("qnorm2").as("qnorm2"))
+      .orderBy(exactScore(col("dot"), col("norm2"), col("qnorm2")).desc, col(idCol))
+      .limit(k)
+      .select(idCol, "dot", "norm2")
+  }
+
+  /** ORACLE-EXPRESSIBLE IVF top-k: [[ivfSearch]]'s exact plan shape
+    * (corpus cell assignment, nprobe nearest cells for the query,
+    * in-cell brute force) with the [[linearCentroid]] quantizer over
+    * integer-quantized vectors. Distances `Σ (iv−cent)²` are exact
+    * longs and ties break on the lower cell id, so the assignment and
+    * the probed-cell set — the parts of IVF an external engine could
+    * never rebuild from a k-means artifact — are bit-reproducible.
+    * Same integer emission as q30c/q31c.
+    */
+  def ivfTopKExactInt(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      scale: Int = 1000): DataFrame = {
+    require(nprobe <= nlist, "nprobe must be <= nlist")
+    val dim = emb.where(col(idCol) === queryId)
+      .select(size(col(vecCol))).head().getInt(0)
+    // array of (d2, cell) structs sorted lexicographically: element 1 is
+    // the assignment, the first nprobe are the probe set — one shared
+    // definition so corpus and query cannot rank cells differently
+    def cellsRanked(iv: Column): Column = array_sort(array((0 until nlist).map { c =>
+      val cent = linearCentroid(c, dim).toSeq
+      struct(
+        aggregate(zip_with(iv, typedLit(cent), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("d2"),
+        lit(c).as("cell"))
+    }: _*))
+    val q = emb.where(col(idCol) === queryId)
+      .select(quantInt(col(vecCol), scale).as("__qiv"))
+      .select(
+        col("__qiv"),
+        idotL(col("__qiv"), col("__qiv")).as("qnorm2"),
+        transform(slice(cellsRanked(col("__qiv")), 1, nprobe), s => s.getField("cell"))
+          .as("__probes"))
+    Partitioning.spread(emb.where(col(idCol) =!= queryId))
+      .select(col(idCol), quantInt(col(vecCol), scale).as("__iv"))
+      .withColumn("__cell", element_at(cellsRanked(col("__iv")), 1).getField("cell"))
+      .join(broadcast(q), array_contains(col("__probes"), col("__cell")))
+      .select(col(idCol),
+        idotL(col("__iv"), col("__qiv")).as("dot"),
+        idotL(col("__iv"), col("__iv")).as("norm2"),
+        col("qnorm2"))
+      .orderBy(exactScore(col("dot"), col("norm2"), col("qnorm2")).desc, col(idCol))
+      .limit(k)
+      .select(idCol, "dot", "norm2")
+  }
+
   /** Lloyd's k-means over an in-driver sample — IVF coarse-quantizer
     * training. A few iterations over O(k·32) points is microseconds on the
     * driver; the win over seeding alone is representative cells on

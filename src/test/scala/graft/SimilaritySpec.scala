@@ -67,6 +67,44 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("exact-int probe twins: candidates ⊆ exact-int brute force with identical values; plan broadcasts") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // full exact-int ranking of the corpus: any correct probe result is a
+    // subset with BIT-IDENTICAL (dot, norm2) — same quantization, same fold
+    val exact = Similarity.bruteForceTopKExactInt(emb, "vec_id", "embedding", 0L, 1000000)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("dot"), r.getAs[Long]("norm2")))).toMap
+    val lsh = Similarity.lshTopKExactInt(emb, "vec_id", "embedding", 0L, 20)
+    val ivf = Similarity.ivfTopKExactInt(emb, "vec_id", "embedding", 0L, 20)
+    for ((name, df) <- Seq("lsh" -> lsh, "ivf" -> ivf)) {
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"$name probe returned no candidates")
+      rows.foreach { r =>
+        val id = r.getAs[Long]("vec_id")
+        assert(exact.get(id).contains((r.getAs[Long]("dot"), r.getAs[Long]("norm2"))),
+          s"$name hit $id must carry the exact integer scores")
+      }
+      // ranking within the result must be the exact-int cosine order
+      def score(dot: Long, n2: Long) =
+        if (n2 == 0L) 0.0 else dot.toDouble / (math.sqrt(n2.toDouble) * math.sqrt(exactQNorm))
+      val ranked = rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dot"), r.getAs[Long]("norm2")))
+      val resorted = ranked.sortBy { case (id, dot, n2) => (-score(dot, n2), id) }
+      assert(ranked.toSeq === resorted.toSeq, s"$name result must be ranked by exact cosine, id tie-break")
+      // the query side is a broadcast; the probe must never cartesian the corpus
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$name probe must broadcast the query side:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name probe must not cartesian:\n$plan")
+    }
+  }
+
+  private lazy val exactQNorm: Double = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0L).select("embedding").head()
+      .getSeq[Float](0).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)
+    math.sqrt(qv.map(x => x * x).sum.toDouble)
+  }
+
   test("trainIvf and Pq.train accept array<double> vector columns (the ADVICE r9 latent cast)") {
     // The probe expressions always accepted array<float|double>; the
     // driver-side samplers hard-cast to Seq[Float] until round 10. A
