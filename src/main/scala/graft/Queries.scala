@@ -4509,6 +4509,67 @@ object Queries {
              MIN(md5(text)) AS md5_lo, MAX(md5(text)) AS md5_hi
       FROM documents GROUP BY source"""))
 
+  /** DSIR-style importance selection ([[graft.operators.Importance]]):
+    * hashed-unigram bucket models (1024 buckets, injectable linear
+    * hash), target = the corpus's SHORT-TOKEN dialect (tokens ≤ 4
+    * chars — a stand-in for any reference corpus whose lexical
+    * distribution differs from the crawl; the driver corpus is lexically
+    * homogeneous across lang/source, so a subset target would carry no
+    * signal), source = the whole corpus. Every doc scores by the
+    * log-free pooled importance ratio and selection straddles the 1.0
+    * threshold on both sides at every SF (sf0.01: 200 of 500 selected,
+    * range 0.29–1.54). Hash-gated end to end: DuckDB rebuilds the
+    * byte-polynomial bucket hash, both smoothed models, the per-doc
+    * integer masses, and the fixed-shape double ratio.
+    */
+  val q106DsirImportance: Q = Q(
+    "q106_dsir_importance",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val buckets = 1024
+      val shortTokenText = d.select(
+        array_join(
+          filter(graft.functions.text.tokens(col("text")), w => length(w) <= 4),
+          " ").as("text"))
+      val target = graft.operators.Importance.hashedBucketCounts(shortTokenText, "text", buckets)
+      val source = graft.operators.Importance.hashedBucketCounts(d, "text", buckets)
+      graft.operators.Importance.pooledImportance(
+        d, "doc_id", "text", target, source, buckets)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS w
+        FROM documents),
+      bk AS (
+        SELECT doc_id, w,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, octet_length(encode(w)) + 1),
+                   i -> CAST(CAST('0x' || substr(hex(encode(w)), 2*i-1, 2) AS INT) AS BIGINT))),
+                 (acc, b) -> (acc * 31 + b) % 2147483647) % 1024 AS bucket
+        FROM tok),
+      tm AS (SELECT bucket, COUNT(*) AS c FROM bk WHERE length(w) <= 4 GROUP BY 1),
+      sm AS (SELECT bucket, COUNT(*) AS c FROM bk GROUP BY 1),
+      tt AS (SELECT COALESCE(SUM(c), 0) AS ct_tot FROM tm),
+      st AS (SELECT COALESCE(SUM(c), 0) AS cs_tot FROM sm),
+      mass AS (
+        SELECT bk.doc_id,
+               CAST(SUM(COALESCE(tm.c, 0) + 1) AS BIGINT) AS num_mass,
+               CAST(SUM(COALESCE(sm.c, 0) + 1) AS BIGINT) AS den_mass
+        FROM bk LEFT JOIN tm USING (bucket) LEFT JOIN sm USING (bucket)
+        GROUP BY bk.doc_id)
+      SELECT d.doc_id,
+             COALESCE(m.num_mass, 0) AS num_mass,
+             COALESCE(m.den_mass, 0) AS den_mass,
+             CASE WHEN COALESCE(m.den_mass, 0) = 0 THEN 0.0
+                  ELSE (CAST(m.num_mass AS DOUBLE) * CAST(st.cs_tot + 1024 AS DOUBLE)) /
+                       (CAST(m.den_mass AS DOUBLE) * CAST(tt.ct_tot + 1024 AS DOUBLE)) END AS importance,
+             CASE WHEN COALESCE(m.den_mass, 0) = 0 THEN FALSE
+                  ELSE (CAST(m.num_mass AS DOUBLE) * CAST(st.cs_tot + 1024 AS DOUBLE)) /
+                       (CAST(m.den_mass AS DOUBLE) * CAST(tt.ct_tot + 1024 AS DOUBLE)) >= 1.0 END AS selected
+      FROM documents d
+      LEFT JOIN mass m ON d.doc_id = m.doc_id
+      CROSS JOIN tt CROSS JOIN st"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4556,7 +4617,7 @@ object Queries {
     q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic,
     q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
-    q99cHostCap, q104EpochShuffle, q105OrcRoundtrip)
+    q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
