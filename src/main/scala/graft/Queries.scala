@@ -4570,6 +4570,46 @@ object Queries {
       LEFT JOIN mass m ON d.doc_id = m.doc_id
       CROSS JOIN tt CROSS JOIN st"""))
 
+  /** SQ8 scalar-quantized ANN ([[graft.operators.Quantize]]): the corpus
+    * embedding column compressed 4× (one byte per component + one
+    * scale), probed WITHOUT reconstruction — per-vector scales cancel in
+    * cosine, so the probe is exact integer arithmetic over the codes and
+    * DuckDB reproduces encode + search end to end (codes, top-k set,
+    * values, order). The storage-side complement to the PQ serving index
+    * (q65b, 32×): SQ8 is the standard first compression step whose
+    * fidelity keeps brute-force ranking usable.
+    */
+  val q107Sq8TopK: Q = Q(
+    "q107_sq8_topk",
+    (s, dir) => {
+      val enc = graft.operators.Quantize.sq8Encode(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      graft.operators.Quantize.sq8TopKExactInt(enc, "vec_id", queryId = 0L, k = 20)
+    },
+    Some("""
+      WITH cd AS (
+        SELECT vec_id,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      codes AS (
+        SELECT vec_id,
+               list_transform(v, x -> CASE WHEN amax = 0 THEN 0
+                                           ELSE CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT) END) AS c
+        FROM cd),
+      q AS (SELECT c AS qc FROM codes WHERE vec_id = 0),
+      d AS (
+        SELECT codes.vec_id,
+               CAST(list_dot_product(CAST(codes.c AS DOUBLE[]), CAST(q.qc AS DOUBLE[])) AS BIGINT) AS dot,
+               CAST(list_dot_product(CAST(codes.c AS DOUBLE[]), CAST(codes.c AS DOUBLE[])) AS BIGINT) AS norm2,
+               CAST(list_dot_product(CAST(q.qc AS DOUBLE[]), CAST(q.qc AS DOUBLE[])) AS BIGINT) AS qnorm2
+        FROM codes CROSS JOIN q WHERE codes.vec_id <> 0)
+      SELECT vec_id, dot, norm2 FROM d
+      ORDER BY CASE WHEN norm2 = 0 OR qnorm2 = 0 THEN 0.0
+                    ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))) END DESC,
+               vec_id
+      LIMIT 20"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4617,7 +4657,7 @@ object Queries {
     q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic,
     q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
-    q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance)
+    q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

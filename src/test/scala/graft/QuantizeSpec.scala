@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Quantize, Similarity}
+import graft.sources.Tables
+
+class QuantizeSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("sq8 round-trip: codes in [-127,127] as BYTES, reconstruction within scale/2 per component") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val enc = Quantize.sq8Encode(emb, "vec_id", "embedding")
+    // storage contract: one BYTE per component — the 4x claim is the schema
+    assert(enc.schema("codes").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, true))
+    val joined = enc.join(emb, "vec_id")
+      .select(col("vec_id"), col("codes"), col("amax"), col("embedding"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val codes = r.getSeq[Byte](1)
+      val amax = r.getDouble(2)
+      val orig = r.getSeq[Float](3)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      val scale = if (amax == 0.0) 0.0 else amax / 127.0
+      codes.zip(orig).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x.toDouble) <= scale / 2 + 1e-12,
+          s"vec ${r.getLong(0)}: code $c decodes ${c * scale}, orig $x, scale $scale")
+      }
+    }
+  }
+
+  test("sq8 codes match a driver-side recompute, including the zero vector") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-0.003f, 0.001f, 0.002f, -0.0015f)))
+      .toDF("vec_id", "embedding")
+    val got = Quantize.sq8Encode(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Byte](1).toList, r.getDouble(2)))).toMap
+    def ref(xs: Array[Float]): (List[Byte], Double) = {
+      val amax = xs.map(x => math.abs(x.toDouble)).max
+      val codes = xs.map(x =>
+        if (amax == 0.0) 0.toByte
+        else math.floor(x.toDouble * 127.0 / amax + 0.5).toByte).toList
+      (codes, amax)
+    }
+    assert(got(1L) === ref(Array(0.5f, -1.0f, 0.25f, 0.0f)))
+    assert(got(2L) === ((List[Byte](0, 0, 0, 0), 0.0)))
+    assert(got(3L) === ref(Array(-0.003f, 0.001f, 0.002f, -0.0015f)))
+  }
+
+  test("sq8TopKExactInt: high recall vs float brute force; ranked by exact-int cosine; no global sort") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val enc = Quantize.sq8Encode(emb, "vec_id", "embedding")
+    val df = Quantize.sq8TopKExactInt(enc, "vec_id", queryId = 0L, k = 20)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 20)
+    // int8 keeps enough fidelity that the top-20 barely moves vs float
+    val floatIds = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val overlap = rows.map(_._1).count(floatIds.contains)
+    assert(overlap >= 16, s"SQ8 recall collapsed: $overlap/20 shared with float brute force")
+    // ordering law: exact-int cosine desc, id asc
+    val qn = {
+      val qc = enc.where(col("vec_id") === 0L).select("codes").head().getSeq[Byte](0)
+      math.sqrt(qc.map(c => c.toLong * c.toLong).sum.toDouble)
+    }
+    def score(dot: Long, n2: Long) =
+      if (n2 == 0L) 0.0 else dot.toDouble / (math.sqrt(n2.toDouble) * qn)
+    val resorted = rows.sortBy { case (id, dot, n2) => (-score(dot, n2), id) }
+    assert(rows.toSeq === resorted.toSeq)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+  }
+}
