@@ -4610,6 +4610,44 @@ object Queries {
                vec_id
       LIMIT 20"""))
 
+  /** Corpus-level n-gram overlap audit
+    * ([[graft.operators.Decontaminate.corpusOverlap]]): pairwise
+    * trigram containment between the 20 sources — the report that
+    * answers "how much of source A's content already lives in B" at
+    * corpus granularity (the doc-granularity q54 complement). Exact
+    * string grams, exact counts, one correctly-rounded division:
+    * hash-gated end to end including the zero-overlap grid rows.
+    */
+  val q108CorpusOverlap: Q = Q(
+    "q108_corpus_overlap",
+    (s, dir) =>
+      graft.operators.Decontaminate.corpusOverlap(
+        t(s, dir, "documents"), "text", "source", n = 3),
+    Some("""
+      WITH d AS (
+        SELECT source,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents WHERE text IS NOT NULL),
+      sh AS (
+        SELECT source,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS shl
+        FROM d),
+      g AS (SELECT DISTINCT source, unnest(shl) AS gram FROM sh),
+      t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+      p AS (
+        SELECT a.source AS group_a, b.source AS group_b, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM g a JOIN g b USING (gram)
+        WHERE a.source <> b.source
+        GROUP BY 1, 2)
+      SELECT ta.source AS group_a, tb.source AS group_b,
+             ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+             COALESCE(p.shared, 0) AS shared,
+             CAST(COALESCE(p.shared, 0) AS DOUBLE) / CAST(ta.n_grams AS DOUBLE) AS containment
+      FROM t ta CROSS JOIN t tb
+      LEFT JOIN p ON p.group_a = ta.source AND p.group_b = tb.source
+      WHERE ta.source <> tb.source"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4657,7 +4695,8 @@ object Queries {
     q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic,
     q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
-    q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK)
+    q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
+    q108CorpusOverlap)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

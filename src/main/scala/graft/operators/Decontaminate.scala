@@ -93,4 +93,58 @@ object Decontaminate {
       .select(col("id").as(idCol))
     docs.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Corpus-level n-gram overlap audit between GROUPS of one corpus
+    * (sources, snapshots, language slices): for every ordered pair
+    * (group_a, group_b) of distinct groups, the distinct-n-gram counts
+    * of both sides, the shared count, and the containment
+    * `shared / grams_a` — the corpus-granularity contamination report
+    * (how much of source A's n-gram inventory also lives in B) that
+    * complements [[overlap]]'s doc-granularity benchmark check. Zero-
+    * overlap pairs are PRESENT with shared 0 — an audit that silently
+    * omits the clean pairs reads as incomplete coverage.
+    *
+    * Scale shape: all-pairs in GROUP space, never doc space. One
+    * exchange builds the distinct (group, gram) inventory (per-doc
+    * `array_distinct` bounds the explode); the pair counts come from a
+    * gram-keyed self-join whose per-gram output is ≤ |groups|² rows —
+    * bounded by contract (groups are sources/slices, a small set), so
+    * even a gram present everywhere cannot blow up. The inventory is
+    * pinned ([[Caches.pin]]): totals and the pair join both read it.
+    * String grams keep the audit oracle-exact; swap in
+    * [[graft.expressions.ShingleHashesExpr]] 64-bit grams at production
+    * scale (the [[overlap]] note — collisions are negligible and the
+    * inventory shrinks to fixed-width keys).
+    */
+  def corpusOverlap(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String,
+      n: Int = 8): DataFrame = {
+    require(n > 0, "n-gram size must be positive")
+    val grams = Caches.pin(
+      Partitioning.spread(docs)
+        .where(col(textCol).isNotNull)
+        .select(
+          col(groupCol).as("grp"),
+          explode(array_distinct(graft.functions.text.shingles(lower(col(textCol)), n)))
+            .as("gram"))
+        .distinct())
+    val totals = grams.groupBy("grp").agg(count(lit(1)).as("n_grams"))
+    val pairs = grams.select(col("grp").as("group_a"), col("gram"))
+      .join(grams.select(col("grp").as("group_b"), col("gram")), Seq("gram"))
+      .where(col("group_a") =!= col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("shared"))
+    val ta = totals.select(col("grp").as("group_a"), col("n_grams").as("grams_a"))
+    val tb = totals.select(col("grp").as("group_b"), col("n_grams").as("grams_b"))
+    ta.crossJoin(broadcast(tb))
+      .where(col("group_a") =!= col("group_b"))
+      .join(pairs, Seq("group_a", "group_b"), "left")
+      .select(
+        col("group_a"), col("group_b"), col("grams_a"), col("grams_b"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        (coalesce(col("shared"), lit(0L)).cast("double") / col("grams_a").cast("double"))
+          .as("containment"))
+  }
 }

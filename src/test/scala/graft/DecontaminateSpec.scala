@@ -53,6 +53,28 @@ class DecontaminateSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("corpusOverlap: pairwise containment, zero-overlap rows present, self-pairs absent") {
+    val corpus = Seq(
+      ("A", "a b c d"),        // grams {a b c, b c d}
+      ("A", "a b c"),          // duplicate gram within A counts once
+      ("B", "b c d e"),        // grams {b c d, c d e} → shares {b c d} with A
+      ("C", "x y z w"),        // grams {x y z, y z w} → disjoint from A and B
+      ("C", null.asInstanceOf[String]))
+      .toDF("source", "text")
+    val out = Decontaminate.corpusOverlap(corpus, "text", "source", n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out.size === 6, "3 groups -> 6 ordered pairs, self-pairs excluded")
+    assert(out(("A", "B")) === ((2L, 2L, 1L, 0.5)))
+    assert(out(("B", "A")) === ((2L, 2L, 1L, 0.5)))
+    // the audit must REPORT clean pairs, not omit them
+    assert(out(("A", "C")) === ((2L, 2L, 0L, 0.0)))
+    assert(out(("C", "B")) === ((2L, 2L, 0L, 0.0)))
+    Caches.release()
+  }
+
   test("corpus-side plan has no shuffle before the per-doc aggregate") {
     // the only exchange in the hits branch must carry one row per doc (the
     // groupBy), not the exploded grams: assert the semi-join is broadcast
