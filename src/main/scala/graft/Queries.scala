@@ -4568,7 +4568,8 @@ object Queries {
                        (CAST(m.den_mass AS DOUBLE) * CAST(tt.ct_tot + 1024 AS DOUBLE)) >= 1.0 END AS selected
       FROM documents d
       LEFT JOIN mass m ON d.doc_id = m.doc_id
-      CROSS JOIN tt CROSS JOIN st"""))
+      CROSS JOIN tt CROSS JOIN st"""),
+    headline = true) // broadcast-model scoring: the round-12 operator class's timing guard
 
   /** SQ8 scalar-quantized ANN ([[graft.operators.Quantize]]): the corpus
     * embedding column compressed 4× (one byte per component + one

@@ -501,6 +501,70 @@ object Streams {
     * pre-filter turns the common miss case into a scan-local decision)
     * and compact the `s`-labels on a schedule like the other indexes.
     */
+  /** Continuous DSIR importance routing — the streaming face of
+    * [[graft.operators.Importance]]: each micro-batch scores its
+    * documents against FIXED bucket models and lands every row under
+    * `outputPath/<selected|rejected>/batch=s<id>/` through the same
+    * exists-guarded atomic append as the sibling ingests (a crash-
+    * replayed micro-batch re-lands nothing). Rejected rows are KEPT,
+    * not dropped: a selection stream that discards its rejects can
+    * never re-route them when the threshold moves.
+    *
+    * The models are pinned ONCE at stream start and never retrained
+    * per batch — two micro-batches scoring under silently different
+    * models is a correctness bug, the same train-once argument as
+    * [[graft.operators.Similarity.IvfIndex]]; retrain offline, then
+    * restart the stream on the new artifact. The pins land in the
+    * calling thread's active scope ([[graft.operators.Caches.inScope]]
+    * to bound them; they must outlive every micro-batch).
+    *
+    * Scale shape per batch: the models broadcast (≤ `buckets` rows),
+    * scoring is [[graft.operators.Importance.pooledImportance]]'s one
+    * doc-keyed exchange, and the routed write is two label-guarded
+    * renames — no state beyond the models, so throughput is scan-bound.
+    */
+  def importanceRoutedIngest(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetModel: DataFrame,
+      sourceModel: DataFrame,
+      buckets: Int,
+      outputPath: String,
+      threshold: Double = 1.0,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Caches, DedupIndex, Importance}
+    val target = Caches.pin(targetModel)
+    val source = Caches.pin(sourceModel)
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val label = f"s$batchId%08d"
+        val spark = batch.sparkSession
+        val scope = Caches.newScope()
+        try Caches.inScope(scope) {
+          for (c <- Seq("importance", "selected"))
+            require(!batch.columns.contains(c),
+              s"input stream already has a '$c' column")
+          val scored = Caches.pin(
+            batch.toDF().join(
+              Importance.pooledImportance(
+                batch.toDF(), idCol, textCol, target, source, buckets, threshold)
+                .select(col("doc_id").as(idCol), col("importance"), col("selected")),
+              Seq(idCol)))
+          val outRoot = new org.apache.hadoop.fs.Path(outputPath)
+          val fs = outRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          for ((name, keep) <- Seq("selected" -> true, "rejected" -> false)) {
+            val dir = s"$outputPath/$name"
+            if (!fs.exists(new org.apache.hadoop.fs.Path(dir + s"/batch=$label")))
+              DedupIndex.appendDir(scored.where(col("selected") === keep), dir, label)
+          }
+        } finally scope.release()
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
   def urlDedupIngest(
       stream: DataFrame,
       urlCol: String,

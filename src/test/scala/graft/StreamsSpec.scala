@@ -635,6 +635,52 @@ class StreamsSpec extends AnyFunSuite {
     graft.operators.Caches.release()
   }
 
+  test("importanceRoutedIngest: batches score under the FIXED models and route both ways") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Importance
+    val root = java.nio.file.Files.createTempDirectory("stream-imp").toString
+    val B = 64
+    // target dialect = short tokens; trained once, offline
+    val trainCorpus = Seq("aa bb cc", "aa bb", "longword anotherlong").toDF("text")
+    val target = Importance.hashedBucketCounts(
+      trainCorpus.select(
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.filter(
+            graft.functions.text.tokens(col("text")),
+            w => org.apache.spark.sql.functions.length(w) <= 4), " ").as("text")),
+      "text", B)
+    val source = Importance.hashedBucketCounts(trainCorpus, "text", B)
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.importanceRoutedIngest(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      target, source, B, s"$root/routed")
+    try {
+      input.addData((1L, "aa bb aa"), (2L, "longword longword"))
+      query.processAllAvailable()
+      input.addData((3L, "cc cc cc"), (4L, "anotherlong anotherlong"))
+      query.processAllAvailable()
+      val sel = spark.read.parquet(s"$root/routed/selected")
+        .select("doc_id").as[Long].collect().toSet
+      val rej = spark.read.parquet(s"$root/routed/rejected")
+        .select("doc_id").as[Long].collect().toSet
+      assert(sel === Set(1L, 3L), s"short-token docs must route selected, got $sel")
+      assert(rej === Set(2L, 4L), s"long-token docs must route rejected, got $rej")
+      // scores must equal the BATCH operator under the same models — the
+      // stream adds routing, never different arithmetic
+      val batchScores = Importance.pooledImportance(
+        Seq((1L, "aa bb aa"), (2L, "longword longword"),
+          (3L, "cc cc cc"), (4L, "anotherlong anotherlong")).toDF("doc_id", "text"),
+        "doc_id", "text", target, source, B)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val streamed = spark.read.parquet(s"$root/routed/selected")
+        .unionByName(spark.read.parquet(s"$root/routed/rejected"))
+        .select("doc_id", "importance")
+        .as[(Long, Double)].collect().toMap
+      assert(streamed === batchScores)
+    } finally query.stop()
+    graft.operators.Caches.release()
+  }
+
   test("urlDedupIngest: first sighting per canonical identity wins, across batches and variants") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("stream-url").toString
