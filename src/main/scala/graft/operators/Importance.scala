@@ -87,10 +87,12 @@ object Importance {
     * reproducible anywhere the double is.
     *
     * Scale shape: models broadcast (≤ `buckets` rows each); scoring is
-    * explode → broadcast-join → ONE doc-keyed exchange with map-side
+    * explode → broadcast-join → one doc-keyed exchange with map-side
     * partial sums (no (doc, bucket) pre-aggregation — the per-token
-    * masses sum directly). The left join back to the full doc list adds
-    * the zero-token rows without rescanning text.
+    * masses sum directly), plus the doc-keyed join back to the full doc
+    * list that re-adds zero-token rows without rescanning text. Two
+    * doc-keyed exchanges total; drop the join-back (and the zero-token
+    * rows) if the id list itself is the 100 TB bottleneck.
     */
   def pooledImportance(
       docs: DataFrame,

@@ -82,7 +82,9 @@ object Quantize {
       .where(col(idCol) === queryId)
       .select(col("codes").as("__qc"))
       .select(col("__qc"), idot(col("__qc"), col("__qc")).as("qnorm2"))
-    Partitioning.spread(encoded.where(col(idCol) =!= queryId))
+    // NULL-vector rows have no codes and no cosine — excluded, the same
+    // quarantine-not-rank contract as the other probe faces
+    Partitioning.spread(encoded.where(col(idCol) =!= queryId && col("codes").isNotNull))
       .join(broadcast(q))
       .select(
         col(idCol),

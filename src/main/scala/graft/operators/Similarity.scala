@@ -210,6 +210,17 @@ object Similarity {
       ((48271L * idx + 11L) % 1024L) - 512L
     }
 
+  /** Dimension read from the query row — one bounded driver action; a
+    * missing query id fails with the actual problem, not an empty-
+    * iterator trace from deep inside the plan.
+    */
+  private def queryDim(emb: DataFrame, idCol: String, vecCol: String, queryId: Long): Int =
+    emb.where(col(idCol) === queryId).select(size(col(vecCol))).take(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException(
+        s"query id $queryId not present in the corpus (column $idCol)")
+    }
+
   private def quantInt(c: Column, scale: Int): Column =
     transform(c, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
   private def idotL(a: Column, b: Column): Column =
@@ -246,8 +257,7 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(b).as("band"), sig.as("sig"))
     }: _*)
-    val dim = emb.where(col(idCol) === queryId)
-      .select(size(col(vecCol))).head().getInt(0)
+    val dim = queryDim(emb, idCol, vecCol, queryId)
     val q = emb.where(col(idCol) === queryId)
       .select(quantInt(col(vecCol), scale).as("__qiv"))
       .select(col("__qiv"), idotL(col("__qiv"), col("__qiv")).as("qnorm2"),
@@ -291,8 +301,7 @@ object Similarity {
       nprobe: Int = 4,
       scale: Int = 1000): DataFrame = {
     require(nprobe <= nlist, "nprobe must be <= nlist")
-    val dim = emb.where(col(idCol) === queryId)
-      .select(size(col(vecCol))).head().getInt(0)
+    val dim = queryDim(emb, idCol, vecCol, queryId)
     // array of (d2, cell) structs sorted lexicographically: element 1 is
     // the assignment, the first nprobe are the probe set — one shared
     // definition so corpus and query cannot rank cells differently

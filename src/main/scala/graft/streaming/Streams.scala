@@ -547,10 +547,13 @@ object Streams {
           for (c <- Seq("importance", "selected"))
             require(!batch.columns.contains(c),
               s"input stream already has a '$c' column")
+          // pin the batch: it feeds both the scoring pass and the join
+          // back, and both routed writes read the joined frame
+          val pinned = Caches.pin(batch.toDF())
           val scored = Caches.pin(
-            batch.toDF().join(
+            pinned.join(
               Importance.pooledImportance(
-                batch.toDF(), idCol, textCol, target, source, buckets, threshold)
+                pinned, idCol, textCol, target, source, buckets, threshold)
                 .select(col("doc_id").as(idCol), col("importance"), col("selected")),
               Seq(idCol)))
           val outRoot = new org.apache.hadoop.fs.Path(outputPath)
