@@ -4649,6 +4649,35 @@ object Queries {
       LEFT JOIN p ON p.group_a = ta.source AND p.group_b = tb.source
       WHERE ta.source <> tb.source"""))
 
+  /** Memorization audit ([[graft.operators.SpanDedup.memorizationAudit]]):
+    * the 30 most-repeated 5-token windows with their document frequency
+    * and occurrence counts — the verbatim-regurgitation risk report for
+    * a pretraining corpus. Exact strings, exact counts, deterministic
+    * (df, occurrences, gram) ranking: hash-gated end to end.
+    */
+  val q109MemorizationAudit: Q = Q(
+    "q109_memorization_audit",
+    (s, dir) =>
+      graft.operators.SpanDedup.memorizationAudit(
+        t(s, dir, "documents"), "doc_id", "text", l = 5, k = 30),
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents),
+      w AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' '))) AS gram
+        FROM d WHERE len(tk) >= 5)
+      SELECT gram,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(COUNT(*) AS BIGINT) AS occurrences
+      FROM w
+      GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY df DESC, occurrences DESC, gram
+      LIMIT 30"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4697,7 +4726,7 @@ object Queries {
     q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
-    q108CorpusOverlap)
+    q108CorpusOverlap, q109MemorizationAudit)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -136,4 +136,48 @@ object SpanDedup {
     grams.join(repeated, Seq("gram"), "left_semi")
       .select("doc_id", "i", "gram")
   }
+
+  /** Memorization audit: the top-`k` most-repeated `l`-token windows of
+    * the corpus — (gram, df, occurrences), df = distinct docs carrying
+    * the window, ranked df desc / occurrences desc / gram asc. The
+    * published memorization result (Lee et al. 2022; Carlini et al.
+    * 2022) is that models regurgitate exactly these spans, so this list
+    * IS the pre-training risk report: what a model trained on this
+    * corpus will emit verbatim. Feed the offenders to
+    * [[stripRepeatedSpans]]'s (l, minDf) tuning, or diff audits across
+    * corpus versions to see new boilerplate arriving.
+    *
+    * Scale shape: one corpus-token-scale exchange (window grams with
+    * map-side combine on (gram) carrying two partial counts), then the
+    * bounded top-k (TakeOrderedAndProject — never a global sort). The
+    * count_distinct over doc ids is the one honest cost; windows are
+    * already doc-distinct-heavy, and the partial aggregation collapses
+    * within-partition repeats before the wire.
+    */
+  def memorizationAudit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int,
+      k: Int): DataFrame = {
+    require(l >= 1, "window length must be at least 1")
+    require(k >= 1, "k must be positive")
+    val toked = docs.select(col(idCol).as("doc_id"), text.tokens(col(textCol)).as("__toks"))
+    val n = size(col("__toks")).cast("long")
+    toked
+      .where(n >= l)
+      .select(
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(0L), n - l),
+          i => concat_ws(" ", slice(col("__toks"), (i + 1L).cast("int"), lit(l)))))
+          .as("gram"))
+      .groupBy("gram")
+      .agg(
+        count_distinct(col("doc_id")).as("df"),
+        count(lit(1)).as("occurrences"))
+      .where(col("df") >= 2L)
+      .orderBy(col("df").desc, col("occurrences").desc, col("gram"))
+      .limit(k)
+  }
 }

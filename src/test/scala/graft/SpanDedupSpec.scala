@@ -81,4 +81,24 @@ class SpanDedupSpec extends AnyFunSuite {
       assert(nKept + nDrop === nTok)
     }
   }
+
+  test("memorizationAudit: df counts docs not occurrences, single-doc repeats excluded, ranked") {
+    import graft.operators.SpanDedup
+    val docs = Seq(
+      (1L, "x y z a b"),     // window "x y z" + others
+      (2L, "x y z c d"),     // "x y z" again → df 2
+      (3L, "x y z x y z"),   // "x y z" twice in ONE doc → df 3, occ 4 total
+      (4L, "q q q q q"),     // within-doc-only repeats: "q q q" df 1 → excluded
+      (5L, "a b"))           // shorter than l → no windows
+      .toDF("doc_id", "text")
+    val out = SpanDedup.memorizationAudit(docs, "doc_id", "text", l = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.head === (("x y z", 3L, 4L)),
+      s"df must count distinct docs (3), occurrences all instances (4): ${out.toSeq}")
+    assert(!out.exists(_._1 == "q q q"),
+      "a window repeated only inside one doc is self-similarity, not memorization risk")
+    // ranking is total: df desc, occurrences desc, gram asc
+    val resorted = out.sortBy { case (g, df, occ) => (-df, -occ, g) }
+    assert(out.toSeq === resorted.toSeq)
+  }
 }
