@@ -726,13 +726,18 @@ object Queries {
     * set sizes. One definition so the pair ground truth and the clustering
     * oracle can never drift apart.
     */
-  private val exactJaccardCtes = """
+  /** The planted near-dup corpus, shared by every oracle that rebuilds
+    * [[corpusWithPlantedDups]] (q25c/q25d/q26c/q110).
+    */
+  private val plantedCorpusCte = """
       corpus AS (
         SELECT doc_id, text FROM documents WHERE text IS NOT NULL
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id,
                array_to_string(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)[2:], ' ') AS text
-        FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL),
+        FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL)"""
+
+  private val exactJaccardCtes = """
       d AS (
         SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
         FROM corpus),
@@ -755,7 +760,7 @@ object Queries {
         corpusWithPlantedDups(s, dir), "text", "doc_id",
         shingleK = 3, threshold = 0.5),
     Some(s"""
-      WITH $exactJaccardCtes
+      WITH $plantedCorpusCte, $exactJaccardCtes
       SELECT s.id_a, s.id_b,
              CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) AS jaccard
       FROM shared s
@@ -776,7 +781,7 @@ object Queries {
           corpusWithPlantedDups(s, dir), "text", "doc_id",
           shingleK = 3, threshold = 0.5)),
     Some(s"""
-      WITH RECURSIVE $exactJaccardCtes,
+      WITH RECURSIVE $plantedCorpusCte, $exactJaccardCtes,
       pairs AS (
         SELECT s.id_a, s.id_b
         FROM shared s
@@ -800,30 +805,11 @@ object Queries {
       maxBucket = 256),
     None)
 
-  /** EXACT all-pairs hamming ground truth for the SimHash family, ORACLE-
-    * GATED via the injectable token hash ([[graft.operators.Dedup.linearTokenHash]]
-    * — the q85/q48c move applied per token): DuckDB rebuilds the byte-
-    * polynomial base hash, the 63-bit linear spread, the per-bit majority
-    * vote, the packed signature, and the all-pairs hamming ≤ 3 join from
-    * the raw planted corpus. Agreement means tokenization, UTF-8 byte
-    * extraction, the [[graft.expressions.SimHashExpr]] vote matrix
-    * (ties → 0, empty docs → sig 0), and the hamming comparison are ALL
-    * faithful. The production xxhash face keeps its own exactness law in
-    * DedupSpec (banded q26 == driver-side all-pairs), and the banded
-    * fast path under THIS hash is spec-asserted equal to this query
-    * (pigeonhole is hash-agnostic).
+  /** The 63-bit linear-simhash signature chain over `corpus` (q26c and
+    * q110's shared rebuild): tokenize → byte polynomials → linear spread
+    * → per-bit majority vote → packed (lo, hi) signature halves.
     */
-  val q26cSimhashPairsExact: Q = Q(
-    "q26c_simhash_pairs_exact",
-    (s, dir) => Dedup.simHashPairsExact(corpusWithPlantedDups(s, dir), "text", "doc_id",
-      tokenHash = Dedup.linearTokenHash(_, seed = 11L)),
-    Some("""
-      WITH corpus AS (
-        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
-        UNION ALL
-        SELECT doc_id + 1000000 AS doc_id,
-               array_to_string(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)[2:], ' ') AS text
-        FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL),
+  private val simhashSigCtes = """
       tok AS (
         SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS w
         FROM corpus WHERE text IS NOT NULL),
@@ -854,7 +840,27 @@ object Queries {
                COALESCE(SUM(CASE WHEN v.bit >= 32 AND v.v > 0 THEN (CAST(1 AS BIGINT) << CAST(v.bit - 32 AS INT)) ELSE 0 END), 0) AS hi
         FROM corpus c LEFT JOIN votes v ON v.doc_id = c.doc_id
         WHERE c.text IS NOT NULL
-        GROUP BY c.doc_id)
+        GROUP BY c.doc_id)"""
+
+  /** EXACT all-pairs hamming ground truth for the SimHash family, ORACLE-
+    * GATED via the injectable token hash ([[graft.operators.Dedup.linearTokenHash]]
+    * — the q85/q48c move applied per token): DuckDB rebuilds the byte-
+    * polynomial base hash, the 63-bit linear spread, the per-bit majority
+    * vote, the packed signature, and the all-pairs hamming ≤ 3 join from
+    * the raw planted corpus. Agreement means tokenization, UTF-8 byte
+    * extraction, the [[graft.expressions.SimHashExpr]] vote matrix
+    * (ties → 0, empty docs → sig 0), and the hamming comparison are ALL
+    * faithful. The production xxhash face keeps its own exactness law in
+    * DedupSpec (banded q26 == driver-side all-pairs), and the banded
+    * fast path under THIS hash is spec-asserted equal to this query
+    * (pigeonhole is hash-agnostic).
+    */
+  val q26cSimhashPairsExact: Q = Q(
+    "q26c_simhash_pairs_exact",
+    (s, dir) => Dedup.simHashPairsExact(corpusWithPlantedDups(s, dir), "text", "doc_id",
+      tokenHash = Dedup.linearTokenHash(_, seed = 11L)),
+    Some(s"""
+      WITH $plantedCorpusCte, $simhashSigCtes
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -1985,7 +1991,7 @@ object Queries {
         shingleK = 3, threshold = 0.5)
         .where(col("id_a") < 1000000L && col("id_b") >= 1000000L),
     Some(s"""
-      WITH $exactJaccardCtes
+      WITH $plantedCorpusCte, $exactJaccardCtes
       SELECT s.id_a, s.id_b,
              CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) AS jaccard
       FROM shared s
@@ -4272,7 +4278,7 @@ object Queries {
         .select(col("doc_id"), col("grp"), col("split"))
     },
     Some(s"""
-      WITH RECURSIVE $exactJaccardCtes,
+      WITH RECURSIVE $plantedCorpusCte, $exactJaccardCtes,
       pairs AS (
         SELECT s.id_a, s.id_b
         FROM shared s
@@ -4678,6 +4684,53 @@ object Queries {
       ORDER BY df DESC, occurrences DESC, gram
       LIMIT 30"""))
 
+  /** Sketch-vs-truth scorecard ([[graft.operators.Quality
+    * .pairAgreementReport]]): the linear-hash SimHash pair set (q26c's
+    * hamming ≤ 3) measured against the exact Jaccard ≥ 0.5 ground truth
+    * (q25c) on the planted corpus — precision/recall of one approximate
+    * family against another's exact semantics, as ONE oracle-gated row.
+    * Both inputs are individually oracle-gated queries, so DuckDB
+    * rebuilds both pair sets AND the confusion arithmetic: the
+    * "approximations are measured, not assumed" discipline, itself under
+    * the gate.
+    */
+  val q110SketchAgreement: Q = Q(
+    "q110_sketch_agreement",
+    (s, dir) => {
+      val corpus = corpusWithPlantedDups(s, dir)
+      val exact = Dedup.exactJaccardPairs(corpus, "text", "doc_id", shingleK = 3, threshold = 0.5)
+      val approx = Dedup.simHashPairsExact(corpus, "text", "doc_id",
+        tokenHash = Dedup.linearTokenHash(_, seed = 11L))
+      graft.operators.Quality.pairAgreementReport(approx, exact, "id_a", "id_b")
+    },
+    Some(s"""
+      WITH $plantedCorpusCte, $exactJaccardCtes, $simhashSigCtes,
+      jp AS (
+        SELECT s.id_a AS a, s.id_b AS b
+        FROM shared s
+        JOIN sz sa ON sa.doc_id = s.id_a
+        JOIN sz sb ON sb.doc_id = s.id_b
+        WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5),
+      sp AS (
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 3),
+      m AS (
+        SELECT COALESCE(jp.a, sp.a) AS a, COALESCE(jp.b, sp.b) AS b,
+               (jp.a IS NOT NULL)::BIGINT AS in_exact,
+               (sp.a IS NOT NULL)::BIGINT AS in_approx
+        FROM jp FULL OUTER JOIN sp ON jp.a = sp.a AND jp.b = sp.b)
+      SELECT CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+             CAST(SUM(in_approx) AS BIGINT) AS n_approx,
+             CAST(SUM(in_exact * in_approx) AS BIGINT) AS true_pos,
+             CAST(SUM(in_approx) - SUM(in_exact * in_approx) AS BIGINT) AS false_pos,
+             CAST(SUM(in_exact) - SUM(in_exact * in_approx) AS BIGINT) AS false_neg,
+             CASE WHEN SUM(in_approx) = 0 THEN 0.0
+                  ELSE CAST(SUM(in_exact * in_approx) AS DOUBLE) / CAST(SUM(in_approx) AS DOUBLE) END AS precision,
+             CASE WHEN SUM(in_exact) = 0 THEN 0.0
+                  ELSE CAST(SUM(in_exact * in_approx) AS DOUBLE) / CAST(SUM(in_exact) AS DOUBLE) END AS recall
+      FROM m"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4726,7 +4779,7 @@ object Queries {
     q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
-    q108CorpusOverlap, q109MemorizationAudit)
+    q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

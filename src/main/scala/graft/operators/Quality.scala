@@ -64,4 +64,51 @@ object Quality {
       .select(explode(col("cols")).as("p"))
       .select(outCols.head, outCols.tail: _*)
   }
+
+  /** Precision/recall scorecard of an APPROXIMATE pair set against an
+    * EXACT ground-truth pair set — the harness that turns this repo's
+    * "every sketch family has an exact twin" discipline into a number:
+    * run the exact twin on a sample, feed both pair frames here, and the
+    * sketch's loss is measured instead of assumed (tune bands/bits/
+    * hamming radius against the report, not folklore).
+    *
+    * Pairs are undirected: each side is normalized to
+    * (least, greatest) and de-duplicated before comparison, so callers
+    * can emit either orientation. One row out:
+    * (n_exact, n_approx, true_pos, false_pos, false_neg, precision,
+    * recall) — counts exact longs, ratios one correctly-rounded division
+    * each (0.0 against an empty denominator, never NaN).
+    *
+    * Scale shape: two distinct-aggregations plus ONE full-outer hash
+    * join on the pair key, then a single global rollup of three
+    * counters — no all-pairs anything; the cost is linear in the pair
+    * frames, which are candidate-scale by construction.
+    */
+  def pairAgreementReport(
+      approx: DataFrame,
+      exact: DataFrame,
+      idACol: String,
+      idBCol: String): DataFrame = {
+    def norm(df: DataFrame, marker: String) = df.select(
+      least(col(idACol), col(idBCol)).as("__a"),
+      greatest(col(idACol), col(idBCol)).as("__b"))
+      .distinct()
+      .withColumn(marker, lit(1L))
+    norm(approx, "__inApprox")
+      .join(norm(exact, "__inExact"), Seq("__a", "__b"), "full_outer")
+      .agg(
+        coalesce(sum(col("__inExact")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("__inApprox")), lit(0L)).as("n_approx"),
+        coalesce(sum(col("__inApprox") * col("__inExact")), lit(0L)).as("true_pos"))
+      .select(
+        col("n_exact"), col("n_approx"), col("true_pos"),
+        (col("n_approx") - col("true_pos")).as("false_pos"),
+        (col("n_exact") - col("true_pos")).as("false_neg"),
+        when(col("n_approx") === 0L, lit(0.0))
+          .otherwise(col("true_pos").cast("double") / col("n_approx").cast("double"))
+          .as("precision"),
+        when(col("n_exact") === 0L, lit(0.0))
+          .otherwise(col("true_pos").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
 }

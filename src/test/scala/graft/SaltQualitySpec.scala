@@ -79,6 +79,22 @@ class SaltQualitySpec extends AnyFunSuite {
     assert(status.getAs[Long]("approx_distinct") <= 4)
   }
 
+  test("pairAgreementReport: orientation-normalized confusion counts, empty denominators are 0.0") {
+    // exact truth: {1-2, 3-4, 5-6}; approx found: {2-1 (reversed + duplicated), 3-4, 7-8}
+    val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val approx = Seq((2L, 1L), (1L, 2L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = Quality.pairAgreementReport(approx, exact, "id_a", "id_b").head()
+    assert((r.getAs[Long]("n_exact"), r.getAs[Long]("n_approx"), r.getAs[Long]("true_pos"),
+      r.getAs[Long]("false_pos"), r.getAs[Long]("false_neg")) === ((3L, 3L, 2L, 1L, 1L)),
+      s"reversed orientation must merge and duplicates collapse: $r")
+    assert(r.getAs[Double]("precision") === 2.0 / 3.0)
+    assert(r.getAs[Double]("recall") === 2.0 / 3.0)
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val e = Quality.pairAgreementReport(empty, exact, "id_a", "id_b").head()
+    assert(e.getAs[Double]("precision") === 0.0 && e.getAs[Double]("recall") === 0.0,
+      "empty approx set: precision/recall are 0.0, never NaN")
+  }
+
   test("stream-static broadcast enrichment joins each micro-batch against the dim") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Streams.Evt
