@@ -4731,6 +4731,69 @@ object Queries {
                   ELSE CAST(SUM(in_exact * in_approx) AS DOUBLE) / CAST(SUM(in_exact) AS DOUBLE) END AS recall
       FROM m"""))
 
+  /** Classifier calibration
+    * ([[graft.operators.Classifier.calibrationReport]]): the q80c
+    * log-free scorer binned into 10 reliability intervals against the
+    * true `lang = 'en'` label — per bin, how often "looks reference"
+    * is actually reference. Bin membership is exact integer
+    * cross-multiplication (no float boundary can flip a bin between
+    * engines); empty bins are reported with zeros.
+    */
+  val q111CalibrationReport: Q = Q(
+    "q111_calibration_report",
+    (s, dir) => {
+      val d = t(s, dir, "documents").withColumn("is_ref", col("lang") === "en")
+      val model = graft.operators.Classifier.trainTermStats(d, "is_ref", "text", minCount = 2L)
+      graft.operators.Classifier.calibrationReport(d, model, "doc_id", "text", "is_ref", bins = 10)
+    },
+    Some("""
+      WITH toks0 AS (
+        SELECT (lang = 'en') AS pos,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS term
+        FROM documents WHERE lang IS NOT NULL),
+      m AS (
+        SELECT term,
+               CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_tf,
+               CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_tf
+        FROM toks0 GROUP BY 1
+        HAVING COUNT(*) >= 2),
+      tot AS (
+        SELECT CAST(COALESCE(SUM(pos_tf), 0) AS HUGEINT) AS np,
+               CAST(COALESCE(SUM(neg_tf), 0) AS HUGEINT) AS nn,
+               CAST(COUNT(*) AS HUGEINT) AS v
+        FROM m),
+      toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2),
+      mass AS (
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf * COALESCE(m.pos_tf + 1, 1)) AS HUGEINT) * (tot.nn + tot.v) AS pmn,
+               CAST(SUM(tf.tf * COALESCE(m.neg_tf + 1, 1)) AS HUGEINT) * (tot.np + tot.v) AS nmn
+        FROM tf LEFT JOIN m ON tf.term = m.term CROSS JOIN tot
+        GROUP BY tf.doc_id, tot.np, tot.nn, tot.v),
+      bn AS (
+        SELECT mass.doc_id,
+               CAST(SUM(CASE WHEN pmn * 10 > (pmn + nmn) * j.j THEN 1 ELSE 0 END) AS INT) AS bin
+        FROM mass CROSS JOIN range(1, 10) j(j)
+        GROUP BY mass.doc_id),
+      lab AS (SELECT doc_id, (lang = 'en') AS pos FROM documents),
+      agg AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN lab.pos THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+        FROM bn JOIN lab USING (doc_id) GROUP BY bin)
+      SELECT CAST(g.bin AS INT) AS bin,
+             COALESCE(agg.n_docs, 0) AS n_docs,
+             COALESCE(agg.n_positive, 0) AS n_positive,
+             CASE WHEN COALESCE(agg.n_docs, 0) = 0 THEN 0.0
+                  ELSE CAST(agg.n_positive AS DOUBLE) / CAST(agg.n_docs AS DOUBLE) END AS positive_rate,
+             CAST(g.bin AS DOUBLE) / 10 AS bin_lo,
+             CAST(g.bin + 1 AS DOUBLE) / 10 AS bin_hi
+      FROM range(0, 10) g(bin) LEFT JOIN agg ON agg.bin = g.bin"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4779,7 +4842,7 @@ object Queries {
     q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
-    q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement)
+    q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

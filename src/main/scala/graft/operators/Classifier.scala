@@ -157,4 +157,63 @@ object Classifier {
         (col("__pm") * lit(nNeg + v).cast("decimal(38,0)") >
           col("__nm") * lit(nPos + v).cast("decimal(38,0)")).as("reference_like"))
   }
+
+  /** Calibration scorecard for the log-free classifier: docs are binned
+    * by the normalized score `p = pmN / (pmN + nmN)` (pmN/nmN the
+    * smoothing-normalized masses of [[oddsMass]]) into `bins` equal
+    * intervals, and each bin reports how many docs it holds and what
+    * fraction actually carry the positive label — the reliability curve
+    * that answers "when the classifier says 0.8, is it right 80% of the
+    * time", which decides whether a score can gate a corpus cut or only
+    * rank it.
+    *
+    * EXACT binning, no float boundary: bin membership is decided by
+    * integer cross-multiplication (`p > j/bins  ⇔  pmN·bins >
+    * (pmN+nmN)·j`, summed over j — never a float division whose last
+    * ulp could flip a bin between engines). Empty bins are REPORTED
+    * with zero counts (the q108 grid discipline). Docs with no tokens
+    * have no masses and are excluded — an unscored doc cannot witness
+    * calibration. Output: (bin, n_docs, n_positive, positive_rate,
+    * bin_lo, bin_hi), one row per bin.
+    *
+    * Scale shape: [[oddsMass]]'s cost (model broadcast + one doc-keyed
+    * exchange) plus a doc-keyed label join and a `bins`-row rollup.
+    */
+  def calibrationReport(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 calibration bins")
+    val (nPos, nNeg, v) = totals(model)
+    require(v > 0L, "empty model: train on a corpus with at least one term")
+    val pmN = col("pos_mass").cast("decimal(38,0)") * lit(nNeg + v)
+    val nmN = col("neg_mass").cast("decimal(38,0)") * lit(nPos + v)
+    val tot = pmN + nmN
+    val binCol = (1 until bins)
+      .map(j => when(pmN * lit(bins) > tot * lit(j), lit(1)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val perBin = oddsMass(docs, model, idCol, textCol)
+      .join(
+        docs.select(col(idCol).as("doc_id"), col(labelCol).cast("boolean").as("__lab")),
+        Seq("doc_id"))
+      .select(binCol.cast("int").as("bin"), col("__lab"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__lab"), 1L).otherwise(0L)).as("n_positive"))
+    docs.sparkSession.range(bins).select(col("id").cast("int").as("bin"))
+      .join(perBin, Seq("bin"), "left")
+      .select(
+        col("bin"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_positive"), lit(0L)).as("n_positive"),
+        when(coalesce(col("n_docs"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_positive").cast("double") / col("n_docs").cast("double"))
+          .as("positive_rate"),
+        (col("bin").cast("double") / bins).as("bin_lo"),
+        ((col("bin") + 1).cast("double") / bins).as("bin_hi"))
+  }
 }

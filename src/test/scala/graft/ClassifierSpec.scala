@@ -98,4 +98,41 @@ class ClassifierSpec extends AnyFunSuite {
     assert(nbSigns(10L) === got(10L)._3 && nbSigns(11L) === got(11L)._3,
       "twins must agree on clearly separated docs")
   }
+
+  test("calibrationReport: exact bin membership, empty bins reported, rates match a recompute") {
+    val model = Classifier.trainTermStats(labeled, "is_ref", "text")
+    val out = Classifier.calibrationReport(labeled, model, "doc_id", "text", "is_ref", bins = 4)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out.keySet === Set(0, 1, 2, 3), "every bin must be present, populated or not")
+    // driver recompute of the exact binning
+    val odds = Classifier.oddsMass(labeled, model, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mTotals = model.collect().map(r =>
+      (r.getAs[Long]("pos_tf"), r.getAs[Long]("neg_tf")))
+    val (np, nn, v) = (mTotals.map(_._1).sum, mTotals.map(_._2).sum, mTotals.length.toLong)
+    val labels = labeled.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val expected = odds.map { case (id, pm, nm) =>
+      val pmN = BigInt(pm) * (nn + v); val nmN = BigInt(nm) * (np + v)
+      val bin = (1 until 4).count(j => pmN * 4 > (pmN + nmN) * j)
+      (bin, labels(id))
+    }.groupBy(_._1).map { case (b, xs) => b -> ((xs.size.toLong, xs.count(_._2).toLong)) }
+    (0 until 4).foreach { b =>
+      val (n, p) = expected.getOrElse(b, (0L, 0L))
+      assert(out(b)._1 === n && out(b)._2 === p, s"bin $b")
+      val rate = if (n == 0) 0.0 else p.toDouble / n
+      assert(out(b)._3 === rate)
+      assert(out(b)._4 === b / 4.0 && out(b)._5 === (b + 1) / 4.0)
+    }
+    // sanity on this corpus: reference docs score in higher bins than crawl
+    val refBins = odds.map { case (id, pm, nm) =>
+      val pmN = BigInt(pm) * (nn + v); val nmN = BigInt(nm) * (np + v)
+      (labels(id), (1 until 4).count(j => pmN * 4 > (pmN + nmN) * j))
+    }
+    val hiRef = refBins.filter(_._1).map(_._2).min
+    val loCrawl = refBins.filterNot(_._1).map(_._2).max
+    assert(hiRef > loCrawl, s"separable corpus must calibrate monotonically: $refBins")
+  }
 }
