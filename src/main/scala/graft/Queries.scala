@@ -4794,6 +4794,53 @@ object Queries {
              CAST(g.bin + 1 AS DOUBLE) / 10 AS bin_hi
       FROM range(0, 10) g(bin) LEFT JOIN agg ON agg.bin = g.bin"""))
 
+  /** Corpus drift monitor ([[graft.operators.Importance.driftReport]]):
+    * the 25 hashed token buckets whose mass share moved most between the
+    * even-id and odd-id document halves (two pseudo-snapshots of one
+    * crawl). Exact counts, fixed-shape share arithmetic, |delta| ranking
+    * with bucket tie-break — hash-gated end to end, including buckets
+    * present on only one side.
+    */
+  val q112DriftReport: Q = Q(
+    "q112_drift_report",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Importance.driftReport(
+        d.where(col("doc_id") % 2 === 0),
+        d.where(col("doc_id") % 2 === 1),
+        "text", buckets = 1024, k = 25)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS w
+        FROM documents),
+      bk AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, octet_length(encode(w)) + 1),
+                   i -> CAST(CAST('0x' || substr(hex(encode(w)), 2*i-1, 2) AS INT) AS BIGINT))),
+                 (acc, b) -> (acc * 31 + b) % 2147483647) % 1024 AS bucket
+        FROM tok),
+      o AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS old_cnt FROM bk WHERE doc_id % 2 = 0 GROUP BY 1),
+      n AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_cnt FROM bk WHERE doc_id % 2 = 1 GROUP BY 1),
+      ot AS (SELECT COALESCE(SUM(old_cnt), 0) AS t FROM o),
+      nt AS (SELECT COALESCE(SUM(new_cnt), 0) AS t FROM n),
+      j AS (
+        SELECT COALESCE(o.bucket, n.bucket) AS bucket,
+               COALESCE(o.old_cnt, 0) AS old_cnt,
+               COALESCE(n.new_cnt, 0) AS new_cnt
+        FROM o FULL OUTER JOIN n ON o.bucket = n.bucket)
+      SELECT bucket, old_cnt, new_cnt,
+             CASE WHEN ot.t = 0 THEN 0.0 ELSE CAST(old_cnt AS DOUBLE) / CAST(ot.t AS DOUBLE) END AS old_share,
+             CASE WHEN nt.t = 0 THEN 0.0 ELSE CAST(new_cnt AS DOUBLE) / CAST(nt.t AS DOUBLE) END AS new_share,
+             (CASE WHEN nt.t = 0 THEN 0.0 ELSE CAST(new_cnt AS DOUBLE) / CAST(nt.t AS DOUBLE) END) -
+             (CASE WHEN ot.t = 0 THEN 0.0 ELSE CAST(old_cnt AS DOUBLE) / CAST(ot.t AS DOUBLE) END) AS delta
+      FROM j CROSS JOIN ot CROSS JOIN nt
+      ORDER BY abs((CASE WHEN nt.t = 0 THEN 0.0 ELSE CAST(new_cnt AS DOUBLE) / CAST(nt.t AS DOUBLE) END) -
+                   (CASE WHEN ot.t = 0 THEN 0.0 ELSE CAST(old_cnt AS DOUBLE) / CAST(ot.t AS DOUBLE) END)) DESC,
+               bucket
+      LIMIT 25"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4842,7 +4889,8 @@ object Queries {
     q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
-    q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport)
+    q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
+    q112DriftReport)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

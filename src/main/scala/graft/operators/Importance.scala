@@ -94,6 +94,53 @@ object Importance {
     * doc-keyed exchanges total; drop the join-back (and the zero-token
     * rows) if the id list itself is the 100 TB bottleneck.
     */
+  /** Corpus drift monitor: the `k` hashed buckets whose token-mass SHARE
+    * moved most between two corpus versions — the report that flags a
+    * crawl-distribution shift (a new boilerplate flood, a source gone
+    * dark, a language mix change) BEFORE a training run pays for it.
+    * Same fixed-size bucket models as [[pooledImportance]], so the
+    * monitor costs two corpus scans and a `buckets`-row join regardless
+    * of vocabulary; diff the persisted models instead to make it a
+    * KB-scale comparison with no rescan at all.
+    *
+    * Output: (bucket, old_cnt, new_cnt, old_share, new_share, delta),
+    * top `k` by |delta| desc (bucket asc tie-break). Counts exact longs;
+    * shares one correctly-rounded division each (0.0 for an empty
+    * corpus), so the ranking is engine-reproducible. Buckets absent from
+    * one side count 0 there — appearing and vanishing ARE drift.
+    */
+  def driftReport(
+      oldCorpus: DataFrame,
+      newCorpus: DataFrame,
+      textCol: String,
+      buckets: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    def share(cnt: Column, tot: Column): Column =
+      when(tot === 0L, lit(0.0)).otherwise(cnt.cast("double") / tot.cast("double"))
+    val o = hashedBucketCounts(oldCorpus, textCol, buckets)
+      .select(col("bucket"), col("cnt").as("old_cnt"))
+    val n = hashedBucketCounts(newCorpus, textCol, buckets)
+      .select(col("bucket"), col("cnt").as("new_cnt"))
+    val oTot = o.agg(coalesce(sum("old_cnt"), lit(0L)).as("__ot"))
+    val nTot = n.agg(coalesce(sum("new_cnt"), lit(0L)).as("__nt"))
+    val oldShare = share(col("old_cnt"), col("__ot"))
+    val newShare = share(col("new_cnt"), col("__nt"))
+    o.join(n, Seq("bucket"), "full_outer")
+      .select(
+        col("bucket"),
+        coalesce(col("old_cnt"), lit(0L)).as("old_cnt"),
+        coalesce(col("new_cnt"), lit(0L)).as("new_cnt"))
+      .crossJoin(broadcast(oTot))
+      .crossJoin(broadcast(nTot))
+      .select(
+        col("bucket"), col("old_cnt"), col("new_cnt"),
+        oldShare.as("old_share"), newShare.as("new_share"),
+        (newShare - oldShare).as("delta"))
+      .orderBy(abs(col("delta")).desc, col("bucket"))
+      .limit(k)
+  }
+
   def pooledImportance(
       docs: DataFrame,
       idCol: String,

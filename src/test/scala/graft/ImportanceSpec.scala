@@ -75,6 +75,34 @@ class ImportanceSpec extends AnyFunSuite {
     assert(run(1) === run(17))
   }
 
+  test("driftReport: share arithmetic, one-sided buckets count as drift, ranked by |delta|") {
+    // a bucket space wide enough that these four tokens land apart (16
+    // buckets collide "dd" into "aa" — checked explicitly, the hash is
+    // uniform-ish, not collision-free)
+    val wideB = 4096
+    def bucket(tok: String): Long = {
+      val p = 2147483647L
+      tok.getBytes("UTF-8").foldLeft(0L)((acc, b) => (acc * 31L + (b & 0xff)) % p) % wideB
+    }
+    assert(Seq("aa", "bb", "cc", "dd").map(bucket).distinct.size === 4)
+    val oldC = Seq("aa aa bb", "cc").toDF("text")      // aa:2 bb:1 cc:1, total 4
+    val newC = Seq("aa dd dd dd").toDF("text")          // aa:1 dd:3, total 4
+    val out = Importance.driftReport(oldC, newC, "text", buckets = wideB, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val byBucket = out.map(t => t._1 -> t).toMap
+    // dd appears only in new: old side must report 0, share 0
+    val dd = byBucket(bucket("dd"))
+    assert(dd._2 === 0L && dd._3 === 3L && dd._4 === 0.0 && dd._5 === 0.75 && dd._6 === 0.75)
+    // bb/cc vanish: negative delta
+    assert(byBucket(bucket("bb"))._6 === -0.25)
+    // aa: 2/4 -> 1/4
+    assert(byBucket(bucket("aa"))._6 === 0.25 - 0.5)
+    // ranked by |delta| desc, bucket asc
+    val resorted = out.sortBy(t => (-math.abs(t._6), t._1))
+    assert(out.toSeq === resorted.toSeq)
+  }
+
   test("scoring plan: models broadcast, no sort, no corpus-sized join build side") {
     val docs = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
     val t = Importance.hashedBucketCounts(docs, "text", B)
