@@ -4841,6 +4841,33 @@ object Queries {
                bucket
       LIMIT 25"""))
 
+  /** Length-bucketed dynamic batching
+    * ([[graft.operators.Packing.lengthBucketedBatches]]): documents into
+    * power-of-two char-length buckets, batch-of-32 assignment in exact
+    * (len, id) order inside each bucket — the padded-batch layout whose
+    * per-batch pad waste the bucket bounds at 2×. DuckDB reproduces the
+    * exact-integer bucket (`length(bin(len)) − 1`), the per-bucket
+    * ordering, and the batch arithmetic row-for-row.
+    */
+  val q113LengthBatches: Q = Q(
+    "q113_length_batches",
+    (s, dir) =>
+      graft.operators.Packing.lengthBucketedBatches(
+        t(s, dir, "documents"), "doc_id", "n_chars", batchSize = 32),
+    Some("""
+      WITH r AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+               CAST(length(bin(n_chars)) - 1 AS INT) AS bucket
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 1),
+      p AS (
+        SELECT doc_id, len, bucket,
+               row_number() OVER (PARTITION BY bucket ORDER BY len, doc_id) - 1 AS pos
+        FROM r)
+      SELECT doc_id, len, bucket,
+             CAST(pos // 32 AS BIGINT) AS batch_in_bucket,
+             CAST(pos % 32 AS INT) AS pos_in_batch
+      FROM p"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4890,7 +4917,7 @@ object Queries {
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
     q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
-    q112DriftReport)
+    q112DriftReport, q113LengthBatches)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -374,6 +374,49 @@ object Packing {
     } finally scope.release()
   }
 
+  /** Length-bucketed dynamic batching (the fairseq/padded-batch shape):
+    * docs are grouped into power-of-two LENGTH buckets
+    * (`bucket = ⌊log₂ len⌋`, computed exactly as `length(bin(len)) − 1`
+    * — never a float log whose last ulp flips a power-of-two boundary),
+    * and within each bucket assigned to fixed-size batches in
+    * deterministic (len, id) order. Batching similar lengths together is
+    * what keeps padding waste bounded: a batch's pad cost is its
+    * max−min length spread, and a power-of-two bucket caps that spread
+    * at 2× by construction.
+    *
+    * Output: (doc_id, len, bucket, batch_in_bucket, pos_in_batch) — a
+    * pure function of the corpus (ids unique by contract; rows with
+    * NULL or non-positive length have no batchable size and are
+    * excluded). The last batch of each bucket may be short.
+    *
+    * Scale shape: the global position rides [[Partitioning.runningSum]]
+    * (distributed two-phase prefix sum — no single-partition window)
+    * over the bucket-major (bucket, len, id) order, so per-bucket
+    * positions are contiguous by construction; the per-bucket start
+    * offsets are a ≤64-row broadcast. One range exchange + one tiny
+    * aggregate, regardless of corpus size.
+    */
+  def lengthBucketedBatches(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    val rows = df
+      .where(col(lenCol).isNotNull && col(lenCol) >= 1L)
+      .select(col(idCol).as("doc_id"), col(lenCol).cast("long").as("len"))
+      .withColumn("bucket", (length(bin(col("len"))) - 1).cast("int"))
+      .withColumn("__ord", struct(col("bucket"), col("len"), col("doc_id")))
+      .withColumn("__one", lit(1L))
+    val run = Partitioning.runningSum(rows, "__ord", "__one", "__pos")
+    val starts = run.groupBy("bucket").agg(min(col("__pos")).as("__start"))
+    run.join(broadcast(starts), Seq("bucket"))
+      .select(
+        col("doc_id"), col("len"), col("bucket"),
+        expr(s"(__pos - __start) div $batchSize").as("batch_in_bucket"),
+        ((col("__pos") - col("__start")) % batchSize).cast("int").as("pos_in_batch"))
+  }
+
   def epochShuffleShards(
       df: DataFrame,
       idCol: String,

@@ -272,4 +272,39 @@ class PackingSpec extends AnyFunSuite {
     assert(full.where(col("payload") =!= col("id") * 2).count() === 0L)
     graft.operators.Caches.release()
   }
+
+  test("lengthBucketedBatches: power-of-two buckets, contiguous batches, spread bound, layout-invariant") {
+    import graft.operators.Packing
+    val docs = (1L to 97L).map(i => (i, (i * 37) % 200 + 1)) :+ (98L, 0L) :+ (99L, -5L)
+    def run(parts: Int) = Packing.lengthBucketedBatches(
+        docs.toDF("doc_id", "n_chars").repartition(parts), "doc_id", "n_chars", batchSize = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+      .sortBy(_._1)
+    val out = run(3)
+    graft.operators.Caches.release()
+    // non-positive lengths have no batchable size
+    assert(out.length === 97 && !out.exists(t => t._1 == 98L || t._1 == 99L))
+    out.foreach { case (_, len, bucket, _, _) =>
+      assert(bucket === (63 - java.lang.Long.numberOfLeadingZeros(len)),
+        s"bucket must be floor(log2(len)) exactly: len $len -> $bucket")
+    }
+    // within each (bucket, batch): size <= 8, positions 0..size-1, and the
+    // padding bound — max len < 2 * min len by the power-of-two bucket
+    out.groupBy(t => (t._3, t._4)).foreach { case ((b, bi), xs) =>
+      assert(xs.length <= 8)
+      assert(xs.map(_._5).sorted.toSeq === (0 until xs.length).toSeq, s"batch ($b,$bi)")
+      assert(xs.map(_._2).max < 2 * xs.map(_._2).min,
+        s"power-of-two bucket must bound the pad spread: ${xs.toSeq}")
+    }
+    // batches fill in (len, id) order: only the LAST batch of a bucket may be short
+    out.groupBy(_._3).foreach { case (b, xs) =>
+      val sizes = xs.groupBy(_._4).toSeq.sortBy(_._1).map(_._2.length)
+      assert(sizes.init.forall(_ == 8), s"bucket $b: only the last batch may be short, got $sizes")
+    }
+    // pure function of the corpus: physical layout cannot move an assignment
+    val again = run(11)
+    graft.operators.Caches.release()
+    assert(out.toSeq === again.toSeq)
+  }
 }
