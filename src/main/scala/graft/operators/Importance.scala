@@ -114,14 +114,28 @@ object Importance {
       newCorpus: DataFrame,
       textCol: String,
       buckets: Int,
+      k: Int): DataFrame =
+    driftReportFromModels(
+      hashedBucketCounts(oldCorpus, textCol, buckets),
+      hashedBucketCounts(newCorpus, textCol, buckets),
+      k)
+
+  /** [[driftReport]] over PREBUILT bucket models (each a
+    * [[hashedBucketCounts]] frame) — the no-rescan face: persisted
+    * models are KB-scale, so diffing last month's crawl against this
+    * month's costs two tiny scans, and a streaming monitor can hold the
+    * baseline fixed while batches flow ([[graft.streaming.Streams
+    * .driftMonitorIngest]]).
+    */
+  def driftReportFromModels(
+      oldModel: DataFrame,
+      newModel: DataFrame,
       k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     def share(cnt: Column, tot: Column): Column =
       when(tot === 0L, lit(0.0)).otherwise(cnt.cast("double") / tot.cast("double"))
-    val o = hashedBucketCounts(oldCorpus, textCol, buckets)
-      .select(col("bucket"), col("cnt").as("old_cnt"))
-    val n = hashedBucketCounts(newCorpus, textCol, buckets)
-      .select(col("bucket"), col("cnt").as("new_cnt"))
+    val o = oldModel.select(col("bucket"), col("cnt").as("old_cnt"))
+    val n = newModel.select(col("bucket"), col("cnt").as("new_cnt"))
     val oTot = o.agg(coalesce(sum("old_cnt"), lit(0L)).as("__ot"))
     val nTot = n.agg(coalesce(sum("new_cnt"), lit(0L)).as("__nt"))
     val oldShare = share(col("old_cnt"), col("__ot"))

@@ -568,6 +568,52 @@ object Streams {
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  /** Continuous corpus drift monitoring — the streaming face of
+    * [[graft.operators.Importance.driftReportFromModels]]: each
+    * micro-batch's hashed-bucket model is diffed against a FIXED
+    * baseline model, and the batch's top-`k` drifted buckets land under
+    * `outputPath/batch=s<id>/` through the exists-guarded atomic append.
+    * The landed history IS the drift time series: a dashboard reads the
+    * partitioned directory and plots max |delta| per batch; a batch
+    * whose report suddenly carries big deltas is the crawl-shift alarm
+    * firing before training pays for it.
+    *
+    * The baseline is pinned once at stream start (the train-once
+    * argument of [[importanceRoutedIngest]]); re-baseline by restarting
+    * the stream on a new model artifact. Stateless beyond the baseline:
+    * each batch pays one scan of itself plus a `buckets`-row join.
+    */
+  def driftMonitorIngest(
+      stream: DataFrame,
+      textCol: String,
+      baselineModel: DataFrame,
+      buckets: Int,
+      k: Int,
+      outputPath: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Caches, DedupIndex, Importance}
+    val baseline = Caches.pin(baselineModel)
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val label = f"s$batchId%08d"
+        val spark = batch.sparkSession
+        val scope = Caches.newScope()
+        try Caches.inScope(scope) {
+          val report = Importance.driftReportFromModels(
+            baseline,
+            Importance.hashedBucketCounts(batch.toDF(), textCol, buckets),
+            k)
+          val outRoot = new org.apache.hadoop.fs.Path(outputPath)
+          val fs = outRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(outRoot, s"batch=$label")))
+            DedupIndex.appendDir(report, outputPath, label)
+        } finally scope.release()
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
   def urlDedupIngest(
       stream: DataFrame,
       urlCol: String,

@@ -681,6 +681,40 @@ class StreamsSpec extends AnyFunSuite {
     graft.operators.Caches.release()
   }
 
+  test("driftMonitorIngest: per-batch drift vs the fixed baseline equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Importance
+    val root = java.nio.file.Files.createTempDirectory("stream-drift").toString
+    val B = 4096
+    val baselineCorpus = Seq("aa aa bb", "cc").toDF("text")
+    val baseline = Importance.hashedBucketCounts(baselineCorpus, "text", B)
+    val input = MemoryStream[String]
+    val query = Streams.driftMonitorIngest(
+      input.toDF().toDF("text"), "text", baseline, B, k = 10, s"$root/drift")
+    try {
+      input.addData("aa dd dd dd")
+      query.processAllAvailable()
+      input.addData("aa aa bb", "cc") // identical mix to baseline -> all deltas 0
+      query.processAllAvailable()
+      val landed = spark.read.parquet(s"$root/drift")
+      // batch 0 must equal the batch-mode drift report for the same frames
+      val want = Importance.driftReportFromModels(
+        baseline,
+        Importance.hashedBucketCounts(Seq("aa dd dd dd").toDF("text"), "text", B),
+        k = 10)
+        .collect().map(_.toSeq).toSet
+      val got = landed.where(col("batch") === "s00000000")
+        .drop("batch").collect().map(_.toSeq).toSet
+      assert(got === want, "the stream adds landing, never different drift arithmetic")
+      // batch 1 re-offers the baseline mix: every delta is exactly zero
+      val b1 = landed.where(col("batch") === "s00000001")
+        .select("delta").collect().map(_.getDouble(0))
+      assert(b1.nonEmpty && b1.forall(_ == 0.0),
+        s"an identical mix must report zero drift, got ${b1.toSeq}")
+    } finally query.stop()
+    graft.operators.Caches.release()
+  }
+
   test("urlDedupIngest: first sighting per canonical identity wins, across batches and variants") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("stream-url").toString
