@@ -51,9 +51,14 @@ object Bench {
     def rmrf(root: String): Unit = {
       import java.nio.file.{Files, Paths}
       val p = Paths.get(root)
-      if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      if (Files.exists(p)) {
+        // Files.walk holds a directory stream open until closed — an
+        // unclosed walk leaks one fd per cleanup for the JVM's life
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
     }
     def dropScratch(): Unit = { scratch.foreach(rmrf); scratch.clear() }
     val entries: Seq[E] =

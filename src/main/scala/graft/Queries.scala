@@ -4640,7 +4640,9 @@ object Queries {
                CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
                     ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS shl
         FROM d),
-      g AS (SELECT DISTINCT source, unnest(shl) AS gram FROM sh),
+      g AS (SELECT DISTINCT source, gram
+            FROM (SELECT source, unnest(shl) AS gram FROM sh)
+            WHERE gram <> ''),
       t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
       p AS (
         SELECT a.source AS group_a, b.source AS group_b, CAST(COUNT(*) AS BIGINT) AS shared
@@ -4780,7 +4782,7 @@ object Queries {
                CAST(SUM(CASE WHEN pmn * 10 > (pmn + nmn) * j.j THEN 1 ELSE 0 END) AS INT) AS bin
         FROM mass CROSS JOIN range(1, 10) j(j)
         GROUP BY mass.doc_id),
-      lab AS (SELECT doc_id, (lang = 'en') AS pos FROM documents),
+      lab AS (SELECT doc_id, (lang = 'en') AS pos FROM documents WHERE (lang = 'en') IS NOT NULL),
       agg AS (
         SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN lab.pos THEN 1 ELSE 0 END) AS BIGINT) AS n_positive

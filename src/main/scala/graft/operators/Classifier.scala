@@ -135,6 +135,22 @@ object Classifier {
       textCol: String): DataFrame = {
     val (nPos, nNeg, v) = totals(model)
     require(v > 0L, "empty model: train on a corpus with at least one term")
+    oddsMassWithTotals(docs, model, idCol, textCol, nPos, nNeg, v)
+  }
+
+  /** [[oddsMass]] against CALLER-SUPPLIED model totals — the one-action
+    * face [[calibrationReport]] composes on so the totals job runs once
+    * and binning can never disagree with the masses about (Npos, Nneg,
+    * V) on an unpinned model.
+    */
+  private def oddsMassWithTotals(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      nPos: Long,
+      nNeg: Long,
+      v: Long): DataFrame = {
     val weights = model.select(
       col("term"),
       (col("pos_tf") + lit(1L)).as("__pw"),
@@ -173,11 +189,14 @@ object Classifier {
     * ulp could flip a bin between engines). Empty bins are REPORTED
     * with zero counts (the q108 grid discipline). Docs with no tokens
     * have no masses and are excluded — an unscored doc cannot witness
-    * calibration. Output: (bin, n_docs, n_positive, positive_rate,
-    * bin_lo, bin_hi), one row per bin.
+    * calibration — and so are NULL-label docs ([[trainTermStats]]'s own
+    * contract: an unlabeled doc is neither class; counting it as a
+    * negative would deflate every bin's rate). Output: (bin, n_docs,
+    * n_positive, positive_rate, bin_lo, bin_hi), one row per bin.
     *
     * Scale shape: [[oddsMass]]'s cost (model broadcast + one doc-keyed
-    * exchange) plus a doc-keyed label join and a `bins`-row rollup.
+    * exchange; the model totals job runs ONCE, shared with binning) plus
+    * a doc-keyed label join and a `bins`-row rollup.
     */
   def calibrationReport(
       docs: DataFrame,
@@ -195,9 +214,10 @@ object Classifier {
     val binCol = (1 until bins)
       .map(j => when(pmN * lit(bins) > tot * lit(j), lit(1)).otherwise(lit(0)))
       .reduce(_ + _)
-    val perBin = oddsMass(docs, model, idCol, textCol)
+    val perBin = oddsMassWithTotals(docs, model, idCol, textCol, nPos, nNeg, v)
       .join(
-        docs.select(col(idCol).as("doc_id"), col(labelCol).cast("boolean").as("__lab")),
+        docs.select(col(idCol).as("doc_id"), col(labelCol).cast("boolean").as("__lab"))
+          .where(col("__lab").isNotNull),
         Seq("doc_id"))
       .select(binCol.cast("int").as("bin"), col("__lab"))
       .groupBy("bin")

@@ -110,26 +110,37 @@ object Decontaminate {
     * gram-keyed self-join whose per-gram output is ≤ |groups|² rows —
     * bounded by contract (groups are sources/slices, a small set), so
     * even a gram present everywhere cannot blow up. The inventory is
-    * pinned ([[Caches.pin]]): totals and the pair join both read it.
-    * String grams keep the audit oracle-exact; swap in
+    * pinned: totals and the pair join both read it — pass `scope` and
+    * release after consuming the result (the [[Graphs.pageRankInt]]
+    * lifetime convention; the returned frame references the pin lazily,
+    * so this operator cannot release it before returning). String grams
+    * keep the audit oracle-exact; swap in
     * [[graft.expressions.ShingleHashesExpr]] 64-bit grams at production
     * scale (the [[overlap]] note — collisions are negligible and the
     * inventory shrinks to fixed-width keys).
+    *
+    * Empty documents have no n-gram identity: a whitespace-only text
+    * shingles to the single empty gram, and two clean sources each
+    * carrying one blank doc would otherwise report a phantom shared
+    * gram — the empty gram is dropped from the inventory alongside
+    * NULL text.
     */
   def corpusOverlap(
       docs: DataFrame,
       textCol: String,
       groupCol: String,
-      n: Int = 8): DataFrame = {
+      n: Int = 8,
+      scope: Option[Caches.Scope] = None): DataFrame = {
     require(n > 0, "n-gram size must be positive")
-    val grams = Caches.pin(
-      Partitioning.spread(docs)
-        .where(col(textCol).isNotNull)
-        .select(
-          col(groupCol).as("grp"),
-          explode(array_distinct(graft.functions.text.shingles(lower(col(textCol)), n)))
-            .as("gram"))
-        .distinct())
+    val inventory = Partitioning.spread(docs)
+      .where(col(textCol).isNotNull)
+      .select(
+        col(groupCol).as("grp"),
+        explode(array_distinct(graft.functions.text.shingles(lower(col(textCol)), n)))
+          .as("gram"))
+      .where(col("gram") =!= "")
+      .distinct()
+    val grams = scope.fold(Caches.pin(inventory))(_.pin(inventory))
     val totals = grams.groupBy("grp").agg(count(lit(1)).as("n_grams"))
     val pairs = grams.select(col("grp").as("group_a"), col("gram"))
       .join(grams.select(col("grp").as("group_b"), col("gram")), Seq("gram"))

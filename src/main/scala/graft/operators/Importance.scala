@@ -76,24 +76,6 @@ object Importance {
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"))
 
-  /** Per-doc pooled importance vs a `target` and `source` bucket model
-    * (both from [[hashedBucketCounts]] with the SAME `buckets`):
-    * (doc_id, num_mass, den_mass, importance, selected). Docs with no
-    * tokens (null/empty text) emit zero masses, importance 0.0,
-    * selected false — present, never dropped.
-    *
-    * `selected` is `importance >= threshold` on the deterministic
-    * double; with the masses themselves hash-gated, the boolean is
-    * reproducible anywhere the double is.
-    *
-    * Scale shape: models broadcast (≤ `buckets` rows each); scoring is
-    * explode → broadcast-join → one doc-keyed exchange with map-side
-    * partial sums (no (doc, bucket) pre-aggregation — the per-token
-    * masses sum directly), plus the doc-keyed join back to the full doc
-    * list that re-adds zero-token rows without rescanning text. Two
-    * doc-keyed exchanges total; drop the join-back (and the zero-token
-    * rows) if the id list itself is the 100 TB bottleneck.
-    */
   /** Corpus drift monitor: the `k` hashed buckets whose token-mass SHARE
     * moved most between two corpus versions — the report that flags a
     * crawl-distribution shift (a new boilerplate flood, a source gone
@@ -155,6 +137,24 @@ object Importance {
       .limit(k)
   }
 
+  /** Per-doc pooled importance vs a `target` and `source` bucket model
+    * (both from [[hashedBucketCounts]] with the SAME `buckets`):
+    * (doc_id, num_mass, den_mass, importance, selected). Docs with no
+    * tokens (null/empty text) emit zero masses, importance 0.0,
+    * selected false — present, never dropped.
+    *
+    * `selected` is `importance >= threshold` on the deterministic
+    * double; with the masses themselves hash-gated, the boolean is
+    * reproducible anywhere the double is.
+    *
+    * Scale shape: models broadcast (≤ `buckets` rows each); scoring is
+    * explode → broadcast-join → one doc-keyed exchange with map-side
+    * partial sums (no (doc, bucket) pre-aggregation — the per-token
+    * masses sum directly), plus the doc-keyed join back to the full doc
+    * list that re-adds zero-token rows without rescanning text. Two
+    * doc-keyed exchanges total; drop the join-back (and the zero-token
+    * rows) if the id list itself is the 100 TB bottleneck.
+    */
   def pooledImportance(
       docs: DataFrame,
       idCol: String,

@@ -394,9 +394,21 @@ object Packing {
     * over the bucket-major (bucket, len, id) order, so per-bucket
     * positions are contiguous by construction; the per-bucket start
     * offsets are a ≤64-row broadcast. One range exchange + one tiny
-    * aggregate, regardless of corpus size.
+    * aggregate, regardless of corpus size. The prefix sum pins an
+    * internal frame the result references lazily — pass `scope` and
+    * release after consuming (the [[Graphs.pageRankInt]] lifetime
+    * convention).
     */
   def lengthBucketedBatches(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      batchSize: Int,
+      scope: Option[Caches.Scope] = None): DataFrame =
+    scope.fold(lengthBucketedBatchesImpl(df, idCol, lenCol, batchSize))(s =>
+      Caches.inScope(s)(lengthBucketedBatchesImpl(df, idCol, lenCol, batchSize)))
+
+  private def lengthBucketedBatchesImpl(
       df: DataFrame,
       idCol: String,
       lenCol: String,

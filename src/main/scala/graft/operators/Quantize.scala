@@ -78,6 +78,16 @@ object Quantize {
     def idot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
         lit(0L), (acc, v) => acc + v)
+    // loud on a bad query (the queryDim convention of the exact-int ANN
+    // twins): an absent id would return a silently empty result, a
+    // NULL-codes row NULL scores and an arbitrary k rows
+    encoded.where(col(idCol) === queryId).select(col("codes")).take(1) match {
+      case Array(r) if !r.isNullAt(0) => ()
+      case Array(_) => throw new IllegalArgumentException(
+        s"query id $queryId has NULL codes — nothing to probe with")
+      case _ => throw new IllegalArgumentException(
+        s"query id $queryId not present in the encoded corpus (column $idCol)")
+    }
     val q = encoded
       .where(col(idCol) === queryId)
       .select(col("codes").as("__qc"))

@@ -211,12 +211,15 @@ object Similarity {
     }
 
   /** Dimension read from the query row — one bounded driver action; a
-    * missing query id fails with the actual problem, not an empty-
-    * iterator trace from deep inside the plan.
+    * missing query id (or a NULL query vector, whose `size()` is NULL)
+    * fails with the actual problem, not an empty-iterator trace or NPE
+    * from deep inside the plan.
     */
   private def queryDim(emb: DataFrame, idCol: String, vecCol: String, queryId: Long): Int =
     emb.where(col(idCol) === queryId).select(size(col(vecCol))).take(1) match {
-      case Array(r) => r.getInt(0)
+      case Array(r) if !r.isNullAt(0) => r.getInt(0)
+      case Array(_) => throw new IllegalArgumentException(
+        s"query id $queryId has a NULL $vecCol — nothing to probe with")
       case _ => throw new IllegalArgumentException(
         s"query id $queryId not present in the corpus (column $idCol)")
     }

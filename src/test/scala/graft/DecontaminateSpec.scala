@@ -57,7 +57,9 @@ class DecontaminateSpec extends AnyFunSuite {
     val corpus = Seq(
       ("A", "a b c d"),        // grams {a b c, b c d}
       ("A", "a b c"),          // duplicate gram within A counts once
+      ("A", "   "),            // blank doc: shingles to [""] — must NOT be a gram
       ("B", "b c d e"),        // grams {b c d, c d e} → shares {b c d} with A
+      ("B", ""),               // blank doc in a second group: would phantom-share "" with A
       ("C", "x y z w"),        // grams {x y z, y z w} → disjoint from A and B
       ("C", null.asInstanceOf[String]))
       .toDF("source", "text")
@@ -67,6 +69,8 @@ class DecontaminateSpec extends AnyFunSuite {
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
       .toMap
     assert(out.size === 6, "3 groups -> 6 ordered pairs, self-pairs excluded")
+    // A and B each hold a blank doc: the empty gram is dropped from the
+    // inventory, so it neither inflates grams_a nor phantom-shares
     assert(out(("A", "B")) === ((2L, 2L, 1L, 0.5)))
     assert(out(("B", "A")) === ((2L, 2L, 1L, 0.5)))
     // the audit must REPORT clean pairs, not omit them

@@ -77,4 +77,22 @@ class QuantizeSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
   }
+
+  test("sq8TopKExactInt fails loudly on an absent or NULL-codes query id") {
+    val enc = Quantize.sq8Encode(
+      Seq((1L, Array(0.5f, 0.5f)), (2L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val missing = intercept[IllegalArgumentException] {
+      Quantize.sq8TopKExactInt(enc, "vec_id", queryId = 99L, k = 5)
+    }
+    assert(missing.getMessage.contains("99"))
+    val withNull = enc.unionByName(
+      Seq((3L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+        .select(col("vec_id"), Quantize.sq8Codes(col("embedding")).as("codes"),
+          lit(null).cast("double").as("amax")))
+    val nullCodes = intercept[IllegalArgumentException] {
+      Quantize.sq8TopKExactInt(withNull, "vec_id", queryId = 3L, k = 5)
+    }
+    assert(nullCodes.getMessage.toLowerCase.contains("null codes"))
+  }
 }
