@@ -35,13 +35,17 @@ object Bench {
     // factor; builds land in a fresh temp dir per pass, like the catalog.
     case class E(name: String, run: (SparkSession, String) => Unit,
         afterPass: () => Unit = () => ())
-    val servingSplit = Set("q84_text_index_search", "q65b_ann_index_dedup_pq")
+    val servingSplit = Set(
+      "q84_text_index_search", "q65b_ann_index_dedup_pq", "q106_dsir_importance")
     val standingTextIdx = scala.collection.mutable.Map.empty[String, String]
     val standingAnnIdx = scala.collection.mutable.Map.empty[String, String]
+    val standingModels = scala.collection.mutable.Map.empty[String, String]
     def textIdxFor(dir: String): String =
       standingTextIdx.getOrElseUpdate(dir, Queries.buildTextIndexBatches(spark, dir))
     def annIdxFor(dir: String): String =
       standingAnnIdx.getOrElseUpdate(dir, Queries.buildAnnPqIndex(spark, dir))
+    def modelsFor(dir: String): String =
+      standingModels.getOrElseUpdate(dir, Queries.buildDsirModels(spark, dir))
     // Build-entry scratch indexes are deleted AFTER each timing sample
     // (cleanup excluded from build time): 3 cold + 3 warm passes per SF
     // previously left 8+ full index copies in java.io.tmpdir, enough to
@@ -69,7 +73,10 @@ object Bench {
         E("q84_probe", (s, d) => noopWrite(Queries.textIndexProbe(s, textIdxFor(d)))),
         E("q65b_build", (s, d) => { scratch += Queries.buildAnnPqIndex(s, d); () },
           dropScratch _),
-        E("q65b_probe", (s, d) => noopWrite(Queries.annPqProbe(s, d, annIdxFor(d)))))
+        E("q65b_probe", (s, d) => noopWrite(Queries.annPqProbe(s, d, annIdxFor(d)))),
+        E("q106_build", (s, d) => { scratch += Queries.buildDsirModels(s, d); () },
+          dropScratch _),
+        E("q106_probe", (s, d) => noopWrite(Queries.dsirScore(s, d, modelsFor(d)))))
 
     // Drop operator-pinned prep tables and everything else in the cache
     // manager: leftover storage memory from a previous query (the dedup
@@ -91,7 +98,7 @@ object Bench {
     }
     // standing indexes for the probe entries, built once at the bench SF
     // OUTSIDE any timed pass
-    textIdxFor(sfDir); annIdxFor(sfDir)
+    textIdxFor(sfDir); annIdxFor(sfDir); modelsFor(sfDir)
     clear()
 
     // Three timed passes per query, cold cache each, MEDIAN of the three: a

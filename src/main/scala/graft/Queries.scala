@@ -4528,6 +4528,34 @@ object Queries {
     * byte-polynomial bucket hash, both smoothed models, the per-doc
     * integer masses, and the fixed-shape double ratio.
     */
+  /** Persist the q106 bucket models as parquet artifacts (atomic-ish:
+    * tiny files, fresh temp dir per call) — the train-once face the
+    * bench's q106_build/q106_probe split times separately, and the
+    * artifact shape [[graft.streaming.Streams.importanceRoutedIngest]]
+    * loads its fixed models from.
+    */
+  private[graft] def buildDsirModels(s: SparkSession, dir: String): String = {
+    val d = t(s, dir, "documents")
+    val buckets = 1024
+    val shortTokenText = d.select(
+      array_join(
+        filter(graft.functions.text.tokens(col("text")), w => length(w) <= 4),
+        " ").as("text"))
+    val path = java.nio.file.Files.createTempDirectory("graft_dsir_models").toString
+    graft.operators.Importance.hashedBucketCounts(shortTokenText, "text", buckets)
+      .coalesce(1).write.mode("overwrite").parquet(path + "/target")
+    graft.operators.Importance.hashedBucketCounts(d, "text", buckets)
+      .coalesce(1).write.mode("overwrite").parquet(path + "/source")
+    path
+  }
+
+  private[graft] def dsirScore(s: SparkSession, dir: String, modelPath: String): DataFrame =
+    graft.operators.Importance.pooledImportance(
+      t(s, dir, "documents"), "doc_id", "text",
+      s.read.parquet(modelPath + "/target"),
+      s.read.parquet(modelPath + "/source"),
+      buckets = 1024)
+
   val q106DsirImportance: Q = Q(
     "q106_dsir_importance",
     (s, dir) => {

@@ -103,6 +103,28 @@ class ImportanceSpec extends AnyFunSuite {
     assert(out.toSeq === resorted.toSeq)
   }
 
+  test("split build/score (persisted models) equals the fused q106 path at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val fused = Queries.queries("q106_dsir_importance")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val modelPath = Queries.buildDsirModels(spark, dir)
+    try {
+      val split = Queries.dsirScore(spark, dir, modelPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).toSet
+      // integer bucket counts survive the parquet hop exactly, so the
+      // probe face the bench times must be bit-identical to the catalog's
+      assert(split === fused)
+    } finally {
+      import java.nio.file.{Files, Paths}
+      val walk = Files.walk(Paths.get(modelPath))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   test("scoring plan: models broadcast, no sort, no corpus-sized join build side") {
     val docs = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
     val t = Importance.hashedBucketCounts(docs, "text", B)
