@@ -4898,6 +4898,46 @@ object Queries {
              CAST(pos % 32 AS INT) AS pos_in_batch
       FROM p"""))
 
+  /** DataFrame-native connected components
+    * ([[graft.operators.Graphs.connectedComponents]], alternating
+    * large-star/small-star) over an arithmetic document graph: decade
+    * chains (i → i−1 unless i ends a decade) plus a cross-decade bridge
+    * (i → i−15 when i ≡ 23 mod 40), so components are 20-node unions of
+    * two chains, 10-node chains, and the convergence loop needs real
+    * multi-round work at every SF. The oracle is CONVERGED, not
+    * unrolled: DuckDB's recursive CTE computes the exact transitive
+    * closure and takes the min reachable id per node — so the gate
+    * certifies the fixpoint itself (labels after however many rounds the
+    * engine needed), the complement of q102's fixed-round face.
+    */
+  val q114ConnectedComponents: Q = Q(
+    "q114_connected_components",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val cand = d.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("u"), (col("doc_id") - 1).as("v"))
+        .unionAll(d.where(col("doc_id") % 40 === 23)
+          .select(col("doc_id").as("u"), (col("doc_id") - 15).as("v")))
+      // keep only edges whose far endpoint is a real document — the graph
+      // must not invent nodes at the id-space boundary
+      val edges = cand.join(
+        d.select(col("doc_id").as("__x")), col("v") === col("__x"), "left_semi")
+      graft.operators.Graphs.connectedComponents(edges, "u", "v")
+    },
+    Some("""
+      WITH RECURSIVE
+      cand AS (
+        SELECT doc_id AS u, doc_id - 1 AS v FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT doc_id AS u, doc_id - 15 AS v FROM documents WHERE doc_id % 40 = 23),
+      edges AS (SELECT u, v FROM cand WHERE v IN (SELECT doc_id FROM documents)),
+      sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+      reach(id, r) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u)
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4947,7 +4987,7 @@ object Queries {
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
     q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
-    q112DriftReport, q113LengthBatches)
+    q112DriftReport, q113LengthBatches, q114ConnectedComponents)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -427,21 +427,15 @@ object Dedup {
     * transitive-closed (A≈B, B≈C found; A–C maybe not), so deduping from
     * pairs alone either misses chains or keeps conflicting keepers.
     * Clusters give one representative per GROUP: output (id, cluster)
-    * where cluster = the smallest id in the component. GraphX's
-    * ConnectedComponents is the scale path (Pregel small-star iterations,
-    * O(log n) supersteps).
+    * where cluster = the smallest id in the component. Runs on
+    * [[Graphs.connectedComponents]] (DataFrame-native large-star/
+    * small-star to convergence — AQE, codegen, Tungsten rows) rather
+    * than GraphX's RDD Pregel; the label contract is identical and
+    * GraphsSpec cross-checks the two on clustered pair sets.
     */
-  def duplicateClusters(pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
-    import org.apache.spark.graphx.Graph
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    val edges = pairs
-      .select(col(idACol).cast("long"), col(idBCol).cast("long"))
-      .as[(Long, Long)]
-      .rdd
-    val cc = Graph.fromEdgeTuples(edges, defaultValue = 0).connectedComponents()
-    spark.createDataFrame(cc.vertices).toDF("id", "cluster")
-  }
+  def duplicateClusters(pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b"): DataFrame =
+    Graphs.connectedComponents(pairs, idACol, idBCol)
+      .toDF("id", "cluster")
 
   /** End-to-end near-dup removal: MinHash pairs → components → keep the
     * smallest id of every cluster plus all unpaired documents.

@@ -89,4 +89,117 @@ object Graphs {
     }
     rank.select(col("__id").as(idCol), col("__rank").as("rank"))
   }
+
+  /** Connected components over a DataFrame edge list by alternating
+    * LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — the DataFrame-
+    * native face of [[Dedup.duplicateClusters]]'s GraphX path. Output:
+    * one row `(id, component)` per node INCIDENT TO AT LEAST ONE EDGE
+    * (isolated nodes never enter an edge list; callers union them back,
+    * as [[Dedup.dedupByClusters]] does), where `component` is the
+    * smallest id in the node's component.
+    *
+    * Why not GraphX: RDD-based, so no AQE, no whole-stage codegen, no
+    * Tungsten row format — and its Pregel CC shuffles full vertex
+    * attributes every superstep. Here each round is two join+aggregate
+    * passes over a 2-column LONG edge frame (the narrowest possible
+    * shuffle payload), the edge set only SHRINKS toward the star forest,
+    * and AQE coalesces the final tiny rounds' partitions.
+    *
+    * Round shape: large-star points every neighbor LARGER than the
+    * center at the center's minimum (kills long chains in O(log n)
+    * doublings); small-star re-points every smaller neighbor at the
+    * minimum (flattens local trees). The fixpoint — provably reached in
+    * O(log² n) rounds, 3–6 in practice on dedup graphs — is a star
+    * forest whose roots are component minima. Convergence is detected
+    * EXACTLY, not by signature: the relation is a proper star forest iff
+    * every child has one parent and no parent also appears as a child
+    * (two cheap probes on the pinned round result — see the loop body
+    * for why the no-chain probe alone is one round too eager).
+    *
+    * Iteration state: every round ends in an EAGER localCheckpoint, not
+    * a persist. A star round references its input ~12 times (symmetric
+    * union, the min-aggregate, and the re-point join each replay the
+    * subtree), so lineage grows 12× PER ROUND — persist dedups execution
+    * but not the analyzed plan, and by round 5 the plan tops 10⁵ nodes
+    * (measured: the AQE explain-string alone OOMed the test JVM on a
+    * 2000-node path). Checkpointing each round keeps every plan ~a dozen
+    * nodes over a LogicalRDD; superseded rounds' blocks are reclaimed by
+    * the ContextCleaner once unreferenced (the [[Bpe]] caveat — bounded
+    * here by `maxIters` 2-column frames, each at most edge-sized). The
+    * result therefore needs NO cache-manager pin and survives a global
+    * [[Caches.release]]. Throws if `maxIters` rounds pass without
+    * convergence — a silently-partial clustering would merge nothing
+    * visibly wrong and dedup would quietly keep duplicates.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIters: Int = 30): DataFrame = {
+    require(maxIters >= 1, "connectedComponents needs at least one round")
+
+    // large-star: symmetric neighborhoods; for center u with minimum
+    // m = min(N(u) ∪ {u}), re-point every LARGER neighbor v > u at m.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("__v").as("__u"), col("__u").as("__v")))
+      val mins = nbrs.groupBy("__u")
+        .agg(least(min("__v"), col("__u")).as("__m"))
+      nbrs.join(mins, "__u")
+        .where(col("__v") > col("__u"))
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+        .distinct()
+    }
+
+    // small-star: orient every edge toward its smaller endpoint; for
+    // center u (the larger end), re-point all smaller neighbors AND u
+    // itself at m = min(N(u) ∪ {u}) = min of the oriented targets.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("__u"), col("__v")).as("__u"),
+        least(col("__u"), col("__v")).as("__v"))
+      val mins = oriented.groupBy("__u").agg(min("__v").as("__m"))
+      oriented.join(mins, "__u")
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+        .union(mins.select(col("__u"), col("__m").as("__v")))
+        .where(col("__u") =!= col("__v"))
+        .distinct()
+    }
+
+    var e = edges
+      .select(col(srcCol).cast("long").as("__u"), col(dstCol).cast("long").as("__v"))
+      .where(col("__u").isNotNull && col("__v").isNotNull && col("__u") =!= col("__v"))
+      .distinct()
+    var converged = false
+    var round = 0
+    while (round < maxIters && !converged) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // Fixpoint ⇔ the relation is a PROPER star forest, which needs two
+      // probes (both cheap jobs over the freshly checkpointed 2-col
+      // frame):
+      //   1. every child has ONE parent — a node still listed under two
+      //      roots ({(v,r1),(v,r2)}) has no chain yet is mid-merge, so
+      //      the no-chain probe alone would declare victory one round
+      //      early and emit an AMBIGUOUS component for v;
+      //   2. no parent (__v) is anybody's child (__u) — chains and
+      //      non-root parents both surface as a __v re-appearing as __u.
+      val oneParent = next.groupBy("__u")
+        .agg(min("__v").as("__p1"), max("__v").as("__p2"))
+        .where(col("__p1") =!= col("__p2"))
+        .isEmpty
+      converged = oneParent && next
+        .join(next.select(col("__u").as("__w")), col("__v") === col("__w"), "left_semi")
+        .isEmpty
+      e = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(bound is O(log² n); raise maxIters only after checking the input)")
+    // the star forest lists every non-root once; roots re-enter as their
+    // own component so the output covers every incident node
+    e.select(col("__u").as("id"), col("__v").as("component"))
+      .union(e.select(col("__v"), col("__v")).distinct())
+  }
 }

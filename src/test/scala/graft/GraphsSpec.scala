@@ -57,17 +57,110 @@ class GraphsSpec extends AnyFunSuite {
     assert(a === reference(edgeList, 0L until 200L, iters = 5))
   }
 
+  /** Independent ground truth: driver-side union-find with path halving. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        parent(r) = parent.getOrElse(parent(r), parent(r))
+        r = parent(r)
+      }
+      r
+    }
+    for ((a, b) <- edges if a != b) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // incident = touched by at least one non-self-loop edge (the
+    // operator's coverage contract); roots are already minima because
+    // union always hangs the larger root under the smaller
+    val incident = edges.filter(e => e._1 != e._2).flatMap(t => Seq(t._1, t._2)).distinct
+    incident.map(i => i -> find(i)).toMap
+  }
+
+  private def cc(edges: Seq[(Long, Long)], maxIters: Int = 30): Map[Long, Long] = {
+    val out = Graphs.connectedComponents(
+      edges.toDF("a", "b"), "a", "b", maxIters = maxIters)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    Caches.release(blocking = true)
+    out
+  }
+
+  test("connectedComponents: chain, triangle+tail, two components, dup/reversed edges, self-loops") {
+    // one chain 1–2–3–4, a triangle {10,11,12} with tail 13, noise:
+    // duplicate edges, both orientations, and a self-loop to drop
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (13L, 12L),
+      (3L, 2L), (2L, 3L), (5L, 5L))
+    val got = cc(edges)
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L),
+      "components must label every incident node with its component minimum; " +
+        "the self-looped 5 is isolated and must be absent")
+  }
+
+  test("connectedComponents matches union-find on random graphs across densities") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 6) {
+      val n = 40 + trial * 20
+      val m = n / 2 + trial * n // sparse → dense
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(cc(edges) === unionFind(edges), s"trial $trial (n=$n, m=$m)")
+    }
+  }
+
+  test("connectedComponents converges on a 2000-node path in few rounds (the O(log² n) witness)") {
+    // a pure path is the adversarial diameter case for label propagation
+    // (2000 rounds); star alternation must close it in well under 15
+    val edges = (1L until 2000L).map(i => (i, i - 1))
+    val got = cc(edges, maxIters = 15)
+    assert(got.size === 2000 && got.values.forall(_ === 0L))
+  }
+
+  test("connectedComponents agrees with GraphX Pregel on a clustered pair set") {
+    // GraphX is the independent engine here (Dedup.duplicateClusters now
+    // delegates to the DataFrame path, so comparing through it would be
+    // the implementation checking itself)
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 300).map { _ =>
+      val c = rnd.nextInt(20) * 100L
+      (c + rnd.nextInt(8), c + rnd.nextInt(8))
+    }.filter(p => p._1 != p._2)
+    val ours = cc(pairs)
+    val graphx = org.apache.spark.graphx.Graph
+      .fromEdgeTuples(spark.sparkContext.parallelize(pairs), defaultValue = 0)
+      .connectedComponents()
+      .vertices.collect().toMap
+    assert(ours === graphx)
+  }
+
+  test("connectedComponents result survives a global cache release (checkpointed, not pinned)") {
+    val out = Graphs.connectedComponents(
+      Seq((1L, 2L), (3L, 2L), (5L, 4L)).toDF("a", "b"), "a", "b")
+    Caches.release(blocking = true)
+    spark.catalog.clearCache()
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("pageRankInt's prep pin is released by the caller's scope, not leaked") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val nodes = Seq(1L, 2L).toDF("id")
     val scope = Caches.newScope()
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // track by RDD id, not count: the ContextCleaner reclaims superseded
+    // localCheckpoint blocks from earlier tests (connectedComponents
+    // rounds) at its own pace, so absolute counts race
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = Graphs.pageRankInt(edges, "src", "dst", nodes, "id", iters = 2, scope = Some(scope))
     out.collect()
-    assert(spark.sparkContext.getPersistentRDDs.size > before,
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.nonEmpty,
       "the prep table must actually be pinned while the result is consumed")
     scope.release(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.size === before,
+    assert((spark.sparkContext.getPersistentRDDs.keySet & pinned).isEmpty,
       "scope.release must drop exactly the frames this call pinned")
   }
 }
