@@ -4938,6 +4938,75 @@ object Queries {
         SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u)
       SELECT id, MIN(r) AS component FROM reach GROUP BY id"""))
 
+  /** DuckDB replay of the FULL integer Lloyd training run
+    * ([[graft.operators.Clustering]]): quantize → seed from the k
+    * smallest ids → `iters` unrolled rounds of (exact integer argmin
+    * assignment with ties to the lower index, truncating-division
+    * means, frozen empty clusters) → final assignment with exact
+    * integer squared distances. DuckDB's `//` truncates toward zero
+    * exactly like Scala's Long division, so every round is bit-exact.
+    */
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int, scale: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = s"c${r - 1}"
+      s"""
+      d$r AS (
+        SELECT q.vec_id, q.v, c.c,
+               list_sum(list_transform(range(1, ${dim + 1}),
+                 i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS d
+        FROM q, $prev c),
+      a$r AS (
+        SELECT vec_id, v, c FROM (
+          SELECT vec_id, v, c,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+          FROM d$r) WHERE rn = 1),
+      s$r AS (
+        SELECT c, t.j, CAST(SUM(v[t.j]) AS BIGINT) AS s, COUNT(*) AS n
+        FROM a$r CROSS JOIN range(1, ${dim + 1}) t(j) GROUP BY c, t.j),
+      n$r AS (SELECT c, list(s // n ORDER BY j) AS v FROM s$r GROUP BY c),
+      c$r AS (
+        SELECT p.c, COALESCE(nn.v, p.v) AS v
+        FROM $prev p LEFT JOIN n$r nn ON p.c = nn.c)"""
+    }.mkString(",")
+    s"""
+      WITH
+      q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS v
+        FROM embeddings),
+      c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
+        FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k)),$rounds,
+      df AS (
+        SELECT q.vec_id, c.c,
+               list_sum(list_transform(range(1, ${dim + 1}),
+                 i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS d
+        FROM q, c$iters c)
+      SELECT vec_id, CAST(c AS INT) AS cluster, CAST(d AS BIGINT) AS dist2 FROM (
+        SELECT vec_id, c, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM df) WHERE rn = 1"""
+  }
+
+  /** Distributed integer k-means, trained then assigned
+    * ([[graft.operators.Clustering.kmeansInt]]): 3 Lloyd rounds from the
+    * 8 smallest-id seeds over the 64-dim embeddings, every step exact
+    * integer arithmetic — so the oracle replays the ENTIRE training run
+    * (seeding, per-round assignment, truncated means, empty-cluster
+    * freeze) plus the final labels and exact squared distances, the
+    * strongest gate any trained model in the catalog carries. Spark
+    * shape: per round one scan + one k-group vector-sum aggregate
+    * (no corpus shuffle); assignment is a pure projection against
+    * centroid constants (no join, no broadcast — plan-asserted in
+    * ClusteringSpec).
+    */
+  val q115KmeansTrain: Q = Q(
+    "q115_kmeans_train",
+    (s, dir) => graft.operators.Clustering.kmeansInt(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3),
+    Some(kmeansOracleSql(k = 8, iters = 3, dim = 64, scale = 1000)))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -4987,7 +5056,7 @@ object Queries {
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
     q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
-    q112DriftReport, q113LengthBatches, q114ConnectedComponents)
+    q112DriftReport, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
