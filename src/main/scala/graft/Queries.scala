@@ -4946,7 +4946,7 @@ object Queries {
     * integer squared distances. DuckDB's `//` truncates toward zero
     * exactly like Scala's Long division, so every round is bit-exact.
     */
-  private def kmeansOracleSql(k: Int, iters: Int, dim: Int, scale: Int): String = {
+  private def kmeansCtesSql(k: Int, iters: Int, dim: Int, scale: Int): String = {
     val rounds = (1 to iters).map { r =>
       val prev = s"c${r - 1}"
       s"""
@@ -4969,7 +4969,6 @@ object Queries {
         FROM $prev p LEFT JOIN n$r nn ON p.c = nn.c)"""
     }.mkString(",")
     s"""
-      WITH
       q AS (
         SELECT vec_id,
                list_transform(embedding,
@@ -4977,7 +4976,12 @@ object Queries {
         FROM embeddings),
       c0 AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
-        FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k)),$rounds,
+        FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k)),$rounds"""
+  }
+
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int, scale: Int): String =
+    s"""
+      WITH ${kmeansCtesSql(k, iters, dim, scale)},
       df AS (
         SELECT q.vec_id, c.c,
                list_sum(list_transform(range(1, ${dim + 1}),
@@ -4987,7 +4991,6 @@ object Queries {
         SELECT vec_id, c, d,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
         FROM df) WHERE rn = 1"""
-  }
 
   /** Distributed integer k-means, trained then assigned
     * ([[graft.operators.Clustering.kmeansInt]]): 3 Lloyd rounds from the
@@ -5006,6 +5009,53 @@ object Queries {
     (s, dir) => graft.operators.Clustering.kmeansInt(
       t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3),
     Some(kmeansOracleSql(k = 8, iters = 3, dim = 64, scale = 1000)))
+
+  /** TRAINED-pipeline composition: the q115 trainer's centroids (k=4,
+    * 2 rounds, de-quantized to the double grid both engines compute
+    * identically) feed [[graft.operators.Partitioning
+    * .clusterBalancedSample]] — q98's operator, but with LEARNED
+    * centroids instead of hand-picked rows. The oracle chains the
+    * full training replay into the sampling arithmetic, so a drift
+    * anywhere in train OR sample breaks the hash: this is the
+    * "curation consumes its own trained model" gate, the composition
+    * every production pipeline actually runs.
+    */
+  val q115bKmeansBalanced: Q = Q(
+    "q115b_kmeans_balanced",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.operators.Clustering
+        .trainKmeansInt(emb, "vec_id", "embedding", k = 4, iters = 2)
+        .map(_.map(_.toDouble / 1000.0))
+        .toArray
+      graft.operators.Partitioning.clusterBalancedSample(
+        emb, "vec_id", "embedding", cents, n = 25,
+        uniform = Some(pmod(col("vec_id") * 37L, lit(1000L)).cast("double") / lit(1000.0)))
+        .select("vec_id", "cluster")
+    },
+    Some(s"""
+      WITH ${kmeansCtesSql(k = 4, iters = 2, dim = 64, scale = 1000)},
+      cents AS (
+        SELECT c AS cid, list_transform(v, x -> CAST(x AS DOUBLE) / 1000) AS cv
+        FROM c2),
+      d AS (
+        SELECT e.vec_id, c.cid,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, len(e.embedding) + 1),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))),
+                 (a, b) -> a + b) AS dist
+        FROM embeddings e CROSS JOIN cents c),
+      a AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d),
+      asg AS (SELECT vec_id, CAST(cid AS INT) AS cluster FROM a WHERE rn = 1),
+      r AS (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY (vec_id * 37 % 1000) / 1000.0, vec_id) AS rn
+        FROM asg)
+      SELECT vec_id, cluster FROM r WHERE rn <= 25"""))
 
   // ===========================================================
 
@@ -5056,7 +5106,8 @@ object Queries {
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
     q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
-    q112DriftReport, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain)
+    q112DriftReport, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain,
+    q115bKmeansBalanced)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
