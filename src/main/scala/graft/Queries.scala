@@ -4936,7 +4936,8 @@ object Queries {
         SELECT u, u FROM sym
         UNION
         SELECT reach.id, sym.v FROM reach JOIN sym ON reach.r = sym.u)
-      SELECT id, MIN(r) AS component FROM reach GROUP BY id"""))
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id"""),
+    headline = true) // iterate-to-convergence layer: round latency + probe jobs timed
 
   /** DuckDB replay of the FULL integer Lloyd training run
     * ([[graft.operators.Clustering]]): quantize → seed from the k
