@@ -5058,6 +5058,82 @@ object Queries {
         FROM asg)
       SELECT vec_id, cluster FROM r WHERE rn <= 25"""))
 
+  /** Deterministic vocabulary-controlled corpus from doc_id arithmetic
+    * (the q99 synthetic-fixture move, needed because the driver corpus
+    * holds only ~31 distinct terms each in ~430 docs — term-level
+    * similarity there is both degenerate and quadratic): docs live in
+    * groups of 20 sharing a 40-term group vocabulary; each doc carries a
+    * 12-term window of it at planted frequencies 1/2/3 (so min/max of tf
+    * genuinely differ per side), plus a group STOPWORD in every doc (df
+    * 20) that exists to trip the df cap. Per-term df ≤ 20 — the pair
+    * join is bounded by construction at any corpus size.
+    */
+  private[graft] def syntheticVocabDocs(s: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id div 20").cast("string")
+    val stop = concat(lit("g"), g, lit("stop"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      concat_ws(" ",
+        concat(
+          flatten(transform(sequence(lit(0), lit(11)), i =>
+            array_repeat(
+              concat(lit("g"), g, lit("w"), ((col("doc_id") + i) % 40).cast("string")),
+              (i % 3 + 1).cast("int")))),
+          array(stop, stop))).as("text"))
+  }
+
+  /** Exact WEIGHTED (tf-multiset) Jaccard near-dup pairs
+    * ([[graft.operators.Dedup.weightedJaccardPairs]]) over the synthetic
+    * vocabulary corpus, with the `maxTermDf` prefix-filter ACTIVE so the
+    * capped semantics themselves are what the oracle pins: the group
+    * stopword (df 20 > cap 16) leaves the index while staying in the
+    * masses, Σmin runs over shared surviving terms, and the denominator
+    * rides the identity Σmax = mass_a + mass_b − Σmin. Pair scores
+    * straddle the 0.2 threshold by construction (vocabulary-window
+    * offsets δ = 1..19 sweep the overlap from 11 terms to 0, so the
+    * survivors span several distinct score tiers, not one). Emits
+    * symmetric jaccard_w and the asymmetric containment_a (the A-⊂-B
+    * detector).
+    */
+  val q116WeightedJaccard: Q = Q(
+    "q116_weighted_jaccard",
+    (s, dir) =>
+      graft.operators.Dedup.weightedJaccardPairs(
+        syntheticVocabDocs(s, dir), "text", "doc_id",
+        threshold = 0.2, maxTermDf = Some(16)),
+    Some(s"""
+      WITH corpus AS (
+        SELECT doc_id,
+               array_to_string(
+                 flatten(list_transform(range(0, 12),
+                   i -> list_transform(range(0, i % 3 + 1),
+                     r -> 'g' || CAST(doc_id // 20 AS VARCHAR) || 'w' ||
+                          CAST((doc_id + i) % 40 AS VARCHAR))))
+                 || ['g' || CAST(doc_id // 20 AS VARCHAR) || 'stop',
+                     'g' || CAST(doc_id // 20 AS VARCHAR) || 'stop'], ' ') AS text
+        FROM documents),
+      tok AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0)) AS term
+        FROM corpus),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      mass AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS mass FROM tf GROUP BY 1),
+      inv AS (
+        SELECT doc_id, term, tf FROM (
+          SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM tf)
+        WHERE df <= 16),
+      sh AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS sm
+        FROM inv a JOIN inv b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             CAST(sm AS DOUBLE) / CAST(ma.mass + mb.mass - sm AS DOUBLE) AS jaccard_w,
+             CAST(sm AS DOUBLE) / CAST(ma.mass AS DOUBLE) AS containment_a
+      FROM sh
+      JOIN mass ma ON sh.id_a = ma.doc_id
+      JOIN mass mb ON sh.id_b = mb.doc_id
+      WHERE CAST(sm AS DOUBLE) / CAST(ma.mass + mb.mass - sm AS DOUBLE) >= 0.2"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5108,7 +5184,7 @@ object Queries {
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
     q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
     q112DriftReport, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain,
-    q115bKmeansBalanced)
+    q115bKmeansBalanced, q116WeightedJaccard)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -396,6 +396,64 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** EXACT all-pairs WEIGHTED Jaccard ≥ threshold over term frequencies —
+    * the multiset refinement of [[exactJaccardPairs]]:
+    *
+    *   J_w(A,B) = Σ_t min(tf_A(t), tf_B(t)) / Σ_t max(tf_A(t), tf_B(t))
+    *
+    * Set Jaccard over shingles treats "the the the the" and "the" as
+    * identical; the weighted form scores repetition-skewed boilerplate
+    * and template pages honestly, and is the standard similarity for
+    * tf/tf-idf-weighted dedup. Also emits `containment_a` =
+    * Σmin / mass(A) (the asymmetric measure that catches A ⊂ B
+    * wholesale-inclusion, invisible to symmetric Jaccard when B is much
+    * larger).
+    *
+    * Dataflow: ONE tokenize into (id, term, tf) pinned; per-doc masses
+    * derive from it (no second scan). The term-keyed self-join computes
+    * Σmin over SHARED terms only — the identity Σmax = mass_A + mass_B −
+    * Σmin supplies the denominator without ever materializing the union.
+    * Cost is Σ_term df(term)²; `maxTermDf` drops terms above that many
+    * DISTINCT docs from the INDEX only (masses stay exact — the same
+    * prefix-filtering relaxation, semantics pinned by the q116 oracle).
+    */
+  def weightedJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      maxTermDf: Option[Int] = None): DataFrame = {
+    val tf = Partitioning.spread(df)
+      .select(col(idCol).as("id"), explode(text.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .transform(pin) // read by the index, the mass aggregate, and the join
+    val mass = tf.groupBy("id").agg(sum("tf").as("mass"))
+    val inv = maxTermDf match {
+      case Some(cap) =>
+        // df = docs per term; one row per (id, term) already, so a plain
+        // count over the term window IS the document frequency
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("term")
+        tf.withColumn("__df", count(lit(1)).over(w)).where(col("__df") <= cap).drop("__df")
+      case None => tf
+    }
+    val shared = inv.select(col("id").as("id_a"), col("term"), col("tf").as("tf_a"))
+      .join(inv.select(col("id").as("id_b"), col("term"), col("tf").as("tf_b")), Seq("term"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(least(col("tf_a"), col("tf_b"))).as("shared_min"))
+    shared
+      .join(mass.select(col("id").as("id_a"), col("mass").as("mass_a")), Seq("id_a"))
+      .join(mass.select(col("id").as("id_b"), col("mass").as("mass_b")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (col("shared_min").cast("double") /
+          (col("mass_a") + col("mass_b") - col("shared_min"))).as("jaccard_w"),
+        (col("shared_min").cast("double") / col("mass_a")).as("containment_a"))
+      .where(col("jaccard_w") >= threshold)
+  }
+
   /** Exact word-shingle Jaccard verification over candidate pairs only.
     * `pairs` must have (id_a, id_b); texts are joined back in, so this is
     * two broadcast-able equi-joins + a per-row set computation.

@@ -260,6 +260,44 @@ class DedupSpec extends AnyFunSuite {
     assert(exact == brute, s"inverted-index result must equal brute force:\n$exact\nvs $brute")
   }
 
+  test("weightedJaccardPairs: exact tf arithmetic, identical docs, containment, df cap") {
+    val docs = Seq(
+      (1L, "a a b"),          // tf a:2 b:1, mass 3
+      (2L, "a b b c"),        // tf a:1 b:2 c:1, mass 4
+      (3L, "a a b"),          // identical to 1
+      (4L, "z z z"))          // disjoint
+      .toDF("id", "text")
+    val out = Dedup.weightedJaccardPairs(docs, "text", "id", threshold = 0.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Double]("jaccard_w"), r.getAs[Double]("containment_a"))))
+      .toMap
+    // (1,2): Σmin = min(2,1) + min(1,2) = 2; Σmax = 3 + 4 − 2 = 5
+    assert(out((1L, 2L)) === ((2.0 / 5.0, 2.0 / 3.0)))
+    assert(out((1L, 3L)) === ((1.0, 1.0)), "identical multisets score exactly 1")
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L), "disjoint docs never pair")
+    // the SET Jaccard of 1 vs 2 over distinct tokens would be 2/4 = 0.5 —
+    // the weighted form must differ (0.4): repetition genuinely weighs in
+    assert(out((1L, 2L))._1 !== 0.5)
+  }
+
+  test("weightedJaccardPairs df cap: capped terms leave the index but stay in the masses") {
+    val docs = Seq(
+      (1L, "stop x y"),
+      (2L, "stop x z"),
+      (3L, "stop q r"))   // 'stop' df=3, 'x' df=2
+      .toDF("id", "text")
+    val capped = Dedup.weightedJaccardPairs(docs, "text", "id", threshold = 0.0, maxTermDf = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard_w")).toMap
+    // 'stop' (df 3 > 2) is out of the index: (1,2) share only 'x' → 1/(3+3−1);
+    // (1,3)/(2,3) share nothing surviving → absent entirely
+    assert(capped === Map((1L, 2L) -> 1.0 / 5.0))
+    val uncapped = Dedup.weightedJaccardPairs(docs, "text", "id", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard_w")).toMap
+    assert(uncapped((1L, 2L)) === 2.0 / 4.0)
+    assert(uncapped.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("LSH pipeline precision vs exact ground truth on real documents") {
     val sfDir = "/root/testdata/sf0.001"
     val lsh = Queries.queries("q25_minhash_dedup")(spark, sfDir)
