@@ -5134,6 +5134,55 @@ object Queries {
       JOIN mass mb ON sh.id_b = mb.doc_id
       WHERE CAST(sm AS DOUBLE) / CAST(ma.mass + mb.mass - sm AS DOUBLE) >= 0.2"""))
 
+  /** Waterfilling budget allocation
+    * ([[graft.operators.Packing.waterfillMixturePlan]]) at 97% of the
+    * corpus's total mass — a level that FUNDS the small sources whole
+    * and clips the rest to a common water level at every SF, so the
+    * funded test, the integer level, and the remainder distribution all
+    * have witnesses. The oracle replays the full window arithmetic
+    * (sort, prefix sums, funded maximality, truncating level, +1s to
+    * the first `rem` unfunded in order) over the same budget.
+    */
+  val q117WaterfillPlan: Q = Q(
+    "q117_waterfill_plan",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val total = d.agg(sum(col("n_chars").cast("long"))).first.getLong(0)
+      graft.operators.Packing.waterfillMixturePlan(
+        d, "source", "n_chars", total * 97L / 100L)
+    },
+    Some("""
+      WITH agg AS (
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS actual_tokens
+        FROM documents GROUP BY 1),
+      b AS (SELECT CAST(SUM(actual_tokens) * 97 // 100 AS BIGINT) AS budget FROM agg),
+      w AS (
+        SELECT source, n_docs, actual_tokens,
+               CAST(row_number() OVER ord AS BIGINT) AS j,
+               CAST(SUM(actual_tokens) OVER ord AS BIGINT) AS s,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM agg WINDOW ord AS (ORDER BY actual_tokens, source)),
+      f AS (
+        SELECT w.*, b.budget,
+               (s + actual_tokens * (n - j)) <= b.budget AS funded
+        FROM w, b),
+      k AS (
+        SELECT COALESCE(MAX(CASE WHEN funded THEN j END), 0) AS k,
+               COALESCE(MAX(CASE WHEN funded THEN s END), 0) AS sk
+        FROM f),
+      tgt AS (
+        SELECT source, n_docs, actual_tokens,
+               CASE WHEN funded THEN actual_tokens
+                    ELSE CAST((budget - sk) // (n - k) AS BIGINT) +
+                         CASE WHEN j - k <= (budget - sk) % (n - k) THEN 1 ELSE 0 END
+               END AS target_tokens
+        FROM f, k)
+      SELECT source, n_docs, actual_tokens, target_tokens,
+             CASE WHEN actual_tokens > 0
+                  THEN CAST(target_tokens AS DOUBLE) / CAST(actual_tokens AS DOUBLE)
+                  ELSE 0.0 END AS fraction
+      FROM tgt"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5184,7 +5233,7 @@ object Queries {
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
     q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
     q112DriftReport, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain,
-    q115bKmeansBalanced, q116WeightedJaccard)
+    q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

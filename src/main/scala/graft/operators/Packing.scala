@@ -298,6 +298,73 @@ object Packing {
       .drop("__basis")
   }
 
+  /** WATERFILLING allocation of a token budget across sources — the
+    * standard constrained-mixture primitive [[mixturePlan]] (explicit
+    * targets) and [[temperatureMixturePlan]] (smoothed proportions)
+    * both lack: spend `budgetTokens` as EVENLY as possible subject to
+    * per-source capacity, i.e. target_i = min(capacity_i, L) with the
+    * water level L chosen so the targets sum EXACTLY to
+    * min(budget, Σ capacity). Small sources are taken whole; large
+    * sources are clipped to the common level — the "no source dominates,
+    * no budget stranded" allocation used when upsampling is off the
+    * table.
+    *
+    * All arithmetic is exact integers, one deterministic total order
+    * (capacity, then source name): sort the source aggregate, prefix-sum
+    * it, fund every source whose capacity fits under the level implied
+    * by funding it (`S_j + c_j·(n−j) ≤ B` — the classic test), then
+    * level = `(B − S_k) div m` over the m unfunded sources with the
+    * remainder's +1s going to the FIRST `(B − S_k) mod m` of them in
+    * sort order. The maximality of k guarantees `level + 1 ≤ c_j` for
+    * every unfunded source, so remainder distribution can never
+    * overshoot a capacity. Exact-sum witness: Σ targets =
+    * min(budget, Σ capacity), asserted nowhere silently — the q117
+    * oracle replays every step.
+    *
+    * Scale shape: one map-side-combined aggregate to source cardinality,
+    * then windows over source-cardinality rows only (the explicit
+    * `Window.partitionBy()` single-partition move shared with
+    * [[temperatureMixturePlan]] — a mixture with a million sources is
+    * not a mixture).
+    */
+  def waterfillMixturePlan(
+      docs: DataFrame,
+      sourceCol: String,
+      tokensCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0L, "budget must be non-negative")
+    val ord = Window.orderBy(col("actual_tokens"), col("source"))
+    val all = Window.partitionBy()
+    val b = lit(budgetTokens)
+    val out = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("actual_tokens"))
+      .withColumn("__j", row_number().over(ord).cast("long"))
+      .withColumn("__s", sum("actual_tokens").over(ord)) // inclusive prefix
+      .withColumn("__n", count(lit(1)).over(all).cast("long"))
+      .withColumn("__funded",
+        col("__s") + col("actual_tokens") * (col("__n") - col("__j")) <= b)
+      .withColumn("__k", max(when(col("__funded"), col("__j")).otherwise(0L)).over(all))
+      .withColumn("__sk", max(when(col("__funded"), col("__s")).otherwise(0L)).over(all))
+      .withColumn("__m", col("__n") - col("__k"))
+    // CaseWhen short-circuits per row, so the div/mod by __m only ever
+    // evaluates on unfunded rows — where maximality of k guarantees
+    // __m > 0 (ANSI mode would otherwise throw on the all-funded case)
+    val level = expr(s"CASE WHEN __funded THEN actual_tokens " +
+      s"ELSE ($budgetTokens - __sk) div __m END")
+    val extra = expr(s"CASE WHEN __funded THEN 0L " +
+      s"WHEN __j - __k <= ($budgetTokens - __sk) % __m THEN 1L ELSE 0L END")
+    out
+      .withColumn("target_tokens", level + extra)
+      .withColumn("fraction",
+        when(col("actual_tokens") > 0L,
+          col("target_tokens").cast("double") / col("actual_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("__j", "__s", "__n", "__funded", "__k", "__sk", "__m")
+  }
+
   /** Collect a plan's `(source → target_tokens)` map — the bridge from
     * [[temperatureMixturePlan]] (or [[mixturePlan]]) to the samplers.
     * Bounded by source cardinality (a mixture with a million sources is

@@ -209,6 +209,37 @@ class PackingSpec extends AnyFunSuite {
     assert(m === rows.map { case (s, (t, _)) => s -> t })
   }
 
+  test("waterfillMixturePlan: funded/leveled split, remainder order, exact-sum, never overshoots") {
+    def run(caps: Map[String, Long], budget: Long): Map[String, Long] =
+      Packing.waterfillMixturePlan(
+        caps.toSeq.flatMap { case (s, c) => Seq((s, c)) }.toDF("source", "tok"),
+        "source", "tok", budget)
+        .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("target_tokens")).toMap
+    // classic: small sources whole, big one clipped to the level
+    assert(run(Map("a" -> 2L, "b" -> 5L, "c" -> 10L), 12L) ===
+      Map("a" -> 2L, "b" -> 5L, "c" -> 5L))
+    // remainder +1s go to the FIRST unfunded in (cap, source) order
+    assert(run(Map("x" -> 10L, "y" -> 10L, "z" -> 10L), 11L) ===
+      Map("x" -> 4L, "y" -> 4L, "z" -> 3L))
+    // all funded (budget >= capacity): targets = caps, and the ANSI
+    // div/mod-by-zero path must not fire
+    assert(run(Map("a" -> 3L, "b" -> 4L), 100L) === Map("a" -> 3L, "b" -> 4L))
+    assert(run(Map("a" -> 3L, "b" -> 4L), 0L) === Map("a" -> 0L, "b" -> 0L))
+    // laws over random instances: exact sum, per-source bound
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 20) {
+      val caps = (0 until 2 + rnd.nextInt(12)).map(i => s"s$i" -> rnd.nextInt(1000).toLong).toMap
+      val budget = rnd.nextInt(1 + caps.values.sum.toInt * 3 / 2).toLong
+      val got = run(caps, budget)
+      assert(got.values.sum === math.min(budget, caps.values.sum), s"trial $trial exact sum")
+      assert(caps.forall { case (s, c) => got(s) <= c }, s"trial $trial overshoot")
+      // evenness: any leveled (below-cap) source sits within 1 of any other
+      val leveled = got.filter { case (s, t) => t < caps(s) }.values
+      if (leveled.nonEmpty)
+        assert(leveled.max - leveled.min <= 1L, s"trial $trial water level not flat: $got / $caps")
+    }
+  }
+
   test("binStats reports fill and waste per bin") {
     val docs = Seq((1L, 60L), (2L, 30L), (3L, 60L)).toDF("doc_id", "n_tokens")
     val stats = Packing.binStats(
