@@ -5183,6 +5183,53 @@ object Queries {
                   ELSE 0.0 END AS fraction
       FROM tgt"""))
 
+  /** Keeper-by-QUALITY dedup ([[graft.operators.Dedup
+    * .keepBestByCluster]]): exact near-dup pairs → converged components →
+    * keep the member with the MOST tokens per cluster (ties to the
+    * smaller id) — the policy production dedup actually wants. The
+    * planted mutants (first token dropped) always lose to their
+    * originals, and the multi-original clusters DISTINGUISH the policy
+    * from min-id: 10 keepers at sf0.01 (121 at sf0.1) are NOT their
+    * cluster's smallest id, so a keep-min implementation hash-fails
+    * here. The oracle replays pairs, the recursive closure, the
+    * (score desc, id) ranking, and the survivor set.
+    */
+  val q118KeepBestDedup: Q = Q(
+    "q118_keep_best_dedup",
+    (s, dir) => {
+      val corpus = corpusWithPlantedDups(s, dir)
+        .withColumn("n_toks", size(text.tokens(col("text"))))
+      val clusters = Dedup.duplicateClusters(
+        Dedup.exactJaccardPairs(corpus, "text", "doc_id", shingleK = 3, threshold = 0.5))
+      Dedup.keepBestByCluster(corpus, "doc_id", "n_toks", clusters)
+        .select("doc_id", "n_toks")
+    },
+    Some(s"""
+      WITH RECURSIVE $plantedCorpusCte, $exactJaccardCtes,
+      pairs AS (
+        SELECT s.id_a, s.id_b
+        FROM shared s
+        JOIN sz sa ON sa.doc_id = s.id_a
+        JOIN sz sb ON sb.doc_id = s.id_b
+        WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5),
+      und AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT s, t FROM und
+        UNION
+        SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s WHERE u.t <> r.s),
+      cl AS (SELECT s AS id, LEAST(s, MIN(t)) AS cluster FROM reach GROUP BY s),
+      scored AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0)) AS n_toks
+        FROM corpus),
+      rk AS (
+        SELECT cl.id,
+               row_number() OVER (PARTITION BY cl.cluster ORDER BY sc.n_toks DESC, cl.id) AS rk
+        FROM cl JOIN scored sc ON cl.id = sc.doc_id)
+      SELECT doc_id, CAST(n_toks AS INT) AS n_toks
+      FROM scored
+      WHERE doc_id NOT IN (SELECT id FROM rk WHERE rk > 1)"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5233,7 +5280,7 @@ object Queries {
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
     q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
     q112DriftReport, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain,
-    q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan)
+    q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan, q118KeepBestDedup)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

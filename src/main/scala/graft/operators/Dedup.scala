@@ -396,6 +396,54 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Keeper POLICY over duplicate clusters: keep the BEST-scoring member
+    * of every group (ties to the smaller id), not the smallest id —
+    * production dedup keeps the longest / highest-quality / canonical
+    * copy, and min-id is only the right answer when members are
+    * interchangeable. `clusters` is (id, cluster) from
+    * [[duplicateClusters]]; survivors = every unclustered doc plus one
+    * keeper per cluster, original schema untouched.
+    *
+    * Scale: the ranking window runs over CLUSTERED rows only (near-dup
+    * candidates — a vanishing corpus fraction), partitioned by cluster;
+    * the corpus itself pays one left-anti hash join against the dropped
+    * ids. Never a corpus-wide window.
+    */
+  def keepBestByCluster(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      clusters: DataFrame): DataFrame = {
+    val scored = clusters.join(
+      docs.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__score")),
+      Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("__score").desc, col("id"))
+    val dropped = scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") > 1)
+      .select(col("id").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** End-to-end near-dup removal keeping the best-scoring member per
+    * group: MinHash pairs → components → [[keepBestByCluster]]. The
+    * score-agnostic twin of [[dedupByClusters]].
+    */
+  def dedupByClustersKeepBest(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      scoreCol: String,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      shingleK: Int = 3,
+      maxBucket: Int = 256): DataFrame = {
+    val pairs = minHashDedupPairs(
+      docs, textCol, idCol, numPerm, bands, shingleK, threshold, maxBucket)
+    keepBestByCluster(docs, idCol, scoreCol, duplicateClusters(pairs))
+  }
+
   /** EXACT all-pairs WEIGHTED Jaccard ≥ threshold over term frequencies —
     * the multiset refinement of [[exactJaccardPairs]]:
     *

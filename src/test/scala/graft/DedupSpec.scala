@@ -260,6 +260,22 @@ class DedupSpec extends AnyFunSuite {
     assert(exact == brute, s"inverted-index result must equal brute force:\n$exact\nvs $brute")
   }
 
+  test("keepBestByCluster: best wins over min-id, ties to smaller id, unclustered survive") {
+    val docs = Seq(
+      (1L, "short", 2L),    // cluster {1,2,3}: 2 scores highest → keeper
+      (2L, "longer", 9L),
+      (3L, "mid", 5L),
+      (4L, "tie a", 7L),    // cluster {4,5}: tie → smaller id keeps
+      (5L, "tie b", 7L),
+      (6L, "alone", 1L))    // unclustered: always survives
+      .toDF("id", "text", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)).toDF("id", "cluster")
+    val out = Dedup.keepBestByCluster(docs, "id", "score", clusters)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(2L, 4L, 6L),
+      "keeper 2 beats min-id 1 on score; tie in {4,5} goes to 4; 6 is untouched")
+  }
+
   test("weightedJaccardPairs: exact tf arithmetic, identical docs, containment, df cap") {
     val docs = Seq(
       (1L, "a a b"),          // tf a:2 b:1, mass 3
