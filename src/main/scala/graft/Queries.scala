@@ -5230,6 +5230,21 @@ object Queries {
       FROM scored
       WHERE doc_id NOT IN (SELECT id FROM rk WHERE rk > 1)"""))
 
+  /** Weighted-MinHash near-dup pairs
+    * ([[graft.operators.Dedup.weightedMinHashPairs]]) over the synthetic
+    * vocabulary corpus — the LSH production face of q116. Banded
+    * candidate generation is not ANSI-SQL-expressible; DedupSpec pins
+    * the ⊆-q116 law (every emitted pair is a true exact-weighted pair
+    * with the IDENTICAL score) plus a recall floor on the top tier.
+    */
+  val q119WeightedMinhash: Q = Q(
+    "q119_weighted_minhash",
+    (s, dir) =>
+      graft.operators.Dedup.weightedMinHashPairs(
+        syntheticVocabDocs(s, dir), "text", "doc_id",
+        numPerm = 64, bands = 16, threshold = 0.2),
+    None)
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5280,7 +5295,8 @@ object Queries {
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
     q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
     q112DriftReport, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain,
-    q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan, q118KeepBestDedup)
+    q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan, q118KeepBestDedup,
+    q119WeightedMinhash)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -273,7 +273,63 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucket: Int = 256): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands evenly")
-    val prepped = prep(df, textCol, idCol, numPerm, shingleK)
+    lshVerifiedPairs(prep(df, textCol, idCol, numPerm, shingleK), numPerm, bands,
+      threshold, maxBucket)
+  }
+
+  /** Weighted-Jaccard near-dup pairs at LSH scale: every term expands to
+    * `tf` DISTINCT elements (term hash reseeded by occurrence index 1..tf
+    * — the classic integer-weight construction), so the standard
+    * MinHash/LSH machinery estimates WEIGHTED Jaccard, banding generates
+    * candidates, and verification's set arithmetic over expanded element
+    * sets IS Σmin/Σmax — emitted pairs carry the exact weighted score.
+    * The approximate production face of [[weightedJaccardPairs]], whose
+    * Σ df² inverted-index join this replaces with O(n·bands) banding at
+    * corpus scale (q119 / DedupSpec pin the ⊆-exact law with equal
+    * scores). No df cap here — high-df terms cost LSH nothing.
+    * Token-less and NULL-text docs carry no elements and never pair.
+    *
+    * Prep pays two exchanges (the per-doc tf aggregate and the element
+    * re-collect) where the set-Jaccard prep pays zero — the price of
+    * multiset counts; both land in the ONE pinned prep table feeding
+    * banding and verification.
+    */
+  def weightedMinHashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 256): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands evenly")
+    val tf = Partitioning.spread(df)
+      .select(col(idCol).as("id"), explode(text.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val prepped = tf
+      .select(col("id"), col("term"), explode(sequence(lit(1L), col("tf"))).as("k"))
+      .select(col("id"), xxhash64(col("term"), col("k")).as("h"))
+      .groupBy("id")
+      .agg(collect_list("h").as("sh"))
+      .withColumn("mh", minHashFromHashes(col("sh"), numPerm))
+      .transform(pin)
+    lshVerifiedPairs(prepped, numPerm, bands, threshold, maxBucket)
+  }
+
+  /** The shared LSH band → verify → hot-path pipeline over a PINNED prep
+    * table (id, sh, mh). Verification is exact set arithmetic on `sh`,
+    * which means the SEMANTICS follow the prep: shingle-hash sets give
+    * set Jaccard ([[minHashDedupPairs]]); tf-expanded element sets give
+    * weighted Jaccard ([[weightedMinHashPairs]] — on expanded sets,
+    * |A∩B| IS Σmin and |A∪B| IS Σmax).
+    */
+  private def lshVerifiedPairs(
+      prepped: DataFrame,
+      numPerm: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int): DataFrame = {
     // ONE banded/occupancy tree feeds both the cold self-join and the hot
     // member probe. NULL-sh rows never band (see prep's degenerate-doc
     // contract); size-0 rows take the keeper-star path below instead.
@@ -296,7 +352,7 @@ object Dedup {
     // is what put them in the same hot bucket) and a true jaccard of 1.0.
     // A doc can surface in both paths (hot in one band, cold in another),
     // so collapse to one row per pair.
-    Metrics.register(df.sparkSession)
+    Metrics.register(prepped.sparkSession)
     val hotIds = bandedOcc.where(col("__occ") > maxBucket).select("id").distinct()
       // rides the pair action as a free aggregate: how many documents the
       // cap routed to the linear path this run (see Metrics / hotBuckets)

@@ -314,6 +314,38 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("weightedMinHashPairs ⊆ exact weighted pairs with IDENTICAL scores; top-tier recall") {
+    val dir = "/root/testdata/sf0.001"
+    val corpus = Queries.syntheticVocabDocs(spark, dir)
+    val approx = Dedup.weightedMinHashPairs(corpus, "text", "doc_id", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    val exact = Dedup.weightedJaccardPairs(corpus, "text", "doc_id", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard_w")).toMap
+    assert(approx.nonEmpty, "LSH must surface something at this geometry")
+    for ((pair, j) <- approx)
+      assert(exact.get(pair).contains(j),
+        s"$pair: emitted $j but exact says ${exact.get(pair)} — verification must BE Σmin/Σmax")
+    // the δ=1 tier (jaccard_w = 18/34) has per-band collision probability
+    // (18/34)^4 per band over 16 bands ⇒ expected recall ≈ 0.77; demand a
+    // floor of half on the deterministic xxhash family
+    val top = exact.filter(_._2 > 0.52).keySet
+    val got = top.count(approx.contains)
+    assert(got * 2 >= top.size, s"top-tier recall $got/${top.size}")
+  }
+
+  test("weightedMinHashPairs: repetition genuinely weighs in (multiset, not set, semantics)") {
+    // identical DISTINCT-token sets {a,b}, very different multisets: set
+    // Jaccard is 1.0, weighted must be min(2,1)+min(1,1) / (3+2−2) = 2/3
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "a a b")).toDF("id", "text")
+    val got = Dedup.weightedMinHashPairs(docs, "text", "id", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(got((1L, 3L)) === 1.0, "identical multisets collide in every band and score 1")
+    assert(got.get((1L, 2L)).forall(_ === 2.0 / 3.0),
+      "if LSH surfaces the (1,2) candidate its verified score is the weighted 2/3, never the set 1.0")
+    assert(!got.contains((2L, 3L)) || got((2L, 3L)) === 2.0 / 3.0)
+    graft.operators.Caches.release(blocking = true)
+  }
+
   test("LSH pipeline precision vs exact ground truth on real documents") {
     val sfDir = "/root/testdata/sf0.001"
     val lsh = Queries.queries("q25_minhash_dedup")(spark, sfDir)
