@@ -5245,6 +5245,53 @@ object Queries {
         numPerm = 64, bands = 16, threshold = 0.2),
     None)
 
+  /** Retrieval-eval metrics ([[graft.operators.Ranking.evalRun]]) over
+    * an arithmetic run/qrels fixture (20 queries × 10 ranked docs,
+    * judgments on every doc_id ≡ 0 mod 3 — hit counts, first-relevant
+    * ranks, and judgment counts all vary per query by construction).
+    * The oracle face carries the EXACT columns (small-integer ratios:
+    * rr, precision@5, recall@5); ndcg rides the same operator under
+    * RankingSpec's driver mirror instead (log2 is libm-territory — the
+    * q51 tfidf split).
+    */
+  val q120EvalRun: Q = Q(
+    "q120_eval_run",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val run = d.where(col("doc_id") < 200).select(
+        (col("doc_id") % 20).as("query_id"),
+        col("doc_id"),
+        (expr("doc_id div 20") + 1).cast("int").as("rank"))
+      val qrels = d.where(col("doc_id") % 3 === 0).select(
+        (col("doc_id") % 20).as("query_id"),
+        col("doc_id"),
+        (expr("(doc_id div 20) % 3") + 1).cast("int").as("grade"))
+      graft.operators.Ranking.evalRun(run, qrels, k = 5)
+        .select("query_id", "n_rel", "hits_k", "precision_k", "recall_k", "rr")
+    },
+    Some("""
+      WITH run AS (
+        SELECT doc_id % 20 AS q, doc_id AS d, doc_id // 20 + 1 AS r
+        FROM documents WHERE doc_id < 200),
+      rel AS (SELECT doc_id % 20 AS q, doc_id AS d FROM documents WHERE doc_id % 3 = 0),
+      nrel AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
+      h AS (
+        SELECT run.q,
+               CAST(SUM(CASE WHEN r <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_k,
+               MIN(r) AS first
+        FROM run JOIN rel ON run.q = rel.q AND run.d = rel.d GROUP BY 1)
+      SELECT rq.q AS query_id,
+             COALESCE(n_rel, 0) AS n_rel,
+             COALESCE(hits_k, 0) AS hits_k,
+             CAST(COALESCE(hits_k, 0) AS DOUBLE) / 5 AS precision_k,
+             CASE WHEN COALESCE(n_rel, 0) > 0
+                  THEN CAST(COALESCE(hits_k, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE)
+                  ELSE 0.0 END AS recall_k,
+             CASE WHEN first IS NOT NULL THEN 1.0 / CAST(first AS DOUBLE) ELSE 0.0 END AS rr
+      FROM (SELECT DISTINCT q FROM run) rq
+      LEFT JOIN h ON rq.q = h.q
+      LEFT JOIN nrel ON rq.q = nrel.q"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5296,7 +5343,7 @@ object Queries {
     q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
     q112DriftReport, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain,
     q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan, q118KeepBestDedup,
-    q119WeightedMinhash)
+    q119WeightedMinhash, q120EvalRun)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -380,4 +380,79 @@ object Ranking {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(k)
   }
+
+  /** Retrieval-quality evaluation of a ranked run against judgments —
+    * the closing loop of the serving stack (build → probe → fuse →
+    * MEASURE): per query, reciprocal rank, hits/precision/recall at k,
+    * and nDCG@k with exponential gains.
+    *
+    * Inputs: `run` carries (queryCol, docCol, rankCol) with rank 1-based
+    * and unique per query; `qrels` carries (queryCol, docCol, gradeCol),
+    * grade > 0 meaning relevant. Every query present in the run reports
+    * a row — zero-hit queries with zeros, and a query with NO relevant
+    * judgments reports recall 0 BY DEFINITION HERE (not NULL: a monitor
+    * summing recall over queries must not silently skip them).
+    *
+    * Exactness split (the q51 tfidf discipline): rr, precision_k,
+    * recall_k are ratios of small integers — bit-identical on any
+    * engine, the q120 oracle face. ndcg_k divides by log2 (libm-
+    * dependent last-ulp), so it rides the SAME row under a driver-mirror
+    * spec instead of the SQL oracle; the DCG sum is a per-query
+    * aggregation of ≤ k terms whose accumulation order Spark does not
+    * guarantee — RankingSpec pins value agreement at 1e-12, not bit
+    * equality.
+    *
+    * Scale: both inputs group/join on the query key only — run rows are
+    * k-bounded per query by contract, qrels are judgment-sized; nothing
+    * corpus-sized enters. One join + three query-keyed aggregates.
+    */
+  def evalRun(
+      run: DataFrame,
+      qrels: DataFrame,
+      k: Int,
+      queryCol: String = "query_id",
+      docCol: String = "doc_id",
+      rankCol: String = "rank",
+      gradeCol: String = "grade"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val rel = qrels.where(col(gradeCol) > 0)
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"), col(gradeCol).as("__g"))
+    val nRel = rel.groupBy("__q").agg(count(lit(1)).as("n_rel"))
+    val r = run.select(
+      col(queryCol).as("__q"), col(docCol).as("__d"), col(rankCol).as("__r"))
+    val gain = pow(lit(2.0), col("__g").cast("double")) - lit(1.0)
+    val disc = log2(col("__r").cast("double") + lit(1.0))
+    val hitsAgg = r.join(rel, Seq("__q", "__d"))
+      .groupBy("__q")
+      .agg(
+        sum(when(col("__r") <= k, 1L).otherwise(0L)).as("hits_k"),
+        min("__r").as("__first"),
+        sum(when(col("__r") <= k, gain / disc).otherwise(lit(0.0))).as("__dcg"))
+    // ideal DCG: the query's grades sorted descending occupy ranks 1..k
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__q").orderBy(col("__g").desc, col("__d"))
+    val idcg = rel.withColumn("__ir", row_number().over(iw))
+      .where(col("__ir") <= k)
+      .groupBy("__q")
+      .agg(sum(
+        (pow(lit(2.0), col("__g").cast("double")) - lit(1.0)) /
+          log2(col("__ir").cast("double") + lit(1.0))).as("__idcg"))
+    r.select("__q").distinct()
+      .join(hitsAgg, Seq("__q"), "left")
+      .join(nRel, Seq("__q"), "left")
+      .join(idcg, Seq("__q"), "left")
+      .select(
+        col("__q").as(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits_k"), lit(0L)).as("hits_k"),
+        (coalesce(col("hits_k"), lit(0L)).cast("double") / k).as("precision_k"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0L,
+          coalesce(col("hits_k"), lit(0L)).cast("double") / col("n_rel").cast("double"))
+          .otherwise(lit(0.0)).as("recall_k"),
+        when(col("__first").isNotNull, lit(1.0) / col("__first").cast("double"))
+          .otherwise(lit(0.0)).as("rr"),
+        when(coalesce(col("__idcg"), lit(0.0)) > 0.0,
+          coalesce(col("__dcg"), lit(0.0)) / col("__idcg"))
+          .otherwise(lit(0.0)).as("ndcg_k"))
+  }
 }

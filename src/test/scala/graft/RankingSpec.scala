@@ -253,4 +253,63 @@ class RankingSpec extends AnyFunSuite {
     assert(byId(1L)._1 === 1 && byId(2L)._1 === 2)
     assert(byId(1L)._2 === 1.0 / 61 + 1.0 / 61)
   }
+
+  test("evalRun: hand-computed metrics incl. ndcg; zero-hit and zero-judgment queries report zeros") {
+    // q1: run [d10(r1), d20(r2), d30(r3)]; relevant: d20 g2, d30 g1, d99 g3 (unretrieved)
+    // q2: run [d40(r1)]; no relevant docs at all
+    // q3: run [d50(r1)]; relevant d60 g1 only (zero hits, nonzero judgments)
+    val run = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 40L, 1),
+      (3L, 50L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 20L, 2), (1L, 30L, 1), (1L, 99L, 3),
+      (3L, 60L, 1)).toDF("query_id", "doc_id", "grade")
+    val out = graft.operators.Ranking.evalRun(run, qrels, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    // q1@2: hits = {d20@2}; rr = 1/2; dcg = (2^2−1)/log2(3); idcg = grades
+    // 3,2 at ranks 1,2 = 7/1 + 3/log2(3)
+    val dcg = 3.0 / lg2(3.0)
+    val idcg = 7.0 / lg2(2.0) + 3.0 / lg2(3.0)
+    val (nRel1, hits1, p1, r1, rr1, nd1) = out(1L)
+    assert((nRel1, hits1, p1, r1, rr1) === ((3L, 1L, 0.5, 1.0 / 3.0, 0.5)))
+    assert(math.abs(nd1 - dcg / idcg) < 1e-12, s"ndcg: $nd1 vs ${dcg / idcg}")
+    assert(out(2L) === ((0L, 0L, 0.0, 0.0, 0.0, 0.0)), "no judgments → all zeros, row present")
+    assert(out(3L) === ((1L, 0L, 0.0, 0.0, 0.0, 0.0)), "zero hits → zeros with n_rel reported")
+  }
+
+  test("evalRun ndcg matches a driver mirror on the q120 fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+    val run = d.where(col("doc_id") < 200).select(
+      (col("doc_id") % 20).as("query_id"), col("doc_id"),
+      (expr("doc_id div 20") + 1).cast("int").as("rank"))
+    val qrels = d.where(col("doc_id") % 3 === 0).select(
+      (col("doc_id") % 20).as("query_id"), col("doc_id"),
+      (expr("(doc_id div 20) % 3") + 1).cast("int").as("grade"))
+    val k = 5
+    val got = graft.operators.Ranking.evalRun(run, qrels, k)
+      .select("query_id", "ndcg_k").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent driver mirror
+    val runRows = run.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val relRows = qrels.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val byQ = runRows.map(_._1).distinct.map { q =>
+      val rel = relRows.filter(_._1 == q).map(t => t._2 -> t._3).toMap
+      val dcg = runRows.filter(t => t._1 == q && t._3 <= k)
+        .filter(t => rel.contains(t._2))
+        .map(t => (math.pow(2.0, rel(t._2)) - 1.0) / lg2(t._3 + 1.0)).sum
+      val idcg = rel.toSeq.sortBy { case (d0, g) => (-g, d0) }.take(k).zipWithIndex
+        .map { case ((_, g), i) => (math.pow(2.0, g) - 1.0) / lg2(i + 2.0) }.sum
+      q -> (if (idcg > 0) dcg / idcg else 0.0)
+    }.toMap
+    for ((q, nd) <- byQ)
+      assert(math.abs(got(q) - nd) < 1e-12, s"query $q: ${got(q)} vs $nd")
+    assert(byQ.values.exists(_ > 0) && byQ.values.exists(_ < 1.0),
+      "fixture must exercise non-trivial ndcg values")
+  }
 }
