@@ -5292,6 +5292,20 @@ object Queries {
       LEFT JOIN h ON rq.q = h.q
       LEFT JOIN nrel ON rq.q = nrel.q"""))
 
+  /** Compressibility quality signal
+    * ([[graft.operators.Quality.compressionReport]]) over documents.
+    * No external oracle: DEFLATE output length is a property of the
+    * JVM's zlib, not a cross-engine contract — QualitySpec pins the
+    * driver mirror bit-identically, the NULL/empty conventions, and the
+    * monotone discrimination law (repetitive ≪ natural ≪ random).
+    */
+  val q121Compression: Q = Q(
+    "q121_compression",
+    (s, dir) =>
+      graft.operators.Quality.compressionReport(
+        t(s, dir, "documents"), "doc_id", "text"),
+    None)
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5343,7 +5357,7 @@ object Queries {
     q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
     q112DriftReport, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain,
     q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan, q118KeepBestDedup,
-    q119WeightedMinhash, q120EvalRun)
+    q119WeightedMinhash, q120EvalRun, q121Compression)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.funnelDescriptor)
     ext.injectFunction(GraftFunctions.vecSumDescriptor)
     ext.injectFunction(GraftFunctions.normalizeDescriptor)
+    ext.injectFunction(GraftFunctions.deflateLenDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
@@ -189,10 +190,21 @@ object GraftFunctions {
           "graft_normalize(str[, form: string literal NFC|NFD|NFKC|NFKD])")
     })
 
+  /** `graft_deflate_len(str)` — DEFLATE length of the UTF-8 bytes, the
+    * compressibility quality signal (see [[DeflateLenExpr]]).
+    */
+  val deflateLenDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_deflate_len"),
+    new ExpressionInfo(classOf[DeflateLenExpr].getName, "graft_deflate_len"),
+    {
+      case Seq(s) => DeflateLenExpr(s)
+      case _ => throw new IllegalArgumentException("graft_deflate_len(str)")
+    })
+
   def register(spark: SparkSession): Unit =
     Seq(minHashDescriptor, simHashDescriptor, dotDescriptor, mgSketchDescriptor,
         cmSketchDescriptor, gkSketchDescriptor, gkMergeDescriptor, gkQuantilesDescriptor,
-        funnelDescriptor, vecSumDescriptor, normalizeDescriptor)
+        funnelDescriptor, vecSumDescriptor, normalizeDescriptor, deflateLenDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

@@ -9,6 +9,33 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** Compressibility report per document — the DEFLATE quality signal
+    * ([[graft.expressions.DeflateLenExpr]]): `ratio` near 1 flags
+    * incompressible noise (random ids, base64, encrypted blobs), near 0
+    * flags repeated boilerplate, and it sees long-period repetition
+    * structure that token-level stats (type/token q21, repeated n-grams
+    * q34) miss. Pure projection inside whole-stage codegen — zero
+    * shuffle at any corpus size. NULL text rows stay in the report with
+    * NULL bytes/ratio (the caller's filter decides their fate, not this
+    * operator); empty text reports its fixed DEFLATE overhead with
+    * ratio 0 by convention (raw_bytes = 0 has no meaningful quotient).
+    */
+  def compressionReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val dl = ColumnBridge.column(
+      graft.expressions.DeflateLenExpr(ColumnBridge.expression(col(textCol))))
+    docs
+      .select(
+        col(idCol),
+        octet_length(col(textCol)).as("raw_bytes"),
+        dl.as("deflate_bytes"))
+      .withColumn(
+        "ratio",
+        when(col("raw_bytes") > 0,
+          col("deflate_bytes").cast("double") / col("raw_bytes").cast("double"))
+          .when(col("raw_bytes").isNotNull, lit(0.0)))
+  }
+
   /** Rows whose composite key occurs more than once
     * (reference: silver_check.py:32-37).
     */

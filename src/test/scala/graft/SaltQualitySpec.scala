@@ -112,4 +112,45 @@ class SaltQualitySpec extends AnyFunSuite {
       assert(out == Map(1L -> "gold", 3L -> null))
     } finally query.stop()
   }
+
+  test("compressionReport: driver mirror bit-identical; NULL/empty conventions; SQL face") {
+    // sizes matter: below ~200 bytes the DEFLATE header dominates every
+    // ratio, and a HEX string is genuinely 4-bit-compressible — so
+    // natural prose is ~700 B of varied sentences and noise draws from
+    // the full printable range (~6.6 bits/char ceiling)
+    val natural = (1 to 12).map(i =>
+      s"paragraph $i mixes common words with rarer tokens like marmalade, " +
+        s"quixotic, and ferrous to stay naturally redundant without looping.").mkString(" ")
+    val repetitive = "ab" * 400
+    val rnd = new scala.util.Random(7)
+    val noisy = Array.fill(700)((33 + rnd.nextInt(94)).toChar).mkString
+    val docs = Seq(
+      (1L, natural), (2L, repetitive), (3L, noisy),
+      (4L, null.asInstanceOf[String]), (5L, "")).toDF("id", "text")
+    val got = graft.operators.Quality.compressionReport(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[Integer]("raw_bytes")).map(_.toInt),
+          Option(r.getAs[Integer]("deflate_bytes")).map(_.toInt),
+          Option(r.getAs[java.lang.Double]("ratio")).map(_.toDouble)))).toMap
+    // bit-identical driver mirror (same Deflater construction)
+    def mirror(s: String): Int = graft.expressions.DeflateLenExpr.deflatedLen(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    for ((id, s) <- Seq(1L -> natural, 2L -> repetitive, 3L -> noisy)) {
+      val (raw, dl, ratio) = got(id)
+      assert(raw.get === s.getBytes("UTF-8").length && dl.get === mirror(s))
+      assert(ratio.get === dl.get.toDouble / raw.get)
+    }
+    assert(got(4L) === ((None, None, None)), "NULL text stays a NULL row, never dropped")
+    assert(got(5L)._1 === Some(0))
+    assert(got(5L)._3 === Some(0.0), "empty text reports ratio 0 by convention")
+    // the discrimination law the signal exists for
+    val ratio = got.view.mapValues(_._3).toMap
+    assert(ratio(2L).get < ratio(1L).get && ratio(1L).get < ratio(3L).get,
+      s"repetitive ≪ natural ≪ random: $ratio")
+    assert(ratio(3L).get > 0.5 && ratio(2L).get < 0.1)
+    // SQL surface
+    graft.expressions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(s"SELECT graft_deflate_len('$natural')").first.getInt(0)
+    assert(viaSql === mirror(natural))
+  }
 }
