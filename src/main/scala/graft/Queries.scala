@@ -5306,6 +5306,38 @@ object Queries {
         t(s, dir, "documents"), "doc_id", "text"),
     None)
 
+  /** Exact cross-source quantile normalization
+    * ([[graft.operators.Quality.quantileNormalize]]) of `n_chars` —
+    * integer ranks, ⌈r·N/n_s⌉ pooled positions, and the order-statistic
+    * lookup against the distinct-score cumulative table, all replayed by
+    * the oracle.
+    */
+  val q122QuantileNormalize: Q = Q(
+    "q122_quantile_normalize",
+    (s, dir) =>
+      graft.operators.Quality.quantileNormalize(
+        t(s, dir, "documents"), "doc_id", "source", "n_chars"),
+    Some("""
+      WITH s AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score
+        FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nsrc FROM s GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+      r AS (
+        SELECT s.*, CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS BIGINT) AS r
+        FROM s),
+      kk AS (
+        SELECT r.doc_id, r.source, r.score,
+               (r.r * tot.n + ns.nsrc - 1) // ns.nsrc AS k
+        FROM r JOIN ns USING (source) CROSS JOIN tot),
+      p AS (
+        SELECT score AS score_norm,
+               CAST(SUM(c) OVER (ORDER BY score) - c AS BIGINT) AS prev,
+               CAST(SUM(c) OVER (ORDER BY score) AS BIGINT) AS cum
+        FROM (SELECT score, COUNT(*) AS c FROM s GROUP BY 1))
+      SELECT kk.doc_id, kk.source, kk.score, kk.k AS pooled_rank, p.score_norm
+      FROM kk JOIN p ON kk.k > p.prev AND kk.k <= p.cum"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5357,7 +5389,7 @@ object Queries {
     q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
     q112DriftReport, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain,
     q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan, q118KeepBestDedup,
-    q119WeightedMinhash, q120EvalRun, q121Compression)
+    q119WeightedMinhash, q120EvalRun, q121Compression, q122QuantileNormalize)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

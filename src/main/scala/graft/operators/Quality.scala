@@ -36,6 +36,57 @@ object Quality {
           .when(col("raw_bytes").isNotNull, lit(0.0)))
   }
 
+  /** EXACT quantile normalization of a score across sources: each row's
+    * within-source rank position maps to the POOLED distribution's order
+    * statistic at the same quantile — `score_norm` = the k-th smallest
+    * pooled score with k = ⌈r·N / n_s⌉ (exact integer arithmetic). After
+    * normalization "top 20% of src A" and "top 20% of src B" mean the
+    * same pooled level, which is what a cross-source quality threshold
+    * needs when sources score on different scales (classifiers trained
+    * per-language, length stats across registers). Deterministic ties:
+    * rank by (score, id).
+    *
+    * Scale shape: the per-source ranking is one exchange on the source
+    * key (AQE skew-splits giant sources); the pooled distribution
+    * collapses to DISTINCT-SCORE cardinality before its running sum
+    * (prev = cum − count, no lag), and the order-statistic lookup is a
+    * point-in-interval range join against that broadcast table — the
+    * [[Gold]] J3 shape, never a cartesian. Quantize continuous scores
+    * first: the pooled side is assumed score-cardinality-bounded (a
+    * quality score with a billion distinct values is noise, not a
+    * distribution). Rows with NULL score or NULL source are EXCLUDED —
+    * a null quality score has no quantile; filter or impute upstream.
+    */
+  def quantileNormalize(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs
+      .select(col(idCol), col(sourceCol).as("source"), col(scoreCol).cast("long").as("score"))
+      .where(col("score").isNotNull && col("source").isNotNull)
+      .transform(Caches.pin(_)) // read by ranks, source counts, totals, pooled
+    val srcN = scored.groupBy("source").agg(count(lit(1)).as("__ns"))
+    val totals = scored.agg(count(lit(1)).as("__N"))
+    val w = Window.partitionBy("source").orderBy(col("score"), col(idCol))
+    val ranked = scored
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .join(srcN, Seq("source"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__k", expr("(__r * __N + __ns - 1) div __ns"))
+    val pooled = scored.groupBy("score").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(Window.orderBy("score")))
+      .select(
+        col("score").as("score_norm"),
+        (col("__cum") - col("__c")).as("__prev"),
+        col("__cum"))
+    ranked
+      .join(broadcast(pooled), col("__k") > col("__prev") && col("__k") <= col("__cum"))
+      .select(col(idCol), col("source"), col("score"),
+        col("__k").as("pooled_rank"), col("score_norm"))
+  }
+
   /** Rows whose composite key occurs more than once
     * (reference: silver_check.py:32-37).
     */

@@ -113,6 +113,29 @@ class SaltQualitySpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("quantileNormalize: hand-computed pooled order statistics; null exclusion; no cartesian") {
+    // pooled sorted: 1,2,3,4,100,200 (N=6)
+    // src A ranks 1..4 → k = ⌈r·6/4⌉ = 2,3,5,6 → norms 2,3,100,200
+    // src B ranks 1..2 → k = ⌈r·6/2⌉ = 3,6  → norms 3,200
+    val docs = Seq(
+      (1L, Option("A"), Option(1L)), (2L, Option("A"), Option(2L)),
+      (3L, Option("A"), Option(3L)), (4L, Option("A"), Option(4L)),
+      (5L, Option("B"), Option(100L)), (6L, Option("B"), Option(200L)),
+      (7L, None: Option[String], Option(50L)),
+      (8L, Option("A"), None: Option[Long])).toDF("id", "source", "score")
+    val out = graft.operators.Quality.quantileNormalize(docs, "id", "source", "score")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 2L)), 2L -> ((3L, 3L)), 3L -> ((5L, 100L)), 4L -> ((6L, 200L)),
+      5L -> ((3L, 3L)), 6L -> ((6L, 200L))),
+      "null-source and null-score rows are excluded; the rest map to pooled order stats")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"the order-statistic lookup must be a broadcast range join, never a cartesian:\n$plan")
+    graft.operators.Caches.release(blocking = true)
+  }
+
   test("compressionReport: driver mirror bit-identical; NULL/empty conventions; SQL face") {
     // sizes matter: below ~200 bytes the DEFLATE header dominates every
     // ratio, and a HEX string is genuinely 4-bit-compressible — so
