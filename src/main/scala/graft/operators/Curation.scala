@@ -35,6 +35,7 @@ final case class CurationConfig(
     textCol: String = "text",
     sourceCol: String = "source",
     gopher: Option[Filtering.GopherThresholds] = Some(Filtering.GopherThresholds()),
+    compressionBounds: Option[(Double, Double)] = None,
     boilerplateMinDf: Option[Long] = None,
     collapseTokenRuns: Boolean = false,
     spanStripWindow: Option[Int] = None,
@@ -90,6 +91,12 @@ object Curation {
     }
     cfg.gopher.foreach { th =>
       cur = Filtering.gopherFilter(cur, cfg.textCol, th)
+    }
+    cfg.compressionBounds.foreach { case (lo, hi) =>
+      // compressibility window: below lo is boilerplate loops, above hi
+      // is noise/base64 — both ends cut; judges the CLEANED text like
+      // every quality signal, and fuses into the scan as a plain where
+      cur = cur.where(compressionRatio(cfg).between(lo, hi))
     }
     if (cfg.exactDedup)
       cur = Dedup.exactDedup(cur, cfg.textCol, cfg.idCol)
@@ -180,6 +187,20 @@ object Curation {
       cur = cur.join(
         rep.where(col("passes")).select(col(cfg.idCol)), Seq(cfg.idCol), "left_semi")
     }
+    cfg.compressionBounds.foreach { case (lo, hi) =>
+      // evaluation-count note: ProjectCollapse inlines __cr into every
+      // use site (2 in each filter, +1 in the reason), so the audit path
+      // pays a few DEFLATE passes per row — acceptable for the opt-in
+      // ledger (BEST_SPEED deflate is microseconds per doc); the run()
+      // path's single `where` stays at ~2 per row. A persist barrier
+      // here would cost more than it saves at stage granularity.
+      val withRatio = cur.withColumn("__cr", compressionRatio(cfg))
+      ledgers ::= withRatio.where(!col("__cr").between(lo, hi))
+        .select(col(cfg.idCol), lit("compression").as("stage"),
+          when(col("__cr") < lo, lit("too_compressible"))
+            .otherwise(lit("incompressible")).as("reason"))
+      cur = withRatio.where(col("__cr").between(lo, hi)).drop("__cr")
+    }
     if (cfg.exactDedup) {
       val before = cur
       cur = Dedup.exactDedup(cur, cfg.textCol, cfg.idCol)
@@ -221,5 +242,16 @@ object Curation {
       .select(col(cfg.idCol), lit("").as("stage"), lit("").as("reason"))
       .where(lit(false))
     (cur, ledgers.foldLeft(emptyLedger)(_ unionByName _))
+  }
+
+  /** DEFLATE ratio of the (possibly stage-rewritten) text — the quality
+    * window [[CurationConfig.compressionBounds]] cuts on. NULL text and
+    * empty text yield NULL/0 and fail any (lo, hi) window with lo > 0.
+    */
+  private def compressionRatio(cfg: CurationConfig) = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val dl = ColumnBridge.column(
+      graft.expressions.DeflateLenExpr(ColumnBridge.expression(col(cfg.textCol))))
+    dl.cast("double") / octet_length(col(cfg.textCol)).cast("double")
   }
 }

@@ -74,7 +74,11 @@ object Quality {
       .withColumn("__r", row_number().over(w).cast("long"))
       .join(srcN, Seq("source"))
       .crossJoin(broadcast(totals))
-      .withColumn("__k", expr("(__r * __N + __ns - 1) div __ns"))
+      // decimal(38,0), not long: r·N is rank × corpus size, which clears
+      // 2^63 near 10^10 rows — far below a 100 TB corpus. The quotient
+      // itself is ≤ N and fits a long again.
+      .withColumn("__k",
+        expr("CAST((CAST(__r AS DECIMAL(38,0)) * __N + __ns - 1) DIV __ns AS BIGINT)"))
     val pooled = scored.groupBy("score").agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum("__c").over(Window.orderBy("score")))
       .select(

@@ -388,7 +388,10 @@ object Ranking {
     *
     * Inputs: `run` carries (queryCol, docCol, rankCol) with rank 1-based
     * and unique per query; `qrels` carries (queryCol, docCol, gradeCol),
-    * grade > 0 meaning relevant. Every query present in the run reports
+    * grade > 0 meaning relevant, ONE judgment per (query, doc) — a
+    * duplicate judgment would inflate n_rel and double-count its hit
+    * through the join (dropDuplicates upstream if your qrels can carry
+    * revisions). Every query present in the run reports
     * a row — zero-hit queries with zeros, and a query with NO relevant
     * judgments reports recall 0 BY DEFINITION HERE (not NULL: a monitor
     * summing recall over queries must not silently skip them).

@@ -104,6 +104,36 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("compression window cuts both ends and judges the stage-rewritten text") {
+    val loops = ("spam " * 150).trim                       // ratio ≈ 0 → too compressible
+    val rnd = new scala.util.Random(11)
+    val noise = Array.fill(600)((33 + rnd.nextInt(94)).toChar).mkString // ratio → 1
+    // genuinely varied sentences (measured ratio ≈ 0.58): templated
+    // prose with one varying token compresses under 0.15 and would fall
+    // out of the window with the loops
+    val normal = Seq(
+      "the weather over the harbor turned sour before noon",
+      "a freight train rattled past the empty platform twice",
+      "my neighbor's cat refuses every brand of kibble but one",
+      "quarterly numbers disappointed the board again this spring",
+      "volcanic soil gives that vineyard its peculiar mineral bite",
+      "the referee waved off a clear penalty in the final minute",
+      "her thesis argues that medieval guilds resembled modern unions",
+      "static crackled through the old shortwave at midnight",
+      "the bakery sells out of rye loaves by eight most mornings",
+      "engineers rerouted the cooling loop around the damaged pump").mkString(" ")
+    val docs = Seq((1L, "A", loops), (2L, "A", noise), (3L, "A", normal))
+      .toDF("doc_id", "source", "text")
+    val keepCfg = CurationConfig(gopher = None, exactDedup = false,
+      compressionBounds = Some((0.2, 0.75)))
+    val kept = Curation.run(docs, keepCfg).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L), "both the loop and the noise must fall outside the window")
+    val (kept2, ledger) = Curation.runAudited(docs, keepCfg)
+    assert(kept2.select("doc_id").as[Long].collect().toSet === Set(3L))
+    val reasons = ledger.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(reasons === Map(1L -> "too_compressible", 2L -> "incompressible"))
+  }
+
   test("runAudited: ledger names the killing stage, kept + dropped partition the input") {
     val (kept, ledger) = Curation.runAudited(corpus, cfg)
     val keptIds = kept.select("doc_id").as[Long].collect().toSet
