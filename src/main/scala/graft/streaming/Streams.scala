@@ -676,4 +676,74 @@ object Streams {
       }
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
+
+  /** Continuous duplicate-CLUSTER maintenance: each micro-batch carries
+    * freshly discovered near-dup pairs (from any of the pair producers —
+    * LSH, simhash, the dedup-index probes), and the committed table at
+    * `statePath` is always the `(id, component)` star forest of the
+    * CUMULATIVE pair graph — components labeled by their minimum id,
+    * exactly what batch [[graft.operators.Graphs.connectedComponents]]
+    * would produce over every pair ever streamed (spec-pinned). Batch
+    * pairs can merge components formed in earlier batches; labels then
+    * change for every member, which is why this is a state SWAP, not an
+    * append like the sibling ingests.
+    *
+    * Incremental shape: only TOUCHED components recompute. The batch's
+    * endpoint ids select their current components; those members' star
+    * edges (2 columns, one row per non-root member — connectivity-
+    * equivalent to the full history by the star-forest invariant) union
+    * the batch pairs and re-converge; untouched state unions back
+    * unchanged. Per-batch cost is O(touched components + batch), never
+    * O(cumulative graph). The swap rides
+    * [[graft.sources.Sinks.writePartitionedAtomic]] (the read-from-
+    * target-while-overwriting shape), and replaying a crashed batch is
+    * IDEMPOTENT by construction: pairs already absorbed into the state
+    * re-converge to the identical forest, so the swap rewrites the same
+    * rows — no commit marker needed.
+    */
+  def dupClusterIngest(
+      pairs: DataFrame,
+      idACol: String,
+      idBCol: String,
+      statePath: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Caches, Graphs}
+    val writer = pairs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val scope = Caches.newScope()
+        try Caches.inScope(scope) {
+          val b = Caches.pin(batch.toDF()
+            .select(col(idACol).cast("long").as("__u"), col(idBCol).cast("long").as("__v"))
+            .where(col("__u").isNotNull && col("__v").isNotNull && col("__u") =!= col("__v"))
+            .distinct())
+          if (!b.isEmpty) {
+            val root = new org.apache.hadoop.fs.Path(statePath)
+            val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // committed state = _SUCCESS present; a crashed first swap
+            // leaves staging debris that must not be read as a table
+            // (the urlDedupIngest crash-window lesson)
+            val hasState = fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))
+            val state = Caches.pin(
+              if (hasState) spark.read.parquet(statePath).select("id", "component")
+              else spark.range(0).select(col("id"), col("id").as("component")))
+            val nodes = b.select(col("__u").as("id"))
+              .unionByName(b.select(col("__v").as("id"))).distinct()
+            val touched = state.join(nodes, Seq("id"), "left_semi")
+              .select("component").distinct()
+            val starEdges = state.join(touched, Seq("component"), "left_semi")
+              .where(col("id") =!= col("component"))
+              .select(col("id").as("__u"), col("component").as("__v"))
+            val merged = Graphs.connectedComponents(
+              starEdges.unionByName(b), "__u", "__v")
+            val newState = state.join(touched, Seq("component"), "left_anti")
+              .select("id", "component")
+              .unionByName(merged.select("id", "component"))
+            graft.sources.Sinks.writePartitionedAtomic(newState, statePath, Nil)
+          }
+        } finally scope.release()
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
 }

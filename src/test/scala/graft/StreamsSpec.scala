@@ -758,4 +758,65 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
     graft.operators.Caches.release()
   }
+
+  test("dupClusterIngest: state equals batch CC of all pairs ever streamed, incl. cross-batch merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-cc").toString
+    val statePath = s"$root/clusters"
+    val input = MemoryStream[(Long, Long)]
+    val query = Streams.dupClusterIngest(
+      input.toDF().toDF("id_a", "id_b"), "id_a", "id_b", statePath)
+    def state(): Map[Long, Long] = spark.read.parquet(statePath)
+      .as[(Long, Long)].collect().toMap
+    try {
+      // batch 0: two separate components {1,2} and {10,11}
+      input.addData((2L, 1L), (10L, 11L))
+      query.processAllAvailable()
+      assert(state() === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+      // batch 1: a BRIDGE (2,10) merges them; plus a fresh component {20,21}
+      input.addData((2L, 10L), (20L, 21L))
+      query.processAllAvailable()
+      assert(state() === Map(
+        1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 20L -> 20L, 21L -> 20L),
+        "the cross-batch merge must relabel every member of both old components")
+      // batch 2: pair inside an existing component (no-op merge) + self-loop junk
+      input.addData((11L, 1L), (5L, 5L))
+      query.processAllAvailable()
+      val got = state()
+      // ground truth: batch CC over every pair ever streamed
+      val all = Seq((2L, 1L), (10L, 11L), (2L, 10L), (20L, 21L), (11L, 1L), (5L, 5L))
+      val want = graft.operators.Graphs.connectedComponents(
+        all.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, "streamed state must equal the batch operator over the union")
+    } finally query.stop()
+    graft.operators.Caches.release(blocking = true)
+  }
+
+  test("dupClusterIngest: replaying an absorbed batch rewrites the identical state (crash window)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-cc-replay").toString
+    val statePath = s"$root/clusters"
+    val input = MemoryStream[(Long, Long)]
+    val q1 = Streams.dupClusterIngest(
+      input.toDF().toDF("id_a", "id_b"), "id_a", "id_b", statePath)
+    try {
+      input.addData((2L, 1L), (3L, 2L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val committed = spark.read.parquet(statePath).as[(Long, Long)].collect().toMap
+    assert(committed === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a fresh checkpoint-less runner re-offers the SAME pairs — the replay
+    // shape after a crash between state swap and checkpoint commit
+    val replay = MemoryStream[(Long, Long)]
+    val q2 = Streams.dupClusterIngest(
+      replay.toDF().toDF("id_a", "id_b"), "id_a", "id_b", statePath)
+    try {
+      replay.addData((2L, 1L), (3L, 2L))
+      q2.processAllAvailable()
+      val after = spark.read.parquet(statePath).as[(Long, Long)].collect().toMap
+      assert(after === committed, "absorbed pairs must re-converge to the identical forest")
+    } finally q2.stop()
+    graft.operators.Caches.release(blocking = true)
+  }
 }
