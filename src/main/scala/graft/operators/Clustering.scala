@@ -70,8 +70,11 @@ object Clustering {
         emb.select(col(idCol).as("__id"), quantInt(col(vecCol), scale).as("__qv")))
       val seeds = q.orderBy("__id").limit(k).collect()
       require(seeds.length == k, s"need at least k=$k vectors, got ${seeds.length}")
-      var cents: IndexedSeq[Array[Long]] = seeds.map(
-        _.getSeq[Double](1).map(_.toLong).toArray).toIndexedSeq
+      var cents: IndexedSeq[Array[Long]] = seeds.map { r =>
+        require(!r.isNullAt(1),
+          s"trainKmeansInt: NULL $vecCol on seed id ${r.get(0)} — filter or impute upstream")
+        r.getSeq[Double](1).map(_.toLong).toArray
+      }.toIndexedSeq
       val dim = cents.head.length
       require(cents.forall(_.length == dim), "seed vectors must share one dimension")
       for (_ <- 1 to iters) {
@@ -83,7 +86,14 @@ object Clustering {
         val stats = q.groupBy(cellCol.as("__c"))
           .agg(sumCol.as("__s"))
           .collect()
-          .map(r => r.getInt(0) -> r.getStruct(1)).toMap
+          .map { r =>
+            // a NULL cell key means a NULL vector slipped into the corpus
+            // (NearestCentroidsExpr maps NULL → NULL); name the cause
+            // instead of NPE-ing on getInt
+            require(!r.isNullAt(0),
+              s"trainKmeansInt: NULL $vecCol rows in the corpus — filter or impute upstream")
+            r.getInt(0) -> r.getStruct(1)
+          }.toMap
         cents = cents.indices.map { c =>
           stats.get(c).fold(cents(c)) { s =>
             val n = s.getLong(0)

@@ -95,8 +95,12 @@ object Curation {
     cfg.compressionBounds.foreach { case (lo, hi) =>
       // compressibility window: below lo is boilerplate loops, above hi
       // is noise/base64 — both ends cut; judges the CLEANED text like
-      // every quality signal, and fuses into the scan as a plain where
-      cur = cur.where(compressionRatio(cfg).between(lo, hi))
+      // every quality signal, and fuses into the scan as a plain where.
+      // coalesce(false): NULL text is unscorable and always fails — a
+      // bare `where(NULL)` would drop it too, but the audited twin must
+      // ledger it, so both paths share one explicit rule
+      cur = cur.where(coalesce(
+        Quality.deflateRatio(col(cfg.textCol)).between(lo, hi), lit(false)))
     }
     if (cfg.exactDedup)
       cur = Dedup.exactDedup(cur, cfg.textCol, cfg.idCol)
@@ -194,12 +198,19 @@ object Curation {
       // ledger (BEST_SPEED deflate is microseconds per doc); the run()
       // path's single `where` stays at ~2 per row. A persist barrier
       // here would cost more than it saves at stage granularity.
-      val withRatio = cur.withColumn("__cr", compressionRatio(cfg))
-      ledgers ::= withRatio.where(!col("__cr").between(lo, hi))
+      // `ok` is coalesced so NULL-text rows fail EXPLICITLY and land in
+      // the ledger as unscorable — a bare !between(NULL) is NULL, which
+      // skipped them in BOTH filters and broke the kept + dropped =
+      // input invariant (review, round 12)
+      val withRatio = cur.withColumn(
+        "__cr", Quality.deflateRatio(col(cfg.textCol)))
+      val ok = coalesce(col("__cr").between(lo, hi), lit(false))
+      ledgers ::= withRatio.where(!ok)
         .select(col(cfg.idCol), lit("compression").as("stage"),
-          when(col("__cr") < lo, lit("too_compressible"))
+          when(col("__cr").isNull, lit("unscorable"))
+            .when(col("__cr") < lo, lit("too_compressible"))
             .otherwise(lit("incompressible")).as("reason"))
-      cur = withRatio.where(col("__cr").between(lo, hi)).drop("__cr")
+      cur = withRatio.where(ok).drop("__cr")
     }
     if (cfg.exactDedup) {
       val before = cur
@@ -242,16 +253,5 @@ object Curation {
       .select(col(cfg.idCol), lit("").as("stage"), lit("").as("reason"))
       .where(lit(false))
     (cur, ledgers.foldLeft(emptyLedger)(_ unionByName _))
-  }
-
-  /** DEFLATE ratio of the (possibly stage-rewritten) text — the quality
-    * window [[CurationConfig.compressionBounds]] cuts on. NULL text and
-    * empty text yield NULL/0 and fail any (lo, hi) window with lo > 0.
-    */
-  private def compressionRatio(cfg: CurationConfig) = {
-    import org.apache.spark.sql.graft.ColumnBridge
-    val dl = ColumnBridge.column(
-      graft.expressions.DeflateLenExpr(ColumnBridge.expression(col(cfg.textCol))))
-    dl.cast("double") / octet_length(col(cfg.textCol)).cast("double")
   }
 }

@@ -470,6 +470,7 @@ object Dedup {
       idCol: String,
       scoreCol: String,
       clusters: DataFrame): DataFrame = {
+    requireIntegralIds(docs, Seq(idCol), "keepBestByCluster")
     val scored = clusters.join(
       docs.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__score")),
       Seq("id"))
@@ -595,9 +596,26 @@ object Dedup {
     * than GraphX's RDD Pregel; the label contract is identical and
     * GraphsSpec cross-checks the two on clustered pair sets.
     */
-  def duplicateClusters(pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b"): DataFrame =
+  def duplicateClusters(pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    requireIntegralIds(pairs, Seq(idACol, idBCol), "duplicateClusters")
     Graphs.connectedComponents(pairs, idACol, idBCol)
       .toDF("id", "cluster")
+  }
+
+  /** Non-integral id columns must fail LOUDLY here: the DataFrame CC path
+    * casts to long and EXCLUDES null results, so a string id like
+    * "doc-123" would silently drop its edges and dedup would quietly
+    * keep duplicates (the old GraphX path at least threw at runtime —
+    * this guard fails earlier, at plan time; review, round 12).
+    */
+  private def requireIntegralIds(df: DataFrame, cols: Seq[String], who: String): Unit =
+    for (c <- cols) df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$who needs INTEGRAL id columns (got $c: ${other.catalogString}); " +
+          "map ids to longs first — a non-castable id would silently drop edges")
+    }
 
   /** End-to-end near-dup removal: MinHash pairs → components → keep the
     * smallest id of every cluster plus all unpaired documents.

@@ -20,6 +20,21 @@ object Quality {
     * operator); empty text reports its fixed DEFLATE overhead with
     * ratio 0 by convention (raw_bytes = 0 has no meaningful quotient).
     */
+  /** The DEFLATE ratio as a column: bytes-compressed / bytes-raw, 0.0
+    * for EMPTY text by convention (a zero-byte doc has no meaningful
+    * quotient), NULL only for NULL text. The ONE definition both
+    * [[compressionReport]] and Curation's compression stage use — the
+    * two diverged once (empty text scored NULL in the stage and was
+    * silently cut even by a lo = 0 window; review, round 12).
+    */
+  def deflateRatio(textC: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val dl = ColumnBridge.column(
+      graft.expressions.DeflateLenExpr(ColumnBridge.expression(textC)))
+    when(octet_length(textC) > 0, dl.cast("double") / octet_length(textC).cast("double"))
+      .when(octet_length(textC).isNotNull, lit(0.0))
+  }
+
   def compressionReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val dl = ColumnBridge.column(
@@ -63,6 +78,17 @@ object Quality {
       sourceCol: String,
       scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // refuse fractional scores rather than silently truncating them to
+    // long (a [0,1] classifier score would collapse to {0, 1} and the
+    // "ranks" would be tie-break noise): quantize to an integer grid
+    // first — that IS the documented precondition
+    docs.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"quantileNormalize needs an INTEGRAL score column (got $scoreCol: " +
+          s"${other.catalogString}); quantize first, e.g. floor(score * 1000)")
+    }
     val scored = docs
       .select(col(idCol), col(sourceCol).as("source"), col(scoreCol).cast("long").as("score"))
       .where(col("score").isNotNull && col("source").isNotNull)

@@ -87,6 +87,15 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got(1).toSeq === Seq(966L, 1033L), "round 2+ refills the vacated cluster")
   }
 
+  test("a NULL embedding fails loudly with the cause named, not an NPE") {
+    val docs = (blobs(20, seed = 2) :+ (99L -> null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Clustering.trainKmeansInt(docs, "vec_id", "embedding", k = 2, iters = 2)
+    }
+    assert(ex.getMessage.contains("NULL embedding"), ex.getMessage)
+  }
+
   test("train consumes its own pin; nothing stays persisted") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Clustering.trainKmeansInt(

@@ -134,6 +134,26 @@ class CurationSpec extends AnyFunSuite {
     assert(reasons === Map(1L -> "too_compressible", 2L -> "incompressible"))
   }
 
+  test("compression stage: NULL and empty text are ledgered, never silently vanished") {
+    val docs = Seq(
+      (1L, "A", Option("the weather over the harbor turned sour before noon and " +
+        "a freight train rattled past the empty platform while engineers " +
+        "rerouted the cooling loop around the damaged pump near the bakery")),
+      (2L, "A", None: Option[String]),   // NULL text: unscorable
+      (3L, "A", Option("")))             // empty: ratio 0 by convention
+      .toDF("doc_id", "source", "text")
+    val cfg = CurationConfig(gopher = None, exactDedup = false,
+      compressionBounds = Some((0.2, 0.95)))
+    val (kept, ledger) = Curation.runAudited(docs, cfg)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    val reasons = ledger.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(keptIds === Set(1L))
+    assert(reasons === Map(2L -> "unscorable", 3L -> "too_compressible"),
+      "kept + ledgered must partition the input — NULL ratios may not skip both filters")
+    assert(Curation.run(docs, cfg).select("doc_id").as[Long].collect().toSet === keptIds,
+      "run() and runAudited() must drop the same rows")
+  }
+
   test("runAudited: ledger names the killing stage, kept + dropped partition the input") {
     val (kept, ledger) = Curation.runAudited(corpus, cfg)
     val keptIds = kept.select("doc_id").as[Long].collect().toSet

@@ -260,6 +260,18 @@ class DedupSpec extends AnyFunSuite {
     assert(exact == brute, s"inverted-index result must equal brute force:\n$exact\nvs $brute")
   }
 
+  test("cluster APIs refuse non-integral id columns instead of silently dropping edges") {
+    // a string id like "doc-123" casts to NULL long and its edges would
+    // vanish from the DataFrame CC path — the guard fails at plan time
+    val strPairs = Seq(("doc-1", "doc-2")).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] { Dedup.duplicateClusters(strPairs) }
+    assert(ex.getMessage.contains("INTEGRAL"))
+    val strDocs = Seq(("doc-1", 5L)).toDF("id", "score")
+    intercept[IllegalArgumentException] {
+      Dedup.keepBestByCluster(strDocs, "id", "score", Seq((1L, 1L)).toDF("id", "cluster"))
+    }
+  }
+
   test("keepBestByCluster: best wins over min-id, ties to smaller id, unclustered survive") {
     val docs = Seq(
       (1L, "short", 2L),    // cluster {1,2,3}: 2 scores highest → keeper

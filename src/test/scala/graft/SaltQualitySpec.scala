@@ -133,6 +133,12 @@ class SaltQualitySpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"the order-statistic lookup must be a broadcast range join, never a cartesian:\n$plan")
+    // fractional scores must refuse, not silently truncate to {0, 1}
+    val frac = Seq((1L, "A", 0.7), (2L, "A", 0.3)).toDF("id", "source", "score")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Quality.quantileNormalize(frac, "id", "source", "score")
+    }
+    assert(ex.getMessage.contains("INTEGRAL"))
     graft.operators.Caches.release(blocking = true)
   }
 
