@@ -260,6 +260,30 @@ class DedupSpec extends AnyFunSuite {
     assert(exact == brute, s"inverted-index result must equal brute force:\n$exact\nvs $brute")
   }
 
+  test("weightedJaccardPairs matches a driver mirror on random multisets") {
+    val rnd = new scala.util.Random(31)
+    val docs = (0L until 30L).map { i =>
+      val len = 1 + rnd.nextInt(12)
+      i -> Seq.fill(len)(s"w${rnd.nextInt(6)}").mkString(" ")
+    }
+    val got = Dedup.weightedJaccardPairs(docs.toDF("id", "text"), "text", "id", threshold = 0.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Double]("jaccard_w"), r.getAs[Double]("containment_a"))))
+      .toMap
+    val tf = docs.map { case (i, t) =>
+      i -> t.split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val want = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      sm = (tf(a).keySet & tf(b).keySet).toSeq.map(t => math.min(tf(a)(t), tf(b)(t))).sum
+      if sm > 0
+      ma = tf(a).values.sum; mb = tf(b).values.sum
+    } yield (a, b) -> ((sm.toDouble / (ma + mb - sm), sm.toDouble / ma))).toMap
+    assert(got === want, s"${got.size} vs ${want.size} pairs")
+    graft.operators.Caches.release(blocking = true)
+  }
+
   test("cluster APIs refuse non-integral id columns instead of silently dropping edges") {
     // a string id like "doc-123" casts to NULL long and its edges would
     // vanish from the DataFrame CC path — the guard fails at plan time
