@@ -5143,19 +5143,16 @@ object Queries {
     * (sort, prefix sums, funded maximality, truncating level, +1s to
     * the first `rem` unfunded in order) over the same budget.
     */
-  val q117WaterfillPlan: Q = Q(
-    "q117_waterfill_plan",
-    (s, dir) => {
-      val d = t(s, dir, "documents")
-      val total = d.agg(sum(col("n_chars").cast("long"))).first.getLong(0)
-      graft.operators.Packing.waterfillMixturePlan(
-        d, "source", "n_chars", total * 97L / 100L)
-    },
-    Some("""
-      WITH agg AS (
+  /** The waterfill arithmetic as a reusable CTE chain ending in
+    * `tgt(source, n_docs, actual_tokens, target_tokens)`, budget =
+    * `pct`% of total mass — shared by the plan gate (q117) and the
+    * plan-feeds-sampler composition (q117b).
+    */
+  private def waterfillCtesSql(pct: Int): String = s"""
+      agg AS (
         SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS actual_tokens
         FROM documents GROUP BY 1),
-      b AS (SELECT CAST(SUM(actual_tokens) * 97 // 100 AS BIGINT) AS budget FROM agg),
+      b AS (SELECT CAST(SUM(actual_tokens) * $pct // 100 AS BIGINT) AS budget FROM agg),
       w AS (
         SELECT source, n_docs, actual_tokens,
                CAST(row_number() OVER ord AS BIGINT) AS j,
@@ -5176,12 +5173,68 @@ object Queries {
                     ELSE CAST((budget - sk) // (n - k) AS BIGINT) +
                          CASE WHEN j - k <= (budget - sk) % (n - k) THEN 1 ELSE 0 END
                END AS target_tokens
-        FROM f, k)
+        FROM f, k)"""
+
+  val q117WaterfillPlan: Q = Q(
+    "q117_waterfill_plan",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val total = d.agg(sum(col("n_chars").cast("long"))).first.getLong(0)
+      graft.operators.Packing.waterfillMixturePlan(
+        d, "source", "n_chars", total * 97L / 100L)
+    },
+    Some(s"""
+      WITH ${waterfillCtesSql(97)}
       SELECT source, n_docs, actual_tokens, target_tokens,
              CASE WHEN actual_tokens > 0
                   THEN CAST(target_tokens AS DOUBLE) / CAST(actual_tokens AS DOUBLE)
                   ELSE 0.0 END AS fraction
       FROM tgt"""))
+
+  /** Plan-feeds-sampler composition: the waterfill allocation at 60% of
+    * corpus mass becomes `targetsOf` targets for
+    * [[graft.operators.Packing.mixtureSampleRepeats]] under the
+    * systematic doc_id uniform — so the oracle replays allocation AND
+    * per-document selection in one chain, and a drift in either breaks
+    * the hash (the q115b move for the mixture layer). Waterfill targets
+    * never exceed capacity, so every fraction is ≤ 1 and the epoch
+    * column is identically 0 — a pure subsample face of the repeats
+    * machinery.
+    */
+  val q117bWaterfillSample: Q = Q(
+    "q117b_waterfill_sample",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("n_chars").cast("long").as("n_tokens"))
+      val total = d.agg(sum("n_tokens")).first.getLong(0)
+      val plan = graft.operators.Packing.waterfillMixturePlan(
+        d, "source", "n_tokens", total * 60L / 100L)
+      graft.operators.Packing.mixtureSampleRepeats(
+        d, "doc_id", "source", "n_tokens",
+        graft.operators.Packing.targetsOf(plan),
+        // ×37 spread (the q98 systematic uniform): bare doc_id % 1000 is
+        // < 0.5 for every id at sf0.01 and the 0.6-ish fractions would
+        // reject NOTHING there — no live selection witness
+        uniform = Some(pmod(col("doc_id") * 37L, lit(1000L)).cast("double") / lit(1000.0)))
+    },
+    Some(s"""
+      WITH ${waterfillCtesSql(60)},
+      d AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_tokens FROM documents),
+      fr AS (
+        SELECT source,
+               CASE WHEN actual_tokens > 0
+                    THEN CAST(target_tokens AS DOUBLE) / CAST(actual_tokens AS DOUBLE)
+                    ELSE 0.0 END AS f
+        FROM tgt),
+      c AS (
+        SELECT d.doc_id, d.source, d.n_tokens,
+               CAST(floor(fr.f) AS BIGINT)
+                 + CASE WHEN (d.doc_id * 37 % 1000) / 1000.0 < fr.f - floor(fr.f) THEN 1 ELSE 0 END AS n_copies
+        FROM d JOIN fr USING (source))
+      SELECT doc_id, source, n_tokens,
+             unnest(generate_series(CAST(0 AS BIGINT), n_copies - 1)) AS epoch
+      FROM c WHERE n_copies > 0"""))
 
   /** Keeper-by-QUALITY dedup ([[graft.operators.Dedup
     * .keepBestByCluster]]): exact near-dup pairs → converged components →
@@ -5388,7 +5441,8 @@ object Queries {
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
     q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
     q112DriftReport, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain,
-    q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan, q118KeepBestDedup,
+    q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan, q117bWaterfillSample,
+    q118KeepBestDedup,
     q119WeightedMinhash, q120EvalRun, q121Compression, q122QuantileNormalize)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
