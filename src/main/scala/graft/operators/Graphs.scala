@@ -60,7 +60,54 @@ object Graphs {
       idCol: String,
       iters: Int,
       scale: Long = 1000000L,
+      scope: Option[Caches.Scope] = None): DataFrame =
+    rankRounds(edges, srcCol, dstCol, nodes, idCol, iters, scale, scope,
+      checkpointEvery = Int.MaxValue)
+
+  /** [[pageRankInt]] for CONVERGENCE-SCALE runs (tens to hundreds of
+    * rounds): every `checkpointEvery` rounds the rank frame takes an
+    * eager localCheckpoint, so the logical plan stays bounded at
+    * ~checkpointEvery rounds' worth of joins instead of growing linearly
+    * in `iters` (at 100+ rounds the linear plan makes the OPTIMIZER the
+    * bottleneck — the [[connectedComponents]] lesson, where lineage
+    * growth OOMed the analyzer). The arithmetic is the SAME code path as
+    * [[pageRankInt]], so the two faces are bit-for-bit equal at any
+    * iteration count by construction.
+    *
+    * Trade-offs vs the linear face: checkpoint rounds EXECUTE during
+    * this call (the operator is no longer fully lazy), and each
+    * checkpoint materializes the 2-column rank frame to executor-local
+    * storage — the narrowest frame in the job, so the cost is one extra
+    * narrow job per `checkpointEvery` rounds. Superseded checkpoints'
+    * blocks are reclaimed by the ContextCleaner once unreferenced.
+    * The prep pin contract is unchanged: pass `scope` and release after
+    * consuming the result.
+    */
+  def pageRankIntCheckpointed(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes: DataFrame,
+      idCol: String,
+      iters: Int,
+      scale: Long = 1000000L,
+      checkpointEvery: Int = 10,
       scope: Option[Caches.Scope] = None): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
+    rankRounds(edges, srcCol, dstCol, nodes, idCol, iters, scale, scope,
+      checkpointEvery)
+  }
+
+  private def rankRounds(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes: DataFrame,
+      idCol: String,
+      iters: Int,
+      scale: Long,
+      scope: Option[Caches.Scope],
+      checkpointEvery: Int): DataFrame = {
     require(iters >= 1, "pageRankInt needs at least one iteration")
     require(scale >= 1000L, "scale under 1000 makes integer damping too lossy")
     val prep = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
@@ -71,7 +118,7 @@ object Graphs {
     val e = scope.fold(Caches.pin(prep))(_.pin(prep))
     val ids = nodes.select(col(idCol).as("__id"))
     var rank = ids.select(col("__id"), lit(scale).as("__rank"))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       // `div`, not `/`: Column./ is DOUBLE division, which stops being
       // exact past 2^53 — integral div keeps every round exact at any
       // graph size, which is the whole point of the fixed-point face.
@@ -86,6 +133,10 @@ object Graphs {
           col("__id"),
           (lit(15L * scale / 100L) +
             expr(s"(85 * coalesce(__agg, 0L)) div 100")).as("__rank"))
+      // the FINAL round never checkpoints: the caller gets a lazy tail
+      // (at most checkpointEvery-1 rounds deep) exactly like pageRankInt
+      if (round % checkpointEvery == 0 && round < iters)
+        rank = rank.localCheckpoint(true)
     }
     rank.select(col("__id").as(idCol), col("__rank").as("rank"))
   }

@@ -146,6 +146,43 @@ class GraphsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("pageRankIntCheckpointed is bit-for-bit pageRankInt at convergence-scale rounds") {
+    val edgeList = (0L until 120L).flatMap(i => Seq((i, (i * 5 + 2) % 120), (i, (i * 11 + 7) % 120)))
+    val edges = edgeList.toDF("src", "dst")
+    val nodes = (0L until 120L).toDF("id")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
+    val linear = toMap(Graphs.pageRankInt(edges, "src", "dst", nodes, "id", iters = 12))
+    val ckpt = toMap(Graphs.pageRankIntCheckpointed(
+      edges, "src", "dst", nodes, "id", iters = 12, checkpointEvery = 5))
+    assert(ckpt === linear, "checkpointing must not change a single rank bit")
+    // 30 rounds — a convergence-scale run the linear face's plan growth
+    // makes painful — against the driver-side recurrence
+    val deep = toMap(Graphs.pageRankIntCheckpointed(
+      edges, "src", "dst", nodes, "id", iters = 30, checkpointEvery = 8))
+    assert(deep === reference(edgeList, 0L until 120L, iters = 30))
+    Caches.release(blocking = true)
+  }
+
+  test("pageRankIntCheckpointed's plan size is bounded by checkpointEvery, not iters") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    def planNodes(iters: Int): Int = {
+      val df = Graphs.pageRankIntCheckpointed(
+        edges, "src", "dst", nodes, "id", iters = iters, checkpointEvery = 5)
+      var n = 0
+      df.queryExecution.analyzed.foreach(_ => n += 1)
+      n
+    }
+    // both end 5 rounds past their last checkpoint → identical lazy tails;
+    // the linear face would differ by 20 rounds' worth of join subtrees
+    val at10 = planNodes(10)
+    val at30 = planNodes(30)
+    assert(at10 === at30,
+      s"plan must not grow with iters past a checkpoint boundary ($at10 vs $at30)")
+    Caches.release(blocking = true)
+  }
+
   test("pageRankInt's prep pin is released by the caller's scope, not leaked") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val nodes = Seq(1L, 2L).toDF("id")
