@@ -34,7 +34,8 @@ object Bench {
     // Probes run against ONE standing index built (untimed) per scale
     // factor; builds land in a fresh temp dir per pass, like the catalog.
     case class E(name: String, run: (SparkSession, String) => Unit,
-        afterPass: () => Unit = () => ())
+        afterPass: () => Unit = () => (),
+        frame: Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] = None)
     val servingSplit = Set(
       "q84_text_index_search", "q65b_ann_index_dedup_pq", "q106_dsir_importance")
     val standingTextIdx = scala.collection.mutable.Map.empty[String, String]
@@ -67,16 +68,20 @@ object Bench {
     def dropScratch(): Unit = { scratch.foreach(rmrf); scratch.clear() }
     val entries: Seq[E] =
       Queries.headlines.filterNot(q => servingSplit(q.name))
-        .map(q => E(q.name, (s, d) => noopWrite(q.fn(s, d)))) ++ Seq(
+        .map(q => E(q.name, (s, d) => noopWrite(q.fn(s, d)),
+          frame = Some((s, d) => q.fn(s, d)))) ++ Seq(
         E("q84_build", (s, d) => { scratch += Queries.buildTextIndexBatches(s, d); () },
           dropScratch _),
-        E("q84_probe", (s, d) => noopWrite(Queries.textIndexProbe(s, textIdxFor(d)))),
+        E("q84_probe", (s, d) => noopWrite(Queries.textIndexProbe(s, textIdxFor(d))),
+          frame = Some((s, d) => Queries.textIndexProbe(s, textIdxFor(d)))),
         E("q65b_build", (s, d) => { scratch += Queries.buildAnnPqIndex(s, d); () },
           dropScratch _),
-        E("q65b_probe", (s, d) => noopWrite(Queries.annPqProbe(s, d, annIdxFor(d)))),
+        E("q65b_probe", (s, d) => noopWrite(Queries.annPqProbe(s, d, annIdxFor(d))),
+          frame = Some((s, d) => Queries.annPqProbe(s, d, annIdxFor(d)))),
         E("q106_build", (s, d) => { scratch += Queries.buildDsirModels(s, d); () },
           dropScratch _),
-        E("q106_probe", (s, d) => noopWrite(Queries.dsirScore(s, d, modelsFor(d)))))
+        E("q106_probe", (s, d) => noopWrite(Queries.dsirScore(s, d, modelsFor(d))),
+          frame = Some((s, d) => Queries.dsirScore(s, d, modelsFor(d)))))
 
     // Drop operator-pinned prep tables and everything else in the cache
     // manager: leftover storage memory from a previous query (the dedup
@@ -137,9 +142,38 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_.cold).sum
     val totalWarm = results.map(_.warm).sum
+    // Per-entry executed-scan IO (files/bytes/rows actually read), from one
+    // UNTIMED cold pass after the timing samples: every round-over-round
+    // timing delta now carries its IO denominator, so a testdata
+    // regeneration that changes the workload (the r9 confound) is visible
+    // in the bench artifact itself instead of requiring an mtime autopsy.
+    // Counter a scan node cannot report is −1 (never 0); a −1 poisons the
+    // entry's sum because a partial total would read as "less IO".
+    // Build entries write indexes rather than returning a frame → absent.
+    // Operators that eagerly checkpoint inside the call (q114's connected
+    // components) report scans:0 — their file reads happened in checkpoint
+    // rounds whose plans are gone by the time the result frame exists.
+    def sumKnown(xs: Seq[Long]): Long = if (xs.contains(-1L)) -1L else xs.sum
+    val scanIoJson = entries.flatMap { e =>
+      e.frame.map { f =>
+        clear()
+        val df = f(spark, sfDir)
+        // execute the frame's OWN QueryExecution (a noop write plans a new
+        // one, leaving these scan metrics at zero); toRdd keeps it
+        // distributed — nothing deserializes to the driver
+        try df.queryExecution.toRdd.foreach(_ => ())
+        catch { case ex: Throwable => System.err.println(s"[bench] scan_io ${e.name}: ${ex.getMessage}") }
+        val scans = graft.operators.Metrics.scanReport(df)
+        e.afterPass()
+        "\"" + e.name + "\":{\"scans\":" + scans.size +
+          ",\"files\":" + sumKnown(scans.map(_.filesRead)) +
+          ",\"bytes\":" + sumKnown(scans.map(_.bytesRead)) +
+          ",\"rows\":" + sumKnown(scans.map(_.rowsOutput)) + "}"
+      }
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_.cold)},""" +
       s""""total_warm":$totalWarm,"queries_warm":${json(_.warm)},""" +
-      s""""queries_cold_passes":$passesJson,"sf":"$sfDir"}""")
+      s""""queries_cold_passes":$passesJson,"scan_io":$scanIoJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
