@@ -26,12 +26,20 @@ object ParquetStats {
     * statistics when present (-1 aggregate when any chunk lacks them:
     * absent stats must read as "unknown", never as zero nulls).
     */
-  def columnFootprint(spark: SparkSession, path: String): DataFrame = {
+  /** One row per (file, row group, column chunk) from a parallelized
+    * footers-only sweep — the shared substrate [[columnFootprint]] and
+    * [[StorageHealth.report]] both aggregate, so a caller composing the
+    * column view WITH the file view pays ONE metadata pass, not two.
+    * `block_rows` is the row group's row count (repeated across the
+    * group's column chunks — aggregate it `first`-per-group, never sum
+    * across columns); `n_nulls` is −1 when the chunk lacks statistics.
+    */
+  def chunkRows(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val files = spark.read.parquet(path).inputFiles.toSeq
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val chunkRows = spark.createDataset(files)
+    spark.createDataset(files)
       .repartition(math.min(files.size, spark.sparkContext.defaultParallelism).max(1))
       .mapPartitions { it =>
         it.flatMap { f =>
@@ -40,20 +48,28 @@ object ParquetStats {
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try {
             import scala.jdk.CollectionConverters._
-            reader.getFooter.getBlocks.asScala.flatMap { block =>
+            reader.getFooter.getBlocks.asScala.zipWithIndex.flatMap { case (block, bi) =>
               block.getColumns.asScala.map { c =>
                 val stats = c.getStatistics
                 val nulls =
                   if (stats != null && !stats.isEmpty && stats.isNumNullsSet) stats.getNumNulls
                   else -1L
-                (c.getPath.toDotString, c.getValueCount, nulls,
+                (f, bi, block.getRowCount, c.getPath.toDotString, c.getValueCount, nulls,
                   c.getTotalSize, c.getTotalUncompressedSize)
               }
             }.toSeq
           } finally reader.close()
         }
       }
-      .toDF("column", "n_values", "n_nulls", "compressed_bytes", "uncompressed_bytes")
+      .toDF("file", "block", "block_rows", "column", "n_values", "n_nulls",
+        "compressed_bytes", "uncompressed_bytes")
+  }
+
+  def columnFootprint(spark: SparkSession, path: String): DataFrame =
+    columnFootprintFromChunks(chunkRows(spark, path))
+
+  /** [[columnFootprint]] over an already-built [[chunkRows]] frame. */
+  def columnFootprintFromChunks(chunkRows: DataFrame): DataFrame =
     chunkRows
       .groupBy("column")
       .agg(
@@ -64,5 +80,4 @@ object ParquetStats {
         when(min("n_nulls") < 0L, lit(-1L)).otherwise(sum("n_nulls")).as("n_nulls"),
         sum("compressed_bytes").as("compressed_bytes"),
         sum("uncompressed_bytes").as("uncompressed_bytes"))
-  }
 }

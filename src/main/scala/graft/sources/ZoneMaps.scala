@@ -67,7 +67,7 @@ object ZoneMaps {
     * predicates over a LOCAL relation — one atomic read instead of several
     * lazy scans that could each straddle a different swap.
     */
-  private def manifestRows(
+  private[sources] def manifestRows(
       spark: SparkSession,
       manifestPath: String,
       retries: Int = 8): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
