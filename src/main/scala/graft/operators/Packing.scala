@@ -340,7 +340,13 @@ object Packing {
       .groupBy(col(sourceCol).as("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col(tokensCol).cast("long")).as("actual_tokens"))
+        // coalesce: a source whose token column is all NULL aggregates to
+        // NULL capacity, which sorts FIRST in the window and makes
+        // __funded three-valued (NULL = treated unfunded) — it could then
+        // draw a positive target exceeding its zero capacity, breaking
+        // the Σtargets = min(budget, Σcapacity) witness. Zero capacity
+        // funds at exactly 0, preserving the law.
+        coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("actual_tokens"))
       .withColumn("__j", row_number().over(ord).cast("long"))
       .withColumn("__s", sum("actual_tokens").over(ord)) // inclusive prefix
       .withColumn("__n", count(lit(1)).over(all).cast("long"))

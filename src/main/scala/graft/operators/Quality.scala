@@ -71,12 +71,16 @@ object Quality {
     * quality score with a billion distinct values is noise, not a
     * distribution). Rows with NULL score or NULL source are EXCLUDED —
     * a null quality score has no quantile; filter or impute upstream.
+    * The scored frame is pinned (read four times); pass `scope` and call
+    * `scope.release()` after fully consuming the result, else the pin
+    * joins the active scope and lives until [[Caches.release]].
     */
   def quantileNormalize(
       docs: DataFrame,
       idCol: String,
       sourceCol: String,
-      scoreCol: String): DataFrame = {
+      scoreCol: String,
+      scope: Option[Caches.Scope] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // refuse fractional scores rather than silently truncating them to
     // long (a [0,1] classifier score would collapse to {0, 1} and the
@@ -92,7 +96,10 @@ object Quality {
     val scored = docs
       .select(col(idCol), col(sourceCol).as("source"), col(scoreCol).cast("long").as("score"))
       .where(col("score").isNotNull && col("source").isNotNull)
-      .transform(Caches.pin(_)) // read by ranks, source counts, totals, pooled
+      // read by ranks, source counts, totals, pooled; routed through the
+      // caller's scope (the pageRankInt lifetime convention) so a
+      // long-lived session can release it after consuming the result
+      .transform(df => scope.fold(Caches.pin(df))(_.pin(df)))
     val srcN = scored.groupBy("source").agg(count(lit(1)).as("__ns"))
     val totals = scored.agg(count(lit(1)).as("__N"))
     val w = Window.partitionBy("source").orderBy(col("score"), col(idCol))

@@ -267,7 +267,11 @@ object Similarity {
         explode(bandSigs(col("__qiv"), dim)).as("bs"))
       .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
         col("__qiv"), col("qnorm2"))
-    Partitioning.spread(emb.where(col(idCol) =!= queryId))
+    // quarantine NULL embeddings, don't rank them: quantInt(NULL) is NULL,
+    // every sign test falls to 0 and the row would band with sig 0 in ALL
+    // bands, entering the candidate set with NULL dot/norm2 (the
+    // sq8TopKExactInt contract, kept consistent across the exact-int faces)
+    Partitioning.spread(emb.where(col(idCol) =!= queryId && col(vecCol).isNotNull))
       .select(col(idCol), quantInt(col(vecCol), scale).as("__iv"))
       .select(col(idCol), col("__iv"), explode(bandSigs(col("__iv"), dim)).as("bs"))
       .select(col(idCol), col("__iv"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -322,7 +326,9 @@ object Similarity {
         idotL(col("__qiv"), col("__qiv")).as("qnorm2"),
         transform(slice(cellsRanked(col("__qiv")), 1, nprobe), s => s.getField("cell"))
           .as("__probes"))
-    Partitioning.spread(emb.where(col(idCol) =!= queryId))
+    // NULL embeddings quarantine (see lshTopKExactInt): a NULL vector would
+    // get an arbitrary cell and emit NULL dot/norm2 rows into the top-k
+    Partitioning.spread(emb.where(col(idCol) =!= queryId && col(vecCol).isNotNull))
       .select(col(idCol), quantInt(col(vecCol), scale).as("__iv"))
       .withColumn("__cell", element_at(cellsRanked(col("__iv")), 1).getField("cell"))
       .join(broadcast(q), array_contains(col("__probes"), col("__cell")))

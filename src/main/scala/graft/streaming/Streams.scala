@@ -535,6 +535,12 @@ object Streams {
       checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Caches, DedupIndex, Importance}
+    // validate at START, not in the first micro-batch: stream.schema is
+    // already known here, and a misconfigured stream should be rejected
+    // before .start() rather than killing the running query at runtime
+    for (c <- Seq("importance", "selected"))
+      require(!stream.columns.contains(c),
+        s"input stream already has a '$c' column")
     val target = Caches.pin(targetModel)
     val source = Caches.pin(sourceModel)
     val writer = stream.writeStream
@@ -544,9 +550,6 @@ object Streams {
         val spark = batch.sparkSession
         val scope = Caches.newScope()
         try Caches.inScope(scope) {
-          for (c <- Seq("importance", "selected"))
-            require(!batch.columns.contains(c),
-              s"input stream already has a '$c' column")
           // pin the batch: it feeds both the scoring pass and the join
           // back, and both routed writes read the joined frame
           val pinned = Caches.pin(batch.toDF())

@@ -225,6 +225,19 @@ class PackingSpec extends AnyFunSuite {
     // div/mod-by-zero path must not fire
     assert(run(Map("a" -> 3L, "b" -> 4L), 100L) === Map("a" -> 3L, "b" -> 4L))
     assert(run(Map("a" -> 3L, "b" -> 4L), 0L) === Map("a" -> 0L, "b" -> 0L))
+    // a source whose token column is all NULL has ZERO capacity and must
+    // fund at 0 — not sort first as NULL, evaluate __funded three-valued,
+    // and draw a positive target it cannot honor (r12 advice)
+    val withNull = Packing.waterfillMixturePlan(
+      Seq(("a", Option(2L)), ("b", Option(10L)),
+        ("nulls", None: Option[Long]), ("nulls", None: Option[Long]))
+        .toDF("source", "tok"),
+      "source", "tok", 8L)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("actual_tokens"), r.getAs[Long]("target_tokens")))).toMap
+    assert(withNull === Map(
+      "a" -> ((2L, 2L)), "b" -> ((10L, 6L)), "nulls" -> ((0L, 0L))),
+      "all-NULL source must carry capacity 0 and target 0; Σtargets = min(budget, Σcapacity)")
     // laws over random instances: exact sum, per-source bound
     val rnd = new scala.util.Random(23)
     for (trial <- 0 until 20) {

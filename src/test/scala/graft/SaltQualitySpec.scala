@@ -142,6 +142,18 @@ class SaltQualitySpec extends AnyFunSuite {
     graft.operators.Caches.release(blocking = true)
   }
 
+  test("quantileNormalize: pin routes through the caller's scope and releases with it") {
+    val docs = Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "B", 5L)).toDF("id", "source", "score")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val scope = graft.operators.Caches.newScope()
+    graft.operators.Quality.quantileNormalize(docs, "id", "source", "score", Some(scope)).collect()
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.nonEmpty, "the scored frame must be pinned while the call runs")
+    scope.release(blocking = true)
+    assert((spark.sparkContext.getPersistentRDDs.keySet & pinned).isEmpty,
+      "scope.release must drop exactly the frames this call pinned")
+  }
+
   test("compressionReport: driver mirror bit-identical; NULL/empty conventions; SQL face") {
     // sizes matter: below ~200 bytes the DEFLATE header dominates every
     // ratio, and a HEX string is genuinely 4-bit-compressible — so

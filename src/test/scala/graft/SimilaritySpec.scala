@@ -98,6 +98,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("exact-int probes quarantine NULL embeddings (sq8 contract): never candidates, never NULL scores") {
+    import spark.implicits._
+    // without the quarantine a NULL vector bands with sig 0 in ALL bands
+    // (every sign test falls to otherwise(0)) / gets an arbitrary IVF
+    // cell, and with k > |corpus| its NULL dot/norm2 rows reach the top-k
+    val rows = (0L until 12L).map { i =>
+      (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11).toFloat - 5.0f) / 5.0f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+      .union(Seq((99L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val lsh = Similarity.lshTopKExactInt(emb, "vec_id", "embedding", 0L, 100).collect()
+    val ivf = Similarity.ivfTopKExactInt(emb, "vec_id", "embedding", 0L, 100).collect()
+    for ((name, got) <- Seq("lsh" -> lsh, "ivf" -> ivf)) {
+      assert(got.nonEmpty, s"$name returned nothing")
+      assert(!got.exists(_.getAs[Long]("vec_id") == 99L),
+        s"$name ranked the NULL-embedding row")
+      assert(got.forall(r => !r.isNullAt(r.fieldIndex("dot")) && !r.isNullAt(r.fieldIndex("norm2"))),
+        s"$name emitted NULL scores")
+    }
+  }
+
   private lazy val exactQNorm: Double = {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val qv = emb.where(col("vec_id") === 0L).select("embedding").head()

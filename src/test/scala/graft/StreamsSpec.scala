@@ -678,6 +678,16 @@ class StreamsSpec extends AnyFunSuite {
         .as[(Long, Double)].collect().toMap
       assert(streamed === batchScores)
     } finally query.stop()
+    // a stream that already carries an output column must be REJECTED at
+    // start — stream.schema is known before .start(), so the misconfig
+    // must not wait for the first micro-batch to kill the running query
+    val bad = MemoryStream[(Long, String, Boolean)]
+    val ex = intercept[IllegalArgumentException] {
+      Streams.importanceRoutedIngest(
+        bad.toDF().toDF("doc_id", "text", "selected"), "doc_id", "text",
+        target, source, B, s"$root/never")
+    }
+    assert(ex.getMessage.contains("selected"))
     graft.operators.Caches.release()
   }
 
