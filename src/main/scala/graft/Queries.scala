@@ -5391,6 +5391,142 @@ object Queries {
       SELECT kk.doc_id, kk.source, kk.score, kk.k AS pooled_rank, p.score_norm
       FROM kk JOIN p ON kk.k > p.prev AND kk.k <= p.cum"""))
 
+  /** Perceptual image fingerprinting, ORACLE-GATED end-to-end through a
+    * REAL codec pass: each document id becomes a synthetic lossless PNG
+    * ([[Multimodal.syntheticPng]]); Spark runs real PNG encode → real
+    * `javax.imageio` decode → integer-luma 9×8 point-grid dHash; DuckDB
+    * replays the IDENTICAL integer arithmetic from the pixel formula
+    * (PNG is lossless, so decoded pixels ARE the formula — the q41/q95
+    * dims gate extended to pixel CONTENT). The 64-bit fold accumulates
+    * in HUGEINT and folds to signed BIGINT to match Spark's Long bit 63.
+    */
+  val q123ImageDhash: Q = Q(
+    "q123_image_dhash",
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, "image", Multimodal.syntheticPng(id))))
+        .toDF("media_id", "kind", "bytes")
+      Multimodal.dHashImages(s, media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("dhash"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 32 AS BIGINT) AS w,
+               CAST(8 + (doc_id // 32) % 32 AS BIGINT) AS h
+        FROM documents),
+      px AS (
+        SELECT d.doc_id, d.w, d.h, j.j, i.i,
+               ((doc_id + 31 * (((i.i + 1) * w) // 9) + 131 * ((j.j * h) // 8)) & 16777215) AS vr,
+               ((doc_id + 31 * ((i.i * w) // 9) + 131 * ((j.j * h) // 8)) & 16777215) AS vl
+        FROM d, range(8) j(j), range(8) i(i)),
+      b AS (
+        SELECT doc_id, w, h,
+               CASE WHEN (299 * ((vr >> 16) & 255) + 587 * ((vr >> 8) & 255) + 114 * (vr & 255)) // 1000
+                       > (299 * ((vl >> 16) & 255) + 587 * ((vl >> 8) & 255) + 114 * (vl & 255)) // 1000
+                    THEN CAST(1 AS HUGEINT) << CAST(j * 8 + i AS INT)
+                    ELSE CAST(0 AS HUGEINT) END AS bit
+        FROM px),
+      u AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h, SUM(bit) AS acc FROM b GROUP BY doc_id)
+      SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             CAST(CASE WHEN acc >= 9223372036854775808 THEN acc - 18446744073709551616 ELSE acc END AS BIGINT) AS dhash
+      FROM u"""))
+
+  /** Image NEAR-DUP pairs — [[Multimodal.imageNearDupPairs]]: the dHash
+    * fingerprints through the banded-Hamming machinery
+    * ([[Dedup.hammingPairs64]], 4×16-bit bands). With maxHamming = 3 the
+    * pigeonhole makes banded recall EXACT, so the whole linear pipeline
+    * is gated against DuckDB's quadratic brute force over the replayed
+    * fingerprints. Validation runs on a 1-in-7 corpus slice (the oracle
+    * side is deliberately all-pairs); the Spark face is the linear
+    * banded path that runs on the full corpus at scale.
+    */
+  val q123bImageNearDup: Q = Q(
+    "q123b_image_near_dup",
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, "image", Multimodal.syntheticPng(id))))
+        .toDF("media_id", "kind", "bytes")
+      Multimodal.imageNearDupPairs(s, media, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 32 AS BIGINT) AS w,
+               CAST(8 + (doc_id // 32) % 32 AS BIGINT) AS h
+        FROM documents WHERE doc_id % 7 = 0),
+      px AS (
+        SELECT d.doc_id, j.j, i.i,
+               ((doc_id + 31 * (((i.i + 1) * w) // 9) + 131 * ((j.j * h) // 8)) & 16777215) AS vr,
+               ((doc_id + 31 * ((i.i * w) // 9) + 131 * ((j.j * h) // 8)) & 16777215) AS vl
+        FROM d, range(8) j(j), range(8) i(i)),
+      b AS (
+        SELECT doc_id,
+               CASE WHEN (299 * ((vr >> 16) & 255) + 587 * ((vr >> 8) & 255) + 114 * (vr & 255)) // 1000
+                       > (299 * ((vl >> 16) & 255) + 587 * ((vl >> 8) & 255) + 114 * (vl & 255)) // 1000
+                    THEN CAST(1 AS HUGEINT) << CAST(j * 8 + i AS INT)
+                    ELSE CAST(0 AS HUGEINT) END AS bit
+        FROM px),
+      sg AS (
+        SELECT doc_id,
+               CAST(CASE WHEN acc >= 9223372036854775808 THEN acc - 18446744073709551616 ELSE acc END AS BIGINT) AS dh
+        FROM (SELECT doc_id, SUM(bit) AS acc FROM b GROUP BY doc_id))
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+             CAST(bit_count(xor(a.dh, c.dh)) AS INT) AS hamming
+      FROM sg a JOIN sg c ON a.doc_id < c.doc_id
+      WHERE bit_count(xor(a.dh, c.dh)) <= 3"""))
+
+  /** Perceptual AUDIO fingerprint, oracle-gated through a REAL PCM
+    * decode: each document id becomes a synthetic WAV
+    * ([[Multimodal.syntheticWav]]); Spark runs real
+    * `javax.sound.sampled` decode → 33-frame energy-envelope gradient
+    * ([[Multimodal.audioFingerprint]]); DuckDB replays the interleaved
+    * sample formula and the identical integer frame arithmetic. 32 bits
+    * → no sign fold needed. The [[q123ImageDhash]] gate extended to the
+    * audio modality — together they put perceptual near-dup fingerprints
+    * over all decodable media under external oracles.
+    */
+  val q125AudioFingerprint: Q = Q(
+    "q125_audio_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, "audio", Multimodal.syntheticWav(id))))
+        .toDF("media_id", "kind", "bytes")
+      Multimodal.audioFingerprint(s, media).toDF()
+        .select(col("media_id"), col("n_interleaved"), col("fingerprint"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST((100 + doc_id % 400) * (1 + doc_id % 2) AS BIGINT) AS n
+        FROM documents),
+      e AS (
+        SELECT doc_id, n, f.f,
+               list_sum(list_transform(range(f.f * n // 33, (f.f + 1) * n // 33),
+                 i -> abs((doc_id + i * 2654435761) % 65536 - 32768)))
+               // ((f.f + 1) * n // 33 - f.f * n // 33) AS energy
+        FROM d, range(33) f(f)),
+      p AS (
+        SELECT doc_id, n, f, energy,
+               lead(energy) OVER (PARTITION BY doc_id ORDER BY f) AS nexte
+        FROM e),
+      s AS (
+        SELECT doc_id, MAX(n) AS n,
+               SUM(CASE WHEN nexte > energy THEN CAST(1 AS BIGINT) << CAST(f AS INT) ELSE CAST(0 AS BIGINT) END) AS fp
+        FROM p WHERE f < 32 GROUP BY doc_id)
+      SELECT doc_id AS media_id, n AS n_interleaved, CAST(fp AS BIGINT) AS fingerprint FROM s"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5443,7 +5579,8 @@ object Queries {
     q112DriftReport, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain,
     q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan, q117bWaterfillSample,
     q118KeepBestDedup,
-    q119WeightedMinhash, q120EvalRun, q121Compression, q122QuantileNormalize)
+    q119WeightedMinhash, q120EvalRun, q121Compression, q122QuantileNormalize,
+    q123ImageDhash, q123bImageNearDup, q125AudioFingerprint)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -736,16 +736,36 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = Int.MaxValue,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val sigs = Partitioning.spread(df)
-      .select(col(idCol).as("id"), simHash(col(textCol), tokenHash).as("sig"))
+      tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    hammingPairs64(
+      Partitioning.spread(df)
+        .select(col(idCol).as("id"), simHash(col(textCol), tokenHash).as("sig")),
+      "id", "sig", maxHamming, maxBucket)
+
+  /** Banded-Hamming near-dup pairs over ANY precomputed 64-bit signature
+    * column — the [[simHashPairs]] machinery with the signature injectable,
+    * so image dHash / audio fingerprints / externally computed sketches
+    * ride the same 16-bit×4-band blocking, hot-bucket cap, and keeper
+    * paths. Pigeonhole: hamming ≤ 3 across 4 bands guarantees at least one
+    * identical band, so under the default uncapped geometry recall for
+    * `maxHamming ≤ 3` is EXACT (the q123b external gate relies on this).
+    *
+    * NULL signatures are dropped, not bucketed: a NULL sig means "no
+    * content to compare" (NULL text, undecodable image), and unfiltered
+    * null rows would all land in the one per-band NULL bucket (flood, zero
+    * output — NULL hamming and NULL content-equality both drop). A
+    * signature that is genuinely zero (empty token stream) is NOT null and
+    * pairs normally at hamming 0.
+    */
+  def hammingPairs64(
+      sigsIn: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val sigs = sigsIn
+      .select(col(idCol).as("id"), col(sigCol).cast("long").as("sig"))
       .transform(pin)
-    // NULL text → NULL signature: similarity with an absent doc is
-    // undefined, and unfiltered null rows would all land in the one
-    // xxhash64-of-NULL bucket per band (flood, zero output — NULL hamming
-    // and NULL content-equality both drop). Empty docs are NOT null: their
-    // empty token stream votes no bits, sig = 0, and they pair with each
-    // other at hamming 0 through the normal machinery.
     val banded = sigs.where(col("sig").isNotNull).select(
       col("id"),
       col("sig"),

@@ -404,4 +404,177 @@ object Multimodal {
         }
       }
   }
+
+  // --- Perceptual fingerprints (image dHash, audio energy envelope) ---
+
+  final case class DHashRow(
+      media_id: Long,
+      width: Option[Int],
+      height: Option[Int],
+      dhash: Option[Long])
+
+  /** Perceptual 64-bit image dHash over the REAL decoded pixels — the
+    * near-dup fingerprint for image corpora ([[pixelHash]] is EXACT
+    * content identity; this survives re-encoding and mild edits). All
+    * arithmetic is EXACT integers so an external engine can replay it
+    * from a pixel formula:
+    *
+    *  - gray(x,y) = (299·r + 587·g + 114·b) div 1000 (integer luma);
+    *  - a 9×8 POINT-SAMPLED grid (never a resampling kernel — kernels
+    *    are codec-private): column x_i = i·w div 9 for i ∈ 0..8, row
+    *    y_j = j·h div 8 for j ∈ 0..7 (always in-bounds for w,h ≥ 1);
+    *  - bit (j·8+i) = 1 iff gray(x_{i+1}, y_j) > gray(x_i, y_j) — the
+    *    classic horizontal-gradient sign.
+    *
+    * Undecodable payloads quarantine with NULL dims AND NULL dhash (the
+    * [[decodeImages]] convention) — and [[graft.operators.Dedup
+    * .hammingPairs64]] drops NULL signatures rather than flooding a
+    * bucket. Partition-wise, zero shuffle; the pairing step downstream
+    * is the only exchange.
+    */
+  def dHashImages(spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[DHashRow] = {
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("kind"), col("bytes"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val img =
+              try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes)))
+              catch { case scala.util.control.NonFatal(_) => None }
+            DHashRow(
+              media_id = r.media_id,
+              width = img.map(_.getWidth),
+              height = img.map(_.getHeight),
+              dhash = img.map(dHash))
+          }
+        }
+      }
+  }
+
+  /** The dHash bit fold of [[dHashImages]], exposed for frame-level use. */
+  def dHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    def gray(x: Int, y: Int): Int = {
+      val v = img.getRGB(x, y) & 0xffffff
+      (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255) + 114 * (v & 255)) / 1000
+    }
+    var acc = 0L
+    var j = 0
+    while (j < 8) {
+      val y = j * h / 8
+      var i = 0
+      while (i < 8) {
+        if (gray((i + 1) * w / 9, y) > gray(i * w / 9, y)) acc |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    acc
+  }
+
+  /** Image near-dup pairs: [[dHashImages]] fingerprints through the
+    * banded-Hamming machinery ([[graft.operators.Dedup.hammingPairs64]] —
+    * 16-bit×4-band blocking, exact recall for `maxHamming ≤ 3`, hot-bucket
+    * cap as the boilerplate-corpus scale path). Emits
+    * `(id_a, id_b, hamming)` with `id_a < id_b`. ONE decode pass over the
+    * corpus (fingerprints are 8 bytes/image from there on), one banding
+    * exchange — the 100 TB image-dedup shape; never all-pairs.
+    */
+  def imageNearDupPairs(
+      spark: SparkSession,
+      media: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    Dedup.hammingPairs64(
+      dHashImages(spark, media).toDF().where(col("dhash").isNotNull),
+      "media_id", "dhash", maxHamming, maxBucket)
+
+  final case class AudioFpRow(
+      media_id: Long,
+      n_interleaved: Option[Long],
+      fingerprint: Option[Long])
+
+  /** Perceptual 32-bit audio fingerprint over the REAL decoded PCM
+    * stream: the energy-envelope gradient ([[dHashImages]]'s move on
+    * audio). The interleaved 16-bit samples are cut into 33 equal-index
+    * frames (frame f covers interleaved indices [f·N div 33,
+    * (f+1)·N div 33)); frame energy = mean |amplitude| under truncating
+    * integer division; bit f (0..31) = 1 iff energy(f+1) > energy(f).
+    * Exact integer arithmetic end-to-end, so an oracle replays it from a
+    * sample formula. Interleaved — not per-channel — framing: for
+    * multi-channel audio each frame averages over all channels, so the
+    * envelope is channel-agnostic (a mono mixdown's coarse shape, not an
+    * exact channel-permutation invariant — frame cuts can split a sample
+    * group); empty frames are impossible for N ≥ 33 and clips
+    * shorter than that quarantine (NULL fingerprint, the
+    * [[decodeAudio]] convention). Streams that do not declare a frame
+    * length, or decline to decode to PCM, quarantine the same way.
+    */
+  def audioFingerprint(spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[AudioFpRow] = {
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("kind"), col("bytes"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val samples =
+              try {
+                val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(r.bytes)))
+                try {
+                  val fmt = in.getFormat
+                  if (in.getFrameLength < 0 || fmt.getSampleSizeInBits != 16 ||
+                    fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                    None
+                  else {
+                    val bytes = in.readAllBytes()
+                    val n = bytes.length / 2
+                    val out = new Array[Int](n)
+                    var i = 0
+                    if (fmt.isBigEndian)
+                      while (i < n) {
+                        out(i) = (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff); i += 1
+                      }
+                    else
+                      while (i < n) {
+                        out(i) = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff); i += 1
+                      }
+                    Some(out)
+                  }
+                } finally in.close()
+              } catch { case scala.util.control.NonFatal(_) => None }
+            val fp = samples.filter(_.length >= 33).map { s =>
+              val n = s.length
+              def energy(f: Int): Long = {
+                val lo = f * n / 33
+                val hi = (f + 1) * n / 33
+                var sum = 0L
+                var i = lo
+                while (i < hi) { sum += math.abs(s(i).toLong); i += 1 }
+                sum / (hi - lo)
+              }
+              var acc = 0L
+              var f = 0
+              var prev = energy(0)
+              while (f < 32) {
+                val next = energy(f + 1)
+                if (next > prev) acc |= 1L << f
+                prev = next
+                f += 1
+              }
+              acc
+            }
+            AudioFpRow(
+              media_id = r.media_id,
+              n_interleaved = samples.map(_.length.toLong),
+              fingerprint = fp)
+          }
+        }
+      }
+  }
 }

@@ -56,6 +56,34 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => (a == 4L || b == 4L) && (a <= 3L || b <= 3L) })
   }
 
+  test("hammingPairs64: banded = brute force on arbitrary injected signatures; NULL sigs dropped") {
+    import spark.implicits._
+    // signatures injected directly (the image-dHash / audio-fingerprint
+    // entry point) — no text machinery involved. Random 64-bit values plus
+    // planted near-neighbors at hamming 1..3 and one exact dup.
+    val rnd = new scala.util.Random(17)
+    val base = (0L until 40L).map(i => i -> rnd.nextLong())
+    val planted = Seq(
+      100L -> base(0)._2, // hamming 0
+      101L -> (base(1)._2 ^ 1L), // hamming 1
+      102L -> (base(2)._2 ^ ((1L << 5) | (1L << 63))), // hamming 2, sign bit flipped
+      103L -> (base(3)._2 ^ ((1L << 16) | (1L << 32) | (1L << 48)))) // hamming 3, one per band
+    val sigs = (base ++ planted).map { case (i, s) => (i, Option(s)) } :+ ((999L, None: Option[Long]))
+    val df = sigs.toDF("id", "sig")
+    val got = Dedup.hammingPairs64(df, "id", "sig")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap
+    val exact = (for {
+      (ia, Some(sa)) <- sigs; (ib, Some(sb)) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib) -> java.lang.Long.bitCount(sa ^ sb)).toMap
+    assert(got == exact,
+      s"banded must equal brute force: missing=${(exact.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- exact.keySet).take(5)}")
+    assert(exact.contains((0L, 100L)) && exact.contains((3L, 103L)), "planted witnesses live")
+    assert(!got.keySet.exists { case (a, b) => a == 999L || b == 999L }, "NULL sig never pairs")
+    graft.operators.Caches.release(blocking = true)
+  }
+
   test("band geometry: S-curve thresholds are monotone and bandsForThreshold lands at/below target") {
     // more bands → lower threshold (more lenient candidate generation)
     val ts = Seq(1, 2, 4, 8, 16, 32, 64).map(b => Dedup.lshThreshold(64, b))
