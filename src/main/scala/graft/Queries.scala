@@ -5484,6 +5484,35 @@ object Queries {
       FROM sg a JOIN sg c ON a.doc_id < c.doc_id
       WHERE bit_count(xor(a.dh, c.dh)) <= 3"""))
 
+  /** File-level BLOOM skipping under the oracle gate
+    * ([[graft.sources.BloomSkip]]): lineitem is HASH-spread into 16
+    * files on the order key (the layout where every file's [min, max]
+    * straddles any probe — zone maps provably skip nothing), a per-file
+    * bloom manifest is built, and an IN-list point lookup reads ONLY the
+    * files whose filters fire, equality re-applied. The gate is the
+    * no-false-drop law: the pruned read must equal DuckDB's plain
+    * `WHERE l_orderkey IN (…)` over the full table — one absent key
+    * rides along to exercise the all-skip path. BloomSkipSpec pins the
+    * actual file-count reduction; here the ORACLE pins that skipping
+    * never loses a row.
+    */
+  val q124BloomSkipRead: Q = Q(
+    "q124_bloom_skip_read",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      val root = java.nio.file.Files.createTempDirectory("graft_bloom_q").toString
+      val data = root + "/data"; val mf = root + "/manifest"
+      li.repartition(16, col("l_orderkey")).write.mode("overwrite").parquet(data)
+      graft.sources.BloomSkip.save(s, data, mf, "l_orderkey", bits = 1 << 14)
+      graft.sources.BloomSkip
+        .prunedReadIn(s, data, mf, "l_orderkey",
+          Seq(1L, 7L, 1000L, 4999L, 999999999L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem WHERE l_orderkey IN (1, 7, 1000, 4999, 999999999)"""))
+
   /** Perceptual AUDIO fingerprint, oracle-gated through a REAL PCM
     * decode: each document id becomes a synthetic WAV
     * ([[Multimodal.syntheticWav]]); Spark runs real
@@ -5580,7 +5609,7 @@ object Queries {
     q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan, q117bWaterfillSample,
     q118KeepBestDedup,
     q119WeightedMinhash, q120EvalRun, q121Compression, q122QuantileNormalize,
-    q123ImageDhash, q123bImageNearDup, q125AudioFingerprint)
+    q123ImageDhash, q123bImageNearDup, q124BloomSkipRead, q125AudioFingerprint)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
