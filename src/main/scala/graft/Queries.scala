@@ -5556,6 +5556,76 @@ object Queries {
         FROM p WHERE f < 32 GROUP BY doc_id)
       SELECT doc_id AS media_id, n AS n_interleaved, CAST(fp AS BIGINT) AS fingerprint FROM s"""))
 
+  /** Unicode SCRIPT detection ([[text.scriptId]]) — the writing-system
+    * histogram that complements stopword [[text.langId]] on unspaced
+    * scripts. The driver corpus is ASCII, so witnesses are PLANTED (the
+    * q99 synthesized-input move): each doc gets a script suffix keyed by
+    * doc_id % 6, exercising every range and the priority tie-break.
+    * Counts are the `length − length(strip)` trick over EXPLICIT BMP
+    * codepoint ranges — the same intervals in Java regex (`\uXXXX`) and
+    * RE2 (`\x{XXXX}`) syntax, so DuckDB replays the histogram and the
+    * argmax exactly.
+    */
+  val q126ScriptProfile: Q = Q(
+    "q126_script_profile",
+    (s, dir) => {
+      val samples = Seq(
+        "привет мир как дела",
+        "γεια σου κοσμε",
+        "مرحبا بالعالم",
+        "नमस्ते दुनिया",
+        "你好世界 こんにちは 안녕하세요",
+        "plain latin text only")
+      // even ids: full doc + suffix (latin dominates — realistic mixed
+      // text); odd ids: suffix + a 0–6 char latin sliver (the suffix's
+      // script dominates, so the argmax genuinely varies)
+      // keyed on doc_id div 2 so the odd (script-dominant) ids cycle
+      // through ALL six samples, not just the odd residues
+      val suffix = element_at(typedLit(samples),
+        expr("cast((doc_id div 2) % 6 as int) + 1"))
+      val planted = when(pmod(col("doc_id"), lit(2L)) === 0L,
+        concat(col("text"), lit(" "), suffix))
+        .otherwise(concat(suffix, lit(" "), expr("substring(text, 1, cast(doc_id % 7 as int))")))
+      val counts = text.scriptRanges.map { case (n, r) =>
+        text.scriptCount(planted, r).as(n)
+      }
+      t(s, dir, "documents").select(
+        (col("doc_id") +: counts) :+ text.scriptId(planted).as("script"): _*)
+    },
+    Some("""
+      WITH sx AS (
+        SELECT doc_id, CASE CAST((doc_id // 2) % 6 AS INT)
+          WHEN 0 THEN 'привет мир как дела'
+          WHEN 1 THEN 'γεια σου κοσμε'
+          WHEN 2 THEN 'مرحبا بالعالم'
+          WHEN 3 THEN 'नमस्ते दुनिया'
+          WHEN 4 THEN '你好世界 こんにちは 안녕하세요'
+          ELSE 'plain latin text only' END AS sfx, text
+        FROM documents),
+      d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN text || ' ' || sfx
+                    ELSE sfx || ' ' || substr(text, 1, CAST(doc_id % 7 AS INT)) END AS t
+        FROM sx),
+      c AS (
+        SELECT doc_id,
+          length(t) - length(regexp_replace(t, '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS latin,
+          length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g')) AS cyrillic,
+          length(t) - length(regexp_replace(t, '[\x{0370}-\x{03FF}]', '', 'g')) AS greek,
+          length(t) - length(regexp_replace(t, '[\x{0600}-\x{06FF}]', '', 'g')) AS arabic,
+          length(t) - length(regexp_replace(t, '[\x{0900}-\x{097F}]', '', 'g')) AS devanagari,
+          length(t) - length(regexp_replace(t, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]', '', 'g')) AS cjk
+        FROM d)
+      SELECT doc_id, latin, cyrillic, greek, arabic, devanagari, cjk,
+             CASE WHEN GREATEST(latin, cyrillic, greek, arabic, devanagari, cjk) <= 0 THEN 'unknown'
+                  WHEN latin = GREATEST(latin, cyrillic, greek, arabic, devanagari, cjk) THEN 'latin'
+                  WHEN cyrillic = GREATEST(latin, cyrillic, greek, arabic, devanagari, cjk) THEN 'cyrillic'
+                  WHEN greek = GREATEST(latin, cyrillic, greek, arabic, devanagari, cjk) THEN 'greek'
+                  WHEN arabic = GREATEST(latin, cyrillic, greek, arabic, devanagari, cjk) THEN 'arabic'
+                  WHEN devanagari = GREATEST(latin, cyrillic, greek, arabic, devanagari, cjk) THEN 'devanagari'
+                  ELSE 'cjk' END AS script
+      FROM c"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5609,7 +5679,8 @@ object Queries {
     q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan, q117bWaterfillSample,
     q118KeepBestDedup,
     q119WeightedMinhash, q120EvalRun, q121Compression, q122QuantileNormalize,
-    q123ImageDhash, q123bImageNearDup, q124BloomSkipRead, q125AudioFingerprint)
+    q123ImageDhash, q123bImageNearDup, q124BloomSkipRead, q125AudioFingerprint,
+    q126ScriptProfile)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

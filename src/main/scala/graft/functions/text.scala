@@ -144,6 +144,43 @@ object text {
           .otherwise(lit("und")))
   }
 
+  /** Unicode SCRIPT ranges for [[scriptCounts]]/[[scriptId]] — explicit
+    * BMP codepoint intervals, NOT `\p{Script=…}` classes: property-class
+    * tables differ across regex engines (and Unicode versions), while a
+    * literal range means the same thing to Java's regex, RE2, and any
+    * oracle. Complements [[langId]]: stopword voting needs SPACED text in
+    * a known language; script histograms work on CJK/Arabic/Devanagari
+    * where there may be no spaces to tokenize on. Declared order is the
+    * [[scriptId]] tie-break priority.
+    */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\u00C0-\\u024F",
+    "cyrillic" -> "\\u0400-\\u04FF",
+    "greek" -> "\\u0370-\\u03FF",
+    "arabic" -> "\\u0600-\\u06FF",
+    "devanagari" -> "\\u0900-\\u097F",
+    "cjk" -> "\\u4E00-\\u9FFF\\u3040-\\u30FF\\uAC00-\\uD7AF")
+
+  /** Per-script codepoint count: `length(c) − length(c without the
+    * range)` — one codegen'd regexp pass per script over the row, zero
+    * shuffle (the counting trick DuckDB replays verbatim, so the whole
+    * histogram oracle-gates). NULL text → NULL counts.
+    */
+  def scriptCount(c: Column, rangeClass: String): Column =
+    (length(c) - length(regexp_replace(c, s"[$rangeClass]", ""))).cast("long")
+
+  /** Dominant script by codepoint count — first of [[scriptRanges]]'s
+    * declared order among the maxima ('unknown' when no scripted
+    * codepoint appears, e.g. digits/punctuation-only text).
+    */
+  def scriptId(c: Column): Column = {
+    val cnts = scriptRanges.map { case (n, r) => n -> scriptCount(c, r) }
+    val top = greatest(cnts.map(_._2): _*)
+    cnts.foldLeft(when(top <= 0L, lit("unknown"))) { case (acc, (n, cnt)) =>
+      acc.when(cnt === top, lit(n))
+    }
+  }
+
   /** Fraction of word k-shingles that are repeats (Gopher-style repetition
     * signal: boilerplate and keyword-stuffed pages score high). 0.0 for
     * docs too short to have more than one shingle.

@@ -86,6 +86,28 @@ object TextProperties extends Properties("graft.text") {
       (hits == 0) == (lang == "und")
     }
 
+  property("scriptCount/scriptId: counts match a JDK codepoint walk; argmax honors declared priority") =
+    forAll(Gen.listOfN(20, Gen.oneOf(
+      Gen.alphaChar, Gen.choose('Ѐ', 'ӿ'), Gen.choose('Ͱ', 'Ͽ'),
+      Gen.choose('一', '俿'), Gen.numChar, Gen.const(' '))).map(_.mkString)) { doc =>
+      def inRange(ch: Char, lo: Char, hi: Char) = ch >= lo && ch <= hi
+      val expect = Map(
+        "latin" -> doc.count(c => c.isLetter && c < 128 || inRange(c, 'À', 'ɏ')),
+        "cyrillic" -> doc.count(inRange(_, 'Ѐ', 'ӿ')),
+        "greek" -> doc.count(inRange(_, 'Ͱ', 'Ͽ')),
+        "cjk" -> doc.count(inRange(_, '一', '鿿')))
+      val row = one(doc, struct(
+        text.scriptRanges.map { case (n, r) => text.scriptCount(col("text"), r).as(n) } :+
+          text.scriptId(col("text")).as("script"): _*))
+      val got = text.scriptRanges.map(_._1).map(n => n -> row.getStruct(0).getAs[Long](n)).toMap
+      val cntOk = expect.forall { case (n, e) => got(n) == e.toLong }
+      // first declared name among the maxima wins; all-zero → unknown
+      val top = got.values.max
+      val wantId = if (top <= 0) "unknown"
+        else text.scriptRanges.map(_._1).find(n => got(n) == top).get
+      cntOk && row.getStruct(0).getAs[String]("script") == wantId
+    }
+
   property("shingles: n tokens with n >= k yield n-k+1 shingles, each of k tokens") =
     forAll(Gen.listOfN(8, genWord), Gen.choose(2, 4)) { (words, k) =>
       val sh = one(words.mkString(" "), text.shingles(col("text"), k)).getSeq[String](0)
