@@ -680,6 +680,121 @@ object Streams {
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  /** Continuous PERCEPTUAL image dedup — the [[urlDedupIngest]] shape
+    * with [[graft.operators.Multimodal.dHashImages]] as the canonical
+    * identity and NEAR-duplicate (hamming ≤ `maxHamming`) suppression
+    * against everything already committed. Each micro-batch:
+    *
+    *  1. fingerprints its payloads through the REAL decoder (one pass,
+    *     partition-wise);
+    *  2. collapses in-batch EXACT-fingerprint groups to the min-id
+    *     keeper (`min_by`, ONE exchange — the urlDedup move);
+    *  3. drops batch rows with a SMALLER-id near-neighbor in the same
+    *     batch ([[graft.operators.Dedup.hammingPairs64]] — greedy, not
+    *     transitive: of a near-chain a—b—c the min-id doc always
+    *     survives and every doc with a smaller near-neighbor drops);
+    *  4. probes the committed band index for near-matches and drops
+    *     hits; survivors land under `outputPath/batch=s<id>/` and their
+    *     band rows append to `indexPath` LAST (the commit marker — a
+    *     crash between the two lands re-runs into exists-guards, the
+    *     nearDupIngest order).
+    *
+    * UNDECODABLE payloads are landed, never dropped (a row you cannot
+    * fingerprint cannot be proven a duplicate) with NULL `dhash` — the
+    * quarantine feed is `WHERE dhash IS NULL`, consistent with the batch
+    * operators' convention. Per-batch cost: one decode pass, one
+    * band exchange over the batch, one (band, bucket)-keyed join against
+    * the index — never all-pairs, never a full-corpus rescan beyond the
+    * postings-shaped index read.
+    */
+  def mediaDedupIngest(
+      stream: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      indexPath: String,
+      outputPath: String,
+      maxHamming: Int = 3,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Caches, Dedup, DedupIndex, Multimodal}
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16-bit banding guarantees exact recall only for maxHamming <= 3")
+    // start-time validation (the importanceRoutedIngest lesson): the
+    // recomputed column must not silently clobber an input column
+    require(!stream.columns.contains("dhash"),
+      "input stream already has a 'dhash' column")
+    def bandRows(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col(idCol), col("dhash"),
+        explode(transform(sequence(lit(0), lit(3)), b => struct(
+          b.as("band"),
+          call_function("shiftright", col("dhash"), b * 16).bitwiseAND(0xffffL).as("bucket"))))
+          .as("bb"))
+        .select(col(idCol), col("dhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val label = f"s$batchId%08d"
+        val spark = batch.sparkSession
+        val scope = Caches.newScope()
+        try Caches.inScope(scope) {
+          val media = batch.toDF().select(
+            col(idCol).cast("long").as("media_id"),
+            lit("image").as("kind"),
+            col(bytesCol).cast("binary").as("bytes"))
+          // renamed join key: idCol may itself be "media_id"
+          val hashed = Caches.pin(batch.toDF().join(
+            Multimodal.dHashImages(spark, media).toDF()
+              .select(col("media_id").as("__mid"), col("dhash")),
+            col(idCol).cast("long") === col("__mid"))
+            .drop("__mid"))
+          val quarantined = hashed.where(col("dhash").isNull)
+          val decodable = hashed.where(col("dhash").isNotNull)
+          // in-batch exact collapse: min-id keeper per fingerprint
+          val payload = hashed.columns.filter(_ != "dhash")
+          val exactKeepers = Caches.pin(decodable
+            .groupBy("dhash")
+            .agg(min_by(struct(payload.map(col): _*), col(idCol)).as("__r"))
+            .select(col("dhash") +: payload.map(c => col(s"__r.$c").as(c)): _*))
+          // in-batch near suppression: greedy — any doc with a smaller-id
+          // near-neighbor drops (id_a < id_b by the pair contract)
+          val nearDupIds = Dedup.hammingPairs64(
+            exactKeepers.select(col(idCol), col("dhash")), idCol, "dhash", maxHamming)
+            .select(col("id_b").cast(hashed.schema(idCol).dataType).as(idCol)).distinct()
+          val batchKeepers = Caches.pin(
+            exactKeepers.join(nearDupIds, Seq(idCol), "left_anti"))
+          // cross-batch near probe against the COMMITTED band index
+          val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
+          val idxFs = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val hasSeen = idxFs.exists(idxRoot) &&
+            idxFs.listStatus(idxRoot).exists(_.getPath.getName.startsWith("batch="))
+          val accepted = Caches.pin(
+            if (!hasSeen) batchKeepers
+            else {
+              val hits = bandRows(batchKeepers)
+                .join(spark.read.parquet(indexPath)
+                  .select(col("band"), col("bucket"), col("dhash").as("__seen")),
+                  Seq("band", "bucket"))
+                .where(bit_count(col("dhash").bitwiseXOR(col("__seen"))) <= maxHamming)
+                .select(col(idCol)).distinct()
+              batchKeepers.join(hits, Seq(idCol), "left_anti")
+            })
+          val landed = accepted.unionByName(quarantined)
+          val outRoot = new org.apache.hadoop.fs.Path(outputPath)
+          val outFs = outRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!outFs.exists(new org.apache.hadoop.fs.Path(outRoot, s"batch=$label")))
+            DedupIndex.appendDir(landed, outputPath, label)
+          // index append LAST = the commit marker (nearDupIngest order);
+          // quarantined rows have no fingerprint and never enter the index
+          if (!idxFs.exists(new org.apache.hadoop.fs.Path(idxRoot, s"batch=$label")))
+            DedupIndex.appendDir(
+              bandRows(accepted).select(
+                col("band"), col("bucket"), col("dhash"), col(idCol).as("keeper_id")),
+              indexPath, label)
+        } finally scope.release()
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
   /** Continuous duplicate-CLUSTER maintenance: each micro-batch carries
     * freshly discovered near-dup pairs (from any of the pair producers —
     * LSH, simhash, the dedup-index probes), and the committed table at

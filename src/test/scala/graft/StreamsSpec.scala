@@ -829,4 +829,59 @@ class StreamsSpec extends AnyFunSuite {
     } finally q2.stop()
     graft.operators.Caches.release(blocking = true)
   }
+
+  test("mediaDedupIngest: exact + near dups drop in-batch and cross-batch; undecodables land quarantined") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    // 9×8 canvas: every pixel IS a dHash sample point (gx(i) = i·9/9 = i,
+    // gy(j) = j·8/8 = j), so hamming distances are plantable exactly
+    def img(gray: (Int, Int) => Int, fmt: String = "png"): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(9, 8, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val g = gray(x, y) & 0xff
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, out)
+      out.toByteArray
+    }
+    val rising = img((x, _) => x * 20) // every horizontal gradient rises: 64 bits set
+    val risingBmp = img((x, _) => x * 20, "bmp") // same pixels, different container
+    val nearOne = img((x, y) => if (y == 0 && x == 1) 0 else x * 20) // flips bits (0,0) and (0,1)...
+    val flat = img((_, _) => 128) // no rising gradient: 0 bits set → hamming 64 from rising
+    val junk = Array.fill(48)(0x3c.toByte)
+    // confirm the plant before streaming: nearOne within maxHamming of rising
+    val dh = { b: Array[Byte] =>
+      Multimodal.dHash(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))) }
+    val planted = java.lang.Long.bitCount(dh(rising) ^ dh(nearOne))
+    assert(planted >= 1 && planted <= 3, s"plant check: hamming $planted")
+    assert(dh(rising) == dh(risingBmp))
+    val root = java.nio.file.Files.createTempDirectory("stream-media").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val query = Streams.mediaDedupIngest(
+      input.toDF().toDF("media_id", "bytes"), "media_id", "bytes",
+      s"$root/seen", s"$root/landed")
+    try {
+      // batch 0: original + exact re-encode + near variant + junk
+      input.addData((1L, rising), (2L, risingBmp), (3L, nearOne), (4L, junk))
+      query.processAllAvailable()
+      val b0 = spark.read.parquet(s"$root/landed")
+        .select(col("media_id"), col("dhash").isNull.as("q")).as[(Long, Boolean)].collect().toMap
+      assert(b0.keySet === Set(1L, 4L),
+        s"min-id keeper of the exact group wins, the near variant drops greedily: $b0")
+      assert(!b0(1L) && b0(4L), "junk lands with NULL dhash (quarantine, never silently dropped)")
+      // batch 1: replayed copy drops against the index; a far image lands
+      input.addData((10L, risingBmp), (11L, flat), (12L, nearOne))
+      query.processAllAvailable()
+      val all = spark.read.parquet(s"$root/landed")
+        .select("media_id").as[Long].collect().toSet
+      assert(all === Set(1L, 4L, 11L),
+        s"cross-batch exact AND near variants must drop against the committed index: $all")
+      // index holds band rows only for committed fingerprints (4 per doc)
+      val idx = spark.read.parquet(s"$root/seen")
+        .select("keeper_id").as[Long].collect().toSeq
+      assert(idx.sorted === Seq(1L, 1L, 1L, 1L, 11L, 11L, 11L, 11L))
+    } finally query.stop()
+    graft.operators.Caches.release(blocking = true)
+  }
 }
