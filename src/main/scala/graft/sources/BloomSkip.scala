@@ -66,21 +66,42 @@ object BloomSkip {
 
   /** Probe-side bit positions and build-side words share this ONE
     * expression family — the no-false-drop proof is "same expression".
+    * `bits`/`hashes` are COLUMNS so a probe can bind them to the
+    * manifest row being tested (geometry travels with the bits it
+    * shaped); [[build]] binds them to literals.
     */
-  private def positionsExpr(value: Column, bits: Int, hashes: Int): Column = {
+  private def positionsExpr(value: Column, bits: Column, hashes: Column): Column = {
     val s = value.cast("string")
     // pmod into the bit domain BEFORE combining: h1 + i·h2 on raw 64-bit
     // hashes overflows a long, which ANSI mode turns into a runtime error;
     // (h1 mod m) + i·(h2 mod m) is ≤ (hashes+1)·m and mathematically the
     // same double-hash family modulo m
-    val h1 = pmod(xxhash64(s), lit(bits.toLong))
-    val h2 = pmod(xxhash64(s, lit("graft.bloom")), lit(bits.toLong))
+    val h1 = pmod(xxhash64(s), bits)
+    val h2 = pmod(xxhash64(s, lit("graft.bloom")), bits)
     // xxhash64(NULL) returns the SEED, not NULL — without the guard every
     // null value would set one fixed bit pattern, and an all-null file
     // would stop being provably skippable
     when(value.isNotNull,
-      transform(sequence(lit(0), lit(hashes - 1)),
-        i => pmod(h1 + i.cast("long") * h2, lit(bits.toLong))))
+      transform(sequence(lit(0), hashes - 1),
+        i => pmod(h1 + i.cast("long") * h2, bits)))
+  }
+
+  /** Membership of `value` in a manifest ROW's filter, geometry read
+    * from THAT row — one Catalyst predicate, so a whole probe is ONE
+    * action with no window where geometry and bits could come from
+    * different manifest versions. A row indexing a different column
+    * raises instead of silently testing the wrong bits.
+    */
+  private def containsValue(colName: String, value: Any): Column = {
+    require(value != null, "equality never matches NULL — probe for null is meaningless")
+    val ok = forall(
+      positionsExpr(lit(value), col("bits").cast("long"), col("hashes")),
+      p => element_at(col("words"), (p / 64L).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))) =!= 0L)
+    when(col("col_name") === lit(colName), ok)
+      .otherwise(raise_error(concat(
+        lit("bloom manifest indexes column '"), col("col_name"),
+        lit(s"', probe asked for '$colName'"))).cast("boolean"))
   }
 
   /** One manifest row per data file of `path`. ONE scan; the first
@@ -114,42 +135,6 @@ object BloomSkip {
     Sinks.writePartitionedAtomic(
       build(spark, dataPath, colName, bits, hashes).coalesce(1), manifestPath, Nil)
 
-  /** The manifest's stored geometry — every probe reads it from here, so
-    * bits/hashes drift between build and probe is impossible. Fails
-    * loudly on an empty manifest or a column-name mismatch.
-    */
-  private def geometry(
-      rows: Array[org.apache.spark.sql.Row], colName: String): (Int, Int) = {
-    require(rows.nonEmpty, "bloom manifest is empty — build it before probing")
-    val (c, b, k) = (rows.head.getAs[String]("col_name"),
-      rows.head.getAs[Int]("bits"), rows.head.getAs[Int]("hashes"))
-    require(c == colName,
-      s"bloom manifest indexes column '$c', probe asked for '$colName'")
-    (b, k)
-  }
-
-  /** The probe value's bit positions, evaluated BY THE ENGINE over a
-    * one-row local relation — the same expression as [[build]], so the
-    * no-false-drop argument is structural, not "two implementations agree".
-    */
-  private def probePositions(
-      spark: SparkSession, value: Any, bits: Int, hashes: Int): Seq[Long] = {
-    require(value != null, "equality never matches NULL — probe for null is meaningless")
-    spark.range(1)
-      .select(positionsExpr(lit(value), bits, hashes).as("p"))
-      .head().getSeq[Long](0)
-  }
-
-  /** Membership test as a Catalyst predicate over a manifest row's dense
-    * `words` (positions are literals by probe time — the filter is pure
-    * bit arithmetic, usable driver-side or distributed).
-    */
-  private def containsAll(positions: Seq[Long]): Column =
-    positions.map { p =>
-      element_at(col("words"), (p / 64L).toInt + 1)
-        .bitwiseAND(1L << (p % 64L).toInt) =!= 0L
-    }.reduce(_ && _)
-
   /** Data-file paths that may contain ANY of `values` in the indexed
     * column, unioned with every file the manifest does not know about
     * (staleness degrades, never breaks). Driver-sized result by
@@ -165,16 +150,30 @@ object BloomSkip {
     def key(uri: String): String = new org.apache.hadoop.fs.Path(uri).toUri.getPath
     import org.apache.spark.sql.Encoders
     val current = spark.read.parquet(dataPath).inputFiles.toSeq
-    val (rows, schema) = ZoneMaps.manifestRows(spark, manifestPath)
-    val (bits, hashes) = geometry(rows, colName)
-    val pred = values
-      .map(v => containsAll(probePositions(spark, v, bits, hashes)))
-      .reduce(_ || _)
-    val manifest = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-    val surviving = manifest.where(pred)
-      .select(col("file")).as(Encoders.STRING)
-      .collect().map(key).toSet
-    val known = rows.map(r => key(r.getAs[String]("file"))).toSet
+    // The membership predicate is evaluated DISTRIBUTED (geometry read
+    // from each row — [[containsValue]]) and the driver collects only
+    // (path, survives) pairs — never the manifest's word arrays
+    // (bits/8 bytes per file: at 100k files × 16 KB that is GBs the
+    // driver must not hold; the pair list is the FileIndex cardinality
+    // Spark already materializes). ONE collect-action per attempt,
+    // re-planned inside the retry so a concurrent staged swap is
+    // absorbed ([[ZoneMaps.prunedFilesDistributed]]'s argument), and
+    // known/surviving decisions come from ONE manifest version.
+    val pred = values.map(v => containsValue(colName, v)).reduce(_ || _)
+    def attempt(left: Int): (Set[String], Set[String]) =
+      try {
+        val pairs = spark.read.parquet(manifestPath)
+          .select(col("file"), coalesce(pred, lit(false)).as("survives"))
+          .as(Encoders.tuple(Encoders.STRING, Encoders.scalaBoolean))
+          .collect()
+        (pairs.map(p => key(p._1)).toSet,
+          pairs.filter(_._2).map(p => key(p._1)).toSet)
+      } catch {
+        case e: Throwable if left > 0 && Sinks.isTransientSwapMiss(e) =>
+          Thread.sleep(25L)
+          attempt(left - 1)
+      }
+    val (known, surviving) = attempt(8)
     current.filter { f =>
       val k = key(f)
       !known.contains(k) || surviving.contains(k)
@@ -194,13 +193,9 @@ object BloomSkip {
       retries: Int = 8): Seq[String] = {
     require(values.nonEmpty, "need at least one probe value")
     import org.apache.spark.sql.Encoders
+    val pred = values.map(v => containsValue(colName, v)).reduce(_ || _)
     def attempt(left: Int): Seq[String] =
       try {
-        val first = spark.read.parquet(manifestPath).limit(1).collect()
-        val (bits, hashes) = geometry(first, colName)
-        val pred = values
-          .map(v => containsAll(probePositions(spark, v, bits, hashes)))
-          .reduce(_ || _)
         spark.read.parquet(manifestPath)
           .where(pred)
           .select(col("file")).as(Encoders.STRING)
@@ -216,34 +211,52 @@ object BloomSkip {
   /** Incremental manifest maintenance — stat ONLY files the manifest does
     * not know, drop entries for deleted files, no-op when unchanged (the
     * [[ZoneMaps.update]] discipline). Geometry comes from the existing
-    * manifest, never from arguments.
+    * manifest, never from arguments. DRIVER-THIN, unlike
+    * [[ZoneMaps.update]]'s local-relation form: bloom manifest rows are
+    * FAT (bits/8 bytes of words each), so the surviving entries are
+    * re-read distributed (a left-semi against the kept path keys) and
+    * only path strings plus one geometry row ever reach the driver —
+    * [[Sinks.writePartitionedAtomic]]'s staged swap explicitly supports
+    * a plan that reads the manifest it is overwriting. Single-writer
+    * maintenance assumption (shared with ZoneMaps): readers are
+    * swap-safe concurrently; two concurrent maintainers are not.
     */
   def update(spark: SparkSession, dataPath: String, manifestPath: String): Unit = {
     def key(uri: String): String = new org.apache.hadoop.fs.Path(uri).toUri.getPath
+    import org.apache.spark.sql.Encoders
     val current = spark.read.parquet(dataPath).inputFiles.toSeq
     val currentKeys = current.map(key).toSet
-    val (knownRows, manifestSchema) = ZoneMaps.manifestRows(spark, manifestPath)
-    require(knownRows.nonEmpty, "bloom manifest is empty — run save() first")
-    val colName = knownRows.head.getAs[String]("col_name")
-    val (bits, hashes) = geometry(knownRows, colName)
-    val known = knownRows.map(r => key(r.getAs[String]("file"))).toSet
+    def attemptPaths(left: Int): Seq[String] =
+      try spark.read.parquet(manifestPath).select(col("file")).as(Encoders.STRING).collect().toSeq
+      catch {
+        case e: Throwable if left > 0 && Sinks.isTransientSwapMiss(e) =>
+          Thread.sleep(25L); attemptPaths(left - 1)
+      }
+    val knownPaths = attemptPaths(8)
+    require(knownPaths.nonEmpty, "bloom manifest is empty — run save() first")
+    val head = spark.read.parquet(manifestPath).limit(1).collect().head
+    val colName = head.getAs[String]("col_name")
+    val (bits, hashes) = (head.getAs[Int]("bits"), head.getAs[Int]("hashes"))
+    val known = knownPaths.map(key).toSet
     val fresh = current.filterNot(f => known.contains(key(f)))
     val dropped = known.diff(currentKeys)
     if (fresh.isEmpty && dropped.isEmpty) return
-    val keepDf = spark.createDataFrame(
-      java.util.Arrays.asList(
-        knownRows.filter(r => currentKeys.contains(key(r.getAs[String]("file")))): _*),
-      manifestSchema)
+    // path-normalization as a Column (the ZoneMaps.prunedFilesDistributed
+    // pathKey move) so the keep-side semi join needs no driver-side rows
+    def pathKey(c: Column): Column = regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+    val keepKeys = spark.createDataset(currentKeys.toSeq)(Encoders.STRING).toDF("__k")
+    val keepDf = spark.read.parquet(manifestPath)
+      .withColumn("__k", pathKey(col("file")))
+      .join(keepKeys, Seq("__k"), "left_semi")
+      .drop("__k")
     val freshDf =
       if (fresh.isEmpty) keepDf.where(lit(false))
-      else {
-        // build() over just the fresh files: stage through a temp view of
-        // those paths — same expression family, same schema
-        val sub = spark.read
-          .schema(spark.read.parquet(dataPath).schema)
-          .parquet(fresh: _*)
-        buildFrom(sub, colName, bits, hashes)
-      }
+      else
+        buildFrom(
+          spark.read
+            .schema(spark.read.parquet(dataPath).schema)
+            .parquet(fresh: _*),
+          colName, bits, hashes)
     Sinks.writePartitionedAtomic(keepDf.unionByName(freshDf).coalesce(1), manifestPath, Nil)
   }
 
@@ -259,7 +272,7 @@ object BloomSkip {
       .select(
         input_file_name().as("file"),
         explode(concat(
-          coalesce(positionsExpr(col(colName), bits, hashes), array()),
+          coalesce(positionsExpr(col(colName), lit(bits.toLong), lit(hashes)), array()),
           array(lit(null).cast("long")))).as("pos"))
     exploded
       .groupBy(col("file"), (col("pos") / 64L).cast("int").as("w"))

@@ -119,12 +119,14 @@ class BloomSkipSpec extends AnyFunSuite {
     val data = tmp() + "/data"; val mf = tmp() + "/manifest"
     writeSpread(data)
     BloomSkip.save(spark, data, mf, "k", bits = 1 << 8, hashes = 3)
-    // a probe never passes bits/hashes — it reads them from the manifest,
-    // so there is nothing to drift; asking for the wrong column throws
-    val ex = intercept[IllegalArgumentException] {
+    // a probe never passes bits/hashes — the predicate reads them from
+    // the manifest ROW it tests, so there is nothing to drift; asking
+    // for the wrong column raises inside the one probe action
+    val ex = intercept[Exception] {
       BloomSkip.candidateFiles(spark, data, mf, "v", Seq("x"))
     }
-    assert(ex.getMessage.contains("indexes column 'k'"))
+    assert(ex.getMessage.contains("indexes column 'k'") ||
+      Option(ex.getCause).exists(_.getMessage.contains("indexes column 'k'")))
     // and the stored geometry round-trips
     val row = spark.read.parquet(mf).head()
     assert(row.getAs[Int]("bits") === (1 << 8) && row.getAs[Int]("hashes") === 3)
