@@ -81,7 +81,12 @@ object Bench {
         E("q106_build", (s, d) => { scratch += Queries.buildDsirModels(s, d); () },
           dropScratch _),
         E("q106_probe", (s, d) => noopWrite(Queries.dsirScore(s, d, modelsFor(d))),
-          frame = Some((s, d) => Queries.dsirScore(s, d, modelsFor(d)))))
+          frame = Some((s, d) => Queries.dsirScore(s, d, modelsFor(d)))),
+        // codec-bound workload class (round 13): full-corpus PNG encode →
+        // real decode → dHash → banded near-dup pairs — none of the
+        // relational headlines exercise a media decode path
+        E("q123_media_near_dup", (s, d) => noopWrite(Queries.mediaNearDupFull(s, d)),
+          frame = Some((s, d) => Queries.mediaNearDupFull(s, d))))
 
     // Drop operator-pinned prep tables and everything else in the cache
     // manager: leftover storage memory from a previous query (the dedup

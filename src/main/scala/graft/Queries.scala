@@ -5513,6 +5513,22 @@ object Queries {
       SELECT l_orderkey, l_linenumber, l_quantity
       FROM lineitem WHERE l_orderkey IN (1, 7, 1000, 4999, 999999999)"""))
 
+  /** Full-corpus image near-dup — the BENCH face of [[q123bImageNearDup]]'s
+    * sliced gate: every document becomes a PNG and the whole
+    * encode → real decode → dHash → banded-pair pipeline runs end to end.
+    * Codec-bound, a workload class none of the relational headlines
+    * cover; the banded join keeps it linear at any corpus size.
+    */
+  private[graft] def mediaNearDupFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, "image", Multimodal.syntheticPng(id))))
+      .toDF("media_id", "kind", "bytes")
+    Multimodal.imageNearDupPairs(s, media)
+  }
+
   /** Perceptual AUDIO fingerprint, oracle-gated through a REAL PCM
     * decode: each document id becomes a synthetic WAV
     * ([[Multimodal.syntheticWav]]); Spark runs real
