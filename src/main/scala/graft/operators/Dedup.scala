@@ -757,6 +757,20 @@ object Dedup {
     * signature that is genuinely zero (empty token stream) is NOT null and
     * pairs normally at hamming 0.
     */
+  /** The 4×16-bit band decomposition of a 64-bit signature — THE one
+    * definition of the banding geometry. [[hammingPairs64]]'s pair path,
+    * [[graft.streaming.Streams.mediaDedupIngest]]'s persisted band index,
+    * and its cross-batch probe all call this; two copies drifting apart
+    * would silently break the pigeonhole exact-recall claim (a persisted
+    * index banded one way probed another finds nothing, with no error).
+    */
+  private[graft] def bands64(sig: Column): Column =
+    transform(
+      sequence(lit(0), lit(3)),
+      b => struct(
+        b.as("band"),
+        call_function("shiftright", sig, b * 16).bitwiseAND(0xffffL).as("bucket")))
+
   def hammingPairs64(
       sigsIn: DataFrame,
       idCol: String,
@@ -769,13 +783,7 @@ object Dedup {
     val banded = sigs.where(col("sig").isNotNull).select(
       col("id"),
       col("sig"),
-      explode(
-        transform(
-          sequence(lit(0), lit(3)),
-          b => struct(
-            b.as("band"),
-            call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xffffL).as("bucket"))))
-        .as("bb"))
+      explode(bands64(col("sig"))).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
       .transform(Blocking.withOccupancy(_, Seq("band", "bucket")))
     val cold = banded.where(col("__occ") <= maxBucket)

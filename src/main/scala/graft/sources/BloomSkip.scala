@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 
 /** File-level BLOOM-FILTER skipping: a persisted per-file bit-set manifest
   * over one column, and a scan that consults it to skip whole files for
@@ -19,18 +20,17 @@ import org.apache.spark.sql.functions._
   * point lookup over 100k files into a scan of the handful whose filters
   * fire (expected false-positive share ≈ fill^k on top).
   *
-  * Representation: one row per data file — `(file, rows, col_name, bits,
-  * hashes, words)` with `words` a DENSE little-endian array of
-  * `bits / 64` longs. Bit positions come from double hashing
+  * Representation: one row per data file — `(file, rows, col_name,
+  * col_type, bits, hashes, words)` with `words` a DENSE little-endian
+  * array of `bits / 64` longs. Bit positions come from double hashing
   * (`h1 + i·h2 mod bits`, i < hashes — Kirsch–Mitzenmacher) over
   * `xxhash64(cast(value AS STRING))`, so build and probe use the ENGINE's
-  * hash; nothing driver-side re-implements it (probe positions are
-  * evaluated by a one-row Catalyst job with the identical expression).
-  * The string cast canonicalizes the hashed form; probe with a literal of
-  * the COLUMN's type (the re-applied equality keeps semantics exact
-  * regardless — a hash-form mismatch could only cost a false DROP, so the
-  * cast contract is enforced by construction, both sides sharing one
-  * expression).
+  * hash; nothing driver-side re-implements it. The string cast
+  * canonicalizes the hashed form, and the probe literal is CAST TO THE
+  * INDEXED COLUMN'S TYPE first (`col_type`, stored at build time) — an
+  * Int probe against a DOUBLE column would otherwise hash "7" where build
+  * hashed "7.0" and silently false-drop every file; with the cast the
+  * contract really is enforced by construction.
   *
   * Safety contract (the [[ZoneMaps]] one, adapted to membership):
   *  - a probed file is skipped ONLY if some probe bit is absent — a
@@ -48,7 +48,14 @@ import org.apache.spark.sql.functions._
   *  - CONCURRENCY: the manifest promotes through
   *    [[Sinks.writePartitionedAtomic]]'s staged swap and every manifest
   *    read absorbs the swap window with the bounded
-  *    [[Sinks.isTransientSwapMiss]] retry.
+  *    [[Sinks.isTransientSwapMiss]] retry. Maintenance is single-writer
+  *    (the ZoneMaps assumption); readers are swap-safe concurrently.
+  *
+  * Path identity: ONE normalizer — strip the scheme, KEEP any authority —
+  * applied identically driver-side and as a Column (the
+  * [[ZoneMaps.prunedFilesDistributed]] pathKey), so `inputFiles` URIs
+  * (`file:/p`, `hdfs://nn:8020/p`) and `input_file_name()` URIs
+  * (`file:///p`) agree per file on every filesystem, not just local.
   *
   * [[prunedRead]] / [[prunedReadIn]] re-apply the equality after the
   * file-level skip, so the result is EXACTLY the full scan's filter —
@@ -57,12 +64,17 @@ import org.apache.spark.sql.functions._
   * Sizing: `bits` defaults to 2^17 (16 KB/file dense; parquet RLE
   * crushes the zero words of sparse files). For a 128 MB data file of
   * ~1M distinct keys that is ~13% fill at k = 5 → false-positive rate
-  * ≈ 4·10⁻⁵; the whole 100k-file manifest is ≤ 1.6 GB cold and one
-  * column-pruned scan hot. The manifest carries `bits`/`hashes` per row
-  * and probes READ them from the manifest — a probe can never use a
-  * geometry different from the one the bits were built with.
+  * ≈ 4·10⁻⁵. The manifest's word arrays NEVER reach the driver: probes
+  * are one distributed action collecting (path, survives) pairs, and the
+  * per-row geometry/type columns make drift between manifest versions
+  * impossible mid-probe.
   */
 object BloomSkip {
+
+  /** The one path normalizer (see the scaladoc's "Path identity"). */
+  private val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/+"
+  private def pathKey(c: Column): Column = regexp_replace(c, schemeRe, "/")
+  private def pathKey(uri: String): String = uri.replaceFirst(schemeRe, "/")
 
   /** Probe-side bit positions and build-side words share this ONE
     * expression family — the no-false-drop proof is "same expression".
@@ -89,19 +101,45 @@ object BloomSkip {
   /** Membership of `value` in a manifest ROW's filter, geometry read
     * from THAT row — one Catalyst predicate, so a whole probe is ONE
     * action with no window where geometry and bits could come from
-    * different manifest versions. A row indexing a different column
+    * different manifest versions. The probe literal is cast to the
+    * indexed column's type BEFORE hashing (build hashed the column's own
+    * canonical string form); a row indexing a different column or type
     * raises instead of silently testing the wrong bits.
     */
-  private def containsValue(colName: String, value: Any): Column = {
+  private def containsValue(colName: String, value: Any, castTo: DataType): Column = {
     require(value != null, "equality never matches NULL — probe for null is meaningless")
+    val typed = lit(value).cast(castTo)
     val ok = forall(
-      positionsExpr(lit(value), col("bits").cast("long"), col("hashes")),
+      positionsExpr(typed, col("bits").cast("long"), col("hashes")),
       p => element_at(col("words"), (p / 64L).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))) =!= 0L)
-    when(col("col_name") === lit(colName), ok)
-      .otherwise(raise_error(concat(
-        lit("bloom manifest indexes column '"), col("col_name"),
-        lit(s"', probe asked for '$colName'"))).cast("boolean"))
+    when(col("col_name") =!= lit(colName) || col("col_type") =!= lit(castTo.catalogString),
+      raise_error(concat(
+        lit("bloom manifest indexes ('"), col("col_name"), lit("': "), col("col_type"),
+        lit(s"), probe asked for ('$colName': ${castTo.catalogString})")))
+        .cast("boolean"))
+      .otherwise(ok)
+  }
+
+  /** The indexed column's type, read from the manifest (retry-guarded;
+    * stable across [[update]]s by construction — only a full re-[[save]]
+    * can change it, which is a single-writer maintenance event, and the
+    * in-predicate col_type check still raises on any drift).
+    */
+  private def manifestColType(
+      spark: SparkSession, manifestPath: String, retries: Int = 8): DataType = {
+    def attempt(left: Int): DataType =
+      try {
+        val rows = spark.read.parquet(manifestPath)
+          .select(col("col_type")).limit(1).collect()
+        require(rows.nonEmpty, "bloom manifest is empty — build it before probing")
+        DataType.fromDDL(rows.head.getString(0))
+      } catch {
+        case e: Throwable if left > 0 && Sinks.isTransientSwapMiss(e) =>
+          Thread.sleep(25L)
+          attempt(left - 1)
+      }
+    attempt(retries)
   }
 
   /** One manifest row per data file of `path`. ONE scan; the first
@@ -145,11 +183,24 @@ object BloomSkip {
       dataPath: String,
       manifestPath: String,
       colName: String,
+      values: Seq[Any]): Seq[String] =
+    candidateFilesFrom(
+      spark, spark.read.parquet(dataPath).inputFiles.toSeq, manifestPath, colName, values)
+
+  /** [[candidateFiles]] over an already-materialized file list — the
+    * [[prunedReadIn]] path lists the data directory ONCE and routes both
+    * the candidate decision and the scan schema through that single
+    * listing (at 100k object-store files a second listing per point
+    * lookup is the exact cost the manifest exists to avoid).
+    */
+  private def candidateFilesFrom(
+      spark: SparkSession,
+      current: Seq[String],
+      manifestPath: String,
+      colName: String,
       values: Seq[Any]): Seq[String] = {
     require(values.nonEmpty, "need at least one probe value")
-    def key(uri: String): String = new org.apache.hadoop.fs.Path(uri).toUri.getPath
     import org.apache.spark.sql.Encoders
-    val current = spark.read.parquet(dataPath).inputFiles.toSeq
     // The membership predicate is evaluated DISTRIBUTED (geometry read
     // from each row — [[containsValue]]) and the driver collects only
     // (path, survives) pairs — never the manifest's word arrays
@@ -159,15 +210,16 @@ object BloomSkip {
     // re-planned inside the retry so a concurrent staged swap is
     // absorbed ([[ZoneMaps.prunedFilesDistributed]]'s argument), and
     // known/surviving decisions come from ONE manifest version.
-    val pred = values.map(v => containsValue(colName, v)).reduce(_ || _)
+    val castTo = manifestColType(spark, manifestPath)
+    val pred = values.map(v => containsValue(colName, v, castTo)).reduce(_ || _)
     def attempt(left: Int): (Set[String], Set[String]) =
       try {
         val pairs = spark.read.parquet(manifestPath)
           .select(col("file"), coalesce(pred, lit(false)).as("survives"))
           .as(Encoders.tuple(Encoders.STRING, Encoders.scalaBoolean))
           .collect()
-        (pairs.map(p => key(p._1)).toSet,
-          pairs.filter(_._2).map(p => key(p._1)).toSet)
+        (pairs.map(p => pathKey(p._1)).toSet,
+          pairs.filter(_._2).map(p => pathKey(p._1)).toSet)
       } catch {
         case e: Throwable if left > 0 && Sinks.isTransientSwapMiss(e) =>
           Thread.sleep(25L)
@@ -175,7 +227,7 @@ object BloomSkip {
       }
     val (known, surviving) = attempt(8)
     current.filter { f =>
-      val k = key(f)
+      val k = pathKey(f)
       !known.contains(k) || surviving.contains(k)
     }
   }
@@ -183,7 +235,7 @@ object BloomSkip {
   /** LISTING-FREE prune: the manifest IS the file catalog (the
     * [[ZoneMaps.prunedFilesManifestOnly]] contract — the manifest must be
     * CURRENT via [[update]]; unknown files cannot be discovered here).
-    * The driver holds only probe positions and the surviving path list.
+    * The driver holds only the surviving path list.
     */
   def prunedFilesManifestOnly(
       spark: SparkSession,
@@ -193,7 +245,8 @@ object BloomSkip {
       retries: Int = 8): Seq[String] = {
     require(values.nonEmpty, "need at least one probe value")
     import org.apache.spark.sql.Encoders
-    val pred = values.map(v => containsValue(colName, v)).reduce(_ || _)
+    val castTo = manifestColType(spark, manifestPath, retries)
+    val pred = values.map(v => containsValue(colName, v, castTo)).reduce(_ || _)
     def attempt(left: Int): Seq[String] =
       try {
         spark.read.parquet(manifestPath)
@@ -214,36 +267,39 @@ object BloomSkip {
     * manifest, never from arguments. DRIVER-THIN, unlike
     * [[ZoneMaps.update]]'s local-relation form: bloom manifest rows are
     * FAT (bits/8 bytes of words each), so the surviving entries are
-    * re-read distributed (a left-semi against the kept path keys) and
-    * only path strings plus one geometry row ever reach the driver —
-    * [[Sinks.writePartitionedAtomic]]'s staged swap explicitly supports
-    * a plan that reads the manifest it is overwriting. Single-writer
-    * maintenance assumption (shared with ZoneMaps): readers are
-    * swap-safe concurrently; two concurrent maintainers are not.
+    * re-read distributed (a left-semi against the kept path keys — the
+    * SAME [[pathKey]] normalization on both sides, so authority-carrying
+    * URIs keep matching) and only path strings plus one geometry row
+    * ever reach the driver — [[Sinks.writePartitionedAtomic]]'s staged
+    * swap explicitly supports a plan that reads the manifest it is
+    * overwriting. Single-writer maintenance assumption (shared with
+    * ZoneMaps): readers are swap-safe concurrently; two concurrent
+    * maintainers are not.
     */
   def update(spark: SparkSession, dataPath: String, manifestPath: String): Unit = {
-    def key(uri: String): String = new org.apache.hadoop.fs.Path(uri).toUri.getPath
     import org.apache.spark.sql.Encoders
-    val current = spark.read.parquet(dataPath).inputFiles.toSeq
-    val currentKeys = current.map(key).toSet
-    def attemptPaths(left: Int): Seq[String] =
-      try spark.read.parquet(manifestPath).select(col("file")).as(Encoders.STRING).collect().toSeq
-      catch {
+    val data = spark.read.parquet(dataPath) // ONE listing: files AND schema
+    val current = data.inputFiles.toSeq
+    val currentKeys = current.map(pathKey).toSet
+    def attemptHead(left: Int): (Seq[String], org.apache.spark.sql.Row) =
+      try {
+        val mf = spark.read.parquet(manifestPath)
+        (mf.select(col("file")).as(Encoders.STRING).collect().toSeq,
+          mf.select(col("col_name"), col("bits"), col("hashes")).limit(1).collect()
+            .headOption.orNull)
+      } catch {
         case e: Throwable if left > 0 && Sinks.isTransientSwapMiss(e) =>
-          Thread.sleep(25L); attemptPaths(left - 1)
+          Thread.sleep(25L); attemptHead(left - 1)
       }
-    val knownPaths = attemptPaths(8)
-    require(knownPaths.nonEmpty, "bloom manifest is empty — run save() first")
-    val head = spark.read.parquet(manifestPath).limit(1).collect().head
+    val (knownPaths, head) = attemptHead(8)
+    require(knownPaths.nonEmpty && head != null,
+      "bloom manifest is empty — run save() first")
     val colName = head.getAs[String]("col_name")
     val (bits, hashes) = (head.getAs[Int]("bits"), head.getAs[Int]("hashes"))
-    val known = knownPaths.map(key).toSet
-    val fresh = current.filterNot(f => known.contains(key(f)))
+    val known = knownPaths.map(pathKey).toSet
+    val fresh = current.filterNot(f => known.contains(pathKey(f)))
     val dropped = known.diff(currentKeys)
     if (fresh.isEmpty && dropped.isEmpty) return
-    // path-normalization as a Column (the ZoneMaps.prunedFilesDistributed
-    // pathKey move) so the keep-side semi join needs no driver-side rows
-    def pathKey(c: Column): Column = regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
     val keepKeys = spark.createDataset(currentKeys.toSeq)(Encoders.STRING).toDF("__k")
     val keepDf = spark.read.parquet(manifestPath)
       .withColumn("__k", pathKey(col("file")))
@@ -251,12 +307,7 @@ object BloomSkip {
       .drop("__k")
     val freshDf =
       if (fresh.isEmpty) keepDf.where(lit(false))
-      else
-        buildFrom(
-          spark.read
-            .schema(spark.read.parquet(dataPath).schema)
-            .parquet(fresh: _*),
-          colName, bits, hashes)
+      else buildFrom(spark.read.schema(data.schema).parquet(fresh: _*), colName, bits, hashes)
     Sinks.writePartitionedAtomic(keepDf.unionByName(freshDf).coalesce(1), manifestPath, Nil)
   }
 
@@ -268,6 +319,7 @@ object BloomSkip {
     */
   private def buildFrom(df: DataFrame, colName: String, bits: Int, hashes: Int): DataFrame = {
     val nwords = bits / 64
+    val colType = df.schema(colName).dataType
     val exploded = df
       .select(
         input_file_name().as("file"),
@@ -290,6 +342,7 @@ object BloomSkip {
         col("file"),
         col("rows"),
         lit(colName).as("col_name"),
+        lit(colType.catalogString).as("col_type"),
         lit(bits).as("bits"),
         lit(hashes).as("hashes"),
         transform(sequence(lit(0), lit(nwords - 1)),
@@ -311,7 +364,9 @@ object BloomSkip {
 
   /** IN-list variant: result ≡ the full scan's `WHERE colName IN
     * (values…)`. Candidates are the union of the per-value survivors —
-    * one manifest pass, |values| probe-position evaluations.
+    * one manifest pass, |values| probe-position evaluations, and ONE
+    * data-directory listing shared by the candidate decision and the
+    * pruned scan's schema.
     */
   def prunedReadIn(
       spark: SparkSession,
@@ -319,13 +374,15 @@ object BloomSkip {
       manifestPath: String,
       colName: String,
       values: Seq[Any]): DataFrame = {
-    val files = candidateFiles(spark, dataPath, manifestPath, colName, values)
+    val data = spark.read.parquet(dataPath) // ONE listing: files AND schema
+    val files = candidateFilesFrom(
+      spark, data.inputFiles.toSeq, manifestPath, colName, values)
     val base =
       if (files.isEmpty)
-        spark.read.parquet(dataPath).where(lit(false))
+        data.where(lit(false))
       else
         spark.read
-          .schema(spark.read.parquet(dataPath).schema)
+          .schema(data.schema)
           .option("basePath", dataPath)
           .parquet(files: _*)
     base.where(col(colName).isin(values: _*))

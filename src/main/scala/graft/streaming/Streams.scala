@@ -720,15 +720,26 @@ object Streams {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16-bit banding guarantees exact recall only for maxHamming <= 3")
     // start-time validation (the importanceRoutedIngest lesson): the
-    // recomputed column must not silently clobber an input column
-    require(!stream.columns.contains("dhash"),
-      "input stream already has a 'dhash' column")
+    // recomputed/internal columns must not silently clobber input columns,
+    // and the id must be integral — a string id would cast to NULL and
+    // kill the first micro-batch (or fan out the join on collisions)
+    // instead of being rejected before .start()
+    for (c <- Seq("dhash", "__mid"))
+      require(!stream.columns.contains(c),
+        s"input stream already has a '$c' column")
+    stream.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"mediaDedupIngest needs an INTEGRAL id column (got $idCol: " +
+          s"${other.catalogString}); hash or re-number string ids upstream")
+    }
+    // ONE banding geometry, shared with hammingPairs64's pair path — a
+    // private copy here could drift from the in-batch suppression and
+    // silently break cross-batch recall (review, round 13)
     def bandRows(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       df.select(col(idCol), col("dhash"),
-        explode(transform(sequence(lit(0), lit(3)), b => struct(
-          b.as("band"),
-          call_function("shiftright", col("dhash"), b * 16).bitwiseAND(0xffffL).as("bucket"))))
-          .as("bb"))
+        explode(graft.operators.Dedup.bands64(col("dhash"))).as("bb"))
         .select(col(idCol), col("dhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val writer = stream.writeStream
       .outputMode("append")

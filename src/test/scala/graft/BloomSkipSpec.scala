@@ -97,6 +97,18 @@ class BloomSkipSpec extends AnyFunSuite {
       "after update the late key must probe selectively again")
   }
 
+  test("cross-type probe of a DOUBLE column: the col_type cast prevents the \"7\" vs \"7.0\" false drop") {
+    val data = tmp() + "/data"; val mf = tmp() + "/manifest"
+    Seq((7.0, "a"), (9.5, "b"), (11.0, "c")).toDF("d", "v")
+      .repartition(2).write.mode(SaveMode.Overwrite).parquet(data)
+    BloomSkip.save(spark, data, mf, "d", bits = 1 << 12)
+    // build hashed cast(7.0 AS STRING) = "7.0"; an uncast Int probe would
+    // hash "7", miss every bit, and return empty DESPITE the row existing
+    val got = BloomSkip.prunedRead(spark, data, mf, "d", 7)
+      .select("v").as[String].collect().toSeq
+    assert(got === Seq("a"), s"Int probe of a double column must not false-drop: $got")
+  }
+
   test("NULL column values set no bits; an all-null file is skipped for every probe") {
     val data = tmp() + "/data"; val mf = tmp() + "/manifest"
     Seq((Option(5L), "a"), (Option(9L), "b"), (Option(13L), "c")).toDF("k", "v")
@@ -125,11 +137,20 @@ class BloomSkipSpec extends AnyFunSuite {
     val ex = intercept[Exception] {
       BloomSkip.candidateFiles(spark, data, mf, "v", Seq("x"))
     }
-    assert(ex.getMessage.contains("indexes column 'k'") ||
-      Option(ex.getCause).exists(_.getMessage.contains("indexes column 'k'")))
-    // and the stored geometry round-trips
+    assert(ex.getMessage.contains("indexes ('k'"))
+    // and the stored geometry round-trips, col_type included
     val row = spark.read.parquet(mf).head()
     assert(row.getAs[Int]("bits") === (1 << 8) && row.getAs[Int]("hashes") === 3)
+    assert(row.getAs[String]("col_type") === "bigint")
     assert(row.getSeq[Long](row.fieldIndex("words")).length === (1 << 8) / 64)
+    // a probe literal of a DIFFERENT Scala type is cast to the column's
+    // type before hashing — an Int probe of a bigint column must not
+    // false-drop (build hashed "42…", an uncast Int would hash the same
+    // here, but a Double column would hash "7.0" vs "7" — the cast is
+    // what makes the no-false-drop contract real across types)
+    val probe = (42L * 1000003L % 999983L).toInt
+    val viaInt = BloomSkip.prunedRead(spark, data, mf, "k", probe).count()
+    val direct = spark.read.parquet(data).where(col("k") === probe.toLong).count()
+    assert(viaInt === direct && direct > 0L, "typed-cast probe must find the present key")
   }
 }

@@ -882,6 +882,15 @@ class StreamsSpec extends AnyFunSuite {
         .select("keeper_id").as[Long].collect().toSeq
       assert(idx.sorted === Seq(1L, 1L, 1L, 1L, 11L, 11L, 11L, 11L))
     } finally query.stop()
+    // a string-id stream must be REJECTED at start (cast-to-long would
+    // NULL out the join key and kill the first micro-batch at runtime)
+    val bad = MemoryStream[(String, Array[Byte])]
+    val ex = intercept[IllegalArgumentException] {
+      Streams.mediaDedupIngest(
+        bad.toDF().toDF("media_id", "bytes"), "media_id", "bytes",
+        s"$root/never_seen", s"$root/never_landed")
+    }
+    assert(ex.getMessage.contains("INTEGRAL"))
     graft.operators.Caches.release(blocking = true)
   }
 }
