@@ -498,12 +498,16 @@ object Multimodal {
       n_interleaved: Option[Long],
       fingerprint: Option[Long])
 
-  /** Perceptual 32-bit audio fingerprint over the REAL decoded PCM
-    * stream: the energy-envelope gradient ([[dHashImages]]'s move on
-    * audio). The interleaved 16-bit samples are cut into 33 equal-index
-    * frames (frame f covers interleaved indices [f·N div 33,
-    * (f+1)·N div 33)); frame energy = mean |amplitude| under truncating
-    * integer division; bit f (0..31) = 1 iff energy(f+1) > energy(f).
+  /** Perceptual audio fingerprint over the REAL decoded PCM stream: the
+    * energy-envelope gradient ([[dHashImages]]'s move on audio). The
+    * interleaved 16-bit samples are cut into `frames` equal-index frames
+    * (default 33 → a 32-bit fingerprint, the q125 oracle face; use 65 →
+    * 64 bits when the fingerprint feeds the banded pairing machinery,
+    * whose 4×16-bit geometry assumes signature entropy in every band —
+    * [[audioNearDupPairs]] does this). Frame f covers interleaved
+    * indices [f·N div frames, (f+1)·N div frames); frame energy = mean
+    * |amplitude| under truncating integer division; bit f = 1 iff
+    * energy(f+1) > energy(f).
     * Exact integer arithmetic end-to-end, so an oracle replays it from a
     * sample formula. Interleaved — not per-channel — framing: for
     * multi-channel audio each frame averages over all channels, so the
@@ -512,9 +516,15 @@ object Multimodal {
     * group); empty frames are impossible for N ≥ 33 and clips
     * shorter than that quarantine (NULL fingerprint, the
     * [[decodeAudio]] convention). Streams that do not declare a frame
-    * length, or decline to decode to PCM, quarantine the same way.
+    * length, or decline to decode to PCM, quarantine the same way
+    * (as do clips shorter than `frames` interleaved samples).
     */
-  def audioFingerprint(spark: SparkSession, media: DataFrame, batchSize: Int = 64): Dataset[AudioFpRow] = {
+  def audioFingerprint(
+      spark: SparkSession,
+      media: DataFrame,
+      batchSize: Int = 64,
+      frames: Int = 33): Dataset[AudioFpRow] = {
+    require(frames >= 2 && frames <= 65, "frames-1 gradient bits must fit a long")
     import spark.implicits._
     media
       .select(col("media_id"), col("kind"), col("bytes"))
@@ -548,11 +558,11 @@ object Multimodal {
                   }
                 } finally in.close()
               } catch { case scala.util.control.NonFatal(_) => None }
-            val fp = samples.filter(_.length >= 33).map { s =>
+            val fp = samples.filter(_.length >= frames).map { s =>
               val n = s.length
               def energy(f: Int): Long = {
-                val lo = f * n / 33
-                val hi = (f + 1) * n / 33
+                val lo = f * n / frames
+                val hi = (f + 1) * n / frames
                 var sum = 0L
                 var i = lo
                 while (i < hi) { sum += math.abs(s(i).toLong); i += 1 }
@@ -561,7 +571,7 @@ object Multimodal {
               var acc = 0L
               var f = 0
               var prev = energy(0)
-              while (f < 32) {
+              while (f < frames - 1) {
                 val next = energy(f + 1)
                 if (next > prev) acc |= 1L << f
                 prev = next
@@ -577,4 +587,98 @@ object Multimodal {
         }
       }
   }
+  /** Audio NEAR-DUP pairs: 64-bit energy-envelope fingerprints (65
+    * frames) through [[graft.operators.Dedup.hammingPairs64]] — the
+    * [[imageNearDupPairs]] shape on the audio modality. A 32-bit
+    * fingerprint would leave bands 2–3 all-zero (every clip in one
+    * bucket — a flood that degenerates to all-pairs), which is why the
+    * pairing face widens to 64 bits rather than reusing the q125 oracle
+    * face's 33 frames. Emits `(id_a, id_b, hamming)`, NULL fingerprints
+    * quarantined.
+    */
+  def audioNearDupPairs(
+      spark: SparkSession,
+      media: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    Dedup.hammingPairs64(
+      audioFingerprint(spark, media, frames = 65).toDF()
+        .where(col("fingerprint").isNotNull),
+      "media_id", "fingerprint", maxHamming, maxBucket)
+
+  final case class FrameDHashRow(
+      media_id: Long,
+      frame_idx: Int,
+      n_frames: Int,
+      dhash: Long)
+
+  /** Frame-level dHash over a multi-frame container (animated GIF — the
+    * video-shaped format the JDK decodes): [[frameSample]]'s REAL
+    * `ImageReader` walk emitting the perceptual [[dHash]] per sampled
+    * frame instead of the exact pixel hash — the input to video-style
+    * near-dup. Undecodable payloads yield zero rows (the frameSample
+    * exploding-op convention); single-frame images emit one row, so
+    * stills and clips share one fingerprint space.
+    */
+  def frameDHashes(
+      spark: SparkSession, media: DataFrame, maxFrames: Int = 8): Dataset[FrameDHashRow] = {
+    import spark.implicits._
+    require(maxFrames >= 1, "maxFrames must be at least 1")
+    media
+      .select(col("media_id"), col("kind"), col("bytes"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { r =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); Seq.empty }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              val k = math.min(maxFrames, n)
+              (0 until k).flatMap { i =>
+                val src = if (k <= 1) 0 else (i.toLong * (n - 1) / (k - 1)).toInt
+                try {
+                  val img = reader.read(src)
+                  Some(FrameDHashRow(r.media_id, src, n, dHash(img)))
+                } catch { case scala.util.control.NonFatal(_) => None }
+              }
+            } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+            finally { reader.dispose(); iis.close() }
+          }
+        }
+      }
+  }
+
+  /** Multi-frame asset near-dup: two assets pair when they share at
+    * least `minShared` identical FRAME fingerprints — the clip-level
+    * dedup a video corpus needs (re-encoded or re-containered clips
+    * keep their frame dHashes; trimmed clips keep most). The join is on
+    * the 8-byte frame fingerprint (never pixels), distinct-counted per
+    * asset pair; at scale this is one exchange keyed on dhash whose
+    * per-key fan-out is the number of assets sharing a frame — cap
+    * boilerplate frames (intros, test patterns) upstream with a
+    * frequency filter if a corpus has them.
+    */
+  def multiFrameNearDupPairs(
+      spark: SparkSession,
+      media: DataFrame,
+      maxFrames: Int = 8,
+      minShared: Int = 2): DataFrame = {
+    val frames = Caches.pin(
+      frameDHashes(spark, media, maxFrames).toDF()
+        .select(col("media_id"), col("dhash")).distinct())
+    val a = frames.select(col("media_id").as("id_a"), col("dhash"))
+    val b = frames.select(col("media_id").as("id_b"), col("dhash"))
+    a.join(b, Seq("dhash"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
+  }
+
 }
