@@ -5642,6 +5642,64 @@ object Queries {
                   ELSE 'cjk' END AS script
       FROM c"""))
 
+  /** Documents + synthesized URLs + an integral quality score whose mean
+    * genuinely diverges per host (score = n_chars + 40·(doc_id mod 3),
+    * and the host IS doc_id mod 3) — the q127 family's shared input.
+    */
+  private def domainScoredDocs(s: SparkSession, dir: String): DataFrame =
+    syntheticUrls(s, dir)
+      .join(t(s, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+      .withColumn("score", col("n_chars") + pmod(col("doc_id"), lit(3L)) * 40L)
+
+  private val domainScoredSql = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'example.com'
+                    WHEN doc_id % 3 = 1 THEN 'sub.example.org'
+                    ELSE 'example.net' END AS host,
+               n_chars + (doc_id % 3) * 40 AS s
+        FROM documents"""
+
+  /** DOMAIN-level quality judgment ([[graft.operators.Urls
+    * .domainQualityReport]]) — the C4/RefinedWeb curation stage that
+    * judges sites, not documents: per-host doc counts and score sums
+    * with the block decision as an EXACT rational comparison
+    * (score_sum·den < num·n_docs in decimal — no float mean, no
+    * order-dependent boundary). The synthesized corpus makes exactly
+    * one of the three hosts fall below mean 320 at every SF, so the
+    * blocked flag has live witnesses on both sides.
+    */
+  val q127DomainQuality: Q = Q(
+    "q127_domain_quality",
+    (s, dir) =>
+      graft.operators.Urls.domainQualityReport(
+        domainScoredDocs(s, dir), "url", "score", minMeanNum = 320L, minDocs = 10L),
+    Some(s"""
+      WITH d AS ($domainScoredSql),
+      g AS (SELECT host, COUNT(*) AS n_docs, CAST(SUM(s) AS BIGINT) AS score_sum
+            FROM d GROUP BY host)
+      SELECT host, n_docs, score_sum,
+             (n_docs >= 10 AND score_sum < 320 * n_docs) AS blocked
+      FROM g"""))
+
+  /** The blocklist APPLICATION face ([[graft.operators.Urls
+    * .filterByDomainQuality]]): every doc on a blocked domain drops,
+    * everything else survives — the anti-join the report feeds. Gated as
+    * the surviving id set.
+    */
+  val q127bDomainFilter: Q = Q(
+    "q127b_domain_filter",
+    (s, dir) =>
+      graft.operators.Urls.filterByDomainQuality(
+        domainScoredDocs(s, dir), "url", "score", minMeanNum = 320L, minDocs = 10L)
+        .select("doc_id"),
+    Some(s"""
+      WITH d AS ($domainScoredSql),
+      g AS (SELECT host, COUNT(*) AS n_docs, CAST(SUM(s) AS BIGINT) AS score_sum
+            FROM d GROUP BY host)
+      SELECT doc_id FROM d
+      WHERE host NOT IN (
+        SELECT host FROM g WHERE n_docs >= 10 AND score_sum < 320 * n_docs)"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5696,7 +5754,7 @@ object Queries {
     q118KeepBestDedup,
     q119WeightedMinhash, q120EvalRun, q121Compression, q122QuantileNormalize,
     q123ImageDhash, q123bImageNearDup, q124BloomSkipRead, q125AudioFingerprint,
-    q126ScriptProfile)
+    q126ScriptProfile, q127DomainQuality, q127bDomainFilter)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

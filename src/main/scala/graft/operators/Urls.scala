@@ -130,4 +130,68 @@ object Urls {
       .agg(
         min(col(idCol)).as("keeper_id"),
         count(lit(1)).as("n_dups"))
+
+  /** Per-DOMAIN quality report — the C4/RefinedWeb curation move: judge
+    * sites, not just documents (a spam domain's individually-plausible
+    * pages evade per-doc filters; its aggregate gives it away). One
+    * host-keyed exchange over `(host, n_docs, score_sum, blocked)`;
+    * `blocked` = the host has ≥ `minDocs` scored docs AND mean score
+    * < `minMeanNum / minMeanDen` — evaluated as the EXACT rational
+    * comparison `score_sum · den < num · n_docs` in decimal(38,0), no
+    * float mean, no division (a mean threshold as a double would make
+    * block decisions order-dependent at the boundary). `minDocs` is the
+    * evidence floor: a 2-doc domain's mean is noise, not a verdict.
+    * Integral scores only (the quantileNormalize precondition — quantize
+    * first); NULL-score docs carry no evidence and NULL-host docs have
+    * no domain, both excluded from the report.
+    */
+  def domainQualityReport(
+      docs: DataFrame,
+      urlCol: String,
+      scoreCol: String,
+      minMeanNum: Long,
+      minMeanDen: Long = 1L,
+      minDocs: Long = 2L): DataFrame = {
+    require(minMeanDen > 0L, "threshold denominator must be positive")
+    require(minDocs >= 1L, "minDocs must be at least 1")
+    docs.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"domainQualityReport needs an INTEGRAL score column (got $scoreCol: " +
+          s"${other.catalogString}); quantize first, e.g. floor(score * 1000)")
+    }
+    docs
+      .select(host(col(urlCol)).as("host"), col(scoreCol).cast("long").as("__s"))
+      .where(col("host").isNotNull && col("__s").isNotNull)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__s")).as("score_sum"))
+      .withColumn("blocked",
+        col("n_docs") >= minDocs &&
+          col("score_sum").cast("decimal(38,0)") * lit(minMeanDen) <
+            col("n_docs").cast("decimal(38,0)") * lit(minMeanNum))
+  }
+
+  /** Drop every document whose domain [[domainQualityReport]] blocks —
+    * the blocklist application face. The blocklist is host-cardinality
+    * (broadcast by hint); docs with an unparseable URL are KEPT (no
+    * domain evidence is not negative evidence — quarantine them via
+    * [[canonicalize]]'s NULL stream if they need separate handling), as
+    * are docs on domains below the evidence floor.
+    */
+  def filterByDomainQuality(
+      docs: DataFrame,
+      urlCol: String,
+      scoreCol: String,
+      minMeanNum: Long,
+      minMeanDen: Long = 1L,
+      minDocs: Long = 2L): DataFrame = {
+    val blocked = domainQualityReport(docs, urlCol, scoreCol, minMeanNum, minMeanDen, minDocs)
+      .where(col("blocked"))
+      .select(col("host").as("__blocked_host"))
+    docs.join(
+      broadcast(blocked),
+      host(col(urlCol)) === col("__blocked_host"),
+      "left_anti")
+  }
 }

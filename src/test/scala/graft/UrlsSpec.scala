@@ -124,4 +124,30 @@ class UrlsSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).size <= 1,
       s"exact dedup needs exactly one hash exchange:\n$plan")
   }
+
+  test("domain quality: exact boundary mean is NOT blocked; evidence floor; null-URL docs survive the filter") {
+    import spark.implicits._
+    // spam.io: mean = 9 < 10 → blocked; edge.io: mean EXACTLY 10 → kept
+    // (the comparison is strict-<, exact rational — a float mean could
+    // flip this row either way); tiny.io: mean 1 but only 1 doc → under
+    // the evidence floor; one doc has no parseable URL at all
+    val docs = Seq(
+      (1L, Option("http://spam.io/a"), 8L), (2L, Option("http://spam.io/b"), 10L),
+      (3L, Option("http://edge.io/a"), 9L), (4L, Option("http://edge.io/b"), 11L),
+      (5L, Option("http://tiny.io/a"), 1L),
+      (6L, None: Option[String], 1L)).toDF("doc_id", "url", "score")
+    val report = Urls.domainQualityReport(docs, "url", "score", minMeanNum = 10L, minDocs = 2L)
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[Boolean]("blocked")).toMap
+    assert(report === Map("spam.io" -> true, "edge.io" -> false, "tiny.io" -> false))
+    val kept = Urls.filterByDomainQuality(docs, "url", "score", minMeanNum = 10L, minDocs = 2L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L, 5L, 6L),
+      "blocked-domain docs drop; boundary/under-floor/unparseable docs all survive")
+    // fractional scores refuse (the quantileNormalize precondition)
+    val frac = Seq((1L, "http://x.io/a", 0.5)).toDF("doc_id", "url", "score")
+    val ex = intercept[IllegalArgumentException] {
+      Urls.domainQualityReport(frac, "url", "score", 1L)
+    }
+    assert(ex.getMessage.contains("INTEGRAL"))
+  }
 }
