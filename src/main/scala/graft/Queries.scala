@@ -5700,6 +5700,87 @@ object Queries {
       WHERE host NOT IN (
         SELECT host FROM g WHERE n_docs >= 10 AND score_sum < 320 * n_docs)"""))
 
+  /** The one-call DATASET CARD ([[Quality.datasetCard]]) — volume,
+    * exact-duplication, quality-flag counts, and the language / script /
+    * source mixes as long-format integer rows, the audit artifact a
+    * published training set ships. Every constituent metric reuses an
+    * already-gated primitive's arithmetic (q20 tokens, q21 ratios, q22
+    * langId, q23 fingerprint, q126 scripts), and the oracle replays ALL
+    * of them in one union — the composition gate for the audit layer.
+    */
+  val q128DatasetCard: Q = Q(
+    "q128_dataset_card",
+    (s, dir) =>
+      Quality.datasetCard(t(s, dir, "documents"), "doc_id", "text", "source"),
+    Some {
+      val hitExpr = text.langStopwords.map { case (lang, stop) =>
+        val inList = stop.map(w => s"'$w'").mkString(",")
+        s"length(list_filter(tk, x -> x IN ($inList))) AS ${lang}_hits"
+      }.mkString(",\n               ")
+      val stopList = text.englishStopwords.map(w => s"'$w'").mkString(",")
+      s"""
+      WITH base AS (
+        SELECT doc_id, text, source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0) AS tk
+        FROM documents),
+      lg AS (
+        SELECT doc_id,
+               $hitExpr
+        FROM base),
+      lgm AS (
+        SELECT doc_id,
+               CASE WHEN greatest(en_hits, es_hits, fr_hits, de_hits) = 0 THEN 'und'
+                    WHEN en_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'en'
+                    WHEN es_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'es'
+                    WHEN fr_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'fr'
+                    ELSE 'de' END AS lang
+        FROM lg),
+      sc AS (
+        SELECT doc_id,
+          length(text) - length(regexp_replace(text, '[A-Za-z\\x{00C0}-\\x{024F}]', '', 'g')) AS latin,
+          length(text) - length(regexp_replace(text, '[\\x{0400}-\\x{04FF}]', '', 'g')) AS cyrillic,
+          length(text) - length(regexp_replace(text, '[\\x{0370}-\\x{03FF}]', '', 'g')) AS greek,
+          length(text) - length(regexp_replace(text, '[\\x{0600}-\\x{06FF}]', '', 'g')) AS arabic,
+          length(text) - length(regexp_replace(text, '[\\x{0900}-\\x{097F}]', '', 'g')) AS devanagari,
+          length(text) - length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]', '', 'g')) AS cjk
+        FROM base),
+      scm AS (
+        SELECT doc_id,
+               CASE WHEN GREATEST(latin, cyrillic, greek, arabic, devanagari, cjk) <= 0 THEN 'unknown'
+                    WHEN latin = GREATEST(latin, cyrillic, greek, arabic, devanagari, cjk) THEN 'latin'
+                    WHEN cyrillic = GREATEST(latin, cyrillic, greek, arabic, devanagari, cjk) THEN 'cyrillic'
+                    WHEN greek = GREATEST(latin, cyrillic, greek, arabic, devanagari, cjk) THEN 'greek'
+                    WHEN arabic = GREATEST(latin, cyrillic, greek, arabic, devanagari, cjk) THEN 'arabic'
+                    WHEN devanagari = GREATEST(latin, cyrillic, greek, arabic, devanagari, cjk) THEN 'devanagari'
+                    ELSE 'cjk' END AS script
+        FROM sc),
+      st AS (
+        SELECT doc_id,
+               CASE WHEN length(tk) = 0 THEN 0.0
+                    ELSE CAST(length(list_filter(tk, x -> x IN ($stopList))) AS DOUBLE) / length(tk) END AS stopr
+        FROM base)
+      SELECT 'corpus' AS section, 'n_docs' AS metric, COUNT(*) AS value FROM base
+      UNION ALL SELECT 'corpus', 'total_chars', CAST(SUM(n_chars) AS BIGINT) FROM base
+      UNION ALL SELECT 'corpus', 'total_tokens', CAST(SUM(n_tokens) AS BIGINT) FROM base
+      UNION ALL SELECT 'corpus', 'distinct_texts', COUNT(DISTINCT fp) FROM base
+      UNION ALL SELECT 'corpus', 'exact_dup_docs', COUNT(*) - COUNT(DISTINCT fp) FROM base
+      UNION ALL SELECT 'flags', 'high_punct_docs',
+        CAST(SUM(CASE WHEN punct > 0.05 THEN 1 ELSE 0 END) AS BIGINT) FROM base
+      UNION ALL SELECT 'flags', 'no_stopword_docs',
+        CAST(SUM(CASE WHEN st.stopr = 0.0 AND b.n_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM base b JOIN st USING (doc_id)
+      UNION ALL SELECT 'flags', 'short_docs',
+        CAST(SUM(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) AS BIGINT) FROM base
+      UNION ALL SELECT 'lang', lang, COUNT(*) FROM lgm GROUP BY lang
+      UNION ALL SELECT 'script', script, COUNT(*) FROM scm GROUP BY script
+      UNION ALL SELECT 'source', COALESCE(source, '__null__'), COUNT(*) FROM base GROUP BY source"""
+    })
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5754,7 +5835,7 @@ object Queries {
     q118KeepBestDedup,
     q119WeightedMinhash, q120EvalRun, q121Compression, q122QuantileNormalize,
     q123ImageDhash, q123bImageNearDup, q124BloomSkipRead, q125AudioFingerprint,
-    q126ScriptProfile, q127DomainQuality, q127bDomainFilter)
+    q126ScriptProfile, q127DomainQuality, q127bDomainFilter, q128DatasetCard)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

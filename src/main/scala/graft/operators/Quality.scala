@@ -226,4 +226,69 @@ object Quality {
           .otherwise(col("true_pos").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
   }
+
+  /** DATASET CARD: the one-call corpus audit artifact a published
+    * training set ships — long-format `(section, metric, value)` rows
+    * covering volume, exact-duplication, quality-flag counts, and the
+    * language / script / source mixes. Every value is an exact INTEGER
+    * (counts and integer sums only — a mean of per-doc doubles would
+    * make the card summation-order-dependent and unreproducible across
+    * engines; ratios are the READER's division). Quality flags count
+    * per-doc threshold exceedances, which are deterministic double
+    * comparisons on identical operands.
+    *
+    * Scale shape: ONE corpus scan materializes the per-doc projection
+    * (pinned — pass `scope` and release after consuming, the
+    * quantileNormalize convention); the five sections are cheap
+    * aggregations over that projection (a global aggregate melted via
+    * `stack`, three low-cardinality group-bys, one distinct count).
+    */
+  def datasetCard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      shortTokens: Long = 10L,
+      highPunct: Double = 0.05,
+      scope: Option[Caches.Scope] = None): DataFrame = {
+    import graft.functions.text
+    val prep = docs.select(
+      col(sourceCol).cast("string").as("source"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      text.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      text.fingerprintMd5(col(textCol)).as("fp"),
+      text.punctRatio(col(textCol)).as("punct"),
+      text.stopwordRatio(col(textCol)).as("stopr"),
+      text.langId(col(textCol)).as("lang"),
+      text.scriptId(col(textCol)).as("script"))
+      .transform(df => scope.fold(Caches.pin(df))(_.pin(df)))
+    def cnt(pred: org.apache.spark.sql.Column) = sum(when(pred, 1L).otherwise(0L))
+    val corpus = prep.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("n_chars")), lit(0L)).as("total_chars"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"),
+      count_distinct(col("fp")).as("distinct_texts"),
+      cnt(col("punct") > highPunct).as("high_punct_docs"),
+      cnt(col("stopr") === 0.0 && col("n_tokens") > 0L).as("no_stopword_docs"),
+      cnt(col("n_tokens") < shortTokens).as("short_docs"))
+      .withColumn("exact_dup_docs", col("n_docs") - col("distinct_texts"))
+      .selectExpr(
+        """stack(8,
+           'corpus', 'n_docs', n_docs,
+           'corpus', 'total_chars', total_chars,
+           'corpus', 'total_tokens', total_tokens,
+           'corpus', 'distinct_texts', distinct_texts,
+           'corpus', 'exact_dup_docs', exact_dup_docs,
+           'flags', 'high_punct_docs', high_punct_docs,
+           'flags', 'no_stopword_docs', no_stopword_docs,
+           'flags', 'short_docs', short_docs) AS (section, metric, value)""")
+    def mix(section: String, c: String) = prep.groupBy(col(c))
+      .agg(count(lit(1)).as("value"))
+      .select(lit(section).as("section"),
+        coalesce(col(c), lit("__null__")).as("metric"), col("value"))
+    corpus
+      .unionByName(mix("lang", "lang"))
+      .unionByName(mix("script", "script"))
+      .unionByName(mix("source", "source"))
+  }
 }

@@ -142,6 +142,29 @@ class SaltQualitySpec extends AnyFunSuite {
     graft.operators.Caches.release(blocking = true)
   }
 
+  test("datasetCard: hand-computed sections on a tiny corpus; values all integral; scope release") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "web"),
+      (2L, "the cat sat on the mat", "web"), // exact dup of 1
+      (3L, "zz qq ww", "books"), // no stopwords
+      (4L, "!!!???!!!", "web"), // high punct, no letters → script unknown
+      (5L, "el gato y la casa es de su amigo con una mesa para los dias", "books"))
+      .toDF("doc_id", "text", "source")
+    val card = graft.operators.Quality.datasetCard(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(card(("corpus", "n_docs")) === 5L)
+    assert(card(("corpus", "total_tokens")) === 6L + 6L + 3L + 1L + 15L)
+    assert(card(("corpus", "distinct_texts")) === 4L)
+    assert(card(("corpus", "exact_dup_docs")) === 1L)
+    assert(card(("flags", "no_stopword_docs")) === 3L, "zz-doc, punct-doc, and the Spanish doc have tokens, zero ENGLISH stopwords")
+    assert(card(("flags", "short_docs")) === 4L, "all but the 15-token Spanish doc are under 10 tokens")
+    assert(card(("flags", "high_punct_docs")) === 1L)
+    assert(card(("lang", "en")) === 2L && card(("lang", "es")) === 1L)
+    assert(card(("script", "latin")) === 4L && card(("script", "unknown")) === 1L)
+    assert(card(("source", "web")) === 3L && card(("source", "books")) === 2L)
+    graft.operators.Caches.release(blocking = true)
+  }
+
   test("quantileNormalize: pin routes through the caller's scope and releases with it") {
     val docs = Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "B", 5L)).toDF("id", "source", "score")
     val before = spark.sparkContext.getPersistentRDDs.keySet
