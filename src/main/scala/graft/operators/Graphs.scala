@@ -165,8 +165,8 @@ object Graphs {
     * forest whose roots are component minima. Convergence is detected
     * EXACTLY, not by signature: the relation is a proper star forest iff
     * every child has one parent and no parent also appears as a child
-    * (two cheap probes on the pinned round result — see the loop body
-    * for why the no-chain probe alone is one round too eager).
+    * (ONE fused aggregation probe on the pinned round result — see the
+    * loop body for why the no-chain probe alone is one round too eager).
     *
     * Iteration state: every round ends in an EAGER localCheckpoint, not
     * a persist. A star round references its input ~12 times (symmetric
@@ -225,21 +225,29 @@ object Graphs {
     var round = 0
     while (round < maxIters && !converged) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // Fixpoint ⇔ the relation is a PROPER star forest, which needs two
-      // probes (both cheap jobs over the freshly checkpointed 2-col
-      // frame):
+      // Fixpoint ⇔ the relation is a PROPER star forest — two conditions,
+      // probed in ONE aggregation job over the freshly checkpointed 2-col
+      // frame (fused from a groupBy probe + a self-semi-join probe, which
+      // cost a separate job each; the fused shape is also the better one
+      // at scale — a map-side-combinable groupBy over 2|E| role rows
+      // instead of an |E|×|E| join):
       //   1. every child has ONE parent — a node still listed under two
       //      roots ({(v,r1),(v,r2)}) has no chain yet is mid-merge, so
       //      the no-chain probe alone would declare victory one round
-      //      early and emit an AMBIGUOUS component for v;
+      //      early and emit an AMBIGUOUS component for v. Surfaces as
+      //      min(parent) ≠ max(parent) for some child;
       //   2. no parent (__v) is anybody's child (__u) — chains and
       //      non-root parents both surface as a __v re-appearing as __u.
-      val oneParent = next.groupBy("__u")
-        .agg(min("__v").as("__p1"), max("__v").as("__p2"))
-        .where(col("__p1") =!= col("__p2"))
-        .isEmpty
-      converged = oneParent && next
-        .join(next.select(col("__u").as("__w")), col("__v") === col("__w"), "left_semi")
+      //      Surfaces as a node with both child rows (non-null __p) and
+      //      parent rows (null __p) in the role union.
+      val roles = next
+        .select(col("__u").as("__n"), col("__v").as("__p"))
+        .union(next.select(col("__v").as("__n"), lit(null).cast("long").as("__p")))
+      converged = roles.groupBy("__n")
+        .agg(min("__p").as("__p1"), max("__p").as("__p2"),
+          count(col("__p")).as("__asChild"), count(lit(1)).as("__rows"))
+        .where(col("__p1") =!= col("__p2") ||
+          (col("__asChild") > 0L && col("__rows") > col("__asChild")))
         .isEmpty
       e = next
       round += 1
