@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{text, vectors}
-import graft.operators.{AnnIndex, AsofJoin, CdcMerge, Dedup, DedupIndex, Gold, Multimodal, Quality, Scd2, Sessionize, Similarity}
+import graft.operators.{AnnIndex, AsofJoin, CdcMerge, Dedup, DedupIndex, Embeddings, Gold, Multimodal, Quality, Scd2, Sessionize, Similarity}
 import graft.sources.Tables
 
 /** The engine's query catalog: one named query per operator from
@@ -5781,6 +5781,37 @@ object Queries {
       UNION ALL SELECT 'source', COALESCE(source, '__null__'), COUNT(*) FROM base GROUP BY source"""
     })
 
+  /** Exact-integer embedding moments ([[Embeddings.momentsExactInt]]):
+    * the Gram matrix, column sums, and row count over quantized vectors
+    * in one long-format frame — the sufficient statistics covariance and
+    * PCA whitening are two divisions away from. Quantization makes every
+    * entry an exact integer sum (aggregation-order independent), so the
+    * oracle replays the full d²+d+1 artifact bit-for-bit; [[Embeddings
+    * .pcaWhiten]] consumes exactly this frame, so its input statistics
+    * are gated here even though eigenvectors are not SQL-expressible.
+    */
+  val q129EmbeddingMoments: Q = Q(
+    "q129_embedding_moments",
+    (s, dir) =>
+      Embeddings.momentsExactInt(t(s, dir, "embeddings"), "vec_id", "embedding", scale = 64),
+    Some("""
+      WITH v AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+      q AS (
+        SELECT vec_id,
+               CAST(i - 1 AS INTEGER) AS i,
+               CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT) AS qv
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i FROM v))
+      SELECT a.i AS row_idx, b.i AS col_idx, CAST(SUM(a.qv * b.qv) AS BIGINT) AS value
+      FROM q a JOIN q b USING (vec_id) GROUP BY a.i, b.i
+      UNION ALL
+      SELECT i, CAST(-1 AS INTEGER), CAST(SUM(qv) AS BIGINT) FROM q GROUP BY i
+      UNION ALL
+      SELECT CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), COUNT(*) FROM v"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5835,7 +5866,8 @@ object Queries {
     q118KeepBestDedup,
     q119WeightedMinhash, q120EvalRun, q121Compression, q122QuantileNormalize,
     q123ImageDhash, q123bImageNearDup, q124BloomSkipRead, q125AudioFingerprint,
-    q126ScriptProfile, q127DomainQuality, q127bDomainFilter, q128DatasetCard)
+    q126ScriptProfile, q127DomainQuality, q127bDomainFilter, q128DatasetCard,
+    q129EmbeddingMoments)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Embedding-matrix statistics: exact-integer sufficient statistics for
+  * the covariance (Gram matrix + column sums + count) and the PCA
+  * whitening built on them — the preprocessing step semantic-dedup and
+  * clustering pipelines run before cosine distances mean anything.
+  *
+  * Exactness contract (the q30c family's): vectors are quantized to
+  * integers (`floor(x·scale + 0.5)`), so every Gram entry is an exact
+  * integer sum — bit-reproducible on any engine, aggregation-order
+  * independent — and the driver's DuckDB oracle replays it (q129). The
+  * float covariance a naive `Σ x·xᵀ` would produce is summation-order
+  * dependent and cannot be gated.
+  *
+  * Scale shape: ONE corpus pass; each row contributes its flattened
+  * d²+d outer-product-plus-moments array to a single
+  * [[graft.expressions.VectorSumAgg]], so the shuffle is one
+  * (d²+d)-sized state per task — independent of N — up the standard
+  * partial/final tree. Per-row compute is the unavoidable O(d²) of the
+  * outer product, pipelined inside the scan stage (no materialization).
+  * For d=64 the state is 4 160 doubles; the face is sized for moderate
+  * dims (d ≲ 2048, a 4M-entry state) — block-wise accumulation would be
+  * the path beyond that.
+  */
+object Embeddings {
+
+  private def quant(c: Column, scale: Int): Column =
+    transform(c, x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
+
+  /** Rows with a NULL vector or any NULL element are excluded — the
+    * quarantine-not-rank convention of the exact-int ANN faces. */
+  private def cleanVec(c: Column): Column =
+    c.isNotNull && !exists(c, x => x.isNull)
+
+  /** Long-format exact-integer moment rows over quantized embeddings:
+    *  - `(i, j, Σ qᵢ·qⱼ)` for `0 ≤ i,j < d` — the Gram matrix;
+    *  - `(i, -1, Σ qᵢ)` — the first-moment (column-sum) vector;
+    *  - `(-1, -1, N)` — the row count.
+    * From these, mean `μᵢ = Sᵢ/N` and covariance
+    * `Cᵢⱼ = Gᵢⱼ/N − μᵢμⱼ` are two divisions away — the split the
+    * dataset-card makes too: exact integers in the artifact, division at
+    * the consumer.
+    */
+  def momentsExactInt(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scale: Int = 64): DataFrame = {
+    require(scale > 0, "quantization scale must be positive")
+    val q = quant(col(vecCol), scale)
+    // per-row flattened stats: d² outer products (row-major) then the d
+    // raw quantized values; VectorSumAgg enforces a uniform length, so
+    // mixed-dimension corpora fail loudly rather than mis-index
+    val statsArr = concat(
+      flatten(transform(q, vi => transform(q, vj => vi * vj))),
+      q)
+    val prep = emb
+      .where(cleanVec(col(vecCol)))
+      .select(statsArr.as("__stats"), size(col(vecCol)).cast("long").as("__dim"))
+    val sumCol = ColumnBridge.column(
+      graft.expressions.VectorSumAgg(ColumnBridge.eagerExpression(col("__stats")))
+        .toAggregateExpression())
+    // ONE row: referenced three times below, so pin it eagerly — a
+    // re-execution would re-run the whole corpus aggregation per branch
+    val agged = prep.agg(sumCol.as("__s"), max(col("__dim")).as("__d"))
+      .localCheckpoint(true)
+    val exploded = agged.select(
+      col("__d"),
+      posexplode(col("__s.sums")).as(Seq("__pos", "__v")))
+    val gram = exploded
+      .where(col("__pos") < col("__d") * col("__d"))
+      .select(
+        floor(col("__pos") / col("__d")).cast("int").as("row_idx"),
+        pmod(col("__pos"), col("__d")).cast("int").as("col_idx"),
+        col("__v").cast("long").as("value"))
+    val moments = exploded
+      .where(col("__pos") >= col("__d") * col("__d"))
+      .select(
+        (col("__pos") - col("__d") * col("__d")).cast("int").as("row_idx"),
+        lit(-1).as("col_idx"),
+        col("__v").cast("long").as("value"))
+    val nRow = agged.select(
+      lit(-1).as("row_idx"), lit(-1).as("col_idx"),
+      col("__s.cnt").cast("long").as("value"))
+    gram.unionByName(moments).unionByName(nRow)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (in-place on
+    * a copy). Returns (eigenvalues, eigenvectors-as-columns). Pure
+    * driver-side math on a d×d matrix — never data-sized.
+    */
+  private[graft] def jacobiEigen(
+      m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-12) {
+      off = 0.0
+      for (p <- 0 until d; r <- p + 1 until d) {
+        off = math.max(off, math.abs(a(p)(r)))
+        if (math.abs(a(p)(r)) > 1e-14) {
+          val theta = (a(r)(r) - a(p)(p)) / (2.0 * a(p)(r))
+          // sign(0) must be +1 here: equal diagonal entries still need the
+          // full 45° rotation (math.signum(0.0) is 0 and would skip it)
+          val t = (if (theta >= 0) 1.0 else -1.0) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until d) {
+            val aip = a(i)(p); val air = a(i)(r)
+            a(i)(p) = c * aip - s * air
+            a(i)(r) = s * aip + c * air
+          }
+          for (i <- 0 until d) {
+            val api = a(p)(i); val ari = a(r)(i)
+            a(p)(i) = c * api - s * ari
+            a(r)(i) = s * api + c * ari
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val vir = v(i)(r)
+            v(i)(p) = c * vip - s * vir
+            v(i)(r) = s * vip + c * vir
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** PCA-whitened projection: `yᵣ = Σᵢ (qᵢ − μᵢ)·Eᵢᵣ / √λᵣ` over the
+    * quantized view the moments were computed on, so the statistics and
+    * the projection agree exactly. Covariance + eigenvectors come from
+    * [[momentsExactInt]] — an O(d²) bounded driver collect (the nlist /
+    * vocab class of collect, never data-sized) and a d×d Jacobi
+    * eigendecomposition on the driver. The projection itself is k
+    * codegen'd dot products against literal weight vectors — no UDF, no
+    * shuffle, no second corpus pass beyond the moments job.
+    *
+    * Components are ordered by descending eigenvalue; directions with
+    * `λ ≤ eps·λmax` (degenerate variance) are rejected loudly rather
+    * than divided by ~0 — ask for fewer components than the data's rank.
+    */
+  def pcaWhiten(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      scale: Int = 64,
+      eps: Double = 1e-9): DataFrame = {
+    require(k >= 1, "need at least one output component")
+    val rows = momentsExactInt(emb, idCol, vecCol, scale).collect()
+    val n = rows.collectFirst {
+      case r if r.getInt(0) == -1 && r.getInt(1) == -1 => r.getLong(2)
+    }.getOrElse(0L)
+    require(n >= 2, s"pcaWhiten needs at least 2 clean vectors, got $n")
+    val sums = rows.filter(r => r.getInt(0) >= 0 && r.getInt(1) == -1)
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val d = sums.size
+    require(k <= d, s"k=$k exceeds embedding dimension $d")
+    val gram = rows.filter(r => r.getInt(0) >= 0 && r.getInt(1) >= 0)
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val mu = Array.tabulate(d)(i => sums(i).toDouble / n)
+    val cov = Array.tabulate(d, d)((i, j) => gram((i, j)).toDouble / n - mu(i) * mu(j))
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(i => -evals(i))
+    val lmax = math.max(evals(order.head), 0.0)
+    val weights = order.take(k).map { r =>
+      val lam = evals(r)
+      require(lam > eps * math.max(lmax, Double.MinPositiveValue),
+        s"component $r has degenerate variance λ=$lam (rank-deficient " +
+          "covariance); request fewer components than the data's rank")
+      val inv = 1.0 / math.sqrt(lam)
+      Array.tabulate(d)(i => evecs(i)(r) * inv)
+    }
+    val q = quant(col(vecCol), scale)
+    val comps = weights.map { w =>
+      val offset = -w.indices.map(i => mu(i) * w(i)).sum
+      aggregate(
+        zip_with(q, typedLit(w.toSeq), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) + lit(offset)
+    }
+    emb.where(cleanVec(col(vecCol)))
+      .select(col(idCol), array(comps: _*).as("white"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Embeddings
+
+class EmbeddingsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("momentsExactInt: hand-computed gram, sums, and count on a 2x2 corpus") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Embeddings.momentsExactInt(emb, "vec_id", "embedding", scale = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows((0, 0)) === 1L + 9L)
+    assert(rows((0, 1)) === 2L + 12L)
+    assert(rows((1, 0)) === 2L + 12L)
+    assert(rows((1, 1)) === 4L + 16L)
+    assert(rows((0, -1)) === 4L, "first-moment sum of column 0")
+    assert(rows((1, -1)) === 6L)
+    assert(rows((-1, -1)) === 2L)
+    assert(rows.size === 7, "d²+d+1 rows for d=2")
+  }
+
+  test("momentsExactInt: NULL vectors and vectors with NULL elements are quarantined") {
+    val emb = Seq(
+      (1L, Seq[java.lang.Float](1.0f, 2.0f)),
+      (2L, Seq[java.lang.Float](3.0f, 4.0f)),
+      (3L, null),
+      (4L, Seq[java.lang.Float](1.0f, null)))
+      .toDF("vec_id", "embedding")
+    val rows = Embeddings.momentsExactInt(emb, "vec_id", "embedding", scale = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows((-1, -1)) === 2L, "only the two clean vectors count")
+    assert(rows((0, 0)) === 10L, "quarantined rows contribute nothing")
+  }
+
+  test("momentsExactInt: empty input yields only the zero count row") {
+    val emb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val rows = Embeddings.momentsExactInt(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows === Map((-1, -1) -> 0L))
+  }
+
+  test("jacobiEigen: known symmetric 2x2 has eigenvalues {3, 1}") {
+    val (vals, vecs) = Embeddings.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(vals.sorted.zip(Seq(1.0, 3.0)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // columns are orthonormal
+    val dot = vecs(0)(0) * vecs(0)(1) + vecs(1)(0) * vecs(1)(1)
+    assert(math.abs(dot) < 1e-9)
+  }
+
+  test("pcaWhiten: whitened components have ~zero mean and ~identity covariance") {
+    val rnd = new scala.util.Random(42)
+    // correlated 3-dim data: dim1 leans on dim0, dim2 independent
+    val data = (1 to 400).map { i =>
+      val a = rnd.nextDouble(); val b = rnd.nextDouble(); val c = rnd.nextDouble()
+      (i.toLong, Seq((2 * a).toFloat, (a + 0.3 * b).toFloat, c.toFloat))
+    }
+    val emb = data.toDF("vec_id", "embedding")
+    val out = Embeddings.pcaWhiten(emb, "vec_id", "embedding", k = 3, scale = 1000)
+      .collect().map(_.getSeq[Double](1).toArray)
+    assert(out.length === 400)
+    val n = out.length.toDouble
+    val mean = Array.tabulate(3)(r => out.map(_(r)).sum / n)
+    mean.foreach(m => assert(math.abs(m) < 0.05, s"whitened mean ~0, got $m"))
+    for (r <- 0 until 3; s <- 0 until 3) {
+      val cov = out.map(y => (y(r) - mean(r)) * (y(s) - mean(s))).sum / n
+      val want = if (r == s) 1.0 else 0.0
+      assert(math.abs(cov - want) < 0.1, s"cov($r,$s)=$cov, want $want")
+    }
+  }
+
+  test("pcaWhiten: degenerate variance direction is rejected loudly") {
+    // dim1 is EXACTLY 2*dim0 after quantization → rank-1 covariance in 2d
+    val emb = (1 to 50).map(i => (i.toLong, Seq(i.toFloat, (2 * i).toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Embeddings.pcaWhiten(emb, "vec_id", "embedding", k = 2, scale = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("degenerate variance"))
+    // but the full-rank request below the rank succeeds
+    assert(Embeddings.pcaWhiten(emb, "vec_id", "embedding", k = 1, scale = 1)
+      .count() === 50L)
+  }
+}
