@@ -243,16 +243,15 @@ object Quality {
     * aggregations over that projection (a global aggregate melted via
     * `stack`, three low-cardinality group-bys, one distinct count).
     */
-  def datasetCard(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      sourceCol: String,
-      shortTokens: Long = 10L,
-      highPunct: Double = 0.05,
-      scope: Option[Caches.Scope] = None): DataFrame = {
+  /** The per-doc projection every dataset-card face shares — one row per
+    * doc with the normalized source, integer volume stats, the exact-dup
+    * fingerprint, quality ratios, and the lang/script ids. UNPINNED;
+    * callers that aggregate it more than once pin it themselves.
+    */
+  private[graft] def cardPrep(
+      docs: DataFrame, textCol: String, sourceCol: String): DataFrame = {
     import graft.functions.text
-    val prep = docs.select(
+    docs.select(
       col(sourceCol).cast("string").as("source"),
       length(col(textCol)).cast("long").as("n_chars"),
       text.tokenCount(col(textCol)).cast("long").as("n_tokens"),
@@ -261,6 +260,17 @@ object Quality {
       text.stopwordRatio(col(textCol)).as("stopr"),
       text.langId(col(textCol)).as("lang"),
       text.scriptId(col(textCol)).as("script"))
+  }
+
+  def datasetCard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      shortTokens: Long = 10L,
+      highPunct: Double = 0.05,
+      scope: Option[Caches.Scope] = None): DataFrame = {
+    val prep = cardPrep(docs, textCol, sourceCol)
       .transform(df => scope.fold(Caches.pin(df))(_.pin(df)))
     def cnt(pred: org.apache.spark.sql.Column) = sum(when(pred, 1L).otherwise(0L))
     val corpus = prep.agg(

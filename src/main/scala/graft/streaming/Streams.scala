@@ -875,4 +875,126 @@ object Streams {
       }
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
+
+  /** Continuous DATASET CARD — [[graft.operators.Quality.datasetCard]]'s
+    * audit artifact maintained incrementally over an append stream of
+    * documents, with the EXACT composition law (spec-pinned): after any
+    * prefix of committed batches, [[readDatasetCard]] equals the batch
+    * card of those batches' documents unioned.
+    *
+    * Mechanics: every card value is additive once exact-distinct is
+    * handled, so each micro-batch lands ONE immutable delta partition
+    * (`batch=sNNNN`) of `(section, metric, value)` rows — its own counts,
+    * sums, and mix histograms, plus a `distinct_texts` delta = the
+    * batch's fingerprints NOT yet in the persisted seen-set. The
+    * seen-set append is LAST and is the commit marker (the
+    * [[urlDedupIngest]] order): a crash between delta and marker replays
+    * the batch against the UNCHANGED seen-set, recomputes the identical
+    * delta, finds its dir already present, and only lands the marker —
+    * exactly-once without a transaction log. `exact_dup_docs` is derived
+    * at READ time (`n_docs − distinct_texts`) so deltas stay purely
+    * additive.
+    *
+    * 100 TB shape: per batch, one projection pass plus one anti-join
+    * against the fingerprint set (a hash exchange on fp — the join the
+    * batch card's `count_distinct` implies anyway); each delta is tens
+    * of rows, and the card read aggregates rows proportional to
+    * batches × metrics, never documents.
+    */
+  def datasetCardIngest(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      cardPath: String,
+      fpIndexPath: String,
+      shortTokens: Long = 10L,
+      highPunct: Double = 0.05,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Caches, DedupIndex, Quality}
+    // start-time schema validation (round-12 advice): a stream missing a
+    // card column must be rejected before .start(), not at first batch
+    Seq(idCol, textCol, sourceCol).foreach { c =>
+      require(stream.columns.contains(c),
+        s"document stream has no '$c' column (columns: ${stream.columns.mkString(", ")})")
+    }
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val label = f"s$batchId%08d"
+        val spark = batch.sparkSession
+        val scope = Caches.newScope()
+        try Caches.inScope(scope) {
+          val prep = Caches.pin(Quality.cardPrep(batch.toDF(), textCol, sourceCol))
+          def cnt(pred: org.apache.spark.sql.Column) = sum(when(pred, 1L).otherwise(0L))
+          val corpus = prep.agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("total_chars"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"),
+            cnt(col("punct") > highPunct).as("high_punct_docs"),
+            cnt(col("stopr") === 0.0 && col("n_tokens") > 0L).as("no_stopword_docs"),
+            cnt(col("n_tokens") < shortTokens).as("short_docs"))
+            .selectExpr(
+              """stack(6,
+                 'corpus', 'n_docs', n_docs,
+                 'corpus', 'total_chars', total_chars,
+                 'corpus', 'total_tokens', total_tokens,
+                 'flags', 'high_punct_docs', high_punct_docs,
+                 'flags', 'no_stopword_docs', no_stopword_docs,
+                 'flags', 'short_docs', short_docs) AS (section, metric, value)""")
+          val fpRoot = new org.apache.hadoop.fs.Path(fpIndexPath)
+          val fpFs = fpRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // committed batch= child, not a bare directory (urlDedupIngest's
+          // crash-window lesson)
+          val hasSeen = fpFs.exists(fpRoot) &&
+            fpFs.listStatus(fpRoot).exists(_.getPath.getName.startsWith("batch="))
+          val batchFps = prep.select("fp").distinct()
+          val newFps = Caches.pin(
+            if (!hasSeen) batchFps
+            else batchFps.join(
+              spark.read.parquet(fpIndexPath).select("fp"), Seq("fp"), "left_anti"))
+          val distinctRow = newFps
+            .agg(count(lit(1)).as("value"))
+            .select(lit("corpus").as("section"),
+              lit("distinct_texts").as("metric"), col("value"))
+          def mix(section: String, c: String) = prep.groupBy(col(c))
+            .agg(count(lit(1)).as("value"))
+            .select(lit(section).as("section"),
+              coalesce(col(c), lit("__null__")).as("metric"), col("value"))
+          val delta = corpus
+            .unionByName(distinctRow)
+            .unionByName(mix("lang", "lang"))
+            .unionByName(mix("script", "script"))
+            .unionByName(mix("source", "source"))
+          val cardRoot = new org.apache.hadoop.fs.Path(cardPath)
+          val cardFs = cardRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!cardFs.exists(new org.apache.hadoop.fs.Path(cardRoot, s"batch=$label")))
+            DedupIndex.appendDir(delta, cardPath, label)
+          // seen-set append LAST = the commit marker
+          if (!fpFs.exists(new org.apache.hadoop.fs.Path(fpRoot, s"batch=$label")))
+            DedupIndex.appendDir(newFps, fpIndexPath, label)
+        } finally scope.release()
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** The current card from [[datasetCardIngest]]'s delta partitions:
+    * sums every additive metric and derives `exact_dup_docs` — the same
+    * schema [[graft.operators.Quality.datasetCard]] emits. Aggregates
+    * batches × metrics rows, never documents.
+    */
+  def readDatasetCard(
+      spark: org.apache.spark.sql.SparkSession, cardPath: String): DataFrame = {
+    val summed = spark.read.parquet(cardPath)
+      .groupBy("section", "metric")
+      .agg(sum("value").as("value"))
+    def corpusVal(metric: String) =
+      coalesce(sum(when(col("section") === "corpus" && col("metric") === metric,
+        col("value"))), lit(0L))
+    val dup = summed
+      .agg((corpusVal("n_docs") - corpusVal("distinct_texts")).as("value"))
+      .select(lit("corpus").as("section"),
+        lit("exact_dup_docs").as("metric"), col("value"))
+    summed.unionByName(dup)
+  }
 }

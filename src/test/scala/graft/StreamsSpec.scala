@@ -893,4 +893,51 @@ class StreamsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("INTEGRAL"))
     graft.operators.Caches.release(blocking = true)
   }
+
+  test("datasetCardIngest: streamed card equals the batch card of all docs so far") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-card").toString
+    val input = MemoryStream[(Long, String, String)]
+    val query = Streams.datasetCardIngest(
+      input.toDF().toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source", s"$root/card", s"$root/fps")
+    def streamedCard(): Map[(String, String), Long] =
+      Streams.readDatasetCard(spark, s"$root/card")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def batchCard(docs: Seq[(Long, String, String)]): Map[(String, String), Long] =
+      graft.operators.Quality.datasetCard(
+        docs.toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val b0 = Seq(
+      (1L, "the cat sat on the mat", "web"),
+      (2L, "the cat sat on the mat", "web"), // in-batch exact dup
+      (3L, "zz qq ww", "books"))
+    val b1 = Seq(
+      (4L, "the cat sat on the mat", "web"), // CROSS-batch exact dup of doc 1
+      (5L, "el gato y la casa es de su amigo con una mesa para los dias", "books"),
+      (6L, "!!!???!!!", "web"))
+    try {
+      input.addData(b0: _*)
+      query.processAllAvailable()
+      assert(streamedCard() === batchCard(b0), "card after batch 0")
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      assert(streamedCard() === batchCard(b0 ++ b1),
+        "card after batch 1 — cross-batch dup must count once in distinct_texts")
+      val card = streamedCard()
+      assert(card(("corpus", "distinct_texts")) === 4L)
+      assert(card(("corpus", "exact_dup_docs")) === 2L,
+        "doc 2 (in-batch) and doc 4 (cross-batch) are the dups")
+    } finally query.stop()
+    // start-time schema validation: a stream without the text column must
+    // be rejected before .start(), not at first micro-batch
+    val bad = MemoryStream[(Long, String)]
+    val ex = intercept[IllegalArgumentException] {
+      Streams.datasetCardIngest(
+        bad.toDF().toDF("doc_id", "body"),
+        "doc_id", "text", "source", s"$root/never_card", s"$root/never_fps")
+    }
+    assert(ex.getMessage.contains("no 'text' column"))
+    graft.operators.Caches.release(blocking = true)
+  }
 }
