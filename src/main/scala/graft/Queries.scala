@@ -5810,7 +5810,8 @@ object Queries {
       UNION ALL
       SELECT i, CAST(-1 AS INTEGER), CAST(SUM(qv) AS BIGINT) FROM q GROUP BY i
       UNION ALL
-      SELECT CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), COUNT(*) FROM v"""))
+      SELECT CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), COUNT(*) FROM v"""),
+    headline = true) // dense-linear-algebra layer: the d²-per-row vec-sum aggregation timed per round
 
   // ===========================================================
 

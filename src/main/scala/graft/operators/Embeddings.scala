@@ -189,4 +189,24 @@ object Embeddings {
     emb.where(cleanVec(col(vecCol)))
       .select(col(idCol), array(comps: _*).as("white"))
   }
+
+  /** Squared Mahalanobis distance of each embedding from the corpus mean
+    * — the covariance-aware outlier score (corrupt or out-of-distribution
+    * embeddings rank first, where plain L2 would be fooled by
+    * high-variance directions). Identity: in the whitened basis the
+    * Mahalanobis distance IS the squared norm, so this is
+    * [[pcaWhiten]]'s projection plus one codegen'd fold — same single
+    * corpus pass, same driver-side d×d math. Use `k` below the data's
+    * rank (the whitening contract); with `k = d` on full-rank data the
+    * score is the exact classical quantity.
+    */
+  def mahalanobisScore(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      scale: Int = 64): DataFrame =
+    pcaWhiten(emb, idCol, vecCol, k, scale)
+      .select(col(idCol),
+        aggregate(col("white"), lit(0.0), (acc, x) => acc + x * x).as("maha2"))
 }

@@ -301,4 +301,22 @@ object Quality {
       .unionByName(mix("script", "script"))
       .unionByName(mix("source", "source"))
   }
+
+  /** Audit delta between two dataset cards (old snapshot vs new): a
+    * full-outer join on `(section, metric)` with absent metrics read as 0
+    * — a mix value present only in the new card (a language that just
+    * appeared) surfaces as `old_value = 0` rather than a dropped row.
+    * Pure composition of two already-gated cards; card-sized (tens of
+    * rows), never corpus-sized.
+    */
+  def cardDiff(oldCard: DataFrame, newCard: DataFrame): DataFrame =
+    oldCard.select(col("section"), col("metric"), col("value").as("old_value"))
+      .join(
+        newCard.select(col("section"), col("metric"), col("value").as("new_value")),
+        Seq("section", "metric"), "full_outer")
+      .select(col("section"), col("metric"),
+        coalesce(col("old_value"), lit(0L)).as("old_value"),
+        coalesce(col("new_value"), lit(0L)).as("new_value"),
+        (coalesce(col("new_value"), lit(0L)) - coalesce(col("old_value"), lit(0L)))
+          .as("delta"))
 }

@@ -88,4 +88,21 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(Embeddings.pcaWhiten(emb, "vec_id", "embedding", k = 1, scale = 1)
       .count() === 50L)
   }
+
+  test("mahalanobisScore: a planted outlier ranks first; inliers score ~d on average") {
+    val rnd = new scala.util.Random(7)
+    val inliers = (1 to 300).map(i =>
+      (i.toLong, Seq(rnd.nextDouble().toFloat, rnd.nextDouble().toFloat, rnd.nextDouble().toFloat)))
+    // far outside the unit cube in every dimension
+    val data = inliers :+ (999L, Seq(25.0f, -25.0f, 25.0f))
+    val scored = Embeddings.mahalanobisScore(
+      data.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 3, scale = 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val top = scored.maxBy(_._2)._1
+    assert(top === 999L, "the planted outlier must carry the largest score")
+    val inlierMean = inliers.map(r => scored(r._1)).sum / inliers.size
+    // E[maha²] over the data the covariance was fit on is exactly d
+    assert(math.abs(inlierMean - 3.0) < 1.0,
+      s"mean inlier maha² should be near d=3, got $inlierMean")
+  }
 }

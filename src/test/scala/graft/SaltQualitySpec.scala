@@ -165,6 +165,30 @@ class SaltQualitySpec extends AnyFunSuite {
     graft.operators.Caches.release(blocking = true)
   }
 
+  test("cardDiff: full-outer on (section, metric); absent metrics read as zero") {
+    val docsOld = Seq(
+      (1L, "the cat sat on the mat", "web"),
+      (2L, "zz qq ww", "books")).toDF("doc_id", "text", "source")
+    val docsNew = Seq(
+      (1L, "the cat sat on the mat", "web"),
+      (2L, "zz qq ww", "books"),
+      (3L, "el gato y la casa es de su amigo con una mesa para los dias", "books"))
+      .toDF("doc_id", "text", "source")
+    val q = graft.operators.Quality
+    val diff = q.cardDiff(
+      q.datasetCard(docsOld, "doc_id", "text", "source"),
+      q.datasetCard(docsNew, "doc_id", "text", "source"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(diff(("corpus", "n_docs")) === ((2L, 3L, 1L)))
+    assert(diff(("corpus", "total_tokens")) === ((9L, 24L, 15L)))
+    // 'es' exists only in the NEW card: old side must read 0, not drop
+    assert(diff(("lang", "es")) === ((0L, 1L, 1L)))
+    assert(diff(("source", "books")) === ((1L, 2L, 1L)))
+    graft.operators.Caches.release(blocking = true)
+  }
+
   test("quantileNormalize: pin routes through the caller's scope and releases with it") {
     val docs = Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "B", 5L)).toDF("id", "source", "score")
     val before = spark.sparkContext.getPersistentRDDs.keySet
