@@ -5813,6 +5813,83 @@ object Queries {
       SELECT CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), COUNT(*) FROM v"""),
     headline = true) // dense-linear-algebra layer: the d²-per-row vec-sum aggregation timed per round
 
+  /** JSON-Lines interchange ROUND-TRIP under the external oracle — the
+    * de-facto LLM corpus shipping format joins q105 (ORC) and q45/q46
+    * in the gated-interchange family. Documents land as gzip JSONL
+    * shards via `to_json` (a real write through the text sink), read
+    * back through the explicit-schema, malformed-dropping
+    * [[graft.sources.JsonlSource.readClean]], and the oracle recomputes
+    * a content-sensitive per-lang profile (counts, char totals, id
+    * checksum, min/max md5 of text) from the parquet originals —
+    * agreement witnesses byte-faithful string survival through JSON
+    * escaping + gzip, not just row counts. Quarantine/corrupt-line
+    * semantics are pinned separately in SinksSpec.
+    */
+  val q130JsonlRoundtrip: Q = Q(
+    "q130_jsonl_roundtrip",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source", "n_chars")
+      val path = java.nio.file.Files.createTempDirectory("graft_jsonl_rt").toString + "/docs"
+      docs.repartition(4)
+        .select(to_json(struct(docs.columns.map(col): _*)).as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(path)
+      graft.sources.JsonlSource.readClean(s, path, docs.schema)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          sum("doc_id").as("id_sum"),
+          min(md5(col("text"))).as("md5_lo"),
+          max(md5(col("text"))).as("md5_hi"))
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             MIN(md5(text)) AS md5_lo, MAX(md5(text)) AS md5_hi
+      FROM documents GROUP BY lang"""))
+
+  /** WET (Common Crawl extracted-text) ROUND-TRIP under the external
+    * oracle: documents serialize into per-record-gzip WET shards through
+    * [[graft.sources.Wet.write]] (real WARC headers, Content-Length in
+    * BYTES, language carried as WARC-Identified-Content-Language), read
+    * back through the Content-Length-disciplined streaming parser, and
+    * the oracle recomputes the per-language profile — including the
+    * UTF-8 BYTE total, which witnesses that payload framing counted
+    * bytes, not chars — from the parquet originals. The doc id rides the
+    * synthesized target URI and comes back via regexp, so `id_sum`
+    * witnesses record↔URI integrity. Binary-safety edge cases (payloads
+    * containing blank lines / WARC literals, multi-byte chars straddling
+    * Content-Length, warcinfo skipping, multi-member gzip) are pinned in
+    * WetSpec.
+    */
+  val q131WetRoundtrip: Q = Q(
+    "q131_wet_roundtrip",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(
+          concat(lit("https://corpus.example/doc/"), col("doc_id")).as("uri"),
+          col("text"), col("lang"))
+      val path = java.nio.file.Files.createTempDirectory("graft_wet_rt").toString + "/shards"
+      graft.sources.Wet.write(
+        docs.repartition(4), "uri", "text", path, langCol = Some("lang"), gzip = true)
+      graft.sources.Wet.read(s, path)
+        .groupBy("content_language")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_bytes").as("bytes"),
+          sum(length(col("content"))).as("chars"),
+          sum(regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long")).as("id_sum"),
+          min(md5(col("content"))).as("md5_lo"),
+          max(md5(col("content"))).as("md5_hi"))
+    },
+    Some("""
+      SELECT lang AS content_language, COUNT(*) AS n_docs,
+             CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes,
+             CAST(SUM(length(text)) AS BIGINT) AS chars,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             MIN(md5(text)) AS md5_lo, MAX(md5(text)) AS md5_hi
+      FROM documents GROUP BY lang"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5868,7 +5945,7 @@ object Queries {
     q119WeightedMinhash, q120EvalRun, q121Compression, q122QuantileNormalize,
     q123ImageDhash, q123bImageNearDup, q124BloomSkipRead, q125AudioFingerprint,
     q126ScriptProfile, q127DomainQuality, q127bDomainFilter, q128DatasetCard,
-    q129EmbeddingMoments)
+    q129EmbeddingMoments, q130JsonlRoundtrip, q131WetRoundtrip)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
