@@ -5890,6 +5890,77 @@ object Queries {
              MIN(md5(text)) AS md5_lo, MAX(md5(text)) AS md5_hi
       FROM documents GROUP BY lang"""))
 
+  /** Curation attrition funnel ([[graft.operators.Filtering
+    * .attritionFunnel]]): the Gopher rule chain of q73, reported as
+    * per-stage entered/dropped/surviving counts in rule order — the
+    * "where did my corpus go" accounting a production curation run
+    * publishes next to its output. The oracle replays q73's exact flag
+    * arithmetic, assigns each doc its FIRST failing stage, and unrolls
+    * the same short-circuit funnel with a window cumsum; everything is
+    * integer counts, so the match is bit-exact.
+    */
+  val q132CurationFunnel: Q = Q(
+    "q132_curation_funnel",
+    (s, dir) =>
+      graft.operators.Filtering.attritionFunnel(
+        graft.operators.Filtering.gopherReport(
+          t(s, dir, "documents"), "doc_id", "text",
+          graft.operators.Filtering.GopherThresholds(
+            minTokens = 30L, maxTokens = 80L, minStopwordHits = 1L)),
+        Seq("ok_tokens", "ok_mean_len", "ok_symbols", "ok_bullets",
+          "ok_ellipsis", "ok_alpha", "ok_stopwords")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS tkl,
+               list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lns
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          CAST(len(tk) AS BIGINT) AS n_tokens,
+          CASE WHEN len(tk) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) END AS mean_token_len,
+          CASE WHEN len(tk) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk) END AS alpha_word_ratio,
+          CASE WHEN len(tk) = 0 THEN 0.0
+               ELSE (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                     + (length(text) - length(replace(text, '...', ''))) / 3) / len(tk) END AS symbol_ratio,
+          CASE WHEN len(lns) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lns) END AS bullet_line_ratio,
+          CASE WHEN len(lns) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE) / len(lns) END AS ellipsis_line_ratio,
+          CAST(len(list_distinct(list_filter(tkl, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this')))) AS BIGINT) AS stopword_hits
+        FROM toks),
+      f AS (
+        SELECT CASE
+          WHEN NOT (n_tokens >= 30 AND n_tokens <= 80) THEN 0
+          WHEN NOT (mean_token_len >= 3.0 AND mean_token_len <= 10.0) THEN 1
+          WHEN NOT (symbol_ratio <= 0.1) THEN 2
+          WHEN NOT (bullet_line_ratio <= 0.9) THEN 3
+          WHEN NOT (ellipsis_line_ratio <= 0.3) THEN 4
+          WHEN NOT (alpha_word_ratio >= 0.8) THEN 5
+          WHEN NOT (stopword_hits >= 1) THEN 6
+          ELSE 7 END AS fail_stage
+        FROM s),
+      tot AS (SELECT COUNT(*) AS n FROM f),
+      dim AS (
+        SELECT * FROM (VALUES
+          (0, 'ok_tokens'), (1, 'ok_mean_len'), (2, 'ok_symbols'), (3, 'ok_bullets'),
+          (4, 'ok_ellipsis'), (5, 'ok_alpha'), (6, 'ok_stopwords')) AS r(stage, rule)),
+      d AS (
+        SELECT dim.stage, dim.rule, COALESCE(c.dropped, 0) AS dropped
+        FROM dim LEFT JOIN (
+          SELECT fail_stage AS stage, COUNT(*) AS dropped FROM f GROUP BY fail_stage) c
+        USING (stage)),
+      e AS (
+        SELECT stage, rule,
+               CAST(n - COALESCE(SUM(dropped) OVER (ORDER BY stage
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS entered,
+               CAST(dropped AS BIGINT) AS dropped
+        FROM d, tot)
+      SELECT stage, rule, entered, dropped, entered - dropped AS surviving FROM e"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -5945,7 +6016,7 @@ object Queries {
     q119WeightedMinhash, q120EvalRun, q121Compression, q122QuantileNormalize,
     q123ImageDhash, q123bImageNearDup, q124BloomSkipRead, q125AudioFingerprint,
     q126ScriptProfile, q127DomainQuality, q127bDomainFilter, q128DatasetCard,
-    q129EmbeddingMoments, q130JsonlRoundtrip, q131WetRoundtrip)
+    q129EmbeddingMoments, q130JsonlRoundtrip, q131WetRoundtrip, q132CurationFunnel)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

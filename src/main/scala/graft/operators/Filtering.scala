@@ -236,4 +236,41 @@ object Filtering {
       .where(col(scoreCol).cast("double") >= col("__thr"))
       .drop("__src", "__thr")
   }
+
+  /** Attrition funnel over an ORDERED rule chain: for each rule, how many
+    * documents entered that stage, how many were dropped THERE (i.e. it
+    * was the first rule they failed), and how many survived it — the
+    * "where did my corpus go" report every curation run should publish
+    * next to its output. Rules short-circuit in the given order, matching
+    * how a sequential filter chain would bleed documents; a NULL verdict
+    * counts as a failure (a rule that could not evaluate must not pass a
+    * document).
+    *
+    * Scale contract: ONE pass — the first-failed-stage index is a
+    * codegen'd conditional, and the whole funnel reduces through a single
+    * global aggregation (one partial row per task, rules+1 counters
+    * wide); the n-rule funnel arithmetic then unfolds from that one row.
+    * No per-stage scans, no window, nothing corpus-sized past the agg.
+    */
+  def attritionFunnel(report: DataFrame, ruleCols: Seq[String]): DataFrame = {
+    require(ruleCols.nonEmpty, "attritionFunnel needs at least one rule column")
+    val firstFail = ruleCols.zipWithIndex.foldRight(lit(ruleCols.length)) {
+      case ((c, i), rest) => when(!coalesce(col(c), lit(false)), lit(i)).otherwise(rest)
+    }
+    val aggs = ruleCols.indices.map(i =>
+      sum(when(col("__stage") === i, 1L).otherwise(0L)).as(s"__d$i"))
+    val counts = report.select(firstFail.as("__stage"))
+      .agg(count(lit(1)).as("__total"), aggs: _*)
+    val stages = ruleCols.zipWithIndex.map { case (r, i) =>
+      val entered = (0 until i)
+        .map(j => col(s"__d$j"))
+        .foldLeft(col("__total").cast("long"))(_ - _)
+      struct(
+        lit(i).as("stage"), lit(r).as("rule"),
+        entered.cast("long").as("entered"),
+        col(s"__d$i").cast("long").as("dropped"),
+        (entered - col(s"__d$i")).cast("long").as("surviving"))
+    }
+    counts.select(explode(array(stages: _*)).as("s")).select("s.*")
+  }
 }

@@ -207,4 +207,46 @@ class FilteringSpec extends AnyFunSuite {
           s"$src: lower-scored row in higher bucket (${rows(i - 1)} then ${rows(i)})")
     }
   }
+
+  test("attritionFunnel: hand-computed stages; short-circuit order; NULL verdict drops") {
+    // 6 docs through 3 ordered rules. first-fail assignment:
+    //   d1 passes all; d2 fails r1; d3 fails r1 AND r3 (counts at r1 only);
+    //   d4 fails r2; d5 NULL at r2 (must drop there); d6 fails r3.
+    val report = Seq(
+      (1L, true, java.lang.Boolean.TRUE, true),
+      (2L, false, java.lang.Boolean.TRUE, true),
+      (3L, false, java.lang.Boolean.TRUE, false),
+      (4L, true, java.lang.Boolean.FALSE, true),
+      (5L, true, null.asInstanceOf[java.lang.Boolean], true),
+      (6L, true, java.lang.Boolean.TRUE, false))
+      .toDF("id", "r1", "r2", "r3")
+    val got = graft.operators.Filtering.attritionFunnel(report, Seq("r1", "r2", "r3"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(0) === (("r1", 6L, 2L, 4L)), "6 enter r1, d2+d3 drop")
+    assert(got(1) === (("r2", 4L, 2L, 2L)), "4 enter r2, d4 + NULL-d5 drop")
+    assert(got(2) === (("r3", 2L, 1L, 1L)), "2 enter r3, d6 drops, d1 survives")
+    assert(got.size === 3)
+  }
+
+  test("attritionFunnel: identity — last surviving equals gopherFilter count") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and then the dog ate all of the biscuits before anyone was at home to stop it which was bad"),
+      (2L, "zz qq ww"),
+      (3L, "a b c d e f g h i j k l m n o p q r s t u v w x y z aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt")).toDF("doc_id", "text")
+    val th = graft.operators.Filtering.GopherThresholds(
+      minTokens = 5L, maxTokens = 200L, minStopwordHits = 1L)
+    val rules = Seq("ok_tokens", "ok_mean_len", "ok_symbols", "ok_bullets",
+      "ok_ellipsis", "ok_alpha", "ok_stopwords")
+    val funnel = graft.operators.Filtering.attritionFunnel(
+      graft.operators.Filtering.gopherReport(docs, "doc_id", "text", th), rules)
+      .orderBy("stage").collect()
+    val survived = funnel.last.getLong(4)
+    assert(survived === graft.operators.Filtering.gopherFilter(docs, "text", th).count())
+    // conservation: every entered = previous surviving; dropped sums to total - survivors
+    for (i <- 1 until funnel.length)
+      assert(funnel(i).getLong(2) === funnel(i - 1).getLong(4))
+    assert(funnel.map(_.getLong(3)).sum === 3L - survived)
+  }
 }
