@@ -5961,6 +5961,40 @@ object Queries {
         FROM d, tot)
       SELECT stage, rule, entered, dropped, entered - dropped AS surviving FROM e"""))
 
+  /** NATIVE parquet row-group bloom filters under the driver gate
+    * ([[graft.sources.Sinks.writeWithBloomFilters]]): the documents
+    * table re-lands keyed by content fingerprint with an in-file bloom
+    * on `fp`, then a FIXED five-id probe set (bounded literals — the
+    * probe side stays O(1) at any corpus scale) point-looks-up through
+    * the bloomed table. Any doc sharing a probed fingerprint surfaces
+    * (exact dups included), so the oracle is the same fingerprint
+    * semi-join on the originals — a false negative from the bloom path
+    * would drop rows and hash-mismatch. The skipping itself (0 rows
+    * decoded on absent keys vs full decode without the filter) is
+    * measured in ParquetBloomSpec; this face pins write→read
+    * correctness.
+    */
+  val q133NativeBloomLookup: Q = Q(
+    "q133_native_bloom_lookup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keyed = docs.select(md5(col("text")).as("fp"), col("doc_id"), col("n_chars"))
+      val path = java.nio.file.Files.createTempDirectory("graft_pqbloom_rt").toString + "/t"
+      graft.sources.Sinks.writeWithBloomFilters(
+        keyed.repartition(4), path, Map("fp" -> 200000L))
+      val probeFps = docs
+        .where(col("doc_id").isin(0L, 97L, 194L, 291L, 388L))
+        .select(md5(col("text")).as("fp"))
+        .collect().map(_.getString(0)) // exactly ≤5 strings at ANY scale
+      s.read.parquet(path)
+        .where(col("fp").isin(probeFps.toIndexedSeq: _*))
+        .select("fp", "doc_id", "n_chars")
+    },
+    Some("""
+      SELECT md5(text) AS fp, doc_id, n_chars FROM documents
+      WHERE md5(text) IN (
+        SELECT md5(text) FROM documents WHERE doc_id IN (0, 97, 194, 291, 388))"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6016,7 +6050,8 @@ object Queries {
     q119WeightedMinhash, q120EvalRun, q121Compression, q122QuantileNormalize,
     q123ImageDhash, q123bImageNearDup, q124BloomSkipRead, q125AudioFingerprint,
     q126ScriptProfile, q127DomainQuality, q127bDomainFilter, q128DatasetCard,
-    q129EmbeddingMoments, q130JsonlRoundtrip, q131WetRoundtrip, q132CurationFunnel)
+    q129EmbeddingMoments, q130JsonlRoundtrip, q131WetRoundtrip, q132CurationFunnel,
+    q133NativeBloomLookup)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

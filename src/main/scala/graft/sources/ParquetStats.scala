@@ -80,4 +80,39 @@ object ParquetStats {
         when(min("n_nulls") < 0L, lit(-1L)).otherwise(sum("n_nulls")).as("n_nulls"),
         sum("compressed_bytes").as("compressed_bytes"),
         sum("uncompressed_bytes").as("uncompressed_bytes"))
+
+  /** Bloom-filter presence per (file, row group, column) — the audit
+    * face of [[Sinks.writeWithBloomFilters]]: `has_bloom` from the chunk
+    * metadata's bloom offset, `bloom_bytes` from its recorded length
+    * (−1 when the writer predates length recording). Footers only, same
+    * parallelized sweep shape as [[chunkRows]]; use it to confirm a
+    * rewrite actually attached the filters before pointing a workload's
+    * point-lookups at the table.
+    */
+  def bloomFilterReport(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.parquet(path).inputFiles.toSeq
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.createDataset(files)
+      .repartition(math.min(files.size, spark.sparkContext.defaultParallelism).max(1))
+      .mapPartitions { it =>
+        it.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf.value)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.zipWithIndex.flatMap { case (block, bi) =>
+              block.getColumns.asScala.map { c =>
+                val off = c.getBloomFilterOffset
+                (f, bi, c.getPath.toDotString, off >= 0L,
+                  if (off >= 0L) c.getBloomFilterLength.toLong else -1L)
+              }
+            }.toSeq
+          } finally reader.close()
+        }
+      }
+      .toDF("file", "block", "column", "has_bloom", "bloom_bytes")
+  }
 }

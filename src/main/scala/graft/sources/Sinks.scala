@@ -547,4 +547,41 @@ object Sinks {
 
   def exportSingleParquet(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Write parquet with NATIVE row-group bloom filters on the named
+    * columns — the format-level complement to [[BloomSkip]]'s file-level
+    * manifests: the filter lives in the file itself, so ANY parquet
+    * reader (this engine, Trino, DuckDB) skips non-matching row groups
+    * on equality/IN point-lookups with no side-channel metadata.
+    *
+    * When it pays: high-cardinality columns whose values are NOT
+    * clustered (min/max stats prune nothing) and whose dictionary
+    * overflows (dictionary-page filtering unavailable) — exactly the
+    * doc-id / URL-hash / fingerprint lookup columns of a dedup or
+    * serving table. `ndv` sizes the filter (parquet derives bits from
+    * expected distinct count at ~1% FPP); oversize rather than undersize
+    * — a saturated bloom skips nothing and still costs its bytes.
+    * Verify attachment with [[ParquetStats.bloomFilterReport]].
+    */
+  def writeWithBloomFilters(
+      df: DataFrame,
+      path: String,
+      bloomNdv: Map[String, Long],
+      partitionCols: Seq[String] = Nil,
+      extraOptions: Map[String, String] = Map.empty): Unit = {
+    require(bloomNdv.nonEmpty, "writeWithBloomFilters needs at least one column")
+    val missing = bloomNdv.keySet -- df.columns.toSet
+    require(missing.isEmpty, s"bloom columns absent from frame: ${missing.mkString(", ")}")
+    import org.apache.spark.sql.functions.col
+    val out =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df
+    var w = out.write.mode(SaveMode.Overwrite)
+    bloomNdv.foreach { case (c, ndv) =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    extraOptions.foreach { case (k, v) => w = w.option(k, v) }
+    val part = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+    part.parquet(path)
+  }
 }
