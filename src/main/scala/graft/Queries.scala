@@ -5995,6 +5995,65 @@ object Queries {
       WHERE md5(text) IN (
         SELECT md5(text) FROM documents WHERE doc_id IN (0, 97, 194, 291, 388))"""))
 
+  /** `COUNT(*)` from parquet FOOTERS alone ([[graft.sources.ParquetStats
+    * .rowCountFromFooters]]): row-group counts are exact by format
+    * contract, so the full-table count costs a metadata sweep — no data
+    * page read. The oracle is the real `COUNT(*)`; agreement pins that
+    * the footer path can stand in for the scan wherever only the count
+    * is needed (manifests, expectations, card headers).
+    */
+  val q134FooterCount: Q = Q(
+    "q134_footer_count",
+    (s, dir) =>
+      graft.sources.ParquetStats.rowCountFromFooters(s, s"$dir/documents.parquet"),
+    Some("SELECT COUNT(*) AS n_rows FROM documents"))
+
+  /** Salted pseudonymization ([[graft.operators.Privacy.pseudonymize]]):
+    * SHA-256 over salt‖value replaces the id and source columns with
+    * consistent tokens — equal values map to equal tokens, so joins and
+    * group-bys survive while raw values do not. The oracle recomputes
+    * the exact same digests in DuckDB (NULL-propagating `||`, mirroring
+    * the operator's NULL-preserving contract), so the match is
+    * bit-exact hex.
+    */
+  val q135Pseudonymize: Q = Q(
+    "q135_pseudonymize",
+    (s, dir) =>
+      graft.operators.Privacy.pseudonymize(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("doc_id").cast("string").as("pid"), col("source")),
+        Seq("pid", "source"), salt = "graft-r13"),
+    Some("""
+      SELECT doc_id,
+             sha256('graft-r13' || CAST(doc_id AS VARCHAR)) AS pid,
+             sha256('graft-r13' || source) AS source
+      FROM documents"""))
+
+  /** Order-independent corpus checksum ([[graft.operators.Privacy
+    * .corpusChecksum]]): canonical row serialization → md5 → 48-bit
+    * prefix summed in decimal(38,0). Addition commutes, so the number is
+    * invariant to partitioning, ordering, and engine — DuckDB computes
+    * the identical value from the same parquet, which is precisely the
+    * operator's job description (certify two copies agree without
+    * moving either).
+    */
+  val q136CorpusChecksum: Q = Q(
+    "q136_corpus_checksum",
+    (s, dir) =>
+      graft.operators.Privacy.corpusChecksum(
+        t(s, dir, "documents"), Seq("doc_id", "text", "lang", "source", "n_chars")),
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(concat('0x', substring(md5(k), 1, 12)) AS BIGINT)) AS DECIMAL(38,0)) AS checksum
+      FROM (
+        SELECT concat_ws(chr(1),
+          COALESCE(CAST(doc_id AS VARCHAR), chr(2) || 'NULL'),
+          COALESCE(text, chr(2) || 'NULL'),
+          COALESCE(lang, chr(2) || 'NULL'),
+          COALESCE(source, chr(2) || 'NULL'),
+          COALESCE(CAST(n_chars AS VARCHAR), chr(2) || 'NULL')) AS k
+        FROM documents)"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6051,7 +6110,7 @@ object Queries {
     q123ImageDhash, q123bImageNearDup, q124BloomSkipRead, q125AudioFingerprint,
     q126ScriptProfile, q127DomainQuality, q127bDomainFilter, q128DatasetCard,
     q129EmbeddingMoments, q130JsonlRoundtrip, q131WetRoundtrip, q132CurationFunnel,
-    q133NativeBloomLookup)
+    q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy-preserving transforms for shipping corpora across trust
+  * boundaries: salted pseudonymization (consistent tokens that still
+  * JOIN — the property plain redaction destroys) and the
+  * order-independent corpus checksum that certifies two copies of a
+  * table hold identical content without moving either.
+  *
+  * Scale contract: both are pure codegen'd projections/aggregations —
+  * zero shuffles for pseudonymize, one partial-aggregated global agg
+  * for the checksum. Nothing leaves whole-stage codegen.
+  */
+object Privacy {
+
+  /** Salted-hash pseudonym of one value: SHA-256 over `salt ‖ value`,
+    * NULL-preserving. Deterministic under a fixed salt, so equal values
+    * map to equal tokens — referential integrity (joins, group-bys,
+    * dedup) survives the transform while the raw value does not. Rotate
+    * the salt per release to break cross-release linkage; keep it
+    * secret, or a dictionary attack over a small value domain (emails,
+    * ids) inverts the map — this is pseudonymization, not encryption.
+    */
+  def pseudonym(c: Column, salt: String): Column =
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(sha2(concat(lit(salt), c.cast("string")), 256))
+
+  /** Replace each of `cols` in place with its [[pseudonym]]; every other
+    * column rides through untouched. One projection, no shuffle.
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize needs at least one column")
+    val missing = cols.toSet -- df.columns.toSet
+    require(missing.isEmpty, s"columns absent from frame: ${missing.mkString(", ")}")
+    cols.foldLeft(df)((d, c) => d.withColumn(c, pseudonym(col(c), salt)))
+  }
+
+  /** Order-independent content checksum of a table over `cols`: each row
+    * serializes canonically (field separator U+0001; NULL marked as U+0002-prefixed,
+    * distinctly from the string "null" or ""), hashes through md5, and
+    * the top 48 bits SUM into a decimal(38,0) — addition commutes, so
+    * any partitioning, ordering, or engine produces the same number.
+    * Certifies a replicated/exported corpus copy (two checksums + two
+    * counts agree ⇒ content agrees, up to 48-bit-sum collisions) for
+    * the cost of one scan and a ~20-byte exchange per task.
+    */
+  def corpusChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "corpusChecksum needs at least one column")
+    val key = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002NULL"))): _*)
+    df.select(conv(substring(md5(key), 1, 12), 16, 10).cast("long").as("__h"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("__h").cast("decimal(38,0)")).as("checksum"))
+  }
+}

@@ -115,4 +115,30 @@ object ParquetStats {
       }
       .toDF("file", "block", "column", "has_bloom", "bloom_bytes")
   }
+
+  /** EXACT table row count from footers alone — `COUNT(*)` answered for
+    * the cost of a metadata sweep: parquet row-group counts are exact by
+    * format contract (they are what the reader itself trusts), so no
+    * data page is touched. At a million files this is seconds of footer
+    * reads instead of a full-corpus scan; the file list parallelizes
+    * like [[chunkRows]] and only per-file subtotals reach the exchange.
+    */
+  def rowCountFromFooters(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.parquet(path).inputFiles.toSeq
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.createDataset(files)
+      .repartition(math.min(files.size, spark.sparkContext.defaultParallelism).max(1))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf.value)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        } finally reader.close()
+      }
+      .agg(coalesce(sum("value"), lit(0L)).as("n_rows"))
+  }
 }

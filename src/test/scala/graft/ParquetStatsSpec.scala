@@ -56,4 +56,17 @@ class ParquetStatsSpec extends AnyFunSuite {
     assert(fp.values.forall(_._1 == rows), "one value slot per row per column")
     assert(fp.size >= 10, "lineitem is a wide table")
   }
+
+  test("rowCountFromFooters: exact COUNT(*) from metadata, incl. multi-file tables") {
+    val dir = "/root/testdata/sf0.001"
+    for (t <- Seq("lineitem", "documents")) {
+      val fromFooters = ParquetStats.rowCountFromFooters(spark, s"$dir/$t.parquet")
+        .head().getLong(0)
+      assert(fromFooters === spark.read.parquet(s"$dir/$t.parquet").count(), t)
+    }
+    // multi-file: write 4 files and count across them
+    val multi = java.nio.file.Files.createTempDirectory("graft_fcount").toString + "/t"
+    spark.range(12345).repartition(4).write.mode("overwrite").parquet(multi)
+    assert(ParquetStats.rowCountFromFooters(spark, multi).head().getLong(0) === 12345L)
+  }
 }
