@@ -345,6 +345,36 @@ object Sinks {
     sorted.saveAsTable(table)
   }
 
+  /** Range-partitioned, fully-sorted parquet layout: a global sort on
+    * `sortCols` laid out as one contiguous range per file. Every skipping
+    * tier then stacks for predicates on the leading sort column: file
+    * ranges (via [[ZoneMaps]] or any footer-reading planner), row-group
+    * min/max stats inside each task, and — the tier this layout uniquely
+    * unlocks — parquet's PAGE-level column index, which prunes decode
+    * down to the matching ~20k-row pages within a row group (measured
+    * 20× decode reduction in PageSkipSpec; an unsorted layout decodes
+    * the whole group). Use for the corpus tables a serving or dedup
+    * workload range-probes (doc_id, fingerprint, timestamp); multi-column
+    * rectangle predicates want [[writeZOrdered]] instead — a plain sort
+    * only helps its leading column.
+    *
+    * Cost: one range exchange (sampled bounds) + an in-task sort that
+    * spills past memory — no driver-side anything.
+    */
+  def writeSorted(
+      df: DataFrame,
+      path: String,
+      sortCols: Seq[String],
+      numFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(sortCols.nonEmpty, "writeSorted needs at least one sort column")
+    val n = if (numFiles > 0) numFiles
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartitionByRange(n, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Z-order clustered parquet: rows are sorted by the interleaved bits of
     * the (range-normalized) zCols, so each output file covers a small
     * rectangle of the multi-column space instead of a full-range slice.
