@@ -49,6 +49,32 @@ object Wet {
       lang: Option[String],
       payload: Array[Byte])
 
+  /** One parsed conversion record, encoder-friendly for streaming use. */
+  final case class WetRecord(
+      target_uri: String,
+      warc_date: String,
+      record_id: String,
+      content_language: String,
+      n_bytes: Long,
+      content: String)
+
+  /** Parse one shard ALREADY IN MEMORY — the shape Structured
+    * Streaming's `binaryFile` source hands over (whole file per row).
+    * Same strict Content-Length parser as [[read]]; gzip by extension.
+    * Shard size is bounded by the crawl convention (~150 MB), so the
+    * in-memory form is safe where a whole TABLE in memory would not be.
+    */
+  def parseShard(file: String, bytes: Array[Byte]): Iterator[WetRecord] = {
+    val raw = new java.io.ByteArrayInputStream(bytes)
+    val in: InputStream =
+      if (file.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
+    recordIterator(in, file)
+      .filter(_.warcType.equalsIgnoreCase("conversion"))
+      .map(r => WetRecord(
+        r.uri.orNull, r.date.orNull, r.id.orNull, r.lang.orNull,
+        r.payload.length.toLong, new String(r.payload, UTF_8)))
+  }
+
   /** Read every `conversion` record under `path` (a directory of
     * `.warc.wet[.gz]` shards or a single shard). Non-conversion records
     * (`warcinfo`, `metadata`, …) are structural and skipped. Payloads

@@ -680,6 +680,48 @@ object Streams {
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  /** Continuous crawl ingestion straight off the WIRE FORMAT: watch a
+    * directory where WET shards land (the Common Crawl delivery shape),
+    * stream-parse each shard's conversion records through
+    * [[graft.sources.Wet.parseShard]], and feed them into
+    * [[urlDedupIngest]]'s exactly-once canonical-URL dedup — so the
+    * "crawl dump → deduplicated parquet corpus" pipeline is ONE running
+    * query with no batch converter in front.
+    *
+    * Identity: records dedup by canonical TARGET URI; the keeper id is
+    * `record_id ‖ md5(content)`, so a re-crawl of the same URI with
+    * different bytes still has a deterministic min-keeper (WARC record
+    * ids are name-based on the URI alone and tie otherwise). The
+    * `binaryFile` source hands whole shards (bounded by the ~150 MB
+    * shard convention), one task per shard; everything downstream is the
+    * batch parser and the batch dedup shape, unchanged.
+    */
+  def wetIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      shardDir: String,
+      indexPath: String,
+      outputPath: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    // the binaryFile source's schema is fixed by the format, but file
+    // stream sources still demand it explicitly
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val parsed = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.warc.wet*")
+      .load(shardDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, b) => graft.sources.Wet.parseShard(p, b) }
+      .toDF()
+      .withColumn("wet_id", concat(col("record_id"), md5(col("content"))))
+    urlDedupIngest(parsed, "target_uri", "wet_id", indexPath, outputPath, checkpoint)
+  }
+
   /** Continuous PERCEPTUAL image dedup — the [[urlDedupIngest]] shape
     * with [[graft.operators.Multimodal.dHashImages]] as the canonical
     * identity and NEAR-duplicate (hamming ≤ `maxHamming`) suppression

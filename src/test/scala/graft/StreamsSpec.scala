@@ -769,6 +769,47 @@ class StreamsSpec extends AnyFunSuite {
     graft.operators.Caches.release()
   }
 
+  test("wetIngest: WET shards landing in a directory stream into a deduplicated corpus") {
+    val root = java.nio.file.Files.createTempDirectory("stream-wet").toString
+    val shardDir = s"$root/shards"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shardDir))
+    // stage WET shards with the real writer, then land the part file in
+    // the watched dir under a unique name (the crawl-delivery motion)
+    var shardNo = 0
+    def land(docs: Seq[(String, String)]): Unit = {
+      val staging = s"$root/stage$shardNo"
+      graft.sources.Wet.write(
+        docs.toDF("uri", "content").coalesce(1), "uri", "content", staging, gzip = true)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".gz")).head.toPath
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(shardDir, f"crawl-$shardNo%05d.warc.wet.gz"))
+      shardNo += 1
+    }
+    land(Seq(
+      "https://site.one/a" -> "alpha content",
+      "https://site.one/b" -> "bravo content"))
+    val query = Streams.wetIngest(spark, shardDir, s"$root/seen", s"$root/landed")
+    try {
+      query.processAllAvailable()
+      // shard 2: /b re-crawled with DIFFERENT bytes (same canonical URI —
+      // must be suppressed) + a genuinely new page
+      land(Seq(
+        "https://site.one/b" -> "bravo content v2 recrawl",
+        "https://site.two/c" -> "charlie content"))
+      query.processAllAvailable()
+      val landed = spark.read.parquet(s"$root/landed")
+        .select("target_uri", "content").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(landed === Map(
+        "https://site.one/a" -> "alpha content",
+        "https://site.one/b" -> "bravo content",
+        "https://site.two/c" -> "charlie content"),
+        s"first sighting per canonical URI wins; got $landed")
+    } finally query.stop()
+    graft.operators.Caches.release()
+  }
+
   test("dupClusterIngest: state equals batch CC of all pairs ever streamed, incl. cross-batch merges") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("stream-cc").toString
