@@ -6054,6 +6054,106 @@ object Queries {
           COALESCE(CAST(n_chars AS VARCHAR), chr(2) || 'NULL')) AS k
         FROM documents)"""))
 
+  /** The END-TO-END crawl pipeline under ONE oracle: documents wearing
+    * messy synthetic URLs (the q99 generator) land as real WET shards,
+    * stream back through the Content-Length parser, canonicalize +
+    * dedup to a deterministic keeper per canonical URL (min over
+    * `uri‖md5(content)‖lang` — unique even when distinct docs share a
+    * messy URL), pass the Gopher rule chain, and profile per language.
+    * Every stage is already individually gated (q131 WET, q99
+    * canonicalization, q99b dedup, q73 rules); this face pins that the
+    * COMPOSITION loses nothing between stages — the DuckDB oracle
+    * replays the whole chain from the parquet originals: URL arithmetic,
+    * keeper selection, rule flags, profile.
+    */
+  val q137CrawlPipeline: Q = Q(
+    "q137_crawl_pipeline",
+    (s, dir) => {
+      val staged = t(s, dir, "documents")
+        .join(syntheticUrls(s, dir), "doc_id")
+        .select(col("url").as("uri"), col("text"), col("lang"))
+      val path = java.nio.file.Files.createTempDirectory("graft_crawl_e2e").toString + "/shards"
+      graft.sources.Wet.write(
+        staged.repartition(4), "uri", "text", path, langCol = Some("lang"), gzip = true)
+      val canon = graft.sources.Wet.read(s, path)
+        .withColumn("canonical_url", graft.operators.Urls.canonicalize(col("target_uri")))
+      val kept = canon
+        .groupBy("canonical_url")
+        .agg(min_by(
+          struct(col("content"), col("content_language")),
+          concat(col("target_uri"), md5(col("content")),
+            coalesce(col("content_language"), lit("")))).as("__r"))
+        .select(
+          col("canonical_url"),
+          col("__r.content").as("text"),
+          col("__r.content_language").as("lang"))
+      graft.operators.Filtering.gopherFilter(
+        kept, "text",
+        graft.operators.Filtering.GopherThresholds(
+          minTokens = 30L, maxTokens = 80L, minStopwordHits = 1L))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("chars"),
+          min(md5(col("text"))).as("md5_lo"),
+          max(md5(col("text"))).as("md5_hi"))
+    },
+    Some(s"""
+      WITH c AS ($canonicalUrlSql),
+      u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+               (CASE WHEN doc_id % 3 = 0 THEN 'Example.COM:80'
+                     WHEN doc_id % 3 = 1 THEN 'Sub.Example.ORG:443'
+                     ELSE 'example.net:8080' END) ||
+               (CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR) END) ||
+               '?utm_source=x&zz=' || CAST(doc_id % 4 AS VARCHAR) ||
+               '&a=' || CAST(doc_id % 3 AS VARCHAR) ||
+               (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+        FROM documents),
+      j AS (
+        SELECT c.canonical_url, u.url, d.text, d.lang
+        FROM documents d JOIN c USING (doc_id) JOIN u USING (doc_id)),
+      k AS (
+        SELECT canonical_url, MIN(url || md5(text) || COALESCE(lang, '')) AS kk
+        FROM j GROUP BY canonical_url),
+      kept AS (
+        SELECT DISTINCT j.canonical_url, j.text, j.lang
+        FROM j JOIN k ON k.canonical_url = j.canonical_url
+          AND (j.url || md5(j.text) || COALESCE(j.lang, '')) = k.kk),
+      toks AS (
+        SELECT canonical_url, text, lang,
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS tk,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0) AS tkl,
+               list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lns
+        FROM kept),
+      sg AS (
+        SELECT canonical_url, text, lang,
+          CAST(len(tk) AS BIGINT) AS n_tokens,
+          CASE WHEN len(tk) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) END AS mean_token_len,
+          CASE WHEN len(tk) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tk) END AS alpha_word_ratio,
+          CASE WHEN len(tk) = 0 THEN 0.0
+               ELSE (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                     + (length(text) - length(replace(text, '...', ''))) / 3) / len(tk) END AS symbol_ratio,
+          CASE WHEN len(lns) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lns) END AS bullet_line_ratio,
+          CASE WHEN len(lns) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE) / len(lns) END AS ellipsis_line_ratio,
+          CAST(len(list_distinct(list_filter(tkl, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this')))) AS BIGINT) AS stopword_hits
+        FROM toks),
+      pass AS (
+        SELECT * FROM sg
+        WHERE n_tokens >= 30 AND n_tokens <= 80
+          AND mean_token_len >= 3.0 AND mean_token_len <= 10.0
+          AND symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+          AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+          AND stopword_hits >= 1)
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS chars,
+             MIN(md5(text)) AS md5_lo, MAX(md5(text)) AS md5_hi
+      FROM pass GROUP BY lang"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6110,7 +6210,8 @@ object Queries {
     q123ImageDhash, q123bImageNearDup, q124BloomSkipRead, q125AudioFingerprint,
     q126ScriptProfile, q127DomainQuality, q127bDomainFilter, q128DatasetCard,
     q129EmbeddingMoments, q130JsonlRoundtrip, q131WetRoundtrip, q132CurationFunnel,
-    q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum)
+    q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum,
+    q137CrawlPipeline)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
