@@ -6154,6 +6154,120 @@ object Queries {
              MIN(md5(text)) AS md5_lo, MAX(md5(text)) AS md5_hi
       FROM pass GROUP BY lang"""))
 
+  /** Count-min join-cardinality estimate next to the exact answer
+    * ([[graft.operators.JoinAdvisor.estimateEquiJoinRows]]): each side
+    * compresses to a 3×65536 counter table in one scan, and the estimate
+    * is the min-over-rows bucket-product inner product — the number a
+    * planner consults BEFORE paying for the shuffle. The hash family is
+    * the injectable linear-mod-P kind over a 48-bit md5 prefix (the
+    * q26c/q136 bridge), so DuckDB rebuilds both sketch tables
+    * bucket-for-bucket and the estimate is hash-match-gated, not just
+    * law-gated; the exact count rides along in the same row, making the
+    * CM overestimate guarantee (`est_rows ≥ exact_rows`) visible in the
+    * artifact itself.
+    */
+  private val advisorParams = graft.operators.JoinAdvisor.CmParams(
+    width = 65536,
+    rows = Seq((1103515245L, 12345L), (214013L, 2531011L), (69069L, 1L)))
+
+  private def advisorSketchCtes(keyExpr: String, table: String, alias: String): String = s"""
+      ${alias}x AS (
+        SELECT (CAST(concat('0x', substring(md5(CAST($keyExpr AS VARCHAR)), 1, 12)) AS BIGINT)
+                % 2147483647) AS x
+        FROM $table WHERE $keyExpr IS NOT NULL),
+      ${alias}cm AS (
+        SELECT hp.d, ((hp.a * ${alias}x.x + hp.b) % 2147483647) % 65536 AS w, COUNT(*) AS cnt
+        FROM ${alias}x CROSS JOIN hp
+        GROUP BY 1, 2)"""
+
+  private val advisorHashCte =
+    "hp(d, a, b) AS (VALUES (0, CAST(1103515245 AS BIGINT), CAST(12345 AS BIGINT)), " +
+      "(1, CAST(214013 AS BIGINT), CAST(2531011 AS BIGINT)), " +
+      "(2, CAST(69069 AS BIGINT), CAST(1 AS BIGINT)))"
+
+  val q138JoinCardinality: Q = Q(
+    "q138_join_cardinality",
+    (s, dir) => {
+      val est = graft.operators.JoinAdvisor.estimateEquiJoinRows(
+        t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey", advisorParams)
+      val exact = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("exact_rows"))
+      est.crossJoin(exact)
+    },
+    Some(s"""
+      WITH $advisorHashCte,
+      ${advisorSketchCtes("o_orderkey", "orders", "l")},
+      ${advisorSketchCtes("l_orderkey", "lineitem", "r")},
+      ip AS (
+        SELECT l.d, SUM(l.cnt * r.cnt) AS ip
+        FROM lcm l JOIN rcm r ON l.d = r.d AND l.w = r.w
+        GROUP BY 1),
+      ipz AS (
+        SELECT dd.d, COALESCE(ip.ip, 0) AS ip
+        FROM range(0, 3) dd(d) LEFT JOIN ip ON ip.d = dd.d)
+      SELECT CAST((SELECT MIN(ip) FROM ipz) AS DECIMAL(38,0)) AS est_rows,
+             (SELECT COUNT(*) FROM orders o JOIN lineitem li
+                ON o.o_orderkey = li.l_orderkey) AS exact_rows"""))
+
+  /** The one-row join pre-flight report ([[graft.operators.JoinAdvisor
+    * .advise]]): side row counts, exact key cardinalities, the CM
+    * cardinality estimate, the single worst key's exact output product
+    * (min-key tie-break so the row is bit-reproducible), and the
+    * deterministic strategy call those numbers imply under the given
+    * thresholds. DuckDB replays EVERY field — counts, distincts, the
+    * sketch inner product, the hot-key argmax, and the CASE ladder —
+    * so the recommendation itself is under the oracle, not just its
+    * inputs. orders ⋈ customer on custkey: the dimension side fits the
+    * broadcast threshold at the driver's SF, and the report says so.
+    */
+  val q139JoinAdvice: Q = Q(
+    "q139_join_advice",
+    (s, dir) => graft.operators.JoinAdvisor.advise(
+      t(s, dir, "orders"), "o_custkey",
+      t(s, dir, "customer"), "c_custkey",
+      advisorParams,
+      broadcastRowsMax = 20000L,
+      saltProductMin = 1000000L),
+    Some(s"""
+      WITH $advisorHashCte,
+      ${advisorSketchCtes("o_custkey", "orders", "l")},
+      ${advisorSketchCtes("c_custkey", "customer", "r")},
+      ip AS (
+        SELECT l.d, SUM(l.cnt * r.cnt) AS ip
+        FROM lcm l JOIN rcm r ON l.d = r.d AND l.w = r.w
+        GROUP BY 1),
+      ipz AS (
+        SELECT dd.d, COALESCE(ip.ip, 0) AS ip
+        FROM range(0, 3) dd(d) LEFT JOIN ip ON ip.d = dd.d),
+      kp AS (
+        SELECT lk.key, lk.cnt_l * rk.cnt_r AS product
+        FROM (SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS cnt_l
+              FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1) lk
+        JOIN (SELECT CAST(c_custkey AS VARCHAR) AS key, COUNT(*) AS cnt_r
+              FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1) rk
+          ON lk.key = rk.key),
+      hot AS (
+        SELECT CAST(COALESCE((SELECT product FROM kp ORDER BY product DESC, key ASC LIMIT 1), 0)
+                 AS DECIMAL(38,0)) AS max_key_product,
+               (SELECT key FROM kp ORDER BY product DESC, key ASC LIMIT 1) AS hot_key),
+      base AS (
+        SELECT
+          (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL) AS left_rows,
+          (SELECT COUNT(*) FROM customer WHERE c_custkey IS NOT NULL) AS right_rows,
+          (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS left_keys,
+          (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS right_keys,
+          CAST((SELECT MIN(ip) FROM ipz) AS DECIMAL(38,0)) AS est_join_rows,
+          hot.max_key_product, hot.hot_key
+        FROM hot)
+      SELECT *,
+        CASE WHEN left_rows <= 20000 AND left_rows <= right_rows THEN 'broadcast_left'
+             WHEN right_rows <= 20000 THEN 'broadcast_right'
+             WHEN max_key_product >= 1000000 THEN 'salt_hot_keys'
+             ELSE 'shuffle_hash' END AS recommended
+      FROM base"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6211,7 +6325,7 @@ object Queries {
     q126ScriptProfile, q127DomainQuality, q127bDomainFilter, q128DatasetCard,
     q129EmbeddingMoments, q130JsonlRoundtrip, q131WetRoundtrip, q132CurationFunnel,
     q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum,
-    q137CrawlPipeline)
+    q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pre-flight planning for a join you cannot afford to run twice: at
+  * 100 TB, committing a shuffle join on a guess is how a cluster loses
+  * an afternoon. This module answers the three questions that decide a
+  * join strategy BEFORE any full-width shuffle happens:
+  *
+  *   1. How many rows will the equi-join emit?
+  *      [[estimateEquiJoinRows]] — count-min inner product. Each side
+  *      compresses to a `depth × width` counter table in one scan with
+  *      full map-side combine; the estimate is the minimum over depth
+  *      rows of the bucket-wise count product. Deterministic and
+  *      NEVER an underestimate: hash collisions only add mass, so
+  *      `estimate ≥ true |A ⋈ B|` unconditionally, and the expected
+  *      overestimate is ≤ |A|·|B| / width (Cormode & Muthukrishnan
+  *      2005, "An improved data stream summary: the count-min sketch
+  *      and its applications", §4.2).
+  *   2. Which keys blow up? [[keyProducts]] — exact per-key frequency
+  *      product, two key-bounded aggregations plus a join that is the
+  *      SIZE OF THE KEY DOMAIN, not of the output. The single worst key
+  *      is the salting decision.
+  *   3. What should the join do? [[advise]] — one row combining both
+  *      with exact side/key counts into a deterministic strategy call
+  *      (broadcast / salt / shuffle) under caller thresholds.
+  *
+  * Every number is integer arithmetic over an INJECTABLE linear hash
+  * family applied to a 48-bit md5 prefix — the q26c/q31c move — so an
+  * external engine can rebuild the sketch tables bucket-for-bucket and
+  * the whole report is oracle-gated end to end, estimate included.
+  *
+  * Scale contract: one scan per side for the sketch (shuffle bounded
+  * by depth·width per partial), one key-shaped aggregation per side
+  * for the products. Products and the estimate accumulate in
+  * decimal(38,0) — two 10^12-row sides overflow a long.
+  */
+object JoinAdvisor {
+
+  /** Counter-table geometry plus the per-row linear hash family
+    * `h_d(x) = ((a_d·x + b_d) mod P) mod width`. Coefficients are data
+    * — callers vary them per run if adversarial keys are a concern —
+    * and every `a` must be in (0, P) so the product stays in a long
+    * (x < P = 2^31−1, a < 2^31 ⇒ a·x < 2^62).
+    */
+  final case class CmParams(width: Int, rows: Seq[(Long, Long)]) {
+    require(width > 0, "width must be positive")
+    require(rows.nonEmpty, "need at least one hash row")
+    rows.foreach { case (a, b) =>
+      require(a > 0 && a < P, s"a must be in (0, $P): $a")
+      require(b >= 0 && b < P, s"b must be in [0, $P): $b")
+    }
+    def depth: Int = rows.size
+  }
+
+  val P: Long = 2147483647L // 2^31 − 1, Mersenne prime
+
+  /** Default geometry: ±|A|·|B|/4096 expected overestimate, 4 chances
+    * to dodge a bad collision. 4·4096 counters ≈ 128 KB per side.
+    */
+  val defaultParams: CmParams = CmParams(
+    width = 4096,
+    rows = Seq((1103515245L, 12345L), (214013L, 2531011L),
+      (69069L, 1L), (1664525L, 1013904223L)))
+
+  /** The shared 48-bit key image: first 12 hex chars of md5 of the
+    * key's string form, reduced mod P. Both halves are replayable in
+    * any engine with md5 — the [[Privacy.corpusChecksum]] bridge.
+    */
+  def keyImage(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long") % P
+
+  /** One side's counter table in long form: `(d, w, cnt)`, at most
+    * depth·width rows regardless of input size. NULL keys are dropped —
+    * they cannot match in an equi-join, so counting them would only
+    * inflate the estimate. The explode-then-aggregate shape partial-
+    * aggregates before the exchange: the shuffle carries ≤ depth·width
+    * rows PER PARTITION, never depth× the data.
+    */
+  def cmSketch(df: DataFrame, keyCol: String, params: CmParams = defaultParams): DataFrame = {
+    val dw = params.rows.zipWithIndex.map { case ((a, b), d) =>
+      struct(
+        lit(d).as("d"),
+        (((lit(a) * col("__x") + lit(b)) % P) % params.width).cast("int").as("w"))
+    }
+    df.filter(col(keyCol).isNotNull)
+      .select(keyImage(col(keyCol)).as("__x"))
+      .select(explode(array(dw: _*)).as("dw"))
+      .groupBy(col("dw.d").as("d"), col("dw.w").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Inner-join cardinality estimate as one row `(est_rows)`:
+    * `min_d Σ_w cntL[d,w]·cntR[d,w]`. The sketch join is depth·width
+    * rows a side — broadcast territory at any corpus size. Guaranteed
+    * `≥` the true inner equi-join row count (collisions only add).
+    */
+  def estimateEquiJoinRows(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      params: CmParams = defaultParams): DataFrame = {
+    val l = cmSketch(left, leftKey, params).withColumnRenamed("cnt", "cnt_l")
+    val r = cmSketch(right, rightKey, params).withColumnRenamed("cnt", "cnt_r")
+    val ip = l.join(r, Seq("d", "w"))
+      .groupBy("d")
+      .agg(sum(col("cnt_l").cast("decimal(19,0)") * col("cnt_r").cast("decimal(19,0)"))
+        .as("ip"))
+    // A depth row whose buckets never overlap proves the join EMPTY —
+    // its inner product is 0, but the sketch join drops it instead of
+    // emitting it. Re-attach every depth row with a zero default so
+    // disjoint (or empty-sided) inputs estimate 0, not NULL.
+    left.sparkSession.range(params.depth).select(col("id").cast("int").as("d"))
+      .join(ip, Seq("d"), "left")
+      .agg(min(coalesce(col("ip"), lit(0))).cast("decimal(38,0)").as("est_rows"))
+  }
+
+  /** Exact per-key join contribution `(key, cnt_l, cnt_r, product)`
+    * for keys present on BOTH sides: the inner join on this key emits
+    * exactly `product` rows. Two key-bounded aggregations and a
+    * key-domain-sized join — never the output-sized one being planned.
+    */
+  def keyProducts(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val l = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).cast("string").as("key")).agg(count(lit(1)).as("cnt_l"))
+    val r = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).cast("string").as("key")).agg(count(lit(1)).as("cnt_r"))
+    l.join(r, "key")
+      .select(col("key"), col("cnt_l"), col("cnt_r"),
+        (col("cnt_l").cast("decimal(19,0)") * col("cnt_r").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("product"))
+  }
+
+  /** The pre-flight report: ONE row.
+    *
+    * {{{ left_rows, right_rows, left_keys, right_keys, est_join_rows,
+    *     max_key_product, hot_key, recommended }}}
+    *
+    * `recommended` is a deterministic function of the report's own
+    * numbers under the caller's thresholds, in priority order:
+    * broadcast the smaller side if it fits (`≤ broadcastRowsMax`),
+    * else salt if one key alone would emit `≥ saltProductMin` rows,
+    * else plain shuffle. `hot_key` breaks product ties by MIN key so
+    * the row is reproducible bit-for-bit. No both-sides-NULL-key row
+    * or empty-join special case survives: an empty key intersection
+    * reports `max_key_product = 0` with a NULL `hot_key`.
+    */
+  def advise(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      params: CmParams = defaultParams,
+      broadcastRowsMax: Long = 10000000L,
+      saltProductMin: Long = 100000000L): DataFrame = {
+    val sides = left.filter(col(leftKey).isNotNull)
+      .groupBy().agg(count(lit(1)).as("left_rows"))
+      .crossJoin(right.filter(col(rightKey).isNotNull)
+        .groupBy().agg(count(lit(1)).as("right_rows")))
+      .crossJoin(left.filter(col(leftKey).isNotNull)
+        .agg(countDistinct(col(leftKey)).as("left_keys")))
+      .crossJoin(right.filter(col(rightKey).isNotNull)
+        .agg(countDistinct(col(rightKey)).as("right_keys")))
+    val hot = keyProducts(left, leftKey, right, rightKey)
+      .orderBy(desc("product"), asc("key"))
+      .limit(1)
+      .select(col("product").as("max_key_product"), col("key").as("hot_key"))
+    val hotOrEmpty = hot.unionByName(
+      hot.sparkSession.range(1).select(
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)").as("max_key_product"),
+        lit(null).cast("string").as("hot_key")))
+      .orderBy(desc("max_key_product"), asc("hot_key"))
+      .limit(1)
+    sides
+      .crossJoin(estimateEquiJoinRows(left, leftKey, right, rightKey, params)
+        .withColumnRenamed("est_rows", "est_join_rows"))
+      .crossJoin(hotOrEmpty)
+      .withColumn("recommended",
+        when(col("left_rows") <= broadcastRowsMax &&
+          col("left_rows") <= col("right_rows"), lit("broadcast_left"))
+          .when(col("right_rows") <= broadcastRowsMax, lit("broadcast_right"))
+          .when(col("max_key_product") >= lit(saltProductMin), lit("salt_hot_keys"))
+          .otherwise(lit("shuffle_hash")))
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.JoinAdvisor
+import graft.operators.JoinAdvisor.CmParams
+
+class JoinAdvisorSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val params = CmParams(
+    width = 256,
+    rows = Seq((1103515245L, 12345L), (214013L, 2531011L), (69069L, 1L)))
+
+  private def exactJoinRows(
+      l: org.apache.spark.sql.DataFrame, lk: String,
+      r: org.apache.spark.sql.DataFrame, rk: String): Long =
+    l.join(r, l(lk) === r(rk)).count()
+
+  private def est(
+      l: org.apache.spark.sql.DataFrame, lk: String,
+      r: org.apache.spark.sql.DataFrame, rk: String,
+      p: CmParams = params): BigDecimal =
+    BigDecimal(JoinAdvisor.estimateEquiJoinRows(l, lk, r, rk, p)
+      .collect()(0).getDecimal(0))
+
+  test("cmSketch: bounded size, mass = non-null rows per depth row") {
+    val df = (1 to 500).map(i => i % 37).toDF("k")
+      .unionAll(Seq.empty[Int].toDF("k")) // exercise empty-union path too
+    val sk = JoinAdvisor.cmSketch(df, "k", params).collect()
+    assert(sk.length <= params.depth * params.width)
+    val byD = sk.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(byD.toMap === Map(0 -> 500L, 1 -> 500L, 2 -> 500L))
+  }
+
+  test("cmSketch drops NULL keys — they cannot join") {
+    val df = Seq(Some(1), None, Some(2), None).toDF("k")
+    val sk = JoinAdvisor.cmSketch(df, "k", params)
+    assert(sk.agg(sum("cnt")).collect()(0).getLong(0) === 2L * params.depth)
+  }
+
+  test("estimate is NEVER below the exact inner-join count (overestimate law)") {
+    // skewed + uniform mix, several key overlaps
+    val l = ((1 to 300).map(i => i % 50) ++ Seq.fill(200)(7)).toDF("k")
+    val r = ((1 to 400).map(i => i % 80) ++ Seq.fill(100)(7)).toDF("k")
+    val exact = exactJoinRows(l, "k", r, "k")
+    assert(exact > 0)
+    assert(est(l, "k", r, "k") >= BigDecimal(exact))
+  }
+
+  test("estimate is exact when width exceeds the key domain (no collisions possible... per row)") {
+    // 16 distinct keys, width 4096: collisions vanishingly unlikely under
+    // three independent rows — and min-of-rows takes the collision-free one
+    val l = (1 to 160).map(i => i % 16).toDF("k")
+    val r = (1 to 80).map(i => i % 16).toDF("k")
+    val exact = exactJoinRows(l, "k", r, "k")
+    val e = est(l, "k", r, "k", CmParams(4096, params.rows))
+    assert(e === BigDecimal(exact))
+  }
+
+  test("disjoint key sets estimate can reach zero; empty side estimates exactly zero") {
+    val l = Seq(1, 2, 3).toDF("k")
+    val r = Seq(100001, 100002).toDF("k")
+    // disjoint ⇒ exact 0; estimate ≥ 0 and small (collision products only —
+    // a depth row with NO bucket overlap contributes ip = 0 and wins the min)
+    assert(est(l, "k", r, "k", CmParams(4096, params.rows)) <= BigDecimal(3 * 2))
+    val empty = Seq.empty[Int].toDF("k")
+    // an empty side proves the join empty: the estimate is 0, never NULL
+    assert(est(l, "k", empty, "k") === BigDecimal(0))
+    assert(est(empty, "k", l, "k") === BigDecimal(0))
+  }
+
+  test("keyProducts: exact per-key join contribution, both-side keys only") {
+    val l = Seq("a", "a", "a", "b", "c").toDF("k")
+    val r = Seq("a", "b", "b", "x").toDF("k")
+    val kp = JoinAdvisor.keyProducts(l, "k", r, "k")
+      .orderBy("key").collect()
+      .map(row => (row.getString(0), row.getLong(1), row.getLong(2),
+        row.getDecimal(3).longValueExact()))
+    assert(kp.toSeq === Seq(("a", 3L, 1L, 3L), ("b", 1L, 2L, 2L)))
+    // Σ products = exact inner-join size
+    assert(kp.map(_._4).sum === exactJoinRows(l, "k", r, "k"))
+  }
+
+  test("advise: broadcast branch — smaller side under threshold wins, left priority on tie-eligible sides") {
+    val small = (1 to 10).map(i => i % 5).toDF("k")
+    val big = (1 to 1000).map(i => i % 5).toDF("k")
+    val rec = JoinAdvisor.advise(small, "k", big, "k", params,
+      broadcastRowsMax = 50, saltProductMin = 10L)
+      .select("recommended").collect()(0).getString(0)
+    assert(rec === "broadcast_left")
+    val rec2 = JoinAdvisor.advise(big, "k", small, "k", params,
+      broadcastRowsMax = 50, saltProductMin = 10L)
+      .select("recommended").collect()(0).getString(0)
+    assert(rec2 === "broadcast_right")
+  }
+
+  test("advise: salt branch fires on the hot key; hot_key tie-break is MIN key") {
+    val l = (Seq.fill(100)("hot") ++ Seq.fill(100)("hot2") ++ Seq("cold")).toDF("k")
+    val r = (Seq.fill(100)("hot") ++ Seq.fill(100)("hot2") ++ Seq("cold")).toDF("k")
+    val row = JoinAdvisor.advise(l, "k", r, "k", params,
+      broadcastRowsMax = 10, saltProductMin = 10000L).collect()(0)
+    assert(row.getAs[String]("recommended") === "salt_hot_keys")
+    // hot and hot2 both produce 10000; min key breaks the tie deterministically
+    assert(row.getAs[String]("hot_key") === "hot")
+    assert(BigDecimal(row.getAs[java.math.BigDecimal]("max_key_product")) === BigDecimal(10000))
+  }
+
+  test("advise: shuffle fallback + empty key intersection reports product 0, NULL hot key") {
+    val l = (1 to 100).map(_.toString).toDF("k")
+    val r = (200 to 300).map(_.toString).toDF("k")
+    val row = JoinAdvisor.advise(l, "k", r, "k", params,
+      broadcastRowsMax = 10, saltProductMin = 10L).collect()(0)
+    assert(row.getAs[String]("recommended") === "shuffle_hash")
+    assert(BigDecimal(row.getAs[java.math.BigDecimal]("max_key_product")) === BigDecimal(0))
+    assert(row.getAs[String]("hot_key") === null)
+  }
+
+  test("advise report fields are exact where they claim exactness") {
+    val l = Seq(1, 1, 2, 3).toDF("k")
+    val r = Seq(1, 2, 2, 9, 9).toDF("k")
+    val row = JoinAdvisor.advise(l, "k", r, "k", CmParams(4096, params.rows),
+      broadcastRowsMax = 1000, saltProductMin = 1000000L).collect()(0)
+    assert(row.getAs[Long]("left_rows") === 4L)
+    assert(row.getAs[Long]("right_rows") === 5L)
+    assert(row.getAs[Long]("left_keys") === 3L)
+    assert(row.getAs[Long]("right_keys") === 3L)
+    // keys 1 (2·1) and 2 (1·2) tie at 2 → min key "1"
+    assert(row.getAs[String]("hot_key") === "1")
+    assert(BigDecimal(row.getAs[java.math.BigDecimal]("max_key_product")) === BigDecimal(2))
+  }
+
+  test("estimate agrees across repartitionings (order/partition independence)") {
+    val l = (1 to 777).map(i => i % 91).toDF("k")
+    val r = (1 to 555).map(i => i % 37).toDF("k")
+    val a = est(l, "k", r, "k")
+    val b = est(l.repartition(17), "k", r.repartition(3), "k")
+    assert(a === b)
+  }
+}
