@@ -6268,6 +6268,87 @@ object Queries {
              ELSE 'shuffle_hash' END AS recommended
       FROM base"""))
 
+  /** The advisor's verdict EXECUTED ([[graft.operators.JoinAdvisor
+    * .executeAdvised]]): advise picks broadcast/salt/shuffle, the join
+    * runs that way, and the result aggregates to a market-segment
+    * profile the oracle replays with a plain SQL join — pinning that no
+    * strategy branch (broadcast hint, salt-and-explode, plain shuffle)
+    * changes WHAT the join computes, only how it moves. The strategy
+    * chosen at the driver's SF is broadcast_right (customer fits the
+    * threshold); JoinAdvisorSpec pins result-equality for the other
+    * branches.
+    */
+  val q139bAdvisedJoinExec: Q = Q(
+    "q139b_advised_join_exec",
+    (s, dir) => {
+      val joined = graft.operators.JoinAdvisor.executeAdvised(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_custkey",
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        "c_custkey",
+        advisorParams,
+        broadcastRowsMax = 20000L,
+        saltProductMin = 1000000L).df
+      joined.groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("total_price"))
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment"""))
+
+  /** Join-cardinality estimate from PERSISTED shard sketches
+    * ([[graft.operators.JoinAdvisor.writeSketchShard]] /
+    * [[graft.operators.JoinAdvisor.estimateFromStores]]): each side's
+    * shards sketch once at ingest (orders split by status, lineitem by
+    * line number), and the estimate reads ONLY the KB-scale counter
+    * tables — neither corpus is rescanned. Counter addition is a
+    * lossless semigroup merge, so the value equals the whole-table
+    * estimate bit-for-bit: the oracle is exactly q138's sketch rebuild
+    * (est only), computed from the RAW tables. Agreement pins the full
+    * path: shard split → per-shard sketch → parquet round-trip →
+    * merge → inner product.
+    */
+  val q140SketchStoreEstimate: Q = Q(
+    "q140_sketch_store_estimate",
+    (s, dir) => {
+      import graft.operators.JoinAdvisor
+      val base = java.nio.file.Files.createTempDirectory("graft_cmstore").toString
+      val orders = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      JoinAdvisor.writeSketchShard(
+        orders.where(col("o_orderstatus") === "F"), "o_orderkey", advisorParams,
+        s"$base/orders_sk", "f")
+      JoinAdvisor.writeSketchShard(
+        // null-safe complement: a NULL status row must land in SOME shard
+        // or the store would silently under-count vs the whole table
+        orders.where(!(col("o_orderstatus") <=> "F")), "o_orderkey", advisorParams,
+        s"$base/orders_sk", "rest")
+      JoinAdvisor.writeSketchShard(
+        lineitem.where(col("l_linenumber") % 2 === 0), "l_orderkey", advisorParams,
+        s"$base/lineitem_sk", "even")
+      JoinAdvisor.writeSketchShard(
+        lineitem.where(col("l_linenumber") % 2 === 1), "l_orderkey", advisorParams,
+        s"$base/lineitem_sk", "odd")
+      JoinAdvisor.estimateFromStores(s, s"$base/orders_sk", s"$base/lineitem_sk",
+        advisorParams)
+    },
+    Some(s"""
+      WITH $advisorHashCte,
+      ${advisorSketchCtes("o_orderkey", "orders", "l")},
+      ${advisorSketchCtes("l_orderkey", "lineitem", "r")},
+      ip AS (
+        SELECT l.d, SUM(l.cnt * r.cnt) AS ip
+        FROM lcm l JOIN rcm r ON l.d = r.d AND l.w = r.w
+        GROUP BY 1),
+      ipz AS (
+        SELECT dd.d, COALESCE(ip.ip, 0) AS ip
+        FROM range(0, 3) dd(d) LEFT JOIN ip ON ip.d = dd.d)
+      SELECT CAST((SELECT MIN(ip) FROM ipz) AS DECIMAL(38,0)) AS est_rows"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6325,7 +6406,8 @@ object Queries {
     q126ScriptProfile, q127DomainQuality, q127bDomainFilter, q128DatasetCard,
     q129EmbeddingMoments, q130JsonlRoundtrip, q131WetRoundtrip, q132CurationFunnel,
     q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum,
-    q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice)
+    q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice, q139bAdvisedJoinExec,
+    q140SketchStoreEstimate)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

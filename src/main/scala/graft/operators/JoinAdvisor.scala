@@ -182,4 +182,124 @@ object JoinAdvisor {
           .when(col("max_key_product") >= lit(saltProductMin), lit("salt_hot_keys"))
           .otherwise(lit("shuffle_hash")))
   }
+
+  /** An [[advise]] verdict made executable: the strategy string plus the
+    * inner-join frame built that way.
+    */
+  final case class AdvisedJoin(strategy: String, df: DataFrame)
+
+  /** Advise, then EXECUTE the advised inner join — the report made
+    * actionable in one call. Broadcast branches hint the small side
+    * explicitly (never trust the size estimator with a frame that hasn't
+    * been scanned); the salt branch splits the bigger side's rows across
+    * `saltFactor` reducers with a deterministic payload-hash salt and
+    * explodes the smaller side to match (the [[Salt]] move, generalized
+    * to differing key names); the fallback is the plain shuffled join.
+    *
+    * Contract: INNER equi-join; the two frames' column names must be
+    * disjoint (both key columns survive into the output, so even the
+    * keys may not collide). Output columns are `left ++ right` order
+    * regardless of which branch ran — every strategy returns the SAME
+    * frame, row-for-row (spec-pinned). The advise row is one bounded
+    * driver collect; at 100 TB that is two scans + two key-shaped aggs
+    * spent to avoid mis-planning the output-sized one.
+    */
+  def executeAdvised(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      params: CmParams = defaultParams,
+      broadcastRowsMax: Long = 10000000L,
+      saltProductMin: Long = 100000000L,
+      saltFactor: Int = 8): AdvisedJoin = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both share: ${overlap.mkString(", ")}")
+    val strategy = advise(left, leftKey, right, rightKey, params,
+      broadcastRowsMax, saltProductMin)
+      .select("recommended").collect()(0).getString(0)
+    val cond = left(leftKey) === right(rightKey)
+    val outCols = (left.columns.map(left(_)) ++ right.columns.map(right(_))).toIndexedSeq
+    val joined = strategy match {
+      case "broadcast_left" => right.join(broadcast(left), cond)
+      case "broadcast_right" => left.join(broadcast(right), cond)
+      case "salt_hot_keys" =>
+        // salt the LEFT side by a hash of its own payload (reruns salt
+        // identically — no rand()), replicate the right side saltFactor×
+        val saltCol = "__graft_advisor_salt"
+        val payload = left.columns.filterNot(_ == leftKey).map(col)
+        val basis = if (payload.nonEmpty) payload.toIndexedSeq
+          else IndexedSeq(col(leftKey))
+        val ls = left.withColumn(saltCol,
+          pmod(xxhash64(basis: _*), lit(saltFactor.toLong)).cast("int"))
+        val rs = right.withColumn(saltCol,
+          explode(sequence(lit(0), lit(saltFactor - 1))))
+        ls.join(rs, ls(leftKey) === rs(rightKey) && ls(saltCol) === rs(saltCol))
+          .drop(ls(saltCol)).drop(rs(saltCol))
+      case _ => left.join(right, cond)
+    }
+    AdvisedJoin(strategy, joined.select(outCols: _*))
+  }
+
+  /** Persist one shard's counter table under `storePath/shard=<shard>`
+    * (overwrite — re-ingesting a shard is idempotent). Counters are a
+    * SEMIGROUP: addition merges shards losslessly, so sketch once at
+    * ingest and every later estimate is a KB-scale read — the corpus is
+    * never rescanned to plan a join against it. Geometry rides along as
+    * audit columns so a store can refuse a mismatched merge.
+    */
+  def writeSketchShard(
+      df: DataFrame, keyCol: String, params: CmParams,
+      storePath: String, shard: String): Unit = {
+    require(shard.nonEmpty && !shard.contains("/"), s"bad shard id: '$shard'")
+    cmSketch(df, keyCol, params)
+      .withColumn("width", lit(params.width))
+      .withColumn("depth", lit(params.depth))
+      .write.mode("overwrite").parquet(s"$storePath/shard=$shard")
+  }
+
+  /** Fold every shard of a store back into one counter table, refusing
+    * mixed geometry (differing width/depth means differing hash images —
+    * adding those counters would be silent garbage; differing (a,b)
+    * coefficients under the same geometry are on the caller, exactly as
+    * with any keyed sketch store).
+    */
+  def mergeSketchStore(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
+    val raw = spark.read.parquet(storePath)
+    val geoms = raw.select("width", "depth").distinct().collect() // ≤ #geometries by contract
+    require(geoms.length == 1,
+      s"sketch store $storePath mixes geometries: " +
+        geoms.map(g => s"${g.get(0)}x${g.get(1)}").mkString(", "))
+    raw.groupBy("d", "w").agg(sum("cnt").as("cnt"))
+  }
+
+  /** The join-cardinality estimate straight from two persisted stores —
+    * no scan of either corpus. Merge is exact (counter addition), so
+    * this equals [[estimateEquiJoinRows]] over the concatenated shards
+    * bit-for-bit (spec-pinned law). `params` must be the family both
+    * stores were written with; geometry is cross-checked against the
+    * stored audit columns.
+    */
+  def estimateFromStores(
+      spark: org.apache.spark.sql.SparkSession,
+      storeL: String, storeR: String,
+      params: CmParams): DataFrame = {
+    def merged(path: String): DataFrame = {
+      val m = spark.read.parquet(path)
+      val geoms = m.select("width", "depth").distinct().collect()
+      require(geoms.length == 1 && geoms(0).getInt(0) == params.width &&
+        geoms(0).getInt(1) == params.depth,
+        s"store $path geometry ${geoms.map(g => s"${g.get(0)}x${g.get(1)}").mkString(",")} " +
+          s"!= params ${params.width}x${params.depth}")
+      m.groupBy("d", "w").agg(sum("cnt").as("cnt"))
+    }
+    val ip = merged(storeL).withColumnRenamed("cnt", "cnt_l")
+      .join(merged(storeR).withColumnRenamed("cnt", "cnt_r"), Seq("d", "w"))
+      .groupBy("d")
+      .agg(sum(col("cnt_l").cast("decimal(19,0)") * col("cnt_r").cast("decimal(19,0)"))
+        .as("ip"))
+    spark.range(params.depth).select(col("id").cast("int").as("d"))
+      .join(ip, Seq("d"), "left")
+      .agg(min(coalesce(col("ip"), lit(0))).cast("decimal(38,0)").as("est_rows"))
+  }
 }

@@ -1039,4 +1039,44 @@ object Streams {
         lit("exact_dup_docs").as("metric"), col("value"))
     summed.unionByName(dup)
   }
+
+  /** Continuous maintenance of a [[graft.operators.JoinAdvisor]] sketch
+    * store: each micro-batch's count-min counter table lands as one
+    * `batch=` partition (atomic staging rename; a replayed batch finds
+    * its partition already committed and appends NOTHING — counters are
+    * additive, so double-landing a batch would double-count, the one
+    * failure mode exact-once protects here). Counter addition being a
+    * semigroup, [[graft.operators.JoinAdvisor.estimateFromStores]] over
+    * two continuously-maintained stores always answers "how big would
+    * this join be RIGHT NOW" from KB of counters — the stream is never
+    * rescanned and never re-keyed.
+    *
+    * State: NONE beyond the store itself (stateless foreachBatch); the
+    * store grows one depth×width-bounded partition per batch — compact
+    * by re-sketching or summing partitions when batch count matters.
+    */
+  def joinSketchIngest(
+      stream: DataFrame,
+      keyCol: String,
+      params: graft.operators.JoinAdvisor.CmParams,
+      storePath: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.columns.contains(keyCol),
+      s"stream has no '$keyCol' column (columns: ${stream.columns.mkString(", ")})")
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val label = f"s$batchId%08d"
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(storePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"batch=$label"))) {
+          val delta = graft.operators.JoinAdvisor.cmSketch(batch.toDF(), keyCol, params)
+            .withColumn("width", lit(params.width))
+            .withColumn("depth", lit(params.depth))
+          graft.operators.DedupIndex.appendDir(delta, storePath, label)
+        }
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
 }

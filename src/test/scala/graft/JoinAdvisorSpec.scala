@@ -132,6 +132,100 @@ class JoinAdvisorSpec extends AnyFunSuite {
     assert(BigDecimal(row.getAs[java.math.BigDecimal]("max_key_product")) === BigDecimal(2))
   }
 
+  // --- executeAdvised: every strategy computes the SAME join ---
+
+  private def plainJoin(
+      l: org.apache.spark.sql.DataFrame, lk: String,
+      r: org.apache.spark.sql.DataFrame, rk: String): Set[(Int, Int, Int, String)] =
+    l.join(r, l(lk) === r(rk)).collect()
+      .map(row => (row.getInt(0), row.getInt(1), row.getInt(2), row.getString(3))).toSet
+
+  test("executeAdvised: all three live branches return the identical inner join") {
+    val left = (1 to 200).map(i => (i % 23, i)).toDF("lk", "lv")
+    val right = (1 to 60).map(i => (i % 23, s"r$i")).toDF("rk", "rv")
+    val expected = plainJoin(left, "lk", right, "rk")
+    def run(bc: Long, salt: Long): (String, Set[(Int, Int, Int, String)]) = {
+      val aj = JoinAdvisor.executeAdvised(left, "lk", right, "rk", params,
+        broadcastRowsMax = bc, saltProductMin = salt, saltFactor = 4)
+      (aj.strategy,
+        aj.df.collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet)
+    }
+    val (s1, r1) = run(bc = 1000, salt = 1000000L) // left smaller? no: 200 > 60 → broadcast_right? left_rows=200<=1000 and <=right? 200>60 → not; right 60<=1000 → broadcast_right
+    assert(s1 === "broadcast_right" && r1 === expected)
+    val (s2, r2) = run(bc = 10, salt = 50L) // neither fits; hot product 9·3=27 < 50? compute: keys 0..22, products ~ (9±)(3±) ≈ 27 ≥ 50? no → but salt=50 → some product? keys 1..22 have ⌈200/23⌉·⌈60/23⌉; max 9·3=27 < 50 → shuffle
+    assert(s2 === "shuffle_hash" && r2 === expected)
+    val (s3, r3) = run(bc = 10, salt = 20L) // 27 ≥ 20 → salted
+    assert(s3 === "salt_hot_keys" && r3 === expected)
+    val (s4, r4) = {
+      val aj = JoinAdvisor.executeAdvised(right.limit(5), "rk", left, "lk",
+        params, broadcastRowsMax = 10, saltProductMin = 1000000L)
+      (aj.strategy, aj.df.count())
+    }
+    assert(s4 === "broadcast_left")
+    assert(r4 === plainJoin(left, "lk", right.limit(5), "rk").size)
+  }
+
+  test("executeAdvised: broadcast branch actually plans a broadcast join") {
+    val left = (1 to 500).map(i => (i % 7, i)).toDF("lk", "lv")
+    val right = (1 to 5).map(i => (i, s"r$i")).toDF("rk", "rv")
+    val aj = JoinAdvisor.executeAdvised(left, "lk", right, "rk", params,
+      broadcastRowsMax = 100, saltProductMin = 1000000L)
+    assert(aj.strategy === "broadcast_right")
+    assert(aj.df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("executeAdvised refuses colliding column names") {
+    val l = Seq((1, "x")).toDF("k", "shared")
+    val r = Seq((1, "y")).toDF("k2", "shared")
+    val e = intercept[IllegalArgumentException] {
+      JoinAdvisor.executeAdvised(l, "k", r, "k2", params)
+    }
+    assert(e.getMessage.contains("shared"))
+  }
+
+  // --- persisted sketch store: sketch once, estimate forever ---
+
+  test("sketch store: sharded estimate equals the whole-table estimate bit-for-bit") {
+    val l = (1 to 400).map(i => i % 61).toDF("k")
+    val r = (1 to 300).map(i => i % 47).toDF("k")
+    val whole = est(l, "k", r, "k")
+    val base = java.nio.file.Files.createTempDirectory("ja_store").toString
+    JoinAdvisor.writeSketchShard(l.where($"k" < 30), "k", params, s"$base/l", "lo")
+    JoinAdvisor.writeSketchShard(l.where($"k" >= 30), "k", params, s"$base/l", "hi")
+    JoinAdvisor.writeSketchShard(r.where($"k" % 3 === 0), "k", params, s"$base/r", "a")
+    JoinAdvisor.writeSketchShard(r.where($"k" % 3 === 1), "k", params, s"$base/r", "b")
+    JoinAdvisor.writeSketchShard(r.where($"k" % 3 === 2), "k", params, s"$base/r", "c")
+    val fromStore = BigDecimal(
+      JoinAdvisor.estimateFromStores(spark, s"$base/l", s"$base/r", params)
+        .collect()(0).getDecimal(0))
+    assert(fromStore === whole)
+    // re-ingesting a shard is idempotent (overwrite, not append)
+    JoinAdvisor.writeSketchShard(l.where($"k" < 30), "k", params, s"$base/l", "lo")
+    val again = BigDecimal(
+      JoinAdvisor.estimateFromStores(spark, s"$base/l", s"$base/r", params)
+        .collect()(0).getDecimal(0))
+    assert(again === whole)
+  }
+
+  test("sketch store refuses mixed or mismatched geometry") {
+    val df = (1 to 50).toDF("k")
+    val base = java.nio.file.Files.createTempDirectory("ja_geo").toString
+    JoinAdvisor.writeSketchShard(df, "k", params, s"$base/s", "one")
+    JoinAdvisor.writeSketchShard(df, "k", CmParams(128, params.rows), s"$base/s", "two")
+    val e = intercept[IllegalArgumentException] {
+      JoinAdvisor.mergeSketchStore(spark, s"$base/s")
+    }
+    assert(e.getMessage.contains("mixes geometries"))
+    val clean = java.nio.file.Files.createTempDirectory("ja_geo2").toString
+    JoinAdvisor.writeSketchShard(df, "k", params, s"$clean/s", "one")
+    val e2 = intercept[IllegalArgumentException] {
+      JoinAdvisor.estimateFromStores(spark, s"$clean/s", s"$clean/s",
+        CmParams(128, params.rows))
+    }
+    assert(e2.getMessage.contains("geometry"))
+  }
+
   test("estimate agrees across repartitionings (order/partition independence)") {
     val l = (1 to 777).map(i => i % 91).toDF("k")
     val r = (1 to 555).map(i => i % 37).toDF("k")

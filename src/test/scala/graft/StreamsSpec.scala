@@ -981,4 +981,56 @@ class StreamsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no 'text' column"))
     graft.operators.Caches.release(blocking = true)
   }
+
+  test("joinSketchIngest: streamed store estimate equals the whole-history estimate; replay adds nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.JoinAdvisor
+    val params = JoinAdvisor.CmParams(256,
+      Seq((1103515245L, 12345L), (214013L, 2531011L), (69069L, 1L)))
+    val root = java.nio.file.Files.createTempDirectory("stream-cmstore").toString
+    val ckpt = s"$root/ckpt"
+    val b0 = (1 to 150).map(i => i.toLong % 31)
+    val b1 = (1 to 90).map(i => i.toLong % 17)
+    val rightRows = (1 to 120).map(i => i.toLong % 31)
+
+    val in1 = MemoryStream[Long]
+    in1.addData(b0: _*)
+    val q1 = Streams.joinSketchIngest(in1.toDF().toDF("k"), "k", params,
+      s"$root/store_l", checkpoint = Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+    // crash window: drop the commit marker so batch 0 re-executes on restart
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/commits/0"), false)
+    val in2 = MemoryStream[Long]
+    in2.addData(b0: _*)
+    in2.addData(b1: _*)
+    val q2 = Streams.joinSketchIngest(in2.toDF().toDF("k"), "k", params,
+      s"$root/store_l", checkpoint = Some(ckpt))
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the right side is a plain batch-written store
+    import spark.implicits._
+    JoinAdvisor.writeSketchShard(rightRows.toDF("k"), "k", params, s"$root/store_r", "all")
+    val streamed = BigDecimal(
+      JoinAdvisor.estimateFromStores(spark, s"$root/store_l", s"$root/store_r", params)
+        .collect()(0).getDecimal(0))
+    val whole = BigDecimal(
+      JoinAdvisor.estimateEquiJoinRows(
+        (b0 ++ b1).toDF("k"), "k", rightRows.toDF("k"), "k", params)
+        .collect()(0).getDecimal(0))
+    assert(streamed === whole,
+      "replayed batch 0 must be absorbed idempotently — a double-landed " +
+        "counter partition would inflate the estimate")
+    // exactly the two batch partitions exist, no duplicates
+    val landed = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/store_l"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
+    assert(landed.toSeq === Seq("batch=s00000000", "batch=s00000001"))
+    // start-time schema validation
+    val bad = MemoryStream[Long]
+    val ex = intercept[IllegalArgumentException] {
+      Streams.joinSketchIngest(bad.toDF().toDF("other"), "k", params, s"$root/never")
+    }
+    assert(ex.getMessage.contains("no 'k' column"))
+  }
 }
