@@ -6349,6 +6349,99 @@ object Queries {
         FROM range(0, 3) dd(d) LEFT JOIN ip ON ip.d = dd.d)
       SELECT CAST((SELECT MIN(ip) FROM ipz) AS DECIMAL(38,0)) AS est_rows"""))
 
+  /** Competence-based curriculum schedule ([[graft.operators.Packing
+    * .curriculumSchedule]]), the WHOLE multi-epoch artifact under one
+    * oracle: difficulty rank by (n_chars, doc_id) via the distributed
+    * prefix sum, epoch-e eligibility `rank ≤ ceil(min(1, sqrt(c0² +
+    * (1−c0²)·e/ramp))·N)` (IEEE sqrt/mul/ceil — correctly rounded in
+    * both engines, so the cut agrees bit-for-bit), and each epoch's
+    * eligible set re-permuted by the injective mod-p draw and cut into
+    * 100-doc shards. DuckDB replays rank, competence cuts, all three
+    * permutations, and the shard arithmetic; agreement pins that epoch
+    * 0 trains on the easiest half, the ramp widens exactly as the
+    * pacing function says, and the final epoch is the full corpus in
+    * its own shuffle order.
+    */
+  val q141Curriculum: Q = Q(
+    "q141_curriculum",
+    (s, dir) => graft.operators.Packing.curriculumSchedule(
+      t(s, dir, "documents").select("doc_id", "n_chars"),
+      "doc_id", "n_chars",
+      epochs = 3, startCompetence = 0.5, rampEpochs = 2, shardSize = 100L),
+    Some("""
+      WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      r AS (
+        SELECT doc_id, n_chars,
+               CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS difficulty_rank
+        FROM documents),
+      e(epoch) AS (VALUES (0), (1), (2)),
+      k AS (
+        SELECT e.epoch,
+               LEAST(n.n, CAST(CEIL(LEAST(1.0,
+                 SQRT(0.25 + ((1.0 - 0.25) * e.epoch) / 2)) * n.n) AS BIGINT)) AS k
+        FROM e, n),
+      elig AS (
+        SELECT k.epoch, r.doc_id, r.n_chars, r.difficulty_rank
+        FROM r JOIN k ON r.difficulty_rank <= k.k),
+      p AS (
+        SELECT epoch, doc_id, n_chars, difficulty_rank,
+               CAST(row_number() OVER (PARTITION BY epoch ORDER BY
+                 (doc_id * ((654321979 + epoch * 2718281) % 1000000007)) % 1000000007)
+                 AS BIGINT) AS pos
+        FROM elig)
+      SELECT doc_id, n_chars, difficulty_rank, pos, (pos - 1) // 100 AS shard, epoch
+      FROM p"""))
+
+  /** Fleiss' kappa over a synthesized 3-rater annotation panel
+    * ([[graft.operators.Quality.fleissKappa]]): each document gets a
+    * base label `doc_id % 4` and rater r dissents to a shifted label
+    * whenever `(doc_id + r) % 5 = 0` — arithmetic both engines replay
+    * exactly (the q99 synthetic-input move), yielding a panel with real
+    * partial agreement. Every reported double derives from integer
+    * aggregates through one fixed expression (P̄ and P̄ₑ have integer
+    * numerators by algebra), so the oracle matches kappa BIT-for-bit,
+    * not approximately.
+    */
+  val q142FleissKappa: Q = Q(
+    "q142_fleiss_kappa",
+    (s, dir) => {
+      val ratings = t(s, dir, "documents").select("doc_id")
+        .withColumn("rater", explode(array(lit(0L), lit(1L), lit(2L))))
+        .withColumn("label",
+          when((col("doc_id") + col("rater")) % 5 === 0,
+            (col("doc_id") % 4 + 1 + col("rater")) % 4)
+            .otherwise(col("doc_id") % 4))
+      graft.operators.Quality.fleissKappa(ratings, "doc_id", "label")
+    },
+    Some("""
+      WITH ratings AS (
+        SELECT doc_id,
+               CASE WHEN (doc_id + r.r) % 5 = 0
+                    THEN (doc_id % 4 + 1 + r.r) % 4
+                    ELSE doc_id % 4 END AS label
+        FROM documents CROSS JOIN range(0, 3) r(r)),
+      cnt AS (
+        SELECT doc_id, label, COUNT(*) AS c FROM ratings GROUP BY 1, 2),
+      per AS (
+        SELECT doc_id, SUM(c) AS n, SUM(c * c) AS s2 FROM cnt GROUP BY 1),
+      items AS (
+        SELECT COUNT(*) AS n_items, CAST(MIN(n) AS BIGINT) AS n_raters,
+               SUM(s2) AS s2 FROM per),
+      labels AS (
+        SELECT COUNT(*) AS n_categories, SUM(t * t) AS c2
+        FROM (SELECT label, SUM(c) AS t FROM cnt GROUP BY 1) lt),
+      k AS (
+        SELECT n_items, n_raters, n_categories,
+               (CAST(s2 AS DOUBLE) - CAST(n_items * n_raters AS DOUBLE)) /
+                 (CAST(n_items * n_raters AS DOUBLE) * CAST(n_raters - 1 AS DOUBLE)) AS p_bar,
+               CAST(c2 AS DOUBLE) /
+                 (CAST(n_items * n_raters AS DOUBLE) * CAST(n_items * n_raters AS DOUBLE)) AS p_e
+        FROM items, labels)
+      SELECT n_items, n_raters, n_categories, p_bar, p_e,
+             CASE WHEN 1.0 - p_e = 0.0 THEN 1.0
+                  ELSE (p_bar - p_e) / (1.0 - p_e) END AS kappa
+      FROM k"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6407,7 +6500,7 @@ object Queries {
     q129EmbeddingMoments, q130JsonlRoundtrip, q131WetRoundtrip, q132CurationFunnel,
     q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum,
     q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice, q139bAdvisedJoinExec,
-    q140SketchStoreEstimate)
+    q140SketchStoreEstimate, q141Curriculum, q142FleissKappa)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -542,4 +542,71 @@ object Packing {
       .withColumn("shard", expr(s"(pos - 1) div $shardSize"))
       .drop("__draw", "__one")
   }
+
+  /** Competence-based CURRICULUM schedule (Platanios et al. 2019,
+    * "Competence-based Curriculum Learning for Neural Machine
+    * Translation" — public pacing function, restated): documents rank by
+    * a difficulty score, and epoch `e` trains on the easiest
+    * `c(e) = min(1, sqrt(c0² + (1−c0²)·e/rampEpochs))` fraction of the
+    * corpus, each epoch's eligible set freshly permuted and cut into
+    * fixed shards. Output: every input column plus `difficulty_rank`
+    * (1..N by (difficulty, id) — the id tie-break makes equal scores a
+    * total order, so the rank is byte-reproducible), `epoch`, and the
+    * epoch's `pos`/`shard` from [[epochShuffleShards]].
+    *
+    * Everything downstream of the score is integer-or-IEEE arithmetic —
+    * rank via the distributed prefix sum, eligibility via one
+    * correctly-rounded sqrt/mul/ceil chain both engines share, order via
+    * the injective mod-p draw — so an ANSI replay reproduces the entire
+    * schedule (q141), epochs included.
+    *
+    * Scale contract: ONE range exchange for the global rank (pinned and
+    * reused by every epoch — route through `scope` in long-lived
+    * sessions), one range exchange per epoch over its eligible subset;
+    * driver traffic is the prefix-sum offset rows plus a single scalar
+    * count (the competence cut needs |corpus|). NULL difficulty fails
+    * loudly per row — silently ranking NULLs first (or last: engines
+    * disagree!) would both corrupt the curriculum and break replay.
+    */
+  def curriculumSchedule(
+      df: DataFrame,
+      idCol: String,
+      difficultyCol: String,
+      epochs: Int,
+      startCompetence: Double,
+      rampEpochs: Int,
+      shardSize: Long,
+      scope: Option[Caches.Scope] = None): DataFrame = {
+    require(epochs >= 1, "need at least one epoch")
+    require(rampEpochs >= 1, "rampEpochs must be positive")
+    require(startCompetence > 0.0 && startCompetence <= 1.0,
+      s"startCompetence must be in (0, 1]: $startCompetence")
+    Seq("difficulty_rank", "epoch").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before scheduling")
+    }
+    val diffType = df.schema(difficultyCol).dataType
+    val checked = when(col(difficultyCol).isNull,
+      raise_error(concat(
+        lit(s"curriculumSchedule: NULL $difficultyCol for id "),
+        col(idCol).cast("string"),
+        lit(" — impute or filter before ranking"))).cast(diffType))
+      .otherwise(col(difficultyCol))
+    val ordered = df
+      .withColumn("__cord", struct(checked.as("d"), col(idCol).as("i")))
+      .withColumn("__one", lit(1L))
+    val ranked0 = Partitioning
+      .runningSum(ordered, "__cord", "__one", "difficulty_rank")
+      .drop("__cord", "__one")
+    val ranked = scope.fold(Caches.pin(ranked0))(_.pin(ranked0))
+    val n = ranked.count() // bounded: ONE scalar — the competence cut needs |corpus|
+    val c0sq = startCompetence * startCompetence
+    (0 until epochs).map { e =>
+      val c = math.min(1.0, math.sqrt(c0sq + (1.0 - c0sq) * e / rampEpochs))
+      val k = math.min(n, math.ceil(c * n).toLong)
+      epochShuffleShards(ranked.filter(col("difficulty_rank") <= k),
+        idCol, epoch = e, shardSize = shardSize)
+        .withColumn("epoch", lit(e))
+    }.reduce(_.unionByName(_))
+  }
 }

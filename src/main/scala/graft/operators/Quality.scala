@@ -180,6 +180,84 @@ object Quality {
       .select(outCols.head, outCols.tail: _*)
   }
 
+  /** FLEISS' KAPPA — chance-corrected inter-rater agreement over an
+    * annotation frame with one row per (item, rating), the label-quality
+    * audit a human- or model-annotated training set ships with (Fleiss
+    * 1971, "Measuring nominal scale agreement among many raters" —
+    * public formula, restated). One row out:
+    * `(n_items, n_raters, n_categories, p_bar, p_e, kappa)`.
+    *
+    * Exactness: every double derives from INTEGER aggregates through one
+    * fixed expression — P̄ = (Σᵢⱼ n_ij² − N·n) / (N·n·(n−1)) has an
+    * integer numerator by algebra (never a sum of per-item doubles,
+    * which would be summation-order-dependent), P̄ₑ = Σⱼ Tⱼ² / (N·n)²
+    * likewise — so the statistic replays bit-for-bit in any engine
+    * (q142). Category totals square in decimal(38,0): Tⱼ can reach
+    * N·n, whose square overflows a long at corpus scale.
+    *
+    * Contract: rater identity never enters (Fleiss needs only per-item
+    * category counts), but every item must carry the SAME number of
+    * ratings n ≥ 2 — both violations fail loudly per-run (an unbalanced
+    * panel silently biases P̄ toward its over-rated items). NULL items
+    * or labels are dropped before counting: an unlabeled row is a
+    * missing rating, not a category. Degenerate unanimity (P̄ₑ = 1
+    * forces P̄ = 1) reports κ = 1 rather than 0/0.
+    *
+    * Scale shape: one (item, label) hash aggregation — map-side combined,
+    * the wire carries distinct pairs — feeding two key-bounded rollups
+    * off the pinned counts (route `scope` in long-lived sessions); the
+    * kappa row itself is a 1×1 cross of two scalar aggregates.
+    */
+  def fleissKappa(
+      df: DataFrame,
+      itemCol: String,
+      labelCol: String,
+      scope: Option[Caches.Scope] = None): DataFrame = {
+    val cnt0 = df
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("__c"))
+    val cnt = scope.fold(Caches.pin(cnt0))(_.pin(cnt0))
+    val items = cnt
+      .groupBy("__i")
+      .agg(sum("__c").as("__n"), sum(col("__c") * col("__c")).as("__s2"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        min("__n").as("__nmin"), max("__n").as("__nmax"),
+        sum(col("__s2").cast("decimal(38,0)")).as("__S2"))
+    val labels = cnt
+      .groupBy("__l")
+      .agg(sum("__c").as("__t"))
+      .agg(
+        count(lit(1)).as("n_categories"),
+        sum(col("__t").cast("decimal(38,0)") * col("__t").cast("decimal(38,0)"))
+          .as("__C"))
+    val joined = items.crossJoin(labels)
+      .withColumn("n_raters",
+        when(col("__nmin") =!= col("__nmax"),
+          raise_error(concat(
+            lit("fleissKappa: unbalanced panel — items carry between "),
+            col("__nmin").cast("string"), lit(" and "),
+            col("__nmax").cast("string"),
+            lit(" ratings; complete or subsample to a fixed n first")))
+            .cast("long"))
+          .when(col("__nmin") < 2L,
+            raise_error(lit("fleissKappa: agreement needs n >= 2 ratings per item"))
+              .cast("long"))
+          .otherwise(col("__nmin")))
+    val nnD = (col("n_items") * col("n_raters")).cast("double")
+    val pBar = (col("__S2").cast("double") - nnD) /
+      (nnD * (col("n_raters") - 1L).cast("double"))
+    val pE = col("__C").cast("double") / (nnD * nnD)
+    joined
+      .withColumn("p_bar", pBar)
+      .withColumn("p_e", pE)
+      .withColumn("kappa",
+        when(lit(1.0) - col("p_e") === 0.0, lit(1.0))
+          .otherwise((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))))
+      .select("n_items", "n_raters", "n_categories", "p_bar", "p_e", "kappa")
+  }
+
   /** Precision/recall scorecard of an APPROXIMATE pair set against an
     * EXACT ground-truth pair set — the harness that turns this repo's
     * "every sketch family has an exact twin" discipline into a number:

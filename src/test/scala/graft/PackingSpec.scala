@@ -351,4 +351,55 @@ class PackingSpec extends AnyFunSuite {
     graft.operators.Caches.release()
     assert(out.toSeq === again.toSeq)
   }
+
+  test("curriculumSchedule: competence cuts, nested eligibility, per-epoch permutations") {
+    // 40 docs, difficulty with TIES (id breaks them), c0 = 0.5, ramp 2
+    val docs = (0L until 40L).map(i => (i, (i % 7).toInt)).toDF("id", "diff")
+    val sched = Packing.curriculumSchedule(
+      docs, "id", "diff", epochs = 3, startCompetence = 0.5,
+      rampEpochs = 2, shardSize = 8L)
+      .collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("id"),
+        r.getAs[Long]("difficulty_rank"), r.getAs[Long]("pos"), r.getAs[Long]("shard")))
+    graft.operators.Caches.release()
+    val byEpoch = sched.groupBy(_._1).view.mapValues(_.toSeq).toMap
+    // k(0) = ceil(0.5·40) = 20; k(1) = ceil(sqrt(0.625)·40) = 32; k(2) = 40
+    assert(byEpoch(0).size === 20 && byEpoch(1).size === 32 && byEpoch(2).size === 40)
+    // eligibility is NESTED: each epoch's doc set contains the previous one's
+    val ids = (e: Int) => byEpoch(e).map(_._2).toSet
+    assert(ids(0).subsetOf(ids(1)) && ids(1).subsetOf(ids(2)))
+    // epoch 0 holds exactly the 20 easiest (rank 1..20 by (diff, id))
+    val rankOf = sched.map(t => t._2 -> t._3).toMap
+    assert(byEpoch(0).map(_._3).toSet === (1L to 20L).toSet)
+    // the id tie-break: equal difficulty orders by id
+    val expectRank = (0L until 40L).sortBy(i => ((i % 7).toInt, i))
+      .zipWithIndex.map { case (i, r) => i -> (r + 1L) }.toMap
+    assert(rankOf === expectRank)
+    // pos is a permutation 1..k per epoch, and epochs permute DIFFERENTLY
+    (0 to 2).foreach { e =>
+      assert(byEpoch(e).map(_._4).sorted.toSeq === (1L to ids(e).size).toSeq, s"epoch $e")
+    }
+    val order = (e: Int) => byEpoch(e).filter(t => ids(0).contains(t._2))
+      .sortBy(_._4).map(_._2).toSeq
+    assert(order(0) !== order(1), "epochs must re-permute, not rotate the same order")
+    // shard arithmetic
+    sched.foreach { case (_, _, _, pos, shard) => assert(shard === (pos - 1) / 8) }
+  }
+
+  test("curriculumSchedule fails loudly on NULL difficulty and reserved columns") {
+    val withNull = Seq((1L, Some(3)), (2L, None)).toDF("id", "diff")
+    val ex = intercept[Exception] {
+      Packing.curriculumSchedule(withNull, "id", "diff",
+        epochs = 1, startCompetence = 1.0, rampEpochs = 1, shardSize = 10L).collect()
+    }
+    graft.operators.Caches.release()
+    assert(ex.getMessage.contains("NULL diff") ||
+      Option(ex.getCause).exists(_.getMessage.contains("NULL diff")))
+    val reserved = Seq((1L, 1, 0)).toDF("id", "diff", "epoch")
+    val ex2 = intercept[IllegalArgumentException] {
+      Packing.curriculumSchedule(reserved, "id", "diff",
+        epochs = 1, startCompetence = 1.0, rampEpochs = 1, shardSize = 10L)
+    }
+    assert(ex2.getMessage.contains("epoch"))
+  }
 }

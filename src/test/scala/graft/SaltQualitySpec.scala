@@ -241,4 +241,41 @@ class SaltQualitySpec extends AnyFunSuite {
     val viaSql = spark.sql(s"SELECT graft_deflate_len('$natural')").first.getInt(0)
     assert(viaSql === mirror(natural))
   }
+
+  test("fleissKappa: textbook values, rater-identity independence, NULL drop") {
+    import spark.implicits._
+    // perfect agreement: every item rated identically by 3 raters, labels vary across items
+    val perfect = (1L to 12L).flatMap(i => Seq.fill(3)((i, i % 3))).toDF("item", "label")
+    val p = graft.operators.Quality.fleissKappa(perfect, "item", "label").head()
+    assert(p.getAs[Long]("n_items") === 12L && p.getAs[Long]("n_raters") === 3L)
+    assert(p.getAs[Double]("p_bar") === 1.0 && p.getAs[Double]("kappa") === 1.0)
+    // degenerate unanimity (one category everywhere): p_e = 1 → kappa 1, not 0/0
+    val unanimous = (1L to 5L).flatMap(i => Seq.fill(2)((i, 7))).toDF("item", "label")
+    assert(graft.operators.Quality.fleissKappa(unanimous, "item", "label")
+      .head().getAs[Double]("kappa") === 1.0)
+    // hand-computed panel: 2 items × 2 raters. item 1: {a,a}, item 2: {a,b}
+    // S2 = (4) + (1+1) = 6; N·n = 4; P̄ = (6−4)/(4·1) = 0.5
+    // T_a = 3, T_b = 1; P̄e = (9+1)/16 = 0.625; κ = (0.5−0.625)/0.375 = −1/3
+    val mixed = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b")).toDF("item", "label")
+    val m = graft.operators.Quality.fleissKappa(mixed, "item", "label").head()
+    assert(m.getAs[Double]("p_bar") === 0.5 && m.getAs[Double]("p_e") === 0.625)
+    assert(math.abs(m.getAs[Double]("kappa") - (-1.0 / 3.0)) < 1e-15)
+    // NULL labels are missing ratings, not categories — dropping them here
+    // unbalances the panel, which must then fail loudly
+    val withNull = Seq((1L, Some("a")), (1L, Some("a")), (2L, Some("a")), (2L, None))
+      .toDF("item", "label")
+    val ex = intercept[Exception] {
+      graft.operators.Quality.fleissKappa(withNull, "item", "label").collect()
+    }
+    assert((ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse(""))
+      .contains("unbalanced"))
+    // n = 1 refused
+    val solo = Seq((1L, "a"), (2L, "b")).toDF("item", "label")
+    val ex2 = intercept[Exception] {
+      graft.operators.Quality.fleissKappa(solo, "item", "label").collect()
+    }
+    assert((ex2.getMessage + Option(ex2.getCause).map(_.getMessage).getOrElse(""))
+      .contains("n >= 2"))
+    graft.operators.Caches.release()
+  }
 }
