@@ -6442,6 +6442,59 @@ object Queries {
                   ELSE (p_bar - p_e) / (1.0 - p_e) END AS kappa
       FROM k"""))
 
+  /** Robots-exclusion compliance ([[graft.operators.Urls.robotsFilter]])
+    * over the synthetic messy-URL corpus: the REAL host/path parser and
+    * the broadcast longest-prefix-match run in Spark, while the oracle
+    * PREDICTS host and path arithmetically from doc_id and replays the
+    * RFC 9309 precedence (length DESC, allow-beats-disallow on ties,
+    * default allow) with a window — agreement pins parser, precedence
+    * order, tie-break, and the opt-out default simultaneously. The rule
+    * set plants every branch: a site-wide disallow with carve-outs,
+    * a subtree disallow with a deeper allow, and an equal-length
+    * allow/disallow tie.
+    */
+  val q143RobotsFilter: Q = Q(
+    "q143_robots_filter",
+    (s, dir) => {
+      import s.implicits._
+      val rules = Seq(
+        ("example.com", "/", false),
+        ("example.com", "/p/1", true),
+        ("example.com", "/p/2", true),
+        ("sub.example.org", "/p", false),
+        ("sub.example.org", "/p/3", true),
+        ("example.net", "/p/5", false),
+        ("example.net", "/p/6", true),
+        ("example.net", "/p/6", false))
+        .toDF("host", "path_prefix", "allow")
+      graft.operators.Urls.robotsFilter(syntheticUrls(s, dir), "url", rules)
+        .select("doc_id", "allowed", "matched_prefix")
+    },
+    Some("""
+      WITH hp AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'example.com'
+                    WHEN doc_id % 3 = 1 THEN 'sub.example.org'
+                    ELSE 'example.net' END AS h,
+               CASE WHEN doc_id % 5 = 0 THEN '/'
+                    ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR) END AS pth
+        FROM documents),
+      rules(rh, pref, allow) AS (VALUES
+        ('example.com', '/', FALSE), ('example.com', '/p/1', TRUE),
+        ('example.com', '/p/2', TRUE),
+        ('sub.example.org', '/p', FALSE), ('sub.example.org', '/p/3', TRUE),
+        ('example.net', '/p/5', FALSE), ('example.net', '/p/6', TRUE),
+        ('example.net', '/p/6', FALSE)),
+      m AS (
+        SELECT hp.doc_id, r.pref, r.allow,
+               row_number() OVER (PARTITION BY hp.doc_id
+                 ORDER BY length(r.pref) DESC, r.allow DESC, r.pref) AS rn
+        FROM hp JOIN rules r ON r.rh = hp.h AND starts_with(hp.pth, r.pref))
+      SELECT hp.doc_id,
+             COALESCE(m.allow, TRUE) AS allowed,
+             m.pref AS matched_prefix
+      FROM hp LEFT JOIN m ON m.doc_id = hp.doc_id AND m.rn = 1"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6500,7 +6553,7 @@ object Queries {
     q129EmbeddingMoments, q130JsonlRoundtrip, q131WetRoundtrip, q132CurationFunnel,
     q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum,
     q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice, q139bAdvisedJoinExec,
-    q140SketchStoreEstimate, q141Curriculum, q142FleissKappa)
+    q140SketchStoreEstimate, q141Curriculum, q142FleissKappa, q143RobotsFilter)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -131,6 +131,74 @@ object Urls {
         min(col(idCol)).as("keeper_id"),
         count(lit(1)).as("n_dups"))
 
+  /** URI path of an absolute URL, query and fragment excluded; empty
+    * path normalizes to `/` (RFC 3986 — a request for `http://h` is a
+    * request for `/`). Non-absolute rows are NULL (the [[canonicalize]]
+    * quarantine). This is the string robots rules match against.
+    */
+  def path(url: Column): Column = {
+    val p = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    when(host(url).isNull, lit(null).cast("string"))
+      .otherwise(when(p === "", lit("/")).otherwise(p))
+  }
+
+  /** ROBOTS-EXCLUSION compliance filter (RFC 9309 — the Robots Exclusion
+    * Protocol, public spec; rule semantics restated): given a parsed
+    * rules table `(host, path_prefix, allow)`, annotate every URL with
+    * the verdict of its MOST SPECIFIC matching rule — longest matching
+    * prefix wins, and on equal length `allow` beats `disallow`
+    * (§2.2.2). A host with no matching rule (or no rules at all) is
+    * allowed: REP is opt-out. Output: the input plus `allowed` and the
+    * winning `matched_prefix` (NULL when the default-allow fired).
+    * Unparseable URLs (NULL host) quarantine as `allowed = false` with
+    * NULL prefix — a crawler that cannot tell which host a URL belongs
+    * to cannot claim permission for it.
+    *
+    * Scale contract: rules aggregate to ONE row per host holding its
+    * precedence-sorted rule array (robots tables are MB-scale against a
+    * 100 TB corpus), and that per-host table broadcasts — the corpus
+    * side is a zero-shuffle projection: broadcast hash join + an array
+    * scan per row, no exchange, no window. Precedence is baked into the
+    * array ORDER at build time (sort by (−len, allow-first, prefix) —
+    * a total order, so ties replay identically), making the per-row
+    * verdict "first matching element".
+    */
+  def robotsFilter(
+      urls: DataFrame,
+      urlCol: String,
+      rules: DataFrame,
+      hostCol: String = "host",
+      prefixCol: String = "path_prefix",
+      allowCol: String = "allow"): DataFrame = {
+    Seq("allowed", "matched_prefix").foreach { c =>
+      require(!urls.columns.contains(c),
+        s"input already has a '$c' column — rename it before filtering")
+    }
+    val ruleRec = struct(
+      (-length(col(prefixCol))).as("neg_len"),
+      when(col(allowCol), lit(0)).otherwise(lit(1)).as("disallow_rank"),
+      col(prefixCol).as("prefix"),
+      col(allowCol).as("allow"))
+    val perHost = rules
+      .filter(col(hostCol).isNotNull && col(prefixCol).isNotNull &&
+        col(allowCol).isNotNull)
+      .groupBy(col(hostCol).as("__rhost"))
+      .agg(sort_array(collect_list(ruleRec)).as("__rules"))
+    val urlHost = host(col(urlCol))
+    val urlPath = path(col(urlCol))
+    urls
+      .join(broadcast(perHost), urlHost === col("__rhost"), "left")
+      .withColumn("__m",
+        filter(col("__rules"), r => urlPath.startsWith(r.getField("prefix"))))
+      .withColumn("__win",
+        when(coalesce(size(col("__m")), lit(0)) > 0, element_at(col("__m"), 1)))
+      .withColumn("allowed",
+        when(urlHost.isNull, lit(false))
+          .otherwise(coalesce(col("__win.allow"), lit(true))))
+      .withColumn("matched_prefix", col("__win.prefix"))
+      .drop("__rhost", "__rules", "__m", "__win")
+  }
+
   /** Per-DOMAIN quality report — the C4/RefinedWeb curation move: judge
     * sites, not just documents (a spam domain's individually-plausible
     * pages evade per-doc filters; its aggregate gives it away). One

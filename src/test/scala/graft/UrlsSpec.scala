@@ -150,4 +150,46 @@ class UrlsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("INTEGRAL"))
   }
+
+  test("path: query/fragment excluded, empty path is /, non-absolute is NULL") {
+    val got = Seq(
+      "http://h.io/a/b?q=1#f", "HTTPS://H.IO", "http://u:p@h.io:8080/x",
+      "not a url", "http://h.io?q=1")
+      .toDF("url")
+      .select(Urls.path(col("url")).as("p"))
+      .collect().map(r => Option(r.getAs[String]("p"))).toSeq
+    assert(got === Seq(Some("/a/b"), Some("/"), Some("/x"), None, Some("/")))
+  }
+
+  test("robotsFilter: RFC 9309 precedence — longest prefix, allow on ties, default allow") {
+    val urls = Seq(
+      (1L, "http://site.io/"), // matches only the site-wide disallow
+      (2L, "http://site.io/public/page"), // deeper allow carve-out wins
+      (3L, "http://site.io/public"), // exactly the carve-out boundary
+      (4L, "http://other.io/anything"), // no rules for host → allowed
+      (5L, "http://site.io/tie"), // equal-length allow + disallow → allow
+      (6L, "garbage"), // unparseable → quarantined disallowed
+      (7L, "HTTP://SITE.IO:80/secret/x")) // case/port must not dodge the rule
+      .toDF("id", "url")
+    val rules = Seq(
+      ("site.io", "/", false),
+      ("site.io", "/public", true),
+      ("site.io", "/tie", true),
+      ("site.io", "/tie", false),
+      ("site.io", "/secret", false))
+      .toDF("host", "path_prefix", "allow")
+    val out = Urls.robotsFilter(urls, "url", rules)
+    val got = out.collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Boolean]("allowed"), Option(r.getAs[String]("matched_prefix"))))).toMap
+    assert(got(1L) === ((false, Some("/"))))
+    assert(got(2L) === ((true, Some("/public"))))
+    assert(got(3L) === ((true, Some("/public"))))
+    assert(got(4L) === ((true, None)), "REP is opt-out: no rules → allowed")
+    assert(got(5L) === ((true, Some("/tie"))), "equal specificity resolves to allow")
+    assert(got(6L) === ((false, None)), "URL with no host cannot claim permission")
+    assert(got(7L) === ((false, Some("/secret"))))
+    // the corpus side must not shuffle: rules broadcast
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
 }
