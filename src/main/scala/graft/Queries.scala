@@ -6495,6 +6495,55 @@ object Queries {
              m.pref AS matched_prefix
       FROM hp LEFT JOIN m ON m.doc_id = hp.doc_id AND m.rn = 1"""))
 
+  /** robots.txt PARSING ([[graft.operators.Urls.parseRobots]]) over
+    * synthetic bodies assembled arithmetically per host: even hosts
+    * carry a named `GraftBot` group (with a trailing-star rule that
+    * must strip to a prefix and a mid-path wildcard that must be
+    * excluded) ahead of a `*` fallback group; odd hosts carry only the
+    * fallback. The oracle predicts the RESULTING rules table from the
+    * same arithmetic — mirrors the rules, not the parser (the q99
+    * move) — so agreement pins comment/blank handling, case-insensitive
+    * keys, group segmentation, most-specific group selection (named
+    * groups SUPPRESS the `*` group), trailing-star stripping, and
+    * wildcard exclusion in one query.
+    */
+  val q144ParseRobots: Q = Q(
+    "q144_parse_robots",
+    (s, dir) => {
+      val hosts = t(s, dir, "documents")
+        .select((col("doc_id") % 10).as("hid")).distinct()
+      val body = concat(
+        lit("# synthetic robots\n\n"),
+        when(col("hid") % 2 === 0, concat(
+          lit("User-Agent: GraftBot\nDisallow: /x"),
+          (col("hid") % 3).cast("string"), lit("\n"),
+          when(col("hid") % 4 === 0, lit("Disallow: /t*\nDisallow: /w*ld\n"))
+            .otherwise(lit("")),
+          lit("Allow: /x"), (col("hid") % 3).cast("string"), lit("/ok\n\n")))
+          .otherwise(lit("")),
+        lit("User-agent: *\nAllow: /pub\nDisallow: /\n"))
+      graft.operators.Urls.parseRobots(
+        hosts.select(
+          concat(lit("h"), col("hid").cast("string")).as("host"),
+          body.as("body")),
+        "host", "body", userAgent = "graftbot")
+    },
+    Some("""
+      WITH h AS (SELECT DISTINCT doc_id % 10 AS hid FROM documents),
+      ev AS (SELECT hid FROM h WHERE hid % 2 = 0),
+      od AS (SELECT hid FROM h WHERE hid % 2 = 1)
+      SELECT 'h' || CAST(hid AS VARCHAR) AS host,
+             '/x' || CAST(hid % 3 AS VARCHAR) AS path_prefix, FALSE AS allow FROM ev
+      UNION ALL
+      SELECT 'h' || CAST(hid AS VARCHAR),
+             '/x' || CAST(hid % 3 AS VARCHAR) || '/ok', TRUE FROM ev
+      UNION ALL
+      SELECT 'h' || CAST(hid AS VARCHAR), '/t', FALSE FROM ev WHERE hid % 4 = 0
+      UNION ALL
+      SELECT 'h' || CAST(hid AS VARCHAR), '/pub', TRUE FROM od
+      UNION ALL
+      SELECT 'h' || CAST(hid AS VARCHAR), '/', FALSE FROM od"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -6553,7 +6602,8 @@ object Queries {
     q129EmbeddingMoments, q130JsonlRoundtrip, q131WetRoundtrip, q132CurationFunnel,
     q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum,
     q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice, q139bAdvisedJoinExec,
-    q140SketchStoreEstimate, q141Curriculum, q142FleissKappa, q143RobotsFilter)
+    q140SketchStoreEstimate, q141Curriculum, q142FleissKappa, q143RobotsFilter,
+    q144ParseRobots)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

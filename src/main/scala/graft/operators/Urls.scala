@@ -199,6 +199,84 @@ object Urls {
       .drop("__rhost", "__rules", "__m", "__win")
   }
 
+  /** Parse raw `robots.txt` BODIES into the `(host, path_prefix, allow)`
+    * rules table [[robotsFilter]] consumes — the missing link between a
+    * crawl dump (which contains the robots fetches) and compliance
+    * verdicts. Implements RFC 9309's group model for one crawler
+    * identity `userAgent`:
+    *
+    *   - lines strip `#` comments and whitespace; `key: value` splits on
+    *     the FIRST colon; keys are case-insensitive;
+    *   - consecutive `User-agent` lines open ONE group that owns the
+    *     `Allow`/`Disallow` lines after them; rules before any group are
+    *     invalid and dropped;
+    *   - group selection is most-specific-only: if ANY group in the file
+    *     names `userAgent` (case-insensitive), exactly those groups
+    *     apply; otherwise the `*` groups; otherwise no rules (default
+    *     allow downstream);
+    *   - empty rule values are no-ops (`Disallow:` = disallow nothing);
+    *   - a TRAILING `*` is prefix-equivalent and stripped; rules still
+    *     containing `*` or `$` (mid-path wildcards / end anchors) are
+    *     EXCLUDED — [[robotsFilter]]'s matcher is prefix-only by
+    *     contract, and silently treating a wildcard pattern as a
+    *     literal prefix would claim permission the site never granted.
+    *     Corpora where such rules matter need a wildcard matcher, not a
+    *     quiet reinterpretation.
+    *
+    * Output: `(host, path_prefix, allow)`, distinct. Scale shape: one
+    * explode over lines, two HOST-partitioned windows (group numbering
+    * rides lag + running sum — never a global window), one host+group
+    * join; robots bodies are KB each, so everything is proportional to
+    * the robots corpus, not the page corpus.
+    */
+  def parseRobots(
+      robots: DataFrame,
+      hostCol: String,
+      bodyCol: String,
+      userAgent: String): DataFrame = {
+    require(userAgent.nonEmpty && userAgent != "*",
+      "userAgent must be a concrete crawler identity; '*' groups apply as the fallback automatically")
+    import org.apache.spark.sql.expressions.Window
+    val ua = userAgent.toLowerCase
+    val lines = robots
+      .filter(col(hostCol).isNotNull && col(bodyCol).isNotNull)
+      .select(
+        col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("idx", "raw")))
+      .withColumn("clean", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .filter(col("clean") =!= "")
+      .withColumn("key", lower(trim(regexp_extract(col("clean"), "^([^:]+):", 1))))
+      .withColumn("value", trim(regexp_extract(col("clean"), "^[^:]*:(.*)$", 1)))
+    val w = Window.partitionBy("host").orderBy("idx")
+    val grouped = lines
+      .withColumn("is_ua", col("key") === "user-agent")
+      .withColumn("gid",
+        sum(when(col("is_ua") &&
+          !coalesce(lag(col("is_ua"), 1).over(w), lit(false)), 1L)
+          .otherwise(0L)).over(w))
+      .filter(col("gid") > 0L)
+    val groups = grouped
+      .filter(col("is_ua"))
+      .groupBy("host", "gid")
+      .agg(
+        max(when(lower(col("value")) === ua, true).otherwise(false)).as("named"),
+        max(when(col("value") === "*", true).otherwise(false)).as("star"))
+      .withColumn("has_named",
+        max(col("named")).over(Window.partitionBy("host")))
+      .filter(col("named") || (col("star") && !col("has_named")))
+      .select("host", "gid")
+    grouped
+      .filter(col("key").isin("allow", "disallow") && col("value") =!= "")
+      .join(groups, Seq("host", "gid"))
+      .withColumn("path_prefix", regexp_replace(col("value"), "\\*$", ""))
+      .filter(!col("path_prefix").rlike("[*$]"))
+      .select(
+        col("host"),
+        col("path_prefix"),
+        (col("key") === "allow").as("allow"))
+      .distinct()
+  }
+
   /** Per-DOMAIN quality report — the C4/RefinedWeb curation move: judge
     * sites, not just documents (a spam domain's individually-plausible
     * pages evade per-doc filters; its aggregate gives it away). One

@@ -192,4 +192,55 @@ class UrlsSpec extends AnyFunSuite {
     // the corpus side must not shuffle: rules broadcast
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("parseRobots: groups, most-specific selection, wildcards, malformed lines") {
+    val body =
+      """# top comment
+        |Disallow: /orphan
+        |
+        |User-agent: OtherBot
+        |User-agent: GraftBot
+        |Disallow: /named   # inline comment
+        |Allow: /named/ok
+        |Disallow:
+        |Disallow: /trail*
+        |Disallow: /mid*dle
+        |Disallow: /anchor$
+        |
+        |User-agent: *
+        |Disallow: /star-only
+        |""".stripMargin
+    val starBody = "User-agent: *\nDisallow: /fallback\nAllow: /fallback/pub\n"
+    val robots = Seq(("a.io", body), ("b.io", starBody)).toDF("h", "b")
+    val rules = Urls.parseRobots(robots, "h", "b", userAgent = "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(rules === Set(
+      // a.io: the NAMED group (shared with OtherBot) applies; the * group is suppressed;
+      // the pre-group orphan rule is invalid; empty Disallow is a no-op;
+      // trailing star strips, mid-path star and $ anchor are excluded
+      ("a.io", "/named", false),
+      ("a.io", "/named/ok", true),
+      ("a.io", "/trail", false),
+      // b.io has no named group → its * group applies
+      ("b.io", "/fallback", false),
+      ("b.io", "/fallback/pub", true)))
+    // '*' is not a crawler identity
+    val ex = intercept[IllegalArgumentException] {
+      Urls.parseRobots(robots, "h", "b", userAgent = "*")
+    }
+    assert(ex.getMessage.contains("concrete crawler identity"))
+  }
+
+  test("parseRobots output feeds robotsFilter end-to-end") {
+    val robots = Seq(
+      ("site.io", "User-agent: GraftBot\nDisallow: /\nAllow: /open\n")).toDF("h", "b")
+    val rules = Urls.parseRobots(robots, "h", "b", "GraftBot")
+    val urls = Seq(
+      (1L, "http://site.io/open/page"),
+      (2L, "http://site.io/closed"),
+      (3L, "http://elsewhere.io/x")).toDF("id", "url")
+    val got = Urls.robotsFilter(urls, "url", rules)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed")).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true))
+  }
 }
