@@ -6495,6 +6495,60 @@ object Queries {
              m.pref AS matched_prefix
       FROM hp LEFT JOIN m ON m.doc_id = hp.doc_id AND m.rn = 1"""))
 
+  /** FULL-WILDCARD robots matching ([[graft.operators.Urls
+    * .robotsFilterWildcard]]): rules carry RFC 9309 `*` runs and `$`
+    * end-anchors, translated once per rule to anchored regexes and
+    * matched under most-octets precedence. The planted rule set forces
+    * every semantic: a subtree wildcard block with an exact-match `$`
+    * carve-out, an equal-length allow/disallow tie resolved to allow,
+    * a plain prefix rule through the regex path, and a bare `*`
+    * site-wide block beaten by a longer allow. The oracle predicts
+    * every verdict AND the winning rule string arithmetically from
+    * doc_id — mirrors the semantics, not the regex engine.
+    */
+  val q143bRobotsWildcard: Q = Q(
+    "q143b_robots_wildcard",
+    (s, dir) => {
+      import s.implicits._
+      val rules = Seq(
+        ("example.com", "/p/*", false),
+        ("example.com", "/p/1$", true),
+        ("example.com", "/p/1*", false),
+        ("sub.example.org", "/p/3", false),
+        ("example.net", "*", false),
+        ("example.net", "/p/2*", true))
+        .toDF("host", "rule_path", "allow")
+      graft.operators.Urls.robotsFilterWildcard(syntheticUrls(s, dir), "url", rules)
+        .select("doc_id", "allowed", "matched_rule")
+    },
+    Some("""
+      SELECT doc_id,
+        CASE
+          WHEN doc_id % 3 = 0 THEN
+            CASE WHEN doc_id % 5 = 0 THEN TRUE
+                 WHEN doc_id % 7 = 1 THEN TRUE
+                 ELSE FALSE END
+          WHEN doc_id % 3 = 1 THEN
+            CASE WHEN doc_id % 5 = 0 THEN TRUE
+                 WHEN doc_id % 7 = 3 THEN FALSE ELSE TRUE END
+          ELSE
+            CASE WHEN doc_id % 5 = 0 THEN FALSE
+                 WHEN doc_id % 7 = 2 THEN TRUE ELSE FALSE END
+        END AS allowed,
+        CASE
+          WHEN doc_id % 3 = 0 THEN
+            CASE WHEN doc_id % 5 = 0 THEN NULL
+                 WHEN doc_id % 7 = 1 THEN '/p/1$'
+                 ELSE '/p/*' END
+          WHEN doc_id % 3 = 1 THEN
+            CASE WHEN doc_id % 5 = 0 THEN NULL
+                 WHEN doc_id % 7 = 3 THEN '/p/3' ELSE NULL END
+          ELSE
+            CASE WHEN doc_id % 5 = 0 THEN '*'
+                 WHEN doc_id % 7 = 2 THEN '/p/2*' ELSE '*' END
+        END AS matched_rule
+      FROM documents"""))
+
   /** robots.txt PARSING ([[graft.operators.Urls.parseRobots]]) over
     * synthetic bodies assembled arithmetically per host: even hosts
     * carry a named `GraftBot` group (with a trailing-star rule that
@@ -6603,7 +6657,7 @@ object Queries {
     q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum,
     q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice, q139bAdvisedJoinExec,
     q140SketchStoreEstimate, q141Curriculum, q142FleissKappa, q143RobotsFilter,
-    q144ParseRobots)
+    q143bRobotsWildcard, q144ParseRobots)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

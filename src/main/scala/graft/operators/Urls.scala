@@ -233,6 +233,38 @@ object Urls {
       robots: DataFrame,
       hostCol: String,
       bodyCol: String,
+      userAgent: String): DataFrame =
+    selectedRuleLines(robots, hostCol, bodyCol, userAgent)
+      .withColumn("path_prefix", regexp_replace(col("value"), "\\*$", ""))
+      .filter(!col("path_prefix").rlike("[*$]"))
+      .select(col("host"), col("path_prefix"), col("allow"))
+      .distinct()
+
+  /** [[parseRobots]] without the prefix-only reduction: rule values
+    * survive VERBATIM as `rule_path` (wildcards, anchors and all) for
+    * [[robotsFilterWildcard]]'s full RFC 9309 matcher. The distinct
+    * column name is deliberate — a raw pattern fed to the prefix-only
+    * [[robotsFilter]] would match as a literal and claim permission the
+    * site never granted.
+    */
+  def parseRobotsRaw(
+      robots: DataFrame,
+      hostCol: String,
+      bodyCol: String,
+      userAgent: String): DataFrame =
+    selectedRuleLines(robots, hostCol, bodyCol, userAgent)
+      .select(col("host"), col("value").as("rule_path"), col("allow"))
+      .distinct()
+
+  /** Shared group-model front half of the robots parsers: line split,
+    * comment strip, group numbering, most-specific group selection —
+    * emits `(host, value, allow)` for the selected groups' non-empty
+    * rule lines.
+    */
+  private def selectedRuleLines(
+      robots: DataFrame,
+      hostCol: String,
+      bodyCol: String,
       userAgent: String): DataFrame = {
     require(userAgent.nonEmpty && userAgent != "*",
       "userAgent must be a concrete crawler identity; '*' groups apply as the fallback automatically")
@@ -268,13 +300,69 @@ object Urls {
     grouped
       .filter(col("key").isin("allow", "disallow") && col("value") =!= "")
       .join(groups, Seq("host", "gid"))
-      .withColumn("path_prefix", regexp_replace(col("value"), "\\*$", ""))
-      .filter(!col("path_prefix").rlike("[*$]"))
-      .select(
-        col("host"),
-        col("path_prefix"),
-        (col("key") === "allow").as("allow"))
-      .distinct()
+      .select(col("host"), col("value"), (col("key") === "allow").as("allow"))
+  }
+
+  /** Full RFC 9309 matcher over RAW robots rule patterns — `*` matches
+    * any character run, a TRAILING `$` anchors the end, everything else
+    * is literal; without `$` the rule is a prefix pattern. Precedence is
+    * the spec's most-octets rule generalized the same way as
+    * [[robotsFilter]]: longest RAW rule string wins, `allow` beats
+    * `disallow` on equal length, no match → allowed, NULL host →
+    * quarantined disallowed. Output schema matches [[robotsFilter]] with
+    * `matched_rule` in place of `matched_prefix`.
+    *
+    * Each rule translates ONCE (at per-host aggregation time) to an
+    * anchored regular expression — metacharacters quoted, `*` → `.*` —
+    * and rows test `regexp_like` against their host's pre-sorted rule
+    * array. Same zero-corpus-shuffle broadcast shape as the prefix
+    * matcher, but each row pays regex evaluation per candidate rule:
+    * keep the prefix matcher for the bulk corpus and reserve this for
+    * hosts whose robots actually use wildcards (parseRobots vs
+    * parseRobotsRaw splits exactly that way).
+    */
+  def robotsFilterWildcard(
+      urls: DataFrame,
+      urlCol: String,
+      rules: DataFrame,
+      hostCol: String = "host",
+      ruleCol: String = "rule_path",
+      allowCol: String = "allow"): DataFrame = {
+    Seq("allowed", "matched_rule").foreach { c =>
+      require(!urls.columns.contains(c),
+        s"input already has a '$c' column — rename it before filtering")
+    }
+    val raw = col(ruleCol)
+    val anchored = raw.endsWith("$")
+    val core = when(anchored, raw.substr(lit(1), length(raw) - 1)).otherwise(raw)
+    val quoted = regexp_replace(core, "([.^$+?(){}\\[\\]\\\\|])", "\\\\$1")
+    val rx = concat(
+      lit("^"),
+      regexp_replace(quoted, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+    val ruleRec = struct(
+      (-length(raw)).as("neg_len"),
+      when(col(allowCol), lit(0)).otherwise(lit(1)).as("disallow_rank"),
+      raw.as("rule"),
+      rx.as("rx"),
+      col(allowCol).as("allow"))
+    val perHost = rules
+      .filter(col(hostCol).isNotNull && raw.isNotNull && col(allowCol).isNotNull)
+      .groupBy(col(hostCol).as("__rhost"))
+      .agg(sort_array(collect_list(ruleRec)).as("__rules"))
+    val urlHost = host(col(urlCol))
+    val urlPath = path(col(urlCol))
+    urls
+      .join(broadcast(perHost), urlHost === col("__rhost"), "left")
+      .withColumn("__m",
+        filter(col("__rules"), r => regexp_like(urlPath, r.getField("rx"))))
+      .withColumn("__win",
+        when(coalesce(size(col("__m")), lit(0)) > 0, element_at(col("__m"), 1)))
+      .withColumn("allowed",
+        when(urlHost.isNull, lit(false))
+          .otherwise(coalesce(col("__win.allow"), lit(true))))
+      .withColumn("matched_rule", col("__win.rule"))
+      .drop("__rhost", "__rules", "__m", "__win")
   }
 
   /** Per-DOMAIN quality report — the C4/RefinedWeb curation move: judge

@@ -231,6 +231,44 @@ class UrlsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("concrete crawler identity"))
   }
 
+  test("robotsFilterWildcard: star runs, end anchors, regex metachars stay literal") {
+    val urls = Seq(
+      (1L, "http://w.io/a/x/b"), // mid-path star
+      (2L, "http://w.io/a/b"), // star matches empty run too
+      (3L, "http://w.io/exact"), // $-anchored: exact path only
+      (4L, "http://w.io/exactly"), // ...so a longer path must NOT match the anchor
+      (5L, "http://w.io/p.q"), // '.' in a rule is literal, not regex-any
+      (6L, "http://w.io/pXq"), // ...so this must not match '/p.q'
+      (7L, "http://w.io/free")) // no match → default allow
+      .toDF("id", "url")
+    val rules = Seq(
+      ("w.io", "/a/*/b", false),
+      ("w.io", "/a*/b", false),
+      ("w.io", "/exact$", false),
+      ("w.io", "/p.q", false))
+      .toDF("host", "rule_path", "allow")
+    val got = Urls.robotsFilterWildcard(urls, "url", rules)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Boolean]("allowed"), Option(r.getAs[String]("matched_rule"))))).toMap
+    assert(got(1L) === ((false, Some("/a/*/b"))))
+    assert(got(2L) === ((false, Some("/a*/b"))))
+    assert(got(3L) === ((false, Some("/exact$"))))
+    assert(got(4L) === ((true, None)), "$ must anchor: /exactly is not /exact")
+    assert(got(5L) === ((false, Some("/p.q"))))
+    assert(got(6L) === ((true, None)), "a literal dot must not regex-match")
+    assert(got(7L) === ((true, None)))
+    // parseRobotsRaw → wildcard filter composition: raw patterns survive
+    val robots = Seq(("w.io", "User-agent: GraftBot\nDisallow: /d*r$\n")).toDF("h", "b")
+    val raw = Urls.parseRobotsRaw(robots, "h", "b", "graftbot")
+    assert(raw.collect().map(r => (r.getString(1), r.getBoolean(2))).toSeq ===
+      Seq(("/d*r$", false)))
+    val v = Urls.robotsFilterWildcard(
+      Seq((1L, "http://w.io/door"), (2L, "http://w.io/doors")).toDF("id", "url"),
+      "url", raw)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed")).toMap
+    assert(v === Map(1L -> false, 2L -> true))
+  }
+
   test("parseRobots output feeds robotsFilter end-to-end") {
     val robots = Seq(
       ("site.io", "User-agent: GraftBot\nDisallow: /\nAllow: /open\n")).toDF("h", "b")
