@@ -6549,6 +6549,62 @@ object Queries {
         END AS matched_rule
       FROM documents"""))
 
+  /** The CRAWL-FRONTIER pipeline under one oracle: per-host sitemap XML
+    * assembled from the messy synthetic URLs (ampersands XML-escaped,
+    * as the protocol requires — the parser must decode them back or
+    * every query string corrupts), [[graft.operators.Urls.parseSitemap]]
+    * discovery, RFC 9309 compliance filtering, and canonical-URL dedup
+    * with a min-string keeper. Every stage is individually gated (q144
+    * robots parse, q143 filter, q99 canonicalization, q99b dedup); this
+    * face pins the COMPOSITION — DuckDB replays messy-URL arithmetic,
+    * the planted robots verdicts, the canonical prediction, and the
+    * keeper group-by from the raw documents table.
+    */
+  val q145CrawlFrontier: Q = Q(
+    "q145_crawl_frontier",
+    (s, dir) => {
+      import s.implicits._
+      val urls = syntheticUrls(s, dir)
+      val withHost = urls.withColumn("host", graft.operators.Urls.host(col("url")))
+      val sitemaps = withHost.groupBy("host")
+        .agg(concat_ws("", sort_array(collect_list(concat(
+          lit("<url><loc> "),
+          regexp_replace(col("url"), "&", "&amp;"),
+          lit(" </loc></url>"))))).as("body"))
+      val discovered = graft.operators.Urls.parseSitemap(sitemaps, "host", "body")
+      val rules = Seq(
+        ("example.com", "/p/5", false),
+        ("sub.example.org", "/", false),
+        ("sub.example.org", "/p/3", true))
+        .toDF("host", "path_prefix", "allow")
+      val permitted = graft.operators.Urls.robotsFilter(
+        discovered.select("url"), "url", rules)
+        .filter(col("allowed"))
+      graft.operators.Urls.dedupByCanonical(permitted, "url", "url")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+               (CASE WHEN doc_id % 3 = 0 THEN 'Example.COM:80'
+                     WHEN doc_id % 3 = 1 THEN 'Sub.Example.ORG:443'
+                     ELSE 'example.net:8080' END) ||
+               (CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR) END) ||
+               '?utm_source=x&zz=' || CAST(doc_id % 4 AS VARCHAR) ||
+               '&a=' || CAST(doc_id % 3 AS VARCHAR) ||
+               (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+        FROM documents),
+      v AS (
+        SELECT doc_id, url FROM u
+        WHERE CASE
+          WHEN doc_id % 3 = 0 THEN NOT (doc_id % 5 <> 0 AND doc_id % 7 = 5)
+          WHEN doc_id % 3 = 1 THEN (doc_id % 5 <> 0 AND doc_id % 7 = 3)
+          ELSE TRUE END),
+      c AS ($canonicalUrlSql)
+      SELECT c.canonical_url, MIN(v.url) AS keeper_id, COUNT(*) AS n_dups
+      FROM v JOIN c USING (doc_id)
+      GROUP BY c.canonical_url"""))
+
   /** robots.txt PARSING ([[graft.operators.Urls.parseRobots]]) over
     * synthetic bodies assembled arithmetically per host: even hosts
     * carry a named `GraftBot` group (with a trailing-star rule that
@@ -6657,7 +6713,7 @@ object Queries {
     q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum,
     q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice, q139bAdvisedJoinExec,
     q140SketchStoreEstimate, q141Curriculum, q142FleissKappa, q143RobotsFilter,
-    q143bRobotsWildcard, q144ParseRobots)
+    q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

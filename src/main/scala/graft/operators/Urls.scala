@@ -365,6 +365,43 @@ object Urls {
       .drop("__rhost", "__rules", "__m", "__win")
   }
 
+  /** Parse sitemap XML bodies into discovered URLs — the other half of
+    * the crawl-frontier handshake (sitemaps.org protocol, public spec):
+    * robots says where a crawler may NOT go, the sitemap says where the
+    * site WANTS it to go. Extraction is deliberately regex-scoped
+    * rather than a full XML parse: each `<url>…</url>` block yields its
+    * `<loc>` (required — blocks without one are dropped) and optional
+    * `<lastmod>` (NULL when absent), whitespace-trimmed, entity-decoded
+    * for the five XML built-ins (`&amp;` MUST decode in URLs — query
+    * separators arrive escaped in conformant sitemaps). `(?s)` scoping
+    * keeps multi-line blocks intact.
+    *
+    * One explode per sitemap, zero shuffles; bodies are capped at 50 MB
+    * by the protocol, so per-row work is bounded by spec.
+    */
+  def parseSitemap(
+      sitemaps: DataFrame,
+      hostCol: String,
+      bodyCol: String): DataFrame = {
+    def decodeEntities(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        c, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&apos;", "'"), "&amp;", "&")
+    val blocks = regexp_extract_all(
+      col(bodyCol), lit("(?s)<url>(.*?)</url>"), lit(1))
+    sitemaps
+      .filter(col(hostCol).isNotNull && col(bodyCol).isNotNull)
+      .select(col(hostCol).as("host"), explode(blocks).as("__b"))
+      .select(
+        col("host"),
+        decodeEntities(trim(regexp_extract(col("__b"), "(?s)<loc>(.*?)</loc>", 1)))
+          .as("url"),
+        when(regexp_extract(col("__b"), "(?s)<lastmod>(.*?)</lastmod>", 1) === "",
+          lit(null).cast("string"))
+          .otherwise(trim(regexp_extract(col("__b"), "(?s)<lastmod>(.*?)</lastmod>", 1)))
+          .as("lastmod"))
+      .filter(col("url") =!= "")
+  }
+
   /** Per-DOMAIN quality report — the C4/RefinedWeb curation move: judge
     * sites, not just documents (a spam domain's individually-plausible
     * pages evade per-doc filters; its aggregate gives it away). One

@@ -269,6 +269,28 @@ class UrlsSpec extends AnyFunSuite {
     assert(v === Map(1L -> false, 2L -> true))
   }
 
+  test("parseSitemap: blocks, entity decode, optional lastmod, loc-less blocks dropped") {
+    val body =
+      """<?xml version="1.0"?>
+        |<urlset>
+        |  <url>
+        |    <loc> http://s.io/a?x=1&amp;y=2 </loc>
+        |    <lastmod>2026-01-02</lastmod>
+        |  </url>
+        |  <url><loc>http://s.io/b</loc></url>
+        |  <url><lastmod>2026-01-03</lastmod></url>
+        |  <url><loc>http://s.io/&lt;odd&gt;&quot;&apos;</loc></url>
+        |</urlset>""".stripMargin
+    val got = Urls.parseSitemap(Seq(("s.io", body)).toDF("h", "b"), "h", "b")
+      .collect().map(r => (r.getString(1), Option(r.getString(2)))).toSet
+    assert(got === Set(
+      // &amp; decodes (query separators arrive escaped in conformant sitemaps)
+      ("http://s.io/a?x=1&y=2", Some("2026-01-02")),
+      ("http://s.io/b", None),
+      // all five XML built-ins decode, in the safe order (&amp; last)
+      ("http://s.io/<odd>\"'", None)))
+  }
+
   test("parseRobots output feeds robotsFilter end-to-end") {
     val robots = Seq(
       ("site.io", "User-agent: GraftBot\nDisallow: /\nAllow: /open\n")).toDF("h", "b")
