@@ -6605,6 +6605,40 @@ object Queries {
       FROM v JOIN c USING (doc_id)
       GROUP BY c.canonical_url"""))
 
+  /** From RAW HTML to authority scores under one oracle: each document
+    * carries synthesized markup whose hrefs encode the q102 edge
+    * arithmetic in three DIFFERENT reference styles (root-relative,
+    * dotted relative that must survive RFC 3986 dot-segment removal,
+    * and a fragment-only link that must vanish);
+    * [[graft.operators.Urls.resolveLinks]] extracts and resolves them,
+    * the ids parse back out of the resolved targets, and
+    * [[graft.operators.Graphs.pageRankInt]] runs 3 fixed-point rounds.
+    * The oracle is the SAME unrolled-round generator as q102 pointed at
+    * 3 iterations — so a single byte lost in extraction or resolution
+    * shifts an edge and the integer ranks diverge loudly.
+    */
+  val q146LinkGraphRank: Q = Q(
+    "q146_link_graph_rank",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val htmlDocs = docs.select(
+        col("doc_id"),
+        concat(lit("http://g.io/d/"), col("doc_id").cast("string")).as("base"),
+        concat(
+          lit("<html><a href=\"/d/"),
+          pmod(col("doc_id") * 7L + 1L, lit(n)).cast("string"),
+          lit("\">a</a> <a href='../d/"),
+          (col("doc_id") % 50L).cast("string"),
+          lit("'>b</a> <a href=\"#self\">s</a></html>")).as("html"))
+      val edges = graft.operators.Urls.resolveLinks(htmlDocs, "doc_id", "html", "base")
+        .select(
+          col("doc_id").as("src"),
+          regexp_extract(col("link"), "/d/([0-9]+)$", 1).cast("long").as("dst"))
+      graft.operators.Graphs.pageRankInt(edges, "src", "dst", docs, "doc_id", iters = 3)
+    },
+    Some(pagerankOracleSql(3)))
+
   /** robots.txt PARSING ([[graft.operators.Urls.parseRobots]]) over
     * synthetic bodies assembled arithmetically per host: even hosts
     * carry a named `GraftBot` group (with a trailing-star rule that
@@ -6713,7 +6747,7 @@ object Queries {
     q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum,
     q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice, q139bAdvisedJoinExec,
     q140SketchStoreEstimate, q141Curriculum, q142FleissKappa, q143RobotsFilter,
-    q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier)
+    q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier, q146LinkGraphRank)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

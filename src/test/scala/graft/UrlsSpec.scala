@@ -291,6 +291,56 @@ class UrlsSpec extends AnyFunSuite {
       ("http://s.io/<odd>\"'", None)))
   }
 
+  test("resolve: RFC 3986 §5.4 reference vectors (the crawler subset)") {
+    val base = "http://a/b/c/d;p?q"
+    def res(refs: String*): Seq[Option[String]] =
+      refs.map(r => (base, r)).toDF("base", "ref")
+        .select(Urls.resolve(col("base"), col("ref")).as("r"))
+        .collect().map(row => Option(row.getAs[String]("r"))).toSeq
+    // normal examples (fragments stripped per the frontier contract)
+    assert(res("g") === Seq(Some("http://a/b/c/g")))
+    assert(res("./g") === Seq(Some("http://a/b/c/g")))
+    assert(res("g/") === Seq(Some("http://a/b/c/g/")))
+    assert(res("/g") === Seq(Some("http://a/g")))
+    assert(res("//g") === Seq(Some("http://g")))
+    assert(res("?y") === Seq(Some("http://a/b/c/d;p?y")))
+    assert(res("g?y") === Seq(Some("http://a/b/c/g?y")))
+    assert(res("g#s") === Seq(Some("http://a/b/c/g")))
+    assert(res(".") === Seq(Some("http://a/b/c/")))
+    assert(res("..") === Seq(Some("http://a/b/")))
+    assert(res("../g") === Seq(Some("http://a/b/g")))
+    assert(res("../..") === Seq(Some("http://a/")))
+    assert(res("../../g") === Seq(Some("http://a/g")))
+    // abnormal: '..' above the root clamps
+    assert(res("../../../g") === Seq(Some("http://a/g")))
+    assert(res("../../../../g") === Seq(Some("http://a/g")))
+    // absolute ref wins; scheme case preserved on pass-through
+    assert(res("https://x.io/p#frag") === Seq(Some("https://x.io/p")))
+    // same-document refs are not frontier edges
+    assert(res("#top", "") === Seq(None, None))
+    // non-absolute base quarantines
+    val bad = Seq(("not-a-url", "g")).toDF("base", "ref")
+      .select(Urls.resolve(col("base"), col("ref")).as("r")).collect()
+    assert(bad(0).isNullAt(0))
+  }
+
+  test("resolveLinks: both quote styles, case-insensitive attr, per-doc base") {
+    val docs = Seq(
+      (1L, "http://s.io/a/b/page",
+        """<a HREF="/root">r</a> <a href='../up'>u</a> <a href="#x">f</a>
+          |<a href="rel">l</a> <a href="//c.io/z">p</a>""".stripMargin),
+      (2L, "http://t.io/", "<a href=\"https://ext.io/e\">e</a>"))
+      .toDF("id", "base", "html")
+    val got = Urls.resolveLinks(docs, "id", "html", "base")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set(
+      (1L, "http://s.io/root"),
+      (1L, "http://s.io/a/up"),
+      (1L, "http://s.io/a/b/rel"),
+      (1L, "http://c.io/z"),
+      (2L, "https://ext.io/e")))
+  }
+
   test("parseRobots output feeds robotsFilter end-to-end") {
     val robots = Seq(
       ("site.io", "User-agent: GraftBot\nDisallow: /\nAllow: /open\n")).toDF("h", "b")
