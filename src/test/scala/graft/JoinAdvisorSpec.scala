@@ -226,6 +226,18 @@ class JoinAdvisorSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("geometry"))
   }
 
+  test("cmSketch plan: partial aggregation BEFORE the exchange (wire carries counters, not rows)") {
+    val sk = JoinAdvisor.cmSketch((1 to 1000).map(_ % 61).toDF("k"), "k", params)
+    val plan = sk.queryExecution.executedPlan.toString
+    // the explode fans every row depth×, so the partial HashAggregate must
+    // sit under the Exchange — otherwise the shuffle carries depth·N rows
+    // instead of ≤ depth·width per partition
+    val exchangeAt = plan.indexOf("Exchange")
+    val partialAt = plan.indexOf("partial_count")
+    assert(exchangeAt >= 0 && partialAt >= 0 && partialAt > exchangeAt,
+      s"partial aggregate must be the exchange's CHILD (printed below it):\n$plan")
+  }
+
   test("estimate agrees across repartitionings (order/partition independence)") {
     val l = (1 to 777).map(i => i % 91).toDF("k")
     val r = (1 to 555).map(i => i % 37).toDF("k")
