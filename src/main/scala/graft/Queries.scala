@@ -6639,6 +6639,55 @@ object Queries {
     },
     Some(pagerankOracleSql(3)))
 
+  /** Exact per-vertex triangle counts ([[graft.operators.Graphs
+    * .triangleCounts]]) over a synthesized ring+hub graph (every
+    * consecutive id triple closes a triangle; the mod-50 hub edges add
+    * irregular closures on top — so counts VARY, making the oracle a
+    * discriminating witness). DuckDB mirrors the whole algorithm —
+    * canonical edge set, degrees, the (degree, id) orientation, the
+    * wedge self-join, the closing-edge lookup, the three-corner
+    * explode — in exact integers, so every per-vertex count matches
+    * bit-for-bit.
+    */
+  val q147TriangleCounts: Q = Q(
+    "q147_triangle_counts",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(
+        col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") + 1L, lit(n)),
+          pmod(col("doc_id") + 2L, lit(n)),
+          col("doc_id") % 50L)).as("dst"))
+      graft.operators.Graphs.triangleCounts(edges, "src", "dst")
+    },
+    Some("""
+      WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      raw AS (
+        SELECT doc_id AS u, (doc_id + 1) % nn.n AS v FROM documents, nn
+        UNION ALL SELECT doc_id, (doc_id + 2) % nn.n FROM documents, nn
+        UNION ALL SELECT doc_id, doc_id % 50 FROM documents),
+      e AS (
+        SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+        FROM raw WHERE u <> v),
+      d AS (
+        SELECT id, COUNT(*) AS deg
+        FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) t0
+        GROUP BY 1),
+      o AS (
+        SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS x,
+               CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS y
+        FROM e JOIN d da ON da.id = e.a JOIN d db ON db.id = e.b),
+      w AS (
+        SELECT o1.x, o1.y AS y1, o2.y AS y2
+        FROM o o1 JOIN o o2 ON o1.x = o2.x AND o1.y < o2.y),
+      tri AS (
+        SELECT w.x, w.y1, w.y2 FROM w JOIN e ON e.a = w.y1 AND e.b = w.y2)
+      SELECT id, COUNT(*) AS triangles
+      FROM (SELECT unnest([x, y1, y2]) AS id FROM tri) u0
+      GROUP BY id"""))
+
   /** robots.txt PARSING ([[graft.operators.Urls.parseRobots]]) over
     * synthetic bodies assembled arithmetically per host: even hosts
     * carry a named `GraftBot` group (with a trailing-star rule that
@@ -6747,7 +6796,7 @@ object Queries {
     q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum,
     q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice, q139bAdvisedJoinExec,
     q140SketchStoreEstimate, q141Curriculum, q142FleissKappa, q143RobotsFilter,
-    q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier, q146LinkGraphRank)
+    q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier, q146LinkGraphRank, q147TriangleCounts)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -261,4 +261,56 @@ object Graphs {
     e.select(col("__u").as("id"), col("__v").as("component"))
       .union(e.select(col("__v"), col("__v")).distinct())
   }
+
+  /** EXACT per-vertex triangle counts over the undirected simple graph
+    * induced by `edges` — the local clustering signal link-farm and
+    * community detection lean on (a farm's vertices close triangles at
+    * rates organic pages never reach). Self-loops drop, direction and
+    * duplicate edges collapse to one canonical (min, max) edge. Output:
+    * `(id, triangles)` for every vertex in at least one triangle; the
+    * global count is `sum(triangles) / 3` (each triangle appears at all
+    * three corners).
+    *
+    * Scale contract (Suri & Vassilvitskii 2011, "Counting triangles and
+    * the curse of the last reducer" — public algorithm): each edge
+    * ORIENTS from its (degree, id)-smaller endpoint to the larger, so
+    * wedges enumerate only at an edge's LOW-degree end and the
+    * per-vertex wedge fan-out is O(√m)-bounded on real graphs instead
+    * of O(max-degree²) — a celebrity node with 10⁸ followers generates
+    * ZERO wedges at itself. Three hash joins (degree attach ×2, wedge
+    * close), one exchange each, integer arithmetic throughout — an ANSI
+    * engine reproduces every count exactly (q147).
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("degb")), "b")
+    val oriented = withDeg.select(
+      when(
+        struct(col("dega").as("d"), col("a").as("i")) <
+          struct(col("degb").as("d"), col("b").as("i")),
+        struct(col("a").as("x"), col("b").as("y")))
+        .otherwise(struct(col("b").as("x"), col("a").as("y"))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    val o2 = oriented.select(col("x").as("x2"), col("y").as("y2"))
+    // wedges open at the LOW endpoint; (y < y2) pairs each spoke set once,
+    // and the closing edge lookup is against the canonical (min, max) form
+    // — which IS (y, y2) under that inequality
+    val wedges = oriented
+      .join(o2, col("x") === col("x2") && col("y") < col("y2"))
+      .select(col("x"), col("y"), col("y2"))
+    val triangles = wedges
+      .join(und, col("y") === col("a") && col("y2") === col("b"))
+      .select(col("x"), col("y"), col("y2"))
+    triangles
+      .select(explode(array(col("x"), col("y"), col("y2"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+  }
 }

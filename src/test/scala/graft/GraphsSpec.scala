@@ -200,4 +200,39 @@ class GraphsSpec extends AnyFunSuite {
     assert((spark.sparkContext.getPersistentRDDs.keySet & pinned).isEmpty,
       "scope.release must drop exactly the frames this call pinned")
   }
+
+  test("triangleCounts: closed forms — K4, path, ring-with-chords") {
+    def counts(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graphs.triangleCounts(edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: 4 triangles total, every vertex on 3 of them
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(counts(k4) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a path has no triangles at all → empty output by contract
+    assert(counts(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === Map.empty)
+    // duplicate/reversed/self-loop edges collapse before counting
+    assert(counts(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts matches a brute-force mirror on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val edges = (1 to 150).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = Graphs.triangleCounts(edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force: canonical edge set, all id triples
+      val e = edges.filter(t => t._1 != t._2)
+        .map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).toSet
+      val mirror = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n)
+        if (e((a, b)) && e((b, c)) && e((a, c))) {
+          mirror(a) += 1; mirror(b) += 1; mirror(c) += 1
+        }
+      assert(got === mirror.toMap, s"trial $trial")
+      // every triangle counted at exactly 3 corners
+      assert(got.values.sum % 3 === 0)
+    }
+  }
 }
