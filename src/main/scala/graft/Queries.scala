@@ -6688,6 +6688,51 @@ object Queries {
       FROM (SELECT unnest([x, y1, y2]) AS id FROM tri) u0
       GROUP BY id"""))
 
+  /** Cohen's kappa over a synthesized double-annotation pass
+    * ([[graft.operators.Quality.cohenKappa]]): rater `a` labels
+    * `doc_id % 4`, rater `b` dissents to the next category on every
+    * third document — real disagreement with asymmetric marginals, so
+    * chance correction does nontrivial work. Both p_o and p_e have
+    * integer numerators; the oracle reproduces kappa bit-for-bit.
+    */
+  val q148CohenKappa: Q = Q(
+    "q148_cohen_kappa",
+    (s, dir) => {
+      val ratings = t(s, dir, "documents").select("doc_id")
+        .withColumn("rater", explode(array(lit("a"), lit("b"))))
+        .withColumn("label",
+          when(col("rater") === "a", col("doc_id") % 4)
+            .otherwise(when(col("doc_id") % 3 === 0, (col("doc_id") % 4 + 1) % 4)
+              .otherwise(col("doc_id") % 4)))
+      graft.operators.Quality.cohenKappa(ratings, "doc_id", "rater", "label")
+    },
+    Some("""
+      WITH r AS (
+        SELECT doc_id,
+               CAST(doc_id % 4 AS VARCHAR) AS l1,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 4 + 1) % 4
+                         ELSE doc_id % 4 END AS VARCHAR) AS l2
+        FROM documents),
+      agg AS (
+        SELECT COUNT(*) AS n_items,
+               SUM(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) AS agree FROM r),
+      m1 AS (SELECT l1 AS lab, COUNT(*) AS m1 FROM r GROUP BY 1),
+      m2 AS (SELECT l2 AS lab, COUNT(*) AS m2 FROM r GROUP BY 1),
+      cats AS (
+        SELECT COUNT(*) AS n_categories,
+               SUM(COALESCE(m1, 0) * COALESCE(m2, 0)) AS pe_num
+        FROM m1 FULL OUTER JOIN m2 USING (lab)),
+      k AS (
+        SELECT n_items, n_categories,
+               CAST(agree AS DOUBLE) / CAST(n_items AS DOUBLE) AS p_o,
+               CAST(pe_num AS DOUBLE) /
+                 (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)) AS p_e
+        FROM agg, cats)
+      SELECT n_items, n_categories, p_o, p_e,
+             CASE WHEN 1.0 - p_e = 0.0 THEN 1.0
+                  ELSE (p_o - p_e) / (1.0 - p_e) END AS kappa
+      FROM k"""))
+
   /** robots.txt PARSING ([[graft.operators.Urls.parseRobots]]) over
     * synthetic bodies assembled arithmetically per host: even hosts
     * carry a named `GraftBot` group (with a trailing-star rule that
@@ -6796,7 +6841,8 @@ object Queries {
     q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum,
     q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice, q139bAdvisedJoinExec,
     q140SketchStoreEstimate, q141Curriculum, q142FleissKappa, q143RobotsFilter,
-    q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier, q146LinkGraphRank, q147TriangleCounts)
+    q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier, q146LinkGraphRank, q147TriangleCounts,
+    q148CohenKappa)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

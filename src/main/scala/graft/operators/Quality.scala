@@ -258,6 +258,79 @@ object Quality {
       .select("n_items", "n_raters", "n_categories", "p_bar", "p_e", "kappa")
   }
 
+  /** COHEN'S KAPPA — the two-annotator agreement statistic (Cohen 1960,
+    * public formula restated), for the double-annotation pass most
+    * labeling projects run before scaling up. Unlike [[fleissKappa]],
+    * rater IDENTITY matters: chance agreement uses each rater's own
+    * marginal label distribution. One row out:
+    * `(n_items, n_categories, p_o, p_e, kappa)`.
+    *
+    * Exactness: p_o = agreements / N and
+    * p_e = Σ_c marginal₁(c)·marginal₂(c) / N² both have integer
+    * numerators, so every double falls out of integer aggregates
+    * through one fixed expression — bit-replayable (q148). Marginal
+    * products accumulate in decimal(38,0).
+    *
+    * Contract: EXACTLY two distinct raters, each rating every item
+    * exactly once — anything else fails loudly per-run (a missing
+    * second rating silently deflates observed agreement). NULL rows
+    * drop first (a missing rating is not a label). Unanimity with one
+    * shared category (p_e = 1 forces p_o = 1) reports κ = 1.
+    *
+    * Scale shape: one (item)-keyed pivot aggregation, two label-keyed
+    * marginal rollups joined label-to-label (category-bounded), and a
+    * scalar cross — the corpus never re-shuffles.
+    */
+  def cohenKappa(
+      df: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String): DataFrame = {
+    val clean = df.filter(
+      col(itemCol).isNotNull && col(raterCol).isNotNull && col(labelCol).isNotNull)
+    val raters = clean.select(col(raterCol).cast("string").as("r"))
+      .distinct().orderBy("r").collect().map(_.getString(0)) // bounded: rater cardinality
+    require(raters.length == 2,
+      s"cohenKappa needs exactly two raters, got ${raters.length}: " +
+        s"${raters.take(5).mkString(", ")}${if (raters.length > 5) ", …" else ""}")
+    val Array(r1, r2) = raters
+    val rc = col(raterCol).cast("string")
+    val perItem = clean
+      .groupBy(col(itemCol).as("__i"))
+      .agg(
+        sum(when(rc === r1, 1L).otherwise(0L)).as("__c1"),
+        sum(when(rc === r2, 1L).otherwise(0L)).as("__c2"),
+        max(when(rc === r1, col(labelCol).cast("string"))).as("__l1"),
+        max(when(rc === r2, col(labelCol).cast("string"))).as("__l2"))
+      .withColumn("__ok",
+        when(col("__c1") =!= 1L || col("__c2") =!= 1L,
+          raise_error(concat(
+            lit("cohenKappa: item "), col("__i").cast("string"),
+            lit(" has "), col("__c1").cast("string"), lit("/"),
+            col("__c2").cast("string"),
+            lit(" ratings from the two raters — every item needs exactly one from each"))))
+          .otherwise(lit(true)))
+      .filter(col("__ok"))
+    val agg = perItem.agg(
+      count(lit(1)).as("n_items"),
+      sum(when(col("__l1") === col("__l2"), 1L).otherwise(0L)).as("__agree"))
+    val m1 = perItem.groupBy(col("__l1").as("__lab")).agg(count(lit(1)).as("__m1"))
+    val m2 = perItem.groupBy(col("__l2").as("__lab")).agg(count(lit(1)).as("__m2"))
+    val cats = m1.join(m2, Seq("__lab"), "full_outer")
+      .agg(
+        count(lit(1)).as("n_categories"),
+        sum(coalesce(col("__m1"), lit(0L)).cast("decimal(38,0)") *
+          coalesce(col("__m2"), lit(0L)).cast("decimal(38,0)")).as("__pe_num"))
+    val nD = col("n_items").cast("double")
+    agg.crossJoin(cats)
+      .withColumn("p_o", col("__agree").cast("double") / nD)
+      .withColumn("p_e", col("__pe_num").cast("double") / (nD * nD))
+      .withColumn("kappa",
+        when(lit(1.0) - col("p_e") === 0.0, lit(1.0))
+          .otherwise((col("p_o") - col("p_e")) / (lit(1.0) - col("p_e"))))
+      .select("n_items", "n_categories", "p_o", "p_e", "kappa")
+  }
+
   /** Precision/recall scorecard of an APPROXIMATE pair set against an
     * EXACT ground-truth pair set — the harness that turns this repo's
     * "every sketch family has an exact twin" discipline into a number:

@@ -278,4 +278,42 @@ class SaltQualitySpec extends AnyFunSuite {
       .contains("n >= 2"))
     graft.operators.Caches.release()
   }
+
+  test("cohenKappa: hand-computed panel, rater marginals matter, loud contract violations") {
+    import spark.implicits._
+    // 10 items; raters agree on 6. r1 marginals: x=5, y=5; r2: x=6, y=4
+    // p_o = 0.6; p_e = (5·6 + 5·4)/100 = 0.5; κ = 0.1/0.5 = 0.2
+    val panel = Seq(
+      (1L, "r1", "x"), (1L, "r2", "x"), (2L, "r1", "x"), (2L, "r2", "x"),
+      (3L, "r1", "x"), (3L, "r2", "x"), (4L, "r1", "y"), (4L, "r2", "y"),
+      (5L, "r1", "y"), (5L, "r2", "y"), (6L, "r1", "y"), (6L, "r2", "y"),
+      (7L, "r1", "x"), (7L, "r2", "y"), (8L, "r1", "x"), (8L, "r2", "y"),
+      (9L, "r1", "y"), (9L, "r2", "x"), (10L, "r1", "y"), (10L, "r2", "x"))
+      .toDF("item", "rater", "label")
+    val row = graft.operators.Quality.cohenKappa(panel, "item", "rater", "label").head()
+    assert(row.getAs[Long]("n_items") === 10L && row.getAs[Long]("n_categories") === 2L)
+    assert(row.getAs[Double]("p_o") === 0.6 && row.getAs[Double]("p_e") === 0.5)
+    assert(math.abs(row.getAs[Double]("kappa") - 0.2) < 1e-15)
+    // a label only ONE rater ever uses still counts as a category (marginal 0 product)
+    val oneSided = Seq(
+      (1L, "r1", "a"), (1L, "r2", "a"), (2L, "r1", "b"), (2L, "r2", "c"))
+      .toDF("item", "rater", "label")
+    val r2 = graft.operators.Quality.cohenKappa(oneSided, "item", "rater", "label").head()
+    assert(r2.getAs[Long]("n_categories") === 3L)
+    // three raters refused
+    val three = Seq((1L, "r1", "a"), (1L, "r2", "a"), (1L, "r3", "a"))
+      .toDF("item", "rater", "label")
+    val ex3 = intercept[IllegalArgumentException] {
+      graft.operators.Quality.cohenKappa(three, "item", "rater", "label")
+    }
+    assert(ex3.getMessage.contains("exactly two raters"))
+    // a missing second rating fails loudly, not silently as disagreement
+    val missing = Seq((1L, "r1", "a"), (1L, "r2", "a"), (2L, "r1", "b"))
+      .toDF("item", "rater", "label")
+    val ex4 = intercept[Exception] {
+      graft.operators.Quality.cohenKappa(missing, "item", "rater", "label").collect()
+    }
+    assert((ex4.getMessage + Option(ex4.getCause).map(_.getMessage).getOrElse(""))
+      .contains("exactly one from each"))
+  }
 }
