@@ -146,22 +146,40 @@ object JoinAdvisor {
     * the row is reproducible bit-for-bit. No both-sides-NULL-key row
     * or empty-join special case survives: an empty key intersection
     * reports `max_key_product = 0` with a NULL `hot_key`.
+    *
+    * Scale shape: ONE scan per side. Every field derives from the
+    * side's per-key count table — rows and distinct keys are its
+    * trivial rollup, the key products are its pairwise join, and the
+    * CM sketch buckets the SAME md5 key image weighted by the counts,
+    * which lands counter-for-counter where the raw-scan sketch lands
+    * (spec-pinned). The per-key tables pin for reuse across those
+    * reads — route `scope` in long-lived sessions.
     */
   def advise(
       left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String,
       params: CmParams = defaultParams,
       broadcastRowsMax: Long = 10000000L,
-      saltProductMin: Long = 100000000L): DataFrame = {
-    val sides = left.filter(col(leftKey).isNotNull)
-      .groupBy().agg(count(lit(1)).as("left_rows"))
-      .crossJoin(right.filter(col(rightKey).isNotNull)
-        .groupBy().agg(count(lit(1)).as("right_rows")))
-      .crossJoin(left.filter(col(leftKey).isNotNull)
-        .agg(countDistinct(col(leftKey)).as("left_keys")))
-      .crossJoin(right.filter(col(rightKey).isNotNull)
-        .agg(countDistinct(col(rightKey)).as("right_keys")))
-    val hot = keyProducts(left, leftKey, right, rightKey)
+      saltProductMin: Long = 100000000L,
+      scope: Option[Caches.Scope] = None): DataFrame = {
+    def keyCounts(df: DataFrame, k: String): DataFrame = {
+      val kc = df.filter(col(k).isNotNull)
+        .groupBy(col(k).cast("string").as("key")).agg(count(lit(1)).as("cnt"))
+      scope.fold(Caches.pin(kc))(_.pin(kc))
+    }
+    val lkc = keyCounts(left, leftKey)
+    val rkc = keyCounts(right, rightKey)
+    def sideStats(kc: DataFrame, rows: String, keys: String): DataFrame =
+      // coalesce: an EMPTY side must report 0 rows, not NULL (a NULL
+      // would null out every threshold comparison in `recommended`)
+      kc.agg(coalesce(sum("cnt"), lit(0L)).as(rows), count(lit(1)).as(keys))
+    val sides = sideStats(lkc, "left_rows", "left_keys")
+      .crossJoin(sideStats(rkc, "right_rows", "right_keys"))
+    val hot = lkc.withColumnRenamed("cnt", "cnt_l")
+      .join(rkc.withColumnRenamed("cnt", "cnt_r"), "key")
+      .select(col("key"),
+        (col("cnt_l").cast("decimal(19,0)") * col("cnt_r").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("product"))
       .orderBy(desc("product"), asc("key"))
       .limit(1)
       .select(col("product").as("max_key_product"), col("key").as("hot_key"))
@@ -172,7 +190,7 @@ object JoinAdvisor {
       .orderBy(desc("max_key_product"), asc("hot_key"))
       .limit(1)
     sides
-      .crossJoin(estimateEquiJoinRows(left, leftKey, right, rightKey, params)
+      .crossJoin(estimateFromKeyCounts(lkc, rkc, params)
         .withColumnRenamed("est_rows", "est_join_rows"))
       .crossJoin(hotOrEmpty)
       .withColumn("recommended",
@@ -181,6 +199,35 @@ object JoinAdvisor {
           .when(col("right_rows") <= broadcastRowsMax, lit("broadcast_right"))
           .when(col("max_key_product") >= lit(saltProductMin), lit("salt_hot_keys"))
           .otherwise(lit("shuffle_hash")))
+  }
+
+  /** The same estimate as [[estimateEquiJoinRows]], computed off per-key
+    * `(key, cnt)` tables instead of raw rows: each distinct key buckets
+    * through the identical md5 image and contributes its count as
+    * WEIGHT, so the counter tables — and therefore the estimate — agree
+    * value-for-value with the raw-scan path (spec-pinned). This is what
+    * lets [[advise]] touch each side once.
+    */
+  private def estimateFromKeyCounts(
+      lkc: DataFrame, rkc: DataFrame, params: CmParams): DataFrame = {
+    def sketch(kc: DataFrame, out: String): DataFrame = {
+      val dw = params.rows.zipWithIndex.map { case ((a, b), d) =>
+        struct(
+          lit(d).as("d"),
+          (((lit(a) * col("__x") + lit(b)) % P) % params.width).cast("int").as("w"))
+      }
+      kc.select(keyImage(col("key")).as("__x"), col("cnt"))
+        .select(explode(array(dw: _*)).as("dw"), col("cnt"))
+        .groupBy(col("dw.d").as("d"), col("dw.w").as("w"))
+        .agg(sum("cnt").as(out))
+    }
+    val ip = sketch(lkc, "cnt_l").join(sketch(rkc, "cnt_r"), Seq("d", "w"))
+      .groupBy("d")
+      .agg(sum(col("cnt_l").cast("decimal(19,0)") * col("cnt_r").cast("decimal(19,0)"))
+        .as("ip"))
+    lkc.sparkSession.range(params.depth).select(col("id").cast("int").as("d"))
+      .join(ip, Seq("d"), "left")
+      .agg(min(coalesce(col("ip"), lit(0))).cast("decimal(38,0)").as("est_rows"))
   }
 
   /** An [[advise]] verdict made executable: the strategy string plus the

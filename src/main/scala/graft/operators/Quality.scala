@@ -288,11 +288,15 @@ object Quality {
       labelCol: String): DataFrame = {
     val clean = df.filter(
       col(itemCol).isNotNull && col(raterCol).isNotNull && col(labelCol).isNotNull)
+    // LIMIT 3 bounds the collect even against a garbage rater column (a
+    // billion distinct "raters" must not reach the driver before the
+    // two-rater require can fire); 3 rows still distinguishes 2 from >2
     val raters = clean.select(col(raterCol).cast("string").as("r"))
-      .distinct().orderBy("r").collect().map(_.getString(0)) // bounded: rater cardinality
+      .distinct().orderBy("r").limit(3).collect().map(_.getString(0))
     require(raters.length == 2,
-      s"cohenKappa needs exactly two raters, got ${raters.length}: " +
-        s"${raters.take(5).mkString(", ")}${if (raters.length > 5) ", …" else ""}")
+      s"cohenKappa needs exactly two raters, got " +
+        s"${if (raters.length > 2) "3 or more" else raters.length.toString}: " +
+        raters.mkString(", "))
     val Array(r1, r2) = raters
     val rc = col(raterCol).cast("string")
     val perItem = clean

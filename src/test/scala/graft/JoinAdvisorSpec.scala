@@ -226,6 +226,29 @@ class JoinAdvisorSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("geometry"))
   }
 
+  test("advise: key-count-weighted estimate equals the raw-scan estimate value-for-value") {
+    val l = ((1 to 300).map(i => i % 50) ++ Seq.fill(100)(7)).toDF("k")
+    val r = ((1 to 200).map(i => i % 80) ++ Seq.fill(50)(7)).toDF("k")
+    val viaAdvise = BigDecimal(
+      JoinAdvisor.advise(l, "k", r, "k", params,
+        broadcastRowsMax = 1L, saltProductMin = Long.MaxValue)
+        .collect()(0).getAs[java.math.BigDecimal]("est_join_rows"))
+    graft.operators.Caches.release()
+    assert(viaAdvise === est(l, "k", r, "k"),
+      "weighting each distinct key's bucket by its count must land the same counters")
+  }
+
+  test("advise: an empty side reports 0 rows (not NULL) and still recommends deterministically") {
+    val empty = Seq.empty[Int].toDF("k")
+    val r = (1 to 50).toDF("k")
+    val row = JoinAdvisor.advise(empty, "k", r, "k", params,
+      broadcastRowsMax = 10, saltProductMin = 10L).collect()(0)
+    graft.operators.Caches.release()
+    assert(row.getAs[Long]("left_rows") === 0L)
+    assert(row.getAs[String]("recommended") === "broadcast_left")
+    assert(BigDecimal(row.getAs[java.math.BigDecimal]("est_join_rows")) === BigDecimal(0))
+  }
+
   test("cmSketch plan: partial aggregation BEFORE the exchange (wire carries counters, not rows)") {
     val sk = JoinAdvisor.cmSketch((1 to 1000).map(_ % 61).toDF("k"), "k", params)
     val plan = sk.queryExecution.executedPlan.toString
