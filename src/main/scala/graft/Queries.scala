@@ -6733,6 +6733,67 @@ object Queries {
                   ELSE (p_o - p_e) / (1.0 - p_e) END AS kappa
       FROM k"""))
 
+  /** DuckDB replay of the k-core peel as a FIXED unroll: peeling is
+    * idempotent past its fixpoint, so `rounds` only needs to be ≥ the
+    * longest peel chain — the Spark face detects convergence and stops
+    * early, the oracle runs the full unroll, and both land on the same
+    * maximal subgraph.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val base = """
+      WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      raw AS (
+        SELECT doc_id AS u, (doc_id + 1) % nn.n AS v FROM documents, nn
+        UNION ALL SELECT doc_id, doc_id % 50 FROM documents
+        UNION ALL SELECT doc_id, nn.n + doc_id FROM documents, nn WHERE doc_id % 5 = 0
+        UNION ALL SELECT nn.n + doc_id, 2 * nn.n + doc_id FROM documents, nn WHERE doc_id % 5 = 0),
+      e0 AS MATERIALIZED (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM raw WHERE u <> v)"""
+    val roundCtes = (1 to rounds).map { i =>
+      s""",
+      d${i - 1} AS MATERIALIZED (
+        SELECT id, COUNT(*) AS deg
+        FROM (SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) t${i - 1}
+        GROUP BY 1),
+      k${i - 1} AS MATERIALIZED (SELECT id FROM d${i - 1} WHERE deg >= $k),
+      e$i AS MATERIALIZED (
+        SELECT e.a, e.b FROM e${i - 1} e
+        JOIN k${i - 1} ka ON ka.id = e.a
+        JOIN k${i - 1} kb ON kb.id = e.b)"""
+    }.mkString
+    s"""$base$roundCtes
+      SELECT id, COUNT(*) AS core_degree
+      FROM (SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds) tf
+      GROUP BY 1"""
+  }
+
+  /** 2-core of a ring+hub graph wearing pendant 2-chains
+    * ([[graft.operators.Graphs.kCore]]): chain tails peel in round 1,
+    * chain middles in round 2 — a REAL multi-round peel, not a one-shot
+    * filter — while the ring guarantees every base vertex survives and
+    * the hub edges make core degrees vary. The Spark face stops at its
+    * detected fixpoint; the oracle runs a 5-round fixed unroll of the
+    * same peel, and idempotence makes the two meet exactly.
+    */
+  val q149KCore: Q = Q(
+    "q149_k_core",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val ringHub = docs.select(
+        col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") + 1L, lit(n)),
+          col("doc_id") % 50L)).as("dst"))
+      val anchors = docs.filter(col("doc_id") % 5 === 0)
+      val chains = anchors
+        .select(col("doc_id").as("src"), (col("doc_id") + lit(n)).as("dst"))
+        .unionByName(anchors.select(
+          (col("doc_id") + lit(n)).as("src"), (col("doc_id") + lit(2 * n)).as("dst")))
+      graft.operators.Graphs.kCore(
+        ringHub.unionByName(chains), "src", "dst", k = 2)
+    },
+    Some(kcoreOracleSql(k = 2, rounds = 5)))
+
   /** robots.txt PARSING ([[graft.operators.Urls.parseRobots]]) over
     * synthetic bodies assembled arithmetically per host: even hosts
     * carry a named `GraftBot` group (with a trailing-star rule that
@@ -6842,7 +6903,7 @@ object Queries {
     q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice, q139bAdvisedJoinExec,
     q140SketchStoreEstimate, q141Curriculum, q142FleissKappa, q143RobotsFilter,
     q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier, q146LinkGraphRank, q147TriangleCounts,
-    q148CohenKappa)
+    q148CohenKappa, q149KCore)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -281,6 +281,62 @@ object Graphs {
     * close), one exchange each, integer arithmetic throughout — an ANSI
     * engine reproduces every count exactly (q147).
     */
+  /** The k-CORE of the undirected simple graph induced by `edges`: the
+    * maximal subgraph in which every vertex keeps degree ≥ k, found by
+    * the standard peeling fixpoint (drop all sub-k vertices, recompute
+    * degrees, repeat). Output: `(id, core_degree)` for every core
+    * vertex — the degree WITHIN the core, the coreness-style robustness
+    * signal (a link farm's mutual-citation cluster survives high-k
+    * peels that organic link neighborhoods do not).
+    *
+    * Convergence is exact (edge count reaches a fixpoint) and
+    * non-convergence within `maxRounds` throws rather than returning a
+    * half-peeled subgraph. Peeling is IDEMPOTENT past the fixpoint —
+    * extra rounds are no-ops — which is what lets an external engine
+    * replay it as a FIXED unroll (q149) while this face stops early.
+    *
+    * Scale contract: each round is one degree aggregation + two
+    * semi-joins on the shrinking edge set, eagerly localCheckpointed
+    * (the connectedComponents lineage lesson: a loop that re-references
+    * its input grows the plan per round); rounds needed equal the
+    * longest peel chain, typically a handful on web graphs.
+    */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(maxRounds >= 1, "maxRounds must be positive")
+    var e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var edgeCount = e.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("id")
+      val ne = e
+        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val n = ne.count()
+      converged = n == edgeCount
+      edgeCount = n
+      e = ne
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore(k=$k) still peeling after $maxRounds rounds — raise maxRounds")
+    e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("core_degree"))
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))

@@ -235,4 +235,43 @@ class GraphsSpec extends AnyFunSuite {
       assert(got.values.sum % 3 === 0)
     }
   }
+
+  test("kCore: multi-round peel closed forms and brute-force mirror") {
+    def core(edges: Seq[(Long, Long)], k: Int, maxRounds: Int = 20): Map[Long, Long] =
+      Graphs.kCore(edges.toDF("s", "d"), "s", "d", k, maxRounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle with a 2-chain tail: k=2 peels the tail over TWO rounds,
+    // the triangle survives with degree 2 everywhere
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    assert(core(g, 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3 dissolves the triangle entirely — empty core, no partial residue
+    assert(core(g, 3) === Map.empty)
+    // K4 is its own 3-core
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(core(k4, 3) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a peel needing more rounds than allowed throws instead of lying
+    val chain = (1L to 6L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val ex = intercept[IllegalStateException] { core(chain, 2, maxRounds = 2) }
+    assert(ex.getMessage.contains("still peeling"))
+    // random graphs vs sequential peel mirror
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 2) {
+      val n = 25
+      val edges = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = core(edges, 3)
+      var e = edges.filter(t => t._1 != t._2)
+        .map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).toSet
+      var stable = false
+      while (!stable) {
+        val deg = e.toSeq.flatMap(t => Seq(t._1, t._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val keep = deg.filter(_._2 >= 3).keySet
+        val ne = e.filter(t => keep(t._1) && keep(t._2))
+        stable = ne == e
+        e = ne
+      }
+      val mirror = e.toSeq.flatMap(t => Seq(t._1, t._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got === mirror, s"trial $trial")
+    }
+  }
 }
