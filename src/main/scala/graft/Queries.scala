@@ -6794,6 +6794,47 @@ object Queries {
     },
     Some(kcoreOracleSql(k = 2, rounds = 5)))
 
+  /** Politeness schedule over the DEDUPED frontier
+    * ([[graft.operators.Urls.frontierSchedule]] downstream of
+    * [[graft.operators.Urls.dedupByCanonical]] — the composition the
+    * operator's uniqueness contract prescribes; scheduling the RAW
+    * colliding corpus was tried first and the oracle caught the
+    * engine-arbitrary tie slots): per-host FIFO queues by
+    * (priority, canonical_url), worker routing through the shared md5
+    * bridge, spaced ETAs. The oracle rebuilds the canonical identities,
+    * the keeper group-by, the same md5 routing, and the queue window —
+    * slots, workers, and ETAs all hash-match.
+    */
+  val q150FrontierSchedule: Q = Q(
+    "q150_frontier_schedule",
+    (s, dir) => {
+      val frontier = graft.operators.Urls
+        .dedupByCanonical(syntheticUrls(s, dir), "url", "doc_id")
+        .withColumn("priority", col("keeper_id") % 9)
+      graft.operators.Urls.frontierSchedule(
+        frontier, "canonical_url", "priority", workers = 4, perHostDelaySec = 15L)
+        .select("canonical_url", "keeper_id", "host", "worker", "slot", "eta_sec")
+    },
+    Some(s"""
+      WITH c AS ($canonicalUrlSql),
+      g AS (
+        SELECT canonical_url, MIN(doc_id) AS keeper_id
+        FROM c GROUP BY canonical_url),
+      st AS (
+        SELECT canonical_url, keeper_id,
+               CASE WHEN keeper_id % 3 = 0 THEN 'example.com'
+                    WHEN keeper_id % 3 = 1 THEN 'sub.example.org'
+                    ELSE 'example.net' END AS host,
+               keeper_id % 9 AS priority
+        FROM g)
+      SELECT canonical_url, keeper_id, host,
+             CAST(CAST(concat('0x', substring(md5(host), 1, 12)) AS BIGINT) % 4 AS INT) AS worker,
+             CAST(row_number() OVER (PARTITION BY host
+               ORDER BY priority, canonical_url) AS BIGINT) AS slot,
+             (CAST(row_number() OVER (PARTITION BY host
+               ORDER BY priority, canonical_url) AS BIGINT) - 1) * 15 AS eta_sec
+      FROM st"""))
+
   /** robots.txt PARSING ([[graft.operators.Urls.parseRobots]]) over
     * synthetic bodies assembled arithmetically per host: even hosts
     * carry a named `GraftBot` group (with a trailing-star rule that
@@ -6903,7 +6944,7 @@ object Queries {
     q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice, q139bAdvisedJoinExec,
     q140SketchStoreEstimate, q141Curriculum, q142FleissKappa, q143RobotsFilter,
     q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier, q146LinkGraphRank, q147TriangleCounts,
-    q148CohenKappa, q149KCore)
+    q148CohenKappa, q149KCore, q150FrontierSchedule)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -341,6 +341,28 @@ class UrlsSpec extends AnyFunSuite {
       (2L, "https://ext.io/e")))
   }
 
+  test("frontierSchedule: per-host FIFO slots, stable worker routing, polite ETAs") {
+    val urls = Seq(
+      (1L, "http://a.io/z", 2L), (2L, "http://a.io/a", 2L), // same priority → url order
+      (3L, "http://a.io/m", 1L), // higher priority jumps the queue
+      (4L, "http://b.io/x", 9L),
+      (5L, "not a url", 0L)) // NULL host → dropped
+      .toDF("id", "url", "prio")
+    val got = Urls.frontierSchedule(urls, "url", "prio", workers = 4, perHostDelaySec = 10L)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("host"), r.getAs[Int]("worker"),
+          r.getAs[Long]("slot"), r.getAs[Long]("eta_sec")))).toMap
+    assert(!got.contains(5L), "un-routable URLs have no queue to wait in")
+    assert(got(3L)._3 === 1L && got(3L)._4 === 0L, "priority 1 fetches first")
+    assert(got(2L)._3 === 2L && got(2L)._4 === 10L, "tie broken by url: /a before /z")
+    assert(got(1L)._3 === 3L && got(1L)._4 === 20L)
+    assert(got(4L)._3 === 1L, "each host starts its own queue")
+    // worker routing is a pure function of the host
+    assert(Set(got(1L)._2, got(2L)._2, got(3L)._2).size === 1)
+    assert((0 until 4).contains(got(4L)._2))
+  }
+
   test("parseRobots output feeds robotsFilter end-to-end") {
     val robots = Seq(
       ("site.io", "User-agent: GraftBot\nDisallow: /\nAllow: /open\n")).toDF("h", "b")
