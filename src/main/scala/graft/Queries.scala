@@ -6835,6 +6835,21 @@ object Queries {
                ORDER BY priority, canonical_url) AS BIGINT) - 1) * 15 AS eta_sec
       FROM st"""))
 
+  /** Sketch face of q108 ([[graft.operators.Decontaminate
+    * .corpusOverlapSketch]]): per-source HLL gram sketches, pairwise
+    * inclusion–exclusion intersection — ONE aggregation where the exact
+    * face pays a distinct inventory exchange plus a gram self-join. No
+    * SQL oracle (HLL internals); DecontaminateSpec gates it against the
+    * exact q108 twin within the compounded-stderr band, the
+    * q10b/q38b sketch-face discipline.
+    */
+  val q108bCorpusOverlapSketch: Q = Q(
+    "q108b_corpus_overlap_sketch",
+    (s, dir) =>
+      graft.operators.Decontaminate.corpusOverlapSketch(
+        t(s, dir, "documents"), "text", "source", n = 3),
+    None)
+
   /** robots.txt PARSING ([[graft.operators.Urls.parseRobots]]) over
     * synthetic bodies assembled arithmetically per host: even hosts
     * carry a named `GraftBot` group (with a trailing-star rule that
@@ -6932,7 +6947,7 @@ object Queries {
     q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
-    q108CorpusOverlap, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
+    q108CorpusOverlap, q108bCorpusOverlapSketch, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
     q112DriftReport, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain,
     q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan, q117bWaterfillSample,
     q118KeepBestDedup,

@@ -158,4 +158,60 @@ object Decontaminate {
         (coalesce(col("shared"), lit(0L)).cast("double") / col("grams_a").cast("double"))
           .as("containment"))
   }
+
+  /** SCAN-ONCE sketch face of [[corpusOverlap]]: per-group datasketches
+    * HLL sketches of the gram inventory, pairwise intersection by
+    * inclusion–exclusion (`|A∩B| ≈ |A| + |B| − |A∪B|`, union being the
+    * operation HLL merges losslessly). Same schema as the exact face
+    * with `_est` semantics: (group_a, group_b, grams_a, grams_b,
+    * shared, containment).
+    *
+    * What it buys at 100 TB: the exact face pays a distinct
+    * (group, gram) inventory exchange plus a gram-keyed self-join; this
+    * face is ONE aggregation — no distinct (HLL dedups inherently), no
+    * join, KB of state per group riding Spark's partial/final merge
+    * tree — and the pairwise arithmetic happens over |groups|² sketch
+    * pairs, corpus-blind.
+    *
+    * Error contract: each estimate carries HLL stderr (~1.04/√2^lgK ≈
+    * 1.6% at lgK 12), and inclusion–exclusion COMPOUNDS three of them —
+    * the shared estimate's absolute error scales with the LARGER
+    * inventory, so a tiny true overlap between huge corpora can
+    * disappear into noise (clamped at 0, never negative). Use this to
+    * rank pairs for investigation; confirm suspicious ones with the
+    * exact face (DecontaminateSpec pins the agreement band against
+    * q108's exact twin — the q10b/q38b discipline).
+    */
+  def corpusOverlapSketch(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String,
+      n: Int = 8,
+      lgK: Int = 12): DataFrame = {
+    require(n > 0, "n-gram size must be positive")
+    require(lgK >= 4 && lgK <= 21, s"lgK out of datasketches range: $lgK")
+    val grams = Partitioning.spread(docs)
+      .where(col(textCol).isNotNull)
+      .select(
+        col(groupCol).as("grp"),
+        explode(array_distinct(graft.functions.text.shingles(lower(col(textCol)), n)))
+          .as("gram"))
+      .where(col("gram") =!= "")
+    val sk = grams.groupBy("grp")
+      .agg(hll_sketch_agg(col("gram"), lit(lgK)).as("sk"))
+    val a = sk.select(col("grp").as("group_a"), col("sk").as("__sa"))
+    val b = sk.select(col("grp").as("group_b"), col("sk").as("__sb"))
+    a.crossJoin(broadcast(b))
+      .where(col("group_a") =!= col("group_b"))
+      .withColumn("grams_a", hll_sketch_estimate(col("__sa")))
+      .withColumn("grams_b", hll_sketch_estimate(col("__sb")))
+      .withColumn("shared",
+        greatest(lit(0L),
+          col("grams_a") + col("grams_b") -
+            hll_sketch_estimate(hll_union(col("__sa"), col("__sb")))))
+      .withColumn("containment",
+        when(col("grams_a") === 0L, lit(0.0))
+          .otherwise(col("shared").cast("double") / col("grams_a").cast("double")))
+      .select("group_a", "group_b", "grams_a", "grams_b", "shared", "containment")
+  }
 }

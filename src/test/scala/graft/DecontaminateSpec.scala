@@ -88,4 +88,36 @@ class DecontaminateSpec extends AnyFunSuite {
       s"bench gram set must broadcast:\n$plan")
     Caches.release()
   }
+
+  test("corpusOverlapSketch tracks the exact face within the compounded HLL band") {
+    // three sources with substantial, ASYMMETRIC overlap: B contains most
+    // of A, C is disjoint — the sketch must rank these correctly and land
+    // each estimate inside the compounded-stderr band of the exact value
+    import spark.implicits._
+    val base = (1 to 400).map(i => s"alpha$i bravo$i charlie$i delta$i echo$i")
+    val docs = (
+      base.take(300).zipWithIndex.map { case (t, i) => (s"A", s"$t x$i") } ++
+      base.zipWithIndex.map { case (t, i) => (s"B", s"$t y$i") } ++
+      (1 to 300).map(i => (s"C", s"zulu$i yankee$i xray$i whiskey$i victor$i"))
+    ).toDF("source", "text")
+    val exact = Decontaminate.corpusOverlap(docs, "text", "source", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    Caches.release()
+    val est = Decontaminate.corpusOverlapSketch(docs, "text", "source", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    assert(est.keySet === exact.keySet, "same pair grid, self-pairs absent")
+    for ((pair, (gA, shared)) <- exact) {
+      val (gAe, sharedE) = est(pair)
+      // per-sketch stderr ~1.6% at lgK 12; inventory estimate: 5 sigma
+      assert(math.abs(gAe - gA).toDouble <= 0.08 * gA + 2, s"$pair grams_a: $gAe vs $gA")
+      // inclusion-exclusion compounds THREE estimates; band scales with
+      // the larger inventory, not the overlap
+      val bound = 0.08 * math.max(est(pair)._1, exact(pair)._1).toDouble + 10
+      assert(math.abs(sharedE - shared).toDouble <= bound, s"$pair shared: $sharedE vs $shared")
+    }
+    // the ranking signal survives sketching: A-B overlap >> A-C overlap
+    assert(est(("A", "B"))._2 > 10L * (est(("A", "C"))._2 + 1))
+  }
 }
