@@ -6850,6 +6850,55 @@ object Queries {
         t(s, dir, "documents"), "text", "source", n = 3),
     None)
 
+  /** T5-style span corruption ([[graft.operators.TextAugment
+    * .spanCorrupt]]) over the real document tokens: hash-fired span
+    * starts, overlap-merged runs collapsing to one sentinel, targets
+    * carrying the removed tokens per run. Every decision is the
+    * injectable linear-mod-P hash of (doc_id, position, seed), so
+    * DuckDB rebuilds tokenization, the windowed mask test, run
+    * boundaries, both output sequences, and the corruption count —
+    * the corrupted corpus is byte-identical across engines, which is
+    * the property that keeps "same data" comparable between training
+    * runs.
+    */
+  val q151SpanCorrupt: Q = Q(
+    "q151_span_corrupt",
+    (s, dir) => graft.operators.TextAugment.spanCorrupt(
+      t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), graft.functions.text.tokens(col("text")).as("toks")),
+      "doc_id", "toks", startPermille = 60, spanLen = 3, seed = 7L)
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("input_tokens")).as("input_text"),
+        concat_ws(" ", col("target_tokens")).as("target_text"),
+        col("n_masked")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk
+        FROM documents WHERE text IS NOT NULL),
+      m AS (
+        SELECT doc_id, tk,
+               list_transform(range(0, len(tk)), i ->
+                 len(list_filter(range(greatest(0, i - 2), i + 1), j ->
+                   ((doc_id * 1103515245 + j * 12345 + 7) % 2147483647) % 1000 < 60)) > 0) AS msk,
+               list_transform(range(0, len(tk)), i ->
+                 i > 0 AND len(list_filter(range(greatest(0, i - 3), i), j ->
+                   ((doc_id * 1103515245 + j * 12345 + 7) % 2147483647) % 1000 < 60)) > 0) AS prv
+        FROM d)
+      SELECT doc_id,
+             COALESCE(array_to_string(flatten(list_transform(range(0, len(tk)), i ->
+               CASE WHEN msk[i + 1] AND NOT prv[i + 1] THEN ['<mask>']
+                    WHEN msk[i + 1] THEN []
+                    ELSE [tk[i + 1]] END)), ' '), '') AS input_text,
+             COALESCE(array_to_string(flatten(list_transform(range(0, len(tk)), i ->
+               CASE WHEN msk[i + 1] AND NOT prv[i + 1] THEN ['<mask>', tk[i + 1]]
+                    WHEN msk[i + 1] THEN [tk[i + 1]]
+                    ELSE [] END)), ' '), '') AS target_text,
+             CAST(len(list_filter(msk, x -> x)) AS BIGINT) AS n_masked
+      FROM m"""))
+
   /** robots.txt PARSING ([[graft.operators.Urls.parseRobots]]) over
     * synthetic bodies assembled arithmetically per host: even hosts
     * carry a named `GraftBot` group (with a trailing-star rule that
@@ -6959,7 +7008,7 @@ object Queries {
     q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice, q139bAdvisedJoinExec,
     q140SketchStoreEstimate, q141Curriculum, q142FleissKappa, q143RobotsFilter,
     q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier, q146LinkGraphRank, q147TriangleCounts,
-    q148CohenKappa, q149KCore, q150FrontierSchedule)
+    q148CohenKappa, q149KCore, q150FrontierSchedule, q151SpanCorrupt)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
