@@ -262,9 +262,16 @@ object JoinAdvisor {
     val overlap = left.columns.toSet intersect right.columns.toSet
     require(overlap.isEmpty,
       s"left/right column names must be disjoint, both share: ${overlap.mkString(", ")}")
-    val strategy = advise(left, leftKey, right, rightKey, params,
-      broadcastRowsMax, saltProductMin)
-      .select("recommended").collect()(0).getString(0)
+    // the advise pins live only for this one collect — the verdict row is
+    // fully materialized before the join plan is built, so the per-key
+    // count tables release immediately (the quantileNormalize scope
+    // lesson: an operator that pins must not outlive its own read)
+    val adviseScope = Caches.newScope()
+    val strategy =
+      try advise(left, leftKey, right, rightKey, params,
+        broadcastRowsMax, saltProductMin, scope = Some(adviseScope))
+        .select("recommended").collect()(0).getString(0)
+      finally adviseScope.release()
     val cond = left(leftKey) === right(rightKey)
     val outCols = (left.columns.map(left(_)) ++ right.columns.map(right(_))).toIndexedSeq
     val joined = strategy match {
