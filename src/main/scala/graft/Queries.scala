@@ -6152,7 +6152,11 @@ object Queries {
           AND stopword_hits >= 1)
       SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS chars,
              MIN(md5(text)) AS md5_lo, MAX(md5(text)) AS md5_hi
-      FROM pass GROUP BY lang"""))
+      FROM pass GROUP BY lang"""),
+    headline = true) // crawl-ingest workload class: gzip WET write+read,
+                     // Content-Length parse, canonicalize, dedup, rule
+                     // chain — IO+string-bound, nothing else on the sheet
+                     // exercises the wire-format path per round
 
   /** Count-min join-cardinality estimate next to the exact answer
     * ([[graft.operators.JoinAdvisor.estimateEquiJoinRows]]): each side
