@@ -6502,11 +6502,17 @@ object Queries {
   /** FULL-WILDCARD robots matching ([[graft.operators.Urls
     * .robotsFilterWildcard]]): rules carry RFC 9309 `*` runs and `$`
     * end-anchors, translated once per rule to anchored regexes and
-    * matched under most-octets precedence. The planted rule set forces
-    * every semantic: a subtree wildcard block with an exact-match `$`
-    * carve-out, an equal-length allow/disallow tie resolved to allow,
-    * a plain prefix rule through the regex path, and a bare `*`
-    * site-wide block beaten by a longer allow. The oracle predicts
+    * matched under most-octets precedence against the PATH+QUERY
+    * target (RFC 9309 — the round-13 review catch: matching the bare
+    * path would let anchored rules fire on URLs whose query the site
+    * anchored against). The planted rule set forces every semantic: a
+    * subtree wildcard block whose `$` carve-out must NOT fire (every
+    * synthetic URL carries a query, so the anchor correctly fails and
+    * the longer `/p/1*` disallow wins — the discriminating witness for
+    * the query-included target; the equal-length allow/disallow tie
+    * itself is pinned on query-free URLs in UrlsSpec), a plain prefix
+    * rule through the regex path, and a bare `*` site-wide block
+    * beaten by a longer allow. The oracle predicts
     * every verdict AND the winning rule string arithmetically from
     * doc_id — mirrors the semantics, not the regex engine.
     */
@@ -6530,7 +6536,6 @@ object Queries {
         CASE
           WHEN doc_id % 3 = 0 THEN
             CASE WHEN doc_id % 5 = 0 THEN TRUE
-                 WHEN doc_id % 7 = 1 THEN TRUE
                  ELSE FALSE END
           WHEN doc_id % 3 = 1 THEN
             CASE WHEN doc_id % 5 = 0 THEN TRUE
@@ -6542,7 +6547,7 @@ object Queries {
         CASE
           WHEN doc_id % 3 = 0 THEN
             CASE WHEN doc_id % 5 = 0 THEN NULL
-                 WHEN doc_id % 7 = 1 THEN '/p/1$'
+                 WHEN doc_id % 7 = 1 THEN '/p/1*'
                  ELSE '/p/*' END
           WHEN doc_id % 3 = 1 THEN
             CASE WHEN doc_id % 5 = 0 THEN NULL

@@ -78,17 +78,40 @@ object JoinAdvisor {
     * aggregates before the exchange: the shuffle carries ≤ depth·width
     * rows PER PARTITION, never depth× the data.
     */
-  def cmSketch(df: DataFrame, keyCol: String, params: CmParams = defaultParams): DataFrame = {
+  def cmSketch(df: DataFrame, keyCol: String, params: CmParams = defaultParams): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .select(keyImage(col(keyCol)).as("__x"), lit(1L).as("__wt"))
+      .transform(weightedSketch(params))
+
+  /** The ONE definition of the counter-table build: explode the per-row
+    * bucket records over a pre-hashed `__x`, partial-aggregate the `__wt`
+    * weights. Raw rows weigh 1; per-key count tables weigh their counts —
+    * identical counters either way, which is the law `advise` rests on.
+    */
+  private def weightedSketch(params: CmParams)(xs: DataFrame): DataFrame = {
     val dw = params.rows.zipWithIndex.map { case ((a, b), d) =>
       struct(
         lit(d).as("d"),
         (((lit(a) * col("__x") + lit(b)) % P) % params.width).cast("int").as("w"))
     }
-    df.filter(col(keyCol).isNotNull)
-      .select(keyImage(col(keyCol)).as("__x"))
-      .select(explode(array(dw: _*)).as("dw"))
+    xs.select(explode(array(dw: _*)).as("dw"), col("__wt"))
       .groupBy(col("dw.d").as("d"), col("dw.w").as("w"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("__wt").as("cnt"))
+  }
+
+  /** The ONE definition of the estimate tail: bucket-wise count products
+    * per depth row, missing depth rows re-attached at 0 (a zero-overlap
+    * row proves the join empty and must win the min), min over rows.
+    */
+  private def innerProductEstimate(l: DataFrame, r: DataFrame, params: CmParams): DataFrame = {
+    val ip = l.withColumnRenamed("cnt", "cnt_l")
+      .join(r.withColumnRenamed("cnt", "cnt_r"), Seq("d", "w"))
+      .groupBy("d")
+      .agg(sum(col("cnt_l").cast("decimal(19,0)") * col("cnt_r").cast("decimal(19,0)"))
+        .as("ip"))
+    l.sparkSession.range(params.depth).select(col("id").cast("int").as("d"))
+      .join(ip, Seq("d"), "left")
+      .agg(min(coalesce(col("ip"), lit(0))).cast("decimal(38,0)").as("est_rows"))
   }
 
   /** Inner-join cardinality estimate as one row `(est_rows)`:
@@ -99,21 +122,9 @@ object JoinAdvisor {
   def estimateEquiJoinRows(
       left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String,
-      params: CmParams = defaultParams): DataFrame = {
-    val l = cmSketch(left, leftKey, params).withColumnRenamed("cnt", "cnt_l")
-    val r = cmSketch(right, rightKey, params).withColumnRenamed("cnt", "cnt_r")
-    val ip = l.join(r, Seq("d", "w"))
-      .groupBy("d")
-      .agg(sum(col("cnt_l").cast("decimal(19,0)") * col("cnt_r").cast("decimal(19,0)"))
-        .as("ip"))
-    // A depth row whose buckets never overlap proves the join EMPTY —
-    // its inner product is 0, but the sketch join drops it instead of
-    // emitting it. Re-attach every depth row with a zero default so
-    // disjoint (or empty-sided) inputs estimate 0, not NULL.
-    left.sparkSession.range(params.depth).select(col("id").cast("int").as("d"))
-      .join(ip, Seq("d"), "left")
-      .agg(min(coalesce(col("ip"), lit(0))).cast("decimal(38,0)").as("est_rows"))
-  }
+      params: CmParams = defaultParams): DataFrame =
+    innerProductEstimate(
+      cmSketch(left, leftKey, params), cmSketch(right, rightKey, params), params)
 
   /** Exact per-key join contribution `(key, cnt_l, cnt_r, product)`
     * for keys present on BOTH sides: the inner join on this key emits
@@ -210,24 +221,10 @@ object JoinAdvisor {
     */
   private def estimateFromKeyCounts(
       lkc: DataFrame, rkc: DataFrame, params: CmParams): DataFrame = {
-    def sketch(kc: DataFrame, out: String): DataFrame = {
-      val dw = params.rows.zipWithIndex.map { case ((a, b), d) =>
-        struct(
-          lit(d).as("d"),
-          (((lit(a) * col("__x") + lit(b)) % P) % params.width).cast("int").as("w"))
-      }
-      kc.select(keyImage(col("key")).as("__x"), col("cnt"))
-        .select(explode(array(dw: _*)).as("dw"), col("cnt"))
-        .groupBy(col("dw.d").as("d"), col("dw.w").as("w"))
-        .agg(sum("cnt").as(out))
-    }
-    val ip = sketch(lkc, "cnt_l").join(sketch(rkc, "cnt_r"), Seq("d", "w"))
-      .groupBy("d")
-      .agg(sum(col("cnt_l").cast("decimal(19,0)") * col("cnt_r").cast("decimal(19,0)"))
-        .as("ip"))
-    lkc.sparkSession.range(params.depth).select(col("id").cast("int").as("d"))
-      .join(ip, Seq("d"), "left")
-      .agg(min(coalesce(col("ip"), lit(0))).cast("decimal(38,0)").as("est_rows"))
+    def sketch(kc: DataFrame): DataFrame =
+      kc.select(keyImage(col("key")).as("__x"), col("cnt").as("__wt"))
+        .transform(weightedSketch(params))
+    innerProductEstimate(sketch(lkc), sketch(rkc), params)
   }
 
   /** An [[advise]] verdict made executable: the strategy string plus the
@@ -238,10 +235,12 @@ object JoinAdvisor {
   /** Advise, then EXECUTE the advised inner join — the report made
     * actionable in one call. Broadcast branches hint the small side
     * explicitly (never trust the size estimator with a frame that hasn't
-    * been scanned); the salt branch splits the bigger side's rows across
-    * `saltFactor` reducers with a deterministic payload-hash salt and
-    * explodes the smaller side to match (the [[Salt]] move, generalized
-    * to differing key names); the fallback is the plain shuffled join.
+    * been scanned); the salt branch salts the side whose single
+    * worst key carries more rows (splitting the other side mitigates
+    * nothing — two extra key-bounded aggs buy that decision) with a
+    * deterministic payload-hash salt and explodes the other side to
+    * match (the [[Salt]] move, generalized to differing key names);
+    * the fallback is the plain shuffled join.
     *
     * Contract: INNER equi-join; the two frames' column names must be
     * disjoint (both key columns survive into the output, so even the
@@ -278,18 +277,33 @@ object JoinAdvisor {
       case "broadcast_left" => right.join(broadcast(left), cond)
       case "broadcast_right" => left.join(broadcast(right), cond)
       case "salt_hot_keys" =>
-        // salt the LEFT side by a hash of its own payload (reruns salt
-        // identically — no rand()), replicate the right side saltFactor×
+        // salt the side whose single worst key carries MORE rows — the
+        // multiplicity being split is per-side, and salting the wrong
+        // side pays saltFactor× replication for zero skew relief (the
+        // round-13 review catch). Two key-bounded scalar aggs, spent
+        // only on this branch, ahead of the output-sized join.
+        def maxKeyCnt(df: DataFrame, k: String): Long = {
+          val r = df.filter(col(k).isNotNull)
+            .groupBy(col(k)).agg(count(lit(1)).as("c"))
+            .agg(max("c")).collect()(0)
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+        val saltLeftSide = maxKeyCnt(left, leftKey) >= maxKeyCnt(right, rightKey)
+        val (big, bigKey, small, smallKey) =
+          if (saltLeftSide) (left, leftKey, right, rightKey)
+          else (right, rightKey, left, leftKey)
+        // deterministic payload-hash salt (reruns salt identically — no
+        // rand()); the small side replicates saltFactor×
         val saltCol = "__graft_advisor_salt"
-        val payload = left.columns.filterNot(_ == leftKey).map(col)
+        val payload = big.columns.filterNot(_ == bigKey).map(col)
         val basis = if (payload.nonEmpty) payload.toIndexedSeq
-          else IndexedSeq(col(leftKey))
-        val ls = left.withColumn(saltCol,
+          else IndexedSeq(col(bigKey))
+        val bs = big.withColumn(saltCol,
           pmod(xxhash64(basis: _*), lit(saltFactor.toLong)).cast("int"))
-        val rs = right.withColumn(saltCol,
+        val se = small.withColumn(saltCol,
           explode(sequence(lit(0), lit(saltFactor - 1))))
-        ls.join(rs, ls(leftKey) === rs(rightKey) && ls(saltCol) === rs(saltCol))
-          .drop(ls(saltCol)).drop(rs(saltCol))
+        bs.join(se, bs(bigKey) === se(smallKey) && bs(saltCol) === se(saltCol))
+          .drop(bs(saltCol)).drop(se(saltCol))
       case _ => left.join(right, cond)
     }
     AdvisedJoin(strategy, joined.select(outCols: _*))
@@ -318,12 +332,19 @@ object JoinAdvisor {
     * coefficients under the same geometry are on the caller, exactly as
     * with any keyed sketch store).
     */
-  def mergeSketchStore(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
+  def mergeSketchStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      expect: Option[CmParams] = None): DataFrame = {
     val raw = spark.read.parquet(storePath)
     val geoms = raw.select("width", "depth").distinct().collect() // ≤ #geometries by contract
     require(geoms.length == 1,
       s"sketch store $storePath mixes geometries: " +
         geoms.map(g => s"${g.get(0)}x${g.get(1)}").mkString(", "))
+    expect.foreach { p =>
+      require(geoms(0).getInt(0) == p.width && geoms(0).getInt(1) == p.depth,
+        s"store $storePath geometry ${geoms(0).getInt(0)}x${geoms(0).getInt(1)} " +
+          s"!= params ${p.width}x${p.depth}")
+    }
     raw.groupBy("d", "w").agg(sum("cnt").as("cnt"))
   }
 
@@ -337,23 +358,8 @@ object JoinAdvisor {
   def estimateFromStores(
       spark: org.apache.spark.sql.SparkSession,
       storeL: String, storeR: String,
-      params: CmParams): DataFrame = {
-    def merged(path: String): DataFrame = {
-      val m = spark.read.parquet(path)
-      val geoms = m.select("width", "depth").distinct().collect()
-      require(geoms.length == 1 && geoms(0).getInt(0) == params.width &&
-        geoms(0).getInt(1) == params.depth,
-        s"store $path geometry ${geoms.map(g => s"${g.get(0)}x${g.get(1)}").mkString(",")} " +
-          s"!= params ${params.width}x${params.depth}")
-      m.groupBy("d", "w").agg(sum("cnt").as("cnt"))
-    }
-    val ip = merged(storeL).withColumnRenamed("cnt", "cnt_l")
-      .join(merged(storeR).withColumnRenamed("cnt", "cnt_r"), Seq("d", "w"))
-      .groupBy("d")
-      .agg(sum(col("cnt_l").cast("decimal(19,0)") * col("cnt_r").cast("decimal(19,0)"))
-        .as("ip"))
-    spark.range(params.depth).select(col("id").cast("int").as("d"))
-      .join(ip, Seq("d"), "left")
-      .agg(min(coalesce(col("ip"), lit(0))).cast("decimal(38,0)").as("est_rows"))
-  }
+      params: CmParams): DataFrame =
+    innerProductEstimate(
+      mergeSketchStore(spark, storeL, Some(params)),
+      mergeSketchStore(spark, storeR, Some(params)), params)
 }

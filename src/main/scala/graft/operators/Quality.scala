@@ -285,7 +285,8 @@ object Quality {
       df: DataFrame,
       itemCol: String,
       raterCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String,
+      scope: Option[Caches.Scope] = None): DataFrame = {
     val clean = df.filter(
       col(itemCol).isNotNull && col(raterCol).isNotNull && col(labelCol).isNotNull)
     // LIMIT 3 bounds the collect even against a garbage rater column (a
@@ -299,7 +300,7 @@ object Quality {
         raters.mkString(", "))
     val Array(r1, r2) = raters
     val rc = col(raterCol).cast("string")
-    val perItem = clean
+    val perItem0 = clean
       .groupBy(col(itemCol).as("__i"))
       .agg(
         sum(when(rc === r1, 1L).otherwise(0L)).as("__c1"),
@@ -315,6 +316,10 @@ object Quality {
             lit(" ratings from the two raters — every item needs exactly one from each"))))
           .otherwise(lit(true)))
       .filter(col("__ok"))
+    // PINNED: agg + both marginals read it (the fleissKappa shape) — an
+    // unpinned perItem would rescan the raw annotation frame three times
+    // and re-run the raise_error validation per scan
+    val perItem = scope.fold(Caches.pin(perItem0))(_.pin(perItem0))
     val agg = perItem.agg(
       count(lit(1)).as("n_items"),
       sum(when(col("__l1") === col("__l2"), 1L).otherwise(0L)).as("__agree"))

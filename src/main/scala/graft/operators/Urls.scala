@@ -134,13 +134,33 @@ object Urls {
   /** URI path of an absolute URL, query and fragment excluded; empty
     * path normalizes to `/` (RFC 3986 — a request for `http://h` is a
     * request for `/`). Non-absolute rows are NULL (the [[canonicalize]]
-    * quarantine). This is the string robots rules match against.
+    * quarantine). Robots rules match against [[pathQuery]], not this.
     */
   def path(url: Column): Column = {
     val p = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     when(host(url).isNull, lit(null).cast("string"))
       .otherwise(when(p === "", lit("/")).otherwise(p))
   }
+
+  /** [[path]] plus the query string (`?…`, fragment excluded) — the
+    * string robots rules actually match against: RFC 9309's match
+    * target is path-and-query, so a rule like `Disallow: /search?q=`
+    * (or an anchored `/p/1$` against a URL that carries a query) must
+    * see the query or it can never fire.
+    */
+  def pathQuery(url: Column): Column =
+    when(host(url).isNull, lit(null).cast("string"))
+      .otherwise(concat(
+        path(url),
+        regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*(\\?[^#]*)", 1)))
+
+  /** Regex whitespace trim — Spark's `trim()` strips only ASCII space
+    * 0x20 (SPARK-17299), which leaves `\r` on CRLF-split lines and
+    * `\n`/`\t` padding inside pretty-printed XML; every parser in this
+    * module trims with THIS.
+    */
+  private def wsTrim(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
 
   /** ROBOTS-EXCLUSION compliance filter (RFC 9309 — the Robots Exclusion
     * Protocol, public spec; rule semantics restated): given a parsed
@@ -185,11 +205,11 @@ object Urls {
       .groupBy(col(hostCol).as("__rhost"))
       .agg(sort_array(collect_list(ruleRec)).as("__rules"))
     val urlHost = host(col(urlCol))
-    val urlPath = path(col(urlCol))
+    val target = pathQuery(col(urlCol)) // RFC 9309 match target: path AND query
     urls
       .join(broadcast(perHost), urlHost === col("__rhost"), "left")
       .withColumn("__m",
-        filter(col("__rules"), r => urlPath.startsWith(r.getField("prefix"))))
+        filter(col("__rules"), r => target.startsWith(r.getField("prefix"))))
       .withColumn("__win",
         when(coalesce(size(col("__m")), lit(0)) > 0, element_at(col("__m"), 1)))
       .withColumn("allowed",
@@ -274,11 +294,13 @@ object Urls {
       .filter(col(hostCol).isNotNull && col(bodyCol).isNotNull)
       .select(
         col(hostCol).as("host"),
-        posexplode(split(col(bodyCol), "\n")).as(Seq("idx", "raw")))
-      .withColumn("clean", trim(regexp_replace(col("raw"), "#.*$", "")))
+        // \r?\n: real robots.txt is routinely CRLF, and Spark's trim()
+        // would NOT remove a stray \r (it strips 0x20 only)
+        posexplode(split(col(bodyCol), "\r?\n")).as(Seq("idx", "raw")))
+      .withColumn("clean", wsTrim(regexp_replace(col("raw"), "#.*$", "")))
       .filter(col("clean") =!= "")
-      .withColumn("key", lower(trim(regexp_extract(col("clean"), "^([^:]+):", 1))))
-      .withColumn("value", trim(regexp_extract(col("clean"), "^[^:]*:(.*)$", 1)))
+      .withColumn("key", lower(wsTrim(regexp_extract(col("clean"), "^([^:]+):", 1))))
+      .withColumn("value", wsTrim(regexp_extract(col("clean"), "^[^:]*:(.*)$", 1)))
     val w = Window.partitionBy("host").orderBy("idx")
     val grouped = lines
       .withColumn("is_ua", col("key") === "user-agent")
@@ -351,11 +373,11 @@ object Urls {
       .groupBy(col(hostCol).as("__rhost"))
       .agg(sort_array(collect_list(ruleRec)).as("__rules"))
     val urlHost = host(col(urlCol))
-    val urlPath = path(col(urlCol))
+    val target = pathQuery(col(urlCol)) // RFC 9309 match target: path AND query
     urls
       .join(broadcast(perHost), urlHost === col("__rhost"), "left")
       .withColumn("__m",
-        filter(col("__rules"), r => regexp_like(urlPath, r.getField("rx"))))
+        filter(col("__rules"), r => regexp_like(target, r.getField("rx"))))
       .withColumn("__win",
         when(coalesce(size(col("__m")), lit(0)) > 0, element_at(col("__m"), 1)))
       .withColumn("allowed",
@@ -393,11 +415,11 @@ object Urls {
       .select(col(hostCol).as("host"), explode(blocks).as("__b"))
       .select(
         col("host"),
-        decodeEntities(trim(regexp_extract(col("__b"), "(?s)<loc>(.*?)</loc>", 1)))
+        decodeEntities(wsTrim(regexp_extract(col("__b"), "(?s)<loc>(.*?)</loc>", 1)))
           .as("url"),
         when(regexp_extract(col("__b"), "(?s)<lastmod>(.*?)</lastmod>", 1) === "",
           lit(null).cast("string"))
-          .otherwise(trim(regexp_extract(col("__b"), "(?s)<lastmod>(.*?)</lastmod>", 1)))
+          .otherwise(wsTrim(regexp_extract(col("__b"), "(?s)<lastmod>(.*?)</lastmod>", 1)))
           .as("lastmod"))
       .filter(col("url") =!= "")
   }
@@ -422,7 +444,7 @@ object Urls {
     * like the rest of this module (non-absolute base → NULL).
     */
   def resolve(base: Column, ref: Column): Column = {
-    val r = regexp_replace(trim(ref), "#.*$", "")
+    val r = regexp_replace(wsTrim(ref), "#.*$", "")
     val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val basePath = path(base)
@@ -437,7 +459,10 @@ object Urls {
       })
     when(base.isNull || origin === "" || r.isNull, lit(null).cast("string"))
       .when(r === "", lit(null).cast("string"))
-      .when(r.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), r)
+      // ANY ref with a scheme component is absolute (RFC 3986 §4.1) —
+      // not just scheme://: mailto:/javascript:/tel: refs merged as
+      // relative paths would mint fake crawlable URLs
+      .when(r.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), r)
       .when(r.startsWith("//"), concat(scheme, lit(":"), r))
       .when(r.startsWith("/"), concat(origin, removeDots(r)))
       .when(r.startsWith("?"), concat(origin, basePath, r))
@@ -463,7 +488,10 @@ object Urls {
       .filter(col(htmlCol).isNotNull)
       .select(col(idCol), col(baseCol).as("__base"), explode(refs).as("__ref"))
       .select(col(idCol), resolve(col("__base"), col("__ref")).as("link"))
-      .filter(col("link").isNotNull)
+      // the frontier is an http(s) graph: resolve passes mailto:/tel:/
+      // javascript: refs through as the absolute URIs they are (RFC 3986
+      // §4.1), and those are dropped HERE, not mangled into fake paths
+      .filter(col("link").isNotNull && col("link").rlike("^https?://"))
   }
 
   /** POLITENESS schedule for a crawl frontier: one fetch queue per host
@@ -505,7 +533,15 @@ object Urls {
     }
     import org.apache.spark.sql.expressions.Window
     val h = host(col(urlCol))
-    val w = Window.partitionBy("host").orderBy(col(priorityCol), col(urlCol))
+    // NULL priority fails per row: engines disagree on NULL sort position
+    // (Spark first, DuckDB last), so a NULL would silently break the
+    // byte-reproducible-schedule contract (the curriculumSchedule rule)
+    val prio = when(col(priorityCol).isNull,
+      raise_error(concat(
+        lit("frontierSchedule: NULL priority for url "), col(urlCol)))
+        .cast(urls.schema(priorityCol).dataType))
+      .otherwise(col(priorityCol))
+    val w = Window.partitionBy("host").orderBy(prio, col(urlCol))
     urls
       .withColumn("host", h)
       .filter(col("host").isNotNull)

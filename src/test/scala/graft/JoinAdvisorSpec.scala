@@ -226,6 +226,20 @@ class JoinAdvisorSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("geometry"))
   }
 
+  test("executeAdvised salts the side whose worst key is heavier — results identical either way") {
+    // hot-key multiplicity lives on the RIGHT: salting the left would
+    // replicate for zero relief; whichever side is salted, the join is
+    // the same join
+    val l = ((1 to 40).map(i => (i % 20, i)) :+ ((7, 999))).toDF("lk", "lv")
+    val r = ((1 to 30).map(i => (i % 20, s"r$i")) ++ Seq.fill(500)((7, "hot"))).toDF("rk", "rv")
+    val expected = plainJoin(l, "lk", r, "rk")
+    val aj = JoinAdvisor.executeAdvised(l, "lk", r, "rk", params,
+      broadcastRowsMax = 5, saltProductMin = 100L, saltFactor = 4)
+    assert(aj.strategy === "salt_hot_keys")
+    assert(aj.df.collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getString(3))).toSet === expected)
+  }
+
   test("advise: key-count-weighted estimate equals the raw-scan estimate value-for-value") {
     val l = ((1 to 300).map(i => i % 50) ++ Seq.fill(100)(7)).toDF("k")
     val r = ((1 to 200).map(i => i % 80) ++ Seq.fill(50)(7)).toDF("k")
@@ -256,7 +270,7 @@ class JoinAdvisorSpec extends AnyFunSuite {
     // sit under the Exchange — otherwise the shuffle carries depth·N rows
     // instead of ≤ depth·width per partition
     val exchangeAt = plan.indexOf("Exchange")
-    val partialAt = plan.indexOf("partial_count")
+    val partialAt = plan.indexOf("partial_sum")
     assert(exchangeAt >= 0 && partialAt >= 0 && partialAt > exchangeAt,
       s"partial aggregate must be the exchange's CHILD (printed below it):\n$plan")
   }

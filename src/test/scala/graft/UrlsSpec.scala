@@ -363,6 +363,56 @@ class UrlsSpec extends AnyFunSuite {
     assert((0 until 4).contains(got(4L)._2))
   }
 
+  test("round-13 review catches: CRLF robots, padded XML/hrefs, scheme refs, query-target matching") {
+    // CRLF body: \r must not poison keys, agent names, or rule values
+    val crlf = "User-agent: GraftBot\r\nDisallow: /private\r\nAllow: /private/ok\r\n"
+    val rules = Urls.parseRobots(Seq(("c.io", crlf)).toDF("h", "b"), "h", "b", "graftbot")
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(rules === Set(("/private", false), ("/private/ok", true)),
+      "a CRLF robots.txt must parse identically to LF")
+    // pretty-printed sitemap: newline/tab padding inside <loc> must strip
+    val pretty = "<url>\n  <loc>\n    http://s.io/a\n  </loc>\n</url>"
+    val locs = Urls.parseSitemap(Seq(("s.io", pretty)).toDF("h", "b"), "h", "b")
+      .collect().map(_.getString(1)).toSeq
+    assert(locs === Seq("http://s.io/a"))
+    // scheme refs without '//' are ABSOLUTE (RFC 3986 §4.1), and
+    // resolveLinks drops the non-http ones instead of minting fake paths
+    val page = Seq((1L, "http://e.com/about/",
+      "<a href=\"mailto:team@e.com\">m</a> <a href='javascript:void(0)'>j</a> " +
+        "<a href=\"\npage2\t\">p</a>")).toDF("id", "base", "html")
+    val links = Urls.resolveLinks(page, "id", "html", "base")
+      .collect().map(_.getString(1)).toSet
+    assert(links === Set("http://e.com/about/page2"),
+      "mailto/javascript dropped whole, padded href trimmed — never merged as paths")
+    // robots match target includes the QUERY (RFC 9309): a rule with '?'
+    // can fire, and an anchored rule must NOT match when a query follows
+    val qRules = Seq(
+      ("q.io", "/search?q=", false),
+      ("q.io", "/exact$", false)).toDF("host", "path_prefix", "allow")
+    val verdicts = Urls.robotsFilter(Seq(
+      (1L, "http://q.io/search?q=spark"),
+      (2L, "http://q.io/search"),
+      (3L, "http://q.io/exact"),
+      (4L, "http://q.io/exact?later=1")).toDF("id", "url"), "url", qRules)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed")).toMap
+    assert(verdicts === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+    val wRules = Seq(("q.io", "/exact$", false)).toDF("host", "rule_path", "allow")
+    val w = Urls.robotsFilterWildcard(Seq(
+      (1L, "http://q.io/exact"), (2L, "http://q.io/exact?x=1"))
+      .toDF("id", "url"), "url", wRules)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed")).toMap
+    assert(w === Map(1L -> false, 2L -> true),
+      "the $ anchor sees the query and correctly refuses to match past it")
+    // NULL priority fails loudly instead of silently reordering per engine
+    val ex = intercept[Exception] {
+      Urls.frontierSchedule(
+        Seq(("http://q.io/a", Some(1L)), ("http://q.io/b", None)).toDF("url", "prio"),
+        "url", "prio", workers = 2, perHostDelaySec = 1L).collect()
+    }
+    assert((ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse(""))
+      .contains("NULL priority"))
+  }
+
   test("parseRobots output feeds robotsFilter end-to-end") {
     val robots = Seq(
       ("site.io", "User-agent: GraftBot\nDisallow: /\nAllow: /open\n")).toDF("h", "b")
