@@ -404,13 +404,21 @@ object Urls {
   def parseSitemap(
       sitemaps: DataFrame,
       hostCol: String,
-      bodyCol: String): DataFrame = {
+      bodyCol: String): DataFrame =
+    sitemapBlocks(sitemaps, hostCol, bodyCol, "url")
+
+  /** Shared `<loc>`/`<lastmod>` extraction over the given block tag —
+    * [[parseSitemap]] reads `<url>` blocks, [[parseSitemapIndex]] reads
+    * `<sitemap>` blocks, identical semantics otherwise.
+    */
+  private def sitemapBlocks(
+      df: DataFrame, hostCol: String, bodyCol: String, tag: String): DataFrame = {
     def decodeEntities(c: Column): Column =
       regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         c, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&apos;", "'"), "&amp;", "&")
     val blocks = regexp_extract_all(
-      col(bodyCol), lit("(?s)<url>(.*?)</url>"), lit(1))
-    sitemaps
+      col(bodyCol), lit(s"(?s)<$tag>(.*?)</$tag>"), lit(1))
+    df
       .filter(col(hostCol).isNotNull && col(bodyCol).isNotNull)
       .select(col(hostCol).as("host"), explode(blocks).as("__b"))
       .select(
@@ -551,6 +559,20 @@ object Urls {
       .withColumn("slot", row_number().over(w).cast("long"))
       .withColumn("eta_sec", (col("slot") - 1L) * perHostDelaySec)
   }
+
+  /** Parse sitemap INDEX bodies (`<sitemapindex>` of `<sitemap>` blocks —
+    * how a site larger than the 50k-URL/50MB per-file cap ships its URL
+    * set): same extraction contract as [[parseSitemap]] — required
+    * `<loc>`, optional `<lastmod>`, regex trim, entity decode — but the
+    * output URLs are FURTHER SITEMAPS to fetch, not pages. Chain:
+    * index → fetch children → [[parseSitemap]] → frontier.
+    */
+  def parseSitemapIndex(
+      indexes: DataFrame,
+      hostCol: String,
+      bodyCol: String): DataFrame =
+    sitemapBlocks(indexes, hostCol, bodyCol, "sitemap")
+      .withColumnRenamed("url", "sitemap_url")
 
   /** Per-DOMAIN quality report — the C4/RefinedWeb curation move: judge
     * sites, not just documents (a spam domain's individually-plausible

@@ -413,6 +413,22 @@ class UrlsSpec extends AnyFunSuite {
       .contains("NULL priority"))
   }
 
+  test("parseSitemapIndex: <sitemap> blocks chain into parseSitemap") {
+    val index =
+      """<sitemapindex>
+        |  <url><loc>http://s.io/decoy-page</loc></url>
+        |  <sitemap><loc> http://s.io/maps/a.xml </loc><lastmod>2026-02-01</lastmod></sitemap>
+        |  <sitemap><loc>http://s.io/maps/b.xml?part=1&amp;of=2</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val got = Urls.parseSitemapIndex(Seq(("s.io", index)).toDF("h", "b"), "h", "b")
+      .collect().map(r => (r.getString(1), Option(r.getString(2)))).toSet
+    // <url> blocks are NOT child sitemaps — an index parser that also
+    // swallowed page entries would re-fetch pages as sitemaps
+    assert(got === Set(
+      ("http://s.io/maps/a.xml", Some("2026-02-01")),
+      ("http://s.io/maps/b.xml?part=1&of=2", None)))
+  }
+
   test("parseRobots output feeds robotsFilter end-to-end") {
     val robots = Seq(
       ("site.io", "User-agent: GraftBot\nDisallow: /\nAllow: /open\n")).toDF("h", "b")
