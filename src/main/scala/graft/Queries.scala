@@ -6958,6 +6958,195 @@ object Queries {
       SELECT 'h' || CAST(hid AS VARCHAR), '/', FALSE FROM od"""))
 
   // ===========================================================
+  // Post-training (SFT / chat) data layer: parse → validate → stats →
+  // render, over arithmetically synthesized JSON transcripts (the q99
+  // move: the engine runs the REAL parser/aggregators, the oracle
+  // mirrors the generation rules and replays the audit logic in SQL).
+  // ===========================================================
+
+  /** Synthesized chat corpus: one JSON transcript per document, with
+    * seeded contract violations so every [[graft.operators
+    * .Conversations.validate]] flag has real witnesses at any SF —
+    * `%4`: leading system turn; `%11`: doubled user (alternation
+    * break); `%13`: empty final assistant content; `%17`: truncated
+    * JSON (parse failure); `%19`: trailing user turn (not
+    * assistant-final). Content is arithmetic and JSON-safe, so the
+    * oracle predicts turns without a JSON engine.
+    */
+  private def syntheticChats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val npairs = col("doc_id") % 3 + 1
+    val hasSys = col("doc_id") % 4 === 0
+    val dupUser = col("doc_id") % 11 === 0
+    val emptyAsst = col("doc_id") % 13 === 0
+    val broken = col("doc_id") % 17 === 0
+    val trailUser = col("doc_id") % 19 === 0
+    def msg(role: Column, content: Column): Column =
+      concat(lit("{\"role\":\""), role, lit("\",\"content\":\""), content, lit("\"}"))
+    def userMsg(i: Int): Column =
+      when(npairs > i, msg(lit("user"),
+        concat(lit("ask "), (col("doc_id") % 7).cast("string"), lit(s" q$i"))))
+    def asstMsg(i: Int): Column = {
+      val role =
+        if (i == 0) when(dupUser, lit("user")).otherwise(lit("assistant"))
+        else lit("assistant")
+      val content = when(emptyAsst && npairs === i + 1, lit(""))
+        .otherwise(concat(lit("ans "), (col("doc_id") % 5).cast("string"), lit(s" a$i")))
+      when(npairs > i, msg(role, content))
+    }
+    // when() without otherwise → NULL for absent turns; concat_ws skips them
+    val body = concat_ws(",",
+      when(hasSys, msg(lit("system"), lit("be concise"))),
+      userMsg(0), asstMsg(0), userMsg(1), asstMsg(1), userMsg(2), asstMsg(2),
+      when(trailUser, msg(lit("user"), lit("more"))))
+    d.select(
+      col("doc_id"),
+      concat(lit("["), body, when(broken, lit("")).otherwise(lit("]"))).as("conv_json"))
+  }
+
+  /** DuckDB prediction of [[syntheticChats]]' parsed turn table —
+    * shared by all four chat oracles. Broken transcripts contribute
+    * their NULL carrier row (the `posexplode_outer` convention).
+    */
+  private val chatTurnsCte: String = """
+      chat_p AS (
+        SELECT doc_id,
+               1 + doc_id % 3 AS npairs,
+               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS s,
+               (doc_id % 11 = 0) AS dup_user,
+               (doc_id % 13 = 0) AS empty_asst,
+               (doc_id % 17 = 0) AS broken,
+               CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END AS trail
+        FROM documents),
+      chat_idx AS (
+        SELECT doc_id, npairs, s, dup_user, empty_asst,
+               unnest(range(0, s + 2 * npairs + trail)) AS i
+        FROM chat_p WHERE NOT broken),
+      chat_turns AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS turn_idx,
+               CASE
+                 WHEN s = 1 AND i = 0 THEN 'system'
+                 WHEN (i - s) % 2 = 0 AND (i - s) // 2 < npairs THEN 'user'
+                 WHEN (i - s) % 2 = 1 AND (i - s) // 2 = 0 AND dup_user THEN 'user'
+                 WHEN (i - s) % 2 = 1 THEN 'assistant'
+                 ELSE 'user' END AS role,
+               CASE
+                 WHEN s = 1 AND i = 0 THEN 'be concise'
+                 WHEN (i - s) = 2 * npairs THEN 'more'
+                 WHEN (i - s) % 2 = 0 THEN
+                   'ask ' || CAST(doc_id % 7 AS VARCHAR) || ' q' || CAST((i - s) // 2 AS VARCHAR)
+                 WHEN (i - s) // 2 = npairs - 1 AND empty_asst THEN ''
+                 ELSE
+                   'ans ' || CAST(doc_id % 5 AS VARCHAR) || ' a' || CAST((i - s) // 2 AS VARCHAR)
+               END AS content
+        FROM chat_idx
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL FROM chat_p WHERE broken)"""
+
+  /** REAL JSON chat parsing ([[graft.operators.Conversations
+    * .parseTurns]]): `from_json` + `posexplode_outer` over the
+    * synthesized transcripts, truncated JSON surfacing as the NULL
+    * carrier row. Pure narrow stage — no shuffle at any corpus size.
+    */
+  val q152ChatTurns: Q = Q(
+    "q152_chat_turns",
+    (s, dir) => graft.operators.Conversations.parseTurns(
+      syntheticChats(s, dir), "doc_id", "conv_json"),
+    Some(s"""
+      WITH $chatTurnsCte
+      SELECT doc_id, turn_idx, role, content FROM chat_turns"""))
+
+  /** Conversation-contract audit ([[graft.operators.Conversations
+    * .validate]]): role alternation under both phases, non-empty
+    * content, assistant-final, parse health — ONE map-side-combinable
+    * aggregation, flags replayed in SQL over the predicted turn table.
+    */
+  val q153ChatValidate: Q = Q(
+    "q153_chat_validate",
+    (s, dir) => graft.operators.Conversations.validate(
+      graft.operators.Conversations.parseTurns(
+        syntheticChats(s, dir), "doc_id", "conv_json"),
+      "doc_id"),
+    Some(s"""
+      WITH $chatTurnsCte,
+      v AS (
+        SELECT doc_id,
+               COUNT(turn_idx) AS n_turns,
+               COUNT(turn_idx) > 0 AS parse_ok,
+               COALESCE(COUNT(turn_idx) > 0 AND
+                 arg_min(role, turn_idx) IN ('system', 'user'), FALSE) AS starts_ok,
+               COALESCE(COUNT(turn_idx) > 0 AND
+                 CASE WHEN arg_min(role, turn_idx) = 'system'
+                   THEN SUM(CASE WHEN turn_idx > 0 AND
+                     ((turn_idx % 2 = 1 AND role IS DISTINCT FROM 'user') OR
+                      (turn_idx % 2 = 0 AND role IS DISTINCT FROM 'assistant'))
+                     THEN 1 ELSE 0 END) = 0
+                   ELSE SUM(CASE WHEN
+                     ((turn_idx % 2 = 0 AND role IS DISTINCT FROM 'user') OR
+                      (turn_idx % 2 = 1 AND role IS DISTINCT FROM 'assistant'))
+                     THEN 1 ELSE 0 END) = 0 END, FALSE) AS alternates,
+               COUNT(turn_idx) > 0 AND
+                 SUM(CASE WHEN turn_idx IS NOT NULL AND
+                   (content IS NULL OR trim(content) = '') THEN 1 ELSE 0 END) = 0
+                 AS no_empty,
+               COALESCE(arg_max(role, turn_idx) = 'assistant', FALSE) AS ends_assistant
+        FROM chat_turns GROUP BY doc_id)
+      SELECT doc_id, n_turns, parse_ok, starts_ok, alternates, no_empty, ends_assistant,
+             (n_turns >= 2 AND starts_ok AND alternates AND no_empty AND ends_assistant)
+               AS valid
+      FROM v"""))
+
+  /** Per-conversation budget report ([[graft.operators.Conversations
+    * .stats]]): turn counts and whitespace-token budgets by role —
+    * the packing planner's input. Integer-only; token counts replay
+    * as space arithmetic because the synthesized contents are
+    * single-spaced.
+    */
+  val q154ChatStats: Q = Q(
+    "q154_chat_stats",
+    (s, dir) => graft.operators.Conversations.stats(
+      graft.operators.Conversations.parseTurns(
+        syntheticChats(s, dir), "doc_id", "conv_json"),
+      "doc_id"),
+    Some(s"""
+      WITH $chatTurnsCte
+      SELECT doc_id,
+             COUNT(turn_idx) AS n_turns,
+             COUNT(CASE WHEN role = 'user' THEN 1 END) AS n_user,
+             COUNT(CASE WHEN role = 'assistant' THEN 1 END) AS n_assistant,
+             CAST(COALESCE(SUM(CASE WHEN role = 'user' THEN
+               (CASE WHEN content = '' THEN 0
+                     ELSE length(content) - length(replace(content, ' ', '')) + 1 END)
+               ELSE 0 END), 0) AS BIGINT) AS user_tokens,
+             CAST(COALESCE(SUM(CASE WHEN role = 'assistant' THEN
+               (CASE WHEN content = '' THEN 0
+                     ELSE length(content) - length(replace(content, ' ', '')) + 1 END)
+               ELSE 0 END), 0) AS BIGINT) AS assistant_tokens,
+             CAST(COALESCE(SUM(length(content)), 0) AS BIGINT) AS n_chars
+      FROM chat_turns GROUP BY doc_id"""))
+
+  /** Chat-template rendering ([[graft.operators.Conversations
+    * .render]], ChatML-style with the generation prompt): exact
+    * string agreement with DuckDB's ordered `string_agg`, pinning
+    * turn order, the `\n` placement, and the trailing inference
+    * prefix. Parse-failed transcripts are absent by contract.
+    */
+  val q155ChatRender: Q = Q(
+    "q155_chat_render",
+    (s, dir) => graft.operators.Conversations.render(
+      graft.operators.Conversations.parseTurns(
+        syntheticChats(s, dir), "doc_id", "conv_json"),
+      "doc_id", addGenerationPrompt = true),
+    Some(s"""
+      WITH $chatTurnsCte
+      SELECT doc_id,
+             string_agg(
+               '<|im_start|>' || role || chr(10) || COALESCE(content, '') ||
+                 '<|im_end|>' || chr(10),
+               '' ORDER BY turn_idx) || '<|im_start|>assistant' || chr(10) AS rendered
+      FROM chat_turns WHERE turn_idx IS NOT NULL GROUP BY doc_id"""))
+
+  // ===========================================================
 
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterPushdown, q03BroadcastJoinAgg, q04FullouterTimeline,
@@ -7017,7 +7206,8 @@ object Queries {
     q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice, q139bAdvisedJoinExec,
     q140SketchStoreEstimate, q141Curriculum, q142FleissKappa, q143RobotsFilter,
     q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier, q146LinkGraphRank, q147TriangleCounts,
-    q148CohenKappa, q149KCore, q150FrontierSchedule, q151SpanCorrupt)
+    q148CohenKappa, q149KCore, q150FrontierSchedule, q151SpanCorrupt,
+    q152ChatTurns, q153ChatValidate, q154ChatStats, q155ChatRender)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

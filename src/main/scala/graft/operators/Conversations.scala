@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+
+import graft.functions.text
+
+/** Post-training (SFT / chat) data operators: parse JSON chat
+  * transcripts into turn tables, validate the conversation contract
+  * (role alternation, non-empty content, assistant-final), report
+  * per-conversation token budgets, and render chat-template text —
+  * the four steps every instruction-tuning pipeline runs between "raw
+  * conversations landed" and "packed training sequences".
+  *
+  * Scale shape: [[parseTurns]] is a pure projection + generator (one
+  * narrow stage, no shuffle — `from_json` and `posexplode` both run
+  * inside whole-stage codegen); [[validate]], [[stats]] and [[render]]
+  * are each ONE hash aggregation over the turn table keyed by the
+  * conversation id — map-side combinable, no windows, no self-joins,
+  * so a 100 TB conversation corpus costs one exchange per audit.
+  * Every reported value is an integer, a boolean, or an exact string,
+  * so all four faces replay bit-for-bit on any engine.
+  */
+object Conversations {
+
+  /** The wire schema of one chat message. Extra JSON fields are
+    * ignored (permissive read); missing fields surface as NULLs for
+    * [[validate]] to flag rather than throw.
+    */
+  val messageSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("role", StringType),
+    StructField("content", StringType))))
+
+  /** Parse a JSON-array chat transcript column into one row per turn:
+    * `(idCol, turn_idx, role, content)`.
+    *
+    * Malformed JSON (or JSON that is not an array of objects) yields
+    * ONE row with NULL `turn_idx`/`role`/`content` — the conversation
+    * stays visible to downstream audits as a parse failure instead of
+    * silently vanishing (`posexplode_outer`, not `posexplode`). An
+    * EMPTY array `[]` does the same: a zero-message conversation is a
+    * contract violation, not a no-op.
+    */
+  def parseTurns(df: DataFrame, idCol: String, jsonCol: String): DataFrame = {
+    val parsed = from_json(col(jsonCol), messageSchema)
+    // [] → NULL so empty transcripts keep their carrier row too
+    val nonEmpty = when(size(parsed) > 0, parsed)
+    df.select(col(idCol), posexplode_outer(nonEmpty).as(Seq("turn_idx", "m")))
+      .select(
+        col(idCol),
+        col("turn_idx"),
+        col("m.role").as("role"),
+        col("m.content").as("content"))
+  }
+
+  /** Per-conversation contract audit over a [[parseTurns]] table.
+    * Output, one row per conversation:
+    *
+    *   - `n_turns`      parsed message count (0 when the JSON failed)
+    *   - `parse_ok`     the transcript parsed to ≥1 message
+    *   - `starts_ok`    first role is `system` or `user`
+    *   - `alternates`   after an optional leading system turn, roles
+    *                    strictly alternate user/assistant starting
+    *                    with user, and `system` appears nowhere else
+    *   - `no_empty`     every content is non-NULL and non-blank
+    *   - `ends_assistant` the last role is `assistant`
+    *   - `valid`        all of the above and ≥ 2 parsed turns
+    *
+    * ONE aggregation, no window: the first/last turns are recovered
+    * with order-independent `min/max(struct(turn_idx, role))`, and
+    * alternation is counted as violations under BOTH possible offsets
+    * (system-led vs user-led), the applicable one selected after the
+    * aggregate — so partial aggregation stays map-side combinable.
+    */
+  def validate(turns: DataFrame, idCol: String): DataFrame = {
+    val idx = col("turn_idx")
+    val role = col("role")
+    // null-safe role tests: a message missing its "role" field must COUNT
+    // as an alternation violation, not null out of the predicate
+    def roleIs(r: String): Column = role <=> lit(r)
+    // violation counters for the two alternation phases
+    val expect0 = // user at even idx, assistant at odd (no system turn)
+      (idx % 2 === 0 && !roleIs("user")) || (idx % 2 === 1 && !roleIs("assistant"))
+    val expect1 = // idx 0 is system; user at odd, assistant at even>0
+      idx > 0 &&
+        ((idx % 2 === 1 && !roleIs("user")) || (idx % 2 === 0 && !roleIs("assistant")))
+    val agg = turns.groupBy(col(idCol)).agg(
+      count(idx).as("n_turns"),
+      // min_by/max_by keep the aggregate hash-based (a struct-valued
+      // min/max falls back to SortAggregate — a per-partition sort the
+      // turn table doesn't need); rows with NULL turn_idx (parse
+      // failures) are ignored by the ordering, so both come back NULL
+      // for broken transcripts and the flags below read false
+      min_by(role, idx).as("__first_role"),
+      max_by(role, idx).as("__last_role"),
+      sum(when(expect0, 1L).otherwise(0L)).as("__viol0"),
+      sum(when(expect1, 1L).otherwise(0L)).as("__viol1"),
+      sum(when(
+        idx.isNotNull && (col("content").isNull || trim(col("content")) === ""),
+        1L).otherwise(0L)).as("__empties"))
+    // every flag lands as a real boolean — NULL first/last roles (parse
+    // failures, missing "role" fields) must read false, not NULL
+    def flag(c: Column): Column = coalesce(c, lit(false))
+    agg.select(
+      col(idCol),
+      col("n_turns"),
+      (col("n_turns") > 0).as("parse_ok"),
+      flag(col("n_turns") > 0 &&
+        col("__first_role").isin("system", "user")).as("starts_ok"),
+      flag(col("n_turns") > 0 &&
+        when(col("__first_role") === "system", col("__viol1") === 0)
+          .otherwise(col("__viol0") === 0)).as("alternates"),
+      (col("n_turns") > 0 && col("__empties") === 0).as("no_empty"),
+      flag(col("__last_role") === "assistant").as("ends_assistant"))
+      .withColumn(
+        "valid",
+        col("n_turns") >= 2 && col("starts_ok") && col("alternates") &&
+          col("no_empty") && col("ends_assistant"))
+  }
+
+  /** Per-conversation volume report over a [[parseTurns]] table:
+    * turn counts and whitespace-token budgets split by role, plus
+    * total characters — the numbers a packing planner ([[Packing]])
+    * and a cost model consume. Integer-only output; parse-failed
+    * conversations report all zeros (they are still rows — the budget
+    * of a broken transcript is a fact, not a missing value).
+    */
+  def stats(turns: DataFrame, idCol: String): DataFrame = {
+    val tok = text.tokenCount(col("content")).cast("long")
+    def tokensWhere(r: String): Column =
+      coalesce(sum(when(col("role") === r, tok).otherwise(0L)), lit(0L))
+    turns.groupBy(col(idCol)).agg(
+      count(col("turn_idx")).as("n_turns"),
+      count(when(col("role") === "user", 1)).as("n_user"),
+      count(when(col("role") === "assistant", 1)).as("n_assistant"),
+      tokensWhere("user").as("user_tokens"),
+      tokensWhere("assistant").as("assistant_tokens"),
+      coalesce(sum(length(col("content")).cast("long")), lit(0L)).as("n_chars"))
+  }
+
+  /** Render a [[parseTurns]] table to chat-template text, one row per
+    * conversation that parsed to ≥1 message:
+    *
+    *   `<|im_start|>role\ncontent<|im_end|>\n` per turn, concatenated
+    *   in turn order, plus a trailing `<|im_start|>assistant\n` when
+    *   `addGenerationPrompt` (the inference-prefix convention).
+    *
+    * NULL content renders as empty string (the audit flags it;
+    * rendering is mechanical). ONE aggregation: turns collect into an
+    * array, `array_sort` orders by `turn_idx` (struct ordering — no
+    * window, no per-key sort exchange), and the template is a codegen'd
+    * transform + join. Conversations are rendered independently, so
+    * the operator scales with the corpus, not the longest transcript.
+    */
+  def render(
+      turns: DataFrame,
+      idCol: String,
+      addGenerationPrompt: Boolean = false): DataFrame = {
+    val collected = turns
+      .where(col("turn_idx").isNotNull)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("turn_idx"), col("role"), col("content"))).as("__t"))
+    val body = array_join(
+      transform(
+        array_sort(col("__t")),
+        m => concat(
+          lit("<|im_start|>"), coalesce(m.getField("role"), lit("")), lit("\n"),
+          coalesce(m.getField("content"), lit("")), lit("<|im_end|>\n"))),
+      "")
+    val rendered =
+      if (addGenerationPrompt) concat(body, lit("<|im_start|>assistant\n")) else body
+    collected.select(col(idCol), rendered.as("rendered"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Conversations
+
+class ConversationsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def turnsOf(convs: (Long, String)*) =
+    Conversations.parseTurns(convs.toSeq.toDF("id", "j"), "id", "j")
+
+  private val good =
+    """[{"role":"user","content":"hi there"},{"role":"assistant","content":"hello"}]"""
+  private val sysLed =
+    """[{"role":"system","content":"be brief"},{"role":"user","content":"q"},{"role":"assistant","content":"a"}]"""
+
+  test("parseTurns: well-formed JSON explodes to ordered turns; extra fields ignored") {
+    val got = turnsOf(
+      1L -> good,
+      2L -> """[{"role":"user","content":"x","weight":3}]""")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(got.toSet === Set(
+      (1L, 0, "user", "hi there"), (1L, 1, "assistant", "hello"),
+      (2L, 0, "user", "x")))
+  }
+
+  test("parseTurns: malformed, empty-array, and NULL transcripts keep a NULL carrier row") {
+    val df = Seq((1L, "[{bad"), (2L, "[]"), (3L, null: String)).toDF("id", "j")
+    val got = Conversations.parseTurns(df, "id", "j").collect()
+    assert(got.length === 3)
+    assert(got.forall(r => r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3)),
+      "every broken transcript stays visible as one all-NULL turn row")
+  }
+
+  test("validate: the full flag matrix over hand-built witnesses") {
+    val cases = Seq(
+      1L -> good, // valid
+      2L -> sysLed, // valid, system-led
+      3L -> """[{"role":"user","content":"a"},{"role":"user","content":"b"}]""", // no alternation
+      4L -> """[{"role":"user","content":"a"},{"role":"assistant","content":" "}]""", // blank content
+      5L -> """[{"role":"user","content":"a"}]""", // too short, not assistant-final
+      6L -> "[{broken", // parse failure
+      7L -> """[{"role":"assistant","content":"a"},{"role":"user","content":"b"}]""", // starts wrong
+      8L -> """[{"role":"user","content":"a"},{"role":"assistant","content":"b"},{"role":"system","content":"late"}]""", // system not first
+      9L -> """[{"content":"no role"},{"role":"assistant","content":"b"}]""") // missing role = violation
+    val v = Conversations.validate(turnsOf(cases: _*), "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = {
+      val r = v(id)
+      (r.getAs[Boolean]("parse_ok"), r.getAs[Boolean]("starts_ok"),
+        r.getAs[Boolean]("alternates"), r.getAs[Boolean]("no_empty"),
+        r.getAs[Boolean]("ends_assistant"), r.getAs[Boolean]("valid"))
+    }
+    assert(flags(1L) === ((true, true, true, true, true, true)))
+    assert(flags(2L) === ((true, true, true, true, true, true)))
+    assert(flags(3L) === ((true, true, false, true, false, false)))
+    assert(flags(4L) === ((true, true, true, false, true, false)))
+    assert(flags(5L) === ((true, true, true, true, false, false)))
+    assert(flags(6L) === ((false, false, false, false, false, false)))
+    assert(flags(7L) === ((true, false, false, true, false, false)))
+    assert(flags(8L) === ((true, true, false, true, false, false)))
+    assert(flags(9L)._3 === false, "a message missing its role must break alternation")
+    assert(v(5L).getAs[Long]("n_turns") === 1L)
+    assert(v(6L).getAs[Long]("n_turns") === 0L)
+  }
+
+  test("stats: role-split token budgets; broken transcripts report zeros, not NULLs") {
+    val st = Conversations.stats(turnsOf(1L -> sysLed, 2L -> "[{bad"), "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(st(1L).getAs[Long]("n_turns") === 3L)
+    assert(st(1L).getAs[Long]("n_user") === 1L)
+    assert(st(1L).getAs[Long]("n_assistant") === 1L)
+    assert(st(1L).getAs[Long]("user_tokens") === 1L)
+    assert(st(1L).getAs[Long]("assistant_tokens") === 1L)
+    assert(st(1L).getAs[Long]("n_chars") === ("be brief".length + 2L))
+    assert(
+      Seq("n_turns", "n_user", "n_assistant", "user_tokens", "assistant_tokens", "n_chars")
+        .map(st(2L).getAs[Long](_)) === Seq(0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("render: turn order survives shuffled input; generation prompt appends; parse failures absent") {
+    // feed the turn table in REVERSED order — render must sort by turn_idx
+    val turns = Seq(
+      (1L, Some(1), "assistant", "hello"), (1L, Some(0), "user", "hi"),
+      (2L, None: Option[Int], null: String, null: String))
+      .toDF("id", "turn_idx", "role", "content")
+    val out = Conversations.render(turns, "id", addGenerationPrompt = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set(1L), "a transcript with no parsed turns renders nothing")
+    assert(out(1L) ===
+      "<|im_start|>user\nhi<|im_end|>\n<|im_start|>assistant\nhello<|im_end|>\n<|im_start|>assistant\n")
+    val plain = Conversations.render(turns, "id").collect().head.getString(1)
+    assert(plain === "<|im_start|>user\nhi<|im_end|>\n<|im_start|>assistant\nhello<|im_end|>\n")
+  }
+
+  test("validate and stats are ONE hash aggregation — a single exchange each") {
+    val turns = turnsOf(1L -> good, 2L -> sysLed)
+    for (df <- Seq(
+        Conversations.validate(turns, "id"),
+        Conversations.stats(turns, "id"),
+        Conversations.render(turns, "id"))) {
+      df.collect()
+      // AQE's toString repeats the plan under "== Initial Plan ==" — count
+      // exchanges in the final section only
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1, s"expected at most one exchange, plan:\n$plan")
+    }
+  }
+}
