@@ -7146,6 +7146,74 @@ object Queries {
                '' ORDER BY turn_idx) || '<|im_start|>assistant' || chr(10) AS rendered
       FROM chat_turns WHERE turn_idx IS NOT NULL GROUP BY doc_id"""))
 
+  /** Synthesized scored-response corpus for the preference layer:
+    * ~25 responses per prompt, integer scores from a fixed affine
+    * draw, `%23` rows NULL-scored to exercise the quarantine.
+    */
+  private def syntheticResponses(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      (col("doc_id") % 40).as("prompt_id"),
+      col("doc_id").as("resp_id"),
+      when(col("doc_id") % 23 === 0, lit(null).cast("int"))
+        .otherwise(((col("doc_id") * 37) % 101).cast("int")).as("score"))
+
+  private val respCte: String = """
+      resp AS (
+        SELECT doc_id % 40 AS prompt_id, doc_id AS resp_id,
+               CASE WHEN doc_id % 23 = 0 THEN NULL
+                    ELSE CAST((doc_id * 37) % 101 AS INTEGER) END AS score
+        FROM documents),
+      sresp AS (SELECT * FROM resp WHERE score IS NOT NULL),
+      rk AS (
+        SELECT prompt_id, resp_id, score,
+               row_number() OVER (PARTITION BY prompt_id
+                 ORDER BY score DESC, resp_id ASC) AS rc,
+               row_number() OVER (PARTITION BY prompt_id
+                 ORDER BY score ASC, resp_id ASC) AS rr
+        FROM sresp)"""
+
+  /** DPO pair construction ([[graft.operators.Preferences
+    * .pairsByScore]]): best-vs-worst per prompt in ONE map-side-
+    * combinable aggregation (`min_by`/`max_by` under an explicit total
+    * order — no window), NULL scores quarantined, zero-margin prompts
+    * dropped. The oracle replays the same total order with ranked
+    * windows.
+    */
+  val q156PreferencePairs: Q = Q(
+    "q156_preference_pairs",
+    (s, dir) => graft.operators.Preferences.pairsByScore(
+      syntheticResponses(s, dir), "prompt_id", "resp_id", "score"),
+    Some(s"""
+      WITH $respCte,
+      n AS (SELECT prompt_id, COUNT(*) AS n_responses FROM resp GROUP BY prompt_id),
+      ns AS (SELECT prompt_id, COUNT(*) AS n_scored FROM sresp GROUP BY prompt_id)
+      SELECT c.prompt_id, c.resp_id AS chosen_id, j.resp_id AS rejected_id,
+             c.score AS chosen_score, j.score AS rejected_score,
+             c.score - j.score AS margin, n.n_responses
+      FROM rk c
+      JOIN rk j ON j.prompt_id = c.prompt_id AND j.rr = 1
+      JOIN n ON n.prompt_id = c.prompt_id
+      JOIN ns ON ns.prompt_id = c.prompt_id
+      WHERE c.rc = 1 AND ns.n_scored >= 2 AND c.score > j.score"""))
+
+  /** Bounded listwise → pairwise expansion ([[graft.operators
+    * .Preferences.topBottomPairs]], p = 3): top-3 × bottom-3 response
+    * pairs per prompt with positive margin — ≤ 9 pairs per prompt by
+    * construction, one exchange serving both window sorts.
+    */
+  val q157PreferenceTopBottom: Q = Q(
+    "q157_preference_topbottom",
+    (s, dir) => graft.operators.Preferences.topBottomPairs(
+      syntheticResponses(s, dir), "prompt_id", "resp_id", "score", p = 3),
+    Some(s"""
+      WITH $respCte
+      SELECT t.prompt_id, t.resp_id AS chosen_id, b.resp_id AS rejected_id,
+             t.score AS chosen_score, b.score AS rejected_score,
+             t.score - b.score AS margin
+      FROM rk t
+      JOIN rk b ON b.prompt_id = t.prompt_id AND b.rr <= 3
+      WHERE t.rc <= 3 AND t.score > b.score"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -7207,7 +7275,8 @@ object Queries {
     q140SketchStoreEstimate, q141Curriculum, q142FleissKappa, q143RobotsFilter,
     q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier, q146LinkGraphRank, q147TriangleCounts,
     q148CohenKappa, q149KCore, q150FrontierSchedule, q151SpanCorrupt,
-    q152ChatTurns, q153ChatValidate, q154ChatStats, q155ChatRender)
+    q152ChatTurns, q153ChatValidate, q154ChatStats, q155ChatRender,
+    q156PreferencePairs, q157PreferenceTopBottom)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
