@@ -7214,6 +7214,38 @@ object Queries {
       JOIN rk b ON b.prompt_id = t.prompt_id AND b.rr <= 3
       WHERE t.rc <= 3 AND t.score > b.score"""))
 
+  /** Release-gate privacy audit ([[graft.operators.Privacy
+    * .kAnonymityReport]]): k-anonymity and l-diversity per
+    * (nation, market-segment) equivalence class with account-balance
+    * bands as the sensitive attribute — two stacked hash aggregations,
+    * no COUNT(DISTINCT) Expand. Exact SQL semantics, fully replayed.
+    */
+  val q158KAnonymity: Q = Q(
+    "q158_k_anonymity",
+    (s, dir) => graft.operators.Privacy.kAnonymityReport(
+      t(s, dir, "customer").select(
+        col("c_nationkey"), col("c_mktsegment"),
+        // fixed-WIDTH key bucket: class sizes stay ~constant as the
+        // table scales (classes multiply instead), so k=12/l=9 have
+        // witnesses on BOTH sides of each flag at every SF
+        (col("c_custkey") / 2000).cast("long").as("ckb"),
+        floor(col("c_acctbal") / 500).cast("long").as("band")),
+      Seq("c_nationkey", "c_mktsegment", "ckb"), "band", k = 12L, l = 9L),
+    Some("""
+      WITH l1 AS (
+        SELECT c_nationkey, c_mktsegment, c_custkey // 2000 AS ckb,
+               CAST(floor(c_acctbal / 500) AS BIGINT) AS band, COUNT(*) AS n
+        FROM customer GROUP BY 1, 2, 3, 4),
+      cls AS (
+        SELECT c_nationkey, c_mktsegment, ckb,
+               CAST(SUM(n) AS BIGINT) AS class_size, COUNT(*) AS n_sensitive
+        FROM l1 GROUP BY 1, 2, 3)
+      SELECT c_nationkey, c_mktsegment, ckb, class_size, n_sensitive,
+             class_size >= 12 AS k_anonymous,
+             n_sensitive >= 9 AS l_diverse,
+             NOT (class_size >= 12 AND n_sensitive >= 9) AS at_risk
+      FROM cls"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -7276,7 +7308,7 @@ object Queries {
     q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier, q146LinkGraphRank, q147TriangleCounts,
     q148CohenKappa, q149KCore, q150FrontierSchedule, q151SpanCorrupt,
     q152ChatTurns, q153ChatValidate, q154ChatStats, q155ChatRender,
-    q156PreferencePairs, q157PreferenceTopBottom)
+    q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

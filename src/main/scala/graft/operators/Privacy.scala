@@ -55,4 +55,49 @@ object Privacy {
         count(lit(1)).as("n_rows"),
         sum(col("__h").cast("decimal(38,0)")).as("checksum"))
   }
+
+  /** k-anonymity / l-diversity audit: one row per equivalence class
+    * (distinct quasi-identifier tuple) with its `class_size`, the
+    * number of distinct sensitive values observed in it
+    * (`n_sensitive`), and the three release-gate flags —
+    * `k_anonymous` (≥ k members: the class cannot isolate fewer than
+    * k individuals), `l_diverse` (≥ l sensitive values: membership
+    * does not reveal the sensitive attribute), and `at_risk` (fails
+    * either). Run it BEFORE [[pseudonymize]]-and-ship: pseudonyms
+    * protect identifiers, not the quasi-identifier combinations this
+    * report measures.
+    *
+    * NULL is a VALUE here, for both quasi and sensitive columns
+    * (grouping semantics, not `COUNT(DISTINCT)` semantics): a class
+    * of NULL-countries is still a class, and an all-NULL sensitive
+    * column is one observed value, not zero — the conservative
+    * reading for a risk audit.
+    *
+    * Scale shape: two stacked hash aggregations (quasi+sensitive,
+    * then quasi) — the classic expansion-free exact distinct count.
+    * Both levels partial-aggregate map-side; no `COUNT(DISTINCT)`
+    * Expand, no window, no join. Output size = number of classes,
+    * which a sane quasi-identifier choice keeps far below the input.
+    */
+  def kAnonymityReport(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      k: Long,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, s"k and l must be positive, got k=$k l=$l")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot also be a quasi-identifier")
+    val quasi = quasiCols.map(col)
+    df.groupBy((quasi :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(quasi: _*)
+      .agg(
+        sum(col("__n")).cast("long").as("class_size"),
+        count(lit(1)).as("n_sensitive"))
+      .withColumn("k_anonymous", col("class_size") >= k)
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+      .withColumn("at_risk", !(col("k_anonymous") && col("l_diverse")))
+  }
 }

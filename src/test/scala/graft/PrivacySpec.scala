@@ -70,4 +70,54 @@ class PrivacySpec extends AnyFunSuite {
     val c = Privacy.corpusChecksum(mutated.toDF("id", "t", "src"), Seq("id", "t", "src")).head()
     assert(c.getDecimal(1) !== a.getDecimal(1), "a one-char edit must move the checksum")
   }
+
+  test("kAnonymityReport: class sizes, distinct sensitive counts, and flags by hand") {
+    val rows = Seq(
+      // class (US, a): 3 members, 3 distinct diagnoses → k=3 ok, l=2 ok
+      ("US", "a", "flu"), ("US", "a", "cold"), ("US", "a", "ok"),
+      // class (US, b): 2 members, 1 diagnosis → fails both at k=3, l=2
+      ("US", "b", "flu"), ("US", "b", "flu"),
+      // class (DE, a): 4 members, 2 diagnoses → ok
+      ("DE", "a", "flu"), ("DE", "a", "flu"), ("DE", "a", "ok"), ("DE", "a", "ok"))
+      .toDF("country", "seg", "diag")
+    val got = Privacy.kAnonymityReport(rows, Seq("country", "seg"), "diag", k = 3L, l = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    def row(k: (String, String)) = {
+      val r = got(k)
+      (r.getAs[Long]("class_size"), r.getAs[Long]("n_sensitive"),
+        r.getAs[Boolean]("k_anonymous"), r.getAs[Boolean]("l_diverse"),
+        r.getAs[Boolean]("at_risk"))
+    }
+    assert(row(("US", "a")) === ((3L, 3L, true, true, false)))
+    assert(row(("US", "b")) === ((2L, 1L, false, false, true)))
+    assert(row(("DE", "a")) === ((4L, 2L, true, true, false)))
+  }
+
+  test("kAnonymityReport: NULL is a value for both quasi and sensitive columns") {
+    val rows = Seq(
+      (null: String, "a", "x"), (null: String, "a", null: String),
+      (null: String, "a", null: String))
+      .toDF("country", "seg", "diag")
+    val r = Privacy.kAnonymityReport(rows, Seq("country", "seg"), "diag", k = 2L, l = 2L)
+      .collect()
+    assert(r.length === 1, "NULL quasi tuples group into one class")
+    assert(r.head.getAs[Long]("class_size") === 3L)
+    assert(r.head.getAs[Long]("n_sensitive") === 2L,
+      "NULL sensitive counts as one observed value, not zero")
+    assert(r.head.getAs[Boolean]("l_diverse"))
+  }
+
+  test("kAnonymityReport: guards, and no COUNT(DISTINCT) Expand in the plan") {
+    val df = Seq(("a", "b", "c")).toDF("q1", "q2", "s")
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymityReport(df, Seq.empty, "s", 2L, 2L))
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymityReport(df, Seq("q1", "s"), "s", 2L, 2L))
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymityReport(df, Seq("q1"), "s", 0L, 2L))
+    val out = Privacy.kAnonymityReport(df, Seq("q1", "q2"), "s", 2L, 2L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Expand"), s"two stacked aggs, not COUNT(DISTINCT):\n$plan")
+  }
 }
