@@ -7246,6 +7246,68 @@ object Queries {
              NOT (class_size >= 12 AND n_sensitive >= 9) AS at_risk
       FROM cls"""))
 
+  /** Unrolled DuckDB twin of [[graft.operators.Graphs.hitsInt]]: each
+    * round is two join+aggregate+max-normalize CTE pairs. Every CTE a
+    * round references more than once is `AS MATERIALIZED` (the q149
+    * lesson — default inlining goes exponential in the unroll depth).
+    */
+  private def hitsOracleSql(iters: Int, scale: Long): String = {
+    val base = s"""
+      WITH e AS MATERIALIZED (
+        SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT COUNT(*) FROM documents) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, doc_id % 50 FROM documents),
+      ids AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+      h0 AS MATERIALIZED (SELECT id, CAST($scale AS BIGINT) AS s FROM ids)"""
+    val rounds = (1 to iters).map { i =>
+      s""",
+      as$i AS (
+        SELECT e.dst AS id, SUM(h.s) AS sm
+        FROM e JOIN h${i - 1} h ON h.id = e.src GROUP BY e.dst),
+      ar$i AS MATERIALIZED (
+        SELECT i.id, CAST(COALESCE(a.sm, 0) AS BIGINT) AS raw
+        FROM ids i LEFT JOIN as$i a ON a.id = i.id),
+      a$i AS MATERIALIZED (
+        SELECT id, (raw * $scale) // GREATEST((SELECT MAX(raw) FROM ar$i), 1) AS s
+        FROM ar$i),
+      hs$i AS (
+        SELECT e.src AS id, SUM(a.s) AS sm
+        FROM e JOIN a$i a ON a.id = e.dst GROUP BY e.src),
+      hr$i AS MATERIALIZED (
+        SELECT i.id, CAST(COALESCE(h.sm, 0) AS BIGINT) AS raw
+        FROM ids i LEFT JOIN hs$i h ON h.id = i.id),
+      h$i AS MATERIALIZED (
+        SELECT id, (raw * $scale) // GREATEST((SELECT MAX(raw) FROM hr$i), 1) AS s
+        FROM hr$i)"""
+    }.mkString
+    s"""$base$rounds
+      SELECT h.id AS doc_id, h.s AS hub, a.s AS authority
+      FROM h$iters h JOIN a$iters a ON a.id = h.id"""
+  }
+
+  /** Hubs-vs-authorities ([[graft.operators.Graphs.hitsInt]], 3
+    * rounds): fixed-point integer HITS over the q102 link graph —
+    * max-normalized integer half-rounds are aggregation-order-
+    * independent, so an external engine replays the full run
+    * bit-for-bit. The directory/content split [[q102PagerankAuthority]]
+    * cannot express: the 50 hub targets take authority ≈ scale while
+    * ordinary pages keep hub mass.
+    */
+  val q159HitsScores: Q = Q(
+    "q159_hits_scores",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(
+        col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 7L + 1L, lit(n)),
+          col("doc_id") % 50L)).as("dst"))
+      graft.operators.Graphs.hitsInt(edges, "src", "dst", docs, "doc_id", iters = 3)
+    },
+    Some(hitsOracleSql(3, 1000000L)))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -7308,7 +7370,7 @@ object Queries {
     q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier, q146LinkGraphRank, q147TriangleCounts,
     q148CohenKappa, q149KCore, q150FrontierSchedule, q151SpanCorrupt,
     q152ChatTurns, q153ChatValidate, q154ChatStats, q155ChatRender,
-    q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity)
+    q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity, q159HitsScores)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

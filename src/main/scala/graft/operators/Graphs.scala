@@ -369,4 +369,78 @@ object Graphs {
       .select(explode(array(col("x"), col("y"), col("y2"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
   }
+
+  /** FIXED-POINT INTEGER HITS (Kleinberg hubs & authorities): `iters`
+    * rounds of
+    *
+    *   a₊(v) = (Σ_{u→v} h(u)) · scale div max-over-nodes
+    *   h₊(u) = (Σ_{u→v} a₊(v)) · scale div max-over-nodes
+    *
+    * — the link-farm complement to [[pageRankInt]]: PageRank scores
+    * endorsement mass, HITS separates DIRECTORY pages (high hub: they
+    * point at good content) from CONTENT pages (high authority: good
+    * pages point at them), the split a crawl-curation policy acts on.
+    * Normalization is by the MAX (exact integer division) instead of
+    * the L2 norm the float formulation uses — max and integer sums are
+    * both aggregation-order-independent, so every round is bit-exact
+    * on any engine/partitioning/retry and an external oracle can
+    * replay the whole run. Scores land in [0, scale], the top
+    * hub/authority pinned at exactly `scale`.
+    *
+    * Overflow contract: a round computes Σh·scale ≤ n·scale², so the
+    * caller must keep n·scale² < 2⁶³ (n ≤ ~9·10⁶ at the default
+    * scale; drop scale to 10⁴ for billion-node graphs — ranking
+    * resolution degrades gracefully).
+    *
+    * Scale shape: each half-round is ONE join (scores → edge endpoint)
+    * + ONE aggregate (sum by the other endpoint) + a scalar max
+    * broadcast back over the 2-column score frame. Each raw score
+    * frame takes an eager `localCheckpoint` — the max probe EXECUTES
+    * it anyway, and without the cut the normalize step would replay
+    * the subtree and lineage would double per reference (the
+    * [[connectedComponents]] lesson). So the operator is NOT lazy;
+    * superseded rounds' blocks are reclaimed by the ContextCleaner.
+    * Edges are pinned once ([[Caches.pin]]); pass `scope` and release
+    * after consuming the result, as with [[pageRankInt]].
+    */
+  def hitsInt(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes: DataFrame,
+      idCol: String,
+      iters: Int,
+      scale: Long = 1000000L,
+      scope: Option[Caches.Scope] = None): DataFrame = {
+    require(iters >= 1, "hitsInt needs at least one iteration")
+    require(scale >= 1000L, "scale under 1000 makes integer normalization too lossy")
+    val prep = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val e = scope.fold(Caches.pin(prep))(_.pin(prep))
+    val ids = nodes.select(col(idCol).as("__id"))
+    var hub = ids.select(col("__id"), lit(scale).as("__s"))
+    var auth: DataFrame = hub
+    // one half-round: sum the counterpart score over `joinOn` edges,
+    // grouped by `emitFrom`, then max-normalize back to [0, scale]
+    def halfRound(scores: DataFrame, joinOn: String, emitFrom: String): DataFrame = {
+      val summed = e
+        .join(scores, col(joinOn) === col("__id"))
+        .select(col(emitFrom).as("__node"), col("__s"))
+        .groupBy(col("__node"))
+        .agg(sum(col("__s")).as("__sum"))
+      val raw = ids
+        .join(summed, col("__id") === col("__node"), "left")
+        .select(col("__id"), coalesce(col("__sum"), lit(0L)).as("__raw"))
+        .localCheckpoint(true)
+      val mx = raw.agg(greatest(max(col("__raw")), lit(1L)).as("__mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("__id"), expr(s"(__raw * ${scale}L) div __mx").as("__s"))
+    }
+    for (_ <- 1 to iters) {
+      auth = halfRound(hub, joinOn = "__src", emitFrom = "__dst")
+      hub = halfRound(auth, joinOn = "__dst", emitFrom = "__src")
+    }
+    hub.select(col("__id"), col("__s").as("hub"))
+      .join(auth.select(col("__id"), col("__s").as("authority")), Seq("__id"))
+      .select(col("__id").as(idCol), col("hub"), col("authority"))
+  }
 }

@@ -274,4 +274,57 @@ class GraphsSpec extends AnyFunSuite {
       assert(got === mirror, s"trial $trial")
     }
   }
+
+  /** Driver-side mirror of the integer HITS recurrence. */
+  private def hitsReference(
+      edges: Seq[(Long, Long)],
+      ids: Seq[Long],
+      iters: Int,
+      scale: Long = 1000000L): Map[Long, (Long, Long)] = {
+    var hub = ids.map(_ -> scale).toMap
+    var auth = hub
+    def half(scores: Map[Long, Long], bySrc: Boolean): Map[Long, Long] = {
+      val sums = edges
+        .map { case (s, d) => (if (bySrc) d else s) -> scores(if (bySrc) s else d) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val raw = ids.map(i => i -> sums.getOrElse(i, 0L)).toMap
+      val mx = math.max(raw.values.max, 1L)
+      raw.view.mapValues(v => v * scale / mx).toMap
+    }
+    for (_ <- 1 to iters) {
+      auth = half(hub, bySrc = true)
+      hub = half(auth, bySrc = false)
+    }
+    ids.map(i => i -> ((hub(i), auth(i)))).toMap
+  }
+
+  test("hitsInt matches the integer recurrence; directories and content separate") {
+    // 1..4 all point at 5 and 6 (content); 5,6 point at nothing
+    val edgeList = Seq((1L, 5L), (1L, 6L), (2L, 5L), (2L, 6L), (3L, 5L), (4L, 6L))
+    val ids = (1L to 6L).toSeq
+    val got = Graphs.hitsInt(
+      edgeList.toDF("src", "dst"), "src", "dst", ids.toDF("id"), "id", iters = 3)
+      .collect().map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("hub"), r.getAs[Long]("authority")))).toMap
+    assert(got === hitsReference(edgeList, ids, 3))
+    assert(got(5L)._2 > 0 && got(6L)._2 > 0, "pointed-at pages take authority")
+    assert(got(5L)._1 === 0L, "pure content has zero hub score")
+    assert(got(1L)._2 === 0L, "pure directories have zero authority")
+    assert(got(1L)._1 === 1000000L, "the best hub pins at exactly scale")
+    Caches.release()
+  }
+
+  test("hitsInt is exactly reproducible under a different physical layout") {
+    val edgeList = (0L until 150L).flatMap(i => Seq((i, (i * 7 + 1) % 150), (i, i % 10)))
+    val ids = (0L until 150L).toSeq
+    def run(parts: Int) = Graphs.hitsInt(
+      edgeList.toDF("src", "dst").repartition(parts), "src", "dst",
+      ids.toDF("id"), "id", iters = 4)
+      .collect().map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("hub"), r.getAs[Long]("authority")))).toMap
+    val a = run(3)
+    val b = run(17)
+    assert(a === b, "integer rounds cannot depend on partitioning")
+    assert(a === hitsReference(edgeList, ids, 4))
+    assert(a.values.map(_._2).max === 1000000L)
+    Caches.release()
+  }
 }
