@@ -7308,6 +7308,42 @@ object Queries {
     },
     Some(hitsOracleSql(3, 1000000L)))
 
+  /** Accent stripping through the native codegen'd
+    * [[graft.expressions.StripAccentsExpr]], oracle-gated against
+    * DuckDB's `strip_accents` (utf8proc STRIPMARK — the same public
+    * Unicode mark categories): composed Latin-1, DECOMPOSED combining
+    * marks, stacked marks, a no-decomposition letter (`ø` must
+    * survive), and pure ASCII, over byte-identical escaped inputs
+    * (the q103 external-standard gate for the search-normalization
+    * step).
+    */
+  val q160StripAccents: Q = Q(
+    "q160_strip_accents",
+    (s, dir) => {
+      // escaped literals: café (composed), Zu+COMBINING DIAERESIS rich
+      // (decomposed), stacked o+DIAERESIS+ACUTE, ñ/ç composed, ø (no
+      // decomposition — must pass through), plain ASCII
+      val raw = when(col("doc_id") % 6 === 0, lit("caf\u00e9 cr\u00e8me"))
+        .when(col("doc_id") % 6 === 1, lit("Zu\u0308rich"))
+        .when(col("doc_id") % 6 === 2, lit("o\u0308\u0301mega"))
+        .when(col("doc_id") % 6 === 3, lit("ni\u00f1o fa\u00e7ade"))
+        .when(col("doc_id") % 6 === 4, lit("\u00f8re s\u00df"))
+        .otherwise(concat(lit("ascii "), col("doc_id").cast("string")))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.stripAccents(raw).as("stripped"))
+    },
+    Some("""
+      SELECT doc_id,
+             strip_accents(CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'caf' || chr(233) || ' cr' || chr(232) || 'me'
+               WHEN 1 THEN 'Zu' || chr(776) || 'rich'
+               WHEN 2 THEN 'o' || chr(776) || chr(769) || 'mega'
+               WHEN 3 THEN 'ni' || chr(241) || 'o fa' || chr(231) || 'ade'
+               WHEN 4 THEN chr(248) || 're s' || chr(223)
+               ELSE 'ascii ' || CAST(doc_id AS VARCHAR) END) AS stripped
+      FROM documents"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -7370,7 +7406,8 @@ object Queries {
     q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier, q146LinkGraphRank, q147TriangleCounts,
     q148CohenKappa, q149KCore, q150FrontierSchedule, q151SpanCorrupt,
     q152ChatTurns, q153ChatValidate, q154ChatStats, q155ChatRender,
-    q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity, q159HitsScores)
+    q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity, q159HitsScores,
+    q160StripAccents)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -190,6 +190,17 @@ object GraftFunctions {
           "graft_normalize(str[, form: string literal NFC|NFD|NFKC|NFKD])")
     })
 
+  /** `graft_strip_accents(str)` — combining-mark removal (see
+    * [[StripAccentsExpr]]).
+    */
+  val stripAccentsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_strip_accents"),
+    new ExpressionInfo(classOf[StripAccentsExpr].getName, "graft_strip_accents"),
+    {
+      case Seq(s) => StripAccentsExpr(s)
+      case _ => throw new IllegalArgumentException("graft_strip_accents(str)")
+    })
+
   /** `graft_deflate_len(str)` — DEFLATE length of the UTF-8 bytes, the
     * compressibility quality signal (see [[DeflateLenExpr]]).
     */
@@ -204,7 +215,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit =
     Seq(minHashDescriptor, simHashDescriptor, dotDescriptor, mgSketchDescriptor,
         cmSketchDescriptor, gkSketchDescriptor, gkMergeDescriptor, gkQuantilesDescriptor,
-        funnelDescriptor, vecSumDescriptor, normalizeDescriptor, deflateLenDescriptor)
+        funnelDescriptor, vecSumDescriptor, normalizeDescriptor, deflateLenDescriptor,
+        stripAccentsDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

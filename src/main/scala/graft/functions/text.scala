@@ -31,6 +31,19 @@ object text {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Accent/diacritic removal via the native codegen'd
+    * [[graft.expressions.StripAccentsExpr]]: NFD-decompose, drop
+    * combining marks, NFC-recompose — mark removal, not ASCII
+    * transliteration (`ø`/`ß` survive). Apply AFTER
+    * [[normalizeUnicode]] is irrelevant — it decomposes internally,
+    * so composed and decomposed inputs fold identically.
+    */
+  def stripAccents(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.StripAccentsExpr(
+      ColumnBridge.eagerExpression(c)))
+  }
+
   /** Tokens with consecutive exact repeats collapsed to one — the
     * stutter-cleaning step for OCR/crawl text ("the the the" → "the").
     * Keep token i iff it differs from its predecessor; non-adjacent
