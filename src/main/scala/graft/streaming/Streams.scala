@@ -617,6 +617,58 @@ object Streams {
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  /** Continuous conversation-contract routing — the streaming face of
+    * [[graft.operators.Conversations]]: each micro-batch of raw JSON
+    * transcripts is parsed and audited ([[graft.operators
+    * .Conversations.validate]]), and every row lands WITH its flag
+    * columns under `outputPath/<valid|quarantine>/batch=s<id>/`
+    * through the exists-guarded atomic append (a crash-replayed
+    * micro-batch re-lands nothing). Quarantined transcripts are KEPT,
+    * flags attached — the fix-and-replay loop (truncated JSON from an
+    * upstream exporter, say) needs the evidence, not a silent drop.
+    *
+    * Stateless: no models, no seen-set — each batch pays one parse
+    * projection and one validate aggregation of itself, so throughput
+    * is scan-bound and the stream scales with executor count.
+    */
+  def chatRoutedIngest(
+      stream: DataFrame,
+      idCol: String,
+      jsonCol: String,
+      outputPath: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Caches, Conversations, DedupIndex}
+    // start-time validation (the importanceRoutedIngest lesson)
+    for (c <- Seq("n_turns", "parse_ok", "starts_ok", "alternates",
+        "no_empty", "ends_assistant", "valid"))
+      require(!stream.columns.contains(c),
+        s"input stream already has a '$c' column")
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val label = f"s$batchId%08d"
+        val spark = batch.sparkSession
+        val scope = Caches.newScope()
+        try Caches.inScope(scope) {
+          // pin the batch: it feeds the turn explode AND the join back
+          val pinned = Caches.pin(batch.toDF())
+          val routed = Caches.pin(pinned.join(
+            Conversations.validate(
+              Conversations.parseTurns(pinned, idCol, jsonCol), idCol),
+            Seq(idCol)))
+          val outRoot = new org.apache.hadoop.fs.Path(outputPath)
+          val fs = outRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          for ((name, keep) <- Seq("valid" -> true, "quarantine" -> false)) {
+            val dir = s"$outputPath/$name"
+            if (!fs.exists(new org.apache.hadoop.fs.Path(dir + s"/batch=$label")))
+              DedupIndex.appendDir(routed.where(col("valid") === keep), dir, label)
+          }
+        } finally scope.release()
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
   def urlDedupIngest(
       stream: DataFrame,
       urlCol: String,

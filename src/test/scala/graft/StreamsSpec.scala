@@ -1033,4 +1033,51 @@ class StreamsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("no 'k' column"))
   }
+
+  test("chatRoutedIngest: valid/quarantine routing with flags attached, idempotent replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-chat").toString
+    val good =
+      """[{"role":"user","content":"hi"},{"role":"assistant","content":"hello"}]"""
+    val noAlt =
+      """[{"role":"user","content":"a"},{"role":"user","content":"b"}]"""
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.chatRoutedIngest(
+      input.toDF().toDF("conv_id", "conv_json"), "conv_id", "conv_json", s"$root/chat")
+    try {
+      input.addData((1L, good), (2L, "[{broken"))
+      query.processAllAvailable()
+      input.addData((3L, noAlt), (4L, good))
+      query.processAllAvailable()
+      val valid = spark.read.parquet(s"$root/chat/valid")
+      val quarantined = spark.read.parquet(s"$root/chat/quarantine")
+      assert(valid.select("conv_id").as[Long].collect().toSet === Set(1L, 4L))
+      assert(quarantined.select("conv_id").as[Long].collect().toSet === Set(2L, 3L))
+      // the evidence rides along: flags AND the original json land
+      val q2 = quarantined.where(col("conv_id") === 2L).head()
+      assert(!q2.getAs[Boolean]("parse_ok"))
+      assert(q2.getAs[String]("conv_json") === "[{broken")
+      val q3 = quarantined.where(col("conv_id") === 3L).head()
+      assert(q3.getAs[Boolean]("parse_ok") && !q3.getAs[Boolean]("alternates"))
+      // flags must equal the BATCH operator on the same rows
+      val batchFlags = graft.operators.Conversations.validate(
+        graft.operators.Conversations.parseTurns(
+          Seq((1L, good), (2L, "[{broken"), (3L, noAlt), (4L, good))
+            .toDF("conv_id", "conv_json"),
+          "conv_id", "conv_json"),
+        "conv_id").collect().map(r => r.getLong(0) -> r.getAs[Boolean]("valid")).toMap
+      val streamed = valid.unionByName(quarantined)
+        .select("conv_id", "valid").as[(Long, Boolean)].collect().toMap
+      assert(streamed === batchFlags)
+    } finally query.stop()
+    // output-column collision rejected at start, not first micro-batch
+    val bad = MemoryStream[(Long, String, Boolean)]
+    val ex = intercept[IllegalArgumentException] {
+      Streams.chatRoutedIngest(
+        bad.toDF().toDF("conv_id", "conv_json", "valid"),
+        "conv_id", "conv_json", s"$root/never")
+    }
+    assert(ex.getMessage.contains("valid"))
+    graft.operators.Caches.release()
+  }
 }
