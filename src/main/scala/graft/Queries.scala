@@ -7067,7 +7067,8 @@ object Queries {
       graft.operators.Conversations.parseTurns(
         syntheticChats(s, dir), "doc_id", "conv_json"),
       "doc_id"),
-    Some(s"""
+    headline = true, // post-training layer: JSON parse + one-agg audit timed per round
+    oracle = Some(s"""
       WITH $chatTurnsCte,
       v AS (
         SELECT doc_id,
@@ -7344,6 +7345,89 @@ object Queries {
                ELSE 'ascii ' || CAST(doc_id AS VARCHAR) END) AS stripped
       FROM documents"""))
 
+  /** Synthesized pairwise-comparison corpus for Bradley–Terry: 20
+    * items, opponents drawn by a fixed affine map, winner decided by
+    * an integer hash test whose threshold tilts with (a − b) so
+    * higher-numbered items are genuinely stronger — every outcome is
+    * pure integer arithmetic DuckDB replays exactly.
+    */
+  private def syntheticGames(s: SparkSession, dir: String): DataFrame = {
+    val ab = t(s, dir, "documents").select(
+      col("doc_id"),
+      (col("doc_id") % 20).as("a"),
+      ((col("doc_id") * 13 + 7) % 20).as("b"))
+      .where(col("a") =!= col("b"))
+    val aWins = ((col("doc_id") * 41 + 13) % 100) <
+      (lit(50) + (col("a") - col("b")) * 3)
+    ab.select(
+      when(aWins, col("a")).otherwise(col("b")).as("winner"),
+      when(aWins, col("b")).otherwise(col("a")).as("loser"))
+  }
+
+  /** Unrolled DuckDB twin of [[graft.operators.Preferences
+    * .bradleyTerryInt]]: the symmetric pair-count and win tables are
+    * MATERIALIZED once, then each MM round is one join+aggregate CTE
+    * pair plus a max-normalize (the q159 unroll discipline — integer
+    * rounds are aggregation-order-independent, so bit-for-bit equality
+    * holds on any engine).
+    */
+  private def bradleyTerryOracleSql(iters: Int, scale: Long): String = {
+    val base = s"""
+      WITH g AS MATERIALIZED (
+        SELECT CASE WHEN (doc_id*41+13) % 100 < 50 + (a - b) * 3 THEN a ELSE b END AS w,
+               CASE WHEN (doc_id*41+13) % 100 < 50 + (a - b) * 3 THEN b ELSE a END AS l
+        FROM (SELECT doc_id, doc_id % 20 AS a, (doc_id*13+7) % 20 AS b FROM documents)
+        WHERE a <> b),
+      pairs AS MATERIALIZED (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT w AS a, l AS b FROM g UNION ALL SELECT l AS a, w AS b FROM g)
+        GROUP BY 1, 2),
+      wins AS MATERIALIZED (
+        SELECT w AS id, CAST(COUNT(*) AS BIGINT) AS wn FROM g GROUP BY 1),
+      ids AS MATERIALIZED (
+        SELECT p.a AS id, COALESCE(w.wn, 0) AS wn
+        FROM (SELECT DISTINCT a FROM pairs) p LEFT JOIN wins w ON w.id = p.a),
+      v0 AS MATERIALIZED (SELECT id, CAST($scale AS BIGINT) AS s FROM ids)"""
+    val rounds = (1 to iters).map { i =>
+      s""",
+      d$i AS (
+        SELECT p.a AS id,
+               CAST(SUM(CASE WHEN va.s + vb.s > 0
+                   THEN (p.n * $scale * $scale) // (va.s + vb.s) ELSE 0 END) AS BIGINT) AS den
+        FROM pairs p
+        JOIN v${i - 1} va ON va.id = p.a
+        JOIN v${i - 1} vb ON vb.id = p.b
+        GROUP BY p.a),
+      r$i AS MATERIALIZED (
+        SELECT i.id,
+               CASE WHEN i.wn = 0 OR COALESCE(d.den, 0) = 0 THEN 0
+                    ELSE (i.wn * $scale * $scale) // d.den END AS raw
+        FROM ids i LEFT JOIN d$i d ON d.id = i.id),
+      v$i AS MATERIALIZED (
+        SELECT id, (raw * $scale) // GREATEST((SELECT MAX(raw) FROM r$i), 1) AS s
+        FROM r$i)"""
+    }.mkString
+    s"""$base$rounds
+      SELECT i.id AS item_id, i.wn AS wins, t.games, v.s AS strength
+      FROM ids i
+      JOIN (SELECT a, CAST(SUM(n) AS BIGINT) AS games FROM pairs GROUP BY a) t ON t.a = i.id
+      JOIN v$iters v ON v.id = i.id"""
+  }
+
+  /** Bradley–Terry strength fitting ([[graft.operators.Preferences
+    * .bradleyTerryInt]], 4 MM rounds): pairwise "A beat B" outcomes →
+    * one scaled-integer strength per item — the reward-model /
+    * leaderboard scalar the DPO pair layer (q156/q157) feeds. Fixed-
+    * point integer MM rounds replay bit-for-bit in the unrolled
+    * oracle; the planted (a − b) win-rate tilt means strengths must
+    * recover the item ordering, which the spec asserts independently.
+    */
+  val q161BradleyTerry: Q = Q(
+    "q161_bradley_terry",
+    (s, dir) => graft.operators.Preferences.bradleyTerryInt(
+      syntheticGames(s, dir), "winner", "loser", iters = 4),
+    Some(bradleyTerryOracleSql(iters = 4, scale = 1000000L)))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -7407,7 +7491,7 @@ object Queries {
     q148CohenKappa, q149KCore, q150FrontierSchedule, q151SpanCorrupt,
     q152ChatTurns, q153ChatValidate, q154ChatStats, q155ChatRender,
     q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity, q159HitsScores,
-    q160StripAccents)
+    q160StripAccents, q161BradleyTerry)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

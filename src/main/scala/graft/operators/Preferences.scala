@@ -99,4 +99,104 @@ object Preferences {
         col("rejected_score"),
         (col("chosen_score") - col("rejected_score")).as("margin"))
   }
+
+  /** Bradley–Terry strength fitting over pairwise outcomes (the
+    * reward-model / leaderboard step AFTER pair construction: turn
+    * "A beat B" rows into one scalar strength per item), via `iters`
+    * rounds of the minorization–maximization update (Hunter 2004,
+    * "MM algorithms for generalized Bradley–Terry models") in FIXED-
+    * POINT INTEGER arithmetic — the [[graft.operators.Graphs.hitsInt]]
+    * discipline: scaled-long strengths, integer division, integer
+    * sums, and a max-normalize per round, so every round is exact,
+    * aggregation-order-independent, and replays bit-for-bit on any
+    * engine, partitioning, or retry. Float BT differs in the last ulp
+    * per aggregation order; the integer face is the oracle-gateable
+    * one, accurate to ~1/scale per round — far below any ranking
+    * decision made with a strength score.
+    *
+    * Per round, with v(i) the scaled strength (v₀ = scale):
+    *
+    *   den(i) = Σ_{j : games(i,j)>0}  (n_ij·scale²) div (v(i)+v(j))
+    *   raw(i) = (W_i·scale²) div den(i)       (0 if W_i = 0)
+    *   v(i)   = (raw(i)·scale) div max(raw)   (strongest item ≡ scale)
+    *
+    * Items with zero wins settle at 0 (the MM fixed point when the
+    * comparison graph is not strongly connected — BT's standard
+    * caveat applies: strengths are only jointly identified within a
+    * strongly connected component, and the max-normalize pins the
+    * global scale in all cases). A pair whose BOTH endpoints have
+    * reached 0 contributes 0 to the denominator — its games can only
+    * be between zero-win items, whose raw is 0 regardless.
+    *
+    * Overflow contract (documented like hitsInt's n·scale² bound):
+    * `(games involving any single item) · scale² < 2⁶³` — at the
+    * default scale=10⁶, up to ~9.2·10⁶ games per item.
+    *
+    * Scale shape: the symmetric pair-count table (2 rows per undirected
+    * pair) and the win counts are built ONCE and pinned — each round
+    * pays two broadcast-or-shuffle hash joins (strengths are a 2-column
+    * frame, the narrowest shuffle payload) plus one aggregate keyed by
+    * item; the max probe is a scalar broadcast. Rounds localCheckpoint
+    * eagerly (the max aggregation executes them anyway), so the plan
+    * stays bounded in `iters`. Pin lifetime: pass `scope` and release
+    * after consuming the result (the pageRankInt convention).
+    *
+    * Output: `(item_id, wins, games, strength)` — wins/games are the
+    * exact per-item tallies, strength the round-`iters` scaled long.
+    */
+  def bradleyTerryInt(
+      games: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int,
+      scale: Long = 1000000L,
+      scope: Option[Caches.Scope] = None): DataFrame = {
+    require(iters >= 1, "bradleyTerryInt needs at least one iteration")
+    require(scale >= 1000L, "scale under 1000 makes integer division too lossy")
+    val g = games.select(col(winnerCol).as("__w"), col(loserCol).as("__l"))
+    // symmetric per-ordered-pair game counts: one (a, b, n) row per
+    // direction, so each item's denominator is one groupBy over its rows
+    val prep = g.select(col("__w").as("__a"), col("__l").as("__b"))
+      .unionAll(g.select(col("__l").as("__a"), col("__w").as("__b")))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val pairs = scope.fold(Caches.pin(prep))(_.pin(prep))
+    val wins = g.groupBy(col("__w").as("__wid")).agg(count(lit(1)).as("__wins"))
+    val ids = pairs.select(col("__a").as("__id")).distinct()
+      .join(wins, col("__id") === col("__wid"), "left")
+      .select(col("__id"), coalesce(col("__wins"), lit(0L)).as("__W"))
+      .localCheckpoint(true) // small (one row per item); pins wins/ids once
+    var v = ids.select(col("__id"), lit(scale).as("__s"))
+    for (_ <- 1 to iters) {
+      val den = pairs
+        .join(v.select(col("__id").as("__ia"), col("__s").as("__sa")), col("__a") === col("__ia"))
+        .join(v.select(col("__id").as("__ib"), col("__s").as("__sb")), col("__b") === col("__ib"))
+        .select(
+          col("__a"),
+          when(col("__sa") + col("__sb") > 0,
+            expr(s"(__n * ${scale}L * ${scale}L) div (__sa + __sb)"))
+            .otherwise(lit(0L)).as("__t"))
+        .groupBy(col("__a"))
+        .agg(sum(col("__t")).as("__den"))
+      val raw = ids
+        .join(den, col("__id") === col("__a"), "left")
+        .select(
+          col("__id"),
+          when(col("__W") === 0 || coalesce(col("__den"), lit(0L)) === 0, lit(0L))
+            .otherwise(expr(s"(__W * ${scale}L * ${scale}L) div __den")).as("__raw"))
+        .localCheckpoint(true)
+      val mx = raw.agg(greatest(max(col("__raw")), lit(1L)).as("__mx"))
+      v = raw.crossJoin(broadcast(mx))
+        .select(col("__id"), expr(s"(__raw * ${scale}L) div __mx").as("__s"))
+    }
+    val tally = pairs.groupBy(col("__a")).agg(sum(col("__n")).as("games"))
+    ids
+      .join(tally, col("__id") === col("__a"))
+      .join(v.select(col("__id").as("__vid"), col("__s")), col("__id") === col("__vid"))
+      .select(
+        col("__id").as("item_id"),
+        col("__W").as("wins"),
+        col("games"),
+        col("__s").as("strength"))
+  }
 }

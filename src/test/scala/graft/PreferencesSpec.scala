@@ -67,4 +67,77 @@ class PreferencesSpec extends AnyFunSuite {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 2, s"top/bottom candidate sides re-use the ranked frame, plan:\n$plan")
   }
+
+  // ---- Bradley–Terry fixed-point integer MM ----
+
+  /** Independent sequential mirror of the integer MM recurrence —
+    * the hitsReference discipline: plain Scala Longs, same order of
+    * operations per round, no Spark.
+    */
+  private def btReference(
+      games: Seq[(Long, Long)],
+      iters: Int,
+      scale: Long = 1000000L): Map[Long, Long] = {
+    val pairs = (games.map { case (w, l) => (w, l) } ++ games.map { case (w, l) => (l, w) })
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wins = games.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ids = pairs.keys.map(_._1).toSeq.distinct
+    var v = ids.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val den = ids.map { a =>
+        a -> pairs.collect {
+          case ((`a`, b), n) if v(a) + v(b) > 0 => n * scale * scale / (v(a) + v(b))
+        }.sum
+      }.toMap
+      val raw = ids.map { a =>
+        val w = wins.getOrElse(a, 0L)
+        a -> (if (w == 0L || den(a) == 0L) 0L else w * scale * scale / den(a))
+      }.toMap
+      val mx = math.max(raw.values.max, 1L)
+      v = raw.view.mapValues(r => r * scale / mx).toMap
+    }
+    v
+  }
+
+  private def gamesDf(games: Seq[(Long, Long)]) = games.toDF("winner", "loser")
+
+  test("bradleyTerryInt matches the integer recurrence and recovers a planted order") {
+    // 3 items: 2 beats 1 (3 of 4), 1 beats 0 (3 of 4), 2 beats 0 (4 of 4)
+    val games = Seq(
+      (2L, 1L), (2L, 1L), (2L, 1L), (1L, 2L),
+      (1L, 0L), (1L, 0L), (1L, 0L), (0L, 1L),
+      (2L, 0L), (2L, 0L), (2L, 0L), (2L, 0L))
+    val got = Preferences.bradleyTerryInt(gamesDf(games), "winner", "loser", iters = 5)
+      .collect().map(r => r.getAs[Long]("item_id") ->
+        (r.getAs[Long]("wins"), r.getAs[Long]("games"), r.getAs[Long]("strength"))).toMap
+    val want = btReference(games, 5)
+    assert(got.view.mapValues(_._3).toMap === want)
+    assert(got(2L)._3 > got(1L)._3 && got(1L)._3 > got(0L)._3,
+      "strengths must recover the planted dominance order")
+    assert(got(2L)._3 === 1000000L, "max-normalize pins the strongest item at scale")
+    assert(got(0L)._1 === 1L && got(0L)._2 === 8L, "exact win/game tallies")
+  }
+
+  test("bradleyTerryInt: zero-win items settle at 0 and never poison denominators") {
+    // 9 always loses to everyone; 8 loses to 7 but beats 9
+    val games = Seq((7L, 8L), (7L, 9L), (8L, 9L), (7L, 9L))
+    val got = Preferences.bradleyTerryInt(gamesDf(games), "winner", "loser", iters = 4)
+      .collect().map(r => r.getAs[Long]("item_id") -> r.getAs[Long]("strength")).toMap
+    assert(got === btReference(games, 4))
+    assert(got(9L) === 0L, "a zero-win item's MM fixed point is 0")
+    assert(got(7L) === 1000000L && got(8L) > 0L && got(8L) < got(7L))
+  }
+
+  test("bradleyTerryInt is exactly reproducible under a different physical layout") {
+    val games = (0L until 400L).map { i =>
+      val a = i % 13; val b = (i * 7 + 3) % 13
+      if ((i * 31 + 5) % 97 < 48 + (a - b) * 4) (a, b) else (b, a)
+    }.filter { case (a, b) => a != b }
+    def run(parts: Int) =
+      Preferences.bradleyTerryInt(gamesDf(games).repartition(parts), "winner", "loser", iters = 3)
+        .collect().map(r => r.getAs[Long]("item_id") -> r.getAs[Long]("strength")).toMap
+    val a = run(1)
+    assert(a === run(17), "integer rounds are aggregation-order-independent")
+    assert(a === btReference(games, 3))
+  }
 }
