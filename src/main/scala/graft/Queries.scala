@@ -7428,6 +7428,82 @@ object Queries {
       syntheticGames(s, dir), "winner", "loser", iters = 4),
     Some(bradleyTerryOracleSql(iters = 4, scale = 1000000L)))
 
+  /** GRPO group-relative advantage ([[graft.operators.Preferences
+    * .groupRelativeAdvantage]]): per-prompt reward z-scores from
+    * integer group moments — advantage = (n·r − S)/sqrt(n·Q − S²),
+    * ONE fixed double expression over integer aggregates, so both
+    * engines compute the identical IEEE value (the kappa/curriculum
+    * cross-engine-doubles discipline). NULL rewards quarantine to
+    * NULL advantage; zero-variance groups pin to 0.
+    */
+  val q162GrpoAdvantage: Q = Q(
+    "q162_grpo_advantage",
+    (s, dir) => graft.operators.Preferences.groupRelativeAdvantage(
+      syntheticResponses(s, dir), "prompt_id", "resp_id", "score"),
+    Some(s"""
+      WITH $respCte,
+      st AS (
+        SELECT prompt_id, COUNT(score) AS n_scored,
+               CAST(COALESCE(SUM(score), 0) AS BIGINT) AS s,
+               CAST(COALESCE(SUM(CAST(score AS BIGINT) * score), 0) AS BIGINT) AS q
+        FROM resp GROUP BY prompt_id)
+      SELECT r.prompt_id, r.resp_id, r.score,
+             CASE WHEN r.score IS NULL THEN NULL
+                  WHEN st.n_scored * st.q - st.s * st.s = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(st.n_scored * r.score - st.s AS DOUBLE)
+                       / sqrt(CAST(st.n_scored * st.q - st.s * st.s AS DOUBLE)) END AS advantage,
+             st.n_scored
+      FROM resp r JOIN st USING (prompt_id)"""))
+
+  /** SFT loss-mask spans ([[graft.operators.Conversations
+    * .lossMaskSpans]]): per-turn character offsets of each turn's
+    * content inside the rendered template — integer prefix sums over
+    * the template arithmetic, replayed by the oracle's window sum.
+    * ConversationsSpec additionally pins the substring law against
+    * [[graft.operators.Conversations.render]] itself.
+    */
+  val q163LossMaskSpans: Q = Q(
+    "q163_loss_mask_spans",
+    (s, dir) => graft.operators.Conversations.lossMaskSpans(
+      graft.operators.Conversations.parseTurns(
+        syntheticChats(s, dir), "doc_id", "conv_json"),
+      "doc_id"),
+    Some(s"""
+      WITH $chatTurnsCte,
+      sp AS (
+        SELECT doc_id, turn_idx, role,
+               CAST(COALESCE(SUM(24 + length(COALESCE(role, '')) + length(COALESCE(content, '')))
+                 OVER (PARTITION BY doc_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+               CAST(length(COALESCE(role, '')) AS BIGINT) AS rl,
+               CAST(length(COALESCE(content, '')) AS BIGINT) AS cl
+        FROM chat_turns WHERE turn_idx IS NOT NULL)
+      SELECT doc_id, turn_idx, role,
+             prefix + 13 + rl AS start,
+             prefix + 13 + rl + cl AS "end",
+             COALESCE(role = 'assistant', FALSE) AS is_target
+      FROM sp"""))
+
+  /** Rejection-sampling SFT selection ([[graft.operators.Preferences
+    * .rejectionSample]], minScore 60, top 4 per prompt): threshold +
+    * bounded-heap top-k per prompt riding the native [[graft.plans
+    * .TopK]] physical plan; the oracle replays the explicit
+    * (score desc, id asc) total order with a ranked window.
+    */
+  val q164RejectionSample: Q = Q(
+    "q164_rejection_sample",
+    (s, dir) => graft.operators.Preferences.rejectionSample(
+      syntheticResponses(s, dir), "prompt_id", "resp_id", "score",
+      minScore = 60L, perPrompt = 4),
+    Some(s"""
+      WITH $respCte
+      SELECT prompt_id, resp_id, score FROM (
+        SELECT prompt_id, resp_id, score,
+               row_number() OVER (PARTITION BY prompt_id
+                 ORDER BY score DESC, resp_id ASC) AS rn
+        FROM resp WHERE score >= 60)
+      WHERE rn <= 4"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -7491,7 +7567,8 @@ object Queries {
     q148CohenKappa, q149KCore, q150FrontierSchedule, q151SpanCorrupt,
     q152ChatTurns, q153ChatValidate, q154ChatStats, q155ChatRender,
     q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity, q159HitsScores,
-    q160StripAccents, q161BradleyTerry)
+    q160StripAccents, q161BradleyTerry, q162GrpoAdvantage, q163LossMaskSpans,
+    q164RejectionSample)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -172,4 +172,53 @@ object Conversations {
       if (addGenerationPrompt) concat(body, lit("<|im_start|>assistant\n")) else body
     collected.select(col(idCol), rendered.as("rendered"))
   }
+
+  /** Loss-mask span table for SFT: per turn, the CHARACTER offsets
+    * `[start, end)` of that turn's content inside the [[render]]ed
+    * string, plus `is_target` (role equals `targetRole`) — the span
+    * map a trainer uses to mask loss to assistant tokens while the
+    * user/system text stays context-only. Offsets are pure integer
+    * prefix sums over the template arithmetic (`<|im_start|>` = 12
+    * chars, `role\n`, content, `<|im_end|>\n` = 11 chars), so
+    * `rendered.substring(start, end − start) == content` holds by
+    * construction for every turn — the spec pins that law against
+    * [[render]] itself, and an external engine replays the sums
+    * exactly.
+    *
+    * Conventions follow [[render]]: NULL-`turn_idx` carrier rows
+    * (failed parses) are dropped, NULL role/content render as '' (so
+    * their span is empty but correctly placed). `is_target` is
+    * null-safe — a missing role is never a target.
+    *
+    * Scale shape: one exchange (hash by conversation) feeding a
+    * windowed running sum ordered by `turn_idx` — the [[graft
+    * .operators.Packing]] distributed-prefix-sum shape within keys;
+    * conversations are independent, so the operator scales with the
+    * corpus, not the longest transcript. Output: `(idCol, turn_idx,
+    * role, start, end, is_target)`.
+    */
+  def lossMaskSpans(
+      turns: DataFrame,
+      idCol: String,
+      targetRole: String = "assistant"): DataFrame = {
+    val roleLen = length(coalesce(col("role"), lit("")))
+    val contentLen = length(coalesce(col("content"), lit("")))
+    // <|im_start|> (12) + role + \n (1) + content + <|im_end|>\n (11)
+    val spanLen = (roleLen + contentLen + lit(24)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("turn_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prefix = coalesce(sum(spanLen).over(w), lit(0L))
+    val start = prefix + lit(12L) + roleLen.cast("long") + lit(1L)
+    turns
+      .where(col("turn_idx").isNotNull)
+      .select(
+        col(idCol),
+        col("turn_idx"),
+        col("role"),
+        start.as("start"),
+        (start + contentLen.cast("long")).as("end"),
+        (col("role") <=> lit(targetRole)).as("is_target"))
+  }
 }

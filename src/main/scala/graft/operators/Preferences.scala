@@ -100,6 +100,99 @@ object Preferences {
         (col("chosen_score") - col("rejected_score")).as("margin"))
   }
 
+  /** Group-relative advantage (the GRPO normalization — Shao et al.
+    * 2024, "DeepSeekMath", §4.1): per prompt group of sampled
+    * responses, advantage_i = (r_i − mean_g) / std_g with the
+    * POPULATION std — the baseline-free policy-gradient signal
+    * computed entirely from data, no value model.
+    *
+    * Cross-engine exactness (the kappa/curriculum discipline): rewards
+    * are required INTEGRAL, the group moments are integer aggregates
+    * (n, S = Σr, Q = Σr²), and the advantage is ONE fixed double
+    * expression over them —
+    *
+    *   advantage = (n·r − S) / sqrt(n·Q − S²)
+    *
+    * (algebraically (r − S/n) / (sqrt(nQ − S²)/n)) — IEEE mul/sub/
+    * sqrt/div agree across engines when the operand set is identical,
+    * which integer aggregates guarantee; a naive avg/stddev_pop over
+    * doubles would differ in the last ulp per aggregation order.
+    *
+    * Conventions: NULL rewards are quarantined — emitted with NULL
+    * advantage, excluded from the moments (a reward-less sample can't
+    * shape the baseline) — and zero-variance groups get advantage 0
+    * for every member (GRPO's no-gradient group; division would be
+    * 0/0). Overflow contract: per group, n·Q < 2⁶³ and S² < 2⁶³.
+    *
+    * Scale shape: one map-side-combinable hash aggregation for the
+    * moments + one hash join back to the rows — group count is the
+    * prompt count, so the moment side is small and AQE broadcasts it;
+    * no window, no per-group sort. Output: `(promptCol, idCol,
+    * rewardCol, advantage, n_scored)`.
+    */
+  def groupRelativeAdvantage(
+      responses: DataFrame,
+      promptCol: String,
+      idCol: String,
+      rewardCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rt = responses.schema(rewardCol).dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(rt),
+      s"groupRelativeAdvantage needs an integral reward column (exact group " +
+        s"moments are the cross-engine contract); got ${rt.catalogString} — " +
+        "quantize scores first")
+    val r = col(rewardCol).cast("long")
+    val moments = responses
+      .groupBy(col(promptCol))
+      .agg(
+        count(col(rewardCol)).as("n_scored"),
+        coalesce(sum(r), lit(0L)).as("__S"),
+        coalesce(sum(r * r), lit(0L)).as("__Q"))
+    val n = col("n_scored")
+    val varN2 = n * col("__Q") - col("__S") * col("__S") // n²·σ²
+    responses
+      .join(moments, Seq(promptCol))
+      .select(
+        col(promptCol),
+        col(idCol),
+        col(rewardCol),
+        when(col(rewardCol).isNull, lit(null).cast("double"))
+          .when(varN2 === 0L, lit(0.0d))
+          .otherwise((n * r - col("__S")).cast("double") / sqrt(varN2.cast("double")))
+          .as("advantage"),
+        col("n_scored"))
+  }
+
+  /** Rejection-sampling selection (the RFT / best-of-n SFT-set
+    * construction): per prompt, keep the top `perPrompt` responses
+    * scoring at least `minScore`, under the family's explicit total
+    * order (score desc, then response id asc — engine-reproducible
+    * ties). NULL scores can never pass the threshold (SQL comparison
+    * semantics) — the quarantine falls out of the predicate.
+    *
+    * Scale shape: the threshold is a pushed scan filter, and the
+    * per-prompt cut rides the bounded-heap [[graft.plans.TopK]]
+    * native plan — partial heaps map-side, ≤ perPrompt rows per
+    * prompt cross the exchange, never a full window sort of every
+    * surviving response. Output: `(promptCol, idCol, scoreCol)`.
+    */
+  def rejectionSample(
+      responses: DataFrame,
+      promptCol: String,
+      idCol: String,
+      scoreCol: String,
+      minScore: Long,
+      perPrompt: Int): DataFrame = {
+    require(perPrompt >= 1, s"perPrompt must be positive, got $perPrompt")
+    graft.plans.TopK.perKey(
+      responses
+        .where(col(scoreCol) >= minScore)
+        .select(col(promptCol), col(idCol), col(scoreCol)),
+      Seq(promptCol),
+      Seq(col(scoreCol).desc, col(idCol).asc),
+      perPrompt)
+  }
+
   /** Bradley–Terry strength fitting over pairwise outcomes (the
     * reward-model / leaderboard step AFTER pair construction: turn
     * "A beat B" rows into one scalar strength per item), via `iters`

@@ -95,6 +95,43 @@ class ConversationsSpec extends AnyFunSuite {
     assert(plain === "<|im_start|>user\nhi<|im_end|>\n<|im_start|>assistant\nhello<|im_end|>\n")
   }
 
+  test("lossMaskSpans: the substring law against render, for every turn") {
+    // messy shapes: multi-turn, system-led, NULL role, NULL/empty content
+    val turns = turnsOf(
+      1L -> good,
+      2L -> sysLed,
+      3L -> """[{"role":"user"},{"content":"orphan"},{"role":"assistant","content":""}]""")
+    val spans = Conversations.lossMaskSpans(turns, "id")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    val rendered = Conversations.render(turns, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val contents = turns.collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(3)) "" else r.getString(3))).toMap
+    assert(spans.nonEmpty)
+    spans.foreach { case (id, idx, start, end, _) =>
+      val want = contents((id, idx))
+      val got = rendered(id).substring(start.toInt, end.toInt)
+      assert(got === want, s"span ($id, $idx) must cut exactly its content")
+    }
+    // is_target: null-safe, assistant only
+    val targets = spans.filter(_._5).map(s => (s._1, s._2)).toSet
+    assert(targets === Set((1L, 1), (2L, 2), (3L, 2)),
+      "assistant turns only; a NULL role is never a target")
+  }
+
+  test("lossMaskSpans: carrier rows drop; offsets survive shuffled input") {
+    val df = Seq((1L, good), (2L, "[{bad")).toDF("id", "j")
+    val turns = Conversations.parseTurns(df, "id", "j").repartition(7)
+    val got = Conversations.lossMaskSpans(turns, "id").collect()
+    assert(got.map(_.getLong(0)).toSet === Set(1L), "failed parses emit no spans")
+    val first = got.find(_.getInt(1) == 0).get
+    // <|im_start|> (12) + "user" (4) + \n (1) = 17
+    assert(first.getLong(3) === 17L && first.getLong(4) === 17L + "hi there".length)
+  }
+
   test("validate and stats are ONE hash aggregation — a single exchange each") {
     val turns = turnsOf(1L -> good, 2L -> sysLed)
     for (df <- Seq(

@@ -68,6 +68,50 @@ class PreferencesSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"top/bottom candidate sides re-use the ranked frame, plan:\n$plan")
   }
 
+  test("groupRelativeAdvantage: hand-computed z-scores, NULL quarantine, zero variance") {
+    val df = resp(
+      // prompt 1: rewards 1,2,3,6 → n=4, S=12, Q=50, n·Q−S²=56
+      (1L, 10L, Some(1)), (1L, 11L, Some(2)), (1L, 12L, Some(3)), (1L, 13L, Some(6)),
+      // prompt 2: constant rewards → zero variance → advantage 0
+      (2L, 20L, Some(5)), (2L, 21L, Some(5)),
+      // prompt 3: one NULL quarantined, two scored
+      (3L, 30L, Some(0)), (3L, 31L, Some(4)), (3L, 32L, None))
+    val got = Preferences.groupRelativeAdvantage(df, "prompt", "id", "score")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4))).toMap
+    def adv(n: Long, r: Long, s: Long, q: Long) =
+      (n * r - s).toDouble / math.sqrt((n * q - s * s).toDouble)
+    assert(got(10L)._1.get === adv(4, 1, 12, 50))
+    assert(got(13L)._1.get === adv(4, 6, 12, 50))
+    assert(math.abs(got.collect { case (i, (Some(a), _)) if Seq(10L, 11L, 12L, 13L).contains(i) => a }.sum) < 1e-12,
+      "advantages sum to ~0 within a group")
+    assert(got(20L)._1.get === 0.0 && got(21L)._1.get === 0.0)
+    assert(got(32L)._1.isEmpty, "NULL reward → NULL advantage, row stays visible")
+    assert(got(32L)._2 === 2L, "quarantined rows still report the group's scored count")
+    assert(got(30L)._1.get === adv(2, 0, 4, 16), "moments exclude the quarantined row")
+  }
+
+  test("groupRelativeAdvantage rejects non-integral rewards loudly") {
+    val df = Seq((1L, 10L, 1.5)).toDF("prompt", "id", "score")
+    val e = intercept[IllegalArgumentException] {
+      Preferences.groupRelativeAdvantage(df, "prompt", "id", "score")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("rejectionSample: threshold + explicit total order, NULLs never pass, native plan") {
+    val df = resp(
+      (1L, 10L, Some(9)), (1L, 11L, Some(9)), (1L, 12L, Some(7)),
+      (1L, 13L, Some(5)), (1L, 14L, Some(3)), (1L, 15L, None),
+      (2L, 20L, Some(2)))
+    val out = Preferences.rejectionSample(df, "prompt", "id", "score", minScore = 5L, perPrompt = 3)
+    assert(out.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "the per-prompt cut must ride the bounded-heap native plan")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ties at 9 break to the lowest id; 5 makes the cut, 3 and NULL don't; prompt 2 all below
+    assert(got === Set((1L, 10L), (1L, 11L), (1L, 12L)))
+  }
+
   // ---- Bradley–Terry fixed-point integer MM ----
 
   /** Independent sequential mirror of the integer MM recurrence —
