@@ -7504,6 +7504,37 @@ object Queries {
         FROM resp WHERE score >= 60)
       WHERE rn <= 4"""))
 
+  /** One-pass Aho–Corasick multi-phrase tagging ([[graft.functions
+    * .text.matchPhrases]]): which dictionary phrases appear in each
+    * document — ONE automaton walk per document regardless of
+    * dictionary size, where the oracle (and any contains-loop
+    * implementation) pays O(bytes × phrases). The dictionary mixes
+    * single words, multi-word phrases, a prefix-nested pair
+    * ("table" / "table value" — the failure-link stress), a non-
+    * word-aligned fragment, and a never-occurring phrase; DuckDB
+    * replays the semantics with a per-phrase contains + filtered
+    * list aggregation.
+    */
+  val q165MatchPhrases: Q = Q(
+    "q165_match_phrases",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      // joined to one string for the value-hash gate (the q151 array
+      // convention); the array face is spec-covered
+      concat_ws("|", graft.functions.text.matchPhrases(col("text"), Seq(
+        "fast table", "table", "table value", "merge batch part",
+        "agg row scan", "ow fas", "spark", "zebra stripe"))).as("matched")),
+    Some("""
+      SELECT d.doc_id,
+             COALESCE(array_to_string(
+               list_sort(list(ph.p) FILTER (WHERE contains(d.text, ph.p))), '|'),
+               '') AS matched
+      FROM documents d
+      CROSS JOIN (SELECT unnest(['fast table', 'table', 'table value',
+                                 'merge batch part', 'agg row scan', 'ow fas',
+                                 'spark', 'zebra stripe']) AS p) ph
+      GROUP BY d.doc_id"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -7568,7 +7599,7 @@ object Queries {
     q152ChatTurns, q153ChatValidate, q154ChatStats, q155ChatRender,
     q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity, q159HitsScores,
     q160StripAccents, q161BradleyTerry, q162GrpoAdvantage, q163LossMaskSpans,
-    q164RejectionSample)
+    q164RejectionSample, q165MatchPhrases)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

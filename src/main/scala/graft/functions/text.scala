@@ -31,6 +31,26 @@ object text {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** One-pass multi-phrase scan via the native Aho–Corasick
+    * [[graft.expressions.MultiPhraseMatchExpr]]: the DISTINCT
+    * dictionary phrases appearing in the text (byte substring match,
+    * case-sensitive — lowercase/normalize upstream), lexicographic
+    * order. O(bytes) per document regardless of dictionary size —
+    * the blocklist / taxonomy-routing scan; a 10k-alternative regex
+    * or a `contains` loop is O(bytes × phrases).
+    */
+  def matchPhrases(c: Column, phrases: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.MultiPhraseMatchExpr(
+      ColumnBridge.eagerExpression(c), phrases))
+  }
+
+  /** True iff ANY dictionary phrase appears — the blocklist predicate
+    * face of [[matchPhrases]] (same single automaton walk).
+    */
+  def hasAnyPhrase(c: Column, phrases: Seq[String]): Column =
+    size(matchPhrases(c, phrases)) > 0
+
   /** Accent/diacritic removal via the native codegen'd
     * [[graft.expressions.StripAccentsExpr]]: NFD-decompose, drop
     * combining marks, NFC-recompose — mark removal, not ASCII
