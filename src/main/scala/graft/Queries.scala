@@ -7535,6 +7535,62 @@ object Queries {
                                  'spark', 'zebra stripe']) AS p) ph
       GROUP BY d.doc_id"""))
 
+  /** The unrolled mod-10 arithmetic of [[graft.functions.text
+    * .luhnValid]] as a DuckDB boolean expression over `v` — 19 guarded
+    * CASE terms, TRY_CAST so an unselected branch can never error.
+    */
+  private def luhnSql(v: String): String = {
+    val terms = (1 to 19).map { i =>
+      val d = s"COALESCE(TRY_CAST(substr($v, length($v) - $i + 1, 1) AS INT), 0)"
+      val contrib =
+        if (i % 2 == 0) s"(CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END)"
+        else d
+      s"(CASE WHEN length($v) >= $i THEN $contrib ELSE 0 END)"
+    }.mkString(" + ")
+    s"(regexp_matches($v, '^[0-9]{13,19}$$') AND ($terms) % 10 = 0)"
+  }
+
+  /** Luhn-validated payment-card detection ([[graft.functions.text
+    * .detectPaymentCards]]): one candidate-pattern scan + per-candidate
+    * mod-10 arithmetic, so random digit runs (order IDs, timestamps)
+    * never false-positive. The synthesized corpus varies a 16-digit
+    * candidate per row (~10% Luhn-valid — the decision boundary is
+    * exercised in both directions at every SF) and plants a separator-
+    * formatted known-valid number on every 5th row; DuckDB replays
+    * extraction, normalization, and the unrolled checksum.
+    */
+  val q166CardDetect: Q = Q(
+    "q166_card_detect",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      concat_ws("|", graft.functions.text.detectPaymentCards(
+        concat(
+          lit("contact x"), (col("doc_id") % 97).cast("string"),
+          lit(" card 4"),
+          lpad(((col("doc_id") * 7919) % 1000000000000000L).cast("string"), 15, "0"),
+          when(col("doc_id") % 5 === 0, lit(" and 4111 1111 1111 1111 backup"))
+            .otherwise(lit("")),
+          lit(" end")))).as("cards")),
+    Some(s"""
+      WITH ct AS (
+        SELECT doc_id,
+               'contact x' || CAST(doc_id % 97 AS VARCHAR) || ' card 4' ||
+               lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0') ||
+               (CASE WHEN doc_id % 5 = 0 THEN ' and 4111 1111 1111 1111 backup' ELSE '' END) ||
+               ' end' AS text
+        FROM documents),
+      cand AS (
+        SELECT doc_id,
+               list_transform(
+                 regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,18}'),
+                 x -> replace(replace(x, ' ', ''), '-', '')) AS ds
+        FROM ct)
+      SELECT doc_id,
+             COALESCE(array_to_string(
+               list_sort(list_distinct(list_filter(ds, x -> ${luhnSql("x")}))), '|'),
+               '') AS cards
+      FROM cand"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -7599,7 +7655,7 @@ object Queries {
     q152ChatTurns, q153ChatValidate, q154ChatStats, q155ChatRender,
     q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity, q159HitsScores,
     q160StripAccents, q161BradleyTerry, q162GrpoAdvantage, q163LossMaskSpans,
-    q164RejectionSample, q165MatchPhrases)
+    q164RejectionSample, q165MatchPhrases, q166CardDetect)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -248,6 +248,56 @@ object text {
       regexp_replace(c, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
+  /** Digit runs (optionally space/dash-separated) long enough to be a
+    * payment card — the CANDIDATE pattern; [[luhnValid]] decides.
+    * Java and RE2 agree on this syntax (the [[emailPattern]] rule).
+    */
+  val cardCandidatePattern = "[0-9](?:[ -]?[0-9]){12,18}"
+
+  /** Luhn checksum validity (ISO/IEC 7812 mod-10) of a digits-only
+    * string of 13–19 digits — the test that separates real payment
+    * cards from arbitrary digit runs, killing the false positives a
+    * bare regex redactor produces on IDs/timestamps. Unrolled over
+    * the 19 maximum positions as pure integer CASE arithmetic: one
+    * fixed expression both engines evaluate identically, usable
+    * inside array lambdas (which run interpreted — the CaseWhen
+    * guard short-circuits, so out-of-range positions never cast).
+    */
+  def luhnValid(c: Column): Column = {
+    val len = length(c)
+    val total = (1 to 19).map { i =>
+      // i-th digit from the RIGHT (1-based); double every second one
+      val d = c.substr(len - lit(i) + lit(1), lit(1)).cast("int")
+      val contrib = if (i % 2 == 0) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
+      when(len >= i, contrib).otherwise(lit(0))
+    }.reduce(_ + _)
+    c.rlike("^[0-9]{13,19}$") && total % 10 === 0
+  }
+
+  /** Luhn-valid payment-card numbers appearing in the text, separator-
+    * normalized (digits only), distinct, lexicographic — the DETECTION
+    * face for audits ("which documents leak card numbers, and which").
+    * Candidates come from one [[cardCandidatePattern]] scan; validation
+    * is per-candidate [[luhnValid]] arithmetic, so cost is
+    * O(bytes + candidates), zero shuffle.
+    */
+  def detectPaymentCards(c: Column): Column = {
+    val raw = regexp_extract_all(c, lit(cardCandidatePattern), lit(0))
+    val digits = transform(raw, x => regexp_replace(x, "[ -]", ""))
+    array_sort(array_distinct(filter(digits, d => luhnValid(d))))
+  }
+
+  /** Scrub Luhn-VALID card numbers (as matched, separators included)
+    * with a typed placeholder, leaving invalid digit runs — order IDs,
+    * timestamps, hashes — untouched. The fold over detected candidates
+    * is a per-row `aggregate` HOF: no UDF, no join, no shuffle.
+    */
+  def redactPaymentCards(c: Column): Column = {
+    val raw = regexp_extract_all(c, lit(cardCandidatePattern), lit(0))
+    val valid = filter(raw, x => luhnValid(regexp_replace(x, "[ -]", "")))
+    aggregate(valid, c, (acc, x) => replace(acc, x, lit("<CARD>")))
+  }
+
   // --- Gopher-style rule signals (Rae et al. 2021, "Scaling Language
   // Models: ... Gopher", §A1.1 — public heuristics; formulas restated
   // here, thresholds live in the caller) ---

@@ -152,4 +152,47 @@ object TextProperties extends Properties("graft.text") {
       phone =>
         one(s"call $phone now", text.redactPii(col("text"))).getString(0).contains("<PHONE>")
     }
+
+  /** Independent mirror of ISO/IEC 7812 mod-10. */
+  private def luhnRef(digits: String): Boolean =
+    digits.length >= 13 && digits.length <= 19 && digits.forall(_.isDigit) && {
+      val sum = digits.reverse.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      sum % 10 == 0
+    }
+
+  /** A Luhn-VALID number: 15 random digits + the computed check digit. */
+  private val genValidCard: Gen[String] =
+    Gen.listOfN(15, Gen.numChar).map(_.mkString).map { body =>
+      val check = (0 to 9).find(d => luhnRef(body + d)).get
+      body + check
+    }
+
+  private val genDigits: Gen[String] =
+    Gen.choose(13, 19).flatMap(n => Gen.listOfN(n, Gen.numChar).map(_.mkString))
+
+  property("luhnValid agrees with the independent mod-10 mirror on random digit runs") =
+    forAll(genDigits) { ds =>
+      one(ds, text.luhnValid(col("text"))).getBoolean(0) == luhnRef(ds)
+    }
+
+  property("detectPaymentCards: planted valid card found (separators normalized), invalid runs never flagged") =
+    forAll(genValidCard, genDoc) { (card, doc) =>
+      val spaced = card.grouped(4).mkString(" ")
+      // mutating one digit always changes the sum mod 10 → always invalid
+      val invalid = card.init + ((card.last - '0' + 1) % 10)
+      val got = one(s"$doc pay $spaced or $invalid done",
+        text.detectPaymentCards(col("text"))).getSeq[String](0)
+      got.contains(card) && !got.contains(invalid) && got.forall(luhnRef)
+    }
+
+  property("redactPaymentCards scrubs valid cards as matched, leaves invalid runs and clean text") =
+    forAll(genValidCard, genDoc) { (card, doc) =>
+      val spaced = card.grouped(4).mkString(" ")
+      val red = one(s"$doc pay $spaced ok", text.redactPaymentCards(col("text"))).getString(0)
+      val clean = one(doc, text.redactPaymentCards(col("text"))).getString(0)
+      red.contains("<CARD>") && !red.contains(spaced) && clean == doc
+    }
 }
