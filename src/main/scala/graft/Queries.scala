@@ -7591,6 +7591,42 @@ object Queries {
                '') AS cards
       FROM cand"""))
 
+  /** Mojibake repair ([[graft.functions.text.fixMojibake]]): CP1252↔
+    * UTF-8 double encoding undone by strict re-encode/re-decode. The
+    * oracle pins fixed input→output witnesses (the q160 external-
+    * standard gate style): single and NESTED double encoding repair,
+    * and the four must-not-touch classes — ASCII, genuine
+    * single-encoded text, CP1252 specials standing alone, and CJK
+    * (which the strict 1252 encoder rejects).
+    */
+  val q167FixMojibake: Q = Q(
+    "q167_fix_mojibake",
+    (s, dir) => {
+      // escaped literals: cafÃ© (café double-encoded), â€™ (’ double-
+      // encoded), ÃƒÂ© (é double-encoded TWICE), café (genuine, keep),
+      // €5 (lone CP1252 special, keep), 中文 (outside CP1252, keep)
+      val raw = when(col("doc_id") % 6 === 0, lit("caf\u00c3\u00a9 cream"))
+        .when(col("doc_id") % 6 === 1, lit("it\u00e2\u20ac\u2122s fine"))
+        .when(col("doc_id") % 6 === 2, lit("caf\u00c3\u0192\u00c2\u00a9 twice"))
+        .when(col("doc_id") % 6 === 3, lit("caf\u00e9 genuine"))
+        .when(col("doc_id") % 6 === 4, lit("price \u20ac5 only"))
+        .otherwise(concat(lit("ascii \u4e2d\u6587 "), col("doc_id").cast("string")))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.text.fixMojibake(raw).as("fixed"))
+    },
+    Some("""
+      SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'caf' || chr(233) || ' cream'
+               WHEN 1 THEN 'it' || chr(8217) || 's fine'
+               WHEN 2 THEN 'caf' || chr(233) || ' twice'
+               WHEN 3 THEN 'caf' || chr(233) || ' genuine'
+               WHEN 4 THEN 'price ' || chr(8364) || '5 only'
+               ELSE 'ascii ' || chr(20013) || chr(25991) || ' ' || CAST(doc_id AS VARCHAR)
+             END AS fixed
+      FROM documents"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -7655,7 +7691,7 @@ object Queries {
     q152ChatTurns, q153ChatValidate, q154ChatStats, q155ChatRender,
     q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity, q159HitsScores,
     q160StripAccents, q161BradleyTerry, q162GrpoAdvantage, q163LossMaskSpans,
-    q164RejectionSample, q165MatchPhrases, q166CardDetect)
+    q164RejectionSample, q165MatchPhrases, q166CardDetect, q167FixMojibake)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -41,6 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.vecSumDescriptor)
     ext.injectFunction(GraftFunctions.normalizeDescriptor)
     ext.injectFunction(GraftFunctions.deflateLenDescriptor)
+    ext.injectFunction(GraftFunctions.stripAccentsDescriptor)
+    ext.injectFunction(GraftFunctions.fixMojibakeDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
@@ -212,11 +214,22 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException("graft_deflate_len(str)")
     })
 
+  /** `graft_fix_mojibake(str)` — undo CP1252↔UTF-8 double encoding
+    * (see [[FixMojibakeExpr]]).
+    */
+  val fixMojibakeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_fix_mojibake"),
+    new ExpressionInfo(classOf[FixMojibakeExpr].getName, "graft_fix_mojibake"),
+    {
+      case Seq(s) => FixMojibakeExpr(s)
+      case _ => throw new IllegalArgumentException("graft_fix_mojibake(str)")
+    })
+
   def register(spark: SparkSession): Unit =
     Seq(minHashDescriptor, simHashDescriptor, dotDescriptor, mgSketchDescriptor,
         cmSketchDescriptor, gkSketchDescriptor, gkMergeDescriptor, gkQuantilesDescriptor,
         funnelDescriptor, vecSumDescriptor, normalizeDescriptor, deflateLenDescriptor,
-        stripAccentsDescriptor)
+        stripAccentsDescriptor, fixMojibakeDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

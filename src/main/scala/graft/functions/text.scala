@@ -248,6 +248,20 @@ object text {
       regexp_replace(c, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
+  /** Undo CP1252↔UTF-8 double encoding (`cafÃ©` → `café`, `â€™` → `’`)
+    * via the native codegen'd [[graft.expressions.FixMojibakeExpr]]:
+    * strict re-encode + strict re-decode, up to 3 nested rounds, with
+    * hard guarantees that ASCII, genuine single-encoded text, CJK/
+    * emoji, and lone CP1252 specials pass through untouched. Apply
+    * BEFORE [[normalizeUnicode]]/hashing — mojibake fragments every
+    * byte-level identity downstream.
+    */
+  def fixMojibake(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.FixMojibakeExpr(
+      ColumnBridge.eagerExpression(c)))
+  }
+
   /** Digit runs (optionally space/dash-separated) long enough to be a
     * payment card — the CANDIDATE pattern; [[luhnValid]] decides.
     * Java and RE2 agree on this syntax (the [[emailPattern]] rule).

@@ -153,6 +153,33 @@ object TextProperties extends Properties("graft.text") {
         one(s"call $phone now", text.redactPii(col("text"))).getString(0).contains("<PHONE>")
     }
 
+  /** One round of CP1252↔UTF-8 corruption — the thing fixMojibake
+    * undoes. Java's windows-1252 is a byte↔char bijection (the five
+    * holes pass through as C1 controls), so this is always defined.
+    */
+  private def corrupt(s: String): String =
+    new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.Charset.forName("windows-1252"))
+
+  private val genMixed: Gen[String] = Gen.nonEmptyListOf(Gen.oneOf(
+    Gen.alphaNumChar.map(_.toString),
+    Gen.oneOf("é", "ü", "ñ", "ß", "—", "’", "€", "中", "日", "🙂", " ")))
+    .map(_.take(20).mkString).suchThat(_.exists(_ >= 0x80))
+
+  property("fixMojibake: one extra round of corruption is always fully undone") =
+    forAll(genMixed) { s =>
+      val fixedCorrupt = one(corrupt(s), text.fixMojibake(col("text"))).getString(0)
+      val fixedPlain = one(s, text.fixMojibake(col("text"))).getString(0)
+      fixedCorrupt == fixedPlain
+    }
+
+  property("fixMojibake passthrough: ASCII and strings with non-CP1252 chars are untouched") =
+    forAll(genDoc, genMixed) { (ascii, mixed) =>
+      val cjk = mixed + "中" // any char outside CP1252 makes the strict encoder abort
+      one(ascii, text.fixMojibake(col("text"))).getString(0) == ascii &&
+      one(cjk, text.fixMojibake(col("text"))).getString(0) == cjk
+    }
+
   /** Independent mirror of ISO/IEC 7812 mod-10. */
   private def luhnRef(digits: String): Boolean =
     digits.length >= 13 && digits.length <= 19 && digits.forall(_.isDigit) && {
