@@ -7627,6 +7627,57 @@ object Queries {
              END AS fixed
       FROM documents"""))
 
+  /** End-to-end SFT pipeline gate ([[graft.operators.Conversations
+    * .sftDataset]]): parse → contract-filter → render → loss-mask
+    * accounting in ONE DAG under one oracle — q152/q153/q155/q163
+    * gate the stages; this row gates their COMPOSITION (the q137
+    * crawl-pipeline discipline), including the cross-binding law
+    * total_chars = length(rendered) = Σ template span lengths.
+    */
+  val q168SftPipeline: Q = Q(
+    "q168_sft_pipeline",
+    (s, dir) => graft.operators.Conversations.sftDataset(
+      syntheticChats(s, dir), "doc_id", "conv_json"),
+    Some(s"""
+      WITH $chatTurnsCte,
+      v AS (
+        SELECT doc_id,
+               COUNT(turn_idx) AS n_turns,
+               COALESCE(COUNT(turn_idx) > 0 AND
+                 arg_min(role, turn_idx) IN ('system', 'user'), FALSE) AS starts_ok,
+               COALESCE(COUNT(turn_idx) > 0 AND
+                 CASE WHEN arg_min(role, turn_idx) = 'system'
+                   THEN SUM(CASE WHEN turn_idx > 0 AND
+                     ((turn_idx % 2 = 1 AND role IS DISTINCT FROM 'user') OR
+                      (turn_idx % 2 = 0 AND role IS DISTINCT FROM 'assistant'))
+                     THEN 1 ELSE 0 END) = 0
+                   ELSE SUM(CASE WHEN
+                     ((turn_idx % 2 = 0 AND role IS DISTINCT FROM 'user') OR
+                      (turn_idx % 2 = 1 AND role IS DISTINCT FROM 'assistant'))
+                     THEN 1 ELSE 0 END) = 0 END, FALSE) AS alternates,
+               COUNT(turn_idx) > 0 AND
+                 SUM(CASE WHEN turn_idx IS NOT NULL AND
+                   (content IS NULL OR trim(content) = '') THEN 1 ELSE 0 END) = 0
+                 AS no_empty,
+               COALESCE(arg_max(role, turn_idx) = 'assistant', FALSE) AS ends_assistant
+        FROM chat_turns GROUP BY doc_id),
+      agg AS (
+        SELECT doc_id,
+               string_agg(
+                 '<|im_start|>' || role || chr(10) || COALESCE(content, '') ||
+                   '<|im_end|>' || chr(10),
+                 '' ORDER BY turn_idx) AS rendered,
+               CAST(SUM(24 + length(COALESCE(role, '')) + length(COALESCE(content, '')))
+                 AS BIGINT) AS total_chars,
+               CAST(COALESCE(SUM(CASE WHEN role = 'assistant'
+                 THEN length(COALESCE(content, '')) END), 0) AS BIGINT) AS target_chars,
+               COUNT(CASE WHEN role = 'assistant' THEN 1 END) AS n_target_spans
+        FROM chat_turns WHERE turn_idx IS NOT NULL GROUP BY doc_id)
+      SELECT v.doc_id, a.rendered, a.total_chars, a.target_chars, a.n_target_spans
+      FROM v JOIN agg a ON a.doc_id = v.doc_id
+      WHERE v.n_turns >= 2 AND v.starts_ok AND v.alternates AND v.no_empty
+        AND v.ends_assistant"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -7691,7 +7742,8 @@ object Queries {
     q152ChatTurns, q153ChatValidate, q154ChatStats, q155ChatRender,
     q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity, q159HitsScores,
     q160StripAccents, q161BradleyTerry, q162GrpoAdvantage, q163LossMaskSpans,
-    q164RejectionSample, q165MatchPhrases, q166CardDetect, q167FixMojibake)
+    q164RejectionSample, q165MatchPhrases, q166CardDetect, q167FixMojibake,
+    q168SftPipeline)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

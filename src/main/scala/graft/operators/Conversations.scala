@@ -197,6 +197,54 @@ object Conversations {
     * corpus, not the longest transcript. Output: `(idCol, turn_idx,
     * role, start, end, is_target)`.
     */
+  /** The one-call SFT data pipeline: parse → contract-filter → render
+    * → loss-mask accounting, ONE scan. Output, one row per VALID
+    * conversation (the [[validate]] contract): `(idCol, rendered,
+    * total_chars, target_chars, n_target_spans)` — the rendered
+    * training string plus the character budget split a packing
+    * planner needs (what fraction of each sequence actually carries
+    * loss).
+    *
+    * `total_chars == length(rendered) == Σ span lengths` binds
+    * [[render]]'s string building and [[lossMaskSpans]]' template
+    * arithmetic to each other — a drift in either breaks the
+    * pipeline's own consistency, not just a spec.
+    *
+    * Scale shape: the parsed turn table is computed ONCE and pinned
+    * (three consumers: the audit, the render, the span aggregation —
+    * unpinned, each would re-run the JSON parse over the scan); the
+    * three branches are hash aggregations by conversation joined on
+    * the id. Pin lifetime: pass `scope` and release after consuming
+    * the result (the pageRankInt convention).
+    */
+  def sftDataset(
+      chats: DataFrame,
+      idCol: String,
+      jsonCol: String,
+      scope: Option[Caches.Scope] = None): DataFrame = {
+    val turns = {
+      val t = parseTurns(chats, idCol, jsonCol)
+      scope.fold(Caches.pin(t))(_.pin(t))
+    }
+    val valid = validate(turns, idCol).where(col("valid")).select(col(idCol))
+    val rendered = render(turns, idCol)
+    val spanAgg = lossMaskSpans(turns, idCol)
+      .groupBy(col(idCol))
+      .agg(
+        count(when(col("is_target"), 1)).as("n_target_spans"),
+        coalesce(sum(when(col("is_target"), col("end") - col("start"))), lit(0L))
+          .as("target_chars"))
+    valid
+      .join(rendered, Seq(idCol))
+      .join(spanAgg, Seq(idCol))
+      .select(
+        col(idCol),
+        col("rendered"),
+        length(col("rendered")).cast("long").as("total_chars"),
+        col("target_chars"),
+        col("n_target_spans"))
+  }
+
   def lossMaskSpans(
       turns: DataFrame,
       idCol: String,

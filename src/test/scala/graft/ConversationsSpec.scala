@@ -132,6 +132,26 @@ class ConversationsSpec extends AnyFunSuite {
     assert(first.getLong(3) === 17L && first.getLong(4) === 17L + "hi there".length)
   }
 
+  test("sftDataset: contract-filters, binds render length to span arithmetic, parses once") {
+    val scope = graft.operators.Caches.newScope()
+    val df = Seq(
+      1L -> good, // valid
+      2L -> sysLed, // valid
+      3L -> """[{"role":"user","content":"q"}]""", // single turn → invalid
+      4L -> "[{bad").toDF("id", "j")
+    val out = graft.operators.Conversations.sftDataset(df, "id", "j", Some(scope))
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(1L, 2L), "only contract-valid conversations survive")
+    rows.values.foreach { r =>
+      assert(r.getLong(2) === r.getString(1).length.toLong,
+        "total_chars must equal the rendered length (the render/span binding law)")
+    }
+    assert(rows(1L).getLong(3) === "hello".length.toLong && rows(1L).getLong(4) === 1L)
+    assert(out.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "the parsed turn table must be pinned — three consumers, one JSON parse")
+    scope.release()
+  }
+
   test("validate and stats are ONE hash aggregation — a single exchange each") {
     val turns = turnsOf(1L -> good, 2L -> sysLed)
     for (df <- Seq(
