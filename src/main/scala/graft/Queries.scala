@@ -7678,6 +7678,42 @@ object Queries {
       WHERE v.n_turns >= 2 AND v.starts_ok AND v.alternates AND v.no_empty
         AND v.ends_assistant"""))
 
+  /** Interval-overlap join ([[graft.operators.IntervalJoin.overlap]],
+    * bucket width 32): binning decomposition — explode to touched
+    * buckets, EQUI-join on bucket id, residual overlap predicate,
+    * first-shared-bucket guard for exactly-once pair emission — where
+    * the naive theta join is a cartesian product. The oracle IS that
+    * naive theta join (DuckDB's IEJoin handles it at oracle scale);
+    * IntervalJoinSpec asserts the Spark plan contains NO cartesian.
+    */
+  val q169IntervalOverlap: Q = Q(
+    "q169_interval_overlap",
+    (s, dir) => {
+      val d = t(s, dir, "documents").where(col("doc_id") % 23 === 0)
+      val l = d.select(
+        col("doc_id").as("l_id"),
+        ((col("doc_id") * 7) % 997).as("l_s"))
+        .withColumn("l_e", col("l_s") + 1 + (col("l_id") % 37))
+      val r = d.select(
+        col("doc_id").as("r_id"),
+        ((col("doc_id") * 13 + 5) % 997).as("r_s"))
+        .withColumn("r_e", col("r_s") + 1 + ((col("r_id") * 3) % 41))
+      graft.operators.IntervalJoin.overlap(l, r, "l_s", "l_e", "r_s", "r_e", 32L)
+        .select("l_id", "r_id", "l_s", "l_e", "r_s", "r_e")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 0),
+      l AS (
+        SELECT doc_id AS l_id, (doc_id * 7) % 997 AS l_s,
+               (doc_id * 7) % 997 + 1 + doc_id % 37 AS l_e
+        FROM d),
+      r AS (
+        SELECT doc_id AS r_id, (doc_id * 13 + 5) % 997 AS r_s,
+               (doc_id * 13 + 5) % 997 + 1 + (doc_id * 3) % 41 AS r_e
+        FROM d)
+      SELECT l_id, r_id, l_s, l_e, r_s, r_e
+      FROM l JOIN r ON l_s < r_e AND r_s < l_e"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -7743,7 +7779,7 @@ object Queries {
     q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity, q159HitsScores,
     q160StripAccents, q161BradleyTerry, q162GrpoAdvantage, q163LossMaskSpans,
     q164RejectionSample, q165MatchPhrases, q166CardDetect, q167FixMojibake,
-    q168SftPipeline)
+    q168SftPipeline, q169IntervalOverlap)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =
