@@ -7714,6 +7714,50 @@ object Queries {
       SELECT l_id, r_id, l_s, l_e, r_s, r_e
       FROM l JOIN r ON l_s < r_e AND r_s < l_e"""))
 
+  /** Context-window truncation ([[graft.operators.Conversations
+    * .truncateToBudget]], budget 8 whitespace tokens): system turn
+    * kept and charged, newest-suffix fit, forward-trim to the first
+    * kept user turn, no-user conversations emit nothing. The budget
+    * bites on most synthesized conversations (2–3 token contents,
+    * up to 7 turns), so every rule has witnesses at every SF; the
+    * oracle replays the suffix window sum and both trims with the
+    * q154 space-arithmetic token convention.
+    */
+  val q170TruncateBudget: Q = Q(
+    "q170_truncate_budget",
+    (s, dir) => graft.operators.Conversations.truncateToBudget(
+      graft.operators.Conversations.parseTurns(
+        syntheticChats(s, dir), "doc_id", "conv_json"),
+      "doc_id", maxTokens = 8L),
+    Some(s"""
+      WITH $chatTurnsCte,
+      tt AS (
+        SELECT doc_id, turn_idx, role, content,
+               CAST(CASE WHEN content IS NULL OR content = '' THEN 0
+                    ELSE length(content) - length(replace(content, ' ', '')) + 1
+                    END AS BIGINT) AS tok
+        FROM chat_turns WHERE turn_idx IS NOT NULL),
+      sys AS (
+        SELECT doc_id, COALESCE(SUM(tok), 0) AS stok
+        FROM tt WHERE turn_idx = 0 AND role = 'system' GROUP BY doc_id),
+      ns AS (
+        SELECT t.*, SUM(tok) OVER (PARTITION BY doc_id ORDER BY turn_idx DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sfx
+        FROM tt t WHERE NOT (turn_idx = 0 AND COALESCE(role = 'system', FALSE))),
+      kept AS (
+        SELECT ns.doc_id, ns.turn_idx, ns.role, ns.content
+        FROM ns LEFT JOIN sys USING (doc_id)
+        WHERE ns.sfx <= 8 - COALESCE(sys.stok, 0)),
+      fu AS (
+        SELECT doc_id, MIN(turn_idx) AS first_user
+        FROM kept WHERE role = 'user' GROUP BY doc_id)
+      SELECT k.doc_id, k.turn_idx, k.role, k.content
+      FROM kept k JOIN fu USING (doc_id) WHERE k.turn_idx >= fu.first_user
+      UNION ALL
+      SELECT t.doc_id, t.turn_idx, t.role, t.content
+      FROM tt t JOIN fu USING (doc_id)
+      WHERE t.turn_idx = 0 AND t.role = 'system'"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -7779,7 +7823,7 @@ object Queries {
     q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity, q159HitsScores,
     q160StripAccents, q161BradleyTerry, q162GrpoAdvantage, q163LossMaskSpans,
     q164RejectionSample, q165MatchPhrases, q166CardDetect, q167FixMojibake,
-    q168SftPipeline, q169IntervalOverlap)
+    q168SftPipeline, q169IntervalOverlap, q170TruncateBudget)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -197,6 +197,54 @@ object Conversations {
     * corpus, not the longest transcript. Output: `(idCol, turn_idx,
     * role, start, end, is_target)`.
     */
+  /** Context-window truncation: fit each conversation into a
+    * whitespace-token budget (the [[stats]] token convention) by
+    * keeping (1) the system turn, always, its tokens charged against
+    * the budget, and (2) the maximal SUFFIX of the remaining turns —
+    * the newest context — whose token total fits what's left, then
+    * (3) trimming that suffix forward to its first `user` turn, so
+    * the kept block never opens with an orphaned assistant answer.
+    * Conversations whose kept block contains no user turn emit
+    * NOTHING (a lone system prompt is not trainable). NULL-`turn_idx`
+    * carrier rows drop. Output: the surviving turn rows, unchanged
+    * schema.
+    *
+    * Scale shape: one exchange (hash by conversation) reused by the
+    * suffix-sum window and the per-conversation aggregates; all
+    * arithmetic is integer, so the cut replays exactly on any engine
+    * and partitioning.
+    */
+  def truncateToBudget(
+      turns: DataFrame,
+      idCol: String,
+      maxTokens: Long): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be positive, got $maxTokens")
+    val tok = coalesce(size(text.tokens(col("content"))), lit(0)).cast("long")
+    val tt = turns
+      .where(col("turn_idx").isNotNull)
+      .select(col(idCol), col("turn_idx"), col("role"), col("content"), tok.as("__tok"))
+    val isSys = col("turn_idx") === 0 && col("role") <=> lit("system")
+    val sys = tt.where(isSys)
+    val sysTok = sys.groupBy(col(idCol))
+      .agg(coalesce(sum(col("__tok")), lit(0L)).as("__stok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("turn_idx").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val kept = tt.where(!isSys)
+      .withColumn("__sfx", sum(col("__tok")).over(w))
+      .join(sysTok, Seq(idCol), "left")
+      .where(col("__sfx") <= lit(maxTokens) - coalesce(col("__stok"), lit(0L)))
+    val firstUser = kept.where(col("role") <=> lit("user"))
+      .groupBy(col(idCol))
+      .agg(min(col("turn_idx")).as("__first_user"))
+    val body = kept.join(firstUser, Seq(idCol))
+      .where(col("turn_idx") >= col("__first_user"))
+    val head = sys.join(firstUser, Seq(idCol))
+    body.select(col(idCol), col("turn_idx"), col("role"), col("content"))
+      .unionAll(head.select(col(idCol), col("turn_idx"), col("role"), col("content")))
+  }
+
   /** The one-call SFT data pipeline: parse → contract-filter → render
     * → loss-mask accounting, ONE scan. Output, one row per VALID
     * conversation (the [[validate]] contract): `(idCol, rendered,

@@ -152,6 +152,45 @@ class ConversationsSpec extends AnyFunSuite {
     scope.release()
   }
 
+  test("truncateToBudget: system kept and charged, newest suffix fits, trims to first user") {
+    // tokens: sys=2; turns 1..4: user(3), assistant(4), user(2), assistant(3)
+    val df = Seq(1L ->
+      """[{"role":"system","content":"be brief"},
+         {"role":"user","content":"first long question"},
+         {"role":"assistant","content":"quite a long answer here"},
+         {"role":"user","content":"short one"},
+         {"role":"assistant","content":"final short answer"}]""".replaceAll("\n\\s*", ""))
+      .toDF("id", "j")
+    val turns = Conversations.parseTurns(df, "id", "j")
+    // budget 8: remaining 6 after system → suffix asst(3)+user(2)=5 fits,
+    // adding asst(4) → 9 > 6 stops; suffix starts at user → no trim
+    val got = Conversations.truncateToBudget(turns, "id", 8L)
+      .collect().map(_.getInt(1)).sorted
+    assert(got === Array(0, 3, 4))
+    // budget 6: remaining 4 → only asst(3) fits → no user in block → NOTHING
+    assert(Conversations.truncateToBudget(turns, "id", 6L).count() === 0L,
+      "a kept block with no user turn is not trainable; even the system drops")
+    // budget 30: everything fits
+    assert(Conversations.truncateToBudget(turns, "id", 30L)
+      .collect().map(_.getInt(1)).sorted === Array(0, 1, 2, 3, 4))
+  }
+
+  test("truncateToBudget: forward-trim drops an orphaned assistant head; no-system conv works") {
+    // no system; turns: user(5), assistant(1), user(1), assistant(1)
+    val df = Seq(7L ->
+      """[{"role":"user","content":"a very long opening question here"},
+         {"role":"assistant","content":"ok"},
+         {"role":"user","content":"more"},
+         {"role":"assistant","content":"done"}]""".replaceAll("\n\\s*", ""))
+      .toDF("id", "j")
+    val turns = Conversations.parseTurns(df, "id", "j").repartition(5)
+    // budget 3: suffix asst(1)+user(1)+asst(1)=3 fits, user(5)+3 doesn't;
+    // block = [assistant, user, assistant] → trim the orphaned head
+    val got = Conversations.truncateToBudget(turns, "id", 3L)
+      .collect().map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(got === Seq(2 -> "user", 3 -> "assistant"))
+  }
+
   test("validate and stats are ONE hash aggregation — a single exchange each") {
     val turns = turnsOf(1L -> good, 2L -> sysLed)
     for (df <- Seq(
