@@ -7758,6 +7758,37 @@ object Queries {
       FROM tt t JOIN fu USING (doc_id)
       WHERE t.turn_idx = 0 AND t.role = 'system'"""))
 
+  /** [[graft.operators.Quantize.signBits]] as DuckDB SQL: 64 static
+    * mask terms (bit 63 via the two's-complement subtraction idiom —
+    * DuckDB range-checks `1 << 63`).
+    */
+  private def signBitsSql(vec: String, dim: Int): String =
+    (0 until dim).map { i =>
+      val mask = if (i == 63) "(-9223372036854775807 - 1)" else s"${1L << i}"
+      s"(CASE WHEN $vec[${i + 1}] > 0 THEN CAST($mask AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Binary ANN ([[graft.operators.Similarity.hammingTopK]]): sign-bit
+    * codes + XOR-popcount distance — the 1-bit face that reads 8 bytes
+    * per vector instead of 256 and, being all-integer, is EXACTLY
+    * oracle-gated end to end (code packing, distance, ranking, tie
+    * break) — no recall floor needed, unlike the float faces.
+    */
+  val q171HammingTopK: Q = Q(
+    "q171_hamming_topk",
+    (s, dir) => graft.operators.Similarity.hammingTopK(
+      t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 7L, k = 10),
+    Some(s"""
+      WITH codes AS (
+        SELECT vec_id, ${signBitsSql("embedding", 64)} AS code FROM embeddings
+        WHERE embedding IS NOT NULL),
+      q AS (SELECT code AS qcode FROM codes WHERE vec_id = 7),
+      d AS (SELECT vec_id, CAST(bit_count(xor(code, qcode)) AS INT) AS hamming
+            FROM codes, q WHERE vec_id <> 7),
+      r AS (SELECT vec_id, hamming,
+                   row_number() OVER (ORDER BY hamming, vec_id) AS rn FROM d)
+      SELECT vec_id, hamming FROM r WHERE rn <= 10"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -7823,7 +7854,7 @@ object Queries {
     q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity, q159HitsScores,
     q160StripAccents, q161BradleyTerry, q162GrpoAdvantage, q163LossMaskSpans,
     q164RejectionSample, q165MatchPhrases, q166CardDetect, q167FixMojibake,
-    q168SftPipeline, q169IntervalOverlap, q170TruncateBudget)
+    q168SftPipeline, q169IntervalOverlap, q170TruncateBudget, q171HammingTopK)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -34,6 +34,26 @@ object Quantize {
   private def amaxOf(vec: Column): Column =
     array_max(transform(vec, x => abs(x.cast("double"))))
 
+  /** 1-BIT quantization: pack the sign bits of a fixed-`dim` float
+    * vector into one BIGINT — bit i set iff `vec[i] > 0` (exact float
+    * comparison: 0.0 and −0.0 clear the bit on every engine). 64× the
+    * storage cut of the raw floats and the input to Hamming-distance
+    * search ([[Similarity.hammingTopK]]): for mean-centered embeddings
+    * the sign pattern preserves angular neighborhoods (Charikar 2002's
+    * hyperplane-LSH with axis-aligned planes). Built as `dim` static
+    * literal-mask terms — pure codegen'd integer arithmetic, no HOF —
+    * and, unlike the float ANN faces, EXACTLY replayable by an
+    * external engine. NULL vectors stay NULL (the quarantine-not-rank
+    * contract); vectors shorter than `dim` are a caller error.
+    */
+  def signBits(vec: Column, dim: Int = 64): Column = {
+    require(dim >= 1 && dim <= 64, s"signBits packs into one long; got dim=$dim")
+    val packed = (0 until dim).map { i =>
+      when(element_at(vec, i + 1) > lit(0f), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _) // bits are distinct → addition is bitwise OR, carry-free
+    when(vec.isNull, lit(null).cast("long")).otherwise(packed)
+  }
+
   /** Encode to (idCol, codes: array<tinyint>, amax: double). Zero
     * vectors (amax 0) encode to all-zero codes with amax 0 — decode
     * restores the zero vector; NULL vectors pass through as NULL codes.

@@ -55,6 +55,36 @@ object Similarity {
     * product overflows at a merely large scale — caught by review in
     * round 11 as an ANSI-mode crash / silent NaN-first ordering).
     */
+  /** Binary (Hamming) top-k over sign-bit codes ([[Quantize
+    * .signBits]]): the 1-bit ANN face — distance = popcount of the
+    * XOR of two 64-bit codes, one integer instruction per candidate
+    * after a scan that reads 8 BYTES per vector instead of 256 (the
+    * 64-dim float column). Entirely integer, so unlike the float ANN
+    * faces this one is EXACTLY oracle-gateable end to end. NULL
+    * embeddings quarantine (never rank — the sq8TopKExactInt
+    * contract); ties break on ascending id; the global top-k rides
+    * TakeOrderedAndProject (per-partition heaps, k rows to the
+    * driver). Output: `(idCol, hamming)`.
+    */
+  def hammingTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      dim: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val code = Quantize.signBits(col(vecCol), dim)
+    val q = emb
+      .where(col(idCol) === queryId && col(vecCol).isNotNull)
+      .select(code.as("__qcode"))
+    Partitioning.spread(emb.where(col(idCol) =!= queryId && col(vecCol).isNotNull))
+      .join(broadcast(q))
+      .select(col(idCol), bit_count(code.bitwiseXOR(col("__qcode"))).cast("int").as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   def cosineToQueryExactInt(
       emb: DataFrame,
       idCol: String,

@@ -95,4 +95,33 @@ class QuantizeSpec extends AnyFunSuite {
     }
     assert(nullCodes.getMessage.toLowerCase.contains("null codes"))
   }
+
+  test("signBits matches a driver-side pack; NULL stays NULL; bit 63 and zeros handled") {
+    val rows = Seq(
+      (1L, Some(Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else -1.0f))),
+      (2L, Some(Array.tabulate(64)(i => if (i == 63) 0.5f else 0.0f))), // ONLY the sign bit
+      (3L, Some(Array.fill(64)(0.0f))), // exact zeros → no bits
+      (4L, None))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"), Quantize.signBits(col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    def ref(v: Array[Float]): Long =
+      v.zipWithIndex.filter(_._1 > 0f).map { case (_, i) => 1L << i }.sum
+    assert(got(1L) === Some(ref(rows.head._2.get)))
+    assert(got(2L) === Some(Long.MinValue), "bit 63 alone is the two's-complement minimum")
+    assert(got(3L) === Some(0L))
+    assert(got(4L) === None, "NULL vectors quarantine, never code to 0")
+  }
+
+  test("hammingTopK: exact distances vs a driver-side popcount; ties break on id; NULLs excluded") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val got = Similarity.hammingTopK(emb, "vec_id", "embedding", queryId = 7L, k = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val codes = emb.select(col("vec_id"), Quantize.signBits(col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = codes.filter(_._1 != 7L).toSeq
+      .map { case (id, c) => (id, java.lang.Long.bitCount(c ^ codes(7L))) }
+      .sortBy { case (id, d) => (d, id) }.take(12)
+    assert(got.toSeq === want, "all-integer face: set, values, AND order must be exact")
+  }
 }
