@@ -7789,6 +7789,109 @@ object Queries {
                    row_number() OVER (ORDER BY hamming, vec_id) AS rn FROM d)
       SELECT vec_id, hamming FROM r WHERE rn <= 10"""))
 
+  /** Synthesized TOOL-CALLING transcripts: user → assistant-slot →
+    * 1–2 tool results → assistant, optional system head, with seeded
+    * violations for every flag — tool directly after user (%23), an
+    * illegal `function` role (%29), an empty tool result (%31), and
+    * a trailing tool turn (%19).
+    */
+  private def syntheticToolChats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val hasSys = col("doc_id") % 4 === 0
+    val twoTools = col("doc_id") % 2 === 0
+    val vUserTool = col("doc_id") % 23 === 0
+    val vRole = col("doc_id") % 29 === 0
+    val vEmpty = col("doc_id") % 31 === 0
+    val trailTool = col("doc_id") % 19 === 0
+    def msg(role: Column, content: Column): Column =
+      concat(lit("{\"role\":\""), role, lit("\",\"content\":\""), content, lit("\"}"))
+    val body = concat_ws(",",
+      when(hasSys, msg(lit("system"), lit("be concise"))),
+      msg(lit("user"), concat(lit("ask "), (col("doc_id") % 7).cast("string"))),
+      msg(when(vUserTool, lit("tool")).otherwise(lit("assistant")),
+        concat(lit("call "), (col("doc_id") % 5).cast("string"))),
+      msg(when(vRole, lit("function")).otherwise(lit("tool")),
+        when(vEmpty, lit("")).otherwise(lit("result a"))),
+      when(twoTools, msg(lit("tool"), lit("result b"))),
+      msg(lit("assistant"), concat(lit("final "), (col("doc_id") % 5).cast("string"))),
+      when(trailTool, msg(lit("tool"), lit("late result"))))
+    d.select(col("doc_id"), concat(lit("["), body, lit("]")).as("conv_json"))
+  }
+
+  /** Tool-calling contract audit ([[graft.operators.Conversations
+    * .validateWithTools]]): the agentic-data face — legal-role,
+    * legal-TRANSITION (system→user, user→assistant, assistant→
+    * {tool,user}, tool→{tool,assistant}), non-blank, assistant-final
+    * flags per transcript. Adjacency needs a lag window (documented:
+    * one exchange more than the parity-aggregation q153 face); the
+    * oracle replays the same lag + flag matrix over the rebuilt
+    * turn table, every violation class planted at every SF.
+    */
+  val q172ToolValidate: Q = Q(
+    "q172_tool_validate",
+    (s, dir) => graft.operators.Conversations.validateWithTools(
+      graft.operators.Conversations.parseTurns(
+        syntheticToolChats(s, dir), "doc_id", "conv_json"),
+      "doc_id"),
+    Some("""
+      WITH tc_p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS s,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS t2,
+               CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END AS trail,
+               (doc_id % 23 = 0) AS v_ut,
+               (doc_id % 29 = 0) AS v_role,
+               (doc_id % 31 = 0) AS v_empty
+        FROM documents),
+      tc_i AS (
+        SELECT doc_id, s, t2, v_ut, v_role, v_empty,
+               unnest(range(0, s + 4 + t2 + trail)) AS i
+        FROM tc_p),
+      tool_turns AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS turn_idx,
+               CASE WHEN s = 1 AND i = 0 THEN 'system'
+                    WHEN i - s = 0 THEN 'user'
+                    WHEN i - s = 1 THEN CASE WHEN v_ut THEN 'tool' ELSE 'assistant' END
+                    WHEN i - s = 2 THEN CASE WHEN v_role THEN 'function' ELSE 'tool' END
+                    WHEN i - s = 3 AND t2 = 1 THEN 'tool'
+                    WHEN i - s = 3 + t2 THEN 'assistant'
+                    ELSE 'tool' END AS role,
+               CASE WHEN s = 1 AND i = 0 THEN 'be concise'
+                    WHEN i - s = 0 THEN 'ask ' || CAST(doc_id % 7 AS VARCHAR)
+                    WHEN i - s = 1 THEN 'call ' || CAST(doc_id % 5 AS VARCHAR)
+                    WHEN i - s = 2 THEN CASE WHEN v_empty THEN '' ELSE 'result a' END
+                    WHEN i - s = 3 AND t2 = 1 THEN 'result b'
+                    WHEN i - s = 3 + t2 THEN 'final ' || CAST(doc_id % 5 AS VARCHAR)
+                    ELSE 'late result' END AS content
+        FROM tc_i),
+      lagd AS (
+        SELECT doc_id, turn_idx, role, content,
+               lag(role) OVER (PARTITION BY doc_id ORDER BY turn_idx) AS prev
+        FROM tool_turns),
+      f AS (
+        SELECT doc_id, COUNT(*) AS n_turns,
+               arg_min(role, turn_idx) AS frst, arg_max(role, turn_idx) AS lst,
+               SUM(CASE WHEN role IS NULL
+                     OR role NOT IN ('system', 'user', 'assistant', 'tool')
+                     OR (role = 'system' AND turn_idx <> 0) THEN 1 ELSE 0 END) AS illegal,
+               SUM(CASE WHEN prev IS NOT NULL AND NOT (
+                     (prev = 'system' AND role = 'user') OR
+                     (prev = 'user' AND role = 'assistant') OR
+                     (prev = 'assistant' AND role IN ('tool', 'user')) OR
+                     (prev = 'tool' AND role IN ('tool', 'assistant')))
+                     THEN 1 ELSE 0 END) AS badtrans,
+               SUM(CASE WHEN content IS NULL OR trim(content) = '' THEN 1 ELSE 0 END) AS nempty
+        FROM lagd GROUP BY doc_id)
+      SELECT doc_id, n_turns, TRUE AS parse_ok,
+             frst IN ('system', 'user') AS starts_ok,
+             illegal = 0 AS role_legal,
+             badtrans = 0 AS transitions_ok,
+             nempty = 0 AS no_empty,
+             lst = 'assistant' AS ends_assistant,
+             (n_turns >= 2 AND frst IN ('system', 'user') AND illegal = 0 AND
+              badtrans = 0 AND nempty = 0 AND lst = 'assistant') AS valid
+      FROM f"""))
+
   // ===========================================================
 
   val all: Seq[Q] = Seq(
@@ -7854,7 +7957,8 @@ object Queries {
     q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity, q159HitsScores,
     q160StripAccents, q161BradleyTerry, q162GrpoAdvantage, q163LossMaskSpans,
     q164RejectionSample, q165MatchPhrases, q166CardDetect, q167FixMojibake,
-    q168SftPipeline, q169IntervalOverlap, q170TruncateBudget, q171HammingTopK)
+    q168SftPipeline, q169IntervalOverlap, q170TruncateBudget, q171HammingTopK,
+    q172ToolValidate)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

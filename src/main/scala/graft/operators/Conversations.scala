@@ -197,6 +197,69 @@ object Conversations {
     * corpus, not the longest transcript. Output: `(idCol, turn_idx,
     * role, start, end, is_target)`.
     */
+  /** Contract audit for TOOL-CALLING transcripts — the agentic-data
+    * face of [[validate]], whose strict user/assistant alternation
+    * cannot express tool rounds. Legal roles are `system | user |
+    * assistant | tool` (`system` only at turn 0); legal TRANSITIONS
+    * are `system→user`, `user→assistant`, `assistant→{tool, user}`,
+    * `tool→{tool, assistant}` (parallel tool results chain, and the
+    * assistant must speak after its tools); the last turn must be
+    * `assistant`; every content non-blank. Output, one row per
+    * conversation: `n_turns, parse_ok, starts_ok, role_legal,
+    * transitions_ok, no_empty, ends_assistant, valid` (valid = all,
+    * with ≥ 2 turns).
+    *
+    * Unlike [[validate]] (one parity-expressible aggregation),
+    * transition checking needs ADJACENCY, so this face pays one
+    * exchange + sort for a `lag` window before its aggregation — the
+    * honest minimum for a neighbor predicate. NULL roles count as
+    * illegal and as bad transitions; carrier rows (failed parses)
+    * report `parse_ok = false` with zeros, never vanish.
+    */
+  def validateWithTools(turns: DataFrame, idCol: String): DataFrame = {
+    val idx = col("turn_idx")
+    val role = col("role")
+    def is(c: Column, r: String): Column = c <=> lit(r)
+    val legal = Seq("system", "user", "assistant", "tool")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(idx)
+    val prev = col("__prev")
+    val allowed =
+      (is(prev, "system") && is(role, "user")) ||
+        (is(prev, "user") && is(role, "assistant")) ||
+        (is(prev, "assistant") && (is(role, "tool") || is(role, "user"))) ||
+        (is(prev, "tool") && (is(role, "tool") || is(role, "assistant")))
+    val body = turns
+      .where(idx.isNotNull)
+      .withColumn("__prev", lag(role, 1).over(w))
+    val agg = body
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("__n"),
+        min_by(role, idx).as("__first"),
+        max_by(role, idx).as("__last"),
+        sum(when(role.isNull || !role.isin(legal: _*) ||
+          (is(role, "system") && idx =!= 0), 1).otherwise(0)).as("__illegal"),
+        sum(when(prev.isNotNull && !allowed, 1).otherwise(0)).as("__badtrans"),
+        sum(when(col("content").isNull || trim(col("content")) === "", 1)
+          .otherwise(0)).as("__empty"))
+    turns.groupBy(col(idCol)).agg(count(idx).as("__parsed"))
+      .join(agg, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_turns"),
+        (col("__parsed") > 0).as("parse_ok"),
+        coalesce(col("__first").isin("system", "user"), lit(false)).as("starts_ok"),
+        (coalesce(col("__illegal"), lit(1L)) === 0L).as("role_legal"),
+        (coalesce(col("__badtrans"), lit(1L)) === 0L).as("transitions_ok"),
+        (col("__parsed") > 0 && coalesce(col("__empty"), lit(1L)) === 0L).as("no_empty"),
+        coalesce(col("__last") === "assistant", lit(false)).as("ends_assistant"))
+      .withColumn("valid",
+        col("parse_ok") && col("n_turns") >= 2 && col("starts_ok") &&
+          col("role_legal") && col("transitions_ok") && col("no_empty") &&
+          col("ends_assistant"))
+  }
+
   /** Context-window truncation: fit each conversation into a
     * whitespace-token budget (the [[stats]] token convention) by
     * keeping (1) the system turn, always, its tokens charged against

@@ -152,6 +152,35 @@ class ConversationsSpec extends AnyFunSuite {
     scope.release()
   }
 
+  test("validateWithTools: the transition matrix over hand-built agentic witnesses") {
+    def conv(turns: (String, String)*): String =
+      turns.map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }.mkString("[", ",", "]")
+    val cases = Seq(
+      1L -> conv("system" -> "s", "user" -> "q", "assistant" -> "call",
+        "tool" -> "r1", "tool" -> "r2", "assistant" -> "done"), // valid, parallel tools
+      2L -> conv("user" -> "q", "tool" -> "r", "assistant" -> "a"), // user→tool illegal transition
+      3L -> conv("user" -> "q", "assistant" -> "call", "function" -> "r",
+        "assistant" -> "a"), // illegal role
+      4L -> conv("user" -> "q", "assistant" -> "call", "tool" -> "r"), // ends on tool
+      5L -> conv("user" -> "q", "assistant" -> "call", "tool" -> "", "assistant" -> "a"), // empty
+      6L -> conv("user" -> "q", "assistant" -> "a", "user" -> "q2",
+        "assistant" -> "a2"), // plain chat is ALSO legal under the tool contract
+      7L -> "[{broken") // carrier
+    val got = Conversations.validateWithTools(
+      turnsOf(cases: _*), "id").collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = (got(id).getAs[Boolean]("role_legal"),
+      got(id).getAs[Boolean]("transitions_ok"), got(id).getAs[Boolean]("no_empty"),
+      got(id).getAs[Boolean]("ends_assistant"), got(id).getAs[Boolean]("valid"))
+    assert(flags(1L) === ((true, true, true, true, true)))
+    assert(flags(2L) === ((true, false, true, true, false)))
+    assert(flags(3L)._1 === false && flags(3L)._5 === false)
+    assert(flags(4L) === ((true, true, true, false, false)))
+    assert(flags(5L) === ((true, true, false, true, false)))
+    assert(flags(6L) === ((true, true, true, true, true)))
+    assert(!got(7L).getAs[Boolean]("parse_ok") && got(7L).getAs[Long]("n_turns") === 0L &&
+      !got(7L).getAs[Boolean]("valid"), "carrier rows report, never vanish")
+  }
+
   test("truncateToBudget: system kept and charged, newest suffix fits, trims to first user") {
     // tokens: sys=2; turns 1..4: user(3), assistant(4), user(2), assistant(3)
     val df = Seq(1L ->
