@@ -630,18 +630,28 @@ object Streams {
     * Stateless: no models, no seen-set — each batch pays one parse
     * projection and one validate aggregation of itself, so throughput
     * is scan-bound and the stream scales with executor count.
+    *
+    * `tools = true` audits under the AGENTIC contract instead
+    * ([[graft.operators.Conversations.validateWithTools]]: tool
+    * rounds legal, transition matrix enforced) — same routing, same
+    * exactly-once landing, the tool contract's flag columns.
     */
   def chatRoutedIngest(
       stream: DataFrame,
       idCol: String,
       jsonCol: String,
       outputPath: String,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: Option[String] = None,
+      tools: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Caches, Conversations, DedupIndex}
+    val flagCols =
+      if (tools) Seq("n_turns", "parse_ok", "starts_ok", "role_legal",
+        "transitions_ok", "no_empty", "ends_assistant", "valid")
+      else Seq("n_turns", "parse_ok", "starts_ok", "alternates",
+        "no_empty", "ends_assistant", "valid")
     // start-time validation (the importanceRoutedIngest lesson)
-    for (c <- Seq("n_turns", "parse_ok", "starts_ok", "alternates",
-        "no_empty", "ends_assistant", "valid"))
+    for (c <- flagCols)
       require(!stream.columns.contains(c),
         s"input stream already has a '$c' column")
     val writer = stream.writeStream
@@ -653,10 +663,11 @@ object Streams {
         try Caches.inScope(scope) {
           // pin the batch: it feeds the turn explode AND the join back
           val pinned = Caches.pin(batch.toDF())
-          val routed = Caches.pin(pinned.join(
-            Conversations.validate(
-              Conversations.parseTurns(pinned, idCol, jsonCol), idCol),
-            Seq(idCol)))
+          val turns = Conversations.parseTurns(pinned, idCol, jsonCol)
+          val audit =
+            if (tools) Conversations.validateWithTools(turns, idCol)
+            else Conversations.validate(turns, idCol)
+          val routed = Caches.pin(pinned.join(audit, Seq(idCol)))
           val outRoot = new org.apache.hadoop.fs.Path(outputPath)
           val fs = outRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
           for ((name, keep) <- Seq("valid" -> true, "quarantine" -> false)) {

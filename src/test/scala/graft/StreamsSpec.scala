@@ -1080,4 +1080,47 @@ class StreamsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("valid"))
     graft.operators.Caches.release()
   }
+
+  test("chatRoutedIngest(tools = true): routes under the agentic contract, flag parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-toolchat").toString
+    val agentic =
+      """[{"role":"user","content":"q"},{"role":"assistant","content":"call"},
+         {"role":"tool","content":"r"},{"role":"assistant","content":"a"}]"""
+        .replaceAll("\n\\s*", "")
+    val badTrans = // tool directly after user
+      """[{"role":"user","content":"q"},{"role":"tool","content":"r"},
+         {"role":"assistant","content":"a"}]""".replaceAll("\n\\s*", "")
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.chatRoutedIngest(
+      input.toDF().toDF("conv_id", "conv_json"), "conv_id", "conv_json",
+      s"$root/chat", tools = true)
+    try {
+      input.addData((1L, agentic), (2L, badTrans))
+      query.processAllAvailable()
+      val valid = spark.read.parquet(s"$root/chat/valid")
+      val quarantined = spark.read.parquet(s"$root/chat/quarantine")
+      assert(valid.select("conv_id").as[Long].collect().toSet === Set(1L),
+        "a tool round is LEGAL under the agentic contract")
+      val q2 = quarantined.where(col("conv_id") === 2L).head()
+      assert(!q2.getAs[Boolean]("transitions_ok") && q2.getAs[Boolean]("role_legal"))
+      val batchFlags = graft.operators.Conversations.validateWithTools(
+        graft.operators.Conversations.parseTurns(
+          Seq((1L, agentic), (2L, badTrans)).toDF("conv_id", "conv_json"),
+          "conv_id", "conv_json"),
+        "conv_id").collect().map(r => r.getLong(0) -> r.getAs[Boolean]("valid")).toMap
+      val streamed = valid.unionByName(quarantined)
+        .select("conv_id", "valid").as[(Long, Boolean)].collect().toMap
+      assert(streamed === batchFlags, "streamed flags equal the batch operator bit-for-bit")
+    } finally query.stop()
+    // the tool contract's own columns gate the start
+    val bad = MemoryStream[(Long, String, Int)]
+    val ex = intercept[IllegalArgumentException] {
+      Streams.chatRoutedIngest(
+        bad.toDF().toDF("conv_id", "conv_json", "transitions_ok"),
+        "conv_id", "conv_json", s"$root/never", tools = true)
+    }
+    assert(ex.getMessage.contains("transitions_ok"))
+    graft.operators.Caches.release()
+  }
 }
