@@ -7768,6 +7768,61 @@ object Queries {
       s"(CASE WHEN $vec[${i + 1}] > 0 THEN CAST($mask AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
 
+  /** DPO length-bias audit ([[graft.operators.Preferences
+    * .lengthBiasReport]]): margin↔length Pearson correlation plus
+    * chosen-longer rates over the q156 pairs, with response texts
+    * whose token counts are an id-keyed hash independent of the
+    * score — so both chosen-longer polarities and a non-degenerate
+    * correlation have witnesses, and the oracle recomputes
+    * every double from the same five integer sums (variance terms
+    * multiplied as √·√ in double on BOTH engines).
+    */
+  val q173LengthBias: Q = Q(
+    "q173_length_bias",
+    (s, dir) => {
+      val texts = t(s, dir, "documents").select(
+        col("doc_id").as("resp_id"),
+        array_join(array_repeat(lit("w"),
+          (lit(1) + (col("doc_id") * 11 + 3) % 13).cast("int")), " ").as("text"))
+      graft.operators.Preferences.lengthBiasReport(
+        graft.operators.Preferences.pairsByScore(
+          syntheticResponses(s, dir), "prompt_id", "resp_id", "score"),
+        texts, "resp_id", "text")
+    },
+    Some(s"""
+      WITH $respCte,
+      nsc AS (SELECT prompt_id, COUNT(*) AS n_scored FROM sresp GROUP BY prompt_id),
+      p AS (
+        SELECT c.resp_id AS cid, j.resp_id AS rid,
+               CAST(c.score - j.score AS BIGINT) AS y
+        FROM rk c
+        JOIN rk j ON j.prompt_id = c.prompt_id AND j.rr = 1
+        JOIN nsc ON nsc.prompt_id = c.prompt_id
+        WHERE c.rc = 1 AND nsc.n_scored >= 2 AND c.score > j.score),
+      d AS (
+        SELECT (1 + (cid * 11 + 3) % 13) - (1 + (rid * 11 + 3) % 13) AS x, y
+        FROM p),
+      a AS (
+        SELECT COUNT(*) AS n,
+               CAST(COALESCE(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS cl,
+               CAST(COALESCE(SUM(x), 0) AS BIGINT) AS sx,
+               CAST(COALESCE(SUM(y), 0) AS BIGINT) AS sy,
+               CAST(COALESCE(SUM(x * y), 0) AS BIGINT) AS sxy,
+               CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS sxx,
+               CAST(COALESCE(SUM(y * y), 0) AS BIGINT) AS syy
+        FROM d)
+      SELECT n AS n_pairs, cl AS chosen_longer,
+             CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(cl AS DOUBLE) / CAST(n AS DOUBLE) END AS chosen_longer_frac,
+             CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) END AS mean_len_delta,
+             CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+                  THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                       (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                        sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS margin_len_corr
+      FROM a"""))
+
   /** Binary ANN ([[graft.operators.Similarity.hammingTopK]]): sign-bit
     * codes + XOR-popcount distance — the 1-bit face that reads 8 bytes
     * per vector instead of 256 and, being all-integer, is EXACTLY
@@ -7958,7 +8013,7 @@ object Queries {
     q160StripAccents, q161BradleyTerry, q162GrpoAdvantage, q163LossMaskSpans,
     q164RejectionSample, q165MatchPhrases, q166CardDetect, q167FixMojibake,
     q168SftPipeline, q169IntervalOverlap, q170TruncateBudget, q171HammingTopK,
-    q172ToolValidate)
+    q172ToolValidate, q173LengthBias)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

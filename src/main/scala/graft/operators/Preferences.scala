@@ -193,6 +193,75 @@ object Preferences {
       perPrompt)
   }
 
+  /** Length-bias audit for preference pairs — DPO's best-known failure
+    * mode: raters (and reward models) systematically prefer LONGER
+    * responses, and a pair set with high margin↔length correlation
+    * trains verbosity, not quality. One row out:
+    *
+    *   - `n_pairs`, `chosen_longer` (count), `chosen_longer_frac`
+    *   - `mean_len_delta` (mean of chosen − rejected token counts)
+    *   - `margin_len_corr` — Pearson correlation between the pair's
+    *     score margin and its token-count delta, THE verbosity-reward
+    *     signal (≈0 healthy; near 1 means the margin is just length)
+    *
+    * Cross-engine exactness: token counts and margins are integers,
+    * all five sums (Σx, Σy, Σxy, Σx², Σy²) are integer aggregates,
+    * and every double derives from them through one fixed expression
+    * (the Fleiss-kappa discipline). The correlation denominator
+    * multiplies the two variance terms as √·√ in DOUBLE — never the
+    * long product, which overflows at corpus scale (the round-11
+    * cosine lesson). Degenerate variance (all margins equal, or all
+    * deltas equal) reports 0. Overflow contract: n·Σxy < 2⁶³ and
+    * Σx·Σy < 2⁶³.
+    *
+    * Scale shape: two broadcast-or-hash joins (pairs → token counts)
+    * and ONE global aggregation whose partials are map-side
+    * combinable; the report is one row regardless of corpus size.
+    */
+  def lengthBiasReport(
+      pairs: DataFrame,
+      texts: DataFrame,
+      idCol: String,
+      textCol: String,
+      chosenCol: String = "chosen_id",
+      rejectedCol: String = "rejected_id",
+      marginCol: String = "margin"): DataFrame = {
+    val tok = graft.functions.text.tokenCount(col(textCol)).cast("long")
+    val t = texts.select(col(idCol).as("__tid"), tok.as("__tok"))
+    val joined = pairs
+      .join(t.select(col("__tid").as("__cid"), col("__tok").as("__ctok")),
+        col(chosenCol) === col("__cid"))
+      .join(t.select(col("__tid").as("__rid2"), col("__tok").as("__rtok")),
+        col(rejectedCol) === col("__rid2"))
+      .select(
+        (col("__ctok") - col("__rtok")).as("__x"), // length delta
+        col(marginCol).cast("long").as("__y")) // score margin
+    val agg = joined.agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(when(col("__x") > 0, 1L).otherwise(0L)), lit(0L)).as("chosen_longer"),
+      coalesce(sum(col("__x")), lit(0L)).as("__sx"),
+      coalesce(sum(col("__y")), lit(0L)).as("__sy"),
+      coalesce(sum(col("__x") * col("__y")), lit(0L)).as("__sxy"),
+      coalesce(sum(col("__x") * col("__x")), lit(0L)).as("__sxx"),
+      coalesce(sum(col("__y") * col("__y")), lit(0L)).as("__syy"))
+    val n = col("n_pairs")
+    val varX = n * col("__sxx") - col("__sx") * col("__sx")
+    val varY = n * col("__syy") - col("__sy") * col("__sy")
+    agg.select(
+      n,
+      col("chosen_longer"),
+      when(n === 0L, lit(0.0d))
+        .otherwise(col("chosen_longer").cast("double") / n.cast("double"))
+        .as("chosen_longer_frac"),
+      when(n === 0L, lit(0.0d))
+        .otherwise(col("__sx").cast("double") / n.cast("double"))
+        .as("mean_len_delta"),
+      when(varX <= 0L || varY <= 0L, lit(0.0d))
+        .otherwise((n * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
+        .as("margin_len_corr"))
+  }
+
   /** Bradley–Terry strength fitting over pairwise outcomes (the
     * reward-model / leaderboard step AFTER pair construction: turn
     * "A beat B" rows into one scalar strength per item), via `iters`

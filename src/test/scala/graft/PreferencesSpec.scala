@@ -112,6 +112,44 @@ class PreferencesSpec extends AnyFunSuite {
     assert(got === Set((1L, 10L), (1L, 11L), (1L, 12L)))
   }
 
+  test("lengthBiasReport: hand-computed sums, verbosity-reward and healthy witnesses") {
+    def texts(toks: (Long, Int)*) =
+      toks.toSeq.map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }.toDF("id", "text")
+    // verbosity-rewarded set: margin strictly tracks length delta → corr 1
+    val biased = Seq((1L, 10L, 20L, 5), (2L, 11L, 21L, 3), (3L, 12L, 22L, 8))
+      .toDF("prompt", "chosen_id", "rejected_id", "margin")
+    val biasedTexts = texts(
+      10L -> 15, 20L -> 10, // delta 5 = margin
+      11L -> 5, 21L -> 2, // delta 3
+      12L -> 9, 22L -> 1) // delta 8
+    val b = Preferences.lengthBiasReport(biased, biasedTexts, "id", "text").head()
+    assert(b.getAs[Long]("n_pairs") === 3L && b.getAs[Long]("chosen_longer") === 3L)
+    assert(b.getAs[Double]("chosen_longer_frac") === 1.0)
+    assert(math.abs(b.getAs[Double]("margin_len_corr") - 1.0) < 1e-12,
+      "margin == length delta is the pure verbosity reward")
+    // healthy set: deltas negate margins' order → strong NEGATIVE corr; and
+    // exact Pearson against an independent mirror
+    val pairs2 = Seq((1L, 10L, 20L, 9), (2L, 11L, 21L, 4), (3L, 12L, 22L, 1))
+      .toDF("prompt", "chosen_id", "rejected_id", "margin")
+    val texts2 = texts(10L -> 1, 20L -> 8, 11L -> 5, 21L -> 5, 12L -> 9, 22L -> 2)
+    val h = Preferences.lengthBiasReport(pairs2, texts2, "id", "text").head()
+    val xs = Seq(1 - 8, 5 - 5, 9 - 2).map(_.toDouble)
+    val ys = Seq(9, 4, 1).map(_.toDouble)
+    val n = 3.0
+    val corr = (n * xs.zip(ys).map { case (a, c) => a * c }.sum - xs.sum * ys.sum) /
+      (math.sqrt(n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+        math.sqrt(n * ys.map(a => a * a).sum - ys.sum * ys.sum))
+    assert(h.getAs[Double]("margin_len_corr") === corr)
+    assert(h.getAs[Long]("chosen_longer") === 1L)
+    assert(h.getAs[Double]("mean_len_delta") === 0.0)
+    // degenerate variance → 0, not NaN
+    val flat = Seq((1L, 10L, 20L, 5), (2L, 11L, 21L, 5))
+      .toDF("prompt", "chosen_id", "rejected_id", "margin")
+    val f = Preferences.lengthBiasReport(
+      flat, texts(10L -> 3, 20L -> 1, 11L -> 4, 21L -> 2), "id", "text").head()
+    assert(f.getAs[Double]("margin_len_corr") === 0.0, "constant margin has no correlation")
+  }
+
   // ---- Bradley–Terry fixed-point integer MM ----
 
   /** Independent sequential mirror of the integer MM recurrence —
