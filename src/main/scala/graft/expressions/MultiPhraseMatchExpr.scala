@@ -102,14 +102,11 @@ final class AhoCorasick(rawPhrases: Array[String]) extends Serializable {
     val failArr = new Array[Int](nStates)
     val outArr = new Array[Array[Int]](nStates)
     val childBytes = Array.fill(nStates)(List.empty[Byte])
-    val childOf = new java.util.HashMap[Long, Int]()
     val it2 = tmp.entrySet().iterator()
     while (it2.hasNext) {
       val e = it2.next()
       val parent = (e.getKey >>> 8).toInt
-      val b = (e.getKey & 0xffL).toByte
-      childBytes(parent) = b :: childBytes(parent)
-      childOf.put(e.getKey, e.getValue)
+      childBytes(parent) = (e.getKey & 0xffL).toByte :: childBytes(parent)
     }
     val queue = new java.util.ArrayDeque[Int]()
     outArr(0) = ownOut(0).toArray

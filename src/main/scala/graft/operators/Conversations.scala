@@ -173,30 +173,6 @@ object Conversations {
     collected.select(col(idCol), rendered.as("rendered"))
   }
 
-  /** Loss-mask span table for SFT: per turn, the CHARACTER offsets
-    * `[start, end)` of that turn's content inside the [[render]]ed
-    * string, plus `is_target` (role equals `targetRole`) — the span
-    * map a trainer uses to mask loss to assistant tokens while the
-    * user/system text stays context-only. Offsets are pure integer
-    * prefix sums over the template arithmetic (`<|im_start|>` = 12
-    * chars, `role\n`, content, `<|im_end|>\n` = 11 chars), so
-    * `rendered.substring(start, end − start) == content` holds by
-    * construction for every turn — the spec pins that law against
-    * [[render]] itself, and an external engine replays the sums
-    * exactly.
-    *
-    * Conventions follow [[render]]: NULL-`turn_idx` carrier rows
-    * (failed parses) are dropped, NULL role/content render as '' (so
-    * their span is empty but correctly placed). `is_target` is
-    * null-safe — a missing role is never a target.
-    *
-    * Scale shape: one exchange (hash by conversation) feeding a
-    * windowed running sum ordered by `turn_idx` — the [[graft
-    * .operators.Packing]] distributed-prefix-sum shape within keys;
-    * conversations are independent, so the operator scales with the
-    * corpus, not the longest transcript. Output: `(idCol, turn_idx,
-    * role, start, end, is_target)`.
-    */
   /** Contract audit for TOOL-CALLING transcripts — the agentic-data
     * face of [[validate]], whose strict user/assistant alternation
     * cannot express tool rounds. Legal roles are `system | user |
@@ -229,30 +205,33 @@ object Conversations {
         (is(prev, "user") && is(role, "assistant")) ||
         (is(prev, "assistant") && (is(role, "tool") || is(role, "user"))) ||
         (is(prev, "tool") && (is(role, "tool") || is(role, "assistant")))
-    val body = turns
-      .where(idx.isNotNull)
-      .withColumn("__prev", lag(role, 1).over(w))
-    val agg = body
+    // the lag window runs over the UNFILTERED table and every counter
+    // guards on idx.isNotNull, so carrier rows (which by parseTurns'
+    // construction are each conversation's ONLY row when present) ride
+    // through ONE aggregation instead of a second groupBy + join-back
+    val body = turns.withColumn("__prev", lag(role, 1).over(w))
+    body
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("__n"),
+        count(idx).as("n_turns"),
         min_by(role, idx).as("__first"),
         max_by(role, idx).as("__last"),
-        sum(when(role.isNull || !role.isin(legal: _*) ||
-          (is(role, "system") && idx =!= 0), 1).otherwise(0)).as("__illegal"),
-        sum(when(prev.isNotNull && !allowed, 1).otherwise(0)).as("__badtrans"),
-        sum(when(col("content").isNull || trim(col("content")) === "", 1)
+        sum(when(idx.isNotNull && (role.isNull || !role.isin(legal: _*) ||
+          (is(role, "system") && idx =!= 0)), 1).otherwise(0)).as("__illegal"),
+        sum(when(idx.isNotNull && prev.isNotNull && !allowed, 1).otherwise(0))
+          .as("__badtrans"),
+        sum(when(idx.isNotNull &&
+          (col("content").isNull || trim(col("content")) === ""), 1)
           .otherwise(0)).as("__empty"))
-    turns.groupBy(col(idCol)).agg(count(idx).as("__parsed"))
-      .join(agg, Seq(idCol), "left")
       .select(
         col(idCol),
-        coalesce(col("__n"), lit(0L)).as("n_turns"),
-        (col("__parsed") > 0).as("parse_ok"),
-        coalesce(col("__first").isin("system", "user"), lit(false)).as("starts_ok"),
-        (coalesce(col("__illegal"), lit(1L)) === 0L).as("role_legal"),
-        (coalesce(col("__badtrans"), lit(1L)) === 0L).as("transitions_ok"),
-        (col("__parsed") > 0 && coalesce(col("__empty"), lit(1L)) === 0L).as("no_empty"),
+        col("n_turns"),
+        (col("n_turns") > 0).as("parse_ok"),
+        coalesce(col("n_turns") > 0 && col("__first").isin("system", "user"),
+          lit(false)).as("starts_ok"),
+        (col("n_turns") > 0 && col("__illegal") === 0L).as("role_legal"),
+        (col("n_turns") > 0 && col("__badtrans") === 0L).as("transitions_ok"),
+        (col("n_turns") > 0 && col("__empty") === 0L).as("no_empty"),
         coalesce(col("__last") === "assistant", lit(false)).as("ends_assistant"))
       .withColumn("valid",
         col("parse_ok") && col("n_turns") >= 2 && col("starts_ok") &&
@@ -272,20 +251,27 @@ object Conversations {
     * carrier rows drop. Output: the surviving turn rows, unchanged
     * schema.
     *
-    * Scale shape: one exchange (hash by conversation) reused by the
-    * suffix-sum window and the per-conversation aggregates; all
-    * arithmetic is integer, so the cut replays exactly on any engine
-    * and partitioning.
+    * Scale shape: the tokenized turn table and the budget-surviving
+    * block are each computed once and PINNED — tt feeds the system
+    * aggregate, the suffix window, and the system re-emit, and kept
+    * feeds the first-user aggregate and the body (unpinned, every
+    * branch would re-run the upstream parse); all key-shaped
+    * exchanges hash by conversation, and all arithmetic is integer,
+    * so the cut replays exactly on any engine and partitioning. Pin
+    * lifetime: pass `scope` and release after consuming the result
+    * (the pageRankInt convention).
     */
   def truncateToBudget(
       turns: DataFrame,
       idCol: String,
-      maxTokens: Long): DataFrame = {
+      maxTokens: Long,
+      scope: Option[Caches.Scope] = None): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be positive, got $maxTokens")
+    def pin(df: DataFrame): DataFrame = scope.fold(Caches.pin(df))(_.pin(df))
     val tok = coalesce(size(text.tokens(col("content"))), lit(0)).cast("long")
-    val tt = turns
+    val tt = pin(turns
       .where(col("turn_idx").isNotNull)
-      .select(col(idCol), col("turn_idx"), col("role"), col("content"), tok.as("__tok"))
+      .select(col(idCol), col("turn_idx"), col("role"), col("content"), tok.as("__tok")))
     val isSys = col("turn_idx") === 0 && col("role") <=> lit("system")
     val sys = tt.where(isSys)
     val sysTok = sys.groupBy(col(idCol))
@@ -294,10 +280,10 @@ object Conversations {
       .partitionBy(col(idCol))
       .orderBy(col("turn_idx").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val kept = tt.where(!isSys)
+    val kept = pin(tt.where(!isSys)
       .withColumn("__sfx", sum(col("__tok")).over(w))
       .join(sysTok, Seq(idCol), "left")
-      .where(col("__sfx") <= lit(maxTokens) - coalesce(col("__stok"), lit(0L)))
+      .where(col("__sfx") <= lit(maxTokens) - coalesce(col("__stok"), lit(0L))))
     val firstUser = kept.where(col("role") <=> lit("user"))
       .groupBy(col(idCol))
       .agg(min(col("turn_idx")).as("__first_user"))
@@ -356,6 +342,30 @@ object Conversations {
         col("n_target_spans"))
   }
 
+  /** Loss-mask span table for SFT: per turn, the CHARACTER offsets
+    * `[start, end)` of that turn's content inside the [[render]]ed
+    * string, plus `is_target` (role equals `targetRole`) — the span
+    * map a trainer uses to mask loss to assistant tokens while the
+    * user/system text stays context-only. Offsets are pure integer
+    * prefix sums over the template arithmetic (`<|im_start|>` = 12
+    * chars, `role\n`, content, `<|im_end|>\n` = 11 chars), so
+    * `rendered.substring(start, end − start) == content` holds by
+    * construction for every turn — the spec pins that law against
+    * [[render]] itself, and an external engine replays the sums
+    * exactly.
+    *
+    * Conventions follow [[render]]: NULL-`turn_idx` carrier rows
+    * (failed parses) are dropped, NULL role/content render as '' (so
+    * their span is empty but correctly placed). `is_target` is
+    * null-safe — a missing role is never a target.
+    *
+    * Scale shape: one exchange (hash by conversation) feeding a
+    * windowed running sum ordered by `turn_idx` — the [[graft
+    * .operators.Packing]] distributed-prefix-sum shape within keys;
+    * conversations are independent, so the operator scales with the
+    * corpus, not the longest transcript. Output: `(idCol, turn_idx,
+    * role, start, end, is_target)`.
+    */
   def lossMaskSpans(
       turns: DataFrame,
       idCol: String,
