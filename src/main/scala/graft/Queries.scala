@@ -7768,6 +7768,58 @@ object Queries {
       s"(CASE WHEN $vec[${i + 1}] > 0 THEN CAST($mask AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Reasoning-trace split ([[graft.operators.Conversations
+    * .splitReasoning]]): every shape planted per row — single block,
+    * multiple blocks spanning a line, orphan open (truncated trace),
+    * orphan close, no trace, and a non-assistant passthrough — with
+    * DuckDB replaying the same non-greedy DOTALL regex (its
+    * regexp_replace needs the explicit 'g' flag where Spark's is
+    * global by default — pinned here).
+    */
+  val q174SplitReasoning: Q = Q(
+    "q174_split_reasoning",
+    (s, dir) => {
+      val turns = t(s, dir, "documents").select(
+        col("doc_id"),
+        lit(1).as("turn_idx"),
+        when(col("doc_id") % 7 === 0, lit("user")).otherwise(lit("assistant")).as("role"),
+        when(col("doc_id") % 5 === 0, concat(lit("<think>plan "),
+          (col("doc_id") % 9).cast("string"), lit("</think>answer a")))
+          .when(col("doc_id") % 5 === 1, concat(lit("pre <think>x</think>mid<think>y\n"),
+            (col("doc_id") % 4).cast("string"), lit("</think> post")))
+          .when(col("doc_id") % 5 === 2, lit("<think>truncated trace"))
+          .when(col("doc_id") % 5 === 3, lit("no trace here"))
+          .otherwise(lit("stray</think> close")).as("content"))
+      graft.operators.Conversations.splitReasoning(turns)
+    },
+    Some("""
+      WITH tt AS (
+        SELECT doc_id, 1 AS turn_idx,
+               CASE WHEN doc_id % 7 = 0 THEN 'user' ELSE 'assistant' END AS role,
+               CASE CAST(doc_id % 5 AS INT)
+                 WHEN 0 THEN '<think>plan ' || CAST(doc_id % 9 AS VARCHAR) || '</think>answer a'
+                 WHEN 1 THEN 'pre <think>x</think>mid<think>y' || chr(10) ||
+                             CAST(doc_id % 4 AS VARCHAR) || '</think> post'
+                 WHEN 2 THEN '<think>truncated trace'
+                 WHEN 3 THEN 'no trace here'
+                 ELSE 'stray</think> close' END AS content
+        FROM documents),
+      sp AS (
+        SELECT doc_id, turn_idx, role, content,
+               regexp_replace(content, '(?s)<think>(.*?)</think>', '', 'g') AS vis,
+               array_to_string(
+                 regexp_extract_all(content, '(?s)<think>(.*?)</think>', 1), '') AS reas,
+               regexp_matches(content, '(?s)<think>(.*?)</think>') AS hasb
+        FROM tt)
+      SELECT doc_id, turn_idx, role, content,
+             CASE WHEN role = 'assistant' THEN vis ELSE content END AS visible,
+             CASE WHEN role = 'assistant' THEN COALESCE(reas, '') ELSE '' END AS reasoning,
+             CASE WHEN role = 'assistant' THEN hasb ELSE FALSE END AS has_reasoning,
+             CASE WHEN role = 'assistant'
+                  THEN NOT (contains(vis, '<think>') OR contains(vis, '</think>'))
+                  ELSE TRUE END AS tags_clean
+      FROM sp"""))
+
   /** DPO length-bias audit ([[graft.operators.Preferences
     * .lengthBiasReport]]): margin↔length Pearson correlation plus
     * chosen-longer rates over the q156 pairs, with response texts
@@ -8013,7 +8065,7 @@ object Queries {
     q160StripAccents, q161BradleyTerry, q162GrpoAdvantage, q163LossMaskSpans,
     q164RejectionSample, q165MatchPhrases, q166CardDetect, q167FixMojibake,
     q168SftPipeline, q169IntervalOverlap, q170TruncateBudget, q171HammingTopK,
-    q172ToolValidate, q173LengthBias)
+    q172ToolValidate, q173LengthBias, q174SplitReasoning)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -239,6 +239,49 @@ object Conversations {
           col("ends_assistant"))
   }
 
+  /** Split reasoning traces out of assistant turns — the R1-style
+    * data-prep step for transcripts whose assistant messages carry
+    * `<think>…</think>` chain-of-thought blocks: SFT targets want the
+    * VISIBLE text, reasoning-distillation targets want the traces,
+    * and both need to know when the tags are malformed. Per turn:
+    *
+    *   - `visible`    content with every balanced tag pair removed
+    *     (non-greedy, dot-matches-newline — traces span lines)
+    *   - `reasoning`  the extracted trace segments, in order,
+    *     concatenated ('' when none)
+    *   - `has_reasoning`  at least one balanced pair was found
+    *   - `tags_clean` no ORPHAN tag survives in `visible` — an
+    *     unmatched `<think>` or `</think>` means truncated or
+    *     interleaved traces, and such a turn should be quarantined,
+    *     not trained on (the extraction is still returned: evidence,
+    *     not a silent drop)
+    *
+    * Non-assistant turns pass through with `visible = content`, empty
+    * reasoning, both flags benign — traces in user/tool turns are
+    * template noise, not chain-of-thought. Pure codegen'd regex
+    * projections, zero shuffle at any corpus size.
+    */
+  def splitReasoning(
+      turns: DataFrame,
+      openTag: String = "<think>",
+      closeTag: String = "</think>"): DataFrame = {
+    val o = java.util.regex.Pattern.quote(openTag)
+    val c = java.util.regex.Pattern.quote(closeTag)
+    val block = s"(?s)$o(.*?)$c"
+    val content = coalesce(col("content"), lit(""))
+    val isAsst = col("role") <=> lit("assistant")
+    val visible = regexp_replace(content, block, "")
+    val reasoning = array_join(regexp_extract_all(content, lit(block), lit(1)), "")
+    val hasBlock = content.rlike(block)
+    val orphanFree = !(visible.contains(openTag) || visible.contains(closeTag))
+    turns.select(
+      turns.columns.map(col) ++ Seq(
+        when(isAsst, visible).otherwise(content).as("visible"),
+        when(isAsst, reasoning).otherwise(lit("")).as("reasoning"),
+        when(isAsst, hasBlock).otherwise(lit(false)).as("has_reasoning"),
+        when(isAsst, orphanFree).otherwise(lit(true)).as("tags_clean")): _*)
+  }
+
   /** Context-window truncation: fit each conversation into a
     * whitespace-token budget (the [[stats]] token convention) by
     * keeping (1) the system turn, always, its tokens charged against

@@ -181,6 +181,37 @@ class ConversationsSpec extends AnyFunSuite {
       !got(7L).getAs[Boolean]("valid"), "carrier rows report, never vanish")
   }
 
+  test("splitReasoning: extraction shapes, orphan flags, passthrough, conservation law") {
+    val df = Seq(
+      (1L, 0, "assistant", "<think>plan</think>answer"),
+      (2L, 0, "assistant", "a <think>x</think> b <think>y\nz</think> c"), // multi, spans a line
+      (3L, 0, "assistant", "<think>truncated"), // orphan open
+      (4L, 0, "assistant", "stray</think> tail"), // orphan close
+      (5L, 0, "assistant", "no trace"),
+      (6L, 0, "user", "<think>not a trace</think>")) // passthrough
+      .toDF("id", "turn_idx", "role", "content")
+    val got = Conversations.splitReasoning(df)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("visible"), r.getAs[String]("reasoning"),
+          r.getAs[Boolean]("has_reasoning"), r.getAs[Boolean]("tags_clean"))).toMap
+    assert(got(1L) === (("answer", "plan", true, true)))
+    assert(got(2L) === (("a  b  c", "xy\nz", true, true)))
+    assert(got(3L) === (("<think>truncated", "", false, false)),
+      "an orphan open tag survives to visible and trips tags_clean")
+    assert(got(4L) === (("stray</think> tail", "", false, false)))
+    assert(got(5L) === (("no trace", "", true, true)._1, "", false, true))
+    assert(got(6L) === (("<think>not a trace</think>", "", false, true)),
+      "non-assistant turns pass through untouched")
+    // conservation: for clean assistant turns, every character is accounted for
+    val raw = Map(1L -> "<think>plan</think>answer",
+      2L -> "a <think>x</think> b <think>y\nz</think> c")
+    val blocks = Map(1L -> 1, 2L -> 2)
+    for (id <- Seq(1L, 2L)) {
+      val (v, r, _, _) = got(id)
+      assert(raw(id).length === v.length + r.length + blocks(id) * ("<think>" + "</think>").length)
+    }
+  }
+
   test("truncateToBudget: system kept and charged, newest suffix fits, trims to first user") {
     // tokens: sys=2; turns 1..4: user(3), assistant(4), user(2), assistant(3)
     val df = Seq(1L ->
