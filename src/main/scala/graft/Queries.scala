@@ -7820,6 +7820,44 @@ object Queries {
                   ELSE TRUE END AS tags_clean
       FROM sp"""))
 
+  /** FIM transformation ([[graft.operators.TextAugment.fimSplit]],
+    * 60% apply rate, seed 42): apply coin and both character cut
+    * points are pure (id, seed) functions through the linear-mod-P
+    * bridge, so DuckDB rebuilds the exact same corpus — split points,
+    * sentinel serialization, untouched share, and all.
+    */
+  val q175FimSplit: Q = Q(
+    "q175_fim_split",
+    (s, dir) => graft.operators.TextAugment.fimSplit(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", fimPermille = 600, seed = 42L),
+    Some("""
+      WITH b AS (
+        SELECT doc_id, text, length(text) AS len,
+               (doc_id * 1103515245 + 42) % 2147483647 AS h0,
+               (doc_id * 1103515245 + 12345 + 42) % 2147483647 AS h1,
+               (doc_id * 1103515245 + 24690 + 42) % 2147483647 AS h2
+        FROM documents),
+      c AS (
+        SELECT doc_id, text, len,
+               (text IS NOT NULL AND h0 % 1000 < 600) AS applied,
+               LEAST(h1 % (len + 1), h2 % (len + 1)) AS lo,
+               GREATEST(h1 % (len + 1), h2 % (len + 1)) AS hi
+        FROM b)
+      SELECT doc_id, text,
+             applied AS fim_applied,
+             CASE WHEN applied THEN substr(text, 1, CAST(lo AS INT)) END AS fim_prefix,
+             CASE WHEN applied
+                  THEN substr(text, CAST(lo AS INT) + 1, CAST(hi - lo AS INT)) END AS fim_middle,
+             CASE WHEN applied
+                  THEN substr(text, CAST(hi AS INT) + 1, CAST(len - hi AS INT)) END AS fim_suffix,
+             CASE WHEN applied
+                  THEN '<fim_prefix>' || substr(text, 1, CAST(lo AS INT)) ||
+                       '<fim_suffix>' || substr(text, CAST(hi AS INT) + 1, CAST(len - hi AS INT)) ||
+                       '<fim_middle>' || substr(text, CAST(lo AS INT) + 1, CAST(hi - lo AS INT))
+                  ELSE text END AS fim_text
+      FROM c"""))
+
   /** DPO length-bias audit ([[graft.operators.Preferences
     * .lengthBiasReport]]): margin↔length Pearson correlation plus
     * chosen-longer rates over the q156 pairs, with response texts
@@ -8065,7 +8103,7 @@ object Queries {
     q160StripAccents, q161BradleyTerry, q162GrpoAdvantage, q163LossMaskSpans,
     q164RejectionSample, q165MatchPhrases, q166CardDetect, q167FixMojibake,
     q168SftPipeline, q169IntervalOverlap, q170TruncateBudget, q171HammingTopK,
-    q172ToolValidate, q173LengthBias, q174SplitReasoning)
+    q172ToolValidate, q173LengthBias, q174SplitReasoning, q175FimSplit)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

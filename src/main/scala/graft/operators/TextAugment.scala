@@ -99,4 +99,54 @@ object TextAugment {
       .withColumn("target_tokens", packed.getField("target_tokens"))
       .withColumn("n_masked", packed.getField("n_masked"))
   }
+
+  /** FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle"):
+    * a hash-chosen `fimPermille`/1000 of documents split at two
+    * hash-uniform character positions into (prefix, middle, suffix)
+    * and re-serialize in PSM order —
+    *
+    *   `<fim_prefix>` prefix `<fim_suffix>` suffix `<fim_middle>` middle
+    *
+    * — so the model learns infilling while the untransformed share
+    * preserves left-to-right quality (the paper's 50/50 default).
+    * Every decision — the apply coin and both cut points — is a pure
+    * function of `(id, seed)` through the same linear-mod-P bridge as
+    * [[spanCorrupt]]: recomputation, retries, and any partitioning
+    * reproduce the identical corpus, the property loss-curve
+    * comparisons rest on. Untransformed rows emit `fim_text = text`
+    * with NULL parts; NULL text stays NULL (quarantine, not '' —
+    * a missing document must not become an empty training row).
+    * Cut points are CHARACTER offsets (`substring` semantics on both
+    * engines); zero shuffle, zero UDFs.
+    */
+  def fimSplit(
+      df: DataFrame, idCol: String, textCol: String,
+      fimPermille: Int, seed: Long): DataFrame = {
+    require(fimPermille >= 0 && fimPermille <= 1000,
+      s"fimPermille out of [0, 1000]: $fimPermille")
+    val id = col(idCol)
+    val text = col(textCol)
+    val len = length(text)
+    def h(j: Int): Column = pmod(id * 1103515245L + lit(j) * 12345L + seed, lit(P))
+    val applied = text.isNotNull && (h(0) % 1000L < fimPermille)
+    val c1 = (h(1) % (len + 1).cast("long")).cast("int")
+    val c2 = (h(2) % (len + 1).cast("long")).cast("int")
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val prefix = text.substr(lit(1), lo)
+    val middle = text.substr(lo + 1, hi - lo)
+    val suffix = text.substr(hi + 1, len - hi)
+    df
+      .withColumn("fim_applied", applied)
+      .withColumn("fim_prefix", when(applied, prefix))
+      .withColumn("fim_middle", when(applied, middle))
+      .withColumn("fim_suffix", when(applied, suffix))
+      .withColumn("fim_text",
+        when(applied, concat(
+          lit("<fim_prefix>"), prefix,
+          lit("<fim_suffix>"), suffix,
+          lit("<fim_middle>"), middle))
+          .otherwise(text))
+  }
 }

@@ -94,4 +94,38 @@ class TextAugmentSpec extends AnyFunSuite {
     assert(out(1L)._1.isEmpty && out(1L)._2 === 0L)
     assert(out(2L)._1.isEmpty && out(2L)._2 === 0L)
   }
+
+  test("fimSplit: reconstruction law, rate extremes, partition invariance, NULL quarantine") {
+    val texts = (0L until 80L).map(i => (i, s"doc $i " + ("abcdefgh" * (1 + (i % 5).toInt))))
+      .toDF("id", "text")
+    val out = TextAugment.fimSplit(texts, "id", "text", fimPermille = 600, seed = 42L)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val applied = out.values.filter(_.getAs[Boolean]("fim_applied"))
+    assert(applied.nonEmpty && applied.size < out.size, "both polarities at 600 permille")
+    applied.foreach { r =>
+      val (p, m, sfx) = (r.getAs[String]("fim_prefix"),
+        r.getAs[String]("fim_middle"), r.getAs[String]("fim_suffix"))
+      assert(p + m + sfx === r.getAs[String]("text"),
+        "the three parts must reconstruct the document exactly")
+      assert(r.getAs[String]("fim_text") ===
+        s"<fim_prefix>$p<fim_suffix>$sfx<fim_middle>$m")
+    }
+    out.values.filterNot(_.getAs[Boolean]("fim_applied")).foreach { r =>
+      assert(r.getAs[String]("fim_text") === r.getAs[String]("text"))
+      assert(r.isNullAt(r.fieldIndex("fim_prefix")), "untouched rows carry NULL parts")
+    }
+    // rate extremes
+    assert(TextAugment.fimSplit(texts, "id", "text", 0, 42L)
+      .where(col("fim_applied")).count() === 0L)
+    assert(TextAugment.fimSplit(texts, "id", "text", 1000, 42L)
+      .where(!col("fim_applied")).count() === 0L)
+    // pure function of (id, seed): physical layout cannot move a cut point
+    val a = TextAugment.fimSplit(texts.repartition(13), "id", "text", 600, 42L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("fim_text"))).toSet
+    assert(a === out.values.map(r => (r.getAs[Long]("id"), r.getAs[String]("fim_text"))).toSet)
+    // NULL text quarantines
+    val n = TextAugment.fimSplit(Seq((1L, null: String)).toDF("id", "text"),
+      "id", "text", 1000, 42L).head()
+    assert(!n.getAs[Boolean]("fim_applied") && n.isNullAt(n.fieldIndex("fim_text")))
+  }
 }
