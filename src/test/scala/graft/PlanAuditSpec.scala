@@ -134,4 +134,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters") && p.contains("199406"),
       s"partition predicate must prune, not filter post-scan:\n$p")
   }
+
+  test("q162: GRPO advantage is agg + join-back — no window, moment side broadcastable") {
+    val p = plan("q162_grpo_advantage")
+    assert(!p.contains("Window"), s"group moments must not use a window sort:\n$p")
+    assert(p.contains("HashAggregate"), "moments ride a hash aggregation")
+  }
+
+  test("q171: binary ANN top-k is TakeOrderedAndProject — no global sort materialization") {
+    val p = plan("q171_hamming_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must ride partition heaps:\n$p")
+    assert(!p.contains("CartesianProduct"), "the query code broadcasts, never crosses")
+  }
+
+  test("q169: interval overlap is an equi-join on buckets at the physical layer") {
+    val p = plan("q169_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the binning decomposition must never plan a theta join:\n$p")
+  }
+
+  test("q173: length-bias report is ONE global aggregation over the joined pairs") {
+    val p = plan("q173_length_bias")
+    assert(!p.contains("Window"), s"Pearson sums must not window:\n$p")
+    // partial/final pair of the single global agg, not per-key shuffles of text
+    assert(p.contains("HashAggregate"), "integer sums ride hash aggregation")
+  }
+
+  test("q161: Bradley-Terry rounds stay bounded — pinned prep, no exchange-per-round growth") {
+    val p = plan("q161_bradley_terry")
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+      s"pair-count prep must be pinned (or checkpointed) for reuse across rounds:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
