@@ -7768,6 +7768,51 @@ object Queries {
       s"(CASE WHEN $vec[${i + 1}] > 0 THEN CAST($mask AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Two-stage binary retrieval ([[graft.operators.Similarity
+    * .hammingRerankTopK]], prefilter 50 → exact top 10): Hamming
+    * prefilter on 8-byte sign codes, exact integer-cosine re-rank of
+    * the candidates only — the rescoring stack every compressed-index
+    * server runs, and the one two-stage ANN face exact enough to gate
+    * END TO END (membership, scores, order, tie-breaks) with no
+    * recall floor.
+    */
+  val q176HammingRerank: Q = Q(
+    "q176_hamming_rerank",
+    (s, dir) => graft.operators.Similarity.hammingRerankTopK(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 7L, k = 10, prefilterK = 50),
+    Some(s"""
+      WITH codes AS (
+        SELECT vec_id, ${signBitsSql("embedding", 64)} AS code FROM embeddings
+        WHERE embedding IS NOT NULL),
+      qc AS (SELECT code AS qcode FROM codes WHERE vec_id = 7),
+      hd AS (SELECT vec_id, bit_count(xor(code, qcode)) AS hamming
+             FROM codes, qc WHERE vec_id <> 7),
+      pre AS (
+        SELECT vec_id FROM (
+          SELECT vec_id, row_number() OVER (ORDER BY hamming, vec_id) AS rn FROM hd)
+        WHERE rn <= 50),
+      iv AS (
+        SELECT e.vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS iv
+        FROM embeddings e
+        WHERE e.vec_id IN (SELECT vec_id FROM pre) OR e.vec_id = 7),
+      q AS (SELECT iv AS qv FROM iv WHERE vec_id = 7),
+      d AS (
+        SELECT i.vec_id,
+               CAST(list_dot_product(CAST(i.iv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS BIGINT) AS dot,
+               CAST(list_dot_product(CAST(i.iv AS DOUBLE[]), CAST(i.iv AS DOUBLE[])) AS BIGINT) AS norm2,
+               CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS BIGINT) AS qnorm2
+        FROM iv i CROSS JOIN q
+        WHERE i.vec_id <> 7)
+      SELECT vec_id, dot, norm2
+      FROM d
+      ORDER BY CASE WHEN norm2 = 0 OR qnorm2 = 0 THEN 0.0
+                    ELSE CAST(dot AS DOUBLE) /
+                         (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))) END DESC,
+               vec_id
+      LIMIT 10"""))
+
   /** Reasoning-trace split ([[graft.operators.Conversations
     * .splitReasoning]]): every shape planted per row — single block,
     * multiple blocks spanning a line, orphan open (truncated trace),
@@ -8103,7 +8148,8 @@ object Queries {
     q160StripAccents, q161BradleyTerry, q162GrpoAdvantage, q163LossMaskSpans,
     q164RejectionSample, q165MatchPhrases, q166CardDetect, q167FixMojibake,
     q168SftPipeline, q169IntervalOverlap, q170TruncateBudget, q171HammingTopK,
-    q172ToolValidate, q173LengthBias, q174SplitReasoning, q175FimSplit)
+    q172ToolValidate, q173LengthBias, q174SplitReasoning, q175FimSplit,
+    q176HammingRerank)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

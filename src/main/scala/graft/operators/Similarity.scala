@@ -85,6 +85,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage binary retrieval ([[hammingTopK]] → exact re-rank): the
+    * standard serving pattern for compressed indexes — a cheap Hamming
+    * prefilter over 8-byte sign codes picks `prefilterK` candidates,
+    * then the exact integer-quantized cosine ([[cosineToQueryExactInt]])
+    * re-ranks ONLY those and returns the top `k`. The expensive float
+    * column is read for prefilterK + 1 rows, not the corpus; both
+    * stages are all-integer (plus the fixed-shape ranking double), so
+    * unlike every other two-stage ANN face this one is EXACTLY
+    * oracle-gateable end to end — prefilter membership, re-rank
+    * scores, final order, and tie-breaks. Recall contract: misses are
+    * exactly the true neighbors whose sign pattern disagrees with
+    * their angle — the documented binary-quantization trade;
+    * `prefilterK ≫ k` (the 5× here-default of real rescoring stacks)
+    * is the knob. Output: `(idCol, dot, norm2)`, the q30c shape.
+    */
+  def hammingRerankTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      prefilterK: Int,
+      scale: Int = 1000,
+      dim: Int = 64): DataFrame = {
+    require(prefilterK >= k, s"prefilterK ($prefilterK) must be >= k ($k)")
+    val cands = hammingTopK(emb, idCol, vecCol, queryId, prefilterK, dim)
+      .select(col(idCol))
+    val keep = emb.join(broadcast(cands), Seq(idCol), "leftsemi")
+      .unionByName(emb.where(col(idCol) === queryId))
+    cosineToQueryExactInt(keep, idCol, vecCol, queryId, scale)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("dot"), col("norm2"))
+  }
+
   def cosineToQueryExactInt(
       emb: DataFrame,
       idCol: String,

@@ -124,4 +124,25 @@ class QuantizeSpec extends AnyFunSuite {
       .sortBy { case (id, d) => (d, id) }.take(12)
     assert(got.toSeq === want, "all-integer face: set, values, AND order must be exact")
   }
+
+  test("hammingRerankTopK: results come from the prefilter set; full prefilter equals brute force") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val n = emb.count().toInt
+    val pre = Similarity.hammingTopK(emb, "vec_id", "embedding", queryId = 7L, k = 40)
+      .collect().map(_.getLong(0)).toSet
+    val two = Similarity.hammingRerankTopK(emb, "vec_id", "embedding",
+      queryId = 7L, k = 8, prefilterK = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(two.length === 8)
+    assert(two.map(_._1).toSet.subsetOf(pre), "stage 2 can only rank stage-1 candidates")
+    // prefilterK >= corpus: the rescoring stack degenerates to the exact face
+    val full = Similarity.hammingRerankTopK(emb, "vec_id", "embedding",
+      queryId = 7L, k = 8, prefilterK = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = Similarity.bruteForceTopKExactInt(emb, "vec_id", "embedding",
+      queryId = 7L, k = 8)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dot"), r.getAs[Long]("norm2")))
+    assert(full.toSeq === brute.toSeq,
+      "with every row in the prefilter, the two stages equal exact brute force bit-for-bit")
+  }
 }
