@@ -7768,6 +7768,61 @@ object Queries {
       s"(CASE WHEN $vec[${i + 1}] > 0 THEN CAST($mask AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Packed loss-mask spans ([[graft.operators.Packing.packedSpans]],
+    * shard = doc_id % 4, 96-char sequences): the chat layer's span
+    * table remapped into concatSplit's packed coordinates — global
+    * offsets, owning sequence indexes, and the crosses_boundary flag
+    * (a span split across training sequences is the silent half-answer
+    * failure packed SFT must handle explicitly). Budget 96 is below
+    * most rendered transcripts, so boundary crossings have witnesses
+    * at every SF; the oracle replays the span arithmetic, the layout
+    * window, and the flags end to end.
+    */
+  val q177PackedSpans: Q = Q(
+    "q177_packed_spans",
+    (s, dir) => {
+      val turns = graft.operators.Conversations.parseTurns(
+        syntheticChats(s, dir), "doc_id", "conv_json")
+      val spans = graft.operators.Conversations.lossMaskSpans(turns, "doc_id")
+      // rendered length = last content end + the trailing <|im_end|>\n
+      val lengths = spans.groupBy(col("doc_id"))
+        .agg((max(col("end")) + 11L).as("total_chars"))
+      graft.operators.Packing.packedSpans(
+        spans, lengths, "doc_id", "total_chars",
+        col("doc_id") % 4, budget = 96L)
+    },
+    Some(s"""
+      WITH $chatTurnsCte,
+      sp AS (
+        SELECT doc_id, turn_idx, role,
+               CAST(COALESCE(SUM(24 + length(COALESCE(role, '')) + length(COALESCE(content, '')))
+                 OVER (PARTITION BY doc_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+               CAST(length(COALESCE(role, '')) AS BIGINT) AS rl,
+               CAST(length(COALESCE(content, '')) AS BIGINT) AS cl
+        FROM chat_turns WHERE turn_idx IS NOT NULL),
+      spans AS (
+        SELECT doc_id, turn_idx, role,
+               prefix + 13 + rl AS start, prefix + 13 + rl + cl AS "end",
+               COALESCE(role = 'assistant', FALSE) AS is_target
+        FROM sp),
+      lens AS (
+        SELECT doc_id, MAX("end") + 11 AS total_chars FROM spans GROUP BY doc_id),
+      man AS (
+        SELECT doc_id, doc_id % 4 AS shard,
+               CAST(COALESCE(SUM(total_chars) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        FROM lens)
+      SELECT s.doc_id, s.turn_idx, s.role, s.start, s."end", s.is_target, m.shard,
+             m.start_off + s.start AS g_start,
+             m.start_off + s."end" AS g_end,
+             (m.start_off + s.start) // 96 AS seq_first,
+             GREATEST(m.start_off + s."end" - 1, m.start_off + s.start) // 96 AS seq_last,
+             (m.start_off + s.start) // 96 <>
+               GREATEST(m.start_off + s."end" - 1, m.start_off + s.start) // 96
+               AS crosses_boundary
+      FROM spans s JOIN man m USING (doc_id)"""))
+
   /** Two-stage binary retrieval ([[graft.operators.Similarity
     * .hammingRerankTopK]], prefilter 50 → exact top 10): Hamming
     * prefilter on 8-byte sign codes, exact integer-cosine re-rank of
@@ -8149,7 +8204,7 @@ object Queries {
     q164RejectionSample, q165MatchPhrases, q166CardDetect, q167FixMojibake,
     q168SftPipeline, q169IntervalOverlap, q170TruncateBudget, q171HammingTopK,
     q172ToolValidate, q173LengthBias, q174SplitReasoning, q175FimSplit,
-    q176HammingRerank)
+    q176HammingRerank, q177PackedSpans)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

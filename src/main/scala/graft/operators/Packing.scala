@@ -68,6 +68,51 @@ object Packing {
       .withColumn("off_in_first", col("start_off") % budget)
   }
 
+  /** Remap per-document spans into PACKED-SEQUENCE coordinates: given a
+    * span table (`idCol, start, end, …` — e.g. [[graft.operators
+    * .Conversations.lossMaskSpans]] character offsets within each
+    * rendered document) and a lengths table (`idCol, lenCol`), lay the
+    * documents out with [[concatSplit]] and emit every span with
+    *
+    *   - `g_start`/`g_end` — offsets in the shard's concatenated stream
+    *   - `seq_first`/`seq_last` — which budget-sized training sequences
+    *     the span lands in
+    *   - `crosses_boundary` — the span is SPLIT across sequences, the
+    *     case a loss-masking trainer must handle (or drop) explicitly:
+    *     silent boundary crossings are how packed SFT quietly trains on
+    *     half an answer
+    *
+    * All arithmetic is the same non-negative integer window math as
+    * [[concatSplit]], so the layout replays exactly on any engine.
+    * Spans of documents absent from `lengths` drop (inner join — a
+    * span without a layout has no coordinates); empty spans
+    * (`start == end`) keep `seq_first = seq_last` at their position.
+    *
+    * Scale shape: one concatSplit window over the (small) lengths
+    * table + one hash join back to the span rows; nothing corpus-wide
+    * beyond the spans themselves.
+    */
+  def packedSpans(
+      spans: DataFrame,
+      lengths: DataFrame,
+      idCol: String,
+      lenCol: String,
+      shardExpr: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0L, "budget must be positive")
+    val manifest = concatSplit(lengths, idCol, lenCol, shardExpr, budget)
+      .select(col(idCol), col("shard"), col("start_off"))
+    spans
+      .join(manifest, Seq(idCol))
+      .withColumn("g_start", col("start_off") + col("start"))
+      .withColumn("g_end", col("start_off") + col("end"))
+      .withColumn("seq_first", expr(s"g_start div ${budget}L"))
+      .withColumn("seq_last",
+        expr(s"greatest(g_end - 1, g_start) div ${budget}L"))
+      .withColumn("crosses_boundary", col("seq_first") =!= col("seq_last"))
+      .drop("start_off")
+  }
+
   /** Document-preserving first-fit-decreasing packing. Each shard (hash of
     * `idCol` into `numShards` partitions) packs its documents into bins of
     * capacity `budget`: documents sorted by (tokens desc, id asc), each

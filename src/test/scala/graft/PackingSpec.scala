@@ -402,4 +402,27 @@ class PackingSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("epoch"))
   }
+
+  test("packedSpans: global offsets, owning sequences, boundary-crossing flag") {
+    // one shard, budget 10: doc 1 (len 8) at offset 0, doc 2 (len 7) at 8
+    val lengths = Seq((1L, 8L), (2L, 7L)).toDF("id", "len")
+    val spans = Seq(
+      (1L, 0, 2L, 5L, true), // global [2,5) -> seq 0, no crossing
+      (1L, 1, 6L, 8L, true), // global [6,8) -> seq 0
+      (2L, 0, 0L, 4L, true), // global [8,12) -> seqs 0..1, CROSSES
+      (2L, 1, 4L, 4L, false), // empty span at global 12 -> seq 1, no crossing
+      (9L, 0, 0L, 1L, true)) // no layout row -> dropped
+      .toDF("id", "turn_idx", "start", "end", "is_target")
+    val got = Packing.packedSpans(spans, lengths, "id", "len", lit(0L), budget = 10L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("turn_idx")) ->
+        ((r.getAs[Long]("g_start"), r.getAs[Long]("g_end"),
+          r.getAs[Long]("seq_first"), r.getAs[Long]("seq_last"),
+          r.getAs[Boolean]("crosses_boundary")))).toMap
+    assert(got.keySet === Set((1L, 0), (1L, 1), (2L, 0), (2L, 1)),
+      "spans without a layout row have no coordinates and drop")
+    assert(got((1L, 0)) === ((2L, 5L, 0L, 0L, false)))
+    assert(got((1L, 1)) === ((6L, 8L, 0L, 0L, false)))
+    assert(got((2L, 0)) === ((8L, 12L, 0L, 1L, true)), "the straddling span must flag")
+    assert(got((2L, 1)) === ((12L, 12L, 1L, 1L, false)), "empty spans sit at their position")
+  }
 }
