@@ -7768,6 +7768,44 @@ object Queries {
       s"(CASE WHEN $vec[${i + 1}] > 0 THEN CAST($mask AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Annotation-disagreement routing ([[graft.operators.Quality
+    * .annotationDisagreement]]): per-item majority label, agreement
+    * fraction, and the re-annotation flag — the routing face of the
+    * corpus-level kappas (q142/q148). The synthesized panel tilts the
+    * majority rate per item bucket (expected 30–70%), so both flag
+    * polarities and majority ties have witnesses at every SF; the
+    * oracle replays the explicit (count desc, label asc) majority
+    * order with a ranked window.
+    */
+  val q178AnnotationDisagreement: Q = Q(
+    "q178_annotation_disagreement",
+    (s, dir) => graft.operators.Quality.annotationDisagreement(
+      t(s, dir, "documents").select(
+        (col("doc_id") % 50).as("item"),
+        when((col("doc_id") * 37 + 11) % 10 < lit(3) + (col("doc_id") % 50) % 5, lit("maj"))
+          .otherwise(concat(lit("min"), (((col("doc_id") * 37 + 11) % 10) % 3).cast("string")))
+          .as("label")),
+      "item", "label"),
+    Some("""
+      WITH r AS (
+        SELECT doc_id % 50 AS item,
+               CASE WHEN (doc_id * 37 + 11) % 10 < 3 + (doc_id % 50) % 5 THEN 'maj'
+                    ELSE 'min' || CAST(((doc_id * 37 + 11) % 10) % 3 AS VARCHAR) END AS label
+        FROM documents),
+      c AS (SELECT item, label, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+      a AS (SELECT item, CAST(SUM(c) AS BIGINT) AS n_ratings,
+                   COUNT(*) AS n_distinct_labels
+            FROM c GROUP BY item),
+      m AS (SELECT item, label AS majority_label, c AS majority_n,
+                   row_number() OVER (PARTITION BY item ORDER BY c DESC, label ASC) AS rn
+            FROM c)
+      SELECT a.item, a.n_ratings, a.n_distinct_labels, m.majority_label, m.majority_n,
+             CAST(m.majority_n AS DOUBLE) / CAST(a.n_ratings AS DOUBLE) AS majority_frac,
+             (a.n_ratings < 2 OR
+              CAST(m.majority_n AS DOUBLE) < 0.7 * CAST(a.n_ratings AS DOUBLE))
+               AS needs_reannotation
+      FROM a JOIN m ON m.item = a.item AND m.rn = 1"""))
+
   /** Packed loss-mask spans ([[graft.operators.Packing.packedSpans]],
     * shard = doc_id % 4, 96-char sequences): the chat layer's span
     * table remapped into concatSplit's packed coordinates — global
@@ -8204,7 +8242,7 @@ object Queries {
     q164RejectionSample, q165MatchPhrases, q166CardDetect, q167FixMojibake,
     q168SftPipeline, q169IntervalOverlap, q170TruncateBudget, q171HammingTopK,
     q172ToolValidate, q173LengthBias, q174SplitReasoning, q175FimSplit,
-    q176HammingRerank, q177PackedSpans)
+    q176HammingRerank, q177PackedSpans, q178AnnotationDisagreement)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -208,6 +208,60 @@ object Quality {
     * off the pinned counts (route `scope` in long-lived sessions); the
     * kappa row itself is a 1×1 cross of two scalar aggregates.
     */
+  /** Per-ITEM disagreement report — the routing face of the corpus-
+    * level kappas ([[fleissKappa]]/[[cohenKappa]] say whether the
+    * PANEL is reliable; this says WHICH items to re-annotate). One
+    * row per item: `n_ratings`, `n_distinct_labels`, `majority_label`
+    * (ties → lexicographically smallest label, the engine-
+    * reproducible break), `majority_n`, `majority_frac` (one fixed
+    * double over two integers), and `needs_reannotation` (majority
+    * below `minMajorityFrac`, or fewer than `minRatings` ratings —
+    * an under-rated item is undecided, not agreed). NULL items or
+    * labels drop as missing ratings, the kappa convention.
+    *
+    * Scale shape: one (item, label) hash aggregation — map-side
+    * combined, the wire carries distinct pairs — then one rollup to
+    * items (max_by under an explicit (count, reversed-label) total
+    * order; no window, no re-scan of the ratings).
+    */
+  def annotationDisagreement(
+      df: DataFrame,
+      itemCol: String,
+      labelCol: String,
+      minMajorityFrac: Double = 0.7,
+      minRatings: Long = 2L): DataFrame = {
+    require(minMajorityFrac > 0.0 && minMajorityFrac <= 1.0,
+      s"minMajorityFrac out of (0, 1]: $minMajorityFrac")
+    require(minRatings >= 1L, s"minRatings must be positive, got $minRatings")
+    val counts = df
+      .where(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol), col(labelCol).as("__label"))
+      .agg(count(lit(1)).as("__c"))
+    counts
+      .groupBy(col(itemCol))
+      .agg(
+        sum(col("__c")).as("n_ratings"),
+        count(lit(1)).as("n_distinct_labels"),
+        // ties on count break to the SMALLEST label: the struct orders by
+        // (count, negated-rank-of-label) — string negation isn't a thing,
+        // so invert via min_by on (negated count, label)
+        min_by(col("__label"), struct((col("__c") * -1).as("__nc"), col("__label")))
+          .as("majority_label"),
+        max(col("__c")).as("majority_n"))
+      .select(
+        col(itemCol),
+        col("n_ratings"),
+        col("n_distinct_labels"),
+        col("majority_label"),
+        col("majority_n"),
+        (col("majority_n").cast("double") / col("n_ratings").cast("double"))
+          .as("majority_frac"),
+        (col("n_ratings") < minRatings ||
+          col("majority_n").cast("double") <
+            lit(minMajorityFrac) * col("n_ratings").cast("double"))
+          .as("needs_reannotation"))
+  }
+
   def fleissKappa(
       df: DataFrame,
       itemCol: String,

@@ -316,4 +316,26 @@ class SaltQualitySpec extends AnyFunSuite {
     assert((ex4.getMessage + Option(ex4.getCause).map(_.getMessage).getOrElse(""))
       .contains("exactly one from each"))
   }
+
+  test("annotationDisagreement: majority, ties to smallest label, flags, NULL drop") {
+    val ratings = Seq(
+      // item 1: 3x a, 1x b -> majority a 0.75, agreed
+      (1L, "a"), (1L, "a"), (1L, "a"), (1L, "b"),
+      // item 2: 2x a, 2x b -> TIE, majority breaks to 'a', frac 0.5 -> flag
+      (2L, "a"), (2L, "a"), (2L, "b"), (2L, "b"),
+      // item 3: single rating -> under-rated -> flag even at frac 1.0
+      (3L, "c"),
+      // item 4: NULL label is a missing rating, not a category
+      (4L, "d"), (4L, "d"), (4L, null))
+      .toDF("item", "label")
+    val got = Quality.annotationDisagreement(ratings, "item", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_ratings"), r.getAs[Long]("n_distinct_labels"),
+          r.getAs[String]("majority_label"), r.getAs[Double]("majority_frac"),
+          r.getAs[Boolean]("needs_reannotation")))).toMap
+    assert(got(1L) === ((4L, 2L, "a", 0.75, false)))
+    assert(got(2L) === ((4L, 2L, "a", 0.5, true)), "count ties break to the smallest label")
+    assert(got(3L) === ((1L, 1L, "c", 1.0, true)), "an under-rated item is undecided")
+    assert(got(4L) === ((2L, 1L, "d", 1.0, false)), "NULL labels drop before counting")
+  }
 }
