@@ -122,7 +122,10 @@ object Preferences {
     * advantage, excluded from the moments (a reward-less sample can't
     * shape the baseline) — and zero-variance groups get advantage 0
     * for every member (GRPO's no-gradient group; division would be
-    * 0/0). Overflow contract: per group, n·Q < 2⁶³ and S² < 2⁶³.
+    * 0/0). NULL prompts DROP (standard equi-join semantics, identical
+    * on every SQL engine): a response without a group key has no
+    * baseline to normalize against. Overflow contract: per group,
+    * n·Q < 2⁶³ and S² < 2⁶³.
     *
     * Scale shape: one map-side-combinable hash aggregation for the
     * moments + one hash join back to the rows — group count is the
