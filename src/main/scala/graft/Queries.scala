@@ -7768,6 +7768,38 @@ object Queries {
       s"(CASE WHEN $vec[${i + 1}] > 0 THEN CAST($mask AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Per-group reward winsorization ([[graft.operators.Preferences
+    * .clipRewards]], [p10, p90]): exact order-statistic cuts under
+    * the explicit (reward, id) total order — the reward-hygiene step
+    * before GRPO advantages; NULL rewards pass through NULL. The
+    * oracle replays ranks, `max(1, ceil(p·n))` cut selection, and the
+    * clamp over the q156 response corpus.
+    */
+  val q179ClipRewards: Q = Q(
+    "q179_clip_rewards",
+    (s, dir) => graft.operators.Preferences.clipRewards(
+      syntheticResponses(s, dir), "prompt_id", "resp_id", "score",
+      pLo = 0.1, pHi = 0.9),
+    Some(s"""
+      WITH $respCte,
+      rk2 AS (
+        SELECT prompt_id, resp_id, score,
+               row_number() OVER (PARTITION BY prompt_id ORDER BY score, resp_id) AS rn
+        FROM sresp),
+      cnt AS (SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n FROM sresp GROUP BY prompt_id),
+      cuts AS (
+        SELECT r.prompt_id,
+               MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.1 * n) AS BIGINT))
+                   THEN score END) AS lo,
+               MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT))
+                   THEN score END) AS hi
+        FROM rk2 r JOIN cnt USING (prompt_id) GROUP BY r.prompt_id)
+      SELECT r.prompt_id, r.resp_id, r.score,
+             CASE WHEN r.score IS NULL THEN NULL
+                  ELSE LEAST(GREATEST(r.score, c.lo), c.hi) END AS clipped_reward,
+             c.lo, c.hi
+      FROM resp r JOIN cuts c USING (prompt_id)"""))
+
   /** Annotation-disagreement routing ([[graft.operators.Quality
     * .annotationDisagreement]]): per-item majority label, agreement
     * fraction, and the re-annotation flag — the routing face of the
@@ -8242,7 +8274,8 @@ object Queries {
     q164RejectionSample, q165MatchPhrases, q166CardDetect, q167FixMojibake,
     q168SftPipeline, q169IntervalOverlap, q170TruncateBudget, q171HammingTopK,
     q172ToolValidate, q173LengthBias, q174SplitReasoning, q175FimSplit,
-    q176HammingRerank, q177PackedSpans, q178AnnotationDisagreement)
+    q176HammingRerank, q177PackedSpans, q178AnnotationDisagreement,
+    q179ClipRewards)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

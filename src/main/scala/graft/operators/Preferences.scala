@@ -196,6 +196,52 @@ object Preferences {
       perPrompt)
   }
 
+  /** Per-group reward winsorization — the hygiene step BEFORE
+    * [[groupRelativeAdvantage]]: reward-model failures (one absurd
+    * score in a prompt group) dominate the group's mean and std, so
+    * clipping to the group's exact [pLo, pHi] order statistics is the
+    * standard fix. Cut ranks are `max(1, ceil(p·n))` over the scored
+    * rows under the family's explicit (reward, id) total order — EXACT
+    * k-th order statistics, not an approximate quantile sketch, so the
+    * cuts (and therefore every clipped value) replay bit-for-bit on
+    * any engine. NULL rewards pass through as NULL clipped values;
+    * groups with zero scored rows have no cuts and DROP (nothing to
+    * clip against). n = 1 degenerates to lo = hi = the value: clipping
+    * is the identity, never a crash.
+    *
+    * Scale shape: one exchange by prompt serves the rank window and
+    * both aggregations; the cuts frame is prompt-count-sized, so the
+    * join back broadcasts. Output: input columns + `clipped_reward,
+    * lo, hi` (cut values in the reward's own type).
+    */
+  def clipRewards(
+      responses: DataFrame,
+      promptCol: String,
+      idCol: String,
+      rewardCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    require(0.0 <= pLo && pLo <= pHi && pHi <= 1.0,
+      s"need 0 <= pLo <= pHi <= 1, got ($pLo, $pHi)")
+    val r = col(rewardCol)
+    val scored = responses.where(r.isNotNull)
+      .select(col(promptCol), col(idCol), r)
+    val w = Window.partitionBy(col(promptCol)).orderBy(r.asc, col(idCol).asc)
+    val ranked = scored.withColumn("__rn", row_number().over(w))
+    val counts = scored.groupBy(col(promptCol)).agg(count(lit(1)).as("__n"))
+    val cuts = ranked.join(counts, Seq(promptCol))
+      .groupBy(col(promptCol))
+      .agg(
+        max(when(col("__rn") === greatest(lit(1L), ceil(lit(pLo) * col("__n"))), r))
+          .as("lo"),
+        max(when(col("__rn") === greatest(lit(1L), ceil(lit(pHi) * col("__n"))), r))
+          .as("hi"))
+    responses
+      .join(cuts, Seq(promptCol))
+      .withColumn("clipped_reward",
+        when(r.isNull, lit(null)).otherwise(least(greatest(r, col("lo")), col("hi"))))
+  }
+
   /** Length-bias audit for preference pairs — DPO's best-known failure
     * mode: raters (and reward models) systematically prefer LONGER
     * responses, and a pair set with high margin↔length correlation

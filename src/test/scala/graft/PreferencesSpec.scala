@@ -112,6 +112,26 @@ class PreferencesSpec extends AnyFunSuite {
     assert(got === Set((1L, 10L), (1L, 11L), (1L, 12L)))
   }
 
+  test("clipRewards: exact order-statistic cuts, clamp, NULL passthrough, n=1 identity") {
+    // prompt 1: scores 1..10 (ids 11..20); p20/p80 → ranks 2 and 8 → cuts 2 and 8
+    val df = resp(
+      (1L to 10L).map(i => (1L, 10L + i, Some(i.toInt))) ++ Seq(
+        (1L, 99L, None), // NULL rides along unclipped
+        (2L, 200L, Some(7))): _*) // single rating: lo = hi = 7, identity
+    val got = Preferences.clipRewards(df, "prompt", "id", "score", pLo = 0.2, pHi = 0.8)
+      .collect().map(r => r.getLong(1) ->
+        ((if (r.isNullAt(r.fieldIndex("clipped_reward"))) None
+          else Some(r.getAs[Int]("clipped_reward"))),
+          r.getAs[Int]("lo"), r.getAs[Int]("hi"))).toMap
+    assert(got(11L) === ((Some(2), 2, 8)), "below p20 clamps up to the exact rank-2 value")
+    assert(got(12L) === ((Some(2), 2, 8)))
+    assert(got(15L) === ((Some(5), 2, 8)), "interior values untouched")
+    assert(got(18L) === ((Some(8), 2, 8)))
+    assert(got(20L) === ((Some(8), 2, 8)), "above p80 clamps down")
+    assert(got(99L)._1 === None, "NULL rewards pass through as NULL clipped values")
+    assert(got(200L) === ((Some(7), 7, 7)), "a single-rating group clips to itself")
+  }
+
   test("lengthBiasReport: hand-computed sums, verbosity-reward and healthy witnesses") {
     def texts(toks: (Long, Int)*) =
       toks.toSeq.map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }.toDF("id", "text")
