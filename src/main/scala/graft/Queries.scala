@@ -7768,6 +7768,32 @@ object Queries {
       s"(CASE WHEN $vec[${i + 1}] > 0 THEN CAST($mask AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Needle insertion ([[graft.operators.TextAugment.insertNeedle]],
+    * seed 7): the NIAH eval-prep primitive — hash-uniform plant
+    * position recorded alongside the planted text, every decision a
+    * pure (id, seed) function the oracle rebuilds exactly.
+    */
+  val q180InsertNeedle: Q = Q(
+    "q180_insert_needle",
+    (s, dir) => graft.operators.TextAugment.insertNeedle(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", needle = " THE-NEEDLE-7731 ", seed = 7L),
+    Some("""
+      WITH b AS (
+        SELECT doc_id, text, length(text) AS len,
+               ((doc_id * 1103515245 + 7) % 2147483647) % (length(text) + 1) AS pos
+        FROM documents)
+      SELECT doc_id, text,
+             CASE WHEN text IS NOT NULL THEN CAST(pos AS BIGINT) END AS needle_pos,
+             CASE WHEN text IS NULL THEN NULL
+                  WHEN len = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(pos AS DOUBLE) / CAST(len AS DOUBLE) END AS depth_frac,
+             CASE WHEN text IS NOT NULL THEN
+               substr(text, 1, CAST(pos AS INT)) || ' THE-NEEDLE-7731 ' ||
+               substr(text, CAST(pos AS INT) + 1, CAST(len - pos AS INT)) END
+               AS text_with_needle
+      FROM b"""))
+
   /** Per-group reward winsorization ([[graft.operators.Preferences
     * .clipRewards]], [p10, p90]): exact order-statistic cuts under
     * the explicit (reward, id) total order — the reward-hygiene step
@@ -8275,7 +8301,7 @@ object Queries {
     q168SftPipeline, q169IntervalOverlap, q170TruncateBudget, q171HammingTopK,
     q172ToolValidate, q173LengthBias, q174SplitReasoning, q175FimSplit,
     q176HammingRerank, q177PackedSpans, q178AnnotationDisagreement,
-    q179ClipRewards)
+    q179ClipRewards, q180InsertNeedle)
 
   /** Normalize the SQL blocks (strip leading margins) for the oracle dump. */
   private def normalizeSql(sql: String): String =

@@ -120,6 +120,37 @@ object TextAugment {
     * Cut points are CHARACTER offsets (`substring` semantics on both
     * engines); zero shuffle, zero UDFs.
     */
+  /** Needle insertion — the needle-in-a-haystack long-context eval
+    * prep: plant `needle` at a hash-uniform character position per
+    * document and RECORD the position and depth fraction, so recall
+    * can later be scored against where the needle actually sits.
+    * Deterministic per (id, seed) through the linear-mod-P bridge
+    * (an eval set whose needle positions move under recomputation is
+    * not an eval set). NULL text stays NULL; `depth_frac` is one
+    * fixed double over two integers (0.0 for empty documents).
+    * Output: input columns + `needle_pos, depth_frac,
+    * text_with_needle`. Zero shuffle, zero UDFs.
+    */
+  def insertNeedle(
+      df: DataFrame, idCol: String, textCol: String,
+      needle: String, seed: Long): DataFrame = {
+    require(needle.nonEmpty, "an empty needle scores every haystack")
+    val id = col(idCol)
+    val text = col(textCol)
+    val len = length(text)
+    val pos = (pmod(id * 1103515245L + seed, lit(P)) % (len + 1).cast("long")).cast("int")
+    df
+      .withColumn("needle_pos", when(text.isNotNull, pos.cast("long")))
+      .withColumn("depth_frac",
+        when(text.isNull, lit(null).cast("double"))
+          .when(len === 0, lit(0.0d))
+          .otherwise(col("needle_pos").cast("double") / len.cast("double")))
+      .withColumn("text_with_needle",
+        when(text.isNotNull,
+          concat(text.substr(lit(1), col("needle_pos").cast("int")), lit(needle),
+            text.substr(col("needle_pos").cast("int") + 1, len - col("needle_pos").cast("int")))))
+  }
+
   def fimSplit(
       df: DataFrame, idCol: String, textCol: String,
       fimPermille: Int, seed: Long): DataFrame = {

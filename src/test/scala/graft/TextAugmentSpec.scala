@@ -95,6 +95,27 @@ class TextAugmentSpec extends AnyFunSuite {
     assert(out(2L)._1.isEmpty && out(2L)._2 === 0L)
   }
 
+  test("insertNeedle: splice law, recorded position is where the needle sits, NULL quarantine") {
+    val texts = (0L until 40L).map(i => (i, "x" * (i % 7).toInt)).toDF("id", "text")
+    val out = TextAugment.insertNeedle(texts, "id", "text", "<N>", seed = 5L).collect()
+    out.foreach { r =>
+      val (t, pos, planted) = (r.getAs[String]("text"),
+        r.getAs[Long]("needle_pos"), r.getAs[String]("text_with_needle"))
+      assert(pos >= 0 && pos <= t.length, "position lands inside [0, len]")
+      assert(planted === t.substring(0, pos.toInt) + "<N>" + t.substring(pos.toInt),
+        "the splice law: removing the needle at its recorded position restores the text")
+      assert(planted.indexOf("<N>") === pos.toInt || t.contains("<N>"),
+        "recorded position points at the needle")
+      val frac = r.getAs[Double]("depth_frac")
+      if (t.isEmpty) assert(frac === 0.0)
+      else assert(frac === pos.toDouble / t.length)
+    }
+    val n = TextAugment.insertNeedle(Seq((1L, null: String)).toDF("id", "text"),
+      "id", "text", "<N>", 5L).head()
+    assert(n.isNullAt(n.fieldIndex("needle_pos")) &&
+      n.isNullAt(n.fieldIndex("text_with_needle")), "NULL text quarantines")
+  }
+
   test("fimSplit: reconstruction law, rate extremes, partition invariance, NULL quarantine") {
     val texts = (0L until 80L).map(i => (i, s"doc $i " + ("abcdefgh" * (1 + (i % 5).toInt))))
       .toDF("id", "text")
