@@ -7550,14 +7550,29 @@ object Queries {
     s"(regexp_matches($v, '^[0-9]{13,19}$$') AND ($terms) % 10 = 0)"
   }
 
+  /** The longest-Luhn-valid-prefix selection of [[graft.functions.text
+    * .detectPaymentCards]] as a DuckDB expression over digit string
+    * `x`: 13..19-digit prefixes tested longest-first, NULL when none
+    * validates (the card+CVV adjacency window).
+    */
+  private def longestValidPrefixSql(x: String): String =
+    "COALESCE(" + (19 to 13 by -1).map { p =>
+      val v = s"substr($x, 1, $p)"
+      s"(CASE WHEN length($x) >= $p AND ${luhnSql(v)} THEN $v END)"
+    }.mkString(", ") + ")"
+
   /** Luhn-validated payment-card detection ([[graft.functions.text
     * .detectPaymentCards]]): one candidate-pattern scan + per-candidate
-    * mod-10 arithmetic, so random digit runs (order IDs, timestamps)
-    * never false-positive. The synthesized corpus varies a 16-digit
-    * candidate per row (~10% Luhn-valid — the decision boundary is
-    * exercised in both directions at every SF) and plants a separator-
-    * formatted known-valid number on every 5th row; DuckDB replays
-    * extraction, normalization, and the unrolled checksum.
+    * mod-10 arithmetic over the candidate and its truncated prefix
+    * windows, so random digit runs (order IDs, timestamps) never
+    * false-positive but a card+CVV adjacency run still surrenders its
+    * card. The synthesized corpus varies a 16-digit candidate per row
+    * (~10% Luhn-valid — the decision boundary is exercised in both
+    * directions at every SF), plants a separator-formatted known-valid
+    * number on every 5th row, and a card-then-CVV adjacency witness
+    * ('4111-1111-1111-1111-731', 19 digits failing Luhn whole, valid at
+    * the 16-prefix) on every 7th; DuckDB replays extraction,
+    * normalization, and the unrolled prefix-window checksum.
     */
   val q166CardDetect: Q = Q(
     "q166_card_detect",
@@ -7570,6 +7585,8 @@ object Queries {
           lpad(((col("doc_id") * 7919) % 1000000000000000L).cast("string"), 15, "0"),
           when(col("doc_id") % 5 === 0, lit(" and 4111 1111 1111 1111 backup"))
             .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" ref 4111-1111-1111-1111-731 pay"))
+            .otherwise(lit("")),
           lit(" end")))).as("cards")),
     Some(s"""
       WITH ct AS (
@@ -7577,6 +7594,7 @@ object Queries {
                'contact x' || CAST(doc_id % 97 AS VARCHAR) || ' card 4' ||
                lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0') ||
                (CASE WHEN doc_id % 5 = 0 THEN ' and 4111 1111 1111 1111 backup' ELSE '' END) ||
+               (CASE WHEN doc_id % 7 = 0 THEN ' ref 4111-1111-1111-1111-731 pay' ELSE '' END) ||
                ' end' AS text
         FROM documents),
       cand AS (
@@ -7587,7 +7605,9 @@ object Queries {
         FROM ct)
       SELECT doc_id,
              COALESCE(array_to_string(
-               list_sort(list_distinct(list_filter(ds, x -> ${luhnSql("x")}))), '|'),
+               list_sort(list_distinct(list_filter(
+                 list_transform(ds, x -> ${longestValidPrefixSql("x")}),
+                 x -> x IS NOT NULL))), '|'),
                '') AS cards
       FROM cand"""))
 

@@ -1,9 +1,40 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  /** Stale-output hardening (round-14, VERDICT r13 "What's wrong" #1):
+    * write the query to a temp dir and atomically swap it in ONLY on
+    * success; on ANY failure delete the final dir too, so a failed (or
+    * skipped-by-crash) query can never present a previous run's parquet
+    * to the driver's hash compare. Round 13's four red gate rows were
+    * exactly this: target/verify_out held cross-SF-swapped artifacts left
+    * by the old catch-and-continue overwrite. Returns true on success.
+    * Package-visible so VerifySpec can pin the no-stale-output property. */
+  private[graft] def dumpOne(outDir: String, name: String, run: () => DataFrame): Boolean = {
+    val finalDir = new java.io.File(s"$outDir/$name")
+    val tmpDir   = new java.io.File(s"$outDir/.$name.tmp")
+    deleteRec(tmpDir)
+    try {
+      run().coalesce(1).write.mode("overwrite").parquet(tmpDir.getPath)
+      deleteRec(finalDir)
+      if (!tmpDir.renameTo(finalDir))
+        throw new java.io.IOException(s"rename ${tmpDir.getPath} -> ${finalDir.getPath} failed")
+      true
+    } catch { case e: Throwable =>
+      deleteRec(tmpDir)
+      deleteRec(finalDir) // never leave a stale answer where the driver will hash it
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      false
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,11 +53,7 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      dumpOne(outDir, name, () => fn(spark, sfDir))
       // same hygiene as Bench: operator-pinned prep tables must not
       // accrete storage memory across 60 queries
       graft.operators.Caches.release()

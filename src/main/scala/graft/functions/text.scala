@@ -288,28 +288,57 @@ object text {
     c.rlike("^[0-9]{13,19}$") && total % 10 === 0
   }
 
+  /** Longest Luhn-valid prefix (13–19 digits) of a separator-stripped
+    * candidate, NULL when none. Trailing-truncated windows close the
+    * card+CVV adjacency leak: a valid card immediately followed by
+    * 1–3 more digits ('4111-1111-1111-1111-123') is consumed by the
+    * greedy [[cardCandidatePattern]] as ONE 19-digit candidate that
+    * fails Luhn — but its 16-digit prefix IS the card and must still
+    * be caught. Testing the 13..19-digit prefixes (longest first, so
+    * a genuinely valid full run never shrinks to a coincidental
+    * sub-prefix) costs a bounded 7×19-term CASE per candidate.
+    */
+  private def longestValidPrefix(d: Column): Column =
+    coalesce((19 to 13 by -1).map { p =>
+      when(length(d) >= p && luhnValid(d.substr(1, p)), d.substr(1, p))
+    }: _*)
+
   /** Luhn-valid payment-card numbers appearing in the text, separator-
     * normalized (digits only), distinct, lexicographic — the DETECTION
     * face for audits ("which documents leak card numbers, and which").
     * Candidates come from one [[cardCandidatePattern]] scan; validation
-    * is per-candidate [[luhnValid]] arithmetic, so cost is
-    * O(bytes + candidates), zero shuffle.
+    * is per-candidate [[luhnValid]] arithmetic over the candidate AND
+    * its truncated prefix windows (see [[longestValidPrefix]] — the
+    * card+CVV adjacency case), so cost is O(bytes + candidates), zero
+    * shuffle.
     */
   def detectPaymentCards(c: Column): Column = {
     val raw = regexp_extract_all(c, lit(cardCandidatePattern), lit(0))
-    val digits = transform(raw, x => regexp_replace(x, "[ -]", ""))
-    array_sort(array_distinct(filter(digits, d => luhnValid(d))))
+    val found = transform(raw, x => longestValidPrefix(regexp_replace(x, "[ -]", "")))
+    array_sort(array_distinct(filter(found, d => d.isNotNull)))
   }
 
   /** Scrub Luhn-VALID card numbers (as matched, separators included)
     * with a typed placeholder, leaving invalid digit runs — order IDs,
-    * timestamps, hashes — untouched. The fold over detected candidates
-    * is a per-row `aggregate` HOF: no UDF, no join, no shuffle.
+    * timestamps, hashes — untouched. When only a PREFIX of a candidate
+    * validates (card+CVV adjacency), exactly the raw span covering the
+    * valid prefix is scrubbed — the trailing extra digits stay. The
+    * fold over detected candidates is a per-row `aggregate` HOF: no
+    * UDF, no join, no shuffle.
     */
   def redactPaymentCards(c: Column): Column = {
-    val raw = regexp_extract_all(c, lit(cardCandidatePattern), lit(0))
-    val valid = filter(raw, x => luhnValid(regexp_replace(x, "[ -]", "")))
-    aggregate(valid, c, (acc, x) => replace(acc, x, lit("<CARD>")))
+    val rawValid = transform(
+      regexp_extract_all(c, lit(cardCandidatePattern), lit(0)),
+      x => {
+        val d = regexp_replace(x, "[ -]", "")
+        coalesce((19 to 13 by -1).map { p =>
+          when(length(d) >= p && luhnValid(d.substr(1, p)),
+            // raw-text span containing exactly the first p digits
+            regexp_extract(x, s"^[0-9](?:[ -]?[0-9]){${p - 1}}", 0))
+        }: _*)
+      })
+    aggregate(filter(rawValid, x => x.isNotNull), c,
+      (acc, x) => replace(acc, x, lit("<CARD>")))
   }
 
   // --- Gopher-style rule signals (Rae et al. 2021, "Scaling Language

@@ -312,9 +312,13 @@ object Conversations {
     require(maxTokens >= 1, s"maxTokens must be positive, got $maxTokens")
     def pin(df: DataFrame): DataFrame = scope.fold(Caches.pin(df))(_.pin(df))
     val tok = coalesce(size(text.tokens(col("content"))), lit(0)).cast("long")
+    // "unchanged schema" is the contract: carry EVERY caller column
+    // through (e.g. splitReasoning's visible/reasoning), not a fixed
+    // 4-column projection.
+    val origCols = turns.columns.toSeq
     val tt = pin(turns
       .where(col("turn_idx").isNotNull)
-      .select(col(idCol), col("turn_idx"), col("role"), col("content"), tok.as("__tok")))
+      .select(origCols.map(col) :+ tok.as("__tok"): _*))
     val isSys = col("turn_idx") === 0 && col("role") <=> lit("system")
     val sys = tt.where(isSys)
     val sysTok = sys.groupBy(col(idCol))
@@ -333,8 +337,8 @@ object Conversations {
     val body = kept.join(firstUser, Seq(idCol))
       .where(col("turn_idx") >= col("__first_user"))
     val head = sys.join(firstUser, Seq(idCol))
-    body.select(col(idCol), col("turn_idx"), col("role"), col("content"))
-      .unionAll(head.select(col(idCol), col("turn_idx"), col("role"), col("content")))
+    body.select(origCols.map(col): _*)
+      .unionAll(head.select(origCols.map(col): _*))
   }
 
   /** The one-call SFT data pipeline: parse → contract-filter → render

@@ -42,28 +42,32 @@ object IntervalJoin {
     require(dup.isEmpty,
       s"left and right column names must be disjoint (both have: ${dup.mkString(", ")})")
 
-    def binned(df: DataFrame, s: String, e: String): DataFrame = {
-      val start = col(s).cast("long")
-      val end = col(e).cast("long")
-      df.where(end > start)
-        .withColumn("__bucket",
+    // Bucket math goes through sanitized projections so the `div`
+    // expressions never re-parse caller-supplied names (names needing
+    // backticks — dots, spaces, hyphens — would fail to parse or
+    // resolve to the wrong attribute inside an expr() string).
+    def binned(df: DataFrame, s: String, e: String, bucketName: String): DataFrame = {
+      df.withColumn("__graft_iv_s", col(s).cast("long"))
+        .withColumn("__graft_iv_e", col(e).cast("long"))
+        .where(col("__graft_iv_e") > col("__graft_iv_s"))
+        .withColumn(bucketName,
           explode(sequence(
-            expr(s"CAST($s AS BIGINT) div ${bucketWidth}L"),
-            expr(s"(CAST($e AS BIGINT) - 1L) div ${bucketWidth}L"))))
+            expr(s"__graft_iv_s div ${bucketWidth}L"),
+            expr(s"(__graft_iv_e - 1L) div ${bucketWidth}L"))))
+        .drop("__graft_iv_s", "__graft_iv_e")
     }
 
-    val l = binned(left, lStart, lEnd)
-    val r = binned(right, rStart, rEnd).withColumnRenamed("__bucket", "__rbucket")
+    val l = binned(left, lStart, lEnd, "__bucket")
+    val r = binned(right, rStart, rEnd, "__rbucket")
     val ls = col(lStart).cast("long")
     val le = col(lEnd).cast("long")
     val rs = col(rStart).cast("long")
     val re = col(rEnd).cast("long")
     l.join(r, col("__bucket") === col("__rbucket"))
-      .where(
-        ls < re && rs < le &&
-          // first-shared-bucket guard: emit each pair exactly once
-          col("__bucket") === expr(
-            s"greatest(CAST($lStart AS BIGINT), CAST($rStart AS BIGINT)) div ${bucketWidth}L"))
-      .drop("__bucket", "__rbucket")
+      .where(ls < re && rs < le)
+      // first-shared-bucket guard: emit each pair exactly once
+      .withColumn("__graft_iv_g", greatest(ls, rs))
+      .where(col("__bucket") === expr(s"__graft_iv_g div ${bucketWidth}L"))
+      .drop("__bucket", "__rbucket", "__graft_iv_g")
   }
 }

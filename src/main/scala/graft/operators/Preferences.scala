@@ -29,23 +29,40 @@ object Preferences {
     * strictly positive margin (a zero-margin pair carries no
     * preference signal). Output: `prompt, chosen_id, rejected_id,
     * chosen_score, rejected_score, margin, n_responses`.
+    *
+    * The chosen-side tie-break inverts the SCORE (exactly — integral
+    * scores negate in decimal(20,0), fractional in their own type),
+    * never the id: `min_by` over (−score, id) keeps the documented
+    * total order for ANY orderable id type. Negating the id would
+    * cast string ids to NULL (non-ANSI) — silently aggregation-order-
+    * dependent — or throw under ANSI, and overflows at Long.MinValue.
     */
   def pairsByScore(
       responses: DataFrame,
       promptCol: String,
       idCol: String,
       scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
     val id = col(idCol)
     val score = col(scoreCol)
+    val negScore = responses.schema(scoreCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        // decimal(20,0) holds the full negated 64-bit range exactly
+        negate(score.cast(DecimalType(20, 0)))
+      case FloatType | DoubleType | _: DecimalType => negate(score)
+      case other => throw new IllegalArgumentException(
+        s"pairsByScore needs a numeric score column (margin arithmetic); " +
+          s"got ${other.catalogString}")
+    }
     val scored = when(score.isNotNull, lit(1)) // quarantine marker
     responses
       .groupBy(col(promptCol))
       .agg(
         count(lit(1)).as("n_responses"),
         count(scored).as("__n_scored"),
-        max_by(id, when(score.isNotNull, struct(score, (id * -1).as("__t"))))
+        min_by(id, when(score.isNotNull, struct(negScore.as("__s"), id.as("__t"))))
           .as("chosen_id"),
-        min_by(id, when(score.isNotNull, struct(score, id.as("__t"))))
+        min_by(id, when(score.isNotNull, struct(score.as("__s"), id.as("__t"))))
           .as("rejected_id"),
         max(score).as("chosen_score"),
         min(score).as("rejected_score"))
@@ -275,6 +292,13 @@ object Preferences {
       chosenCol: String = "chosen_id",
       rejectedCol: String = "rejected_id",
       marginCol: String = "margin"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val mt = pairs.schema(marginCol).dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(mt),
+      s"lengthBiasReport needs an integral margin column (the five sums are " +
+        s"integer aggregates — the cross-engine exactness contract); got " +
+        s"${mt.catalogString} — quantize margins first (a fractional margin " +
+        "of 0.7 would silently truncate to 0 and zero the correlation)")
     val tok = graft.functions.text.tokenCount(col(textCol)).cast("long")
     val t = texts.select(col(idCol).as("__tid"), tok.as("__tok"))
     val joined = pairs

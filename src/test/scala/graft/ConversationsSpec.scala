@@ -251,6 +251,23 @@ class ConversationsSpec extends AnyFunSuite {
     assert(got === Seq(2 -> "user", 3 -> "assistant"))
   }
 
+  test("truncateToBudget carries extra caller columns through unchanged (splitReasoning composition)") {
+    val df = Seq(1L ->
+      """[{"role":"system","content":"be brief"},
+         {"role":"user","content":"first long question"},
+         {"role":"assistant","content":"quite a long answer here"},
+         {"role":"user","content":"short one"},
+         {"role":"assistant","content":"final short answer"}]""".replaceAll("\n\\s*", ""))
+      .toDF("id", "j")
+    val turns = Conversations.splitReasoning(Conversations.parseTurns(df, "id", "j"))
+    val got = Conversations.truncateToBudget(turns, "id", 8L)
+    assert(got.columns.toSeq === turns.columns.toSeq,
+      "the docstring promises the input schema UNCHANGED — extra columns survive")
+    val byIdx = got.collect().map(r => r.getAs[Int]("turn_idx") -> r.getAs[String]("visible")).toMap
+    assert(byIdx.keySet === Set(0, 3, 4))
+    assert(byIdx(3) === "short one", "attached column values ride along with the surviving rows")
+  }
+
   test("validate and stats are ONE hash aggregation — a single exchange each") {
     val turns = turnsOf(1L -> good, 2L -> sysLed)
     for (df <- Seq(

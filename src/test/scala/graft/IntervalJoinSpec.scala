@@ -69,6 +69,17 @@ class IntervalJoinSpec extends AnyFunSuite {
       s"binning must equi-join, plan:\n$plan")
   }
 
+  test("backtick-hostile column names (spaces, hyphens) bucket correctly") {
+    // the old string-interpolated expr() failed to parse these; bucket
+    // math must never re-parse caller names
+    val l = Seq((1L, 0L, 10L), (2L, 50L, 60L)).toDF("left id", "start ts", "end-ts")
+    val r = Seq((9L, 5L, 8L), (8L, 59L, 70L)).toDF("right id", "r start", "r-end")
+    val out = IntervalJoin.overlap(l, r, "start ts", "end-ts", "r start", "r-end", 4L)
+      .select(col("left id"), col("right id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(out === Set((1L, 9L), (2L, 8L)))
+  }
+
   test("overlapping column names are rejected loudly") {
     val l = Seq((1L, 2L, 3L)).toDF("id", "s", "e")
     val r = Seq((1L, 2L, 3L)).toDF("id", "rs", "re")

@@ -27,6 +27,29 @@ class PreferencesSpec extends AnyFunSuite {
     assert(got(2L).getAs[Long]("rejected_id") === 22L, "rejected score tie breaks to the lowest id")
   }
 
+  test("pairsByScore: STRING ids keep the documented tie-break (no numeric-negation hazard)") {
+    // the old id*-1 tie-break cast string ids to NULL (non-ANSI), making
+    // the chosen side aggregation-order-dependent; the score-negating
+    // form must order string ids lexicographically on both sides
+    val df = Seq(
+      ("p", "resp-b", Some(7)), ("p", "resp-a", Some(7)), // chosen tie → 'resp-a'
+      ("p", "resp-d", Some(2)), ("p", "resp-c", Some(2))) // rejected tie → 'resp-c'
+      .toDF("prompt", "id", "score")
+    val r = Preferences.pairsByScore(df, "prompt", "id", "score").head()
+    assert(r.getAs[String]("chosen_id") === "resp-a")
+    assert(r.getAs[String]("rejected_id") === "resp-c")
+    assert(r.getAs[Int]("chosen_score") === 7 && r.getAs[Int]("rejected_score") === 2)
+    // double scores take the fractional-negation branch
+    val d = Seq(("p", "x", Some(1.5)), ("p", "y", Some(0.25)))
+      .toDF("prompt", "id", "score")
+    val rd = Preferences.pairsByScore(d, "prompt", "id", "score").head()
+    assert(rd.getAs[String]("chosen_id") === "x" && rd.getAs[Double]("margin") === 1.25)
+    // non-numeric scores refuse loudly
+    val bad = Seq(("p", "x", "high")).toDF("prompt", "id", "score")
+    assertThrows[IllegalArgumentException](
+      Preferences.pairsByScore(bad, "prompt", "id", "score"))
+  }
+
   test("pairsByScore: zero-margin and under-scored prompts emit nothing; NULL scores quarantine") {
     val df = resp(
       (1L, 10L, Some(4)), (1L, 11L, Some(4)), // all tied → no signal
@@ -168,6 +191,11 @@ class PreferencesSpec extends AnyFunSuite {
     val f = Preferences.lengthBiasReport(
       flat, texts(10L -> 3, 20L -> 1, 11L -> 4, 21L -> 2), "id", "text").head()
     assert(f.getAs[Double]("margin_len_corr") === 0.0, "constant margin has no correlation")
+    // fractional margins refuse loudly — a 0.7 margin would silently
+    // truncate to 0 under the old cast and zero the correlation
+    val frac = Seq((1L, 10L, 20L, 0.7)).toDF("prompt", "chosen_id", "rejected_id", "margin")
+    assertThrows[IllegalArgumentException](
+      Preferences.lengthBiasReport(frac, texts(10L -> 3, 20L -> 1), "id", "text"))
   }
 
   // ---- Bradley–Terry fixed-point integer MM ----

@@ -222,4 +222,19 @@ object TextProperties extends Properties("graft.text") {
       val clean = one(doc, text.redactPaymentCards(col("text"))).getString(0)
       red.contains("<CARD>") && !red.contains(spaced) && clean == doc
     }
+
+  property("card+CVV adjacency: the card never survives, detected as itself or the valid whole run") =
+    forAll(genValidCard, Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, Gen.numChar).map(_.mkString))) {
+      (card, cvv) =>
+        // greedy candidate consumes card+cvv as ONE 17–19 digit run; the
+        // longest-valid-prefix window must surface the card either way
+        val txt = s"order ref $card-$cvv end"
+        val got = one(txt, text.detectPaymentCards(col("text"))).getSeq[String](0)
+        val red = one(txt, text.redactPaymentCards(col("text"))).getString(0)
+        val wholeValid = luhnRef(card + cvv)
+        val detected =
+          if (wholeValid) got.contains(card + cvv) // longest-first: whole run wins
+          else got.contains(card)
+        detected && red.contains("<CARD>") && !red.contains(card)
+    }
 }
