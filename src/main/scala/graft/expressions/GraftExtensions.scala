@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.gkQuantilesDescriptor)
     ext.injectFunction(GraftFunctions.funnelDescriptor)
     ext.injectFunction(GraftFunctions.vecSumDescriptor)
+    ext.injectFunction(GraftFunctions.momentsDescriptor)
     ext.injectFunction(GraftFunctions.normalizeDescriptor)
     ext.injectFunction(GraftFunctions.deflateLenDescriptor)
     ext.injectFunction(GraftFunctions.stripAccentsDescriptor)
@@ -176,6 +177,14 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException("graft_vec_sum(vec: array<float|double>)")
     })
 
+  val momentsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_moments"),
+    new ExpressionInfo(classOf[MomentsAgg].getName, "graft_moments"),
+    {
+      case Seq(vec) => MomentsAgg(vec)
+      case _ => throw new IllegalArgumentException("graft_moments(vec: array<float|double>)")
+    })
+
   /** `graft_normalize(str[, 'NFC'|'NFD'|'NFKC'|'NFKD'])` — the form is a
     * string literal (a plan-time constant, like every trained/configured
     * argument on this surface); defaults to NFC.
@@ -228,7 +237,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit =
     Seq(minHashDescriptor, simHashDescriptor, dotDescriptor, mgSketchDescriptor,
         cmSketchDescriptor, gkSketchDescriptor, gkMergeDescriptor, gkQuantilesDescriptor,
-        funnelDescriptor, vecSumDescriptor, normalizeDescriptor, deflateLenDescriptor,
+        funnelDescriptor, vecSumDescriptor, momentsDescriptor, normalizeDescriptor, deflateLenDescriptor,
         stripAccentsDescriptor, fixMojibakeDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)

@@ -16,15 +16,17 @@ import org.apache.spark.sql.graft.ColumnBridge
   * float covariance a naive `Σ x·xᵀ` would produce is summation-order
   * dependent and cannot be gated.
   *
-  * Scale shape: ONE corpus pass; each row contributes its flattened
-  * d²+d outer-product-plus-moments array to a single
-  * [[graft.expressions.VectorSumAgg]], so the shuffle is one
-  * (d²+d)-sized state per task — independent of N — up the standard
-  * partial/final tree. Per-row compute is the unavoidable O(d²) of the
-  * outer product, pipelined inside the scan stage (no materialization).
-  * For d=64 the state is 4 160 doubles; the face is sized for moderate
-  * dims (d ≲ 2048, a 4M-entry state) — block-wise accumulation would be
-  * the path beyond that.
+  * Scale shape: ONE corpus pass; each row feeds its O(d) quantized
+  * vector to a single [[graft.expressions.MomentsAgg]], whose update
+  * performs the rank-1 outer-product accumulation into a d(d+1)/2
+  * triangle buffer in place — per-row allocation is O(d), the
+  * arithmetic the unavoidable d²/2 multiply-adds, and the shuffle is
+  * one triangle state per task (independent of N) up the standard
+  * partial/final tree. The d²+d+1-value result is a bounded driver
+  * collect (the nlist/vocab class). For d=64 the state is 2 144
+  * doubles; the face is sized for moderate dims (d ≲ 2048, a ~2M-entry
+  * state / 17 MB task buffer) — block-wise accumulation would be the
+  * path beyond that.
   */
 object Embeddings {
 
@@ -52,41 +54,34 @@ object Embeddings {
       scale: Int = 64): DataFrame = {
     require(scale > 0, "quantization scale must be positive")
     val q = quant(col(vecCol), scale)
-    // per-row flattened stats: d² outer products (row-major) then the d
-    // raw quantized values; VectorSumAgg enforces a uniform length, so
-    // mixed-dimension corpora fail loudly rather than mis-index
-    val statsArr = concat(
-      flatten(transform(q, vi => transform(q, vj => vi * vj))),
-      q)
+    // the rank-1 outer-product update runs INSIDE the aggregate
+    // ([[graft.expressions.MomentsAgg]]): per-row input is the O(d)
+    // quantized vector read into a d(d+1)/2 triangle buffer — never a
+    // per-row d²-array materialization (at d=768 that would be 590k
+    // doubles per ROW before the aggregate sees them, the round-13
+    // scale bug) and never a d²-term Catalyst expression
     val prep = emb
       .where(cleanVec(col(vecCol)))
-      .select(statsArr.as("__stats"), size(col(vecCol)).cast("long").as("__dim"))
-    val sumCol = ColumnBridge.column(
-      graft.expressions.VectorSumAgg(ColumnBridge.eagerExpression(col("__stats")))
+      .select(q.as("__q"))
+    val momCol = ColumnBridge.column(
+      graft.expressions.MomentsAgg(ColumnBridge.eagerExpression(col("__q")))
         .toAggregateExpression())
-    // ONE row: referenced three times below, so pin it eagerly — a
-    // re-execution would re-run the whole corpus aggregation per branch
-    val agged = prep.agg(sumCol.as("__s"), max(col("__dim")).as("__d"))
-      .localCheckpoint(true)
-    val exploded = agged.select(
-      col("__d"),
-      posexplode(col("__s.sums")).as(Seq("__pos", "__v")))
-    val gram = exploded
-      .where(col("__pos") < col("__d") * col("__d"))
-      .select(
-        floor(col("__pos") / col("__d")).cast("int").as("row_idx"),
-        pmod(col("__pos"), col("__d")).cast("int").as("col_idx"),
-        col("__v").cast("long").as("value"))
-    val moments = exploded
-      .where(col("__pos") >= col("__d") * col("__d"))
-      .select(
-        (col("__pos") - col("__d") * col("__d")).cast("int").as("row_idx"),
-        lit(-1).as("col_idx"),
-        col("__v").cast("long").as("value"))
-    val nRow = agged.select(
-      lit(-1).as("row_idx"), lit(-1).as("col_idx"),
-      col("__s.cnt").cast("long").as("value"))
-    gram.unionByName(moments).unionByName(nRow)
+    // ONE distributed pass; the result is d²+d+1 values (the bounded
+    // nlist/vocab collect class), unpacked on the driver into a local
+    // relation — no localCheckpoint, whose RDD blocks neither
+    // Caches.release nor clearCache could drop (the r13 bench
+    // inversion), and no re-execution per downstream branch
+    val aggedRow = prep.agg(momCol.as("__s")).head()
+    val st = aggedRow.getStruct(0)
+    val cnt = st.getLong(0)
+    val sums = st.getSeq[Double](1)
+    val d = math.sqrt(sums.length.toDouble + 0.25).toInt // sums.length = d²+d
+    val rows = new scala.collection.mutable.ArrayBuffer[(Int, Int, Long)](d * d + d + 1)
+    for (i <- 0 until d; j <- 0 until d) rows += ((i, j, sums(i * d + j).toLong))
+    for (i <- 0 until d) rows += ((i, -1, sums(d * d + i).toLong))
+    rows += ((-1, -1, cnt))
+    emb.sparkSession.createDataFrame(rows.toSeq)
+      .toDF("row_idx", "col_idx", "value")
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix (in-place on
