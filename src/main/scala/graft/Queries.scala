@@ -4252,6 +4252,47 @@ object Queries {
       SELECT canonical_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
       FROM c GROUP BY canonical_url"""))
 
+  /** The STREAMING url-dedup ingest's batch face ([[graft.streaming
+    * .Streams.urlDedupIngest]]), driver-gated (r11 advice #6 / r13
+    * "What's missing" #2): the synthetic URL corpus arrives as TWO
+    * micro-batches, and the landed output's union must equal the
+    * whole-corpus [[graft.operators.Urls.dedupByCanonical]] — the q99b
+    * oracle, keeper projection. The split keys on `doc_id % 420`
+    * (420 = lcm of every modulus in [[syntheticUrls]]), so each
+    * canonical-identity group arrives WHOLE in one batch and
+    * first-batch-wins composes to the global min-id keeper; if the
+    * corpus arithmetic ever drifts, the gate fails loudly rather than
+    * silently weakening. The corpus collect is the MemoryStream
+    * fixture (driver-side by construction — production ingest reads a
+    * real stream); the ingest itself stays the exactly-once
+    * foreachBatch under test.
+    */
+  val q99dUrlDedupIngest: Q = Q(
+    "q99d_url_dedup_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("graft_urlingest").toString
+      val rows = syntheticUrls(s, dir).select(col("doc_id"), col("url"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition { case (id, _) => (id % 420) % 2 == 0 }
+      val input = MemoryStream[(Long, String)]
+      val query = graft.streaming.Streams.urlDedupIngest(
+        input.toDF().toDF("doc_id", "url"), "url", "doc_id",
+        s"$root/seen", s"$root/landed")
+      try {
+        input.addData(b1.toSeq: _*); query.processAllAvailable()
+        input.addData(b2.toSeq: _*); query.processAllAvailable()
+      } finally query.stop()
+      s.read.parquet(s"$root/landed")
+        .select(col("canonical_url"), col("doc_id").as("keeper_id"))
+    },
+    Some(s"""
+      WITH c AS ($canonicalUrlSql)
+      SELECT canonical_url, MIN(doc_id) AS keeper_id
+      FROM c GROUP BY canonical_url"""))
+
   /** LEAKAGE-SAFE train/test split: near-duplicate documents must never
     * straddle the boundary (a test doc with a train near-copy inflates
     * eval — the contamination [[graft.operators.Decontaminate]] hunts,
@@ -6304,6 +6345,56 @@ object Queries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment"""))
 
+  /** The `salt_hot_keys` branch made driver-gated (r13 "What's missing"
+    * #3 — at the driver's SFs every natural pair recommends
+    * broadcast_right, so the salt path had only spec witnesses): a
+    * synthesized skewed pair — lineitem with every `l_orderkey % 4 = 0`
+    * row collapsed onto hot key 0 (~25% of the fact side) against a
+    * one-row-per-key dim built the same way — under thresholds both
+    * sides exceed (`broadcastRowsMax = 5000` < 11k/112k dim rows at
+    * sf0.01/0.1) with the hot key's product (≈15k/150k ≥ 10000) forcing
+    * `salt_hot_keys` at BOTH SFs. The emitted `strategy` column pins
+    * the branch selection in the oracle (a drift to broadcast/shuffle
+    * hash-fails), and the aggregated join result pins that the
+    * salt-and-explode execution computes exactly the plain SQL join.
+    */
+  val q139cSaltedJoinExec: Q = Q(
+    "q139c_salted_join_exec",
+    (s, dir) => {
+      val left = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 4 === 0, lit(0L)).otherwise(col("l_orderkey")).as("lk"),
+        col("l_extendedprice"))
+      val right = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 4 === 0, lit(0L)).otherwise(col("o_orderkey")).as("rk"))
+        .groupBy("rk").agg(count(lit(1)).as("key_rows"))
+      val adv = graft.operators.JoinAdvisor.executeAdvised(
+        left, "lk", right, "rk",
+        advisorParams,
+        broadcastRowsMax = 5000L,
+        saltProductMin = 10000L)
+      adv.df.groupBy((col("lk") % 10).as("key_bucket"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("key_rows")).as("sum_key_rows"),
+          sumMoney(col("l_extendedprice")).as("total_price"))
+        .withColumn("strategy", lit(adv.strategy))
+    },
+    Some("""
+      WITH lft AS (
+        SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_orderkey END AS lk,
+               l_extendedprice
+        FROM lineitem),
+      rgt AS (
+        SELECT CASE WHEN o_orderkey % 4 = 0 THEN 0 ELSE o_orderkey END AS rk,
+               COUNT(*) AS key_rows
+        FROM orders GROUP BY 1)
+      SELECT lk % 10 AS key_bucket, COUNT(*) AS n_rows,
+             CAST(SUM(key_rows) AS BIGINT) AS sum_key_rows,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+             'salt_hot_keys' AS strategy
+      FROM lft JOIN rgt ON lk = rk
+      GROUP BY 1"""))
+
   /** Join-cardinality estimate from PERSISTED shard sketches
     * ([[graft.operators.JoinAdvisor.writeSketchShard]] /
     * [[graft.operators.JoinAdvisor.estimateFromStores]]): each side's
@@ -8298,7 +8389,7 @@ object Queries {
     q89SemanticDedup, q89cSemanticDedupExact,
     q90PretrainingManifest, q91AudioDecode, q92ImageResize, q93PhraseSearch,
     q94CollapseRuns, q95JpegDecode, q96CapPerSource, q96bCapPerSourceSystematic,
-    q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup,
+    q97HybridRrf, q98ClusterBalanced, q99UrlCanonical, q99bUrlDedup, q99dUrlDedupIngest,
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
     q108CorpusOverlap, q108bCorpusOverlapSketch, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
@@ -8311,6 +8402,7 @@ object Queries {
     q129EmbeddingMoments, q130JsonlRoundtrip, q131WetRoundtrip, q132CurationFunnel,
     q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum,
     q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice, q139bAdvisedJoinExec,
+    q139cSaltedJoinExec,
     q140SketchStoreEstimate, q141Curriculum, q142FleissKappa, q143RobotsFilter,
     q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier, q146LinkGraphRank, q147TriangleCounts,
     q148CohenKappa, q149KCore, q150FrontierSchedule, q151SpanCorrupt,
