@@ -6114,8 +6114,11 @@ object Queries {
         .join(syntheticUrls(s, dir), "doc_id")
         .select(col("url").as("uri"), col("text"), col("lang"))
       val path = java.nio.file.Files.createTempDirectory("graft_crawl_e2e").toString + "/shards"
+      // numShards is a FIXTURE constant (4 shards at gate SFs); the
+      // production default follows input partitioning — WetSpec pins it
       graft.sources.Wet.write(
-        staged.repartition(4), "uri", "text", path, langCol = Some("lang"), gzip = true)
+        staged, "uri", "text", path, langCol = Some("lang"), gzip = true,
+        numShards = Some(4))
       val canon = graft.sources.Wet.read(s, path)
         .withColumn("canonical_url", graft.operators.Urls.canonicalize(col("target_uri")))
       val kept = canon

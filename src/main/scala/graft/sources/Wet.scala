@@ -210,9 +210,16 @@ object Wet {
       path: String,
       warcDate: String = "2026-01-01T00:00:00Z",
       langCol: Option[String] = None,
-      gzip: Boolean = true): Unit = {
+      gzip: Boolean = true,
+      numShards: Option[Int] = None): Unit = {
+    numShards.foreach(n => require(n > 0, s"numShards must be positive, got $n"))
     val cols = Seq(uriCol, contentCol) ++ langCol.toSeq
-    val slim = df.selectExpr(cols.map(c => s"`$c`"): _*)
+    val slim0 = df.selectExpr(cols.map(c => s"`$c`"): _*)
+    // one shard per partition: by default write parallelism FOLLOWS the
+    // input's partitioning (the 100 TB shape — a 10k-partition corpus
+    // writes 10k shards in parallel); numShards is the explicit knob
+    // for fixtures and ~150 MB shard-size targeting, never a default
+    val slim = numShards.fold(slim0)(n => slim0.repartition(n))
     val staging = path + ".__wet_staging"
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration

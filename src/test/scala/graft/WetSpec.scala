@@ -104,6 +104,21 @@ class WetSpec extends AnyFunSuite {
     assert(digest(p1) === digest(p2))
   }
 
+  test("write parallelism follows input partitioning by default; numShards is the explicit knob") {
+    val docs = (1 to 40).map(i => (s"http://h/$i", s"doc $i"))
+    def shardCount(path: String): Int =
+      new java.io.File(path).listFiles.count(_.getName.endsWith(".warc.wet.gz"))
+    val p1 = tmp() + "/byinput"
+    Wet.write(docs.toDF("uri", "content").repartition(7), "uri", "content", p1, gzip = true)
+    assert(shardCount(p1) === 7,
+      "default: one shard per input partition — a 10k-partition corpus writes 10k shards in parallel")
+    val p2 = tmp() + "/explicit"
+    Wet.write(docs.toDF("uri", "content").repartition(7), "uri", "content", p2,
+      gzip = true, numShards = Some(3))
+    assert(shardCount(p2) === 3, "numShards overrides, for fixtures / shard-size targeting")
+    assert(Wet.read(spark, p2).count() === 40L)
+  }
+
   test("NULL uri or content fails loudly at write; malformed shard fails loudly at read") {
     val path = tmp() + "/shards"
     val nullContent = Seq(("https://f/1", "ok"), ("https://f/2", null: String)).toDF("uri", "content")
