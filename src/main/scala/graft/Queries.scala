@@ -4597,21 +4597,10 @@ object Queries {
       s.read.parquet(modelPath + "/source"),
       buckets = 1024)
 
-  val q106DsirImportance: Q = Q(
-    "q106_dsir_importance",
-    (s, dir) => {
-      val d = t(s, dir, "documents")
-      val buckets = 1024
-      val shortTokenText = d.select(
-        array_join(
-          filter(graft.functions.text.tokens(col("text")), w => length(w) <= 4),
-          " ").as("text"))
-      val target = graft.operators.Importance.hashedBucketCounts(shortTokenText, "text", buckets)
-      val source = graft.operators.Importance.hashedBucketCounts(d, "text", buckets)
-      graft.operators.Importance.pooledImportance(
-        d, "doc_id", "text", target, source, buckets)
-    },
-    Some("""
+  /** Shared DuckDB replay of DSIR pooled importance over `documents`
+    * (the q106 oracle; also the base of q106b's routed-ingest face).
+    */
+  private val dsirImportanceSql: String = """
       WITH tok AS (
         SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS w
         FROM documents),
@@ -4643,8 +4632,65 @@ object Queries {
                        (CAST(m.den_mass AS DOUBLE) * CAST(tt.ct_tot + 1024 AS DOUBLE)) >= 1.0 END AS selected
       FROM documents d
       LEFT JOIN mass m ON d.doc_id = m.doc_id
-      CROSS JOIN tt CROSS JOIN st"""),
+      CROSS JOIN tt CROSS JOIN st"""
+
+  val q106DsirImportance: Q = Q(
+    "q106_dsir_importance",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val buckets = 1024
+      val shortTokenText = d.select(
+        array_join(
+          filter(graft.functions.text.tokens(col("text")), w => length(w) <= 4),
+          " ").as("text"))
+      val target = graft.operators.Importance.hashedBucketCounts(shortTokenText, "text", buckets)
+      val source = graft.operators.Importance.hashedBucketCounts(d, "text", buckets)
+      graft.operators.Importance.pooledImportance(
+        d, "doc_id", "text", target, source, buckets)
+    },
+    Some(dsirImportanceSql),
     headline = true) // broadcast-model scoring: the round-12 operator class's timing guard
+
+  /** The STREAMING importance-routed ingest's batch face ([[graft
+    * .streaming.Streams.importanceRoutedIngest]], r13 "What's missing"
+    * #2): documents arrive as two micro-batches (doc_id parity — the
+    * split is arbitrary because scoring against FIXED models is
+    * per-document), and the union of the `selected/` and `rejected/`
+    * landings must equal whole-corpus DSIR scoring — the q106 oracle
+    * projected to (doc_id, importance, selected). Pins batch-split
+    * invariance, both-routes-kept, and the exactly-once landing.
+    */
+  val q106bImportanceIngest: Q = Q(
+    "q106b_importance_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val d = t(s, dir, "documents")
+      val buckets = 1024
+      val shortTokenText = d.select(
+        array_join(
+          filter(graft.functions.text.tokens(col("text")), w => length(w) <= 4),
+          " ").as("text"))
+      val target = graft.operators.Importance.hashedBucketCounts(shortTokenText, "text", buckets)
+      val source = graft.operators.Importance.hashedBucketCounts(d, "text", buckets)
+      val root = java.nio.file.Files.createTempDirectory("graft_imp_ingest").toString
+      val rows = d.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val input = MemoryStream[(Long, String)]
+      val query = graft.streaming.Streams.importanceRoutedIngest(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        target, source, buckets, s"$root/out")
+      try {
+        input.addData(b1.toSeq: _*); query.processAllAvailable()
+        input.addData(b2.toSeq: _*); query.processAllAvailable()
+      } finally query.stop()
+      s.read.parquet(s"$root/out/selected")
+        .unionByName(s.read.parquet(s"$root/out/rejected"))
+        .select(col("doc_id"), col("importance"), col("selected"))
+    },
+    Some(s"""
+      SELECT doc_id, importance, selected FROM ($dsirImportanceSql)"""))
 
   /** SQ8 scalar-quantized ANN ([[graft.operators.Quantize]]): the corpus
     * embedding column compressed 4× (one byte per component + one
@@ -5524,6 +5570,78 @@ object Queries {
              CAST(bit_count(xor(a.dh, c.dh)) AS INT) AS hamming
       FROM sg a JOIN sg c ON a.doc_id < c.doc_id
       WHERE bit_count(xor(a.dh, c.dh)) <= 3"""))
+
+  /** The STREAMING perceptual media-dedup ingest's batch face ([[graft
+    * .streaming.Streams.mediaDedupIngest]], r13 "What's missing" #2),
+    * on the q123b 1-in-7 corpus slice (the oracle side is quadratic by
+    * design). Two micro-batches split on `doc_id % 14`; DuckDB replays
+    * the EXACT cross-batch semantics from the pixel-formula dhashes:
+    * per-batch exact min-id collapse, per-batch greedy near suppression
+    * (a keeper drops iff a smaller-id keeper of the SAME batch is
+    * within hamming 3 — checked against all keepers, not survivors:
+    * the greedy-not-transitive contract), then batch-2 survivors drop
+    * on any hamming ≤ 3 match against batch-1's COMMITTED signatures.
+    * Pins the in-batch collapse, the greedy pair path, the committed-
+    * index probe, and the exactly-once landing, end to end through the
+    * real PNG codec.
+    */
+  val q123cMediaDedupIngest: Q = Q(
+    "q123c_media_dedup_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ids = t(s, dir, "documents")
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id")).as[Long].collect()
+      val rows = ids.map(id => (id, graft.operators.Multimodal.syntheticPng(id)))
+      val (b1, b2) = rows.partition(_._1 % 14 == 0)
+      val root = java.nio.file.Files.createTempDirectory("graft_media_ingest").toString
+      val input = MemoryStream[(Long, Array[Byte])]
+      val query = graft.streaming.Streams.mediaDedupIngest(
+        input.toDF().toDF("doc_id", "bytes"), "doc_id", "bytes",
+        s"$root/idx", s"$root/landed", maxHamming = 3)
+      try {
+        input.addData(b1.toSeq: _*); query.processAllAvailable()
+        input.addData(b2.toSeq: _*); query.processAllAvailable()
+      } finally query.stop()
+      s.read.parquet(s"$root/landed").select(col("doc_id"), col("dhash"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 32 AS BIGINT) AS w,
+               CAST(8 + (doc_id // 32) % 32 AS BIGINT) AS h
+        FROM documents WHERE doc_id % 7 = 0),
+      px AS (
+        SELECT d.doc_id, d.w, d.h, j.j, i.i,
+               ((doc_id + 31 * (((i.i + 1) * w) // 9) + 131 * ((j.j * h) // 8)) & 16777215) AS vr,
+               ((doc_id + 31 * ((i.i * w) // 9) + 131 * ((j.j * h) // 8)) & 16777215) AS vl
+        FROM d, range(8) j(j), range(8) i(i)),
+      b AS (
+        SELECT doc_id,
+               CASE WHEN (299 * ((vr >> 16) & 255) + 587 * ((vr >> 8) & 255) + 114 * (vr & 255)) // 1000
+                       > (299 * ((vl >> 16) & 255) + 587 * ((vl >> 8) & 255) + 114 * (vl & 255)) // 1000
+                    THEN CAST(1 AS HUGEINT) << CAST(j * 8 + i AS INT)
+                    ELSE CAST(0 AS HUGEINT) END AS bit
+        FROM px),
+      sg AS (
+        SELECT doc_id,
+               CAST(CASE WHEN acc >= 9223372036854775808 THEN acc - 18446744073709551616 ELSE acc END AS BIGINT) AS dh
+        FROM (SELECT doc_id, SUM(bit) AS acc FROM b GROUP BY doc_id)),
+      k1 AS (SELECT MIN(doc_id) AS doc_id, dh FROM sg WHERE doc_id % 14 = 0 GROUP BY dh),
+      s1 AS (SELECT * FROM k1 a WHERE NOT EXISTS (
+               SELECT 1 FROM k1 x WHERE x.doc_id < a.doc_id
+                 AND bit_count(xor(a.dh, x.dh)) <= 3)),
+      k2 AS (SELECT MIN(doc_id) AS doc_id, dh FROM sg WHERE doc_id % 14 <> 0 GROUP BY dh),
+      s2a AS (SELECT * FROM k2 a WHERE NOT EXISTS (
+                SELECT 1 FROM k2 x WHERE x.doc_id < a.doc_id
+                  AND bit_count(xor(a.dh, x.dh)) <= 3)),
+      s2 AS (SELECT * FROM s2a a WHERE NOT EXISTS (
+               SELECT 1 FROM s1 x WHERE bit_count(xor(a.dh, x.dh)) <= 3))
+      SELECT doc_id, dh AS dhash FROM s1
+      UNION ALL
+      SELECT doc_id, dh AS dhash FROM s2"""))
 
   /** File-level BLOOM skipping under the oracle gate
     * ([[graft.sources.BloomSkip]]): lineitem is HASH-spread into 16
@@ -8397,10 +8515,10 @@ object Queries {
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
     q108CorpusOverlap, q108bCorpusOverlapSketch, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
     q112DriftReport, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain,
-    q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan, q117bWaterfillSample,
+    q106bImportanceIngest, q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan, q117bWaterfillSample,
     q118KeepBestDedup,
     q119WeightedMinhash, q120EvalRun, q121Compression, q122QuantileNormalize,
-    q123ImageDhash, q123bImageNearDup, q124BloomSkipRead, q125AudioFingerprint,
+    q123ImageDhash, q123bImageNearDup, q123cMediaDedupIngest, q124BloomSkipRead, q125AudioFingerprint,
     q126ScriptProfile, q127DomainQuality, q127bDomainFilter, q128DatasetCard,
     q129EmbeddingMoments, q130JsonlRoundtrip, q131WetRoundtrip, q132CurationFunnel,
     q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum,

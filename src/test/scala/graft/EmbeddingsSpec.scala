@@ -45,6 +45,35 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(rows === Map((-1, -1) -> 0L))
   }
 
+  test("momentsExactInt at d=96: triangle-mirror agrees exactly with a driver reference, any partitioning") {
+    // the scale-shape witness for the round-14 MomentsAgg rework: the
+    // in-aggregate rank-1 update + eval-time mirror must reproduce the
+    // full d² Gram exactly (inputs integer-valued → IEEE adds exact),
+    // regardless of how rows land in partitions
+    val d = 96
+    val n = 60
+    val vecs = (0 until n).map { r =>
+      (r.toLong, (0 until d).map(i => ((r * 31 + i * 17) % 13 - 6).toFloat).toSeq)
+    }
+    val ref = Array.ofDim[Long](d, d)
+    val refS = new Array[Long](d)
+    for ((_, v) <- vecs; i <- 0 until d) {
+      refS(i) += v(i).toLong
+      for (j <- 0 until d) ref(i)(j) += v(i).toLong * v(j).toLong
+    }
+    for (parts <- Seq(1, 7)) {
+      val emb = vecs.toDF("vec_id", "embedding").repartition(parts)
+      val rows = Embeddings.momentsExactInt(emb, "vec_id", "embedding", scale = 1)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(rows((-1, -1)) === n.toLong)
+      for (i <- 0 until d) {
+        assert(rows((i, -1)) === refS(i))
+        for (j <- 0 until d)
+          assert(rows((i, j)) === ref(i)(j), s"gram($i,$j) parts=$parts")
+      }
+    }
+  }
+
   test("jacobiEigen: known symmetric 2x2 has eigenvalues {3, 1}") {
     val (vals, vecs) = Embeddings.jacobiEigen(
       Array(Array(2.0, 1.0), Array(1.0, 2.0)))
