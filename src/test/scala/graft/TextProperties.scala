@@ -223,18 +223,20 @@ object TextProperties extends Properties("graft.text") {
       red.contains("<CARD>") && !red.contains(spaced) && clean == doc
     }
 
-  property("card+CVV adjacency: the card never survives, detected as itself or the valid whole run") =
+  property("card+CVV adjacency: the card never survives; a card-covering prefix is detected") =
     forAll(genValidCard, Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, Gen.numChar).map(_.mkString))) {
       (card, cvv) =>
         // greedy candidate consumes card+cvv as ONE 17–19 digit run; the
-        // longest-valid-prefix window must surface the card either way
+        // longest-valid-prefix window picks the LONGEST Luhn-valid prefix,
+        // which may be the whole run or a 17/18-digit coincidence — but it
+        // always COVERS the 16-digit card (the card itself validates), so
+        // detection surfaces a card-containing prefix and redaction kills
+        // the card either way (over-redaction is the safe direction)
         val txt = s"order ref $card-$cvv end"
+        val run = card + cvv
         val got = one(txt, text.detectPaymentCards(col("text"))).getSeq[String](0)
         val red = one(txt, text.redactPaymentCards(col("text"))).getString(0)
-        val wholeValid = luhnRef(card + cvv)
-        val detected =
-          if (wholeValid) got.contains(card + cvv) // longest-first: whole run wins
-          else got.contains(card)
-        detected && red.contains("<CARD>") && !red.contains(card)
+        val detected = got.exists(g => g.length >= card.length && run.startsWith(g))
+        detected && got.forall(luhnRef) && red.contains("<CARD>") && !red.contains(card)
     }
 }
