@@ -49,7 +49,10 @@ object MakeScale {
       val base = src(name)
       val out = (0 until factor).map(k => xform(base, k)).reduce(_ unionAll _)
       out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[make-scale] $name: ${base.count()} -> ${out.count()} rows")
+      // count the WRITTEN parquet — counting `out` would re-execute the
+      // whole factor-way transform a second time just for the log line
+      val written = spark.read.parquet(s"$outDir/$name.parquet").count()
+      println(s"[make-scale] $name: ${base.count()} -> $written rows")
     }
 
     def shift(df: DataFrame, k: Int, keys: String*): DataFrame =

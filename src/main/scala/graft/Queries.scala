@@ -4257,9 +4257,12 @@ object Queries {
     * "What's missing" #2): the synthetic URL corpus arrives as TWO
     * micro-batches, and the landed output's union must equal the
     * whole-corpus [[graft.operators.Urls.dedupByCanonical]] — the q99b
-    * oracle, keeper projection. The split keys on `doc_id % 420`
-    * (420 = lcm of every modulus in [[syntheticUrls]]), so each
-    * canonical-identity group arrives WHOLE in one batch and
+    * oracle, keeper projection. The split is a function of
+    * `doc_id % 420` (420 = lcm of every modulus in [[syntheticUrls]]):
+    * two docs share a canonical identity only if they agree on every
+    * generator modulus, i.e. agree mod 420 — so ANY function of
+    * `doc_id % 420` (here its parity, which equals `doc_id % 2` since
+    * 420 is even) keeps each canonical group WHOLE in one batch, and
     * first-batch-wins composes to the global min-id keeper; if the
     * corpus arithmetic ever drifts, the gate fails loudly rather than
     * silently weakening. The corpus collect is the MemoryStream
@@ -7762,29 +7765,20 @@ object Queries {
     s"(regexp_matches($v, '^[0-9]{13,19}$$') AND ($terms) % 10 = 0)"
   }
 
-  /** The longest-Luhn-valid-prefix selection of [[graft.functions.text
-    * .detectPaymentCards]] as a DuckDB expression over digit string
-    * `x`: 13..19-digit prefixes tested longest-first, NULL when none
-    * validates (the card+CVV adjacency window).
-    */
-  private def longestValidPrefixSql(x: String): String =
-    "COALESCE(" + (19 to 13 by -1).map { p =>
-      val v = s"substr($x, 1, $p)"
-      s"(CASE WHEN length($x) >= $p AND ${luhnSql(v)} THEN $v END)"
-    }.mkString(", ") + ")"
-
   /** Luhn-validated payment-card detection ([[graft.functions.text
     * .detectPaymentCards]]): one candidate-pattern scan + per-candidate
-    * mod-10 arithmetic over the candidate and its truncated prefix
-    * windows, so random digit runs (order IDs, timestamps) never
-    * false-positive but a card+CVV adjacency run still surrenders its
-    * card. The synthesized corpus varies a 16-digit candidate per row
-    * (~10% Luhn-valid — the decision boundary is exercised in both
-    * directions at every SF), plants a separator-formatted known-valid
-    * number on every 5th row, and a card-then-CVV adjacency witness
-    * ('4111-1111-1111-1111-731', 19 digits failing Luhn whole, valid at
-    * the 16-prefix) on every 7th; DuckDB replays extraction,
-    * normalization, and the unrolled prefix-window checksum.
+    * mod-10 arithmetic over the candidate and its SEPARATOR-BOUNDARY
+    * prefix windows, so unseparated digit runs (order IDs, timestamps)
+    * never false-positive while a separator-attached card+CVV run still
+    * surrenders its card. The synthesized corpus varies a 16-digit
+    * candidate per row (~10% Luhn-valid — the decision boundary is
+    * exercised in both directions at every SF), plants a separator-
+    * formatted known-valid number on every 5th row, and a card-then-CVV
+    * adjacency witness ('4111-1111-1111-1111-731', 19 digits failing
+    * Luhn whole, valid at the 4-group/16-digit boundary prefix) on
+    * every 7th; DuckDB replays extraction, the group-boundary windows
+    * (longest valid via max_by over the group count), and the unrolled
+    * checksum.
     */
   val q166CardDetect: Q = Q(
     "q166_card_detect",
@@ -7810,18 +7804,22 @@ object Queries {
                ' end' AS text
         FROM documents),
       cand AS (
-        SELECT doc_id,
-               list_transform(
-                 regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,18}'),
-                 x -> replace(replace(x, ' ', ''), '-', '')) AS ds
-        FROM ct)
-      SELECT doc_id,
+        SELECT doc_id, u.x
+        FROM ct, unnest(regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,18}')) AS u(x)),
+      win AS (
+        SELECT doc_id, x, g.g,
+               array_to_string((string_split_regex(x, '[ -]'))[1:CAST(g.g AS INT)], '') AS pfx
+        FROM cand, range(1, 20) g(g)
+        WHERE len(string_split_regex(x, '[ -]')) >= g.g),
+      best AS (
+        SELECT doc_id, x, max_by(pfx, g) AS pfx
+        FROM win WHERE ${luhnSql("pfx")} GROUP BY doc_id, x)
+      SELECT ct.doc_id,
              COALESCE(array_to_string(
-               list_sort(list_distinct(list_filter(
-                 list_transform(ds, x -> ${longestValidPrefixSql("x")}),
-                 x -> x IS NOT NULL))), '|'),
+               list_sort(list_distinct(list(b.pfx) FILTER (WHERE b.pfx IS NOT NULL))), '|'),
                '') AS cards
-      FROM cand"""))
+      FROM ct LEFT JOIN best b ON ct.doc_id = b.doc_id
+      GROUP BY ct.doc_id"""))
 
   /** Mojibake repair ([[graft.functions.text.fixMojibake]]): CP1252↔
     * UTF-8 double encoding undone by strict re-encode/re-decode. The

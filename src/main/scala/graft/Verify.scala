@@ -30,6 +30,13 @@ object Verify {
     } catch { case e: Throwable =>
       deleteRec(tmpDir)
       deleteRec(finalDir) // never leave a stale answer where the driver will hash it
+      if (finalDir.exists())
+        // deletion itself failed (held handle, permissions): a silent
+        // stderr line here would hand the driver the PREVIOUS run's
+        // parquet — the exact round-13 failure. Abort the whole dump.
+        throw new IllegalStateException(
+          s"[verify] $name failed AND its stale output could not be deleted: " +
+            s"${finalDir.getPath} — refusing to let the driver hash a previous answer", e)
       System.err.println(s"[verify] $name failed: ${e.getMessage}")
       false
     }

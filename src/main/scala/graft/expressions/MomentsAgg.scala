@@ -82,6 +82,11 @@ case class MomentsAgg(
       val q = new Array[Double](d)
       var i = 0
       while (i < d) {
+        // fail loudly: getDouble would read a NULL element as 0.0 and
+        // silently bias every moment (the SQL face has no cleanVec
+        // upstream; quarantine NULL-element vectors before aggregating)
+        require(!arr.isNullAt(i),
+          s"graft_moments: NULL element at position $i — quarantine NULL-element vectors upstream")
         q(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         i += 1
       }

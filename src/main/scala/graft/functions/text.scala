@@ -288,55 +288,64 @@ object text {
     c.rlike("^[0-9]{13,19}$") && total % 10 === 0
   }
 
-  /** Longest Luhn-valid prefix (13–19 digits) of a separator-stripped
-    * candidate, NULL when none. Trailing-truncated windows close the
-    * card+CVV adjacency leak: a valid card immediately followed by
-    * 1–3 more digits ('4111-1111-1111-1111-123') is consumed by the
-    * greedy [[cardCandidatePattern]] as ONE 19-digit candidate that
-    * fails Luhn — but its 16-digit prefix IS the card and must still
-    * be caught. Testing the 13..19-digit prefixes (longest first, so
-    * a genuinely valid full run never shrinks to a coincidental
-    * sub-prefix) costs a bounded 7×19-term CASE per candidate.
+  /** The ONE prefix ladder shared by card detection and redaction: for
+    * a raw candidate `x`, the prefixes that end at a SEPARATOR GROUP
+    * boundary (split on `[ -]`), longest first, each as (digit prefix,
+    * raw span covering it) — both NULL unless the prefix is Luhn-valid
+    * 13–19 digits ([[luhnValid]] embeds the length bounds).
+    *
+    * Boundary windows close the card+CVV adjacency leak the greedy
+    * [[cardCandidatePattern]] creates — '4111-1111-1111-1111-123' is
+    * consumed as one 19-digit candidate that fails Luhn whole, but its
+    * 16-digit boundary prefix IS the card — while an UNSEPARATED digit
+    * run (epoch timestamp, order id) has no internal boundaries, so
+    * only the whole run is ever tested and such runs keep the original
+    * never-false-positive guarantee. The residual, irreducible gap: a
+    * card concatenated DIRECTLY with extra digits (no separator) is
+    * arithmetically indistinguishable from a long id and still leaks;
+    * the trade-off is documented, not silent. Sharing the ladder keeps
+    * detection and redaction drift-free by construction.
     */
-  private def longestValidPrefix(d: Column): Column =
-    coalesce((19 to 13 by -1).map { p =>
-      when(length(d) >= p && luhnValid(d.substr(1, p)), d.substr(1, p))
-    }: _*)
+  private def cardPrefixLadder(x: Column): Seq[(Column, Column)] = {
+    val groups = split(x, "[ -]")
+    (19 to 1 by -1).map { g =>
+      val pfx = array_join(slice(groups, 1, g), "")
+      val ok = size(groups) >= g && luhnValid(pfx)
+      (when(ok, pfx),
+        // raw-text span covering exactly the first g groups
+        when(ok, regexp_extract(x, s"^[0-9]+(?:[ -][0-9]+){${g - 1}}", 0)))
+    }
+  }
 
   /** Luhn-valid payment-card numbers appearing in the text, separator-
     * normalized (digits only), distinct, lexicographic — the DETECTION
     * face for audits ("which documents leak card numbers, and which").
     * Candidates come from one [[cardCandidatePattern]] scan; validation
-    * is per-candidate [[luhnValid]] arithmetic over the candidate AND
-    * its truncated prefix windows (see [[longestValidPrefix]] — the
-    * card+CVV adjacency case), so cost is O(bytes + candidates), zero
-    * shuffle.
+    * is per-candidate [[luhnValid]] arithmetic over the candidate and
+    * its separator-boundary prefix windows ([[cardPrefixLadder]] — the
+    * card+CVV adjacency case; unseparated runs are tested whole-only,
+    * so order IDs and timestamps never false-positive). Cost is
+    * O(bytes + candidates), zero shuffle.
     */
   def detectPaymentCards(c: Column): Column = {
     val raw = regexp_extract_all(c, lit(cardCandidatePattern), lit(0))
-    val found = transform(raw, x => longestValidPrefix(regexp_replace(x, "[ -]", "")))
+    val found = transform(raw, x => coalesce(cardPrefixLadder(x).map(_._1): _*))
     array_sort(array_distinct(filter(found, d => d.isNotNull)))
   }
 
   /** Scrub Luhn-VALID card numbers (as matched, separators included)
     * with a typed placeholder, leaving invalid digit runs — order IDs,
-    * timestamps, hashes — untouched. When only a PREFIX of a candidate
-    * validates (card+CVV adjacency), exactly the raw span covering the
-    * valid prefix is scrubbed — the trailing extra digits stay. The
+    * timestamps, hashes — untouched (unseparated runs are tested
+    * whole-only; see [[cardPrefixLadder]]). When a separator-boundary
+    * PREFIX of a candidate validates (card+CVV adjacency), exactly the
+    * raw span covering it is scrubbed — the trailing groups stay. The
     * fold over detected candidates is a per-row `aggregate` HOF: no
     * UDF, no join, no shuffle.
     */
   def redactPaymentCards(c: Column): Column = {
     val rawValid = transform(
       regexp_extract_all(c, lit(cardCandidatePattern), lit(0)),
-      x => {
-        val d = regexp_replace(x, "[ -]", "")
-        coalesce((19 to 13 by -1).map { p =>
-          when(length(d) >= p && luhnValid(d.substr(1, p)),
-            // raw-text span containing exactly the first p digits
-            regexp_extract(x, s"^[0-9](?:[ -]?[0-9]){${p - 1}}", 0))
-        }: _*)
-      })
+      x => coalesce(cardPrefixLadder(x).map(_._2): _*))
     aggregate(filter(rawValid, x => x.isNotNull), c,
       (acc, x) => replace(acc, x, lit("<CARD>")))
   }

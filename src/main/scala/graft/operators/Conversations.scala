@@ -310,6 +310,11 @@ object Conversations {
       maxTokens: Long,
       scope: Option[Caches.Scope] = None): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be positive, got $maxTokens")
+    // loud on collision (the ingest-family convention): carried caller
+    // columns must not silently clobber — or be clobbered by — the
+    // internal working columns
+    for (c <- Seq("__tok", "__sfx", "__stok", "__first_user"))
+      require(!turns.columns.contains(c), s"input already has a '$c' column")
     def pin(df: DataFrame): DataFrame = scope.fold(Caches.pin(df))(_.pin(df))
     val tok = coalesce(size(text.tokens(col("content"))), lit(0)).cast("long")
     // "unchanged schema" is the contract: carry EVERY caller column
