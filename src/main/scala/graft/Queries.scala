@@ -5975,6 +5975,41 @@ object Queries {
       SELECT CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), COUNT(*) FROM v"""),
     headline = true) // dense-linear-algebra layer: the d²-per-row vec-sum aggregation timed per round
 
+  /** BLOCK-WISE exact-integer moments ([[Embeddings
+    * .momentsExactIntBlocked]]) under the SAME oracle as q129: the
+    * dimension grid decomposed into block pairs (blockSize 24 against
+    * d=64 → a 3×3 grid with a ragged 16-wide tail block — the uneven
+    * case), every (i ≤ j) cell its own bounded [[graft.expressions
+    * .CrossSumAgg]] state, moments riding the explode as (block, [1.0])
+    * cross products, result assembled DISTRIBUTED (posexplode + index
+    * arithmetic + diagonal mirror, no driver-side d² collect). Value
+    * equality with q129's full artifact is the gate that the block
+    * decomposition is exact — the scale path for d ≳ 2048 where one
+    * d²-sized aggregation state stops fitting a task comfortably.
+    */
+  val q129bEmbeddingMomentsBlocked: Q = Q(
+    "q129b_embedding_moments_blocked",
+    (s, dir) =>
+      Embeddings.momentsExactIntBlocked(
+        t(s, dir, "embeddings"), "vec_id", "embedding", scale = 64, blockSize = 24),
+    Some("""
+      WITH v AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+      q AS (
+        SELECT vec_id,
+               CAST(i - 1 AS INTEGER) AS i,
+               CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT) AS qv
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i FROM v))
+      SELECT a.i AS row_idx, b.i AS col_idx, CAST(SUM(a.qv * b.qv) AS BIGINT) AS value
+      FROM q a JOIN q b USING (vec_id) GROUP BY a.i, b.i
+      UNION ALL
+      SELECT i, CAST(-1 AS INTEGER), CAST(SUM(qv) AS BIGINT) FROM q GROUP BY i
+      UNION ALL
+      SELECT CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), COUNT(*) FROM v"""))
+
   /** JSON-Lines interchange ROUND-TRIP under the external oracle — the
     * de-facto LLM corpus shipping format joins q105 (ORC) and q45/q46
     * in the gated-interchange family. Documents land as gzip JSONL
@@ -8518,7 +8553,7 @@ object Queries {
     q119WeightedMinhash, q120EvalRun, q121Compression, q122QuantileNormalize,
     q123ImageDhash, q123bImageNearDup, q123cMediaDedupIngest, q124BloomSkipRead, q125AudioFingerprint,
     q126ScriptProfile, q127DomainQuality, q127bDomainFilter, q128DatasetCard,
-    q129EmbeddingMoments, q130JsonlRoundtrip, q131WetRoundtrip, q132CurationFunnel,
+    q129EmbeddingMoments, q129bEmbeddingMomentsBlocked, q130JsonlRoundtrip, q131WetRoundtrip, q132CurationFunnel,
     q133NativeBloomLookup, q134FooterCount, q135Pseudonymize, q136CorpusChecksum,
     q137CrawlPipeline, q138JoinCardinality, q139JoinAdvice, q139bAdvisedJoinExec,
     q139cSaltedJoinExec,

@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.funnelDescriptor)
     ext.injectFunction(GraftFunctions.vecSumDescriptor)
     ext.injectFunction(GraftFunctions.momentsDescriptor)
+    ext.injectFunction(GraftFunctions.crossSumDescriptor)
     ext.injectFunction(GraftFunctions.normalizeDescriptor)
     ext.injectFunction(GraftFunctions.deflateLenDescriptor)
     ext.injectFunction(GraftFunctions.stripAccentsDescriptor)
@@ -185,6 +186,15 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException("graft_moments(vec: array<float|double>)")
     })
 
+  val crossSumDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_cross_sum"),
+    new ExpressionInfo(classOf[CrossSumAgg].getName, "graft_cross_sum"),
+    {
+      case Seq(a, b) => CrossSumAgg(a, b)
+      case _ => throw new IllegalArgumentException(
+        "graft_cross_sum(a: array<float|double>, b: array<float|double>)")
+    })
+
   /** `graft_normalize(str[, 'NFC'|'NFD'|'NFKC'|'NFKD'])` — the form is a
     * string literal (a plan-time constant, like every trained/configured
     * argument on this surface); defaults to NFC.
@@ -237,7 +247,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit =
     Seq(minHashDescriptor, simHashDescriptor, dotDescriptor, mgSketchDescriptor,
         cmSketchDescriptor, gkSketchDescriptor, gkMergeDescriptor, gkQuantilesDescriptor,
-        funnelDescriptor, vecSumDescriptor, momentsDescriptor, normalizeDescriptor, deflateLenDescriptor,
+        funnelDescriptor, vecSumDescriptor, momentsDescriptor, crossSumDescriptor, normalizeDescriptor, deflateLenDescriptor,
         stripAccentsDescriptor, fixMojibakeDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)

@@ -84,6 +84,88 @@ object Embeddings {
       .toDF("row_idx", "col_idx", "value")
   }
 
+  /** BLOCK-WISE exact-integer moments — the scale path past
+    * [[momentsExactInt]]'s single-buffer ceiling (d ≳ 2048, where one
+    * d²-sized aggregation state is ~tens of MB per task): the dimension
+    * grid splits into ⌈d/blockSize⌉ blocks, each (i ≤ j) block pair
+    * aggregates its own blockSize²-sized [[graft.expressions
+    * .CrossSumAgg]] state, and the first moments ride the same explode
+    * as (block, [1.0]) cross products — ONE corpus pass (plus a
+    * LIMIT-1 dimension probe), B(B+1)/2 + B bounded states per task,
+    * and the result stays DISTRIBUTED (posexplode + index arithmetic,
+    * mirrored across the diagonal), never a driver-side d² collect.
+    * Output long format and values are IDENTICAL to
+    * [[momentsExactInt]] (oracle-gated as q129b); mixed-dimension
+    * corpora fail loudly at the row that disagrees with the probe
+    * (slicing a longer vector would otherwise silently drop its tail).
+    */
+  def momentsExactIntBlocked(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scale: Int = 64,
+      blockSize: Int = 1024,
+      scope: Option[Caches.Scope] = None): DataFrame = {
+    require(scale > 0, "quantization scale must be positive")
+    require(blockSize >= 1, s"blockSize must be positive, got $blockSize")
+    def pinned(df: DataFrame): DataFrame = scope.fold(Caches.pin(df))(_.pin(df))
+    val spark = emb.sparkSession
+    val clean = emb.where(cleanVec(col(vecCol)))
+    val probe = clean.select(size(col(vecCol)).as("d")).limit(1).collect()
+    if (probe.isEmpty || probe(0).getInt(0) == 0)
+      return spark.createDataFrame(Seq((-1, -1, clean.count())))
+        .toDF("row_idx", "col_idx", "value")
+    val d = probe(0).getInt(0)
+    val bs = blockSize
+    val nBlocks = (d + bs - 1) / bs
+    def widthOf(b: Int): Int = math.min(bs, d - b * bs)
+    val q = when(size(col(vecCol)) === d, quant(col(vecCol), scale))
+      .otherwise(raise_error(concat(
+        lit("graft blocked moments: mixed vector dimensions ("),
+        size(col(vecCol)).cast("string"), lit(s" vs $d)"))))
+    // one explode per row: every (bi <= bj) Gram cell as (a, b) slices,
+    // plus B moment entries as (a, [1.0]) — Σ a·[1]ᵀ IS the column sum
+    val cells =
+      (for { bi <- 0 until nBlocks; bj <- bi until nBlocks } yield
+        struct(lit(bi).as("bi"), lit(bj).as("bj"),
+          slice(col("__q"), bi * bs + 1, widthOf(bi)).as("a"),
+          slice(col("__q"), bj * bs + 1, widthOf(bj)).as("b"))) ++
+      (0 until nBlocks).map(b =>
+        struct(lit(b).as("bi"), lit(-1).as("bj"),
+          slice(col("__q"), b * bs + 1, widthOf(b)).as("a"),
+          array(lit(1.0d)).as("b")))
+    val exploded = clean.select(q.as("__q"))
+      .select(explode(array(cells: _*)).as("p"))
+      .select(col("p.bi").as("bi"), col("p.bj").as("bj"),
+        col("p.a").as("a"), col("p.b").as("b"))
+    val crossCol = ColumnBridge.column(
+      graft.expressions.CrossSumAgg(
+        ColumnBridge.eagerExpression(col("a")),
+        ColumnBridge.eagerExpression(col("b"))).toAggregateExpression())
+    // B(B+1)/2 + B rows, referenced three times below (upper, mirror,
+    // count) — pinned so the corpus aggregation runs once. Pin lifetime:
+    // pass `scope` and release after consuming (the pageRankInt
+    // convention); the default unscoped pin drains at Caches.release().
+    val agged = pinned(exploded.groupBy("bi", "bj").agg(crossCol.as("__s")))
+    val nj = when(col("bj") === -1, lit(1))
+      .otherwise(least(lit(bs), lit(d) - col("bj") * bs))
+    val ex = agged.select(
+      col("bi"), col("bj"), nj.as("__nj"),
+      posexplode(col("__s.sums")).as(Seq("__pos", "__v")))
+    val rowIdx = (col("bi") * bs + floor(col("__pos") / col("__nj"))).cast("int")
+    val colIdx = when(col("bj") === -1, lit(-1))
+      .otherwise((col("bj") * bs + pmod(col("__pos"), col("__nj"))).cast("int"))
+    val upper = ex.select(rowIdx.as("row_idx"), colIdx.as("col_idx"),
+      col("__v").cast("long").as("value"))
+    val mirror = ex.where(col("bj") =!= -1 && col("bi") =!= col("bj"))
+      .select(colIdx.as("row_idx"), rowIdx.as("col_idx"),
+        col("__v").cast("long").as("value"))
+    val nRow = agged.where(col("bi") === 0 && col("bj") === -1)
+      .select(lit(-1).as("row_idx"), lit(-1).as("col_idx"),
+        col("__s.cnt").cast("long").as("value"))
+    upper.unionByName(mirror).unionByName(nRow)
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix (in-place on
     * a copy). Returns (eigenvalues, eigenvectors-as-columns). Pure
     * driver-side math on a d×d matrix — never data-sized.

@@ -74,6 +74,40 @@ class EmbeddingsSpec extends AnyFunSuite {
     }
   }
 
+  test("momentsExactIntBlocked equals momentsExactInt exactly, ragged tail block, any block size") {
+    val d = 50
+    val vecs = (0 until 40).map { r =>
+      (r.toLong, (0 until d).map(i => ((r * 13 + i * 7) % 9 - 4).toFloat).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding").repartition(5)
+    val exact = Embeddings.momentsExactInt(emb, "vec_id", "embedding", scale = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (bs <- Seq(7, 16, 50, 64)) { // ragged tail, even split, one block, oversize
+      val blocked = Embeddings.momentsExactIntBlocked(
+        emb, "vec_id", "embedding", scale = 1, blockSize = bs)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(blocked === exact, s"blockSize=$bs")
+    }
+    graft.operators.Caches.release()
+  }
+
+  test("momentsExactIntBlocked: mixed dimensions fail loudly; empty input yields the zero row") {
+    val mixed = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Embeddings.momentsExactIntBlocked(mixed, "vec_id", "embedding", blockSize = 2).collect()
+    }
+    assert(ex.getMessage.contains("mixed vector dimensions") ||
+      Option(ex.getCause).exists(_.getMessage.contains("mixed vector dimensions")),
+      s"slicing a longer vector must not silently drop its tail: $ex")
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val rows = Embeddings.momentsExactIntBlocked(empty, "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows === Map((-1, -1) -> 0L))
+    graft.operators.Caches.release()
+  }
+
   test("jacobiEigen: known symmetric 2x2 has eigenvalues {3, 1}") {
     val (vals, vecs) = Embeddings.jacobiEigen(
       Array(Array(2.0, 1.0), Array(1.0, 2.0)))

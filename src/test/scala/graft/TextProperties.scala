@@ -223,6 +223,21 @@ object TextProperties extends Properties("graft.text") {
       red.contains("<CARD>") && !red.contains(spaced) && clean == doc
     }
 
+  property("unseparated digit runs are tested whole-only: no prefix window ever fires on them") =
+    forAll(Gen.choose(17, 19).flatMap(n => Gen.listOfN(n, Gen.numChar).map(_.mkString)), genDoc) {
+      (run, doc) =>
+        // an epoch timestamp / long order id has no separator boundaries,
+        // so detection must flag it iff the WHOLE run passes Luhn — a
+        // Luhn-valid 13..16-digit PREFIX must not fire (the round-14
+        // boundary-ladder guarantee; a naive prefix window would
+        // false-positive ~50% of 19-digit runs)
+        val txt = s"$doc ts $run end"
+        val got = one(txt, text.detectPaymentCards(col("text"))).getSeq[String](0)
+        val red = one(txt, text.redactPaymentCards(col("text"))).getString(0)
+        if (luhnRef(run)) got.contains(run) && !red.contains(run)
+        else got.isEmpty && red == txt
+    }
+
   property("card+CVV adjacency: the card never survives; a card-covering prefix is detected") =
     forAll(genValidCard, Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, Gen.numChar).map(_.mkString))) {
       (card, cvv) =>
