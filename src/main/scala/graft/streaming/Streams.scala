@@ -686,9 +686,12 @@ object Streams {
       idCol: String,
       indexPath: String,
       outputPath: String,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: Option[String] = None,
+      bloomProbe: Boolean = true,
+      bloomExpectedItems: Long = 1000000L,
+      bloomNumBits: Long = 8388608L): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions._
-    import graft.operators.{Caches, DedupIndex, Urls}
+    import graft.operators.{BloomJoin, Caches, DedupIndex, Urls}
     val writer = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -709,10 +712,11 @@ object Streams {
           // the whole keeper row through the same aggregate that picks
           // it, where a groupBy + join-back would shuffle twice
           val payload = canon.columns.filter(_ != "canonical_url")
-          val keepers = canon
+          // pinned: consumed by the bloom build AND the anti-join probe
+          val keepers = Caches.pin(canon
             .groupBy("canonical_url")
             .agg(min_by(struct(payload.map(col): _*), col(idCol)).as("__r"))
-            .select(col("canonical_url") +: payload.map(c => col(s"__r.$c").as(c)): _*)
+            .select(col("canonical_url") +: payload.map(c => col(s"__r.$c").as(c)): _*))
           val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
           val idxFs = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
           // "seen-set exists" means a COMMITTED batch= child, not a bare
@@ -724,9 +728,26 @@ object Streams {
             idxFs.listStatus(idxRoot).exists(_.getPath.getName.startsWith("batch="))
           val accepted = Caches.pin(
             if (!hasSeen) keepers
-            else keepers.join(
-              spark.read.parquet(indexPath).select("canonical_url"),
-              Seq("canonical_url"), "left_anti"))
+            else {
+              val seen = spark.read.parquet(indexPath).select("canonical_url")
+              // steady-crawl shape: the seen-set dwarfs the batch, and a
+              // plain anti-join would SHUFFLE the whole index every
+              // micro-batch. Bloom the BATCH's keys (one tiny aggregate),
+              // test the index at scan (BloomFilterMightContain — no
+              // exchange for the non-matching bulk, which is most of a
+              // steady crawl), and anti-join only the survivors. Blooms
+              // have no false negatives, so no seen URL is ever re-
+              // accepted; false positives only ride into the (now tiny)
+              // anti-join and are dropped there — result identical to
+              // the plain probe (StreamsSpec pins both paths; the q99d
+              // gate runs this default one).
+              val probed =
+                if (bloomProbe)
+                  BloomJoin.prefilter(seen, keepers.select("canonical_url"),
+                    "canonical_url", bloomExpectedItems, bloomNumBits)
+                else seen
+              keepers.join(probed, Seq("canonical_url"), "left_anti")
+            })
           // each guard resolves ITS OWN FileSystem — index and output may
           // live on different schemes (the sibling ingests' convention)
           val outRoot = new org.apache.hadoop.fs.Path(outputPath)

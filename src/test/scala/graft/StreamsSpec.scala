@@ -769,6 +769,32 @@ class StreamsSpec extends AnyFunSuite {
     graft.operators.Caches.release()
   }
 
+  test("urlDedupIngest: the plain (bloomProbe=false) index probe lands the identical set") {
+    // the default path bloom-prefilters the seen-set at scan; blooms have
+    // no false negatives, so both probes must agree row-for-row — this is
+    // the non-bloom witness the default-path tests compose against
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-url-nobloom").toString
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.urlDedupIngest(
+      input.toDF().toDF("doc_id", "url"), "url", "doc_id",
+      s"$root/seen", s"$root/landed", bloomProbe = false)
+    try {
+      input.addData(
+        (1L, "HTTP://Example.COM:80/a?utm_source=x&b=1#top"),
+        (3L, "https://other.org/p"))
+      query.processAllAvailable()
+      input.addData(
+        (5L, "http://EXAMPLE.com/a?b=1&utm_medium=m"), // seen canonical — drop
+        (6L, "https://fresh.net/q?z=9"))
+      query.processAllAvailable()
+      val landed = spark.read.parquet(s"$root/landed")
+        .select("doc_id").as[Long].collect().toSet
+      assert(landed === Set(1L, 3L, 6L))
+    } finally query.stop()
+    graft.operators.Caches.release()
+  }
+
   test("wetIngest: WET shards landing in a directory stream into a deduplicated corpus") {
     val root = java.nio.file.Files.createTempDirectory("stream-wet").toString
     val shardDir = s"$root/shards"
