@@ -840,9 +840,12 @@ object Streams {
       indexPath: String,
       outputPath: String,
       maxHamming: Int = 3,
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: Option[String] = None,
+      bloomProbe: Boolean = true,
+      bloomExpectedItems: Long = 1000000L,
+      bloomNumBits: Long = 8388608L): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions._
-    import graft.operators.{Caches, Dedup, DedupIndex, Multimodal}
+    import graft.operators.{BloomJoin, Caches, Dedup, DedupIndex, Multimodal}
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16-bit banding guarantees exact recall only for maxHamming <= 3")
     // start-time validation (the importanceRoutedIngest lesson): the
@@ -907,10 +910,24 @@ object Streams {
           val accepted = Caches.pin(
             if (!hasSeen) batchKeepers
             else {
-              val hits = bandRows(batchKeepers)
-                .join(spark.read.parquet(indexPath)
-                  .select(col("band"), col("bucket"), col("dhash").as("__seen")),
-                  Seq("band", "bucket"))
+              // pinned: consumed by the bloom build AND the probe join
+              val br = Caches.pin(bandRows(batchKeepers))
+              val seenIdx = spark.read.parquet(indexPath)
+                .select(col("band"), col("bucket"), col("dhash").as("__seen"))
+              // steady-state shape (the urlDedupIngest move): the band
+              // index dwarfs the batch, so bloom the batch's (band,
+              // bucket) keys and test the index AT SCAN — only buckets
+              // the batch actually touches enter the join. No false
+              // negatives ⇒ identical drops; StreamsSpec pins both paths.
+              val probedIdx =
+                if (bloomProbe)
+                  BloomJoin.prefilter(
+                    seenIdx.withColumn("__bbk", xxhash64(col("band"), col("bucket"))),
+                    br.select(xxhash64(col("band"), col("bucket")).as("__bbk")),
+                    "__bbk", bloomExpectedItems, bloomNumBits).drop("__bbk")
+                else seenIdx
+              val hits = br
+                .join(probedIdx, Seq("band", "bucket"))
                 .where(bit_count(col("dhash").bitwiseXOR(col("__seen"))) <= maxHamming)
                 .select(col(idCol)).distinct()
               batchKeepers.join(hits, Seq(idCol), "left_anti")

@@ -923,39 +923,45 @@ class StreamsSpec extends AnyFunSuite {
     val planted = java.lang.Long.bitCount(dh(rising) ^ dh(nearOne))
     assert(planted >= 1 && planted <= 3, s"plant check: hamming $planted")
     assert(dh(rising) == dh(risingBmp))
-    val root = java.nio.file.Files.createTempDirectory("stream-media").toString
-    val input = MemoryStream[(Long, Array[Byte])]
-    val query = Streams.mediaDedupIngest(
-      input.toDF().toDF("media_id", "bytes"), "media_id", "bytes",
-      s"$root/seen", s"$root/landed")
-    try {
-      // batch 0: original + exact re-encode + near variant + junk
-      input.addData((1L, rising), (2L, risingBmp), (3L, nearOne), (4L, junk))
-      query.processAllAvailable()
-      val b0 = spark.read.parquet(s"$root/landed")
-        .select(col("media_id"), col("dhash").isNull.as("q")).as[(Long, Boolean)].collect().toMap
-      assert(b0.keySet === Set(1L, 4L),
-        s"min-id keeper of the exact group wins, the near variant drops greedily: $b0")
-      assert(!b0(1L) && b0(4L), "junk lands with NULL dhash (quarantine, never silently dropped)")
-      // batch 1: replayed copy drops against the index; a far image lands
-      input.addData((10L, risingBmp), (11L, flat), (12L, nearOne))
-      query.processAllAvailable()
-      val all = spark.read.parquet(s"$root/landed")
-        .select("media_id").as[Long].collect().toSet
-      assert(all === Set(1L, 4L, 11L),
-        s"cross-batch exact AND near variants must drop against the committed index: $all")
-      // index holds band rows only for committed fingerprints (4 per doc)
-      val idx = spark.read.parquet(s"$root/seen")
-        .select("keeper_id").as[Long].collect().toSeq
-      assert(idx.sorted === Seq(1L, 1L, 1L, 1L, 11L, 11L, 11L, 11L))
-    } finally query.stop()
+    // the whole scenario runs on BOTH index-probe paths: the default
+    // bloom-prefiltered one and the plain join (blooms have no false
+    // negatives, so the two must land identical sets)
+    for (bloom <- Seq(true, false)) {
+      val root = java.nio.file.Files.createTempDirectory("stream-media").toString
+      val input = MemoryStream[(Long, Array[Byte])]
+      val query = Streams.mediaDedupIngest(
+        input.toDF().toDF("media_id", "bytes"), "media_id", "bytes",
+        s"$root/seen", s"$root/landed", bloomProbe = bloom)
+      try {
+        // batch 0: original + exact re-encode + near variant + junk
+        input.addData((1L, rising), (2L, risingBmp), (3L, nearOne), (4L, junk))
+        query.processAllAvailable()
+        val b0 = spark.read.parquet(s"$root/landed")
+          .select(col("media_id"), col("dhash").isNull.as("q")).as[(Long, Boolean)].collect().toMap
+        assert(b0.keySet === Set(1L, 4L),
+          s"min-id keeper of the exact group wins, the near variant drops greedily (bloom=$bloom): $b0")
+        assert(!b0(1L) && b0(4L), "junk lands with NULL dhash (quarantine, never silently dropped)")
+        // batch 1: replayed copy drops against the index; a far image lands
+        input.addData((10L, risingBmp), (11L, flat), (12L, nearOne))
+        query.processAllAvailable()
+        val all = spark.read.parquet(s"$root/landed")
+          .select("media_id").as[Long].collect().toSet
+        assert(all === Set(1L, 4L, 11L),
+          s"cross-batch exact AND near variants must drop against the committed index (bloom=$bloom): $all")
+        // index holds band rows only for committed fingerprints (4 per doc)
+        val idx = spark.read.parquet(s"$root/seen")
+          .select("keeper_id").as[Long].collect().toSeq
+        assert(idx.sorted === Seq(1L, 1L, 1L, 1L, 11L, 11L, 11L, 11L))
+      } finally query.stop()
+    }
     // a string-id stream must be REJECTED at start (cast-to-long would
     // NULL out the join key and kill the first micro-batch at runtime)
+    val badRoot = java.nio.file.Files.createTempDirectory("stream-media-bad").toString
     val bad = MemoryStream[(String, Array[Byte])]
     val ex = intercept[IllegalArgumentException] {
       Streams.mediaDedupIngest(
         bad.toDF().toDF("media_id", "bytes"), "media_id", "bytes",
-        s"$root/never_seen", s"$root/never_landed")
+        s"$badRoot/never_seen", s"$badRoot/never_landed")
     }
     assert(ex.getMessage.contains("INTEGRAL"))
     graft.operators.Caches.release(blocking = true)
