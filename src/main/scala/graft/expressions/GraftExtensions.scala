@@ -17,8 +17,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * `graft_simhash(arrayOfTokenHashes)`, `graft_dot(arrayA, arrayB)`, the
   * aggregates `graft_mg_sketch(item[, k])`, `graft_cm_sketch(item[, w, d])`,
   * `graft_gk_sketch(value[, eps])`, `graft_gk_merge(sketch)`, the
-  * scalar `graft_gk_quantiles(sketch, probs)`, and the funnel aggregate
-  * `graft_funnel(ts, event_type, steps[, max_gap])`. `NearestCentroidsExpr` is
+  * scalar `graft_gk_quantiles(sketch, probs)`, the funnel aggregate
+  * `graft_funnel(ts, event_type, steps[, max_gap])`, and the vector
+  * aggregates `graft_vec_sum(vec)`, `graft_moments(vec)` (count + Gram
+  * + column sums in one pass), and `graft_cross_sum(a, b)` (the
+  * block-wise Gram kernel). `NearestCentroidsExpr` is
   * deliberately NOT SQL-registered: its centroids are runtime-trained
   * constants, which SQL text cannot carry usefully — use
   * `Similarity.ivfTopK`. The same policy covers the PQ kernels
