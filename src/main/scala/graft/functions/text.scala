@@ -306,16 +306,28 @@ object text {
     * the trade-off is documented, not silent. Sharing the ladder keeps
     * detection and redaction drift-free by construction.
     */
-  private def cardPrefixLadder(x: Column): Seq[(Column, Column)] = {
-    val groups = split(x, "[ -]")
+  private def cardPrefixLadder(x: Column, groups: Column): Seq[(Column, Column)] = {
     (19 to 1 by -1).map { g =>
       val pfx = array_join(slice(groups, 1, g), "")
+      // && short-circuits, so rungs beyond the group count cost one
+      // size check; only real boundaries pay the join + checksum
       val ok = size(groups) >= g && luhnValid(pfx)
       (when(ok, pfx),
         // raw-text span covering exactly the first g groups
         when(ok, regexp_extract(x, s"^[0-9]+(?:[ -][0-9]+){${g - 1}}", 0)))
     }
   }
+
+  /** Candidates paired with their split groups, MATERIALIZED once per
+    * candidate: interpreted lambdas have no CSE, so referencing
+    * `split(x, …)` in each of the ladder's 19 rungs would re-run the
+    * regex split 19× per candidate — this struct hop evaluates it once
+    * and the rungs read the stored array.
+    */
+  private def cardCandidatesWithGroups(c: Column): Column =
+    transform(
+      regexp_extract_all(c, lit(cardCandidatePattern), lit(0)),
+      x => struct(x.as("x"), split(x, "[ -]").as("g")))
 
   /** Luhn-valid payment-card numbers appearing in the text, separator-
     * normalized (digits only), distinct, lexicographic — the DETECTION
@@ -328,8 +340,8 @@ object text {
     * O(bytes + candidates), zero shuffle.
     */
   def detectPaymentCards(c: Column): Column = {
-    val raw = regexp_extract_all(c, lit(cardCandidatePattern), lit(0))
-    val found = transform(raw, x => coalesce(cardPrefixLadder(x).map(_._1): _*))
+    val found = transform(cardCandidatesWithGroups(c), s =>
+      coalesce(cardPrefixLadder(s.getField("x"), s.getField("g")).map(_._1): _*))
     array_sort(array_distinct(filter(found, d => d.isNotNull)))
   }
 
@@ -343,9 +355,8 @@ object text {
     * UDF, no join, no shuffle.
     */
   def redactPaymentCards(c: Column): Column = {
-    val rawValid = transform(
-      regexp_extract_all(c, lit(cardCandidatePattern), lit(0)),
-      x => coalesce(cardPrefixLadder(x).map(_._2): _*))
+    val rawValid = transform(cardCandidatesWithGroups(c), s =>
+      coalesce(cardPrefixLadder(s.getField("x"), s.getField("g")).map(_._2): _*))
     aggregate(filter(rawValid, x => x.isNotNull), c,
       (acc, x) => replace(acc, x, lit("<CARD>")))
   }

@@ -90,14 +90,32 @@ object Embeddings {
     * grid splits into ⌈d/blockSize⌉ blocks, each (i ≤ j) block pair
     * aggregates its own blockSize²-sized [[graft.expressions
     * .CrossSumAgg]] state, and the first moments ride the same explode
-    * as (block, [1.0]) cross products — ONE corpus pass (plus a
-    * LIMIT-1 dimension probe), B(B+1)/2 + B bounded states per task,
-    * and the result stays DISTRIBUTED (posexplode + index arithmetic,
-    * mirrored across the diagonal), never a driver-side d² collect.
+    * as (block, [1.0]) cross products. The result stays DISTRIBUTED
+    * (posexplode + index arithmetic, mirrored across the diagonal),
+    * never a driver-side d² collect.
+    *
+    * THE MEMORY CONTRACT — the honest one: a single aggregation over
+    * all cells would still hold every partial buffer in every map task
+    * (partial aggregation sees all keys), i.e. Θ(d²) per task, no
+    * better than the dense face. So the grid is processed in PASSES of
+    * at most `maxCellsPerPass` cells: per-task aggregation state is
+    * bounded by `maxCellsPerPass · blockSize² · 8` bytes, at the price
+    * of `⌈(B(B+1)/2 + B) / maxCellsPerPass⌉` corpus scans (plus the
+    * LIMIT-1 dimension probe) — the classic out-of-core block-Gram
+    * memory⇔passes trade, with both knobs explicit (d=8192, bs=1024,
+    * cells/pass=16 → 128 MB per task, 3 scans; everything ≤ d≈2048
+    * stays one scan). Keeping cells-per-pass small also keeps each
+    * aggregation's distinct-key count under ObjectHashAggregate's
+    * sort-fallback threshold (default 128) — the silent perf cliff a
+    * single all-cells pass would hit exactly in the large-d regime.
+    * If the quantized projection fits your cluster's cache, persist it
+    * before calling to pay the scan once.
+    *
     * Output long format and values are IDENTICAL to
-    * [[momentsExactInt]] (oracle-gated as q129b); mixed-dimension
-    * corpora fail loudly at the row that disagrees with the probe
-    * (slicing a longer vector would otherwise silently drop its tail).
+    * [[momentsExactInt]] (oracle-gated as q129b, multi-pass pinned by
+    * EmbeddingsSpec); mixed-dimension corpora fail loudly at the row
+    * that disagrees with the probe (slicing a longer vector would
+    * otherwise silently drop its tail).
     */
   def momentsExactIntBlocked(
       emb: DataFrame,
@@ -105,9 +123,11 @@ object Embeddings {
       vecCol: String,
       scale: Int = 64,
       blockSize: Int = 1024,
+      maxCellsPerPass: Int = 16,
       scope: Option[Caches.Scope] = None): DataFrame = {
     require(scale > 0, "quantization scale must be positive")
     require(blockSize >= 1, s"blockSize must be positive, got $blockSize")
+    require(maxCellsPerPass >= 1, s"maxCellsPerPass must be positive, got $maxCellsPerPass")
     def pinned(df: DataFrame): DataFrame = scope.fold(Caches.pin(df))(_.pin(df))
     val spark = emb.sparkSession
     val clean = emb.where(cleanVec(col(vecCol)))
@@ -134,19 +154,25 @@ object Embeddings {
         struct(lit(b).as("bi"), lit(-1).as("bj"),
           slice(col("__q"), b * bs + 1, widthOf(b)).as("a"),
           array(lit(1.0d)).as("b")))
-    val exploded = clean.select(q.as("__q"))
-      .select(explode(array(cells: _*)).as("p"))
-      .select(col("p.bi").as("bi"), col("p.bj").as("bj"),
-        col("p.a").as("a"), col("p.b").as("b"))
+    val qFrame = clean.select(q.as("__q"))
     val crossCol = ColumnBridge.column(
       graft.expressions.CrossSumAgg(
         ColumnBridge.eagerExpression(col("a")),
         ColumnBridge.eagerExpression(col("b"))).toAggregateExpression())
-    // B(B+1)/2 + B rows, referenced three times below (upper, mirror,
-    // count) — pinned so the corpus aggregation runs once. Pin lifetime:
+    // one corpus scan per cell GROUP (the memory⇔passes trade above);
+    // the per-pass aggregate output is ≤ maxCellsPerPass rows
+    val aggedParts = cells.grouped(maxCellsPerPass).map { group =>
+      qFrame
+        .select(explode(array(group: _*)).as("p"))
+        .select(col("p.bi").as("bi"), col("p.bj").as("bj"),
+          col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("bi", "bj").agg(crossCol.as("__s"))
+    }.toSeq
+    // B(B+1)/2 + B rows total, referenced three times below (upper,
+    // mirror, count) — pinned so the pass scans run once. Pin lifetime:
     // pass `scope` and release after consuming (the pageRankInt
     // convention); the default unscoped pin drains at Caches.release().
-    val agged = pinned(exploded.groupBy("bi", "bj").agg(crossCol.as("__s")))
+    val agged = pinned(aggedParts.reduce(_ unionAll _))
     val nj = when(col("bj") === -1, lit(1))
       .otherwise(least(lit(bs), lit(d) - col("bj") * bs))
     val ex = agged.select(

@@ -88,6 +88,13 @@ class EmbeddingsSpec extends AnyFunSuite {
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
       assert(blocked === exact, s"blockSize=$bs")
     }
+    // multi-PASS path: maxCellsPerPass=3 forces bs=16's 4x4 grid
+    // (10 gram + 4 moment cells) across 5 separate corpus scans — the
+    // bounded-memory trade must not change a single value
+    val multiPass = Embeddings.momentsExactIntBlocked(
+      emb, "vec_id", "embedding", scale = 1, blockSize = 16, maxCellsPerPass = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(multiPass === exact, "multi-pass chunking must be value-invisible")
     graft.operators.Caches.release()
   }
 
