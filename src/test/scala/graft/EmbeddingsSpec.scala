@@ -115,6 +115,39 @@ class EmbeddingsSpec extends AnyFunSuite {
     graft.operators.Caches.release()
   }
 
+  test("graft_moments / graft_cross_sum SQL surfaces; NULL elements fail loudly, never bias as 0.0") {
+    graft.expressions.GraftFunctions.register(spark)
+    Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0))).toDF("id", "v")
+      .createOrReplaceTempView("mvecs")
+    val m = spark.sql("SELECT graft_moments(v) AS s FROM mvecs").head().getStruct(0)
+    assert(m.getAs[Long]("cnt") === 2L)
+    // row-major Gram (1+9, 2+12, 2+12, 4+16) then moments (4, 6)
+    assert(m.getSeq[Double](m.fieldIndex("sums")) === Seq(10.0, 14.0, 14.0, 20.0, 4.0, 6.0))
+    val x = spark.sql(
+      "SELECT graft_cross_sum(array(1.0d, 2.0d), array(10.0d, 20.0d, 30.0d)) AS s FROM mvecs")
+      .head().getStruct(0)
+    assert(x.getAs[Long]("cnt") === 2L)
+    assert(x.getSeq[Double](x.fieldIndex("sums")) ===
+      Seq(20.0, 40.0, 60.0, 40.0, 80.0, 120.0), "2x3 row-major cross product, twice")
+    // NULL elements: the SQL faces have no cleanVec upstream — reading a
+    // NULL as 0.0 would silently bias every statistic; they must throw
+    val nullElem = Seq(Seq[java.lang.Double](1.0, null)).toDF("v")
+    nullElem.createOrReplaceTempView("nvecs")
+    val e1 = intercept[Exception](spark.sql("SELECT graft_moments(v) FROM nvecs").collect())
+    assert(e1.getMessage.contains("NULL element") ||
+      Option(e1.getCause).exists(_.getMessage.contains("NULL element")), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_cross_sum(v, v) FROM nvecs").collect())
+    assert(e2.getMessage.contains("NULL element") ||
+      Option(e2.getCause).exists(_.getMessage.contains("NULL element")), e2.getMessage)
+    // half-NULL input rows are ill-defined for a cross product
+    val half = Seq((Seq(1.0), null: Seq[java.lang.Double])).toDF("a", "b")
+    val e3 = intercept[Exception](
+      half.agg(org.apache.spark.sql.functions.expr("graft_cross_sum(a, b)")).collect())
+    assert(e3.getMessage.contains("one side NULL") ||
+      Option(e3.getCause).exists(_.getMessage.contains("one side NULL")), e3.getMessage)
+  }
+
   test("jacobiEigen: known symmetric 2x2 has eigenvalues {3, 1}") {
     val (vals, vecs) = Embeddings.jacobiEigen(
       Array(Array(2.0, 1.0), Array(1.0, 2.0)))
