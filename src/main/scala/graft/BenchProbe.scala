@@ -18,6 +18,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * (q05 inside q06) — and diff the output.
   *
   * Usage: runMain graft.BenchProbe <queryName> [passes=5] [sfDir]
+  *
+  * Besides catalog names, the bench-only SPLIT entries resolve too
+  * (q84_probe / q65b_probe / q106_probe / q84_build / q65b_build /
+  * q106_build / q123_media_near_dup) — round 14 hit a q84_probe blip
+  * the prober could not then attribute. Probe entries run against one
+  * standing index built untimed before the passes, exactly like Bench.
   */
 object BenchProbe {
   def main(args: Array[String]): Unit = {
@@ -38,8 +44,50 @@ object BenchProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val q = Queries.all.find(_.name == name)
-      .getOrElse(sys.error(s"unknown query: $name"))
+    // bench-only split entries: (build fn per sfDir) or (probe fn against a
+    // standing index built once, untimed — the Bench discipline)
+    val standing = scala.collection.mutable.Map.empty[(String, String), String]
+    def idx(kind: String, dir: String, build: => String): String =
+      standing.getOrElseUpdate((kind, dir), build)
+    val split: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "q84_probe" -> ((s, d) => Queries.textIndexProbe(s, idx("text", d, Queries.buildTextIndexBatches(s, d)))),
+      "q65b_probe" -> ((s, d) => Queries.annPqProbe(s, d, idx("ann", d, Queries.buildAnnPqIndex(s, d)))),
+      "q106_probe" -> ((s, d) => Queries.dsirScore(s, d, idx("dsir", d, Queries.buildDsirModels(s, d)))),
+      "q123_media_near_dup" -> ((s, d) => Queries.mediaNearDupFull(s, d)))
+    val buildOnly: Map[String, (SparkSession, String) => Unit] = Map(
+      "q84_build" -> ((s, d) => { Queries.buildTextIndexBatches(s, d); () }),
+      "q65b_build" -> ((s, d) => { Queries.buildAnnPqIndex(s, d); () }),
+      "q106_build" -> ((s, d) => { Queries.buildDsirModels(s, d); () }))
+
+    val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      Queries.all.find(_.name == name).map(_.fn)
+        .orElse(split.get(name))
+        .getOrElse {
+          if (buildOnly.contains(name)) {
+            // builds return paths, not frames: time them via a 1-row frame
+            // carrying the built path so the pass/report machinery is
+            // shared. Scratch builds must not accrete across passes
+            // (Bench's rule) — the previous pass's index is deleted at the
+            // start of the next build (ms-scale local deletes against a
+            // seconds-scale build; a probe tolerates that noise).
+            var prev: Option[String] = None
+            (s: SparkSession, d: String) => {
+              prev.foreach { p =>
+                val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+                try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                  .forEach(f => java.nio.file.Files.deleteIfExists(f))
+                finally walk.close()
+              }
+              val path = name match {
+                case "q84_build" => Queries.buildTextIndexBatches(s, d)
+                case "q65b_build" => Queries.buildAnnPqIndex(s, d)
+                case _ => Queries.buildDsirModels(s, d)
+              }
+              prev = Some(path)
+              s.range(1).selectExpr(s"'$path' AS built_index")
+            }
+          } else sys.error(s"unknown query: $name (catalog + bench-split names accepted)")
+        }
 
     // stage-level executor attribution: task time that actually ran on the
     // pool vs the wall clock the bench reports — a gap between the two is
@@ -61,7 +109,7 @@ object BenchProbe {
     }
 
     // same warmup the bench gives every entry
-    noopWrite(q.fn(spark, "/root/testdata/sf0.001"))
+    noopWrite(fn(spark, "/root/testdata/sf0.001"))
     clear()
 
     println(s"== $name @ $sfDir  (cold passes, cache cleared each) ==")
@@ -69,7 +117,7 @@ object BenchProbe {
       clear()
       stageTaskMs.set(0L); stageCount.set(0L)
       val t0 = System.nanoTime()
-      noopWrite(q.fn(spark, sfDir))
+      noopWrite(fn(spark, sfDir))
       val wall = (System.nanoTime() - t0) / 1e9
       // listener events drain asynchronously; give them a beat
       Thread.sleep(300)
@@ -78,7 +126,7 @@ object BenchProbe {
     }
     println(f"median wall: ${times.sorted.apply(times.size / 2)}%.3f s")
 
-    val df = q.fn(spark, sfDir)
+    val df = fn(spark, sfDir)
     noopWrite(df)
     println("\n== scanReport (executed IO) ==")
     graft.operators.Metrics.scanReport(df).foreach { s =>
