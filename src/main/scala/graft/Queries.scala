@@ -19,7 +19,14 @@ import graft.sources.Tables
   *  - timestamps are never emitted raw — always cast to date or epoch
   *    seconds (the events table is nanos; Spark reads micros);
   *  - every window has a total order (explicit tiebreak column);
-  *  - aggregate/computed columns are aliased identically in both dialects.
+  *  - aggregate/computed columns are aliased identically in both dialects;
+  *  - gate-face OUTPUT columns are BIGINT/DOUBLE/VARCHAR/DATE/BOOL — never
+  *    DECIMAL (the driver's hasher coerces decimals asymmetrically between
+  *    its Spark-parquet read and its DuckDB fetch: q136/q138–q140 sat red
+  *    two rounds on bit-identical values) and never ARRAY (unhashable).
+  *    Internal decimal arithmetic stays; project through [[loudBigint]]
+  *    (or cast to string when the value can genuinely exceed long at
+  *    scale). Verify.assertHashableSchema enforces this at dump time.
   */
 object Queries {
 
@@ -32,6 +39,23 @@ object Queries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def sumMoney(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Gate-face BIGINT projection of an internally-DECIMAL value (catalog
+    * header rule): out-of-range values raise loudly instead of wrapping
+    * or nulling — a gate value that no longer fits a long means the face
+    * must switch to a VARCHAR projection (the q136 checksum choice), not
+    * silently lie. The oracle side mirrors with CAST(... AS BIGINT),
+    * which DuckDB also range-checks loudly.
+    */
+  private def loudBigint(c: Column): Column = {
+    val lo = lit("-9223372036854775808").cast("decimal(38,0)")
+    val hi = lit("9223372036854775807").cast("decimal(38,0)")
+    when(c.isNull, lit(null).cast("long"))
+      .when(c < lo || c > hi,
+        raise_error(concat(lit("gate-face value overflows BIGINT: "), c.cast("string")))
+          .cast("long"))
+      .otherwise(c.cast("long"))
+  }
 
   // ===========================================================
   // Relational core (SURVEY.md §2.1–§2.8 over the TPC-H-ish tables)
@@ -6236,12 +6260,19 @@ object Queries {
     */
   val q136CorpusChecksum: Q = Q(
     "q136_corpus_checksum",
+    // Gate face projects `checksum` as VARCHAR (catalog header rule: the
+    // driver's hasher coerces DECIMAL asymmetrically — this row sat red two
+    // rounds on bit-identical values). VARCHAR rather than loudBigint
+    // because a sum of 48-bit row hashes genuinely exceeds long past ~2^16
+    // rows — real corpus scale, not theory. The operator itself keeps its
+    // decimal(38,0) exactness contract untouched.
     (s, dir) =>
       graft.operators.Privacy.corpusChecksum(
-        t(s, dir, "documents"), Seq("doc_id", "text", "lang", "source", "n_chars")),
+        t(s, dir, "documents"), Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .withColumn("checksum", col("checksum").cast("string")),
     Some("""
       SELECT COUNT(*) AS n_rows,
-             CAST(SUM(CAST(concat('0x', substring(md5(k), 1, 12)) AS BIGINT)) AS DECIMAL(38,0)) AS checksum
+             CAST(SUM(CAST(concat('0x', substring(md5(k), 1, 12)) AS BIGINT)) AS VARCHAR) AS checksum
       FROM (
         SELECT concat_ws(chr(1),
           COALESCE(CAST(doc_id AS VARCHAR), chr(2) || 'NULL'),
@@ -6392,9 +6423,12 @@ object Queries {
   val q138JoinCardinality: Q = Q(
     "q138_join_cardinality",
     (s, dir) => {
+      // loudBigint: gate faces never emit DECIMAL (catalog header rule);
+      // the advisor's internal decimal(38,0) arithmetic is untouched
       val est = graft.operators.JoinAdvisor.estimateEquiJoinRows(
         t(s, dir, "orders"), "o_orderkey",
         t(s, dir, "lineitem"), "l_orderkey", advisorParams)
+        .select(loudBigint(col("est_rows")).as("est_rows"))
       val exact = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .agg(count(lit(1)).as("exact_rows"))
@@ -6411,7 +6445,7 @@ object Queries {
       ipz AS (
         SELECT dd.d, COALESCE(ip.ip, 0) AS ip
         FROM range(0, 3) dd(d) LEFT JOIN ip ON ip.d = dd.d)
-      SELECT CAST((SELECT MIN(ip) FROM ipz) AS DECIMAL(38,0)) AS est_rows,
+      SELECT CAST((SELECT MIN(ip) FROM ipz) AS BIGINT) AS est_rows,
              (SELECT COUNT(*) FROM orders o JOIN lineitem li
                 ON o.o_orderkey = li.l_orderkey) AS exact_rows"""))
 
@@ -6428,12 +6462,21 @@ object Queries {
     */
   val q139JoinAdvice: Q = Q(
     "q139_join_advice",
+    // projection: loudBigint on the two internally-decimal fields (catalog
+    // header rule — gate faces never emit DECIMAL), columns in the
+    // oracle's order (left_rows/right_rows/left_keys/right_keys) so the
+    // two faces carry zero gratuitous asymmetry
     (s, dir) => graft.operators.JoinAdvisor.advise(
       t(s, dir, "orders"), "o_custkey",
       t(s, dir, "customer"), "c_custkey",
       advisorParams,
       broadcastRowsMax = 20000L,
-      saltProductMin = 1000000L),
+      saltProductMin = 1000000L)
+      .select(
+        col("left_rows"), col("right_rows"), col("left_keys"), col("right_keys"),
+        loudBigint(col("est_join_rows")).as("est_join_rows"),
+        loudBigint(col("max_key_product")).as("max_key_product"),
+        col("hot_key"), col("recommended")),
     Some(s"""
       WITH $advisorHashCte,
       ${advisorSketchCtes("o_custkey", "orders", "l")},
@@ -6454,7 +6497,7 @@ object Queries {
           ON lk.key = rk.key),
       hot AS (
         SELECT CAST(COALESCE((SELECT product FROM kp ORDER BY product DESC, key ASC LIMIT 1), 0)
-                 AS DECIMAL(38,0)) AS max_key_product,
+                 AS BIGINT) AS max_key_product,
                (SELECT key FROM kp ORDER BY product DESC, key ASC LIMIT 1) AS hot_key),
       base AS (
         SELECT
@@ -6462,7 +6505,7 @@ object Queries {
           (SELECT COUNT(*) FROM customer WHERE c_custkey IS NOT NULL) AS right_rows,
           (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS left_keys,
           (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS right_keys,
-          CAST((SELECT MIN(ip) FROM ipz) AS DECIMAL(38,0)) AS est_join_rows,
+          CAST((SELECT MIN(ip) FROM ipz) AS BIGINT) AS est_join_rows,
           hot.max_key_product, hot.hot_key
         FROM hot)
       SELECT *,
@@ -6589,6 +6632,8 @@ object Queries {
         s"$base/lineitem_sk", "odd")
       JoinAdvisor.estimateFromStores(s, s"$base/orders_sk", s"$base/lineitem_sk",
         advisorParams)
+        // catalog header rule: gate faces never emit DECIMAL
+        .select(loudBigint(col("est_rows")).as("est_rows"))
     },
     Some(s"""
       WITH $advisorHashCte,
@@ -6601,7 +6646,7 @@ object Queries {
       ipz AS (
         SELECT dd.d, COALESCE(ip.ip, 0) AS ip
         FROM range(0, 3) dd(d) LEFT JOIN ip ON ip.d = dd.d)
-      SELECT CAST((SELECT MIN(ip) FROM ipz) AS DECIMAL(38,0)) AS est_rows"""))
+      SELECT CAST((SELECT MIN(ip) FROM ipz) AS BIGINT) AS est_rows"""))
 
   /** Competence-based curriculum schedule ([[graft.operators.Packing
     * .curriculumSchedule]]), the WHOLE multi-epoch artifact under one

@@ -41,6 +41,28 @@ class VerifySpec extends AnyFunSuite {
       "a mid-write failure must delete the stale final dir, not leave either answer")
   }
 
+  test("oracle-gated faces may not project DECIMAL or nested types (r14 headline)") {
+    import org.apache.spark.sql.functions._
+    // DECIMAL: the driver's hasher coerces it asymmetrically between its
+    // Spark-parquet read and DuckDB fetch — q136/q138–q140 sat red two
+    // rounds on bit-identical values. Must fail loudly at dump time.
+    val dec = spark.range(3).select(col("id").cast("decimal(38,0)").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Verify.assertHashableSchema("q_demo", dec.schema)
+    }
+    assert(e.getMessage.contains("DECIMAL"), e.getMessage)
+    val arr = spark.range(3).select(array(col("id")).as("v"))
+    intercept[IllegalArgumentException] {
+      Verify.assertHashableSchema("q_demo", arr.schema)
+    }
+    // the hashable scalar surface passes untouched
+    val ok = spark.range(3).select(
+      col("id").as("b"), col("id").cast("double").as("d"),
+      col("id").cast("string").as("s"), (col("id") > 1).as("f"),
+      to_date(lit("2026-01-01")).as("dt"))
+    Verify.assertHashableSchema("q_demo", ok.schema)
+  }
+
   test("successful rerun atomically replaces the previous answer") {
     val out = Files.createTempDirectory("verify_spec_").toFile
     Verify.dumpOne(out.getPath, "q_demo", () => spark.range(1).toDF("old_col"))
