@@ -54,6 +54,14 @@ object BenchProbe {
       "q65b_probe" -> ((s, d) => Queries.annPqProbe(s, d, idx("ann", d, Queries.buildAnnPqIndex(s, d)))),
       "q106_probe" -> ((s, d) => Queries.dsirScore(s, d, idx("dsir", d, Queries.buildDsirModels(s, d)))),
       "q123_media_near_dup" -> ((s, d) => Queries.mediaNearDupFull(s, d)))
+    // probe entries' standing-index pre-build, keyed like `split` uses idx():
+    // invoked UNTIMED against the real sfDir before the pass loop, so pass 1
+    // never pays the index build inside its wall/stage window (the warmup
+    // only populates the sf0.001 slot)
+    val prebuild: Map[String, (SparkSession, String) => Unit] = Map(
+      "q84_probe" -> ((s, d) => { idx("text", d, Queries.buildTextIndexBatches(s, d)); () }),
+      "q65b_probe" -> ((s, d) => { idx("ann", d, Queries.buildAnnPqIndex(s, d)); () }),
+      "q106_probe" -> ((s, d) => { idx("dsir", d, Queries.buildDsirModels(s, d)); () }))
     val buildOnly: Map[String, (SparkSession, String) => Unit] = Map(
       "q84_build" -> ((s, d) => { Queries.buildTextIndexBatches(s, d); () }),
       "q65b_build" -> ((s, d) => { Queries.buildAnnPqIndex(s, d); () }),
@@ -111,6 +119,9 @@ object BenchProbe {
     // same warmup the bench gives every entry
     noopWrite(fn(spark, "/root/testdata/sf0.001"))
     clear()
+    // Bench discipline for probe entries: the sfDir standing index exists
+    // BEFORE any timed pass (round-15 advice — pass 1 was paying the build)
+    prebuild.get(name).foreach { pb => pb(spark, sfDir); clear() }
 
     println(s"== $name @ $sfDir  (cold passes, cache cleared each) ==")
     val times = (1 to passes).map { i =>

@@ -305,13 +305,40 @@ object text {
     * arithmetically indistinguishable from a long id and still leaks;
     * the trade-off is documented, not silent. Sharing the ladder keeps
     * detection and redaction drift-free by construction.
+    *
+    * PRECISION on separated runs (documented, round-15 advice): each
+    * boundary prefix of 13–19 digits is an independent ~1/10 chance of
+    * a coincidental Luhn pass, so a grouped NON-card run faces up to
+    * ~7 trials where an unseparated run faces one. Two mitigations
+    * bound it: (a) PROPER-prefix rungs require card-plausible group
+    * shapes — every group in the window ≤ 6 digits (real formats:
+    * 4-4-4-4, 4-6-5, 4-4-4-4-3), except the single-group rung, which
+    * is the unseparated-card+separated-CVV leak shape — so serials/
+    * invoice numbers with any wider group skip most of the prefix
+    * ladder; (b) group widths
+    * quantize prefix lengths, so e.g. an all-4s run (spaced IBAN
+    * digits) exposes exactly one proper-prefix length (16) in range —
+    * ~2 trials, ~19% over-redaction odds on a random such run, vs the
+    * unconstrained ladder's worst-case ~50%. The whole-run rung stays
+    * UNCONDITIONAL — whole-candidate recall and the unseparated
+    * guarantee are unchanged; no IIN/MII first-digit filter, because
+    * ISO 7812 assigns digits 1–9 to live issuer categories (airline,
+    * petroleum, telecom) and a digit filter would trade silent card
+    * LEAKS for modest precision.
     */
-  private def cardPrefixLadder(x: Column, groups: Column): Seq[(Column, Column)] = {
+  private def cardPrefixLadder(
+      x: Column, groups: Column, firstWide: Column): Seq[(Column, Column)] = {
     (19 to 1 by -1).map { g =>
       val pfx = array_join(slice(groups, 1, g), "")
       // && short-circuits, so rungs beyond the group count cost one
       // size check; only real boundaries pay the join + checksum
-      val ok = size(groups) >= g && luhnValid(pfx)
+      // g == 1 stays allowed: an unseparated card followed by a
+      // separated CVV ('4111111111111111-123') is a real leak shape
+      // whose covering prefix is exactly one 13–19 digit group
+      val plausible =
+        if (g == 1) lit(true)
+        else size(groups) === g || firstWide.isNull || firstWide > g
+      val ok = size(groups) >= g && plausible && luhnValid(pfx)
       (when(ok, pfx),
         // raw-text span covering exactly the first g groups
         when(ok, regexp_extract(x, s"^[0-9]+(?:[ -][0-9]+){${g - 1}}", 0)))
@@ -327,7 +354,15 @@ object text {
   private def cardCandidatesWithGroups(c: Column): Column =
     transform(
       regexp_extract_all(c, lit(cardCandidatePattern), lit(0)),
-      x => struct(x.as("x"), split(x, "[ -]").as("g")))
+      x => {
+        val g = split(x, "[ -]")
+        // fw: 1-based index of the first separator group wider than 6
+        // digits (NULL when none) — the card-plausibility horizon the
+        // ladder's proper-prefix rungs read; materialized once here
+        // like the split itself (interpreted lambdas have no CSE)
+        val fw = array_min(transform(g, (grp, i) => when(length(grp) > 6, i + lit(1))))
+        struct(x.as("x"), g.as("g"), fw.as("fw"))
+      })
 
   /** Luhn-valid payment-card numbers appearing in the text, separator-
     * normalized (digits only), distinct, lexicographic — the DETECTION
@@ -341,7 +376,7 @@ object text {
     */
   def detectPaymentCards(c: Column): Column = {
     val found = transform(cardCandidatesWithGroups(c), s =>
-      coalesce(cardPrefixLadder(s.getField("x"), s.getField("g")).map(_._1): _*))
+      coalesce(cardPrefixLadder(s.getField("x"), s.getField("g"), s.getField("fw")).map(_._1): _*))
     array_sort(array_distinct(filter(found, d => d.isNotNull)))
   }
 
@@ -356,7 +391,7 @@ object text {
     */
   def redactPaymentCards(c: Column): Column = {
     val rawValid = transform(cardCandidatesWithGroups(c), s =>
-      coalesce(cardPrefixLadder(s.getField("x"), s.getField("g")).map(_._2): _*))
+      coalesce(cardPrefixLadder(s.getField("x"), s.getField("g"), s.getField("fw")).map(_._2): _*))
     aggregate(filter(rawValid, x => x.isNotNull), c,
       (acc, x) => replace(acc, x, lit("<CARD>")))
   }

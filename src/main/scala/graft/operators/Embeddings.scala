@@ -80,7 +80,15 @@ object Embeddings {
     for (i <- 0 until d; j <- 0 until d) rows += ((i, j, sums(i * d + j).toLong))
     for (i <- 0 until d) rows += ((i, -1, sums(d * d + i).toLong))
     rows += ((-1, -1, cnt))
-    emb.sparkSession.createDataFrame(rows.toSeq)
+    // parallelize, never a LocalRelation: at the documented d≈2048 ceiling
+    // the unpack is ~4.2M rows — embedding those in the plan would hold
+    // hundreds of MB of boxed tuples on the driver heap AND serialize
+    // them into every downstream plan copy (round-15 advice). One slice
+    // per ~64k rows keeps task overhead trivial at small d.
+    val spark = emb.sparkSession
+    val slices = math.max(1, math.min(rows.size / 65536,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, slices))
       .toDF("row_idx", "col_idx", "value")
   }
 
@@ -108,8 +116,11 @@ object Embeddings {
     * aggregation's distinct-key count under ObjectHashAggregate's
     * sort-fallback threshold (default 128) — the silent perf cliff a
     * single all-cells pass would hit exactly in the large-d regime.
-    * If the quantized projection fits your cluster's cache, persist it
-    * before calling to pay the scan once.
+    * When more than one pass will run, the quantized projection is
+    * pinned automatically (memory-and-disk, released with `scope` or
+    * at `Caches.release()`), so quantization is paid once and repeat
+    * passes re-read cached columnar batches instead of re-deriving
+    * them from the source scan.
     *
     * Output long format and values are IDENTICAL to
     * [[momentsExactInt]] (oracle-gated as q129b, multi-pass pinned by
@@ -132,7 +143,15 @@ object Embeddings {
     val spark = emb.sparkSession
     val clean = emb.where(cleanVec(col(vecCol)))
     val probe = clean.select(size(col(vecCol)).as("d")).limit(1).collect()
-    if (probe.isEmpty || probe(0).getInt(0) == 0)
+    // empty corpus: the probe ALREADY proved zero rows — the count is 0 by
+    // construction, no second scan (r14 verdict item 3). Only the
+    // degenerate all-zero-dim corpus still pays a count scan: rows exist
+    // but contribute no Gram cells, and their number is the one fact a
+    // LIMIT-1 probe cannot know.
+    if (probe.isEmpty)
+      return spark.createDataFrame(Seq((-1, -1, 0L)))
+        .toDF("row_idx", "col_idx", "value")
+    if (probe(0).getInt(0) == 0)
       return spark.createDataFrame(Seq((-1, -1, clean.count())))
         .toDF("row_idx", "col_idx", "value")
     val d = probe(0).getInt(0)
@@ -154,7 +173,14 @@ object Embeddings {
         struct(lit(b).as("bi"), lit(-1).as("bj"),
           slice(col("__q"), b * bs + 1, widthOf(b)).as("a"),
           array(lit(1.0d)).as("b")))
-    val qFrame = clean.select(q.as("__q"))
+    // multi-pass runs scan the corpus once per cell group — pin the
+    // quantized projection so the quantization transform is paid once,
+    // not once per pass (r14 verdict item 3; persist spills to disk if
+    // it outgrows memory). Single-pass calls skip the pin entirely.
+    val nCells = nBlocks * (nBlocks + 1) / 2 + nBlocks
+    val nPasses = (nCells + maxCellsPerPass - 1) / maxCellsPerPass
+    val qFrameRaw = clean.select(q.as("__q"))
+    val qFrame = if (nPasses > 1) pinned(qFrameRaw) else qFrameRaw
     val crossCol = ColumnBridge.column(
       graft.expressions.CrossSumAgg(
         ColumnBridge.eagerExpression(col("a")),

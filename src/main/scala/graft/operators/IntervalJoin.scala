@@ -41,6 +41,15 @@ object IntervalJoin {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty,
       s"left and right column names must be disjoint (both have: ${dup.mkString(", ")})")
+    // reserved working names: a caller column with one of these would be
+    // silently clobbered by the bucket math (wrong buckets, then dropped)
+    // — fail loudly instead, the truncateToBudget/urlDedupIngest rule
+    val reserved = Seq("__graft_iv_s", "__graft_iv_e", "__graft_iv_g", "__bucket", "__rbucket")
+    Seq("left" -> left, "right" -> right).foreach { case (side, df) =>
+      val hit = df.columns.toSet.intersect(reserved.toSet)
+      require(hit.isEmpty,
+        s"$side input carries reserved IntervalJoin working column(s): ${hit.mkString(", ")}")
+    }
 
     // Bucket math goes through sanitized projections so the `div`
     // expressions never re-parse caller-supplied names (names needing

@@ -98,6 +98,39 @@ class EmbeddingsSpec extends AnyFunSuite {
     graft.operators.Caches.release()
   }
 
+  test("momentsExactIntBlocked multi-pass pins the quantized projection; single-pass skips the pin") {
+    val d = 50
+    val vecs = (0 until 40).map { r =>
+      (r.toLong, (0 until d).map(i => ((r * 13 + i * 7) % 9 - 4).toFloat).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding").repartition(5)
+    val scope = graft.operators.Caches.newScope()
+    try {
+      // bs=16 on d=50 → 4x4 grid: 10 gram + 4 moment cells over
+      // maxCellsPerPass=3 → 5 passes. Each pass must read the PINNED
+      // quantized projection (an InMemoryTableScan over __q), never
+      // re-derive the quantization from the source per pass.
+      val multi = graft.operators.Embeddings.momentsExactIntBlocked(
+        emb, "vec_id", "embedding", scale = 1, blockSize = 16, maxCellsPerPass = 3,
+        scope = Some(scope))
+      multi.write.format("noop").mode("overwrite").save()
+      assert(PlanMetrics.cacheScansWith(multi, Seq("__q")).nonEmpty,
+        "multi-pass blocked moments must pin the quantized projection")
+    } finally scope.release()
+    // single pass: the pin would be pure overhead — skipped entirely.
+    // Fresh scope, AFTER releasing the multi-pass pin: Spark's cache
+    // manager substitutes any identical plan, so a live __q pin would
+    // make this assertion see a cache hit the operator never asked for.
+    val scope2 = graft.operators.Caches.newScope()
+    try {
+      val single = graft.operators.Embeddings.momentsExactIntBlocked(
+        emb, "vec_id", "embedding", scale = 1, blockSize = 64, scope = Some(scope2))
+      single.write.format("noop").mode("overwrite").save()
+      assert(PlanMetrics.cacheScansWith(single, Seq("__q")).isEmpty,
+        "single-pass blocked moments must not pay a pin")
+    } finally scope2.release()
+  }
+
   test("momentsExactIntBlocked: mixed dimensions fail loudly; empty input yields the zero row") {
     val mixed = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f)),

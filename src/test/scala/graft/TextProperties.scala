@@ -254,4 +254,19 @@ object TextProperties extends Properties("graft.text") {
         val detected = got.exists(g => g.length >= card.length && run.startsWith(g))
         detected && got.forall(luhnRef) && red.contains("<CARD>") && !red.contains(card)
     }
+
+  property("wide-group proper prefixes are never Luhn-tested (card-plausibility constraint)") =
+    forAll(genValidCard) { card =>
+      // A Luhn-valid 16-digit value written as 8+8 digit groups is not a
+      // card format anyone uses — it's the spaced-serial shape the
+      // round-15 plausibility constraint protects from over-redaction.
+      // Append a trailing group chosen so the WHOLE run fails Luhn: the
+      // only rung that could fire is then the 16-digit proper prefix,
+      // which the wide (8-digit) groups must suppress.
+      val tail = (100 to 110).map(_.toString).find(t => !luhnRef(card + t)).get
+      val txt = s"serial ${card.grouped(8).mkString(" ")} $tail end"
+      val got = one(txt, text.detectPaymentCards(col("text"))).getSeq[String](0)
+      val red = one(txt, text.redactPaymentCards(col("text"))).getString(0)
+      got.isEmpty && red == txt
+    }
 }
