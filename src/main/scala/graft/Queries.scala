@@ -4273,6 +4273,41 @@ object Queries {
     },
     Some(bm25RationalOracle))
 
+  /** The STREAMING keyword-index ingest's batch face ([[graft.streaming
+    * .Streams.textIngest]], VERDICT r14 item 5): the corpus arrives as
+    * TWO micro-batches into an [[graft.operators.TextIndex.init]]'d-empty
+    * index, and the SAME q52c exact-rational BM25 oracle that gates
+    * q84/q84b must gate the search over the accrued `s`-labeled batches —
+    * textIngest applies no dedup, so the landed union IS the corpus, and
+    * agreement pins exactly the streaming-specific machinery: per-batch
+    * postings appends, N/Σdl/df aggregation ACROSS streamed partitions,
+    * and the exactly-once land. Corpus collect = MemoryStream fixture;
+    * the ingest under test is the production foreachBatch.
+    */
+  val q84dTextIngest: Q = Q(
+    "q84d_text_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("graft_textingest").toString
+      graft.operators.TextIndex.init(s, s"$root/index")
+      val rows = t(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition { case (id, _) => id % 2 == 0 }
+      val input = MemoryStream[(Long, String)]
+      val query = graft.streaming.Streams.textIngest(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$root/index", s"$root/landed")
+      try {
+        input.addData(b1.toSeq: _*); query.processAllAvailable()
+        input.addData(b2.toSeq: _*); query.processAllAvailable()
+      } finally query.stop()
+      graft.operators.TextIndex.searchTopK(
+        s, s"$root/index", Seq("spark", "merge", "window"), 20)
+    },
+    Some(bm25RationalOracle))
+
   /** Hybrid retrieval: keyword (BM25 over the persisted inverted index)
     * and vector (exact-int cosine top-k) runs fused by reciprocal-rank
     * fusion ([[graft.operators.Ranking.rrfFuse]]) — the production shape
@@ -8747,7 +8782,7 @@ object Queries {
     q82LmBigrams, q82bLmSurprisal, q82cLmPooled,
     q83BpePairs, q83bBpeMerges, q83cBpeEncode, q83dBpeEncodeFast, q83eBpeVocabulary,
     q83fBpeBytePairs, q83gBpeByteMerges, q83hBpeByteEncode,
-    q84TextIndexSearch, q84bTextIndexCompacted, q84cTextIndexSearchAll,
+    q84TextIndexSearch, q84bTextIndexCompacted, q84cTextIndexSearchAll, q84dTextIngest,
     q85RandomProjection, q85bProjectionXxhash,
     q86PerplexityBuckets, q86bPerplexityBucketsSketch, q87SpanDedup,
     q88WeightedSample,
