@@ -819,6 +819,56 @@ object Queries {
         SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s WHERE u.t <> r.s)
       SELECT s AS id, LEAST(s, MIN(t)) AS cluster FROM reach GROUP BY s"""))
 
+  /** The STREAMING incremental-components ingest's batch face
+    * ([[graft.streaming.Streams.dupClusterIngest]], VERDICT r14 item 5):
+    * the exact-Jaccard pair set (q25c's, already oracle-gated) streams in
+    * as TWO micro-batches split by `(id_a + id_b) % 2` — a split that
+    * guarantees chains straddle batches, forcing the touched-component
+    * star-expansion merge path — and the FINAL persisted state must equal
+    * whole-graph connected components computed in one shot: q25d's
+    * recursive-CTE oracle verbatim, `component` for `cluster`. Agreement
+    * pins exactly the streaming-specific machinery: state read-modify-
+    * write atomicity, touched-component selection, star-edge expansion,
+    * and min-id label preservation across incremental merges. The pair
+    * collect is the MemoryStream fixture; production feeds a real pair
+    * stream.
+    */
+  val q25eDupClusterIngest: Q = Q(
+    "q25e_dup_cluster_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("graft_ccingest").toString
+      val pairs = Dedup.exactJaccardPairs(
+        corpusWithPlantedDups(s, dir), "text", "doc_id",
+        shingleK = 3, threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      val (b1, b2) = pairs.partition { case (a, b) => (a + b) % 2 == 0 }
+      val input = MemoryStream[(Long, Long)]
+      val query = graft.streaming.Streams.dupClusterIngest(
+        input.toDF().toDF("id_a", "id_b"), "id_a", "id_b", s"$root/state")
+      try {
+        input.addData(b1.toSeq: _*); query.processAllAvailable()
+        input.addData(b2.toSeq: _*); query.processAllAvailable()
+      } finally query.stop()
+      s.read.parquet(s"$root/state").select("id", "component")
+    },
+    Some(s"""
+      WITH RECURSIVE $plantedCorpusCte, $exactJaccardCtes,
+      pairs AS (
+        SELECT s.id_a, s.id_b
+        FROM shared s
+        JOIN sz sa ON sa.doc_id = s.id_a
+        JOIN sz sb ON sb.doc_id = s.id_b
+        WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5),
+      und AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT s, t FROM und
+        UNION
+        SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s WHERE u.t <> r.s)
+      SELECT s AS id, LEAST(s, MIN(t)) AS component FROM reach GROUP BY s"""))
+
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures). The
     * explicit cap exercises the production hot-bucket path; at this corpus
     * no bucket exceeds it, so the result equals the exact default.
@@ -5186,6 +5236,84 @@ object Queries {
                bucket
       LIMIT 25"""))
 
+  /** The STREAMING drift-monitor ingest's batch face ([[graft.streaming
+    * .Streams.driftMonitorIngest]], VERDICT r14 item 5 — the last
+    * StreamsSpec-only ingest driver-gated): the baseline model is the
+    * even-id half's bucket counts (q112's "old" snapshot), the odd-id
+    * half streams in as TWO micro-batches (`doc_id % 4` = 1 then 3), and
+    * each batch's landed report must equal the q112 drift arithmetic
+    * computed against THAT batch alone — per-batch counts, fixed-shape
+    * share divisions, |delta| top-25 with bucket tie-break, the batch
+    * label a pure function of the split. DuckDB replays both reports
+    * from the byte-polynomial bucket hash and unions them.
+    */
+  val q112bDriftMonitorIngest: Q = Q(
+    "q112b_drift_monitor_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("graft_driftingest").toString
+      val d = t(s, dir, "documents")
+      val baseline = graft.operators.Importance.hashedBucketCounts(
+        d.where(col("doc_id") % 2 === 0), "text", 1024)
+      val rows = d.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+        .as[(Long, Option[String])].collect()
+      val (b1, b2) = rows.partition { case (id, _) => id % 4 == 1 }
+      val input = MemoryStream[(Long, Option[String])]
+      val query = graft.streaming.Streams.driftMonitorIngest(
+        input.toDF().toDF("doc_id", "text"), "text", baseline,
+        buckets = 1024, k = 25, s"$root/landed")
+      try {
+        input.addData(b1.toSeq: _*); query.processAllAvailable()
+        input.addData(b2.toSeq: _*); query.processAllAvailable()
+      } finally query.stop()
+      s.read.parquet(s"$root/landed").select(
+        col("batch").cast("string").as("batch"), col("bucket"),
+        col("old_cnt"), col("new_cnt"),
+        col("old_share"), col("new_share"), col("delta"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS w
+        FROM documents),
+      bk AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, octet_length(encode(w)) + 1),
+                   i -> CAST(CAST('0x' || substr(hex(encode(w)), 2*i-1, 2) AS INT) AS BIGINT))),
+                 (acc, b) -> (acc * 31 + b) % 2147483647) % 1024 AS bucket
+        FROM tok),
+      o AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS old_cnt FROM bk WHERE doc_id % 2 = 0 GROUP BY 1),
+      ot AS (SELECT COALESCE(SUM(old_cnt), 0) AS t FROM o),
+      n1 AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_cnt FROM bk WHERE doc_id % 4 = 1 GROUP BY 1),
+      n1t AS (SELECT COALESCE(SUM(new_cnt), 0) AS t FROM n1),
+      n2 AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_cnt FROM bk WHERE doc_id % 4 = 3 GROUP BY 1),
+      n2t AS (SELECT COALESCE(SUM(new_cnt), 0) AS t FROM n2),
+      r1 AS (
+        SELECT 's00000000' AS batch, COALESCE(o.bucket, n1.bucket) AS bucket,
+               COALESCE(o.old_cnt, 0) AS old_cnt, COALESCE(n1.new_cnt, 0) AS new_cnt,
+               CASE WHEN ot.t = 0 THEN 0.0 ELSE CAST(COALESCE(o.old_cnt, 0) AS DOUBLE) / CAST(ot.t AS DOUBLE) END AS old_share,
+               CASE WHEN n1t.t = 0 THEN 0.0 ELSE CAST(COALESCE(n1.new_cnt, 0) AS DOUBLE) / CAST(n1t.t AS DOUBLE) END AS new_share
+        FROM o FULL OUTER JOIN n1 ON o.bucket = n1.bucket CROSS JOIN ot CROSS JOIN n1t
+        ORDER BY abs((CASE WHEN n1t.t = 0 THEN 0.0 ELSE CAST(COALESCE(n1.new_cnt, 0) AS DOUBLE) / CAST(n1t.t AS DOUBLE) END) -
+                     (CASE WHEN ot.t = 0 THEN 0.0 ELSE CAST(COALESCE(o.old_cnt, 0) AS DOUBLE) / CAST(ot.t AS DOUBLE) END)) DESC,
+                 COALESCE(o.bucket, n1.bucket)
+        LIMIT 25),
+      r2 AS (
+        SELECT 's00000001' AS batch, COALESCE(o.bucket, n2.bucket) AS bucket,
+               COALESCE(o.old_cnt, 0) AS old_cnt, COALESCE(n2.new_cnt, 0) AS new_cnt,
+               CASE WHEN ot.t = 0 THEN 0.0 ELSE CAST(COALESCE(o.old_cnt, 0) AS DOUBLE) / CAST(ot.t AS DOUBLE) END AS old_share,
+               CASE WHEN n2t.t = 0 THEN 0.0 ELSE CAST(COALESCE(n2.new_cnt, 0) AS DOUBLE) / CAST(n2t.t AS DOUBLE) END AS new_share
+        FROM o FULL OUTER JOIN n2 ON o.bucket = n2.bucket CROSS JOIN ot CROSS JOIN n2t
+        ORDER BY abs((CASE WHEN n2t.t = 0 THEN 0.0 ELSE CAST(COALESCE(n2.new_cnt, 0) AS DOUBLE) / CAST(n2t.t AS DOUBLE) END) -
+                     (CASE WHEN ot.t = 0 THEN 0.0 ELSE CAST(COALESCE(o.old_cnt, 0) AS DOUBLE) / CAST(ot.t AS DOUBLE) END)) DESC,
+                 COALESCE(o.bucket, n2.bucket)
+        LIMIT 25)
+      SELECT batch, bucket, old_cnt, new_cnt, old_share, new_share,
+             new_share - old_share AS delta
+      FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)"""))
+
   /** Length-bucketed dynamic batching
     * ([[graft.operators.Packing.lengthBucketedBatches]]): documents into
     * power-of-two char-length buckets, batch-of-32 assignment in exact
@@ -7593,6 +7721,78 @@ object Queries {
                AS valid
       FROM v"""))
 
+  /** The STREAMING conversation-routing ingest's batch face
+    * ([[graft.streaming.Streams.chatRoutedIngest]], VERDICT r14 item 5):
+    * the synthetic transcript corpus arrives as TWO micro-batches
+    * (split `doc_id % 2`), every row lands WITH its audit flags under
+    * `valid/` or `quarantine/`, and the union of both routes must equal
+    * the whole-corpus [[graft.operators.Conversations.validate]] — the
+    * q153 oracle plus the route projection and the batch label (the
+    * ingest is stateless, so the batch a row lands in is a pure function
+    * of the split). Agreement pins the flag-carrying join-back, the
+    * two-way routing, and the exactly-once landing.
+    */
+  val q153bChatRoutedIngest: Q = Q(
+    "q153b_chat_routed_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("graft_chatingest").toString
+      val rows = syntheticChats(s, dir).select("doc_id", "conv_json")
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition { case (id, _) => id % 2 == 0 }
+      val input = MemoryStream[(Long, String)]
+      val query = graft.streaming.Streams.chatRoutedIngest(
+        input.toDF().toDF("doc_id", "conv_json"), "doc_id", "conv_json",
+        s"$root/landed")
+      try {
+        input.addData(b1.toSeq: _*); query.processAllAvailable()
+        input.addData(b2.toSeq: _*); query.processAllAvailable()
+      } finally query.stop()
+      val valid = s.read.parquet(s"$root/landed/valid")
+        .withColumn("route", lit("valid"))
+      val quarantine = s.read.parquet(s"$root/landed/quarantine")
+        .withColumn("route", lit("quarantine"))
+      valid.unionByName(quarantine).select(
+        col("doc_id"), col("n_turns"), col("parse_ok"), col("starts_ok"),
+        col("alternates"), col("no_empty"), col("ends_assistant"), col("valid"),
+        col("route"), col("batch").cast("string").as("batch"))
+    },
+    Some(s"""
+      WITH $chatTurnsCte,
+      v AS (
+        SELECT doc_id,
+               COUNT(turn_idx) AS n_turns,
+               COUNT(turn_idx) > 0 AS parse_ok,
+               COALESCE(COUNT(turn_idx) > 0 AND
+                 arg_min(role, turn_idx) IN ('system', 'user'), FALSE) AS starts_ok,
+               COALESCE(COUNT(turn_idx) > 0 AND
+                 CASE WHEN arg_min(role, turn_idx) = 'system'
+                   THEN SUM(CASE WHEN turn_idx > 0 AND
+                     ((turn_idx % 2 = 1 AND role IS DISTINCT FROM 'user') OR
+                      (turn_idx % 2 = 0 AND role IS DISTINCT FROM 'assistant'))
+                     THEN 1 ELSE 0 END) = 0
+                   ELSE SUM(CASE WHEN
+                     ((turn_idx % 2 = 0 AND role IS DISTINCT FROM 'user') OR
+                      (turn_idx % 2 = 1 AND role IS DISTINCT FROM 'assistant'))
+                     THEN 1 ELSE 0 END) = 0 END, FALSE) AS alternates,
+               COUNT(turn_idx) > 0 AND
+                 SUM(CASE WHEN turn_idx IS NOT NULL AND
+                   (content IS NULL OR trim(content) = '') THEN 1 ELSE 0 END) = 0
+                 AS no_empty,
+               COALESCE(arg_max(role, turn_idx) = 'assistant', FALSE) AS ends_assistant
+        FROM chat_turns GROUP BY doc_id),
+      f AS (
+        SELECT doc_id, n_turns, parse_ok, starts_ok, alternates, no_empty, ends_assistant,
+               (n_turns >= 2 AND starts_ok AND alternates AND no_empty AND ends_assistant)
+                 AS valid
+        FROM v)
+      SELECT doc_id, n_turns, parse_ok, starts_ok, alternates, no_empty, ends_assistant, valid,
+             CASE WHEN valid THEN 'valid' ELSE 'quarantine' END AS route,
+             CASE WHEN doc_id % 2 = 0 THEN 's00000000' ELSE 's00000001' END AS batch
+      FROM f"""))
+
   /** Per-conversation budget report ([[graft.operators.Conversations
     * .stats]]): turn counts and whitespace-token budgets by role —
     * the packing planner's input. Integer-only; token counts replay
@@ -8757,6 +8957,7 @@ object Queries {
     q19Rollup, q19Cube, q19WindowFrames, q19Pivot, q19Ntile,
     q20TokenStats, q21QualityScore, q22LangId, q23Fingerprint, q24ExactDedup,
     q25MinhashDedup, q25bDupClusters, q25cJaccardPairsExact, q25dClustersExact,
+    q25eDupClusterIngest,
     q26SimhashPairs, q26cSimhashPairsExact, q27RollingFingerprint, q27cRollingFingerprintLinear,
     q28TermFreq, q29TokenJaccard,
     q30CosineTopK, q30cCosineTopkExact, q31AnnLsh, q31cAnnLshExact, q32EmbeddingNearDup,
@@ -8794,7 +8995,7 @@ object Queries {
     q100LeakageSafeSplit, q101HardNegatives, q102PagerankAuthority, q103NfcNormalize,
     q99cHostCap, q104EpochShuffle, q105OrcRoundtrip, q106DsirImportance, q107Sq8TopK,
     q108CorpusOverlap, q108bCorpusOverlapSketch, q109MemorizationAudit, q110SketchAgreement, q111CalibrationReport,
-    q112DriftReport, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain,
+    q112DriftReport, q112bDriftMonitorIngest, q113LengthBatches, q114ConnectedComponents, q115KmeansTrain,
     q106bImportanceIngest, q115bKmeansBalanced, q116WeightedJaccard, q117WaterfillPlan, q117bWaterfillSample,
     q118KeepBestDedup,
     q119WeightedMinhash, q120EvalRun, q121Compression, q122QuantileNormalize,
@@ -8807,7 +9008,7 @@ object Queries {
     q140SketchStoreEstimate, q141Curriculum, q142FleissKappa, q143RobotsFilter,
     q143bRobotsWildcard, q144ParseRobots, q145CrawlFrontier, q146LinkGraphRank, q147TriangleCounts,
     q148CohenKappa, q149KCore, q150FrontierSchedule, q151SpanCorrupt,
-    q152ChatTurns, q153ChatValidate, q154ChatStats, q155ChatRender,
+    q152ChatTurns, q153ChatValidate, q153bChatRoutedIngest, q154ChatStats, q155ChatRender,
     q156PreferencePairs, q157PreferenceTopBottom, q158KAnonymity, q159HitsScores,
     q160StripAccents, q161BradleyTerry, q162GrpoAdvantage, q163LossMaskSpans,
     q164RejectionSample, q165MatchPhrases, q166CardDetect, q167FixMojibake,
