@@ -2796,6 +2796,83 @@ object Queries {
              CASE WHEN id % 7 < 4 THEN 's00000000' ELSE 's00000001' END AS batch
       FROM acc"""))
 
+  /** [[graft.operators.AnnIndex.buildAuto]] under the driver gate — the
+    * corpus-SCALED index geometry the round-15 100× run measured 2.6×
+    * faster than pinned nlist (BENCH_NOTES). `autoNlist` at 16-row target
+    * cells picks ceil(N/16) centroids (32 at sf0.01, 125 at sf0.1 — the
+    * natural ceil-division region, a real multi-cell quantizer at every
+    * SF, never the fixed nlist = 16), and the probe runs at the returned
+    * `nprobe = nlist`, where IVF is EXACT: scaled copies (cosine ≈ 1) of
+    * every 10th corpus vector must pair with exactly their source, and
+    * negated vectors (cosine −1, same planting as q65d) must match
+    * nothing at threshold 0.99 — so the oracle is pure id arithmetic.
+    * Gates the whole auto path end-to-end: the corpus count, the sizing
+    * arithmetic, the widened 32×nlist training sample, build/probe cell
+    * assignment consistency, and the contract that lets a production
+    * caller scale nlist with the corpus and keep the SAME answers when
+    * nprobe scales with it. No organic cross pair can intrude: a scaled
+    * copy's cosine against any OTHER corpus vector equals that organic
+    * pair's cosine, bounded far below 0.99 on this corpus (the q65/q65d
+    * threshold rationale).
+    */
+  val q65eAnnAutoSized: Q = Q(
+    "q65e_ann_auto_sized",
+    (s, dir) => {
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val path = java.nio.file.Files.createTempDirectory("graft_ann_auto").toString
+      val nlist = AnnIndex.buildAuto(
+        base, "vec_id", "embedding", path, targetCellRows = 16L)
+      val copyVec = transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))
+      val negVec = transform(col("embedding"), x => (-x).cast("float"))
+      val batch = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), copyVec.as("embedding"))
+        .unionByName(base.where(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"), negVec.as("embedding")))
+      AnnIndex.crossNeighbors(
+        batch, "vec_id", "embedding", path, threshold = 0.99, nprobe = nlist)
+        .select(col("corpus_id"), col("batch_id"))
+    },
+    Some("""
+      SELECT vec_id AS corpus_id, vec_id + 1000000 AS batch_id
+      FROM embeddings WHERE vec_id % 10 = 0"""))
+
+  /** The geometry-maintenance pair ([[graft.operators.AnnIndex
+    * .resizeReport]] → [[graft.operators.AnnIndex.rebuildAuto]]) under
+    * the driver gate: an index built at the PINNED nlist = 16 — exactly
+    * the outgrown geometry the round-15 100× run caught probing 2.6×
+    * slow — must (a) be flagged by resizeReport at 16-row target cells
+    * (mean cell far over slack × target, sized ≠ current; asserted
+    * loudly inside the face), and (b) rebuild through one rebuildAuto
+    * call into corpus-sized cells that serve EXACT answers at the
+    * returned nprobe = nlist: scaled copies of every 10th corpus vector
+    * pair with exactly their source — the same pure-arithmetic oracle as
+    * q65e, now proving the retrain+re-land path loses and invents
+    * nothing. Covers the id-dedup read, PQ-less init branch, fresh-path
+    * guards, and the append's re-assignment under NEW centroids.
+    */
+  val q65fAnnRebuild: Q = Q(
+    "q65f_ann_rebuild",
+    (s, dir) => {
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val root = java.nio.file.Files.createTempDirectory("graft_ann_rebuild").toString
+      AnnIndex.build(base, "vec_id", "embedding", s"$root/old", nlist = 16)
+      val advice = AnnIndex.resizeReport(
+        s, s"$root/old", targetCellRows = 16L, slack = 1.5).head()
+      require(advice.getAs[Boolean]("resize_recommended"),
+        s"resizeReport must flag the outgrown nlist=16 geometry, got $advice")
+      val nlist = AnnIndex.rebuildAuto(
+        s, s"$root/old", s"$root/new", targetCellRows = 16L)
+      val copyVec = transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))
+      val batch = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), copyVec.as("embedding"))
+      AnnIndex.crossNeighbors(
+        batch, "vec_id", "embedding", s"$root/new", threshold = 0.99, nprobe = nlist)
+        .select(col("corpus_id"), col("batch_id"))
+    },
+    Some("""
+      SELECT vec_id AS corpus_id, vec_id + 1000000 AS batch_id
+      FROM embeddings WHERE vec_id % 10 = 0"""))
+
   /** Row-level expectation routing: q61's scorecard says how many rows
     * break each rule; this emits WHICH rows and WHY — the quarantine
     * feed (`Expectations.annotate`, the scan side of `route`). The
@@ -8975,6 +9052,7 @@ object Queries {
     q62RobustOutliers, q62cRobustOutliersExact, q63Funnel,
     q63bFunnelWindowed, q64CohortRetention, q64bCohortRates, q64cCohortCalendar,
     q65AnnIndexDedup, q65bAnnIndexDedupPq, q65cAnnCrossExact, q65dAnnIngest,
+    q65eAnnAutoSized, q65fAnnRebuild,
     q66ExpectationsRoute, q67FunnelSqlAgg,
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
     q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs,

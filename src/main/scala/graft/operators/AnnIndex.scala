@@ -268,6 +268,105 @@ object AnnIndex {
     append(emb, idCol, vecCol, path, batch)
   }
 
+  /** Corpus-scaled coarse-cell count: `ceil(corpusRows / targetCellRows)`
+    * clamped to `[minNlist, maxNlist]` — production IVF sizing keeps the
+    * CELL size constant as the corpus grows, so probe cost
+    * (≈ batch × nprobe × targetCellRows) stays flat instead of growing
+    * with the corpus. The need is measured, not theoretical: at a 100×
+    * corpus a `nlist = 16` index probed 2.6× slower than the same corpus
+    * rebuilt at the corpus-scaled `nlist = 160`, with a bit-identical
+    * result (BENCH_NOTES.md round-15 100× table — ADC-scan work is
+    * ∝ corpus/nlist, so fixed geometry turns 10× corpus × 10× batch into
+    * 100× work). The default 4096-row cells keep per-probe posting reads
+    * page-sized at any corpus; `maxNlist` bounds quantizer size (the
+    * centroid table is nlist × dim doubles, broadcast to every probe).
+    */
+  def autoNlist(
+      corpusRows: Long,
+      targetCellRows: Long = 4096L,
+      minNlist: Int = 16,
+      maxNlist: Int = 1 << 16): Int = {
+    require(targetCellRows > 0, s"targetCellRows must be positive, got $targetCellRows")
+    require(minNlist >= 1 && maxNlist >= minNlist,
+      s"need 1 <= minNlist <= maxNlist, got [$minNlist, $maxNlist]")
+    val want = (math.max(0L, corpusRows) + targetCellRows - 1L) / targetCellRows
+    math.min(maxNlist.toLong, math.max(minNlist.toLong, want)).toInt
+  }
+
+  /** [[build]] with [[autoNlist]] geometry: one corpus count (skipped when
+    * the caller already knows `corpusRows`) picks the cell count, training
+    * scales with it — the sampled-kmeans path widens its driver-side
+    * sample to `32 × nlist` rows (a fixed 512-row sample starves k-means
+    * past a few dozen centroids), and above `fullTrainAbove` centroids
+    * training switches to the distributed full-corpus Lloyd
+    * ([[Similarity.trainIvfFull]]) where a driver-side sample is both too
+    * small to cover the cells and too big to hold. Returns the chosen
+    * `nlist` so the caller can size `nprobe` (recall is governed by
+    * nprobe/nlist, so a caller holding a fixed nprobe while nlist scales
+    * should scale nprobe with it). Driver-gated as q65e at
+    * `nprobe = nlist` (exact semantics — the pure-arithmetic oracle).
+    */
+  def buildAuto(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      targetCellRows: Long = 4096L,
+      minNlist: Int = 16,
+      maxNlist: Int = 1 << 16,
+      corpusRows: Option[Long] = None,
+      fullTrainAbove: Int = 512,
+      kmeansIters: Int = 5,
+      batch: String = "00000001"): Int = {
+    val n = corpusRows.getOrElse(emb.count())
+    val nlist = autoNlist(n, targetCellRows, minNlist, maxNlist)
+    init(emb.sparkSession, path, trainAuto(emb, idCol, vecCol, nlist, fullTrainAbove, kmeansIters))
+    append(emb, idCol, vecCol, path, batch)
+    nlist
+  }
+
+  /** [[buildPq]] with [[autoNlist]] geometry — the IVF-PQ face of
+    * [[buildAuto]] (same sizing, same training switch, same returned
+    * nlist). PQ codebook geometry (`m`, `ksub`) is data-width, not
+    * corpus-size, so it stays explicit.
+    */
+  def buildPqAuto(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      targetCellRows: Long = 4096L,
+      m: Int = 8,
+      ksub: Int = 16,
+      minNlist: Int = 16,
+      maxNlist: Int = 1 << 16,
+      corpusRows: Option[Long] = None,
+      fullTrainAbove: Int = 512,
+      kmeansIters: Int = 5,
+      batch: String = "00000001"): Int = {
+    val n = corpusRows.getOrElse(emb.count())
+    val nlist = autoNlist(n, targetCellRows, minNlist, maxNlist)
+    initPq(emb.sparkSession, path,
+      trainAuto(emb, idCol, vecCol, nlist, fullTrainAbove, kmeansIters),
+      Pq.train(emb, idCol, vecCol, m, ksub,
+        math.max(512, 4 * ksub), kmeansIters))
+    append(emb, idCol, vecCol, path, batch)
+    nlist
+  }
+
+  private def trainAuto(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      fullTrainAbove: Int,
+      kmeansIters: Int): IvfIndex =
+    if (nlist <= fullTrainAbove)
+      Similarity.trainIvf(emb, idCol, vecCol, nlist,
+        sampleRows = math.max(512, 32 * nlist), kmeansIters = kmeansIters)
+    else
+      Similarity.trainIvfFull(emb, idCol, vecCol, nlist, kmeansIters)
+
   /** Per-batch postings counts — the maintenance signal for [[compact]]:
     * (batch, vectors). One narrow count per batch; the label comes from
     * the file path (`_metadata.file_path`), not the inferred partition
@@ -306,6 +405,76 @@ object AnnIndex {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     old.foreach(b => fs.delete(new Path(s"${vectorsDir(path)}/batch=$b"), true))
     label
+  }
+
+  /** Geometry health, one row: has continuous ingestion outgrown the cell
+    * count this index was built with? `(nlist, corpus_rows,
+    * mean_cell_rows, sized_nlist, resize_recommended)` — recommended when
+    * the mean cell holds more than `slack × targetCellRows` postings AND
+    * resizing would actually change the geometry. The signal behind the
+    * round-15 100× finding: probe work grows ∝ corpus/nlist, so an index
+    * that ingested 10× its build-time corpus probes ~10× slower per cell
+    * until [[rebuildAuto]] restores constant-size cells. One postings
+    * count, driver-thin — run it on the [[stats]]/[[compact]] maintenance
+    * cadence.
+    */
+  def resizeReport(
+      spark: SparkSession,
+      path: String,
+      targetCellRows: Long = 4096L,
+      slack: Double = 4.0,
+      minNlist: Int = 16,
+      maxNlist: Int = 1 << 16): DataFrame = {
+    val nlist = quantizer(spark, path).nlist
+    val n =
+      if (batches(spark, path).isEmpty) 0L
+      else spark.read.parquet(vectorsDir(path)).count()
+    val sized = autoNlist(n, targetCellRows, minNlist, maxNlist)
+    val meanCell = if (nlist == 0) 0.0 else n.toDouble / nlist
+    import spark.implicits._
+    Seq((nlist, n, meanCell, sized,
+      meanCell > slack * targetCellRows && sized != nlist))
+      .toDF("nlist", "corpus_rows", "mean_cell_rows", "sized_nlist",
+        "resize_recommended")
+  }
+
+  /** One-call retrain-and-rebuild at [[autoNlist]] geometry — the
+    * documented rebuild protocol ([[init]] refuses to retrain in place
+    * because landed postings carry the OLD cell assignment) packaged as
+    * an operator. Reads the landed postings' raw `(id, vec)` once
+    * (id-deduplicated: during [[compact]]'s promote-then-delete window a
+    * posting legitimately exists twice), trains at the corpus-sized cell
+    * count, and lands everything as batch `00000001` of a fresh index at
+    * `newPath`. The caller flips readers to `newPath` (a config/symlink
+    * swap — the index is immutable-by-path, so the flip is atomic by
+    * construction) and deletes the old index afterwards. A PQ index keeps
+    * its codebook: PQ geometry is data-width, not corpus-size, and
+    * [[append]] recomputes codes/norms either way. Returns the chosen
+    * nlist so the caller re-sizes `nprobe` in the same breath.
+    */
+  def rebuildAuto(
+      spark: SparkSession,
+      oldPath: String,
+      newPath: String,
+      targetCellRows: Long = 4096L,
+      minNlist: Int = 16,
+      maxNlist: Int = 1 << 16,
+      fullTrainAbove: Int = 512,
+      kmeansIters: Int = 5): Int = {
+    require(batches(spark, oldPath).nonEmpty,
+      s"nothing to rebuild at $oldPath — the index holds no batches")
+    require(batches(spark, newPath).isEmpty,
+      s"rebuild target $newPath already holds batches; pick a fresh path")
+    val vecs = spark.read.parquet(vectorsDir(oldPath))
+      .select(col("id"), col("vec"))
+      .dropDuplicates("id")
+    val n = vecs.count()
+    val nlist = autoNlist(n, targetCellRows, minNlist, maxNlist)
+    val index = trainAuto(vecs, "id", "vec", nlist, fullTrainAbove, kmeansIters)
+    if (hasPq(spark, oldPath)) initPq(spark, newPath, index, pqCodebook(spark, oldPath))
+    else init(spark, newPath, index)
+    append(vecs, "id", "vec", newPath, "00000001")
+    nlist
   }
 
   /** Delete invisible staging residue left by crashed appends. Safe while

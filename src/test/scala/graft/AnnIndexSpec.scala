@@ -364,4 +364,124 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.batches(spark, path) == Seq("00000001"))
     Caches.release()
   }
+
+  test("autoNlist: ceil division, both clamps, input guards") {
+    // natural ceil-division region
+    assert(AnnIndex.autoNlist(4096L * 100, 4096L) == 100)
+    assert(AnnIndex.autoNlist(4096L * 100 + 1, 4096L) == 101)
+    // clamps: an empty/small corpus floors at minNlist, a huge one caps
+    assert(AnnIndex.autoNlist(0L) == 16)
+    assert(AnnIndex.autoNlist(100L, 4096L, minNlist = 16) == 16)
+    assert(AnnIndex.autoNlist(1L << 40, 4096L) == (1 << 16))
+    // the measured 100x case: the sf1-replica corpus (~200k vectors had
+    // it been embeddings-shaped) at ~1.25k-row cells sizes to ~160 cells
+    assert(AnnIndex.autoNlist(200000L, 1250L) == 160)
+    intercept[IllegalArgumentException](AnnIndex.autoNlist(10L, 0L))
+    intercept[IllegalArgumentException](
+      AnnIndex.autoNlist(10L, 16L, minNlist = 8, maxNlist = 4))
+  }
+
+  test("buildAuto sizes the quantizer to the corpus and serves exact answers at nprobe = nlist") {
+    val path = tmp()
+    // 64 one-hot (mutually orthogonal — cosine 0 between any two, so a
+    // scaled copy matches ONLY its source) vectors at 8-row target cells
+    // -> 8 centroids, the natural region (not the min clamp); a known
+    // count skips the scan
+    val wide = (0 until 64).map { i =>
+      val v = Array.fill(64)(0.0f); v(i) = 1.0f
+      (i.toLong, v.toSeq)
+    }.toDF("id", "vec")
+    val nlist = AnnIndex.buildAuto(
+      wide, "id", "vec", path, targetCellRows = 8L,
+      minNlist = 2, corpusRows = Some(64L))
+    assert(nlist == 8, s"64 rows / 8-row cells must size to 8, got $nlist")
+    assert(Similarity.IvfIndex.load(spark, s"$path/centroids").nlist == 8)
+    // at nprobe = nlist the index is exact: scaled copies pair with
+    // exactly their source, nothing else reaches cosine 0.99
+    val probe = wide.where(col("id") % 8 === 0)
+      .select((col("id") + 100L).as("id"),
+        transform(col("vec"), x => (x * lit(1.001f)).cast("float")).as("vec"))
+    val pairs = AnnIndex.crossNeighbors(
+      probe, "id", "vec", path, threshold = 0.99, nprobe = nlist)
+      .select(col("corpus_id"), col("batch_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0 until 64 by 8).map(i => (i.toLong, i + 100L)).toSet,
+      s"pairs = $pairs")
+    Caches.release()
+  }
+
+  test("resizeReport flags outgrown geometry; rebuildAuto restores it with identical answers") {
+    val oldPath = tmp(); val newPath = tmp() + "/new"
+    // 64 one-hot vectors (pairwise cosine 0 — only the planted copies can
+    // pair) landed under a 2-cell quantizer = 32-row mean cells
+    val wide = (0 until 64).map { i =>
+      val v = Array.fill(64)(0.0f); v(i) = 1.0f
+      (i.toLong, v.toSeq)
+    }.toDF("id", "vec")
+    AnnIndex.build(wide, "id", "vec", oldPath, nlist = 2, sampleRows = 64)
+    val flagged = AnnIndex.resizeReport(
+      spark, oldPath, targetCellRows = 8L, slack = 2.0, minNlist = 2).head()
+    assert(flagged.getAs[Long]("corpus_rows") == 64L)
+    assert(flagged.getAs[Int]("nlist") == 2)
+    assert(flagged.getAs[Int]("sized_nlist") == 8)
+    assert(flagged.getAs[Boolean]("resize_recommended"),
+      s"32-row mean cells over an 8-row target must recommend resize: $flagged")
+    val nlist = AnnIndex.rebuildAuto(
+      spark, oldPath, newPath, targetCellRows = 8L, minNlist = 2)
+    assert(nlist == 8)
+    // right-sized geometry no longer recommends
+    assert(!AnnIndex.resizeReport(
+      spark, newPath, targetCellRows = 8L, slack = 2.0, minNlist = 2)
+      .head().getAs[Boolean]("resize_recommended"))
+    // same exact answers at nprobe = nlist from old and new geometry
+    val probe = wide.where(col("id") % 8 === 0)
+      .select((col("id") + 100L).as("id"),
+        transform(col("vec"), x => (x * lit(1.001f)).cast("float")).as("vec"))
+    def pairs(path: String, np: Int) =
+      AnnIndex.crossNeighbors(probe, "id", "vec", path, threshold = 0.99, nprobe = np)
+        .select(col("corpus_id"), col("batch_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(newPath, nlist) == pairs(oldPath, 2))
+    assert(pairs(newPath, nlist) == (0 until 64 by 8).map(i => (i.toLong, i + 100L)).toSet)
+    // guards: refuse an empty source and a non-fresh target
+    intercept[IllegalArgumentException](
+      AnnIndex.rebuildAuto(spark, tmp(), tmp() + "/x"))
+    intercept[IllegalArgumentException](
+      AnnIndex.rebuildAuto(spark, oldPath, newPath))
+    Caches.release()
+  }
+
+  test("rebuildAuto carries a PQ index's codebook; the PQ probe survives the rebuild") {
+    val oldPath = tmp(); val newPath = tmp() + "/new"
+    AnnIndex.buildPq(corpus, "id", "vec", oldPath, nlist = 2, m = 2, ksub = 4, sampleRows = 8)
+    val nlist = AnnIndex.rebuildAuto(
+      spark, oldPath, newPath, targetCellRows = 2L, minNlist = 2)
+    assert(nlist == 2)
+    assert(AnnIndex.hasPq(spark, newPath), "rebuild must carry the codebook")
+    val pq = AnnIndex.crossNeighborsPq(
+      batch, "id", "vec", newPath, threshold = 0.95, nprobe = nlist, margin = 0.3)
+      .select(col("corpus_id"), col("batch_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq == Set((1L, 11L), (3L, 13L)), s"pq = $pq")
+    Caches.release()
+  }
+
+  test("buildPqAuto returns the sized nlist and the PQ probe matches the flat probe") {
+    val flatPath = tmp(); val pqPath = tmp()
+    val nlist = AnnIndex.buildPqAuto(
+      corpus, "id", "vec", pqPath, targetCellRows = 2L,
+      m = 2, ksub = 4, minNlist = 2)
+    assert(nlist == 2, s"4 rows / 2-row cells = 2 cells, got $nlist")
+    AnnIndex.build(corpus, "id", "vec", flatPath, nlist = 2, sampleRows = 8)
+    val pq = AnnIndex.crossNeighborsPq(
+      batch, "id", "vec", pqPath, threshold = 0.95, nprobe = nlist, margin = 0.3)
+      .select(col("corpus_id"), col("batch_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = AnnIndex.crossNeighbors(
+      batch, "id", "vec", flatPath, threshold = 0.95, nprobe = 2)
+      .select(col("corpus_id"), col("batch_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq == flat, s"pq=$pq flat=$flat")
+    Caches.release()
+  }
 }
