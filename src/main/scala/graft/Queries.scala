@@ -2820,8 +2820,13 @@ object Queries {
     (s, dir) => {
       val base = t(s, dir, "embeddings").select("vec_id", "embedding")
       val path = java.nio.file.Files.createTempDirectory("graft_ann_auto").toString
+      // fullTrainAbove = 64 splits the training branch across the gate
+      // SFs: sf0.01 (nlist 32) exercises the widened-sample kmeans path,
+      // sf0.1 (nlist 125) the distributed Lloyd with k-means|| seeding —
+      // both exact at nprobe = nlist, so one oracle gates both branches
       val nlist = AnnIndex.buildAuto(
-        base, "vec_id", "embedding", path, targetCellRows = 16L)
+        base, "vec_id", "embedding", path, targetCellRows = 16L,
+        fullTrainAbove = 64)
       val copyVec = transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))
       val negVec = transform(col("embedding"), x => (-x).cast("float"))
       val batch = base.where(col("vec_id") % 10 === 0)

@@ -365,7 +365,10 @@ object AnnIndex {
       Similarity.trainIvf(emb, idCol, vecCol, nlist,
         sampleRows = math.max(512, 32 * nlist), kmeansIters = kmeansIters)
     else
-      Similarity.trainIvfFull(emb, idCol, vecCol, nlist, kmeansIters)
+      // the large-nlist regime is exactly where uniform seeding starves
+      // cells — the full trainer runs with k-means|| seeding here
+      Similarity.trainIvfFull(emb, idCol, vecCol, nlist, kmeansIters,
+        scalableSeed = true)
 
   /** Per-batch postings counts — the maintenance signal for [[compact]]:
     * (batch, vectors). One narrow count per batch; the label comes from

@@ -560,7 +560,13 @@ object Similarity {
     * move.
     *
     * Seeding is the same deterministic xxhash64 draw as [[trainIvf]]
-    * (first `4·nlist` rows in hash order, content-distinct, take nlist).
+    * (first `4·nlist` rows in hash order, content-distinct, take nlist) —
+    * effectively a uniform sample, fine for tens of centroids. With
+    * `scalableSeed = true` it switches to distributed k-means||
+    * ([[seedKMeansPar]]): at the large-nlist regime this trainer exists
+    * for, a uniform draw routinely seeds two centroids in one dense blob
+    * and none in a sparse one, and Lloyd cannot un-starve a cell it
+    * never seeded — unbalanced cells are probe-cost skew forever.
     * Iterations are deterministic bit-for-bit on integer-valued vectors
     * (exact FP addition — pinned by KmeansSpec against a single-threaded
     * reference); real-valued corpora converge within standard FP
@@ -572,16 +578,21 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nlist: Int = 16,
-      iters: Int = 5): IvfIndex = {
+      iters: Int = 5,
+      scalableSeed: Boolean = false): IvfIndex = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val seedRows = emb
-      .orderBy(xxhash64(col(idCol)))
-      .select(col(vecCol).cast("array<double>"))
-      .limit(4 * nlist)
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(seedRows.nonEmpty, "cannot train IVF centroids on an empty corpus")
-    var centroids = seedRows.distinctBy(_.toSeq).take(nlist)
+    var centroids =
+      if (scalableSeed) seedKMeansPar(emb, idCol, vecCol, nlist)
+      else {
+        val seedRows = emb
+          .orderBy(xxhash64(col(idCol)))
+          .select(col(vecCol).cast("array<double>"))
+          .limit(4 * nlist)
+          .collect()
+          .map(_.getSeq[Double](0).toArray)
+        require(seedRows.nonEmpty, "cannot train IVF centroids on an empty corpus")
+        seedRows.distinctBy(_.toSeq).take(nlist)
+      }
     val vecs = emb.select(col(vecCol).as("__vec"))
     for (_ <- 0 until iters) {
       val idx = IvfIndex(centroids)
@@ -606,6 +617,174 @@ object Similarity {
       }
     }
     IvfIndex(centroids)
+  }
+
+  /** Distributed k-means|| seeding (Bahmani, Moseley, Vattani, Kumar —
+    * "Scalable K-Means++", VLDB 2012): `k` starting centroids chosen by
+    * distance-proportional oversampling, the published fix for uniform
+    * seeding at large k. A uniform draw over a multi-modal corpus seeds
+    * dense blobs many times and sparse ones never; Lloyd cannot un-starve
+    * a region it never seeded, and for IVF the result is permanent cell
+    * imbalance — probe-cost skew. k-means|| seeds each round ∝ d²(x, C),
+    * so uncovered regions (large distances) attract the next candidates.
+    *
+    * Distributed shape, per round: ONE corpus scan for the potential
+    * φ = Σ d²(x, C) and ONE sampling scan keeping rows where
+    * `u · φ < l · d²` (equivalent to p = min(1, l·d²/φ)) — both through
+    * the codegen'd [[graft.expressions.MinSqDistExpr]] with the candidate
+    * set baked in as a plan constant; nothing corpus-sized ever shuffles
+    * or collects. The uniform `u` is xxhash64(id, round) — no RNG state,
+    * retry-stable; bit-determinism carries the same caveat as
+    * [[trainIvfFull]]'s iterations (φ is a distributed double sum, exact
+    * on integer-valued vectors, reduction-order FP on real ones — a
+    * borderline sample could flip across runs; the saved-centroid
+    * artifact contract absorbs it). Expected candidates per
+    * round = `l` (default 2k; the paper's l = 0.5k also works — use it
+    * when k is in the tens of thousands to keep the driver recluster,
+    * O(candidates · k · dim) per iteration, tractable). A final
+    * counting scan weights each candidate by the corpus mass nearest it,
+    * and a driver-side weighted Lloyd ([[kmeansWeighted]], seeded by the
+    * k heaviest candidates) reclusters the ~rounds·l candidates down to
+    * k. Degenerate corpora degrade safely: fewer than k distinct vectors
+    * returns them all (the IVF index takes its nlist from the centroid
+    * count), and a φ = 0 round (every row coincides with a candidate)
+    * stops early. Corrupt all-NaN vectors carry infinite potential and
+    * are taken as candidates directly, capped at l — they surface in the
+    * seed pool instead of silently poisoning φ.
+    */
+  def seedKMeansPar(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int = 3,
+      oversamplePerRound: Int = 0,
+      reclusterIters: Int = 5): Array[Array[Double]] = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val l = if (oversamplePerRound > 0) oversamplePerRound else 2 * k
+    val vecs = emb
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
+    val first = vecs.orderBy(xxhash64(col("__id"))).limit(1).collect()
+    require(first.nonEmpty, "cannot seed k-means|| on an empty corpus")
+    val dim = first(0).getSeq[Double](1).size
+    val cands = scala.collection.mutable.ArrayBuffer[Array[Double]](
+      first(0).getSeq[Double](1).toArray)
+    val seen = scala.collection.mutable.HashSet[Seq[Double]](cands.head.toSeq)
+    def minD = ColumnBridge.column(graft.expressions.MinSqDistExpr(
+      ColumnBridge.eagerExpression(col("__vec")),
+      cands.toArray.flatten.toIndexedSeq, dim))
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val phi = vecs.agg(sum(minD).as("__phi")).collect()(0).getDouble(0)
+      val sampled: Array[Array[Double]] =
+        if (phi <= 0.0) { done = true; Array.empty }
+        else if (java.lang.Double.isInfinite(phi))
+          // corrupt vectors (NaN to every candidate) own the potential:
+          // take them directly, capped, and let the next round's finite
+          // residue sample normally
+          vecs.where(minD === lit(Double.PositiveInfinity))
+            .orderBy(xxhash64(col("__id"))).limit(l)
+            .select("__vec").collect().map(_.getSeq[Double](0).toArray)
+        else {
+          val u = pmod(xxhash64(col("__id"), lit(r)), lit(1000000L))
+            .cast("double") / lit(1000000.0)
+          vecs.where(u * lit(phi) < lit(l.toDouble) * minD)
+            .orderBy(xxhash64(col("__id"))).limit(8 * l)
+            .select("__vec").collect().map(_.getSeq[Double](0).toArray)
+        }
+      cands ++= sampled.filter(v => seen.add(v.toSeq))
+      r += 1
+    }
+    if (cands.size < k)
+      cands ++= vecs.orderBy(xxhash64(col("__id"))).limit(4 * k)
+        .select("__vec").collect().map(_.getSeq[Double](0).toArray)
+        .filter(v => seen.add(v.toSeq))
+    if (cands.size <= k) return cands.toArray
+    val cIdx = ColumnBridge.column(graft.expressions.NearestCentroidsExpr(
+      ColumnBridge.eagerExpression(col("__vec")),
+      cands.toArray.flatten.toIndexedSeq, dim, 1)).getItem(0)
+    val wmap = vecs.groupBy(cIdx.as("__c")).agg(count(lit(1)).as("__n"))
+      .collect().map(row => row.getAs[Int]("__c") -> row.getAs[Long]("__n")).toMap
+    val weights = cands.indices.map(i => wmap.getOrElse(i, 0L)).toArray
+    kmeansWeighted(cands.toArray, weights, k, reclusterIters)
+  }
+
+  /** Weighted driver-side Lloyd — [[seedKMeansPar]]'s recluster step.
+    * Each candidate point carries the corpus mass nearest it, so the
+    * recluster optimizes the same objective the corpus would, over
+    * rounds·l points instead of n. Seeding is deterministic greedy
+    * weighted D² (the k-means++ criterion with argmax instead of a
+    * draw): heaviest candidate first, then repeatedly the candidate
+    * maximizing weight × d²(·, seeds), ties to the lower index. Plain
+    * top-k-by-weight would happily place two seeds inside one dense
+    * blob and none in a lighter distant one — the exact starvation the
+    * whole seeding pipeline exists to prevent; maximizing mass × spread
+    * covers distant weight by construction. Zero-weight points
+    * contribute no pull; an emptied centroid keeps its previous
+    * position, as in [[kmeans]].
+    */
+  private[graft] def kmeansWeighted(
+      points: Array[Array[Double]],
+      weights: Array[Long],
+      k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty && points.length == weights.length,
+      "weighted k-means needs one weight per point")
+    val dim = points.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val seedIdx = scala.collection.mutable.ArrayBuffer[Int](
+      points.indices.minBy(i => (-weights(i), i)))
+    val minD2 = points.map(p => d2(p, points(seedIdx.head)))
+    while (seedIdx.size < math.min(k, points.length)) {
+      val next = points.indices.maxBy(i =>
+        (weights(i) * minD2(i), -i.toDouble)) // ties -> lower index
+      if (weights(next) * minD2(next) <= 0.0) {
+        // remaining mass sits ON the seeds — fall back to heaviest unseeded
+        val rest = points.indices.filterNot(seedIdx.contains)
+          .sortBy(i => (-weights(i), i))
+        seedIdx ++= rest.take(math.min(k, points.length) - seedIdx.size)
+      } else {
+        seedIdx += next
+        var i = 0
+        while (i < points.length) {
+          val d = d2(points(i), points(next))
+          if (d < minD2(i)) minD2(i) = d
+          i += 1
+        }
+      }
+    }
+    var centroids = seedIdx.map(points(_)).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      var pi = 0
+      while (pi < points.length) {
+        val w = weights(pi)
+        if (w > 0L) {
+          val p = points(pi)
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < centroids.length) {
+            val d = d2(p, centroids(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+          }
+          counts(best) += w
+          var i = 0
+          while (i < dim) { sums(best)(i) += w * p(i); i += 1 }
+        }
+        pi += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
   }
 
   /** IVF search against a trained index: the query probes only its

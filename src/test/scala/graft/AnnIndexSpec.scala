@@ -410,6 +410,28 @@ class AnnIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("buildAuto's full-train branch (k-means|| seeding) stays exact at nprobe = nlist") {
+    val path = tmp()
+    val wide = (0 until 64).map { i =>
+      val v = Array.fill(64)(0.0f); v(i) = 1.0f
+      (i.toLong, v.toSeq)
+    }.toDF("id", "vec")
+    // fullTrainAbove = 1 forces the distributed-Lloyd + k-means|| branch
+    val nlist = AnnIndex.buildAuto(
+      wide, "id", "vec", path, targetCellRows = 8L,
+      minNlist = 2, fullTrainAbove = 1)
+    assert(nlist == 8)
+    val probe = wide.where(col("id") % 8 === 0)
+      .select((col("id") + 100L).as("id"),
+        transform(col("vec"), x => (x * lit(1.001f)).cast("float")).as("vec"))
+    val pairs = AnnIndex.crossNeighbors(
+      probe, "id", "vec", path, threshold = 0.99, nprobe = nlist)
+      .select(col("corpus_id"), col("batch_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0 until 64 by 8).map(i => (i.toLong, i + 100L)).toSet, s"pairs = $pairs")
+    Caches.release()
+  }
+
   test("resizeReport flags outgrown geometry; rebuildAuto restores it with identical answers") {
     val oldPath = tmp(); val newPath = tmp() + "/new"
     // 64 one-hot vectors (pairwise cosine 0 — only the planted copies can

@@ -100,6 +100,76 @@ class KmeansSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
   }
 
+  test("graft_min_sq_dist: hand values, NaN-to-infinity, null vector") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val cents = IndexedSeq(0.0, 0.0, 10.0, 0.0) // two 2-d centroids
+    def minD(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+      graft.expressions.MinSqDistExpr(ColumnBridge.eagerExpression(c), cents, 2))
+    val rows = Seq(
+      (1L, Seq(3.0f, 4.0f)),        // 25 to (0,0), 65 to (10,0) -> 25
+      (2L, Seq(9.0f, 0.0f)),        // 81 vs 1 -> 1
+      (3L, Seq(Float.NaN, 0.0f)),   // NaN to both -> +inf
+      (4L, null.asInstanceOf[Seq[Float]]))
+      .toDF("id", "v")
+    val got = rows.select(col("id"), minD(col("v")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L) === Some(25.0))
+    assert(got(2L) === Some(1.0))
+    assert(got(3L) === Some(Double.PositiveInfinity))
+    assert(got(4L) === None)
+  }
+
+  test("kmeansWeighted: centroids are weighted means, greedy weighted-D² seeding") {
+    // two 1-d clusters; weights pull the centroid toward the heavy point
+    val pts = Array(Array(0.0), Array(6.0), Array(100.0))
+    val w = Array(3L, 1L, 5L)
+    val got = Similarity.kmeansWeighted(pts, w, k = 2, iters = 3)
+    // seeds: heaviest (100.0) first, then argmax w·d² -> (0.0);
+    // cluster {0,6} mean = (3*0+1*6)/4
+    assert(got.map(_.toSeq).toSet === Set(Seq(1.5), Seq(100.0)))
+    // zero-weight points exert no pull
+    val gotZ = Similarity.kmeansWeighted(
+      Array(Array(0.0), Array(50.0), Array(100.0)), Array(4L, 0L, 4L), k = 2, iters = 3)
+    assert(gotZ.map(_.toSeq).toSet === Set(Seq(0.0), Seq(100.0)))
+  }
+
+  test("seedKMeansPar: k seeds, blob coverage, determinism on integer vectors") {
+    val rows = corpus(300)
+    val emb = rows.toDF("vec_id", "embedding").repartition(7)
+    val a = Similarity.seedKMeansPar(emb, "vec_id", "embedding", k = 3)
+    val b = Similarity.seedKMeansPar(emb, "vec_id", "embedding", k = 3)
+    assert(a.length === 3)
+    // integer-valued vectors: phi sums exactly, the whole draw is stable
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // the motivating property: every planted blob attracts a seed region
+    val blobCenters = Seq(
+      Seq(2.0, 2.0, 2.0, 2.0), Seq(102.0, 102.0, 2.0, 2.0), Seq(2.0, 2.0, 102.0, 102.0))
+    blobCenters.foreach { c =>
+      val nearest = a.map(k =>
+        k.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum).min
+      assert(nearest < 200.0, s"no seed near blob $c: ${a.map(_.toSeq).toSeq}")
+    }
+    // degenerate corpus: fewer distinct vectors than k returns them all
+    val tiny = Seq((1L, Seq(1.0f, 1.0f)), (2L, Seq(1.0f, 1.0f)), (3L, Seq(9.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val deg = Similarity.seedKMeansPar(tiny, "vec_id", "embedding", k = 5)
+    assert(deg.map(_.toSeq).toSet === Set(Seq(1.0, 1.0), Seq(9.0, 9.0)))
+  }
+
+  test("trainIvfFull with scalable seeding lands on the planted blob means") {
+    val rows = corpus(300)
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Similarity.trainIvfFull(
+      emb, "vec_id", "embedding", nlist = 3, iters = 6, scalableSeed = true)
+    val blobCenters = Seq(
+      Seq(2.0, 2.0, 2.0, 2.0), Seq(102.0, 102.0, 2.0, 2.0), Seq(2.0, 2.0, 102.0, 102.0))
+    blobCenters.foreach { c =>
+      val nearest = got.centroids.map(k =>
+        k.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      assert(nearest < 25.0, s"no trained centroid near blob $c: ${got.centroids.map(_.toSeq).toSeq}")
+    }
+  }
+
   test("graft_vec_sum SQL surface and dimension-mismatch loudness") {
     graft.expressions.GraftFunctions.register(spark)
     Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f))).toDF("id", "v")
