@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DateType, DoubleType, IntegerType, LongType, StringType, StructType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -21,18 +21,22 @@ object Verify {
     */
   private[graft] def assertHashableSchema(name: String, schema: StructType): Unit =
     schema.fields.foreach { f =>
-      def bad(kind: String): Nothing = throw new IllegalArgumentException(
-        s"[verify] $name output column '${f.name}' is $kind — oracle-gated gate faces " +
-          "must project BIGINT/DOUBLE/VARCHAR/DATE/BOOL only. Cast decimals through " +
-          "Queries.loudBigint (or to string when the value can exceed long at scale); " +
-          "join arrays with concat_ws. See the Queries catalog header and " +
-          ".claude/skills/verify/SKILL.md.")
+      // ALLOWLIST, not a blacklist (round-15 review): the documented rule
+      // is "INT/BIGINT/DOUBLE/VARCHAR/DATE/BOOL only", and a blacklist of
+      // known-bad types silently admits the NEXT asymmetric type — a raw
+      // TIMESTAMP (the nanos-vs-micros events hazard the catalog header
+      // warns about), FLOAT, BINARY — recreating the exact mystery-red
+      // failure class this guard exists to make loud at dump time.
       f.dataType match {
-        case _: DecimalType => bad("DECIMAL-typed")
-        case _: ArrayType   => bad("ARRAY-typed")
-        case _: MapType     => bad("MAP-typed")
-        case _: StructType  => bad("STRUCT-typed")
-        case _ => ()
+        case IntegerType | LongType | DoubleType | StringType | DateType |
+             BooleanType => ()
+        case other => throw new IllegalArgumentException(
+          s"[verify] $name output column '${f.name}' is ${other.catalogString} — " +
+            "oracle-gated gate faces must project INT/BIGINT/DOUBLE/VARCHAR/DATE/BOOL " +
+            "only. Cast decimals through Queries.loudBigint (or to string when the " +
+            "value can exceed long at scale); join arrays with concat_ws; cast " +
+            "timestamps to date or epoch seconds. See the Queries catalog header " +
+            "and .claude/skills/verify/SKILL.md.")
       }
     }
 

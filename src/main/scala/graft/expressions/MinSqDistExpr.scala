@@ -18,11 +18,13 @@ import org.apache.spark.sql.types._
   * or materialize per-row structs.
   *
   * NaN element distances rank as +infinity per centroid; a vector whose
-  * distance to EVERY centroid is NaN yields +infinity (it samples with
-  * certainty — a corrupt vector surfaces as a candidate rather than
-  * silently vanishing from the seed pool; the caller's distinct/recluster
-  * absorbs it). A shorter vector scores over its prefix and a NULL vector
-  * yields NULL, matching [[NearestCentroidsExpr]]'s conventions.
+  * distance to EVERY centroid is NaN yields +infinity. Note the seeding
+  * implication: a corrupt vector's distance TO ITSELF is NaN, never 0, so
+  * it would dominate the sampling potential on every round forever —
+  * which is why [[graft.operators.Similarity.seedKMeansPar]] quarantines
+  * non-finite vectors before this expression ever sees one. A shorter
+  * vector scores over its prefix and a NULL vector yields NULL, matching
+  * [[NearestCentroidsExpr]]'s conventions.
   *
   * `centroidsFlat` is an IndexedSeq so equal centroid sets make
   * case-class-equal expressions (plan canonicalization sees the values).

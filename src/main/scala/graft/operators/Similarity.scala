@@ -643,14 +643,18 @@ object Similarity {
     * when k is in the tens of thousands to keep the driver recluster,
     * O(candidates · k · dim) per iteration, tractable). A final
     * counting scan weights each candidate by the corpus mass nearest it,
-    * and a driver-side weighted Lloyd ([[kmeansWeighted]], seeded by the
-    * k heaviest candidates) reclusters the ~rounds·l candidates down to
-    * k. Degenerate corpora degrade safely: fewer than k distinct vectors
+    * and a driver-side weighted Lloyd ([[kmeansWeighted]], seeded greedy
+    * weighted-D²) reclusters the ~rounds·l candidates down to k.
+    * Degenerate corpora degrade safely: fewer than k distinct vectors
     * returns them all (the IVF index takes its nlist from the centroid
     * count), and a φ = 0 round (every row coincides with a candidate)
-    * stops early. Corrupt all-NaN vectors carry infinite potential and
-    * are taken as candidates directly, capped at l — they surface in the
-    * seed pool instead of silently poisoning φ.
+    * stops early. Vectors with a NaN/±Inf/null ELEMENT are quarantined
+    * from seeding entirely — they carry no usable geometry, one of them
+    * makes φ infinite (the sampling probability degenerates), and a
+    * corrupt candidate's self-distance is NaN, never 0, so it would
+    * re-dominate φ forever (round-15 review). Lloyd still ASSIGNS such
+    * rows at index build time (NearestCentroidsExpr ranks NaN as +inf,
+    * deterministically); they just never define a centroid.
     */
   def seedKMeansPar(
       emb: DataFrame,
@@ -664,8 +668,13 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val l = if (oversamplePerRound > 0) oversamplePerRound else 2 * k
+    // quarantine corrupt vectors (NaN/±Inf/null element): !(|x| < ∞) is
+    // false only for finite elements, and a null element nulls the
+    // `exists`, which `where` drops — one predicate covers all three
+    val finiteOnly = !exists(col(vecCol),
+      x => !(abs(x.cast("double")) < lit(Double.PositiveInfinity)))
     val vecs = emb
-      .where(col(vecCol).isNotNull)
+      .where(col(vecCol).isNotNull && finiteOnly)
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
     val first = vecs.orderBy(xxhash64(col("__id"))).limit(1).collect()
     require(first.nonEmpty, "cannot seed k-means|| on an empty corpus")
@@ -682,13 +691,6 @@ object Similarity {
       val phi = vecs.agg(sum(minD).as("__phi")).collect()(0).getDouble(0)
       val sampled: Array[Array[Double]] =
         if (phi <= 0.0) { done = true; Array.empty }
-        else if (java.lang.Double.isInfinite(phi))
-          // corrupt vectors (NaN to every candidate) own the potential:
-          // take them directly, capped, and let the next round's finite
-          // residue sample normally
-          vecs.where(minD === lit(Double.PositiveInfinity))
-            .orderBy(xxhash64(col("__id"))).limit(l)
-            .select("__vec").collect().map(_.getSeq[Double](0).toArray)
         else {
           val u = pmod(xxhash64(col("__id"), lit(r)), lit(1000000L))
             .cast("double") / lit(1000000.0)
@@ -743,10 +745,18 @@ object Similarity {
     val seedIdx = scala.collection.mutable.ArrayBuffer[Int](
       points.indices.minBy(i => (-weights(i), i)))
     val minD2 = points.map(p => d2(p, points(seedIdx.head)))
+    // NaN-carrying points (their d2 is NaN to everything, themselves
+    // included) must never win the argmax — Ordering[Double] ranks NaN
+    // ABOVE +inf, so an unguarded key would select the same corrupt
+    // point k-1 times (round-15 review). Rank them as zero spread.
+    def key(i: Int): Double = {
+      val v = weights(i) * minD2(i)
+      if (v != v) 0.0 else v
+    }
     while (seedIdx.size < math.min(k, points.length)) {
       val next = points.indices.maxBy(i =>
-        (weights(i) * minD2(i), -i.toDouble)) // ties -> lower index
-      if (weights(next) * minD2(next) <= 0.0) {
+        (key(i), -i.toDouble)) // ties -> lower index
+      if (key(next) <= 0.0) {
         // remaining mass sits ON the seeds — fall back to heaviest unseeded
         val rest = points.indices.filterNot(seedIdx.contains)
           .sortBy(i => (-weights(i), i))

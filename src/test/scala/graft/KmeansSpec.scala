@@ -156,6 +156,29 @@ class KmeansSpec extends AnyFunSuite {
     assert(deg.map(_.toSeq).toSet === Set(Seq(1.0, 1.0), Seq(9.0, 9.0)))
   }
 
+  test("corrupt vectors are quarantined from seeding and never duplicate recluster seeds") {
+    // NaN/Inf/null-element vectors in the corpus: sampling must neither
+    // stall (a corrupt candidate's self-distance is NaN, never 0 — phi
+    // would stay infinite forever) nor surface them as seeds
+    val rows = corpus(120) ++ Seq(
+      (9001L, Seq(Float.NaN, 0f, 0f, 0f)),
+      (9002L, Seq(Float.PositiveInfinity, 0f, 0f, 0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val seeds = Similarity.seedKMeansPar(emb, "vec_id", "embedding", k = 3)
+    assert(seeds.length == 3)
+    assert(seeds.forall(_.forall(java.lang.Double.isFinite)),
+      seeds.map(_.toSeq).toSeq.toString)
+    // driver recluster guard (defense in depth — quarantine means no
+    // corrupt candidate normally arrives): a NaN point must not win the
+    // greedy argmax repeatedly (NaN ranks above +inf in Ordering[Double])
+    val pts = Array(Array(0.0), Array(Double.NaN), Array(100.0), Array(50.0))
+    val got = Similarity.kmeansWeighted(pts, Array(5L, 0L, 4L, 1L), k = 3, iters = 2)
+    assert(got.map(_.toSeq).toSet === Set(Seq(0.0), Seq(100.0), Seq(50.0)))
+    // even a weighted corrupt point yields distinct seeds, not k-1 copies
+    val got2 = Similarity.kmeansWeighted(pts, Array(5L, 2L, 4L, 1L), k = 3, iters = 1)
+    assert(got2.map(_.toSeq).distinct.size == 3)
+  }
+
   test("trainIvfFull with scalable seeding lands on the planted blob means") {
     val rows = corpus(300)
     val emb = rows.toDF("vec_id", "embedding")

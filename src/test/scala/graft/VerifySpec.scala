@@ -41,7 +41,7 @@ class VerifySpec extends AnyFunSuite {
       "a mid-write failure must delete the stale final dir, not leave either answer")
   }
 
-  test("oracle-gated faces may not project DECIMAL or nested types (r14 headline)") {
+  test("oracle-gated faces project ONLY the hashable allowlist (r14 headline, r15 allowlist)") {
     import org.apache.spark.sql.functions._
     // DECIMAL: the driver's hasher coerces it asymmetrically between its
     // Spark-parquet read and DuckDB fetch — q136/q138–q140 sat red two
@@ -50,14 +50,26 @@ class VerifySpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       Verify.assertHashableSchema("q_demo", dec.schema)
     }
-    assert(e.getMessage.contains("DECIMAL"), e.getMessage)
+    assert(e.getMessage.contains("decimal"), e.getMessage)
     val arr = spark.range(3).select(array(col("id")).as("v"))
     intercept[IllegalArgumentException] {
       Verify.assertHashableSchema("q_demo", arr.schema)
     }
-    // the hashable scalar surface passes untouched
+    // ALLOWLIST, not blacklist (r15 review): the next asymmetric type must
+    // fail too — a raw timestamp is the catalog header's canonical hazard
+    // (events nanos vs micros), float the next-likeliest drift
+    val ts = spark.range(3).select(current_timestamp().as("v"))
+    intercept[IllegalArgumentException] {
+      Verify.assertHashableSchema("q_demo", ts.schema)
+    }
+    val flt = spark.range(3).select(col("id").cast("float").as("v"))
+    intercept[IllegalArgumentException] {
+      Verify.assertHashableSchema("q_demo", flt.schema)
+    }
+    // the hashable scalar surface passes untouched (incl. INT)
     val ok = spark.range(3).select(
-      col("id").as("b"), col("id").cast("double").as("d"),
+      col("id").as("b"), col("id").cast("int").as("i"),
+      col("id").cast("double").as("d"),
       col("id").cast("string").as("s"), (col("id") > 1).as("f"),
       to_date(lit("2026-01-01")).as("dt"))
     Verify.assertHashableSchema("q_demo", ok.schema)
