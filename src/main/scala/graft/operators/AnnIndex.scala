@@ -454,6 +454,17 @@ object AnnIndex {
     * its codebook: PQ geometry is data-width, not corpus-size, and
     * [[append]] recomputes codes/norms either way. Returns the chosen
     * nlist so the caller re-sizes `nprobe` in the same breath.
+    *
+    * Live-ingest handover ([[graft.streaming.Streams.annIngest]] feeding
+    * this index): stop the stream, rebuild, restart pointed at `newPath`
+    * with the SAME checkpoint. The ingest lands output before it appends
+    * postings, so the one crash window (output landed, index append
+    * lost) replays cleanly: the re-executed micro-batch skips the landed
+    * output and appends its postings to the NEW index — which is exactly
+    * right, because the rebuild consumed only the batches the old index
+    * had actually committed. A FRESH checkpoint is the one wrong move
+    * (batch ids restart at 0 and replay the whole source into used
+    * output labels).
     */
   def rebuildAuto(
       spark: SparkSession,
@@ -478,6 +489,21 @@ object AnnIndex {
     else init(spark, newPath, index)
     append(vecs, "id", "vec", newPath, "00000001")
     nlist
+  }
+
+  /** The nprobe that preserves a recall FRACTION against this index's
+    * actual geometry: `ceil(fraction × nlist)`, floored at 1. IVF recall
+    * is governed by nprobe/nlist, so a caller holding `nprobe = 4` while
+    * [[buildAuto]]/[[rebuildAuto]] scale nlist with the corpus silently
+    * probes an ever-thinner corpus slice; reading the fraction off the
+    * saved quantizer keeps probe semantics stable across rebuilds
+    * (`fraction = 1.0` is the exact mode the q65e/q65f gates run at).
+    * One tiny centroid-table read, driver-side.
+    */
+  def nprobeFor(spark: SparkSession, path: String, fraction: Double): Int = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"recall fraction must be in (0, 1], got $fraction")
+    math.max(1, math.ceil(fraction * quantizer(spark, path).nlist).toInt)
   }
 
   /** Delete invisible staging residue left by crashed appends. Safe while

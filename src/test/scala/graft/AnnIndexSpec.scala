@@ -488,6 +488,17 @@ class AnnIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("nprobeFor reads the saved geometry: fraction x nlist, floored at 1, guarded") {
+    val path = tmp()
+    buildSmall(path) // nlist = 2
+    assert(AnnIndex.nprobeFor(spark, path, 1.0) == 2)
+    assert(AnnIndex.nprobeFor(spark, path, 0.5) == 1)
+    assert(AnnIndex.nprobeFor(spark, path, 0.01) == 1)
+    intercept[IllegalArgumentException](AnnIndex.nprobeFor(spark, path, 0.0))
+    intercept[IllegalArgumentException](AnnIndex.nprobeFor(spark, path, 1.5))
+    Caches.release()
+  }
+
   test("buildPqAuto returns the sized nlist and the PQ probe matches the flat probe") {
     val flatPath = tmp(); val pqPath = tmp()
     val nlist = AnnIndex.buildPqAuto(
