@@ -479,16 +479,27 @@ object AnnIndex {
       s"nothing to rebuild at $oldPath — the index holds no batches")
     require(batches(spark, newPath).isEmpty,
       s"rebuild target $newPath already holds batches; pick a fresh path")
-    val vecs = spark.read.parquet(vectorsDir(oldPath))
-      .select(col("id"), col("vec"))
-      .dropDuplicates("id")
-    val n = vecs.count()
-    val nlist = autoNlist(n, targetCellRows, minNlist, maxNlist)
-    val index = trainAuto(vecs, "id", "vec", nlist, fullTrainAbove, kmeansIters)
-    if (hasPq(spark, oldPath)) initPq(spark, newPath, index, pqCodebook(spark, oldPath))
-    else init(spark, newPath, index)
-    append(vecs, "id", "vec", newPath, "00000001")
-    nlist
+    // pinned: the deduped postings read feeds MANY actions — the count,
+    // every Lloyd iteration (plus the k-means|| potential/sampling/weight
+    // scans on the large-nlist branch), and the final append. Unpinned,
+    // each action replays the full scan AND the corpus-wide dedup
+    // exchange (~15 redundant shuffles at default iters); pinning pays
+    // it once, spilling to disk if the postings outgrow memory. Scoped
+    // so the pin cannot leak past the rebuild.
+    val scope = Caches.newScope()
+    try Caches.inScope(scope) {
+      val vecs = Caches.pin(
+        spark.read.parquet(vectorsDir(oldPath))
+          .select(col("id"), col("vec"))
+          .dropDuplicates("id"))
+      val n = vecs.count()
+      val nlist = autoNlist(n, targetCellRows, minNlist, maxNlist)
+      val index = trainAuto(vecs, "id", "vec", nlist, fullTrainAbove, kmeansIters)
+      if (hasPq(spark, oldPath)) initPq(spark, newPath, index, pqCodebook(spark, oldPath))
+      else init(spark, newPath, index)
+      append(vecs, "id", "vec", newPath, "00000001")
+      nlist
+    } finally scope.release()
   }
 
   /** The nprobe that preserves a recall FRACTION against this index's

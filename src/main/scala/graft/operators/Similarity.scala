@@ -742,8 +742,15 @@ object Similarity {
       while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
+    // NaN-carrying points are excluded from EVERY role — seed, argmax,
+    // and Lloyd mass (d2(NaN, c) is NaN, so an unguarded Lloyd pass
+    // silently assigns them to centroid 0 and poisons it to NaN).
+    // Unreachable via seedKMeansPar's quarantine; defense in depth for
+    // any other caller.
+    val nanPt: Array[Boolean] = points.map(_.exists(x => x != x))
+    require(nanPt.exists(!_), "weighted k-means needs at least one finite point")
     val seedIdx = scala.collection.mutable.ArrayBuffer[Int](
-      points.indices.minBy(i => (-weights(i), i)))
+      points.indices.minBy(i => (nanPt(i), -weights(i), i)))
     val minD2 = points.map(p => d2(p, points(seedIdx.head)))
     // NaN-carrying points (their d2 is NaN to everything, themselves
     // included) must never win the argmax — Ordering[Double] ranks NaN
@@ -753,14 +760,18 @@ object Similarity {
       val v = weights(i) * minD2(i)
       if (v != v) 0.0 else v
     }
-    while (seedIdx.size < math.min(k, points.length)) {
+    val seedTarget = math.min(k, nanPt.count(!_))
+    while (seedIdx.size < seedTarget) {
       val next = points.indices.maxBy(i =>
         (key(i), -i.toDouble)) // ties -> lower index
       if (key(next) <= 0.0) {
-        // remaining mass sits ON the seeds — fall back to heaviest unseeded
-        val rest = points.indices.filterNot(seedIdx.contains)
+        // remaining mass sits ON the seeds — fall back to heaviest
+        // unseeded FINITE points (a NaN fallback seed would re-open the
+        // poisoning this block exists to close)
+        val rest = points.indices
+          .filterNot(i => seedIdx.contains(i) || nanPt(i))
           .sortBy(i => (-weights(i), i))
-        seedIdx ++= rest.take(math.min(k, points.length) - seedIdx.size)
+        seedIdx ++= rest.take(seedTarget - seedIdx.size)
       } else {
         seedIdx += next
         var i = 0
@@ -778,7 +789,7 @@ object Similarity {
       var pi = 0
       while (pi < points.length) {
         val w = weights(pi)
-        if (w > 0L) {
+        if (w > 0L && !nanPt(pi)) {
           val p = points(pi)
           var best = 0; var bestD = Double.MaxValue; var c = 0
           while (c < centroids.length) {

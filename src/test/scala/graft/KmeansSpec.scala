@@ -174,9 +174,18 @@ class KmeansSpec extends AnyFunSuite {
     val pts = Array(Array(0.0), Array(Double.NaN), Array(100.0), Array(50.0))
     val got = Similarity.kmeansWeighted(pts, Array(5L, 0L, 4L, 1L), k = 3, iters = 2)
     assert(got.map(_.toSeq).toSet === Set(Seq(0.0), Seq(100.0), Seq(50.0)))
-    // even a weighted corrupt point yields distinct seeds, not k-1 copies
-    val got2 = Similarity.kmeansWeighted(pts, Array(5L, 2L, 4L, 1L), k = 3, iters = 1)
-    assert(got2.map(_.toSeq).distinct.size == 3)
+    // even a WEIGHTED corrupt point is excluded from every role — seed,
+    // argmax, and Lloyd mass (an unguarded Lloyd pass would assign it to
+    // centroid 0 and poison it to NaN; second round-15 review finding)
+    val got2 = Similarity.kmeansWeighted(pts, Array(5L, 2L, 4L, 1L), k = 3, iters = 2)
+    assert(got2.map(_.toSeq).toSet === Set(Seq(0.0), Seq(100.0), Seq(50.0)))
+    // a NaN point can never seed, even when it is the heaviest; and with
+    // more seats than finite points, seeds stay finite-only
+    val got3 = Similarity.kmeansWeighted(
+      Array(Array(Double.NaN), Array(7.0)), Array(9L, 1L), k = 2, iters = 1)
+    assert(got3.map(_.toSeq).toSeq === Seq(Seq(7.0)))
+    intercept[IllegalArgumentException](
+      Similarity.kmeansWeighted(Array(Array(Double.NaN)), Array(1L), k = 1, iters = 1))
   }
 
   test("trainIvfFull with scalable seeding lands on the planted blob means") {
