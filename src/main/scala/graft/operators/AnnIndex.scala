@@ -303,7 +303,11 @@ object AnnIndex {
     * small to cover the cells and too big to hold. Returns the chosen
     * `nlist` so the caller can size `nprobe` (recall is governed by
     * nprobe/nlist, so a caller holding a fixed nprobe while nlist scales
-    * should scale nprobe with it). Driver-gated as q65e at
+    * should scale nprobe with it — [[nprobeFor]] reads the fraction off
+    * the saved index). Scan budget on the full-train branch: one corpus
+    * scan per Lloyd iteration plus ~two per seeding round (trainIvfFull's
+    * documented shape) — pin the input first when it fits, as
+    * [[rebuildAuto]] does for its postings read. Driver-gated as q65e at
     * `nprobe = nlist` (exact semantics — the pure-arithmetic oracle).
     */
   def buildAuto(
