@@ -45,6 +45,9 @@ object Bench {
       standingTextIdx.getOrElseUpdate(dir, Queries.buildTextIndexBatches(spark, dir))
     def annIdxFor(dir: String): String =
       standingAnnIdx.getOrElseUpdate(dir, Queries.buildAnnPqIndex(spark, dir))
+    val standingAnnAutoIdx = scala.collection.mutable.Map.empty[String, String]
+    def annAutoIdxFor(dir: String): String =
+      standingAnnAutoIdx.getOrElseUpdate(dir, Queries.buildAnnPqAutoIndex(spark, dir))
     def modelsFor(dir: String): String =
       standingModels.getOrElseUpdate(dir, Queries.buildDsirModels(spark, dir))
     // Build-entry scratch indexes are deleted AFTER each timing sample
@@ -78,6 +81,14 @@ object Bench {
           dropScratch _),
         E("q65b_probe", (s, d) => noopWrite(Queries.annPqProbe(s, d, annIdxFor(d))),
           frame = Some((s, d) => Queries.annPqProbe(s, d, annIdxFor(d)))),
+        // round 15: the same serving workload at buildPqAuto's corpus-
+        // scaled geometry — the production default path gets its own
+        // regression guard; q65b_* keeps the pinned nlist = 16 for
+        // cross-round comparability
+        E("q65b_auto_build", (s, d) => { scratch += Queries.buildAnnPqAutoIndex(s, d); () },
+          dropScratch _),
+        E("q65b_auto_probe", (s, d) => noopWrite(Queries.annPqProbe(s, d, annAutoIdxFor(d))),
+          frame = Some((s, d) => Queries.annPqProbe(s, d, annAutoIdxFor(d)))),
         E("q106_build", (s, d) => { scratch += Queries.buildDsirModels(s, d); () },
           dropScratch _),
         E("q106_probe", (s, d) => noopWrite(Queries.dsirScore(s, d, modelsFor(d))),
@@ -108,7 +119,7 @@ object Bench {
     }
     // standing indexes for the probe entries, built once at the bench SF
     // OUTSIDE any timed pass
-    textIdxFor(sfDir); annIdxFor(sfDir); modelsFor(sfDir)
+    textIdxFor(sfDir); annIdxFor(sfDir); annAutoIdxFor(sfDir); modelsFor(sfDir)
     clear()
 
     // Three timed passes per query, cold cache each, MEDIAN of the three: a

@@ -59,6 +59,7 @@ object BenchProbe {
     val indexBuilders: Map[String, (String, (SparkSession, String) => String)] = Map(
       "q84_probe" -> (("text", (s, d) => Queries.buildTextIndexBatches(s, d))),
       "q65b_probe" -> (("ann", (s, d) => Queries.buildAnnPqIndex(s, d))),
+      "q65b_auto_probe" -> (("annauto", (s, d) => Queries.buildAnnPqAutoIndex(s, d))),
       "q106_probe" -> (("dsir", (s, d) => Queries.buildDsirModels(s, d))))
     def standingFor(entry: String, s: SparkSession, d: String): String = {
       val (kind, build) = indexBuilders.getOrElse(entry, sys.error(
@@ -68,6 +69,7 @@ object BenchProbe {
     val split: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "q84_probe" -> ((s, d) => Queries.textIndexProbe(s, standingFor("q84_probe", s, d))),
       "q65b_probe" -> ((s, d) => Queries.annPqProbe(s, d, standingFor("q65b_probe", s, d))),
+      "q65b_auto_probe" -> ((s, d) => Queries.annPqProbe(s, d, standingFor("q65b_auto_probe", s, d))),
       "q106_probe" -> ((s, d) => Queries.dsirScore(s, d, standingFor("q106_probe", s, d))),
       "q123_media_near_dup" -> ((s, d) => Queries.mediaNearDupFull(s, d)))
     // invoked UNTIMED against the real sfDir before the pass loop, so pass 1
@@ -80,6 +82,7 @@ object BenchProbe {
     val buildOnly: Map[String, (SparkSession, String) => Unit] = Map(
       "q84_build" -> ((s, d) => { Queries.buildTextIndexBatches(s, d); () }),
       "q65b_build" -> ((s, d) => { Queries.buildAnnPqIndex(s, d); () }),
+      "q65b_auto_build" -> ((s, d) => { Queries.buildAnnPqAutoIndex(s, d); () }),
       "q106_build" -> ((s, d) => { Queries.buildDsirModels(s, d); () }))
 
     val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
@@ -104,6 +107,7 @@ object BenchProbe {
               val path = name match {
                 case "q84_build" => Queries.buildTextIndexBatches(s, d)
                 case "q65b_build" => Queries.buildAnnPqIndex(s, d)
+                case "q65b_auto_build" => Queries.buildAnnPqAutoIndex(s, d)
                 case _ => Queries.buildDsirModels(s, d)
               }
               prev = Some(path)

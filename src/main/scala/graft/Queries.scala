@@ -2685,6 +2685,21 @@ object Queries {
     path
   }
 
+  /** q65b's index built at [[graft.operators.AnnIndex.buildPqAuto]]'s
+    * corpus-scaled geometry (16-row target cells — nlist 32 at sf0.01,
+    * 125 at sf0.1) instead of the pinned nlist = 16 — the bench face of
+    * the round-15 auto-geometry default. The q65b entries keep nlist = 16
+    * for cross-round comparability; these time what production callers
+    * actually get.
+    */
+  private[graft] def buildAnnPqAutoIndex(s: SparkSession, dir: String): String = {
+    val corpus = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_pq_auto_index").toString
+    AnnIndex.buildPqAuto(corpus, "vec_id", "embedding", path,
+      targetCellRows = 16L, m = 32, ksub = 256)
+    path
+  }
+
   private[graft] def annPqProbe(s: SparkSession, dir: String, path: String): DataFrame =
     AnnIndex.crossNeighborsPq(
       perturbedEmbeddings(s, dir), "vec_id", "embedding", path,
