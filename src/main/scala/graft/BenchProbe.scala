@@ -20,10 +20,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * Usage: runMain graft.BenchProbe <queryName> [passes=5] [sfDir]
   *
   * Besides catalog names, the bench-only SPLIT entries resolve too
-  * (q84_probe / q65b_probe / q106_probe / q84_build / q65b_build /
-  * q106_build / q123_media_near_dup) — round 14 hit a q84_probe blip
-  * the prober could not then attribute. Probe entries run against one
-  * standing index built untimed before the passes, exactly like Bench.
+  * (q84_probe / q65b_probe / q65b_auto_probe / q106_probe / q84_build /
+  * q65b_build / q65b_auto_build / q106_build / q123_media_near_dup) —
+  * round 14 hit a q84_probe blip the prober could not then attribute.
+  * Probe entries run against one standing index built untimed before
+  * the passes, exactly like Bench.
   */
 object BenchProbe {
   def main(args: Array[String]): Unit = {
@@ -69,7 +70,7 @@ object BenchProbe {
     val split: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "q84_probe" -> ((s, d) => Queries.textIndexProbe(s, standingFor("q84_probe", s, d))),
       "q65b_probe" -> ((s, d) => Queries.annPqProbe(s, d, standingFor("q65b_probe", s, d))),
-      "q65b_auto_probe" -> ((s, d) => Queries.annPqProbe(s, d, standingFor("q65b_auto_probe", s, d))),
+      "q65b_auto_probe" -> ((s, d) => Queries.annPqAutoProbe(s, d, standingFor("q65b_auto_probe", s, d))),
       "q106_probe" -> ((s, d) => Queries.dsirScore(s, d, standingFor("q106_probe", s, d))),
       "q123_media_near_dup" -> ((s, d) => Queries.mediaNearDupFull(s, d)))
     // invoked UNTIMED against the real sfDir before the pass loop, so pass 1
@@ -79,11 +80,14 @@ object BenchProbe {
       indexBuilders.map { case (entry, _) =>
         entry -> ((s: SparkSession, d: String) => { standingFor(entry, s, d); () })
       }
-    val buildOnly: Map[String, (SparkSession, String) => Unit] = Map(
-      "q84_build" -> ((s, d) => { Queries.buildTextIndexBatches(s, d); () }),
-      "q65b_build" -> ((s, d) => { Queries.buildAnnPqIndex(s, d); () }),
-      "q65b_auto_build" -> ((s, d) => { Queries.buildAnnPqAutoIndex(s, d); () }),
-      "q106_build" -> ((s, d) => { Queries.buildDsirModels(s, d); () }))
+    // build entries dispatch THROUGH this map (no second name match with
+    // a silent default — an entry registered here but mismatched there
+    // used to time buildDsirModels under the new entry's name)
+    val buildOnly: Map[String, (SparkSession, String) => String] = Map(
+      "q84_build" -> ((s, d) => Queries.buildTextIndexBatches(s, d)),
+      "q65b_build" -> ((s, d) => Queries.buildAnnPqIndex(s, d)),
+      "q65b_auto_build" -> ((s, d) => Queries.buildAnnPqAutoIndex(s, d)),
+      "q106_build" -> ((s, d) => Queries.buildDsirModels(s, d)))
 
     val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
       Queries.all.find(_.name == name).map(_.fn)
@@ -104,12 +108,7 @@ object BenchProbe {
                   .forEach(f => java.nio.file.Files.deleteIfExists(f))
                 finally walk.close()
               }
-              val path = name match {
-                case "q84_build" => Queries.buildTextIndexBatches(s, d)
-                case "q65b_build" => Queries.buildAnnPqIndex(s, d)
-                case "q65b_auto_build" => Queries.buildAnnPqAutoIndex(s, d)
-                case _ => Queries.buildDsirModels(s, d)
-              }
+              val path = buildOnly(name)(s, d)
               prev = Some(path)
               s.range(1).selectExpr(s"'$path' AS built_index")
             }

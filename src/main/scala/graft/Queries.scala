@@ -2706,6 +2706,21 @@ object Queries {
       threshold = 0.99, nprobe = 8, margin = 0.15)
       .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
 
+  /** [[annPqProbe]] against an AUTO-geometry index at CONSTANT recall
+    * fraction: nprobe = nprobeFor(path, 0.5), the same 8-of-16 fraction
+    * the pinned face probes — a fixed nprobe = 8 against a corpus-scaled
+    * nlist would silently shrink the probed fraction at every SF (the
+    * exact anti-pattern [[graft.operators.AnnIndex.nprobeFor]] exists to
+    * prevent), making the bench guard time a different, cheaper workload
+    * than the baseline beside it.
+    */
+  private[graft] def annPqAutoProbe(s: SparkSession, dir: String, path: String): DataFrame =
+    AnnIndex.crossNeighborsPq(
+      perturbedEmbeddings(s, dir), "vec_id", "embedding", path,
+      threshold = 0.99,
+      nprobe = AnnIndex.nprobeFor(s, path, 0.5), margin = 0.15)
+      .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
+
   val q65bAnnIndexDedupPq: Q = Q(
     "q65b_ann_index_dedup_pq",
     (s, dir) => annPqProbe(s, dir, buildAnnPqIndex(s, dir)),

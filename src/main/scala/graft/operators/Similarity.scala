@@ -742,12 +742,14 @@ object Similarity {
       while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    // NaN-carrying points are excluded from EVERY role — seed, argmax,
-    // and Lloyd mass (d2(NaN, c) is NaN, so an unguarded Lloyd pass
-    // silently assigns them to centroid 0 and poisons it to NaN).
-    // Unreachable via seedKMeansPar's quarantine; defense in depth for
-    // any other caller.
-    val nanPt: Array[Boolean] = points.map(_.exists(x => x != x))
+    // Non-FINITE points (NaN or ±Inf elements) are excluded from EVERY
+    // role — seed, argmax, and Lloyd mass: d2(NaN, c) is NaN and
+    // d2(Inf, c) is Inf, so an unguarded Lloyd pass silently assigns
+    // either to centroid 0 and poisons it (NaN through the key, Inf
+    // through the weighted sum). Unreachable via seedKMeansPar's
+    // quarantine; defense in depth for any other caller.
+    val nanPt: Array[Boolean] =
+      points.map(_.exists(x => !java.lang.Double.isFinite(x)))
     require(nanPt.exists(!_), "weighted k-means needs at least one finite point")
     val seedIdx = scala.collection.mutable.ArrayBuffer[Int](
       points.indices.minBy(i => (nanPt(i), -weights(i), i)))
@@ -757,6 +759,7 @@ object Similarity {
     // ABOVE +inf, so an unguarded key would select the same corrupt
     // point k-1 times (round-15 review). Rank them as zero spread.
     def key(i: Int): Double = {
+      if (nanPt(i)) return 0.0 // Inf spread would WIN the argmax; NaN needs the guard below
       val v = weights(i) * minD2(i)
       if (v != v) 0.0 else v
     }

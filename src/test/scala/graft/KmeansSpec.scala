@@ -184,8 +184,18 @@ class KmeansSpec extends AnyFunSuite {
     val got3 = Similarity.kmeansWeighted(
       Array(Array(Double.NaN), Array(7.0)), Array(9L, 1L), k = 2, iters = 1)
     assert(got3.map(_.toSeq).toSeq === Seq(Seq(7.0)))
+    // ±Inf points are the other half of the corrupt-value space: same
+    // exclusion from seed and mass (d2(Inf, c) = Inf poisons through the
+    // weighted sum, not the key)
+    val got4 = Similarity.kmeansWeighted(
+      Array(Array(Double.PositiveInfinity), Array(1.0), Array(2.0)),
+      Array(5L, 3L, 2L), k = 2, iters = 2)
+    assert(got4.map(_.toSeq).toSet === Set(Seq(1.0), Seq(2.0)))
     intercept[IllegalArgumentException](
       Similarity.kmeansWeighted(Array(Array(Double.NaN)), Array(1L), k = 1, iters = 1))
+    intercept[IllegalArgumentException](
+      Similarity.kmeansWeighted(
+        Array(Array(Double.PositiveInfinity)), Array(1L), k = 1, iters = 1))
   }
 
   test("trainIvfFull with scalable seeding lands on the planted blob means") {
