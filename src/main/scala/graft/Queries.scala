@@ -2052,6 +2052,31 @@ object Queries {
     },
     None)
 
+  /** [[graft.operators.DedupIndex.occupancyReport]] — the LSH index's
+    * bucket-skew maintenance report (VERDICT r15 item 4: the
+    * resizeReport symmetry for the dedup index). The index holds the
+    * corpus PLUS exact copies of every 10th doc, so at `maxBucket = 1`
+    * hot buckets exist by construction (identical text → identical
+    * minhash → the copy pair co-occupies all 16 band buckets) and both
+    * the hot and cold aggregation branches run under the gate. Bucket
+    * membership is xxhash64-banded minhash — not ANSI-expressible — so
+    * no DuckDB oracle; DedupIndexSpec pins the report's arithmetic on a
+    * hand corpus (README no-oracle register).
+    */
+  val q53eDedupIndexOccupancy: Q = Q(
+    "q53e_dedup_index_occupancy",
+    (s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "text")
+        .where(col("text").isNotNull)
+      val corpus = base.unionByName(
+        base.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val path = java.nio.file.Files.createTempDirectory("graft_dedup_occ").toString
+      DedupIndex.build(corpus, "text", "doc_id", path, numPerm = 64, bands = 16)
+      DedupIndex.occupancyReport(s, path, maxBucket = 1)
+    },
+    None)
+
   /** EXACT ground truth for q53: inverted-index all-pairs Jaccard over
     * corpus ∪ batch, restricted to CROSS pairs (corpus id < 1,000,000 ≤
     * batch id) — recall = 1 by construction, no hashing, DuckDB
@@ -2707,18 +2732,23 @@ object Queries {
       .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
 
   /** [[annPqProbe]] against an AUTO-geometry index at CONSTANT recall
-    * fraction: nprobe = nprobeFor(path, 0.5), the same 8-of-16 fraction
-    * the pinned face probes — a fixed nprobe = 8 against a corpus-scaled
+    * fraction: `Probe.Fraction(0.5)`, the same 8-of-16 fraction the
+    * pinned face probes — a fixed nprobe = 8 against a corpus-scaled
     * nlist would silently shrink the probed fraction at every SF (the
-    * exact anti-pattern [[graft.operators.AnnIndex.nprobeFor]] exists to
-    * prevent), making the bench guard time a different, cheaper workload
-    * than the baseline beside it.
+    * exact anti-pattern the Probe type exists to prevent), making the
+    * bench guard time a different, cheaper workload than the baseline
+    * beside it. The fraction resolves against the quantizer the probe
+    * loads ANYWAY — the r15 shape (a separate nprobeFor parquet read
+    * inside the timed window) taxed the bench guard with a fixed
+    * driver-side overhead the q65b_probe baseline beside it never pays
+    * (ADVICE r15).
     */
   private[graft] def annPqAutoProbe(s: SparkSession, dir: String, path: String): DataFrame =
     AnnIndex.crossNeighborsPq(
       perturbedEmbeddings(s, dir), "vec_id", "embedding", path,
       threshold = 0.99,
-      nprobe = AnnIndex.nprobeFor(s, path, 0.5), margin = 0.15)
+      probe = AnnIndex.Probe.Fraction(0.5), maxCell = Int.MaxValue,
+      margin = 0.15, scoreWithLut = false)
       .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
 
   val q65bAnnIndexDedupPq: Q = Q(
@@ -4469,6 +4499,29 @@ object Queries {
         s, s"$root/index", Seq("spark", "merge", "window"), 20)
     },
     Some(bm25RationalOracle))
+
+  /** [[graft.operators.TextIndex.dfReport]] — the inverted index's
+    * postings-skew maintenance report (VERDICT r15 item 4: the
+    * resizeReport symmetry for the text index), oracle-gated: the top-20
+    * terms by document frequency, computed purely from the on-disk
+    * postings of the two-batch q84 index, must equal DuckDB re-tokenizing
+    * the raw corpus and aggregating df/Σtf from scratch. Pins the
+    * cross-batch df aggregation, the compact-window distinct, and the
+    * df-desc/term-asc total order in one hash.
+    */
+  val q84eTextIndexDf: Q = Q(
+    "q84e_text_index_df",
+    (s, dir) => graft.operators.TextIndex.dfReport(
+      s, buildTextIndexBatches(s, dir), k = 20),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS toks
+        FROM documents),
+      u AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+      agg AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                     CAST(COUNT(*) AS BIGINT) AS tokens
+              FROM u GROUP BY term)
+      SELECT term, df, tokens FROM agg ORDER BY df DESC, term LIMIT 20"""))
 
   /** Hybrid retrieval: keyword (BM25 over the persisted inverted index)
     * and vector (exact-int cosine top-k) runs fused by reciprocal-rank
@@ -9081,7 +9134,8 @@ object Queries {
     q45OrcRoundtrip, q46AvroRoundtrip, q47HeavyHitters, q48HashSplit, q48cHashSplitSystematic,
     q49ApproxHeavyHitters, q50ProfileSketch, q50cProfileExact,
     q51TfidfTopTerms, q51cTfidfRatioExact, q52Bm25, q52cBm25Exact,
-    q53IndexDedup, q53cCrossJaccardExact, q53dNearDupIngest, q54Decontaminate, q55ChunkDocs,
+    q53IndexDedup, q53cCrossJaccardExact, q53dNearDupIngest, q53eDedupIndexOccupancy,
+    q54Decontaminate, q55ChunkDocs,
     q56SnapshotDiff, q57EntityMatch, q58Outliers, q59IncrementalAgg,
     q60StratifiedSample, q60cStratifiedSampleSystematic, q61Expectations,
     q62RobustOutliers, q62cRobustOutliersExact, q63Funnel,
@@ -9097,6 +9151,7 @@ object Queries {
     q83BpePairs, q83bBpeMerges, q83cBpeEncode, q83dBpeEncodeFast, q83eBpeVocabulary,
     q83fBpeBytePairs, q83gBpeByteMerges, q83hBpeByteEncode,
     q84TextIndexSearch, q84bTextIndexCompacted, q84cTextIndexSearchAll, q84dTextIngest,
+    q84eTextIndexDf,
     q85RandomProjection, q85bProjectionXxhash,
     q86PerplexityBuckets, q86bPerplexityBucketsSketch, q87SpanDedup,
     q88WeightedSample,

@@ -66,6 +66,35 @@ import graft.operators.Similarity.IvfIndex
   */
 object AnnIndex {
 
+  /** Probe-width specification for the serving calls ([[crossNeighbors]],
+    * [[crossNeighborsPq]], [[topNeighbors]], [[topNeighborsPq]],
+    * [[dedupBatch]], [[dedupBatchPq]], and
+    * [[graft.streaming.Streams.annIngest]]). IVF recall is governed by
+    * nprobe/nlist, so a caller holding a raw `nprobe = 16` across a
+    * [[rebuildAuto]] that scales nlist 16 → 160 silently drops to 10%
+    * cell coverage — the exact hazard [[nprobeFor]] closes, but as an
+    * opt-in. [[Probe.Fraction]] makes the contract structural: the
+    * fraction resolves against the index's ACTUAL saved geometry inside
+    * every probe call (reusing the quantizer the probe loads anyway —
+    * no extra read), so probe semantics survive rebuilds and restarts.
+    * `Fraction(1.0)` is the exact mode the q65e/q65f gates run at.
+    * [[Probe.Cells]] is the classic fixed cell count, clamped to nlist.
+    */
+  sealed trait Probe
+  object Probe {
+    final case class Cells(nprobe: Int) extends Probe {
+      require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    }
+    final case class Fraction(fraction: Double) extends Probe {
+      require(fraction > 0.0 && fraction <= 1.0,
+        s"recall fraction must be in (0, 1], got $fraction")
+    }
+    private[graft] def resolve(probe: Probe, nlist: Int): Int = probe match {
+      case Cells(n) => math.min(n, nlist)
+      case Fraction(f) => math.max(1, math.ceil(f * nlist).toInt)
+    }
+  }
+
   private def centroidsDir(path: String) = s"$path/centroids"
   private def vectorsDir(path: String) = s"$path/vectors"
   private def pqDir(path: String) = s"$path/pq"
@@ -264,7 +293,9 @@ object AnnIndex {
       batch: String = "00000001"): Unit = {
     initPq(emb.sparkSession, path,
       Similarity.trainIvf(emb, idCol, vecCol, nlist, sampleRows, kmeansIters),
-      Pq.train(emb, idCol, vecCol, m, ksub, math.max(sampleRows, 4 * ksub), kmeansIters))
+      // Pq.train floors the sample at 32 × ksub (≈32 points per
+      // sub-centroid) — the caller's sampleRows only ever widens it
+      Pq.train(emb, idCol, vecCol, m, ksub, sampleRows, kmeansIters))
     append(emb, idCol, vecCol, path, batch)
   }
 
@@ -300,8 +331,10 @@ object AnnIndex {
     * past a few dozen centroids), and above `fullTrainAbove` centroids
     * training switches to the distributed full-corpus Lloyd
     * ([[Similarity.trainIvfFull]]) where a driver-side sample is both too
-    * small to cover the cells and too big to hold. Returns the chosen
-    * `nlist` so the caller can size `nprobe` (recall is governed by
+    * small to cover the cells and too big to hold. Returns the TRAINED
+    * `nlist` — the saved quantizer's actual cell count, which lands
+    * below the sized target on corpora with fewer distinct vectors than
+    * cells — so the caller can size `nprobe` (recall is governed by
     * nprobe/nlist, so a caller holding a fixed nprobe while nlist scales
     * should scale nprobe with it — [[nprobeFor]] reads the fraction off
     * the saved index). Scan budget on the full-train branch: one corpus
@@ -323,10 +356,16 @@ object AnnIndex {
       kmeansIters: Int = 5,
       batch: String = "00000001"): Int = {
     val n = corpusRows.getOrElse(emb.count())
-    val nlist = autoNlist(n, targetCellRows, minNlist, maxNlist)
-    init(emb.sparkSession, path, trainAuto(emb, idCol, vecCol, nlist, fullTrainAbove, kmeansIters))
+    val index = trainAuto(emb, idCol, vecCol,
+      autoNlist(n, targetCellRows, minNlist, maxNlist), fullTrainAbove, kmeansIters)
+    init(emb.sparkSession, path, index)
     append(emb, idCol, vecCol, path, batch)
-    nlist
+    // the TRAINED nlist, not the autoNlist target: training keeps at
+    // most distinct-vector-many centroids, so a low-cardinality corpus
+    // lands fewer cells than the target — a caller deriving nprobe
+    // fractions from the return value must see the geometry the saved
+    // quantizer (and nprobeFor) actually has
+    index.nlist
   }
 
   /** [[buildPq]] with [[autoNlist]] geometry — the IVF-PQ face of
@@ -349,13 +388,18 @@ object AnnIndex {
       kmeansIters: Int = 5,
       batch: String = "00000001"): Int = {
     val n = corpusRows.getOrElse(emb.count())
-    val nlist = autoNlist(n, targetCellRows, minNlist, maxNlist)
-    initPq(emb.sparkSession, path,
-      trainAuto(emb, idCol, vecCol, nlist, fullTrainAbove, kmeansIters),
-      Pq.train(emb, idCol, vecCol, m, ksub,
-        math.max(512, 4 * ksub), kmeansIters))
+    val index = trainAuto(emb, idCol, vecCol,
+      autoNlist(n, targetCellRows, minNlist, maxNlist), fullTrainAbove, kmeansIters)
+    initPq(emb.sparkSession, path, index,
+      // sample size rides Pq.train's 32 × ksub floor — at the serving
+      // shape (m = 32, ksub = 256) that is 8,192 rows, not the 1,024
+      // the old 4 × ksub callsite passed (4 points per sub-centroid —
+      // the same training starvation class the coarse quantizer's
+      // 32 × nlist sample exists to prevent)
+      Pq.train(emb, idCol, vecCol, m, ksub, 512, kmeansIters))
     append(emb, idCol, vecCol, path, batch)
-    nlist
+    // trained nlist, not the autoNlist target — see [[buildAuto]]
+    index.nlist
   }
 
   private def trainAuto(
@@ -433,9 +477,16 @@ object AnnIndex {
       minNlist: Int = 16,
       maxNlist: Int = 1 << 16): DataFrame = {
     val nlist = quantizer(spark, path).nlist
+    // distinct ids, not raw postings rows: the report runs on the same
+    // maintenance cadence as [[compact]], whose promote-then-delete
+    // window legitimately doubles every posting — a raw count taken in
+    // that window would double corpus_rows and spuriously recommend a
+    // resize at an inflated sized_nlist (the same reason crossNeighbors
+    // and rebuildAuto dedup before using postings)
     val n =
       if (batches(spark, path).isEmpty) 0L
-      else spark.read.parquet(vectorsDir(path)).count()
+      else spark.read.parquet(vectorsDir(path))
+        .select("id").dropDuplicates("id").count()
     val sized = autoNlist(n, targetCellRows, minNlist, maxNlist)
     val meanCell = if (nlist == 0) 0.0 else n.toDouble / nlist
     import spark.implicits._
@@ -497,12 +548,13 @@ object AnnIndex {
           .select(col("id"), col("vec"))
           .dropDuplicates("id"))
       val n = vecs.count()
-      val nlist = autoNlist(n, targetCellRows, minNlist, maxNlist)
-      val index = trainAuto(vecs, "id", "vec", nlist, fullTrainAbove, kmeansIters)
+      val index = trainAuto(vecs, "id", "vec",
+        autoNlist(n, targetCellRows, minNlist, maxNlist), fullTrainAbove, kmeansIters)
       if (hasPq(spark, oldPath)) initPq(spark, newPath, index, pqCodebook(spark, oldPath))
       else init(spark, newPath, index)
       append(vecs, "id", "vec", newPath, "00000001")
-      nlist
+      // trained nlist, not the autoNlist target — see [[buildAuto]]
+      index.nlist
     } finally scope.release()
   }
 
@@ -557,7 +609,22 @@ object AnnIndex {
       path: String,
       threshold: Double = 0.95,
       nprobe: Int = 4,
-      maxCell: Int = Int.MaxValue): DataFrame = {
+      maxCell: Int = Int.MaxValue): DataFrame =
+    crossNeighbors(batchDf, idCol, vecCol, path, threshold, Probe.Cells(nprobe), maxCell)
+
+  /** [[crossNeighbors]] with a [[Probe]]-typed width — `Probe.Fraction`
+    * resolves against the saved quantizer per call, so the probed
+    * fraction (and therefore recall semantics) survives [[rebuildAuto]]
+    * geometry changes without the caller re-deriving nprobe.
+    */
+  def crossNeighbors(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      threshold: Double,
+      probe: Probe,
+      maxCell: Int): DataFrame = {
     val spark = batchDf.sparkSession
     val index = quantizer(spark, path)
     // Batch probes: read twice (probed-cell set + candidate join) → pinned.
@@ -565,7 +632,7 @@ object AnnIndex {
       batchDf.select(
         col(idCol).as("batch_id"),
         col(vecCol).as("__qvec"),
-        explode(nearestCells(index, col(vecCol), math.min(nprobe, index.nlist)))
+        explode(nearestCells(index, col(vecCol), Probe.resolve(probe, index.nlist)))
           .as("cell")))
     if (batches(spark, path).isEmpty)
       return probes
@@ -644,7 +711,24 @@ object AnnIndex {
       nprobe: Int = 4,
       maxCell: Int = Int.MaxValue,
       margin: Double = 0.1,
-      scoreWithLut: Boolean = false): DataFrame = {
+      scoreWithLut: Boolean = false): DataFrame =
+    crossNeighborsPq(batchDf, idCol, vecCol, path, threshold, Probe.Cells(nprobe),
+      maxCell, margin, scoreWithLut)
+
+  /** [[crossNeighborsPq]] with a [[Probe]]-typed width — see
+    * [[crossNeighbors]]'s Probe overload for the rebuild-stability
+    * rationale.
+    */
+  def crossNeighborsPq(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      threshold: Double,
+      probe: Probe,
+      maxCell: Int,
+      margin: Double,
+      scoreWithLut: Boolean): DataFrame = {
     val spark = batchDf.sparkSession
     val index = quantizer(spark, path)
     val cb = pqCodebook(spark, path)
@@ -652,7 +736,7 @@ object AnnIndex {
       col(idCol).as("batch_id"),
       col(vecCol).as("__qvec"),
       vectors.norm(col(vecCol)).as("__qnorm"),
-      explode(nearestCells(index, col(vecCol), math.min(nprobe, index.nlist)))
+      explode(nearestCells(index, col(vecCol), Probe.resolve(probe, index.nlist)))
         .as("cell")) ++
       (if (scoreWithLut) Seq(pqLut(cb, col(vecCol)).as("__lut")) else Nil)
     val probes = Caches.pin(batchDf.select(probeCols: _*))
@@ -716,7 +800,22 @@ object AnnIndex {
       k: Int,
       nprobe: Int = 4,
       maxCell: Int = Int.MaxValue,
-      rerank: Int = 4): DataFrame = {
+      rerank: Int = 4): DataFrame =
+    topNeighborsPq(batchDf, idCol, vecCol, path, k, Probe.Cells(nprobe), maxCell, rerank)
+
+  /** [[topNeighborsPq]] with a [[Probe]]-typed width — see
+    * [[crossNeighbors]]'s Probe overload for the rebuild-stability
+    * rationale.
+    */
+  def topNeighborsPq(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int,
+      probe: Probe,
+      maxCell: Int,
+      rerank: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0 && rerank > 0, "k and rerank must be positive")
     val spark = batchDf.sparkSession
@@ -727,7 +826,7 @@ object AnnIndex {
         col(idCol).as("batch_id"),
         col(vecCol).as("__qvec"),
         vectors.norm(col(vecCol)).as("__qnorm"),
-        explode(nearestCells(index, col(vecCol), math.min(nprobe, index.nlist)))
+        explode(nearestCells(index, col(vecCol), Probe.resolve(probe, index.nlist)))
           .as("cell")))
     if (batches(spark, path).isEmpty)
       return probes
@@ -786,10 +885,24 @@ object AnnIndex {
       path: String,
       k: Int,
       nprobe: Int = 4,
-      maxCell: Int = Int.MaxValue): DataFrame = {
+      maxCell: Int = Int.MaxValue): DataFrame =
+    topNeighbors(batchDf, idCol, vecCol, path, k, Probe.Cells(nprobe), maxCell)
+
+  /** [[topNeighbors]] with a [[Probe]]-typed width — see
+    * [[crossNeighbors]]'s Probe overload for the rebuild-stability
+    * rationale.
+    */
+  def topNeighbors(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int,
+      probe: Probe,
+      maxCell: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = crossNeighbors(
-      batchDf, idCol, vecCol, path, threshold = -1.0, nprobe, maxCell)
+      batchDf, idCol, vecCol, path, threshold = -1.0, probe, maxCell)
     scored
       .withColumn("rank",
         row_number().over(
@@ -838,8 +951,23 @@ object AnnIndex {
       threshold: Double = 0.95,
       nprobe: Int = 4,
       maxCell: Int = Int.MaxValue,
-      dim: Int = 64): DataFrame = {
-    val inCorpus = crossNeighbors(batchDf, idCol, vecCol, path, threshold, nprobe, maxCell)
+      dim: Int = 64): DataFrame =
+    dedupBatch(batchDf, idCol, vecCol, path, threshold, Probe.Cells(nprobe), maxCell, dim)
+
+  /** [[dedupBatch]] with a [[Probe]]-typed width — see
+    * [[crossNeighbors]]'s Probe overload for the rebuild-stability
+    * rationale.
+    */
+  def dedupBatch(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      threshold: Double,
+      probe: Probe,
+      maxCell: Int,
+      dim: Int): DataFrame = {
+    val inCorpus = crossNeighbors(batchDf, idCol, vecCol, path, threshold, probe, maxCell)
       .select(col("batch_id").as(idCol))
       .distinct()
     val fresh = batchDf.join(inCorpus, Seq(idCol), "left_anti")
@@ -867,8 +995,27 @@ object AnnIndex {
       nprobe: Int = 4,
       maxCell: Int = Int.MaxValue,
       margin: Double = 0.1,
-      dim: Int = 64): DataFrame = {
-    val inCorpus = crossNeighborsPq(batchDf, idCol, vecCol, path, threshold, nprobe, maxCell, margin)
+      dim: Int = 64): DataFrame =
+    dedupBatchPq(batchDf, idCol, vecCol, path, threshold, Probe.Cells(nprobe),
+      maxCell, margin, dim)
+
+  /** [[dedupBatchPq]] with a [[Probe]]-typed width — see
+    * [[crossNeighbors]]'s Probe overload for the rebuild-stability
+    * rationale.
+    */
+  def dedupBatchPq(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      threshold: Double,
+      probe: Probe,
+      maxCell: Int,
+      margin: Double,
+      dim: Int): DataFrame = {
+    val inCorpus = crossNeighborsPq(
+      batchDf, idCol, vecCol, path, threshold, probe, maxCell, margin,
+      scoreWithLut = false)
       .select(col("batch_id").as(idCol))
       .distinct()
     val fresh = batchDf.join(inCorpus, Seq(idCol), "left_anti")

@@ -230,6 +230,70 @@ object DedupIndex {
         coalesce(col("docs"), lit(0L)).as("docs"))
   }
 
+  /** Index-wide hot-bucket listing — the WHERE of the keeper-cap's
+    * bounded-recall contract: (band, bucket, occupancy) for every bucket
+    * whose DISTINCT corpus membership exceeds `maxBucket`, occupancy
+    * descending. [[hotIndexBuckets]] answers the question for ONE probe
+    * batch's matched buckets; this is the maintenance-cadence view over
+    * the whole postings table (band-bucket skew grows with the corpus —
+    * boilerplate clusters accrete forever — and every bucket listed here
+    * is one where [[crossPairs]] silently verifies against the keeper
+    * only). One narrow 3-column aggregation, nothing driver-sized; run
+    * it on the [[stats]]/[[compact]] cadence, feed persistent offenders
+    * into upstream boilerplate stripping or a raised cap.
+    * Distinct ids per bucket, not raw rows — same compact-window
+    * double-posting reasoning as [[AnnIndex.resizeReport]].
+    */
+  def hotBuckets(
+      spark: SparkSession,
+      path: String,
+      maxBucket: Int = 256): DataFrame = {
+    import spark.implicits._
+    if (!hasBatches(spark, path))
+      return Seq.empty[(Int, Long, Long)].toDF("band", "bucket", "occupancy")
+    spark.read.parquet(bandsDir(path))
+      .groupBy("band", "bucket")
+      .agg(count_distinct(col("id")).as("occupancy"))
+      .where(col("occupancy") > maxBucket)
+      .orderBy(col("occupancy").desc, col("band"), col("bucket"))
+  }
+
+  /** Bucket-occupancy health, one row — the [[AnnIndex.resizeReport]]
+    * analogue for the LSH index: `(buckets, postings, mean_occupancy,
+    * max_occupancy, hot_buckets, hot_postings, hot_postings_frac)` where
+    * occupancy is DISTINCT corpus ids per (band, bucket) and "hot" means
+    * above `maxBucket` (the [[crossPairs]] cap — members of hot buckets
+    * beyond the keeper are exactly the recall the cap bounds).
+    * `hot_postings_frac` is the headline: the fraction of bucket
+    * memberships the keeper path short-circuits. One aggregation over
+    * the 3-column postings table, driver-thin; zeros on an empty index.
+    */
+  def occupancyReport(
+      spark: SparkSession,
+      path: String,
+      maxBucket: Int = 256): DataFrame = {
+    import spark.implicits._
+    if (!hasBatches(spark, path))
+      return Seq((0L, 0L, 0.0, 0L, 0L, 0L, 0.0))
+        .toDF("buckets", "postings", "mean_occupancy", "max_occupancy",
+          "hot_buckets", "hot_postings", "hot_postings_frac")
+    spark.read.parquet(bandsDir(path))
+      .groupBy("band", "bucket")
+      .agg(count_distinct(col("id")).as("occ"))
+      .agg(
+        count(lit(1)).as("buckets"),
+        sum(col("occ")).as("postings"),
+        avg(col("occ")).as("mean_occupancy"),
+        max(col("occ")).as("max_occupancy"),
+        count(when(col("occ") > maxBucket, 1)).as("hot_buckets"),
+        coalesce(sum(when(col("occ") > maxBucket, col("occ"))), lit(0L))
+          .as("hot_postings"))
+      .select(col("buckets"), col("postings"), col("mean_occupancy"),
+        col("max_occupancy"), col("hot_buckets"), col("hot_postings"),
+        (col("hot_postings").cast("double") / col("postings").cast("double"))
+          .as("hot_postings_frac"))
+  }
+
   /** Coalesce every current batch into ONE new batch partition and drop
     * the sources. A per-micro-batch ingestion loop accretes thousands of
     * small `batch=` directories; file listing and row-group overhead

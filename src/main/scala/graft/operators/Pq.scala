@@ -90,6 +90,19 @@ object Pq {
     * (StreamsSpec's PQ-ingest seed documents the live case). Train over
     * the corpus the index ingests, not a stub batch; raise `sampleRows`
     * before raising `margin`.
+    *
+    * The sample must also be big enough PER SUB-CENTROID: `sampleRows`
+    * is floored at `32 × ksub` (the same ~32-points-per-centroid rule
+    * the coarse quantizer's auto path uses) — Lloyd over 4 points per
+    * centroid leaves codes empty or duplicated, quantization coarsens,
+    * and the ADC screen silently loses recall (precision is safe, the
+    * exact verify keeps it; recall is what starves). `ksub ≤ 256` (one
+    * byte per subspace) bounds the floor at 8,192 driver-collected rows
+    * regardless of corpus size, so no distributed trainer is needed:
+    * unlike the coarse quantizer, whose centroid count scales with the
+    * corpus, PQ codebook geometry is data-width — the floor is a
+    * constant. PqProperties pins near-full codebook utilization at
+    * ksub = 256 on a spread corpus.
     */
   def train(
       emb: DataFrame,
@@ -105,7 +118,7 @@ object Pq {
     val sample: Array[Array[Double]] = emb
       .orderBy(xxhash64(col(idCol)))
       .select(col(vecCol).cast("array<double>"))
-      .limit(math.max(sampleRows, ksub))
+      .limit(math.max(sampleRows, 32 * ksub))
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot train a PQ codebook on an empty corpus")

@@ -638,8 +638,13 @@ object Similarity {
     * [[trainIvfFull]]'s iterations (φ is a distributed double sum, exact
     * on integer-valued vectors, reduction-order FP on real ones — a
     * borderline sample could flip across runs; the saved-centroid
-    * artifact contract absorbs it). Expected candidates per
-    * round = `l` (default 2k; the paper's l = 0.5k also works — use it
+    * artifact contract absorbs it). Expected candidates per round = `l`,
+    * hard-capped at `8l` per round (a bounded, xxhash-deterministic
+    * collect — under a pathological φ distribution where far more than
+    * `l` rows pass the draw, the cap keeps the xxhash-lowest `8l` and
+    * silently truncates the rest; later rounds re-target whatever the
+    * truncation left uncovered, since uncovered mass keeps its large
+    * d²) (default 2k; the paper's l = 0.5k also works — use it
     * when k is in the tens of thousands to keep the driver recluster,
     * O(candidates · k · dim) per iteration, tractable). A final
     * counting scan weights each candidate by the corpus mass nearest it,

@@ -343,6 +343,40 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Per-term postings-skew report — the [[DedupIndex.hotBuckets]]
+    * analogue for the inverted index: `(term, df, tokens)` for the terms
+    * whose document frequency exceeds `minDf`, ranked by df descending
+    * (term ascending tiebreak), at most `k` rows. A term whose postings
+    * outgrow candidate-sized probing is probe-cost skew: its IN-filtered
+    * scan stops being "a handful of row groups" and its rows dominate
+    * every query that mentions it — the maintenance signal is WHICH
+    * terms, so stopword policy / query planning can react upstream.
+    * `df` is DISTINCT documents (the BM25 df — and distinct also
+    * collapses [[compact]]'s promote-then-delete double-postings);
+    * `tokens` is the term's total occurrences (Σtf). One 3-column
+    * aggregation + TakeOrderedAndProject — never a full sort, nothing
+    * corpus-sized to the driver. Runs fine on the [[stats]]/[[compact]]
+    * cadence. Oracle-gated as q84e (df/Σtf recompute from the raw
+    * corpus — the report must equal re-tokenizing everything).
+    */
+  def dfReport(
+      spark: SparkSession,
+      path: String,
+      k: Int = 20,
+      minDf: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    import spark.implicits._
+    if (batches(spark, path).isEmpty)
+      return Seq.empty[(String, Long, Long)].toDF("term", "df", "tokens")
+    spark.read.parquet(postingsDir(path))
+      .select("term", "doc_id", "tf").distinct()
+      .groupBy("term")
+      .agg(count_distinct(col("doc_id")).as("df"), sum(col("tf")).as("tokens"))
+      .where(col("df") > minDf)
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+  }
+
   /** Fold every committed batch into ONE re-clustered batch and drop the
     * sources. Same contracts as [[DedupIndex.compact]]: probe-safe in
     * the overlap window (hence searchTopK's `distinct()`), not

@@ -409,7 +409,30 @@ object Streams {
       maxCell: Int = Int.MaxValue,
       dim: Int = 64,
       checkpoint: Option[String] = None,
-      pqMargin: Double = 0.1): org.apache.spark.sql.streaming.StreamingQuery = {
+      pqMargin: Double = 0.1): org.apache.spark.sql.streaming.StreamingQuery =
+    annIngest(stream, idCol, vecCol, indexPath, outputPath, threshold,
+      graft.operators.AnnIndex.Probe.Cells(nprobe), maxCell, dim, checkpoint, pqMargin)
+
+  /** [[annIngest]] with a [[graft.operators.AnnIndex.Probe]]-typed probe
+    * width. `Probe.Fraction` resolves against the index's saved geometry
+    * inside EVERY micro-batch's probe, so an ingest restarted across an
+    * [[graft.operators.AnnIndex.rebuildAuto]] (same checkpoint, new
+    * index path — the documented handover) keeps its recall fraction as
+    * nlist scales, instead of silently probing an ever-thinner corpus
+    * slice with a stale fixed nprobe.
+    */
+  def annIngest(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      outputPath: String,
+      threshold: Double,
+      probe: graft.operators.AnnIndex.Probe,
+      maxCell: Int,
+      dim: Int,
+      checkpoint: Option[String],
+      pqMargin: Double): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{AnnIndex, Caches, DedupIndex}
     val writer = stream.writeStream
       .outputMode("append")
@@ -425,10 +448,10 @@ object Streams {
           val accepted = Caches.pin(
             if (AnnIndex.hasPq(batch.sparkSession, indexPath))
               AnnIndex.dedupBatchPq(
-                batch.toDF(), idCol, vecCol, indexPath, threshold, nprobe, maxCell, pqMargin, dim)
+                batch.toDF(), idCol, vecCol, indexPath, threshold, probe, maxCell, pqMargin, dim)
             else
               AnnIndex.dedupBatch(
-                batch.toDF(), idCol, vecCol, indexPath, threshold, nprobe, maxCell, dim))
+                batch.toDF(), idCol, vecCol, indexPath, threshold, probe, maxCell, dim))
           val outRoot = new org.apache.hadoop.fs.Path(outputPath)
           val fs = outRoot.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
           if (!fs.exists(new org.apache.hadoop.fs.Path(outRoot, s"batch=$label")))

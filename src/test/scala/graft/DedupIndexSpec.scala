@@ -208,4 +208,48 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(DedupIndex.batches(spark, path) == Seq("00000001"))
     Caches.release()
   }
+
+  test("occupancyReport + hotBuckets: distinct-id occupancy arithmetic on a hand corpus") {
+    val path = tmp()
+    // 3 identical docs (A), 2 identical (B), 1 unique (C): identical text
+    // -> identical minhash -> the group co-occupies one bucket in each of
+    // the 16 bands; distinct texts land distinct buckets (a cross-text
+    // xxhash64 band collision has probability ~2^-64 -- treated as zero)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "one two three four five six seven eight nine"),
+      (5L, "one two three four five six seven eight nine"),
+      (6L, "entirely unrelated singleton content right here"))
+      .toDF("id", "text")
+    DedupIndex.build(docs, "text", "id", path, numPerm = 64, bands = 16)
+    val r = DedupIndex.occupancyReport(spark, path, maxBucket = 2).collect()(0)
+    assert(r.getAs[Long]("buckets") == 48L)        // 3 distinct texts x 16 bands
+    assert(r.getAs[Long]("postings") == 96L)       // 6 docs x 16 bands
+    assert(r.getAs[Double]("mean_occupancy") == 2.0)
+    assert(r.getAs[Long]("max_occupancy") == 3L)
+    assert(r.getAs[Long]("hot_buckets") == 16L)    // the A-group's buckets
+    assert(r.getAs[Long]("hot_postings") == 48L)   // 3 members x 16 bands
+    assert(r.getAs[Double]("hot_postings_frac") == 0.5)
+    val hot1 = DedupIndex.hotBuckets(spark, path, maxBucket = 1).collect()
+    assert(hot1.length == 32, "A- and B-group buckets exceed occupancy 1")
+    assert(hot1.map(_.getAs[Long]("occupancy")).toSeq.sorted.reverse
+      == (Seq.fill(16)(3L) ++ Seq.fill(16)(2L)), "ordered occupancy desc")
+    // compact's promote-then-delete window: the same ids posted twice
+    // under a second batch label must not move a single report number
+    DedupIndex.append(docs, "text", "id", path, "00000002")
+    val r2 = DedupIndex.occupancyReport(spark, path, maxBucket = 2).collect()(0)
+    assert(r2 == r, "doubled postings must be invisible to the report (distinct ids)")
+    Caches.release()
+  }
+
+  test("occupancyReport and hotBuckets on an empty index: zeros, empty, right schemas") {
+    val path = tmp()
+    DedupIndex.init(spark, path, DedupIndex.Params(64, 16, 3))
+    val r = DedupIndex.occupancyReport(spark, path).collect()(0)
+    assert(r.getAs[Long]("buckets") == 0L && r.getAs[Long]("postings") == 0L &&
+      r.getAs[Long]("hot_buckets") == 0L && r.getAs[Double]("hot_postings_frac") == 0.0)
+    assert(DedupIndex.hotBuckets(spark, path).collect().isEmpty)
+  }
 }

@@ -142,6 +142,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cb.m == 2 && cb.ksub == 4 && cb.dim == 8)
   }
 
+  test("Pq.train at ksub=256 keeps the codebook near-fully utilized (r15 sampling-starvation pin)") {
+    // Pq.train floors its sample at 32 × ksub (8,192 rows here) — before
+    // the floor, buildPqAuto's 4 × ksub callsite trained 256
+    // sub-centroids per subspace from 1,024 rows (4 points each), and
+    // Lloyd at that ratio leaves codes duplicated or starved: encoded
+    // corpora collapse onto few distinct codes, quantization coarsens,
+    // and the ADC screen silently loses recall. On a spread corpus the
+    // trained codebook must stay near-fully ADDRESSED: encoding the
+    // corpus uses most of the 256 codes in every subspace.
+    val corpus = Seq.tabulate(9000) { i =>
+      (i.toLong, Array.tabulate(8) { j =>
+        (((i * 2654435761L + j * 40503L) % 1000L).toDouble / 500.0) - 1.0
+      })
+    }.toDF("id", "vec")
+    val cb = graft.operators.Pq.train(corpus, "id", "vec", m = 2, ksub = 256)
+    assert(cb.m == 2 && cb.ksub == 256 && cb.dsub == 4)
+    val vecs = corpus.select("vec").collect().map(_.getSeq[Double](0).toArray)
+    val flat = cb.codebooks.flatten.flatten
+    for (sub <- 0 until cb.m) {
+      val used = vecs.map { v =>
+        graft.expressions.PqKernels.encode(v, flat, cb.m, cb.ksub, cb.dsub)(sub) & 0xFF
+      }.distinct.length
+      assert(used >= 192,
+        s"subspace $sub uses only $used/256 codes — codebook training starved " +
+          "(did the 32 × ksub sample floor regress?)")
+    }
+  }
+
   test("lshTopK returns k rows with nonzero recall vs brute force (the round-1 regression)") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 20)

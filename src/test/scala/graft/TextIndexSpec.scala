@@ -298,4 +298,34 @@ class TextIndexSpec extends AnyFunSuite {
     assert(schemas.nonEmpty && schemas.forall(!_.contains("positions")),
       s"BM25 search must leave positions bytes on disk:\n${schemas.mkString("\n")}")
   }
+
+  test("dfReport: df/token arithmetic across batches, order, minDf, and the doubled-postings window") {
+    val path = tmp()
+    // two batches, df must aggregate across them
+    TextIndex.build(docs.where(col("doc_id") % 2 === 0), "doc_id", "text", path)
+    TextIndex.append(docs.where(col("doc_id") % 2 === 1), "doc_id", "text", path, "00000002")
+    // hand-computed over the fixture corpus: df=2 terms are exactly
+    // {and, in, merge, spark, window}; ties order by term ascending
+    val top3 = TextIndex.dfReport(spark, path, k = 3).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"), r.getAs[Long]("tokens")))
+    assert(top3.toSeq == Seq(("and", 2L, 2L), ("in", 2L, 2L), ("merge", 2L, 4L)),
+      s"top-3 by (df desc, term asc) was ${top3.toSeq}")
+    val multi = TextIndex.dfReport(spark, path, k = 100, minDf = 1L).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"), r.getAs[Long]("tokens"))).toSet
+    assert(multi == Set(
+      ("and", 2L, 2L), ("in", 2L, 2L),
+      ("merge", 2L, 4L), ("spark", 2L, 3L), ("window", 2L, 2L)),
+      s"df>1 terms were $multi")
+    // compact's promote-then-delete window: identical duplicated postings
+    // must not inflate df or token counts (the distinct() contract)
+    val postings = spark.read.parquet(s"$path/postings/batch=00000001")
+    graft.operators.DedupIndex.appendDir(postings, s"$path/postings", "00000009")
+    val again = TextIndex.dfReport(spark, path, k = 3).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"), r.getAs[Long]("tokens")))
+    assert(again.toSeq == top3.toSeq, "doubled postings moved the report")
+    // empty index: empty result, right schema
+    val empty = tmp()
+    TextIndex.init(spark, empty)
+    assert(TextIndex.dfReport(spark, empty).collect().isEmpty)
+  }
 }
