@@ -2938,6 +2938,48 @@ object Queries {
       SELECT vec_id AS corpus_id, vec_id + 1000000 AS batch_id
       FROM embeddings WHERE vec_id % 10 = 0"""))
 
+  /** The TWO-LEVEL quantizer under the driver gate ([[graft.operators
+    * .Imi]], VERDICT r15 item 3): the same corpus-sized geometry as q65e
+    * forced onto the IMI branch (`imiAbove = 1`), so the coarse router
+    * is the product of two half-space quantizers — the design that
+    * removes the flat quantizer's task-payload/clamp ceiling (the
+    * centroid table shrinks from nlist × dim to 2·√nlist × dim/2
+    * doubles). At `Probe.Fraction(1.0)` every product cell is probed, so
+    * acceptance is EXACT threshold semantics whatever grid training
+    * produced, and the q65e pure-arithmetic oracle carries over
+    * unchanged: scaled copies pair with exactly their source, negations
+    * match nothing. `fullTrainAbove = 8` splits the per-half training
+    * branch across the gate SFs (sf0.01: kPerHalf 6, sampled k-means;
+    * sf0.1: kPerHalf 12, distributed Lloyd + k-means|| per half). Gates
+    * the product-cell assignment expression, build/probe grid
+    * consistency, the auto-switch, and the fraction-probe resolution
+    * against a product geometry in one hash.
+    */
+  val q65gAnnImiExact: Q = Q(
+    "q65g_ann_imi_exact",
+    (s, dir) => {
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val path = java.nio.file.Files.createTempDirectory("graft_ann_imi").toString
+      AnnIndex.buildAuto(
+        base, "vec_id", "embedding", path, targetCellRows = 16L,
+        fullTrainAbove = 8, imiAbove = 1)
+      require(AnnIndex.hasImi(s, path),
+        "q65g must exercise the two-level quantizer (imiAbove = 1)")
+      val copyVec = transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))
+      val negVec = transform(col("embedding"), x => (-x).cast("float"))
+      val batch = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), copyVec.as("embedding"))
+        .unionByName(base.where(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"), negVec.as("embedding")))
+      AnnIndex.crossNeighbors(
+        batch, "vec_id", "embedding", path, 0.99,
+        AnnIndex.Probe.Fraction(1.0), Int.MaxValue)
+        .select(col("corpus_id"), col("batch_id"))
+    },
+    Some("""
+      SELECT vec_id AS corpus_id, vec_id + 1000000 AS batch_id
+      FROM embeddings WHERE vec_id % 10 = 0"""))
+
   /** Row-level expectation routing: q61's scorecard says how many rows
     * break each rule; this emits WHICH rows and WHY — the quarantine
     * feed (`Expectations.annotate`, the scan side of `route`). The
@@ -9141,7 +9183,7 @@ object Queries {
     q62RobustOutliers, q62cRobustOutliersExact, q63Funnel,
     q63bFunnelWindowed, q64CohortRetention, q64bCohortRates, q64cCohortCalendar,
     q65AnnIndexDedup, q65bAnnIndexDedupPq, q65cAnnCrossExact, q65dAnnIngest,
-    q65eAnnAutoSized, q65fAnnRebuild,
+    q65eAnnAutoSized, q65fAnnRebuild, q65gAnnImiExact,
     q66ExpectationsRoute, q67FunnelSqlAgg,
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
     q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs,

@@ -32,8 +32,12 @@ import graft.operators.Similarity.IvfIndex
   *
   * On-disk layout under `path` (plain parquet, engine-agnostic):
   * {{{
-  *   centroids/            (cell, centroid: array<double>) — quantizer +
-  *                         existence marker, written via atomic swap
+  *   centroids/            (cell, centroid: array<double>) — flat
+  *                         quantizer + existence marker; atomic swap
+  *   imi/                  (half, cell, centroid) — ALTERNATIVE two-level
+  *                         product quantizer ([[Imi]], [[initImi]]) for
+  *                         sized cell counts past the flat payload
+  *                         ceiling; exactly one of centroids/ or imi/
   *   pq/                   (sub, code, centroid) — OPTIONAL [[Pq]]
   *                         codebook ([[initPq]]); atomic swap
   *   vectors/batch=<b>/    (cell, id, vec: array<float>[, code: binary,
@@ -98,11 +102,51 @@ object AnnIndex {
   private def centroidsDir(path: String) = s"$path/centroids"
   private def vectorsDir(path: String) = s"$path/vectors"
   private def pqDir(path: String) = s"$path/pq"
+  private def imiDir(path: String) = s"$path/imi"
 
   private def nearestCells(index: IvfIndex, v: Column, n: Int): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(graft.expressions.NearestCentroidsExpr(
       ColumnBridge.eagerExpression(v), index.flat, index.dim, n))
+  }
+
+  /** Uniform face over the two coarse-quantizer artifacts — the flat
+    * k-means table ([[Similarity.IvfIndex]], `centroids/`) and the
+    * two-level product pair ([[Imi.ImiIndex]], `imi/`). Every probe,
+    * append, and report dispatches through this, so an index serves
+    * identically whichever quantizer it was built with; the postings
+    * layout, PQ leg, batch lifecycle, and [[Probe]] semantics never see
+    * the difference (cell ids are plain ints either way).
+    */
+  private[graft] sealed trait Coarse {
+    def nlist: Int
+    def dim: Int
+    private[operators] def cells(v: Column, n: Int): Column
+  }
+  private[graft] final case class CoarseIvf(idx: IvfIndex) extends Coarse {
+    def nlist: Int = idx.nlist
+    def dim: Int = idx.dim
+    private[operators] def cells(v: Column, n: Int): Column = nearestCells(idx, v, n)
+  }
+  private[graft] final case class CoarseImi(idx: Imi.ImiIndex) extends Coarse {
+    def nlist: Int = idx.nlist
+    def dim: Int = idx.dim
+    private[operators] def cells(v: Column, n: Int): Column = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.expressions.NearestImiCellsExpr(
+        ColumnBridge.eagerExpression(v), idx.flat1, idx.flat2, idx.dimHalf, n))
+    }
+  }
+
+  /** Load whichever quantizer the index at `path` carries. */
+  private[graft] def coarse(spark: SparkSession, path: String): Coarse =
+    if (hasImi(spark, path)) CoarseImi(Imi.ImiIndex.load(spark, imiDir(path)))
+    else CoarseIvf(quantizer(spark, path))
+
+  /** Does the index at `path` use the two-level IMI quantizer? */
+  def hasImi(spark: SparkSession, path: String): Boolean = {
+    val dir = new Path(imiDir(path))
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dir)
   }
 
   private def pqEncode(cb: Pq.Codebook, v: Column): Column = {
@@ -140,7 +184,59 @@ object AnnIndex {
   def init(spark: SparkSession, path: String, index: IvfIndex): Unit = {
     require(batches(spark, path).isEmpty,
       s"index at $path already has batches; re-training requires a rebuild")
+    require(!hasImi(spark, path),
+      s"index at $path carries an IMI quantizer; one index, one quantizer type")
     index.save(spark, centroidsDir(path))
+  }
+
+  /** [[init]] with the two-level product quantizer ([[Imi.ImiIndex]]) —
+    * the scale path when the sized cell count outgrows what a flat
+    * centroid table can ship per task (see [[Imi]]; [[buildAuto]]
+    * switches here automatically above `imiAbove`). Same
+    * refuse-to-retrain and one-quantizer-per-index contracts.
+    */
+  def initImi(spark: SparkSession, path: String, imi: Imi.ImiIndex): Unit = {
+    require(batches(spark, path).isEmpty,
+      s"index at $path already has batches; re-training requires a rebuild")
+    val cdir = new Path(centroidsDir(path))
+    require(!cdir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cdir),
+      s"index at $path carries a flat quantizer; one index, one quantizer type")
+    imi.save(spark, imiDir(path))
+  }
+
+  /** [[initImi]] + a PQ codebook — the IMI face of [[initPq]]: coarse
+    * routing through the product grid, candidate screening on code
+    * bytes. The two are orthogonal by design (IMI replaces the cell
+    * ROUTER, PQ compresses the postings PAYLOAD), which is the faiss
+    * IMI+PQ serving shape for billion-vector corpora.
+    */
+  def initImiPq(
+      spark: SparkSession, path: String, imi: Imi.ImiIndex, codebook: Pq.Codebook): Unit = {
+    require(codebook.dim == imi.dim,
+      s"PQ codebook dim ${codebook.dim} != IMI quantizer dim ${imi.dim}")
+    initImi(spark, path, imi)
+    codebook.save(spark, pqDir(path))
+  }
+
+  /** Train + [[initImi]] + [[append]] the first batch — the two-level
+    * [[build]]. `kPerHalf` centroids per half-space give a `kPerHalf²`
+    * cell grid from a `(2 · kPerHalf) × dim/2`-double task payload.
+    * Returns the TRAINED nlist (k₁ · k₂ — halves can come back narrower
+    * on low-cardinality corpora, the [[buildAuto]] contract).
+    */
+  def buildImi(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      kPerHalf: Int,
+      kmeansIters: Int = 5,
+      fullTrainAbove: Int = 512,
+      batch: String = "00000001"): Int = {
+    val imi = Imi.trainImi(emb, idCol, vecCol, kPerHalf, kmeansIters, fullTrainAbove)
+    initImi(emb.sparkSession, path, imi)
+    append(emb, idCol, vecCol, path, batch)
+    imi.nlist
   }
 
   /** [[init]] + a PQ codebook: every subsequent [[append]] also lands an
@@ -209,9 +305,9 @@ object AnnIndex {
     require(batch.nonEmpty && !batch.contains('/') && !batch.startsWith("."),
       s"invalid batch label '$batch'")
     val spark = emb.sparkSession
-    val index = quantizer(spark, path)
+    val index = coarse(spark, path)
     val base = emb.select(
-      nearestCells(index, col(vecCol), 1).getItem(0).as("cell"),
+      index.cells(col(vecCol), 1).getItem(0).as("cell"),
       col(idCol).as("id"),
       col(vecCol).as("vec"))
     // PQ indexes also land the m-byte code and the exact norm: the probe's
@@ -354,18 +450,25 @@ object AnnIndex {
       corpusRows: Option[Long] = None,
       fullTrainAbove: Int = 512,
       kmeansIters: Int = 5,
-      batch: String = "00000001"): Int = {
+      batch: String = "00000001",
+      imiAbove: Int = 1 << 14): Int = {
     val n = corpusRows.getOrElse(emb.count())
-    val index = trainAuto(emb, idCol, vecCol,
-      autoNlist(n, targetCellRows, minNlist, maxNlist), fullTrainAbove, kmeansIters)
-    init(emb.sparkSession, path, index)
-    append(emb, idCol, vecCol, path, batch)
-    // the TRAINED nlist, not the autoNlist target: training keeps at
-    // most distinct-vector-many centroids, so a low-cardinality corpus
-    // lands fewer cells than the target — a caller deriving nprobe
-    // fractions from the return value must see the geometry the saved
-    // quantizer (and nprobeFor) actually has
-    index.nlist
+    val sized = autoNlist(n, targetCellRows, minNlist, maxNlist)
+    // the TRAINED nlist is returned, not the autoNlist target: training
+    // keeps at most distinct-vector-many centroids, so a low-cardinality
+    // corpus lands fewer cells than the target — a caller deriving
+    // nprobe fractions from the return value must see the geometry the
+    // saved quantizer (and nprobeFor) actually has
+    trainAutoCoarse(emb, idCol, vecCol, sized, imiAbove, fullTrainAbove, kmeansIters) match {
+      case Left(ivf) =>
+        init(emb.sparkSession, path, ivf)
+        append(emb, idCol, vecCol, path, batch)
+        ivf.nlist
+      case Right(imi) =>
+        initImi(emb.sparkSession, path, imi)
+        append(emb, idCol, vecCol, path, batch)
+        imi.nlist
+    }
   }
 
   /** [[buildPq]] with [[autoNlist]] geometry — the IVF-PQ face of
@@ -386,20 +489,26 @@ object AnnIndex {
       corpusRows: Option[Long] = None,
       fullTrainAbove: Int = 512,
       kmeansIters: Int = 5,
-      batch: String = "00000001"): Int = {
+      batch: String = "00000001",
+      imiAbove: Int = 1 << 14): Int = {
     val n = corpusRows.getOrElse(emb.count())
-    val index = trainAuto(emb, idCol, vecCol,
-      autoNlist(n, targetCellRows, minNlist, maxNlist), fullTrainAbove, kmeansIters)
-    initPq(emb.sparkSession, path, index,
-      // sample size rides Pq.train's 32 × ksub floor — at the serving
-      // shape (m = 32, ksub = 256) that is 8,192 rows, not the 1,024
-      // the old 4 × ksub callsite passed (4 points per sub-centroid —
-      // the same training starvation class the coarse quantizer's
-      // 32 × nlist sample exists to prevent)
-      Pq.train(emb, idCol, vecCol, m, ksub, 512, kmeansIters))
-    append(emb, idCol, vecCol, path, batch)
-    // trained nlist, not the autoNlist target — see [[buildAuto]]
-    index.nlist
+    val sized = autoNlist(n, targetCellRows, minNlist, maxNlist)
+    // PQ sample size rides Pq.train's 32 × ksub floor — at the serving
+    // shape (m = 32, ksub = 256) that is 8,192 rows, not the 1,024 the
+    // old 4 × ksub callsite passed (4 points per sub-centroid — the
+    // same training starvation class the coarse quantizer's 32 × nlist
+    // sample exists to prevent)
+    val cb = Pq.train(emb, idCol, vecCol, m, ksub, 512, kmeansIters)
+    trainAutoCoarse(emb, idCol, vecCol, sized, imiAbove, fullTrainAbove, kmeansIters) match {
+      case Left(ivf) =>
+        initPq(emb.sparkSession, path, ivf, cb)
+        append(emb, idCol, vecCol, path, batch)
+        ivf.nlist
+      case Right(imi) =>
+        initImiPq(emb.sparkSession, path, imi, cb)
+        append(emb, idCol, vecCol, path, batch)
+        imi.nlist
+    }
   }
 
   private def trainAuto(
@@ -417,6 +526,31 @@ object AnnIndex {
       // cells — the full trainer runs with k-means|| seeding here
       Similarity.trainIvfFull(emb, idCol, vecCol, nlist, kmeansIters,
         scalableSeed = true)
+
+  /** The auto-geometry quantizer decision: flat k-means up to `imiAbove`
+    * sized cells, the two-level product quantizer above it. The flat
+    * form's per-task payload is `sized × dim` doubles and its training
+    * is one k-means over `sized` centroids — both stop being sane around
+    * ~10⁴ cells (the round-15 ceiling); past that, IMI delivers the same
+    * sized cell count (rounded up to the enclosing `k²` grid) from
+    * `2 · ceil(√sized)` trained centroids. Everything downstream
+    * (postings, probes, PQ, maintenance) is quantizer-agnostic through
+    * [[Coarse]]. IMI needs an even vector dimension — odd-dim corpora
+    * keep `maxNlist ≤ imiAbove` and stay flat.
+    */
+  private def trainAutoCoarse(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      sized: Int,
+      imiAbove: Int,
+      fullTrainAbove: Int,
+      kmeansIters: Int): Either[IvfIndex, Imi.ImiIndex] =
+    if (sized > imiAbove)
+      Right(Imi.trainImi(emb, idCol, vecCol,
+        math.ceil(math.sqrt(sized.toDouble)).toInt, kmeansIters, fullTrainAbove))
+    else
+      Left(trainAuto(emb, idCol, vecCol, sized, fullTrainAbove, kmeansIters))
 
   /** Per-batch postings counts — the maintenance signal for [[compact]]:
     * (batch, vectors). One narrow count per batch; the label comes from
@@ -465,9 +599,13 @@ object AnnIndex {
     * resizing would actually change the geometry. The signal behind the
     * round-15 100× finding: probe work grows ∝ corpus/nlist, so an index
     * that ingested 10× its build-time corpus probes ~10× slower per cell
-    * until [[rebuildAuto]] restores constant-size cells. One postings
-    * count, driver-thin — run it on the [[stats]]/[[compact]] maintenance
-    * cadence.
+    * until [[rebuildAuto]] restores constant-size cells. One
+    * distinct-id count over the postings (one narrow scan + an id
+    * exchange), driver-thin — run it on the [[stats]]/[[compact]]
+    * maintenance cadence, where the dedup is also what makes it SAFE on
+    * that cadence: a compact's promote-then-delete window doubles every
+    * posting, and a raw count taken there would spuriously recommend a
+    * resize.
     */
   def resizeReport(
       spark: SparkSession,
@@ -476,7 +614,7 @@ object AnnIndex {
       slack: Double = 4.0,
       minNlist: Int = 16,
       maxNlist: Int = 1 << 16): DataFrame = {
-    val nlist = quantizer(spark, path).nlist
+    val nlist = coarse(spark, path).nlist
     // distinct ids, not raw postings rows: the report runs on the same
     // maintenance cadence as [[compact]], whose promote-then-delete
     // window legitimately doubles every posting — a raw count taken in
@@ -529,7 +667,8 @@ object AnnIndex {
       minNlist: Int = 16,
       maxNlist: Int = 1 << 16,
       fullTrainAbove: Int = 512,
-      kmeansIters: Int = 5): Int = {
+      kmeansIters: Int = 5,
+      imiAbove: Int = 1 << 14): Int = {
     require(batches(spark, oldPath).nonEmpty,
       s"nothing to rebuild at $oldPath — the index holds no batches")
     require(batches(spark, newPath).isEmpty,
@@ -548,13 +687,24 @@ object AnnIndex {
           .select(col("id"), col("vec"))
           .dropDuplicates("id"))
       val n = vecs.count()
-      val index = trainAuto(vecs, "id", "vec",
-        autoNlist(n, targetCellRows, minNlist, maxNlist), fullTrainAbove, kmeansIters)
-      if (hasPq(spark, oldPath)) initPq(spark, newPath, index, pqCodebook(spark, oldPath))
-      else init(spark, newPath, index)
+      val sized = autoNlist(n, targetCellRows, minNlist, maxNlist)
+      val pq = if (hasPq(spark, oldPath)) Some(pqCodebook(spark, oldPath)) else None
+      // a rebuild can CROSS the quantizer-type boundary in either
+      // direction: an index that grew past imiAbove re-lands as IMI, one
+      // that shrank (after upstream pruning) re-lands flat — the
+      // postings carry no quantizer-type memory, only cell ids
+      val nlist = trainAutoCoarse(
+        vecs, "id", "vec", sized, imiAbove, fullTrainAbove, kmeansIters) match {
+        case Left(ivf) =>
+          pq.fold(init(spark, newPath, ivf))(initPq(spark, newPath, ivf, _))
+          ivf.nlist
+        case Right(imi) =>
+          pq.fold(initImi(spark, newPath, imi))(initImiPq(spark, newPath, imi, _))
+          imi.nlist
+      }
       append(vecs, "id", "vec", newPath, "00000001")
       // trained nlist, not the autoNlist target — see [[buildAuto]]
-      index.nlist
+      nlist
     } finally scope.release()
   }
 
@@ -570,7 +720,7 @@ object AnnIndex {
   def nprobeFor(spark: SparkSession, path: String, fraction: Double): Int = {
     require(fraction > 0.0 && fraction <= 1.0,
       s"recall fraction must be in (0, 1], got $fraction")
-    math.max(1, math.ceil(fraction * quantizer(spark, path).nlist).toInt)
+    math.max(1, math.ceil(fraction * coarse(spark, path).nlist).toInt)
   }
 
   /** Delete invisible staging residue left by crashed appends. Safe while
@@ -626,13 +776,13 @@ object AnnIndex {
       probe: Probe,
       maxCell: Int): DataFrame = {
     val spark = batchDf.sparkSession
-    val index = quantizer(spark, path)
+    val index = coarse(spark, path)
     // Batch probes: read twice (probed-cell set + candidate join) → pinned.
     val probes = Caches.pin(
       batchDf.select(
         col(idCol).as("batch_id"),
         col(vecCol).as("__qvec"),
-        explode(nearestCells(index, col(vecCol), Probe.resolve(probe, index.nlist)))
+        explode(index.cells(col(vecCol), Probe.resolve(probe, index.nlist)))
           .as("cell")))
     if (batches(spark, path).isEmpty)
       return probes
@@ -730,13 +880,13 @@ object AnnIndex {
       margin: Double,
       scoreWithLut: Boolean): DataFrame = {
     val spark = batchDf.sparkSession
-    val index = quantizer(spark, path)
+    val index = coarse(spark, path)
     val cb = pqCodebook(spark, path)
     val probeCols = Seq(
       col(idCol).as("batch_id"),
       col(vecCol).as("__qvec"),
       vectors.norm(col(vecCol)).as("__qnorm"),
-      explode(nearestCells(index, col(vecCol), Probe.resolve(probe, index.nlist)))
+      explode(index.cells(col(vecCol), Probe.resolve(probe, index.nlist)))
         .as("cell")) ++
       (if (scoreWithLut) Seq(pqLut(cb, col(vecCol)).as("__lut")) else Nil)
     val probes = Caches.pin(batchDf.select(probeCols: _*))
@@ -819,14 +969,14 @@ object AnnIndex {
     import org.apache.spark.sql.expressions.Window
     require(k > 0 && rerank > 0, "k and rerank must be positive")
     val spark = batchDf.sparkSession
-    val index = quantizer(spark, path)
+    val index = coarse(spark, path)
     val cb = pqCodebook(spark, path)
     val probes = Caches.pin(
       batchDf.select(
         col(idCol).as("batch_id"),
         col(vecCol).as("__qvec"),
         vectors.norm(col(vecCol)).as("__qnorm"),
-        explode(nearestCells(index, col(vecCol), Probe.resolve(probe, index.nlist)))
+        explode(index.cells(col(vecCol), Probe.resolve(probe, index.nlist)))
           .as("cell")))
     if (batches(spark, path).isEmpty)
       return probes
@@ -840,7 +990,7 @@ object AnnIndex {
         .join(broadcast(probedCells), Seq("cell"), "left_semi")
         .distinct())
     val occ = Blocking.withOccupancy(codes, Seq("cell"))
-    val coarse = occ.where(col("__occ") <= maxCell)
+    val screenCands = occ.where(col("__occ") <= maxCell)
       .join(broadcast(probes), Seq("cell"))
       .select(col("cell"), col("batch_id"), col("corpus_id"),
         (pqAdcDot(cb, col("code"), col("__qvec")) /
@@ -853,7 +1003,7 @@ object AnnIndex {
       .select(col("cell"), col("batch_id"), col("corpus_id"),
         lit(Double.MaxValue).as("__approx"))
     val survivors = graft.plans.TopK.perKey(
-      coarse.unionByName(hotKeepers), Seq("batch_id"),
+      screenCands.unionByName(hotKeepers), Seq("batch_id"),
       Seq(col("__approx").desc, col("corpus_id").asc), k * rerank)
       .select("cell", "batch_id", "corpus_id")
     val fetched = spark.read.parquet(vectorsDir(path))
@@ -923,9 +1073,9 @@ object AnnIndex {
       nprobe: Int = 4,
       maxCell: Int = 256): DataFrame = {
     val spark = batchDf.sparkSession
-    val index = quantizer(spark, path)
+    val index = coarse(spark, path)
     val probed = batchDf.select(
-      explode(nearestCells(index, col(vecCol), math.min(nprobe, index.nlist))).as("cell"))
+      explode(index.cells(col(vecCol), math.min(nprobe, index.nlist))).as("cell"))
       .distinct()
     if (batches(spark, path).isEmpty)
       return probed.select(col("cell"), lit(0L).as("occupancy")).where(lit(false))

@@ -517,4 +517,48 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(pq == flat, s"pq=$pq flat=$flat")
     Caches.release()
   }
+
+  test("Probe.Fraction holds the result set across a rebuildAuto geometry change") {
+    val oldPath = tmp(); val newPath = tmp() + "/new"
+    // 64 one-hot vectors under a deliberately undersized 2-cell quantizer
+    val wide = (0 until 64).map { i =>
+      val v = Array.fill(64)(0.0f); v(i) = 1.0f
+      (i.toLong, v.toSeq)
+    }.toDF("id", "vec")
+    AnnIndex.build(wide, "id", "vec", oldPath, nlist = 2, sampleRows = 64)
+    val probe = wide.where(col("id") % 8 === 0)
+      .select((col("id") + 100L).as("id"),
+        transform(col("vec"), x => (x * lit(1.001f)).cast("float")).as("vec"))
+    val want = (0 until 64 by 8).map(i => (i.toLong, i + 100L)).toSet
+    def pairsWith(path: String, p: AnnIndex.Probe, threshold: Double = 0.99) =
+      AnnIndex.crossNeighbors(probe, "id", "vec", path, threshold, p, Int.MaxValue)
+        .select(col("corpus_id"), col("batch_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val frac = AnnIndex.Probe.Fraction(1.0)
+    assert(pairsWith(oldPath, frac) == want)
+    val nlist = AnnIndex.rebuildAuto(
+      spark, oldPath, newPath, targetCellRows = 8L, minNlist = 2)
+    assert(nlist == 8)
+    // the fraction-holding caller re-resolves against the NEW geometry
+    // and keeps the exact result set without touching its own config ...
+    assert(pairsWith(newPath, frac) == want,
+      "Fraction(1.0) must stay exact across the rebuild")
+    // ... while the stale-fixed-nprobe caller it replaces now covers only
+    // 2 of 8 cells (the r15 hazard). Observable at threshold -1 (every
+    // candidate in a probed cell verifies): full-fraction probes see the
+    // whole corpus per probe vector, the stale width sees only its 2
+    // probed cells' members — strictly fewer candidates.
+    val fullCover = pairsWith(newPath, frac, threshold = -1.0)
+    val staleCover = pairsWith(newPath, AnnIndex.Probe.Cells(2), threshold = -1.0)
+    assert(fullCover.size == 64 * 8, s"full fraction covers the corpus, got ${fullCover.size}")
+    assert(staleCover.subsetOf(fullCover) && staleCover.size < fullCover.size,
+      s"a stale nprobe=2 against nlist=8 must cover fewer candidates " +
+        s"(${staleCover.size} vs ${fullCover.size})")
+    // resolution arithmetic is the nprobeFor contract
+    assert(AnnIndex.Probe.resolve(AnnIndex.Probe.Fraction(0.5), 8) == 4)
+    assert(AnnIndex.Probe.resolve(AnnIndex.Probe.Cells(99), 8) == 8)
+    intercept[IllegalArgumentException](AnnIndex.Probe.Fraction(0.0))
+    intercept[IllegalArgumentException](AnnIndex.Probe.Cells(0))
+    Caches.release()
+  }
 }
