@@ -47,6 +47,7 @@ object Bench {
       "text" -> ((s, d) => Queries.buildTextIndexBatches(s, d)),
       "ann" -> ((s, d) => Queries.buildAnnPqIndex(s, d)),
       "annauto" -> ((s, d) => Queries.buildAnnPqAutoIndex(s, d)),
+      "annimi" -> ((s, d) => Queries.buildAnnPqImiIndex(s, d)),
       "dsir" -> ((s, d) => Queries.buildDsirModels(s, d)))
     val standingIdx = scala.collection.mutable.Map.empty[(String, String), String]
     def idxFor(kind: String, dir: String): String =
@@ -54,6 +55,7 @@ object Bench {
     def textIdxFor(dir: String): String = idxFor("text", dir)
     def annIdxFor(dir: String): String = idxFor("ann", dir)
     def annAutoIdxFor(dir: String): String = idxFor("annauto", dir)
+    def annImiIdxFor(dir: String): String = idxFor("annimi", dir)
     def modelsFor(dir: String): String = idxFor("dsir", dir)
     // Build-entry scratch indexes are deleted AFTER each timing sample
     // (cleanup excluded from build time): 3 cold + 3 warm passes per SF
@@ -94,6 +96,15 @@ object Bench {
           dropScratch _),
         E("q65b_auto_probe", (s, d) => noopWrite(Queries.annPqAutoProbe(s, d, annAutoIdxFor(d))),
           frame = Some((s, d) => Queries.annPqAutoProbe(s, d, annAutoIdxFor(d)))),
+        // round 16: the same workload with the coarse router on the
+        // two-level product grid — the IMI quantizer's constant factor
+        // gets its own guard next to the flat-auto baseline it replaces
+        // at production cell counts (the probe helper is shared, so the
+        // entries differ ONLY in the quantizer)
+        E("q65b_imi_build", (s, d) => { scratch += Queries.buildAnnPqImiIndex(s, d); () },
+          dropScratch _),
+        E("q65b_imi_probe", (s, d) => noopWrite(Queries.annPqAutoProbe(s, d, annImiIdxFor(d))),
+          frame = Some((s, d) => Queries.annPqAutoProbe(s, d, annImiIdxFor(d)))),
         E("q106_build", (s, d) => { scratch += Queries.buildDsirModels(s, d); () },
           dropScratch _),
         E("q106_probe", (s, d) => noopWrite(Queries.dsirScore(s, d, modelsFor(d))),

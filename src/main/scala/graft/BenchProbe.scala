@@ -20,8 +20,9 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * Usage: runMain graft.BenchProbe <queryName> [passes=5] [sfDir]
   *
   * Besides catalog names, the bench-only SPLIT entries resolve too
-  * (q84_probe / q65b_probe / q65b_auto_probe / q106_probe / q84_build /
-  * q65b_build / q65b_auto_build / q106_build / q123_media_near_dup) —
+  * (q84_probe / q65b_probe / q65b_auto_probe / q65b_imi_probe /
+  * q106_probe / q84_build / q65b_build / q65b_auto_build /
+  * q65b_imi_build / q106_build / q123_media_near_dup) —
   * round 14 hit a q84_probe blip the prober could not then attribute.
   * Probe entries run against one standing index built untimed before
   * the passes, exactly like Bench.
@@ -61,6 +62,7 @@ object BenchProbe {
       "q84_probe" -> (("text", (s, d) => Queries.buildTextIndexBatches(s, d))),
       "q65b_probe" -> (("ann", (s, d) => Queries.buildAnnPqIndex(s, d))),
       "q65b_auto_probe" -> (("annauto", (s, d) => Queries.buildAnnPqAutoIndex(s, d))),
+      "q65b_imi_probe" -> (("annimi", (s, d) => Queries.buildAnnPqImiIndex(s, d))),
       "q106_probe" -> (("dsir", (s, d) => Queries.buildDsirModels(s, d))))
     def standingFor(entry: String, s: SparkSession, d: String): String = {
       val (kind, build) = indexBuilders.getOrElse(entry, sys.error(
@@ -71,6 +73,7 @@ object BenchProbe {
       "q84_probe" -> ((s, d) => Queries.textIndexProbe(s, standingFor("q84_probe", s, d))),
       "q65b_probe" -> ((s, d) => Queries.annPqProbe(s, d, standingFor("q65b_probe", s, d))),
       "q65b_auto_probe" -> ((s, d) => Queries.annPqAutoProbe(s, d, standingFor("q65b_auto_probe", s, d))),
+      "q65b_imi_probe" -> ((s, d) => Queries.annPqAutoProbe(s, d, standingFor("q65b_imi_probe", s, d))),
       "q106_probe" -> ((s, d) => Queries.dsirScore(s, d, standingFor("q106_probe", s, d))),
       "q123_media_near_dup" -> ((s, d) => Queries.mediaNearDupFull(s, d)))
     // invoked UNTIMED against the real sfDir before the pass loop, so pass 1
@@ -87,6 +90,7 @@ object BenchProbe {
       "q84_build" -> ((s, d) => Queries.buildTextIndexBatches(s, d)),
       "q65b_build" -> ((s, d) => Queries.buildAnnPqIndex(s, d)),
       "q65b_auto_build" -> ((s, d) => Queries.buildAnnPqAutoIndex(s, d)),
+      "q65b_imi_build" -> ((s, d) => Queries.buildAnnPqImiIndex(s, d)),
       "q106_build" -> ((s, d) => Queries.buildDsirModels(s, d)))
 
     val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =

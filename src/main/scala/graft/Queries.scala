@@ -2725,6 +2725,22 @@ object Queries {
     path
   }
 
+  /** q65b_auto's index with the coarse router forced onto the TWO-LEVEL
+    * product grid (`imiAbove = 1` — at bench SFs the sized cell count
+    * never crosses the production 2¹⁴ threshold organically): same
+    * 16-row target cells, same PQ codebook shape, so the q65b_imi bench
+    * entries isolate exactly the quantizer swap — the product-grid
+    * assignment/probe constant factor gets its own round-over-round
+    * guard next to the flat-auto baseline.
+    */
+  private[graft] def buildAnnPqImiIndex(s: SparkSession, dir: String): String = {
+    val corpus = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_pq_imi_index").toString
+    AnnIndex.buildPqAuto(corpus, "vec_id", "embedding", path,
+      targetCellRows = 16L, m = 32, ksub = 256, imiAbove = 1)
+    path
+  }
+
   private[graft] def annPqProbe(s: SparkSession, dir: String, path: String): DataFrame =
     AnnIndex.crossNeighborsPq(
       perturbedEmbeddings(s, dir), "vec_id", "embedding", path,

@@ -606,12 +606,20 @@ object AnnIndex {
     * that cadence: a compact's promote-then-delete window doubles every
     * posting, and a raw count taken there would spuriously recommend a
     * resize.
+    *
+    * `slack` is the probe-cost tolerance: the recommendation fires when
+    * the mean cell — and therefore per-cell probe cost — exceeds
+    * `slack ×` target. Default 2.0 (round 16; was 4.0): the round-16
+    * 100× measurement caught a geometry at 3.05× over target that the
+    * old default left unflagged while a 3.4 s rebuild bought a 9.6×
+    * probe recovery (BENCH_NOTES round-16 table) — tolerating 4× probe
+    * cost by default was the wrong side of that trade.
     */
   def resizeReport(
       spark: SparkSession,
       path: String,
       targetCellRows: Long = 4096L,
-      slack: Double = 4.0,
+      slack: Double = 2.0,
       minNlist: Int = 16,
       maxNlist: Int = 1 << 16): DataFrame = {
     val nlist = coarse(spark, path).nlist

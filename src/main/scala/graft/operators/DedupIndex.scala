@@ -277,20 +277,26 @@ object DedupIndex {
       return Seq((0L, 0L, 0.0, 0L, 0L, 0L, 0.0))
         .toDF("buckets", "postings", "mean_occupancy", "max_occupancy",
           "hot_buckets", "hot_postings", "hot_postings_frac")
+    // coalesce every aggregate: batches exist but can hold ZERO postings
+    // (an empty frame appended under a real label), and sum/avg/max over
+    // an empty relation are NULL — the report must stay all-zeros, not
+    // nullable, so callers and the q53e gate never see a null row
     spark.read.parquet(bandsDir(path))
       .groupBy("band", "bucket")
       .agg(count_distinct(col("id")).as("occ"))
       .agg(
         count(lit(1)).as("buckets"),
-        sum(col("occ")).as("postings"),
-        avg(col("occ")).as("mean_occupancy"),
-        max(col("occ")).as("max_occupancy"),
+        coalesce(sum(col("occ")), lit(0L)).as("postings"),
+        coalesce(avg(col("occ")), lit(0.0)).as("mean_occupancy"),
+        coalesce(max(col("occ")), lit(0L)).as("max_occupancy"),
         count(when(col("occ") > maxBucket, 1)).as("hot_buckets"),
         coalesce(sum(when(col("occ") > maxBucket, col("occ"))), lit(0L))
           .as("hot_postings"))
       .select(col("buckets"), col("postings"), col("mean_occupancy"),
         col("max_occupancy"), col("hot_buckets"), col("hot_postings"),
-        (col("hot_postings").cast("double") / col("postings").cast("double"))
+        when(col("postings") > 0L,
+          col("hot_postings").cast("double") / col("postings").cast("double"))
+          .otherwise(lit(0.0))
           .as("hot_postings_frac"))
   }
 

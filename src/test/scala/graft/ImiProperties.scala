@@ -1,0 +1,77 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.expressions.ImiKernels
+
+/** Property pins for the inverted-multi-index kernel: over random
+  * INTEGER-valued half-quantizers and vectors (exact FP — sums of
+  * products of small integers), the product-cell selection must equal a
+  * brute-force nearest-of-product-grid reference with the
+  * [[graft.expressions.NearestCentroidsExpr]] tie/NaN discipline
+  * (ascending (distance, cell id), NaN → +infinity). ImiSpec pins the
+  * DataFrame/codegen path against the real single-level expression; this
+  * covers the kernel itself over a much wider random space, including
+  * duplicate centroids (forced sum ties) and short/corrupt vectors.
+  */
+object ImiProperties extends Properties("graft.imi") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(60)
+
+  private val genCase: Gen[(Int, Array[Double], Array[Double], Array[Double], Int)] =
+    for {
+      dimHalf <- Gen.choose(1, 4)
+      k1 <- Gen.choose(1, 5)
+      k2 <- Gen.choose(1, 5)
+      // small-integer coordinates: exact arithmetic AND frequent ties
+      f1 <- Gen.containerOfN[Array, Double](k1 * dimHalf, Gen.choose(-2, 2).map(_.toDouble))
+      f2 <- Gen.containerOfN[Array, Double](k2 * dimHalf, Gen.choose(-2, 2).map(_.toDouble))
+      vLen <- Gen.choose(0, 2 * dimHalf)
+      v <- Gen.containerOfN[Array, Double](vLen, Gen.choose(-3, 3).map(_.toDouble))
+      nprobe <- Gen.choose(1, k1 * k2)
+    } yield (dimHalf, f1, f2, v, nprobe)
+
+  /** Brute-force reference: expand the product grid, score each cell
+    * over the vector prefix, bounded-select by (distance, cell id).
+    */
+  private def reference(
+      dimHalf: Int,
+      f1: Array[Double],
+      f2: Array[Double],
+      v: Array[Double],
+      nprobe: Int): Seq[Int] = {
+    val k1 = f1.length / dimHalf
+    val k2 = f2.length / dimHalf
+    val scored = for (c1 <- 0 until k1; c2 <- 0 until k2) yield {
+      val cent = f1.slice(c1 * dimHalf, (c1 + 1) * dimHalf) ++
+        f2.slice(c2 * dimHalf, (c2 + 1) * dimHalf)
+      var d = 0.0
+      var i = 0
+      while (i < math.min(v.length, 2 * dimHalf)) {
+        val x = v(i) - cent(i); d += x * x; i += 1
+      }
+      if (d.isNaN) d = Double.PositiveInfinity
+      (d, c1 * k2 + c2)
+    }
+    scored.sortBy(identity).take(nprobe).map(_._2)
+  }
+
+  property("kernel == brute-force nearest-of-product-grid, ties and prefix included") =
+    forAll(genCase) { case (dimHalf, f1, f2, v, nprobe) =>
+      val padded = java.util.Arrays.copyOf(v, 2 * dimHalf)
+      val got = ImiKernels.nearestCells(
+        padded, v.length, f1, f2, dimHalf, f1.length / dimHalf, f2.length / dimHalf, nprobe)
+      got.toSeq == reference(dimHalf, f1, f2, v, nprobe)
+    }
+
+  property("corrupt vectors (NaN element) still yield nprobe distinct cells, id-ascending among +inf") =
+    forAll(genCase) { case (dimHalf, f1, f2, _, nprobe) =>
+      val v = Array.fill(2 * dimHalf)(Double.NaN)
+      val got = ImiKernels.nearestCells(
+        v, v.length, f1, f2, dimHalf, f1.length / dimHalf, f2.length / dimHalf, nprobe)
+      got.length == nprobe && got.toSeq.distinct == got.toSeq &&
+        got.toSeq == reference(dimHalf, f1, f2, v, nprobe)
+    }
+}
