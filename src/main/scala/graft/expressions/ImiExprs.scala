@@ -43,21 +43,25 @@ private[graft] object ImiKernels {
   /** The `nprobe` nearest product cells of `v` (first `n` elements
     * valid — the [[NearestCentroidsExpr]] prefix contract: a shorter
     * vector scores over the prefix it has, missing dims contribute
-    * nothing). Returns combined cell ids `c₁ · k₂ + c₂`, ascending by
-    * (distance, cell id), NaN distance ranked +infinity.
+    * nothing). The two halves may have DIFFERENT widths (`dim1`,
+    * `dim2`) — d² decomposes over any partition of the dimensions, so
+    * odd-dimension corpora split ceil/floor and lose nothing. Returns
+    * combined cell ids `c₁ · k₂ + c₂`, ascending by (distance, cell
+    * id), NaN distance ranked +infinity.
     */
   def nearestCells(
       v: Array[Double],
       n: Int,
       flat1: Array[Double],
       flat2: Array[Double],
-      dimHalf: Int,
+      dim1: Int,
+      dim2: Int,
       k1: Int,
       k2: Int,
       nprobe: Int): Array[Int] = {
-    val d1 = halfDistances(v, 0, math.min(n, dimHalf), flat1, dimHalf, k1)
-    val d2 = halfDistances(v, dimHalf, math.max(0, math.min(n, 2 * dimHalf) - dimHalf),
-      flat2, dimHalf, k2)
+    val d1 = halfDistances(v, 0, math.min(n, dim1), flat1, dim1, k1)
+    val d2 = halfDistances(v, dim1, math.max(0, math.min(n, dim1 + dim2) - dim1),
+      flat2, dim2, k2)
     val bestD = new Array[Double](nprobe)
     val bestC = new Array[Int](nprobe)
     java.util.Arrays.fill(bestD, Double.PositiveInfinity)
@@ -125,16 +129,17 @@ case class NearestImiCellsExpr(
     child: Expression,
     flat1: IndexedSeq[Double],
     flat2: IndexedSeq[Double],
-    dimHalf: Int,
+    dim1: Int,
+    dim2: Int,
     nprobe: Int) extends UnaryExpression {
 
-  require(dimHalf > 0, "dimHalf must be positive")
-  require(flat1.nonEmpty && flat1.length % dimHalf == 0,
-    "flat1 must hold k1 x dimHalf doubles")
-  require(flat2.nonEmpty && flat2.length % dimHalf == 0,
-    "flat2 must hold k2 x dimHalf doubles")
-  private val k1: Int = flat1.length / dimHalf
-  private val k2: Int = flat2.length / dimHalf
+  require(dim1 > 0 && dim2 > 0, "half dims must be positive")
+  require(flat1.nonEmpty && flat1.length % dim1 == 0,
+    "flat1 must hold k1 x dim1 doubles")
+  require(flat2.nonEmpty && flat2.length % dim2 == 0,
+    "flat2 must hold k2 x dim2 doubles")
+  private val k1: Int = flat1.length / dim1
+  private val k2: Int = flat2.length / dim2
   require(k1.toLong * k2 <= Int.MaxValue, "k1 * k2 must fit an int cell id")
   private val nlist: Int = k1 * k2
   require(nprobe >= 1 && nprobe <= nlist, "nprobe must be in [1, k1*k2]")
@@ -158,15 +163,15 @@ case class NearestImiCellsExpr(
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = math.min(arr.numElements(), 2 * dimHalf)
-    val vec = new Array[Double](2 * dimHalf)
+    val n = math.min(arr.numElements(), dim1 + dim2)
+    val vec = new Array[Double](dim1 + dim2)
     var i = 0
     while (i < n) {
       vec(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(
-      ImiKernels.nearestCells(vec, n, f1, f2, dimHalf, k1, k2, nprobe))
+      ImiKernels.nearestCells(vec, n, f1, f2, dim1, dim2, k1, k2, nprobe))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -178,13 +183,13 @@ case class NearestImiCellsExpr(
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($arr.numElements(), ${2 * dimHalf});
-         |double[] $vec = new double[${2 * dimHalf}];
+         |int $n = java.lang.Math.min($arr.numElements(), ${dim1 + dim2});
+         |double[] $vec = new double[${dim1 + dim2}];
          |for (int $i = 0; $i < $n; $i++) {
          |  $vec[$i] = (double) $arr.$get($i);
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
-         |  graft.expressions.ImiKernels.nearestCells($vec, $n, $f1Ref, $f2Ref, $dimHalf, $k1, $k2, $nprobe));
+         |  graft.expressions.ImiKernels.nearestCells($vec, $n, $f1Ref, $f2Ref, $dim1, $dim2, $k1, $k2, $nprobe));
          |""".stripMargin
     })
   }

@@ -134,14 +134,23 @@ object AnnIndex {
     private[operators] def cells(v: Column, n: Int): Column = {
       import org.apache.spark.sql.graft.ColumnBridge
       ColumnBridge.column(graft.expressions.NearestImiCellsExpr(
-        ColumnBridge.eagerExpression(v), idx.flat1, idx.flat2, idx.dimHalf, n))
+        ColumnBridge.eagerExpression(v), idx.flat1, idx.flat2, idx.dim1, idx.dim2, n))
     }
   }
 
-  /** Load whichever quantizer the index at `path` carries. */
+  /** Load whichever quantizer the index at `path` carries. The DISPATCH
+    * itself retries through the shared swap policy: a concurrent
+    * quantizer re-save has a sub-millisecond window where `imi/` (or
+    * `centroids/`) is renamed out, and in that window `hasImi` can
+    * misroute to a loader whose path never existed — the per-artifact
+    * load retries can't absorb a wrong-artifact choice, so the retry
+    * wraps the choice too (re-evaluating `hasImi` each attempt).
+    */
   private[graft] def coarse(spark: SparkSession, path: String): Coarse =
-    if (hasImi(spark, path)) CoarseImi(Imi.ImiIndex.load(spark, imiDir(path)))
-    else CoarseIvf(quantizer(spark, path))
+    graft.sources.Sinks.loadWithSwapRetry() {
+      if (hasImi(spark, path)) CoarseImi(Imi.ImiIndex.load(spark, imiDir(path), retries = 0))
+      else CoarseIvf(IvfIndex.load(spark, centroidsDir(path), retries = 0))
+    }
 
   /** Does the index at `path` use the two-level IMI quantizer? */
   def hasImi(spark: SparkSession, path: String): Boolean = {
@@ -405,8 +414,14 @@ object AnnIndex {
     * result (BENCH_NOTES.md round-15 100× table — ADC-scan work is
     * ∝ corpus/nlist, so fixed geometry turns 10× corpus × 10× batch into
     * 100× work). The default 4096-row cells keep per-probe posting reads
-    * page-sized at any corpus; `maxNlist` bounds quantizer size (the
-    * centroid table is nlist × dim doubles, broadcast to every probe).
+    * page-sized at any corpus; `maxNlist` bounds quantizer size. This
+    * helper's own 2¹⁶ default is the FLAT-quantizer payload bound
+    * (nlist × dim doubles per task); the auto builders pass 2²² instead
+    * (round 16) because their flat branch is separately bounded by
+    * `imiAbove` and the cap then only bounds the IMI product grid,
+    * whose payload grows with √nlist — at 2²² cells ≈ 2048 centroids
+    * per half, ~12 MB at dim 768, and the 10⁹-vector sizing (~2.4×10⁵
+    * cells) passes unclamped.
     */
   def autoNlist(
       corpusRows: Long,
@@ -446,7 +461,7 @@ object AnnIndex {
       path: String,
       targetCellRows: Long = 4096L,
       minNlist: Int = 16,
-      maxNlist: Int = 1 << 16,
+      maxNlist: Int = 1 << 22,
       corpusRows: Option[Long] = None,
       fullTrainAbove: Int = 512,
       kmeansIters: Int = 5,
@@ -485,7 +500,7 @@ object AnnIndex {
       m: Int = 8,
       ksub: Int = 16,
       minNlist: Int = 16,
-      maxNlist: Int = 1 << 16,
+      maxNlist: Int = 1 << 22,
       corpusRows: Option[Long] = None,
       fullTrainAbove: Int = 512,
       kmeansIters: Int = 5,
@@ -535,8 +550,9 @@ object AnnIndex {
     * sized cell count (rounded up to the enclosing `k²` grid) from
     * `2 · ceil(√sized)` trained centroids. Everything downstream
     * (postings, probes, PQ, maintenance) is quantizer-agnostic through
-    * [[Coarse]]. IMI needs an even vector dimension — odd-dim corpora
-    * keep `maxNlist ≤ imiAbove` and stay flat.
+    * [[Coarse]]; odd vector dimensions split ceil/floor across the IMI
+    * halves (d² decomposes over any dim partition), so no corpus shape
+    * is excluded from the auto path.
     */
   private def trainAutoCoarse(
       emb: DataFrame,
@@ -621,7 +637,7 @@ object AnnIndex {
       targetCellRows: Long = 4096L,
       slack: Double = 2.0,
       minNlist: Int = 16,
-      maxNlist: Int = 1 << 16): DataFrame = {
+      maxNlist: Int = 1 << 22): DataFrame = {
     val nlist = coarse(spark, path).nlist
     // distinct ids, not raw postings rows: the report runs on the same
     // maintenance cadence as [[compact]], whose promote-then-delete
@@ -673,7 +689,7 @@ object AnnIndex {
       newPath: String,
       targetCellRows: Long = 4096L,
       minNlist: Int = 16,
-      maxNlist: Int = 1 << 16,
+      maxNlist: Int = 1 << 22,
       fullTrainAbove: Int = 512,
       kmeansIters: Int = 5,
       imiAbove: Int = 1 << 14): Int = {

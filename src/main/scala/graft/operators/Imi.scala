@@ -34,22 +34,24 @@ import org.apache.spark.sql.functions._
 object Imi {
 
   /** A trained product quantizer pair: `q1` over the first half-space,
-    * `q2` over the second. Combined cell id = `c₁ · k₂ + c₂`. Same
-    * driver-side artifact lifecycle as [[Similarity.IvfIndex]] — train
-    * once, save, serve forever.
+    * `q2` over the second. Combined cell id = `c₁ · k₂ + c₂`. The halves
+    * may differ in width (odd corpus dims split ceil/floor — d²
+    * decomposes over any partition of the dimensions). Same driver-side
+    * artifact lifecycle as [[Similarity.IvfIndex]] — train once, save,
+    * serve forever.
     */
   final case class ImiIndex(q1: Array[Array[Double]], q2: Array[Array[Double]]) {
     require(q1.nonEmpty && q2.nonEmpty, "an IMI index needs centroids in both halves")
-    val dimHalf: Int = q1.head.length
-    require(dimHalf > 0 && q2.head.length == dimHalf,
-      "both half-quantizers must share the half dimension")
-    require(q1.forall(_.length == dimHalf) && q2.forall(_.length == dimHalf),
+    val dim1: Int = q1.head.length
+    val dim2: Int = q2.head.length
+    require(dim1 > 0 && dim2 > 0, "half dims must be positive")
+    require(q1.forall(_.length == dim1) && q2.forall(_.length == dim2),
       "ragged centroids")
     val k1: Int = q1.length
     val k2: Int = q2.length
     require(k1.toLong * k2 <= Int.MaxValue, "k1 * k2 must fit an int cell id")
     val nlist: Int = k1 * k2
-    val dim: Int = 2 * dimHalf
+    val dim: Int = dim1 + dim2
     private[operators] lazy val flat1: IndexedSeq[Double] = q1.flatten.toIndexedSeq
     private[operators] lazy val flat2: IndexedSeq[Double] = q2.flatten.toIndexedSeq
 
@@ -69,26 +71,18 @@ object Imi {
 
   object ImiIndex {
     /** Load a saved pair, absorbing a concurrent save's sub-millisecond
-      * swap window with the bounded retry every swap-managed artifact's
-      * reader uses.
+      * swap window with the shared bounded retry
+      * ([[graft.sources.Sinks.loadWithSwapRetry]]).
       */
-    def load(spark: SparkSession, path: String, retries: Int = 8): ImiIndex = {
-      import graft.sources.Sinks.isTransientSwapMiss
-      def attempt(left: Int): ImiIndex =
-        try {
-          val rows = spark.read.parquet(path)
-            .orderBy("half", "cell")
-            .collect()
-            .map(r => (r.getInt(r.fieldIndex("half")),
-              r.getSeq[Double](r.fieldIndex("centroid")).toArray))
-          ImiIndex(rows.filter(_._1 == 1).map(_._2), rows.filter(_._1 == 2).map(_._2))
-        } catch {
-          case e: Throwable if left > 0 && isTransientSwapMiss(e) =>
-            Thread.sleep(25L)
-            attempt(left - 1)
-        }
-      attempt(retries)
-    }
+    def load(spark: SparkSession, path: String, retries: Int = 8): ImiIndex =
+      graft.sources.Sinks.loadWithSwapRetry(retries) {
+        val rows = spark.read.parquet(path)
+          .orderBy("half", "cell")
+          .collect()
+          .map(r => (r.getInt(r.fieldIndex("half")),
+            r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+        ImiIndex(rows.filter(_._1 == 1).map(_._2), rows.filter(_._1 == 2).map(_._2))
+      }
   }
 
   /** Train the half-space pair: each half is an ordinary coarse-quantizer
@@ -98,11 +92,20 @@ object Imi {
     * seeding above it. Everything the single-level trainer learned about
     * seeding, NaN quarantine, and scan budget applies per half verbatim,
     * at k = √nlist instead of nlist — which is why IMI training stays
-    * tractable exactly where flat training stops being so. `dim` must be
-    * even (odd-dim corpora belong in a flat index, or pad upstream).
-    * Trained halves can come back narrower than `kPerHalf` on
-    * low-distinct-cardinality corpora; the product nlist follows suit
-    * (the [[AnnIndex.buildAuto]] trained-vs-target contract).
+    * tractable exactly where flat training stops being so. Odd corpus
+    * dims split ceil/floor across the halves (nothing is lost — d²
+    * decomposes over any dim partition), so the auto path never needs
+    * an even-dim precondition. Trained halves can come back narrower
+    * than `kPerHalf` on low-distinct-cardinality corpora; the product
+    * nlist follows suit (the [[AnnIndex.buildAuto]] trained-vs-target
+    * contract).
+    *
+    * Scan budget: the sampled branch (`kPerHalf ≤ fullTrainAbove`)
+    * draws ONE deterministic 32×k sample of the full vectors and
+    * trains both halves from its slices driver-side — one corpus scan
+    * total, not one per half. The full branch runs the distributed
+    * trainer per half (each is multi-scan by nature; they cannot share
+    * a pass because Lloyd's exchanges are keyed by that half's cells).
     */
   def trainImi(
       emb: DataFrame,
@@ -116,21 +119,35 @@ object Imi {
       .select(col(vecCol).cast("array<double>")).limit(1).collect()
     require(first.nonEmpty, "cannot train an IMI quantizer on an empty corpus")
     val dim = first(0).getSeq[Double](0).size
-    require(dim % 2 == 0, s"IMI needs an even vector dimension, got $dim")
-    val dimHalf = dim / 2
-    def trainHalf(start: Int): Array[Array[Double]] = {
-      val half = emb.select(
-        col(idCol).as("__id"),
-        slice(col(vecCol).cast("array<double>"), start, dimHalf).as("__hv"))
-      val trained =
-        if (kPerHalf <= fullTrainAbove)
-          Similarity.trainIvf(half, "__id", "__hv", kPerHalf,
-            sampleRows = math.max(512, 32 * kPerHalf), kmeansIters = kmeansIters)
-        else
-          Similarity.trainIvfFull(half, "__id", "__hv", kPerHalf, kmeansIters,
-            scalableSeed = true)
-      trained.centroids
+    require(dim >= 2, s"IMI needs at least 2 dims to split, got $dim")
+    val dim1 = (dim + 1) / 2
+    val dim2 = dim - dim1
+    if (kPerHalf <= fullTrainAbove) {
+      val sample: Array[Array[Double]] = emb
+        .orderBy(xxhash64(col(idCol)))
+        .select(col(vecCol).cast("array<double>"))
+        .limit(math.max(512, 32 * kPerHalf))
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+      def half(off: Int, w: Int): Array[Array[Double]] =
+        Similarity.kmeans(
+          sample.map { v =>
+            // clamp both bounds so a shorter-than-off vector slices to
+            // empty instead of throwing; padTo keeps the half rectangular
+            val from = math.min(off, v.length)
+            val to = math.max(from, math.min(off + w, v.length))
+            java.util.Arrays.copyOfRange(v, from, to).padTo(w, 0.0)
+          },
+          kPerHalf, kmeansIters)
+      ImiIndex(half(0, dim1), half(dim1, dim2))
+    } else {
+      def trainHalf(start: Int, w: Int): Array[Array[Double]] =
+        Similarity.trainIvfFull(
+          emb.select(
+            col(idCol).as("__id"),
+            slice(col(vecCol).cast("array<double>"), start, w).as("__hv")),
+          "__id", "__hv", kPerHalf, kmeansIters, scalableSeed = true).centroids
+      ImiIndex(trainHalf(1, dim1), trainHalf(dim1 + 1, dim2))
     }
-    ImiIndex(trainHalf(1), trainHalf(dimHalf + 1))
   }
 }

@@ -58,23 +58,15 @@ object Pq {
     /** Load a saved codebook, absorbing a concurrent save's swap window
       * with the bounded retry every swap-managed artifact's reader uses.
       */
-    def load(spark: SparkSession, path: String, retries: Int = 8): Codebook = {
-      import graft.sources.Sinks.isTransientSwapMiss
-      def attempt(left: Int): Codebook =
-        try {
-          val rows = spark.read.parquet(path)
-            .orderBy("sub", "code")
-            .collect()
-            .map(r => (r.getInt(r.fieldIndex("sub")),
-              r.getSeq[Double](r.fieldIndex("centroid")).toArray))
-          Codebook(rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray)
-        } catch {
-          case e: Throwable if left > 0 && isTransientSwapMiss(e) =>
-            Thread.sleep(25L)
-            attempt(left - 1)
-        }
-      attempt(retries)
-    }
+    def load(spark: SparkSession, path: String, retries: Int = 8): Codebook =
+      graft.sources.Sinks.loadWithSwapRetry(retries) {
+        val rows = spark.read.parquet(path)
+          .orderBy("sub", "code")
+          .collect()
+          .map(r => (r.getInt(r.fieldIndex("sub")),
+            r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+        Codebook(rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray)
+      }
   }
 
   /** Train a codebook: per subspace, k-means over the sub-slices of a

@@ -506,21 +506,14 @@ object Similarity {
       * absorbs them with a bounded retry; any other failure (or exhausted
       * retries) propagates.
       */
-    def load(spark: org.apache.spark.sql.SparkSession, path: String, retries: Int = 8): IvfIndex = {
-      import graft.sources.Sinks.isTransientSwapMiss
-      def attempt(left: Int): IvfIndex =
-        try IvfIndex(
+    def load(spark: org.apache.spark.sql.SparkSession, path: String, retries: Int = 8): IvfIndex =
+      graft.sources.Sinks.loadWithSwapRetry(retries) {
+        IvfIndex(
           spark.read.parquet(path)
             .orderBy("cell")
             .collect()
             .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray))
-        catch {
-          case e: Throwable if left > 0 && isTransientSwapMiss(e) =>
-            Thread.sleep(25L)
-            attempt(left - 1)
-        }
-      attempt(retries)
-    }
+      }
   }
 
   /** Train an IVF coarse quantizer: k-means over a `sampleRows`-point

@@ -160,6 +160,27 @@ object Sinks {
           m.contains("Encountered error while reading file"))
     }
 
+  /** Run a swap-managed artifact's read under the standard bounded
+    * retry: [[writePartitionedAtomic]]'s rename swap has a
+    * sub-millisecond window where the path is absent (old dir renamed
+    * out, new one not yet in) and a reader that listed the old files can
+    * find them renamed away before its scan opens them — both transient
+    * by construction, both absorbed here. One policy (attempts, sleep,
+    * [[isTransientSwapMiss]] classification) for every artifact loader
+    * (IvfIndex, ImiIndex, Pq.Codebook, AnnIndex's quantizer dispatch)
+    * instead of a copy per loader to keep in sync.
+    */
+  private[graft] def loadWithSwapRetry[T](retries: Int = 8)(read: => T): T = {
+    def attempt(left: Int): T =
+      try read
+      catch {
+        case e: Throwable if left > 0 && isTransientSwapMiss(e) =>
+          Thread.sleep(25L)
+          attempt(left - 1)
+      }
+    attempt(retries)
+  }
+
   private def atomicSwap(
       spark: org.apache.spark.sql.SparkSession,
       path: String,

@@ -20,36 +20,38 @@ object ImiProperties extends Properties("graft.imi") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(60)
 
-  private val genCase: Gen[(Int, Array[Double], Array[Double], Array[Double], Int)] =
+  private val genCase: Gen[(Int, Int, Array[Double], Array[Double], Array[Double], Int)] =
     for {
-      dimHalf <- Gen.choose(1, 4)
+      dim1 <- Gen.choose(1, 4)
+      dim2 <- Gen.choose(1, 4) // independent of dim1: uneven halves are legal
       k1 <- Gen.choose(1, 5)
       k2 <- Gen.choose(1, 5)
       // small-integer coordinates: exact arithmetic AND frequent ties
-      f1 <- Gen.containerOfN[Array, Double](k1 * dimHalf, Gen.choose(-2, 2).map(_.toDouble))
-      f2 <- Gen.containerOfN[Array, Double](k2 * dimHalf, Gen.choose(-2, 2).map(_.toDouble))
-      vLen <- Gen.choose(0, 2 * dimHalf)
+      f1 <- Gen.containerOfN[Array, Double](k1 * dim1, Gen.choose(-2, 2).map(_.toDouble))
+      f2 <- Gen.containerOfN[Array, Double](k2 * dim2, Gen.choose(-2, 2).map(_.toDouble))
+      vLen <- Gen.choose(0, dim1 + dim2)
       v <- Gen.containerOfN[Array, Double](vLen, Gen.choose(-3, 3).map(_.toDouble))
       nprobe <- Gen.choose(1, k1 * k2)
-    } yield (dimHalf, f1, f2, v, nprobe)
+    } yield (dim1, dim2, f1, f2, v, nprobe)
 
   /** Brute-force reference: expand the product grid, score each cell
     * over the vector prefix, bounded-select by (distance, cell id).
     */
   private def reference(
-      dimHalf: Int,
+      dim1: Int,
+      dim2: Int,
       f1: Array[Double],
       f2: Array[Double],
       v: Array[Double],
       nprobe: Int): Seq[Int] = {
-    val k1 = f1.length / dimHalf
-    val k2 = f2.length / dimHalf
+    val k1 = f1.length / dim1
+    val k2 = f2.length / dim2
     val scored = for (c1 <- 0 until k1; c2 <- 0 until k2) yield {
-      val cent = f1.slice(c1 * dimHalf, (c1 + 1) * dimHalf) ++
-        f2.slice(c2 * dimHalf, (c2 + 1) * dimHalf)
+      val cent = f1.slice(c1 * dim1, (c1 + 1) * dim1) ++
+        f2.slice(c2 * dim2, (c2 + 1) * dim2)
       var d = 0.0
       var i = 0
-      while (i < math.min(v.length, 2 * dimHalf)) {
+      while (i < math.min(v.length, dim1 + dim2)) {
         val x = v(i) - cent(i); d += x * x; i += 1
       }
       if (d.isNaN) d = Double.PositiveInfinity
@@ -58,20 +60,20 @@ object ImiProperties extends Properties("graft.imi") {
     scored.sortBy(identity).take(nprobe).map(_._2)
   }
 
-  property("kernel == brute-force nearest-of-product-grid, ties and prefix included") =
-    forAll(genCase) { case (dimHalf, f1, f2, v, nprobe) =>
-      val padded = java.util.Arrays.copyOf(v, 2 * dimHalf)
+  property("kernel == brute-force nearest-of-product-grid, ties, prefix, uneven halves") =
+    forAll(genCase) { case (dim1, dim2, f1, f2, v, nprobe) =>
+      val padded = java.util.Arrays.copyOf(v, dim1 + dim2)
       val got = ImiKernels.nearestCells(
-        padded, v.length, f1, f2, dimHalf, f1.length / dimHalf, f2.length / dimHalf, nprobe)
-      got.toSeq == reference(dimHalf, f1, f2, v, nprobe)
+        padded, v.length, f1, f2, dim1, dim2, f1.length / dim1, f2.length / dim2, nprobe)
+      got.toSeq == reference(dim1, dim2, f1, f2, v, nprobe)
     }
 
   property("corrupt vectors (NaN element) still yield nprobe distinct cells, id-ascending among +inf") =
-    forAll(genCase) { case (dimHalf, f1, f2, _, nprobe) =>
-      val v = Array.fill(2 * dimHalf)(Double.NaN)
+    forAll(genCase) { case (dim1, dim2, f1, f2, _, nprobe) =>
+      val v = Array.fill(dim1 + dim2)(Double.NaN)
       val got = ImiKernels.nearestCells(
-        v, v.length, f1, f2, dimHalf, f1.length / dimHalf, f2.length / dimHalf, nprobe)
+        v, v.length, f1, f2, dim1, dim2, f1.length / dim1, f2.length / dim2, nprobe)
       got.length == nprobe && got.toSeq.distinct == got.toSeq &&
-        got.toSeq == reference(dimHalf, f1, f2, v, nprobe)
+        got.toSeq == reference(dim1, dim2, f1, f2, v, nprobe)
     }
 }

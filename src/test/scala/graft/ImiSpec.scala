@@ -25,28 +25,29 @@ class ImiSpec extends AnyFunSuite {
     Files.createTempDirectory("graft_imi_spec").toString
 
   test("NearestImiCellsExpr == NearestCentroidsExpr over the expanded product table") {
-    // integer-valued halves, WITH a duplicate centroid in q1 (rows 0 and
-    // 2) so exact distance ties across different product cells exercise
-    // the (distance, cell-id) tie-break on both paths
+    // integer-valued halves of UNEVEN width (dim1 = 2, dim2 = 1 — the
+    // odd-dim split), WITH a duplicate centroid in q1 (rows 0 and 2) so
+    // exact distance ties across different product cells exercise the
+    // (distance, cell-id) tie-break on both paths
     val q1 = Array(Array(0.0, 0.0), Array(4.0, 0.0), Array(0.0, 0.0))
-    val q2 = Array(Array(1.0, 1.0), Array(3.0, 5.0), Array(1.0, 1.0), Array(7.0, 2.0))
-    val dimHalf = 2
+    val q2 = Array(Array(1.0), Array(3.0), Array(1.0), Array(7.0))
+    val dim1 = 2; val dim2 = 1
     val k1 = q1.length; val k2 = q2.length
     val product: IndexedSeq[Double] =
       (for (a <- q1; b <- q2) yield a ++ b).flatten.toIndexedSeq
     val flat1 = q1.flatten.toIndexedSeq
     val flat2 = q2.flatten.toIndexedSeq
     val rows = Seq.tabulate(64) { i =>
-      Array.tabulate(4)(j => (((i * 13 + j * 7) % 9) - 4).toFloat)
+      Array.tabulate(3)(j => (((i * 13 + j * 7) % 9) - 4).toFloat)
     } ++ Seq(
-      Array(Float.NaN, 1.0f, 2.0f, 3.0f), // corrupt row: NaN ranks +inf, still nprobe cells
-      Array(1.0f))                        // short row: prefix contract
+      Array(Float.NaN, 1.0f, 2.0f),  // corrupt row: NaN ranks +inf, still nprobe cells
+      Array(1.0f))                   // short row: prefix contract
     val df = rows.map(v => Tuple1(v.toSeq)).toDF("vec")
     for (nprobe <- Seq(1, 3, k1 * k2)) {
       val imi = ColumnBridge.column(NearestImiCellsExpr(
-        ColumnBridge.eagerExpression(col("vec")), flat1, flat2, dimHalf, nprobe))
+        ColumnBridge.eagerExpression(col("vec")), flat1, flat2, dim1, dim2, nprobe))
       val ref = ColumnBridge.column(NearestCentroidsExpr(
-        ColumnBridge.eagerExpression(col("vec")), product, 2 * dimHalf, nprobe))
+        ColumnBridge.eagerExpression(col("vec")), product, dim1 + dim2, nprobe))
       val got = df.select(imi.as("a"), ref.as("b"))
         .collect()
         .map(r => (r.getSeq[Int](0), r.getSeq[Int](1)))
@@ -66,17 +67,42 @@ class ImiSpec extends AnyFunSuite {
     val back = Imi.ImiIndex.load(spark, path)
     assert(back.q1.map(_.toSeq).toSeq == idx.q1.map(_.toSeq).toSeq)
     assert(back.q2.map(_.toSeq).toSeq == idx.q2.map(_.toSeq).toSeq)
+    // uneven halves are legal (odd-dim corpora split ceil/floor) ...
+    val uneven = Imi.ImiIndex(Array(Array(1.0)), Array(Array(1.0, 2.0)))
+    assert(uneven.dim1 == 1 && uneven.dim2 == 2 && uneven.dim == 3)
+    // ... ragged centroids within one half are not
     intercept[IllegalArgumentException](
-      Imi.ImiIndex(Array(Array(1.0)), Array(Array(1.0, 2.0)))) // half dims differ
+      Imi.ImiIndex(Array(Array(1.0), Array(1.0, 2.0)), Array(Array(1.0))))
   }
 
-  test("trainImi trains both halves; odd dims refuse loudly") {
+  test("trainImi trains both halves; odd dims split ceil/floor") {
     val emb = Seq.tabulate(64)(i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 8 + j) % 17).toFloat))).toDF("id", "vec")
     val idx = Imi.trainImi(emb, "id", "vec", kPerHalf = 4)
-    assert(idx.dimHalf == 4 && idx.k1 == 4 && idx.k2 == 4 && idx.nlist == 16)
-    val odd = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "vec")
-    intercept[IllegalArgumentException](Imi.trainImi(odd, "id", "vec", 2))
+    assert(idx.dim1 == 4 && idx.dim2 == 4 && idx.k1 == 4 && idx.k2 == 4 && idx.nlist == 16)
+    // odd dims are not excluded (the r16 review finding): 5 splits 3 + 2,
+    // and the trained index serves exact full-fraction answers
+    val odd = Seq.tabulate(32)(i =>
+      (i.toLong, Array.tabulate(5)(j => (((i * 5 + j) % 11) - 5).toFloat))).toDF("id", "vec")
+    val oidx = Imi.trainImi(odd, "id", "vec", kPerHalf = 2)
+    assert(oidx.dim1 == 3 && oidx.dim2 == 2 && oidx.dim == 5)
+    val path = tmp()
+    AnnIndex.initImi(spark, path, oidx)
+    AnnIndex.append(odd, "id", "vec", path, "00000001")
+    val batch = odd.where(col("id") % 4 === 0)
+      .select((col("id") + 100L).as("id"),
+        transform(col("vec"), x => (x * lit(1.001f)).cast("float")).as("vec"))
+    val probed = AnnIndex.crossNeighbors(
+      batch, "id", "vec", path, 0.99, AnnIndex.Probe.Fraction(1.0), Int.MaxValue)
+      .select(col("corpus_id"), col("batch_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineNearDupPairsExact(
+      odd.unionByName(batch), "id", "vec", threshold = 0.99)
+      .where(col("id_a") < 100L && col("id_b") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed == exact && probed.nonEmpty,
+      s"odd-dim IMI full-fraction probe must be exact: $probed vs $exact")
+    Caches.release()
   }
 
   test("buildImi + full-fraction probe equals brute-force exact cross pairs") {
