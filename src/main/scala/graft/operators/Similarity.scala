@@ -406,6 +406,20 @@ object Similarity {
       .select(idCol, "dot", "norm2")
   }
 
+  /** The training-sample quarantine: TRUE only for a non-null vector
+    * whose every element is finite. !(|x| < inf) is false only for
+    * finite elements, and a null ELEMENT nulls the `exists`, which
+    * `where` drops — one predicate covers null vectors, null elements,
+    * NaN and ±Inf. Every driver-side training draw filters through
+    * this (seedKMeansPar's round-15 rationale, promoted round 16 to the
+    * sampled trainers too): a null vector NPEs the collect, and a
+    * NaN/Inf element poisons a centroid whose distances then rank +inf
+    * forever. Lloyd still ASSIGNS corrupt rows at index build time —
+    * they just never define a centroid.
+    */
+  private[operators] def finiteVec(c: Column): Column =
+    c.isNotNull && !exists(c, x => !(abs(x.cast("double")) < lit(Double.PositiveInfinity)))
+
   /** Lloyd's k-means over an in-driver sample — IVF coarse-quantizer
     * training. A few iterations over O(k·32) points is microseconds on the
     * driver; the win over seeding alone is representative cells on
@@ -531,6 +545,7 @@ object Similarity {
       sampleRows: Int = 512,
       kmeansIters: Int = 5): IvfIndex = {
     val trainSample: Array[Array[Double]] = emb
+      .where(finiteVec(col(vecCol)))
       .orderBy(xxhash64(col(idCol)))
       .select(col(vecCol).cast("array<double>"))
       .limit(math.max(sampleRows, nlist))
@@ -578,6 +593,7 @@ object Similarity {
       if (scalableSeed) seedKMeansPar(emb, idCol, vecCol, nlist)
       else {
         val seedRows = emb
+          .where(finiteVec(col(vecCol)))
           .orderBy(xxhash64(col(idCol)))
           .select(col(vecCol).cast("array<double>"))
           .limit(4 * nlist)
@@ -666,13 +682,9 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val l = if (oversamplePerRound > 0) oversamplePerRound else 2 * k
-    // quarantine corrupt vectors (NaN/±Inf/null element): !(|x| < ∞) is
-    // false only for finite elements, and a null element nulls the
-    // `exists`, which `where` drops — one predicate covers all three
-    val finiteOnly = !exists(col(vecCol),
-      x => !(abs(x.cast("double")) < lit(Double.PositiveInfinity)))
+    // quarantine corrupt vectors — the shared [[finiteVec]] predicate
     val vecs = emb
-      .where(col(vecCol).isNotNull && finiteOnly)
+      .where(finiteVec(col(vecCol)))
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
     val first = vecs.orderBy(xxhash64(col("__id"))).limit(1).collect()
     require(first.nonEmpty, "cannot seed k-means|| on an empty corpus")

@@ -369,9 +369,17 @@ object TextIndex {
     if (batches(spark, path).isEmpty)
       return Seq.empty[(String, Long, Long)].toDF("term", "df", "tokens")
     spark.read.parquet(postingsDir(path))
-      .select("term", "doc_id", "tf").distinct()
+      .select("term", "doc_id", "tf")
+      // one tf per (term, doc_id): collapses compact's promote-then-
+      // delete window (identical duplicates, max = the row) AND a doc_id
+      // re-appended with different text across batches, where a bare
+      // distinct() keeps BOTH versions' rows and sums their tf — the
+      // exact hazard [[phraseTopK]]'s positions collapse documents;
+      // max(tf) is the same deterministic one-version degrade
+      .groupBy("term", "doc_id")
+      .agg(max(col("tf")).as("tf"))
       .groupBy("term")
-      .agg(count_distinct(col("doc_id")).as("df"), sum(col("tf")).as("tokens"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tokens"))
       .where(col("df") > minDf)
       .orderBy(col("df").desc, col("term"))
       .limit(k)

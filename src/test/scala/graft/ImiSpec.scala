@@ -105,6 +105,26 @@ class ImiSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("trainImi's sampled draw quarantines null and non-finite vectors (r16 review pin)") {
+    // a NULL vector NPEd the sample collect; a NaN element poisoned a
+    // half-centroid (its distances rank +inf forever). Both must be
+    // excluded from SEEDING while still being assignable at build time.
+    val clean = Seq.tabulate(40)(i =>
+      (i.toLong, Array.tabulate(4)(j => (((i * 7 + j * 3) % 11) - 5).toFloat)))
+    val dirty = clean.map { case (i, v) => (i, v: Any) } ++ Seq(
+      (100L, null: Any),
+      (101L, Array(Float.NaN, 1.0f, 2.0f, 3.0f): Any),
+      (102L, Array(Float.PositiveInfinity, 0.0f, 0.0f, 0.0f): Any))
+    val df = dirty.map { case (i, v) =>
+      (i, Option(v).map(_.asInstanceOf[Array[Float]]).map(_.toSeq).orNull)
+    }.toDF("id", "vec")
+    val idx = Imi.trainImi(df, "id", "vec", kPerHalf = 3)
+    assert(idx.q1.forall(_.forall(java.lang.Double.isFinite)) &&
+      idx.q2.forall(_.forall(java.lang.Double.isFinite)),
+      "corrupt vectors must never define a centroid")
+    assert(idx.k1 >= 1 && idx.k2 >= 1)
+  }
+
   test("buildImi + full-fraction probe equals brute-force exact cross pairs") {
     val corpus = Seq.tabulate(48) { i =>
       (i.toLong, Array.tabulate(8)(j => ((((i * 31 + j * 11) % 19) - 9).toFloat)))

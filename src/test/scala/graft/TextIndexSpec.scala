@@ -323,6 +323,17 @@ class TextIndexSpec extends AnyFunSuite {
     val again = TextIndex.dfReport(spark, path, k = 3).collect()
       .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"), r.getAs[Long]("tokens")))
     assert(again.toSeq == top3.toSeq, "doubled postings moved the report")
+    // a doc_id re-appended with DIFFERENT text (conflicting versions in
+    // two batches) must degrade to one version per posting, not sum both
+    // (the phraseTopK max-collapse discipline): doc 2 re-lands with
+    // 'merge' tf=2, so merge reports max(1,2)+3 = 5 tokens, df still 2
+    TextIndex.append(Seq((2L, "merge merge")).toDF("doc_id", "text"),
+      "doc_id", "text", path, "00000004")
+    val merged = TextIndex.dfReport(spark, path, k = 100).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"), r.getAs[Long]("tokens")))
+      .find(_._1 == "merge").get
+    assert(merged == ("merge", 2L, 5L),
+      s"conflicting re-append must collapse to one version per posting, got $merged")
     // empty index: empty result, right schema
     val empty = tmp()
     TextIndex.init(spark, empty)
