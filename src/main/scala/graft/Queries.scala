@@ -2872,6 +2872,77 @@ object Queries {
              CASE WHEN id % 7 < 4 THEN 's00000000' ELSE 's00000001' END AS batch
       FROM acc"""))
 
+  /** q65d with the LIVE-INGEST REBUILD HANDOVER executed between the two
+    * micro-batches — the protocol [[graft.operators.AnnIndex
+    * .rebuildAuto]]'s scaladoc documents, now under the driver gate:
+    * stop the stream after batch 1, rebuild the index at corpus-scaled
+    * geometry into a fresh path (the rebuild consumes base + batch-1
+    * postings), restart [[graft.streaming.Streams.annIngest]] pointed at
+    * the NEW path with the SAME checkpoint, feed batch 2. The ingest
+    * holds `Probe.Fraction(1.0)` across the restart, so the probe
+    * re-resolves against whatever geometry the rebuild produced (16
+    * cells before, corpus-sized after) and acceptance stays EXACT
+    * threshold semantics on both sides of the handover — the landed set
+    * must therefore equal q65d's ORACLE VERBATIM: a rebuild plus restart
+    * is invisible to what gets accepted. Gates, in one hash: checkpoint
+    * continuity (batch ids continue, labels never collide), the rebuild
+    * reading only committed batches, exactly-once across the restart,
+    * and the fraction-probe's geometry re-resolution in a live pipeline.
+    */
+  val q65hAnnRebuildIngest: Q = Q(
+    "q65h_ann_rebuild_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("graft_annrbing").toString
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+      AnnIndex.build(base, "vec_id", "embedding", s"$root/idx1", nlist = 16)
+      val copyVec = transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))
+      val negVec = transform(col("embedding"), x => (-x).cast("float"))
+      val negCopyVec = transform(col("embedding"), x => (x * lit(-1.001f)).cast("float"))
+      val batchDf = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), copyVec.as("embedding"))
+        .unionByName(base.where(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"), negVec.as("embedding")))
+        .unionByName(base.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 3000000L).as("vec_id"), negCopyVec.as("embedding")))
+      val rows = batchDf.as[(Long, Seq[Float])].collect()
+      val (b1, b2) = rows.partition { case (id, _) => id % 7 < 4 }
+      val input = MemoryStream[(Long, Seq[Float])]
+      def start(indexPath: String) = graft.streaming.Streams.annIngest(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        indexPath, s"$root/landed", threshold = 0.99,
+        probe = AnnIndex.Probe.Fraction(1.0), maxCell = Int.MaxValue,
+        dim = 64, checkpoint = Some(s"$root/ckpt"), pqMargin = 0.1)
+      val q1 = start(s"$root/idx1")
+      try { input.addData(b1.toSeq: _*); q1.processAllAvailable() } finally q1.stop()
+      AnnIndex.rebuildAuto(s, s"$root/idx1", s"$root/idx2", targetCellRows = 16L)
+      val q2 = start(s"$root/idx2")
+      try { input.addData(b2.toSeq: _*); q2.processAllAvailable() } finally q2.stop()
+      s.read.parquet(s"$root/landed")
+        .select(col("vec_id"), col("batch").cast("string").as("batch"))
+    },
+    Some("""
+      WITH n1 AS (
+        SELECT vec_id + 2000000 AS id, vec_id AS k FROM embeddings WHERE vec_id % 5 = 0),
+      n2 AS (
+        SELECT vec_id + 3000000 AS id, vec_id AS k FROM embeddings WHERE vec_id % 10 = 0),
+      paired AS (
+        SELECT n1.k, n1.id AS id1, n2.id AS id2,
+               (n1.id % 7 < 4) AS b11, (n2.id % 7 < 4) AS b21
+        FROM n1 JOIN n2 ON n1.k = n2.k),
+      keepers AS (
+        SELECT CASE WHEN b11 = b21 THEN LEAST(id1, id2)
+                    WHEN b11 THEN id1
+                    ELSE id2 END AS id
+        FROM paired),
+      solo AS (SELECT id FROM n1 WHERE k % 10 <> 0),
+      acc AS (SELECT id FROM solo UNION ALL SELECT id FROM keepers)
+      SELECT id AS vec_id,
+             CASE WHEN id % 7 < 4 THEN 's00000000' ELSE 's00000001' END AS batch
+      FROM acc"""))
+
   /** [[graft.operators.AnnIndex.buildAuto]] under the driver gate — the
     * corpus-SCALED index geometry the round-15 100× run measured 2.6×
     * faster than pinned nlist (BENCH_NOTES). `autoNlist` at 16-row target
@@ -9199,7 +9270,7 @@ object Queries {
     q62RobustOutliers, q62cRobustOutliersExact, q63Funnel,
     q63bFunnelWindowed, q64CohortRetention, q64bCohortRates, q64cCohortCalendar,
     q65AnnIndexDedup, q65bAnnIndexDedupPq, q65cAnnCrossExact, q65dAnnIngest,
-    q65eAnnAutoSized, q65fAnnRebuild, q65gAnnImiExact,
+    q65eAnnAutoSized, q65fAnnRebuild, q65gAnnImiExact, q65hAnnRebuildIngest,
     q66ExpectationsRoute, q67FunnelSqlAgg,
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
     q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs,
