@@ -2820,39 +2820,32 @@ object Queries {
     * whichever family it is). Corpus collect = MemoryStream fixture;
     * the ingest under test is the production exactly-once foreachBatch.
     */
-  val q65dAnnIngest: Q = Q(
-    "q65d_ann_ingest",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val root = java.nio.file.Files.createTempDirectory("graft_annigst").toString
-      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
-      AnnIndex.build(base, "vec_id", "embedding", s"$root/index", nlist = 16)
-      val copyVec = transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))
-      val negVec = transform(col("embedding"), x => (-x).cast("float"))
-      val negCopyVec = transform(col("embedding"), x => (x * lit(-1.001f)).cast("float"))
-      val batchDf = base.where(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"), copyVec.as("embedding"))
-        .unionByName(base.where(col("vec_id") % 5 === 0)
-          .select((col("vec_id") + 2000000L).as("vec_id"), negVec.as("embedding")))
-        .unionByName(base.where(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 3000000L).as("vec_id"), negCopyVec.as("embedding")))
-      val rows = batchDf.as[(Long, Seq[Float])].collect()
-      val (b1, b2) = rows.partition { case (id, _) => id % 7 < 4 }
-      val input = MemoryStream[(Long, Seq[Float])]
-      val query = graft.streaming.Streams.annIngest(
-        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-        s"$root/index", s"$root/landed",
-        threshold = 0.99, nprobe = 16, dim = 64)
-      try {
-        input.addData(b1.toSeq: _*); query.processAllAvailable()
-        input.addData(b2.toSeq: _*); query.processAllAvailable()
-      } finally query.stop()
-      s.read.parquet(s"$root/landed")
-        .select(col("vec_id"), col("batch").cast("string").as("batch"))
-    },
-    Some("""
+  /** The three synthetic ingest families q65d and q65h share — scaled
+    * copies (+1M, must drop), negations (+2M, must land), scaled
+    * negation copies (+3M, duplicate of the +2M member) — built ONCE so
+    * the two gates cannot drift apart: q65h's whole claim is that its
+    * landed set equals q65d's oracle VERBATIM, which is only enforceable
+    * while both faces construct the identical stream.
+    */
+  private def annIngestFamilies(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val copyVec = transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))
+    val negVec = transform(col("embedding"), x => (-x).cast("float"))
+    val negCopyVec = transform(col("embedding"), x => (x * lit(-1.001f)).cast("float"))
+    base.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), copyVec.as("embedding"))
+      .unionByName(base.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), negVec.as("embedding")))
+      .unionByName(base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 3000000L).as("vec_id"), negCopyVec.as("embedding")))
+  }
+
+  /** The greedy cross-batch collapse both ingest gates replay in pure id
+    * arithmetic (same batch -> min id keeps; straddling -> the earlier
+    * batch's member keeps) — shared so q65d and q65h are gated by ONE
+    * oracle by construction, not by two copies staying in sync.
+    */
+  private val annIngestGreedyOracle: String = """
       WITH n1 AS (
         SELECT vec_id + 2000000 AS id, vec_id AS k FROM embeddings WHERE vec_id % 5 = 0),
       n2 AS (
@@ -2870,7 +2863,32 @@ object Queries {
       acc AS (SELECT id FROM solo UNION ALL SELECT id FROM keepers)
       SELECT id AS vec_id,
              CASE WHEN id % 7 < 4 THEN 's00000000' ELSE 's00000001' END AS batch
-      FROM acc"""))
+      FROM acc"""
+
+  val q65dAnnIngest: Q = Q(
+    "q65d_ann_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("graft_annigst").toString
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+      AnnIndex.build(base, "vec_id", "embedding", s"$root/index", nlist = 16)
+      val rows = annIngestFamilies(s, dir).as[(Long, Seq[Float])].collect()
+      val (b1, b2) = rows.partition { case (id, _) => id % 7 < 4 }
+      val input = MemoryStream[(Long, Seq[Float])]
+      val query = graft.streaming.Streams.annIngest(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        s"$root/index", s"$root/landed",
+        threshold = 0.99, nprobe = 16, dim = 64)
+      try {
+        input.addData(b1.toSeq: _*); query.processAllAvailable()
+        input.addData(b2.toSeq: _*); query.processAllAvailable()
+      } finally query.stop()
+      s.read.parquet(s"$root/landed")
+        .select(col("vec_id"), col("batch").cast("string").as("batch"))
+    },
+    Some(annIngestGreedyOracle))
 
   /** q65d with the LIVE-INGEST REBUILD HANDOVER executed between the two
     * micro-batches — the protocol [[graft.operators.AnnIndex
@@ -2898,16 +2916,7 @@ object Queries {
       val root = java.nio.file.Files.createTempDirectory("graft_annrbing").toString
       val base = t(s, dir, "embeddings").select("vec_id", "embedding")
       AnnIndex.build(base, "vec_id", "embedding", s"$root/idx1", nlist = 16)
-      val copyVec = transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))
-      val negVec = transform(col("embedding"), x => (-x).cast("float"))
-      val negCopyVec = transform(col("embedding"), x => (x * lit(-1.001f)).cast("float"))
-      val batchDf = base.where(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"), copyVec.as("embedding"))
-        .unionByName(base.where(col("vec_id") % 5 === 0)
-          .select((col("vec_id") + 2000000L).as("vec_id"), negVec.as("embedding")))
-        .unionByName(base.where(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 3000000L).as("vec_id"), negCopyVec.as("embedding")))
-      val rows = batchDf.as[(Long, Seq[Float])].collect()
+      val rows = annIngestFamilies(s, dir).as[(Long, Seq[Float])].collect()
       val (b1, b2) = rows.partition { case (id, _) => id % 7 < 4 }
       val input = MemoryStream[(Long, Seq[Float])]
       def start(indexPath: String) = graft.streaming.Streams.annIngest(
@@ -2923,25 +2932,7 @@ object Queries {
       s.read.parquet(s"$root/landed")
         .select(col("vec_id"), col("batch").cast("string").as("batch"))
     },
-    Some("""
-      WITH n1 AS (
-        SELECT vec_id + 2000000 AS id, vec_id AS k FROM embeddings WHERE vec_id % 5 = 0),
-      n2 AS (
-        SELECT vec_id + 3000000 AS id, vec_id AS k FROM embeddings WHERE vec_id % 10 = 0),
-      paired AS (
-        SELECT n1.k, n1.id AS id1, n2.id AS id2,
-               (n1.id % 7 < 4) AS b11, (n2.id % 7 < 4) AS b21
-        FROM n1 JOIN n2 ON n1.k = n2.k),
-      keepers AS (
-        SELECT CASE WHEN b11 = b21 THEN LEAST(id1, id2)
-                    WHEN b11 THEN id1
-                    ELSE id2 END AS id
-        FROM paired),
-      solo AS (SELECT id FROM n1 WHERE k % 10 <> 0),
-      acc AS (SELECT id FROM solo UNION ALL SELECT id FROM keepers)
-      SELECT id AS vec_id,
-             CASE WHEN id % 7 < 4 THEN 's00000000' ELSE 's00000001' END AS batch
-      FROM acc"""))
+    Some(annIngestGreedyOracle))
 
   /** [[graft.operators.AnnIndex.buildAuto]] under the driver gate — the
     * corpus-SCALED index geometry the round-15 100× run measured 2.6×

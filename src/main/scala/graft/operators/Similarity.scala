@@ -602,7 +602,14 @@ object Similarity {
         require(seedRows.nonEmpty, "cannot train IVF centroids on an empty corpus")
         seedRows.distinctBy(_.toSeq).take(nlist)
       }
-    val vecs = emb.select(col(vecCol).as("__vec"))
+    // finiteVec on the LLOYD scans too, not just seeding (r16 third
+    // review pass): an unfiltered NaN-element vector deterministically
+    // assigns to cell 0 (NearestCentroidsExpr ranks NaN +inf), its NaN
+    // elements flow through VectorSumAgg, and centroid 0 goes all-NaN
+    // after one iteration — then no finite row ever re-assigns there and
+    // the saved index loses the cell forever. Corrupt rows still get
+    // ASSIGNED at index build time; they just never pull a centroid.
+    val vecs = emb.where(finiteVec(col(vecCol))).select(col(vecCol).as("__vec"))
     for (_ <- 0 until iters) {
       val idx = IvfIndex(centroids)
       val cell = ColumnBridge.column(graft.expressions.NearestCentroidsExpr(

@@ -62,8 +62,9 @@ import graft.functions.text
   *  - [[compact]] folds accreted micro-batches into one re-clustered
   *    batch (per-batch range clustering overlaps ACROSS batches until
   *    then), same promote-then-delete contract as [[DedupIndex.compact]]:
-  *    concurrent probes are safe (duplicated postings collapse via
-  *    `distinct()` before df/tf use), concurrent appends are not.
+  *    concurrent probes are safe (duplicated postings collapse to one
+  *    version per (term, doc_id) before df/tf use), concurrent appends
+  *    are not.
   */
 object TextIndex {
 
@@ -255,9 +256,11 @@ object TextIndex {
     * descending (doc_id tiebreak), k rows max. Zero corpus re-read: one
     * IN-filtered postings scan + a per-term df aggregate + the pivot-sum,
     * then TakeOrderedAndProject for the global top-k (never a full sort).
-    * `distinct()` on the matched postings makes the probe idempotent
-    * under [[compact]]'s promote-then-delete window. Exact-rational
-    * scoring — results hash-match an ANSI oracle (q84).
+    * Matched postings collapse to one (tf, dl) version per (term,
+    * doc_id) — idempotent under [[compact]]'s promote-then-delete window
+    * AND consistent with [[dfReport]]/[[phraseTopK]] when a doc_id was
+    * re-appended with different text. Exact-rational scoring — results
+    * hash-match an ANSI oracle (q84).
     */
   def searchTopK(
       spark: SparkSession,
@@ -273,10 +276,21 @@ object TextIndex {
       .select(col("id").as("doc_id"), lit(0.0).as("score"))
       .where(lit(false))
     if (n == 0L) return empty
+    // one (tf, dl) PAIR per (term, doc_id): identical duplicates from
+    // compact's promote-then-delete window collapse (max = the row, the
+    // old distinct()'s job), and a doc_id re-appended with different
+    // text — outside the unique-ids caller contract, but a state the
+    // index can physically hold — degrades to ONE version per posting
+    // instead of inflating df with both versions' rows (df counts rows
+    // per term downstream). max over the struct keeps tf and dl from
+    // the SAME version; dfReport and phraseTopK apply the same
+    // per-posting degrade, so serving and maintenance agree.
     val tf = spark.read.parquet(postingsDir(path))
       .where(col("term").isin(terms: _*))
-      .select("term", "doc_id", "tf", "dl")
-      .distinct()
+      .groupBy("term", "doc_id")
+      .agg(max(struct(col("tf"), col("dl"))).as("__p"))
+      .select(col("term"), col("doc_id"),
+        col("__p.tf").as("tf"), col("__p.dl").as("dl"))
     Ranking.bm25RationalScores(tf, terms, n, dTot, requireAll)
       .limit(k)
   }
@@ -351,13 +365,18 @@ object TextIndex {
     * scan stops being "a handful of row groups" and its rows dominate
     * every query that mentions it — the maintenance signal is WHICH
     * terms, so stopword policy / query planning can react upstream.
-    * `df` is DISTINCT documents (the BM25 df — and distinct also
-    * collapses [[compact]]'s promote-then-delete double-postings);
-    * `tokens` is the term's total occurrences (Σtf). One 3-column
-    * aggregation + TakeOrderedAndProject — never a full sort, nothing
-    * corpus-sized to the driver. Runs fine on the [[stats]]/[[compact]]
-    * cadence. Oracle-gated as q84e (df/Σtf recompute from the raw
-    * corpus — the report must equal re-tokenizing everything).
+    * Postings first collapse to ONE tf per (term, doc_id) — identical
+    * duplicates from [[compact]]'s promote-then-delete window vanish,
+    * and a doc_id re-appended with different text (outside the
+    * unique-ids caller contract, but physically representable) degrades
+    * to one version per posting (max tf — the [[phraseTopK]]
+    * discipline) instead of summing both versions. So `df` is DISTINCT
+    * documents (the BM25 df) and `tokens` is Σ over documents of the
+    * kept version's tf. One 3-column aggregation +
+    * TakeOrderedAndProject — never a full sort, nothing corpus-sized to
+    * the driver. Runs fine on the [[stats]]/[[compact]] cadence.
+    * Oracle-gated as q84e (df/Σtf recompute from the raw corpus — the
+    * report must equal re-tokenizing everything).
     */
   def dfReport(
       spark: SparkSession,
@@ -369,6 +388,10 @@ object TextIndex {
     if (batches(spark, path).isEmpty)
       return Seq.empty[(String, Long, Long)].toDF("term", "df", "tokens")
     spark.read.parquet(postingsDir(path))
+      // a null doc_id (a caller-contract violation the parquet can still
+      // hold) must not form a countable group: count_distinct ignored
+      // nulls, and the groupBy-count below must keep that exclusion
+      .where(col("doc_id").isNotNull)
       .select("term", "doc_id", "tf")
       // one tf per (term, doc_id): collapses compact's promote-then-
       // delete window (identical duplicates, max = the row) AND a doc_id

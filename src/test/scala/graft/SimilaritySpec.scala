@@ -142,6 +142,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cb.m == 2 && cb.ksub == 4 && cb.dim == 8)
   }
 
+  test("trainIvfFull quarantines corrupt vectors from the Lloyd scans, both seed modes") {
+    // without the Lloyd-side finiteVec filter, a NaN-element vector
+    // deterministically assigns to cell 0 (NearestCentroidsExpr ranks
+    // NaN +inf), flows through VectorSumAgg, and turns that centroid
+    // all-NaN after one iteration — no finite row ever re-assigns there
+    // and the index loses the cell forever (r16 third review pass)
+    val clean = Seq.tabulate(32)(i =>
+      (i.toLong, Array.tabulate(4)(j => ((((i * 7 + j * 3) % 11) - 5).toFloat))))
+    val df = (clean.map { case (i, v) => (i, v.toSeq) } ++ Seq(
+      (100L, Seq(Float.NaN, 1.0f, 2.0f, 3.0f)),
+      (101L, null.asInstanceOf[Seq[Float]])))
+      .toDF("id", "vec")
+    for (scalable <- Seq(false, true)) {
+      val idx = graft.operators.Similarity.trainIvfFull(
+        df, "id", "vec", nlist = 4, iters = 3, scalableSeed = scalable)
+      assert(idx.centroids.forall(_.forall(java.lang.Double.isFinite)),
+        s"scalableSeed=$scalable: corrupt vectors must never pull a centroid")
+    }
+  }
+
   test("Pq.train at ksub=256 keeps the codebook near-fully utilized (r15 sampling-starvation pin)") {
     // Pq.train floors its sample at 32 × ksub (8,192 rows here) — before
     // the floor, buildPqAuto's 4 × ksub callsite trained 256
