@@ -24,12 +24,15 @@ import org.apache.spark.sql.types._
   * doubles into every task binary (~400 MB at 2¹⁶ cells × 768 dims) and
   * pays `k² · dim` multiply-adds per row; the product form ships
   * `(k₁ + k₂) · dim/2` doubles (~1.5 MB for the same 2¹⁶ cells) and pays
-  * `(k₁ + k₂) · dim/2` multiply-adds plus `k₁ · k₂` ADDITIONS (the sum
-  * grid) — both ~dim× lighter. The selection over the sum grid reuses
-  * [[NearestCentroidsExpr]]'s bounded nprobe-slot insertion in cell-id
-  * order, so tie-breaking (lower cell id) and NaN handling (rank as
-  * +infinity; a corrupt vector still yields nprobe distinct cells) are
-  * IDENTICAL to the single-level expression by construction.
+  * `(k₁ + k₂) · dim/2` multiply-adds plus the cell SELECTION — the
+  * multi-sequence traversal over the two sorted half-distance arrays
+  * (O(k log k + nprobe log nprobe) per row) for narrow probes of large
+  * grids, the exhaustive `k₁ · k₂`-addition scan where that is cheaper
+  * (small grids, wide probes). The two selection paths are pinned
+  * BITWISE-EQUAL (ImiSpec, ImiProperties): ascending (distance, cell
+  * id), ties to the lower cell id, NaN ranked +infinity (a corrupt
+  * vector still yields nprobe distinct cells) — IDENTICAL to the
+  * single-level [[NearestCentroidsExpr]] by construction.
   *
   * FP caveat: the flat form accumulates d² across all `dim` terms in one
   * run; the product form sums two half-accumulations. On real-valued
@@ -62,6 +65,33 @@ private[graft] object ImiKernels {
     val d1 = halfDistances(v, 0, math.min(n, dim1), flat1, dim1, k1)
     val d2 = halfDistances(v, dim1, math.max(0, math.min(n, dim1 + dim2) - dim1),
       flat2, dim2, k2)
+    // Dispatch (round 17, VERDICT r16 top-next): the full product-grid
+    // scan is O(k₁·k₂) ADDITIONS per row — fine at the grids the flat
+    // payload bound used to force, but the auto builders now permit
+    // 2²² cells, where 4.2M additions per assigned row re-creates in
+    // CPU the ceiling the payload fix removed. The multi-sequence
+    // traversal (Babenko & Lempitsky 2012, alg. 1) visits ~nprobe cells
+    // after two O(k log k) half sorts, and is pinned BITWISE-EQUAL to
+    // the scan (ImiSpec + ImiProperties), so the dispatch is purely a
+    // cost choice: small grids and wide probes (Fraction(1.0) → nprobe
+    // = nlist) keep the scan, which is cheaper than sorting there.
+    val nlist = k1.toLong * k2
+    if (nlist < 2048L || nprobe.toLong * 8L >= nlist) fullScan(d1, d2, k2, nprobe)
+    else multiSequence(d1, d2, k2, nprobe)
+  }
+
+  /** Exhaustive product-grid selection: every `k₁·k₂` sum is formed and
+    * offered to a bounded nprobe-slot insertion in cell-id scan order —
+    * the reference semantics (ascending (distance, cell id), NaN sum →
+    * +infinity, Int.MaxValue sentinel padding when nprobe exceeds the
+    * grid).
+    */
+  private[graft] def fullScan(
+      d1: Array[Double],
+      d2: Array[Double],
+      k2: Int,
+      nprobe: Int): Array[Int] = {
+    val k1 = d1.length
     val bestD = new Array[Double](nprobe)
     val bestC = new Array[Int](nprobe)
     java.util.Arrays.fill(bestD, Double.PositiveInfinity)
@@ -87,6 +117,189 @@ private[graft] object ImiKernels {
       c1 += 1
     }
     bestC
+  }
+
+  /** Multi-sequence traversal (Babenko & Lempitsky 2012, §3.1): sort each
+    * half's distances, then heap-walk the product grid from the (0,0)
+    * corner, generating each position (i, j) from a SINGLE parent —
+    * (i, j−1) for j > 0, else (i−1, 0) — so the heap never holds
+    * duplicates and grows to at most 2·nprobe entries. Visits ~nprobe
+    * cells instead of all k₁·k₂: O(k log k + nprobe log nprobe) per row.
+    *
+    * Bitwise equality with [[fullScan]] (the pinned contract) rests on
+    * three invariants:
+    *  1. NaN half-distances are canonicalized to +infinity BEFORE
+    *     sorting/summing — a sum is NaN only when a half is (distances
+    *     are squares, never −infinity), so +inf + finite = +inf
+    *     reproduces the scan's NaN-sum handling exactly, and no other
+    *     sum changes value.
+    *  2. Pops arrive in NONDECREASING sum order (IEEE addition is
+    *     monotone, so a position's single parent — (i, j−1) for j > 0,
+    *     else (i−1, 0) — never exceeds its child), but the order WITHIN
+    *     an equal-sum run is not cell-id order: FP rounding ties sums
+    *     whose half-distances differ (1e16 + 0 == 1e16 + 1), and such a
+    *     tied cell can enter the heap only after a larger-id run member
+    *     popped. So each run is drained COMPLETELY, its cell ids sorted
+    *     ascending, and the needed prefix emitted — exactly the scan's
+    *     (distance, cell id) order, including the truncated boundary
+    *     run, whose smallest ids are what the scan's bounded insertion
+    *     keeps. A run is provably complete when the heap minimum
+    *     exceeds its value: an unemitted run member's parent chain
+    *     holds sums ≤ the run value, so its earliest unpopped ancestor
+    *     would still be in the heap at that value.
+    *  3. A +infinity minimum ends the traversal early: every unemitted
+    *     cell is +inf from there (any finite-sum cell has a finite
+    *     parent chain, hence already popped), and the scan orders that
+    *     closing tie run by ascending cell id — filled directly,
+    *     skipping emitted ids, without draining the rest of the grid
+    *     through the heap.
+    */
+  private[graft] def multiSequence(
+      d1: Array[Double],
+      d2: Array[Double],
+      k2In: Int,
+      nprobe: Int): Array[Int] = {
+    val k1 = d1.length
+    val k2 = k2In
+    val s1 = new Array[Double](k1)
+    val ix1 = new Array[Int](k1)
+    val s2 = new Array[Double](k2)
+    val ix2 = new Array[Int](k2)
+    cleanAndSort(d1, s1, ix1)
+    cleanAndSort(d2, s2, ix2)
+    val pops = math.min(nprobe.toLong, k1.toLong * k2).toInt
+    // heap of frontier positions keyed by sum; ≤ 2 pushes per pop and
+    // ~2·pops pops in the common (tie-free) case — grows by doubling
+    // when a long tie-run drain outruns the initial bound
+    var cap = 2 * pops + 2
+    var hd = new Array[Double](cap)
+    var hi = new Array[Int](cap)
+    var hj = new Array[Int](cap)
+    var size = 0
+    def push(i: Int, j: Int): Unit = {
+      if (size == cap) {
+        cap *= 2
+        hd = java.util.Arrays.copyOf(hd, cap)
+        hi = java.util.Arrays.copyOf(hi, cap)
+        hj = java.util.Arrays.copyOf(hj, cap)
+      }
+      val d = s1(i) + s2(j)
+      var p = size
+      size += 1
+      var sifting = true
+      while (sifting && p > 0) {
+        val par = (p - 1) >> 1
+        if (hd(par) > d) {
+          hd(p) = hd(par); hi(p) = hi(par); hj(p) = hj(par)
+          p = par
+        } else sifting = false
+      }
+      hd(p) = d; hi(p) = i; hj(p) = j
+    }
+    val out = new Array[Int](nprobe)
+    java.util.Arrays.fill(out, Int.MaxValue)
+    push(0, 0)
+    var filled = 0
+    var runBuf = new Array[Int](16)
+    while (filled < pops && size > 0) {
+      // invariant 3: the first +infinity minimum ends the traversal —
+      // every unemitted cell is +inf from here, and the scan's order
+      // for that closing tie run is ascending cell id. Fill directly.
+      if (hd(0) == Double.PositiveInfinity) {
+        val emitted = java.util.Arrays.copyOf(out, filled)
+        java.util.Arrays.sort(emitted)
+        var c = 0
+        var e = 0
+        while (filled < pops) {
+          if (e < emitted.length && emitted(e) == c) { e += 1; c += 1 }
+          else { out(filled) = c; filled += 1; c += 1 }
+        }
+        return out
+      }
+      // invariant 2: drain the entire equal-sum run, then emit its cell
+      // ids ascending (truncating the boundary run to the smallest ids,
+      // as the scan's bounded insertion does). Tie-free runs have
+      // length 1 and skip both the sort and the extra pops.
+      val runValue = hd(0)
+      var runLen = 0
+      while (size > 0 && hd(0) == runValue) {
+        val i = hi(0)
+        val j = hj(0)
+        if (runLen == runBuf.length) runBuf = java.util.Arrays.copyOf(runBuf, runLen * 2)
+        runBuf(runLen) = ix1(i) * k2 + ix2(j)
+        runLen += 1
+        // extract-min: move the last entry to the root and sift down
+        size -= 1
+        if (size > 0) {
+          val d = hd(size); val li = hi(size); val lj = hj(size)
+          var p = 0
+          var sifting = true
+          while (sifting) {
+            var child = 2 * p + 1
+            if (child >= size) sifting = false
+            else {
+              val right = child + 1
+              if (right < size && hd(right) < hd(child)) child = right
+              if (hd(child) < d) {
+                hd(p) = hd(child); hi(p) = hi(child); hj(p) = hj(child)
+                p = child
+              } else sifting = false
+            }
+          }
+          hd(p) = d; hi(p) = li; hj(p) = lj
+        }
+        if (j + 1 < k2) push(i, j + 1)
+        if (j == 0 && i + 1 < k1) push(i + 1, 0)
+      }
+      if (runLen > 1) java.util.Arrays.sort(runBuf, 0, runLen)
+      var r = 0
+      while (r < runLen && filled < pops) {
+        out(filled) = runBuf(r)
+        filled += 1
+        r += 1
+      }
+    }
+    out
+  }
+
+  /** NaN → +infinity, then heapsort ascending by (distance, original
+    * index) into (`outD`, `outIx`). The index tiebreak IS the stability
+    * the traversal's equality proof needs (equal distances keep
+    * ascending centroid id → ascending cell id); heapsort keeps the
+    * worst case O(k log k) with zero allocation beyond the outputs.
+    */
+  private def cleanAndSort(d: Array[Double], outD: Array[Double], outIx: Array[Int]): Unit = {
+    val n = d.length
+    var i = 0
+    while (i < n) {
+      val x = d(i)
+      outD(i) = if (x != x) Double.PositiveInfinity else x
+      outIx(i) = i
+      i += 1
+    }
+    def greater(a: Int, b: Int): Boolean =
+      outD(a) > outD(b) || (outD(a) == outD(b) && outIx(a) > outIx(b))
+    def swap(a: Int, b: Int): Unit = {
+      val td = outD(a); outD(a) = outD(b); outD(b) = td
+      val ti = outIx(a); outIx(a) = outIx(b); outIx(b) = ti
+    }
+    def siftDown(start: Int, end: Int): Unit = {
+      var root = start
+      var sifting = true
+      while (sifting) {
+        var child = 2 * root + 1
+        if (child > end) sifting = false
+        else {
+          if (child + 1 <= end && greater(child + 1, child)) child += 1
+          if (greater(child, root)) { swap(root, child); root = child }
+          else sifting = false
+        }
+      }
+    }
+    var start = n / 2 - 1
+    while (start >= 0) { siftDown(start, n - 1); start -= 1 }
+    var end = n - 1
+    while (end > 0) { swap(0, end); end -= 1; siftDown(0, end) }
   }
 
   /** d²(v[off .. off+m), centroid) for each of the `k` centroids of one

@@ -76,4 +76,38 @@ object ImiProperties extends Properties("graft.imi") {
       got.length == nprobe && got.toSeq.distinct == got.toSeq &&
         got.toSeq == reference(dim1, dim2, f1, f2, v, nprobe)
     }
+
+  /** Half-distance arrays straight from the generator — small integers
+    * for forced ties, plus injected NaN/+infinity entries (a NaN half
+    * ranks +inf; an overflow half is already +inf) so the canonical-
+    * ization inside the traversal is exercised, not just finite sums.
+    */
+  private val genHalves: Gen[(Array[Double], Array[Double], Int)] =
+    for {
+      k1 <- Gen.choose(1, 9)
+      k2 <- Gen.choose(1, 9)
+      d1 <- Gen.containerOfN[Array, Double](k1,
+        Gen.frequency(
+          8 -> Gen.choose(0, 4).map(_.toDouble),
+          1 -> Gen.const(Double.NaN),
+          1 -> Gen.const(Double.PositiveInfinity)))
+      d2 <- Gen.containerOfN[Array, Double](k2,
+        Gen.frequency(
+          8 -> Gen.choose(0, 4).map(_.toDouble),
+          1 -> Gen.const(Double.NaN),
+          1 -> Gen.const(Double.PositiveInfinity)))
+      nprobe <- Gen.choose(1, k1 * k2 + 2) // past the grid: sentinel padding
+    } yield (d1, d2, nprobe)
+
+  /** The round-17 selection-path pin: the multi-sequence traversal must
+    * be BITWISE-EQUAL to the exhaustive scan — ids AND order, tie runs
+    * included — whatever the dispatch in nearestCells would have chosen.
+    * This is the contract that makes the dispatch a pure cost choice.
+    */
+  property("multiSequence == fullScan: ids, order, ties, NaN/+inf, sentinel padding") =
+    forAll(genHalves) { case (d1, d2, nprobe) =>
+      val k2 = d2.length
+      ImiKernels.multiSequence(d1, d2, k2, nprobe).toSeq ==
+        ImiKernels.fullScan(d1, d2, k2, nprobe).toSeq
+    }
 }

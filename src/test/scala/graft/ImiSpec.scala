@@ -57,6 +57,43 @@ class ImiSpec extends AnyFunSuite {
     }
   }
 
+  test("nearestCells dispatch: the multi-sequence branch equals the scan at a real grid") {
+    // 64 × 64 = 4096 cells with duplicated centroids (forced sum ties):
+    // past the 2048-cell dispatch floor, so nprobe ∈ {1, 4, 64} runs the
+    // multi-sequence traversal inside nearestCells itself while the
+    // fullScan call here recomputes the reference order exhaustively —
+    // the end-to-end twin of the ImiProperties kernel pin. nprobe = 4096
+    // (Fraction(1.0)) stays on the scan branch by design.
+    import graft.expressions.ImiKernels
+    val dim1 = 3; val dim2 = 2; val k = 64
+    def cent(h: Int, c: Int, w: Int): Array[Double] =
+      Array.tabulate(w)(j => (((c / 2) * 31 + h * 17 + j * 7) % 13 - 6).toDouble)
+    val f1 = Array.tabulate(k)(c => cent(1, c, dim1)).flatten
+    val f2 = Array.tabulate(k)(c => cent(2, c, dim2)).flatten
+    val vecs = Seq.tabulate(32)(i =>
+      Array.tabulate(dim1 + dim2)(j => (((i * 11 + j * 5) % 15) - 7).toDouble)) ++
+      Seq(Array(Double.NaN, 1.0, 2.0, 3.0, 4.0), Array(2.0)) // corrupt + short
+    for (v <- vecs; nprobe <- Seq(1, 4, 64, k * k)) {
+      val padded = java.util.Arrays.copyOf(v, dim1 + dim2)
+      val got = ImiKernels.nearestCells(
+        padded, v.length, f1, f2, dim1, dim2, k, k, nprobe).toSeq
+      val d1 = Array.tabulate(k) { c =>
+        var d = 0.0
+        for (j <- 0 until math.min(v.length, dim1)) { val x = v(j) - f1(c * dim1 + j); d += x * x }
+        d
+      }
+      val d2 = Array.tabulate(k) { c =>
+        var d = 0.0
+        for (j <- 0 until math.max(0, math.min(v.length, dim1 + dim2) - dim1)) {
+          val x = v(dim1 + j) - f2(c * dim2 + j); d += x * x
+        }
+        d
+      }
+      val ref = ImiKernels.fullScan(d1, d2, k, nprobe).toSeq
+      assert(got == ref, s"v=${v.toSeq} nprobe=$nprobe: dispatch=$got scan=$ref")
+    }
+  }
+
   test("ImiIndex: shapes, save/load roundtrip, guards") {
     val idx = Imi.ImiIndex(
       Array(Array(1.0, 2.0), Array(3.0, 4.0)),
