@@ -2934,6 +2934,87 @@ object Queries {
     },
     Some(annIngestGreedyOracle))
 
+  /** q65h with the rebuild forced ACROSS the quantizer-type boundary
+    * (VERDICT r16 item 3): the live-ingest handover restarts against an
+    * index whose rebuild re-landed under the TWO-LEVEL product quantizer
+    * (`imiAbove = 1`, the q65g parameterization — `hasImi` asserted
+    * loudly, so the gate cannot silently run flat). This is exactly the
+    * migration a growing production index performs once — flat postings
+    * outgrow the flat payload ceiling, [[graft.operators.AnnIndex
+    * .rebuildAuto]] crosses to IMI — executed between two micro-batches
+    * of a LIVE exactly-once ingest holding `Probe.Fraction(1.0)` across
+    * the restart. The probe re-resolves against the product geometry,
+    * acceptance stays exact threshold semantics, and the landed set must
+    * equal the same shared greedy oracle VERBATIM: the type crossing is
+    * invisible to what gets accepted. Adds to q65h's gate, in the same
+    * single hash: product-grid cell re-assignment of every rebuilt
+    * posting, IMI artifact dispatch under a live checkpoint restart, and
+    * fraction-probe resolution against a grid whose nlist the rebuild
+    * just changed.
+    */
+  val q65iAnnImiRebuildIngest: Q = Q(
+    "q65i_ann_imi_rebuild_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("graft_annimirb").toString
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+      AnnIndex.build(base, "vec_id", "embedding", s"$root/idx1", nlist = 16)
+      val rows = annIngestFamilies(s, dir).as[(Long, Seq[Float])].collect()
+      val (b1, b2) = rows.partition { case (id, _) => id % 7 < 4 }
+      val input = MemoryStream[(Long, Seq[Float])]
+      def start(indexPath: String) = graft.streaming.Streams.annIngest(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        indexPath, s"$root/landed", threshold = 0.99,
+        probe = AnnIndex.Probe.Fraction(1.0), maxCell = Int.MaxValue,
+        dim = 64, checkpoint = Some(s"$root/ckpt"), pqMargin = 0.1)
+      val q1 = start(s"$root/idx1")
+      try { input.addData(b1.toSeq: _*); q1.processAllAvailable() } finally q1.stop()
+      // the q65g parameterization: imiAbove = 1 forces the product grid,
+      // fullTrainAbove = 8 splits the per-half training branch across the
+      // gate SFs (sampled k-means at sf0.01, distributed Lloyd at sf0.1)
+      AnnIndex.rebuildAuto(s, s"$root/idx1", s"$root/idx2",
+        targetCellRows = 16L, fullTrainAbove = 8, imiAbove = 1)
+      require(AnnIndex.hasImi(s, s"$root/idx2"),
+        "q65i must rebuild across the quantizer-type boundary (imiAbove = 1)")
+      val q2 = start(s"$root/idx2")
+      try { input.addData(b2.toSeq: _*); q2.processAllAvailable() } finally q2.stop()
+      s.read.parquet(s"$root/landed")
+        .select(col("vec_id"), col("batch").cast("string").as("batch"))
+    },
+    Some(annIngestGreedyOracle))
+
+  /** [[graft.operators.AnnIndex.occupancyReport]] — the vector index's
+    * cell-skew maintenance report (VERDICT r16 item 2: resizeReport's
+    * mean-cell signal cannot see skew, and skew is IMI's residual
+    * trade). The index holds the corpus PLUS exact copies of every 10th
+    * vector (identical vector → identical cell), built on the two-level
+    * product quantizer (`imiAbove = 1` — the geometry whose skew the
+    * report exists to watch), so at `maxCell = 1` hot cells exist by
+    * construction and both aggregation branches run under the gate.
+    * Cell membership is trained-quantizer assignment — not
+    * ANSI-expressible — so no DuckDB oracle; AnnIndexSpec pins the
+    * report's arithmetic on a hand-built quantizer and its invariance
+    * across the compact window (README no-oracle register).
+    */
+  val q65jAnnIndexOccupancy: Q = Q(
+    "q65j_ann_index_occupancy",
+    (s, dir) => {
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = base.unionByName(
+        base.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val path = java.nio.file.Files.createTempDirectory("graft_ann_occ").toString
+      AnnIndex.buildAuto(
+        corpus, "vec_id", "embedding", path, targetCellRows = 16L,
+        fullTrainAbove = 8, imiAbove = 1)
+      require(AnnIndex.hasImi(s, path),
+        "q65j must report over the product-grid geometry (imiAbove = 1)")
+      AnnIndex.occupancyReport(s, path, maxCell = 1)
+    },
+    None)
+
   /** [[graft.operators.AnnIndex.buildAuto]] under the driver gate — the
     * corpus-SCALED index geometry the round-15 100× run measured 2.6×
     * faster than pinned nlist (BENCH_NOTES). `autoNlist` at 16-row target
@@ -9262,6 +9343,7 @@ object Queries {
     q63bFunnelWindowed, q64CohortRetention, q64bCohortRates, q64cCohortCalendar,
     q65AnnIndexDedup, q65bAnnIndexDedupPq, q65cAnnCrossExact, q65dAnnIngest,
     q65eAnnAutoSized, q65fAnnRebuild, q65gAnnImiExact, q65hAnnRebuildIngest,
+    q65iAnnImiRebuildIngest, q65jAnnIndexOccupancy,
     q66ExpectationsRoute, q67FunnelSqlAgg,
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
     q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs,

@@ -658,6 +658,59 @@ object AnnIndex {
         "resize_recommended")
   }
 
+  /** Cell-occupancy health, one row — the [[DedupIndex.occupancyReport]]
+    * analogue for the vector index, and [[resizeReport]]'s skew
+    * companion: `(cells, postings, mean_occupancy, max_occupancy,
+    * hot_cells, hot_postings, hot_postings_frac)` where occupancy is
+    * DISTINCT corpus ids per cell and "hot" means above `maxCell` (the
+    * [[crossNeighbors]] cap — members of hot cells beyond the keeper are
+    * exactly the recall the cap bounds). resizeReport's mean-cell signal
+    * cannot see this: IMI's residual trade is SKEW (a product grid fits
+    * each cell more coarsely than free k-means, so real corpora
+    * concentrate), and a mean-healthy index can still route its hottest
+    * cells onto the keeper-only path on every probe that touches them.
+    * `hot_postings_frac` is the headline — the fraction of postings the
+    * cap would short-circuit. Distinct ids, not raw rows, for the same
+    * reason as resizeReport: [[compact]]'s promote-then-delete window
+    * legitimately doubles every posting. `cells` counts OCCUPIED cells
+    * (nlist minus empties — compare with [[resizeReport]]'s nlist to see
+    * dead cells). One narrow 2-column aggregation over the postings,
+    * driver-thin; zeros on an empty index. Run it on the
+    * [[stats]]/[[compact]] cadence; registered no-oracle face q65j
+    * (AnnIndexSpec pins the arithmetic on a hand corpus and its
+    * invariance across the compact window).
+    */
+  def occupancyReport(
+      spark: SparkSession,
+      path: String,
+      maxCell: Int = 256): DataFrame = {
+    import spark.implicits._
+    if (batches(spark, path).isEmpty)
+      return Seq((0L, 0L, 0.0, 0L, 0L, 0L, 0.0))
+        .toDF("cells", "postings", "mean_occupancy", "max_occupancy",
+          "hot_cells", "hot_postings", "hot_postings_frac")
+    // coalesce every aggregate: batches can exist with ZERO postings (an
+    // empty frame appended under a real label) and the report must stay
+    // all-zeros, not nullable — the [[DedupIndex.occupancyReport]] law
+    spark.read.parquet(vectorsDir(path))
+      .groupBy("cell")
+      .agg(count_distinct(col("id")).as("occ"))
+      .agg(
+        count(lit(1)).as("cells"),
+        coalesce(sum(col("occ")), lit(0L)).as("postings"),
+        coalesce(avg(col("occ")), lit(0.0)).as("mean_occupancy"),
+        coalesce(max(col("occ")), lit(0L)).as("max_occupancy"),
+        count(when(col("occ") > maxCell, 1)).as("hot_cells"),
+        coalesce(sum(when(col("occ") > maxCell, col("occ"))), lit(0L))
+          .as("hot_postings"))
+      .select(col("cells"), col("postings"), col("mean_occupancy"),
+        col("max_occupancy"), col("hot_cells"), col("hot_postings"),
+        when(col("postings") > 0L,
+          col("hot_postings").cast("double") / col("postings").cast("double"))
+          .otherwise(lit(0.0))
+          .as("hot_postings_frac"))
+  }
+
   /** One-call retrain-and-rebuild at [[autoNlist]] geometry — the
     * documented rebuild protocol ([[init]] refuses to retrain in place
     * because landed postings carry the OLD cell assignment) packaged as

@@ -106,14 +106,21 @@ object Pq {
       iters: Int = 10): Codebook = {
     require(m > 0, "m must be positive")
     // cast in-plan so array<float> and array<double> corpora both train
-    // (the PQ expressions accept either; the sampler must too)
+    // (the PQ expressions accept either; the sampler must too).
+    // finiteVec quarantine, same as every driver-side training draw
+    // (r16 advice): a null vector in the hash-ordered sample head NPEs
+    // the collect, and a NaN/Inf element poisons a sub-centroid whose
+    // ADC distances then rank NaN/Inf — recall degrades silently (the
+    // exact verify keeps precision; it cannot recover candidates the
+    // screen never surfaced)
     val sample: Array[Array[Double]] = emb
+      .where(Similarity.finiteVec(col(vecCol)))
       .orderBy(xxhash64(col(idCol)))
       .select(col(vecCol).cast("array<double>"))
       .limit(math.max(sampleRows, 32 * ksub))
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "cannot train a PQ codebook on an empty corpus")
+    require(sample.nonEmpty, "cannot train a PQ codebook: no finite vectors in the corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"dim=$dim does not split into m=$m subspaces")
     val dsub = dim / m

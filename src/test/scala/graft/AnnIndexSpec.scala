@@ -365,6 +365,45 @@ class AnnIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("occupancyReport: distinct-id cell occupancy arithmetic on a hand-built quantizer") {
+    val path = tmp()
+    // hand centroids make cell assignment exact: c0=(0,0), c1=(10,0),
+    // c2=(0,10); vectors sit within 0.2 of their centroid, so nearest-of-3
+    // is unambiguous. 3 ids in cell 0, 2 in cell 1, 1 in cell 2.
+    AnnIndex.init(spark, path, Similarity.IvfIndex(
+      Array(Array(0.0, 0.0), Array(10.0, 0.0), Array(0.0, 10.0))))
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.1f, 0.0f)), (3L, Seq(0.0f, 0.1f)),
+      (4L, Seq(10.0f, 0.0f)), (5L, Seq(10.1f, 0.0f)),
+      (6L, Seq(0.0f, 10.0f)))
+      .toDF("id", "vec")
+    AnnIndex.append(vecs, "id", "vec", path, "00000001")
+    val r = AnnIndex.occupancyReport(spark, path, maxCell = 2).collect()(0)
+    assert(r.getAs[Long]("cells") == 3L)
+    assert(r.getAs[Long]("postings") == 6L)
+    assert(r.getAs[Double]("mean_occupancy") == 2.0)
+    assert(r.getAs[Long]("max_occupancy") == 3L)
+    assert(r.getAs[Long]("hot_cells") == 1L)      // cell 0, occupancy 3
+    assert(r.getAs[Long]("hot_postings") == 3L)
+    assert(r.getAs[Double]("hot_postings_frac") == 0.5)
+    // compact's promote-then-delete window: the same ids posted twice
+    // under a second batch label must not move a single report number
+    AnnIndex.append(vecs, "id", "vec", path, "00000002")
+    val r2 = AnnIndex.occupancyReport(spark, path, maxCell = 2).collect()(0)
+    assert(r2 == r, "doubled postings must be invisible to the report (distinct ids)")
+    Caches.release()
+  }
+
+  test("occupancyReport on an empty index: zeros, right schema") {
+    val path = tmp()
+    AnnIndex.init(spark, path, Similarity.IvfIndex(Array(Array(0.0, 0.0))))
+    val r = AnnIndex.occupancyReport(spark, path).collect()(0)
+    assert(r.getAs[Long]("cells") == 0L && r.getAs[Long]("postings") == 0L &&
+      r.getAs[Long]("hot_cells") == 0L && r.getAs[Double]("hot_postings_frac") == 0.0)
+    assert(r.schema.fieldNames.toSeq == Seq("cells", "postings", "mean_occupancy",
+      "max_occupancy", "hot_cells", "hot_postings", "hot_postings_frac"))
+  }
+
   test("autoNlist: ceil division, both clamps, input guards") {
     // natural ceil-division region
     assert(AnnIndex.autoNlist(4096L * 100, 4096L) == 100)

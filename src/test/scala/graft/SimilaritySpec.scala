@@ -162,6 +162,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("Pq.train's sample draw quarantines null and non-finite vectors (r16 advice pin)") {
+    // the finiteVec quarantine every other driver-side trainer already
+    // had: a NULL vector in the xxhash-ordered sample head NPEd the
+    // collect, and a NaN/Inf element poisoned a sub-centroid whose ADC
+    // distances then rank NaN/Inf — silently losing screen recall
+    val clean = Seq.tabulate(40)(i =>
+      (i.toLong, Array.tabulate(4)(j => (((i * 7 + j * 3) % 11) - 5).toFloat)))
+    val df = (clean.map { case (i, v) => (i, v.toSeq) } ++ Seq(
+      (100L, null.asInstanceOf[Seq[Float]]),
+      (101L, Seq(Float.NaN, 1.0f, 2.0f, 3.0f)),
+      (102L, Seq(Float.PositiveInfinity, 0.0f, 0.0f, 0.0f))))
+      .toDF("id", "vec")
+    val cb = graft.operators.Pq.train(df, "id", "vec", m = 2, ksub = 4, sampleRows = 64)
+    assert(cb.codebooks.forall(_.forall(_.forall(java.lang.Double.isFinite))),
+      "corrupt vectors must never define a PQ sub-centroid")
+    assert(cb.m == 2 && cb.ksub == 4 && cb.dsub == 2)
+  }
+
   test("Pq.train at ksub=256 keeps the codebook near-fully utilized (r15 sampling-starvation pin)") {
     // Pq.train floors its sample at 32 × ksub (8,192 rows here) — before
     // the floor, buildPqAuto's 4 × ksub callsite trained 256
