@@ -212,6 +212,50 @@ object TextIndex {
     append(docs, idCol, textCol, path, batch)
   }
 
+  /** Postings restricted to each doc's LATEST batch *within the frame
+    * given* — the version-coherent degrade for a doc_id re-appended with
+    * different text (outside the unique-ids caller contract, but a state
+    * the index can physically hold). The r16 review found the
+    * per-(term, doc_id) collapse alone can MIX versions across terms
+    * within one query (term A scored from version 1, term B from
+    * version 2, with inconsistent dl inside one BM25 sum); anchoring
+    * every term to the doc's lexicographically greatest batch label
+    * first makes each call score ONE document. The zero-padded numeric
+    * labels every ingest path produces sort chronologically;
+    * [[compact]]'s merge label is greater than all its sources, so the
+    * window filter also subsumes the old distinct() against the
+    * promote-then-delete window (source and merge rows are identical;
+    * only the merge's survive).
+    *
+    * Anchor scope is the frame given, which is all a candidate-sized
+    * probe can see: [[dfReport]] and [[compact]] pass ALL terms, so
+    * their anchor is the doc's true latest version — a stale version
+    * contributes NOTHING, df agrees with what a fresh query would
+    * serve. [[searchTopK]]/[[phraseTopK]] pass only the query's terms,
+    * so a doc whose latest version matches NO query term anchors to its
+    * newest MATCHING version (served whole and internally consistent —
+    * never mixed) until the next [[compact]], whose canonicalization
+    * physically drops stale versions and makes the residual case exact.
+    * Within one batch no order exists — [[append]] lands one row per
+    * (term, doc_id) unless the INPUT batch itself duplicated a doc_id,
+    * and that residue still degrades per-term via the callers'
+    * deterministic max() collapse. Cost: one doc_id-keyed window over
+    * the frame given (candidate-sized after a term IN-filter; one extra
+    * corpus-sized exchange on the [[dfReport]]/[[compact]] maintenance
+    * cadence). Stats stay append-derived: a re-appended doc still
+    * counts in N/Σdl twice — the caller violated the contract; scoring
+    * merely stays internally consistent.
+    */
+  private def latestVersionOnly(postings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    postings
+      .withColumn("__batch",
+        regexp_extract(col("_metadata.file_path"), "/batch=([^/]+)/", 1))
+      .withColumn("__maxb", max(col("__batch")).over(Window.partitionBy("doc_id")))
+      .where(col("__batch") === col("__maxb"))
+      .drop("__batch", "__maxb")
+  }
+
   /** Corpus totals over committed batches: (n_docs, sum_dl). O(batches)
     * rows read; only COMMITTED batches count (a crashed append's stats
     * partition without postings must not inflate N — scores would shift
@@ -256,11 +300,14 @@ object TextIndex {
     * descending (doc_id tiebreak), k rows max. Zero corpus re-read: one
     * IN-filtered postings scan + a per-term df aggregate + the pivot-sum,
     * then TakeOrderedAndProject for the global top-k (never a full sort).
-    * Matched postings collapse to one (tf, dl) version per (term,
-    * doc_id) — idempotent under [[compact]]'s promote-then-delete window
-    * AND consistent with [[dfReport]]/[[phraseTopK]] when a doc_id was
-    * re-appended with different text. Exact-rational scoring — results
-    * hash-match an ANSI oracle (q84).
+    * Matched postings anchor to each doc's latest MATCHED batch and
+    * collapse to one (tf, dl) version per (term, doc_id)
+    * ([[latestVersionOnly]], incl. anchor-scope caveat) — idempotent
+    * under [[compact]]'s promote-then-delete window AND version-coherent
+    * when a doc_id was re-appended with different text: all query terms
+    * score ONE document, with one dl; terms only in a staler version
+    * than the anchor do not score at all. Exact-rational scoring —
+    * results hash-match an ANSI oracle (q84).
     */
   def searchTopK(
       spark: SparkSession,
@@ -276,17 +323,17 @@ object TextIndex {
       .select(col("id").as("doc_id"), lit(0.0).as("score"))
       .where(lit(false))
     if (n == 0L) return empty
-    // one (tf, dl) PAIR per (term, doc_id): identical duplicates from
-    // compact's promote-then-delete window collapse (max = the row, the
-    // old distinct()'s job), and a doc_id re-appended with different
-    // text — outside the unique-ids caller contract, but a state the
-    // index can physically hold — degrades to ONE version per posting
-    // instead of inflating df with both versions' rows (df counts rows
-    // per term downstream). max over the struct keeps tf and dl from
-    // the SAME version; dfReport and phraseTopK apply the same
-    // per-posting degrade, so serving and maintenance agree.
-    val tf = spark.read.parquet(postingsDir(path))
-      .where(col("term").isin(terms: _*))
+    // version coherence, two layers ([[latestVersionOnly]]): every term
+    // anchors to the doc's LATEST batch first (one document per doc_id,
+    // across all query terms — also absorbing compact's promote-then-
+    // delete duplicates), then the per-(term, doc_id) max-struct
+    // collapse deterministically degrades the orderless residue of an
+    // input batch that itself duplicated a doc_id. dfReport and
+    // phraseTopK apply the same two layers, so serving and maintenance
+    // agree on ONE version.
+    val tf = latestVersionOnly(
+      spark.read.parquet(postingsDir(path))
+        .where(col("term").isin(terms: _*)))
       .groupBy("term", "doc_id")
       .agg(max(struct(col("tf"), col("dl"))).as("__p"))
       .select(col("term"), col("doc_id"),
@@ -331,15 +378,15 @@ object TextIndex {
     val postings = spark.read.parquet(postingsDir(path))
     require(postings.columns.contains("positions"),
       s"index at $path predates positional postings — rebuild to enable phrase search")
-    // one positions array per (term, doc_id): collapses compact's
-    // promote-then-delete window (identical duplicates, as in searchTopK)
-    // AND a doc_id re-appended with different text across batches — where
-    // a bare distinct() would keep both rows and map_from_entries would
-    // throw DUPLICATED_MAP_KEY. max() on array<int> is a deterministic
-    // lexicographic pick, so the conflicting-append case degrades to one
-    // consistent posting rather than a query-time crash.
-    val matched = postings
-      .where(col("term").isin(terms.distinct: _*))
+    // version coherence, the searchTopK two-layer discipline: anchor to
+    // the doc's latest batch ([[latestVersionOnly]] — one DOCUMENT per
+    // doc_id across all phrase terms, absorbing compact's window), then
+    // one positions array per (term, doc_id) — map_from_entries would
+    // throw DUPLICATED_MAP_KEY on any residue, and max() on array<int>
+    // is a deterministic lexicographic pick for the orderless
+    // in-batch-duplicate case.
+    val matched = latestVersionOnly(
+      postings.where(col("term").isin(terms.distinct: _*)))
       .groupBy(col("term"), col("doc_id"))
       .agg(max(col("positions")).as("positions"))
     val perDoc = matched.groupBy("doc_id")
@@ -365,16 +412,19 @@ object TextIndex {
     * scan stops being "a handful of row groups" and its rows dominate
     * every query that mentions it — the maintenance signal is WHICH
     * terms, so stopword policy / query planning can react upstream.
-    * Postings first collapse to ONE tf per (term, doc_id) — identical
-    * duplicates from [[compact]]'s promote-then-delete window vanish,
-    * and a doc_id re-appended with different text (outside the
-    * unique-ids caller contract, but physically representable) degrades
-    * to one version per posting (max tf — the [[phraseTopK]]
-    * discipline) instead of summing both versions. So `df` is DISTINCT
-    * documents (the BM25 df) and `tokens` is Σ over documents of the
-    * kept version's tf. One 3-column aggregation +
-    * TakeOrderedAndProject — never a full sort, nothing corpus-sized to
-    * the driver. Runs fine on the [[stats]]/[[compact]] cadence.
+    * Postings first anchor to each doc's LATEST batch and collapse to
+    * ONE tf per (term, doc_id) ([[latestVersionOnly]], the searchTopK
+    * discipline) — identical duplicates from [[compact]]'s
+    * promote-then-delete window vanish, and a doc_id re-appended with
+    * different text (outside the unique-ids caller contract, but
+    * physically representable) counts as exactly the document
+    * [[searchTopK]] would serve: its latest version's terms, nothing
+    * from the stale one. So `df` is DISTINCT documents (the BM25 df)
+    * and `tokens` is Σ over documents of the kept version's tf. One
+    * narrow aggregation pipeline + TakeOrderedAndProject — never a full
+    * sort, nothing corpus-sized to the driver; the version anchor costs
+    * one doc_id-keyed exchange over the 3 columns read, fine on the
+    * [[stats]]/[[compact]] cadence it runs at.
     * Oracle-gated as q84e (df/Σtf recompute from the raw corpus — the
     * report must equal re-tokenizing everything).
     */
@@ -387,18 +437,20 @@ object TextIndex {
     import spark.implicits._
     if (batches(spark, path).isEmpty)
       return Seq.empty[(String, Long, Long)].toDF("term", "df", "tokens")
-    spark.read.parquet(postingsDir(path))
-      // a null doc_id (a caller-contract violation the parquet can still
-      // hold) must not form a countable group: count_distinct ignored
-      // nulls, and the groupBy-count below must keep that exclusion
-      .where(col("doc_id").isNotNull)
+    latestVersionOnly(
+      spark.read.parquet(postingsDir(path))
+        // a null doc_id (a caller-contract violation the parquet can
+        // still hold) must not form a countable group: count_distinct
+        // ignored nulls, and the groupBy-count below must keep that
+        // exclusion
+        .where(col("doc_id").isNotNull))
       .select("term", "doc_id", "tf")
-      // one tf per (term, doc_id): collapses compact's promote-then-
-      // delete window (identical duplicates, max = the row) AND a doc_id
-      // re-appended with different text across batches, where a bare
-      // distinct() keeps BOTH versions' rows and sums their tf — the
-      // exact hazard [[phraseTopK]]'s positions collapse documents;
-      // max(tf) is the same deterministic one-version degrade
+      // the searchTopK two-layer version coherence: latest batch per doc
+      // FIRST (so a term absent from a re-appended doc's latest version
+      // stops counting that doc — df here equals what searchTopK would
+      // serve), then max(tf) per (term, doc_id) for the orderless
+      // in-batch-duplicate residue (and compact's promote-then-delete
+      // duplicates, already absorbed by the batch filter)
       .groupBy("term", "doc_id")
       .agg(max(col("tf")).as("tf"))
       .groupBy("term")
@@ -438,10 +490,17 @@ object TextIndex {
       Seq((n, d, old)).toDF("n_docs", "sum_dl", "folds").coalesce(1),
       statsDir(path), label)
     DedupIndex.appendDir(
-      spark.read.parquet(old.map(b => s"${postingsDir(path)}/batch=$b"): _*)
-        // same crash window: a folded-but-undeleted source duplicates its
-        // postings rows against its merge — collapse before re-clustering
-        .select("term", "doc_id", "tf", "dl", "positions").distinct()
+      // CANONICALIZE to each doc's latest version while folding: batch
+      // labels are the version order ([[latestVersionOnly]]), and a
+      // merge that kept both versions of a re-appended doc would erase
+      // that order forever — post-compact queries could no longer
+      // degrade coherently. The same filter absorbs the crash window
+      // where a folded-but-undeleted source duplicates its rows against
+      // its own merge (identical content, lower label), which the old
+      // distinct() handled.
+      latestVersionOnly(
+        spark.read.parquet(old.map(b => s"${postingsDir(path)}/batch=$b"): _*))
+        .select("term", "doc_id", "tf", "dl", "positions")
         .repartitionByRange(col("term"))
         .sortWithinPartitions("term", "doc_id"),
       postingsDir(path), label)

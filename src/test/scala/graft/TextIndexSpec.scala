@@ -324,19 +324,100 @@ class TextIndexSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"), r.getAs[Long]("tokens")))
     assert(again.toSeq == top3.toSeq, "doubled postings moved the report")
     // a doc_id re-appended with DIFFERENT text (conflicting versions in
-    // two batches) must degrade to one version per posting, not sum both
-    // (the phraseTopK max-collapse discipline): doc 2 re-lands with
-    // 'merge' tf=2, so merge reports max(1,2)+3 = 5 tokens, df still 2
+    // two batches) must degrade to the doc's LATEST version — the whole
+    // document, not a per-term pick (r16 review): doc 2 re-lands as
+    // "merge merge" under a label sorting AFTER the synthetic 00000009
+    // copy above, so merge reports tf 2 + doc 5's 3 = 5 tokens (df 2),
+    // and doc 2's stale version stops counting for every OTHER term —
+    // window's df falls to doc 3 alone
     TextIndex.append(Seq((2L, "merge merge")).toDF("doc_id", "text"),
-      "doc_id", "text", path, "00000004")
-    val merged = TextIndex.dfReport(spark, path, k = 100).collect()
+      "doc_id", "text", path, "00000010")
+    val after = TextIndex.dfReport(spark, path, k = 100, minDf = 0L).collect()
       .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"), r.getAs[Long]("tokens")))
-      .find(_._1 == "merge").get
-    assert(merged == ("merge", 2L, 5L),
-      s"conflicting re-append must collapse to one version per posting, got $merged")
+    assert(after.find(_._1 == "merge").get == ("merge", 2L, 5L),
+      s"conflicting re-append must serve the latest version, got ${after.toSeq}")
+    assert(after.find(_._1 == "window").get == ("window", 1L, 1L),
+      "a term absent from the re-appended doc's latest version must stop " +
+        s"counting that doc, got ${after.toSeq}")
     // empty index: empty result, right schema
     val empty = tmp()
     TextIndex.init(spark, empty)
     assert(TextIndex.dfReport(spark, empty).collect().isEmpty)
+  }
+
+  test("re-appended doc_id: all three faces serve ONE document — the latest version") {
+    // r16 review: the old per-(term, doc_id) collapse picked versions
+    // independently per term, so one BM25 sum could mix term A from
+    // version 1 with term B (and B's dl) from version 2. The
+    // latest-batch anchor must make searchTopK, dfReport and phraseTopK
+    // agree on the SAME whole document, before and after compact.
+    val path = tmp()
+    TextIndex.build(Seq(
+      (1L, "apple banana cherry"),
+      (2L, "banana date")).toDF("doc_id", "text"), "doc_id", "text", path)
+    // doc 1 re-appended: apple/cherry gone, banana doubled, fig new
+    TextIndex.append(Seq((1L, "banana banana fig")).toDF("doc_id", "text"),
+      "doc_id", "text", path, "00000002")
+
+    def score(terms: Seq[String], tf: Seq[(String, Long, Long, Long)]): Seq[(Long, Double)] =
+      Ranking.bm25RationalScores(
+        tf.toDF("term", "doc_id", "tf", "dl"), terms,
+        TextIndex.corpusStats(spark, path)._1, TextIndex.corpusStats(spark, path)._2,
+        requireAll = false)
+        .as[(Long, Double)].collect().toSeq
+    def served(terms: String*): Seq[(Long, Double)] =
+      TextIndex.searchTopK(spark, path, terms, 10).as[(Long, Double)].collect().toSeq
+
+    def pinAllFaces(): Unit = {
+      // searchTopK, term in both versions: doc 1 scores EXACTLY the
+      // latest (tf=2, dl=3) — equality against the rational scorer fed
+      // hand-built latest-version postings pins the (tf, dl) pair
+      assert(served("banana") ==
+        score(Seq("banana"), Seq(("banana", 1L, 2L, 3L), ("banana", 2L, 1L, 2L))),
+        "banana must score doc 1 at the latest version (tf=2, dl=3)")
+      // the r16 mixing hazard, pinned dead: a query holding BOTH a
+      // stale-only term and a live one anchors doc 1 to version 2 — the
+      // apple row is dropped, banana scores with version 2's dl, one
+      // document. (The old collapse would have summed apple@v1 dl=3 with
+      // banana@v2 dl=3.)
+      assert(served("apple", "banana") ==
+        score(Seq("apple", "banana"), Seq(("banana", 1L, 2L, 3L), ("banana", 2L, 1L, 2L))),
+        "a mixed-version query must anchor doc 1 wholly to its latest matched version")
+      // dfReport (all terms visible → true latest): apple/cherry gone,
+      // banana Σtf = 2+1
+      val report = TextIndex.dfReport(spark, path, k = 100).collect()
+        .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"), r.getAs[Long]("tokens")))
+        .toSet
+      assert(report == Set(
+        ("banana", 2L, 3L), ("date", 1L, 1L), ("fig", 1L, 1L)),
+        s"dfReport must see exactly the latest versions, got $report")
+      // phraseTopK: the doubled banana is adjacent ONLY in the latest
+      // version — one occurrence, from the same document searchTopK used
+      assert(phrase(path, "banana", "banana") == Map(1L -> 1L))
+      assert(phrase(path, "apple", "banana") == Map.empty[Long, Long])
+    }
+    pinAllFaces()
+    // anchor-scope residual (documented): a query whose every term is
+    // absent from doc 1's latest version still sees the newest MATCHING
+    // version pre-compact — served whole (tf=1 from version 1, dl=3),
+    // never mixed
+    assert(served("apple") ==
+      score(Seq("apple"), Seq(("apple", 1L, 1L, 3L))),
+      "a stale-only query serves the newest matching version, internally consistent")
+    // compact canonicalizes: the fold sees ALL terms, anchors doc 1 to
+    // its true latest version and physically drops the stale one — the
+    // residual case becomes exact and every face answers from the single
+    // merged batch
+    TextIndex.compact(spark, path)
+    assert(TextIndex.batches(spark, path).size == 1)
+    pinAllFaces()
+    assert(TextIndex.searchTopK(spark, path, Seq("apple"), 10).collect().isEmpty,
+      "post-compact, the stale version is gone — apple matches nothing")
+    // and the merged postings physically hold ONE version of doc 1
+    val doc1Terms = spark.read.parquet(s"$path/postings")
+      .where(col("doc_id") === 1L)
+      .select("term").as[String].collect().toSet
+    assert(doc1Terms == Set("banana", "fig"),
+      s"compact must canonicalize to the latest version, kept $doc1Terms")
   }
 }
