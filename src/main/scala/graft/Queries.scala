@@ -3060,6 +3060,42 @@ object Queries {
       SELECT vec_id AS corpus_id, vec_id + 1000000 AS batch_id
       FROM embeddings WHERE vec_id % 10 = 0"""))
 
+  /** The BULK-batch probe shape under the driver gate ([[graft.operators
+    * .AnnIndex.crossNeighborsBulk]], round 17): [[q65eAnnAutoSized]]'s
+    * corpus-scaled index and planted families probed through the
+    * shuffle-join variant — the physical shape for batches too large to
+    * broadcast (the per-micro-batch path ships batch × nprobe query
+    * vectors to every task; bulk broadcasts only the ≤ nlist-int probed-
+    * cell set and shuffles the candidate join by cell). Semantics must
+    * be IDENTICAL: at nprobe = nlist the probe is exact, so the q65e
+    * pure-arithmetic oracle carries over verbatim — one hash gates that
+    * the join-strategy swap changes nothing about what matches.
+    * AnnIndexSpec additionally pins bulk ≡ broadcast equality at partial
+    * nprobe and asserts the probes side actually left the broadcast.
+    */
+  val q65kAnnCrossBulk: Q = Q(
+    "q65k_ann_cross_bulk",
+    (s, dir) => {
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val path = java.nio.file.Files.createTempDirectory("graft_ann_bulk").toString
+      val nlist = AnnIndex.buildAuto(
+        base, "vec_id", "embedding", path, targetCellRows = 16L,
+        fullTrainAbove = 64)
+      val copyVec = transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))
+      val negVec = transform(col("embedding"), x => (-x).cast("float"))
+      val batch = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), copyVec.as("embedding"))
+        .unionByName(base.where(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"), negVec.as("embedding")))
+      AnnIndex.crossNeighborsBulk(
+        batch, "vec_id", "embedding", path, threshold = 0.99,
+        probe = AnnIndex.Probe.Cells(nlist), maxCell = Int.MaxValue)
+        .select(col("corpus_id"), col("batch_id"))
+    },
+    Some("""
+      SELECT vec_id AS corpus_id, vec_id + 1000000 AS batch_id
+      FROM embeddings WHERE vec_id % 10 = 0"""))
+
   /** The geometry-maintenance pair ([[graft.operators.AnnIndex
     * .resizeReport]] → [[graft.operators.AnnIndex.rebuildAuto]]) under
     * the driver gate: an index built at the PINNED nlist = 16 — exactly
@@ -9343,7 +9379,7 @@ object Queries {
     q63bFunnelWindowed, q64CohortRetention, q64bCohortRates, q64cCohortCalendar,
     q65AnnIndexDedup, q65bAnnIndexDedupPq, q65cAnnCrossExact, q65dAnnIngest,
     q65eAnnAutoSized, q65fAnnRebuild, q65gAnnImiExact, q65hAnnRebuildIngest,
-    q65iAnnImiRebuildIngest, q65jAnnIndexOccupancy,
+    q65iAnnImiRebuildIngest, q65jAnnIndexOccupancy, q65kAnnCrossBulk,
     q66ExpectationsRoute, q67FunnelSqlAgg,
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
     q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs,

@@ -828,6 +828,12 @@ object AnnIndex {
     * IVF trade (raise `nprobe` toward `nlist` for exact). Over-cap cells
     * (`maxCell`) contribute only their keeper (min corpus id), verified
     * by true cosine — bounded extra loss, observable via [[hotCells]].
+    *
+    * Batch-size contract: this physical shape broadcasts the probes
+    * table (batch × nprobe rows with the query vectors) — right for the
+    * per-micro-batch serving path; for bulk backfills use
+    * [[crossNeighborsBulk]], which keeps the semantics and swaps the
+    * broadcast for a cell-keyed shuffle join.
     */
   def crossNeighbors(
       batchDf: DataFrame,
@@ -851,10 +857,49 @@ object AnnIndex {
       path: String,
       threshold: Double,
       probe: Probe,
-      maxCell: Int): DataFrame = {
+      maxCell: Int): DataFrame =
+    crossNeighborsImpl(batchDf, idCol, vecCol, path, threshold, probe, maxCell,
+      broadcastProbes = true)
+
+  /** [[crossNeighbors]] for CORPUS-SCALE batches — identical semantics
+    * (AnnIndexSpec pins result equality), different physical shape. The
+    * per-batch probe broadcasts the whole probes table (batch_id, query
+    * vector, probed cell — batch × nprobe rows) to every task: right
+    * when the batch is micro-batch-sized, a driver/executor OOM when it
+    * is a bulk backfill (10⁷ rows × nprobe 4 × a 768-dim float vector ≈
+    * 100+ GB of broadcast). Here only the DISTINCT probed-cell set is
+    * broadcast for map-side postings pruning (≤ nlist ints — bounded by
+    * geometry, not batch size), and the candidate join shuffles BOTH
+    * sides by cell instead — the standard symmetric-join shape for two
+    * large inputs, with AQE's skew-join splitting hot cells. Use this
+    * when the batch is within an order of magnitude of the probed
+    * postings; use [[crossNeighbors]] for the per-micro-batch serving
+    * path its scaladoc describes.
+    */
+  def crossNeighborsBulk(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      threshold: Double = 0.95,
+      probe: Probe = Probe.Cells(4),
+      maxCell: Int = Int.MaxValue): DataFrame =
+    crossNeighborsImpl(batchDf, idCol, vecCol, path, threshold, probe, maxCell,
+      broadcastProbes = false)
+
+  private def crossNeighborsImpl(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      threshold: Double,
+      probe: Probe,
+      maxCell: Int,
+      broadcastProbes: Boolean): DataFrame = {
     val spark = batchDf.sparkSession
     val index = coarse(spark, path)
-    // Batch probes: read twice (probed-cell set + candidate join) → pinned.
+    // Batch probes: read twice (probed-cell set + candidate join) → pinned
+    // (spills to disk on bulk batches — the assignment pass is paid once).
     val probes = Caches.pin(
       batchDf.select(
         col(idCol).as("batch_id"),
@@ -867,12 +912,12 @@ object AnnIndex {
         .where(lit(false))
 
     // Postings restricted to probed cells. The distinct cell set is tiny
-    // (≤ batch_rows × nprobe ints) → broadcast; the semi-join prunes the
-    // postings scan map-side. distinct(): during compact's promote-then-
-    // delete window every posting exists twice — raw-row occupancy would
-    // double __occ and flip under-cap cells onto the keeper-only path.
-    // Re-read by the occupancy split below → pinned (probed-cells-sized,
-    // not corpus-sized).
+    // (≤ nlist ints whatever the batch size) → always broadcast; the
+    // semi-join prunes the postings scan map-side. distinct(): during
+    // compact's promote-then-delete window every posting exists twice —
+    // raw-row occupancy would double __occ and flip under-cap cells onto
+    // the keeper-only path. Re-read by the occupancy split below →
+    // pinned (probed-cells-sized, not corpus-sized).
     val matched = Caches.pin(
       spark.read.parquet(vectorsDir(path))
         .join(broadcast(probes.select("cell").distinct()), Seq("cell"), "left_semi")
@@ -885,8 +930,13 @@ object AnnIndex {
     val hotKeepers = occ.where(col("__occ") > maxCell)
       .groupBy("cell")
       .agg(min(col("corpus_id")).as("corpus_id"), min_by(col("vec"), col("corpus_id")).as("vec"))
+    // per-micro-batch: the probes table is small → broadcast it and the
+    // corpus side never enters an exchange. Bulk: hint nothing — both
+    // sides are large, Catalyst shuffles them by cell (AQE splits skewed
+    // cells), and the broadcast ceiling no longer binds the batch size.
+    val probesSide = if (broadcastProbes) broadcast(probes) else probes
     cold.unionByName(hotKeepers)
-      .join(broadcast(probes), Seq("cell"))
+      .join(probesSide, Seq("cell"))
       .select(
         col("batch_id"), col("corpus_id"),
         vectors.cosine(col("vec"), col("__qvec")).as("cosine"))
@@ -955,7 +1005,42 @@ object AnnIndex {
       probe: Probe,
       maxCell: Int,
       margin: Double,
-      scoreWithLut: Boolean): DataFrame = {
+      scoreWithLut: Boolean): DataFrame =
+    crossNeighborsPqImpl(batchDf, idCol, vecCol, path, threshold, probe, maxCell,
+      margin, scoreWithLut, broadcastProbes = true)
+
+  /** [[crossNeighborsPq]] for CORPUS-SCALE batches — the PQ face of
+    * [[crossNeighborsBulk]]: identical semantics (spec-pinned equality),
+    * but only the distinct probed-cell set is broadcast (≤ nlist ints);
+    * the screen, keeper, and exact-verify joins shuffle by their keys
+    * instead of shipping the batch × nprobe probes table (query vectors
+    * included) to every task. `scoreWithLut` is deliberately absent:
+    * the per-probe-row ADC table is the SERVING trade (few queries,
+    * many candidates each) and is exactly wrong at bulk batch sizes.
+    */
+  def crossNeighborsPqBulk(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      threshold: Double = 0.95,
+      probe: Probe = Probe.Cells(4),
+      maxCell: Int = Int.MaxValue,
+      margin: Double = 0.1): DataFrame =
+    crossNeighborsPqImpl(batchDf, idCol, vecCol, path, threshold, probe, maxCell,
+      margin, scoreWithLut = false, broadcastProbes = false)
+
+  private def crossNeighborsPqImpl(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      threshold: Double,
+      probe: Probe,
+      maxCell: Int,
+      margin: Double,
+      scoreWithLut: Boolean,
+      broadcastProbes: Boolean): DataFrame = {
     val spark = batchDf.sparkSession
     val index = coarse(spark, path)
     val cb = pqCodebook(spark, path)
@@ -972,6 +1057,11 @@ object AnnIndex {
         .select(col("batch_id"), col("batch_id").as("corpus_id"), lit(0.0).as("cosine"))
         .where(lit(false))
 
+    // micro-batch serving: the probes table is small → broadcast it past
+    // every join. Bulk: hint nothing and let the joins shuffle by their
+    // keys (cell for the screen/keepers, batch_id for the verify) — the
+    // broadcast ceiling stops binding the batch size ([[crossNeighborsBulk]]).
+    def probesSide(df: DataFrame): DataFrame = if (broadcastProbes) broadcast(df) else df
     val probedCells = probes.select("cell").distinct()
     // pass 1: screening columns only — `vec` stays on disk
     val codes = Caches.pin(
@@ -984,14 +1074,14 @@ object AnnIndex {
       else pqAdcDot(cb, col("code"), col("__qvec"))
     val occ = Blocking.withOccupancy(codes, Seq("cell"))
     val screened = occ.where(col("__occ") <= maxCell)
-      .join(broadcast(probes), Seq("cell"))
+      .join(probesSide(probes), Seq("cell"))
       .where(approxDot >= (lit(threshold - margin) * col("__qnorm") * col("norm")))
       .select(col("cell"), col("batch_id"), col("corpus_id"))
     // over-cap cells: keeper only, NO screen — true cosine decides below
     val hotKeepers = occ.where(col("__occ") > maxCell)
       .groupBy("cell")
       .agg(min(col("corpus_id")).as("corpus_id"))
-      .join(broadcast(probes.select("cell", "batch_id")), Seq("cell"))
+      .join(probesSide(probes.select("cell", "batch_id")), Seq("cell"))
       .select(col("cell"), col("batch_id"), col("corpus_id"))
     val survivors = screened.unionByName(hotKeepers)
     // pass 2: raw vectors for survivors only (cell prune map-side, then
@@ -1002,7 +1092,7 @@ object AnnIndex {
       .join(survivors, Seq("cell", "corpus_id"))
     // pass 3: exact verify
     fetched
-      .join(broadcast(probes.select("batch_id", "__qvec").distinct()), Seq("batch_id"))
+      .join(probesSide(probes.select("batch_id", "__qvec").distinct()), Seq("batch_id"))
       .select(
         col("batch_id"), col("corpus_id"),
         vectors.cosine(col("vec"), col("__qvec")).as("cosine"))

@@ -365,6 +365,66 @@ class AnnIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("crossNeighborsBulk: identical pairs to the broadcast path, probes side off the broadcast") {
+    val path = tmp()
+    buildSmall(path)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    // partial nprobe (1 of 2 cells): both paths must miss and find the
+    // SAME pairs — the join-strategy swap may not move recall either way
+    for (np <- Seq(1, 2)) {
+      val bc = pairs(AnnIndex.crossNeighbors(
+        batch, "id", "vec", path, 0.95, AnnIndex.Probe.Cells(np), Int.MaxValue))
+      val bulk = pairs(AnnIndex.crossNeighborsBulk(
+        batch, "id", "vec", path, 0.95, AnnIndex.Probe.Cells(np), Int.MaxValue))
+      assert(bulk == bc, s"nprobe=$np: bulk=$bulk broadcast=$bc")
+    }
+    // the point of the variant: the probes table (carrying __qvec) is
+    // only HINT-free — on production-sized inputs Catalyst shuffles it.
+    // Tiny spec frames would auto-broadcast regardless, so the plan
+    // check pins the hint structure with auto-broadcast off: the
+    // explicitly-hinted distinct-cell semi-join must STILL broadcast,
+    // while the candidate join falls to a shuffle join (the broadcast
+    // path under the same conf keeps its hinted probes broadcast —
+    // proving bulk's difference is the absent hint, not the conf).
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val bulkPlan = AnnIndex.crossNeighborsBulk(
+        batch, "id", "vec", path, 0.95, AnnIndex.Probe.Cells(2), Int.MaxValue)
+        .queryExecution.executedPlan.toString
+      assert(bulkPlan.contains("BroadcastExchange"),
+        s"the hinted probed-cell semi-join must still broadcast:\n$bulkPlan")
+      assert("""(SortMergeJoin|ShuffledHashJoin)""".r.findFirstIn(bulkPlan).isDefined,
+        s"bulk candidate join must be a shuffle join:\n$bulkPlan")
+      val bcPlan = AnnIndex.crossNeighbors(
+        batch, "id", "vec", path, 0.95, AnnIndex.Probe.Cells(2), Int.MaxValue)
+        .queryExecution.executedPlan.toString
+      assert("""BroadcastHashJoin""".r.findAllIn(bcPlan).size >= 2,
+        s"the per-micro-batch path keeps its hinted probes broadcast:\n$bcPlan")
+    } finally spark.conf.set(thresholdKey, saved)
+    Caches.release()
+  }
+
+  test("crossNeighborsPqBulk: identical pairs to the broadcast PQ path") {
+    val path = tmp()
+    buildSmallPq(path)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+    for (np <- Seq(1, 2)) {
+      val bc = pairs(AnnIndex.crossNeighborsPq(
+        batch, "id", "vec", path, 0.95, AnnIndex.Probe.Cells(np),
+        Int.MaxValue, margin = 0.2, scoreWithLut = false))
+      val bulk = pairs(AnnIndex.crossNeighborsPqBulk(
+        batch, "id", "vec", path, 0.95, AnnIndex.Probe.Cells(np),
+        Int.MaxValue, margin = 0.2))
+      assert(bulk == bc, s"nprobe=$np: bulk=$bulk broadcast=$bc")
+    }
+    Caches.release()
+  }
+
   test("occupancyReport: distinct-id cell occupancy arithmetic on a hand-built quantizer") {
     val path = tmp()
     // hand centroids make cell assignment exact: c0=(0,0), c1=(10,0),
