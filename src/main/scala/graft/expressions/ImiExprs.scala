@@ -123,8 +123,10 @@ private[graft] object ImiKernels {
     * half's distances, then heap-walk the product grid from the (0,0)
     * corner, generating each position (i, j) from a SINGLE parent —
     * (i, j−1) for j > 0, else (i−1, 0) — so the heap never holds
-    * duplicates and grows to at most 2·nprobe entries. Visits ~nprobe
-    * cells instead of all k₁·k₂: O(k log k + nprobe log nprobe) per row.
+    * duplicates and stays ~2·nprobe entries in the tie-free case (it
+    * grows, long-guarded, only while draining an equal-sum run). Visits
+    * ~nprobe cells instead of all k₁·k₂: O(k log k + nprobe log nprobe)
+    * per row.
     *
     * Bitwise equality with [[fullScan]] (the pinned contract) rests on
     * three invariants:
@@ -178,7 +180,9 @@ private[graft] object ImiKernels {
     var size = 0
     def push(i: Int, j: Int): Unit = {
       if (size == cap) {
-        cap *= 2
+        // long-guarded doubling: total pushes are bounded by 2·nlist + 1,
+        // which overflows an int doubling at degenerate near-2³¹ grids
+        cap = math.min(Int.MaxValue - 8L, cap.toLong * 2).toInt
         hd = java.util.Arrays.copyOf(hd, cap)
         hi = java.util.Arrays.copyOf(hi, cap)
         hj = java.util.Arrays.copyOf(hj, cap)
@@ -225,7 +229,11 @@ private[graft] object ImiKernels {
       while (size > 0 && hd(0) == runValue) {
         val i = hi(0)
         val j = hj(0)
-        if (runLen == runBuf.length) runBuf = java.util.Arrays.copyOf(runBuf, runLen * 2)
+        // a run is at most nlist long (≤ Int.MaxValue by the expression's
+        // require), so cap the doubling there instead of overflowing
+        if (runLen == runBuf.length)
+          runBuf = java.util.Arrays.copyOf(runBuf,
+            math.min(k1.toLong * k2, runLen.toLong * 2).toInt)
         runBuf(runLen) = ix1(i) * k2 + ix2(j)
         runLen += 1
         // extract-min: move the last entry to the root and sift down

@@ -90,12 +90,17 @@ object ImiProperties extends Properties("graft.imi") {
         Gen.frequency(
           8 -> Gen.choose(0, 4).map(_.toDouble),
           1 -> Gen.const(Double.NaN),
-          1 -> Gen.const(Double.PositiveInfinity)))
+          1 -> Gen.const(Double.PositiveInfinity),
+          // ROUNDING ties below +inf: 1e308 + 0 == 1e308 + 4, and two
+          // 1e308 halves overflow to +inf — both classes broke the naive
+          // traversal order and must stay covered
+          1 -> Gen.const(1e308)))
       d2 <- Gen.containerOfN[Array, Double](k2,
         Gen.frequency(
           8 -> Gen.choose(0, 4).map(_.toDouble),
           1 -> Gen.const(Double.NaN),
-          1 -> Gen.const(Double.PositiveInfinity)))
+          1 -> Gen.const(Double.PositiveInfinity),
+          1 -> Gen.const(1e308)))
       nprobe <- Gen.choose(1, k1 * k2 + 2) // past the grid: sentinel padding
     } yield (d1, d2, nprobe)
 
