@@ -1227,6 +1227,35 @@ object AnnIndex {
       .where(col("rank") <= k)
   }
 
+  /** [[topNeighbors]] for CORPUS-SCALE batches — [[crossNeighborsBulk]]
+    * underneath, and the per-vector top-k cut through the native
+    * bounded-heap plan ([[graft.plans.TopK.perKey]]) BEFORE the rank
+    * window: the candidate set per batch vector is nprobe cells wide,
+    * and a rank-then-filter window over that at bulk batch sizes sorts
+    * every candidate per key, where the heap keeps k. The window that
+    * assigns the emitted `rank` column then runs on the ≤ k-per-key
+    * remainder. Same output contract as [[topNeighbors]] (spec-pinned
+    * equality): rank 1 = nearest, ties to the lower corpus id.
+    */
+  def topNeighborsBulk(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int,
+      probe: Probe = Probe.Cells(4),
+      maxCell: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val scored = crossNeighborsBulk(
+      batchDf, idCol, vecCol, path, threshold = -1.0, probe, maxCell)
+    graft.plans.TopK.perKey(
+      scored, Seq("batch_id"), Seq(col("cosine").desc, col("corpus_id").asc), k)
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("batch_id").orderBy(col("cosine").desc, col("corpus_id"))))
+  }
+
   /** Audit view of the index cells the probe cap short-circuits for this
     * batch: (cell, occupancy) over probed cells whose distinct corpus
     * membership exceeds `maxCell`. Run alongside [[crossNeighbors]] to
@@ -1285,6 +1314,35 @@ object AnnIndex {
       maxCell: Int,
       dim: Int): DataFrame = {
     val inCorpus = crossNeighbors(batchDf, idCol, vecCol, path, threshold, probe, maxCell)
+      .select(col("batch_id").as(idCol))
+      .distinct()
+    val fresh = batchDf.join(inCorpus, Seq(idCol), "left_anti")
+    val pairs = Similarity.cosineNearDupPairs(
+      fresh, idCol, vecCol, threshold, dim = dim,
+      maxBucket = if (maxCell == Int.MaxValue) Int.MaxValue else maxCell)
+    val dropped = Dedup.duplicateClusters(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    fresh.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupBatch]] for CORPUS-SCALE batches — the acceptance face a
+    * bulk backfill actually calls: the against-corpus pass runs
+    * [[crossNeighborsBulk]] (no batch-sized broadcast), and the
+    * within-batch near-dedup is [[Similarity.cosineNearDupPairs]]'s
+    * LSH-bucketed pass, which was batch-scale-shaped already. Same
+    * acceptance semantics as [[dedupBatch]], spec-pinned equal.
+    */
+  def dedupBatchBulk(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      threshold: Double = 0.95,
+      probe: Probe = Probe.Cells(4),
+      maxCell: Int = Int.MaxValue,
+      dim: Int = 64): DataFrame = {
+    val inCorpus = crossNeighborsBulk(batchDf, idCol, vecCol, path, threshold, probe, maxCell)
       .select(col("batch_id").as(idCol))
       .distinct()
     val fresh = batchDf.join(inCorpus, Seq(idCol), "left_anti")

@@ -408,6 +408,36 @@ class AnnIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("topNeighborsBulk and dedupBatchBulk equal their per-micro-batch twins") {
+    val path = tmp()
+    buildSmall(path)
+    // topNeighbors: full row equality — ids, cosine, AND the rank column
+    for (np <- Seq(1, 2); k <- Seq(1, 3)) {
+      val micro = AnnIndex.topNeighbors(
+        batch, "id", "vec", path, k, AnnIndex.Probe.Cells(np), Int.MaxValue)
+        .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+      val bulk = AnnIndex.topNeighborsBulk(
+        batch, "id", "vec", path, k, AnnIndex.Probe.Cells(np), Int.MaxValue)
+        .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+      assert(bulk == micro, s"np=$np k=$k: bulk=$bulk micro=$micro")
+    }
+    // dedupBatch: the accepted set must be identical
+    val acceptedMicro = AnnIndex.dedupBatch(
+      batch, "id", "vec", path, 0.95, AnnIndex.Probe.Cells(2), Int.MaxValue, dim = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val acceptedBulk = AnnIndex.dedupBatchBulk(
+      batch, "id", "vec", path, 0.95, AnnIndex.Probe.Cells(2), Int.MaxValue, dim = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(acceptedBulk == acceptedMicro,
+      s"bulk acceptance must equal the micro-batch path: $acceptedBulk vs $acceptedMicro")
+    assert(acceptedMicro.nonEmpty && acceptedMicro != batch.select("id")
+      .collect().map(_.getLong(0)).toSet,
+      "the fixture must actually drop someone for the equality to mean anything")
+    Caches.release()
+  }
+
   test("crossNeighborsPqBulk: identical pairs to the broadcast PQ path") {
     val path = tmp()
     buildSmallPq(path)
