@@ -1132,12 +1132,45 @@ object AnnIndex {
       k: Int,
       probe: Probe,
       maxCell: Int,
-      rerank: Int): DataFrame = {
+      rerank: Int): DataFrame =
+    topNeighborsPqImpl(batchDf, idCol, vecCol, path, k, probe, maxCell, rerank,
+      broadcastProbes = true)
+
+  /** [[topNeighborsPq]] for CORPUS-SCALE batches — the PQ-screened
+    * top-k through [[crossNeighborsBulk]]'s physical shape: only the
+    * probed-cell set is broadcast; the screen, keeper, and verify joins
+    * shuffle by their keys. The coarse top-(k·rerank) cut and the final
+    * window already ran per batch vector, so the emitted contract is
+    * [[topNeighborsPq]]'s verbatim (spec-pinned equality).
+    */
+  def topNeighborsPqBulk(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int,
+      probe: Probe = Probe.Cells(4),
+      maxCell: Int = Int.MaxValue,
+      rerank: Int = 4): DataFrame =
+    topNeighborsPqImpl(batchDf, idCol, vecCol, path, k, probe, maxCell, rerank,
+      broadcastProbes = false)
+
+  private def topNeighborsPqImpl(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int,
+      probe: Probe,
+      maxCell: Int,
+      rerank: Int,
+      broadcastProbes: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0 && rerank > 0, "k and rerank must be positive")
     val spark = batchDf.sparkSession
     val index = coarse(spark, path)
     val cb = pqCodebook(spark, path)
+    def probesSide(df: DataFrame): DataFrame = if (broadcastProbes) broadcast(df) else df
     val probes = Caches.pin(
       batchDf.select(
         col(idCol).as("batch_id"),
@@ -1158,14 +1191,14 @@ object AnnIndex {
         .distinct())
     val occ = Blocking.withOccupancy(codes, Seq("cell"))
     val screenCands = occ.where(col("__occ") <= maxCell)
-      .join(broadcast(probes), Seq("cell"))
+      .join(probesSide(probes), Seq("cell"))
       .select(col("cell"), col("batch_id"), col("corpus_id"),
         (pqAdcDot(cb, col("code"), col("__qvec")) /
           (col("__qnorm") * col("norm"))).as("__approx"))
     val hotKeepers = occ.where(col("__occ") > maxCell)
       .groupBy("cell")
       .agg(min(col("corpus_id")).as("corpus_id"))
-      .join(broadcast(probes.select("cell", "batch_id")), Seq("cell"))
+      .join(probesSide(probes.select("cell", "batch_id")), Seq("cell"))
       // keepers bypass the coarse cut: +infinity approx pins them in
       .select(col("cell"), col("batch_id"), col("corpus_id"),
         lit(Double.MaxValue).as("__approx"))
@@ -1178,7 +1211,7 @@ object AnnIndex {
       .join(broadcast(probedCells), Seq("cell"), "left_semi")
       .join(survivors, Seq("cell", "corpus_id"))
     fetched
-      .join(broadcast(probes.select("batch_id", "__qvec").distinct()), Seq("batch_id"))
+      .join(probesSide(probes.select("batch_id", "__qvec").distinct()), Seq("batch_id"))
       .select(col("batch_id"), col("corpus_id"),
         vectors.cosine(col("vec"), col("__qvec")).as("cosine"))
       .groupBy("batch_id", "corpus_id")
@@ -1343,6 +1376,35 @@ object AnnIndex {
       maxCell: Int = Int.MaxValue,
       dim: Int = 64): DataFrame = {
     val inCorpus = crossNeighborsBulk(batchDf, idCol, vecCol, path, threshold, probe, maxCell)
+      .select(col("batch_id").as(idCol))
+      .distinct()
+    val fresh = batchDf.join(inCorpus, Seq(idCol), "left_anti")
+    val pairs = Similarity.cosineNearDupPairs(
+      fresh, idCol, vecCol, threshold, dim = dim,
+      maxBucket = if (maxCell == Int.MaxValue) Int.MaxValue else maxCell)
+    val dropped = Dedup.duplicateClusters(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    fresh.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupBatchPq]] for CORPUS-SCALE batches — the PQ acceptance face
+    * through [[crossNeighborsPqBulk]]'s shuffle shape; the within-batch
+    * LSH near-dedup is batch-scale-shaped already. Spec-pinned equal to
+    * [[dedupBatchPq]].
+    */
+  def dedupBatchPqBulk(
+      batchDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      threshold: Double = 0.95,
+      probe: Probe = Probe.Cells(4),
+      maxCell: Int = Int.MaxValue,
+      margin: Double = 0.1,
+      dim: Int = 64): DataFrame = {
+    val inCorpus = crossNeighborsPqBulk(
+      batchDf, idCol, vecCol, path, threshold, probe, maxCell, margin)
       .select(col("batch_id").as(idCol))
       .distinct()
     val fresh = batchDf.join(inCorpus, Seq(idCol), "left_anti")

@@ -452,6 +452,28 @@ class AnnIndexSpec extends AnyFunSuite {
         Int.MaxValue, margin = 0.2))
       assert(bulk == bc, s"nprobe=$np: bulk=$bulk broadcast=$bc")
     }
+    // the PQ top-k and acceptance bulk twins, same equality law
+    for (k <- Seq(1, 3)) {
+      val micro = AnnIndex.topNeighborsPq(
+        batch, "id", "vec", path, k, AnnIndex.Probe.Cells(2), Int.MaxValue, rerank = 4)
+        .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+      val bulk = AnnIndex.topNeighborsPqBulk(
+        batch, "id", "vec", path, k, AnnIndex.Probe.Cells(2), Int.MaxValue, rerank = 4)
+        .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+      assert(bulk == micro, s"k=$k: pq top-k bulk=$bulk micro=$micro")
+    }
+    val acceptedMicro = AnnIndex.dedupBatchPq(
+      batch, "id", "vec", path, 0.95, AnnIndex.Probe.Cells(2),
+      Int.MaxValue, margin = 0.2, dim = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val acceptedBulk = AnnIndex.dedupBatchPqBulk(
+      batch, "id", "vec", path, 0.95, AnnIndex.Probe.Cells(2),
+      Int.MaxValue, margin = 0.2, dim = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(acceptedBulk == acceptedMicro,
+      s"PQ bulk acceptance must equal the micro-batch path: $acceptedBulk vs $acceptedMicro")
     Caches.release()
   }
 
