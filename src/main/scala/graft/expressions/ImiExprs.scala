@@ -202,6 +202,13 @@ private[graft] object ImiKernels {
     }
     val out = new Array[Int](nprobe)
     java.util.Arrays.fill(out, Int.MaxValue)
+    // zero-length half (k1 or k2 == 0): the grid is empty, pops == 0,
+    // and the initial push would index s1(0)/s2(0) — return the sentinel
+    // array exactly as fullScan does, keeping the two kernels equal over
+    // the whole input domain (unreachable through NearestImiCellsExpr,
+    // which requires nonEmpty halves, but the private[graft] contract
+    // should not silently diverge)
+    if (pops == 0) return out
     push(0, 0)
     var filled = 0
     var runBuf = new Array[Int](16)

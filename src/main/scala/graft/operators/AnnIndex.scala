@@ -1352,7 +1352,7 @@ object AnnIndex {
     val fresh = batchDf.join(inCorpus, Seq(idCol), "left_anti")
     val pairs = Similarity.cosineNearDupPairs(
       fresh, idCol, vecCol, threshold, dim = dim,
-      maxBucket = if (maxCell == Int.MaxValue) Int.MaxValue else maxCell)
+      maxBucket = maxCell)
     val dropped = Dedup.duplicateClusters(pairs)
       .where(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
@@ -1381,7 +1381,7 @@ object AnnIndex {
     val fresh = batchDf.join(inCorpus, Seq(idCol), "left_anti")
     val pairs = Similarity.cosineNearDupPairs(
       fresh, idCol, vecCol, threshold, dim = dim,
-      maxBucket = if (maxCell == Int.MaxValue) Int.MaxValue else maxCell)
+      maxBucket = maxCell)
     val dropped = Dedup.duplicateClusters(pairs)
       .where(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
@@ -1410,7 +1410,7 @@ object AnnIndex {
     val fresh = batchDf.join(inCorpus, Seq(idCol), "left_anti")
     val pairs = Similarity.cosineNearDupPairs(
       fresh, idCol, vecCol, threshold, dim = dim,
-      maxBucket = if (maxCell == Int.MaxValue) Int.MaxValue else maxCell)
+      maxBucket = maxCell)
     val dropped = Dedup.duplicateClusters(pairs)
       .where(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
@@ -1458,7 +1458,7 @@ object AnnIndex {
     val fresh = batchDf.join(inCorpus, Seq(idCol), "left_anti")
     val pairs = Similarity.cosineNearDupPairs(
       fresh, idCol, vecCol, threshold, dim = dim,
-      maxBucket = if (maxCell == Int.MaxValue) Int.MaxValue else maxCell)
+      maxBucket = maxCell)
     val dropped = Dedup.duplicateClusters(pairs)
       .where(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))

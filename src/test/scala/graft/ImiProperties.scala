@@ -115,4 +115,21 @@ object ImiProperties extends Properties("graft.imi") {
       ImiKernels.multiSequence(d1, d2, k2, nprobe).toSeq ==
         ImiKernels.fullScan(d1, d2, k2, nprobe).toSeq
     }
+
+  /** Zero-length halves (unreachable through NearestImiCellsExpr, which
+    * requires nonEmpty flats, but inside the private[graft] kernel
+    * contract): the grid is empty, so both kernels must return the pure
+    * sentinel array instead of the traversal indexing into an empty
+    * half (the r17 ADVICE finding).
+    */
+  property("multiSequence == fullScan on empty halves: pure sentinel array") =
+    forAll(Gen.choose(0, 5), Gen.choose(1, 7), Gen.oneOf(true, false)) {
+      (k, nprobe, emptyFirst) =>
+        val full = Array.tabulate(k)(_.toDouble)
+        val d1 = if (emptyFirst) Array.empty[Double] else full
+        val d2 = if (emptyFirst) full else Array.empty[Double]
+        val ms = ImiKernels.multiSequence(d1, d2, d2.length, nprobe).toSeq
+        ms == ImiKernels.fullScan(d1, d2, d2.length, nprobe).toSeq &&
+          ms == Seq.fill(nprobe)(Int.MaxValue)
+    }
 }
