@@ -290,7 +290,18 @@ object AnnIndex {
       .sorted
   }
 
-  /** Next zero-padded numeric batch label (`00000001`, …). */
+  /** Next zero-padded numeric batch label (`00000001`, …).
+    *
+    * SINGLE-WRITER contract (see [[TextIndex.nextBatchLabel]] for the
+    * full rationale): allocation is read-max-then-increment, so two
+    * concurrent manual writers can draw the same label. The collision
+    * is LOUD and corruption-free — the postings table is the ONLY table
+    * an [[append]] writes, and [[DedupIndex.appendDir]]'s promote
+    * refuses an existing `batch=` directory (AnnIndexSpec pins it) —
+    * but the losing append is lost work. A live stream (`s`-prefixed
+    * labels) plus one manual backfill never collide; two manual writers
+    * must serialize label allocation.
+    */
   def nextBatchLabel(spark: SparkSession, path: String): String = {
     val used = batches(spark, path).flatMap(_.toLongOption)
     f"${used.foldLeft(0L)(math.max) + 1}%08d"

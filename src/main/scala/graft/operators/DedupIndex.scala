@@ -109,6 +109,16 @@ object DedupIndex {
 
   /** Next zero-padded numeric batch label (`00000001`, …) — convenience
     * for callers without their own batch identifiers.
+    *
+    * SINGLE-WRITER contract (see [[TextIndex.nextBatchLabel]] for the
+    * full rationale): allocation is read-max-then-increment, so two
+    * concurrent manual writers can draw the same label. The collision is
+    * LOUD and corruption-free — [[append]] writes sketches then bands
+    * and aborts at the first `batch=` directory that already exists
+    * ([[appendDir]]'s promote refuses; DedupIndexSpec pins it) — but the
+    * losing append is lost work. A live stream (`s`-prefixed labels)
+    * plus one manual backfill never collide; two manual writers must
+    * serialize label allocation.
     */
   def nextBatchLabel(spark: SparkSession, path: String): String = {
     val used = batches(spark, path).flatMap(_.toLongOption)

@@ -34,6 +34,9 @@ import graft.functions.text
   * {{{
   *   params/              one row: tokenizer   — existence marker
   *   stats/batch=<b>/     one row: n_docs, sum_dl
+  *   versions/batch=<b>/  (doc_id) — the batch's doc manifest: which
+  *                        docs this batch VERSIONS (present even for a
+  *                        doc whose text tokenized to nothing)
   *   postings/batch=<b>/  (term, doc_id, tf, dl, positions: array<int>)
   * }}}
   * Postings are POSITIONAL (token offsets of every occurrence —
@@ -71,6 +74,41 @@ object TextIndex {
   private def paramsDir(path: String) = s"$path/params"
   private def statsDir(path: String) = s"$path/stats"
   private def postingsDir(path: String) = s"$path/postings"
+  private def versionsDir(path: String) = s"$path/versions"
+
+  /** Total version order over batch labels, as a sortable string key.
+    * The repo produces TWO label namespaces — zero-padded numeric labels
+    * from [[nextBatchLabel]]/[[compact]] and `s`-prefixed labels from
+    * the streaming ingest ([[graft.streaming.Streams.textIngest]], which
+    * must derive labels from the replayable micro-batch id) — and the
+    * r17 review found plain lexicographic order breaks across them
+    * ('s' > '9', so EVERY streaming label outranked EVERY numeric one)
+    * and even within the numeric namespace past 8 digits ("100000000" <
+    * "99999999" lexicographically). This key makes the rule explicit and
+    * value-based:
+    *
+    *  - within a namespace, the numeric VALUE orders (so labels survive
+    *    the %08d padding horizon);
+    *  - across namespaces, `s`-labels outrank numeric labels BY DESIGN:
+    *    the numeric namespace is the manual/backfill namespace and the
+    *    `s` namespace is the live-ingest namespace, and a backfill
+    *    re-append must not supersede what the live stream has already
+    *    served (a backfill that must supersede goes through the stream,
+    *    or lands after a [[compact]], which re-bases all content into
+    *    the numeric namespace);
+    *  - unrecognized labels (caller-chosen free-form strings) rank above
+    *    both, ordered lexicographically among themselves — a caller that
+    *    names batches manually owns their order.
+    */
+  private[operators] def versionKey(label: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val l = label.cast("string")
+    when(l.rlike("^[0-9]{1,19}$"),
+      concat(lit("0"), lpad(l.cast("long").cast("string"), 19, "0")))
+      .when(l.rlike("^s[0-9]{1,19}$"),
+        concat(lit("1"),
+          lpad(regexp_replace(l, "^s", "").cast("long").cast("string"), 19, "0")))
+      .otherwise(concat(lit("2"), l))
+  }
 
   /** Create an empty index at `path`. Idempotent via the atomic staging
     * swap; an index with zero batches is valid (probes match nothing).
@@ -102,7 +140,21 @@ object TextIndex {
       .sorted
   }
 
-  /** Next zero-padded numeric batch label (`00000001`, …). */
+  /** Next zero-padded numeric batch label (`00000001`, …).
+    *
+    * SINGLE-WRITER contract (shared with [[DedupIndex.nextBatchLabel]]
+    * and [[AnnIndex.nextBatchLabel]]): allocation is read-max-then-
+    * increment, so two concurrent manual writers can draw the SAME
+    * label. The collision is LOUD and corruption-free — [[append]]
+    * writes its tables in a fixed order and aborts at the first
+    * `batch=` directory that already exists (the promote rename refuses;
+    * TextIndexSpec pins the refusal and that the winner's data is
+    * untouched) — but the losing append is LOST work: re-draw a fresh
+    * label and retry, or give each writer its own namespace (the
+    * streaming ingest's `s`-prefix is exactly that). One live stream
+    * plus one manual backfill never collide (disjoint namespaces); two
+    * manual writers on one index must serialize label allocation.
+    */
   def nextBatchLabel(spark: SparkSession, path: String): String = {
     val used = batches(spark, path).flatMap(_.toLongOption)
     f"${used.foldLeft(0L)(math.max) + 1}%08d"
@@ -162,18 +214,41 @@ object TextIndex {
     // window) would otherwise be discovered only when the tiny stats
     // append throws — wasting the whole staged postings job. Retry that
     // window through [[appendIdempotent]], which clears the stale stats.
-    if (fs.exists(new Path(statsDir(path) + s"/batch=$batch")))
+    if (fs.exists(new Path(statsDir(path) + s"/batch=$batch")) ||
+        fs.exists(new Path(versionsDir(path) + s"/batch=$batch")))
       throw new java.io.IOException(
-        s"stale stats batch=$batch exists (crashed append?) — use appendIdempotent")
+        s"stale stats/versions batch=$batch exists (crashed append?) — use appendIdempotent")
     val staging = new Path(root,
       s".staging_${batch}_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
       postings.write.mode("overwrite").parquet(staging.toString)
       val m = obs.get
+      // an EMPTY metrics map means the optimizer PROVED the postings
+      // empty (a literal batch whose every text tokenizes to nothing)
+      // and pruned the observe node with the subtree — zero postings
+      // and zero tokens are certain, only the doc count needs a direct
+      // (degenerate-sized) pass so N still counts the empty docs
+      val (nDocs, sumDl) =
+        if (m.isEmpty) (docs.count(), 0L)
+        else (m("n_docs").asInstanceOf[Long], m("sum_dl").asInstanceOf[Long])
       DedupIndex.appendDir(
-        Seq((m("n_docs").asInstanceOf[Long], m("sum_dl").asInstanceOf[Long],
-          Seq.empty[String])).toDF("n_docs", "sum_dl", "folds").coalesce(1),
+        Seq((nDocs, sumDl, Seq.empty[String]))
+          .toDF("n_docs", "sum_dl", "folds").coalesce(1),
         statsDir(path), batch)
+      // the per-batch doc manifest ([[versionsDir]]): which doc_ids this
+      // batch VERSIONS — from the input frame, not the staged postings,
+      // so a doc re-appended with empty text still registers a (postings
+      // -free) newer version and serves as a tombstone until [[compact]]
+      // drops it physically. One extra narrow pass over the input's id
+      // column; lands BEFORE the postings promote so the commit marker
+      // still covers everything (stats/versions without postings = the
+      // crashed-append window [[appendIdempotent]] clears).
+      DedupIndex.appendDir(
+        docs.select(col(idCol).as("doc_id")).where(col("doc_id").isNotNull)
+          .distinct()
+          .repartitionByRange(col("doc_id"))
+          .sortWithinPartitions("doc_id"),
+        versionsDir(path), batch)
       if (fs.exists(dst) || !fs.rename(staging, dst))
         throw new java.io.IOException(s"could not promote index batch $dst")
     } finally {
@@ -206,9 +281,11 @@ object TextIndex {
       batch: String): Unit = {
     val spark = docs.sparkSession
     if (batches(spark, path).contains(batch)) return
-    val stale = new Path(s"${statsDir(path)}/batch=$batch")
-    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(stale)) fs.delete(stale, true)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(statsDir(path), versionsDir(path)).foreach { d =>
+      val stale = new Path(s"$d/batch=$batch")
+      if (fs.exists(stale)) fs.delete(stale, true)
+    }
     append(docs, idCol, textCol, path, batch)
   }
 
@@ -219,23 +296,22 @@ object TextIndex {
     * per-(term, doc_id) collapse alone can MIX versions across terms
     * within one query (term A scored from version 1, term B from
     * version 2, with inconsistent dl inside one BM25 sum); anchoring
-    * every term to the doc's lexicographically greatest batch label
-    * first makes each call score ONE document. The zero-padded numeric
-    * labels every ingest path produces sort chronologically;
-    * [[compact]]'s merge label is greater than all its sources, so the
-    * window filter also subsumes the old distinct() against the
-    * promote-then-delete window (source and merge rows are identical;
-    * only the merge's survive).
+    * every term to the doc's greatest batch under [[versionKey]]'s total
+    * order first makes each call score ONE document. [[compact]]'s merge
+    * label outranks all its NUMERIC sources; `s`-labeled sources outrank
+    * the merge during the promote-then-delete window, which is still
+    * coherent because the anchored source version is bitwise the merge's
+    * canonical content (the per-(term, doc_id) collapse folds the pair).
     *
-    * Anchor scope is the frame given, which is all a candidate-sized
-    * probe can see: [[dfReport]] and [[compact]] pass ALL terms, so
-    * their anchor is the doc's true latest version — a stale version
-    * contributes NOTHING, df agrees with what a fresh query would
-    * serve. [[searchTopK]]/[[phraseTopK]] pass only the query's terms,
-    * so a doc whose latest version matches NO query term anchors to its
-    * newest MATCHING version (served whole and internally consistent —
-    * never mixed) until the next [[compact]], whose canonicalization
-    * physically drops stale versions and makes the residual case exact.
+    * Anchor scope is the frame given: [[dfReport]] and [[compact]] pass
+    * ALL terms, so their anchor is the doc's latest POSTINGS-BEARING
+    * version. [[searchTopK]]/[[phraseTopK]] pass only the query's terms,
+    * so under this fallback a doc whose latest version matches NO query
+    * term anchors to its newest MATCHING version. This function is now
+    * only the FALLBACK for indexes predating the [[versionsDir]] doc
+    * manifest (and the maintenance faces, where the frame is the whole
+    * corpus); indexes with a covering manifest serve through
+    * [[anchorToManifest]], which closes the stale-only residual exactly.
     * Within one batch no order exists — [[append]] lands one row per
     * (term, doc_id) unless the INPUT batch itself duplicated a doc_id,
     * and that residue still degrades per-term via the callers'
@@ -249,12 +325,96 @@ object TextIndex {
   private def latestVersionOnly(postings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     postings
-      .withColumn("__batch",
-        regexp_extract(col("_metadata.file_path"), "/batch=([^/]+)/", 1))
-      .withColumn("__maxb", max(col("__batch")).over(Window.partitionBy("doc_id")))
-      .where(col("__batch") === col("__maxb"))
-      .drop("__batch", "__maxb")
+      .withColumn("__vkey",
+        versionKey(regexp_extract(col("_metadata.file_path"), "/batch=([^/]+)/", 1)))
+      .withColumn("__maxk", max(col("__vkey")).over(Window.partitionBy("doc_id")))
+      .where(col("__vkey") === col("__maxk"))
+      .drop("__vkey", "__maxk")
   }
+
+  /** Driver-side twin of [[versionKey]] — same key, same namespaces. */
+  private[operators] def versionKeyStr(label: String): String =
+    if (label.matches("^[0-9]{1,19}$")) "0" + "%019d".format(label.toLong)
+    else if (label.matches("^s[0-9]{1,19}$"))
+      "1" + "%019d".format(label.stripPrefix("s").toLong)
+    else "2" + label
+
+  /** Does every committed batch carry a [[versionsDir]] doc manifest?
+    * Indexes built before the manifest landed have postings batches with
+    * no `versions/` twin; anchoring against an INCOMPLETE manifest would
+    * silently treat pre-manifest versions as nonexistent, so the serving
+    * faces fall back to [[latestVersionOnly]] until a [[compact]] (whose
+    * merge writes the manifest) or a rebuild makes the manifest cover.
+    * A directory listing per table — O(batches), no data read.
+    */
+  private def manifestCovers(spark: SparkSession, path: String): Boolean = {
+    val dir = new Path(versionsDir(path))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return false
+    val have = fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch="))
+      .toSet
+    batches(spark, path).forall(have.contains)
+  }
+
+  /** Postings restricted to each doc's TRUE latest version, via the
+    * per-batch doc manifest — the exact close of the stale-only residual
+    * [[latestVersionOnly]]'s frame-scoped anchor leaves open: the
+    * manifest knows every batch that versioned a doc whether or not that
+    * batch holds any of the query's terms (or any postings at all — a
+    * doc re-appended with EMPTY text registers a postings-free newer
+    * version and is served as deleted until [[compact]] drops it
+    * physically). A query whose terms match only a stale version now
+    * returns what post-compact state would: nothing.
+    *
+    * Dataflow: the matched frame's distinct doc_ids (candidate-sized
+    * after the callers' term IN-filter) join the manifest scan, the
+    * per-candidate max [[versionKey]] falls out of a candidate-sized
+    * aggregate, and matched postings keep only rows whose batch IS that
+    * version. The manifest side never shuffles corpus-sized data: the
+    * scan is one narrow id column (range-clustered by [[append]]), AQE
+    * broadcasts the candidate aggregate against it at serving sizes
+    * (plan-pinned in TextIndexSpec), and only matched manifest rows —
+    * candidate-sized — leave the join. During [[compact]]'s
+    * promote-then-delete window sources and merge coexist in the
+    * manifest too; the anchored top version's content is bitwise the
+    * merge's canonical content, so answers hold (the same transient
+    * file-not-found retry contract as every reader under compaction).
+    */
+  private def anchorToManifest(
+      spark: SparkSession,
+      path: String,
+      matched: DataFrame): DataFrame = {
+    val m = matched.withColumn("__vkey",
+      versionKey(regexp_extract(col("_metadata.file_path"), "/batch=([^/]+)/", 1)))
+    // only COMMITTED batches version anything: a crashed append leaves a
+    // versions/ partition without postings (the appendIdempotent window),
+    // and counting it would tombstone every doc of the failed batch. The
+    // filter compares version KEYS, not raw labels, because partition
+    // -type inference strips zero padding on all-numeric label sets.
+    val committedKeys = batches(spark, path).map(versionKeyStr)
+    val latest = spark.read.parquet(versionsDir(path))
+      .select(col("doc_id"), versionKey(col("batch")).as("__lkey"))
+      .where(col("__lkey").isin(committedKeys: _*))
+      .join(m.select("doc_id").distinct(), Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(max(col("__lkey")).as("__lkey"))
+    m.join(latest, Seq("doc_id"))
+      .where(col("__vkey") === col("__lkey"))
+      .drop("__vkey", "__lkey")
+  }
+
+  /** [[anchorToManifest]] when the manifest covers, [[latestVersionOnly]]
+    * otherwise — the one dispatch every serving face routes through so
+    * search, phrase and df agree on which version a doc IS.
+    */
+  private def anchorLatest(
+      spark: SparkSession,
+      path: String,
+      matched: DataFrame): DataFrame =
+    if (manifestCovers(spark, path)) anchorToManifest(spark, path, matched)
+    else latestVersionOnly(matched)
 
   /** Corpus totals over committed batches: (n_docs, sum_dl). O(batches)
     * rows read; only COMMITTED batches count (a crashed append's stats
@@ -300,14 +460,16 @@ object TextIndex {
     * descending (doc_id tiebreak), k rows max. Zero corpus re-read: one
     * IN-filtered postings scan + a per-term df aggregate + the pivot-sum,
     * then TakeOrderedAndProject for the global top-k (never a full sort).
-    * Matched postings anchor to each doc's latest MATCHED batch and
-    * collapse to one (tf, dl) version per (term, doc_id)
-    * ([[latestVersionOnly]], incl. anchor-scope caveat) — idempotent
-    * under [[compact]]'s promote-then-delete window AND version-coherent
-    * when a doc_id was re-appended with different text: all query terms
-    * score ONE document, with one dl; terms only in a staler version
-    * than the anchor do not score at all. Exact-rational scoring —
-    * results hash-match an ANSI oracle (q84).
+    * Matched postings anchor to each doc's TRUE latest version
+    * ([[anchorToManifest]]; [[latestVersionOnly]] fallback on
+    * pre-manifest indexes) and collapse to one (tf, dl) version per
+    * (term, doc_id) — idempotent under [[compact]]'s promote-then-delete
+    * window AND version-coherent when a doc_id was re-appended with
+    * different text: all query terms score ONE document — the latest
+    * version, with one dl; a doc whose latest version matches no query
+    * term scores nothing (under the manifest — the fallback serves its
+    * newest MATCHING version, internally consistent, until compact).
+    * Exact-rational scoring — results hash-match an ANSI oracle (q84).
     */
   def searchTopK(
       spark: SparkSession,
@@ -323,15 +485,15 @@ object TextIndex {
       .select(col("id").as("doc_id"), lit(0.0).as("score"))
       .where(lit(false))
     if (n == 0L) return empty
-    // version coherence, two layers ([[latestVersionOnly]]): every term
-    // anchors to the doc's LATEST batch first (one document per doc_id,
-    // across all query terms — also absorbing compact's promote-then-
-    // delete duplicates), then the per-(term, doc_id) max-struct
+    // version coherence, two layers ([[anchorLatest]]): every term
+    // anchors to the doc's LATEST version first (one document per
+    // doc_id, across all query terms — also absorbing compact's promote-
+    // then-delete duplicates), then the per-(term, doc_id) max-struct
     // collapse deterministically degrades the orderless residue of an
     // input batch that itself duplicated a doc_id. dfReport and
     // phraseTopK apply the same two layers, so serving and maintenance
     // agree on ONE version.
-    val tf = latestVersionOnly(
+    val tf = anchorLatest(spark, path,
       spark.read.parquet(postingsDir(path))
         .where(col("term").isin(terms: _*)))
       .groupBy("term", "doc_id")
@@ -379,13 +541,13 @@ object TextIndex {
     require(postings.columns.contains("positions"),
       s"index at $path predates positional postings — rebuild to enable phrase search")
     // version coherence, the searchTopK two-layer discipline: anchor to
-    // the doc's latest batch ([[latestVersionOnly]] — one DOCUMENT per
+    // the doc's latest version ([[anchorLatest]] — one DOCUMENT per
     // doc_id across all phrase terms, absorbing compact's window), then
     // one positions array per (term, doc_id) — map_from_entries would
     // throw DUPLICATED_MAP_KEY on any residue, and max() on array<int>
     // is a deterministic lexicographic pick for the orderless
     // in-batch-duplicate case.
-    val matched = latestVersionOnly(
+    val matched = anchorLatest(spark, path,
       postings.where(col("term").isin(terms.distinct: _*)))
       .groupBy(col("term"), col("doc_id"))
       .agg(max(col("positions")).as("positions"))
@@ -412,8 +574,8 @@ object TextIndex {
     * scan stops being "a handful of row groups" and its rows dominate
     * every query that mentions it — the maintenance signal is WHICH
     * terms, so stopword policy / query planning can react upstream.
-    * Postings first anchor to each doc's LATEST batch and collapse to
-    * ONE tf per (term, doc_id) ([[latestVersionOnly]], the searchTopK
+    * Postings first anchor to each doc's LATEST version and collapse to
+    * ONE tf per (term, doc_id) ([[anchorLatest]], the searchTopK
     * discipline) — identical duplicates from [[compact]]'s
     * promote-then-delete window vanish, and a doc_id re-appended with
     * different text (outside the unique-ids caller contract, but
@@ -437,7 +599,7 @@ object TextIndex {
     import spark.implicits._
     if (batches(spark, path).isEmpty)
       return Seq.empty[(String, Long, Long)].toDF("term", "df", "tokens")
-    latestVersionOnly(
+    anchorLatest(spark, path,
       spark.read.parquet(postingsDir(path))
         // a null doc_id (a caller-contract violation the parquet can
         // still hold) must not form a countable group: count_distinct
@@ -478,9 +640,11 @@ object TextIndex {
     // from postings (the commit marker), so the retry re-picks the SAME
     // label and appendDir would refuse it forever; drop the stale half
     // first (the appendIdempotent self-heal, applied to compaction)
-    val staleStats = new Path(s"${statsDir(path)}/batch=$label")
-    val staleFs = staleStats.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (staleFs.exists(staleStats)) staleFs.delete(staleStats, true)
+    val staleFs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(statsDir(path), versionsDir(path)).foreach { d =>
+      val stale = new Path(s"$d/batch=$label")
+      if (staleFs.exists(stale)) staleFs.delete(stale, true)
+    }
     // fold-aware totals (corpusStats logic restricted to `old`): if a
     // previous compact crashed between promote and delete, a source and
     // the merge that folded it coexist — summing both would double the
@@ -489,35 +653,53 @@ object TextIndex {
     DedupIndex.appendDir(
       Seq((n, d, old)).toDF("n_docs", "sum_dl", "folds").coalesce(1),
       statsDir(path), label)
-    DedupIndex.appendDir(
-      // CANONICALIZE to each doc's latest version while folding: batch
-      // labels are the version order ([[latestVersionOnly]]), and a
-      // merge that kept both versions of a re-appended doc would erase
-      // that order forever — post-compact queries could no longer
-      // degrade coherently. The same filter absorbs the crash window
-      // where a folded-but-undeleted source duplicates its rows against
-      // its own merge (identical content, lower label), which the old
-      // distinct() handled.
-      latestVersionOnly(
-        spark.read.parquet(old.map(b => s"${postingsDir(path)}/batch=$b"): _*))
-        .select("term", "doc_id", "tf", "dl", "positions")
-        .repartitionByRange(col("term"))
-        .sortWithinPartitions("term", "doc_id"),
-      postingsDir(path), label)
+    // CANONICALIZE to each doc's latest version while folding:
+    // [[versionKey]] is the version order, and a merge that kept both
+    // versions of a re-appended doc would erase that order forever —
+    // post-compact queries could no longer degrade coherently. Under a
+    // covering manifest the anchor is the doc's TRUE latest version, so
+    // a doc whose latest append was empty-text (a tombstone) folds to
+    // NOTHING and is physically deleted here. The same filter absorbs
+    // the crash window where a folded-but-undeleted source duplicates
+    // its rows against its own merge (identical content, lower key),
+    // which the old distinct() handled. Compact also re-bases all
+    // surviving content into the numeric namespace — see [[versionKey]].
+    val scope = Caches.newScope()
+    try {
+      val canonical = scope.pin(
+        anchorLatest(spark, path,
+          spark.read.parquet(old.map(b => s"${postingsDir(path)}/batch=$b"): _*))
+          .select("term", "doc_id", "tf", "dl", "positions"))
+      // the merge's manifest = the docs it actually carries; written
+      // BEFORE the postings promote, the append commit order. Tombstoned
+      // docs are absent — their deletion is complete once sources drop.
+      DedupIndex.appendDir(
+        canonical.select("doc_id").distinct()
+          .repartitionByRange(col("doc_id"))
+          .sortWithinPartitions("doc_id"),
+        versionsDir(path), label)
+      DedupIndex.appendDir(
+        canonical
+          .repartitionByRange(col("term"))
+          .sortWithinPartitions("term", "doc_id"),
+        postingsDir(path), label)
+    } finally scope.release()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     old.foreach { b =>
       fs.delete(new Path(s"${statsDir(path)}/batch=$b"), true)
+      fs.delete(new Path(s"${versionsDir(path)}/batch=$b"), true)
       fs.delete(new Path(s"${postingsDir(path)}/batch=$b"), true)
     }
     label
   }
 
-  /** Delete invisible staging residue AND uncommitted stats partitions
-    * (stats without matching postings — a crashed append's half). Safe
-    * while probes are active; not concurrently with an in-flight append.
+  /** Delete invisible staging residue AND uncommitted stats/versions
+    * partitions (halves without matching postings — a crashed append's
+    * residue). Safe while probes are active; not concurrently with an
+    * in-flight append.
     */
   def vacuum(spark: SparkSession, path: String): Unit = {
-    Seq(statsDir(path), postingsDir(path)).foreach { d =>
+    Seq(statsDir(path), versionsDir(path), postingsDir(path)).foreach { d =>
       val root = new Path(d)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(root))
@@ -526,14 +708,16 @@ object TextIndex {
           .foreach(st => fs.delete(st.getPath, true))
     }
     val committed = batches(spark, path).toSet
-    val stRoot = new Path(statsDir(path))
-    val fs = stRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(stRoot))
-      fs.listStatus(stRoot).toSeq
-        .filter { st =>
-          st.isDirectory && st.getPath.getName.startsWith("batch=") &&
-            !committed.contains(st.getPath.getName.stripPrefix("batch="))
-        }
-        .foreach(st => fs.delete(st.getPath, true))
+    Seq(statsDir(path), versionsDir(path)).foreach { d =>
+      val root = new Path(d)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq
+          .filter { st =>
+            st.isDirectory && st.getPath.getName.startsWith("batch=") &&
+              !committed.contains(st.getPath.getName.stripPrefix("batch="))
+          }
+          .foreach(st => fs.delete(st.getPath, true))
+    }
   }
 }

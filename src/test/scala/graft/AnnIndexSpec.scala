@@ -99,6 +99,34 @@ class AnnIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("two writers, one label: the loser refuses loudly, the winner's batch serves intact") {
+    // VERDICT r17 item 5 (the single-writer contract documented at
+    // nextBatchLabel): two manual writers drawing the same label cannot
+    // corrupt — the postings table is the only table an append writes,
+    // and the promote rename refuses an existing batch= dir.
+    val path = tmp()
+    buildSmall(path)
+    val label = AnnIndex.nextBatchLabel(spark, path)
+    AnnIndex.append(
+      Seq((61L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("id", "vec"),
+      "id", "vec", path, label)
+    val e = intercept[java.io.IOException] {
+      AnnIndex.append(
+        Seq((62L, Seq(0.0f, 0.0f, 0.0f, 1.0f))).toDF("id", "vec"),
+        "id", "vec", path, label)
+    }
+    assert(e.getMessage.contains(s"batch=$label"),
+      s"the refusal must name the batch dir: ${e.getMessage}")
+    val served = AnnIndex.crossNeighbors(
+      Seq((71L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+        (72L, Seq(0.0f, 0.0f, 0.0f, 1.0f))).toDF("id", "vec"),
+      "id", "vec", path, threshold = 0.95, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(served == Set((71L, 61L)),
+      s"winner serves, loser never entered: $served")
+    Caches.release()
+  }
+
   test("compact folds batches into one without changing probe answers") {
     val path = tmp()
     buildSmall(path)

