@@ -2053,29 +2053,51 @@ object Queries {
     None)
 
   /** [[graft.operators.DedupIndex.occupancyReport]] — the LSH index's
-    * bucket-skew maintenance report (VERDICT r15 item 4: the
-    * resizeReport symmetry for the dedup index). The index holds the
-    * corpus PLUS exact copies of every 10th doc, so at `maxBucket = 1`
-    * hot buckets exist by construction (identical text → identical
-    * minhash → the copy pair co-occupies all 16 band buckets) and both
-    * the hot and cold aggregation branches run under the gate. Bucket
-    * membership is xxhash64-banded minhash — not ANSI-expressible — so
-    * no DuckDB oracle; DedupIndexSpec pins the report's arithmetic on a
-    * hand corpus (README no-oracle register).
+    * bucket-skew maintenance report (VERDICT r15 item 4; ORACLE-GATED
+    * since r18, VERDICT r17 item 2). The corpus is synthesized so the
+    * REAL machinery (shingle → minhash → banded xxhash64 buckets →
+    * parquet postings → report aggregation) runs end-to-end while the
+    * bucket GROUP STRUCTURE is forced: each doc's text is four tokens
+    * carrying its own doc_id, so shingle sets are DISJOINT across
+    * distinct texts (pairwise Jaccard 0 — a cross-text band collision
+    * needs a full 4-long xxhash64 slice equality on independent
+    * sketches, absent at both gate SFs and deterministic, so a drift
+    * would hash-fail loudly, never flake), and every 10th doc gets an
+    * exact COPY (identical text → identical minhash → the pair
+    * co-occupies all 16 band buckets; at `maxBucket = 1` those are the
+    * hot buckets, so both aggregation branches run under the gate).
+    * Bucket groups therefore equal text groups × 16 bands and the whole
+    * report reduces to pure count arithmetic DuckDB replays exactly.
+    * DedupIndexSpec keeps the hand-corpus pins for the trained organic
+    * shapes.
     */
   val q53eDedupIndexOccupancy: Q = Q(
     "q53e_dedup_index_occupancy",
     (s, dir) => {
-      val base = t(s, dir, "documents").select("doc_id", "text")
-        .where(col("text").isNotNull)
-      val corpus = base.unionByName(
-        base.where(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      def mk(id: Column): Column =
+        concat(lit("a"), id, lit(" b"), id, lit(" c"), id, lit(" d"), id)
+      val base = t(s, dir, "documents").select("doc_id")
+      val corpus = base.select(col("doc_id"), mk(col("doc_id")).as("text"))
+        .unionByName(base.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            mk(col("doc_id")).as("text")))
       val path = java.nio.file.Files.createTempDirectory("graft_dedup_occ").toString
       DedupIndex.build(corpus, "text", "doc_id", path, numPerm = 64, bands = 16)
       DedupIndex.occupancyReport(s, path, maxBucket = 1)
     },
-    None)
+    Some("""
+      WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(COUNT(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS BIGINT) AS c
+        FROM documents)
+      SELECT CAST(16*t AS BIGINT) AS buckets,
+             CAST(16*(t+c) AS BIGINT) AS postings,
+             CAST(16*(t+c) AS DOUBLE) / CAST(16*t AS DOUBLE) AS mean_occupancy,
+             CAST(CASE WHEN c > 0 THEN 2 ELSE 1 END AS BIGINT) AS max_occupancy,
+             CAST(16*c AS BIGINT) AS hot_buckets,
+             CAST(32*c AS BIGINT) AS hot_postings,
+             CAST(32*c AS DOUBLE) / CAST(16*(t+c) AS DOUBLE) AS hot_postings_frac
+      FROM s"""))
 
   /** EXACT ground truth for q53: inverted-index all-pairs Jaccard over
     * corpus ∪ batch, restricted to CROSS pairs (corpus id < 1,000,000 ≤
@@ -2986,34 +3008,85 @@ object Queries {
     Some(annIngestGreedyOracle))
 
   /** [[graft.operators.AnnIndex.occupancyReport]] — the vector index's
-    * cell-skew maintenance report (VERDICT r16 item 2: resizeReport's
-    * mean-cell signal cannot see skew, and skew is IMI's residual
-    * trade). The index holds the corpus PLUS exact copies of every 10th
-    * vector (identical vector → identical cell), built on the two-level
-    * product quantizer (`imiAbove = 1` — the geometry whose skew the
-    * report exists to watch), so at `maxCell = 1` hot cells exist by
-    * construction and both aggregation branches run under the gate.
-    * Cell membership is trained-quantizer assignment — not
-    * ANSI-expressible — so no DuckDB oracle; AnnIndexSpec pins the
-    * report's arithmetic on a hand-built quantizer and its invariance
-    * across the compact window (README no-oracle register).
+    * cell-skew maintenance report (VERDICT r16 item 2; ORACLE-GATED
+    * since r18, VERDICT r17 item 2, via the q33c injectable-INTEGER-
+    * quantizer pattern): the index is [[AnnIndex.initImi]]'d with the
+    * [[Similarity.linearCentroid]] family split into two 32-dim halves
+    * (k₁ = k₂ = 8, the product-grid geometry whose skew the report
+    * exists to watch) over integer-quantized embeddings, so every
+    * half-distance is an exact long and DuckDB rebuilds the CELL
+    * ASSIGNMENT bit-for-bit (ties break on the lower combined cell id,
+    * [[graft.expressions.NearestImiCellsExpr]]'s pinned rule) — the
+    * whole report, not just its arithmetic, is ANSI-replayable. Exact
+    * copies of every 10th vector land in their source's cell; at
+    * `maxCell = 16` both gate SFs hold hot AND cold cells (measured:
+    * occ 1–32 at sf0.01, 7–111 at sf0.1), so both aggregation branches
+    * run under the gate. AnnIndexSpec keeps the hand-built-quantizer
+    * pins and the compact-window invariance.
     */
   val q65jAnnIndexOccupancy: Q = Q(
     "q65j_ann_index_occupancy",
     (s, dir) => {
-      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val base = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + lit(0.5)).cast("float"))
+          .as("embedding"))
       val corpus = base.unionByName(
         base.where(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
       val path = java.nio.file.Files.createTempDirectory("graft_ann_occ").toString
-      AnnIndex.buildAuto(
-        corpus, "vec_id", "embedding", path, targetCellRows = 16L,
-        fullTrainAbove = 8, imiAbove = 1)
+      val imi = graft.operators.Imi.ImiIndex(
+        Array.tabulate(8)(c => Similarity.linearCentroid(c, 64).map(_.toDouble).take(32)),
+        Array.tabulate(8)(c => Similarity.linearCentroid(c, 64).map(_.toDouble).drop(32)))
+      AnnIndex.initImi(s, path, imi)
+      AnnIndex.append(corpus, "vec_id", "embedding", path, "00000001")
       require(AnnIndex.hasImi(s, path),
-        "q65j must report over the product-grid geometry (imiAbove = 1)")
-      AnnIndex.occupancyReport(s, path, maxCell = 1)
+        "q65j must report over the product-grid geometry")
+      AnnIndex.occupancyReport(s, path, maxCell = 16)
     },
-    None)
+    Some("""
+      WITH iv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS iv
+        FROM embeddings),
+      corpus AS (
+        SELECT vec_id AS id, iv FROM iv
+        UNION ALL
+        SELECT vec_id + 1000000 AS id, iv FROM iv WHERE vec_id % 10 = 0),
+      cents AS (
+        SELECT c, list_transform(range(0, 64), i -> (48271 * (c*64 + i) + 11) % 1024 - 512) AS cent
+        FROM range(0, 8) tc(c)),
+      h1 AS (
+        SELECT corpus.id, c.c,
+               CAST(list_dot_product(CAST(corpus.iv[1:32] AS DOUBLE[]), CAST(corpus.iv[1:32] AS DOUBLE[]))
+                  - 2 * list_dot_product(CAST(corpus.iv[1:32] AS DOUBLE[]), CAST(c.cent[1:32] AS DOUBLE[]))
+                  + list_dot_product(CAST(c.cent[1:32] AS DOUBLE[]), CAST(c.cent[1:32] AS DOUBLE[])) AS BIGINT) AS d2
+        FROM corpus CROSS JOIN cents c),
+      h2 AS (
+        SELECT corpus.id, c.c,
+               CAST(list_dot_product(CAST(corpus.iv[33:64] AS DOUBLE[]), CAST(corpus.iv[33:64] AS DOUBLE[]))
+                  - 2 * list_dot_product(CAST(corpus.iv[33:64] AS DOUBLE[]), CAST(c.cent[33:64] AS DOUBLE[]))
+                  + list_dot_product(CAST(c.cent[33:64] AS DOUBLE[]), CAST(c.cent[33:64] AS DOUBLE[])) AS BIGINT) AS d2
+        FROM corpus CROSS JOIN cents c),
+      combo AS (
+        SELECT h1.id, h1.c AS c1, h2.c AS c2, h1.d2 + h2.d2 AS d
+        FROM h1 JOIN h2 ON h1.id = h2.id),
+      asg AS (
+        SELECT id, c1*8 + c2 AS cell
+        FROM (SELECT id, c1, c2, d,
+                     row_number() OVER (PARTITION BY id ORDER BY d, c1*8 + c2) AS rn
+              FROM combo)
+        WHERE rn = 1),
+      occ AS (SELECT cell, CAST(COUNT(DISTINCT id) AS BIGINT) AS occ FROM asg GROUP BY cell)
+      SELECT CAST(COUNT(*) AS BIGINT) AS cells,
+             CAST(SUM(occ) AS BIGINT) AS postings,
+             CAST(SUM(occ) AS DOUBLE) / COUNT(*) AS mean_occupancy,
+             CAST(MAX(occ) AS BIGINT) AS max_occupancy,
+             CAST(COUNT(CASE WHEN occ > 16 THEN 1 END) AS BIGINT) AS hot_cells,
+             CAST(COALESCE(SUM(CASE WHEN occ > 16 THEN occ END), 0) AS BIGINT) AS hot_postings,
+             CAST(COALESCE(SUM(CASE WHEN occ > 16 THEN occ END), 0) AS DOUBLE)
+               / CAST(SUM(occ) AS DOUBLE) AS hot_postings_frac
+      FROM occ"""))
 
   /** [[graft.operators.AnnIndex.buildAuto]] under the driver gate — the
     * corpus-SCALED index geometry the round-15 100× run measured 2.6×
