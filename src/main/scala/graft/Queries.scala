@@ -3248,6 +3248,64 @@ object Queries {
       SELECT vec_id AS corpus_id, vec_id + 1000000 AS batch_id
       FROM embeddings WHERE vec_id % 10 = 0"""))
 
+  /** [[graft.operators.AnnIndex.maintenanceReport]] ACTED ON, end-to-end
+    * (VERDICT r17 item 1, the q139c pattern: the recommendation string
+    * itself is oracle-pinned): the q65j injectable integer IMI quantizer
+    * (64 cells) over the quantized embeddings is NATURALLY skewed —
+    * measured hot(>16)-postings fractions 0.28/0.93 at sf0.01/sf0.1
+    * against a healthy mean (7.8/31.3 ≪ slack × 32) — and every vector
+    * is distinct, so the skew is REDUCIBLE and the deterministic verdict
+    * at these knobs is `rebuild_skew_larger_nlist` at BOTH SFs (a drift
+    * to any other branch hash-fails on the emitted string). The face
+    * then EXECUTES the recommendation — [[AnnIndex.rebuildAuto]] at
+    * `targetCellRows / skewShrink` — and probes the remediated index at
+    * the returned `nprobe = nlist`, where IVF is exact whatever the new
+    * trained geometry: scaled copies of every 10th corpus vector must
+    * pair with exactly their source and negated vectors with nothing
+    * (max organic quantized cosine measured 0.60, far under the 0.99
+    * threshold), so the oracle is pure id arithmetic — the remediation
+    * loses and invents nothing.
+    */
+  val q65lAnnMaintenance: Q = Q(
+    "q65l_ann_maintenance",
+    (s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + lit(0.5)).cast("float"))
+          .as("embedding"))
+      val root = java.nio.file.Files.createTempDirectory("graft_ann_maint").toString
+      val imi = graft.operators.Imi.ImiIndex(
+        Array.tabulate(8)(c => Similarity.linearCentroid(c, 64).map(_.toDouble).take(32)),
+        Array.tabulate(8)(c => Similarity.linearCentroid(c, 64).map(_.toDouble).drop(32)))
+      AnnIndex.initImi(s, s"$root/idx", imi)
+      AnnIndex.append(base, "vec_id", "embedding", s"$root/idx", "00000001")
+      val targetCellRows = 32L
+      val skewShrink = 4L
+      val rep = AnnIndex.maintenanceReport(
+        s, s"$root/idx", targetCellRows = targetCellRows, slack = 2.0,
+        maxCell = 16, hotFracMax = 0.2, skewShrink = skewShrink).head()
+      val rec = rep.getAs[String]("recommended")
+      // execute what the verdict says: the skew rebuild at the finer
+      // geometry the report itself sized
+      val nlist = AnnIndex.rebuildAuto(
+        s, s"$root/idx", s"$root/idx2",
+        targetCellRows = targetCellRows / skewShrink)
+      val copyVec = transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))
+      val negVec = transform(col("embedding"), x => (-x).cast("float"))
+      val batch = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), copyVec.as("embedding"))
+        .unionByName(base.where(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"), negVec.as("embedding")))
+      AnnIndex.crossNeighbors(
+        batch, "vec_id", "embedding", s"$root/idx2", threshold = 0.99, nprobe = nlist)
+        .select(col("corpus_id"), col("batch_id"))
+        .withColumn("recommended", lit(rec))
+    },
+    Some("""
+      SELECT vec_id AS corpus_id, vec_id + 1000000 AS batch_id,
+             'rebuild_skew_larger_nlist' AS recommended
+      FROM embeddings WHERE vec_id % 10 = 0"""))
+
   /** Row-level expectation routing: q61's scorecard says how many rows
     * break each rule; this emits WHICH rows and WHY — the quarantine
     * feed (`Expectations.annotate`, the scan side of `route`). The
@@ -9453,6 +9511,7 @@ object Queries {
     q65AnnIndexDedup, q65bAnnIndexDedupPq, q65cAnnCrossExact, q65dAnnIngest,
     q65eAnnAutoSized, q65fAnnRebuild, q65gAnnImiExact, q65hAnnRebuildIngest,
     q65iAnnImiRebuildIngest, q65jAnnIndexOccupancy, q65kAnnCrossBulk,
+    q65lAnnMaintenance,
     q66ExpectationsRoute, q67FunnelSqlAgg,
     q68PackConcat, q68bPackBins, q69GapFill, q70NgramNovelty, q71ZoneMapSkip,
     q72MixturePlan, q73GopherRules, q74BoilerplateStrip, q75MixtureEpochs,

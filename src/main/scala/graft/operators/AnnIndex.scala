@@ -722,6 +722,102 @@ object AnnIndex {
           .as("hot_postings_frac"))
   }
 
+  /** Maintenance verdict combining BOTH health signals — the mean-cell
+    * growth [[resizeReport]] acts on and the occupancy skew
+    * [[occupancyReport]] measures but (before r18) nothing acted on: an
+    * index whose `hot_postings_frac` is high serves keeper-only answers
+    * on every probe that touches a hot cell, and no rebuild fires
+    * because the mean is healthy (VERDICT r17 item 1). One row with the
+    * evidence and a deterministic `recommended` string:
+    *
+    *  - `healthy` — empty index, or neither signal fires.
+    *  - `rebuild_resize` — [[resizeReport]]'s condition verbatim (mean
+    *    cell > slack × target and the sized nlist differs): run
+    *    [[rebuildAuto]] at `targetCellRows`.
+    *  - `rebuild_skew_larger_nlist` / `rebuild_skew_imi` — the mean is
+    *    healthy but hot cells hold > `hotFracMax` of the postings AND
+    *    the skew is REDUCIBLE (hot cells contain more distinct vectors
+    *    than the cap — a finer quantizer can split them): run
+    *    [[rebuildAuto]] at `targetCellRows / skewShrink`; the `_imi`
+    *    variant tells the operator the finer `skew_nlist` crosses
+    *    `imiAbove`, so the rebuild will land the product-grid quantizer.
+    *  - `flag_irreducible_duplicates` — hot, but the dominant hot mass
+    *    sits in cells whose DISTINCT-vector count is within the cap:
+    *    one repeated vector (or a handful) no geometry can split. The
+    *    remedy is upstream — [[dedupBatch]] at ingest, or a dedup pass —
+    *    and a rebuild would only re-shuffle the duplicates.
+    *
+    * Distinct vectors are counted as distinct `xxhash64(vec)` — an
+    * 8-byte shuffle instead of the raw vectors, with a collision
+    * probability that cannot move a 0.5-fraction dominance test.
+    * Distinct (cell, id) postings everywhere else, so [[compact]]'s
+    * promote-then-delete window cannot double any signal. One narrow
+    * aggregation over (cell, id, vec) + a driver-side one-row verdict;
+    * run on the [[stats]]/[[compact]] cadence. The reducible-skew branch
+    * is oracle-gated end-to-end as q65l (recommendation string pinned,
+    * remediated probe exact under the q65e arithmetic oracle);
+    * AnnIndexSpec pins every branch on hand-built quantizers.
+    */
+  def maintenanceReport(
+      spark: SparkSession,
+      path: String,
+      targetCellRows: Long = 4096L,
+      slack: Double = 2.0,
+      maxCell: Int = 256,
+      hotFracMax: Double = 0.2,
+      minNlist: Int = 16,
+      maxNlist: Int = 1 << 22,
+      imiAbove: Int = 1 << 14,
+      skewShrink: Long = 4L): DataFrame = {
+    require(skewShrink >= 1L, s"skewShrink must be >= 1, got $skewShrink")
+    import spark.implicits._
+    val nlist = coarse(spark, path).nlist
+    def row(
+        n: Long, mean: Double, sized: Int, hotCells: Long, hotFrac: Double,
+        irrFrac: Double, skewNlist: Int, rec: String): DataFrame =
+      Seq((nlist.toLong, n, mean, sized.toLong, hotCells, hotFrac, irrFrac,
+        skewNlist.toLong, rec))
+        .toDF("nlist", "corpus_rows", "mean_cell_rows", "sized_nlist",
+          "hot_cells", "hot_postings_frac", "irreducible_frac",
+          "skew_nlist", "recommended")
+    if (batches(spark, path).isEmpty)
+      return row(0L, 0.0, autoNlist(0L, targetCellRows, minNlist, maxNlist),
+        0L, 0.0, 0.0, autoNlist(0L, math.max(1L, targetCellRows / skewShrink),
+          minNlist, maxNlist), "healthy")
+    val agg = spark.read.parquet(vectorsDir(path))
+      .groupBy("cell")
+      .agg(
+        count_distinct(col("id")).as("occ"),
+        count_distinct(xxhash64(col("vec"))).as("vecs"))
+      .agg(
+        coalesce(sum(col("occ")), lit(0L)).as("postings"),
+        count(when(col("occ") > maxCell, 1)).as("hot_cells"),
+        coalesce(sum(when(col("occ") > maxCell, col("occ"))), lit(0L))
+          .as("hot_postings"),
+        coalesce(sum(when(col("occ") > maxCell && col("vecs") <= maxCell,
+          col("occ"))), lit(0L)).as("irreducible_postings"))
+      .head()
+    val n = agg.getAs[Long]("postings")
+    val hotCells = agg.getAs[Long]("hot_cells")
+    val hot = agg.getAs[Long]("hot_postings")
+    val irr = agg.getAs[Long]("irreducible_postings")
+    val mean = if (nlist == 0) 0.0 else n.toDouble / nlist
+    val sized = autoNlist(n, targetCellRows, minNlist, maxNlist)
+    val skewNlist =
+      autoNlist(n, math.max(1L, targetCellRows / skewShrink), minNlist, maxNlist)
+    val hotFrac = if (n == 0L) 0.0 else hot.toDouble / n
+    val irrFrac = if (hot == 0L) 0.0 else irr.toDouble / hot
+    val rec =
+      if (n == 0L) "healthy"
+      else if (mean > slack * targetCellRows && sized != nlist) "rebuild_resize"
+      else if (hotFrac > hotFracMax) {
+        if (irrFrac > 0.5) "flag_irreducible_duplicates"
+        else if (skewNlist > imiAbove && !hasImi(spark, path)) "rebuild_skew_imi"
+        else "rebuild_skew_larger_nlist"
+      } else "healthy"
+    row(n, mean, sized, hotCells, hotFrac, irrFrac, skewNlist, rec)
+  }
+
   /** One-call retrain-and-rebuild at [[autoNlist]] geometry — the
     * documented rebuild protocol ([[init]] refuses to retrain in place
     * because landed postings carry the OLD cell assignment) packaged as

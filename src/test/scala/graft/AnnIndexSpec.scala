@@ -534,6 +534,85 @@ class AnnIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("maintenanceReport: every branch of the verdict on hand-built quantizers") {
+    def report(path: String, target: Long = 4L, maxCell: Int = 2,
+        hotFracMax: Double = 0.2, imiAbove: Int = 1 << 14) =
+      AnnIndex.maintenanceReport(spark, path, targetCellRows = target,
+        slack = 2.0, maxCell = maxCell, hotFracMax = hotFracMax,
+        imiAbove = imiAbove, skewShrink = 4L).collect()(0)
+    def rec(r: org.apache.spark.sql.Row) = r.getAs[String]("recommended")
+
+    // healthy: balanced occupancy, mean far under slack x target
+    val hPath = tmp()
+    AnnIndex.init(spark, hPath, Similarity.IvfIndex(
+      Array(Array(0.0, 0.0), Array(10.0, 0.0))))
+    AnnIndex.append(Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.1f, 0.0f)),
+      (3L, Seq(10.0f, 0.0f)), (4L, Seq(10.1f, 0.0f)))
+      .toDF("id", "vec"), "id", "vec", hPath, "00000001")
+    val h = report(hPath)
+    assert(rec(h) == "healthy", s"balanced index must be healthy: $h")
+    assert(h.getAs[Double]("hot_postings_frac") == 0.0)
+
+    // rebuild_resize: the mean-cell signal fires first (resizeReport's
+    // condition verbatim) even though hot cells exist too
+    val rPath = tmp()
+    AnnIndex.init(spark, rPath, Similarity.IvfIndex(
+      Array(Array(0.0, 0.0), Array(10.0, 0.0))))
+    AnnIndex.append((1L to 40L).map(i => (i, Seq((i % 2) * 10.0f, i / 100.0f)))
+      .toDF("id", "vec"), "id", "vec", rPath, "00000001")
+    val r = report(rPath, target = 4L) // mean 20 > 2 x 4, sized = 16 (min) != 2
+    assert(rec(r) == "rebuild_resize", s"outgrown mean must fire resize: $r")
+
+    // rebuild_skew_larger_nlist: mean healthy, one hot cell of DISTINCT
+    // vectors (reducible), sized nlist == nlist so resize stays silent
+    val sPath = tmp()
+    AnnIndex.init(spark, sPath, Similarity.IvfIndex(
+      Array(Array(0.0, 0.0), Array(10.0, 0.0), Array(0.0, 10.0), Array(10.0, 10.0))))
+    AnnIndex.append(
+      ((1L to 8L).map(i => (i, Seq(i / 100.0f, 0.0f))) ++ // 8 distinct in cell 0
+        Seq((9L, Seq(10.0f, 0.0f)), (10L, Seq(0.0f, 10.0f)), (11L, Seq(10.0f, 10.0f))))
+        .toDF("id", "vec"), "id", "vec", sPath, "00000001")
+    val sk = report(sPath, target = 4L, maxCell = 4)
+    assert(rec(sk) == "rebuild_skew_larger_nlist",
+      s"reducible hot cell must fire the skew rebuild: $sk")
+    assert(sk.getAs[Double]("irreducible_frac") == 0.0)
+    assert(sk.getAs[Long]("skew_nlist") == 16L) // ceil(11/1) clamped to min 16
+
+    // rebuild_skew_imi: same skew, but the finer skew_nlist crosses the
+    // imiAbove threshold on a FLAT index — the rebuild will land IMI
+    val si = report(sPath, target = 4L, maxCell = 4, imiAbove = 8)
+    assert(rec(si) == "rebuild_skew_imi",
+      s"skew_nlist 16 > imiAbove 8 must name the IMI crossing: $si")
+
+    // flag_irreducible_duplicates: the hot cell is ONE repeated vector
+    // under distinct ids — no geometry can split it, dedup upstream
+    val iPath = tmp()
+    AnnIndex.init(spark, iPath, Similarity.IvfIndex(
+      Array(Array(0.0, 0.0), Array(10.0, 0.0), Array(0.0, 10.0), Array(10.0, 10.0))))
+    AnnIndex.append(
+      ((1L to 8L).map(i => (i, Seq(0.0f, 0.0f))) ++ // one vector, 8 ids
+        Seq((9L, Seq(10.0f, 0.0f)), (10L, Seq(0.0f, 10.0f)), (11L, Seq(10.0f, 10.0f))))
+        .toDF("id", "vec"), "id", "vec", iPath, "00000001")
+    val ir = report(iPath, target = 4L, maxCell = 4)
+    assert(rec(ir) == "flag_irreducible_duplicates",
+      s"a one-vector hot cell must flag duplicates, not rebuild: $ir")
+    assert(ir.getAs[Double]("irreducible_frac") == 1.0)
+
+    // empty index: healthy, zeros
+    val ePath = tmp()
+    AnnIndex.init(spark, ePath, Similarity.IvfIndex(Array(Array(0.0, 0.0))))
+    val e = report(ePath)
+    assert(rec(e) == "healthy" && e.getAs[Long]("corpus_rows") == 0L)
+
+    // compact's promote-then-delete window: doubled postings move nothing
+    AnnIndex.append((1L to 8L).map(i => (i, Seq(0.0f, 0.0f))).toDF("id", "vec"),
+      "id", "vec", iPath, "00000002")
+    val ir2 = report(iPath, target = 4L, maxCell = 4)
+    assert(ir2 == ir, "doubled postings must be invisible (distinct ids per cell)")
+    Caches.release()
+  }
+
   test("occupancyReport on an empty index: zeros, right schema") {
     val path = tmp()
     AnnIndex.init(spark, path, Similarity.IvfIndex(Array(Array(0.0, 0.0))))
