@@ -48,6 +48,7 @@ object Bench {
       "ann" -> ((s, d) => Queries.buildAnnPqIndex(s, d)),
       "annauto" -> ((s, d) => Queries.buildAnnPqAutoIndex(s, d)),
       "annimi" -> ((s, d) => Queries.buildAnnPqImiIndex(s, d)),
+      "annbulk" -> ((s, d) => Queries.buildAnnBulkIndex(s, d)),
       "dsir" -> ((s, d) => Queries.buildDsirModels(s, d)))
     val standingIdx = scala.collection.mutable.Map.empty[(String, String), String]
     def idxFor(kind: String, dir: String): String =
@@ -56,6 +57,7 @@ object Bench {
     def annIdxFor(dir: String): String = idxFor("ann", dir)
     def annAutoIdxFor(dir: String): String = idxFor("annauto", dir)
     def annImiIdxFor(dir: String): String = idxFor("annimi", dir)
+    def annBulkIdxFor(dir: String): String = idxFor("annbulk", dir)
     def modelsFor(dir: String): String = idxFor("dsir", dir)
     // Build-entry scratch indexes are deleted AFTER each timing sample
     // (cleanup excluded from build time): 3 cold + 3 warm passes per SF
@@ -105,6 +107,15 @@ object Bench {
           dropScratch _),
         E("q65b_imi_probe", (s, d) => noopWrite(Queries.annPqAutoProbe(s, d, annImiIdxFor(d))),
           frame = Some((s, d) => Queries.annPqAutoProbe(s, d, annImiIdxFor(d)))),
+        // round 18 (VERDICT r17 item 4): the q65k-shaped BULK serving
+        // pair — the probes side SHUFFLES by cell instead of
+        // broadcasting, the shape that removes the batch-size broadcast
+        // ceiling. Standing next to the broadcast-shape probes above so
+        // the shuffle shape gets the same cross-round min_cold audit.
+        E("q65k_bulk_build", (s, d) => { scratch += Queries.buildAnnBulkIndex(s, d); () },
+          dropScratch _),
+        E("q65k_bulk_probe", (s, d) => noopWrite(Queries.annBulkProbe(s, d, annBulkIdxFor(d))),
+          frame = Some((s, d) => Queries.annBulkProbe(s, d, annBulkIdxFor(d)))),
         E("q106_build", (s, d) => { scratch += Queries.buildDsirModels(s, d); () },
           dropScratch _),
         E("q106_probe", (s, d) => noopWrite(Queries.dsirScore(s, d, modelsFor(d))),

@@ -63,6 +63,7 @@ object BenchProbe {
       "q65b_probe" -> (("ann", (s, d) => Queries.buildAnnPqIndex(s, d))),
       "q65b_auto_probe" -> (("annauto", (s, d) => Queries.buildAnnPqAutoIndex(s, d))),
       "q65b_imi_probe" -> (("annimi", (s, d) => Queries.buildAnnPqImiIndex(s, d))),
+      "q65k_bulk_probe" -> (("annbulk", (s, d) => Queries.buildAnnBulkIndex(s, d))),
       "q106_probe" -> (("dsir", (s, d) => Queries.buildDsirModels(s, d))))
     def standingFor(entry: String, s: SparkSession, d: String): String = {
       val (kind, build) = indexBuilders.getOrElse(entry, sys.error(
@@ -74,6 +75,7 @@ object BenchProbe {
       "q65b_probe" -> ((s, d) => Queries.annPqProbe(s, d, standingFor("q65b_probe", s, d))),
       "q65b_auto_probe" -> ((s, d) => Queries.annPqAutoProbe(s, d, standingFor("q65b_auto_probe", s, d))),
       "q65b_imi_probe" -> ((s, d) => Queries.annPqAutoProbe(s, d, standingFor("q65b_imi_probe", s, d))),
+      "q65k_bulk_probe" -> ((s, d) => Queries.annBulkProbe(s, d, standingFor("q65k_bulk_probe", s, d))),
       "q106_probe" -> ((s, d) => Queries.dsirScore(s, d, standingFor("q106_probe", s, d))),
       "q123_media_near_dup" -> ((s, d) => Queries.mediaNearDupFull(s, d)))
     // invoked UNTIMED against the real sfDir before the pass loop, so pass 1
@@ -91,6 +93,7 @@ object BenchProbe {
       "q65b_build" -> ((s, d) => Queries.buildAnnPqIndex(s, d)),
       "q65b_auto_build" -> ((s, d) => Queries.buildAnnPqAutoIndex(s, d)),
       "q65b_imi_build" -> ((s, d) => Queries.buildAnnPqImiIndex(s, d)),
+      "q65k_bulk_build" -> ((s, d) => Queries.buildAnnBulkIndex(s, d)),
       "q106_build" -> ((s, d) => Queries.buildDsirModels(s, d)))
 
     val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =

@@ -2755,6 +2755,37 @@ object Queries {
     * assignment/probe constant factor gets its own round-over-round
     * guard next to the flat-auto baseline.
     */
+  /** Bench helper (q65k's standing-index shape): flat auto-geometry
+    * index over the raw embeddings — the index the BULK probe serves
+    * from. Kept PQ-less so the bulk entry isolates the shuffle shape,
+    * not the screen.
+    */
+  private[graft] def buildAnnBulkIndex(s: SparkSession, dir: String): String = {
+    val corpus = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_bulk_index").toString
+    AnnIndex.buildAuto(corpus, "vec_id", "embedding", path,
+      targetCellRows = 16L, fullTrainAbove = 64)
+    path
+  }
+
+  /** Bench helper (VERDICT r17 item 4): the q65k-shaped BULK probe — the
+    * whole corpus re-probed as ONE batch of scaled copies through
+    * [[AnnIndex.crossNeighborsBulk]], whose probes side shuffles by cell
+    * instead of broadcasting (the shape that removes the
+    * batch × nprobe × query-vector broadcast ceiling). A standing bench
+    * entry so the shuffle shape gets the same cross-round `min_cold`
+    * audit as the broadcast shape next to it.
+    */
+  private[graft] def annBulkProbe(s: SparkSession, dir: String, path: String): DataFrame =
+    AnnIndex.crossNeighborsBulk(
+      t(s, dir, "embeddings").select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))
+          .as("embedding")),
+      "vec_id", "embedding", path,
+      threshold = 0.99, probe = AnnIndex.Probe.Cells(4), maxCell = Int.MaxValue)
+      .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
+
   private[graft] def buildAnnPqImiIndex(s: SparkSession, dir: String): String = {
     val corpus = t(s, dir, "embeddings").select("vec_id", "embedding")
     val path = java.nio.file.Files.createTempDirectory("graft_ann_pq_imi_index").toString

@@ -994,6 +994,46 @@ object AnnIndex {
     crossNeighborsImpl(batchDf, idCol, vecCol, path, threshold, probe, maxCell,
       broadcastProbes = false)
 
+  /** Probe-time staleness guard (VERDICT r17 item 7): the r16 100×
+    * ladder measured a 724 s probe against a grossly outgrown geometry —
+    * the cost of ignoring [[resizeReport]], visible only on the stats
+    * cadence. The probe itself holds a cheap in-band signal: the mean
+    * occupancy of the cells it ACTUALLY probed (rows / distinct cells of
+    * the pinned probed-postings table — a narrow re-read of a cache the
+    * join pass reads anyway). When that mean exceeds
+    * `slack × targetCellRows`, [[crossNeighbors]] logs ONE loud warning
+    * for the probe, so the maintenance loop's economics surface where
+    * the pain is paid. Knobs are module-wide (a diagnostics parameter on
+    * every serving face would churn a dozen signatures); `onWarn` is the
+    * spec hook and defaults to the slf4j warn. Disable on latency-
+    * critical serving paths with `enabled = false` — the check forces
+    * the probes-side pin one aggregate early, never changes an answer.
+    */
+  private[graft] object staleGuard {
+    @volatile var enabled: Boolean = true
+    @volatile var targetCellRows: Long = 4096L
+    @volatile var slack: Double = 8.0
+    @volatile var onWarn: String => Unit =
+      msg => org.slf4j.LoggerFactory.getLogger("graft.AnnIndex").warn(msg)
+
+    private[operators] def check(path: String, matched: DataFrame): Unit = {
+      if (!enabled) return
+      val r = matched.agg(
+        count(lit(1)).as("rows"),
+        count_distinct(col("cell")).as("cells")).head()
+      val rows = r.getAs[Long]("rows")
+      val cells = r.getAs[Long]("cells")
+      val mean = if (cells == 0L) 0.0 else rows.toDouble / cells
+      if (mean > slack * targetCellRows)
+        onWarn(
+          f"graft ANN probe against outgrown index $path: mean probed-cell " +
+            f"occupancy $mean%.0f exceeds $slack%.1f x target $targetCellRows " +
+            f"rows ($rows postings / $cells probed cells) — run " +
+            "AnnIndex.maintenanceReport and rebuild; every probe is paying " +
+            "for the stale geometry")
+    }
+  }
+
   private def crossNeighborsImpl(
       batchDf: DataFrame,
       idCol: String,
@@ -1031,6 +1071,7 @@ object AnnIndex {
         .select(col("cell"), col("id").as("corpus_id"), col("vec"))
         .distinct())
 
+    staleGuard.check(path, matched)
     val occ = Blocking.withOccupancy(matched, Seq("cell"))
     val cold = occ.where(col("__occ") <= maxCell)
       .select(col("cell"), col("corpus_id"), col("vec"))
@@ -1179,6 +1220,7 @@ object AnnIndex {
     val approxDot =
       if (scoreWithLut) pqLutDot(cb, col("code"), col("__lut"))
       else pqAdcDot(cb, col("code"), col("__qvec"))
+    staleGuard.check(path, codes)
     val occ = Blocking.withOccupancy(codes, Seq("cell"))
     val screened = occ.where(col("__occ") <= maxCell)
       .join(probesSide(probes), Seq("cell"))

@@ -613,6 +613,44 @@ class AnnIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("staleGuard: probing outgrown geometry warns loudly once per probe; healthy stays silent") {
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    val oldWarn = AnnIndex.staleGuard.onWarn
+    val oldTarget = AnnIndex.staleGuard.targetCellRows
+    val oldSlack = AnnIndex.staleGuard.slack
+    try {
+      AnnIndex.staleGuard.onWarn = msg => warnings.synchronized { warnings += msg }
+      AnnIndex.staleGuard.targetCellRows = 2L
+      AnnIndex.staleGuard.slack = 2.0
+      // outgrown: a 1-cell quantizer holding 10 postings — every probe
+      // reads mean 10 rows per probed cell, over 2.0 x 2 target
+      val path = tmp()
+      AnnIndex.init(spark, path, Similarity.IvfIndex(Array(Array(0.0, 0.0))))
+      AnnIndex.append(
+        (1L to 10L).map(i => (i, Seq(i.toFloat, 1.0f))).toDF("id", "vec"),
+        "id", "vec", path, "00000001")
+      val probe = Seq((100L, Seq(1.0f, 1.0f))).toDF("id", "vec")
+      AnnIndex.crossNeighbors(probe, "id", "vec", path, threshold = 0.999, nprobe = 1)
+        .count()
+      assert(warnings.size == 1,
+        s"outgrown probe must warn exactly once, got $warnings")
+      assert(warnings.head.contains(path) &&
+        warnings.head.contains("maintenanceReport"),
+        s"the warning must name the index and the remedy: ${warnings.head}")
+      // healthy: same index under a realistic target — silent
+      warnings.clear()
+      AnnIndex.staleGuard.targetCellRows = 4096L
+      AnnIndex.crossNeighbors(probe, "id", "vec", path, threshold = 0.999, nprobe = 1)
+        .count()
+      assert(warnings.isEmpty, s"healthy probe must stay silent, got $warnings")
+    } finally {
+      AnnIndex.staleGuard.onWarn = oldWarn
+      AnnIndex.staleGuard.targetCellRows = oldTarget
+      AnnIndex.staleGuard.slack = oldSlack
+    }
+    Caches.release()
+  }
+
   test("occupancyReport on an empty index: zeros, right schema") {
     val path = tmp()
     AnnIndex.init(spark, path, Similarity.IvfIndex(Array(Array(0.0, 0.0))))
