@@ -2099,6 +2099,62 @@ object Queries {
              CAST(32*c AS DOUBLE) / CAST(16*(t+c) AS DOUBLE) AS hot_postings_frac
       FROM s"""))
 
+  /** [[graft.operators.DedupIndex.maintenanceReport]] ACTED ON
+    * (r18, the [[AnnIndex.maintenanceReport]] symmetry in the q139c
+    * pattern): on the q53e forced-structure corpus the hot buckets are
+    * EXACTLY the planted exact-copy pairs — one sketch per hot bucket,
+    * irreducible by construction — so the deterministic verdict is
+    * `flag_irreducible_duplicates` at both SFs. The face then EXECUTES
+    * the recommendation ([[Dedup.exactDedup]] + rebuild at a fresh
+    * path) and re-reports: the remediated index must come back
+    * `healthy` with zero hot buckets and exactly the deduped posting
+    * count. Every emitted number is the q53e count arithmetic, so the
+    * whole before/after story — strings AND evidence — is one DuckDB
+    * oracle.
+    */
+  val q53fDedupMaintenance: Q = Q(
+    "q53f_dedup_maintenance",
+    (s, dir) => {
+      def mk(id: Column): Column =
+        concat(lit("a"), id, lit(" b"), id, lit(" c"), id, lit(" d"), id)
+      val base = t(s, dir, "documents").select("doc_id")
+      val corpus = base.select(col("doc_id"), mk(col("doc_id")).as("text"))
+        .unionByName(base.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            mk(col("doc_id")).as("text")))
+      val root = java.nio.file.Files.createTempDirectory("graft_dedup_maint").toString
+      DedupIndex.build(corpus, "text", "doc_id", s"$root/idx", numPerm = 64, bands = 16)
+      val before = DedupIndex.maintenanceReport(
+        s, s"$root/idx", maxBucket = 1, hotFracMax = 0.1).head()
+      // execute the verdict: dedup upstream, rebuild at a fresh path
+      DedupIndex.build(Dedup.exactDedup(corpus, "text", "doc_id"),
+        "text", "doc_id", s"$root/idx2", numPerm = 64, bands = 16)
+      val after = DedupIndex.maintenanceReport(
+        s, s"$root/idx2", maxBucket = 1, hotFracMax = 0.1).head()
+      import s.implicits._
+      Seq((
+        before.getAs[String]("recommended"),
+        before.getAs[Long]("postings"),
+        before.getAs[Long]("hot_buckets"),
+        after.getAs[String]("recommended"),
+        after.getAs[Long]("postings"),
+        after.getAs[Long]("hot_buckets")))
+        .toDF("rec_before", "postings_before", "hot_buckets_before",
+          "rec_after", "postings_after", "hot_buckets_after")
+    },
+    Some("""
+      WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(COUNT(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS BIGINT) AS c
+        FROM documents)
+      SELECT 'flag_irreducible_duplicates' AS rec_before,
+             CAST(16*(t+c) AS BIGINT) AS postings_before,
+             CAST(16*c AS BIGINT) AS hot_buckets_before,
+             'healthy' AS rec_after,
+             CAST(16*t AS BIGINT) AS postings_after,
+             CAST(0 AS BIGINT) AS hot_buckets_after
+      FROM s"""))
+
   /** EXACT ground truth for q53: inverted-index all-pairs Jaccard over
     * corpus ∪ batch, restricted to CROSS pairs (corpus id < 1,000,000 ≤
     * batch id) — recall = 1 by construction, no hashing, DuckDB
@@ -9534,6 +9590,7 @@ object Queries {
     q49ApproxHeavyHitters, q50ProfileSketch, q50cProfileExact,
     q51TfidfTopTerms, q51cTfidfRatioExact, q52Bm25, q52cBm25Exact,
     q53IndexDedup, q53cCrossJaccardExact, q53dNearDupIngest, q53eDedupIndexOccupancy,
+    q53fDedupMaintenance,
     q54Decontaminate, q55ChunkDocs,
     q56SnapshotDiff, q57EntityMatch, q58Outliers, q59IncrementalAgg,
     q60StratifiedSample, q60cStratifiedSampleSystematic, q61Expectations,

@@ -310,6 +310,97 @@ object DedupIndex {
           .as("hot_postings_frac"))
   }
 
+  /** Maintenance verdict for the LSH index — the [[AnnIndex
+    * .maintenanceReport]] symmetry: [[occupancyReport]] measures
+    * bucket skew, this ACTS on it with a deterministic `recommended`
+    * string. Hot buckets (occupancy > `maxBucket`, the [[crossPairs]]
+    * cap) split by CAUSE, judged on the stored sketches:
+    *
+    *  - `flag_irreducible_duplicates` — the dominant hot mass sits in
+    *    buckets whose DISTINCT-sketch count is within the cap: identical
+    *    sketches co-bucket under EVERY banding (identical text ⇒
+    *    identical minhash), so no geometry change helps — dedup
+    *    upstream ([[dedupBatch]] at ingest, or [[Dedup.exactDedup]] +
+    *    rebuild, the q53f remediation).
+    *  - `rebuild_stricter_bands` — hot buckets hold many DISTINCT
+    *    sketches colliding on one band slice (boilerplate corpora):
+    *    stricter banding (fewer bands ⇒ more rows per band at the same
+    *    `numPerm`) splits them; geometry is fixed at [[init]], so the
+    *    remedy is a rebuild at the stricter [[Params]].
+    *  - `healthy` — empty index, or hot postings ≤ `hotFracMax` of all.
+    *
+    * Cost: the occupancy aggregate [[occupancyReport]] runs, plus ONE
+    * sketch-distinct count restricted to hot-bucket members (hot-sized,
+    * not corpus-sized — the hot bucket set broadcasts as a handful of
+    * (band, bucket) ints); sketches are compared as `xxhash64(sh)` — an
+    * 8-byte shuffle that cannot move a 0.5-dominance test. Distinct ids
+    * per bucket throughout, so [[compact]]'s promote-then-delete window
+    * moves nothing. Run on the [[stats]]/[[compact]] cadence. The
+    * irreducible branch is oracle-gated end-to-end as q53f (string
+    * pinned, remediation re-reported healthy); DedupIndexSpec pins the
+    * reband branch on injected colliding tables.
+    */
+  def maintenanceReport(
+      spark: SparkSession,
+      path: String,
+      maxBucket: Int = 256,
+      hotFracMax: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val p = params(spark, path)
+    def row(buckets: Long, postings: Long, hotBuckets: Long, hotFrac: Double,
+        irrFrac: Double, rec: String): DataFrame =
+      Seq((p.bands.toLong, buckets, postings,
+        if (buckets == 0L) 0.0 else postings.toDouble / buckets,
+        hotBuckets, hotFrac, irrFrac, rec))
+        .toDF("bands", "buckets", "postings", "mean_occupancy",
+          "hot_buckets", "hot_postings_frac", "irreducible_frac", "recommended")
+    if (!hasBatches(spark, path))
+      return row(0L, 0L, 0L, 0.0, 0.0, "healthy")
+    val scope = Caches.newScope()
+    try {
+      val occ = scope.pin(
+        spark.read.parquet(bandsDir(path))
+          .groupBy("band", "bucket")
+          .agg(count_distinct(col("id")).as("occ")))
+      val totals = occ.agg(
+        count(lit(1)).as("buckets"),
+        coalesce(sum(col("occ")), lit(0L)).as("postings"),
+        count(when(col("occ") > maxBucket, 1)).as("hot_buckets"),
+        coalesce(sum(when(col("occ") > maxBucket, col("occ"))), lit(0L))
+          .as("hot_postings")).head()
+      val buckets = totals.getAs[Long]("buckets")
+      val postings = totals.getAs[Long]("postings")
+      val hotBuckets = totals.getAs[Long]("hot_buckets")
+      val hotPostings = totals.getAs[Long]("hot_postings")
+      val hotFrac = if (postings == 0L) 0.0 else hotPostings.toDouble / postings
+      val irr =
+        if (hotBuckets == 0L) 0L
+        else {
+          val hotKeys = occ.where(col("occ") > maxBucket).select("band", "bucket")
+          spark.read.parquet(bandsDir(path))
+            .join(broadcast(hotKeys), Seq("band", "bucket"), "left_semi")
+            .select("band", "bucket", "id").distinct()
+            .join(spark.read.parquet(sketchesDir(path))
+              .select(col("id"), xxhash64(col("sh")).as("__shh")).distinct(),
+              Seq("id"))
+            .groupBy("band", "bucket")
+            .agg(count_distinct(col("id")).as("occ"),
+              count_distinct(col("__shh")).as("sketches"))
+            .agg(coalesce(sum(when(col("sketches") <= maxBucket, col("occ"))),
+              lit(0L)).as("irr"))
+            .head().getAs[Long]("irr")
+        }
+      val irrFrac = if (hotPostings == 0L) 0.0 else irr.toDouble / hotPostings
+      val rec =
+        if (postings == 0L) "healthy"
+        else if (hotFrac > hotFracMax) {
+          if (irrFrac > 0.5) "flag_irreducible_duplicates"
+          else "rebuild_stricter_bands"
+        } else "healthy"
+      row(buckets, postings, hotBuckets, hotFrac, irrFrac, rec)
+    } finally scope.release()
+  }
+
   /** Coalesce every current batch into ONE new batch partition and drop
     * the sources. A per-micro-batch ingestion loop accretes thousands of
     * small `batch=` directories; file listing and row-group overhead

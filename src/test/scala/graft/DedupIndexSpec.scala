@@ -278,6 +278,67 @@ class DedupIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("maintenanceReport: every branch of the verdict, reducibility judged on sketches") {
+    def report(path: String, maxBucket: Int = 2, hotFracMax: Double = 0.2) =
+      DedupIndex.maintenanceReport(spark, path, maxBucket, hotFracMax).collect()(0)
+    def rec(r: org.apache.spark.sql.Row) = r.getAs[String]("recommended")
+
+    // healthy: the real pipeline over distinct docs, nothing hot
+    val hPath = tmp()
+    DedupIndex.build(corpus, "text", "id", hPath, numPerm = 64, bands = 16)
+    val h = report(hPath)
+    assert(rec(h) == "healthy", s"distinct corpus must be healthy: $h")
+
+    // flag_irreducible_duplicates: the real pipeline, exact copies — the
+    // hot buckets hold ONE distinct sketch each, no banding can split
+    val iPath = tmp()
+    DedupIndex.build(
+      corpus.unionByName(corpus.select((col("id") + 100L).as("id"), col("text"))),
+      "text", "id", iPath, numPerm = 64, bands = 16)
+    val ir = report(iPath, maxBucket = 1, hotFracMax = 0.1)
+    assert(rec(ir) == "flag_irreducible_duplicates",
+      s"copy pairs must flag duplicates: $ir")
+    assert(ir.getAs[Double]("irreducible_frac") == 1.0)
+
+    // rebuild_stricter_bands: INJECTED band collision of five DISTINCT
+    // sketches (the boilerplate shape — a one-band-slice collision real
+    // hashing makes hard to stage deterministically): stricter banding
+    // can split what identical sketches cannot.
+    val bPath = tmp()
+    DedupIndex.init(spark, bPath, DedupIndex.Params(numPerm = 8, bands = 2, shingleK = 3))
+    DedupIndex.appendDir(
+      (1L to 5L).map(i => (i, Seq(i, i + 10L))).toDF("id", "sh"),
+      s"$bPath/sketches", "00000001")
+    DedupIndex.appendDir(
+      ((1L to 5L).map(i => (0, 99L, i)) ++ Seq((1, 1L, 1L), (1, 2L, 2L)))
+        .toDF("band", "bucket", "id"),
+      s"$bPath/bands", "00000001")
+    val rb = report(bPath, maxBucket = 2, hotFracMax = 0.2)
+    assert(rec(rb) == "rebuild_stricter_bands",
+      s"distinct sketches colliding in one band must recommend rebanding: $rb")
+    assert(rb.getAs[Double]("irreducible_frac") == 0.0)
+    assert(rb.getAs[Long]("hot_buckets") == 1L)
+
+    // empty index: healthy, zeros
+    val ePath = tmp()
+    DedupIndex.init(spark, ePath, DedupIndex.Params(64, 16, 3))
+    val e = report(ePath)
+    assert(rec(e) == "healthy" && e.getAs[Long]("postings") == 0L)
+
+    // compact's promote-then-delete window: doubled postings move nothing
+    // (distinct ids per bucket, distinct (id, sh) on the sketch side)
+    DedupIndex.appendDir(
+      (1L to 5L).map(i => (i, Seq(i, i + 10L))).toDF("id", "sh"),
+      s"$bPath/sketches", "00000002")
+    DedupIndex.appendDir(
+      ((1L to 5L).map(i => (0, 99L, i)) ++ Seq((1, 1L, 1L), (1, 2L, 2L)))
+        .toDF("band", "bucket", "id"),
+      s"$bPath/bands", "00000002")
+    val rb2 = report(bPath, maxBucket = 2, hotFracMax = 0.2)
+    assert(rb2 == rb, "doubled postings must be invisible to the verdict")
+    Caches.release()
+  }
+
   test("occupancyReport and hotBuckets on an empty index: zeros, empty, right schemas") {
     val path = tmp()
     DedupIndex.init(spark, path, DedupIndex.Params(64, 16, 3))
