@@ -1001,23 +1001,41 @@ object AnnIndex {
     * occupancy of the cells it ACTUALLY probed (rows / distinct cells of
     * the pinned probed-postings table — a narrow re-read of a cache the
     * join pass reads anyway). When that mean exceeds
-    * `slack × targetCellRows`, [[crossNeighbors]] logs ONE loud warning
-    * for the probe, so the maintenance loop's economics surface where
-    * the pain is paid. Knobs are module-wide (a diagnostics parameter on
+    * `slack × targetCellRows`, the probe logs ONE loud warning naming
+    * the remedy, so the maintenance loop's economics surface where the
+    * pain is paid. The check memoizes per index path
+    * ([[checkIntervalNanos]]): staleness changes on append/compact
+    * timescales, so a serving loop pays the aggregate once per interval,
+    * not per call. Knobs are module-wide (a diagnostics parameter on
     * every serving face would churn a dozen signatures); `onWarn` is the
-    * spec hook and defaults to the slf4j warn. Disable on latency-
-    * critical serving paths with `enabled = false` — the check forces
-    * the probes-side pin one aggregate early, never changes an answer.
+    * spec hook and defaults to the slf4j warn. Disable entirely with
+    * `enabled = false` — the check forces the probes-side pin one
+    * aggregate early, never changes an answer.
     */
   private[graft] object staleGuard {
     @volatile var enabled: Boolean = true
     @volatile var targetCellRows: Long = 4096L
     @volatile var slack: Double = 8.0
+    /** Re-check cadence per index path. Geometry staleness changes on
+      * append/compact timescales, not per probe, so a serving loop pays
+      * the check's aggregate once per interval instead of per call
+      * (measured ~0.2–0.4 s fixed cost per probe at sf0.1 — ~zero after
+      * memoization). 0 forces every probe (the spec setting). Rebuilds
+      * land at fresh paths, so the memo never caches a stale verdict
+      * across a geometry change.
+      */
+    @volatile var checkIntervalNanos: Long = 300L * 1000 * 1000 * 1000
     @volatile var onWarn: String => Unit =
       msg => org.slf4j.LoggerFactory.getLogger("graft.AnnIndex").warn(msg)
+    private val lastChecked =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
     private[operators] def check(path: String, matched: DataFrame): Unit = {
       if (!enabled) return
+      val now = System.nanoTime()
+      val last = lastChecked.get(path)
+      if (last != null && now - last < checkIntervalNanos) return
+      lastChecked.put(path, now)
       val r = matched.agg(
         count(lit(1)).as("rows"),
         count_distinct(col("cell")).as("cells")).head()

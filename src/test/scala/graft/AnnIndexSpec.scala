@@ -618,10 +618,12 @@ class AnnIndexSpec extends AnyFunSuite {
     val oldWarn = AnnIndex.staleGuard.onWarn
     val oldTarget = AnnIndex.staleGuard.targetCellRows
     val oldSlack = AnnIndex.staleGuard.slack
+    val oldInterval = AnnIndex.staleGuard.checkIntervalNanos
     try {
       AnnIndex.staleGuard.onWarn = msg => warnings.synchronized { warnings += msg }
       AnnIndex.staleGuard.targetCellRows = 2L
       AnnIndex.staleGuard.slack = 2.0
+      AnnIndex.staleGuard.checkIntervalNanos = 0L // force every probe
       // outgrown: a 1-cell quantizer holding 10 postings — every probe
       // reads mean 10 rows per probed cell, over 2.0 x 2 target
       val path = tmp()
@@ -647,6 +649,7 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.staleGuard.onWarn = oldWarn
       AnnIndex.staleGuard.targetCellRows = oldTarget
       AnnIndex.staleGuard.slack = oldSlack
+      AnnIndex.staleGuard.checkIntervalNanos = oldInterval
     }
     Caches.release()
   }
