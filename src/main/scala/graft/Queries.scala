@@ -4978,6 +4978,60 @@ object Queries {
               FROM u GROUP BY term)
       SELECT term, df, tokens FROM agg ORDER BY df DESC, term LIMIT 20"""))
 
+  /** [[graft.operators.TextIndex.maintenanceReport]] ACTED ON (r18 —
+    * completing the maintenance-verdict triad with q65l/q53f in the
+    * q139c pattern): texts are synthesized so every even doc carries the
+    * token `common` (df = half the corpus, far over `hotDfFrac`) and
+    * every other token is doc-unique, and the corpus lands as THREE
+    * micro-batches. With `maxBatches = 2` the first verdict is
+    * `compact_microbatches` — the face EXECUTES it ([[TextIndex
+    * .compact]]) and re-reports: batch accretion fixed, the verdict
+    * falls through to the df-skew signal `review_stopword_policy`, whose
+    * evidence (top term, df, df/N) is pure count arithmetic DuckDB
+    * replays. Strings and counts, before and after, in one oracle.
+    */
+  val q84fTextMaintenance: Q = Q(
+    "q84f_text_maintenance",
+    (s, dir) => {
+      def mk(id: Column): Column =
+        when(id % 2 === 0,
+          concat(lit("common a"), id, lit(" b"), id, lit(" c"), id))
+          .otherwise(concat(lit("a"), id, lit(" b"), id, lit(" c"), id, lit(" d"), id))
+      val corpus = t(s, dir, "documents").select(col("doc_id"), mk(col("doc_id")).as("text"))
+      val path = java.nio.file.Files.createTempDirectory("graft_text_maint").toString
+      graft.operators.TextIndex.build(corpus.where(col("doc_id") % 3 === 0),
+        "doc_id", "text", path)
+      graft.operators.TextIndex.append(corpus.where(col("doc_id") % 3 === 1),
+        "doc_id", "text", path, "00000002")
+      graft.operators.TextIndex.append(corpus.where(col("doc_id") % 3 === 2),
+        "doc_id", "text", path, "00000003")
+      val before = graft.operators.TextIndex.maintenanceReport(
+        s, path, maxBatches = 2, hotDfFrac = 0.25).head()
+      graft.operators.TextIndex.compact(s, path)
+      val after = graft.operators.TextIndex.maintenanceReport(
+        s, path, maxBatches = 2, hotDfFrac = 0.25).head()
+      import s.implicits._
+      Seq((
+        before.getAs[String]("recommended"), before.getAs[Long]("batches"),
+        after.getAs[String]("recommended"), after.getAs[Long]("batches"),
+        after.getAs[String]("top_term"), after.getAs[Long]("top_df"),
+        after.getAs[Double]("top_df_frac")))
+        .toDF("rec_before", "batches_before", "rec_after", "batches_after",
+          "top_term", "top_df", "top_df_frac")
+    },
+    Some("""
+      WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT) AS e
+        FROM documents)
+      SELECT 'compact_microbatches' AS rec_before,
+             CAST(3 AS BIGINT) AS batches_before,
+             'review_stopword_policy' AS rec_after,
+             CAST(1 AS BIGINT) AS batches_after,
+             'common' AS top_term, e AS top_df,
+             CAST(e AS DOUBLE) / CAST(n AS DOUBLE) AS top_df_frac
+      FROM s"""))
+
   /** Hybrid retrieval: keyword (BM25 over the persisted inverted index)
     * and vector (exact-int cosine top-k) runs fused by reciprocal-rank
     * fusion ([[graft.operators.Ranking.rrfFuse]]) — the production shape
@@ -9609,7 +9663,7 @@ object Queries {
     q83BpePairs, q83bBpeMerges, q83cBpeEncode, q83dBpeEncodeFast, q83eBpeVocabulary,
     q83fBpeBytePairs, q83gBpeByteMerges, q83hBpeByteEncode,
     q84TextIndexSearch, q84bTextIndexCompacted, q84cTextIndexSearchAll, q84dTextIngest,
-    q84eTextIndexDf,
+    q84eTextIndexDf, q84fTextMaintenance,
     q85RandomProjection, q85bProjectionXxhash,
     q86PerplexityBuckets, q86bPerplexityBucketsSketch, q87SpanDedup,
     q88WeightedSample,

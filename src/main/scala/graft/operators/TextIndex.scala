@@ -622,6 +622,57 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Maintenance verdict for the inverted index — completing the triad
+    * with [[AnnIndex.maintenanceReport]] and [[DedupIndex
+    * .maintenanceReport]]: one row folding the text index's two health
+    * signals into a deterministic `recommended` string.
+    *
+    *  - `compact_microbatches` — committed batches exceed `maxBatches`:
+    *    a per-micro-batch ingest accretes `batch=` partitions whose file
+    *    listing and cross-batch range-cluster overlap eventually dominate
+    *    the IN-filtered probe scan; [[compact]] is the remedy and fires
+    *    FIRST (cheap, restores clustering, and re-judging the df signal
+    *    after it is free).
+    *  - `review_stopword_policy` — the hottest term's document frequency
+    *    exceeds `hotDfFrac` of the corpus: its postings range is hot for
+    *    every query that mentions it ([[dfReport]]'s skew, now acted on)
+    *    — the remedy is upstream (stopword policy / query planning),
+    *    not index surgery, exactly like the irreducible branches of the
+    *    other two verdicts.
+    *  - `healthy` — empty index, or neither signal fires.
+    *
+    * Evidence rides the row: batch count, corpus docs, the top term with
+    * its df and df/N fraction (from [[dfReport]] k = 1 — the anchored,
+    * oracle-gated machinery, so a re-appended doc counts as exactly the
+    * version search serves). Driver-thin: a directory listing, the
+    * O(batches) stats read, and one dfReport aggregate. Run on the
+    * [[stats]]/[[compact]] cadence. Oracle-gated end-to-end as q84f
+    * (strings AND counts, the q139c pattern, with the compact verdict
+    * EXECUTED in-face); TextIndexSpec pins the healthy branch.
+    */
+  def maintenanceReport(
+      spark: SparkSession,
+      path: String,
+      maxBatches: Int = 64,
+      hotDfFrac: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    val b = batches(spark, path)
+    val (n, _) = corpusStats(spark, path)
+    val top = if (n == 0L) None
+      else dfReport(spark, path, k = 1).collect().headOption
+    val topTerm = top.map(_.getAs[String]("term")).getOrElse("")
+    val topDf = top.map(_.getAs[Long]("df")).getOrElse(0L)
+    val topFrac = if (n == 0L) 0.0 else topDf.toDouble / n
+    val rec =
+      if (n == 0L) "healthy"
+      else if (b.size > maxBatches) "compact_microbatches"
+      else if (topFrac > hotDfFrac) "review_stopword_policy"
+      else "healthy"
+    Seq((b.size.toLong, n, topTerm, topDf, topFrac, rec))
+      .toDF("batches", "n_docs", "top_term", "top_df", "top_df_frac",
+        "recommended")
+  }
+
   /** Fold every committed batch into ONE re-clustered batch and drop the
     * sources. Same contracts as [[DedupIndex.compact]]: probe-safe in
     * the overlap window (hence searchTopK's `distinct()`), not

@@ -513,6 +513,40 @@ class TextIndexSpec extends AnyFunSuite {
       s"the manifest anchor must not sort-merge (corpus-doc shuffle):\n$plan")
   }
 
+  test("maintenanceReport: healthy / compact-first / stopword branches, evidence exact") {
+    val path = tmp()
+    TextIndex.build(Seq(
+      (1L, "hot x1"), (2L, "hot x2"), (3L, "hot x3"), (4L, "y4 z4"))
+      .toDF("doc_id", "text"), "doc_id", "text", path)
+    def report(maxBatches: Int, hotDfFrac: Double) =
+      TextIndex.maintenanceReport(spark, path, maxBatches, hotDfFrac).collect()(0)
+    // healthy: one batch, top term under the threshold
+    val h = report(maxBatches = 2, hotDfFrac = 0.8)
+    assert(h.getAs[String]("recommended") == "healthy", s"$h")
+    assert(h.getAs[String]("top_term") == "hot" && h.getAs[Long]("top_df") == 3L)
+    assert(h.getAs[Double]("top_df_frac") == 0.75)
+    // stopword: same index, tighter df threshold
+    assert(report(2, 0.5).getAs[String]("recommended") == "review_stopword_policy")
+    // compact fires FIRST once batches accrete past the cap
+    TextIndex.append(Seq((5L, "y5 z5")).toDF("doc_id", "text"), "doc_id", "text", path, "00000002")
+    TextIndex.append(Seq((6L, "y6 z6")).toDF("doc_id", "text"), "doc_id", "text", path, "00000003")
+    val c = report(maxBatches = 2, hotDfFrac = 0.2)
+    assert(c.getAs[String]("recommended") == "compact_microbatches", s"$c")
+    assert(c.getAs[Long]("batches") == 3L && c.getAs[Long]("n_docs") == 6L)
+    // executing the verdict clears it; the next signal surfaces
+    TextIndex.compact(spark, path)
+    val after = report(maxBatches = 2, hotDfFrac = 0.2)
+    assert(after.getAs[String]("recommended") == "review_stopword_policy", s"$after")
+    assert(after.getAs[Long]("batches") == 1L)
+    assert(after.getAs[Long]("top_df") == 3L && after.getAs[Double]("top_df_frac") == 0.5)
+    assert(report(2, 0.8).getAs[String]("recommended") == "healthy")
+    // empty index: healthy, zeros
+    val ePath = tmp()
+    TextIndex.init(spark, ePath)
+    val e = TextIndex.maintenanceReport(spark, ePath).collect()(0)
+    assert(e.getAs[String]("recommended") == "healthy" && e.getAs[Long]("n_docs") == 0L)
+  }
+
   test("two writers, one label: the second append fails loudly and the index is unchanged") {
     // VERDICT r17 item 5: nextBatchLabel is read-max-then-increment, so
     // a bulk backfill beside another writer can allocate the same label.
