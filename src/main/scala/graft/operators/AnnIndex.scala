@@ -1356,6 +1356,7 @@ object AnnIndex {
         .select(col("cell"), col("id").as("corpus_id"), col("code"), col("norm"))
         .join(broadcast(probedCells), Seq("cell"), "left_semi")
         .distinct())
+    staleGuard.check(path, codes)
     val occ = Blocking.withOccupancy(codes, Seq("cell"))
     val screenCands = occ.where(col("__occ") <= maxCell)
       .join(probesSide(probes), Seq("cell"))

@@ -397,7 +397,11 @@ object TextIndex {
     val latest = spark.read.parquet(versionsDir(path))
       .select(col("doc_id"), versionKey(col("batch")).as("__lkey"))
       .where(col("__lkey").isin(committedKeys: _*))
-      .join(m.select("doc_id").distinct(), Seq("doc_id"))
+      // candidates from the RAW matched frame, not the __vkey-annotated
+      // one — column pruning then drops the _metadata virtual fields
+      // from this scan branch (they cost row-index generation, not IO,
+      // but the candidate side needs only doc_id)
+      .join(matched.select("doc_id").distinct(), Seq("doc_id"))
       .groupBy("doc_id")
       .agg(max(col("__lkey")).as("__lkey"))
     m.join(latest, Seq("doc_id"))
