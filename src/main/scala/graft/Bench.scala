@@ -214,9 +214,26 @@ object Bench {
           ",\"rows\":" + sumKnown(scans.map(_.rowsOutput)) + "}"
       }
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_.cold)},""" +
-      s""""total_warm":$totalWarm,"queries_warm":${json(_.warm)},""" +
-      s""""queries_cold_passes":$passesJson,"scan_io":$scanIoJson,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_.cold)},""" +
+        s""""total_warm":$totalWarm,"queries_warm":${json(_.warm)},""" +
+        s""""queries_cold_passes":$passesJson,"scan_io":$scanIoJson,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The driver's BENCH_r{N}.json records only a ~2,000-char tail of
+    // stdout; the per-pass arrays that adjudicate noise-vs-regression
+    // (this container's documented ±50% floor) were truncated away in
+    // r18 and the headline read as a 1.85x phantom regression until two
+    // independent re-runs said otherwise. Land the FULL artifact at a
+    // stable path (committed per round as the repo's own record), so the
+    // recorded number always carries its error bar (VERDICT r18 item 5).
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(benchOut),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case ex: Throwable =>
+        System.err.println(s"[bench] could not write $benchOut: ${ex.getMessage}")
+    }
     // The recorded BENCH_r{N}.json keeps only the LAST ~2,000 chars of
     // stdout, which truncated the full line above to its tail half —
     // cross-round per-entry audits then leaned on BENCH_NOTES prose for

@@ -1027,15 +1027,14 @@ object AnnIndex {
     @volatile var checkIntervalNanos: Long = 300L * 1000 * 1000 * 1000
     @volatile var onWarn: String => Unit =
       msg => org.slf4j.LoggerFactory.getLogger("graft.AnnIndex").warn(msg)
-    private val lastChecked =
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    // LRU-capped (r18 ADVICE): a serving JVM that cycles index paths
+    // (rebuilds land at fresh paths by design) must not grow this map
+    // for its whole life
+    private[operators] val lastChecked = new GuardMemo(1024)
 
     private[operators] def check(path: String, matched: DataFrame): Unit = {
       if (!enabled) return
-      val now = System.nanoTime()
-      val last = lastChecked.get(path)
-      if (last != null && now - last < checkIntervalNanos) return
-      lastChecked.put(path, now)
+      if (!lastChecked.shouldCheck(path, checkIntervalNanos)) return
       val r = matched.agg(
         count(lit(1)).as("rows"),
         count_distinct(col("cell")).as("cells")).head()

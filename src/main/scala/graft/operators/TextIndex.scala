@@ -99,12 +99,21 @@ object TextIndex {
     *  - unrecognized labels (caller-chosen free-form strings) rank above
     *    both, ordered lexicographically among themselves — a caller that
     *    names batches manually owns their order.
+    *
+    * Numeric namespaces admit at most 18 digits (r18 ADVICE): a 19-digit
+    * label can exceed Long.MaxValue, where `cast('long')` NULLs the key
+    * (batch rows silently vanish from serving — or throw under ANSI
+    * mode) while the driver-side twin [[versionKeyStr]] throws
+    * NumberFormatException — the twins would diverge. Any label of 19+
+    * digits (with or without the `s` prefix) is treated as free-form in
+    * BOTH implementations instead; every 18-digit value fits a Long, so
+    * inside the recognized namespaces the cast can never overflow.
     */
   private[operators] def versionKey(label: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val l = label.cast("string")
-    when(l.rlike("^[0-9]{1,19}$"),
+    when(l.rlike("^[0-9]{1,18}$"),
       concat(lit("0"), lpad(l.cast("long").cast("string"), 19, "0")))
-      .when(l.rlike("^s[0-9]{1,19}$"),
+      .when(l.rlike("^s[0-9]{1,18}$"),
         concat(lit("1"),
           lpad(regexp_replace(l, "^s", "").cast("long").cast("string"), 19, "0")))
       .otherwise(concat(lit("2"), l))
@@ -172,9 +181,23 @@ object TextIndex {
       idCol: String,
       textCol: String,
       path: String,
-      batch: String): Unit = {
+      batch: String,
+      allowFreeFormLabel: Boolean = false): Unit = {
     require(batch.nonEmpty && !batch.contains('/') && !batch.startsWith("."),
       s"invalid batch label '$batch'")
+    // Label-shape gate (VERDICT r18 item 7): [[versionKey]] ranks
+    // free-form labels ABOVE both managed namespaces, so one stray label
+    // (a UUID, a date string, a 19+-digit overflow) permanently
+    // supersedes every future numeric AND streaming append for its docs
+    // until a compact re-bases. That is a deliberate escape hatch, not a
+    // default: refuse the foot-gun loudly unless the caller opts in.
+    require(allowFreeFormLabel ||
+      batch.matches("^[0-9]{1,18}$") || batch.matches("^s[0-9]{1,18}$"),
+      s"free-form batch label '$batch': unrecognized label shapes rank above " +
+        "both managed namespaces (numeric and s-prefixed) under the version " +
+        "order, permanently superseding every future managed append for these " +
+        "docs until compact — pass allowFreeFormLabel = true only if that " +
+        "supersession is intended")
     val spark = docs.sparkSession
     tokenizer(spark, path) // existence check, fails loudly
     import spark.implicits._
@@ -236,15 +259,35 @@ object TextIndex {
           .toDF("n_docs", "sum_dl", "folds").coalesce(1),
         statsDir(path), batch)
       // the per-batch doc manifest ([[versionsDir]]): which doc_ids this
-      // batch VERSIONS — from the input frame, not the staged postings,
-      // so a doc re-appended with empty text still registers a (postings
-      // -free) newer version and serves as a tombstone until [[compact]]
-      // drops it physically. One extra narrow pass over the input's id
-      // column; lands BEFORE the postings promote so the commit marker
-      // still covers everything (stats/versions without postings = the
+      // batch VERSIONS — the STAGED postings' ids unioned with the input
+      // frame's ids. The staged side makes the manifest a superset of the
+      // committed postings BY CONSTRUCTION (r18 ADVICE: deriving it from
+      // a second evaluation of a nondeterministic input could miss a doc
+      // that HAS postings, and [[anchorToManifest]]'s inner join would
+      // then silently drop it from serving); the input side keeps the
+      // tombstone contract — a doc re-appended with empty text registers
+      // a (postings-free) newer version and serves as deleted until
+      // [[compact]] drops it physically. For a deterministic input (the
+      // documented [[appendIdempotent]] contract) the union IS the input
+      // id set; for a nondeterministic one the postings side can no
+      // longer diverge from serving — the residual risk shrinks to
+      // spurious tombstones for docs empty in one evaluation only. Cost:
+      // one narrow re-read of the staged files + the input's id column;
+      // lands BEFORE the postings promote so the commit marker still
+      // covers everything (stats/versions without postings = the
       // crashed-append window [[appendIdempotent]] clears).
+      // explicit schema on the staged read: an all-empty-text batch
+      // stages ZERO postings rows (possibly no part files at all), and
+      // schema inference over that directory would throw
+      val stagedIds = spark.read
+        .schema(org.apache.spark.sql.types.StructType(
+          docs.select(col(idCol).as("doc_id")).schema.fields.toSeq
+            .map(_.copy(nullable = true))))
+        .parquet(staging.toString)
+        .select("doc_id")
       DedupIndex.appendDir(
         docs.select(col(idCol).as("doc_id")).where(col("doc_id").isNotNull)
+          .unionByName(stagedIds)
           .distinct()
           .repartitionByRange(col("doc_id"))
           .sortWithinPartitions("doc_id"),
@@ -278,7 +321,8 @@ object TextIndex {
       idCol: String,
       textCol: String,
       path: String,
-      batch: String): Unit = {
+      batch: String,
+      allowFreeFormLabel: Boolean = false): Unit = {
     val spark = docs.sparkSession
     if (batches(spark, path).contains(batch)) return
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -286,7 +330,7 @@ object TextIndex {
       val stale = new Path(s"$d/batch=$batch")
       if (fs.exists(stale)) fs.delete(stale, true)
     }
-    append(docs, idCol, textCol, path, batch)
+    append(docs, idCol, textCol, path, batch, allowFreeFormLabel)
   }
 
   /** Postings restricted to each doc's LATEST batch *within the frame
@@ -332,10 +376,13 @@ object TextIndex {
       .drop("__vkey", "__maxk")
   }
 
-  /** Driver-side twin of [[versionKey]] — same key, same namespaces. */
+  /** Driver-side twin of [[versionKey]] — same key, same namespaces,
+    * same 18-digit numeric bound (overflowing labels are free-form in
+    * both twins, never a NumberFormatException here vs a NULL there).
+    */
   private[operators] def versionKeyStr(label: String): String =
-    if (label.matches("^[0-9]{1,19}$")) "0" + "%019d".format(label.toLong)
-    else if (label.matches("^s[0-9]{1,19}$"))
+    if (label.matches("^[0-9]{1,18}$")) "0" + "%019d".format(label.toLong)
+    else if (label.matches("^s[0-9]{1,18}$"))
       "1" + "%019d".format(label.stripPrefix("s").toLong)
     else "2" + label
 
@@ -356,6 +403,50 @@ object TextIndex {
       .map(_.getPath.getName.stripPrefix("batch="))
       .toSet
     batches(spark, path).forall(have.contains)
+  }
+
+  /** Write the missing `versions/` doc manifests for an index built
+    * before the manifest landed (VERDICT r18 item 2): one narrow
+    * doc_id pass per uncovered batch — derived from that batch's OWN
+    * postings, no postings rewrite — after which [[manifestCovers]]
+    * holds and every serving face routes through [[anchorToManifest]]'s
+    * exact version anchor instead of the frame-scoped
+    * [[latestVersionOnly]] fallback (whose stale-only residual serves a
+    * re-appended doc's newest MATCHING version when its true latest
+    * version matches no query term). Without this, a legacy index pays
+    * the fallback until a full [[compact]] rewrites everything.
+    *
+    * What backfill canNOT recover: postings-free versions. A pre-manifest
+    * append never recorded which docs it versioned with EMPTY text, so an
+    * empty-text re-append from that era left no trace a backfill could
+    * find — such a doc serves its newest postings-bearing version,
+    * exactly what the pre-manifest index already served. New appends record
+    * their tombstones in the manifest as usual. Idempotent: covered
+    * batches are skipped, so a crashed backfill re-runs to completion;
+    * returns the labels it backfilled. Safe against concurrent probes
+    * (each manifest partition lands by atomic rename, and serving checks
+    * coverage per query); not against a concurrent append/compact — the
+    * single-maintenance-writer contract of [[compact]].
+    */
+  def backfillManifest(spark: SparkSession, path: String): Seq[String] = {
+    val vroot = new Path(versionsDir(path))
+    val fs = vroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val have: Set[String] =
+      if (!fs.exists(vroot)) Set.empty
+      else fs.listStatus(vroot).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch="))
+        .toSet
+    val missing = batches(spark, path).filterNot(have.contains)
+    missing.foreach { b =>
+      DedupIndex.appendDir(
+        spark.read.parquet(s"${postingsDir(path)}/batch=$b")
+          .select("doc_id").where(col("doc_id").isNotNull).distinct()
+          .repartitionByRange(col("doc_id"))
+          .sortWithinPartitions("doc_id"),
+        versionsDir(path), b)
+    }
+    missing
   }
 
   /** Postings restricted to each doc's TRUE latest version, via the
@@ -382,6 +473,15 @@ object TextIndex {
     * merge's canonical content, so answers hold (the same transient
     * file-not-found retry contract as every reader under compaction).
     */
+  /** Candidate cap for [[anchorToManifest]]'s literal IN pushdown: at or
+    * under it the candidate doc_ids collect to the driver and prune the
+    * manifest scan as a pushed filter; above it (a boilerplate-hot term
+    * matching millions of docs) the anchor falls back to the join shape,
+    * whose cost the huge candidate set dominates anyway. 10⁴ ids ≈ 80 KB
+    * on the driver — bounded however hot the term.
+    */
+  @volatile private[graft] var manifestProbeMaxCandidates: Int = 10000
+
   private def anchorToManifest(
       spark: SparkSession,
       path: String,
@@ -394,14 +494,35 @@ object TextIndex {
     // filter compares version KEYS, not raw labels, because partition
     // -type inference strips zero padding on all-numeric label sets.
     val committedKeys = batches(spark, path).map(versionKeyStr)
-    val latest = spark.read.parquet(versionsDir(path))
+    val scan = spark.read.parquet(versionsDir(path))
+    // Candidate-prune the manifest scan (VERDICT r18 item 1): unpruned,
+    // every query paid a full corpus-docs-sized pass over versions/ —
+    // narrow, but at billions of docs a real per-query tax. The
+    // candidate doc_id set (already candidate-sized after the callers'
+    // term IN-filter) is collected — the two-action shape the probe IO
+    // audits use — and pushed into the scan as a literal IN: parquet
+    // pushes it exactly below the In threshold and as a min/max range
+    // above it, and [[append]] range-clusters versions/ by doc_id, so
+    // non-candidate files skip on footer stats instead of being read
+    // (scanReport-asserted in TextIndexSpec). The collect costs one
+    // extra candidate-sized job — the join shape evaluated the same
+    // subframe inside the query anyway (no pin, two scans either way).
+    // Over [[manifestProbeMaxCandidates]], fall back to the join shape.
+    val cand = matched.select("doc_id").distinct()
+      .limit(manifestProbeMaxCandidates + 1).collect().map(_.get(0))
+    val base =
+      if (cand.isEmpty) scan.where(lit(false))
+      else if (cand.length <= manifestProbeMaxCandidates)
+        scan.where(col("doc_id").isin(cand: _*))
+      else
+        // candidates from the RAW matched frame, not the __vkey-annotated
+        // one — column pruning then drops the _metadata virtual fields
+        // from this scan branch (they cost row-index generation, not IO,
+        // but the candidate side needs only doc_id)
+        scan.join(matched.select("doc_id").distinct(), Seq("doc_id"))
+    val latest = base
       .select(col("doc_id"), versionKey(col("batch")).as("__lkey"))
       .where(col("__lkey").isin(committedKeys: _*))
-      // candidates from the RAW matched frame, not the __vkey-annotated
-      // one — column pruning then drops the _metadata virtual fields
-      // from this scan branch (they cost row-index generation, not IO,
-      // but the candidate side needs only doc_id)
-      .join(matched.select("doc_id").distinct(), Seq("doc_id"))
       .groupBy("doc_id")
       .agg(max(col("__lkey")).as("__lkey"))
     m.join(latest, Seq("doc_id"))
@@ -700,14 +821,6 @@ object TextIndex {
       val stale = new Path(s"$d/batch=$label")
       if (staleFs.exists(stale)) staleFs.delete(stale, true)
     }
-    // fold-aware totals (corpusStats logic restricted to `old`): if a
-    // previous compact crashed between promote and delete, a source and
-    // the merge that folded it coexist — summing both would double the
-    // merged stats forever
-    val (n, d) = corpusStats(spark, path)
-    DedupIndex.appendDir(
-      Seq((n, d, old)).toDF("n_docs", "sum_dl", "folds").coalesce(1),
-      statsDir(path), label)
     // CANONICALIZE to each doc's latest version while folding:
     // [[versionKey]] is the version order, and a merge that kept both
     // versions of a re-appended doc would erase that order forever —
@@ -725,6 +838,29 @@ object TextIndex {
         anchorLatest(spark, path,
           spark.read.parquet(old.map(b => s"${postingsDir(path)}/batch=$b"): _*))
           .select("term", "doc_id", "tf", "dl", "positions"))
+      // The merge's stats are RECOMPUTED from the canonical frame, not
+      // summed from the sources' stats (r18 ADVICE): source sums count a
+      // re-appended doc once per version and a tombstoned doc forever,
+      // so BM25's N and avgdl would drift from a rebuilt index after
+      // every compact that folds either. Here N = the docs the merge
+      // actually carries and Σdl their anchored versions' lengths —
+      // post-compact stats now equal a fresh build of the surviving
+      // content, bit-for-bit. One dl per doc via max(): dl is constant
+      // across a version's terms, and max deterministically degrades the
+      // orderless in-batch-duplicate residue the serving collapse also
+      // degrades. A doc that only ever held empty text has no postings
+      // and drops from N too — exactly how the manifest already serves
+      // it (as deleted). The aggregate is one action on the pinned frame
+      // the merge rewrites anyway; commit order is unchanged (stats,
+      // then manifest, then the postings promote).
+      val stRow = canonical
+        .groupBy("doc_id").agg(max(col("dl")).as("__dl"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("__dl")), lit(0L)).as("d")).head()
+      DedupIndex.appendDir(
+        Seq((stRow.getAs[Long]("n"), stRow.getAs[Long]("d"), old))
+          .toDF("n_docs", "sum_dl", "folds").coalesce(1),
+        statsDir(path), label)
       // the merge's manifest = the docs it actually carries; written
       // BEFORE the postings promote, the append commit order. Tombstoned
       // docs are absent — their deletion is complete once sources drop.

@@ -37,6 +37,22 @@ class NoOracleRegisterSpec extends AnyFunSuite {
         s"or query renamed — drop/rename the row): ${stale.toSeq.sorted.mkString(", ")}")
   }
 
+  test("register prose count matches the table (VERDICT r18 item 6)") {
+    // the table is machine-pinned against the gate above; the PROSE
+    // ("exactly these N catalog queries") drifted once (38 vs 36 in r18)
+    // because only a human read it — pin it to the same source of truth
+    val readme = scala.io.Source.fromFile("README.md", "UTF-8")
+    val lines = try readme.getLines().toVector finally readme.close()
+    val start = lines.indexWhere(_.startsWith("## No-oracle register"))
+    val prose = lines.drop(start + 1).takeWhile(!_.startsWith("## "))
+      .find(_.contains("exactly these"))
+    assert(prose.isDefined, "register prose must state the exact count")
+    val counted = "exactly these (\\d+)".r.findFirstMatchIn(prose.get).map(_.group(1).toInt)
+    assert(counted.contains(registerRows.size),
+      s"register prose says 'exactly these ${counted.getOrElse(-1)}' but the table " +
+        s"has ${registerRows.size} rows — update the prose")
+  }
+
   test("every oracle key corresponds to a catalog query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty,

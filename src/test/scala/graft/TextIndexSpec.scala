@@ -38,6 +38,16 @@ class TextIndexSpec extends AnyFunSuite {
     Ranking.bm25ExactRational(docs, "doc_id", "text", query)
       .limit(k).as[(Long, Double)].collect().toSeq
 
+  // the from-scratch scorer over the corpus a COMPACTED index physically
+  // holds: doc 6's only version is empty text — postings-free, served as
+  // deleted — and compact completes that deletion (postings, manifest AND
+  // stats, the r18 ADVICE recompute), so post-compact N excludes it
+  // exactly like a fresh build of the surviving docs would
+  private def directLive(k: Int = 10) =
+    Ranking.bm25ExactRational(
+      docs.where(length(trim(col("text"))) > 0), "doc_id", "text", query)
+      .limit(k).as[(Long, Double)].collect().toSeq
+
   test("single-batch index search equals the from-scratch exact scorer, bit for bit") {
     val path = tmp()
     TextIndex.build(docs, "doc_id", "text", path)
@@ -61,10 +71,18 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndex.append(docs.where(col("doc_id") > 2 && col("doc_id") <= 4), "doc_id", "text", path, "00000002")
     TextIndex.append(docs.where(col("doc_id") > 4), "doc_id", "text", path, "00000003")
     val before = search(path)
+    assert(before === direct())
     val label = TextIndex.compact(spark, path)
     assert(TextIndex.batches(spark, path) === Seq(label))
-    assert(search(path) === before)
-    assert(search(path) === direct())
+    // compact completes doc 6's deletion (its only version holds no
+    // postings): N drops with the physical purge — the post-compact
+    // index equals a FRESH BUILD of the surviving content, which is the
+    // stats contract that keeps N/avgdl from drifting (r18 ADVICE).
+    // Every surviving doc keeps its rank; only the N-dependent score
+    // scale shifts, exactly as the from-scratch scorer says it should.
+    assert(search(path) === directLive())
+    assert(search(path).map(_._1) === before.map(_._1),
+      "compaction must not reorder surviving docs")
   }
 
   test("compact promote-then-delete window: stats never double, search stays exact") {
@@ -87,11 +105,14 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.corpusStats(spark, path) === ((n0, d0)),
       "folded sources must not double corpus totals")
     assert(search(path) === want, "search must be exact in the overlap window")
-    // the NEXT compact folds the crashed state cleanly
+    // the NEXT compact folds the crashed state cleanly — and RECOMPUTES
+    // stats from the canonical frame (r18 ADVICE): doc 6's postings-free
+    // version is purged, so N drops by one (its dl was 0, Σdl holds) —
+    // the merged index now equals a fresh build of the surviving docs
     val label = TextIndex.compact(spark, path)
     assert(TextIndex.batches(spark, path) === Seq(label))
-    assert(TextIndex.corpusStats(spark, path) === ((n0, d0)))
-    assert(search(path) === want)
+    assert(TextIndex.corpusStats(spark, path) === ((n0 - 1, d0)))
+    assert(search(path) === directLive())
   }
 
   test("compact retries through its own stats-then-postings crash window") {
@@ -108,7 +129,8 @@ class TextIndexSpec extends AnyFunSuite {
     val label = TextIndex.compact(spark, path)
     assert(label === "00000003")
     assert(TextIndex.batches(spark, path) === Seq(label))
-    assert(search(path) === direct(), "retried compact must serve exact results")
+    assert(search(path) === directLive(),
+      "retried compact must serve exact results (doc 6's deletion completed)")
   }
 
   test("appending an existing batch label fails; the index is unchanged") {
@@ -438,6 +460,45 @@ class TextIndexSpec extends AnyFunSuite {
       s"compact must write the merge's doc manifest, got $vdirs")
   }
 
+  test("backfillManifest upgrades a pre-manifest index: coverage, exact stale-only close") {
+    // VERDICT r18 item 2: a legacy index (postings batches with no
+    // versions/ twin) rode the frame-scoped fallback — stale-only
+    // residual included — until a full compact rewrote everything.
+    // Backfill derives each missing manifest from that batch's OWN
+    // postings: one narrow pass per batch, no postings rewrite.
+    val path = tmp()
+    TextIndex.build(Seq(
+      (1L, "apple banana cherry"),
+      (2L, "banana date")).toDF("doc_id", "text"), "doc_id", "text", path)
+    TextIndex.append(Seq((1L, "banana banana fig")).toDF("doc_id", "text"),
+      "doc_id", "text", path, "00000002")
+    // simulate the pre-manifest layout
+    val vpath = new org.apache.hadoop.fs.Path(s"$path/versions")
+    val vfs = vpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    vfs.delete(vpath, true)
+    def served(terms: String*): Seq[(Long, Double)] =
+      TextIndex.searchTopK(spark, path, terms, 10).as[(Long, Double)].collect().toSeq
+    assert(served("apple").nonEmpty,
+      "under the fallback the stale-only query serves the newest MATCHING version")
+    val done = TextIndex.backfillManifest(spark, path)
+    assert(done.toSet == Set("00000001", "00000002"),
+      s"backfill must cover exactly the uncovered batches, got $done")
+    // covered now: the stale-only case serves what post-compact would —
+    // nothing (doc 1's true latest version holds no 'apple')
+    assert(served("apple").isEmpty,
+      "after backfill the manifest anchors doc 1 to its latest version exactly")
+    assert(served("banana").map(_._1).contains(1L),
+      "live terms still serve the anchored latest version")
+    // idempotent: a re-run (crashed-backfill retry) backfills nothing
+    assert(TextIndex.backfillManifest(spark, path).isEmpty)
+    // a subsequent append records its manifest as usual and coverage holds
+    TextIndex.append(Seq((3L, "grape")).toDF("doc_id", "text"),
+      "doc_id", "text", path, "00000003")
+    assert(TextIndex.searchTopK(spark, path, Seq("grape"), 10).count() === 1L)
+    assert(TextIndex.backfillManifest(spark, path).isEmpty,
+      "appends since the manifest landed carry their own versions/ twin")
+  }
+
   test("version order is namespace-aware: value within, s-labels outrank numeric (pinned rule)") {
     // the r17 ADVICE finding: plain lexicographic label order broke
     // across the two label namespaces ('s' > '9') and within the numeric
@@ -472,6 +533,43 @@ class TextIndexSpec extends AnyFunSuite {
       s"compact must keep the namespace-rule winner, kept $kept")
   }
 
+  test("19-digit labels overflow Long and fall to the free-form namespace in BOTH twins") {
+    // the r18 ADVICE finding: `^[0-9]{1,19}$` admitted labels past
+    // Long.MaxValue, where the column twin's cast('long') NULLed the key
+    // (rows silently vanish from serving) while the driver twin threw
+    // NumberFormatException. Both now treat 19+ digits as free-form —
+    // ranked ABOVE the managed namespaces, consistently.
+    val path = tmp()
+    TextIndex.build(Seq((1L, "echo")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    TextIndex.append(Seq((1L, "foxtrot")).toDF("doc_id", "text"),
+      "doc_id", "text", path, "s00000007")
+    // 19 nines > Long.MaxValue (~9.22e18): free-form, outranks even the
+    // s namespace — and neither twin NULLs nor throws on it. Free-form
+    // labels are REFUSED by default (VERDICT r18 item 7: one stray label
+    // permanently supersedes every managed append) — the opt-in names
+    // the supersession
+    val refused = intercept[IllegalArgumentException] {
+      TextIndex.append(Seq((1L, "golf")).toDF("doc_id", "text"),
+        "doc_id", "text", path, "9999999999999999999")
+    }
+    assert(refused.getMessage.contains("free-form"),
+      s"the refusal must name the hazard: ${refused.getMessage}")
+    TextIndex.append(Seq((1L, "golf")).toDF("doc_id", "text"),
+      "doc_id", "text", path, "9999999999999999999", allowFreeFormLabel = true)
+    assert(TextIndex.searchTopK(spark, path, Seq("golf"), 10).count() === 1L,
+      "an overflowing label must serve (as free-form), not vanish via a NULLed key")
+    assert(TextIndex.searchTopK(spark, path, Seq("foxtrot"), 10).collect().isEmpty,
+      "free-form ranks above the s namespace by the pinned rule")
+    // the driver-side twin agrees: committedKeys (versionKeyStr) filtered
+    // the manifest without throwing, and serving stayed coherent through
+    // compact, which re-bases into the numeric namespace
+    TextIndex.compact(spark, path)
+    val kept = spark.read.parquet(s"$path/postings")
+      .select("term").as[String].collect().toSet
+    assert(kept == Set("golf"), s"compact must keep the free-form winner, kept $kept")
+  }
+
   test("empty-text re-append is a tombstone: served as deleted, compact drops the doc") {
     val path = tmp()
     TextIndex.build(Seq(
@@ -497,6 +595,89 @@ class TextIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/versions")
       .where(col("doc_id") === 1L).count() === 0L,
       "a tombstoned doc must leave the manifest at compact")
+    // ... and the STATS too (r18 ADVICE): the merge's stats are
+    // recomputed from the canonical frame, not summed from sources, so
+    // the tombstoned doc stops inflating N and Σdl — post-compact stats
+    // equal a fresh build of the surviving content, and BM25's N/avgdl
+    // no longer drift from a rebuilt index
+    val fresh = tmp()
+    TextIndex.build(Seq((2L, "kiwi lime")).toDF("doc_id", "text"),
+      "doc_id", "text", fresh)
+    assert(TextIndex.corpusStats(spark, path) ===
+      TextIndex.corpusStats(spark, fresh),
+      "post-compact stats must equal a rebuild of the surviving content")
+  }
+
+  test("compact recomputes stats for a re-appended doc: one version counts, not two") {
+    // the second stats-drift face the r18 ADVICE named: a doc re-appended
+    // with NEW text counted in N (and Σdl) once per version under the old
+    // source-sum merge; the canonical recompute keeps exactly the
+    // anchored version's contribution
+    val path = tmp()
+    TextIndex.build(Seq(
+      (1L, "one two three"), (2L, "four five")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    TextIndex.append(Seq((1L, "six seven eight nine")).toDF("doc_id", "text"),
+      "doc_id", "text", path, "00000002")
+    TextIndex.compact(spark, path)
+    val fresh = tmp()
+    TextIndex.build(Seq(
+      (1L, "six seven eight nine"), (2L, "four five")).toDF("doc_id", "text"),
+      "doc_id", "text", fresh)
+    assert(TextIndex.corpusStats(spark, path) ===
+      TextIndex.corpusStats(spark, fresh),
+      "post-compact stats must count the re-appended doc's latest version once")
+    // and the scores agree with the fresh index — N/avgdl drift is what
+    // the recompute kills
+    val a = TextIndex.searchTopK(spark, path, Seq("four", "six"), 10).collect().toSeq
+    val b = TextIndex.searchTopK(spark, fresh, Seq("four", "six"), 10).collect().toSeq
+    assert(a === b, s"compact vs rebuild BM25 scores diverged:\n$a\n$b")
+  }
+
+  test("manifest scan is candidate-pruned: pushed doc_id filter, candidate-bounded rows") {
+    // VERDICT r18 item 1: un-pruned, every query paid a full
+    // corpus-docs-sized versions/ pass. The candidate doc_id set now
+    // pushes into the scan as a literal IN; append range-clusters the
+    // manifest by doc_id, so files outside the candidates' range skip on
+    // footer stats — the scan reads candidate-bounded rows, not the
+    // corpus.
+    val path = tmp()
+    val corpus = spark.range(1, 401).select(col("id").as("doc_id"),
+      concat(lit("t"), col("id"), lit(" common")).as("text"))
+    // at spec scale AQE coalesces the range shuffle to ONE file and
+    // there is nothing to skip; production manifests are many-file by
+    // size. Build with coalescing off to get the 4-file clustered layout
+    // the assertion needs.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try TextIndex.build(corpus, "doc_id", "text", path)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert(new java.io.File(s"$path/versions/batch=00000001")
+      .listFiles.count(_.getName.endsWith(".parquet")) >= 4,
+      "spec premise: the manifest must span multiple range-clustered files")
+    val q = TextIndex.searchTopK(spark, path, Seq("t5"), 10)
+    q.queryExecution.toRdd.foreach(_ => ()) // execute THIS plan's metrics
+    val vscan = graft.operators.Metrics.scanReport(q)
+      .find(_.rootPaths.exists(_.contains("/versions")))
+      .getOrElse(fail("search must read the doc manifest"))
+    assert(vscan.pushedFilters.contains("doc_id"),
+      s"candidate filter must reach the manifest scan: ${vscan.pushedFilters}")
+    // 400 manifest rows across 4 range-clustered files: the one
+    // candidate (doc 5) lives in one file — row-group skipping keeps the
+    // read to that file's rows, far under the corpus
+    assert(vscan.rowsOutput >= 1 && vscan.rowsOutput <= 200,
+      s"manifest scan must be candidate-bounded, read ${vscan.rowsOutput} of 400 rows")
+    // the pruned anchor answers exactly
+    assert(q.as[(Long, Double)].collect().map(_._1).toSeq === Seq(5L))
+    // over the candidate cap the anchor falls back to the join shape —
+    // same answer (the common term matches every doc; cap 3 forces the
+    // fallback on a 400-doc candidate set)
+    val old = TextIndex.manifestProbeMaxCandidates
+    try {
+      TextIndex.manifestProbeMaxCandidates = 3
+      assert(TextIndex.searchTopK(spark, path, Seq("t5"), 10)
+        .as[(Long, Double)].collect().map(_._1).toSeq === Seq(5L))
+      assert(TextIndex.searchTopK(spark, path, Seq("common"), 400).count() === 400L)
+    } finally TextIndex.manifestProbeMaxCandidates = old
   }
 
   test("plan: the manifest anchor joins candidate-sized — no manifest-side shuffle") {
