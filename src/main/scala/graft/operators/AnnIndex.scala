@@ -301,6 +301,14 @@ object AnnIndex {
     * but the losing append is lost work. A live stream (`s`-prefixed
     * labels) plus one manual backfill never collide; two manual writers
     * must serialize label allocation.
+    *
+    * Label VALUES carry no serving order here (VERDICT r18 item 7):
+    * batches union ADDITIVELY — probes read all committed batches and
+    * dedupe by content, so a free-form label serves identically to a
+    * numeric one and [[append]] accepts any path-safe shape
+    * (AnnIndexSpec pins the equivalence). The deliberate contrast is
+    * [[TextIndex.append]], where versionKey RANKS labels and free-form
+    * shapes are refused without an opt-in.
     */
   def nextBatchLabel(spark: SparkSession, path: String): String = {
     val used = batches(spark, path).flatMap(_.toLongOption)

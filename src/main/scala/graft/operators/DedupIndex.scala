@@ -119,6 +119,14 @@ object DedupIndex {
     * losing append is lost work. A live stream (`s`-prefixed labels)
     * plus one manual backfill never collide; two manual writers must
     * serialize label allocation.
+    *
+    * Label VALUES carry no serving order here (VERDICT r18 item 7):
+    * batches union ADDITIVELY — probes read all committed batches and
+    * dedupe by content, so a free-form label (a date string, a UUID)
+    * serves identically to a numeric one and [[append]] accepts any
+    * path-safe shape (DedupIndexSpec pins the equivalence). This is the
+    * deliberate contrast with [[TextIndex.append]], where versionKey
+    * RANKS labels and free-form shapes are refused without an opt-in.
     */
   def nextBatchLabel(spark: SparkSession, path: String): String = {
     val used = batches(spark, path).flatMap(_.toLongOption)
@@ -465,6 +473,57 @@ object DedupIndex {
   private def hasBatches(spark: SparkSession, path: String): Boolean =
     batches(spark, path).nonEmpty
 
+  /** Probe-time staleness guard — the [[AnnIndex.staleGuard]] analogue
+    * for the LSH index (VERDICT r18 item 3): ANN probes warn on outgrown
+    * geometry; this index's probes were silent even when every batch was
+    * paying for boilerplate-hot buckets the maintenance cadence had not
+    * yet looked at. The in-band signal is the mean occupancy of the
+    * buckets the probe ACTUALLY matched (rows / distinct (band, bucket)
+    * of the pinned matched-postings table — a narrow re-read of a cache
+    * the candidate join reads anyway). When it exceeds
+    * `slack × targetBucketRows`, one loud warning names the remedy
+    * ([[maintenanceReport]] — reband or dedup upstream). Memoized per
+    * index path through the shared LRU-capped [[GuardMemo]]; knobs are
+    * module-wide and `onWarn` is the spec hook, exactly the ANN guard's
+    * shape. Same design note as there: an eager aggregate inside an
+    * otherwise lazy API, paid once per interval per path —
+    * `enabled = false` disables it entirely; it never changes an answer.
+    */
+  private[graft] object staleGuard {
+    @volatile var enabled: Boolean = true
+    /** Healthy-bucket size reference: the [[crossPairs]] `maxBucket`
+      * default — occupancy is EXPECTED to sit far below it.
+      */
+    @volatile var targetBucketRows: Long = 256L
+    @volatile var slack: Double = 2.0
+    /** Re-check cadence per index path; staleness changes on
+      * append/compact timescales. 0 forces every probe (specs).
+      */
+    @volatile var checkIntervalNanos: Long = 300L * 1000 * 1000 * 1000
+    @volatile var onWarn: String => Unit =
+      msg => org.slf4j.LoggerFactory.getLogger("graft.DedupIndex").warn(msg)
+    private[operators] val lastChecked = new GuardMemo(1024)
+
+    private[operators] def check(path: String, matched: DataFrame): Unit = {
+      if (!enabled) return
+      if (!lastChecked.shouldCheck(path, checkIntervalNanos)) return
+      val r = matched.agg(
+        count(lit(1)).as("rows"),
+        count_distinct(col("band"), col("bucket")).as("buckets")).head()
+      val rows = r.getAs[Long]("rows")
+      val buckets = r.getAs[Long]("buckets")
+      val mean = if (buckets == 0L) 0.0 else rows.toDouble / buckets
+      if (mean > slack * targetBucketRows)
+        onWarn(
+          f"graft LSH probe against a hot index $path: mean matched-bucket " +
+            f"occupancy $mean%.0f exceeds $slack%.1f x target " +
+            f"$targetBucketRows rows ($rows postings / $buckets matched " +
+            "buckets) — run DedupIndex.maintenanceReport: reband to stricter " +
+            "buckets or dedup the boilerplate upstream; every probe is " +
+            "paying for these buckets (capped to keepers past maxBucket)")
+    }
+  }
+
   /** Near-dup pairs between a new batch and the indexed corpus:
     * (batch_id, corpus_id, jaccard) with jaccard ≥ threshold, one row per
     * pair (max over probe paths). The batch is sketched once with the
@@ -513,6 +572,7 @@ object DedupIndex {
         .select(col("band"), col("bucket"), col("id").as("corpus_id"))
         .distinct())
 
+    staleGuard.check(path, matched)
     // Hot-bucket cap on the INDEX side: a bucket with more than
     // `maxBucket` corpus members (boilerplate cluster) would multiply
     // every batch member landing in it by its full membership. Under-cap

@@ -12,7 +12,7 @@ package graft.operators
   * the least-recently-PROBED path — exactly the one least likely to need
   * its memo again.
   */
-private[operators] final class GuardMemo(maxEntries: Int = 1024) {
+private[graft] final class GuardMemo(maxEntries: Int = 1024) {
   private val m =
     new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true) {
       override def removeEldestEntry(

@@ -587,8 +587,36 @@ object Similarity {
       vecCol: String,
       nlist: Int = 16,
       iters: Int = 5,
-      scalableSeed: Boolean = false): IvfIndex = {
+      scalableSeed: Boolean = false,
+      maxFlatPayload: Long = 1L << 22): IvfIndex = {
     import org.apache.spark.sql.graft.ColumnBridge
+    // The flat-quantizer wall, guarded LOUDLY (VERDICT r18 item 4): the
+    // flat centroid table ships with EVERY assignment task — nlist × dim
+    // doubles in the task binary, per Lloyd scan per iteration. BENCH_NOTES
+    // r18 measured the failure mode this refuses: 12,500 centroids at
+    // dim 768 = 73 MiB task binaries, an OOM-adjacent job killed after
+    // 8 minutes — silently attempted, diagnosable only by autopsy. Past
+    // `maxFlatPayload` entries (default 2²² ≈ 32 MiB of doubles) the flat
+    // form is the wrong quantizer, not a tuning problem: the IMI product
+    // grid delivers the same cell count from ~2·√nlist trained centroids
+    // (payload grows with √nlist) — lower `imiAbove` on the auto builders
+    // so they cross to IMI at this geometry, or pass a smaller nlist.
+    // One degenerate-sized job to learn dim; an empty corpus falls
+    // through to seeding's own loud refusal.
+    emb.where(finiteVec(col(vecCol)))
+      .select(size(col(vecCol)).as("__d")).limit(1).collect()
+      .headOption.foreach { r =>
+        val dim = r.getInt(0)
+        val payload = nlist.toLong * dim
+        require(payload <= maxFlatPayload,
+          f"flat IVF training refused: $nlist centroids x dim $dim = " +
+            f"$payload doubles (~${payload * 8 / (1024 * 1024)} MiB in every " +
+            f"assignment task) exceeds maxFlatPayload $maxFlatPayload — this " +
+            "is the flat-quantizer wall; use the IMI product quantizer at " +
+            "this cell count (auto builders: lower imiAbove below " +
+            f"$nlist so buildAuto/buildPqAuto/rebuildAuto cross to IMI), " +
+            "or train a smaller nlist")
+      }
     var centroids =
       if (scalableSeed) seedKMeansPar(emb, idCol, vecCol, nlist)
       else {

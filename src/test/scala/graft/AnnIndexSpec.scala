@@ -73,6 +73,28 @@ class AnnIndexSpec extends AnyFunSuite {
     Caches.release()
   }
 
+  test("free-form batch labels: accepted, serving is label-order-insensitive (pinned)") {
+    // VERDICT r18 item 7, pinned as INTENDED here: ANN batches union
+    // additively (the label is an identifier, never an order), so any
+    // path-safe label serves identically to a numeric one — the
+    // deliberate contrast with TextIndex, which ranks labels and refuses
+    // free-form shapes without an opt-in.
+    val numeric = tmp(); val freeForm = tmp()
+    buildSmall(numeric)
+    AnnIndex.build(corpus.where(col("id") <= 2), "id", "vec", freeForm,
+      nlist = 2, sampleRows = 8, kmeansIters = 5, batch = "backfill-2026-08-16")
+    AnnIndex.append(corpus.where(col("id") > 2), "id", "vec", freeForm,
+      "adhoc-backfill-7f3a")
+    def pairs(path: String) =
+      AnnIndex.crossNeighbors(batch, "id", "vec", path, threshold = 0.95, nprobe = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id")))
+        .toSet
+    assert(pairs(freeForm) == pairs(numeric),
+      "free-form labels must serve exactly like numeric ones")
+    Caches.release()
+  }
+
   test("append: immutable labels, idempotent retry, atomic visibility") {
     val path = tmp()
     buildSmall(path)
@@ -728,6 +750,35 @@ class AnnIndexSpec extends AnyFunSuite {
       .select(col("corpus_id"), col("batch_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == (0 until 64 by 8).map(i => (i.toLong, i + 100L)).toSet, s"pairs = $pairs")
+    Caches.release()
+  }
+
+  test("flat Lloyd wall: oversized nlist x dim refuses loudly, naming the IMI remedy") {
+    // VERDICT r18 item 4: a 12,500-centroid full-corpus Lloyd at dim 768
+    // (73 MiB task binaries) was silently attempted and killed after
+    // 8 min. Past maxFlatPayload entries the flat quantizer is the wrong
+    // tool — the refusal must fire BEFORE any training job and name the
+    // IMI crossover.
+    val wide = (0L to 3L).map(i => (i, Seq.fill(1000)(i.toFloat))).toDF("id", "vec")
+    val refused = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.trainIvfFull(wide, "id", "vec", nlist = 8192)
+    }
+    assert(refused.getMessage.contains("imiAbove") &&
+      refused.getMessage.contains("8192"),
+      s"the refusal must name the remedy and the geometry: ${refused.getMessage}")
+    // the auto builders inherit the guard on their full-train branch: a
+    // 5,000-cell flat sizing at dim 1000 = 5M doubles > the 2^22 cap
+    val autoRefused = intercept[IllegalArgumentException] {
+      AnnIndex.buildAuto(wide, "id", "vec", tmp(), targetCellRows = 1L,
+        corpusRows = Some(5000L))
+    }
+    assert(autoRefused.getMessage.contains("imiAbove"),
+      s"buildAuto must surface the same refusal: ${autoRefused.getMessage}")
+    // under the cap the same call trains (the guard is a wall, not a tax)
+    val okPath = tmp()
+    val nlist = AnnIndex.buildAuto(wide, "id", "vec", okPath,
+      targetCellRows = 2L, minNlist = 2)
+    assert(nlist >= 2, s"in-bounds geometry must still train, got nlist $nlist")
     Caches.release()
   }
 

@@ -347,4 +347,68 @@ class DedupIndexSpec extends AnyFunSuite {
       r.getAs[Long]("hot_buckets") == 0L && r.getAs[Double]("hot_postings_frac") == 0.0)
     assert(DedupIndex.hotBuckets(spark, path).collect().isEmpty)
   }
+
+  test("free-form batch labels: accepted, serving is label-order-insensitive (pinned)") {
+    // VERDICT r18 item 7, pinned as INTENDED here: unlike TextIndex
+    // (where versionKey ranks labels and free-form shapes refuse without
+    // an opt-in), LSH batches union additively — the label is an
+    // identifier, never an order — so any path-safe label serves
+    // identically to a numeric one.
+    val numeric = tmp(); val freeForm = tmp()
+    DedupIndex.build(corpus, "text", "id", numeric, batch = "00000001")
+    DedupIndex.build(corpus.where(col("id") <= 2), "text", "id", freeForm,
+      batch = "backfill-2026-08-16")
+    DedupIndex.append(corpus.where(col("id") > 2), "text", "id", freeForm,
+      "adhoc-backfill-7f3a")
+    def pairs(path: String) =
+      DedupIndex.crossPairs(batch, "text", "id", path, threshold = 0.5)
+        .collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[Double]("jaccard"))).toSet
+    assert(pairs(freeForm) == pairs(numeric),
+      "free-form labels must serve exactly like numeric ones")
+    Caches.release()
+  }
+
+  test("staleGuard: probing a boilerplate-hot index warns loudly; healthy stays silent") {
+    // VERDICT r18 item 3: ANN probes self-diagnose outgrown geometry;
+    // the LSH probe now carries the analogous in-band signal — mean
+    // occupancy of the buckets the probe actually matched.
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    val oldWarn = DedupIndex.staleGuard.onWarn
+    val oldTarget = DedupIndex.staleGuard.targetBucketRows
+    val oldSlack = DedupIndex.staleGuard.slack
+    val oldInterval = DedupIndex.staleGuard.checkIntervalNanos
+    try {
+      DedupIndex.staleGuard.onWarn = msg => warnings.synchronized { warnings += msg }
+      DedupIndex.staleGuard.targetBucketRows = 1L
+      DedupIndex.staleGuard.slack = 1.5
+      DedupIndex.staleGuard.checkIntervalNanos = 0L // force every probe
+      // hot: 8 identical corpus docs share every (band, bucket) — a
+      // matching probe sees mean occupancy 8 > 1.5 x 1
+      val text = "identical boilerplate text repeated across the corpus unchanged"
+      val path = tmp()
+      DedupIndex.build((1L to 8L).map(i => (i, text)).toDF("id", "text"),
+        "text", "id", path)
+      DedupIndex.crossPairs(Seq((100L, text)).toDF("id", "text"),
+        "text", "id", path, threshold = 0.5).count()
+      assert(warnings.size == 1,
+        s"hot probe must warn exactly once, got $warnings")
+      assert(warnings.head.contains(path) &&
+        warnings.head.contains("maintenanceReport"),
+        s"the warning must name the index and the remedy: ${warnings.head}")
+      // healthy: all-distinct corpus — matched buckets hold one id each
+      warnings.clear()
+      val hPath = tmp()
+      DedupIndex.build(corpus, "text", "id", hPath)
+      DedupIndex.crossPairs(batch, "text", "id", hPath, threshold = 0.5).count()
+      assert(warnings.isEmpty, s"healthy probe must stay silent, got $warnings")
+    } finally {
+      DedupIndex.staleGuard.onWarn = oldWarn
+      DedupIndex.staleGuard.targetBucketRows = oldTarget
+      DedupIndex.staleGuard.slack = oldSlack
+      DedupIndex.staleGuard.checkIntervalNanos = oldInterval
+      Caches.release()
+    }
+  }
 }

@@ -728,6 +728,44 @@ class TextIndexSpec extends AnyFunSuite {
     assert(e.getAs[String]("recommended") == "healthy" && e.getAs[Long]("n_docs") == 0L)
   }
 
+  test("staleGuard: probing a fragmented index warns loudly; compact silences it") {
+    // VERDICT r18 item 3, text face: the dominant maintenance verdict is
+    // compact_microbatches and its signal is the committed batch count —
+    // O(directory listing), no Spark job at all
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    val oldWarn = TextIndex.staleGuard.onWarn
+    val oldMax = TextIndex.staleGuard.maxBatches
+    val oldInterval = TextIndex.staleGuard.checkIntervalNanos
+    try {
+      TextIndex.staleGuard.onWarn = msg => warnings.synchronized { warnings += msg }
+      TextIndex.staleGuard.maxBatches = 2
+      TextIndex.staleGuard.checkIntervalNanos = 0L // force every probe
+      val path = tmp()
+      TextIndex.build(docs.where(col("doc_id") <= 2), "doc_id", "text", path)
+      TextIndex.append(docs.where(col("doc_id") > 2 && col("doc_id") <= 4),
+        "doc_id", "text", path, "00000002")
+      TextIndex.append(docs.where(col("doc_id") > 4), "doc_id", "text", path, "00000003")
+      TextIndex.searchTopK(spark, path, Seq("spark"), 10).count()
+      assert(warnings.size == 1,
+        s"fragmented probe must warn exactly once, got $warnings")
+      assert(warnings.head.contains(path) && warnings.head.contains("compact"),
+        s"the warning must name the index and the remedy: ${warnings.head}")
+      // phraseTopK rides the same guard
+      warnings.clear()
+      TextIndex.phraseTopK(spark, path, Seq("merge", "merge"), 10).count()
+      assert(warnings.size == 1, s"phrase probe must warn too, got $warnings")
+      // executing the named remedy silences it
+      warnings.clear()
+      TextIndex.compact(spark, path)
+      TextIndex.searchTopK(spark, path, Seq("spark"), 10).count()
+      assert(warnings.isEmpty, s"compacted probe must stay silent, got $warnings")
+    } finally {
+      TextIndex.staleGuard.onWarn = oldWarn
+      TextIndex.staleGuard.maxBatches = oldMax
+      TextIndex.staleGuard.checkIntervalNanos = oldInterval
+    }
+  }
+
   test("two writers, one label: the second append fails loudly and the index is unchanged") {
     // VERDICT r17 item 5: nextBatchLabel is read-max-then-increment, so
     // a bulk backfill beside another writer can allocate the same label.
