@@ -5032,6 +5032,105 @@ object Queries {
              CAST(e AS DOUBLE) / CAST(n AS DOUBLE) AS top_df_frac
       FROM s"""))
 
+  /** [[graft.operators.TextIndex.backfillManifest]] under the gate
+    * (round 19): a pre-manifest index (simulated by dropping `versions/`
+    * wholesale after two appends) would serve re-appended docs' stale
+    * versions through the frame-scoped fallback; the backfill derives
+    * each batch's missing doc manifest from its OWN postings — one
+    * narrow pass per batch, no postings rewrite — and serving flips to
+    * the exact version anchor. The witness is the stale-only query: the
+    * `stale` term lives only in re-appended docs' SUPERSEDED versions,
+    * so its hit count must drop to exactly the never-re-appended docs —
+    * pure count arithmetic DuckDB replays from `documents`. The face
+    * also pins the backfilled-batch count (crashed-backfill idempotence
+    * is spec-pinned in TextIndexSpec).
+    */
+  val q84gManifestBackfill: Q = Q(
+    "q84g_manifest_backfill",
+    (s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val path = java.nio.file.Files.createTempDirectory("graft_text_backfill").toString
+      graft.operators.TextIndex.build(
+        ids.select(col("doc_id"), lit("common stale").as("text")),
+        "doc_id", "text", path)
+      graft.operators.TextIndex.append(
+        ids.where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), lit("common fresh").as("text")),
+        "doc_id", "text", path, "00000002")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/versions"), true)
+      val backfilled = graft.operators.TextIndex.backfillManifest(s, path).size.toLong
+      def hits(term: String): Long =
+        graft.operators.TextIndex.searchTopK(s, path, Seq(term), 1000000).count()
+      Seq((backfilled, hits("stale"), hits("fresh"), hits("common")))
+        .toDF("backfilled_batches", "stale_hits", "fresh_hits", "common_hits")
+    },
+    Some("""
+      WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS BIGINT) AS r
+        FROM documents)
+      SELECT CAST(2 AS BIGINT) AS backfilled_batches,
+             n - r AS stale_hits,
+             r AS fresh_hits,
+             n AS common_hits
+      FROM s"""))
+
+  /** [[graft.operators.TextIndex.compact]]'s stats recompute under the
+    * gate (round 19, the r18 ADVICE medium): pre-compact, stats are
+    * append-derived sums — a re-appended doc counts once per version and
+    * a tombstoned doc forever (`n_before`/`d_before` pin that documented
+    * contract); compact recomputes `(N, Σdl)` from the canonical frame
+    * it rewrites, so `n_after`/`d_after` must equal a fresh build of the
+    * surviving content — re-appends count their latest version once,
+    * tombstoned docs not at all. The serving witnesses ride along:
+    * version-1-only and version-2-only term hits through the compacted
+    * index. Everything is count arithmetic over `documents`.
+    */
+  val q84hCompactStats: Q = Q(
+    "q84h_compact_stats",
+    (s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val path = java.nio.file.Files.createTempDirectory("graft_text_cstats").toString
+      graft.operators.TextIndex.build(
+        ids.select(col("doc_id"), lit("alpha beta gamma").as("text")),
+        "doc_id", "text", path)
+      graft.operators.TextIndex.append(
+        ids.where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), lit("delta epsilon").as("text")),
+        "doc_id", "text", path, "00000002")
+      graft.operators.TextIndex.append(
+        ids.where(col("doc_id") % 5 === 1)
+          .select(col("doc_id"), lit("").as("text")),
+        "doc_id", "text", path, "00000003")
+      val (nBefore, dBefore) = graft.operators.TextIndex.corpusStats(s, path)
+      graft.operators.TextIndex.compact(s, path)
+      val (nAfter, dAfter) = graft.operators.TextIndex.corpusStats(s, path)
+      def hits(term: String): Long =
+        graft.operators.TextIndex.searchTopK(s, path, Seq(term), 1000000).count()
+      Seq((nBefore, dBefore, nAfter, dAfter, hits("alpha"), hits("delta")))
+        .toDF("n_before", "d_before", "n_after", "d_after",
+          "alpha_hits", "delta_hits")
+    },
+    Some("""
+      WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS BIGINT) AS r,
+               CAST(COUNT(CASE WHEN doc_id % 5 = 1 THEN 1 END) AS BIGINT) AS tomb,
+               CAST(COUNT(CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 <> 1 THEN 1 END) AS BIGINT) AS v1,
+               CAST(COUNT(CASE WHEN doc_id % 3 = 0 AND doc_id % 5 <> 1 THEN 1 END) AS BIGINT) AS v2
+        FROM documents)
+      SELECT n + r + tomb AS n_before,
+             3 * n + 2 * r AS d_before,
+             v1 + v2 AS n_after,
+             3 * v1 + 2 * v2 AS d_after,
+             v1 AS alpha_hits,
+             v2 AS delta_hits
+      FROM s"""))
+
   /** Hybrid retrieval: keyword (BM25 over the persisted inverted index)
     * and vector (exact-int cosine top-k) runs fused by reciprocal-rank
     * fusion ([[graft.operators.Ranking.rrfFuse]]) — the production shape
@@ -9663,7 +9762,7 @@ object Queries {
     q83BpePairs, q83bBpeMerges, q83cBpeEncode, q83dBpeEncodeFast, q83eBpeVocabulary,
     q83fBpeBytePairs, q83gBpeByteMerges, q83hBpeByteEncode,
     q84TextIndexSearch, q84bTextIndexCompacted, q84cTextIndexSearchAll, q84dTextIngest,
-    q84eTextIndexDf, q84fTextMaintenance,
+    q84eTextIndexDf, q84fTextMaintenance, q84gManifestBackfill, q84hCompactStats,
     q85RandomProjection, q85bProjectionXxhash,
     q86PerplexityBuckets, q86bPerplexityBucketsSketch, q87SpanDedup,
     q88WeightedSample,

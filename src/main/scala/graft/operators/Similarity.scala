@@ -588,21 +588,24 @@ object Similarity {
       nlist: Int = 16,
       iters: Int = 5,
       scalableSeed: Boolean = false,
-      maxFlatPayload: Long = 1L << 22): IvfIndex = {
+      maxFlatPayload: Long = 1L << 19): IvfIndex = {
     import org.apache.spark.sql.graft.ColumnBridge
-    // The flat-quantizer wall, guarded LOUDLY (VERDICT r18 item 4): the
-    // flat centroid table ships with EVERY assignment task — nlist × dim
-    // doubles in the task binary, per Lloyd scan per iteration. BENCH_NOTES
-    // r18 measured the failure mode this refuses: 12,500 centroids at
-    // dim 768 = 73 MiB task binaries, an OOM-adjacent job killed after
-    // 8 minutes — silently attempted, diagnosable only by autopsy. Past
-    // `maxFlatPayload` entries (default 2²² ≈ 32 MiB of doubles) the flat
-    // form is the wrong quantizer, not a tuning problem: the IMI product
-    // grid delivers the same cell count from ~2·√nlist trained centroids
-    // (payload grows with √nlist) — lower `imiAbove` on the auto builders
-    // so they cross to IMI at this geometry, or pass a smaller nlist.
-    // One degenerate-sized job to learn dim; an empty corpus falls
-    // through to seeding's own loud refusal.
+    // The flat-quantizer wall, guarded LOUDLY (VERDICT r18 item 4):
+    // assignment work is rows × nlist × dim per Lloyd scan, and the flat
+    // centroid table — nlist × dim doubles — ships in every task binary,
+    // MULTIPLIED under k-means|| seeding, whose candidate set oversamples
+    // to several × nlist before the final reduction. BENCH_NOTES r18
+    // measured the failure mode this refuses: 12,500 centroids at dim 64
+    // (800k payload entries) inflated assignment task binaries to 73 MiB
+    // and was killed after 8 minutes — silently attempted, diagnosable
+    // only by autopsy. Past `maxFlatPayload` entries (default 2¹⁹ ≈ 4 MiB
+    // of doubles — under the measured wall) the flat form is the wrong
+    // quantizer, not a tuning problem: the IMI product grid delivers the
+    // same cell count from ~2·√nlist trained centroids (payload grows
+    // with √nlist) — lower `imiAbove` on the auto builders so they cross
+    // to IMI at this geometry, or pass a smaller nlist. One
+    // degenerate-sized job to learn dim; an empty corpus falls through
+    // to seeding's own loud refusal.
     emb.where(finiteVec(col(vecCol)))
       .select(size(col(vecCol)).as("__d")).limit(1).collect()
       .headOption.foreach { r =>
