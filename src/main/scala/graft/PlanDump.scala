@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round measurement tool: dumps the EXECUTED (AQE-final)
+  * `explain("formatted")` plan of every frame-shaped bench entry to
+  * `<outDir>/<entry>_<suffix>.txt` — the before/after plan evidence the
+  * optimization rounds commit under plans/r{N}/.
+  *
+  * Usage: runMain graft.PlanDump [suffix=before] [outDir=plans/r19]
+  *
+  * Each frame is executed once (`toRdd.foreach`, nothing collected) so the
+  * dumped plan is the final adaptive plan with runtime join strategies and
+  * AQEShuffleRead nodes, not the `isFinalPlan=false` estimate. Probe
+  * entries run against a standing index built untimed first, exactly like
+  * Bench. Build entries write indexes rather than returning one frame, so
+  * they have no single plan to dump — their internal shapes are probed via
+  * BenchProbe / targeted dumps when touched.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val suffix = args.headOption.getOrElse("before")
+    val outDir = args.lift(1).getOrElse("plans/r19")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.withCodegenDefaults(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val standing = scala.collection.mutable.Map.empty[String, String]
+    def idx(kind: String, build: => String): String =
+      standing.getOrElseUpdate(kind, build)
+
+    val servingSplit = Set(
+      "q84_text_index_search", "q65b_ann_index_dedup_pq", "q106_dsir_importance")
+    val entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Queries.headlines.filterNot(q => servingSplit(q.name)).map(q => (q.name, q.fn)) ++ Seq(
+        ("q84_probe", (s: SparkSession, d: String) =>
+          Queries.textIndexProbe(s, idx("text", Queries.buildTextIndexBatches(s, d)))),
+        ("q65b_probe", (s: SparkSession, d: String) =>
+          Queries.annPqProbe(s, d, idx("ann", Queries.buildAnnPqIndex(s, d)))),
+        ("q65b_auto_probe", (s: SparkSession, d: String) =>
+          Queries.annPqAutoProbe(s, d, idx("annauto", Queries.buildAnnPqAutoIndex(s, d)))),
+        ("q65b_imi_probe", (s: SparkSession, d: String) =>
+          Queries.annPqAutoProbe(s, d, idx("annimi", Queries.buildAnnPqImiIndex(s, d)))),
+        ("q65k_bulk_probe", (s: SparkSession, d: String) =>
+          Queries.annBulkProbe(s, d, idx("annbulk", Queries.buildAnnBulkIndex(s, d)))),
+        ("q106_probe", (s: SparkSession, d: String) =>
+          Queries.dsirScore(s, d, idx("dsir", Queries.buildDsirModels(s, d)))),
+        ("q123_media_near_dup", (s: SparkSession, d: String) =>
+          Queries.mediaNearDupFull(s, d)))
+
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    entries.foreach { case (name, fn) =>
+      graft.operators.Caches.release(blocking = true)
+      spark.catalog.clearCache()
+      try {
+        val df = fn(spark, sfDir)
+        df.queryExecution.toRdd.foreach(_ => ())
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"),
+          plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"[plandump] wrote $outDir/${name}_$suffix.txt")
+      } catch {
+        case ex: Throwable =>
+          System.err.println(s"[plandump] $name FAILED: ${ex.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
