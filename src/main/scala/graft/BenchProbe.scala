@@ -34,12 +34,9 @@ object BenchProbe {
     val sfDir = args.lift(2).orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.withCodegenDefaults(SparkSession.builder())
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    val spark = Sessions.withAdaptiveShuffle(
+      Sessions.withCodegenDefaults(SparkSession.builder())
+        .master(s"local[$cpus]"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -127,10 +124,16 @@ object BenchProbe {
     // driver-side cost (planning, codegen compile, JIT), not the plan
     val stageTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val stageCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    // per-stage log for the LAST pass: (executor ms, tasks, name) — the
+    // attribution the aggregate number cannot give (which operator owns
+    // the task time)
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stageTaskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
         stageCount.incrementAndGet()
+        stageLog.add((sc.stageInfo.taskMetrics.executorRunTime,
+          sc.stageInfo.numTasks, sc.stageInfo.name.takeWhile(_ != '\n').take(90)))
       }
     })
 
@@ -151,7 +154,7 @@ object BenchProbe {
     println(s"== $name @ $sfDir  (cold passes, cache cleared each) ==")
     val times = (1 to passes).map { i =>
       clear()
-      stageTaskMs.set(0L); stageCount.set(0L)
+      stageTaskMs.set(0L); stageCount.set(0L); stageLog.clear()
       val t0 = System.nanoTime()
       noopWrite(fn(spark, sfDir))
       val wall = (System.nanoTime() - t0) / 1e9
@@ -161,6 +164,11 @@ object BenchProbe {
       wall
     }
     println(f"median wall: ${times.sorted.apply(times.size / 2)}%.3f s")
+    println("\n== heaviest stages of the last pass (executor ms / tasks / name) ==")
+    import scala.jdk.CollectionConverters._
+    stageLog.asScala.toSeq.sortBy(-_._1).take(10).foreach { case (ms, n, nm) =>
+      println(f"  $ms%7d ms  tasks=$n%4d  $nm")
+    }
 
     val df = fn(spark, sfDir)
     noopWrite(df)

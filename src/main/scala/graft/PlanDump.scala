@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   * `<outDir>/<entry>_<suffix>.txt` — the before/after plan evidence the
   * optimization rounds commit under plans/r{N}/.
   *
-  * Usage: runMain graft.PlanDump [suffix=before] [outDir=plans/r19]
+  * Usage: runMain graft.PlanDump <suffix> <outDir>   (both REQUIRED —
+  * a round-baked default outDir silently overwrote the previous round's
+  * committed evidence; ADVICE r19). Exits non-zero if any entry's dump
+  * failed, so a half-failed pass cannot read as success to a driver
+  * script.
   *
   * Each frame is executed once (`toRdd.foreach`, nothing collected) so the
   * dumped plan is the final adaptive plan with runtime join strategies and
@@ -19,16 +23,16 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val suffix = args.headOption.getOrElse("before")
-    val outDir = args.lift(1).getOrElse("plans/r19")
+    require(args.length >= 2,
+      "usage: graft.PlanDump <suffix> <outDir> — both required (a default " +
+        "outDir silently overwrites the previous round's committed plans)")
+    val suffix = args(0)
+    val outDir = args(1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.withCodegenDefaults(SparkSession.builder())
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    val spark = Sessions.withAdaptiveShuffle(
+      Sessions.withCodegenDefaults(SparkSession.builder())
+        .master(s"local[$cpus]"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -59,6 +63,7 @@ object PlanDump {
           Queries.mediaNearDupFull(s, d)))
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    var failed = List.empty[String]
     entries.foreach { case (name, fn) =>
       graft.operators.Caches.release(blocking = true)
       spark.catalog.clearCache()
@@ -73,9 +78,14 @@ object PlanDump {
         println(s"[plandump] wrote $outDir/${name}_$suffix.txt")
       } catch {
         case ex: Throwable =>
+          failed ::= name
           System.err.println(s"[plandump] $name FAILED: ${ex.getMessage}")
       }
     }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[plandump] FAILED entries: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

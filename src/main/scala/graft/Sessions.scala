@@ -44,16 +44,60 @@ object Sessions {
     b.config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.sql.codegen.cache.maxEntries", "4000")
 
+  /** Scale-adaptive shuffle partitioning, shared by EVERY graft entry
+    * point (CLI session, Bench, PlanDump) — one definition, like
+    * [[withCodegenDefaults]].
+    *
+    * Partition counts must track shuffle BYTES, not core count (guide
+    * §2.2): the r19 driver measured the whole bench FASTER on 8 cores
+    * than 32 because `shuffle.partitions = cpus` plus AQE's default
+    * `parallelismFirst = true` floor-ed every tiny shuffle at ~32
+    * partitions — per-task overhead with no data to amortize it. With
+    * `parallelismFirst = false`, AQE coalesces every shuffle read to the
+    * advisory byte size (small inputs collapse to a handful of tasks; a
+    * 100 TB shuffle keeps partitions at the advisory size, which is
+    * exactly what that scale needs too — the same knob, not a local-mode
+    * special case). `initialPartitionNum` gives AQE upward headroom
+    * beyond the core count so a big shuffle is not stuck at `cpus`
+    * partitions before coalescing; both knobs are env-overridable for
+    * cluster deployments (raise INIT to ~2-3x total cores there).
+    * `spark.sql.shuffle.partitions` stays at `cpus` as the non-AQE
+    * fallback so explicit `repartition(conf)` call sites keep their
+    * parallelism.
+    */
+  def withAdaptiveShuffle(b: SparkSession.Builder): SparkSession.Builder = {
+    // initialPartitionNum stays at the core count by DEFAULT: raising it
+    // to 4x was measured (r20 probes, q114/q102) to cost ~2x executor
+    // time per stage at bench SFs — per-stage map-side bucket and AQE
+    // bookkeeping overhead with nothing to amortize it. On a cluster
+    // where single shuffles exceed cpus x advisory bytes, raise
+    // SPARK_GRAFT_SHUFFLE_INIT (the coalesce target is bytes either way).
+    val initial = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_INIT", cpus)
+    val advisory = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "67108864")
+    b.config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initial)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+      // Without this, AQE is suppressed inside CACHED plans (the default
+      // preserves a cache's output partitioning for downstream reuse), so
+      // every operator pin would materialize at initialPartitionNum
+      // partitions and each cache read would pay that many tasks — the r20
+      // mid-round bench measured the iterating pinned paths (pagerank,
+      // dedup prep) 2x slower from exactly that. Cached frames coalesce by
+      // bytes like everything else; no graft operator relies on a cache's
+      // physical partitioning.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+  }
+
   def local(appName: String = "graft"): SparkSession = {
-    val spark = withCodegenDefaults(SparkSession
+    val spark = withAdaptiveShuffle(withCodegenDefaults(SparkSession
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
-      .withExtensions(new graft.expressions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .withExtensions(new graft.expressions.GraftExtensions))
       .config("spark.sql.files.maxPartitionBytes", "134217728"))
       .config("spark.sql.session.timeZone", "UTC")
       // The driver's `events` table carries TIMESTAMP(NANOS) parquet values,

@@ -76,8 +76,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Sessions.withCodegenDefaults(SparkSession.builder())
-      .master(s"local[$cpus]")
+    // the same adaptive-shuffle tuning every other entry point runs with
+    // (one definition — Sessions), so the oracle gate validates results
+    // under the session the bench and CLI actually use; shuffle.partitions
+    // re-set AFTER it because Verify's own cpus default (4) differs from
+    // Sessions' (32)
+    val spark = Sessions.withAdaptiveShuffle(
+      Sessions.withCodegenDefaults(SparkSession.builder())
+        .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1097,18 +1097,29 @@ object AnnIndex {
         .distinct())
 
     staleGuard.check(path, matched)
-    val occ = Blocking.withOccupancy(matched, Seq("cell"))
-    val cold = occ.where(col("__occ") <= maxCell)
-      .select(col("cell"), col("corpus_id"), col("vec"))
-    val hotKeepers = occ.where(col("__occ") > maxCell)
-      .groupBy("cell")
-      .agg(min(col("corpus_id")).as("corpus_id"), min_by(col("vec"), col("corpus_id")).as("vec"))
+    // Hot/cold split WITHOUT the full-frame window (§2.3): the uncapped
+    // default has no hot side at all, and a finite cap derives both the
+    // over-cap keys and their keepers from ONE grouped aggregate over the
+    // pinned probed-cell subset (partial map-side aggregation; re-reads
+    // are cache hits), the cold side anti-joining the tiny hot-key list.
+    val candidates =
+      if (maxCell == Int.MaxValue) matched.select(col("cell"), col("corpus_id"), col("vec"))
+      else {
+        val hot = matched.groupBy("cell")
+          .agg(count(lit(1)).as("__occ"),
+            min(col("corpus_id")).as("corpus_id"),
+            min_by(col("vec"), col("corpus_id")).as("vec"))
+          .where(col("__occ") > maxCell)
+        matched.join(hot.select("cell"), Seq("cell"), "left_anti")
+          .select(col("cell"), col("corpus_id"), col("vec"))
+          .unionByName(hot.select(col("cell"), col("corpus_id"), col("vec")))
+      }
     // per-micro-batch: the probes table is small → broadcast it and the
     // corpus side never enters an exchange. Bulk: hint nothing — both
     // sides are large, Catalyst shuffles them by cell (AQE splits skewed
     // cells), and the broadcast ceiling no longer binds the batch size.
     val probesSide = if (broadcastProbes) broadcast(probes) else probes
-    cold.unionByName(hotKeepers)
+    candidates
       .join(probesSide, Seq("cell"))
       .select(
         col("batch_id"), col("corpus_id"),
@@ -1246,18 +1257,22 @@ object AnnIndex {
       if (scoreWithLut) pqLutDot(cb, col("code"), col("__lut"))
       else pqAdcDot(cb, col("code"), col("__qvec"))
     staleGuard.check(path, codes)
-    val occ = Blocking.withOccupancy(codes, Seq("cell"))
-    val screened = occ.where(col("__occ") <= maxCell)
+    // hot/cold split without the full-frame window — see crossNeighborsImpl
+    val hot =
+      if (maxCell == Int.MaxValue) None
+      else Some(codes.groupBy("cell")
+        .agg(count(lit(1)).as("__occ"), min(col("corpus_id")).as("corpus_id"))
+        .where(col("__occ") > maxCell))
+    val cold = hot.fold(codes)(h => codes.join(h.select("cell"), Seq("cell"), "left_anti"))
+    val screened = cold
       .join(probesSide(probes), Seq("cell"))
       .where(approxDot >= (lit(threshold - margin) * col("__qnorm") * col("norm")))
       .select(col("cell"), col("batch_id"), col("corpus_id"))
     // over-cap cells: keeper only, NO screen — true cosine decides below
-    val hotKeepers = occ.where(col("__occ") > maxCell)
-      .groupBy("cell")
-      .agg(min(col("corpus_id")).as("corpus_id"))
-      .join(probesSide(probes.select("cell", "batch_id")), Seq("cell"))
-      .select(col("cell"), col("batch_id"), col("corpus_id"))
-    val survivors = screened.unionByName(hotKeepers)
+    val survivors = hot.fold(screened)(h => screened.unionByName(
+      h.select("cell", "corpus_id")
+        .join(probesSide(probes.select("cell", "batch_id")), Seq("cell"))
+        .select(col("cell"), col("batch_id"), col("corpus_id"))))
     // pass 2: raw vectors for survivors only (cell prune map-side, then
     // id-keyed join — survivor-sized, not corpus-sized)
     val fetched = spark.read.parquet(vectorsDir(path))
@@ -1364,21 +1379,26 @@ object AnnIndex {
         .join(broadcast(probedCells), Seq("cell"), "left_semi")
         .distinct())
     staleGuard.check(path, codes)
-    val occ = Blocking.withOccupancy(codes, Seq("cell"))
-    val screenCands = occ.where(col("__occ") <= maxCell)
+    // hot/cold split without the full-frame window — see crossNeighborsImpl
+    val hot =
+      if (maxCell == Int.MaxValue) None
+      else Some(codes.groupBy("cell")
+        .agg(count(lit(1)).as("__occ"), min(col("corpus_id")).as("corpus_id"))
+        .where(col("__occ") > maxCell))
+    val cold = hot.fold(codes)(h => codes.join(h.select("cell"), Seq("cell"), "left_anti"))
+    val screenCands = cold
       .join(probesSide(probes), Seq("cell"))
       .select(col("cell"), col("batch_id"), col("corpus_id"),
         (pqAdcDot(cb, col("code"), col("__qvec")) /
           (col("__qnorm") * col("norm"))).as("__approx"))
-    val hotKeepers = occ.where(col("__occ") > maxCell)
-      .groupBy("cell")
-      .agg(min(col("corpus_id")).as("corpus_id"))
-      .join(probesSide(probes.select("cell", "batch_id")), Seq("cell"))
-      // keepers bypass the coarse cut: +infinity approx pins them in
-      .select(col("cell"), col("batch_id"), col("corpus_id"),
-        lit(Double.MaxValue).as("__approx"))
+    val withKeepers = hot.fold(screenCands)(h => screenCands.unionByName(
+      h.select("cell", "corpus_id")
+        .join(probesSide(probes.select("cell", "batch_id")), Seq("cell"))
+        // keepers bypass the coarse cut: +infinity approx pins them in
+        .select(col("cell"), col("batch_id"), col("corpus_id"),
+          lit(Double.MaxValue).as("__approx"))))
     val survivors = graft.plans.TopK.perKey(
-      screenCands.unionByName(hotKeepers), Seq("batch_id"),
+      withKeepers, Seq("batch_id"),
       Seq(col("__approx").desc, col("corpus_id").asc), k * rerank)
       .select("cell", "batch_id", "corpus_id")
     val fetched = spark.read.parquet(vectorsDir(path))

@@ -10,14 +10,37 @@ import org.apache.spark.sql.functions._
   */
 private[operators] object Blocking {
 
-  /** Per-bucket occupancy as a window count over the blocking key — one
-    * shuffle on exactly the key the candidate self-join needs anyway,
-    * cheaper than a separate count + join back. Adds column `__occ`.
+  /** Per-bucket occupancy as a window count over the blocking key. Adds
+    * column `__occ`. Note the window shuffles EVERY input row and sorts it
+    * by the key (WindowExec) with no partial aggregation — callers that
+    * only need the hot/cold SPLIT should use [[hotKeys]] + an anti/semi
+    * join instead (guide §2.3: aggregate before you shuffle); this face
+    * remains for callers that need the occupancy ON each row and whose
+    * input is pinned or a cheap scan.
     */
   def withOccupancy(banded: DataFrame, keyCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
     banded.withColumn("__occ", count(lit(1)).over(w))
   }
+
+  /** Keys of buckets whose occupancy exceeds `cap`, with the occupancy as
+    * `__occ` — a grouped count (partial map-side aggregation: the exchange
+    * carries ~one row per distinct key per map task, not one per input
+    * row) filtered to the rare over-cap keys. The result is small by
+    * construction (at most rows/cap keys), so joining it back to the
+    * banded frame broadcasts under AQE in the common case — the
+    * full-frame window shuffle+sort [[withOccupancy]] pays is replaced by
+    * a partial-agg exchange plus broadcast anti/semi joins.
+    *
+    * NOTE the caller re-evaluates `banded` per reference (the count, the
+    * cold anti-join, the hot semi-join) — use only where `banded` derives
+    * narrowly from a pinned frame or a cheap scan, which is the LSH
+    * banding case (an explode over the pinned prep table).
+    */
+  def hotKeys(banded: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+    banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") > cap)
 
   /** Linear short-circuit for over-cap buckets: a mega-bucket is in
     * practice a cluster of identical content, so pair each member to the

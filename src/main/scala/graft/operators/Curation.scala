@@ -23,12 +23,16 @@ import graft.functions.text
   * dedup is one fingerprint aggregation + semi-join, decontamination is
   * a broadcast semi-join (zero corpus-side shuffle), and the keep cut is
   * the one window exchange [[Filtering.topFractionBySource]] documents
-  * (prefer the sketch form off-pipeline for quota-free 100 TB cuts). No
-  * intermediate corpus copy is ever materialized by the composition
-  * itself; the boilerplate stage's common-line collection is the one
-  * eager action ([[Boilerplate.stripCommonLines]]'s contract — it scans
-  * `docs` once at composition time), so nondeterministic inputs follow
-  * the standard pin-first rule.
+  * (prefer the sketch form off-pipeline for quota-free 100 TB cuts).
+  * When the tail of the chain references the filtered frame three or
+  * more times (dedup + decontamination/fluency — each is a two-sided
+  * consumer), the composition pins the survivors ONCE (disk-spillable,
+  * released via [[Caches.release]]) instead of re-running the
+  * tokenize-heavy filters per reference; a single-consumer tail never
+  * materializes a corpus copy. The boilerplate stage's common-line
+  * collection is the one eager action ([[Boilerplate.stripCommonLines]]'s
+  * contract — it scans `docs` once at composition time), so
+  * nondeterministic inputs follow the standard pin-first rule.
   */
 final case class CurationConfig(
     idCol: String = "doc_id",
@@ -102,6 +106,21 @@ object Curation {
       cur = cur.where(coalesce(
         Quality.deflateRatio(col(cfg.textCol)).between(lo, hi), lit(false)))
     }
+    // Pin the filtered survivors ONCE before a multi-consumer tail: the
+    // dedup semi-join evaluates its input twice (keeper aggregate + the
+    // kept side), decontamination twice more (the pinned shingle pass and
+    // the keep join) — unpinned, the tokenize-heavy quality filters above
+    // re-run per reference (~4 full passes measured in the r20 q81
+    // probe). One disk-spillable materialization replaces those
+    // re-evaluations (guide §5: reused AND expensive to recompute);
+    // released via Caches.release like every operator pin. A single-
+    // consumer tail (e.g. dedup alone) keeps the zero-copy contract — two
+    // cheap-filter evaluations beat materializing the corpus.
+    val tailRefs =
+      (if (cfg.exactDedup) 2 else 0) +
+        (if (cfg.benchmark.nonEmpty) 2 else 0) +
+        (if (cfg.fluencyModel.nonEmpty) 2 else 0)
+    if (tailRefs >= 3) cur = Caches.pin(cur)
     if (cfg.exactDedup)
       cur = Dedup.exactDedup(cur, cfg.textCol, cfg.idCol)
     cfg.benchmark.foreach { bench =>

@@ -165,55 +165,68 @@ object Dedup {
       .select((Seq(col("id"), col("bb.band"), col("bb.bucket")) ++ carry): _*)
   }
 
-  /** Banded candidate self-join over the under-cap ("cold") buckets of an
-    * occupancy-annotated band table. Buckets with more than `maxBucket`
-    * members are excluded from the (quadratic-within-bucket) join —
-    * boilerplate corpora (all-identical docs, empty strings, templated
-    * pages) otherwise put millions of rows in ONE bucket and a single
-    * reducer pays (n choose 2). Callers route the over-cap members through
-    * the linear identical-content path instead
+  /** Banded candidate self-join over the cold (under-cap) band rows:
+    * distinct (id_a < id_b) pairs sharing a (band, bucket). Buckets over
+    * the cap are excluded upstream (see [[candidatesFromSketch]] /
+    * [[lshVerifiedPairs]]) — boilerplate corpora (all-identical docs,
+    * empty strings, templated pages) otherwise put millions of rows in
+    * ONE bucket and a single reducer pays (n choose 2). Callers route the
+    * over-cap members through the linear identical-content path instead
     * ([[Blocking.keeperStarPairs]]); AQE skew-split cannot help here
-    * because it splits input, not the joined output.
-    *
-    * With `withEstimate` the sketches ride through the join and pairs carry
-    * the minhash agreement fraction; without it only (band, bucket, id)
-    * shuffles — use that when an exact verification step follows anyway.
+    * because it splits input, not the joined output. Only
+    * (band, bucket, id) ever enters the join's exchange.
     */
-  private def coldCandidatePairs(
-      bandedOcc: DataFrame,
-      numPerm: Int,
-      withEstimate: Boolean,
-      maxBucket: Int): DataFrame = {
-    val banded = bandedOcc.where(col("__occ") <= maxBucket)
-    def side(suffix: String) = {
-      val renamed = Seq(col("band"), col("bucket"), col("id").as(s"id_$suffix")) ++
-        (if (withEstimate) Seq(col("mh").as(s"mh_$suffix")) else Nil)
-      banded.select(renamed: _*)
-    }
-    val joined = side("a").join(side("b"), Seq("band", "bucket")).where(col("id_a") < col("id_b"))
-    if (withEstimate)
-      joined
-        .select(
-          col("id_a"),
-          col("id_b"),
-          (size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), m => m))
-            .cast("double") / numPerm).as("est_jaccard"))
-        .groupBy("id_a", "id_b")
-        .agg(max("est_jaccard").as("est_jaccard"))
-    else joined.select("id_a", "id_b").distinct()
+  private def coldCandidatePairs(cold: DataFrame): DataFrame = {
+    def side(suffix: String) =
+      cold.select(col("band"), col("bucket"), col("id").as(s"id_$suffix"))
+    side("a").join(side("b"), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
   }
+
+  /** Attach the minhash agreement fraction to DISTINCT candidate pairs
+    * from the pinned prep table. est_jaccard is a function of the two
+    * sketches alone (band-independent), so joining the sketches back to
+    * the distinct pairs shuffles each sketch at most once per pair side —
+    * the previous shape carried `bands` copies of every 64-long sketch
+    * through the banding self-join's exchanges (§2.3: shuffle fewer
+    * bytes).
+    */
+  private def withEstimates(pairs: DataFrame, prepped: DataFrame, numPerm: Int): DataFrame =
+    pairs
+      .join(prepped.select(col("id").as("id_a"), col("mh").as("mh_a")), Seq("id_a"))
+      .join(prepped.select(col("id").as("id_b"), col("mh").as("mh_b")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), m => m))
+          .cast("double") / numPerm).as("est_jaccard"))
+
+  /** Cold rows of a banded frame: everything outside the over-cap keys.
+    * The hot-key list comes from ONE grouped count with partial map-side
+    * aggregation ([[Blocking.hotKeys]]) — replacing the full-frame window
+    * count (shuffle + sort of every (id, band, bucket) row) the old shape
+    * paid before the self-join (§2.3/§2.4). An infinite cap skips the
+    * count entirely: there is no hot side to split off.
+    */
+  private def coldRows(banded: DataFrame, hotKeys: Option[DataFrame]): DataFrame =
+    hotKeys.fold(banded)(hot =>
+      banded.join(hot, Seq("band", "bucket"), "left_anti"))
 
   private def candidatesFromSketch(
       prepped: DataFrame,
       numPerm: Int,
       bands: Int,
       withEstimate: Boolean,
-      maxBucket: Int): DataFrame =
-    coldCandidatePairs(
-      Blocking.withOccupancy(
-        bandedBuckets(bandable(prepped), numPerm, bands, carryMh = withEstimate),
-        Seq("band", "bucket")),
-      numPerm, withEstimate, maxBucket)
+      maxBucket: Int): DataFrame = {
+    val banded = bandedBuckets(bandable(prepped), numPerm, bands, carryMh = false)
+    val hot =
+      if (maxBucket == Int.MaxValue) None
+      else Some(Blocking.hotKeys(banded, Seq("band", "bucket"), maxBucket))
+    val pairs = coldCandidatePairs(coldRows(banded, hot))
+    if (withEstimate) withEstimates(pairs, prepped, numPerm) else pairs
+  }
 
   /** LSH S-curve threshold for a band geometry: the Jaccard similarity at
     * which a pair has ~50% candidate probability is t ≈ (1/b)^(1/r) with
@@ -330,12 +343,19 @@ object Dedup {
       bands: Int,
       threshold: Double,
       maxBucket: Int): DataFrame = {
-    // ONE banded/occupancy tree feeds both the cold self-join and the hot
-    // member probe. NULL-sh rows never band (see prep's degenerate-doc
+    // ONE banded tree (a narrow explode over the pinned prep) feeds the
+    // hot-key count, the cold self-join, and the hot member probe. The
+    // over-cap keys come from a grouped count (partial aggregation; the
+    // result is ≤ rows/cap keys → pinned, and the anti/semi joins against
+    // it broadcast under AQE) — the window count this replaces shuffled
+    // AND sorted every (id, band, bucket) row, re-evaluated once per
+    // reference. NULL-sh rows never band (see prep's degenerate-doc
     // contract); size-0 rows take the keeper-star path below instead.
-    val bandedOcc = Blocking.withOccupancy(
-      bandedBuckets(bandable(prepped), numPerm, bands, carryMh = false), Seq("band", "bucket"))
-    val cand = coldCandidatePairs(bandedOcc, numPerm, withEstimate = false, maxBucket = maxBucket)
+    val banded = bandedBuckets(bandable(prepped), numPerm, bands, carryMh = false)
+    val hotKeys =
+      if (maxBucket == Int.MaxValue) None
+      else Some(pin(Blocking.hotKeys(banded, Seq("band", "bucket"), maxBucket)))
+    val cand = coldCandidatePairs(coldRows(banded, hotKeys))
     val verified = cand
       .join(prepped.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(prepped.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -353,7 +373,10 @@ object Dedup {
     // A doc can surface in both paths (hot in one band, cold in another),
     // so collapse to one row per pair.
     Metrics.register(prepped.sparkSession)
-    val hotIds = bandedOcc.where(col("__occ") > maxBucket).select("id").distinct()
+    val hotIds = hotKeys
+      .fold(banded.where(lit(false)))(hot =>
+        banded.join(hot, Seq("band", "bucket"), "left_semi"))
+      .select("id").distinct()
       // rides the pair action as a free aggregate: how many documents the
       // cap routed to the linear path this run (see Metrics / hotBuckets)
       .observe("graft.dedup.hot_member_ids", count(lit(1)).as("ids"))
@@ -386,13 +409,13 @@ object Dedup {
       shingleK: Int = 3,
       maxBucket: Int = 256): DataFrame = {
     Metrics.register(df.sparkSession)
-    Blocking.withOccupancy(
+    // grouped count, not a window: the keys are distinct by construction
+    // and only the rare over-cap groups survive the filter
+    Blocking.hotKeys(
       bandedBuckets(bandable(prep(df, textCol, idCol, numPerm, shingleK)), numPerm, bands,
         carryMh = false),
-      Seq("band", "bucket"))
-      .where(col("__occ") > maxBucket)
+      Seq("band", "bucket"), maxBucket)
       .select(col("band"), col("bucket"), col("__occ").as("occupancy"))
-      .distinct()
       // executing the audit also publishes its headline numbers to the
       // metrics registry — monitors alert on these without re-reading rows
       .observe("graft.dedup.hot_buckets",
@@ -432,8 +455,10 @@ object Dedup {
     val inv0 = sh.select(col("id"), explode(col("sh")).as("shingle"))
     val inv = maxShingleDf match {
       case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-        inv0.withColumn("__df", count(lit(1)).over(w)).where(col("__df") <= cap).drop("__df")
+        // one row per (id, shingle) → the grouped count IS df; the rare
+        // over-cap shingles anti-join out (broadcast under AQE) instead of
+        // a full-frame window shuffle+sort of the inverted index
+        inv0.join(Blocking.hotKeys(inv0, Seq("shingle"), cap), Seq("shingle"), "left_anti")
       case None => inv0
     }
     val shared = inv.select(col("id").as("id_a"), col("shingle"))
@@ -536,10 +561,12 @@ object Dedup {
     val mass = tf.groupBy("id").agg(sum("tf").as("mass"))
     val inv = maxTermDf match {
       case Some(cap) =>
-        // df = docs per term; one row per (id, term) already, so a plain
-        // count over the term window IS the document frequency
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("term")
-        tf.withColumn("__df", count(lit(1)).over(w)).where(col("__df") <= cap).drop("__df")
+        // df = docs per term; one row per (id, term) already, so the
+        // grouped count IS the document frequency — the rare over-cap
+        // terms anti-join out (broadcast under AQE; tf is pinned so the
+        // second reference is a cache read) instead of a full-frame
+        // window shuffle+sort of the inverted index
+        tf.join(Blocking.hotKeys(tf, Seq("term"), cap), Seq("term"), "left_anti")
       case None => tf
     }
     val shared = inv.select(col("id").as("id_a"), col("term"), col("tf").as("tf_a"))
@@ -785,32 +812,48 @@ object Dedup {
       col("sig"),
       explode(bands64(col("sig"))).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-      .transform(Blocking.withOccupancy(_, Seq("band", "bucket")))
-    val cold = banded.where(col("__occ") <= maxBucket)
+    // The hot/cold split mirrors lshVerifiedPairs: over-cap keys from ONE
+    // grouped count (partial aggregation, pinned — tiny by construction)
+    // instead of a full-frame window shuffle+sort; the uncapped default
+    // (Int.MaxValue — the exact-recall contract) skips the count and the
+    // hot machinery entirely.
+    val hotKeys =
+      if (maxBucket == Int.MaxValue) None
+      else Some(pin(Blocking.hotKeys(banded, Seq("band", "bucket"), maxBucket)))
+    val cold = hotKeys.fold(banded)(hot =>
+      banded.join(hot, Seq("band", "bucket"), "left_anti"))
     val a = cold.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = cold.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     val coldPairs = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-    // Over-cap buckets: (a) every member verified against the bucket keeper
-    // by TRUE hamming — near-but-not-identical neighbors of the keeper
-    // survive the cap; (b) identical-signature star pairs — groups whose
-    // shared signature differs from the keeper's survive too. Both linear.
-    val hotRows = banded.where(col("__occ") > maxBucket)
-    val bucketKeepers = hotRows.groupBy("band", "bucket")
-      .agg(min(col("id")).as("kid"), min_by(col("sig"), col("id")).as("ksig"))
-    val hotNearKeeper = hotRows.join(bucketKeepers, Seq("band", "bucket"))
-      .where(col("id") =!= col("kid")) // kid = bucket min, so kid < id
-      .select(col("kid").as("id_a"), col("id").as("id_b"),
-        bit_count(col("sig").bitwiseXOR(col("ksig"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-    val hotIds = hotRows.select("id").distinct()
-    val hotIdentical = Blocking.keeperStarPairs(
-      sigs.join(hotIds, Seq("id"), "left_semi"), "sig", "hamming", lit(0).cast("int"))
-    // every path emits the true hamming of (sig_a, sig_b) — a pair reached
-    // by several paths contributes identical rows, so distinct() collapses
-    coldPairs.unionByName(hotNearKeeper).unionByName(hotIdentical).distinct()
+    hotKeys match {
+      case None =>
+        // pairs repeat across bands; one collapse, same as the capped path
+        coldPairs.distinct()
+      case Some(hot) =>
+        // Over-cap buckets: (a) every member verified against the bucket
+        // keeper by TRUE hamming — near-but-not-identical neighbors of the
+        // keeper survive the cap; (b) identical-signature star pairs —
+        // groups whose shared signature differs from the keeper's survive
+        // too. Both linear.
+        val hotRows = banded.join(hot, Seq("band", "bucket"), "left_semi")
+        val bucketKeepers = hotRows.groupBy("band", "bucket")
+          .agg(min(col("id")).as("kid"), min_by(col("sig"), col("id")).as("ksig"))
+        val hotNearKeeper = hotRows.join(bucketKeepers, Seq("band", "bucket"))
+          .where(col("id") =!= col("kid")) // kid = bucket min, so kid < id
+          .select(col("kid").as("id_a"), col("id").as("id_b"),
+            bit_count(col("sig").bitwiseXOR(col("ksig"))).as("hamming"))
+          .where(col("hamming") <= maxHamming)
+        val hotIds = hotRows.select("id").distinct()
+        val hotIdentical = Blocking.keeperStarPairs(
+          sigs.join(hotIds, Seq("id"), "left_semi"), "sig", "hamming", lit(0).cast("int"))
+        // every path emits the true hamming of (sig_a, sig_b) — a pair
+        // reached by several paths contributes identical rows, so
+        // distinct() collapses
+        coldPairs.unionByName(hotNearKeeper).unionByName(hotIdentical).distinct()
+    }
   }
 
   /** EXACT all-pairs SimHash hamming ≤ maxHamming — the brute-force ground

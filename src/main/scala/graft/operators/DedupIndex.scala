@@ -581,12 +581,18 @@ object DedupIndex {
     // real corpus content, so no false pairs, and recall loss is confined
     // to non-keeper members of boilerplate clusters (the same contract as
     // Dedup.minHashDedupPairs, observable via [[hotIndexBuckets]]).
-    val occ = Blocking.withOccupancy(matched, Seq("band", "bucket"))
-    val coldPostings = occ.where(col("__occ") <= maxBucket)
+    // r20: hot/cold split from ONE grouped count over the pinned matched
+    // subset (partial map-side aggregation — re-reads are cache hits)
+    // instead of a full-frame window shuffle+sort; the keeper rides the
+    // same aggregate and the cold side anti-joins the tiny hot-key list
+    // (broadcast under AQE).
+    val hot = matched.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__occ"), min(col("corpus_id")).as("corpus_id"))
+      .where(col("__occ") > maxBucket)
+    val coldPostings = matched
+      .join(hot.select("band", "bucket"), Seq("band", "bucket"), "left_anti")
       .select(col("band"), col("bucket"), col("corpus_id"))
-    val hotKeepers = occ.where(col("__occ") > maxBucket)
-      .groupBy("band", "bucket")
-      .agg(min(col("corpus_id")).as("corpus_id"))
+    val hotKeepers = hot.select(col("band"), col("bucket"), col("corpus_id"))
     val candidates = batchBands.select(col("band"), col("bucket"), col("id").as("batch_id"))
       .join(coldPostings.unionByName(hotKeepers), Seq("band", "bucket"))
       .select("batch_id", "corpus_id")

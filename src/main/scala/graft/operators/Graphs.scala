@@ -116,7 +116,11 @@ object Graphs {
         col("__src") === col("__osrc"))
       .select("__src", "__dst", "__outdeg")
     val e = scope.fold(Caches.pin(prep))(_.pin(prep))
-    val ids = nodes.select(col(idCol).as("__id"))
+    // pinned like `e`: every round's rebase join references the node list,
+    // and without the pin each round re-plans and re-scans the nodes
+    // source (iters + 1 scans measured in the r20 probe — §1.4/§5)
+    val idsPrep = nodes.select(col(idCol).as("__id"))
+    val ids = scope.fold(Caches.pin(idsPrep))(_.pin(idsPrep))
     var rank = ids.select(col("__id"), lit(scale).as("__rank"))
     for (round <- 1 to iters) {
       // `div`, not `/`: Column./ is DOUBLE division, which stops being
@@ -192,6 +196,10 @@ object Graphs {
 
     // large-star: symmetric neighborhoods; for center u with minimum
     // m = min(N(u) ∪ {u}), re-point every LARGER neighbor v > u at m.
+    // NO distinct here (r20, §2.4): duplicates are bounded by the 2|E|
+    // neighbor rows and the following small-star absorbs them — its min
+    // aggregate is duplicate-insensitive and the round ends in its own
+    // distinct — so the extra exchange bought nothing but the collapse.
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.union(e.select(col("__v").as("__u"), col("__u").as("__v")))
       val mins = nbrs.groupBy("__u")
@@ -199,7 +207,6 @@ object Graphs {
       nbrs.join(mins, "__u")
         .where(col("__v") > col("__u"))
         .select(col("__v").as("__u"), col("__m").as("__v"))
-        .distinct()
     }
 
     // small-star: orient every edge toward its smaller endpoint; for
@@ -416,7 +423,10 @@ object Graphs {
     require(scale >= 1000L, "scale under 1000 makes integer normalization too lossy")
     val prep = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
     val e = scope.fold(Caches.pin(prep))(_.pin(prep))
-    val ids = nodes.select(col(idCol).as("__id"))
+    // pinned like `e`: every half-round re-bases against the node list
+    // (2·iters references — the pageRankInt lesson, §1.4/§5)
+    val idsPrep = nodes.select(col(idCol).as("__id"))
+    val ids = scope.fold(Caches.pin(idsPrep))(_.pin(idsPrep))
     var hub = ids.select(col("__id"), lit(scale).as("__s"))
     var auth: DataFrame = hub
     // one half-round: sum the counterpart score over `joinOn` edges,

@@ -62,32 +62,44 @@ object SemDedup {
     val assigned = Partitioning.spread(emb)
       .select(col(idCol).as("id"), col(vecCol).as("v"), cell.as("__cell"))
       .transform(Caches.pin)
-    val withOcc = Blocking.withOccupancy(assigned, Seq("__cell"))
-    val cold = withOcc.where(col("__occ") <= maxCell)
+    // r20: hot/cold split from a grouped count ([[Blocking.hotKeys]],
+    // partial aggregation over the pinned assignment table) instead of a
+    // full-frame window shuffle+sort; the uncapped default skips the
+    // count and the hot machinery entirely.
+    val hotKeys =
+      if (maxCell == Int.MaxValue) None
+      else Some(Caches.pin(Blocking.hotKeys(assigned, Seq("__cell"), maxCell)))
+    val cold = hotKeys.fold(assigned)(h => assigned.join(h, Seq("__cell"), "left_anti"))
     val coldPairs = cold.select(col("__cell"), col("id").as("id_a"), col("v").as("v_a"))
       .join(cold.select(col("__cell"), col("id").as("id_b"), col("v").as("v_b")), Seq("__cell"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), vectors.cosine(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
-    val hotRows = withOcc.where(col("__occ") > maxCell)
-    val cellKeepers = hotRows.groupBy("__cell")
-      .agg(min(col("id")).as("kid"), min_by(col("v"), col("id")).as("kv"))
-    val hotNearKeeper = hotRows.join(cellKeepers, Seq("__cell"))
-      .where(col("id") =!= col("kid")) // kid = cell min, so kid < id
-      .select(col("kid").as("id_a"), col("id").as("id_b"),
-        vectors.cosine(col("v"), col("kv")).as("cosine"))
-      .where(col("cosine") >= threshold)
-    // Exact copies whose vector differs from the keeper's still pair at
-    // 1.0. Zero-norm vectors are EXCLUDED: cosine is undefined there, and
-    // [[vectors.cosine]] (used by the cold path AND the exact twin)
-    // defines it as 0.0 — pairing duplicated zero vectors here would drop
-    // rows the exact form keeps and break the precision-1 subset law
-    // (SemDedupSpec). Deduping degenerate all-zero embeddings is content
-    // dedup's job ([[Dedup.exactDedup]] on a vector hash), not cosine's.
-    val hotIdentical = Blocking.keeperStarPairs(
-      hotRows.where(vectors.dot(col("v"), col("v")) > 0).select("id", "v"),
-      "v", "cosine", lit(1.0))
-    coldPairs.unionByName(hotNearKeeper).unionByName(hotIdentical)
+    val allPairs = hotKeys match {
+      case None => coldPairs
+      case Some(h) =>
+        val hotRows = assigned.join(h, Seq("__cell"), "left_semi")
+        val cellKeepers = hotRows.groupBy("__cell")
+          .agg(min(col("id")).as("kid"), min_by(col("v"), col("id")).as("kv"))
+        val hotNearKeeper = hotRows.join(cellKeepers, Seq("__cell"))
+          .where(col("id") =!= col("kid")) // kid = cell min, so kid < id
+          .select(col("kid").as("id_a"), col("id").as("id_b"),
+            vectors.cosine(col("v"), col("kv")).as("cosine"))
+          .where(col("cosine") >= threshold)
+        // Exact copies whose vector differs from the keeper's still pair
+        // at 1.0. Zero-norm vectors are EXCLUDED: cosine is undefined
+        // there, and [[vectors.cosine]] (used by the cold path AND the
+        // exact twin) defines it as 0.0 — pairing duplicated zero vectors
+        // here would drop rows the exact form keeps and break the
+        // precision-1 subset law (SemDedupSpec). Deduping degenerate
+        // all-zero embeddings is content dedup's job
+        // ([[Dedup.exactDedup]] on a vector hash), not cosine's.
+        val hotIdentical = Blocking.keeperStarPairs(
+          hotRows.where(vectors.dot(col("v"), col("v")) > 0).select("id", "v"),
+          "v", "cosine", lit(1.0))
+        coldPairs.unionByName(hotNearKeeper).unionByName(hotIdentical)
+    }
+    allPairs
       .groupBy("id_a", "id_b")
       .agg(max("cosine").as("cosine"))
   }

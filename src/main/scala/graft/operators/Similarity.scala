@@ -640,7 +640,14 @@ object Similarity {
     // after one iteration — then no finite row ever re-assigns there and
     // the saved index loses the cell forever. Corrupt rows still get
     // ASSIGNED at index build time; they just never pull a centroid.
-    val vecs = emb.where(finiteVec(col(vecCol))).select(col(vecCol).as("__vec"))
+    // PINNED: every Lloyd iteration is one full pass over this frame —
+    // without the pin each of the `iters` scans re-reads the source and
+    // re-checks finiteVec (guide §5: reused + expensive to recompute is
+    // exactly when to cache; the projected vector column is the narrow
+    // form of the corpus and spills to disk when it outgrows memory).
+    // Released with every other operator pin via Caches.release.
+    val vecs = Caches.pin(
+      emb.where(finiteVec(col(vecCol))).select(col(vecCol).as("__vec")))
     for (_ <- 0 until iters) {
       val idx = IvfIndex(centroids)
       val cell = ColumnBridge.column(graft.expressions.NearestCentroidsExpr(
@@ -720,10 +727,15 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val l = if (oversamplePerRound > 0) oversamplePerRound else 2 * k
-    // quarantine corrupt vectors — the shared [[finiteVec]] predicate
-    val vecs = emb
+    // quarantine corrupt vectors — the shared [[finiteVec]] predicate.
+    // PINNED: seeding makes 2 passes per round (the φ aggregate and the
+    // sample) plus the first-row draw and the final weighting scan —
+    // ~2·rounds + 3 evaluations of the same filter+projection without
+    // the pin (guide §5). Released via Caches.release like every
+    // operator pin.
+    val vecs = Caches.pin(emb
       .where(finiteVec(col(vecCol)))
-      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec")))
     val first = vecs.orderBy(xxhash64(col("__id"))).limit(1).collect()
     require(first.nonEmpty, "cannot seed k-means|| on an empty corpus")
     val dim = first(0).getSeq[Double](1).size
@@ -952,35 +964,47 @@ object Similarity {
       }: _*)).as("bs"))
       .select(col("id"), col("v"), col("bs.band"), col("bs.sig"))
       .transform(Caches.pin)
-    val withOcc = Blocking.withOccupancy(banded, Seq("band", "sig"))
-    val cold = withOcc.where(col("__occ") <= maxBucket)
+    // r20: hot/cold split from a grouped count ([[Blocking.hotKeys]],
+    // partial aggregation over the pinned band table) instead of a
+    // full-frame window shuffle+sort; the uncapped default skips the
+    // count and the hot machinery entirely (no hot side exists).
+    val hotKeys =
+      if (maxBucket == Int.MaxValue) None
+      else Some(Caches.pin(Blocking.hotKeys(banded, Seq("band", "sig"), maxBucket)))
+    val cold = hotKeys.fold(banded)(h => banded.join(h, Seq("band", "sig"), "left_anti"))
     val a = cold.select(col("band"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val b = cold.select(col("band"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
     val coldPairs = a.join(b, Seq("band", "sig"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), vectors.cosine(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
-    // Over-cap buckets: true-cosine verification against the bucket keeper
-    // (near-but-not-identical neighbors survive) + identical-vector star
-    // pairs (exact copies whose vector differs from the keeper's, and zero
-    // vectors whose cosine is undefined). Both linear in bucket size.
-    val hotRows = withOcc.where(col("__occ") > maxBucket)
-    val bucketKeepers = hotRows.groupBy("band", "sig")
-      .agg(min(col("id")).as("kid"), min_by(col("v"), col("id")).as("kv"))
-    val hotNearKeeper = hotRows.join(bucketKeepers, Seq("band", "sig"))
-      .where(col("id") =!= col("kid")) // kid = bucket min, so kid < id
-      .select(col("kid").as("id_a"), col("id").as("id_b"),
-        vectors.cosine(col("v"), col("kv")).as("cosine"))
-      .where(col("cosine") >= threshold)
-    // Identical-vector star pairs; vectors are their own canonical form
-    // (element order IS meaning, no sort needed). band 0 carries every id
-    // exactly once — one row per doc without a distinct shuffle over the
-    // vector column.
-    val hotIds = hotRows.select("id").distinct()
-    val hotIdentical = Blocking.keeperStarPairs(
-      banded.where(col("band") === 0).select("id", "v").join(hotIds, Seq("id"), "left_semi"),
-      "v", "cosine", lit(1.0))
-    coldPairs.unionByName(hotNearKeeper).unionByName(hotIdentical)
+    val allPairs = hotKeys match {
+      case None => coldPairs
+      case Some(h) =>
+        // Over-cap buckets: true-cosine verification against the bucket
+        // keeper (near-but-not-identical neighbors survive) + identical-
+        // vector star pairs (exact copies whose vector differs from the
+        // keeper's, and zero vectors whose cosine is undefined). Both
+        // linear in bucket size.
+        val hotRows = banded.join(h, Seq("band", "sig"), "left_semi")
+        val bucketKeepers = hotRows.groupBy("band", "sig")
+          .agg(min(col("id")).as("kid"), min_by(col("v"), col("id")).as("kv"))
+        val hotNearKeeper = hotRows.join(bucketKeepers, Seq("band", "sig"))
+          .where(col("id") =!= col("kid")) // kid = bucket min, so kid < id
+          .select(col("kid").as("id_a"), col("id").as("id_b"),
+            vectors.cosine(col("v"), col("kv")).as("cosine"))
+          .where(col("cosine") >= threshold)
+        // Identical-vector star pairs; vectors are their own canonical
+        // form (element order IS meaning, no sort needed). band 0 carries
+        // every id exactly once — one row per doc without a distinct
+        // shuffle over the vector column.
+        val hotIds = hotRows.select("id").distinct()
+        val hotIdentical = Blocking.keeperStarPairs(
+          banded.where(col("band") === 0).select("id", "v").join(hotIds, Seq("id"), "left_semi"),
+          "v", "cosine", lit(1.0))
+        coldPairs.unionByName(hotNearKeeper).unionByName(hotIdentical)
+    }
+    allPairs
       .groupBy("id_a", "id_b")
       .agg(max("cosine").as("cosine"))
   }

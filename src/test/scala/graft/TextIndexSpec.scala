@@ -790,4 +790,48 @@ class TextIndexSpec extends AnyFunSuite {
       "the losing writer must not change what the index serves")
     assert(TextIndex.searchTopK(spark, path, Seq("collides"), 10).collect().isEmpty)
   }
+
+  test("replayStable: deterministic file/local plans qualify; rand/limit/sample/streams do not") {
+    val dir = tmp()
+    docs.write.parquet(s"$dir/src")
+    val fileDocs = spark.read.parquet(s"$dir/src")
+      .where(col("doc_id") > 0)
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    assert(TextIndex.replayStable(fileDocs),
+      "a filtered/projected parquet scan re-evaluates to the same rows")
+    assert(TextIndex.replayStable(docs), "a local relation is replay-stable")
+    assert(!TextIndex.replayStable(fileDocs.where(rand() < 2.0)),
+      "a nondeterministic expression must take the defensive path (even one that keeps all rows)")
+    assert(!TextIndex.replayStable(fileDocs.limit(3)),
+      "a limit's row selection is evaluation-order-dependent")
+    assert(!TextIndex.replayStable(fileDocs.sample(0.5)),
+      "a sample draws per evaluation")
+  }
+
+  test("append's manifest fast path (stable input) matches the defensive staged-union manifest") {
+    import org.apache.spark.sql.DataFrame
+    def manifestOf(path: String): Seq[Long] =
+      spark.read.parquet(s"$path/versions/batch=00000001")
+        .as[Long].collect().toSeq.sorted
+    def build(d: DataFrame): Seq[Long] = {
+      val p = tmp()
+      TextIndex.build(d, "doc_id", "text", p)
+      manifestOf(p)
+    }
+    val dir = tmp()
+    // includes doc 6 (empty text → postings-free tombstone): the manifest
+    // must still carry it on BOTH paths
+    docs.write.parquet(s"$dir/src")
+    val stable = spark.read.parquet(s"$dir/src")
+    assert(TextIndex.replayStable(stable))
+    // force the defensive path with a value-identical but formally
+    // nondeterministic filter (rand() < 2.0 keeps every row)
+    val defensive = stable.where(rand() < 2.0)
+    assert(!TextIndex.replayStable(defensive))
+    val fast = build(stable)
+    assert(fast === build(defensive),
+      "fast-path manifest must equal the staged-union manifest on the same rows")
+    assert(fast === docs.select("doc_id").as[Long].collect().toSeq.sorted,
+      "the manifest is exactly the input id set (tombstones included)")
+  }
 }
