@@ -38,7 +38,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // default gate. Run the full set with: GRAFT_FULL_TESTS=1 sbt test
 val scaleProfileSuites = Set(
   "graft.StreamsSpec", "graft.TextIndexSpec", "graft.AnnIndexSpec",
-  "graft.BpeSpec", "graft.DedupIndexSpec")
+  "graft.BpeSpec", "graft.DedupIndexSpec", "graft.SinksSpec")
 Test / testOptions ++= {
   if (sys.env.contains("GRAFT_FULL_TESTS")) Seq.empty
   else Seq(Tests.Filter(n => !scaleProfileSuites.contains(n)))
