@@ -45,49 +45,54 @@ object Sessions {
       .config("spark.sql.codegen.cache.maxEntries", "4000")
 
   /** Scale-adaptive shuffle partitioning, shared by EVERY graft entry
-    * point (CLI session, Bench, PlanDump) — one definition, like
-    * [[withCodegenDefaults]].
+    * point (CLI session, Bench, PlanDump, BenchProbe, Verify) — one
+    * definition, like [[withCodegenDefaults]].
     *
-    * Partition counts must track shuffle BYTES, not core count (guide
-    * §2.2): the r19 driver measured the whole bench FASTER on 8 cores
-    * than 32 because `shuffle.partitions = cpus` plus AQE's default
-    * `parallelismFirst = true` floor-ed every tiny shuffle at ~32
-    * partitions — per-task overhead with no data to amortize it. With
-    * `parallelismFirst = false`, AQE coalesces every shuffle read to the
-    * advisory byte size (small inputs collapse to a handful of tasks; a
-    * 100 TB shuffle keeps partitions at the advisory size, which is
-    * exactly what that scale needs too — the same knob, not a local-mode
-    * special case). `initialPartitionNum` gives AQE upward headroom
-    * beyond the core count so a big shuffle is not stuck at `cpus`
-    * partitions before coalescing; both knobs are env-overridable for
-    * cluster deployments (raise INIT to ~2-3x total cores there).
-    * `spark.sql.shuffle.partitions` stays at `cpus` as the non-AQE
-    * fallback so explicit `repartition(conf)` call sites keep their
-    * parallelism.
+    * Partition counts must track shuffle BYTES, not a fixed core-count
+    * constant (guide §2.2). AQE's default coalescing already does that —
+    * `parallelismFirst = true` targets max(bytes/parallelism,
+    * minPartitionSize), i.e. byte-sized partitions WITH a parallelism
+    * floor — and the r20 10x-fixture measurement showed why the floor
+    * matters: `parallelismFirst = false` (pure advisory-size coalescing)
+    * collapsed the LSH candidate joins — compute-DENSE per byte — to one
+    * partition and made q25 at 10x ~20% slower, while buying nothing at
+    * sf0.1 that the cache fix below didn't already buy.
+    *
+    * What was actually broken (and is fixed here):
+    * `canChangeCachedPlanOutputPartitioning` defaults to FALSE, which
+    * suppresses AQE entirely inside CACHED plans — every operator pin
+    * (dedup prep, pagerank edges+ids, probe postings subsets) was
+    * materializing with un-coalesced `shuffle.partitions`-wide exchanges
+    * and every cache read paid that many tasks regardless of bytes. The
+    * r19 8c-faster-than-32c inversion lived exactly there: the pinned
+    * paths (q25/q102/probes, the worst inverters) paid 32 fixed task
+    * overheads per cached exchange at 32 cores and 8 at 8. Letting AQE
+    * coalesce cached plans closed it (final r20 bench: 8c/32c totals at
+    * parity, both below the r19 numbers). No graft operator relies on a
+    * cache's physical partitioning.
+    *
+    * All three knobs are env-overridable for cluster deployments
+    * (`SPARK_GRAFT_SHUFFLE_INIT` ~2-3x total cores there;
+    * `SPARK_GRAFT_ADVISORY_PARTITION_BYTES`;
+    * `SPARK_GRAFT_PARALLELISM_FIRST=false` for pure byte-sizing on
+    * I/O-bound pipelines). `spark.sql.shuffle.partitions` stays at
+    * `cpus` as the non-AQE fallback so explicit `repartition(conf)`
+    * call sites keep their parallelism.
     */
   def withAdaptiveShuffle(b: SparkSession.Builder): SparkSession.Builder = {
     // initialPartitionNum stays at the core count by DEFAULT: raising it
     // to 4x was measured (r20 probes, q114/q102) to cost ~2x executor
     // time per stage at bench SFs — per-stage map-side bucket and AQE
-    // bookkeeping overhead with nothing to amortize it. On a cluster
-    // where single shuffles exceed cpus x advisory bytes, raise
-    // SPARK_GRAFT_SHUFFLE_INIT (the coalesce target is bytes either way).
+    // bookkeeping overhead with nothing to amortize it.
     val initial = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_INIT", cpus)
     val advisory = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "67108864")
+    val parFirst = sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true")
     b.config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", parFirst)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initial)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
-      // Without this, AQE is suppressed inside CACHED plans (the default
-      // preserves a cache's output partitioning for downstream reuse), so
-      // every operator pin would materialize at initialPartitionNum
-      // partitions and each cache read would pay that many tasks — the r20
-      // mid-round bench measured the iterating pinned paths (pagerank,
-      // dedup prep) 2x slower from exactly that. Cached frames coalesce by
-      // bytes like everything else; no graft operator relies on a cache's
-      // physical partitioning.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
   }
